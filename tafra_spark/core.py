@@ -1,0 +1,1044 @@
+"""The ``Tafra`` facade: the reference's full API surface over a lazy
+``pyspark.sql.DataFrame``.
+
+The reference (petbox-dev/tafra) is an eager, mutable, single-node
+columnar table — ``Dict[str, np.ndarray]`` + dtypes (``tafra/base.py:88-137``).
+This class re-expresses every public method (SURVEY.md §2) on an immutable
+lazy DataFrame:
+
+- ``*_inplace`` variants rebind ``self._df`` (immutability under the hood).
+- Positional semantics (int/slice indexing, ``update``'s row alignment)
+  use a hidden ordinal column ``__ord__`` attached at local construction;
+  for external scans it is materialized lazily — and positional ops on
+  unordered distributed data are documented small-data conveniences, not
+  the scale path.
+- Eager properties that require an action (``rows``) cache their result.
+
+Nothing here copies the reference's execution strategy: filters, joins,
+groupbys are declarative plans handed to Catalyst.
+"""
+
+from __future__ import annotations
+
+import itertools as _it
+from collections.abc import Callable, Iterable, Iterator, Mapping, Sequence
+from typing import Any, NamedTuple, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .formatter import ObjectFormatter, object_formatter
+from .operators import groupby as _groupby
+from .operators import joins as _joins
+from .operators import setops as _setops
+from .schema import (
+    normalize_dtype_name,
+    numpy_dtype_for,
+    spark_schema_to_dtypes,
+    to_spark_type,
+)
+from .session import get_spark
+
+__all__ = ["Tafra", "ORD"]
+
+#: hidden ordinal column preserving source row order (SURVEY.md §2.8.4)
+ORD = "__ord__"
+
+_InitData = Union[
+    Mapping[str, Any],
+    Sequence[tuple],
+    Iterator,
+    DataFrame,
+    pd.DataFrame,
+    "Tafra",
+    None,
+]
+
+
+class GroupDescription(NamedTuple):
+    """Yielded by :meth:`Tafra.iterate_by` — mirrors the reference's
+    ``GroupDescription`` (``tafra/group.py:49-53``)."""
+
+    group: Any
+    rows: Optional[np.ndarray]
+    tafra: "Tafra"
+
+
+def _normalize_init(data: _InitData) -> Optional[dict[str, Any]]:
+    """Normalize dict / sequence-of-pairs / iterator / enumerate into a
+    plain dict, stringifying non-str keys — reference ``_check_initvar``
+    semantics (``tafra/base.py:189-308``)."""
+    if data is None:
+        return None
+    if isinstance(data, Mapping):
+        items = list(data.items())
+    else:
+        if isinstance(data, enumerate) or (
+            isinstance(data, Iterator) and not isinstance(data, (str, bytes))
+        ):
+            data = list(data)
+        if not isinstance(data, Sequence) or isinstance(data, (str, bytes)):
+            raise TypeError(f"cannot construct Tafra from {type(data).__name__}")
+        items = []
+        for pair in data:
+            if not isinstance(pair, Sequence) or len(pair) != 2:
+                raise ValueError(
+                    f"sequence initializer must contain (name, values) pairs, got {pair!r}"
+                )
+            items.append((pair[0], pair[1]))
+    return {str(k): v for k, v in items}
+
+
+def _ensure_column_values(name: str, value: Any, n_rows: Optional[int]) -> np.ndarray:
+    """Coerce one column's values to a 1-D array; broadcast scalars and
+    length-1 values to the table's row count; squeeze ndim>1 — reference
+    ``_ensure_valid`` semantics (``tafra/base.py:708-782``)."""
+    if isinstance(value, np.ndarray):
+        arr = value
+    elif isinstance(value, (list, tuple)):
+        arr = np.asarray(value)
+    elif isinstance(value, pd.Series):
+        arr = value.to_numpy()
+    elif isinstance(value, Iterator):
+        arr = np.asarray(list(value))
+    elif np.isscalar(value) or value is None or not isinstance(value, Iterable):
+        count = 1 if n_rows is None else n_rows
+        arr = np.full(count, value, dtype=object if isinstance(value, str) else None)
+        if not isinstance(value, str):
+            arr = np.asarray([value] * count)
+    elif isinstance(value, str):
+        count = 1 if n_rows is None else n_rows
+        arr = np.asarray([value] * count, dtype=object)
+    else:
+        arr = np.asarray(list(value))
+    if arr.ndim > 1:
+        squeezed = np.squeeze(arr)
+        if squeezed.ndim > 1:
+            raise ValueError(f"column {name!r} must be 1-dimensional, got {arr.ndim}-D")
+        arr = squeezed
+    if arr.ndim == 0:
+        arr = arr.reshape(1)
+    if n_rows is not None and len(arr) == 1 and n_rows != 1:
+        arr = np.repeat(arr, n_rows)
+    if n_rows is not None and len(arr) != n_rows:
+        raise ValueError(
+            f"column {name!r} has {len(arr)} rows, expected {n_rows}"
+        )
+    return arr
+
+
+class Tafra:
+    """A minimalist dataframe facade over a PySpark DataFrame.
+
+    Construction accepts everything the reference accepts
+    (``tafra/base.py:88-187``): a dict of columns (values may be arrays,
+    lists, scalars — scalars broadcast), a sequence of (name, values)
+    pairs, an iterator of pairs, an ``enumerate``, plus (new here) a
+    pandas or Spark DataFrame.
+    """
+
+    _df: DataFrame
+    _formatter: ObjectFormatter
+
+    def __init__(
+        self,
+        data: _InitData = None,
+        dtypes: Optional[Mapping[str, Any]] = None,
+        validate: bool = True,
+        check_rows: bool = True,
+        *,
+        df: Optional[DataFrame] = None,
+        spark: Optional[SparkSession] = None,
+        _rows: Optional[int] = None,
+    ) -> None:
+        self._formatter = object_formatter
+        self._cached_rows: Optional[int] = _rows
+        if df is not None:
+            self._df = df
+            if dtypes:
+                self.update_dtypes_inplace(dtypes)
+            return
+        if isinstance(data, Tafra):
+            self._df = data._df
+            self._cached_rows = data._cached_rows
+            if dtypes:
+                self.update_dtypes_inplace(dtypes)
+            return
+        if isinstance(data, DataFrame):
+            self._df = data
+            if dtypes:
+                self.update_dtypes_inplace(dtypes)
+            return
+        if isinstance(data, pd.DataFrame):
+            self._df = self._from_pandas(data, spark)
+            if dtypes:
+                self.update_dtypes_inplace(dtypes)
+            return
+
+        mapping = _normalize_init(data)
+        if mapping is None:
+            raise ValueError("Tafra requires data to construct")
+        # determine row count from the first non-scalar column
+        n_rows: Optional[int] = None
+        for v in mapping.values():
+            if isinstance(v, (np.ndarray, list, tuple, pd.Series)) and not isinstance(
+                v, str
+            ):
+                n_rows = len(v)
+                break
+        arrays: dict[str, np.ndarray] = {}
+        for name, value in mapping.items():
+            arr = _ensure_column_values(name, value, n_rows)
+            if n_rows is None:
+                n_rows = len(arr)
+            if check_rows and len(arr) != n_rows:
+                raise ValueError(
+                    f"column {name!r} has {len(arr)} rows, expected {n_rows}"
+                )
+            arrays[name] = arr
+        pdf = pd.DataFrame()
+        for name, arr in arrays.items():
+            series = pd.Series(arr)
+            if series.dtype == object:
+                series = self._formatter.apply(series)
+            pdf[name] = series
+        self._df = self._from_pandas(pdf, spark)
+        self._cached_rows = int(n_rows or 0)
+        if dtypes:
+            self.update_dtypes_inplace(dtypes)
+
+    # ------------------------------------------------------------------ #
+    # construction helpers
+
+    @staticmethod
+    def _spark() -> SparkSession:
+        return SparkSession.getActiveSession() or get_spark()
+
+    def _from_pandas(
+        self, pdf: pd.DataFrame, spark: Optional[SparkSession]
+    ) -> DataFrame:
+        spark = spark or self._spark()
+        pdf = pdf.copy()
+        for col in pdf.columns:
+            if pdf[col].dtype == object:
+                pdf[col] = self._formatter.apply(pdf[col])
+        if ORD not in pdf.columns:
+            pdf.insert(0, ORD, np.arange(len(pdf), dtype=np.int64))
+        self._cached_rows = len(pdf)
+        # map object columns that remain non-string to strings only if mixed;
+        # let Arrow handle the rest
+        fields = []
+        for col in pdf.columns:
+            dtype = pdf[col].dtype
+            if dtype == object:
+                non_null = pdf[col].dropna()
+                sample = non_null.iloc[0] if len(non_null) else None
+                if isinstance(sample, str) or sample is None:
+                    fields.append(T.StructField(col, T.StringType(), True))
+                elif isinstance(sample, bool):
+                    fields.append(T.StructField(col, T.BooleanType(), True))
+                elif isinstance(sample, int):
+                    fields.append(T.StructField(col, T.LongType(), True))
+                elif isinstance(sample, float):
+                    fields.append(T.StructField(col, T.DoubleType(), True))
+                elif isinstance(sample, bytes):
+                    fields.append(T.StructField(col, T.BinaryType(), True))
+                else:
+                    import datetime as _dt
+
+                    if isinstance(sample, _dt.datetime):
+                        fields.append(T.StructField(col, T.TimestampType(), True))
+                    elif isinstance(sample, _dt.date):
+                        fields.append(T.StructField(col, T.DateType(), True))
+                    else:
+                        pdf[col] = pdf[col].map(
+                            lambda v: None if v is None else str(v)
+                        )
+                        fields.append(T.StructField(col, T.StringType(), True))
+            else:
+                fields.append(
+                    T.StructField(col, to_spark_type(str(dtype)), True)
+                )
+        return spark.createDataFrame(pdf, schema=T.StructType(fields))
+
+    @classmethod
+    def _wrap(cls, df: DataFrame, rows: Optional[int] = None) -> "Tafra":
+        return cls(df=df, _rows=rows)
+
+    def _plain(self) -> DataFrame:
+        """The user-visible DataFrame: hidden ordinal stripped."""
+        if ORD in self._df.columns:
+            return self._df.drop(ORD)
+        return self._df
+
+    @property
+    def df(self) -> DataFrame:
+        """Escape hatch: the underlying Spark DataFrame (no ordinal)."""
+        return self._plain()
+
+    def _has_ord(self) -> bool:
+        return ORD in self._df.columns
+
+    def _ensure_ord(self) -> DataFrame:
+        """Materialize the ordinal for positional ops on scanned data.
+
+        Uses ``row_number`` over ``monotonically_increasing_id`` — a
+        global sort, i.e. a small-data convenience, never the scale path.
+        """
+        if self._has_ord():
+            return self._df
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return self._df.withColumn(ORD, F.row_number().over(w) - 1)
+
+    # ------------------------------------------------------------------ #
+    # alternate constructors (reference ``tafra/base.py:886-1114``)
+
+    @classmethod
+    def from_records(
+        cls,
+        records: Iterable[tuple],
+        columns: Sequence[str],
+        dtypes: Optional[Mapping[str, Any]] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> "Tafra":
+        """Column-pivot an iterable of row tuples (reference
+        ``tafra/base.py:886-917``)."""
+        rows = list(records)
+        if not rows:
+            pdf = pd.DataFrame({c: [] for c in columns})
+        else:
+            pdf = pd.DataFrame(rows, columns=list(columns))
+        t = cls(pdf, spark=spark)
+        if dtypes:
+            t.update_dtypes_inplace(dtypes)
+        return t
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: Union[pd.DataFrame, DataFrame],
+        dtypes: Optional[Mapping[str, Any]] = None,
+    ) -> "Tafra":
+        """Ingest a pandas or Spark DataFrame (reference
+        ``tafra/base.py:919-976``)."""
+        return cls(df, dtypes=dtypes)
+
+    @classmethod
+    def from_series(
+        cls, series: pd.Series, dtypes: Optional[Mapping[str, Any]] = None
+    ) -> "Tafra":
+        name = series.name if series.name is not None else "0"
+        return cls({str(name): series.to_numpy()}, dtypes=dtypes)
+
+    @classmethod
+    def as_tafra(cls, maybe_tafra: Any) -> "Tafra":
+        """Polymorphic coercion (reference ``tafra/base.py:1075-1114``)."""
+        if isinstance(maybe_tafra, Tafra):
+            return maybe_tafra
+        if isinstance(maybe_tafra, (pd.DataFrame, DataFrame)):
+            return cls(maybe_tafra)
+        if isinstance(maybe_tafra, pd.Series):
+            return cls.from_series(maybe_tafra)
+        if isinstance(maybe_tafra, Mapping):
+            return cls(maybe_tafra)
+        raise TypeError(f"cannot coerce {type(maybe_tafra).__name__} to Tafra")
+
+    @classmethod
+    def read_parquet(
+        cls, path: str, spark: Optional[SparkSession] = None
+    ) -> "Tafra":
+        """Scan a parquet file/directory (scale-path source; the reference
+        has no parquet reader — extension)."""
+        spark = spark or cls._spark()
+        return cls(df=spark.read.parquet(path))
+
+    @classmethod
+    def read_sql(cls, query: str, cur: Any = None, *, url: str | None = None,
+                 spark: Optional[SparkSession] = None, **jdbc_options: str) -> "Tafra":
+        """Execute SELECT and fetch (reference ``tafra/base.py:978-1005``).
+
+        Two paths: a DB-API cursor (parity with the reference — single
+        fetch through the driver) or JDBC (``url=...`` — the scale path
+        where executors read partitioned ranges directly).
+        """
+        from .sources.sql import read_sql as _read_sql
+
+        return _read_sql(cls, query, cur, url=url, spark=spark, **jdbc_options)
+
+    @classmethod
+    def read_sql_chunks(
+        cls, query: str, cur: Any, chunksize: int = 100,
+        spark: Optional[SparkSession] = None,
+    ) -> Iterator["Tafra"]:
+        """Yield one Tafra per ``chunksize`` rows (reference
+        ``tafra/base.py:1007-1040``)."""
+        from .sources.sql import read_sql_chunks as _chunks
+
+        return _chunks(cls, query, cur, chunksize, spark=spark)
+
+    @classmethod
+    def read_csv(
+        cls,
+        csv_file: Any,
+        guess_rows: int = 5,
+        missing: Optional[str] = "",
+        dtypes: Optional[Mapping[str, Any]] = None,
+        spark: Optional[SparkSession] = None,
+        **csvkw: Any,
+    ) -> "Tafra":
+        """CSV scan with tafra-parity type inference (reference
+        ``tafra/base.py:1042-1073`` + ``tafra/csvreader.py``)."""
+        from .sources.csv import read_csv as _read_csv
+
+        return _read_csv(
+            cls, csv_file, guess_rows=guess_rows, missing=missing,
+            dtypes=dtypes, spark=spark, **csvkw
+        )
+
+    # ------------------------------------------------------------------ #
+    # metadata properties (reference ``tafra/base.py:1116-1227``)
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple(c for c in self._df.columns if c != ORD)
+
+    @columns.setter
+    def columns(self, _: Any) -> None:
+        raise ValueError("cannot assign to `columns`; use rename()")
+
+    @property
+    def rows(self) -> int:
+        if self._cached_rows is None:
+            self._cached_rows = self._df.count()
+        return self._cached_rows
+
+    @rows.setter
+    def rows(self, _: Any) -> None:
+        raise ValueError("cannot assign to `rows`")
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        return {
+            name: dtype
+            for name, dtype in spark_schema_to_dtypes(self._df.schema).items()
+            if name != ORD
+        }
+
+    @dtypes.setter
+    def dtypes(self, _: Any) -> None:
+        raise ValueError("cannot assign to `dtypes`; use update_dtypes()")
+
+    @property
+    def data(self) -> dict[str, np.ndarray]:
+        """Collect all columns as numpy arrays (action!). Mirrors the
+        reference's ``.data`` view; on Spark this is an explicit collect."""
+        pdf = self.to_pandas()
+        return {c: pdf[c].to_numpy() for c in pdf.columns}
+
+    @data.setter
+    def data(self, _: Any) -> None:
+        raise ValueError("cannot assign to `data`")
+
+    @property
+    def size(self) -> int:
+        return self.rows * len(self.columns)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.rows, len(self.columns))
+
+    # dict-like views (reference ``tafra/base.py:1395-1447``)
+    def keys(self):
+        return self.dtypes.keys()
+
+    def values(self):
+        return self.data.values()
+
+    def items(self):
+        return self.data.items()
+
+    def get(self, key: str, default: Any = None) -> Any:
+        if key in self.columns:
+            return self[key]
+        return default
+
+    # ------------------------------------------------------------------ #
+    # indexing (reference ``tafra/base.py:310-495``)
+
+    def __getitem__(self, item: Any):
+        if isinstance(item, str):
+            if item not in self.columns:
+                raise KeyError(f"column {item!r} not in table")
+            return F.col(item)
+        if isinstance(item, Column):
+            return self.filter(item)
+        if isinstance(item, int):
+            return self._positional([item])
+        if isinstance(item, slice):
+            n = self.rows
+            idx = list(range(*item.indices(n)))
+            return self._positional(idx)
+        if isinstance(item, np.ndarray):
+            if item.dtype == bool:
+                idx = np.flatnonzero(item).tolist()
+                return self._positional(idx)
+            return self._positional([int(i) for i in item.tolist()])
+        if isinstance(item, Sequence) and not isinstance(item, (str, bytes)):
+            items = list(item)
+            if items and all(isinstance(i, str) for i in items):
+                return self.select(items)
+            if items and all(isinstance(i, (bool, np.bool_)) for i in items):
+                return self._positional([i for i, b in enumerate(items) if b])
+            return self._positional([int(i) for i in items])
+        raise TypeError(f"cannot index Tafra with {type(item).__name__}")
+
+    def _positional(self, indices: list[int]) -> "Tafra":
+        """Row selection by position via the hidden ordinal. Small-data
+        convenience (SURVEY.md §1.4 row-position note)."""
+        n = self.rows
+        norm = [i + n if i < 0 else i for i in indices]
+        for i in norm:
+            if i < 0 or i >= n:
+                raise IndexError(f"row index {i} out of range for {n} rows")
+        df = self._ensure_ord()
+        out = df.filter(F.col(ORD).isin(norm))
+        return Tafra._wrap(out, rows=len(norm))
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        if isinstance(value, Column):
+            self._df = self._df.withColumn(name, value)
+            return
+        if np.isscalar(value) or value is None:
+            self._df = self._df.withColumn(name, F.lit(value))
+            return
+        arr = _ensure_column_values(name, value, self.rows)
+        # position-aligned array assignment: ordinal zip join
+        df = self._ensure_ord()
+        spark = self._spark()
+        pdf = pd.DataFrame({ORD: np.arange(len(arr), dtype=np.int64), name: arr})
+        if pdf[name].dtype == object:
+            pdf[name] = self._formatter.apply(pdf[name])
+        other = spark.createDataFrame(pdf)
+        other = other.withColumnRenamed(name, name + "__new__")
+        joined = df.drop(name) if name in df.columns else df
+        joined = joined.join(F.broadcast(other), on=ORD, how="left")
+        self._df = joined.withColumnRenamed(name + "__new__", name)
+
+    def __delitem__(self, name: str) -> None:
+        self.delete_inplace([name] if isinstance(name, str) else name)
+
+    def __len__(self) -> int:
+        return self.rows
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self.columns)
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, Tafra):
+            return NotImplemented
+        if self.columns != other.columns or self.dtypes != other.dtypes:
+            return False
+        a, b = self.to_pandas(), other.to_pandas()
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            return True
+        except AssertionError:
+            return False
+
+    def __rshift__(self, fn: Callable[["Tafra"], Any]) -> Any:
+        return self.pipe(fn)
+
+    def __repr__(self) -> str:
+        return f"Tafra(columns={list(self.columns)}, dtypes={self.dtypes})"
+
+    # ------------------------------------------------------------------ #
+    # projections / filters / row ops (SURVEY.md §2.2)
+
+    def select(self, columns: Union[str, Iterable[str]]) -> "Tafra":
+        """Column projection (reference ``tafra/base.py:1354-1378``)."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        for c in cols:
+            if c not in self.columns:
+                raise KeyError(f"column {c!r} not in table")
+        keep = ([ORD] if self._has_ord() else []) + cols
+        return Tafra._wrap(self._df.select(*keep), rows=self._cached_rows)
+
+    def filter(self, predicate: Column) -> "Tafra":
+        """Boolean-predicate filter — the ``t[t['x'] <= 4]`` idiom
+        (reference ``_ndindex``, ``tafra/base.py:474-495``)."""
+        return Tafra._wrap(self._df.filter(predicate))
+
+    def head(self, n: int = 5) -> "Tafra":
+        """First n rows in source order (reference ``tafra/base.py:1380-1393``)."""
+        if self._has_ord():
+            out = self._df.filter(F.col(ORD) < n)
+            return Tafra._wrap(out)
+        return Tafra._wrap(self._df.limit(n))
+
+    def rename(self, renames: Mapping[str, str]) -> "Tafra":
+        for old in renames:
+            if old not in self.columns:
+                raise KeyError(f"column {old!r} not in table")
+        return Tafra._wrap(
+            self._df.withColumnsRenamed(dict(renames)), rows=self._cached_rows
+        )
+
+    def rename_inplace(self, renames: Mapping[str, str]) -> "Tafra":
+        self._df = self.rename(renames)._df
+        return self
+
+    def delete(self, columns: Union[str, Iterable[str]]) -> "Tafra":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        for c in cols:
+            if c not in self.columns:
+                raise KeyError(f"column {c!r} not in table")
+        return Tafra._wrap(self._df.drop(*cols), rows=self._cached_rows)
+
+    def delete_inplace(self, columns: Union[str, Iterable[str]]) -> "Tafra":
+        self._df = self.delete(columns)._df
+        return self
+
+    def copy(self, order: str = "C") -> "Tafra":
+        """Immutability makes this a new handle (reference deep-copies,
+        ``tafra/base.py:1652-1673``)."""
+        return Tafra._wrap(self._df, rows=self._cached_rows)
+
+    def update(self, other: "Tafra") -> "Tafra":
+        t = self.copy()
+        t.update_inplace(other)
+        return t
+
+    def update_inplace(self, other: "Tafra") -> "Tafra":
+        """Overwrite/add columns from another Tafra, position-aligned;
+        row counts must match (reference ``tafra/base.py:1449-1496``)."""
+        if other.rows != self.rows:
+            raise ValueError(
+                f"row count mismatch: other has {other.rows}, self has {self.rows}"
+            )
+        left = self._ensure_ord()
+        right = other._ensure_ord()
+        new_cols = [c for c in other.columns]
+        right_sel = right.select(
+            ORD, *[F.col(c).alias(c + "__upd__") for c in new_cols]
+        )
+        joined = left.drop(*[c for c in new_cols if c in left.columns]).join(
+            right_sel, on=ORD, how="inner"
+        )
+        for c in new_cols:
+            joined = joined.withColumnRenamed(c + "__upd__", c)
+        self._df = joined
+        return self
+
+    def update_dtypes(self, dtypes: Mapping[str, Any]) -> "Tafra":
+        t = self.copy()
+        t.update_dtypes_inplace(dtypes)
+        return t
+
+    def update_dtypes_inplace(self, dtypes: Mapping[str, Any]) -> "Tafra":
+        """Cast columns; empty-string values become NULL when a direct
+        cast would fail (reference ``tafra/base.py:1530-1558``)."""
+        df = self._df
+        for name, dtype in dtypes.items():
+            if name not in self.columns:
+                raise KeyError(f"column {name!r} not in table")
+            target = to_spark_type(dtype)
+            src_type = df.schema[name].dataType
+            col = F.col(name)
+            if isinstance(src_type, T.StringType) and not isinstance(
+                target, T.StringType
+            ):
+                # '' → NULL before cast (reference's ValueError fallback)
+                col = F.when(F.trim(col) == "", None).otherwise(col)
+            df = df.withColumn(name, col.cast(target))
+        self._df = df
+        return self
+
+    def parse_object_dtypes(self) -> "Tafra":
+        t = self.copy()
+        t.parse_object_dtypes_inplace()
+        return t
+
+    def parse_object_dtypes_inplace(self) -> "Tafra":
+        """Re-run the ObjectFormatter over string columns (reference
+        ``tafra/base.py:784-802``). String-typed engine ⇒ no-op unless a
+        converter is registered for ``str``."""
+        fn = self._formatter.get("str")
+        if fn is None:
+            return self
+        for name, dtype in self.dtypes.items():
+            if dtype == "str":
+                pdf_fn = fn
+
+                def apply_series(batch: pd.Series) -> pd.Series:
+                    return pdf_fn(batch)
+
+                udf = F.pandas_udf(apply_series, T.StringType())
+                self._df = self._df.withColumn(name, udf(F.col(name)))
+        return self
+
+    def coalesce(
+        self, column: str, fills: Sequence[Any]
+    ) -> "Tafra":
+        t = self.copy()
+        t.coalesce_inplace(column, fills)
+        return t
+
+    def coalesce_inplace(self, column: str, fills: Sequence[Any]) -> "Tafra":
+        """SQL COALESCE / fillna: fill None-or-NaN positions left to right
+        from scalars, arrays, or column names; may create a brand-new
+        column (reference ``tafra/base.py:1675-1741``)."""
+        exists = column in self.columns
+        exprs: list[Column] = []
+        if exists:
+            base = F.col(column)
+            if self.dtypes.get(column) in ("float32", "float64"):
+                base = F.when(F.isnan(base), None).otherwise(base)
+            exprs.append(base)
+        for i, fill in enumerate(fills):
+            if isinstance(fill, Column):
+                exprs.append(fill)
+            elif isinstance(fill, str) and fill in self.columns:
+                exprs.append(F.col(fill))
+            elif np.isscalar(fill) or fill is None:
+                exprs.append(F.lit(fill))
+            else:
+                # array fill: attach via ordinal zip join
+                arr = _ensure_column_values(f"__fill_{i}__", fill, self.rows)
+                tmp = f"__fill_{i}__"
+                self[tmp] = arr
+                nn = F.col(tmp)
+                if pd.Series(arr).dtype.kind == "f":
+                    nn = F.when(F.isnan(nn), None).otherwise(nn)
+                exprs.append(nn)
+        self._df = self._df.withColumn(column, F.coalesce(*exprs))
+        drop = [c for c in self._df.columns if c.startswith("__fill_")]
+        if drop:
+            self._df = self._df.drop(*drop)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # grouping (SURVEY.md §2.4)
+
+    def group_by(
+        self,
+        group_by: Sequence[str],
+        aggregation: Mapping[str, Any] = {},
+        iter_fn: Mapping[str, Any] = {},
+        dtype_compat: bool = False,
+    ) -> "Tafra":
+        """SQL GROUP BY (reference ``GroupBy.apply``,
+        ``tafra/group.py:215-274``). ``dtype_compat=True`` reproduces the
+        reference's result-dtype-equals-source-dtype rule."""
+        out = _groupby.group_by(
+            self._plain(), list(group_by), aggregation, iter_fn, dtype_compat
+        )
+        return Tafra._wrap(out)
+
+    def transform(
+        self,
+        group_by: Sequence[str],
+        aggregation: Mapping[str, Any] = {},
+        iter_fn: Mapping[str, Any] = {},
+        dtype_compat: bool = False,
+    ) -> "Tafra":
+        """Grouped aggregate broadcast to all rows (reference
+        ``Transform.apply``, ``tafra/group.py:277-338``)."""
+        keep_ord = self._has_ord()
+        src = self._df if keep_ord else self._plain()
+        out = _groupby.transform(
+            src, list(group_by), aggregation, iter_fn, dtype_compat
+        )
+        return Tafra._wrap(out, rows=self._cached_rows)
+
+    def iterate_by(
+        self, group_by: Sequence[str], collect_masks: bool = False
+    ) -> Iterator[GroupDescription]:
+        """Generator of (group, rows, sub-Tafra) per unique key, in
+        first-occurrence order (reference ``IterateBy.apply``,
+        ``tafra/group.py:341-381``). Driver-side iteration — small-data
+        convenience; use :meth:`apply_by` for the distributed analogue."""
+        keys = list(group_by)
+        for k in keys:
+            if k not in self.columns:
+                raise KeyError(f"group key {k!r} not in table")
+        df = self._ensure_ord()
+        key_order = (
+            df.groupBy(*keys)
+            .agg(F.min(ORD).alias("__first__"))
+            .orderBy("__first__")
+            .collect()
+        )
+        for row in key_order:
+            vals = tuple(row[k] for k in keys)
+            pred = None
+            for k, v in zip(keys, vals):
+                term = F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+                pred = term if pred is None else (pred & term)
+            sub = df.filter(pred)
+            mask = None
+            if collect_masks:
+                ords = [r[0] for r in sub.select(ORD).collect()]
+                mask = np.zeros(self.rows, dtype=bool)
+                mask[ords] = True
+            group = vals[0] if len(vals) == 1 else vals
+            yield GroupDescription(group, mask, Tafra._wrap(sub))
+
+    def apply_by(
+        self,
+        group_by: Sequence[str],
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: Union[str, T.StructType],
+    ) -> "Tafra":
+        """Distributed grouped-map (``applyInPandas``) — the scale path
+        corresponding to ``iterate_by`` (SURVEY.md §2.4 mapping)."""
+        out = self._plain().groupBy(*list(group_by)).applyInPandas(fn, schema=schema)
+        return Tafra._wrap(out)
+
+    # ------------------------------------------------------------------ #
+    # joins (SURVEY.md §2.3)
+
+    def inner_join(
+        self,
+        right: "Tafra",
+        on: Sequence[tuple],
+        select: Optional[Iterable[str]] = None,
+    ) -> "Tafra":
+        out = _joins.inner_join(self._plain(), right._plain(), on, select)
+        return Tafra._wrap(out)
+
+    def left_join(
+        self,
+        right: "Tafra",
+        on: Sequence[tuple],
+        select: Optional[Iterable[str]] = None,
+    ) -> "Tafra":
+        out = _joins.left_join(self._plain(), right._plain(), on, select)
+        return Tafra._wrap(out)
+
+    def cross_join(
+        self, right: "Tafra", select: Optional[Iterable[str]] = None
+    ) -> "Tafra":
+        out = _joins.cross_join(self._plain(), right._plain(), select)
+        return Tafra._wrap(out)
+
+    # ------------------------------------------------------------------ #
+    # set ops (SURVEY.md §2.4-2.5)
+
+    def union(self, other: "Tafra") -> "Tafra":
+        out = _setops.union_all(self._plain(), other._plain())
+        return Tafra._wrap(out)
+
+    def union_inplace(self, other: "Tafra") -> "Tafra":
+        self._df = self.union(other)._df
+        self._cached_rows = None
+        return self
+
+    # extensions (free in Spark; absent in the reference, SURVEY.md §2.5)
+    def distinct(self) -> "Tafra":
+        return Tafra._wrap(self._plain().distinct())
+
+    def sort(self, *cols: str, ascending: bool = True) -> "Tafra":
+        return Tafra._wrap(
+            self._plain().orderBy(*cols, ascending=ascending),
+            rows=self._cached_rows,
+        )
+
+    def intersect(self, other: "Tafra") -> "Tafra":
+        return Tafra._wrap(self._plain().intersect(other._plain()))
+
+    def except_all(self, other: "Tafra") -> "Tafra":
+        return Tafra._wrap(self._plain().exceptAll(other._plain()))
+
+    # ------------------------------------------------------------------ #
+    # functional surface (SURVEY.md §2.6)
+
+    def pipe(self, fn: Callable[["Tafra"], Any], *args: Any, **kwargs: Any) -> Any:
+        """``fn(tafra, *args)`` chaining (reference ``tafra/base.py:1330-1352``)."""
+        return fn(self, *args, **kwargs)
+
+    def row_map(self, fn: Callable, *args: Any) -> Iterator[Any]:
+        """Lazily map ``fn`` over 1-row Tafras (reference
+        ``tafra/base.py:1229-1250``). Driver-side; prefer
+        :meth:`map_in_pandas` at scale."""
+        for pdf_row in self.to_pandas().itertuples(index=False):
+            one = Tafra({c: [v] for c, v in zip(self.columns, pdf_row)})
+            yield fn(one, *args)
+
+    def tuple_map(self, fn: Callable, *args: Any, name: Optional[str] = "Row") -> Iterator[Any]:
+        """Map over namedtuples (reference ``tafra/base.py:1252-1279``)."""
+        pdf = self.to_pandas()
+        if name is None:
+            for row in pdf.itertuples(index=False, name=None):
+                yield fn(row, *args)
+        else:
+            for row in pdf.itertuples(index=False, name=name):
+                yield fn(row, *args)
+
+    def col_map(self, fn: Callable, *args: Any) -> Iterator[Any]:
+        """Map ``fn(ndarray)`` over columns (reference ``tafra/base.py:1281-1303``)."""
+        data = self.data
+        for c in self.columns:
+            yield fn(data[c], *args)
+
+    def key_map(self, fn: Callable, *args: Any) -> Iterator[tuple[str, Any]]:
+        """col_map yielding (name, result) pairs (reference
+        ``tafra/base.py:1305-1328``)."""
+        data = self.data
+        for c in self.columns:
+            yield c, fn(data[c], *args)
+
+    def map_in_pandas(
+        self, fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+        schema: Union[str, T.StructType],
+    ) -> "Tafra":
+        """Distributed batch map — the scale path for row/tuple maps."""
+        return Tafra._wrap(self._plain().mapInPandas(fn, schema=schema))
+
+    def iterrows(self) -> Iterator[dict[str, Any]]:
+        for row in self._plain().toLocalIterator():
+            yield row.asDict()
+
+    def itertuples(self, name: Optional[str] = "Row") -> Iterator[tuple]:
+        pdf = self.to_pandas()
+        return pdf.itertuples(index=False, name=name)
+
+    def itercols(self) -> Iterator[tuple[str, np.ndarray]]:
+        data = self.data
+        for c in self.columns:
+            yield c, data[c]
+
+    # ------------------------------------------------------------------ #
+    # sinks (SURVEY.md §2.7)
+
+    def _ordered_df(self) -> DataFrame:
+        """Export view: source order restored when an ordinal exists."""
+        if self._has_ord():
+            return self._df.orderBy(ORD).drop(ORD)
+        return self._plain()
+
+    def to_pandas(self) -> pd.DataFrame:
+        pdf = self._ordered_df().toPandas()
+        return pdf
+
+    def to_records(
+        self, columns: Optional[Iterable[str]] = None, cast_null: bool = True
+    ) -> Iterator[tuple]:
+        """Iterator of row tuples; NaN→None when ``cast_null`` (reference
+        ``tafra/base.py:1772-1804``)."""
+        pdf = self.to_pandas()
+        if columns is not None:
+            pdf = pdf[list(columns)]
+        for row in pdf.itertuples(index=False, name=None):
+            if cast_null:
+                yield tuple(
+                    None if (isinstance(v, float) and np.isnan(v)) else v for v in row
+                )
+            else:
+                yield tuple(row)
+
+    def to_list(
+        self, columns: Optional[Iterable[str]] = None, inner: bool = False
+    ) -> list:
+        """Columns as a list of arrays (or list of lists with ``inner``;
+        reference ``tafra/base.py:1806-1876``)."""
+        pdf = self.to_pandas()
+        cols = list(columns) if columns is not None else list(self.columns)
+        arrays = [pdf[c].to_numpy() for c in cols]
+        if inner:
+            return [a.tolist() for a in arrays]
+        return arrays
+
+    def to_tuple(
+        self,
+        columns: Optional[Iterable[str]] = None,
+        inner: bool = False,
+        name: Optional[str] = "Tafra",
+    ) -> tuple:
+        from collections import namedtuple
+
+        cols = list(columns) if columns is not None else list(self.columns)
+        arrays = self.to_list(cols, inner=inner)
+        if name is None:
+            return tuple(arrays)
+        nt = namedtuple(name, cols, rename=True)
+        return nt(*arrays)
+
+    def to_array(self, columns: Optional[Iterable[str]] = None) -> np.ndarray:
+        pdf = self.to_pandas()
+        if columns is not None:
+            pdf = pdf[list(columns)]
+        return pdf.to_numpy(dtype=object)
+
+    def to_csv(self, filename: Any, columns: Optional[Iterable[str]] = None) -> None:
+        """Single-file CSV with header (parity path; reference
+        ``tafra/base.py:1930-1967``). Use :meth:`write_csv` for the
+        distributed sink."""
+        pdf = self.to_pandas()
+        if columns is not None:
+            pdf = pdf[list(columns)]
+        pdf.to_csv(filename, index=False)
+
+    def write_csv(self, path: str, mode: str = "overwrite") -> None:
+        self._plain().write.mode(mode).option("header", True).csv(path)
+
+    def write_parquet(
+        self, path: str, mode: str = "overwrite",
+        partition_by: Optional[Sequence[str]] = None,
+    ) -> None:
+        w = self._plain().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def to_html(self, n: int = 20) -> str:
+        """HTML table with the dtype header row (reference
+        ``tafra/base.py:497-706``)."""
+        pdf = self.head(n).to_pandas()
+        dtypes = self.dtypes
+        header = "".join(f"<th>{c}<br/><em>{dtypes[c]}</em></th>" for c in pdf.columns)
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{v}</td>" for v in row) + "</tr>"
+            for row in pdf.itertuples(index=False, name=None)
+        )
+        return f"<table><thead><tr>{header}</tr></thead><tbody>{rows}</tbody></table>"
+
+    def _repr_html_(self) -> str:
+        return self.to_html()
+
+    def pformat(self, n: int = 20) -> str:
+        pdf = self.head(n).to_pandas()
+        dtypes = self.dtypes
+        headed = pd.DataFrame(
+            [[dtypes[c] for c in pdf.columns]], columns=list(pdf.columns)
+        )
+        return pd.concat([headed, pdf.astype(object)], ignore_index=True).to_string(
+            index=False
+        )
+
+    def pprint(self, n: int = 20) -> None:
+        print(self.pformat(n))
+
+    # plan introspection (extension; no reference analogue)
+    def explain(self, mode: str = "formatted") -> None:
+        self._plain().explain(mode=mode)
+
+    def cache(self) -> "Tafra":
+        self._df = self._df.cache()
+        return self
+
+    def repartition(self, n: int, *cols: str) -> "Tafra":
+        if cols:
+            return Tafra._wrap(
+                self._df.repartition(n, *cols), rows=self._cached_rows
+            )
+        return Tafra._wrap(self._df.repartition(n), rows=self._cached_rows)

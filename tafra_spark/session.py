@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+Local-mode defaults tuned for the test container (``local[$SPARK_GRAFT_CPUS]``)
+but every knob is chosen to survive a real multi-executor cluster:
+
+- AQE on (runtime coalescing + skew-join splitting) so shuffle partition
+  counts self-tune at 100 TB.
+- Arrow enabled for every pandas interchange (ingest + Pandas UDFs).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Parquet filter pushdown + vectorized reader on explicitly.
+
+The reference (tafra) has no session concept — it is a single-process
+numpy library (see SURVEY.md §3) — so this module is pure Spark-side
+infrastructure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "tafra_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-ready defaults.
+
+    In local mode there is a single JVM; ``spark.driver.memory`` is the
+    only memory knob that matters and must be set before JVM start.
+    """
+    cpus = _cpus()
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pandas.structHandlingMode", "row")
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

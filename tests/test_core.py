@@ -1,0 +1,340 @@
+"""Core facade tests mirroring the reference test strategy (SURVEY.md §5):
+construct → operate → structural invariant check on the canonical 6-row
+fixture (FIXTURES.md F1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tafra_spark import Tafra
+
+
+def check_tafra(t: Tafra) -> None:
+    """Structural invariants (reference ``check_tafra``,
+    test_tafra.py:87-128): columns/dtypes agree, row counts agree,
+    every destructor works."""
+    assert len(t.columns) == len(t.dtypes)
+    assert set(t.columns) == set(t.dtypes)
+    pdf = t.to_pandas()
+    assert len(pdf) == t.rows
+    assert list(pdf.columns) == list(t.columns)
+    recs = list(t.to_records())
+    assert len(recs) == t.rows
+    arrays = t.to_list()
+    assert all(len(a) == t.rows for a in arrays)
+    arr = t.to_array()
+    assert arr.shape == (t.rows, len(t.columns))
+
+
+class TestConstruction:
+    def test_dict(self, tafra):
+        check_tafra(tafra)
+        assert tafra.rows == 6
+        assert tafra.columns == ("x", "y", "z")
+        assert tafra.dtypes == {"x": "int64", "y": "str", "z": "int64"}
+
+    def test_scalar_broadcast(self, spark):
+        t = Tafra({"x": [1, 2, 3], "c": 9, "s": "hi"})
+        pdf = t.to_pandas()
+        assert pdf["c"].tolist() == [9, 9, 9]
+        assert pdf["s"].tolist() == ["hi", "hi", "hi"]
+
+    def test_sequence_of_pairs(self, spark):
+        t = Tafra([("x", [1, 2]), ("y", ["a", "b"])])
+        assert t.columns == ("x", "y")
+        assert t.rows == 2
+
+    def test_iterator_of_pairs(self, spark):
+        t = Tafra(iter([("x", [1, 2]), ("y", ["a", "b"])]))
+        assert t.columns == ("x", "y")
+
+    def test_enumerate(self, spark):
+        t = Tafra(enumerate([[1, 2], [3, 4]]))
+        assert t.columns == ("0", "1")
+
+    def test_mismatched_rows_raises(self, spark):
+        with pytest.raises(ValueError):
+            Tafra({"x": [1, 2, 3], "y": [1, 2]})
+
+    def test_invalid_init_raises(self, spark):
+        with pytest.raises((TypeError, ValueError)):
+            Tafra(42)
+        with pytest.raises(ValueError):
+            Tafra([("bad",)])
+
+    def test_from_records(self, spark):
+        t = Tafra.from_records(
+            [("Apples", 5, 0.95), ("Pears", 2, 0.80)],
+            ["Fruit", "Amount", "Price"],
+        )
+        assert t.rows == 2
+        assert t.dtypes["Fruit"] == "str"
+        check_tafra(t)
+
+    def test_from_records_empty(self, spark):
+        t = Tafra.from_records([], ["a", "b", "c"])
+        assert t.rows == 0
+        assert t.columns == ("a", "b", "c")
+
+    def test_from_pandas(self, spark):
+        pdf = pd.DataFrame({"a": [1.5, 2.5], "b": ["x", "y"]})
+        t = Tafra.from_dataframe(pdf)
+        assert t.dtypes == {"a": "float64", "b": "str"}
+
+    def test_as_tafra(self, spark, tafra):
+        assert Tafra.as_tafra(tafra) is tafra
+        assert Tafra.as_tafra({"x": [1]}).rows == 1
+        assert Tafra.as_tafra(pd.Series([1, 2], name="s")).columns == ("s",)
+        with pytest.raises(TypeError):
+            Tafra.as_tafra(42)
+
+    def test_dtypes_cast_at_construction(self, spark):
+        t = Tafra({"x": [1, 2, 3]}, dtypes={"x": "float64"})
+        assert t.dtypes["x"] == "float64"
+
+
+class TestProperties:
+    def test_shape_size_ndim(self, tafra):
+        assert tafra.shape == (6, 3)
+        assert tafra.size == 18
+        assert tafra.ndim == 2
+        assert len(tafra) == 6
+
+    def test_setters_forbidden(self, tafra):
+        for prop in ("columns", "rows", "dtypes", "data"):
+            with pytest.raises(ValueError):
+                setattr(tafra, prop, None)
+
+    def test_dict_views(self, tafra):
+        assert list(tafra.keys()) == ["x", "y", "z"]
+        assert "x" in tafra
+        assert tafra.get("nope", "dflt") == "dflt"
+        data = tafra.data
+        assert isinstance(data["x"], np.ndarray)
+        assert data["x"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+class TestIndexing:
+    def test_column_returns_expr(self, tafra):
+        from pyspark.sql import Column
+
+        assert isinstance(tafra["x"], Column)
+        with pytest.raises(KeyError):
+            tafra["nope"]
+
+    def test_mask_filter(self, tafra):
+        out = tafra[tafra["x"] <= 4]
+        assert out.rows == 4
+        check_tafra(out)
+
+    def test_int_row(self, tafra):
+        row = tafra[2]
+        assert row.rows == 1
+        assert row.to_pandas()["x"].tolist() == [3]
+
+    def test_negative_int_row(self, tafra):
+        assert tafra[-1].to_pandas()["x"].tolist() == [6]
+
+    def test_slice(self, tafra):
+        assert tafra[1:3].to_pandas()["x"].tolist() == [2, 3]
+        assert tafra[::2].to_pandas()["x"].tolist() == [1, 3, 5]
+
+    def test_int_list(self, tafra):
+        assert tafra[[1, 3]].to_pandas()["x"].tolist() == [2, 4]
+
+    def test_bool_array(self, tafra):
+        mask = np.array([True, False, True, False, True, False])
+        assert tafra[mask].to_pandas()["x"].tolist() == [1, 3, 5]
+
+    def test_str_list_select(self, tafra):
+        out = tafra[["x", "y"]]
+        assert out.columns == ("x", "y")
+
+    def test_out_of_range(self, tafra):
+        with pytest.raises(IndexError):
+            tafra[10]
+
+
+class TestMutation:
+    def test_setitem_scalar(self, tafra):
+        t = tafra.copy()
+        t["w"] = 5
+        assert t.to_pandas()["w"].tolist() == [5] * 6
+
+    def test_setitem_array(self, tafra):
+        t = tafra.copy()
+        t["w"] = np.arange(6)
+        assert t.to_pandas()["w"].tolist() == list(range(6))
+
+    def test_setitem_expr(self, tafra):
+        t = tafra.copy()
+        t["x2"] = t["x"] * 2
+        assert t.to_pandas()["x2"].tolist() == [2, 4, 6, 8, 10, 12]
+
+    def test_setitem_replaces(self, tafra):
+        t = tafra.copy()
+        t["x"] = t["x"] + 10
+        assert t.to_pandas()["x"].tolist() == [11, 12, 13, 14, 15, 16]
+
+    def test_delitem(self, tafra):
+        t = tafra.copy()
+        del t["z"]
+        assert t.columns == ("x", "y")
+
+    def test_rename(self, tafra):
+        out = tafra.rename({"x": "xx"})
+        assert out.columns == ("xx", "y", "z")
+        assert tafra.columns == ("x", "y", "z")
+        with pytest.raises(KeyError):
+            tafra.rename({"nope": "n"})
+
+    def test_rename_inplace(self, tafra):
+        t = tafra.copy()
+        t.rename_inplace({"x": "xx"})
+        assert t.columns == ("xx", "y", "z")
+
+    def test_delete(self, tafra):
+        out = tafra.delete(["y", "z"])
+        assert out.columns == ("x",)
+        with pytest.raises(KeyError):
+            tafra.delete("nope")
+
+    def test_update(self, tafra):
+        other = Tafra({"w": [9, 8, 7, 6, 5, 4]})
+        out = tafra.update(other)
+        assert out.to_pandas()["w"].tolist() == [9, 8, 7, 6, 5, 4]
+        with pytest.raises(ValueError):
+            tafra.update(Tafra({"w": [1, 2]}))
+
+    def test_update_overwrites(self, tafra):
+        other = Tafra({"x": [0, 0, 0, 0, 0, 0]})
+        out = tafra.update(other)
+        assert out.to_pandas()["x"].tolist() == [0] * 6
+
+    def test_update_dtypes(self, tafra):
+        out = tafra.update_dtypes({"x": "float64"})
+        assert out.dtypes["x"] == "float64"
+        assert tafra.dtypes["x"] == "int64"
+
+    def test_update_dtypes_empty_string_to_null(self, spark):
+        t = Tafra({"x": ["1", "", "3"]})
+        out = t.update_dtypes({"x": "int64"})
+        vals = out.to_pandas()["x"]
+        assert vals[0] == 1 and pd.isna(vals[1]) and vals[2] == 3
+
+
+class TestCoalesce:
+    def test_coalesce_basic(self, spark):
+        # FIXTURES.md F3; reference test_tafra.py:919-937 — x ends fully
+        # non-null; a new column y keeps None where all fills are None
+        t = Tafra({"x": np.array([1, 2, None, 4, None], dtype=object)})
+        out = t.coalesce("x", [[1, 2, 3, None, 5], [None, None, None, None, 5]])
+        vals = out.to_pandas()["x"].tolist()
+        assert vals == [1, 2, 3, 4, 5]
+        out2 = t.coalesce("y", [[1, 2, 3, None, 5], [None, None, None, None, 5]])
+        yvals = out2.to_pandas()["y"].tolist()
+        assert yvals[0] == 1 and pd.isna(yvals[3]) and yvals[4] == 5
+
+    def test_coalesce_creates_column(self, spark):
+        t = Tafra({"x": [1, 2, 3]})
+        out = t.coalesce("y", [7])
+        assert out.to_pandas()["y"].tolist() == [7, 7, 7]
+
+    def test_coalesce_nan(self, spark):
+        t = Tafra({"x": [1.0, np.nan, 3.0]})
+        out = t.coalesce("x", [9.0])
+        assert out.to_pandas()["x"].tolist() == [1.0, 9.0, 3.0]
+
+
+class TestSelectHeadCopy:
+    def test_select(self, tafra):
+        out = tafra.select(["x", "z"])
+        assert out.columns == ("x", "z")
+        assert tafra.select("x").columns == ("x",)
+        with pytest.raises(KeyError):
+            tafra.select(["nope"])
+
+    def test_head(self, tafra):
+        assert tafra.head(2).to_pandas()["x"].tolist() == [1, 2]
+
+    def test_copy_independent(self, tafra):
+        t = tafra.copy()
+        t["w"] = 1
+        assert "w" not in tafra.columns
+
+    def test_pipe(self, tafra):
+        out = tafra.pipe(lambda t: t.select(["x"]))
+        assert out.columns == ("x",)
+        out2 = tafra >> (lambda t: t.select(["y"]))
+        assert out2.columns == ("y",)
+
+
+class TestIterators:
+    def test_iterrows(self, tafra):
+        rows = list(tafra.iterrows())
+        assert rows[0] == {"x": 1, "y": "one", "z": 0}
+
+    def test_itertuples(self, tafra):
+        rows = list(tafra.itertuples())
+        assert rows[0].x == 1
+        plain = list(tafra.itertuples(name=None))
+        assert plain[0] == (1, "one", 0)
+
+    def test_itercols(self, tafra):
+        cols = dict(tafra.itercols())
+        assert cols["x"].tolist() == [1, 2, 3, 4, 5, 6]
+
+    def test_row_map(self, tafra):
+        out = list(tafra.row_map(lambda t: t.rows))
+        assert out == [1] * 6
+
+    def test_tuple_map(self, tafra):
+        out = list(tafra.tuple_map(lambda r: r.x * 2))
+        assert out == [2, 4, 6, 8, 10, 12]
+
+    def test_col_map(self, tafra):
+        out = list(tafra.select(["x", "z"]).col_map(np.sum))
+        assert out == [21, 3]
+
+    def test_key_map(self, tafra):
+        out = dict(tafra.select(["x", "z"]).key_map(np.sum))
+        assert out == {"x": 21, "z": 3}
+
+
+class TestSinks:
+    def test_to_records_cast_null(self, spark):
+        t = Tafra({"x": [1.0, np.nan]})
+        recs = list(t.to_records(cast_null=True))
+        assert recs[1][0] is None
+        recs = list(t.to_records(cast_null=False))
+        assert np.isnan(recs[1][0])
+
+    def test_to_tuple(self, tafra):
+        nt = tafra.to_tuple()
+        assert nt.x.tolist() == [1, 2, 3, 4, 5, 6]
+        plain = tafra.to_tuple(name=None)
+        assert len(plain) == 3
+
+    def test_to_list_inner(self, tafra):
+        out = tafra.to_list(inner=True)
+        assert out[0] == [1, 2, 3, 4, 5, 6]
+
+    def test_to_html_pformat(self, tafra):
+        html = tafra.to_html()
+        assert "<table>" in html and "int64" in html
+        s = tafra.pformat()
+        assert "one" in s
+
+    def test_to_csv_roundtrip(self, tafra, tmp_path):
+        p = str(tmp_path / "t.csv")
+        tafra.to_csv(p)
+        back = Tafra.read_csv(p, dtypes=tafra.dtypes)
+        assert back.dtypes == tafra.dtypes
+        pd.testing.assert_frame_equal(back.to_pandas(), tafra.to_pandas())
+
+    def test_parquet_roundtrip(self, tafra, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        tafra.write_parquet(p)
+        back = Tafra.read_parquet(p)
+        assert set(back.columns) == set(tafra.columns)
+        assert back.rows == 6

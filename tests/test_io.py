@@ -1,0 +1,144 @@
+"""IO tests: CSV inference goldens (FIXTURES.md F6), SQL cursor
+(FIXTURES.md F5), formatter registry (FIXTURES.md F4)."""
+
+import sqlite3
+from datetime import date, datetime
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tafra_spark import ObjectFormatter, Tafra, object_formatter
+
+DATA = "/root/repo/tests/data"
+
+
+class TestReadCSV:
+    def test_ex1_clean(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex1.csv")
+        assert t.dtypes == {"a": "int32", "b": "bool", "c": "float64"}
+        assert t.rows == 6
+        assert t.to_pandas()["b"].tolist() == [True, False] * 3
+
+    def test_ex2_eof_in_guess_window(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex2.csv")
+        assert t.dtypes == {"a": "int32", "b": "bool", "c": "float64"}
+        assert t.rows == 2
+
+    def test_ex3_dup_header_and_object(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex3.csv")
+        assert t.dtypes == {"a": "int32", "b": "str", "b (2)": "float64"}
+
+    def test_ex4_promotion_after_guess_rows(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex4.csv")
+        assert t.dtypes == {"a": "int32", "b": "str", "b (2)": "float64"}
+        assert t.rows == 7
+
+    def test_ex5_ragged_raises(self, spark):
+        with pytest.raises(ValueError):
+            Tafra.read_csv(f"{DATA}/ex5.csv")
+
+    def test_ex6_missing_empty(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex6.csv")
+        assert all(d == "float64" for d in t.dtypes.values())
+        pdf = t.to_pandas()
+        assert np.isnan(pdf["dp_prime"].iloc[0])
+        assert pdf["dp"].iloc[1] == pytest.approx(8.33e-03)
+
+    def test_ex6_missing_none(self, spark):
+        t = Tafra.read_csv(f"{DATA}/ex6.csv", missing=None)
+        assert t.dtypes["dp_prime"] == "str"
+        assert t.to_pandas()["dp_prime"].iloc[0] == ""
+
+    def test_ex6_dtype_override(self, spark):
+        t = Tafra.read_csv(
+            f"{DATA}/ex6.csv",
+            missing=None,
+            dtypes={"dp_prime": "float64", "dp_prime_te": "float32"},
+        )
+        assert t.dtypes["dp_prime"] == "float64"
+        assert t.dtypes["dp_prime_te"] == "float32"
+
+    def test_file_like(self, spark):
+        import io
+
+        buf = io.StringIO("a,b\n1,x\n2,y\n")
+        t = Tafra.read_csv(buf)
+        assert t.dtypes == {"a": "int32", "b": "str"}
+        assert t.rows == 2
+
+    def test_int64_promotion(self, spark, tmp_path):
+        p = tmp_path / "big.csv"
+        p.write_text("a\n1\n" + str(2**40) + "\n")
+        t = Tafra.read_csv(str(p))
+        assert t.dtypes == {"a": "int64"}
+
+
+class TestReadSQL:
+    @pytest.fixture()
+    def cur(self):
+        conn = sqlite3.connect(":memory:")
+        cur = conn.cursor()
+        cur.execute("CREATE TABLE fruit (Fruit text, Amount integer, Price real)")
+        cur.executemany(
+            "INSERT INTO fruit VALUES (?, ?, ?)",
+            [("Apples", 5, 0.95), ("Pears", 2, 0.80)],
+        )
+        conn.commit()
+        yield cur
+        conn.close()
+
+    def test_read_sql(self, spark, cur):
+        t = Tafra.read_sql("SELECT * FROM fruit", cur)
+        assert t.rows == 2
+        assert t.columns == ("Fruit", "Amount", "Price")
+        assert t.dtypes["Amount"] == "int64"
+
+    def test_read_sql_empty(self, spark, cur):
+        t = Tafra.read_sql("SELECT * FROM fruit WHERE Amount > 100", cur)
+        assert t.rows == 0
+        assert t.columns == ("Fruit", "Amount", "Price")
+
+    def test_read_sql_chunks(self, spark, cur):
+        chunks = list(Tafra.read_sql_chunks("SELECT * FROM fruit", cur, chunksize=1))
+        assert len(chunks) == 2
+        assert all(c.rows == 1 for c in chunks)
+
+
+class TestObjectFormatter:
+    def test_decimal_default(self, spark):
+        t = Tafra({"x": [Decimal("1.5"), Decimal("2.5")]})
+        assert t.dtypes["x"] == "float64"
+        assert t.to_pandas()["x"].tolist() == [1.5, 2.5]
+
+    def test_registry_validation(self):
+        fmt = ObjectFormatter()
+        with pytest.raises(TypeError):
+            fmt[42] = lambda s: s
+        with pytest.raises(TypeError):
+            fmt["X"] = "not callable"
+        fmt["X"] = lambda s: s
+        assert len(fmt) == 1
+        del fmt["X"]
+        assert len(fmt) == 0
+
+    def test_custom_converter(self, spark):
+        saved = object_formatter.get("Decimal")
+        try:
+            object_formatter["Decimal"] = lambda s: s.map(
+                lambda v: int(v) if isinstance(v, Decimal) else v
+            ).astype("int64")
+            t = Tafra({"x": [Decimal("1.5"), Decimal("2.5")]})
+            assert t.dtypes["x"] == "int64"
+            assert t.to_pandas()["x"].tolist() == [1, 2]
+        finally:
+            object_formatter["Decimal"] = saved
+
+    def test_datetime_column(self, spark):
+        t = Tafra({"d": [datetime(2020, 1, 1), datetime(2020, 2, 1)]})
+        assert t.dtypes["d"] == "datetime64"
+
+    def test_date_column(self, spark):
+        t = Tafra({"d": [date(2020, 1, 1), date(2020, 2, 1)]})
+        assert t.dtypes["d"] == "date"
