@@ -1,0 +1,326 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the whole point of these):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle on the hash, no
+  sort. ``keep='min'`` keeps the smallest id per group deterministically.
+- **MinHash+LSH**: shingle → minhash signature → band → bucket-join.
+  Signatures are computed with ``explode`` + ``groupBy(min)`` over murmur
+  hashes of shingles — all JVM-side. Candidate pairs come from a
+  self-join on (band_id, band_hash) buckets, so the join key cardinality
+  is ~n_docs × n_bands, never the quadratic document-pair space.
+- **SimHash**: 64-bit majority-vote of token hashes, computed with
+  bitwise expressions (no UDF); near-dups = hamming distance ≤ k via a
+  band-join on 4 16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
+  equal).
+- **n-gram Jaccard**: exact verification on LSH candidates only — the
+  quadratic step runs on the (tiny) candidate set.
+- **embedding cosine**: delegates to functions.similarity.
+
+MinHash here uses md5-based hash functions so the DuckDB oracle can
+reproduce signatures bit-for-bit (portable across engines), at a small
+constant cost vs xxhash64. For pure-Spark pipelines pass
+``portable=False`` to use xxhash64 (faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_tokens
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_table",
+    "simhash_pairs",
+]
+
+
+# --------------------------------------------------------------------------- #
+# exact
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per duplicated fingerprint: (fp, n_dups, keep_id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per fingerprint.
+
+    Implemented as a window rank over the fingerprint partition — one
+    shuffle; with AQE the skewed empty-document fingerprint splits.
+    """
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# shingling + MinHash
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column as array<string>.
+
+    Built with sequence+transform on the token array — codegen'd, no UDF.
+    Documents shorter than k words yield their full token join (one
+    shingle), matching the common MinHash convention of never producing
+    an empty set for non-empty text.
+    """
+    toks = word_tokens(F.lower(col))
+    n = F.size(toks)
+    k_lit = F.lit(k)
+    full = F.array_join(toks, " ")
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k_lit),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n >= k_lit, F.array_distinct(shingled)).otherwise(
+        F.when(n > 0, F.array(full)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _portable_hash(shingle: Column, seed: int) -> Column:
+    """md5-based hash, reproducible in DuckDB: first 16 hex chars of
+    md5(seed || '|' || shingle) as an unsigned-ish bigint string compare.
+    We keep the hex string and take lexicographic min — identical
+    semantics in any engine with md5()."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle).cast("binary"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature per document.
+
+    explode(shingles) → per-hash min aggregate: one shuffle on id.
+    ``portable=True`` uses md5 (oracle-reproducible); otherwise xxhash64.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        if portable:
+            aggs.append(F.min(_portable_hash(F.col("sh"), i)).alias(f"h{i}"))
+        else:
+            aggs.append(
+                F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            )
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    Documents sharing ANY band (a ``band_size``-wide slice of the
+    signature) become a candidate pair. The self-join key is
+    (band_index, band_value) — bucket sizes stay small under uniform
+    hashing, so the shuffle is linear in corpus size.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, portable)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("val"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col(f"l.val") == F.col(f"r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------- #
+# n-gram Jaccard (exact verification of candidates)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard similarity over word k-shingle sets.
+
+    With ``candidates`` (id_a, id_b — e.g. from LSH) the quadratic step
+    only touches the candidate set: two broadcast-able joins fetch each
+    side's shingle array, and the intersection/union sizes are computed
+    with codegen'd array intrinsics. Without candidates, falls back to a
+    full self-join on a shared-shingle bucket (small corpora only).
+    """
+    sets = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    if candidates is None:
+        ex = sets.select(id_col, F.explode("sh").alias("s"))
+        candidates = (
+            ex.alias("l")
+            .join(
+                ex.alias("r"),
+                (F.col("l.s") == F.col("r.s"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    out = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# SimHash
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
+) -> DataFrame:
+    """(id, sh) SimHash per document: per-bit majority vote over xxhash64
+    of each distinct token.
+
+    Columnar formulation for scale: explode tokens → one hash per
+    (doc, token) row → a single hash-aggregate with one SUM(±1) per bit
+    (all codegen'd, map-side partial agg) → reassemble the 63-bit value
+    from the sign of each sum. This replaces a naive per-row
+    O(bits × tokens) expression tree with one shuffle on the doc id.
+    Bit 63 (sign) is left clear so the hash stays a non-negative long.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_tokens(F.lower(F.col(text_col))))).alias(
+            "__tok__"
+        ),
+    ).withColumn("__h__", F.xxhash64("__tok__"))
+    votes = [
+        F.sum(
+            F.when(F.col("__h__").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sh = None
+    for b in range(bits):
+        term = (F.col(f"v{b}") > 0).cast("long") * F.lit(1 << b)
+        sh = term if sh is None else (sh + term)
+    return agg.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    chunks; any pair within the distance bound must agree on ≥1 chunk,
+    so the self-join runs on (chunk_idx, chunk_value) buckets — linear
+    shuffle, no quadratic compare.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    h = simhash_table(df, text_col, id_col)
+    chunks = [
+        F.struct(
+            F.lit(i).alias("idx"),
+            F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("val"),
+        )
+        for i in range(n_chunks)
+    ]
+    banded = h.select(
+        id_col, "sh", F.explode(F.array(*chunks)).alias("c")
+    ).select(id_col, "sh", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.idx") == F.col("r.idx"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design: a multimodal asset is a row of
+``(asset_id, modality, content: binary, meta: struct)`` — the content is
+never interpreted by the engine, only by decode/feature UDFs running as
+Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing (schema,
+partition sizing, UDF batch shape) is real and tested; the actual codec
+calls are STUBBED behind ``NotImplementedError`` / a deterministic fake,
+because no image/audio libraries ship in this container. Swapping in
+PIL/libav later only touches the inner function body.
+
+Scale notes: binary payloads make row-group sizing the dominant knob —
+``target_batch_bytes`` controls Arrow batch memory, and content columns
+should be pruned before wide shuffles (select metadata early, join
+content back by id at the end).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MULTIMODAL_SCHEMA",
+    "asset_table",
+    "decode_images",
+    "extract_image_features",
+    "sample_video_frames",
+    "fake_image_bytes",
+]
+
+#: canonical multimodal asset schema
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fake_image_bytes(asset_id: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic fake 'image': a seeded byte grid. Stands in for real
+    encoded images so the binary plumbing is exercised end-to-end."""
+    rng = np.random.RandomState(asset_id % (2**31))
+    return rng.randint(0, 256, size=width * height, dtype=np.uint8).tobytes()
+
+
+def asset_table(spark, n: int = 100, modality: str = "image") -> DataFrame:
+    """Synthesize a small asset table (testing aid)."""
+    rows = [
+        (i, modality, fake_image_bytes(i), (8, 8, None, f"{modality}/fake"))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
+
+
+def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
+    """Decode an encoded image to an ndarray. STUB: real codecs are not
+    available in this container; the deterministic fake treats the bytes
+    as a raw uint8 grid. Replace with PIL.Image.open for production."""
+    if mime is not None and mime.startswith("image/fake"):
+        arr = np.frombuffer(content, dtype=np.uint8)
+        side = int(len(arr) ** 0.5)
+        return arr[: side * side].reshape(side, side)
+    raise NotImplementedError(
+        "real image decoding requires an imaging library (PIL/opencv) "
+        "not present in this environment; only 'image/fake' payloads decode"
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    target_batch_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """mapInPandas decode stage: (asset_id, width, height, mean_intensity).
+
+    The batch iterator shape is the real 100 TB pattern: each Arrow batch
+    holds ~target_batch_bytes of content, decoded without ever
+    materializing the whole partition.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "mean_intensity": []}
+            for _, row in pdf.iterrows():
+                arr = _decode_stub(row["content"], row["meta"]["mime"])
+                out["asset_id"].append(row["asset_id"])
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["mean_intensity"].append(float(arr.mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content", "meta").mapInPandas(
+        decode_batches, schema=out_schema
+    )
+
+
+def extract_image_features(
+    df: DataFrame, feature_dim: int = 16
+) -> DataFrame:
+    """Feature-extraction stage: (asset_id, features array<float>).
+
+    STUB embedding: a deterministic hash-seeded projection of the decoded
+    pixels — the real model call (ONNX/torch) slots into the same
+    mapInPandas body with identical schema and batching.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                arr = _decode_stub(row["content"], row["meta"]["mime"]).astype(
+                    np.float64
+                )
+                rng = np.random.RandomState(int(row["asset_id"]) % (2**31))
+                proj = rng.randn(arr.size, feature_dim)
+                vec = (arr.reshape(1, -1) @ proj).ravel()
+                norm = np.linalg.norm(vec)
+                feats.append((vec / norm if norm else vec).astype(np.float32).tolist())
+                ids.append(row["asset_id"])
+            yield pd.DataFrame({"asset_id": ids, "features": feats})
+
+    return df.select("asset_id", "content", "meta").mapInPandas(
+        feat_batches, schema=out_schema
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling plan for video assets: expands each asset into
+    (asset_id, frame_ts_ms) rows from metadata duration — the decode of
+    each frame is the stubbed step. Pure expression expansion (sequence +
+    explode), so the planning stage is JVM-side and scan-shaped."""
+    frames = df.filter(F.col("modality") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames

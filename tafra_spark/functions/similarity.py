@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB design requires:
+
+- **brute-force top-k** — exact: broadcast the (small) query set, one
+  pass over the corpus computing cosine with codegen'd higher-order
+  array functions (``aggregate``/``zip_with`` — no Python), then a
+  per-query top-k via window rank. Cost: O(corpus × queries), fully
+  scan-parallel, zero shuffle until the final (tiny) rank.
+- **LSH-bucketed ANN** — approximate: random-hyperplane signatures
+  (sign bits of dot products with fixed seeded planes) bucket the
+  corpus; queries only score their bucket's collisions. The plane
+  matrix is generated driver-side from a seed and inlined as literals,
+  so executors never need numpy state.
+- **IVF-style nearest-centroid** — partition the corpus by nearest of
+  k fixed centroids; at query time score only the probed partitions.
+  Here exposed as ``assign_centroids`` (the build side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "random_hyperplane_signature",
+    "lsh_ann_topk",
+    "assign_centroids",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate
+    (JVM-side, no UDF). Cast to double for engine-portable numerics."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    side streams through a single narrow stage. Self-matches (same id)
+    are excluded. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def random_hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0.
+
+    The planes are driver-side literals (seeded, deterministic) — the
+    expression is a sum of codegen'd dot products, no UDF, no state.
+    """
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (dot(vec, plane) > 0).cast("long") * F.lit(1 << i)
+        sig = sig + bit
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane-signature bucket,
+    scored exactly within the bucket.
+
+    The corpus is hashed once (narrow); the join key is the 2^n_planes
+    bucket id, so shuffle volume is corpus-linear. Recall tunes with
+    ``n_planes`` (fewer planes → bigger buckets → higher recall+cost).
+    """
+    sig = lambda c: random_hyperplane_signature(c, dim, n_planes, seed)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF build side: assign every vector to its nearest centroid by
+    cosine. Centroids broadcast; one narrow pass + rank-1 window."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("centv")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(c)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("centv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(centroid_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(id_col, centroid_id, F.round("cos", 6).alias("cos"))
+    )

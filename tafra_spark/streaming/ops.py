@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §1.4) — streaming is a scale
+extension. The events table (``event_id, ts, user_id, event_type,
+value, props``) doubles as a replayable stream source: read the same
+parquet directory with ``readStream`` and every operator below works
+identically in batch and streaming mode (same DataFrame expressions),
+which is the Structured Streaming contract.
+
+Operators:
+- ``windowed_counts`` — tumbling-window event counts with a watermark
+  for late data.
+- ``sessionize`` — gap-based session assignment. In batch mode this is
+  the classic lag/cumsum window; in streaming it is
+  ``applyInPandasWithState``-shaped (per-user state) — here we expose
+  the batch formulation, which also serves as the oracle for the
+  stateful variant.
+- ``stream_events`` / ``run_to_memory_sink`` — harness helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stream_events",
+    "windowed_counts",
+    "sessionize",
+    "run_to_memory_sink",
+]
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Replay an events parquet directory as a stream (file source).
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sum per event_type.
+
+    With a streaming input the watermark bounds state: windows older
+    than (max event time − watermark) are finalized and evicted —
+    mandatory for an unbounded 100 TB/day stream. The same expression
+    runs in batch mode (watermark is a no-op there).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch formulation).
+
+    A new session starts when the gap to the user's previous event
+    exceeds ``gap_minutes``. One shuffle on user_id; the per-user sort
+    happens inside the window operator. Returns per-session rows:
+    (user_id, session_id, session_start, session_end, n_events).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    with_gap = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("int"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w)
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumnRenamed("session_seq", "session_id")
+    )
+
+
+def run_to_memory_sink(
+    streaming_df: DataFrame, query_name: str, timeout_s: int = 60
+) -> DataFrame:
+    """Run a streaming query to completion against a memory sink and
+    return the materialized result (testing harness)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = streaming_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,191 @@
+"""Tests for the scale-extension operators: text analysis, dedup,
+similarity, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tafra_spark.functions import dedup as D
+from tafra_spark.functions import multimodal as M
+from tafra_spark.functions import similarity as S
+from tafra_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, ""),
+        (5, "der hund und die katze sind nicht da"),
+        (6, "le chat est dans la maison pour une nuit"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8).astype("float32")
+    base[1] = base[0] * 1.001  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        out = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", TX.token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert out[0] == 9
+        assert out[4] == 0
+
+    def test_quality_bounds(self, spark, docs):
+        vals = [
+            r["q"]
+            for r in docs.select(TX.quality_score(F.col("text")).alias("q")).collect()
+        ]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_language_id(self, spark, docs):
+        out = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select(
+                "doc_id", TX.language_id(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert out[0] == "en"
+        assert out[5] == "de"
+        assert out[6] == "fr"
+        assert out[4] == "und"
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello   World"), (1, "hello world")], ["doc_id", "text"]
+        )
+        fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        out = D.exact_dedup(docs)
+        ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert 2 not in ids  # dup of 0 dropped, min id kept
+        assert 0 in ids
+        assert len(ids) == docs.count() - 1
+
+    def test_exact_dup_groups(self, spark, docs):
+        groups = D.exact_dup_groups(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_dups"] == 2
+        assert groups[0]["keep_id"] == 0
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(0, "one two")], ["doc_id", "text"])
+        sh = df.select(D.shingles(F.col("text"), 3).alias("sh")).first()["sh"]
+        assert sh == ["one two"]
+
+    def test_minhash_identical_docs_same_signature(self, spark, docs):
+        sig = D.minhash_signatures(docs, num_hashes=4).collect()
+        by_id = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig}
+        assert by_id[0] == by_id[2]
+        assert by_id[0] != by_id[3]
+
+    def test_lsh_finds_near_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2).collect()
+        }
+        assert (0, 2) in pairs  # exact dups always collide
+        assert (0, 1) in pairs  # 8/9 shingle overlap should band-collide
+
+    def test_jaccard_exact_values(self, spark, docs):
+        pairs = D.ngram_jaccard_pairs(docs, None, shingle_k=3, threshold=0.1)
+        vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert vals[(0, 2)] == 1.0
+        # doc0 vs doc1: 9 words → 7 shingles each, 6 shared
+        assert vals[(0, 1)] == pytest.approx(6 / 8, abs=1e-6)
+
+    def test_simhash_near_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert pairs.get((0, 2)) == 0  # identical text → identical simhash
+
+    def test_simhash_table_deterministic(self, spark, docs):
+        a = {r["doc_id"]: r["sh"] for r in D.simhash_table(docs).collect()}
+        b = {r["doc_id"]: r["sh"] for r in D.simhash_table(docs).collect()}
+        assert a == b
+        assert all(v >= 0 for v in a.values())
+
+
+class TestSimilarity:
+    def test_cosine_identity(self, spark, vectors):
+        out = vectors.select(
+            S.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+        ).collect()
+        assert all(abs(r["c"] - 1.0) < 1e-9 for r in out)
+
+    def test_topk_finds_planted_neighbor(self, spark, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = S.cosine_topk(vectors, q, k=2)
+        rows = out.orderBy("rank").collect()
+        assert rows[0]["neighbor_id"] == 1  # planted near-dup
+        assert rows[0]["cos"] > 0.999
+
+    def test_topk_excludes_self(self, spark, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = S.cosine_topk(vectors, q, k=5).collect()
+        assert all(r["neighbor_id"] != 0 for r in out)
+
+    def test_lsh_ann_recall_of_planted_pair(self, spark, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = S.lsh_ann_topk(vectors, q, dim=8, k=3, n_planes=4).collect()
+        # near-identical vectors share every hyperplane sign → same bucket
+        assert any(r["neighbor_id"] == 1 for r in out)
+
+    def test_assign_centroids_total(self, spark, vectors):
+        cents = vectors.filter(F.col("vec_id") < 2)
+        rest = vectors.filter(F.col("vec_id") >= 2)
+        out = S.assign_centroids(rest, cents)
+        assert out.count() == rest.count()
+        assert set(r["centroid_id"] for r in out.collect()) <= {0, 1}
+
+
+class TestMultimodal:
+    def test_asset_roundtrip_decode(self, spark):
+        assets = M.asset_table(spark, n=10)
+        decoded = M.decode_images(assets).collect()
+        assert len(decoded) == 10
+        assert all(r["width"] == 8 and r["height"] == 8 for r in decoded)
+        assert all(0 <= r["mean_intensity"] <= 255 for r in decoded)
+
+    def test_decode_deterministic(self, spark):
+        a = M.decode_images(M.asset_table(spark, n=5)).collect()
+        b = M.decode_images(M.asset_table(spark, n=5)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_features_normalized(self, spark):
+        feats = M.extract_image_features(M.asset_table(spark, n=5)).collect()
+        for r in feats:
+            norm = float(np.linalg.norm(r["features"]))
+            assert norm == pytest.approx(1.0, abs=1e-5)
+
+    def test_unknown_mime_raises(self, spark):
+        import pandas as pd
+
+        with pytest.raises(NotImplementedError):
+            M._decode_stub(b"\x00\x01", "image/png")
+
+    def test_video_frame_sampling(self, spark):
+        rows = [(1, "video", None, (None, None, 5000, "video/fake"))]
+        df = spark.createDataFrame(rows, schema=M.MULTIMODAL_SCHEMA)
+        frames = M.sample_video_frames(df, every_ms=1000).collect()
+        assert len(frames) == 6  # 0..5000 inclusive step 1000

@@ -1,0 +1,82 @@
+"""Structured Streaming tests: the same windowed aggregation expression
+must produce identical results in batch mode and via a replayed file
+stream into a memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tafra_spark.streaming import ops as STREAM
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    """Write a small deterministic events parquet dir (several files so
+    maxFilesPerTrigger produces multiple micro-batches)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i * 7),
+                i % 5,
+                ["click", "view", "purchase"][i % 3],
+                float(i % 10),
+                None,
+            )
+        )
+    df = spark.createDataFrame(rows, schema=STREAM.EVENTS_SCHEMA)
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    df.repartition(4).write.parquet(path)
+    return path
+
+
+class TestWindowedCounts:
+    def test_stream_matches_batch(self, spark, events_path):
+        batch = spark.read.parquet(events_path)
+        expected = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in STREAM.windowed_counts(batch).collect()
+        }
+        stream = STREAM.stream_events(spark, events_path)
+        got_df = STREAM.run_to_memory_sink(
+            STREAM.windowed_counts(stream), "wc_test"
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in got_df.collect()
+        }
+        assert got == expected
+        assert len(got) > 10
+
+    def test_watermark_set_on_stream(self, spark, events_path):
+        stream = STREAM.stream_events(spark, events_path)
+        out = STREAM.windowed_counts(stream, watermark="1 hour")
+        assert out.isStreaming
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1, "click", 1.0, None),
+            (2, base + dt.timedelta(minutes=10), 1, "view", 1.0, None),
+            # 40-minute gap → new session
+            (3, base + dt.timedelta(minutes=50), 1, "click", 1.0, None),
+            # second user: single session
+            (4, base, 2, "click", 1.0, None),
+        ]
+        df = spark.createDataFrame(rows, schema=STREAM.EVENTS_SCHEMA)
+        out = STREAM.sessionize(df, gap_minutes=30).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert len(by_user[1]) == 2
+        assert len(by_user[2]) == 1
+        s1 = sorted(by_user[1], key=lambda r: r["session_id"])
+        assert s1[0]["n_events"] == 2
+        assert s1[1]["n_events"] == 1
