@@ -301,6 +301,47 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Tafra.read_parquet(_p(sf_dir, "customer"), spark)
+    orders = Tafra.read_parquet(_p(sf_dir, "orders"), spark)
+    big = orders[orders["o_totalprice"] > 400000]
+    out = cust.semi_join(big, [("c_custkey", "o_custkey", "==")])
+    return out.select(["c_custkey", "c_name"]).df
+
+
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Tafra.read_parquet(_p(sf_dir, "customer"), spark)
+    orders = Tafra.read_parquet(_p(sf_dir, "orders"), spark)
+    big = orders[orders["o_totalprice"] > 400000]
+    out = cust.anti_join(big, [("c_custkey", "o_custkey", "==")])
+    return out.select(["c_custkey", "c_name"]).df
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tafra.read_parquet(_p(sf_dir, "lineitem"), spark)
+    out = li.rollup(
+        ["l_returnflag", "l_linestatus"], {"sum_qty": (sum, "l_quantity")}, {"n": len}
+    )
+    return out.df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tafra.read_parquet(_p(sf_dir, "lineitem"), spark)
+    out = li.pivot(
+        ["l_returnflag"], "l_linestatus", ["O", "F"], {"q": (sum, "l_quantity")}
+    )
+    return out.df.select(
+        "l_returnflag",
+        F.round("O", 2).alias("qty_open"),
+        F.round("F", 2).alias("qty_filled"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # text analysis / dedup / similarity (scale extensions)
 
@@ -409,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": distinct_pairs,
         "rename_project": rename_project,
         "agg_stats": agg_stats,
+        "semi_join_exists": semi_join_exists,
+        "anti_join_not_exists": anti_join_not_exists,
+        "rollup_agg": rollup_agg,
+        "pivot_linestatus": pivot_linestatus,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
         "text_token_count": text_token_count,
@@ -489,17 +534,20 @@ _SHINGLES_SQL = r"""
     )
 """
 
+# hash j = 8-hex-char slice j%4 of md5('<j//4>|' || shingle) — mirrors
+# tafra_spark.functions.dedup._portable_hashes
 _MINHASH_SIG_SQL = (
     _SHINGLES_SQL
     + """,
     ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+    dg AS (SELECT doc_id, md5('0|' || s) AS d FROM ex),
     sig AS (
       SELECT doc_id,
-             min(md5('0|' || s)) AS h0,
-             min(md5('1|' || s)) AS h1,
-             min(md5('2|' || s)) AS h2,
-             min(md5('3|' || s)) AS h3
-      FROM ex GROUP BY doc_id
+             min(substr(d, 1, 8))  AS h0,
+             min(substr(d, 9, 8))  AS h1,
+             min(substr(d, 17, 8)) AS h2,
+             min(substr(d, 25, 8)) AS h3
+      FROM dg GROUP BY doc_id
     )
 """
 )
@@ -604,6 +652,30 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(l_quantity), 4) AS vp_qty,
                    round(median(l_quantity), 1) AS med_qty,
                    count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "semi_join_exists": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "anti_join_not_exists": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_linestatus": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                       AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                       AS qty_filled
             FROM lineitem GROUP BY l_returnflag
         """,
         "events_hourly": f"""

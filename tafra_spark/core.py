@@ -831,6 +831,28 @@ class Tafra:
         out = _joins.cross_join(self._plain(), right._plain(), select)
         return Tafra._wrap(out)
 
+    # join extensions the reference lacks (SURVEY.md §2.3 last row) —
+    # free in Spark, same (l, r, op)-triple predicate compiler
+    def semi_join(self, right: "Tafra", on: Sequence[tuple]) -> "Tafra":
+        """SQL EXISTS — left rows with ≥1 match; right columns dropped."""
+        out = _joins.semi_anti_join(self._plain(), right._plain(), on, "left_semi")
+        return Tafra._wrap(out)
+
+    def anti_join(self, right: "Tafra", on: Sequence[tuple]) -> "Tafra":
+        """SQL NOT EXISTS — left rows with zero matches."""
+        out = _joins.semi_anti_join(self._plain(), right._plain(), on, "left_anti")
+        return Tafra._wrap(out)
+
+    def full_join(
+        self,
+        right: "Tafra",
+        on: Sequence[tuple],
+        select: Optional[Iterable[str]] = None,
+    ) -> "Tafra":
+        """SQL FULL OUTER JOIN."""
+        out = _joins._join(self._plain(), right._plain(), on, "full", select)
+        return Tafra._wrap(out)
+
     # ------------------------------------------------------------------ #
     # set ops (SURVEY.md §2.4-2.5)
 
@@ -846,6 +868,56 @@ class Tafra:
     # extensions (free in Spark; absent in the reference, SURVEY.md §2.5)
     def distinct(self) -> "Tafra":
         return Tafra._wrap(self._plain().distinct())
+
+    def rollup(
+        self,
+        group_by: Sequence[str],
+        aggregation: Mapping[str, Any] = {},
+        iter_fn: Mapping[str, Any] = {},
+    ) -> "Tafra":
+        """GROUP BY ROLLUP with the reference's aggregation spec format."""
+        cols, fallbacks = _groupby.compile_agg_spec(
+            self._plain(), aggregation, iter_fn
+        )
+        if fallbacks:
+            raise _groupby.AggSpecError(
+                "rollup supports translatable aggregates only"
+            )
+        return Tafra._wrap(self._plain().rollup(*list(group_by)).agg(*cols))
+
+    def cube(
+        self,
+        group_by: Sequence[str],
+        aggregation: Mapping[str, Any] = {},
+        iter_fn: Mapping[str, Any] = {},
+    ) -> "Tafra":
+        """GROUP BY CUBE with the reference's aggregation spec format."""
+        cols, fallbacks = _groupby.compile_agg_spec(
+            self._plain(), aggregation, iter_fn
+        )
+        if fallbacks:
+            raise _groupby.AggSpecError("cube supports translatable aggregates only")
+        return Tafra._wrap(self._plain().cube(*list(group_by)).agg(*cols))
+
+    def pivot(
+        self,
+        group_by: Sequence[str],
+        pivot_col: str,
+        values: Sequence[Any],
+        aggregation: Mapping[str, Any],
+    ) -> "Tafra":
+        """Pivot ``pivot_col`` into one output column per value. Explicit
+        ``values`` keep the plan single-pass (no distinct-scan)."""
+        cols, fallbacks = _groupby.compile_agg_spec(self._plain(), aggregation)
+        if fallbacks:
+            raise _groupby.AggSpecError("pivot supports translatable aggregates only")
+        out = (
+            self._plain()
+            .groupBy(*list(group_by))
+            .pivot(pivot_col, list(values))
+            .agg(*cols)
+        )
+        return Tafra._wrap(out)
 
     def sort(self, *cols: str, ascending: bool = True) -> "Tafra":
         return Tafra._wrap(

@@ -43,6 +43,21 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row stages (shingling, hashing) get full
+    parallelism: a small parquet arrives as 1-2 scan partitions, which
+    would serialize the expensive projection on one core. Repartitioning
+    the *narrow* input (just ids + text) is far cheaper than running the
+    shingle explosion serially. On a real multi-file 100 TB table the
+    scan already yields thousands of partitions and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------- #
 # exact
 
@@ -101,12 +116,22 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def _portable_hash(shingle: Column, seed: int) -> Column:
-    """md5-based hash, reproducible in DuckDB: first 16 hex chars of
-    md5(seed || '|' || shingle) as an unsigned-ish bigint string compare.
-    We keep the hex string and take lexicographic min — identical
-    semantics in any engine with md5()."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle).cast("binary"))
+def _portable_hashes(shingle: Column, num_hashes: int) -> list[Column]:
+    """md5-based hash family, reproducible in DuckDB.
+
+    One md5 yields 128 bits = four independent 32-bit (8-hex-char) slices;
+    hash j is slice j%4 of md5('<j//4>|' || shingle). Lexicographic min of
+    the hex slices is engine-portable and costs num_hashes/4 digests per
+    shingle instead of one digest per hash function.
+    """
+    out: list[Column] = []
+    for group in range((num_hashes + 3) // 4):
+        digest = F.md5(F.concat(F.lit(f"{group}|"), shingle).cast("binary"))
+        for slot in range(4):
+            if len(out) >= num_hashes:
+                break
+            out.append(F.substring(digest, 1 + 8 * slot, 8))
+    return out
 
 
 def minhash_signatures(
@@ -122,17 +147,17 @@ def minhash_signatures(
     explode(shingles) → per-hash min aggregate: one shuffle on id.
     ``portable=True`` uses md5 (oracle-reproducible); otherwise xxhash64.
     """
-    sh = df.select(
+    sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
     )
-    aggs = []
-    for i in range(num_hashes):
-        if portable:
-            aggs.append(F.min(_portable_hash(F.col("sh"), i)).alias(f"h{i}"))
-        else:
-            aggs.append(
-                F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            )
+    if portable:
+        hashes = _portable_hashes(F.col("sh"), num_hashes)
+        aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -199,7 +224,7 @@ def ngram_jaccard_pairs(
     with codegen'd array intrinsics. Without candidates, falls back to a
     full self-join on a shared-shingle bucket (small corpora only).
     """
-    sets = df.select(
+    sets = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     if candidates is None:
@@ -256,7 +281,7 @@ def simhash_table(
     O(bits × tokens) expression tree with one shuffle on the doc id.
     Bit 63 (sign) is left clear so the hash stays a non-negative long.
     """
-    toks = df.select(
+    toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.lower(F.col(text_col))))).alias(
             "__tok__"

@@ -29,7 +29,14 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["JOIN_OPS", "inner_join", "left_join", "cross_join", "compile_predicate"]
+__all__ = [
+    "JOIN_OPS",
+    "inner_join",
+    "left_join",
+    "cross_join",
+    "semi_anti_join",
+    "compile_predicate",
+]
 
 JOIN_OPS = ("==", "!=", "<", "<=", ">", ">=")
 
@@ -118,6 +125,25 @@ def _join(
                 raise KeyError(f"select column {c!r} in neither join side")
         result = result.select(*select)
     return result
+
+
+def semi_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple],
+    how: str,
+) -> DataFrame:
+    """LEFT SEMI (EXISTS) / LEFT ANTI (NOT EXISTS) with the same
+    (l, r, op)-triple predicates. Output = left columns only, so no
+    collision handling is needed."""
+    assert how in ("left_semi", "left_anti")
+    triples = _validate_triples(left, right, on)
+    right_r = right.select(
+        *[F.col(c).alias(c + _RIGHT_SUFFIX) for c in right.columns]
+    )
+    return left.join(
+        right_r, on=compile_predicate(left, right_r, triples), how=how
+    )
 
 
 def inner_join(
