@@ -293,6 +293,19 @@ class Tafra:
         w = Window.orderBy(F.monotonically_increasing_id())
         return self._df.withColumn(ORD, F.row_number().over(w) - 1)
 
+    def _dense_ord(self) -> DataFrame:
+        """Ordinal re-normalized to a dense 0..n-1 in current source order.
+
+        Row-subsetting ops (filter, positional indexing) preserve the
+        *original* ordinals — correct for ordering, but positional ops and
+        array assignment need positions of the CURRENT table. Global
+        window; positional semantics are a driver-side convenience, never
+        the scale path (SURVEY.md §1.4).
+        """
+        df = self._ensure_ord()
+        w = Window.orderBy(ORD)
+        return df.withColumn(ORD, F.row_number().over(w) - 1)
+
     # ------------------------------------------------------------------ #
     # alternate constructors (reference ``tafra/base.py:886-1114``)
 
@@ -507,7 +520,7 @@ class Tafra:
         for i in norm:
             if i < 0 or i >= n:
                 raise IndexError(f"row index {i} out of range for {n} rows")
-        df = self._ensure_ord()
+        df = self._dense_ord()
         out = df.filter(F.col(ORD).isin(norm))
         return Tafra._wrap(out, rows=len(norm))
 
@@ -519,8 +532,10 @@ class Tafra:
             self._df = self._df.withColumn(name, F.lit(value))
             return
         arr = _ensure_column_values(name, value, self.rows)
-        # position-aligned array assignment: ordinal zip join
-        df = self._ensure_ord()
+        # position-aligned array assignment: DENSE ordinal zip join (the
+        # ordinal must be 0..n-1 of the CURRENT table, not stale pre-filter
+        # values, or the join misses and fills NULLs)
+        df = self._dense_ord()
         spark = self._spark()
         pdf = pd.DataFrame({ORD: np.arange(len(arr), dtype=np.int64), name: arr})
         if pdf[name].dtype == object:
@@ -581,7 +596,9 @@ class Tafra:
     def head(self, n: int = 5) -> "Tafra":
         """First n rows in source order (reference ``tafra/base.py:1380-1393``)."""
         if self._has_ord():
-            out = self._df.filter(F.col(ORD) < n)
+            # orderBy + limit → TakeOrderedAndProject; correct even when
+            # filtering left non-dense ordinals (stale-ord bug)
+            out = self._df.orderBy(ORD).limit(n)
             return Tafra._wrap(out)
         return Tafra._wrap(self._df.limit(n))
 
@@ -625,8 +642,8 @@ class Tafra:
             raise ValueError(
                 f"row count mismatch: other has {other.rows}, self has {self.rows}"
             )
-        left = self._ensure_ord()
-        right = other._ensure_ord()
+        left = self._dense_ord()
+        right = other._dense_ord()
         new_cols = [c for c in other.columns]
         right_sel = right.select(
             ORD, *[F.col(c).alias(c + "__upd__") for c in new_cols]
@@ -739,9 +756,17 @@ class Tafra:
         """SQL GROUP BY (reference ``GroupBy.apply``,
         ``tafra/group.py:215-274``). ``dtype_compat=True`` reproduces the
         reference's result-dtype-equals-source-dtype rule."""
-        out = _groupby.group_by(
-            self._plain(), list(group_by), aggregation, iter_fn, dtype_compat
-        )
+        if _groupby.iter_fn_needs_order(iter_fn):
+            # index-dependent iter_fn: reference semantics need the
+            # first-occurrence group order → keep/materialize the ordinal
+            out = _groupby.group_by(
+                self._ensure_ord(), list(group_by), aggregation, iter_fn,
+                dtype_compat, ord_col=ORD,
+            )
+        else:
+            out = _groupby.group_by(
+                self._plain(), list(group_by), aggregation, iter_fn, dtype_compat
+            )
         return Tafra._wrap(out)
 
     def transform(
@@ -754,10 +779,16 @@ class Tafra:
         """Grouped aggregate broadcast to all rows (reference
         ``Transform.apply``, ``tafra/group.py:277-338``)."""
         keep_ord = self._has_ord()
-        src = self._df if keep_ord else self._plain()
-        out = _groupby.transform(
-            src, list(group_by), aggregation, iter_fn, dtype_compat
+        needs_ord = _groupby.iter_fn_needs_order(iter_fn)
+        src = self._ensure_ord() if needs_ord else (
+            self._df if keep_ord else self._plain()
         )
+        out = _groupby.transform(
+            src, list(group_by), aggregation, iter_fn, dtype_compat,
+            ord_col=ORD if (keep_ord or needs_ord) else None,
+        )
+        if needs_ord and not keep_ord:
+            out = out.drop(ORD)
         return Tafra._wrap(out, rows=self._cached_rows)
 
     def iterate_by(
@@ -771,7 +802,8 @@ class Tafra:
         for k in keys:
             if k not in self.columns:
                 raise KeyError(f"group key {k!r} not in table")
-        df = self._ensure_ord()
+        # dense ordinal: masks index 0..rows-1 of the CURRENT table
+        df = self._dense_ord()
         key_order = (
             df.groupBy(*keys)
             .agg(F.min(ORD).alias("__first__"))
@@ -876,10 +908,10 @@ class Tafra:
         iter_fn: Mapping[str, Any] = {},
     ) -> "Tafra":
         """GROUP BY ROLLUP with the reference's aggregation spec format."""
-        cols, fallbacks = _groupby.compile_agg_spec(
+        cols, fallbacks, index_fns = _groupby.compile_agg_spec(
             self._plain(), aggregation, iter_fn
         )
-        if fallbacks:
+        if fallbacks or index_fns:
             raise _groupby.AggSpecError(
                 "rollup supports translatable aggregates only"
             )
@@ -892,10 +924,10 @@ class Tafra:
         iter_fn: Mapping[str, Any] = {},
     ) -> "Tafra":
         """GROUP BY CUBE with the reference's aggregation spec format."""
-        cols, fallbacks = _groupby.compile_agg_spec(
+        cols, fallbacks, index_fns = _groupby.compile_agg_spec(
             self._plain(), aggregation, iter_fn
         )
-        if fallbacks:
+        if fallbacks or index_fns:
             raise _groupby.AggSpecError("cube supports translatable aggregates only")
         return Tafra._wrap(self._plain().cube(*list(group_by)).agg(*cols))
 
@@ -908,7 +940,7 @@ class Tafra:
     ) -> "Tafra":
         """Pivot ``pivot_col`` into one output column per value. Explicit
         ``values`` keep the plan single-pass (no distinct-scan)."""
-        cols, fallbacks = _groupby.compile_agg_spec(self._plain(), aggregation)
+        cols, fallbacks, _idx = _groupby.compile_agg_spec(self._plain(), aggregation)
         if fallbacks:
             raise _groupby.AggSpecError("pivot supports translatable aggregates only")
         out = (

@@ -22,11 +22,13 @@ result-dtype-equals-source-dtype rule (``tafra/group.py:255-256``).
 from __future__ import annotations
 
 import builtins
+import functools
 import statistics
 from collections.abc import Callable, Mapping
 from typing import Any, Union
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ __all__ = [
     "compile_agg_spec",
     "group_by",
     "transform",
+    "iter_fn_needs_order",
     "AggSpecError",
     "KNOWN_AGGS",
 ]
@@ -138,16 +141,21 @@ def compile_agg_spec(
     aggregation: Mapping[str, AggValue],
     iter_fn: Mapping[str, AggFn] | None = None,
     dtype_compat: bool = False,
-) -> tuple[list[Column], list[tuple[str, Callable, str]]]:
+) -> tuple[list[Column], list[tuple[str, Callable, str]], list[tuple[str, AggFn]]]:
     """Compile an aggregation spec into Spark Column aggregates.
 
-    Returns ``(columns, fallbacks)``: Column expressions for every entry
-    translatable to a built-in, plus a list of (out_name, callable,
-    src_col) entries needing the applyInPandas fallback.
+    Returns ``(columns, fallbacks, index_fns)``: Column expressions for
+    every entry translatable to a built-in, (out_name, callable, src_col)
+    entries needing the applyInPandas fallback, and iter_fn entries that
+    need the first-occurrence group index (the reference passes
+    ``fn(i * ones[group_size])`` — the group's enumeration index repeated
+    group-size times, ``tafra/group.py:260-271``; only ``len``/count is
+    index-independent).
     """
     dtypes = dict(df.dtypes)
     cols: list[Column] = []
     fallbacks: list[tuple[str, Callable, str]] = []
+    index_fns: list[tuple[str, AggFn]] = []
 
     for out_name, fn, src in _parse_spec(aggregation):
         if src not in dtypes:
@@ -165,25 +173,62 @@ def compile_agg_spec(
     for out_name, fn in (iter_fn or {}).items():
         hit = _lookup(fn)
         if hit is not None and hit[1] == "count":
+            # len(i * ones[group_size]) == group size — COUNT(*)
             cols.append(F.count(F.lit(1)).alias(out_name))
-        elif hit is not None:
-            # iter_fn receives the group's index enumeration 0..n-1:
-            # max(range(n)) == n-1, min == 0, sum == n(n-1)/2, len == n.
-            n = F.count(F.lit(1))
-            name = hit[1]
-            if name == "max":
-                cols.append((n - 1).cast("long").alias(out_name))
-            elif name == "min":
-                cols.append(F.lit(0).cast("long").alias(out_name))
-            elif name == "sum":
-                cols.append((n * (n - 1) / 2).cast("long").alias(out_name))
-            elif name == "avg":
-                cols.append(((n - 1) / 2.0).alias(out_name))
-            else:
-                fallbacks.append((out_name, fn, "__iter__"))
         else:
-            fallbacks.append((out_name, fn, "__iter__"))
-    return cols, fallbacks
+            index_fns.append((out_name, fn))
+    return cols, fallbacks, index_fns
+
+
+def iter_fn_needs_order(iter_fn: Mapping[str, AggFn] | None) -> bool:
+    """True when any iter_fn entry needs the first-occurrence group index
+    (i.e. anything but count/len)."""
+    for fn in (iter_fn or {}).values():
+        hit = _lookup(fn)
+        if hit is None or hit[1] != "count":
+            return True
+    return False
+
+
+def _iter_index_udf(fn: Callable):
+    """Arbitrary iter_fn callable applied to ``np.full(n, i)`` per group —
+    exactly the array the reference hands it (``tafra/group.py:270-271``).
+    Arrow-batched over the (small) aggregated result, one row per group."""
+
+    def _apply(gi: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(fn(np.full(int(c), int(g), dtype=np.int64)))
+                for g, c in zip(gi, n)
+            ]
+        )
+
+    return F.pandas_udf(_apply, "long")
+
+
+def _apply_index_fns(
+    agg: DataFrame, index_fns: list[tuple[str, AggFn]]
+) -> DataFrame:
+    """Attach iter_fn columns that depend on the group enumeration index.
+
+    ``__first__`` (min source ordinal) and ``__n__`` (group size) must be
+    present. The first-occurrence index is a global rank over
+    ``__first__`` — an order-parity convenience over the (small)
+    one-row-per-group aggregate, never a scan-sized sort.
+    """
+    gi = (F.row_number().over(Window.orderBy("__first__")) - 1).cast("long")
+    agg = agg.withColumn("__gi__", gi)
+    for out_name, fn in index_fns:
+        hit = _lookup(fn)
+        name = hit[1] if hit else None
+        if name in ("max", "min", "avg", "median", "first", "last"):
+            expr = F.col("__gi__")  # every element is i
+        elif name == "sum":
+            expr = F.col("__gi__") * F.col("__n__")  # sum(i * ones[n]) = i*n
+        else:
+            expr = _iter_index_udf(fn)(F.col("__gi__"), F.col("__n__"))
+        agg = agg.withColumn(out_name, expr.cast("long"))
+    return agg.drop("__first__", "__n__", "__gi__")
 
 
 def _lookup(fn: AggFn):
@@ -219,10 +264,7 @@ def _fallback_apply(
     key_fields = [df.schema[k] for k in keys]
     out_fields = list(key_fields)
     for out_name, _fn, src in fallbacks:
-        if src == "__iter__":
-            out_fields.append(T.StructField(out_name, T.LongType()))
-        else:
-            out_fields.append(T.StructField(out_name, df.schema[src].dataType))
+        out_fields.append(T.StructField(out_name, df.schema[src].dataType))
     schema = T.StructType(out_fields)
 
     fb = list(fallbacks)
@@ -233,16 +275,25 @@ def _fallback_apply(
 
         row: dict[str, Any] = {k: [pdf[k].iloc[0]] for k in key_names}
         for out_name, fn, src in fb:
-            if src == "__iter__":
-                row[out_name] = [fn(np.arange(len(pdf)))]
-            else:
-                row[out_name] = [fn(pdf[src].to_numpy())]
+            row[out_name] = [fn(pdf[src].to_numpy())]
         return pd.DataFrame(row)
 
     fallback_df = df.groupBy(*key_names).applyInPandas(agg_one, schema=schema)
     if builtin_cols:
         builtin_df = df.groupBy(*key_names).agg(*builtin_cols)
-        return builtin_df.join(fallback_df, on=key_names, how="inner")
+        # null-safe key equality: NULL-keyed groups are valid under
+        # GROUP BY and must survive the recombination join
+        fb_out = [o for o, _, _ in fb]
+        renamed = fallback_df.select(
+            *[F.col(k).alias(f"__k_{k}__") for k in key_names],
+            *[F.col(c) for c in fb_out],
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__k_{k}__")) for k in key_names],
+        )
+        joined = builtin_df.join(renamed, on=cond, how="inner")
+        return joined.drop(*[f"__k_{k}__" for k in key_names])
     return fallback_df
 
 
@@ -252,19 +303,39 @@ def group_by(
     aggregation: Mapping[str, AggValue],
     iter_fn: Mapping[str, AggFn] | None = None,
     dtype_compat: bool = False,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """SQL GROUP BY with the reference's spec format.
 
     Scale notes: translated aggregates get map-side partial aggregation
     (hash aggregate) and stay in codegen; only the group keys shuffle.
+    iter_fn callables other than count need the first-occurrence group
+    index and therefore ``ord_col`` (the source ordinal).
     """
     for k in keys:
         if k not in df.columns:
             raise KeyError(f"group key {k!r} not in table")
-    cols, fallbacks = compile_agg_spec(df, aggregation, iter_fn, dtype_compat)
+    cols, fallbacks, index_fns = compile_agg_spec(
+        df, aggregation, iter_fn, dtype_compat
+    )
+    if index_fns:
+        if ord_col is None or ord_col not in df.columns:
+            raise AggSpecError(
+                "iter_fn callables other than count/len depend on "
+                "first-occurrence group order, which requires the source "
+                "ordinal; table was scanned without one"
+            )
+        cols = cols + [
+            F.min(F.col(ord_col)).alias("__first__"),
+            F.count(F.lit(1)).alias("__n__"),
+        ]
     if fallbacks:
-        return _fallback_apply(df, keys, cols, fallbacks, dtype_compat)
-    return df.groupBy(*keys).agg(*cols)
+        agg = _fallback_apply(df, keys, cols, fallbacks, dtype_compat)
+    else:
+        agg = df.groupBy(*keys).agg(*cols)
+    if index_fns:
+        agg = _apply_index_fns(agg, index_fns)
+    return agg
 
 
 def transform(
@@ -273,6 +344,7 @@ def transform(
     aggregation: Mapping[str, AggValue],
     iter_fn: Mapping[str, AggFn] | None = None,
     dtype_compat: bool = False,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Grouped aggregate broadcast back to every row (reference
     ``Transform.apply``, ``tafra/group.py:277-338``).
@@ -291,22 +363,58 @@ def transform(
             raise KeyError(f"aggregation column {src!r} not in table")
         hit = _lookup(fn)
         if hit is None:
-            # window-over-arbitrary-callable: fall back to group_by + join
+            # window-over-arbitrary-callable: fall back to group_by + join;
+            # null-safe key equality so NULL-keyed groups keep their values
             agg = group_by(df, keys, {f"__t_{out_name}": (fn, src)}, None, dtype_compat)
-            out = out.join(agg, on=keys, how="left").withColumnRenamed(
-                f"__t_{out_name}", out_name
+            renamed = agg.select(
+                *[F.col(k).alias(f"__k_{k}__") for k in keys],
+                F.col(f"__t_{out_name}"),
+            )
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [F.col(k).eqNullSafe(F.col(f"__k_{k}__")) for k in keys],
+            )
+            out = (
+                out.join(renamed, on=cond, how="left")
+                .drop(*[f"__k_{k}__" for k in keys])
+                .withColumnRenamed(f"__t_{out_name}", out_name)
             )
             continue
         expr = hit[0](F.col(src)).over(w)
         if dtype_compat:
             expr = expr.cast(df.schema[src].dataType)
         out = out.withColumn(out_name, expr)
+    index_fns: list[tuple[str, AggFn]] = []
     for out_name, fn in (iter_fn or {}).items():
         hit = _lookup(fn)
         if hit is not None and hit[1] == "count":
             out = out.withColumn(out_name, F.count(F.lit(1)).over(w))
         else:
+            index_fns.append((out_name, fn))
+    if index_fns:
+        # reference broadcasts fn(i * ones[group_size]) to every group row
+        # (tafra/group.py:333-335); i = first-occurrence group index
+        if ord_col is None or ord_col not in out.columns:
             raise AggSpecError(
-                f"transform iter_fn {fn!r} not translatable to a window aggregate"
+                "transform iter_fn callables other than count/len depend on "
+                "first-occurrence group order, which requires the source "
+                "ordinal; table was scanned without one"
             )
+        out = out.withColumn("__first__", F.min(F.col(ord_col)).over(w))
+        out = out.withColumn(
+            "__gi__",
+            (F.dense_rank().over(Window.orderBy("__first__")) - 1).cast("long"),
+        )
+        out = out.withColumn("__n__", F.count(F.lit(1)).over(w))
+        for out_name, fn in index_fns:
+            hit = _lookup(fn)
+            name = hit[1] if hit else None
+            if name in ("max", "min", "avg", "median", "first", "last"):
+                expr = F.col("__gi__")
+            elif name == "sum":
+                expr = F.col("__gi__") * F.col("__n__")
+            else:
+                expr = _iter_index_udf(fn)(F.col("__gi__"), F.col("__n__"))
+            out = out.withColumn(out_name, expr.cast("long"))
+        out = out.drop("__first__", "__gi__", "__n__")
     return out

@@ -119,7 +119,12 @@ def read_csv(
     )
     reader = (
         spark.read.schema(schema)
-        .option("header", "false")
+        # header=true with an explicit schema (enforceSchema default) makes
+        # Spark skip exactly ONE header line per file — a data row that
+        # happens to repeat the header values is NOT dropped (unlike
+        # value-matching the header strings)
+        .option("header", "true")
+        .option("enforceSchema", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .option("delimiter", csvkw.get("delimiter", ","))
@@ -133,19 +138,16 @@ def read_csv(
         reader = reader.option("escape", csvkw["escapechar"])
     raw = reader.csv(path)
 
-    # drop the header row: the row whose every field equals its ORIGINAL
-    # (pre-dedup) header value
-    header_pred = None
-    for n, orig in zip(names, header):
-        term = F.col(n) == F.lit(str(orig))
-        header_pred = term if header_pred is None else (header_pred & term)
-    raw = raw.filter(~F.coalesce(header_pred, F.lit(False)))
-
-    # ragged rows → ValueError (reference EARLY_EOF/parse error behavior)
-    n_corrupt = raw.filter(F.col(_CORRUPT).isNotNull()).limit(1).count()
-    if n_corrupt:
-        bad = raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).first()[0]
-        raise ValueError(f"malformed CSV row (wrong field count): {bad!r}")
+    # ragged rows → ValueError (reference EARLY_EOF/parse error behavior).
+    # A data column must appear in the projection — Spark disallows
+    # queries referencing only the corrupt-record column.
+    bad = (
+        raw.filter(F.col(_CORRUPT).isNotNull())
+        .select(*[F.col(n) for n in names], F.col(_CORRUPT))
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(f"malformed CSV row (wrong field count): {bad[1]!r}")
     raw = raw.drop(_CORRUPT)
 
     # Spark reads unquoted empty fields as NULL unconditionally; the
