@@ -29,6 +29,48 @@ from tafra_spark.streaming import ops as STREAM
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
+# ---- engine-neutral money arithmetic ------------------------------------- #
+# round(sum(double), 2) is NOT hash-stable across engines: the summation
+# order differs (Spark partial aggregation vs DuckDB sequential), the sums
+# differ in the last ulp, and round() flips on .xx5-adjacent values (the
+# round-1 q3/transform_window failures). Discipline instead:
+#   1. per-row fixed-point: floor(x * 1e6 + 0.5) — both engines evaluate
+#      this on BIT-IDENTICAL input doubles (same parquet, IEEE-deterministic
+#      products), so the longs are identical;
+#   2. sum the longs — exact integer arithmetic, order-independent;
+#   3. divide back by the same literals in the same order — identical
+#      IEEE ops on identical operands ⇒ identical doubles, no rounding.
+
+_FP = 1_000_000.0
+
+
+def _msum(expr, alias: str):
+    """Order-independent money sum (Spark side)."""
+    return (F.sum(F.floor(expr * F.lit(_FP) + F.lit(0.5))) / F.lit(_FP)).alias(alias)
+
+
+def _mavg(expr, alias: str):
+    """Order-independent money average: (exact_sum / 1e6) / n."""
+    return (
+        F.sum(F.floor(expr * F.lit(_FP) + F.lit(0.5))) / F.lit(_FP)
+        / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def _msum_sql(expr: str, alias: str) -> str:
+    """DuckDB mirror of :func:`_msum` (cast needed: duck floor → double)."""
+    return (
+        f"sum(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0"
+        f" AS {alias}"
+    )
+
+
+def _mavg_sql(expr: str, alias: str) -> str:
+    return (
+        f"sum(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0"
+        f" / count(*) AS {alias}"
+    )
+
 
 def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
@@ -79,14 +121,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _msum(F.col("l_quantity"), "sum_qty"),
+            _msum(F.col("l_extendedprice"), "sum_base_price"),
+            _msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            _mavg(F.col("l_quantity"), "avg_qty"),
+            _mavg(F.col("l_extendedprice"), "avg_price"),
+            _mavg(F.col("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -106,9 +149,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
         .select(
             "l_orderkey",
@@ -143,9 +186,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
     )
 
@@ -169,26 +212,33 @@ def group_by_callables(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     t = Tafra.read_parquet(_p(sf_dir, "orders"), spark)
+    # exact fixed-point column so the facade's callable aggregates
+    # (sum/np.mean) run on longs — order-independent, hash-stable
+    t["price_micros"] = F.floor(t["o_totalprice"] * F.lit(_FP) + F.lit(0.5))
     g = t.group_by(
         ["o_orderstatus", "o_orderpriority"],
-        {"total_price": (sum, "o_totalprice"), "avg_price": (np.mean, "o_totalprice")},
+        {"total_micros": (sum, "price_micros"), "avg_micros": (np.mean, "price_micros")},
         {"n_orders": len},
     )
     return g.df.select(
         "o_orderstatus",
         "o_orderpriority",
-        F.round("total_price", 2).alias("total_price"),
-        F.round("avg_price", 4).alias("avg_price"),
+        (F.col("total_micros") / F.lit(_FP)).alias("total_price"),
+        (F.col("avg_micros") / F.lit(_FP)).alias("avg_price"),
         "n_orders",
     )
 
 
 def transform_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tafra.read_parquet(_p(sf_dir, "lineitem"), spark)
-    t["revenue"] = t["l_extendedprice"] * (1 - t["l_discount"])
-    tr = t.transform(["l_orderkey"], {"order_rev": (sum, "revenue")})
+    t["rev_micros"] = F.floor(
+        t["l_extendedprice"] * (1 - t["l_discount"]) * F.lit(_FP) + F.lit(0.5)
+    )
+    tr = t.transform(["l_orderkey"], {"order_rev_m": (sum, "rev_micros")})
     return tr.df.select(
-        "l_orderkey", "l_linenumber", F.round("order_rev", 2).alias("order_rev")
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("order_rev_m") / F.lit(_FP)).alias("order_rev"),
     )
 
 
@@ -206,9 +256,9 @@ def left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nation.left_join(
         supp, [("n_nationkey", "s_nationkey", "==")], ["n_name", "s_name", "s_acctbal"]
     )
-    return out.df.select(
-        "n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
-    )
+    # raw doubles: identical parquet values hash identically — rounding
+    # would only introduce engine divergence
+    return out.df.select("n_name", "s_name", "s_acctbal")
 
 
 def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,9 +276,7 @@ def union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_orderstatus", "o_totalprice"]
     )
     u = open_orders.union(done_orders)
-    return u.df.select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
-    )
+    return u.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +302,7 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select("o_orderkey", "o_totalprice")
     )
 
 
@@ -269,18 +317,31 @@ def rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variance/stddev from exact integer sums (l_quantity is integer-
+    # valued): s = Σq, ss = Σq² are exact longs, the derived formulas use
+    # identical operand order on both sides → identical doubles, no
+    # accumulation-order drift (engine-native stddev impls differ in ulps)
     li = _read(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_pop("l_quantity"), 4).alias("vp_qty"),
-        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+    ql = F.col("l_quantity").cast("long")
+    stats = li.groupBy("l_returnflag").agg(
+        F.sum(ql).alias("s"),
+        F.sum(ql * ql).alias("ss"),
+        F.median("l_quantity").alias("med_qty"),
         F.count(F.lit(1)).alias("n"),
+    )
+    m2 = F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return stats.select(
+        "l_returnflag",
+        F.sqrt(m2 / (F.col("n") - 1)).alias("sd_qty"),
+        (m2 / F.col("n")).alias("vp_qty"),
+        "med_qty",
+        "n",
     )
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events(spark, sf_dir)
-    out = STREAM.windowed_counts(ev, window="1 hour")
+    out = STREAM.windowed_counts(ev, window="1 hour", fixed_point=1_000_000)
     return out.select(
         F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
         "event_type",
@@ -322,12 +383,8 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = li.rollup(
         ["l_returnflag", "l_linestatus"], {"sum_qty": (sum, "l_quantity")}, {"n": len}
     )
-    return out.df.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("sum_qty", 2).alias("sum_qty"),
-        "n",
-    )
+    # sums of integer-valued doubles are exact in any order — raw is stable
+    return out.df.select("l_returnflag", "l_linestatus", "sum_qty", "n")
 
 
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +394,8 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.df.select(
         "l_returnflag",
-        F.round("O", 2).alias("qty_open"),
-        F.round("F", 2).alias("qty_filled"),
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
     )
 
 
@@ -555,14 +612,14 @@ _MINHASH_SIG_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   {_msum_sql("l_quantity", "sum_qty")},
+                   {_msum_sql("l_extendedprice", "sum_base_price")},
+                   {_msum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+                   {_mavg_sql("l_quantity", "avg_qty")},
+                   {_mavg_sql("l_extendedprice", "avg_price")},
+                   {_mavg_sql("l_discount", "avg_disc")},
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -572,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey,
                    strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
                    o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_msum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -581,9 +638,9 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
-        "q5_local_supplier": """
+        "q5_local_supplier": f"""
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_msum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -601,15 +658,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_by_callables": """
             SELECT o_orderstatus, o_orderpriority,
-                   round(sum(o_totalprice), 2) AS total_price,
-                   round(avg(o_totalprice), 4) AS avg_price,
+                   sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                       / 1000000.0 AS total_price,
+                   avg(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                       / 1000000.0 AS avg_price,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderstatus, o_orderpriority
         """,
         "transform_window": """
             SELECT l_orderkey, l_linenumber,
-                   round(sum(l_extendedprice * (1 - l_discount))
-                         OVER (PARTITION BY l_orderkey), 2) AS order_rev
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0
+                                  + 0.5) AS BIGINT))
+                       OVER (PARTITION BY l_orderkey) / 1000000.0 AS order_rev
             FROM lineitem
         """,
         "theta_join_inequality": """
@@ -617,15 +677,15 @@ def oracle_sql() -> dict[str, str]:
             ON n_regionkey < r_regionkey
         """,
         "left_join_nulls": """
-            SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal
+            SELECT n_name, s_name, s_acctbal
             FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
         """,
         "cross_join_small": "SELECT r_name, n_name FROM region CROSS JOIN nation",
         "union_all_orders": """
-            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            SELECT o_orderkey, o_orderstatus, o_totalprice
             FROM orders WHERE o_orderstatus = 'O'
             UNION ALL
-            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            SELECT o_orderkey, o_orderstatus, o_totalprice
             FROM orders WHERE o_orderstatus = 'F'
         """,
         "coalesce_fill": """
@@ -639,7 +699,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY q
         """,
         "top_k_orders": """
-            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            SELECT o_orderkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "distinct_pairs": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
@@ -647,12 +707,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS region_key, r_name AS region_name FROM region
         """,
         "agg_stats": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     sum(CAST(l_quantity AS BIGINT)) AS s,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS ss,
+                     median(l_quantity) AS med_qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_returnflag
+            )
             SELECT l_returnflag,
-                   round(stddev_samp(l_quantity), 4) AS sd_qty,
-                   round(var_pop(l_quantity), 4) AS vp_qty,
-                   round(median(l_quantity), 1) AS med_qty,
-                   count(*) AS n
-            FROM lineitem GROUP BY l_returnflag
+                   sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd_qty,
+                   (ss - CAST(s AS DOUBLE) * s / n) / n AS vp_qty,
+                   med_qty,
+                   n
+            FROM s
         """,
         "semi_join_exists": """
             SELECT c_custkey, c_name FROM customer
@@ -667,14 +736,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                   sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "pivot_linestatus": """
             SELECT l_returnflag,
-                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
                        AS qty_open,
-                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
                        AS qty_filled
             FROM lineitem GROUP BY l_returnflag
         """,
@@ -682,7 +751,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   {_msum_sql("value", "sum_value")}
             FROM events GROUP BY 1, 2
         """,
         "sessionize_events": f"""

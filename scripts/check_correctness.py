@@ -25,18 +25,24 @@ TABLES = [
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by value — NO float canonicalization.
+
+    The round-1 replica rounded floats to 6 sig figs, which was WEAKER
+    than the driver's hash and masked the q3/transform_window rounding
+    flips. Full-precision comparison: if this passes, any driver float
+    formatting passes (the query discipline guarantees bit-identical
+    doubles on both sides).
+    """
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].map(lambda v: None if v is None else str(v))
-        elif str(pdf[c].dtype).startswith("float"):
-            pdf[c] = pdf[c].round(6)
     pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
     return pdf
 
 
 def value_hash(pdf: pd.DataFrame) -> str:
-    body = pdf.to_csv(index=False, float_format="%.6g").encode()
+    body = pdf.to_csv(index=False, float_format="%.17g").encode()
     return hashlib.md5(body).hexdigest()
 
 

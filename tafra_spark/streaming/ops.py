@@ -58,6 +58,7 @@ def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    fixed_point: int | None = None,
 ) -> DataFrame:
     """Tumbling-window counts + value sum per event_type.
 
@@ -65,15 +66,26 @@ def windowed_counts(
     than (max event time − watermark) are finalized and evicted —
     mandatory for an unbounded 100 TB/day stream. The same expression
     runs in batch mode (watermark is a no-op there).
+
+    ``fixed_point=s`` sums ``floor(value*s + 0.5)`` as exact longs and
+    divides back — an order-independent (hence engine-reproducible) sum;
+    the default is the engine-native double sum.
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    if fixed_point:
+        sum_value = (
+            F.sum(F.floor(F.col("value") * F.lit(float(fixed_point)) + F.lit(0.5)))
+            / F.lit(float(fixed_point))
+        ).alias("sum_value")
+    else:
+        sum_value = F.sum("value").alias("sum_value")
     return (
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_value,
         )
         .select(
             F.col("w.start").alias("window_start"),
