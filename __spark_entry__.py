@@ -460,9 +460,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no DuckDB oracle: xxhash64 is Spark-specific → rows-only check
+    # portable md5-based 60-bit simhash so the DuckDB oracle recomputes
+    # signatures bit-for-bit and verifies the banding against a
+    # BRUTE-FORCE all-pairs hamming check (the oracle is the exhaustive
+    # reference; Spark's pigeonhole banding must reproduce it exactly)
     docs = _read(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_pairs(docs, max_hamming=3, bits=60, portable=True)
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,8 +482,10 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no DuckDB oracle: seeded hyperplane literals are Spark-side only →
-    # rows-only check (recall vs. brute force is asserted in tests/)
+    # oracle-checked: the seeded plane matrix is generated driver-side and
+    # inlined as literals into BOTH the Spark plan and the DuckDB SQL
+    # (same doubles, same left-assoc dot-product chain → identical sign
+    # bits → identical buckets), so the bucketed ANN is verified exactly
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
@@ -590,6 +595,98 @@ _SHINGLES_SQL = r"""
       FROM w
     )
 """
+
+def _simhash_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """Brute-force all-pairs simhash oracle.
+
+    Recomputes the md5-based 60-bit signatures (mirrors
+    ``dedup.simhash_table(portable=True)``: token hash = first 15 hex
+    chars of md5, per-bit ±1 majority vote) and checks EVERY pair's
+    hamming distance — exhaustive, so a match proves the Spark side's
+    pigeonhole banding loses no pair.
+    """
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sh = "\n                   + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id,
+                     {votes}
+              FROM h GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT doc_id,
+                     {sh} AS sh
+              FROM votes
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -> str:
+    """LSH-ANN oracle with the SAME seeded plane literals as the Spark
+    plan (``similarity._planes``), dot products written as the identical
+    left-assoc chain — signs (hence buckets) match bit-for-bit."""
+    from tafra_spark.functions.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bucket_terms = []
+    for i in range(n_planes):
+        dot_chain = " + ".join(
+            f"v[{j + 1}] * {planes[i][j]!r}" for j in range(dim)
+        )
+        bucket_terms.append(
+            f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = "\n                 + ".join(bucket_terms)
+    return f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {bucket} AS bucket
+              FROM e
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM b WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+            scored AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_cosine_similarity(q.qv, c.cv) AS cos_raw
+              FROM c JOIN q USING (bucket)
+              WHERE c.neighbor_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= {k}
+    """
+
 
 # hash j = 8-hex-char slice j%4 of md5('<j//4>|' || shingle) — mirrors
 # tafra_spark.functions.dedup._portable_hashes
@@ -863,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
         """,
+        "simhash_near_dups": _simhash_sql(max_hamming=3, bits=60),
+        "embedding_lsh_ann": _lsh_ann_sql(dim=64, k=5, n_planes=8, seed=42),
         "embedding_centroid_assign": """
             WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
                        FROM embeddings WHERE vec_id < 8),

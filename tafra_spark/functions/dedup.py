@@ -269,24 +269,37 @@ def ngram_jaccard_pairs(
 # SimHash
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 63,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sh) SimHash per document: per-bit majority vote over xxhash64
+    """(id, sh) SimHash per document: per-bit majority vote over a hash
     of each distinct token.
 
     Columnar formulation for scale: explode tokens → one hash per
     (doc, token) row → a single hash-aggregate with one SUM(±1) per bit
-    (all codegen'd, map-side partial agg) → reassemble the 63-bit value
-    from the sign of each sum. This replaces a naive per-row
+    (all codegen'd, map-side partial agg) → reassemble the ``bits``-wide
+    value from the sign of each sum. This replaces a naive per-row
     O(bits × tokens) expression tree with one shuffle on the doc id.
-    Bit 63 (sign) is left clear so the hash stays a non-negative long.
+
+    ``portable=True`` hashes tokens with the first 60 bits of md5 (use
+    ``bits=60``) so a DuckDB oracle reproduces signatures bit-for-bit;
+    the default is xxhash64 with bit 63 clear (non-negative long).
     """
+    if portable:
+        tok_hash = F.conv(
+            F.substring(F.md5(F.col("__tok__").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        tok_hash = F.xxhash64("__tok__")
     toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.lower(F.col(text_col))))).alias(
             "__tok__"
         ),
-    ).withColumn("__h__", F.xxhash64("__tok__"))
+    ).withColumn("__h__", tok_hash)
     votes = [
         F.sum(
             F.when(F.col("__h__").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
@@ -306,17 +319,19 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 63,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
-    chunks; any pair within the distance bound must agree on ≥1 chunk,
-    so the self-join runs on (chunk_idx, chunk_value) buckets — linear
-    shuffle, no quadratic compare.
+    Pigeonhole banding: split the ``bits``-wide hash into
+    ``max_hamming + 1`` chunks; any pair within the distance bound must
+    agree on ≥1 chunk, so the self-join runs on (chunk_idx, chunk_value)
+    buckets — linear shuffle, no quadratic compare.
     """
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    h = simhash_table(df, text_col, id_col)
+    chunk_bits = (bits + n_chunks - 1) // n_chunks
+    h = simhash_table(df, text_col, id_col, bits=bits, portable=portable)
     chunks = [
         F.struct(
             F.lit(i).alias("idx"),
@@ -344,7 +359,10 @@ def simhash_pairs(
             F.col("r.sh").alias("sh_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
