@@ -451,12 +451,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the textbook fuzzy-dedup pipeline: LSH banding proposes candidate
     # pairs (linear shuffle), exact Jaccard verifies only those — the
-    # quadratic step never touches the full corpus
+    # quadratic step never touches the full corpus, and the corpus is
+    # shingled exactly ONCE (shared persisted shingle table)
     docs = _read(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_pairs(
-        docs, num_hashes=4, band_size=2, shingle_k=3, portable=True
+    return D.fuzzy_dedup_pairs(
+        docs, num_hashes=4, band_size=2, shingle_k=3, portable=True, threshold=0.5
     )
-    return D.ngram_jaccard_pairs(docs, cands, shingle_k=3, threshold=0.5)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
