@@ -468,6 +468,51 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3, bits=60, portable=True)
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the REAL multimodal path end-to-end: binary content column
+    # (16 deterministic bytes per doc = md5 digest) + typed meta struct →
+    # Arrow-batched mapInPandas decode → per-asset intensity stats. The
+    # oracle recomputes the same bytes from the md5 hex in DuckDB, so the
+    # decode output is value-checked, not just row-counted.
+    from tafra_spark.functions import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("content"),
+        F.struct(
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("image/fake").alias("mime"),
+        ).alias("meta"),
+    )
+    out = MM.decode_images(assets)
+    return out.select("asset_id", "width", "height", "mean_intensity")
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sampling plan: video assets with deterministic durations expand
+    # into (asset_id, frame_ts_ms) rows via sequence+explode — pure JVM
+    # expression expansion, no decode needed to plan the sampling
+    from tafra_spark.functions import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 7) * 1000 + 500).cast("long").alias("duration_ms"),
+            F.lit("video/fake").alias("mime"),
+        ).alias("meta"),
+    )
+    return MM.sample_video_frames(assets, every_ms=1000)
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -527,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard": ngram_jaccard,
         "simhash_near_dups": simhash_near_dups,
+        "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_centroid_assign": embedding_centroid_assign,
         "embedding_lsh_ann": embedding_lsh_ann,
@@ -961,6 +1008,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "simhash_near_dups": _simhash_sql(max_hamming=3, bits=60),
+        "multimodal_decode": """
+            WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hx FROM documents)
+            SELECT asset_id,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   ("""
+        + "\n                    + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * i + 1}, 2)) AS BIGINT)"
+            for i in range(16)
+        )
+        + """) / 16.0 AS mean_intensity
+            FROM h
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS asset_id,
+                   unnest(generate_series(0, (doc_id % 7) * 1000 + 500, 1000))
+                       AS frame_ts_ms
+            FROM documents
+        """,
         "embedding_lsh_ann": _lsh_ann_sql(dim=64, k=5, n_planes=8, seed=42),
         "embedding_centroid_assign": """
             WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv

@@ -1037,18 +1037,31 @@ class Tafra:
     def to_records(
         self, columns: Optional[Iterable[str]] = None, cast_null: bool = True
     ) -> Iterator[tuple]:
-        """Iterator of row tuples; NaN→None when ``cast_null`` (reference
-        ``tafra/base.py:1772-1804``)."""
+        """Iterator of row tuples for DB insertion (reference
+        ``tafra/base.py:1772-1804``): date/datetime → ISO strings (the
+        reference's ``RECORD_TYPE`` map, ``tafra/base.py:59-67``), and
+        NaN→None when ``cast_null``."""
+        import datetime as _dt
+
         pdf = self.to_pandas()
         if columns is not None:
-            pdf = pdf[list(columns)]
+            cols = [columns] if isinstance(columns, str) else list(columns)
+            for c in cols:
+                if c not in pdf.columns:
+                    raise KeyError(f"column {c!r} not in table")
+            pdf = pdf[cols]
+
+        def _cast(v: Any) -> Any:
+            if v is pd.NaT or v is None:
+                return None
+            if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+                return v.isoformat()
+            if cast_null and isinstance(v, float) and np.isnan(v):
+                return None
+            return v
+
         for row in pdf.itertuples(index=False, name=None):
-            if cast_null:
-                yield tuple(
-                    None if (isinstance(v, float) and np.isnan(v)) else v for v in row
-                )
-            else:
-                yield tuple(row)
+            yield tuple(_cast(v) for v in row)
 
     def to_list(
         self, columns: Optional[Iterable[str]] = None, inner: bool = False

@@ -29,6 +29,7 @@ __all__ = [
     "stream_events",
     "windowed_counts",
     "sessionize",
+    "sessionize_stateful",
     "run_to_memory_sink",
 ]
 
@@ -131,15 +132,98 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+#: (session_start_us, last_event_us, n_events, session_seq)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming-native gap sessionization via ``applyInPandasWithState``.
+
+    Per-user state = (open-session start, last event time, count, seq).
+    A micro-batch's events are folded into the state in timestamp order;
+    sessions CLOSE (and emit) when the gap to the next event exceeds
+    ``gap_minutes`` — the still-open session stays in state, so emitted
+    rows are exactly the closed sessions. State is four longs per user:
+    bounded, shuffle is one exchange on user_id per micro-batch.
+
+    The batch formulation (:func:`sessionize`) is the oracle: on a
+    fully-replayed in-order stream, the closed sessions here equal the
+    batch sessions minus each user's final (still-open) session.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state) -> "Iterator[pd.DataFrame]":  # noqa: F821
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, seq = state.get
+        else:
+            start_us, last_us, n, seq = None, None, 0, 0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"]:
+                t = ts.value // 1000  # pandas ns → µs
+                if last_us is None:
+                    start_us, last_us, n, seq = t, t, 1, 1
+                elif t - last_us > gap_us:
+                    closed.append((user_id, seq, start_us, last_us, n))
+                    seq += 1
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = t
+                    n += 1
+        state.update((start_us, last_us, n, seq))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_id", "session_start", "session_end",
+                    "n_events",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory_sink(
-    streaming_df: DataFrame, query_name: str, timeout_s: int = 60
+    streaming_df: DataFrame,
+    query_name: str,
+    timeout_s: int = 60,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming query to completion against a memory sink and
     return the materialized result (testing harness)."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     try:

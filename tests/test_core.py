@@ -338,3 +338,55 @@ class TestSinks:
         back = Tafra.read_parquet(p)
         assert set(back.columns) == set(tafra.columns)
         assert back.rows == 6
+
+
+class TestRecordCasts:
+    def test_to_records_dates_iso(self, spark):
+        """Reference RECORD_TYPE parity (tafra/base.py:59-67): date and
+        datetime values export as ISO strings for DB insertion."""
+        import datetime as dt
+
+        t = Tafra(
+            {
+                "d": [dt.date(2020, 1, 2), dt.date(2021, 3, 4)],
+                "ts": [
+                    dt.datetime(2020, 1, 2, 3, 4, 5),
+                    dt.datetime(2021, 3, 4, 5, 6, 7),
+                ],
+                "x": [1.0, np.nan],
+            }
+        )
+        recs = list(t.to_records(cast_null=True))
+        assert recs[0][0] == "2020-01-02"
+        assert recs[0][1] == "2020-01-02T03:04:05"
+        assert recs[1][2] is None
+        # cast_null=False keeps NaN but still ISO-casts dates
+        recs = list(t.to_records(cast_null=False))
+        assert recs[1][0] == "2021-03-04"
+        assert np.isnan(recs[1][2])
+
+    def test_to_records_column_validation(self, tafra):
+        with pytest.raises(KeyError):
+            list(tafra.to_records(columns=["nope"]))
+
+
+class TestMixedObjectDivergence:
+    """SURVEY.md §7.2 / VERDICT 'What's missing' #2: the reference keeps
+    heterogeneous values in a numpy object column; this engine maps object
+    columns to ONE Spark type (sampled from the first non-null value) and
+    values that cannot fit become NULL/strings. That divergence is a
+    documented contract — asserted here so it can never change silently."""
+
+    def test_mixed_int_str_column_raises(self, spark):
+        # first non-null sample is an int → column schema becomes long →
+        # the later string value is REJECTED at construction. The
+        # reference would silently keep a mixed object array; this engine
+        # fails loudly instead — the asserted boundary of the divergence.
+        with pytest.raises(Exception, match="can not accept|FIELD_DATA_TYPE"):
+            Tafra({"m": np.array([1, "a", 2], dtype=object)})
+
+    def test_str_first_mixed_column_stringifies(self, spark):
+        t = Tafra({"m": np.array(["a", 1, None], dtype=object)})
+        assert t.dtypes["m"] == "str"
+        vals = t.to_pandas()["m"].tolist()
+        assert vals[0] == "a"

@@ -94,3 +94,57 @@ class TestDedupPlanShape:
         plan = explain_str(minhash_signatures(docs, num_hashes=4))
         # map-side partial min before the shuffle
         assert "partial_min" in plan
+
+
+class TestExtensionPlanCeilings:
+    """Shuffle-count ceilings for the dedup/similarity pipelines: a plan
+    regression (e.g. an optimizer rule re-expanding a shared stage, or a
+    lost broadcast) shows up as extra exchanges here, failing CI before
+    the bench ever runs."""
+
+    def test_minhash_lsh_pairs_exchange_ceiling(self, spark):
+        from tafra_spark.functions.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = minhash_lsh_pairs(docs, num_hashes=4, band_size=2)
+        # signature agg + band-join/distinct; never candidate-quadratic
+        assert count_exchanges(df) <= 3
+
+    def test_simhash_pairs_exchange_ceiling(self, spark):
+        from tafra_spark.functions.dedup import simhash_pairs
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = simhash_pairs(docs, max_hamming=3, bits=60, portable=True)
+        assert count_exchanges(df) <= 3
+
+    def test_fuzzy_dedup_single_shingle_pass(self, spark):
+        from tafra_spark.functions.dedup import fuzzy_dedup_pairs
+        from tafra_spark.plans import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = fuzzy_dedup_pairs(docs, num_hashes=4, band_size=2, threshold=0.5)
+        assert count_exchanges(df) <= 4
+        # the shared shingle table must come from the cache, not be
+        # recomputed per consumer: the plan references the in-memory
+        # relation instead of multiple shingling projections
+        assert "InMemoryTableScan" in explain_str(df)
+
+    def test_lsh_ann_single_exchange(self, spark):
+        from tafra_spark.functions.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        df = lsh_ann_topk(emb, q, dim=64, k=5, n_planes=8)
+        # corpus hashed narrow; query side broadcast; one exchange for
+        # the per-query rank window
+        assert count_exchanges(df) <= 1
+        assert has_broadcast_join(df)
+
+    def test_cosine_topk_single_exchange(self, spark):
+        from tafra_spark.functions.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        df = cosine_topk(emb, q, k=5)
+        assert count_exchanges(df) <= 1
+        assert has_broadcast_join(df)

@@ -57,6 +57,70 @@ class TestWindowedCounts:
         assert out.isStreaming
 
 
+@pytest.fixture(scope="module")
+def ordered_events_path(spark, tmp_path_factory):
+    """Single-file events parquet: the replayed stream delivers events in
+    time order, which the stateful sessionizer's contract requires (out-
+    of-order arrival across micro-batches needs event-time timeouts —
+    documented limitation, not exercised here)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i * 11),
+                i % 5,
+                ["click", "view", "purchase"][i % 3],
+                float(i % 10),
+                None,
+            )
+        )
+    df = spark.createDataFrame(rows, schema=STREAM.EVENTS_SCHEMA)
+    path = str(tmp_path_factory.mktemp("events_ordered") / "events")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+class TestStatefulSessionize:
+    def test_stream_closed_sessions_match_batch(self, spark, ordered_events_path):
+        """applyInPandasWithState sessionization vs the batch oracle:
+        emitted (closed) sessions must equal batch sessions minus each
+        user's final still-open session; numbering/bounds identical."""
+        events_path = ordered_events_path
+        batch = spark.read.parquet(events_path)
+        batch_sessions = STREAM.sessionize(batch, gap_minutes=30).collect()
+        last_per_user = {}
+        for r in batch_sessions:
+            cur = last_per_user.get(r["user_id"])
+            if cur is None or r["session_id"] > cur["session_id"]:
+                last_per_user[r["user_id"]] = r
+        expected = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"]
+            )
+            for r in batch_sessions
+            if last_per_user[r["user_id"]]["session_id"] != r["session_id"]
+        }
+
+        stream = STREAM.stream_events(spark, events_path)
+        got_df = STREAM.run_to_memory_sink(
+            STREAM.sessionize_stateful(stream, gap_minutes=30),
+            "sess_state_test",
+            output_mode="append",
+        )
+        got = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"]
+            )
+            for r in got_df.collect()
+        }
+        assert got == expected
+        assert len(got) > 0
+
+
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
         import datetime as dt
