@@ -178,7 +178,14 @@ class Tafra:
                 self.update_dtypes_inplace(dtypes)
             return
 
-        mapping = _normalize_init(data)
+        if not validate and isinstance(data, Mapping):
+            # reference validate=False contract (tafra/base.py:150,178-186):
+            # trust the caller — data is a well-formed dict of equal-length
+            # arrays; skip normalization, scalar broadcast, and the
+            # ObjectFormatter pass
+            mapping = {str(k): v for k, v in data.items()}
+        else:
+            mapping = _normalize_init(data)
         if mapping is None:
             raise ValueError("Tafra requires data to construct")
         # determine row count from the first non-scalar column
@@ -191,7 +198,11 @@ class Tafra:
                 break
         arrays: dict[str, np.ndarray] = {}
         for name, value in mapping.items():
-            arr = _ensure_column_values(name, value, n_rows)
+            arr = (
+                np.asarray(value)
+                if not validate
+                else _ensure_column_values(name, value, n_rows)
+            )
             if n_rows is None:
                 n_rows = len(arr)
             if check_rows and len(arr) != n_rows:
@@ -202,7 +213,7 @@ class Tafra:
         pdf = pd.DataFrame()
         for name, arr in arrays.items():
             series = pd.Series(arr)
-            if series.dtype == object:
+            if validate and series.dtype == object:
                 series = self._formatter.apply(series)
             pdf[name] = series
         self._df = self._from_pandas(pdf, spark)
@@ -1131,6 +1142,14 @@ class Tafra:
 
     def _repr_html_(self) -> str:
         return self.to_html()
+
+    def _repr_pretty_(self, p: Any, cycle: bool) -> None:
+        """IPython pretty-printer hook (reference registers one alongside
+        ``_repr_html_``, ``tafra/base.py:497-706``)."""
+        if cycle:
+            p.text("Tafra(...)")
+        else:
+            p.text(self.pformat())
 
     def pformat(self, n: int = 20) -> str:
         pdf = self.head(n).to_pandas()

@@ -390,3 +390,36 @@ class TestMixedObjectDivergence:
         assert t.dtypes["m"] == "str"
         vals = t.to_pandas()["m"].tolist()
         assert vals[0] == "a"
+
+
+class TestValidateFlag:
+    def test_validate_false_trusts_arrays(self, spark):
+        t = Tafra(
+            {"x": np.array([1, 2, 3]), "y": np.array(["a", "b", "c"])},
+            validate=False,
+        )
+        assert t.rows == 3
+        assert t.to_pandas()["x"].tolist() == [1, 2, 3]
+
+    def test_validate_false_skips_formatter(self, spark):
+        from decimal import Decimal
+
+        # with validate=True the default ObjectFormatter converts Decimal
+        # to float; validate=False must NOT run the formatter, so the raw
+        # object column is handed to Spark and stringified by fallback
+        t = Tafra({"d": np.array([Decimal("1.5")], dtype=object)})
+        assert t.dtypes["d"] in ("float64",)
+
+    def test_repr_pretty(self, tafra):
+        class P:
+            out = ""
+
+            def text(self, s):
+                self.out += s
+
+        p = P()
+        tafra._repr_pretty_(p, cycle=False)
+        assert "one" in p.out
+        p2 = P()
+        tafra._repr_pretty_(p2, cycle=True)
+        assert p2.out == "Tafra(...)"
