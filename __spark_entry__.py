@@ -362,6 +362,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASOF join (extension — neither the reference nor Spark has one):
+    # for each click, the user's most recent purchase at-or-before it.
+    # Union-and-window formulation: ONE shuffle on user_id, no range
+    # explosion. Right side pre-aggregated to one row per (user, ts) so
+    # tie-breaking is deterministic; DuckDB's native ASOF JOIN is the
+    # oracle.
+    from tafra_spark.operators.temporal import asof_join as _asof
+
+    ev = _read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = _asof(clicks, purchases, by=["user_id"], left_on="ts", right_on="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "purchase_id",
+        F.date_format("ts_r", _TS_FMT_SPARK).alias("purchase_ts"),
+    )
+
+
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join via bucketed equi-join (extension): tag purchases that
+    # fall inside "incident windows" (hours with ≥4 error events) — the
+    # contaminated-data-exclusion shape of a training-data pipeline. The
+    # bucket key turns the point-in-interval predicate into an equi-join.
+    from tafra_spark.operators.temporal import range_join_points as _range
+
+    ev = _read_events(spark, sf_dir)
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 4)
+        .select(
+            "win_start",
+            (F.col("win_start") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    out = _range(purchases, windows, "ts", "win_start", "win_end", bucket_width=3600)
+    return out.select(
+        "event_id", F.date_format("win_start", _TS_FMT_SPARK).alias("win_start")
+    )
+
+
 def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = Tafra.read_parquet(_p(sf_dir, "customer"), spark)
     orders = Tafra.read_parquet(_p(sf_dir, "orders"), spark)
@@ -557,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": distinct_pairs,
         "rename_project": rename_project,
         "agg_stats": agg_stats,
+        "asof_join_events": asof_join_events,
+        "range_join_incidents": range_join_incidents,
         "semi_join_exists": semi_join_exists,
         "anti_join_not_exists": anti_join_not_exists,
         "rollup_agg": rollup_agg,
@@ -866,6 +923,32 @@ def oracle_sql() -> dict[str, str]:
                    med_qty,
                    n
             FROM s
+        """,
+        "asof_join_events": f"""
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, ts, max(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '{_TS_FMT_DUCK}') AS ts,
+                   p.purchase_id,
+                   strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "range_join_incidents": f"""
+            WITH wins AS (
+              SELECT date_trunc('hour', ts) AS win_start
+              FROM events WHERE event_type = 'error'
+              GROUP BY 1 HAVING count(*) >= 4
+            )
+            SELECT p.event_id, strftime(w.win_start, '{_TS_FMT_DUCK}') AS win_start
+            FROM events p JOIN wins w
+              ON p.ts >= w.win_start AND p.ts < w.win_start + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
         """,
         "semi_join_exists": """
             SELECT c_custkey, c_name FROM customer

@@ -896,6 +896,40 @@ class Tafra:
         out = _joins._join(self._plain(), right._plain(), on, "full", select)
         return Tafra._wrap(out)
 
+    def asof_join(
+        self,
+        right: "Tafra",
+        by: Sequence[str],
+        left_on: str,
+        right_on: Optional[str] = None,
+        direction: str = "backward",
+    ) -> "Tafra":
+        """LEFT as-of join (nearest right row at-or-before each left
+        timestamp per key) — union-and-window, one shuffle on the key.
+        Extension; the reference has no temporal joins (SURVEY.md §2.3)."""
+        from .operators.temporal import asof_join as _asof
+
+        out = _asof(self._plain(), right._plain(), by, left_on, right_on, direction)
+        return Tafra._wrap(out)
+
+    def range_join(
+        self,
+        intervals: "Tafra",
+        point_col: str,
+        start_col: str,
+        end_col: str,
+        bucket_width: int = 3600,
+    ) -> "Tafra":
+        """Point-in-interval join via bucketed equi-join (no nested-loop
+        range predicate). Extension operator."""
+        from .operators.temporal import range_join_points as _range
+
+        out = _range(
+            self._plain(), intervals._plain(), point_col, start_col, end_col,
+            bucket_width,
+        )
+        return Tafra._wrap(out)
+
     # ------------------------------------------------------------------ #
     # set ops (SURVEY.md §2.4-2.5)
 

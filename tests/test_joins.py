@@ -1,6 +1,7 @@
 """Join tests (SURVEY.md §2.3; reference test_tafra.py:939-1099;
 FIXTURES.md F2)."""
 
+import pandas as pd
 import pytest
 
 from tafra_spark import Tafra
@@ -119,3 +120,110 @@ class TestCrossJoin:
     def test_select_unknown_raises(self, tafra, right_1to1):
         with pytest.raises(KeyError):
             tafra.cross_join(right_1to1, ["nope"])
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        left = Tafra(
+            {
+                "k": [1, 1, 1, 2],
+                "t": [base, base + dt.timedelta(minutes=10),
+                      base + dt.timedelta(minutes=20), base],
+                "lv": [10, 11, 12, 20],
+            }
+        )
+        right = Tafra(
+            {
+                "k": [1, 1, 2],
+                "t": [base + dt.timedelta(minutes=5),
+                      base + dt.timedelta(minutes=20),
+                      base + dt.timedelta(minutes=1)],
+                "rv": [100, 200, 300],
+            }
+        )
+        return left, right
+
+    def test_backward(self, spark):
+        left, right = self._frames(spark)
+        out = left.asof_join(right, by=["k"], left_on="t").to_pandas()
+        out = out.sort_values(["k", "t"]).reset_index(drop=True)
+        # t=0 → no earlier right row; t=10 → rv=100; t=20 → rv=200 (inclusive)
+        assert out["rv"].tolist()[:3] == [None, 100, 200] or \
+               (pd.isna(out["rv"][0]) and out["rv"].tolist()[1:3] == [100, 200])
+        assert pd.isna(out["rv"][3])  # k=2 at t=0, right at t=1 is later
+
+    def test_forward(self, spark):
+        left, right = self._frames(spark)
+        out = left.asof_join(
+            right, by=["k"], left_on="t", direction="forward"
+        ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+        # k=1: t=0 → next right at t=5 (100); t=10 → t=20 (200); t=20 → 200
+        assert out["rv"].tolist()[:3] == [100, 200, 200]
+        assert out["rv"][3] == 300
+
+    def test_single_exchange(self, spark):
+        from tafra_spark.plans import count_exchanges
+
+        left, right = self._frames(spark)
+        out = left.asof_join(right, by=["k"], left_on="t")
+        # union-and-window: exactly one hash exchange on the key
+        assert count_exchanges(out.df) == 1
+
+    def test_invalid_direction(self, spark):
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            left.asof_join(right, by=["k"], left_on="t", direction="nearest")
+
+
+class TestRangeJoin:
+    def test_point_in_interval(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        points = Tafra(
+            {
+                "pid": [1, 2, 3],
+                "ts": [base + dt.timedelta(minutes=m) for m in (30, 90, 200)],
+            }
+        )
+        intervals = Tafra(
+            {
+                "iid": [10, 20],
+                "s": [base, base + dt.timedelta(hours=1)],
+                "e": [base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)],
+            }
+        )
+        out = points.range_join(
+            intervals, "ts", "s", "e", bucket_width=3600
+        ).to_pandas()
+        got = sorted(zip(out["pid"], out["iid"]))
+        assert got == [(1, 10), (2, 20)]  # pid=3 outside all intervals
+
+    def test_end_exclusive(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        points = Tafra({"pid": [1], "ts": [base + dt.timedelta(hours=1)]})
+        intervals = Tafra(
+            {"iid": [10], "s": [base], "e": [base + dt.timedelta(hours=1)]}
+        )
+        out = points.range_join(intervals, "ts", "s", "e").to_pandas()
+        assert len(out) == 0
+
+    def test_interval_spanning_buckets(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        points = Tafra(
+            {"pid": [1, 2], "ts": [base + dt.timedelta(minutes=m) for m in (10, 170)]}
+        )
+        # one 3-hour interval with 1-hour buckets: both points match once
+        intervals = Tafra(
+            {"iid": [10], "s": [base], "e": [base + dt.timedelta(hours=3)]}
+        )
+        out = points.range_join(intervals, "ts", "s", "e", bucket_width=3600)
+        pdf = out.to_pandas()
+        assert sorted(pdf["pid"].tolist()) == [1, 2]
