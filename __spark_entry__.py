@@ -454,6 +454,105 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: single-scan filtered aggregate — predicates must
+    # push to the parquet scan, no shuffle beyond the final 1-row agg
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_msum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape (adapted: no commitdate column — "late" = any line
+    # shipped >60 days after the order date): EXISTS → left-semi join,
+    # then priority counts
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional revenue share. Both numerator and
+    # denominator are exact fixed-point sums; the final division runs on
+    # identical operands in both engines.
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev_micros = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_FP)
+        + F.lit(0.5)
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "ECONOMY", rev_micros).otherwise(0))
+            * 100.0
+            / F.sum(rev_micros)
+        ).alias("economy_share_pct")
+    )
+
+
+def rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-based rolling aggregate: per user, events and value-sum in the
+    # trailing hour ending at each event (RANGE frame over epoch seconds)
+    ev = _read_events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(_FP) + F.lit(0.5))).over(w)
+            / F.lit(_FP)
+        ).alias("sum_value_1h"),
+    )
+
+
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (R-7, what both engines implement)
+    # per group; quantity is integer-valued so quartile positions land on
+    # dyadic fractions — bit-stable across engines
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON column path: extract props.k per event, aggregate per type —
+    # get_json_object is JVM-side (Jackson), no UDF
+    ev = _read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # text analysis / dedup / similarity (scale extensions)
 
@@ -618,6 +717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_not_exists": anti_join_not_exists,
         "rollup_agg": rollup_agg,
         "pivot_linestatus": pivot_linestatus,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q14_promo_share": q14_promo_share,
+        "rolling_hour_window": rolling_hour_window,
+        "grouped_quantiles": grouped_quantiles,
+        "json_extract_stats": json_extract_stats,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
         "text_token_count": text_token_count,
@@ -973,6 +1078,58 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
                        AS qty_filled
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {_msum_sql("l_extendedprice * l_discount", "revenue")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_share": """
+            SELECT sum(CASE WHEN p_type = 'ECONOMY'
+                            THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 1000000.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) * 100.0
+                   / sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 1000000.0 + 0.5) AS BIGINT))
+                       AS economy_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "rolling_hour_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+                       / 1000000.0 AS sum_value_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        """,
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.5) AS q50,
+                   quantile_cont(l_quantity, 0.75) AS q75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "json_extract_stats": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
