@@ -680,6 +680,27 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs: LSH buckets propose candidates
+    # (linear shuffle), exact cosine ≥ threshold verifies. Oracle runs
+    # the identical bucket expression (same plane literals), so the
+    # candidate set — not just the survivors — is verified.
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_planes=8)
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF query path: corpus partitioned by nearest centroid; each query
+    # scores only its nprobe=2 nearest partitions. At scale the centroid
+    # assignment is a parquet partition key → partition pruning does the
+    # candidate restriction for free.
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_topk(corpus, queries, centroids, k=5, nprobe=2)
+
+
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-checked: the seeded plane matrix is generated driver-side and
     # inlined as literals into BOTH the Spark plan and the DuckDB SQL
@@ -739,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_centroid_assign": embedding_centroid_assign,
         "embedding_lsh_ann": embedding_lsh_ann,
+        "embedding_near_dups": embedding_near_dups,
+        "embedding_ivf_topk": embedding_ivf_topk,
     }
 
 
@@ -851,23 +874,28 @@ def _simhash_sql(max_hamming: int = 3, bits: int = 60) -> str:
     """
 
 
-def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -> str:
-    """LSH-ANN oracle with the SAME seeded plane literals as the Spark
-    plan (``similarity._planes``), dot products written as the identical
-    left-assoc chain — signs (hence buckets) match bit-for-bit."""
+def _bucket_sql(dim: int, n_planes: int, seed: int, var: str = "v") -> str:
+    """Hyperplane-signature bucket expression with the SAME seeded plane
+    literals as the Spark plan (``similarity._planes``), dot products
+    written as the identical left-assoc chain — signs (hence buckets)
+    match bit-for-bit."""
     from tafra_spark.functions.similarity import _planes
 
     planes = _planes(dim, n_planes, seed)
     bucket_terms = []
     for i in range(n_planes):
         dot_chain = " + ".join(
-            f"v[{j + 1}] * {planes[i][j]!r}" for j in range(dim)
+            f"{var}[{j + 1}] * {planes[i][j]!r}" for j in range(dim)
         )
         bucket_terms.append(
             f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
             f" ELSE CAST(0 AS BIGINT) END)"
         )
-    bucket = "\n                 + ".join(bucket_terms)
+    return "\n                 + ".join(bucket_terms)
+
+
+def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -> str:
+    bucket = _bucket_sql(dim, n_planes, seed)
     return f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1268,6 +1296,68 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_lsh_ann": _lsh_ann_sql(dim=64, k=5, n_planes=8, seed=42),
+        "embedding_near_dups": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {_bucket_sql(64, 8, 42)} AS bucket
+              FROM e
+            ),
+            pairs AS (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                     list_cosine_similarity(l.v, r.v) AS c
+              FROM b l JOIN b r
+                ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos
+            FROM pairs WHERE c >= 0.4
+        """,
+        "embedding_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS centroid_id, v AS centv
+                     FROM e WHERE vec_id < 8),
+            corpus AS (SELECT vec_id AS neighbor_id, v AS cv
+                       FROM e WHERE vec_id >= 8),
+            assigned AS (
+              SELECT neighbor_id, cv, centroid_id FROM (
+                SELECT c.neighbor_id, c.cv, ct.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY c.neighbor_id
+                         ORDER BY list_cosine_similarity(c.cv, ct.centv) DESC,
+                                  ct.centroid_id) AS r
+                FROM corpus c CROSS JOIN cent ct
+              ) WHERE r = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qv, centroid_id FROM (
+                SELECT q.query_id, q.qv, ct.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, ct.centv) DESC,
+                                  ct.centroid_id) AS r
+                FROM q CROSS JOIN cent ct
+              ) WHERE r <= 2
+            ),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_cosine_similarity(p.qv, a.cv) AS cos_raw
+              FROM assigned a JOIN probes p USING (centroid_id)
+              WHERE a.neighbor_id <> p.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
         "embedding_centroid_assign": """
             WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
                        FROM embeddings WHERE vec_id < 8),

@@ -30,7 +30,9 @@ __all__ = [
     "cosine_topk",
     "random_hyperplane_signature",
     "lsh_ann_topk",
+    "lsh_near_dup_pairs",
     "assign_centroids",
+    "ivf_topk",
 ]
 
 
@@ -142,6 +144,109 @@ def lsh_ann_topk(
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: candidates share a hyperplane-LSH
+    bucket, verified by exact cosine ≥ ``threshold``.
+
+    The self-join key is the 2^n_planes bucket id — shuffle linear in
+    corpus size, never the all-pairs square. Recall is the standard LSH
+    tradeoff (raise by lowering n_planes or unioning multiple seeded
+    tables); the emitted pairs are exact.
+    """
+    sig = random_hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), sig.alias("bucket")
+    )
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn(
+            "cos", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+    return pairs
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: the corpus is partitioned by nearest centroid (the
+    build side, :func:`assign_centroids`); each query scores ONLY the
+    vectors in its ``nprobe`` nearest centroid partitions.
+
+    At 100 TB the corpus→centroid assignment is precomputed and the
+    partition column is a parquet partition key — a query then touches
+    ``nprobe/k_centroids`` of the data (partition pruning), which is the
+    entire point of IVF. Probe set and candidates broadcast; one shuffle
+    for the final per-query rank.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    assigned = assign_centroids(corpus, cent.select(
+        F.col("centroid_id").alias(id_col), F.col("centv").alias(vec_col)
+    ), id_col=id_col, vec_col=vec_col)
+    corpus_part = corpus.join(
+        assigned.select(F.col(id_col), "centroid_id"), on=id_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).crossJoin(F.broadcast(cent)).withColumn(
+        "qc_cos", cosine(F.col("qv"), F.col("centv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qc_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    scored = (
+        corpus_part.join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )

@@ -10,6 +10,8 @@ from tafra_spark.functions import multimodal as M
 from tafra_spark.functions import similarity as S
 from tafra_spark.functions import text as TX
 
+SF = "/root/testdata/sf0.001"
+
 
 @pytest.fixture(scope="module")
 def docs(spark):
@@ -189,3 +191,64 @@ class TestMultimodal:
         df = spark.createDataFrame(rows, schema=M.MULTIMODAL_SCHEMA)
         frames = M.sample_video_frames(df, every_ms=1000).collect()
         assert len(frames) == 6  # 0..5000 inclusive step 1000
+
+
+class TestIvfAndNearDups:
+    @pytest.fixture()
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_ivf_full_probe_equals_exact(self, spark, emb):
+        """With nprobe == n_centroids every partition is probed, so IVF
+        must equal brute-force top-k over the same corpus."""
+        from tafra_spark.functions.similarity import cosine_topk, ivf_topk
+
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        queries = emb.filter(F.col("vec_id") < 3)
+        centroids = emb.filter(F.col("vec_id") < 8)
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk(corpus, queries, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(corpus, queries, centroids, k=3, nprobe=8).collect()
+        }
+        assert ivf == exact
+
+    def test_ivf_probe_subset(self, spark, emb):
+        """nprobe=1 results are a (possibly lossy) subset of correct
+        neighbors — every returned neighbor must belong to the probed
+        partition and scores must be exact."""
+        from tafra_spark.functions.similarity import cosine, ivf_topk
+
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        queries = emb.filter(F.col("vec_id") < 2)
+        centroids = emb.filter(F.col("vec_id") < 8)
+        rows = ivf_topk(corpus, queries, centroids, k=3, nprobe=1).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["rank"] >= 1 and r["cos"] <= 1.0
+
+    def test_near_dup_pairs_subset_of_brute_force(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            cosine, lsh_near_dup_pairs,
+        )
+
+        pairs = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_planes=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # brute-force verification of every emitted pair
+        e = emb.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        f = emb.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        brute = (
+            e.crossJoin(f)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("c") >= 0.4)
+        )
+        all_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        assert got <= all_pairs
