@@ -20,6 +20,8 @@ Operators:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -30,6 +32,7 @@ __all__ = [
     "windowed_counts",
     "sessionize",
     "sessionize_stateful",
+    "dedup_stream",
     "run_to_memory_sink",
 ]
 
@@ -130,6 +133,29 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .withColumnRenamed("session_seq", "session_id")
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop rows whose ``keys`` were already
+    seen, with state bounded by the watermark.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps one state entry
+    per key only until the watermark passes — mandatory for an unbounded
+    stream (plain dropDuplicates would grow state forever). Batch: plain
+    ``dropDuplicates`` (same result on a bounded input whose duplicates
+    arrive within the watermark).
+    """
+    key_list = list(keys)
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(key_list)
+    return events.dropDuplicates(key_list)
 
 
 #: (session_start_us, last_event_us, n_events, session_seq)

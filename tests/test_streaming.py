@@ -144,3 +144,39 @@ class TestSessionize:
         s1 = sorted(by_user[1], key=lambda r: r["session_id"])
         assert s1[0]["n_events"] == 2
         assert s1[1]["n_events"] == 1
+
+
+class TestStreamDedup:
+    def test_stream_dedup_matches_batch(self, spark, tmp_path_factory):
+        """Duplicated events replayed as a stream: the watermarked
+        streaming dedup must emit exactly the batch-distinct rows."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(100):
+            ev = (
+                i % 60,  # event_id repeats → 40 duplicates
+                base + dt.timedelta(minutes=i % 60),
+                i % 5,
+                "click",
+                1.0,
+                None,
+            )
+            rows.append(ev)
+        df = spark.createDataFrame(rows, schema=STREAM.EVENTS_SCHEMA)
+        path = str(tmp_path_factory.mktemp("events_dup") / "events")
+        df.coalesce(1).write.parquet(path)
+
+        batch = spark.read.parquet(path)
+        expected = sorted(
+            r["event_id"] for r in STREAM.dedup_stream(batch).collect()
+        )
+        assert len(expected) == 60
+
+        stream = STREAM.stream_events(spark, path)
+        got_df = STREAM.run_to_memory_sink(
+            STREAM.dedup_stream(stream), "dedup_test", output_mode="append"
+        )
+        got = sorted(r["event_id"] for r in got_df.collect())
+        assert got == expected
