@@ -1162,6 +1162,45 @@ class Tafra:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def write_bucketed(
+        self,
+        table: str,
+        n_buckets: int,
+        by: Union[str, Sequence[str]],
+        sort_by: Optional[Union[str, Sequence[str]]] = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Persist as a bucketed (+ optionally sorted) table: repeated
+        joins/aggregations on the bucket key then run with ZERO shuffle
+        (SortMergeJoin reads co-located buckets directly) — the
+        pre-partitioning strategy for fact-to-fact joins at 100 TB that
+        are too big to broadcast."""
+        cols = [by] if isinstance(by, str) else list(by)
+        w = self._plain().write.mode(mode).bucketBy(n_buckets, *cols)
+        if sort_by is not None:
+            s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            w = w.sortBy(*s)
+        w.format("parquet").saveAsTable(table)
+
+    @classmethod
+    def read_table(cls, name: str, spark: Optional[SparkSession] = None) -> "Tafra":
+        """Read a saved (possibly bucketed) table from the catalog."""
+        spark = spark or cls._spark()
+        return cls(df=spark.table(name))
+
+    def create_view(self, name: str) -> "Tafra":
+        """Register this table as a temp view for :meth:`sql`."""
+        self._plain().createOrReplaceTempView(name)
+        return self
+
+    @classmethod
+    def sql(cls, query: str, spark: Optional[SparkSession] = None) -> "Tafra":
+        """Full Spark SQL over registered views — the declarative entry
+        point the reference delegates to an external DB (``read_sql``);
+        here the engine itself is the SQL engine."""
+        spark = spark or cls._spark()
+        return cls(df=spark.sql(query))
+
     def to_html(self, n: int = 20) -> str:
         """HTML table with the dtype header row (reference
         ``tafra/base.py:497-706``)."""

@@ -35,6 +35,7 @@ __all__ = [
     "left_join",
     "cross_join",
     "semi_anti_join",
+    "salted_join",
     "compile_predicate",
 ]
 
@@ -196,3 +197,52 @@ def cross_join(
                 raise KeyError(f"select column {c!r} in neither join side")
         result = result.select(*select)
     return result
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the LEFT (skewed) side's rows scatter
+    across ``n_salts`` sub-keys; the RIGHT side replicates once per salt.
+    The shuffle key becomes (key, salt), splitting a hot key's partition
+    ``n_salts`` ways.
+
+    Complements AQE's skew-join handling (which splits oversized
+    partitions at runtime for sort-merge joins): salting fixes the skew
+    at plan time, works for any join the optimizer picks, and bounds the
+    per-task row count deterministically. Cost: the right side shuffles
+    ``n_salts`` copies — use only when right ≪ left and a hot left key is
+    known. Equi predicates only; results equal the unsalted join.
+
+    The salt is a deterministic hash of the whole left row (not rand()),
+    so task retries reproduce the same partitioning.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    triples = _validate_triples(left, right, on)
+    if any(op != "==" for _, _, op in triples):
+        raise ValueError("salted_join supports equi predicates only")
+
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).alias("__salt__")
+    l_salted = left.select("*", salt)
+    r_replicated = right.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt__"),
+    )
+    cond = F.col("l.__salt__") == F.col("r.__salt__")
+    for lcol, rcol, _ in triples:
+        cond = cond & (F.col(f"l.{lcol}") == F.col(f"r.{rcol}"))
+    joined = l_salted.alias("l").join(r_replicated.alias("r"), cond, how)
+    left_cols = [F.col(f"l.{c}") for c in left.columns]
+    right_cols = [
+        F.col(f"r.{c}").alias(c)
+        for c in right.columns
+        if c not in left.columns
+    ]
+    return joined.select(*left_cols, *right_cols)

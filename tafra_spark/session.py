@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # bucketed tables (co-located joins) need a warehouse; keep it out
+        # of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/tafra_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pandas.structHandlingMode", "row")
     )

@@ -423,3 +423,21 @@ class TestValidateFlag:
         p2 = P()
         tafra._repr_pretty_(p2, cycle=True)
         assert p2.out == "Tafra(...)"
+
+
+class TestSqlSurface:
+    def test_sql_over_views(self, spark, tafra):
+        tafra.create_view("t_view")
+        out = Tafra.sql(
+            "SELECT y, sum(x) AS sx FROM t_view GROUP BY y ORDER BY y"
+        ).to_pandas()
+        assert out["sx"].tolist() == [9, 12]
+
+    def test_sql_join_views(self, spark, tafra):
+        tafra.create_view("t1")
+        Tafra({"z": [0, 1], "label": ["zero", "one"]}).create_view("t2")
+        out = Tafra.sql(
+            "SELECT label, count(*) AS n FROM t1 JOIN t2 USING (z) "
+            "GROUP BY label ORDER BY label"
+        ).to_pandas()
+        assert dict(zip(out["label"], out["n"])) == {"one": 3, "zero": 3}

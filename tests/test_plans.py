@@ -148,3 +148,85 @@ class TestExtensionPlanCeilings:
         df = cosine_topk(emb, q, k=5)
         assert count_exchanges(df) <= 1
         assert has_broadcast_join(df)
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_zero_exchange(self, spark, tmp_path):
+        """Bucketed tables co-locate join keys at write time: the
+        fact-to-fact SortMergeJoin then needs NO shuffle — the
+        pre-partitioning strategy for joins too big to broadcast."""
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        orders = Tafra.read_parquet(f"{SF}/orders.parquet", spark)
+        li.write_bucketed("li_bkt", 8, "l_orderkey", sort_by="l_orderkey")
+        orders.write_bucketed("o_bkt", 8, "o_orderkey", sort_by="o_orderkey")
+        try:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            a = Tafra.read_table("li_bkt", spark)
+            b = Tafra.read_table("o_bkt", spark)
+            out = a.inner_join(b, [("l_orderkey", "o_orderkey", "==")])
+            from tafra_spark.plans import explain_str
+
+            plan = explain_str(out.df, "simple")
+            assert "SortMergeJoin" in plan
+            assert count_exchanges(out.df) == 0
+            # and it actually answers correctly
+            assert out.df.count() == a.df.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS li_bkt")
+            spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain_join(self, spark):
+        from tafra_spark.operators.joins import salted_join
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        plain = li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "inner"
+        ).select("l_orderkey", "l_linenumber", "o_totalprice")
+        salted = salted_join(
+            li, orders, [("l_orderkey", "o_orderkey", "==")], n_salts=8
+        ).select("l_orderkey", "l_linenumber", "o_totalprice")
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from tafra_spark.operators.joins import salted_join
+
+        nation = spark.read.parquet(f"{SF}/nation.parquet")
+        supp = spark.read.parquet(f"{SF}/supplier.parquet")
+        out = salted_join(
+            nation, supp, [("n_nationkey", "s_nationkey", "==")],
+            n_salts=4, how="left",
+        )
+        plain = nation.join(
+            supp, nation.n_nationkey == supp.s_nationkey, "left"
+        )
+        assert out.count() == plain.count()
+
+    def test_salt_key_in_shuffle(self, spark):
+        from tafra_spark.operators.joins import salted_join
+        from tafra_spark.plans import explain_str
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = salted_join(
+                li, orders, [("l_orderkey", "o_orderkey", "==")], n_salts=8
+            )
+            plan = explain_str(out, "simple")
+            assert "__salt__" in plan  # shuffle key includes the salt
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
