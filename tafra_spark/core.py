@@ -532,7 +532,20 @@ class Tafra:
             if i < 0 or i >= n:
                 raise IndexError(f"row index {i} out of range for {n} rows")
         df = self._dense_ord()
-        out = df.filter(F.col(ORD).isin(norm))
+        # position join (not isin): numpy advanced indexing preserves
+        # DUPLICATE indices and selection order (reference ``_aindex``,
+        # ``tafra/base.py:454-472``) — found by property testing
+        spark = self._spark()
+        sel = pd.DataFrame(
+            {ORD: np.asarray(norm, dtype=np.int64),
+             "__pos__": np.arange(len(norm), dtype=np.int64)}
+        )
+        seldf = spark.createDataFrame(sel)
+        out = (
+            df.join(F.broadcast(seldf), on=ORD, how="inner")
+            .drop(ORD)
+            .withColumnRenamed("__pos__", ORD)
+        )
         return Tafra._wrap(out, rows=len(norm))
 
     def __setitem__(self, name: str, value: Any) -> None:

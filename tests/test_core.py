@@ -441,3 +441,12 @@ class TestSqlSurface:
             "GROUP BY label ORDER BY label"
         ).to_pandas()
         assert dict(zip(out["label"], out["n"])) == {"one": 3, "zero": 3}
+
+
+class TestDuplicatePositional:
+    def test_duplicate_indices_preserved(self, tafra):
+        """numpy advanced-indexing parity: t[[0, 0, 2]] returns row 0
+        twice (found by hypothesis, test_property.py)."""
+        out = tafra[[0, 0, 2]].to_pandas()
+        assert sorted(out["x"].tolist()) == [1, 1, 3]
+        assert len(out) == 3

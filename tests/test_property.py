@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — randomized invariants the
+example-based suites can't cover. The reference installs hypothesis in CI
+but never writes a property test (SURVEY.md §5); these close that gap.
+
+Example counts are kept small: each example round-trips through a Spark
+job (~0.5s), so 10 examples/property keeps the suite fast while still
+exploring the input space across runs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tafra_spark import Tafra
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small frames: 1-20 rows, int values + a low-cardinality key
+frames = st.integers(min_value=1, max_value=20).flatmap(
+    lambda n: st.fixed_dictionaries(
+        {
+            "k": st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n
+            ),
+            "v": st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=n,
+                max_size=n,
+            ),
+        }
+    )
+)
+
+
+class TestGroupByProperties:
+    @given(data=frames)
+    @settings(**_SETTINGS)
+    def test_group_by_sum_matches_pandas(self, spark, data):
+        t = Tafra(data)
+        got = (
+            t.group_by(["k"], {"v": sum}, {"n": len})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pdf = pd.DataFrame(data)
+        exp = (
+            pdf.groupby("k")
+            .agg(v=("v", "sum"), n=("v", "size"))
+            .reset_index()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["v"].tolist() == exp["v"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    @given(data=frames)
+    @settings(**_SETTINGS)
+    def test_transform_preserves_rows_and_totals(self, spark, data):
+        t = Tafra(data)
+        out = t.transform(["k"], {"sv": (sum, "v")}).to_pandas()
+        assert len(out) == len(data["v"])
+        # each row's group-sum equals the pandas groupby sum for its key
+        pdf = pd.DataFrame(data)
+        sums = pdf.groupby("k")["v"].sum().to_dict()
+        assert all(out["sv"][i] == sums[out["k"][i]] for i in range(len(out)))
+
+
+class TestRelationalProperties:
+    @given(data=frames, threshold=st.integers(min_value=-1000, max_value=1000))
+    @settings(**_SETTINGS)
+    def test_filter_partitions_rows(self, spark, data, threshold):
+        from pyspark.sql import functions as F
+
+        t = Tafra(data)
+        lo = t.filter(F.col("v") <= threshold)
+        hi = t.filter(F.col("v") > threshold)
+        assert lo.rows + hi.rows == len(data["v"])
+        u = lo.union(hi)
+        assert u.rows == len(data["v"])
+
+    @given(data=frames, idx=st.data())
+    @settings(**_SETTINGS)
+    def test_positional_matches_numpy(self, spark, data, idx):
+        n = len(data["v"])
+        indices = idx.draw(
+            st.lists(
+                st.integers(min_value=-n, max_value=n - 1),
+                min_size=1,
+                max_size=5,
+            )
+        )
+        t = Tafra(data)
+        got = t[indices].to_pandas()["v"].tolist()
+        exp = np.asarray(data["v"])[indices].tolist()
+        assert sorted(got) == sorted(exp)
+
+
+class TestRoundTripProperties:
+    @given(data=frames)
+    @settings(**_SETTINGS)
+    def test_csv_roundtrip(self, spark, data, tmp_path_factory):
+        t = Tafra(data)
+        p = str(tmp_path_factory.mktemp("prop_csv") / "t.csv")
+        t.to_csv(p)
+        back = Tafra.read_csv(p, dtypes=t.dtypes)
+        pd.testing.assert_frame_equal(
+            back.to_pandas().sort_values(["k", "v"]).reset_index(drop=True),
+            t.to_pandas().sort_values(["k", "v"]).reset_index(drop=True),
+        )
+
+    @given(data=frames)
+    @settings(**_SETTINGS)
+    def test_records_roundtrip(self, spark, data):
+        t = Tafra(data)
+        recs = list(t.to_records())
+        back = Tafra.from_records(recs, list(t.columns))
+        assert back.rows == t.rows
+        assert sorted(r[1] for r in recs) == sorted(data["v"])
