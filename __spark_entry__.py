@@ -507,6 +507,87 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: revenue lost to returned items per customer,
+    # top 20 — join + fixed-point agg + deterministic top-k
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    # (HAVING subquery → semi join), with customer context. Quantity sums
+    # are integer-exact.
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 250)
+        .select("l_orderkey", "tot_qty")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+            "o_totalprice",
+            "tot_qty",
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs predicate over two tables — exercises
+    # CNF conversion / partial pushdown through the join
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-based rolling aggregate: per user, events and value-sum in the
     # trailing hour ending at each event (RANGE frame over epoch seconds)
@@ -739,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": rollup_agg,
         "pivot_linestatus": pivot_linestatus,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
         "q4_late_orders": q4_late_orders,
         "q14_promo_share": q14_promo_share,
         "rolling_hour_window": rolling_hour_window,
@@ -1114,6 +1198,40 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   {_msum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS tot_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+                   o_totalprice, tot_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT {_msum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND l_quantity >= 1 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND l_quantity >= 10 AND l_quantity <= 30)
         """,
         "q4_late_orders": """
             SELECT o_orderpriority, count(*) AS order_count
