@@ -422,20 +422,20 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = (bits + n_chunks - 1) // n_chunks
+    mask = F.lit((1 << chunk_bits) - 1)
+
+    def chunk(col: Column, j: int) -> Column:
+        return F.shiftrightunsigned(col, j * chunk_bits).bitwiseAND(mask)
+
     h = simhash_table(df, text_col, id_col, bits=bits, portable=portable)
     chunks = [
-        F.struct(
-            F.lit(i).alias("idx"),
-            F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("val"),
-        )
+        F.struct(F.lit(i).alias("idx"), chunk(F.col("sh"), i).alias("val"))
         for i in range(n_chunks)
     ]
     banded = h.select(
         id_col, "sh", F.explode(F.array(*chunks)).alias("c")
     ).select(id_col, "sh", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
-    pairs = (
+    joined = (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -448,8 +448,20 @@ def simhash_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             F.col("l.sh").alias("sh_a"),
             F.col("r.sh").alias("sh_b"),
+            F.col("l.idx").alias("idx"),
         )
-        .distinct()
+    )
+    # dedup by construction instead of DISTINCT: a pair matching on
+    # several chunks is kept only at its FIRST matching chunk — a codegen
+    # filter replaces a shuffle of the (pre-filter) candidate set
+    any_prior = None
+    for j in range(n_chunks - 1):
+        term = (F.col("idx") > j) & (
+            chunk(F.col("sh_a"), j) == chunk(F.col("sh_b"), j)
+        )
+        any_prior = term if any_prior is None else (any_prior | term)
+    pairs = (
+        joined.filter(~any_prior)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
