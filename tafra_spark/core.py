@@ -1254,6 +1254,25 @@ class Tafra:
     def explain(self, mode: str = "formatted") -> None:
         self._plain().explain(mode=mode)
 
+    def plan_summary(self) -> dict[str, Any]:
+        """Scale-contract diagnostics: shuffle exchange count, broadcast
+        usage, filters pushed to the scans, and per-scan read schemas —
+        the numbers the plan tests assert, exposed for interactive use."""
+        from .plans.inspect import (
+            count_exchanges,
+            has_broadcast_join,
+            pushed_filters,
+            read_schema_columns,
+        )
+
+        df = self._plain()
+        return {
+            "shuffle_exchanges": count_exchanges(df),
+            "broadcast_join": has_broadcast_join(df),
+            "pushed_filters": pushed_filters(df),
+            "scan_columns": read_schema_columns(df),
+        }
+
     def cache(self) -> "Tafra":
         self._df = self._df.cache()
         return self

@@ -230,3 +230,15 @@ class TestSaltedJoin:
             assert "__salt__" in plan  # shuffle key includes the salt
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestPlanSummary:
+    def test_plan_summary_shape(self, spark):
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        out = li.filter(F.col("l_quantity") > 45).select(["l_orderkey"])
+        s = out.plan_summary()
+        assert s["shuffle_exchanges"] == 0
+        assert any("l_quantity" in f for f in s["pushed_filters"])
+        assert ["l_orderkey", "l_quantity"] == sorted(s["scan_columns"][0])
