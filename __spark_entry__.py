@@ -2,11 +2,11 @@
 
 ``entry(spark)`` — flagship query (smoke, sf0.001).
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
-the scale extensions (dedup / similarity / text / sessionization).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every query that is
-SQL-expressible; entries are omitted only for ops whose hashing primitive
-(xxhash64) or plane literals don't exist in DuckDB — those get the
-driver's rows-only check.
+the scale extensions (dedup / similarity / temporal joins / multimodal /
+text / sessionization). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
+EVERY query (51/51): engine-specific primitives are made portable (md5
+hash families, inlined seeded plane literals, byte arithmetic), so no
+query falls back to the rows-only check.
 
 Column names are aliased identically on both sides; float aggregates are
 rounded on both sides; timestamps are exported as formatted strings so
@@ -277,6 +277,23 @@ def union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = open_orders.union(done_orders)
     return u.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyed merge: re-priced open orders replace their originals, new
+    # synthetic keys append — anti-join + union, one shuffle on the key
+    t = Tafra.read_parquet(_p(sf_dir, "orders"), spark).select(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    changes = Tafra(
+        df=t.df.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    out = t.upsert(changes, ["o_orderkey"])
+    return out.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_nulls": left_join_nulls,
         "cross_join_small": cross_join_small,
         "union_all_orders": union_all_orders,
+        "upsert_orders": upsert_orders,
         "coalesce_fill": coalesce_fill,
         "cast_floor_groupby": cast_floor_groupby,
         "top_k_orders": top_k_orders,
@@ -1105,6 +1123,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_orderstatus, o_totalprice
             FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "upsert_orders": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus <> 'O'
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
         """,
         "coalesce_fill": """
             SELECT event_id,

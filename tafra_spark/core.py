@@ -959,6 +959,24 @@ class Tafra:
     def distinct(self) -> "Tafra":
         return Tafra._wrap(self._plain().distinct())
 
+    def upsert(self, other: "Tafra", keys: Sequence[str]) -> "Tafra":
+        """Keyed merge (SQL MERGE shape): rows of ``other`` replace
+        same-key rows of ``self``; new keys append. Expressed as
+        anti-join + UNION ALL — two narrow schema-checked plans, one
+        shuffle on the keys. Complements the reference's positional
+        ``update`` with the keyed variant a real pipeline needs."""
+        key_list = list(keys)
+        for k in key_list:
+            if k not in self.columns or k not in other.columns:
+                raise KeyError(f"upsert key {k!r} must exist in both tables")
+        if tuple(self.columns) != tuple(other.columns):
+            raise ValueError("upsert requires identical schemas")
+        kept = _joins.semi_anti_join(
+            self._plain(), other._plain(),
+            [(k, k, "==") for k in key_list], "left_anti",
+        )
+        return Tafra._wrap(_setops.union_all(kept, other._plain()))
+
     def rollup(
         self,
         group_by: Sequence[str],

@@ -450,3 +450,18 @@ class TestDuplicatePositional:
         out = tafra[[0, 0, 2]].to_pandas()
         assert sorted(out["x"].tolist()) == [1, 1, 3]
         assert len(out) == 3
+
+
+class TestUpsert:
+    def test_upsert_replaces_and_appends(self, spark):
+        base = Tafra({"k": [1, 2, 3], "v": [10, 20, 30]})
+        changes = Tafra({"k": [2, 4], "v": [99, 40]})
+        out = base.upsert(changes, ["k"]).to_pandas().sort_values("k")
+        assert dict(zip(out["k"], out["v"])) == {1: 10, 2: 99, 3: 30, 4: 40}
+
+    def test_upsert_schema_mismatch_raises(self, spark):
+        base = Tafra({"k": [1], "v": [10]})
+        with pytest.raises(ValueError):
+            base.upsert(Tafra({"k": [1], "w": [2]}), ["k"])
+        with pytest.raises(KeyError):
+            base.upsert(Tafra({"k2": [1], "v": [2]}), ["k2"])
