@@ -367,6 +367,20 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable-style rollup at arbitrary bucket width: the same
+    # tumbling-window operator as events_hourly, parameterized to 15 min
+    # (a streaming-compatible continuous aggregate)
+    ev = _read_events(spark, sf_dir)
+    out = STREAM.windowed_counts(ev, window="15 minutes", fixed_point=1_000_000)
+    return out.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events(spark, sf_dir)
     out = STREAM.sessionize(ev, gap_minutes=30)
@@ -847,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": grouped_quantiles,
         "json_extract_stats": json_extract_stats,
         "events_hourly": events_hourly,
+        "events_quarter_hour": events_quarter_hour,
         "sessionize_events": sessionize_events,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
@@ -1305,6 +1320,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   {_msum_sql("value", "sum_value")}
+            FROM events GROUP BY 1, 2
+        """,
+        "events_quarter_hour": f"""
+            SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT)
+                                         * 900), '{_TS_FMT_DUCK}') AS window_start,
                    event_type,
                    count(*) AS n_events,
                    {_msum_sql("value", "sum_value")}
