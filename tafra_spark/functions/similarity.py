@@ -121,32 +121,64 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 12,
     seed: int = 42,
+    n_tables: int = 1,
+    multi_probe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates = same hyperplane-signature bucket,
     scored exactly within the bucket.
 
-    The corpus is hashed once (narrow); the join key is the 2^n_planes
-    bucket id, so shuffle volume is corpus-linear. Recall tunes with
-    ``n_planes`` (fewer planes → bigger buckets → higher recall+cost).
+    The corpus is hashed once per table (narrow); the join key is the
+    2^n_planes bucket id, so shuffle volume is corpus-linear. Recall
+    knobs, composable:
+
+    - ``n_planes`` — fewer planes → bigger buckets → higher recall+cost;
+    - ``n_tables`` — independent seeded plane sets, candidates unioned
+      (classic multi-table LSH: recall 1-(1-p)^T for per-table hit
+      rate p);
+    - ``multi_probe`` — each query also probes every 1-bit-flip
+      neighbor bucket (n_planes extra probes), trading one broadcast
+      row per probe for recall without re-hashing the corpus.
+
+    Within one table a (query, neighbor) pair matches at most one probe
+    value, so candidate dedup is only needed across tables.
     """
-    sig = lambda c: random_hyperplane_signature(c, dim, n_planes, seed)  # noqa: E731
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    )
+    cand: DataFrame | None = None
+    for t in range(n_tables):
+        s = seed + 7919 * t
+        cb = c.select(
+            "neighbor_id",
+            "cv",
+            random_hyperplane_signature(F.col("cv"), dim, n_planes, s).alias(
+                "bucket"
+            ),
+        )
+        base = random_hyperplane_signature(F.col("qv"), dim, n_planes, s)
+        if multi_probe:
+            probe_arr = F.array(
+                base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            )
+        else:
+            probe_arr = F.array(base)
+        qb = q.select(
+            "query_id", "qv", F.explode(probe_arr).alias("bucket")
+        )
+        pairs = (
+            cb.join(F.broadcast(qb), on="bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "qv", "neighbor_id", "cv")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

@@ -252,3 +252,48 @@ class TestIvfAndNearDups:
         )
         all_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
         assert got <= all_pairs
+
+
+class TestLshRecallKnobs:
+    def _result_map(self, rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cos"])
+        return {k: sorted(v, reverse=True) for k, v in out.items()}
+
+    def test_multi_table_never_worse(self, spark):
+        from tafra_spark.functions.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        single = self._result_map(
+            lsh_ann_topk(emb, q, dim=64, k=5, n_planes=8).collect()
+        )
+        multi = self._result_map(
+            lsh_ann_topk(emb, q, dim=64, k=5, n_planes=8, n_tables=3).collect()
+        )
+        # more tables → candidate superset → per-rank cos never decreases
+        for qid, cos_single in single.items():
+            cos_multi = multi.get(qid, [])
+            assert len(cos_multi) >= len(cos_single)
+            for cs, cm in zip(cos_single, cos_multi):
+                assert cm >= cs
+
+    def test_multi_probe_never_worse(self, spark):
+        from tafra_spark.functions.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        single = self._result_map(
+            lsh_ann_topk(emb, q, dim=64, k=5, n_planes=8).collect()
+        )
+        probed = self._result_map(
+            lsh_ann_topk(
+                emb, q, dim=64, k=5, n_planes=8, multi_probe=True
+            ).collect()
+        )
+        for qid, cos_single in single.items():
+            cos_probe = probed.get(qid, [])
+            assert len(cos_probe) >= len(cos_single)
+            for cs, cp in zip(cos_single, cos_probe):
+                assert cp >= cs
