@@ -1,3 +1,3 @@
-from . import groupby, joins, setops
+from . import groupby, joins, setops, temporal
 
-__all__ = ["groupby", "joins", "setops"]
+__all__ = ["groupby", "joins", "setops", "temporal"]
