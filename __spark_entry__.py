@@ -1002,7 +1002,8 @@ def _bucket_sql(dim: int, n_planes: int, seed: int, var: str = "v") -> str:
     bucket_terms = []
     for i in range(n_planes):
         dot_chain = " + ".join(
-            f"{var}[{j + 1}] * {planes[i][j]!r}" for j in range(dim)
+            # float() first: np.float64's repr is not SQL under numpy 2.x
+            f"{var}[{j + 1}] * {float(planes[i][j])!r}" for j in range(dim)
         )
         bucket_terms.append(
             f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"

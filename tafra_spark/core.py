@@ -216,7 +216,9 @@ class Tafra:
             if validate and series.dtype == object:
                 series = self._formatter.apply(series)
             pdf[name] = series
-        self._df = self._from_pandas(pdf, spark)
+        # formatter already applied above (or deliberately skipped under
+        # validate=False) — _from_pandas must not re-apply it
+        self._df = self._from_pandas(pdf, spark, apply_formatter=False)
         self._cached_rows = int(n_rows or 0)
         if dtypes:
             self.update_dtypes_inplace(dtypes)
@@ -229,13 +231,17 @@ class Tafra:
         return SparkSession.getActiveSession() or get_spark()
 
     def _from_pandas(
-        self, pdf: pd.DataFrame, spark: Optional[SparkSession]
+        self,
+        pdf: pd.DataFrame,
+        spark: Optional[SparkSession],
+        apply_formatter: bool = True,
     ) -> DataFrame:
         spark = spark or self._spark()
         pdf = pdf.copy()
-        for col in pdf.columns:
-            if pdf[col].dtype == object:
-                pdf[col] = self._formatter.apply(pdf[col])
+        if apply_formatter:
+            for col in pdf.columns:
+                if pdf[col].dtype == object:
+                    pdf[col] = self._formatter.apply(pdf[col])
         if ORD not in pdf.columns:
             pdf.insert(0, ORD, np.arange(len(pdf), dtype=np.int64))
         self._cached_rows = len(pdf)
@@ -532,6 +538,8 @@ class Tafra:
             if i < 0 or i >= n:
                 raise IndexError(f"row index {i} out of range for {n} rows")
         df = self._dense_ord()
+        if not norm:  # empty selection: keep schema, zero rows
+            return Tafra._wrap(df.filter(F.lit(False)), rows=0)
         # position join (not isin): numpy advanced indexing preserves
         # DUPLICATE indices and selection order (reference ``_aindex``,
         # ``tafra/base.py:454-472``) — found by property testing

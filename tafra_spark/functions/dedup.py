@@ -57,11 +57,16 @@ def _spread(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
+    except Exception:  # noqa: BLE001
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    if n_files == 0:
+        # non-file source: the partition count is authoritative — don't
+        # insert a shuffle for inputs that are already parallel
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    return df.repartition(target)
 
 
 # --------------------------------------------------------------------------- #
@@ -460,8 +465,10 @@ def simhash_pairs(
             chunk(F.col("sh_a"), j) == chunk(F.col("sh_b"), j)
         )
         any_prior = term if any_prior is None else (any_prior | term)
+    # max_hamming=0 → a single chunk → no duplicate matches to drop
+    deduped = joined if any_prior is None else joined.filter(~any_prior)
     pairs = (
-        joined.filter(~any_prior)
+        deduped
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),

@@ -252,15 +252,23 @@ def ivf_topk(
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
-    assigned = assign_centroids(corpus, cent.select(
-        F.col("centroid_id").alias(id_col), F.col("centv").alias(vec_col)
-    ), id_col=id_col, vec_col=vec_col)
-    corpus_part = corpus.join(
-        assigned.select(F.col(id_col), "centroid_id"), on=id_col
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        "centroid_id",
+    # inline assignment keeping the vector payload: one broadcast pass
+    # over the corpus (same ranking as assign_centroids — cos desc, then
+    # centroid id), no second corpus-wide join to re-attach vectors
+    assign_scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("ac_cos", cosine(F.col("cv"), F.col("centv")))
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("ac_cos").desc(), F.col("centroid_id")
+    )
+    corpus_part = (
+        assign_scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
     )
 
     q_scored = queries.select(

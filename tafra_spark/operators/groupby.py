@@ -206,6 +206,20 @@ def _iter_index_udf(fn: Callable):
     return F.pandas_udf(_apply, "long")
 
 
+def _iter_fn_expr(fn: AggFn, gi: Column, n: Column) -> Column:
+    """The reference hands iter_fn callables ``np.full(n, i)`` — translate
+    the known reductions of that array, else evaluate via Arrow UDF."""
+    hit = _lookup(fn)
+    name = hit[1] if hit else None
+    if name in ("max", "min", "avg", "median", "first", "last"):
+        expr = gi  # every element is i
+    elif name == "sum":
+        expr = gi * n  # sum(i * ones[n]) = i*n
+    else:
+        expr = _iter_index_udf(fn)(gi, n)
+    return expr.cast("long")
+
+
 def _apply_index_fns(
     agg: DataFrame, index_fns: list[tuple[str, AggFn]]
 ) -> DataFrame:
@@ -219,15 +233,9 @@ def _apply_index_fns(
     gi = (F.row_number().over(Window.orderBy("__first__")) - 1).cast("long")
     agg = agg.withColumn("__gi__", gi)
     for out_name, fn in index_fns:
-        hit = _lookup(fn)
-        name = hit[1] if hit else None
-        if name in ("max", "min", "avg", "median", "first", "last"):
-            expr = F.col("__gi__")  # every element is i
-        elif name == "sum":
-            expr = F.col("__gi__") * F.col("__n__")  # sum(i * ones[n]) = i*n
-        else:
-            expr = _iter_index_udf(fn)(F.col("__gi__"), F.col("__n__"))
-        agg = agg.withColumn(out_name, expr.cast("long"))
+        agg = agg.withColumn(
+            out_name, _iter_fn_expr(fn, F.col("__gi__"), F.col("__n__"))
+        )
     return agg.drop("__first__", "__n__", "__gi__")
 
 
@@ -393,28 +401,37 @@ def transform(
             index_fns.append((out_name, fn))
     if index_fns:
         # reference broadcasts fn(i * ones[group_size]) to every group row
-        # (tafra/group.py:333-335); i = first-occurrence group index
+        # (tafra/group.py:333-335); i = first-occurrence group index.
+        # Compute (keys → gi, n) on the ONE-ROW-PER-GROUP aggregate (the
+        # global rank sorts groups, not rows) and broadcast it back —
+        # never a scan-sized single-partition window.
         if ord_col is None or ord_col not in out.columns:
             raise AggSpecError(
                 "transform iter_fn callables other than count/len depend on "
                 "first-occurrence group order, which requires the source "
                 "ordinal; table was scanned without one"
             )
-        out = out.withColumn("__first__", F.min(F.col(ord_col)).over(w))
-        out = out.withColumn(
-            "__gi__",
-            (F.dense_rank().over(Window.orderBy("__first__")) - 1).cast("long"),
+        gmap = df.groupBy(*keys).agg(
+            F.min(F.col(ord_col)).alias("__first__"),
+            F.count(F.lit(1)).alias("__n__"),
         )
-        out = out.withColumn("__n__", F.count(F.lit(1)).over(w))
+        gmap = gmap.withColumn(
+            "__gi__",
+            (F.row_number().over(Window.orderBy("__first__")) - 1).cast("long"),
+        ).drop("__first__")
+        renamed = gmap.select(
+            *[F.col(k).alias(f"__k_{k}__") for k in keys], "__gi__", "__n__"
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__k_{k}__")) for k in keys],
+        )
+        out = out.join(F.broadcast(renamed), on=cond, how="left").drop(
+            *[f"__k_{k}__" for k in keys]
+        )
         for out_name, fn in index_fns:
-            hit = _lookup(fn)
-            name = hit[1] if hit else None
-            if name in ("max", "min", "avg", "median", "first", "last"):
-                expr = F.col("__gi__")
-            elif name == "sum":
-                expr = F.col("__gi__") * F.col("__n__")
-            else:
-                expr = _iter_index_udf(fn)(F.col("__gi__"), F.col("__n__"))
-            out = out.withColumn(out_name, expr.cast("long"))
-        out = out.drop("__first__", "__gi__", "__n__")
+            out = out.withColumn(
+                out_name, _iter_fn_expr(fn, F.col("__gi__"), F.col("__n__"))
+            )
+        out = out.drop("__gi__", "__n__")
     return out

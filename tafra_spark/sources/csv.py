@@ -147,7 +147,8 @@ def read_csv(
         .first()
     )
     if bad is not None:
-        raise ValueError(f"malformed CSV row (wrong field count): {bad[1]!r}")
+        # the corrupt raw record is the LAST projected column
+        raise ValueError(f"malformed CSV row (wrong field count): {bad[-1]!r}")
     raw = raw.drop(_CORRUPT)
 
     # Spark reads unquoted empty fields as NULL unconditionally; the

@@ -204,8 +204,13 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         else:
             start_us, last_us, n, seq = None, None, 0, 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"]:
+        # concatenate ALL Arrow chunks before sorting: a large group spans
+        # several pdfs (arrow.maxRecordsPerBatch) and per-chunk sorting
+        # would fold out-of-order timestamps into the state
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for ts in batch.sort_values("ts")["ts"]:
                 t = ts.value // 1000  # pandas ns → µs
                 if last_us is None:
                     start_us, last_us, n, seq = t, t, 1, 1

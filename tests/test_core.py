@@ -401,14 +401,23 @@ class TestValidateFlag:
         assert t.rows == 3
         assert t.to_pandas()["x"].tolist() == [1, 2, 3]
 
+    def test_validate_true_runs_formatter(self, spark):
+        from decimal import Decimal
+
+        # default ObjectFormatter converts Decimal → float at ingest
+        t = Tafra({"d": np.array([Decimal("1.5")], dtype=object)})
+        assert t.dtypes["d"] == "float64"
+
     def test_validate_false_skips_formatter(self, spark):
         from decimal import Decimal
 
-        # with validate=True the default ObjectFormatter converts Decimal
-        # to float; validate=False must NOT run the formatter, so the raw
-        # object column is handed to Spark and stringified by fallback
-        t = Tafra({"d": np.array([Decimal("1.5")], dtype=object)})
-        assert t.dtypes["d"] in ("float64",)
+        # validate=False must NOT run the formatter: the raw object
+        # column reaches the engine and is stringified by the unknown-
+        # object fallback instead of becoming float
+        t = Tafra(
+            {"d": np.array([Decimal("1.5")], dtype=object)}, validate=False
+        )
+        assert t.dtypes["d"] == "str"
 
     def test_repr_pretty(self, tafra):
         class P:
@@ -465,3 +474,12 @@ class TestUpsert:
             base.upsert(Tafra({"k": [1], "w": [2]}), ["k"])
         with pytest.raises(KeyError):
             base.upsert(Tafra({"k2": [1], "v": [2]}), ["k2"])
+
+
+class TestReviewRegressions:
+    def test_empty_positional_selection(self, tafra):
+        out = tafra[[]]
+        assert out.rows == 0
+        assert out.columns == ("x", "y", "z")
+        out2 = tafra[np.array([], dtype=int)]
+        assert out2.rows == 0

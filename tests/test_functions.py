@@ -297,3 +297,12 @@ class TestLshRecallKnobs:
             assert len(cos_probe) >= len(cos_single)
             for cs, cp in zip(cos_single, cos_probe):
                 assert cp >= cs
+
+
+class TestSimhashEdge:
+    def test_max_hamming_zero(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = D.simhash_pairs(docs, max_hamming=0, bits=60, portable=True)
+        rows = out.collect()
+        # exact-signature duplicates only; must not crash
+        assert all(r["hamming"] == 0 for r in rows)
