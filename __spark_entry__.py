@@ -619,6 +619,112 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: shipping volume between two nations by year —
+    # double dimension role-play (nation joined twice under two roles)
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1")
+                & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2")
+                & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: two-level aggregation over a left join — orders
+    # per customer, then the distribution of those counts
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated per-part average → groupBy + join; the
+    # threshold (0.2 * exact integer avg) is derived identically on both
+    # engines so the comparison is deterministic
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum(F.col("l_quantity").cast("long"))
+         / F.count(F.lit(1)) * F.lit(0.2)).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") == "Brand#3")
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * F.lit(_FP) + F.lit(0.5)))
+                / F.lit(_FP) / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: above-average-balance customers with no large
+    # orders (every synthetic customer has SOME order, so 'idle' means no
+    # order above 400k). The average threshold uses the exact fixed-point
+    # sum so the filter boundary is the same double on both engines.
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.floor(F.col("c_acctbal") * F.lit(_FP) + F.lit(0.5)))
+                / F.lit(_FP) / F.count(F.lit(1))
+            ).alias("thr")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 400000),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _msum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 def rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-based rolling aggregate: per user, events and value-sum in the
     # trailing hour ending at each event (RANGE frame over epoch seconds)
@@ -852,6 +958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": rollup_agg,
         "pivot_linestatus": pivot_linestatus,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_balances": q22_idle_balances,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
         "q19_discounted_revenue": q19_discounted_revenue,
@@ -1240,6 +1350,55 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   {_msum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q17_small_quantity_revenue": """
+            WITH thr AS (
+              SELECT l_partkey AS ap_key,
+                     sum(CAST(l_quantity AS BIGINT)) / count(*) * 0.2 AS qty_thr
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+                   / 1000000.0 / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN thr ON l_partkey = ap_key
+            WHERE p_brand = 'Brand#3' AND l_quantity < qty_thr
+        """,
+        "q22_idle_balances": f"""
+            WITH thr AS (
+              SELECT sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
+                     / 1000000.0 / count(*) AS thr
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   {_msum_sql("c_acctbal", "totacctbal")}
+            FROM customer, thr
+            WHERE c_acctbal > thr
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+            GROUP BY c_nationkey
         """,
         "q10_returned_items": f"""
             SELECT c_custkey, c_name, n_name,
