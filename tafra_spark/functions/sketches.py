@@ -1,0 +1,184 @@
+"""Approximate sketches for cardinality / quantiles / frequency / membership.
+
+At 100 TB, exact answers to these questions cost a full shuffle of the
+key space; sketches bound memory and return mergeable partial states.
+``approx_distinct`` / ``approx_quantiles`` / ``freq_items`` wrap Spark's
+built-ins (HyperLogLog++, Greenwald-Khanna, KPS heavy hitters). The
+Count-Min and Bloom sketches are DataFrame-NATIVE compositions — the
+sketch state is itself a (tiny) DataFrame of counters / bitmap words
+built with one codegen'd explode + aggregate, so it shuffles O(depth ×
+width) rows regardless of input size, merges by union + re-aggregate,
+and probes with a broadcast join. No JVM sketch objects (removed from
+the PySpark 4 stat API), no driver-side state.
+
+No DuckDB oracle is possible (different sketch implementations produce
+different estimates by design); tests assert the published error bounds
+against exact answers instead (`tests/test_sketches.py`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "approx_distinct",
+    "approx_quantiles",
+    "freq_items",
+    "count_min_build",
+    "count_min_estimate",
+    "bloom_build",
+    "bloom_contains",
+]
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct count: relative standard deviation ``rsd``
+    with O(1/rsd²) bytes of state regardless of cardinality."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias("approx_nd"))
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probs: Sequence[float], rel_err: float = 0.01
+) -> list[float]:
+    """Greenwald-Khanna quantiles: rank error ≤ rel_err·n, single pass,
+    mergeable across partitions. Driver-side result (small)."""
+    return df.approxQuantile(col, list(probs), rel_err)
+
+
+def freq_items(
+    df: DataFrame, cols: Sequence[str], support: float = 0.01
+) -> DataFrame:
+    """Items appearing in more than ``support`` fraction of rows
+    (Karp-Papadimitriou-Shenker single-pass heavy hitters; may include
+    false positives, never false negatives)."""
+    return df.freqItems(list(cols), support)
+
+
+# --------------------------------------------------------------------------- #
+# Count-Min: counter-table formulation
+
+
+def _cm_cells(col: Column, depth: int, width: int, seed: int) -> Column:
+    """array<struct<i, b>> — one (row, bucket) cell per hash function."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    F.xxhash64(F.lit(seed + i), col), F.lit(width)
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 5, width: int = 1024, seed: int = 42
+) -> DataFrame:
+    """Build a Count-Min sketch as a (i, b, cnt) counter DataFrame.
+
+    One explode + hash-aggregate; the result has ≤ depth·width rows no
+    matter the input size. Merge two sketches with
+    ``a.unionByName(b).groupBy("i","b").agg(sum("cnt"))``. Estimates
+    never undercount; overcount ≤ e/width·n with prob 1-e^-depth.
+    """
+    ex = df.select(F.explode(_cm_cells(F.col(col), depth, width, seed)).alias("c"))
+    return (
+        ex.select(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate each probe value's frequency: min over the depth rows of
+    its counters. The sketch is tiny → broadcast; missing cells = 0."""
+    p = probes.select(
+        F.col(col).alias("value"),
+        F.explode(_cm_cells(F.col(col), depth, width, seed)).alias("c"),
+    ).select("value", F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+    joined = p.join(F.broadcast(sketch), on=["i", "b"], how="left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy("value").agg(F.min("cnt").alias("estimate"))
+
+
+# --------------------------------------------------------------------------- #
+# Bloom: bitmap-word formulation
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int, seed: int) -> Column:
+    """array<struct<word, bit>> — k bit positions per key, packed as
+    (long word index, bit-within-word)."""
+    out = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(seed + i), col), F.lit(m_bits))
+        out.append(
+            F.struct(
+                F.floor(pos / 64).cast("long").alias("word"),
+                (pos % 64).cast("int").alias("bit"),
+            )
+        )
+    return F.array(*out)
+
+
+#: single-bit mask from the exploded ``bit`` column (shiftleft's Python
+#: wrapper only takes literal shift amounts)
+_MASK = "shiftleft(CAST(1 AS BIGINT), bit)"
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5, seed: int = 42
+) -> DataFrame:
+    """Build a Bloom filter as a (word, bits) bitmap DataFrame: explode k
+    positions per key, OR the masks per 64-bit word. ≤ m_bits/64 rows.
+    Merge filters with union + ``bit_or`` re-aggregate. No false
+    negatives; false-positive rate ≈ (1 - e^{-kn/m})^k."""
+    ex = df.select(
+        F.explode(_bloom_positions(F.col(col), k, m_bits, seed)).alias("p")
+    )
+    return (
+        ex.select(F.col("p.word").alias("word"), F.col("p.bit").alias("bit"))
+        .withColumn("mask", F.expr(_MASK))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(value, might_contain) per probe: every one of the k bits must be
+    set. The classic use is semi-join reduction — build on the small
+    side's keys, pre-filter the big side before its shuffle."""
+    p = probes.select(
+        F.col(col).alias("value"),
+        F.explode(_bloom_positions(F.col(col), k, m_bits, seed)).alias("p"),
+    ).select(
+        "value", F.col("p.word").alias("word"), F.col("p.bit").alias("bit")
+    ).withColumn("mask", F.expr(_MASK))
+    joined = p.join(F.broadcast(bloom), on="word", how="left").fillna(
+        0, subset=["bits"]
+    )
+    hit = (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")).cast("int")
+    return (
+        joined.withColumn("__hit__", hit)
+        .groupBy("value")
+        .agg((F.min("__hit__") == 1).alias("might_contain"))
+    )

@@ -124,3 +124,53 @@ class TestRoundTripProperties:
         back = Tafra.from_records(recs, list(t.columns))
         assert back.rows == t.rows
         assert sorted(r[1] for r in recs) == sorted(data["v"])
+
+
+class TestAsofProperties:
+    @given(
+        lts=st.lists(
+            st.integers(min_value=0, max_value=100), min_size=1, max_size=12
+        ),
+        rts=st.lists(
+            st.integers(min_value=0, max_value=100), min_size=1, max_size=12
+        ),
+    )
+    @settings(**_SETTINGS)
+    def test_asof_matches_pandas_merge_asof(self, spark, lts, rts):
+        """Single-key backward as-of join must agree with pandas
+        merge_asof (unique right timestamps ensure determinism)."""
+        import datetime as dt
+
+        from tafra_spark.operators.temporal import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        rts = sorted(set(rts))
+        left_pdf = pd.DataFrame(
+            {
+                "k": [1] * len(lts),
+                "t": [base + dt.timedelta(seconds=s) for s in sorted(lts)],
+                "lv": list(range(len(lts))),
+            }
+        )
+        right_pdf = pd.DataFrame(
+            {
+                "k": [1] * len(rts),
+                "t": [base + dt.timedelta(seconds=s) for s in rts],
+                "rv": [s * 10 for s in rts],
+            }
+        )
+        exp = pd.merge_asof(
+            left_pdf, right_pdf, on="t", by="k", direction="backward"
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left_pdf),
+                spark.createDataFrame(right_pdf),
+                by=["k"],
+                left_on="t",
+            )
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()

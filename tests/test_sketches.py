@@ -1,0 +1,109 @@
+"""Sketch error-bound tests: no cross-engine oracle exists for
+approximate structures (implementations differ by design), so each
+sketch is checked against the EXACT answer within its published bound.
+The Count-Min and Bloom sketches are DataFrame-native (counter/bitmap
+tables); their size bounds and merge laws are asserted too."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tafra_spark.functions import sketches as SK
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+class TestApproxDistinct:
+    def test_hll_within_bound(self, spark, orders):
+        exact = orders.select("o_custkey").distinct().count()
+        approx = SK.approx_distinct(orders, "o_custkey", rsd=0.02).first()[0]
+        assert abs(approx - exact) / exact <= 3 * 0.02  # 3σ
+
+
+class TestApproxQuantiles:
+    def test_gk_rank_error(self, spark, lineitem):
+        import bisect
+
+        n = lineitem.count()
+        probs = [0.25, 0.5, 0.75]
+        approx = SK.approx_quantiles(lineitem, "l_quantity", probs, rel_err=0.01)
+        vals = sorted(r[0] for r in lineitem.select("l_quantity").collect())
+        for p, a in zip(probs, approx):
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a)
+            target = p * n
+            assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1
+
+
+class TestFreqItems:
+    def test_heavy_hitters_superset(self, spark, orders):
+        out = SK.freq_items(orders, ["o_orderstatus"], support=0.1).first()[0]
+        truth = {
+            r[0]
+            for r in orders.groupBy("o_orderstatus").count().collect()
+            if r[1] > 0.1 * orders.count()
+        }
+        assert truth <= set(out)  # no false negatives
+
+
+class TestCountMin:
+    def test_bounds_and_size(self, spark, orders):
+        depth, width = 5, 1024
+        cm = SK.count_min_build(orders, "o_orderstatus", depth, width)
+        assert cm.count() <= depth * width
+        n = orders.count()
+        truth = dict(
+            (r[0], r[1])
+            for r in orders.groupBy("o_orderstatus").count().collect()
+        )
+        probes = orders.select("o_orderstatus").distinct()
+        est = {
+            r["value"]: r["estimate"]
+            for r in SK.count_min_estimate(
+                cm, probes, "o_orderstatus", depth, width
+            ).collect()
+        }
+        for val, cnt in truth.items():
+            assert est[val] >= cnt  # CM never undercounts
+            assert est[val] <= cnt + (2.72 / width) * n + 1
+
+    def test_merge_law(self, spark, orders):
+        a = orders.filter(F.col("o_orderkey") % 2 == 0)
+        b = orders.filter(F.col("o_orderkey") % 2 == 1)
+        cm_a = SK.count_min_build(a, "o_orderstatus")
+        cm_b = SK.count_min_build(b, "o_orderstatus")
+        merged = (
+            cm_a.unionByName(cm_b).groupBy("i", "b").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        )
+        full = SK.count_min_build(orders, "o_orderstatus")
+        m = {(r["i"], r["b"]): r["cnt"] for r in merged.collect()}
+        f = {(r["i"], r["b"]): r["cnt"] for r in full.collect()}
+        assert m == f
+
+
+class TestBloom:
+    def test_membership_bounds(self, spark, orders):
+        m_bits, k = 1 << 18, 5
+        bf = SK.bloom_build(orders, "o_orderkey", m_bits=m_bits, k=k)
+        assert bf.count() <= m_bits // 64
+        present = orders.select("o_orderkey").limit(500)
+        res = SK.bloom_contains(bf, present, "o_orderkey", m_bits=m_bits, k=k)
+        assert all(r["might_contain"] for r in res.collect())  # no false negs
+        absent = spark.range(10_000_000, 10_001_000).select(
+            F.col("id").alias("o_orderkey")
+        )
+        res2 = SK.bloom_contains(bf, absent, "o_orderkey", m_bits=m_bits, k=k)
+        fp = sum(1 for r in res2.collect() if r["might_contain"]) / 1000
+        # 15k keys in 2^18 bits, k=5 → theoretical fpp ≈ 0.02%; allow slack
+        assert fp <= 0.05
