@@ -65,6 +65,29 @@ def _dedup_headers(names: list[str]) -> list[str]:
     return out
 
 
+def _resolve_header_file(path: str) -> str:
+    """For directory / glob inputs (multi-file CSV datasets — the normal
+    shape at scale), pick one real part file to read the header from; all
+    parts share the header and Spark's header=true skips one line per
+    file."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith(("_", ".")):
+                continue
+            full = os.path.join(path, name)
+            if os.path.isfile(full):
+                return full
+        raise FileNotFoundError(f"no data files in CSV directory {path!r}")
+    if any(ch in path for ch in "*?["):
+        matches = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        if not matches:
+            raise FileNotFoundError(f"no files match CSV glob {path!r}")
+        return matches[0]
+    return path
+
+
 def _read_header(csv_file: Any, **csvkw: Any) -> list[str]:
     dialect_kw = {
         k: v
@@ -109,7 +132,7 @@ def read_csv(
         header = _read_header(io.StringIO(content), **csvkw)
     else:
         path = os.fspath(csv_file)
-        header = _read_header(path, **csvkw)
+        header = _read_header(_resolve_header_file(path), **csvkw)
 
     names = _dedup_headers([str(h) for h in header])
 

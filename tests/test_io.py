@@ -142,3 +142,24 @@ class TestObjectFormatter:
     def test_date_column(self, spark):
         t = Tafra({"d": [date(2020, 1, 1), date(2020, 2, 1)]})
         assert t.dtypes["d"] == "date"
+
+
+class TestMultiFileCSV:
+    def test_directory_roundtrip(self, spark, tmp_path):
+        """Distributed CSV write (multi-part directory) → read_csv on the
+        directory: inference and values survive the round trip."""
+        t = Tafra({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+        path = str(tmp_path / "multi_csv")
+        t.write_csv(path)  # distributed sink: several part files + _SUCCESS
+        back = Tafra.read_csv(path)
+        assert back.dtypes == {"a": "int32", "b": "str"}
+        pdf = back.to_pandas().sort_values("a").reset_index(drop=True)
+        assert pdf["a"].tolist() == list(range(100))
+        assert pdf["b"].tolist() == [f"s{i}" for i in range(100)]
+
+    def test_glob_pattern(self, spark, tmp_path):
+        t = Tafra({"x": [1, 2, 3]})
+        path = str(tmp_path / "glob_csv")
+        t.write_csv(path)
+        back = Tafra.read_csv(path + "/*.csv")
+        assert back.rows == 3
