@@ -675,8 +675,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines so the comparison is deterministic
     li = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
+    # floor() before the integer conversion: Spark's cast truncates while
+    # DuckDB's rounds, so a bare cast would diverge on fractional values
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (F.sum(F.col("l_quantity").cast("long"))
+        (F.sum(F.floor(F.col("l_quantity")))
          / F.count(F.lit(1)) * F.lit(0.2)).alias("qty_thr")
     )
     return (
@@ -700,14 +702,8 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum so the filter boundary is the same double on both engines.
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
-    thr = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (
-                F.sum(F.floor(F.col("c_acctbal") * F.lit(_FP) + F.lit(0.5)))
-                / F.lit(_FP) / F.count(F.lit(1))
-            ).alias("thr")
-        )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        _mavg(F.col("c_acctbal"), "thr")
     )
     return (
         cust.crossJoin(F.broadcast(thr))
@@ -1375,7 +1371,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": """
             WITH thr AS (
               SELECT l_partkey AS ap_key,
-                     sum(CAST(l_quantity AS BIGINT)) / count(*) * 0.2 AS qty_thr
+                     sum(CAST(floor(l_quantity) AS BIGINT))
+                         / count(*) * 0.2 AS qty_thr
               FROM lineitem GROUP BY l_partkey
             )
             SELECT sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
@@ -1387,8 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_idle_balances": f"""
             WITH thr AS (
-              SELECT sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
-                     / 1000000.0 / count(*) AS thr
+              SELECT {_mavg_sql("c_acctbal", "thr")}
               FROM customer WHERE c_acctbal > 0
             )
             SELECT c_nationkey, count(*) AS numcust,

@@ -83,8 +83,9 @@ def count_min_build(
 
     One explode + hash-aggregate; the result has ≤ depth·width rows no
     matter the input size. Merge two sketches with
-    ``a.unionByName(b).groupBy("i","b").agg(sum("cnt"))``. Estimates
-    never undercount; overcount ≤ e/width·n with prob 1-e^-depth.
+    ``a.unionByName(b).groupBy("i","b").agg(F.sum("cnt").alias("cnt"))``.
+    Estimates never undercount; overcount ≤ e/width·n with prob
+    1-e^-depth.
     """
     ex = df.select(F.explode(_cm_cells(F.col(col), depth, width, seed)).alias("c"))
     return (
@@ -143,8 +144,9 @@ def bloom_build(
 ) -> DataFrame:
     """Build a Bloom filter as a (word, bits) bitmap DataFrame: explode k
     positions per key, OR the masks per 64-bit word. ≤ m_bits/64 rows.
-    Merge filters with union + ``bit_or`` re-aggregate. No false
-    negatives; false-positive rate ≈ (1 - e^{-kn/m})^k."""
+    Merge filters with
+    ``a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))``.
+    No false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k."""
     ex = df.select(
         F.explode(_bloom_positions(F.col(col), k, m_bits, seed)).alias("p")
     )

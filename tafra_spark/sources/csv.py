@@ -80,8 +80,16 @@ def _resolve_header_file(path: str) -> str:
             if os.path.isfile(full):
                 return full
         raise FileNotFoundError(f"no data files in CSV directory {path!r}")
+    # a literal file wins over glob interpretation ('results[2024].csv')
+    if os.path.isfile(path):
+        return path
     if any(ch in path for ch in "*?["):
-        matches = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        matches = sorted(
+            p
+            for p in _glob.glob(path)
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+        )
         if not matches:
             raise FileNotFoundError(f"no files match CSV glob {path!r}")
         return matches[0]

@@ -163,3 +163,12 @@ class TestMultiFileCSV:
         t.write_csv(path)
         back = Tafra.read_csv(path + "/*.csv")
         assert back.rows == 3
+
+    def test_glob_skips_success_marker(self, spark, tmp_path):
+        """'dir/*' globs must not pick the empty _SUCCESS marker as the
+        header file (review regression)."""
+        t = Tafra({"x": [1, 2, 3]})
+        path = str(tmp_path / "glob_all")
+        t.write_csv(path)
+        back = Tafra.read_csv(path + "/*")
+        assert back.rows == 3

@@ -47,10 +47,11 @@ class TestApproxQuantiles:
 class TestFreqItems:
     def test_heavy_hitters_superset(self, spark, orders):
         out = SK.freq_items(orders, ["o_orderstatus"], support=0.1).first()[0]
+        n = orders.count()
         truth = {
             r[0]
             for r in orders.groupBy("o_orderstatus").count().collect()
-            if r[1] > 0.1 * orders.count()
+            if r[1] > 0.1 * n
         }
         assert truth <= set(out)  # no false negatives
 
