@@ -695,6 +695,32 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape: per-supplier revenue for a quarter, keep the
+    # supplier(s) achieving the maximum (view + scalar subquery → window
+    # max over the aggregate)
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    from pyspark.sql import Window as W
+
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+        )
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(W.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return best.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
 def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q22 shape: above-average-balance customers with no large
     # orders (every synthetic customer has SOME order, so 'idle' means no
@@ -957,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q15_top_suppliers": q15_top_suppliers,
         "q22_idle_balances": q22_idle_balances,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
@@ -1381,6 +1408,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN thr ON l_partkey = ap_key
             WHERE p_brand = 'Brand#3' AND l_quantity < qty_thr
+        """,
+        "q15_top_suppliers": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     {_msum_sql("l_extendedprice * (1 - l_discount)", "total_rev")}
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
         """,
         "q22_idle_balances": f"""
             WITH thr AS (

@@ -242,3 +242,25 @@ class TestPlanSummary:
         assert s["shuffle_exchanges"] == 0
         assert any("l_quantity" in f for f in s["pushed_filters"])
         assert ["l_orderkey", "l_quantity"] == sorted(s["scan_columns"][0])
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        """Hive-partitioned writes + a partition-key filter: the scan must
+        prune at the PartitionFilters level (directory skip), not scan
+        all partitions and row-filter — the IVF/date-partitioning scale
+        story depends on this."""
+        from tafra_spark import Tafra
+        from tafra_spark.plans import explain_str
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        path = str(tmp_path / "li_part")
+        li.write_parquet(path, partition_by=["l_returnflag"])
+        back = Tafra.read_parquet(path, spark)
+        out = back.filter(F.col("l_returnflag") == "R")
+        plan = explain_str(out.df)
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "l_returnflag" in m.group(1)
+        assert out.df.count() > 0
