@@ -662,14 +662,20 @@ class Tafra:
         ``tafra/base.py:1652-1673``)."""
         return Tafra._wrap(self._df, rows=self._cached_rows)
 
-    def update(self, other: "Tafra") -> "Tafra":
+    def update(self, other: Union["Tafra", Mapping, pd.DataFrame]) -> "Tafra":
         t = self.copy()
         t.update_inplace(other)
         return t
 
-    def update_inplace(self, other: "Tafra") -> "Tafra":
-        """Overwrite/add columns from another Tafra, position-aligned;
-        row counts must match (reference ``tafra/base.py:1449-1496``)."""
+    def update_inplace(
+        self, other: Union["Tafra", Mapping, pd.DataFrame]
+    ) -> "Tafra":
+        """Overwrite/add columns from another Tafra (or anything
+        ``as_tafra`` accepts — the reference takes raw data dicts too,
+        ``test_tafra.py:527``), position-aligned; row counts must match
+        (reference ``tafra/base.py:1449-1496``)."""
+        if not isinstance(other, Tafra):
+            other = Tafra.as_tafra(other)
         if other.rows != self.rows:
             raise ValueError(
                 f"row count mismatch: other has {other.rows}, self has {self.rows}"

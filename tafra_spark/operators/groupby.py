@@ -119,6 +119,14 @@ def _parse_spec(
     """
     parsed: list[tuple[str, AggFn, str]] = []
     for out_name, value in aggregation.items():
+        if not isinstance(out_name, str):
+            # reference raises for inverted specs like {sum: 'x'}
+            # (test_tafra.py:693-704)
+            raise AggSpecError(
+                f"aggregation keys must be column-name strings, got "
+                f"{out_name!r} — the spec is {{'col': fn}} or "
+                f"{{'new_col': (fn, 'col')}}"
+            )
         if isinstance(value, tuple):
             if len(value) != 2 or not callable(value[0]) or not isinstance(value[1], str):
                 raise AggSpecError(
@@ -171,6 +179,11 @@ def compile_agg_spec(
             fallbacks.append((out_name, fn, src))
 
     for out_name, fn in (iter_fn or {}).items():
+        if not isinstance(out_name, str):
+            raise AggSpecError(
+                f"iter_fn keys must be new-column-name strings, got "
+                f"{out_name!r} — the spec is {{'new_col': fn}}"
+            )
         hit = _lookup(fn)
         if hit is not None and hit[1] == "count":
             # len(i * ones[group_size]) == group size — COUNT(*)

@@ -483,3 +483,18 @@ class TestReviewRegressions:
         assert out.columns == ("x", "y", "z")
         out2 = tafra[np.array([], dtype=int)]
         assert out2.rows == 0
+
+
+class TestUpdateCoercion:
+    def test_update_accepts_dict(self, tafra):
+        """Reference parity (test_tafra.py:527): update takes raw data."""
+        out = tafra.update({"w": [1, 2, 3, 4, 5, 6]})
+        assert out.to_pandas()["w"].tolist() == [1, 2, 3, 4, 5, 6]
+
+    def test_update_dtypes_numpy_datetime_string(self, spark):
+        """'<M8[D]' numpy dtype strings cast (test_tafra.py:899-903)."""
+        import datetime as dt
+
+        t = Tafra({"d": ["2020-01-01", "2020-02-01"]})
+        out = t.update_dtypes({"d": "<M8[D]"})
+        assert out.dtypes["d"] == "datetime64"

@@ -157,3 +157,13 @@ class TestExtensions:
         b = Tafra({"y": ["one", "three"]})
         assert a.intersect(b).rows == 1
         assert sorted(a.except_all(b).to_pandas()["y"]) == ["two"]
+
+
+class TestInvalidAggSpecs:
+    def test_inverted_agg_spec_raises(self, tafra):
+        """Reference parity (test_tafra.py:693-704): {sum: 'x'} and
+        {len: 'count'} are inverted specs and must raise ValueError."""
+        with pytest.raises(ValueError):
+            tafra.group_by(["y", "z"], {sum: "x"})
+        with pytest.raises(ValueError):
+            tafra.group_by(["y", "z"], {}, {len: "count"})
