@@ -821,6 +821,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.with_fingerprint(docs).select("doc_id", "fp")
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus balancing: deterministically downsample by language (hash of
+    # the doc id, not RNG — reproducible on any engine/partitioning, so
+    # the oracle can verify the EXACT sample membership)
+    from tafra_spark.functions.sampling import stratified_hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    with_lang = TX.with_language(docs)
+    out = stratified_hash_sample(
+        with_lang, "doc_id", "lang_pred", {"en": 40.0, "de": 70.0}, 100.0
+    )
+    return out.select("doc_id", "lang_pred")
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1000,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_language_id": text_language_id,
         "doc_fingerprint": doc_fingerprint,
+        "stratified_sample": stratified_sample,
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_signature": minhash_signature,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1581,6 +1596,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_language_id": _lang_id_sql(),
         "doc_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+        "stratified_sample": f"""
+            WITH lang AS ({_lang_id_sql()}),
+            h AS (
+              SELECT doc_id, lang_pred,
+                     CAST(concat('0x', substr(md5('42|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 100 AS bucket
+              FROM lang
+            )
+            SELECT doc_id, lang_pred FROM h
+            WHERE bucket < CASE lang_pred
+                             WHEN 'en' THEN 40.0
+                             WHEN 'de' THEN 70.0
+                             ELSE 100.0 END
+        """,
         "exact_dedup_groups": f"""
             SELECT {_FP_SQL} AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1

@@ -1,0 +1,69 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is engine- and partition-layout-
+dependent — unusable when a pipeline must be reproducible or verified
+against an independent engine. These operators sample by KEY HASH
+instead: a row is kept iff ``hash(key) mod 100 < rate_pct``. Properties
+that matter at 100 TB:
+
+- **reproducible** — same keys → same sample, on any engine, any
+  partitioning, any run;
+- **stable under growth** — re-running on an appended dataset keeps
+  every previously-sampled row (no resampling churn);
+- **narrow** — a per-row codegen'd predicate, no shuffle, pushes
+  through joins;
+- **stratified** — per-stratum rates (e.g. downsample the dominant
+  language, keep the tail) via one ``when`` chain.
+
+The hash is the first 60 bits of md5 (engine-portable, same family as
+the dedup fingerprints) salted with a seed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_mod", "hash_sample", "stratified_hash_sample"]
+
+
+def hash_mod(key: Column, buckets: int = 100, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of (seed, key).
+    DuckDB mirror: ``CAST(concat('0x', substr(md5(seed || '|' || key),
+    1, 15)) AS BIGINT) % buckets``."""
+    digest = F.md5(
+        F.concat(F.lit(f"{seed}|"), key.cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_pct: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~``rate_pct``% of rows, deterministically by key hash."""
+    return df.filter(hash_mod(F.col(key_col), 100, seed) < F.lit(rate_pct))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 100.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value →
+    keep percentage; unlisted strata keep ``default_rate``%.
+
+    The canonical corpus-balancing op: downsample the dominant stratum
+    (e.g. English web text) while keeping the tail complete.
+    """
+    rate = F.lit(float(default_rate))
+    for value, pct in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(pct))).otherwise(
+            rate
+        )
+    return df.filter(hash_mod(F.col(key_col), 100, seed) < rate)

@@ -306,3 +306,32 @@ class TestSimhashEdge:
         rows = out.collect()
         # exact-signature duplicates only; must not crash
         assert all(r["hamming"] == 0 for r in rows)
+
+
+class TestDeterministicSampling:
+    def test_hash_sample_reproducible_and_stable(self, spark):
+        from tafra_spark.functions.sampling import hash_sample
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = {r[0] for r in hash_sample(docs, "doc_id", 50).select("doc_id").collect()}
+        b = {r[0] for r in hash_sample(docs, "doc_id", 50).select("doc_id").collect()}
+        assert a == b  # reproducible
+        n = docs.count()
+        assert 0.3 * n < len(a) < 0.7 * n  # ~50%
+        # growth stability: sampling a subset yields the subset's members
+        half = docs.filter(F.col("doc_id") < 250)
+        c = {r[0] for r in hash_sample(half, "doc_id", 50).select("doc_id").collect()}
+        assert c == {x for x in a if x < 250}
+
+    def test_stratified_rates(self, spark):
+        from tafra_spark.functions.sampling import stratified_hash_sample
+        from tafra_spark.functions.text import with_language
+
+        docs = with_language(spark.read.parquet(f"{SF}/documents.parquet"))
+        out = stratified_hash_sample(
+            docs, "doc_id", "lang_pred", {"en": 0.0}, 100.0
+        )
+        langs = {r[0] for r in out.select("lang_pred").distinct().collect()}
+        assert "en" not in langs  # rate 0 removes the stratum entirely
+        total_non_en = docs.filter(F.col("lang_pred") != "en").count()
+        assert out.count() == total_non_en  # default 100% keeps the rest
