@@ -747,6 +747,271 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape (adapted: no partsupp table — the supply relation is
+    # derived from lineitem, offer cost = min extendedprice per
+    # part×supplier): correlated-min subquery → window min over the
+    # region-restricted offer set, then the part filter. min() is
+    # order-independent, so raw doubles are hash-stable.
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    from pyspark.sql import Window as W
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_cost")
+    )
+    eu = (
+        offers.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    best = eu.withColumn(
+        "min_cost", F.min("offer_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("offer_cost") == F.col("min_cost"))
+    return (
+        best.join(
+            F.broadcast(part.filter(F.col("p_size").between(10, 15))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("s_name", "s_acctbal", "n_name", "p_partkey", "p_name", "offer_cost")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: one nation's share of regional revenue per year —
+    # conditional fixed-point sums, share division mirrored on both sides
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    part = _read(spark, sf_dir, "part")
+    vol_micros = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_FP)
+        + F.lit(0.5)
+    )
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol_micros)
+                    .otherwise(F.lit(0))
+                )
+                / F.sum(vol_micros)
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (adapted: no ps_supplycost — cost proxy is
+    # p_retailprice * quantity * 0.1): profit by supplier nation and
+    # order year for a part-name pattern; per-row profit is fixed-pointed
+    # BEFORE the sum so the aggregate is order-independent
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    part = _read(spark, sf_dir, "part")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_msum(profit, "sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: per-part value with a HAVING threshold derived
+    # from a scalar subquery over the same restricted set (exact integer
+    # sums on both sides; threshold arithmetic mirrored)
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    base = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * F.lit(_FP) + F.lit(0.5)
+            ).alias("val_micros"),
+        )
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("val_micros").alias("part_micros")
+    )
+    total = base.agg(F.sum("val_micros").alias("total_micros"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_micros") > F.col("total_micros") * F.lit(0.001))
+        .select(
+            "l_partkey", (F.col("part_micros") / F.lit(_FP)).alias("part_value")
+        )
+    )
+
+
+def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (adapted: no l_shipmode/commitdate — lines are
+    # bucketed by ship delay): conditional priority counts per bucket
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, "SLOW").when(delay > 30, "MEDIUM").otherwise("FAST")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (adapted: supply relation from lineitem, the
+    # excluded-supplier subquery is 'negative account balance'):
+    # NOT IN subquery → anti join, then count distinct suppliers per
+    # (brand, type, size)
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#5")
+                    & (F.col("p_type") != "PROMO")
+                    & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape (adapted: no partsupp availqty — 'excess' supplier
+    # = shipped more than half of a blue part's total volume): nested
+    # quantity subqueries → two aggregations joined on the part, then a
+    # semi join back to suppliers. Quantities are integer-valued doubles,
+    # so raw sums are exact in both engines.
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    blue = li.join(
+        F.broadcast(part.filter(F.col("p_name").like("blue%"))),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_ps = blue.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_p = blue.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.5))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (adapted: 'late' = shipped >60 days after order
+    # date): suppliers who were the SOLE late supplier on a
+    # multi-supplier order — the EXISTS / NOT EXISTS self-join pair
+    # becomes one aggregation over (order, supplier) flags
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    flags = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flags.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    blockers = (
+        flags.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return blockers.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_name", "numwait")
+
+
 def rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-based rolling aggregate: per user, events and value-sum in the
     # trailing hour ending at each event (RANGE frame over epoch seconds)
@@ -1000,6 +1265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_suppliers": q15_top_suppliers,
         "q22_idle_balances": q22_idle_balances,
         "q10_returned_items": q10_returned_items,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_by_delay": q12_priority_by_delay,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q18_large_orders": q18_large_orders,
         "q19_discounted_revenue": q19_discounted_revenue,
         "q4_late_orders": q4_late_orders,
@@ -1463,6 +1736,141 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-07-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q2_min_cost_supplier": """
+            WITH offers AS (
+              SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), eu AS (
+              SELECT offers.*, s_name, s_acctbal, n_name
+              FROM offers
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), ranked AS (
+              SELECT eu.*, min(offer_cost) OVER (PARTITION BY l_partkey) AS min_cost
+              FROM eu
+            )
+            SELECT s_name, s_acctbal, n_name, p_partkey, p_name, offer_cost
+            FROM ranked JOIN part ON l_partkey = p_partkey
+            WHERE offer_cost = min_cost AND p_size BETWEEN 10 AND 15
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   sum(CASE WHEN n2.n_name = 'NATION_3'
+                            THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 1000000.0 + 0.5) AS BIGINT)
+                            ELSE 0 END)
+                   / sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 1000000.0 + 0.5) AS BIGINT)) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+            GROUP BY 1
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_msum_sql(
+                       "l_extendedprice * (1 - l_discount)"
+                       " - p_retailprice * l_quantity * 0.1",
+                       "sum_profit",
+                   )}
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, 2
+        """,
+        "q11_important_parts": """
+            WITH base AS (
+              SELECT l_partkey,
+                     CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                         AS val_micros
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+            )
+            SELECT l_partkey,
+                   sum(val_micros) / 1000000.0 AS part_value
+            FROM base
+            GROUP BY l_partkey
+            HAVING sum(val_micros) > (SELECT sum(val_micros) FROM base) * 0.001
+        """,
+        "q12_priority_by_delay": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                        THEN 'SLOW'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                        THEN 'MEDIUM'
+                        ELSE 'FAST' END AS delay_bucket,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": """
+            WITH blue AS (
+              SELECT l_partkey, l_suppkey, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'blue%'
+            ), per_ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM blue GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+              SELECT l_partkey AS pk, sum(l_quantity) AS part_qty
+              FROM blue GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM per_ps JOIN per_p ON l_partkey = pk
+              WHERE supp_qty > part_qty * 0.5
+            )
+        """,
+        "q21_waiting_suppliers": """
+            WITH flags AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+              SELECT l_orderkey AS ok, count(*) AS n_supp,
+                     sum(is_late) AS n_late
+              FROM flags GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM flags
+            JOIN per_order ON l_orderkey = ok
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY s_name
         """,
         "q18_large_orders": f"""
             WITH big AS (
