@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
 the scale extensions (dedup / similarity / temporal joins / multimodal /
 text / sessionization). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
-EVERY query (51/51): engine-specific primitives are made portable (md5
+EVERY query: engine-specific primitives are made portable (md5
 hash families, inlined seeded plane literals, byte arithmetic), so no
 query falls back to the rows-only check.
 
@@ -808,8 +808,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
-        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -1234,6 +1234,42 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- registry order == driver evaluation order. The driver's
+        # correctness budget covered only the first 50 entries in r2, so
+        # never-driver-verified extension queries and previously-red rows
+        # come FIRST; the TPC-H variants that have been green twice sit
+        # at the tail. ---
+        # dedup / similarity / multimodal / sampling (no driver row in r2)
+        "stratified_sample": stratified_sample,
+        "exact_dedup_groups": exact_dedup_groups,
+        "minhash_signature": minhash_signature,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "simhash_near_dups": simhash_near_dups,
+        "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_centroid_assign": embedding_centroid_assign,
+        "embedding_lsh_ann": embedding_lsh_ann,
+        "embedding_near_dups": embedding_near_dups,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_language_id": text_language_id,
+        "doc_fingerprint": doc_fingerprint,
+        # red in r2 — fixed this round, need fresh driver rows
+        "q8_market_share": q8_market_share,
+        "q12_priority_by_delay": q12_priority_by_delay,
+        "json_extract_stats": json_extract_stats,
+        # streaming / events / temporal joins
+        "events_hourly": events_hourly,
+        "events_quarter_hour": events_quarter_hour,
+        "sessionize_events": sessionize_events,
+        "rolling_hour_window": rolling_hour_window,
+        "asof_join_events": asof_join_events,
+        "range_join_incidents": range_join_incidents,
+        "grouped_quantiles": grouped_quantiles,
+        # core operator surface
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -1252,12 +1288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": distinct_pairs,
         "rename_project": rename_project,
         "agg_stats": agg_stats,
-        "asof_join_events": asof_join_events,
-        "range_join_incidents": range_join_incidents,
         "semi_join_exists": semi_join_exists,
         "anti_join_not_exists": anti_join_not_exists,
         "rollup_agg": rollup_agg,
         "pivot_linestatus": pivot_linestatus,
+        # TPC-H variants — green in r1 and r2, lowest re-verify priority
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q13_customer_distribution": q13_customer_distribution,
@@ -1266,10 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balances": q22_idle_balances,
         "q10_returned_items": q10_returned_items,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_parts": q11_important_parts,
-        "q12_priority_by_delay": q12_priority_by_delay,
         "q16_supplier_counts": q16_supplier_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -1277,29 +1310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q4_late_orders": q4_late_orders,
         "q14_promo_share": q14_promo_share,
-        "rolling_hour_window": rolling_hour_window,
-        "grouped_quantiles": grouped_quantiles,
-        "json_extract_stats": json_extract_stats,
-        "events_hourly": events_hourly,
-        "events_quarter_hour": events_quarter_hour,
-        "sessionize_events": sessionize_events,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_language_id": text_language_id,
-        "doc_fingerprint": doc_fingerprint,
-        "stratified_sample": stratified_sample,
-        "exact_dedup_groups": exact_dedup_groups,
-        "minhash_signature": minhash_signature,
-        "minhash_lsh_pairs": minhash_lsh_pairs,
-        "ngram_jaccard": ngram_jaccard,
-        "simhash_near_dups": simhash_near_dups,
-        "multimodal_decode": multimodal_decode,
-        "multimodal_frames": multimodal_frames,
-        "embedding_cosine_topk": embedding_cosine_topk,
-        "embedding_centroid_assign": embedding_centroid_assign,
-        "embedding_lsh_ann": embedding_lsh_ann,
-        "embedding_near_dups": embedding_near_dups,
-        "embedding_ivf_topk": embedding_ivf_topk,
     }
 
 
@@ -1808,15 +1818,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(val_micros) > (SELECT sum(val_micros) FROM base) * 0.001
         """,
         "q12_priority_by_delay": """
-            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+            SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) > 90
                         THEN 'SLOW'
-                        WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                        WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) > 30
                         THEN 'MEDIUM'
                         ELSE 'FAST' END AS delay_bucket,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1932,9 +1944,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_stats": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   count(json_extract_string(props, '$.k')) AS n_k,
-                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)) AS n_k,
+                   max(TRY_CAST(json_extract_string(props, '$.k')
+                                AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
         "events_hourly": f"""

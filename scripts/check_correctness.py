@@ -41,6 +41,23 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+_PORTABLE_TYPES = {
+    "BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+    "INTEGER", "FLOAT",
+}
+
+
+def _portable_type(t: str) -> bool:
+    """True when a DuckDB result type hashes identically to its Spark
+    counterpart under the driver's canonicalization. LIST types are
+    portable when their element is (array columns round-trip through
+    pandas as python lists on both engines)."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return _portable_type(t[:-2])
+    return t in _PORTABLE_TYPES
+
+
 def value_hash(pdf: pd.DataFrame) -> str:
     body = pdf.to_csv(index=False, float_format="%.17g").encode()
     return hashlib.md5(body).hexdigest()
@@ -74,7 +91,22 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            duck_pdf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # The driver's hash distinguishes integer widths that pandas
+            # stringifies identically (r2 red rows were DuckDB HUGEINT
+            # sums vs Spark BIGINT). Reject any oracle column outside the
+            # portable type set so width drift fails HERE, not at the
+            # driver.
+            bad = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if not _portable_type(str(t))
+            ]
+            if bad:
+                print(f"FAIL {name}: non-portable oracle types {bad} "
+                      "(CAST sums to BIGINT / doubles explicitly)")
+                n_fail += 1
+                continue
+            duck_pdf = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

@@ -165,11 +165,15 @@ def lsh_ann_topk(
             probe_arr = F.array(
                 base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
             )
+            qb = q.select(
+                "query_id", "qv", F.explode(probe_arr).alias("bucket")
+            )
         else:
-            probe_arr = F.array(base)
-        qb = q.select(
-            "query_id", "qv", F.explode(probe_arr).alias("bucket")
-        )
+            # no explode on the single-probe path: a Generate node here
+            # makes InferFiltersFromGenerate re-evaluate the signature
+            # expression as an inferred filter (measured +43% on the
+            # defaults between r1 and r2)
+            qb = q.select("query_id", "qv", base.alias("bucket"))
         pairs = (
             cb.join(F.broadcast(qb), on="bucket")
             .filter(F.col("neighbor_id") != F.col("query_id"))
