@@ -345,6 +345,12 @@ def fuzzy_dedup_pairs(
     and shingles the corpus twice; at 100 TB that duplicated scan is the
     dominant cost. The persist is MEMORY_AND_DISK: the shingle table is
     ~corpus-sized, and spilling beats recomputing the scan + explode.
+
+    Cache lifetime: Spark's ContextCleaner auto-unpersists the shingle
+    RDD once the returned plan (its only reference) is garbage
+    collected; long-lived sessions running many pipelines back-to-back
+    can force release earlier by dropping the result DataFrame or via
+    ``spark.catalog.clearCache()``.
     """
     from pyspark import StorageLevel
 

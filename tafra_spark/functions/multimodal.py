@@ -73,17 +73,37 @@ def asset_table(spark, n: int = 100, modality: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
 
 
+try:  # optional imaging dependency — decoding real mimes needs it
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised via monkeypatch in tests
+    _PILImage = None
+    _HAS_PIL = False
+
+
 def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
-    """Decode an encoded image to an ndarray. STUB: real codecs are not
-    available in this container; the deterministic fake treats the bytes
-    as a raw uint8 grid. Replace with PIL.Image.open for production."""
+    """Decode an encoded image to a 2-D uint8 ndarray.
+
+    ``image/fake`` payloads (the deterministic raw-grid fake) always
+    decode, so the Arrow plumbing is testable without any imaging
+    library. Real mimes (image/png, image/jpeg, ...) decode through PIL
+    when it is importable; the ``NotImplementedError`` only fires when
+    the dependency is genuinely absent."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
         return arr[: side * side].reshape(side, side)
+    if _HAS_PIL:
+        import io
+
+        img = _PILImage.open(io.BytesIO(content))
+        # luminance grid: keeps the downstream (width, height, intensity)
+        # contract identical for fake and real payloads
+        return np.asarray(img.convert("L"), dtype=np.uint8)
     raise NotImplementedError(
-        "real image decoding requires an imaging library (PIL/opencv) "
-        "not present in this environment; only 'image/fake' payloads decode"
+        "real image decoding requires an imaging library (PIL) that is "
+        "not installed; only 'image/fake' payloads decode without it"
     )
 
 

@@ -180,11 +180,30 @@ class TestMultimodal:
             norm = float(np.linalg.norm(r["features"]))
             assert norm == pytest.approx(1.0, abs=1e-5)
 
-    def test_unknown_mime_raises(self, spark):
-        import pandas as pd
-
+    def test_real_mime_without_pil_raises(self, spark, monkeypatch):
+        # the stub must only fire when the imaging dependency is absent
+        monkeypatch.setattr(M, "_HAS_PIL", False)
         with pytest.raises(NotImplementedError):
             M._decode_stub(b"\x00\x01", "image/png")
+
+    def test_fake_mime_decodes_without_pil(self, monkeypatch):
+        monkeypatch.setattr(M, "_HAS_PIL", False)
+        arr = M._decode_stub(M.fake_image_bytes(7), "image/fake")
+        assert arr.shape == (8, 8)
+
+    def test_real_mime_decodes_with_pil(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841 - gated on install
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
+        ).save(buf, format="PNG")
+        arr = M._decode_stub(buf.getvalue(), "image/png")
+        assert arr.shape == (8, 8)
+        assert arr[0, 1] == 1
 
     def test_video_frame_sampling(self, spark):
         rows = [(1, "video", None, (None, None, 5000, "video/fake"))]
