@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tafra_spark import Tafra
 from tafra_spark.functions import dedup as D
+from tafra_spark.functions import pipeline as P
 from tafra_spark.functions import similarity as S
 from tafra_spark.functions import text as TX
 from tafra_spark.streaming import ops as STREAM
@@ -1100,6 +1101,49 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred")
 
 
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # test-set decontamination: docs with doc_id % 97 == 0 stand in for a
+    # benchmark/eval set; every corpus doc sharing ANY word n-gram with
+    # them is dropped. Real pipelines use 8-13 grams; the synthetic docs
+    # are ~50 tokens over a tiny vocabulary, so n=3 reproduces realistic
+    # hit rates (n=8 removes zero docs at sf0.01 — the removal path
+    # would go untested). The benchmark n-gram hash set is broadcast, so
+    # the corpus pass is map-side (one scan, one tiny distinct shuffle).
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return P.decontaminate(corpus, bench, ngram=3).select("doc_id")
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals (duplicate-token and top-token
+    # fractions) as zero-shuffle per-row HOF folds; 10^4 fixed-point so
+    # the hashes are engine-exact
+    docs = _read(spark, sf_dir, "documents")
+    return P.repetition_stats(docs)
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk sequence packing into 512-token training bins,
+    # deterministic doc_id order within each source partition
+    docs = _read(spark, sf_dir, "documents")
+    return P.pack_sequences(docs, budget=512)
+
+
+def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain vocabulary profile: top-5 terms by raw frequency,
+    # integer scoring, term-string tie-break (total order on both engines)
+    docs = _read(spark, sf_dir, "documents")
+    return P.source_top_terms(docs, k=5)
+
+
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic md5-keyed shuffle into 256 training shards with
+    # reproducible in-shard positions — no RNG, byte-stable across runs
+    docs = _read(spark, sf_dir, "documents")
+    return P.train_shuffle(docs, n_shards=256, seed=42)
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1239,6 +1283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified extension queries and previously-red rows
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
+        # NEW in r3: training-pipeline operators (never driver-verified)
+        "decontaminate_overlap": decontaminate_overlap,
+        "doc_repetition_stats": doc_repetition_stats,
+        "pack_training_sequences": pack_training_sequences,
+        "source_top_terms": source_top_terms,
+        "train_shuffle_shards": train_shuffle_shards,
         # dedup / similarity / multimodal / sampling (no driver row in r2)
         "stratified_sample": stratified_sample,
         "exact_dedup_groups": exact_dedup_groups,
@@ -2037,6 +2087,111 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": f"""
             SELECT {_FP_SQL} AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "decontaminate_overlap": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE
+                  WHEN len(ws) >= 3 THEN list_distinct(
+                    list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' ')))
+                  WHEN len(ws) > 0
+                       AND length(trim(array_to_string(ws, ' '))) > 0
+                    THEN [array_to_string(ws, ' ')]
+                  ELSE []
+                END AS shset
+              FROM w
+            ),
+            g AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         AS gh
+              FROM (SELECT doc_id, unnest(shset) AS gram FROM sh)
+            ),
+            bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+            bad AS (
+              SELECT DISTINCT doc_id FROM g
+              WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bg)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "doc_repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(floor(((len(t) - len(list_distinct(t))) * 10000
+                               + len(t) / 2) / len(t)) AS BIGINT) AS dup_q4,
+                   CAST(floor((list_max(list_transform(list_distinct(t),
+                          u -> len(list_filter(t, x -> x = u)))) * 10000
+                               + len(t) / 2) / len(t)) AS BIGINT) AS top_q4
+            FROM w
+        """,
+        "pack_training_sequences": r"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(lower(trim(text)),
+                                                         '\s+'))
+                     END AS nt
+              FROM documents
+            ),
+            c AS (
+              SELECT source, doc_id, nt,
+                     sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+              FROM d
+            )
+            SELECT source,
+                   CAST(floor((cum - nt) / 512) AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS seq_tokens
+            FROM c GROUP BY source, 2
+        """,
+        "source_top_terms": r"""
+            WITH t AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                         AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (
+              SELECT source, term, count(*) AS term_count
+              FROM t GROUP BY source, term
+            )
+            SELECT source, term, term_count,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY term_count DESC, term) AS rank
+              FROM c
+            ) WHERE rank <= 5
+        """,
+        "train_shuffle_shards": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     CAST(concat('0x',
+                          substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS shuffle_key
+              FROM documents
+            )
+            SELECT doc_id,
+                   shuffle_key % 256 AS shard,
+                   CAST(row_number() OVER (PARTITION BY shuffle_key % 256
+                        ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+                   shuffle_key
+            FROM k
         """,
         "minhash_signature": _MINHASH_SIG_SQL + "SELECT * FROM sig",
         "minhash_lsh_pairs": _MINHASH_SIG_SQL

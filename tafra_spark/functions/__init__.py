@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]

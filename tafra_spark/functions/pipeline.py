@@ -1,0 +1,228 @@
+"""Training-data pipeline operators: decontamination, repetition
+metrics, sequence packing, per-domain term stats, deterministic
+shuffle-sharding.
+
+These are the corpus-preparation steps a large-scale LLM data pipeline
+runs between raw ingestion and tokenized training shards (cf. the
+public C4 / Gopher / Dolma pipeline descriptions):
+
+- ``decontaminate``: drop corpus documents sharing any word n-gram with
+  a benchmark/eval set (n-gram overlap is the standard public
+  decontamination rule).
+- ``repetition_stats``: per-document duplicate-token and top-token
+  fractions — the Gopher-style repetition signals used to filter
+  boilerplate and degenerate text.
+- ``pack_sequences``: contiguous greedy packing of documents into
+  fixed token-budget training sequences, per source partition.
+- ``source_top_terms``: per-source term frequency ranking (domain
+  vocabulary profile).
+- ``train_shuffle``: deterministic hash-based global shuffle into
+  training shards — reproducible across runs, no RNG state.
+
+All operators are pure DataFrame plans (codegen'd built-ins + HOFs, no
+Python UDFs) with DuckDB-portable semantics so every one is backed by a
+value-hash oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import word_tokens
+
+__all__ = [
+    "decontaminate",
+    "repetition_stats",
+    "pack_sequences",
+    "source_top_terms",
+    "train_shuffle",
+]
+
+
+def _ngram_hash(sh: Column) -> Column:
+    """60-bit md5-derived hash of a shingle string — engine-portable
+    (mirrors dedup._portable_hashes' md5-slice trick) and 8 bytes on the
+    shuffle wire instead of a ~60-byte string key."""
+    return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Remove corpus documents that share ANY word ``ngram``-gram with
+    the benchmark set (test-set decontamination).
+
+    Plan shape for 100 TB: the benchmark is small (eval sets are
+    thousands of docs), so its distinct n-gram hash set is BROADCAST and
+    the corpus-side shingle explosion is filtered map-side — the only
+    shuffle is the distinct over contaminated ids (bounded by the
+    corpus doc count, tiny rows). The corpus is scanned once.
+    """
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), ngram)).alias("__g__")
+        )
+        .select(_ngram_hash(F.col("__g__")).alias("__gh__"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), ngram)).alias("__g__"),
+    ).select(id_col, _ngram_hash(F.col("__g__")).alias("__gh__"))
+    contaminated = (
+        corpus_grams.join(bench_grams, "__gh__", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals, fixed-point for hash stability:
+
+    - ``dup_q4``: 10^4-scaled fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total);
+    - ``top_q4``: 10^4-scaled frequency of the single most common token.
+
+    Zero-shuffle per-row HOF plan. The top-token count folds over the
+    distinct-token array (O(distinct x total) element visits per doc —
+    documents are bounded, and the work is embarrassingly parallel).
+    Docs with no tokens are dropped (mirrors the oracle's trim filter).
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), toks.alias("__t__")
+    ).filter(F.size("__t__") > 0)
+    t = F.col("__t__")
+    n = F.size(t)
+    d = F.size(F.array_distinct(t))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda u: F.size(F.filter(t, lambda x: x == u)),
+        )
+    )
+    # floor((x * 10^4 + half) / n) over exactly-representable ints —
+    # identical doubles on both engines (n*10^4 << 2^53)
+    dup_q4 = F.floor(((n - d) * 10000 + n / 2) / n).cast("long")
+    top_q4 = F.floor((top * 10000 + n / 2) / n).cast("long")
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        dup_q4.alias("dup_q4"),
+        top_q4.alias("top_q4"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences.
+
+    Contiguous greedy packing in deterministic ``id_col`` order WITHIN
+    each ``part_col`` partition: a doc starts a new sequence when the
+    running token total would exceed ``budget``-sized bins (bin index =
+    floor(exclusive-cumsum / budget), the standard concat-and-chunk
+    packing). Partitioned cumulative windows scale — each source's
+    window runs on its own shuffle partition; there is no global sort.
+
+    Returns one row per (partition, sequence): doc count + token total.
+    """
+    n_tok = F.size(word_tokens(F.lower(F.col(text_col))))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    seq_id = F.floor((cum - n_tok) / F.lit(budget)).cast("long")
+    return (
+        df.select(
+            F.col(part_col),
+            F.col(id_col),
+            seq_id.alias("seq_id"),
+            n_tok.cast("long").alias("__nt__"),
+        )
+        .groupBy(part_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt__").alias("seq_tokens"),
+        )
+    )
+
+
+def source_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    part_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` terms per source by raw term frequency (domain
+    vocabulary profile). Fully integer scoring; ties break on the term
+    string so the ranking is total and engine-portable.
+
+    explode -> count is ONE linear shuffle on (source, token); the
+    per-source top-k window then runs on the already-aggregated (small)
+    term table.
+    """
+    terms = df.select(
+        F.col(part_col),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    counts = terms.groupBy(part_col, "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("term_count").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(part_col, "term", "term_count", "rank")
+    )
+
+
+def train_shuffle(
+    df: DataFrame,
+    n_shards: int = 256,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash shuffle into training shards.
+
+    Every doc gets a reproducible 60-bit md5 key from (seed, id); the
+    shard is key mod ``n_shards`` and the in-shard position is the key
+    rank — re-running on the same corpus yields byte-identical shards
+    (no RNG state, no sampling drift). At scale this is one hash
+    projection plus a per-shard window: shards are hash-balanced, so the
+    window never sees a skewed partition.
+    """
+    key = _ngram_hash(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("shuffle_key"),
+        )
+        .withColumn("shard", F.col("shuffle_key") % n_shards)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )

@@ -354,3 +354,116 @@ class TestDeterministicSampling:
         assert "en" not in langs  # rate 0 removes the stratum entirely
         total_non_en = docs.filter(F.col("lang_pred") != "en").count()
         assert out.count() == total_non_en  # default 100% keeps the rest
+
+
+class TestPipelineOps:
+    """Training-pipeline operators: decontamination, repetition stats,
+    sequence packing, domain terms, deterministic shard shuffle."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta", "s0"),
+            (1, "alpha beta gamma delta epsilon eta", "s0"),  # shares 4-grams w/ 0
+            (2, "one two three four five six seven", "s0"),
+            (3, "totally unrelated words here now", "s1"),
+            (4, "alpha beta gamma delta epsilon zeta", "s1"),  # dup of 0
+            (5, "mono", "s1"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_decontaminate_removes_overlap(self, spark, corpus):
+        from tafra_spark.functions.pipeline import decontaminate
+
+        bench = corpus.filter(F.col("doc_id") == 0)
+        rest = corpus.filter(F.col("doc_id") != 0)
+        kept = {
+            r[0]
+            for r in decontaminate(rest, bench, ngram=4)
+            .select("doc_id")
+            .collect()
+        }
+        # 1 shares "alpha beta gamma delta" etc., 4 is an exact dup; 2/3/5
+        # share nothing
+        assert kept == {2, 3, 5}
+
+    def test_decontaminate_broadcasts_benchmark(self, spark, corpus):
+        from tafra_spark.functions.pipeline import decontaminate
+        from tafra_spark.plans.inspect import explain_str
+
+        bench = corpus.filter(F.col("doc_id") == 0)
+        rest = corpus.filter(F.col("doc_id") != 0)
+        plan = explain_str(decontaminate(rest, bench), mode="simple")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+    def test_repetition_stats_values(self, spark):
+        from tafra_spark.functions.pipeline import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x y z w"), (3, "")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert set(rows) == {1, 2}  # empty doc dropped
+        r1 = rows[1]
+        assert r1["n_tokens"] == 4
+        assert r1["dup_q4"] == 5000  # 2 of 4 tokens are repeats
+        assert r1["top_q4"] == 7500  # 'a' is 3/4
+        r2 = rows[2]
+        assert r2["dup_q4"] == 0 and r2["top_q4"] == 2500
+
+    def test_repetition_stats_zero_shuffle(self, spark, corpus):
+        from tafra_spark.functions.pipeline import repetition_stats
+        from tafra_spark.plans.inspect import count_exchanges
+
+        # per-row fold: at most the _spread repartition, no agg shuffle
+        assert count_exchanges(repetition_stats(corpus)) <= 1
+
+    def test_pack_sequences_bins(self, spark, corpus):
+        from tafra_spark.functions.pipeline import pack_sequences
+
+        out = {
+            (r["source"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+            for r in pack_sequences(corpus, budget=10).collect()
+        }
+        # s0 docs 0,1,2 have 6,6,7 tokens: cumsum 6,12,19 -> bins 0,0,1
+        assert out[("s0", 0)] == (2, 12)
+        assert out[("s0", 1)] == (1, 7)
+        # s1 docs 3,4,5: 5,6,1 tokens -> excl-cumsum 0,5,11 -> bins 0,0,1
+        assert out[("s1", 0)] == (2, 11)
+        assert out[("s1", 1)] == (1, 1)
+
+    def test_source_top_terms_ranked(self, spark, corpus):
+        from tafra_spark.functions.pipeline import source_top_terms
+
+        rows = source_top_terms(corpus, k=2).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, lst in by_src.items():
+            assert len(lst) == 2
+            assert [r["rank"] for r in sorted(lst, key=lambda x: x["rank"])] == [1, 2]
+        # s0: alpha/beta/gamma/delta/epsilon all appear twice; ties break
+        # alphabetically -> alpha then beta
+        s0 = sorted(by_src["s0"], key=lambda r: r["rank"])
+        assert (s0[0]["term"], s0[1]["term"]) == ("alpha", "beta")
+
+    def test_train_shuffle_deterministic(self, spark, corpus):
+        from tafra_spark.functions.pipeline import train_shuffle
+
+        a = sorted(map(tuple, train_shuffle(corpus, n_shards=4).collect()))
+        b = sorted(map(tuple, train_shuffle(corpus, n_shards=4).collect()))
+        assert a == b
+        shards = {r[1] for r in a}
+        assert shards <= set(range(4))
+        # every doc present exactly once
+        assert sorted(r[0] for r in a) == [0, 1, 2, 3, 4, 5]
+        # positions within a shard are 1..m contiguous
+        from collections import Counter
+
+        per = Counter(r[1] for r in a)
+        pos = {}
+        for r in a:
+            pos.setdefault(r[1], []).append(r[2])
+        for s, plist in pos.items():
+            assert sorted(plist) == list(range(1, per[s] + 1))
