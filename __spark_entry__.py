@@ -1525,7 +1525,9 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -
 
 
 # hash j = 8-hex-char slice j%4 of md5('<j//4>|' || shingle) — mirrors
-# tafra_spark.functions.dedup._portable_hashes
+# tafra_spark.functions.dedup._hof_min_hashes (md5-slice family:
+# one digest yields four independent 32-bit hex slices; lexicographic
+# min over the slices is engine-portable)
 _MINHASH_SIG_SQL = (
     _SHINGLES_SQL
     + """,

@@ -67,6 +67,17 @@ def main() -> None:
     warm.select(
         F.explode(F.split(F.col("r_name"), "")).alias("ch")
     ).withColumn("h", F.md5(F.col("ch").cast("binary"))).count()
+    # higher-order-function machinery (transform/array_min/aggregate
+    # lambda interpreter classes) used by the per-row dedup/minhash folds
+    chars = F.split(F.col("r_name"), "")
+    warm.select(
+        F.array_min(
+            F.transform(chars, lambda c: F.md5(c.cast("binary")))
+        ).alias("m"),
+        F.aggregate(
+            chars, F.lit(0).cast("long"), lambda a, c: a + F.length(c)
+        ).alias("s"),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -6,14 +6,15 @@ Scale design notes (the whole point of these):
 - **exact**: hash-groupBy on a fingerprint — one shuffle on the hash, no
   sort. ``keep='min'`` keeps the smallest id per group deterministically.
 - **MinHash+LSH**: shingle → minhash signature → band → bucket-join.
-  Signatures are computed with ``explode`` + ``groupBy(min)`` over murmur
-  hashes of shingles — all JVM-side. Candidate pairs come from a
-  self-join on (band_id, band_hash) buckets, so the join key cardinality
-  is ~n_docs × n_bands, never the quadratic document-pair space.
-- **SimHash**: 64-bit majority-vote of token hashes, computed with
-  bitwise expressions (no UDF); near-dups = hamming distance ≤ k via a
-  band-join on 4 16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
-  equal).
+  Signatures are zero-shuffle per-document folds (``array_min`` over the
+  hashed shingle array — no explode, no aggregate, all JVM-side).
+  Candidate pairs come from a self-join on (band_id, band_hash) buckets,
+  so the join key cardinality is ~n_docs × n_bands, never the quadratic
+  document-pair space.
+- **SimHash**: 64-bit majority-vote of token hashes, computed as a
+  zero-shuffle higher-order-function fold (no UDF); near-dups = hamming
+  distance ≤ k via a band-join on 4 16-bit chunks (pigeonhole:
+  distance ≤3 ⇒ some chunk equal).
 - **n-gram Jaccard**: exact verification on LSH candidates only — the
   quadratic step runs on the (tiny) candidate set.
 - **embedding cosine**: delegates to functions.similarity.
@@ -127,24 +128,6 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def _portable_hashes(shingle: Column, num_hashes: int) -> list[Column]:
-    """md5-based hash family, reproducible in DuckDB.
-
-    One md5 yields 128 bits = four independent 32-bit (8-hex-char) slices;
-    hash j is slice j%4 of md5('<j//4>|' || shingle). Lexicographic min of
-    the hex slices is engine-portable and costs num_hashes/4 digests per
-    shingle instead of one digest per hash function.
-    """
-    out: list[Column] = []
-    for group in range((num_hashes + 3) // 4):
-        digest = F.md5(F.concat(F.lit(f"{group}|"), shingle).cast("binary"))
-        for slot in range(4):
-            if len(out) >= num_hashes:
-                break
-            out.append(F.substring(digest, 1 + 8 * slot, 8))
-    return out
-
-
 def shingle_table(
     df: DataFrame,
     text_col: str = "text",
@@ -162,32 +145,72 @@ def shingle_table(
     )
 
 
-def _min_hash_aggs(num_hashes: int, portable: bool) -> list[Column]:
-    """Per-hash min aggregates over the exploded shingle column ``__sh__``."""
-    if portable:
-        hashes = _portable_hashes(F.col("__sh__"), num_hashes)
-        return [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
-    return [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("__sh__")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+def _hof_signatures(
+    base: DataFrame, id_col: str, num_hashes: int, portable: bool
+) -> DataFrame:
+    """Fold ``base.sh`` (a shingle array column) into h0..h{n-1} minhash
+    columns with each md5 digest array computed ONCE.
+
+    The digest arrays are materialized in their own projection and the
+    four per-slot ``array_min`` folds reference them from the next one:
+    because a digest column is expensive and referenced four times,
+    Catalyst's CollapseProject keeps the boundary instead of re-inlining
+    (SPARK-36718), so the md5 pass runs once per group — naively nesting
+    the transforms re-evaluated shingling+md5 per hash slot (measured 3×
+    slower at sf0.1)."""
+    # closure factories, NOT default-arg lambdas: pyspark passes a second
+    # (index) argument to any 2-parameter lambda, which would clobber a
+    # default-bound loop variable
+    if not portable:
+        def _xxh(j: int):
+            return lambda s: F.xxhash64(F.concat(F.lit(f"{j}|"), s))
+
+        return base.select(
+            F.col(id_col),
+            *[
+                F.array_min(F.transform(F.col("sh"), _xxh(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
+    def _digester(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}|"), s).cast("binary"))
+
+    def _slicer(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    n_groups = (num_hashes + 3) // 4
+    with_digs = base.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col("sh"), _digester(g)).alias(f"__digs{g}__")
+            for g in range(n_groups)
+        ],
+    )
+    mins: list[Column] = []
+    for j in range(num_hashes):
+        g, slot = j // 4, j % 4
+        mins.append(
+            F.array_min(
+                F.transform(F.col(f"__digs{g}__"), _slicer(1 + 8 * slot))
+            ).alias(f"h{j}")
+        )
+    return with_digs.select(F.col(id_col), *mins)
 
 
 def _signatures_from_shingles(
     sets: DataFrame, id_col: str, num_hashes: int, portable: bool
 ) -> DataFrame:
-    """Minhash signatures derived from a PERSISTED :func:`shingle_table`.
+    """Minhash signatures derived from a (persisted) :func:`shingle_table`.
 
-    Only safe on a persisted table: exploding a *named* array column lets
-    ``InferFiltersFromGenerate`` push a ``size(sh)>0 AND isnotnull(sh)``
-    filter below the repartition, re-evaluating the whole shingle
-    expression twice per row on the serial scan partitions (measured 6×
-    slowdown). The cache barrier stops that pushdown; for unpersisted
-    input use :func:`minhash_signatures`, which keeps the generator
-    expression inside Generate where no such filter is inferred.
+    Minhash is a PER-DOCUMENT function of the shingle set, so this is a
+    zero-shuffle projection: ``array_min`` folds over the stored shingle
+    array. The r2 explode→min-aggregate formulation paid a corpus×shingles
+    shuffle for what a per-row fold computes in place (and needed a cache
+    barrier against ``InferFiltersFromGenerate`` re-evaluation — with no
+    Generate node there is nothing to infer from).
     """
-    ex = sets.select(F.col(id_col), F.explode("sh").alias("__sh__"))
-    return ex.groupBy(id_col).agg(*_min_hash_aggs(num_hashes, portable))
+    return _hof_signatures(sets, id_col, num_hashes, portable)
 
 
 def minhash_signatures(
@@ -200,16 +223,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}) minhash signature per document.
 
-    explode(shingles) → per-hash min aggregate: one shuffle on id.
+    Zero-shuffle per-row fold: ``array_min`` over the hashed shingle
+    array (one md5 per 4 hash slots, materialized once via ``transform``).
     ``portable=True`` uses md5 (oracle-reproducible); otherwise xxhash64.
-    The generator expression is exploded DIRECTLY (not via a named
-    column) — see :func:`_signatures_from_shingles` for why.
+    Docs whose text yields no shingles are dropped, matching the explode
+    semantics of earlier rounds and the oracle's trim filter.
     """
-    sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh__"),
+    # the no-shingles filter is expressed on the RAW text (shingles are
+    # empty iff the trimmed text is): filtering on size(shingles)>0
+    # after the projection lets predicate pushdown re-evaluate the whole
+    # shingle expression below the _spread repartition — i.e. serially,
+    # on the scan partitions (measured 4× at sf0.1). The raw-text
+    # predicate is scan-cheap and pushes down harmlessly.
+    base = (
+        _spread(
+            df.select(id_col, text_col).filter(
+                F.length(F.trim(F.col(text_col))) > 0
+            )
+        )
+        .select(
+            F.col(id_col),
+            shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
     )
-    return sh.groupBy(id_col).agg(*_min_hash_aggs(num_hashes, portable))
+    return _hof_signatures(base, id_col, num_hashes, portable)
 
 
 def _band_pairs(
@@ -257,8 +294,17 @@ def minhash_lsh_pairs(
     signature) become a candidate pair. The self-join key is
     (band_index, band_value) — bucket sizes stay small under uniform
     hashing, so the shuffle is linear in corpus size.
+
+    A ``repartition(id)`` barrier sits between the signature projection
+    and the band self-join: the join's two branches then hang off
+    IDENTICAL shuffle stages, which AQE computes once and reuses — the
+    zero-shuffle signature pipeline would otherwise be evaluated twice
+    (once per branch; measured 4× slower at sf0.1). One narrow extra
+    exchange, no cache to manage, and the sharing survives at any scale.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, portable)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, portable
+    ).repartition(id_col)
     return _band_pairs(sig, id_col, num_hashes, band_size)
 
 
@@ -414,8 +460,17 @@ def simhash_table(
     # lambda step its bit mask without a per-index shift (shift builtins
     # need literal shift amounts)
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    # empty-token docs are dropped via a RAW-text predicate (tokens are
+    # empty iff the trimmed text is): a size(__hs__)>0 filter after the
+    # projection would be pushed below the _spread repartition and
+    # re-evaluate the tokenize+hash transform serially on the scan
+    # partitions
     base = (
-        _spread(df.select(id_col, text_col))
+        _spread(
+            df.select(id_col, text_col).filter(
+                F.length(F.trim(F.col(text_col))) > 0
+            )
+        )
         .select(
             F.col(id_col),
             F.transform(
@@ -423,7 +478,6 @@ def simhash_table(
                 tok_hash,
             ).alias("__hs__"),
         )
-        .filter(F.size("__hs__") > 0)
     )
     n = F.size(F.col("__hs__"))
     # bit b wins iff 2*cnt_b > n (≡ sum(±1) > 0, ties → 0)

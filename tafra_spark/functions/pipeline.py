@@ -43,8 +43,8 @@ __all__ = [
 
 def _ngram_hash(sh: Column) -> Column:
     """60-bit md5-derived hash of a shingle string — engine-portable
-    (mirrors dedup._portable_hashes' md5-slice trick) and 8 bytes on the
-    shuffle wire instead of a ~60-byte string key."""
+    (the same md5-slice trick as dedup._hof_min_hashes) and 8 bytes on
+    the shuffle wire instead of a ~60-byte string key."""
     return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 15), 16, 10).cast(
         "long"
     )

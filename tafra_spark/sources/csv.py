@@ -125,6 +125,20 @@ def read_csv(
     spark = spark or cls._spark()
     dtypes = dict(dtypes or {})
 
+    # the reference forwards **csvkw verbatim to csv.reader
+    # (tafra/csvreader.py), which rejects unknown keywords — mirror that
+    # contract instead of silently ignoring typos
+    _CSV_READER_KW = {
+        "dialect", "delimiter", "quotechar", "escapechar", "doublequote",
+        "skipinitialspace", "lineterminator", "quoting", "strict",
+    }
+    unknown = set(csvkw) - _CSV_READER_KW
+    if unknown:
+        raise TypeError(
+            f"{sorted(unknown)[0]!r} is an invalid keyword argument for "
+            "read_csv (csv.reader dialect keys only)"
+        )
+
     if hasattr(csv_file, "read"):
         # file-like: small/local by definition — buffer to a temp file so
         # Spark can scan it
@@ -167,6 +181,10 @@ def read_csv(
     )
     if "escapechar" in csvkw:
         reader = reader.option("escape", csvkw["escapechar"])
+    if "lineterminator" in csvkw:
+        reader = reader.option("lineSep", csvkw["lineterminator"])
+    if csvkw.get("skipinitialspace"):
+        reader = reader.option("ignoreLeadingWhiteSpace", "true")
     raw = reader.csv(path)
 
     # ragged rows → ValueError (reference EARLY_EOF/parse error behavior).

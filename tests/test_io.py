@@ -68,6 +68,20 @@ class TestReadCSV:
         assert t.dtypes == {"a": "int32", "b": "str"}
         assert t.rows == 2
 
+    def test_unknown_csv_kwarg_raises(self, spark):
+        import io
+
+        with pytest.raises(TypeError, match="invalid keyword"):
+            Tafra.read_csv(io.StringIO("a\n1\n"), delimitr=";")
+
+    def test_semicolon_delimiter_and_skipinitialspace(self, spark):
+        import io
+
+        buf = io.StringIO("a;b\n1; x\n2; y\n")
+        t = Tafra.read_csv(buf, delimiter=";", skipinitialspace=True)
+        assert t.dtypes == {"a": "int32", "b": "str"}
+        assert t.to_pandas()["b"].tolist() == ["x", "y"]
+
     def test_int64_promotion(self, spark, tmp_path):
         p = tmp_path / "big.csv"
         p.write_text("a\n1\n" + str(2**40) + "\n")

@@ -86,14 +86,17 @@ class TestDedupPlanShape:
 
         assert count_exchanges(exact_dup_groups(docs)) == 1
 
-    def test_minhash_partial_aggregation(self, spark):
+    def test_minhash_signatures_zero_shuffle(self, spark):
         from tafra_spark.functions.dedup import minhash_signatures
         from tafra_spark.plans import explain_str
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
-        plan = explain_str(minhash_signatures(docs, num_hashes=4))
-        # map-side partial min before the shuffle
-        assert "partial_min" in plan
+        df = minhash_signatures(docs, num_hashes=4)
+        plan = explain_str(df)
+        # per-row array_min fold: no aggregate, no agg shuffle — at most
+        # the _spread repartition of the narrow input
+        assert "HashAggregate" not in plan
+        assert count_exchanges(df) <= 1
 
 
 class TestExtensionPlanCeilings:
