@@ -250,9 +250,23 @@ def minhash_signatures(
 
 
 def _band_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int, band_size: int
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) from a signature table via banding."""
+    """Candidate pairs (id_a < id_b) from a signature table via banding.
+
+    ``max_bucket`` drops (band, value) buckets holding more than that
+    many docs BEFORE the self-join. A degenerate hot bucket (boilerplate
+    corpora collapse many near-identical docs onto one band value) makes
+    the join quadratic in the bucket size — at 1 B docs a 1 M-doc bucket
+    alone is 5·10^11 candidate pairs. Large public dedup pipelines cap
+    the bucket and accept the recall loss: docs in an over-full bucket
+    are almost always caught by one of their OTHER bands, and a bucket
+    that hot is itself a signal the docs are exact-dup-able first.
+    """
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -263,6 +277,13 @@ def _band_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    if max_bucket is not None:
+        # one window count over the (band, val) shuffle the join needs
+        # anyway — AQE reuses the exchange for the join build side
+        w = Window.partitionBy("band", "val")
+        banded = banded.withColumn(
+            "__bn__", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__bn__") <= max_bucket).drop("__bn__")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -287,13 +308,15 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_k: int = 3,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     Documents sharing ANY band (a ``band_size``-wide slice of the
     signature) become a candidate pair. The self-join key is
     (band_index, band_value) — bucket sizes stay small under uniform
-    hashing, so the shuffle is linear in corpus size.
+    hashing, so the shuffle is linear in corpus size. ``max_bucket``
+    caps degenerate hot buckets (see :func:`_band_pairs`).
 
     A ``repartition(id)`` barrier sits between the signature projection
     and the band self-join: the join's two branches then hang off
@@ -305,7 +328,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, portable
     ).repartition(id_col)
-    return _band_pairs(sig, id_col, num_hashes, band_size)
+    return _band_pairs(sig, id_col, num_hashes, band_size, max_bucket)
 
 
 # --------------------------------------------------------------------------- #

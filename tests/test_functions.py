@@ -467,3 +467,30 @@ class TestPipelineOps:
             pos.setdefault(r[1], []).append(r[2])
         for s, plist in pos.items():
             assert sorted(plist) == list(range(1, per[s] + 1))
+
+
+class TestLshBucketCap:
+    def test_max_bucket_drops_hot_bucket_only(self, spark):
+        from tafra_spark.functions.dedup import minhash_lsh_pairs
+
+        hot = [(i, "spam spam spam spam identical boilerplate page") for i in range(5)]
+        pair = [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy cat"),
+        ]
+        df = spark.createDataFrame(hot + pair, ["doc_id", "text"])
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, num_hashes=8, band_size=2).collect()
+        }
+        assert (0, 1) in uncapped and (10, 11) in uncapped
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, num_hashes=8, band_size=2, max_bucket=4
+            ).collect()
+        }
+        # the 5-doc boilerplate bucket exceeds the cap in every band and
+        # is dropped; the small near-dup bucket is untouched
+        assert (10, 11) in capped
+        assert all(a >= 10 for a, _ in capped)

@@ -267,3 +267,34 @@ class TestPartitionPruning:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "l_returnflag" in m.group(1)
         assert out.df.count() > 0
+
+
+class TestIvfPartitionPruning:
+    def test_centroid_partitioned_scan_prunes(self, spark, tmp_path):
+        """The IVF scale story: corpus parquet partitioned by assigned
+        centroid, so an nprobe search reads only the probed partitions.
+        Asserted on the actual scan plan, not just claimed."""
+        from tafra_spark.functions.similarity import assign_centroids
+        from tafra_spark.plans import explain_str
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = emb.limit(4)
+        assigned = assign_centroids(emb, cents)
+        out = str(tmp_path / "ivf_corpus")
+        assigned.write.partitionBy("centroid_id").parquet(out)
+
+        probed = spark.read.parquet(out).filter(
+            F.col("centroid_id").isin([0, 1])
+        )
+        plan = explain_str(probed, mode="formatted")
+        # partition pruning: the centroid predicate is a PartitionFilter
+        # on the scan, not a post-scan Filter over all partitions
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
+        import os
+
+        n_parts = len(
+            [d for d in os.listdir(out) if d.startswith("centroid_id=")]
+        )
+        assert n_parts >= 3  # several partitions exist...
+        assert probed.select("centroid_id").distinct().count() <= 2  # ...few read
