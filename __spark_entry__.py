@@ -1144,6 +1144,47 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.train_shuffle(docs, n_shards=256, seed=42)
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus contains no PII, so deterministic fake PII is
+    # APPENDED per doc_id residue and then scrubbed — the redaction
+    # regexes, counts, and scrubbed-text fingerprints are all
+    # value-checked against DuckDB running the same patterns
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact alice.smith@example.com now"),
+            )
+            .when(
+                F.col("doc_id") % 7 == 1,
+                F.lit(" server at 192.168.10.12 responded"),
+            )
+            .when(F.col("doc_id") % 7 == 2, F.lit(" call 555-867-5309 today"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = P.pii_scrub(salted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_fp"),
+    )
+
+
+def quality_gate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite C4/Gopher-style keep/drop with per-rule reject bitmask;
+    # thresholds chosen so the sf0.01 corpus splits non-trivially
+    docs = _read(spark, sf_dir, "documents")
+    return P.quality_gate(
+        docs, min_tokens=20, max_tokens=60, max_dup_q4=5000, max_top_q4=1500
+    )
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1289,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences": pack_training_sequences,
         "source_top_terms": source_top_terms,
         "train_shuffle_shards": train_shuffle_shards,
+        "pii_scrub_stats": pii_scrub_stats,
+        "quality_gate_filter": quality_gate_filter,
         # dedup / similarity / multimodal / sampling (no driver row in r2)
         "stratified_sample": stratified_sample,
         "exact_dedup_groups": exact_dedup_groups,
@@ -2123,6 +2166,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 97 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "pii_scrub_stats": r"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 7 = 0
+                         THEN ' contact alice.smith@example.com now'
+                       WHEN doc_id % 7 = 1
+                         THEN ' server at 192.168.10.12 responded'
+                       WHEN doc_id % 7 = 2 THEN ' call 555-867-5309 today'
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'))
+                     AS scrub_fp
+            FROM salted
+        """,
+        "quality_gate_filter": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(floor(((len(t) - len(list_distinct(t))) * 10000
+                                 + len(t) / 2) / len(t)) AS BIGINT) AS dup_q4,
+                     CAST(floor((list_max(list_transform(list_distinct(t),
+                            u -> len(list_filter(t, x -> x = u)))) * 10000
+                                 + len(t) / 2) / len(t)) AS BIGINT) AS top_q4
+              FROM w
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_tokens > 60 THEN 2 ELSE 0 END)
+                      + (CASE WHEN dup_q4 > 5000 THEN 4 ELSE 0 END)
+                      + (CASE WHEN top_q4 > 1500 THEN 8 ELSE 0 END)
+                      AS BIGINT) AS reject_mask,
+                   ((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_tokens > 60 THEN 2 ELSE 0 END)
+                      + (CASE WHEN dup_q4 > 5000 THEN 4 ELSE 0 END)
+                      + (CASE WHEN top_q4 > 1500 THEN 8 ELSE 0 END)) = 0
+                      AS keep
+            FROM s
         """,
         "doc_repetition_stats": r"""
             WITH w AS (

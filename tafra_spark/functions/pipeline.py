@@ -38,6 +38,18 @@ __all__ = [
     "pack_sequences",
     "source_top_terms",
     "train_shuffle",
+    "pii_scrub",
+    "quality_gate",
+]
+
+#: redaction patterns in the Java-regex ∩ RE2 common subset, so the
+#: DuckDB oracle applies the EXACT same expressions. Order matters:
+#: emails first (an email contains no ip/phone match but redacting
+#: digits first could split an address).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
 ]
 
 
@@ -195,6 +207,63 @@ def source_top_terms(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(part_col, "term", "term_count", "rank")
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from a text column
+    and count the redactions per category.
+
+    Pure ``regexp_replace``/``regexp_count`` projection — zero shuffle,
+    JVM-side, linear scan; the standard pre-training privacy pass. Adds
+    ``out_col`` plus ``n_<category>`` counts (counted BEFORE redaction,
+    on the original text, so categories don't see each other's
+    replacement tokens).
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn(out_col, scrubbed)
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_q4: int = 5000,
+    max_top_q4: int = 2500,
+) -> DataFrame:
+    """Composite C4/Gopher-style quality filter: token-count window plus
+    repetition ceilings, with a per-rule reject bitmask.
+
+    reject_mask bits: 1 = too short, 2 = too long, 4 = too many repeated
+    tokens, 8 = one token dominates. ``keep`` is reject_mask == 0. One
+    zero-shuffle pass built on :func:`repetition_stats`; fully integer,
+    so the oracle hashes exactly.
+    """
+    stats = repetition_stats(df, text_col, id_col)
+    mask = (
+        F.when(F.col("n_tokens") < min_tokens, 1).otherwise(0)
+        + F.when(F.col("n_tokens") > max_tokens, 2).otherwise(0)
+        + F.when(F.col("dup_q4") > max_dup_q4, 4).otherwise(0)
+        + F.when(F.col("top_q4") > max_top_q4, 8).otherwise(0)
+    ).cast("long")
+    return stats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        mask.alias("reject_mask"),
+        (mask == 0).alias("keep"),
     )
 
 

@@ -494,3 +494,57 @@ class TestLshBucketCap:
         # is dropped; the small near-dup bucket is untouched
         assert (10, 11) in capped
         assert all(a >= 10 for a, _ in capped)
+
+
+class TestPiiAndQualityGate:
+    def test_pii_scrub_redacts_all_categories(self, spark):
+        from tafra_spark.functions.pipeline import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@corp.io or jo@b.co thanks"),
+                (2, "host 10.0.0.1 and 255.255.255.0 up"),
+                (3, "call 555-123-4567 now"),
+                (4, "nothing sensitive here"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert rows[1]["n_email"] == 2
+        assert rows[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+        assert rows[2]["n_ipv4"] == 2
+        assert rows[2]["scrubbed"] == "host <IP> and <IP> up"
+        assert rows[3]["n_phone"] == 1
+        assert rows[3]["scrubbed"] == "call <PHONE> now"
+        assert rows[4]["scrubbed"] == "nothing sensitive here"
+        assert rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+
+    def test_pii_scrub_zero_shuffle(self, spark):
+        from tafra_spark.functions.pipeline import pii_scrub
+        from tafra_spark.plans.inspect import count_exchanges
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        assert count_exchanges(pii_scrub(docs)) == 0
+
+    def test_quality_gate_masks(self, spark):
+        from tafra_spark.functions.pipeline import quality_gate
+
+        df = spark.createDataFrame(
+            [
+                (1, "short text"),                          # too short
+                (2, " ".join(f"w{i}" for i in range(50))),  # clean
+                (3, " ".join(["dup"] * 40)),                # repeats dominate
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in quality_gate(df, min_tokens=10, max_tokens=60).collect()
+        }
+        # bit 1 (too short) plus bit 8: with 2 tokens the top token is
+        # necessarily 50% > the 25% ceiling
+        assert rows[1]["reject_mask"] == 1 + 8 and not rows[1]["keep"]
+        assert rows[2]["reject_mask"] == 0 and rows[2]["keep"]
+        # 40 dups: dup_q4 = 9750 > 5000 (bit 4), top_q4 = 10000 > 2500
+        # (bit 8)
+        assert rows[3]["reject_mask"] == 4 + 8 and not rows[3]["keep"]
