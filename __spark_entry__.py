@@ -77,8 +77,22 @@ def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+_READ_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(_p(sf_dir, table))
+    """Catalog-style table lookup: the DataFrame (really its resolved
+    FileIndex + schema) is built once per (session, path). Re-running
+    ``spark.read.parquet`` per query re-lists the directory and re-reads
+    the footer schema — pure fixed overhead repeated across the ~70
+    registered queries. Plans built from the shared DataFrame are still
+    fully independent."""
+    key = (id(spark), _p(sf_dir, table))
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(_p(sf_dir, table))
+        _READ_CACHE[key] = df
+    return df
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
