@@ -77,7 +77,7 @@ def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
-_READ_CACHE: dict[tuple[int, str], DataFrame] = {}
+_READ_CACHE: dict[str, object] = {"session": None, "tables": {}}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -86,12 +86,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ``spark.read.parquet`` per query re-lists the directory and re-reads
     the footer schema — pure fixed overhead repeated across the ~70
     registered queries. Plans built from the shared DataFrame are still
-    fully independent."""
-    key = (id(spark), _p(sf_dir, table))
-    df = _READ_CACHE.get(key)
+    fully independent.
+
+    The cache holds tables for ONE session at a time (a new session
+    drops the old entries, so stopped sessions are GC-able) and assumes
+    the driver's parquet inputs are immutable for the session — true for
+    the test-data contract; call ``_READ_CACHE["tables"].clear()`` if a
+    path is ever rewritten in-session."""
+    if _READ_CACHE["session"] is not spark:
+        _READ_CACHE["session"] = spark
+        _READ_CACHE["tables"] = {}
+    tables: dict[str, DataFrame] = _READ_CACHE["tables"]  # type: ignore[assignment]
+    path = _p(sf_dir, table)
+    df = tables.get(path)
     if df is None:
-        df = spark.read.parquet(_p(sf_dir, table))
-        _READ_CACHE[key] = df
+        df = spark.read.parquet(path)
+        tables[path] = df
     return df
 
 
@@ -1582,7 +1592,7 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -
 
 
 # hash j = 8-hex-char slice j%4 of md5('<j//4>|' || shingle) — mirrors
-# tafra_spark.functions.dedup._hof_min_hashes (md5-slice family:
+# tafra_spark.functions.dedup._hof_signatures (md5-slice family:
 # one digest yields four independent 32-bit hex slices; lexicographic
 # min over the slices is engine-portable)
 _MINHASH_SIG_SQL = (

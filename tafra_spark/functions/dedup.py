@@ -139,8 +139,18 @@ def shingle_table(
     At 100 TB the scan + shingle explosion dominates a fuzzy-dedup
     pipeline; every downstream stage (signatures, verification) must
     derive from ONE such table rather than re-shingling the corpus.
+
+    Docs with no tokens are dropped here, at the pipeline root (cheap
+    raw-text predicate): keeping them would give every empty doc a NULL
+    signature, which concat_ws silently skips during banding — ALL empty
+    docs would land in one '' bucket, pair quadratically, and the 0/0
+    Jaccard would abort the job under ANSI mode.
     """
-    return _spread(df.select(id_col, text_col)).select(
+    return _spread(
+        df.select(id_col, text_col).filter(
+            F.length(F.trim(F.col(text_col))) > 0
+        )
+    ).select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     )
 
@@ -404,6 +414,7 @@ def fuzzy_dedup_pairs(
     shingle_k: int = 3,
     portable: bool = True,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The full fuzzy-dedup pipeline with ONE shingling pass.
 
@@ -427,7 +438,7 @@ def fuzzy_dedup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sig = _signatures_from_shingles(sets, id_col, num_hashes, portable)
-    cands = _band_pairs(sig, id_col, num_hashes, band_size)
+    cands = _band_pairs(sig, id_col, num_hashes, band_size, max_bucket)
     return ngram_jaccard_pairs(
         df, cands, text_col, id_col, shingle_k, threshold, sets=sets
     )

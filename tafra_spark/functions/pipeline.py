@@ -55,7 +55,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 def _ngram_hash(sh: Column) -> Column:
     """60-bit md5-derived hash of a shingle string — engine-portable
-    (the same md5-slice trick as dedup._hof_min_hashes) and 8 bytes on
+    (the same md5-slice trick as dedup._hof_signatures) and 8 bytes on
     the shuffle wire instead of a ~60-byte string key."""
     return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 15), 16, 10).cast(
         "long"
@@ -75,8 +75,11 @@ def decontaminate(
     Plan shape for 100 TB: the benchmark is small (eval sets are
     thousands of docs), so its distinct n-gram hash set is BROADCAST and
     the corpus-side shingle explosion is filtered map-side — the only
-    shuffle is the distinct over contaminated ids (bounded by the
-    corpus doc count, tiny rows). The corpus is scanned once.
+    shuffles are the distinct over contaminated ids (bounded by the
+    corpus doc count, tiny rows) and the final anti-join. The corpus is
+    scanned twice (once narrow for grams, once for the surviving rows);
+    the gram scan reads only (id, text) and the contaminated-id side of
+    the anti-join broadcasts in the common case.
     """
     bench_grams = F.broadcast(
         benchmark.select(
@@ -118,14 +121,16 @@ def repetition_stats(
         F.col(id_col), toks.alias("__t__")
     ).filter(F.size("__t__") > 0)
     t = F.col("__t__")
-    n = F.size(t)
-    d = F.size(F.array_distinct(t))
+    # long arithmetic from the start: F.size is int32 and int32 * 10000
+    # overflows (ANSI abort) at ~214k tokens — real for book-length docs
+    n = F.size(t).cast("long")
+    d = F.size(F.array_distinct(t)).cast("long")
     top = F.array_max(
         F.transform(
             F.array_distinct(t),
             lambda u: F.size(F.filter(t, lambda x: x == u)),
         )
-    )
+    ).cast("long")
     # floor((x * 10^4 + half) / n) over exactly-representable ints —
     # identical doubles on both engines (n*10^4 << 2^53)
     dup_q4 = F.floor(((n - d) * 10000 + n / 2) / n).cast("long")

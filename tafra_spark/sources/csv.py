@@ -181,9 +181,14 @@ def read_csv(
     )
     if "escapechar" in csvkw:
         reader = reader.option("escape", csvkw["escapechar"])
-    if "lineterminator" in csvkw:
-        reader = reader.option("lineSep", csvkw["lineterminator"])
+    # lineterminator is ACCEPTED but ignored, exactly like csv.reader
+    # ("hard-coded to recognise \r or \n" per the stdlib docs) — mapping
+    # it to Spark's lineSep would silently drop every row of a normal
+    # \n-terminated file when callers pass the csv-module default \r\n.
     if csvkw.get("skipinitialspace"):
+        # csv.reader only skips whitespace AFTER a delimiter; Spark trims
+        # every field including the first of each line. Documented edge
+        # divergence: a leading space on the first column is trimmed here.
         reader = reader.option("ignoreLeadingWhiteSpace", "true")
     raw = reader.csv(path)
 

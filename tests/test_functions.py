@@ -394,7 +394,7 @@ class TestPipelineOps:
         bench = corpus.filter(F.col("doc_id") == 0)
         rest = corpus.filter(F.col("doc_id") != 0)
         plan = explain_str(decontaminate(rest, bench), mode="simple")
-        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
 
     def test_repetition_stats_values(self, spark):
         from tafra_spark.functions.pipeline import repetition_stats
@@ -548,3 +548,40 @@ class TestPiiAndQualityGate:
         # 40 dups: dup_q4 = 9750 > 5000 (bit 4), top_q4 = 10000 > 2500
         # (bit 8)
         assert rows[3]["reject_mask"] == 4 + 8 and not rows[3]["keep"]
+
+
+class TestEmptyDocPipelines:
+    def test_fuzzy_dedup_survives_empty_docs(self, spark):
+        # regression: empty docs used to reach banding with NULL
+        # signatures, collapse into one '' bucket, and abort the exact
+        # Jaccard verify with a 0/0 ANSI divide error
+        from tafra_spark.functions.dedup import fuzzy_dedup_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "   "),
+                (3, "the quick brown fox jumps over the lazy dog"),
+                (4, ""),
+                (5, "the quick brown fox jumps over the lazy cat"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_dedup_pairs(
+                df, num_hashes=4, band_size=2, threshold=0.5
+            ).collect()
+        }
+        assert (3, 5) in pairs
+        assert all(a not in (1, 2, 4) and b not in (1, 2, 4) for a, b in pairs)
+
+    def test_minhash_signatures_drop_empty(self, spark):
+        from tafra_spark.functions.dedup import minhash_signatures
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "real text here")], ["doc_id", "text"]
+        )
+        rows = minhash_signatures(df, num_hashes=4).collect()
+        assert [r["doc_id"] for r in rows] == [2]
+        assert all(r[f"h{i}"] is not None for r in rows for i in range(4))

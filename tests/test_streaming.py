@@ -180,3 +180,69 @@ class TestStreamDedup:
         )
         got = sorted(r["event_id"] for r in got_df.collect())
         assert got == expected
+
+
+class TestPipelineOpsOnStreams:
+    """The per-document pipeline projections (quality gate, PII scrub)
+    are stateless narrow plans, so they compose with Structured
+    Streaming unchanged — stream results must equal batch results."""
+
+    @pytest.fixture(scope="class")
+    def docs_path(self, spark, tmp_path_factory):
+        rows = [
+            (1, "contact me at a.b@example.com for the quick brown fox"),
+            (2, " ".join(f"tok{i}" for i in range(30))),
+            (3, "dup dup dup dup dup dup"),
+            (4, "server 10.0.0.8 said " + " ".join(f"w{i}" for i in range(25))),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        path = str(tmp_path_factory.mktemp("docs_stream") / "docs")
+        df.repartition(2).write.parquet(path)
+        return path
+
+    def _stream(self, spark, path):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    def test_quality_gate_stream_matches_batch(self, spark, docs_path):
+        from tafra_spark.functions.pipeline import quality_gate
+        from tafra_spark.streaming.ops import run_to_memory_sink
+
+        batch = {
+            tuple(r)
+            for r in quality_gate(
+                spark.read.parquet(docs_path), min_tokens=5
+            ).collect()
+        }
+        out = run_to_memory_sink(
+            quality_gate(self._stream(spark, docs_path), min_tokens=5),
+            "qg_stream",
+            output_mode="append",
+        )
+        assert {tuple(r) for r in out.collect()} == batch
+
+    def test_pii_scrub_stream_matches_batch(self, spark, docs_path):
+        from tafra_spark.functions.pipeline import pii_scrub
+        from tafra_spark.streaming.ops import run_to_memory_sink
+
+        batch = {
+            tuple(r)
+            for r in pii_scrub(spark.read.parquet(docs_path)).collect()
+        }
+        out = run_to_memory_sink(
+            pii_scrub(self._stream(spark, docs_path)),
+            "pii_stream",
+            output_mode="append",
+        )
+        assert {tuple(r) for r in out.collect()} == batch
