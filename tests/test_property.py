@@ -174,3 +174,77 @@ class TestAsofProperties:
             .reset_index(drop=True)
         )
         assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+# corpora: 1-12 docs of 0-12 tokens from a tiny vocabulary (high
+# collision rates exercise dedup/packing edge paths)
+_vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+corpora = st.integers(min_value=1, max_value=12).flatmap(
+    lambda n: st.lists(
+        st.lists(st.sampled_from(_vocab), min_size=0, max_size=12),
+        min_size=n,
+        max_size=n,
+    )
+)
+
+
+class TestPipelineProperties:
+    def _df(self, spark, token_lists):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    @given(data=corpora)
+    @settings(**_SETTINGS)
+    def test_repetition_stats_invariants(self, spark, data):
+        from tafra_spark.functions.pipeline import repetition_stats
+
+        rows = repetition_stats(self._df(spark, data)).collect()
+        non_empty = [t for t in data if t]
+        assert len(rows) == len(non_empty)
+        for r in rows:
+            toks = data[r["doc_id"]]
+            assert r["n_tokens"] == len(toks)
+            assert 0 <= r["dup_q4"] <= 10000
+            # the top token appears at least once, i.e. holds >= 1/n
+            assert r["top_q4"] >= 10000 // len(toks)
+            exp_dup = round((len(toks) - len(set(toks))) * 10000 / len(toks))
+            assert abs(r["dup_q4"] - exp_dup) <= 1
+
+    @given(data=corpora, budget=st.integers(min_value=1, max_value=30))
+    @settings(**_SETTINGS)
+    def test_pack_sequences_conserves_docs_and_tokens(self, spark, data, budget):
+        from pyspark.sql import functions as F
+
+        from tafra_spark.functions.pipeline import pack_sequences
+
+        df = self._df(spark, data).withColumn("source", F.lit("s"))
+        out = pack_sequences(df, budget=budget).collect()
+        assert sum(r["n_docs"] for r in out) == len(data)
+        assert sum(r["seq_tokens"] for r in out) == sum(len(t) for t in data)
+        # bin ids are unique per source and start at 0 (indices may skip
+        # when one doc overflows its budget — exclusive-cumsum binning)
+        seq_ids = sorted(r["seq_id"] for r in out)
+        assert len(set(seq_ids)) == len(seq_ids)
+        assert seq_ids[0] == 0
+
+    @given(data=corpora, shards=st.integers(min_value=1, max_value=8))
+    @settings(**_SETTINGS)
+    def test_train_shuffle_is_a_permutation(self, spark, data, shards):
+        from tafra_spark.functions.pipeline import train_shuffle
+
+        rows = train_shuffle(self._df(spark, data), n_shards=shards).collect()
+        assert sorted(r["doc_id"] for r in rows) == list(range(len(data)))
+        for r in rows:
+            assert 0 <= r["shard"] < shards
+
+    @given(data=corpora)
+    @settings(**_SETTINGS)
+    def test_decontaminate_against_self_removes_nonempty(self, spark, data):
+        from tafra_spark.functions.pipeline import decontaminate
+
+        df = self._df(spark, data)
+        kept = decontaminate(df, df, ngram=2).collect()
+        # every doc with tokens shares all its grams with itself; only
+        # no-token docs (no grams to match) survive
+        kept_ids = sorted(r["doc_id"] for r in kept)
+        assert kept_ids == [i for i, t in enumerate(data) if not t]
