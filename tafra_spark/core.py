@@ -386,6 +386,24 @@ class Tafra:
         return cls(df=spark.read.parquet(path))
 
     @classmethod
+    def read_jsonl(
+        cls,
+        path: str,
+        schema: Optional[str] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> "Tafra":
+        """Scan newline-delimited JSON (the standard raw-corpus interchange
+        format for training-data pipelines; extension — no reference
+        counterpart). Pass ``schema`` (DDL string) to skip the inference
+        scan: at 100 TB, schema-on-read inference is a full extra pass.
+        """
+        spark = spark or cls._spark()
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return cls(df=reader.json(path))
+
+    @classmethod
     def read_sql(cls, query: str, cur: Any = None, *, url: str | None = None,
                  spark: Optional[SparkSession] = None, **jdbc_options: str) -> "Tafra":
         """Execute SELECT and fetch (reference ``tafra/base.py:978-1005``).
@@ -1197,6 +1215,11 @@ class Tafra:
 
     def write_csv(self, path: str, mode: str = "overwrite") -> None:
         self._plain().write.mode(mode).option("header", True).csv(path)
+
+    def write_jsonl(self, path: str, mode: str = "overwrite") -> None:
+        """Write newline-delimited JSON (one object per line, distributed
+        multi-part output — the raw-corpus interchange format)."""
+        self._plain().write.mode(mode).json(path)
 
     def write_parquet(
         self, path: str, mode: str = "overwrite",

@@ -186,3 +186,21 @@ class TestMultiFileCSV:
         t.write_csv(path)
         back = Tafra.read_csv(path + "/*")
         assert back.rows == 3
+
+
+class TestJsonl:
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        t = Tafra({"doc_id": [1, 2, 3], "text": ["a b", "c", ""]})
+        path = str(tmp_path / "docs_jsonl")
+        t.write_jsonl(path)
+        back = Tafra.read_jsonl(path, schema="doc_id BIGINT, text STRING")
+        pdf = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert pdf["doc_id"].tolist() == [1, 2, 3]
+        assert pdf["text"].tolist() == ["a b", "c", ""]
+
+    def test_jsonl_schema_skips_inference(self, spark, tmp_path):
+        p = tmp_path / "x.jsonl"
+        p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+        t = Tafra.read_jsonl(str(p), schema="a BIGINT, b STRING")
+        assert t.dtypes == {"a": "int64", "b": "str"}
+        assert t.rows == 2
