@@ -1250,6 +1250,18 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3, bits=60, portable=True)
 
 
+def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> CLUSTERS (connected components by min-label propagation):
+    # the step between candidate pairs and "keep one doc per group".
+    # The oracle recomputes the same pair graph and closes it with a
+    # recursive CTE, so the cluster assignment is value-checked exactly.
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=4, band_size=2, shingle_k=3, portable=True
+    )
+    return D.dup_clusters(pairs, docs)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises the REAL multimodal path end-to-end: binary content column
     # (16 deterministic bytes per doc = md5 digest) + typed meta struct →
@@ -1356,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shuffle_shards": train_shuffle_shards,
         "pii_scrub_stats": pii_scrub_stats,
         "quality_gate_filter": quality_gate_filter,
+        "minhash_dup_clusters": minhash_dup_clusters,
         # dedup / similarity / multimodal / sampling (no driver row in r2)
         "stratified_sample": stratified_sample,
         "exact_dedup_groups": exact_dedup_groups,
@@ -2331,6 +2344,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM b l JOIN b r
               ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+        """,
+        "minhash_dup_clusters": _MINHASH_SIG_SQL.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1
+        )
+        + """,
+            b AS (
+              SELECT doc_id, 0 AS band, h0 || '_' || h1 AS val FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, h2 || '_' || h3 AS val FROM sig
+            ),
+            e AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM b l JOIN b r
+                ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM e
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM documents
+              UNION
+              SELECT e.dst AS node, r.label
+              FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "ngram_jaccard": _MINHASH_SIG_SQL
         + """,

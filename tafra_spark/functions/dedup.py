@@ -43,6 +43,7 @@ __all__ = [
     "fuzzy_dedup_pairs",
     "simhash_table",
     "simhash_pairs",
+    "dup_clusters",
 ]
 
 
@@ -611,3 +612,65 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# --------------------------------------------------------------------------- #
+# duplicate clusters (connected components)
+
+def dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into CLUSTERS: (node, cluster_id) where
+    ``cluster_id`` is the smallest doc id reachable through the pair
+    graph (singletons map to themselves). This is the step between
+    candidate pairs and "keep one document per duplicate group".
+
+    Iterative min-label propagation — each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(cluster diameter) rounds. Spark-first shape: one join + one
+    min-aggregate per round over the (src, dst) edge table, with
+    ``localCheckpoint`` truncating the lineage so the plan does not grow
+    with iterations. Near-dup clusters are dense (diameter 2-4 in
+    practice), so the loop is short; ``max_iterations`` bounds
+    pathological chain graphs, raising rather than silently returning
+    unconverged labels. The driver-side loop controls ITERATION COUNT
+    only — each round's data flow is fully distributed (the same shape
+    as GraphX/GraphFrames connected components).
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.unionByName(rev)
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iterations} iterations "
+        "(pathologically long chain in the pair graph); raise "
+        "max_iterations"
+    )

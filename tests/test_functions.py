@@ -585,3 +585,42 @@ class TestEmptyDocPipelines:
         rows = minhash_signatures(df, num_hashes=4).collect()
         assert [r["doc_id"] for r in rows] == [2]
         assert all(r[f"h{i}"] is not None for r in rows for i in range(4))
+
+
+class TestDupClusters:
+    def test_chain_and_singleton_clusters(self, spark):
+        from tafra_spark.functions.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+        )
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], ["doc_id"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, ids).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+    def test_long_chain_converges(self, spark):
+        from tafra_spark.functions.dedup import dup_clusters
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n + 1)], ["doc_id"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, ids, max_iterations=15).collect()
+        }
+        assert set(got.values()) == {0}
+
+    def test_nonconvergence_raises(self, spark):
+        from tafra_spark.functions.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+        )
+        ids = spark.createDataFrame([(i,) for i in range(11)], ["doc_id"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(pairs, ids, max_iterations=2)
