@@ -2216,37 +2216,55 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '' END AS text
               FROM documents
             )
+            , staged AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS after_email
+              FROM salted
+            ),
+            staged2 AS (
+              SELECT *, regexp_replace(after_email,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS after_ip
+              FROM staged
+            )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                      AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(after_email,
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
                      AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(after_ip,
                      '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                     '<EMAIL>', 'g'),
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   md5(regexp_replace(after_ip,
                      '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'))
                      AS scrub_fp
-            FROM salted
+            FROM staged2
         """,
         "quality_gate_filter": r"""
             WITH w AS (
               SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
-              FROM documents WHERE length(trim(text)) > 0
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')
+                     END AS t
+              FROM documents
             ),
             s AS (
               SELECT doc_id,
                      CAST(len(t) AS BIGINT) AS n_tokens,
-                     CAST(floor(((len(t) - len(list_distinct(t))) * 10000
-                                 + len(t) / 2) / len(t)) AS BIGINT) AS dup_q4,
-                     CAST(floor((list_max(list_transform(list_distinct(t),
-                            u -> len(list_filter(t, x -> x = u)))) * 10000
-                                 + len(t) / 2) / len(t)) AS BIGINT) AS top_q4
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor(((len(t) - len(list_distinct(t)))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS dup_q4,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor((list_max(list_transform(
+                                 list_distinct(t),
+                                 u -> len(list_filter(t, x -> x = u))))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS top_q4
               FROM w
             )
             SELECT doc_id, n_tokens,

@@ -639,12 +639,26 @@ def dup_clusters(
     unconverged labels. The driver-side loop controls ITERATION COUNT
     only — each round's data flow is fully distributed (the same shape
     as GraphX/GraphFrames connected components).
+
+    The output covers ids ∪ every node appearing in ``pairs`` — ids
+    absent from ``ids`` still relay labels and receive a row, so a
+    filtered ids set cannot silently split clusters.
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.unionByName(rev)
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    # the node universe is ids ∪ edge endpoints: if pairs reference an id
+    # missing from ``ids``, a propagation round that merely relays a
+    # label THROUGH that node would otherwise look like "no change" to
+    # the convergence check (new nodes don't join against the previous
+    # round) and the loop would stop with split clusters
+    nodes = (
+        ids.select(F.col(id_col).alias("node"))
+        .unionByName(edges.select(F.col("src").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("label")
     ).localCheckpoint()
     for _ in range(max_iterations):
         neigh = (

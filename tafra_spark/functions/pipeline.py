@@ -44,8 +44,9 @@ __all__ = [
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
 #: DuckDB oracle applies the EXACT same expressions. Order matters:
-#: emails first (an email contains no ip/phone match but redacting
-#: digits first could split an address).
+#: emails are redacted first so a digit-bearing local part
+#: (555-123-4567@relay.example.com) is consumed whole rather than
+#: split by the phone/ip redactions.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
@@ -104,6 +105,7 @@ def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_empty: bool = False,
 ) -> DataFrame:
     """Per-document repetition signals, fixed-point for hash stability:
 
@@ -114,12 +116,14 @@ def repetition_stats(
     Zero-shuffle per-row HOF plan. The top-token count folds over the
     distinct-token array (O(distinct x total) element visits per doc —
     documents are bounded, and the work is embarrassingly parallel).
-    Docs with no tokens are dropped (mirrors the oracle's trim filter).
+    Docs with no tokens are dropped (mirrors the oracle's trim filter)
+    unless ``include_empty`` — then they appear with all-zero stats
+    (``quality_gate`` needs the row to emit its too-short reject bit).
     """
     toks = word_tokens(F.lower(F.col(text_col)))
-    base = df.select(
-        F.col(id_col), toks.alias("__t__")
-    ).filter(F.size("__t__") > 0)
+    base = df.select(F.col(id_col), toks.alias("__t__"))
+    if not include_empty:
+        base = base.filter(F.size("__t__") > 0)
     t = F.col("__t__")
     # long arithmetic from the start: F.size is int32 and int32 * 10000
     # overflows (ANSI abort) at ~214k tokens — real for book-length docs
@@ -132,9 +136,15 @@ def repetition_stats(
         )
     ).cast("long")
     # floor((x * 10^4 + half) / n) over exactly-representable ints —
-    # identical doubles on both engines (n*10^4 << 2^53)
-    dup_q4 = F.floor(((n - d) * 10000 + n / 2) / n).cast("long")
-    top_q4 = F.floor((top * 10000 + n / 2) / n).cast("long")
+    # identical doubles on both engines (n*10^4 << 2^53). The n>0 guards
+    # matter only under include_empty: floor(NaN) from 0/0 would abort
+    # the ANSI cast; when() short-circuits so the division never runs.
+    dup_q4 = F.when(
+        n > 0, F.floor(((n - d) * 10000 + n / 2) / n)
+    ).otherwise(0).cast("long")
+    top_q4 = F.when(
+        n > 0, F.floor((top * 10000 + n / 2) / n)
+    ).otherwise(0).cast("long")
     return base.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
@@ -225,19 +235,21 @@ def pii_scrub(
 
     Pure ``regexp_replace``/``regexp_count`` projection — zero shuffle,
     JVM-side, linear scan; the standard pre-training privacy pass. Adds
-    ``out_col`` plus ``n_<category>`` counts (counted BEFORE redaction,
-    on the original text, so categories don't see each other's
-    replacement tokens).
+    ``out_col`` plus ``n_<category>`` counts. Each category is counted
+    on the text AS IT STANDS when that category's redaction runs (i.e.
+    after the earlier categories were replaced), so ``n_<cat>`` equals
+    the number of ``<CAT>`` tokens actually emitted — counting every
+    category on the original text would over-count overlapping matches
+    (a phone-shaped email local part would tally as both).
     """
-    out = df
+    count_cols = []
     scrubbed = F.col(text_col)
     for name, pat, token in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        count_cols.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return out.withColumn(out_col, scrubbed)
+    return df.select("*", *count_cols, scrubbed.alias(out_col))
 
 
 def quality_gate(
@@ -255,9 +267,11 @@ def quality_gate(
     reject_mask bits: 1 = too short, 2 = too long, 4 = too many repeated
     tokens, 8 = one token dominates. ``keep`` is reject_mask == 0. One
     zero-shuffle pass built on :func:`repetition_stats`; fully integer,
-    so the oracle hashes exactly.
+    so the oracle hashes exactly. EVERY input doc gets a row — a
+    zero-token doc is the clearest "too short" reject (bit 1), not a
+    silently missing row.
     """
-    stats = repetition_stats(df, text_col, id_col)
+    stats = repetition_stats(df, text_col, id_col, include_empty=True)
     mask = (
         F.when(F.col("n_tokens") < min_tokens, 1).otherwise(0)
         + F.when(F.col("n_tokens") > max_tokens, 2).otherwise(0)

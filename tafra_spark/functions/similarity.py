@@ -115,7 +115,7 @@ def random_hyperplane_signature(
     planes = _planes(dim, n_planes, seed)
     plits = F.lit([[float(x) for x in planes[i]] for i in range(n_planes)])
     masks = F.lit([1 << i for i in range(n_planes)])
-    return F.aggregate(
+    folded = F.aggregate(
         F.zip_with(
             plits,
             masks,
@@ -126,6 +126,11 @@ def random_hyperplane_signature(
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
+    # NULL vector -> NULL signature (the when().otherwise(0) inside the
+    # fold would otherwise map NULL dots to bucket 0, making every
+    # NULL-embedding row bucket-join against real bucket-0 vectors; a
+    # NULL join key matches nothing, preserving the r2 exclusion)
+    return F.when(vec.isNotNull(), folded)
 
 
 def lsh_ann_topk(

@@ -624,3 +624,71 @@ class TestDupClusters:
         ids = spark.createDataFrame([(i,) for i in range(11)], ["doc_id"])
         with pytest.raises(RuntimeError, match="did not converge"):
             dup_clusters(pairs, ids, max_iterations=2)
+
+
+class TestReviewRegressions2:
+    def test_dup_clusters_relay_through_missing_id(self, spark):
+        # node 1 is absent from ids but connects 10 and 11; convergence
+        # must not be declared while labels still relay through it
+        from tafra_spark.functions.dedup import dup_clusters
+
+        pairs = spark.createDataFrame([(10, 1), (1, 11)], ["id_a", "id_b"])
+        ids = spark.createDataFrame([(10,), (11,)], ["doc_id"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, ids).collect()
+        }
+        assert got == {1: 1, 10: 1, 11: 1}
+
+    def test_null_embedding_gets_null_signature(self, spark):
+        from pyspark.sql import types as T
+
+        from tafra_spark.functions.similarity import (
+            random_hyperplane_signature,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, None), (2, [1.0] * 4)], schema=schema
+        )
+        rows = {
+            r["vec_id"]: r["sig"]
+            for r in df.select(
+                "vec_id",
+                random_hyperplane_signature(
+                    F.col("embedding"), 4, 4
+                ).alias("sig"),
+            ).collect()
+        }
+        assert rows[1] is None  # NULL vector never lands in a real bucket
+        assert rows[2] is not None
+
+    def test_pii_counts_match_emitted_tokens(self, spark):
+        # a phone-shaped email local part must count as email ONLY
+        from tafra_spark.functions.pipeline import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "reach 555-123-4567@relay.example.com now")],
+            ["doc_id", "text"],
+        )
+        r = pii_scrub(df).collect()[0]
+        assert r["n_email"] == 1 and r["n_phone"] == 0 and r["n_ipv4"] == 0
+        assert r["scrubbed"] == "reach <EMAIL> now"
+
+    def test_quality_gate_rejects_empty_doc(self, spark):
+        from tafra_spark.functions.pipeline import quality_gate
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, " ".join(f"w{i}" for i in range(30)))],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in quality_gate(df, min_tokens=5).collect()}
+        assert set(rows) == {1, 2, 3}  # every doc gets a row
+        assert rows[1]["n_tokens"] == 0 and rows[1]["reject_mask"] == 1
+        assert rows[2]["reject_mask"] == 1
+        assert rows[3]["keep"]
