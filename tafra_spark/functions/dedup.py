@@ -547,8 +547,6 @@ def simhash_pairs(
     agree on ≥1 chunk, so the self-join runs on (chunk_idx, chunk_value)
     buckets — linear shuffle, no quadratic compare.
     """
-    from pyspark import StorageLevel
-
     n_chunks = max_hamming + 1
     chunk_bits = (bits + n_chunks - 1) // n_chunks
     mask = F.lit((1 << chunk_bits) - 1)
@@ -557,15 +555,21 @@ def simhash_pairs(
         return F.shiftrightunsigned(col, j * chunk_bits).bitwiseAND(mask)
 
     # persist the signature table: the self-join below otherwise
-    # recomputes the tokenize→hash→vote aggregate on BOTH branches
-    # (measured: 2 full HashAggregate pipelines, 0 ReusedExchange —
-    # roughly doubling the query). One narrow row per doc (~16 B + id),
-    # so at 1 B docs this is ~tens of GB across a cluster's storage
-    # tier — cheap next to recomputing a corpus-scale aggregate. The
+    # recomputes the tokenize→hash→vote fold on BOTH branches. A
+    # repartition(id) barrier (the minhash/fuzzy sharing mechanism) was
+    # MEASURED 8× SLOWER here (10.2s vs 1.2s at sf0.1): with the
+    # persist, the banded join sides are InMemoryTableScans with known
+    # small sizes and AQE picks a broadcast join; behind an exchange the
+    # sizes are unknown until runtime and the skewed chunk-value key
+    # (common vote patterns collapse onto few values) lands in a
+    # sort-merge join. One narrow row per doc (~16 B + id), so at 1 B
+    # docs this is ~tens of GB across a cluster's storage tier; the
     # ContextCleaner auto-unpersists once the plan is unreferenced.
-    h = simhash_table(df, text_col, id_col, bits=bits, portable=portable).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from pyspark import StorageLevel
+
+    h = simhash_table(
+        df, text_col, id_col, bits=bits, portable=portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = [
         F.struct(F.lit(i).alias("idx"), chunk(F.col("sh"), i).alias("val"))
         for i in range(n_chunks)
