@@ -368,8 +368,17 @@ def ngram_jaccard_pairs(
     """
     if sets is None:
         sets = shingle_table(df, text_col, id_col, shingle_k)
+    # Verification compares HASHED shingles (xxhash64 longs), not the raw
+    # strings: |A∩B| and |A∪B| are preserved (64-bit collisions are
+    # ~1e-16 per doc pair), the per-element comparison is an 8-byte long
+    # instead of a ~25-byte UTF8String, and the join phase allocates no
+    # string garbage. Union size is derived as |A|+|B|−|A∩B| so only ONE
+    # array intrinsic runs per pair — the same formula the oracle uses.
+    hsets = sets.select(
+        F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
     if candidates is None:
-        ex = sets.select(id_col, F.explode("sh").alias("s"))
+        ex = hsets.select(id_col, F.explode("sh").alias("s"))
         candidates = (
             ex.alias("l")
             .join(
@@ -383,20 +392,22 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
         candidates.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            hsets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
             on="id_a",
         )
         .join(
-            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            hsets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
             on="id_b",
         )
+        .withColumn("__i__", inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__i__")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__i__")),
                 6,
             ),
         )
