@@ -1351,6 +1351,40 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: cluster by nearest centroid (broadcast assignment), then
+    # exact cosine ONLY within a cluster — the quadratic compare never
+    # leaves a centroid bucket, so the shuffle stays corpus-linear
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return S.semantic_dedup_pairs(corpus, centroids, threshold=0.3)
+
+
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep-lowest-id semantic dedup: a vector is dropped iff a lower-id
+    # cluster-mate sits within the cosine threshold
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    out = S.semantic_dedup_survivors(corpus, centroids, threshold=0.3)
+    return out.select("vec_id", "label")
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd's k-means, 3 iterations, deterministic first-k init — the
+    # build side of the IVF/SemDeDup path. Each iteration is one
+    # distributed assign+average job; only k×dim floats ever reach the
+    # driver. The oracle unrolls the same 3 iterations as chained CTEs.
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = S.kmeans_fit(emb, k=4, iters=3, portable_round=9)
+    # exploded scalar rows (centroid_id, pos, val): array<double> columns
+    # canonicalize differently across engines, scalars hash identically
+    return cent.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("centroid_id", "pos", F.round("val", 6).alias("val"))
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1360,6 +1394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified extension queries and previously-red rows
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
+        # NEW in r4: semantic dedup + k-means training (never verified)
+        "semantic_dedup_pairs": semantic_dedup_pairs,
+        "semantic_dedup_survivors": semantic_dedup_survivors,
+        "kmeans_centroids": kmeans_centroids,
         # NEW in r3: training-pipeline operators (never driver-verified)
         "decontaminate_overlap": decontaminate_overlap,
         "doc_repetition_stats": doc_repetition_stats,
@@ -1623,6 +1661,71 @@ _MINHASH_SIG_SQL = (
     )
 """
 )
+
+
+_SEMANTIC_ASSIGN_SQL = """
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+                  FROM embeddings WHERE vec_id < 8),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE vec_id >= 8),
+    assigned AS (
+      SELECT vec_id, v, label, centroid_id FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ac DESC, centroid_id) AS rnk
+        FROM (SELECT corpus.vec_id, corpus.v, corpus.label, cent.centroid_id,
+                     list_cosine_similarity(corpus.v, cent.centv) AS ac
+              FROM corpus CROSS JOIN cent) s
+      ) WHERE rnk = 1
+    ),
+    p AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.centroid_id,
+             list_cosine_similarity(l.v, r.v) AS cos_raw
+      FROM assigned l JOIN assigned r
+        ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+    )
+"""
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unroll ``iters`` Lloyd iterations as chained CTEs — the exact SQL
+    twin of :func:`tafra_spark.functions.similarity.kmeans_fit` with
+    ``portable_round=9`` (per-iteration rounding re-converges the two
+    engines' float means; see that docstring)."""
+    parts = [
+        f"WITH dims AS (SELECT unnest(range({dim})) AS pos)",
+        "corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS centroid_id, v AS centv
+                   FROM corpus ORDER BY vec_id LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        prev, a, m, cur = f"c{i-1}", f"a{i}", f"m{i}", f"c{i}"
+        parts.append(f"""{a} AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, centroid_id) AS rnk
+            FROM (SELECT corpus.vec_id, corpus.v, {prev}.centroid_id,
+                         list_cosine_similarity(corpus.v, {prev}.centv) AS cos
+                  FROM corpus CROSS JOIN {prev}) s
+          ) WHERE rnk = 1
+        )""")
+        parts.append(f"""{m} AS (
+          SELECT {a}.centroid_id, d.pos,
+                 round(avg({a}.v[d.pos + 1]), 9) AS m
+          FROM {a} CROSS JOIN dims d GROUP BY {a}.centroid_id, d.pos
+        )""")
+        parts.append(f"""{cur} AS (
+          SELECT {prev}.centroid_id, coalesce(l.centv, {prev}.centv) AS centv
+          FROM {prev} LEFT JOIN (
+            SELECT centroid_id, list(m ORDER BY pos) AS centv
+            FROM {m} GROUP BY centroid_id
+          ) l ON {prev}.centroid_id = l.centroid_id
+        )""")
+    final = f"c{iters}"
+    return ",\n".join(parts) + f"""
+    SELECT {final}.centroid_id, d.pos,
+           round({final}.centv[d.pos + 1], 6) AS val
+    FROM {final} CROSS JOIN dims d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2515,6 +2618,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
         """,
+        "semantic_dedup_pairs": _SEMANTIC_ASSIGN_SQL + """
+            SELECT id_a, id_b, centroid_id, round(cos_raw, 6) AS cos
+            FROM p WHERE cos_raw >= 0.3
+        """,
+        "semantic_dedup_survivors": _SEMANTIC_ASSIGN_SQL + """
+            SELECT vec_id, label FROM corpus
+            WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_raw >= 0.3)
+        """,
+        "kmeans_centroids": _kmeans_sql(k=4, iters=3, dim=64),
         "embedding_centroid_assign": """
             WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
                        FROM embeddings WHERE vec_id < 8),

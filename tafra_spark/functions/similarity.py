@@ -33,6 +33,9 @@ __all__ = [
     "lsh_near_dup_pairs",
     "assign_centroids",
     "ivf_topk",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "kmeans_fit",
 ]
 
 
@@ -345,4 +348,171 @@ def assign_centroids(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == 1)
         .select(id_col, centroid_id, F.round("cos", 6).alias("cos"))
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs.
+
+    Cluster the corpus by nearest centroid (broadcast pass — the IVF
+    build side), then compare embeddings ONLY within a cluster: pairs
+    with cosine ≥ ``threshold`` are semantic duplicates. The quadratic
+    step is confined to single clusters — the self-join key is
+    ``centroid_id``, so the shuffle is linear in corpus size and the
+    per-cluster compare is O(sum(cluster²)), the standard SemDeDup
+    (Abbas et al. 2023) cost model. At 100 TB the assignment is
+    precomputed and written ``partition_by=["centroid_id"]``, making
+    the self-join a partition-local operation.
+
+    Semantic parity: reference has no embedding ops; this extends the
+    dedup family (tafra/group.py docs) to embedding space.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(cent)).withColumn(
+        "ac_cos", cosine(F.col(vec_col), F.col("centv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ac_cos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )
+    pairs = (
+        assigned.alias("l")
+        .join(
+            assigned.alias("r"),
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("cos", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.centroid_id").alias("centroid_id"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+    return pairs
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids surviving semantic dedup: keep-lowest-id per near-dup pair.
+
+    A vector is dropped iff some LOWER-id vector in its cluster is
+    within ``threshold`` cosine — the deterministic keep-min rule
+    (anti-join on the pair table's ``id_b`` side). Star-shaped groups
+    keep exactly their minimum; chains may keep interior points (a is
+    kept, c kept if only b~c pairs dropped b) — same semantics as the
+    reference-family exact ``exact_dedup`` keep-first, lifted to
+    embedding space.
+    """
+    pairs = semantic_dedup_pairs(corpus, centroids, threshold, id_col, vec_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, on=id_col, how="left_anti")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_ids: list[int] | None = None,
+    portable_round: int | None = None,
+) -> DataFrame:
+    """Train k centroids with Lloyd's algorithm, cosine assignment +
+    coordinate-mean update — the missing "build the centroids" half of
+    the IVF/SemDeDup path (:func:`assign_centroids` consumes the
+    result).
+
+    Each iteration is ONE distributed job: broadcast the k current
+    centroids (tiny), assign every vector to its argmax-cosine centroid
+    with a rank-1 window, then average vectors per cluster via
+    ``posexplode`` + (centroid, position) groupBy — a shuffle of
+    corpus×dim scalar rows, linear in data size. The driver loop holds
+    only k×dim floats; nothing corpus-sized ever reaches the driver.
+    Initialization is deterministic: the first k vectors by id (or
+    ``init_ids``), so runs are reproducible without RNG state.
+
+    Returns (centroid_id, embedding: array<double>) — k rows.
+    """
+    if init_ids is not None:
+        init = corpus.filter(F.col(id_col).isin(init_ids))
+    else:
+        init = corpus.orderBy(id_col).limit(k)
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in init.select(id_col, vec_col).collect()
+    ]
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cent_rows, f"centroid_id long, centv array<double>"
+        )
+        scored = corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).crossJoin(F.broadcast(cent_df)).withColumn(
+            "cos", cosine(F.col(vec_col), F.col("centv"))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cos").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("centroid_id", vec_col)
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centv"),
+            )
+        )
+        new_rows = {
+            int(r[0]): [float(x) for x in r[1]] for r in means.collect()
+        }
+        # empty clusters keep their previous centroid
+        cent_rows = [
+            (cid, new_rows.get(cid, vec)) for cid, vec in cent_rows
+        ]
+        if portable_round is not None:
+            # round the inter-iteration centroids so engines that sum
+            # the per-cluster means in a different order (Spark partial
+            # agg vs a sequential oracle) re-converge each iteration:
+            # the ~1e-13 relative drift of a float mean is absorbed at
+            # 1e-9, keeping every later assignment bit-reproducible
+            cent_rows = [
+                (cid, [round(x, portable_round) for x in vec])
+                for cid, vec in cent_rows
+            ]
+    return spark.createDataFrame(
+        cent_rows, "centroid_id long, embedding array<double>"
     )

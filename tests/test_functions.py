@@ -692,3 +692,100 @@ class TestReviewRegressions2:
         assert rows[1]["n_tokens"] == 0 and rows[1]["reject_mask"] == 1
         assert rows[2]["reject_mask"] == 1
         assert rows[3]["keep"]
+
+
+class TestSemanticDedupAndKmeans:
+    @pytest.fixture()
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_pairs_are_within_cluster_and_above_threshold(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            assign_centroids, cosine, semantic_dedup_pairs,
+        )
+
+        cent = emb.filter(F.col("vec_id") < 8)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        pairs = semantic_dedup_pairs(corpus, cent, threshold=0.3).collect()
+        assert len(pairs) > 0
+        assigned = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_centroids(corpus, cent).collect()
+        }
+        for r in pairs:
+            assert r["id_a"] < r["id_b"]
+            assert r["cos"] >= 0.3 - 1e-9
+            # pair members share the emitted cluster
+            assert assigned[r["id_a"]] == r["centroid_id"]
+            assert assigned[r["id_b"]] == r["centroid_id"]
+
+    def test_pairs_subset_of_brute_force(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            cosine, semantic_dedup_pairs,
+        )
+
+        cent = emb.filter(F.col("vec_id") < 8)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(corpus, cent, threshold=0.3).collect()
+        }
+        e = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        f = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        brute = (
+            e.crossJoin(f)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("c") >= 0.3)
+        )
+        all_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        assert got <= all_pairs
+
+    def test_survivors_partition_corpus(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            semantic_dedup_pairs, semantic_dedup_survivors,
+        )
+
+        cent = emb.filter(F.col("vec_id") < 8)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        surv = {
+            r["vec_id"]
+            for r in semantic_dedup_survivors(corpus, cent, threshold=0.3).collect()
+        }
+        dropped = {
+            r["id_b"]
+            for r in semantic_dedup_pairs(corpus, cent, threshold=0.3).collect()
+        }
+        all_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+        assert surv == all_ids - dropped
+        # the global minimum id can never be an id_b, so it always survives
+        assert min(all_ids) in surv
+
+    def test_kmeans_shape_and_determinism(self, spark, emb):
+        from tafra_spark.functions.similarity import kmeans_fit
+
+        a = kmeans_fit(emb, k=4, iters=2, portable_round=9).collect()
+        b = kmeans_fit(emb, k=4, iters=2, portable_round=9).collect()
+        assert len(a) == 4
+        assert all(len(r["embedding"]) == 64 for r in a)
+        assert sorted(map(tuple, ((r["centroid_id"], tuple(r["embedding"])) for r in a))) == \
+               sorted(map(tuple, ((r["centroid_id"], tuple(r["embedding"])) for r in b)))
+
+    def test_kmeans_separates_obvious_clusters(self, spark):
+        from tafra_spark.functions.similarity import assign_centroids, kmeans_fit
+
+        # two tight clusters around orthogonal directions
+        rows = []
+        for i in range(10):
+            rows.append((i, [10.0 + (i % 3) * 0.1, 0.1 * (i % 2), 0.0, 0.0]))
+        for i in range(10, 20):
+            rows.append((i, [0.1 * (i % 2), 10.0 + (i % 3) * 0.1, 0.0, 0.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent = kmeans_fit(df, k=2, iters=4)
+        got = assign_centroids(
+            df, cent.withColumnRenamed("centroid_id", "vec_id")
+        )
+        lab = {r["vec_id"]: r["centroid_id"] for r in got.collect()}
+        first = {lab[i] for i in range(10)}
+        second = {lab[i] for i in range(10, 20)}
+        assert len(first) == 1 and len(second) == 1 and first != second
