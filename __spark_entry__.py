@@ -1351,6 +1351,21 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary with document frequencies — array_distinct
+    # before the explode shuffles the per-doc vocabulary, not the token
+    # stream; restricted to df >= 3 so the output stays comparison-sized
+    docs = _read(spark, sf_dir, "documents")
+    return TX.doc_freq(docs).filter(F.col("df") >= 3)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc top-3 terms by tf*ln(N/df); integer tf/df and a shared
+    # ln() make the scores bit-identical across engines
+    docs = _read(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
+
+
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cluster by nearest centroid (broadcast assignment), then
     # exact cosine ONLY within a cluster — the quadratic compare never
@@ -1394,7 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified extension queries and previously-red rows
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
-        # NEW in r4: semantic dedup + k-means training (never verified)
+        # NEW in r4: semantic dedup + k-means training + tf-idf (never verified)
+        "vocab_doc_freq": vocab_doc_freq,
+        "tfidf_top_terms": tfidf_top_terms,
         "semantic_dedup_pairs": semantic_dedup_pairs,
         "semantic_dedup_survivors": semantic_dedup_survivors,
         "kmeans_centroids": kmeans_centroids,
@@ -2617,6 +2634,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "vocab_doc_freq": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\s+')
+                     )) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT term, count(*) AS df
+            FROM tok GROUP BY term HAVING count(*) >= 3
+        """,
+        "tfidf_top_terms": r"""
+            WITH base AS (
+              SELECT doc_id, lower(trim(text)) AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            n AS (SELECT count(*) AS n_docs FROM base),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(t, '\s+')) AS term
+              FROM base
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                         AS tfidf_raw
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, round(tfidf_raw, 6) AS tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf_raw DESC, term) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "semantic_dedup_pairs": _SEMANTIC_ASSIGN_SQL + """
             SELECT id_a, id_b, centroid_id, round(cos_raw, 6) AS cos

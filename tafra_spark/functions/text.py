@@ -12,7 +12,7 @@ The reference (petbox-dev/tafra) has no scalar-function library at all
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -131,3 +131,67 @@ def with_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred")
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     return df.withColumn(out, fingerprint(F.col(text_col)))
+
+
+def doc_freq(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, df) document frequency over whitespace tokens.
+
+    ``array_distinct`` BEFORE the explode keeps the shuffle at one row
+    per (doc, distinct term) instead of one per token occurrence — on
+    repetitive corpora that is the difference between shuffling the
+    token stream and shuffling the (much smaller) per-doc vocabulary.
+    One linear shuffle on term.
+    """
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_tokens(F.lower(F.col(text_col))))
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf (idf = ln(N/df)).
+
+    Three linear shuffles — (doc, term) counts, term document
+    frequencies, and the per-doc top-k window — plus a broadcast of the
+    single-row corpus count. Scoring is engine-portable: tf and df are
+    exact integers on both engines, ln() of their ratio is the same
+    IEEE double, and the (tfidf DESC, term) ordering is total.
+    Returns (doc_id, term, tf, tfidf, rank).
+    """
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n__"))
+    toks = base.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = doc_freq(df, text_col, id_col)
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("__n__").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
+        )
+    )

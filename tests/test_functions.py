@@ -789,3 +789,34 @@ class TestSemanticDedupAndKmeans:
         first = {lab[i] for i in range(10)}
         second = {lab[i] for i in range(10, 20)}
         assert len(first) == 1 and len(second) == 1 and first != second
+
+
+class TestTfidf:
+    def test_doc_freq_counts_docs_not_occurrences(self, spark):
+        from tafra_spark.functions.text import doc_freq
+
+        df = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "apple cherry"), (3, "  ")],
+            "doc_id long, text string",
+        )
+        got = {r["term"]: r["df"] for r in doc_freq(df).collect()}
+        # apple appears twice in doc 1 but df counts documents
+        assert got == {"apple": 2, "banana": 1, "cherry": 1}
+
+    def test_tfidf_ranks_distinctive_terms_first(self, spark):
+        from tafra_spark.functions.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "shared shared unique1"),
+                (2, "shared unique2 unique2"),
+                (3, "shared other"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = tfidf_top_terms(df, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in rows}
+        # 'shared' has df=3 -> idf=0; the distinctive terms must win
+        assert top == {1: "unique1", 2: "unique2", 3: "other"}
+        for r in rows:
+            assert r["rank"] == 1 and r["tfidf"] > 0
