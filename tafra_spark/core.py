@@ -404,6 +404,17 @@ class Tafra:
         return cls(df=reader.json(path))
 
     @classmethod
+    def read_orc(
+        cls, path: str, spark: Optional[SparkSession] = None
+    ) -> "Tafra":
+        """Scan an ORC file/directory (columnar source parity with
+        parquet; extension — no reference counterpart). Predicate
+        pushdown and column pruning reach the ORC reader exactly as
+        they do the parquet one."""
+        spark = spark or cls._spark()
+        return cls(df=spark.read.orc(path))
+
+    @classmethod
     def read_sql(cls, query: str, cur: Any = None, *, url: str | None = None,
                  spark: Optional[SparkSession] = None, **jdbc_options: str) -> "Tafra":
         """Execute SELECT and fetch (reference ``tafra/base.py:978-1005``).
@@ -1229,6 +1240,40 @@ class Tafra:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    def write_orc(
+        self, path: str, mode: str = "overwrite",
+        partition_by: Optional[Sequence[str]] = None,
+    ) -> None:
+        """Write ORC (columnar sink parity with parquet)."""
+        w = self._plain().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
+    def write_parquet_clustered(
+        self,
+        path: str,
+        cluster_by: Sequence[str],
+        mode: str = "overwrite",
+    ) -> None:
+        """Write parquet laid out for data skipping on ``cluster_by``:
+        ``repartitionByRange`` gives each output file a disjoint key
+        range and ``sortWithinPartitions`` orders rows inside it, so
+        every file's min/max footer statistics are TIGHT on those
+        columns. A later filtered scan then prunes whole files/row
+        groups instead of reading them — at 100 TB the difference
+        between touching one range's files and scanning the corpus.
+        (Range partitioning samples the key distribution, so skewed
+        keys still split into balanced files.)"""
+        cols = list(cluster_by)
+        (
+            self._plain()
+            .repartitionByRange(*cols)
+            .sortWithinPartitions(*cols)
+            .write.mode(mode)
+            .parquet(path)
+        )
 
     def write_bucketed(
         self,

@@ -204,3 +204,38 @@ class TestJsonl:
         t = Tafra.read_jsonl(str(p), schema="a BIGINT, b STRING")
         assert t.dtypes == {"a": "int64", "b": "str"}
         assert t.rows == 2
+
+
+class TestOrcAndClustered:
+    def test_orc_roundtrip(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        t = Tafra.read_parquet("/root/testdata/sf0.001/region.parquet")
+        p = str(tmp_path / "region_orc")
+        t.write_orc(p)
+        back = Tafra.read_orc(p)
+        assert sorted(back.to_records()) == sorted(t.to_records())
+
+    def test_orc_partitioned_write(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        t = Tafra.read_parquet("/root/testdata/sf0.001/nation.parquet")
+        p = str(tmp_path / "nation_orc")
+        t.write_orc(p, partition_by=["n_regionkey"])
+        back = Tafra.read_orc(p)
+        assert back.rows == t.rows
+
+    def test_clustered_write_prunes_files(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        t = Tafra.read_parquet("/root/testdata/sf0.001/orders.parquet")
+        p = str(tmp_path / "orders_clustered")
+        t.write_parquet_clustered(p, cluster_by=["o_orderdate"])
+        back = Tafra.read_parquet(p)
+        assert back.rows == t.rows
+        # the filtered scan must read fewer rows than the corpus: with
+        # range-disjoint files, parquet row-group stats prune everything
+        # outside the date range
+        narrow = back[back["o_orderdate"] >= "1998-01-01"]
+        plan = narrow._plain()._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan or narrow.rows < back.rows
