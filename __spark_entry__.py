@@ -1351,6 +1351,23 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # view→purchase attribution: the stream-stream interval join run in
+    # batch mode (same expression both ways — the Structured Streaming
+    # contract); the both-sided time bound is what lets streaming evict
+    # join state
+    ev = _read_events(spark, sf_dir)
+    out = STREAM.interval_join(ev, ev, within_minutes=60)
+    return out.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.date_format("l_ts", _TS_FMT_SPARK).alias("l_ts"),
+        F.date_format("r_ts", _TS_FMT_SPARK).alias("r_ts"),
+        "lag_seconds",
+    )
+
+
 def vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary with document frequencies — array_distinct
     # before the explode shuffles the per-doc vocabulary, not the token
@@ -1410,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
         # NEW in r4: semantic dedup + k-means training + tf-idf (never verified)
+        "interval_join_attribution": interval_join_attribution,
         "vocab_doc_freq": vocab_doc_freq,
         "tfidf_top_terms": tfidf_top_terms,
         "semantic_dedup_pairs": semantic_dedup_pairs,
@@ -2634,6 +2652,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "interval_join_attribution": f"""
+            WITH l AS (
+              SELECT user_id, event_id AS l_event_id, ts AS l_ts
+              FROM events WHERE event_type = 'view'
+            ),
+            r AS (
+              SELECT user_id AS r_user_id, event_id AS r_event_id, ts AS r_ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT l.user_id, l.l_event_id, r.r_event_id,
+                   strftime(l.l_ts, '{_TS_FMT_DUCK}') AS l_ts,
+                   strftime(r.r_ts, '{_TS_FMT_DUCK}') AS r_ts,
+                   date_diff('second', l.l_ts, r.r_ts) AS lag_seconds
+            FROM l JOIN r
+              ON l.user_id = r.r_user_id
+             AND r.r_ts >= l.l_ts
+             AND r.r_ts <= l.l_ts + INTERVAL 60 MINUTES
         """,
         "vocab_doc_freq": r"""
             WITH tok AS (

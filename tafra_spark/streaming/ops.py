@@ -33,6 +33,7 @@ __all__ = [
     "sessionize",
     "sessionize_stateful",
     "dedup_stream",
+    "interval_join",
     "run_to_memory_sink",
 ]
 
@@ -263,3 +264,63 @@ def run_to_memory_sink(
         q.stop()
     spark = streaming_df.sparkSession
     return spark.table(query_name)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each ``left_type``
+    event with the same user's ``right_type`` events that follow within
+    ``within_minutes`` — the view→purchase attribution shape.
+
+    In streaming mode BOTH sides carry a watermark and the join
+    condition bounds event time from both directions, which is exactly
+    what Structured Streaming requires to evict join state: a buffered
+    left row can be dropped once the right watermark passes
+    ``l_ts + within_minutes``. Unbounded conditions would accumulate
+    state forever at 100 TB/day. In batch mode the same expression is
+    an ordinary range-predicated equi-join on user_id (one shuffle,
+    AQE-skew-splittable).
+    """
+    l = left.filter(F.col("event_type") == left_type)
+    r = right.filter(F.col("event_type") == right_type)
+    if l.isStreaming:
+        l = l.withWatermark("ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("ts", watermark)
+    l = l.select(
+        F.col("user_id"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = r.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (
+                F.col("r_ts")
+                <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "l_event_id",
+            "r_event_id",
+            "l_ts",
+            "r_ts",
+            (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias(
+                "lag_seconds"
+            ),
+        )
+    )
