@@ -58,7 +58,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # string-heavy dedup stages (shingle arrays) are allocation-bound
+        # in local mode: a larger young gen cuts multi-second GC spikes
+        # that dominate run-to-run variance. Still env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         # bucketed tables (co-located joins) need a warehouse; keep it out
         # of the repo tree
         .config(
