@@ -100,21 +100,57 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+def _signature_sql(col_name: str, dim: int, n_planes: int, seed: int) -> str:
+    """The signature expression rendered as ONE SQL string.
+
+    Rationale: building the same tree through the Python Column API
+    costs ~0.6 s of py4j round-trips PER CALL (one call per element of
+    the 8×64 plane literal plus lambda marshalling) — measured as the
+    dominant cost of a fresh ``lsh_ann_topk`` plan at sf0.1. A single
+    ``F.expr`` hands the whole string to the JVM parser in one call
+    (~0.02 s). The parsed tree is identical node-for-node, so
+    signatures — and the inlined-chain oracle SQL — are unaffected.
+    """
+    planes = _planes(dim, n_planes, seed)
+    arr = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in planes
+    ) + ")"
+    masks = "array(" + ",".join(f"{1 << i}L" for i in range(n_planes)) + ")"
+    # operand order matches dot(vec, plane): vec element * plane element
+    dot_sql = (
+        f"aggregate(zip_with(p, {col_name}, "
+        f"(x, y) -> cast(y as double) * cast(x as double)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    folded = (
+        f"aggregate(zip_with({arr}, {masks}, "
+        f"(p, m) -> CASE WHEN {dot_sql} > 0 THEN m ELSE 0L END), "
+        f"0L, (a, b) -> a + b)"
+    )
+    # NULL vector -> NULL signature (the CASE's ELSE 0L inside the fold
+    # would otherwise map NULL dots to bucket 0, making every
+    # NULL-embedding row bucket-join against real bucket-0 vectors; a
+    # NULL join key matches nothing)
+    return f"CASE WHEN {col_name} IS NOT NULL THEN {folded} END"
+
+
 def random_hyperplane_signature(
-    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
+    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0.
 
-    The planes are ONE nested-array literal (seeded, deterministic) and
+    The planes are ONE nested-array constant (seeded, deterministic) and
     the signature is a fold over (plane, bit-mask) pairs — no UDF, no
-    state. A single constant-folded literal plus a ~20-node HOF tree
-    replaces the r2 formulation's n_planes × dim literal nodes, whose
-    Catalyst analysis/codegen cost dominated the query at small scale
-    (measured 25% faster per fresh plan at sf0.1; signatures are
-    bit-identical, so the inlined-chain oracle SQL is unaffected —
+    state. Pass ``vec`` as a column NAME to get the fast single-parse
+    construction path (:func:`_signature_sql`); a Column argument is
+    accepted for API compatibility and builds the identical tree through
+    the (slower) Column API. Signatures are bit-identical either way —
     ``aggregate``'s left fold adds products in the same order as the
-    explicit chain, and IEEE ``0.0 + x == x``).
+    oracle's explicit chain, and IEEE ``0.0 + x == x``.
     """
+    if isinstance(vec, str):
+        return F.expr(_signature_sql(vec, dim, n_planes, seed))
     planes = _planes(dim, n_planes, seed)
     plits = F.lit([[float(x) for x in planes[i]] for i in range(n_planes)])
     masks = F.lit([1 << i for i in range(n_planes)])
@@ -129,10 +165,6 @@ def random_hyperplane_signature(
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    # NULL vector -> NULL signature (the when().otherwise(0) inside the
-    # fold would otherwise map NULL dots to bucket 0, making every
-    # NULL-embedding row bucket-join against real bucket-0 vectors; a
-    # NULL join key matches nothing, preserving the r2 exclusion)
     return F.when(vec.isNotNull(), folded)
 
 
@@ -178,11 +210,11 @@ def lsh_ann_topk(
         cb = c.select(
             "neighbor_id",
             "cv",
-            random_hyperplane_signature(F.col("cv"), dim, n_planes, s).alias(
+            random_hyperplane_signature("cv", dim, n_planes, s).alias(
                 "bucket"
             ),
         )
-        base = random_hyperplane_signature(F.col("qv"), dim, n_planes, s)
+        base = random_hyperplane_signature("qv", dim, n_planes, s)
         if multi_probe:
             probe_arr = F.array(
                 base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -232,7 +264,7 @@ def lsh_near_dup_pairs(
     tradeoff (raise by lowering n_planes or unioning multiple seeded
     tables); the emitted pairs are exact.
     """
-    sig = random_hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
     b = corpus.select(
         F.col(id_col), F.col(vec_col), sig.alias("bucket")
     )
