@@ -1351,6 +1351,15 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb-style segment dedup signal: consecutive 10-token
+    # windows, a segment counts as duplicated if its exact text occurs
+    # more than once corpus-wide; one count shuffle + one join-back on
+    # the same 8-byte hash key
+    docs = _read(spark, sf_dir, "documents")
+    return P.segment_dedup_stats(docs, seg_tokens=10)
+
+
 def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # view→purchase attribution: the stream-stream interval join run in
     # batch mode (same expression both ways — the Structured Streaming
@@ -1427,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
         # NEW in r4: semantic dedup + k-means training + tf-idf (never verified)
+        "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
         "vocab_doc_freq": vocab_doc_freq,
         "tfidf_top_terms": tfidf_top_terms,
@@ -2652,6 +2662,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "segment_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(ws) // 10),
+                       i -> array_to_string(ws[i*10+1:i*10+10], ' '))) AS seg
+              FROM w WHERE len(ws) // 10 > 0
+            ),
+            hh AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(seg), 1, 15)) AS BIGINT) AS h
+              FROM s
+            ),
+            c AS (SELECT h, count(*) AS cnt FROM hh GROUP BY h)
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_segments,
+                   round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS dup_frac
+            FROM hh JOIN c USING (h) GROUP BY doc_id
         """,
         "interval_join_attribution": f"""
             WITH l AS (

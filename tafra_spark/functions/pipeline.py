@@ -314,3 +314,58 @@ def train_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos", "shuffle_key")
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-segment stats (the CCNet /
+    RefinedWeb segment-dedup signal).
+
+    The text is cut into consecutive ``seg_tokens``-word windows (full
+    windows only); a segment is DUPLICATED if its exact text occurs more
+    than once corpus-wide. Returns (id, n_segments, n_dup_segments,
+    dup_frac) — the filter threshold is the caller's policy.
+
+    Plan: per-row segmentation fold (zero shuffle) → explode to the
+    segment stream hashed to 8-byte keys → ONE count aggregate on the
+    segment hash → join the counts back (same key, shuffle reused) →
+    per-doc aggregate. All shuffles linear in corpus token count; no
+    quadratic step anywhere.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    n_seg = (F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(segs).alias("seg"))
+        .select(F.col(id_col), _ngram_hash(F.col("seg")).alias("h"))
+    )
+    counts = seg_rows.groupBy("h").agg(F.count(F.lit(1)).alias("__c__"))
+    return (
+        seg_rows.join(counts, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__c__") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_segments").cast("double")
+                / F.col("n_segments").cast("double"),
+                6,
+            ),
+        )
+    )

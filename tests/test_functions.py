@@ -820,3 +820,32 @@ class TestTfidf:
         assert top == {1: "unique1", 2: "unique2", 3: "other"}
         for r in rows:
             assert r["rank"] == 1 and r["tfidf"] > 0
+
+
+class TestSegmentDedup:
+    def test_duplicated_segments_detected(self, spark):
+        from tafra_spark.functions.pipeline import segment_dedup_stats
+
+        seg = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, seg + " " + "one two three four five six seven eight nine ten"),
+            (2, seg + " " + "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+            (3, "completely fresh words that appear nowhere else in corpus x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_segments"], r["n_dup_segments"], r["dup_frac"])
+            for r in segment_dedup_stats(df, seg_tokens=10).collect()
+        }
+        assert got[1] == (2, 1, 0.5)   # shared first window
+        assert got[2] == (2, 1, 0.5)
+        assert got[3] == (1, 0, 0.0)
+
+    def test_short_docs_excluded(self, spark):
+        from tafra_spark.functions.pipeline import segment_dedup_stats
+
+        df = spark.createDataFrame(
+            [(1, "only four words here"), (2, " ")],
+            "doc_id long, text string",
+        )
+        assert segment_dedup_stats(df, seg_tokens=10).count() == 0
