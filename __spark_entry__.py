@@ -1351,6 +1351,18 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-k per-stratum cap: rank by salted key hash inside each
+    # source, keep the first 5 — a deterministic distributed reservoir
+    # (no RNG state, verifiable sample MEMBERSHIP, not just size)
+    from tafra_spark.functions.sampling import exact_k_per_stratum
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_k_per_stratum(docs, "doc_id", "source", k=5).select(
+        "doc_id", "source"
+    )
+
+
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet/RefinedWeb-style segment dedup signal: consecutive 10-token
     # windows, a segment counts as duplicated if its exact text occurs
@@ -1436,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
         # NEW in r4: semantic dedup + k-means training + tf-idf (never verified)
+        "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
         "vocab_doc_freq": vocab_doc_freq,
@@ -2662,6 +2675,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "sample_k_per_source": r"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(concat('0x', substr(
+                                 md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) % 1000000000,
+                               doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 5
         """,
         "segment_dedup": r"""
             WITH w AS (

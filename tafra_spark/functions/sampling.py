@@ -26,7 +26,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_mod", "hash_sample", "stratified_hash_sample"]
+__all__ = ["hash_mod", "hash_sample", "stratified_hash_sample", "exact_k_per_stratum"]
 
 
 def hash_mod(key: Column, buckets: int = 100, seed: int = 42) -> Column:
@@ -67,3 +67,33 @@ def stratified_hash_sample(
             rate
         )
     return df.filter(hash_mod(F.col(key_col), 100, seed) < rate)
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep EXACTLY min(k, stratum size) rows per stratum,
+    deterministically — the distributed equivalent of a per-group
+    reservoir sample, without RNG state.
+
+    Rows are ranked inside each stratum by their key's salted hash
+    (uniform, engine-portable) with the raw key as tie-break, and the
+    first ``k`` survive. One shuffle on the stratum column; the window
+    never materializes more than a partition. Rate-based
+    :func:`stratified_hash_sample` keeps a *fraction* — this keeps a
+    *count* (caps a dominant stratum at a fixed budget).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_mod(F.col(key_col), 1_000_000_000, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

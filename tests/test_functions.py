@@ -849,3 +849,28 @@ class TestSegmentDedup:
             "doc_id long, text string",
         )
         assert segment_dedup_stats(df, seg_tokens=10).count() == 0
+
+
+class TestExactKSampling:
+    def test_caps_each_stratum(self, spark):
+        from tafra_spark.functions.sampling import exact_k_per_stratum
+
+        rows = [(i, f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = exact_k_per_stratum(df, "doc_id", "source", k=4)
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"s0": 4, "s1": 4, "s2": 4}
+
+    def test_small_stratum_kept_whole_and_deterministic(self, spark):
+        from tafra_spark.functions.sampling import exact_k_per_stratum
+
+        rows = [(1, "rare"), (2, "rare"), *[(i, "big") for i in range(10, 40)]]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sorted(r["doc_id"] for r in exact_k_per_stratum(df, "doc_id", "source", 5).collect())
+        b = sorted(r["doc_id"] for r in exact_k_per_stratum(df, "doc_id", "source", 5).collect())
+        assert a == b
+        assert {1, 2} <= set(a)
+        assert len(a) == 7
