@@ -1209,6 +1209,29 @@ def quality_gate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FLAGSHIP composite: the full public LLM corpus-prep funnel as ONE
+    # plan — quality gate (zero shuffle) → exact dedup (fingerprint
+    # shuffle + window) → MinHash-LSH fuzzy dedup over the survivors
+    # (single shingle pass, banded candidates, exact Jaccard verify) →
+    # per-source funnel report. The oracle recomputes every stage in SQL
+    # (gate bitmask, md5 fingerprint window, md5-slice minhash family,
+    # band self-join, list_intersect Jaccard) and must agree on all five
+    # aggregate columns.
+    docs = _read(spark, sf_dir, "documents")
+    return P.corpus_prep_summary(
+        docs,
+        min_tokens=20,
+        max_tokens=60,
+        max_dup_q4=5000,
+        max_top_q4=1500,
+        num_hashes=4,
+        band_size=2,
+        shingle_k=3,
+        threshold=0.5,
+    )
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1447,7 +1470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified extension queries and previously-red rows
         # come FIRST; the TPC-H variants that have been green twice sit
         # at the tail. ---
-        # NEW in r4: semantic dedup + k-means training + tf-idf (never verified)
+        # NEW in r4: composite corpus-prep flagship + semantic dedup +
+        # k-means training + tf-idf (never verified)
+        "corpus_prep_pipeline": corpus_prep_pipeline,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2403,6 +2428,118 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'))
                      AS scrub_fp
             FROM staged2
+        """,
+        "corpus_prep_pipeline": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')
+                     END AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor(((len(t) - len(list_distinct(t)))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS dup_q4,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor((list_max(list_transform(
+                                 list_distinct(t),
+                                 u -> len(list_filter(t, x -> x = u))))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS top_q4
+              FROM w
+            ),
+            gate AS (
+              SELECT doc_id, n_tokens,
+                     ((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_tokens > 60 THEN 2 ELSE 0 END)
+                    + (CASE WHEN dup_q4 > 5000 THEN 4 ELSE 0 END)
+                    + (CASE WHEN top_q4 > 1500 THEN 8 ELSE 0 END)) = 0
+                       AS q_keep
+              FROM s
+            ),
+            ex AS (
+              SELECT d.doc_id, d.source, g.n_tokens, g.q_keep,
+                     g.q_keep AND d.doc_id =
+                       min(CASE WHEN g.q_keep THEN d.doc_id END) OVER (
+                         PARTITION BY md5(lower(regexp_replace(
+                           trim(d.text), '\s+', ' ', 'g'))))
+                       AS exact_keep
+              FROM documents d JOIN gate g USING (doc_id)
+            ),
+            sw AS (
+              SELECT d.doc_id,
+                     regexp_split_to_array(lower(trim(d.text)), '\s+') AS ws
+              FROM documents d JOIN ex USING (doc_id) WHERE ex.exact_keep
+            ),
+            ssh AS (
+              SELECT doc_id,
+                CASE
+                  WHEN len(ws) >= 3 THEN list_distinct(
+                    list_transform(range(1, len(ws) - 1),
+                                   i -> concat_ws(' ', ws[i], ws[i+1],
+                                                  ws[i+2])))
+                  WHEN len(ws) > 0
+                       AND length(trim(array_to_string(ws, ' '))) > 0
+                    THEN [array_to_string(ws, ' ')]
+                  ELSE []
+                END AS shset
+              FROM sw
+            ),
+            sex2 AS (SELECT doc_id, unnest(shset) AS sgl FROM ssh),
+            sdg AS (SELECT doc_id, md5('0|' || sgl) AS dg FROM sex2),
+            ssig AS (
+              SELECT doc_id,
+                     min(substr(dg, 1, 8))  AS h0,
+                     min(substr(dg, 9, 8))  AS h1,
+                     min(substr(dg, 17, 8)) AS h2,
+                     min(substr(dg, 25, 8)) AS h3
+              FROM sdg GROUP BY doc_id
+            ),
+            bnd AS (
+              SELECT doc_id, 0 AS band, h0 || '_' || h1 AS val FROM ssig
+              UNION ALL
+              SELECT doc_id, 1 AS band, h2 || '_' || h3 AS val FROM ssig
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bnd l JOIN bnd r
+                ON l.band = r.band AND l.val = r.val
+                   AND l.doc_id < r.doc_id
+            ),
+            jac AS (
+              SELECT c.id_a, c.id_b,
+                round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                  / (len(a.shset) + len(b.shset)
+                     - len(list_intersect(a.shset, b.shset))), 6) AS jaccard
+              FROM cand c
+              JOIN ssh a ON a.doc_id = c.id_a
+              JOIN ssh b ON b.doc_id = c.id_b
+            ),
+            drops AS (SELECT DISTINCT id_b FROM jac WHERE jaccard >= 0.5),
+            fin AS (
+              SELECT ex.*,
+                     ex.exact_keep
+                     AND ex.doc_id NOT IN (SELECT id_b FROM drops)
+                       AS final_keep
+              FROM ex
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_quality,
+                   CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN final_keep THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS tokens_final
+            FROM fin
+            GROUP BY source
         """,
         "quality_gate_filter": r"""
             WITH w AS (

@@ -29,8 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingles
-from .text import word_tokens
+from .dedup import fuzzy_dedup_pairs, shingles
+from .text import fingerprint, word_tokens
 
 __all__ = [
     "decontaminate",
@@ -40,6 +40,8 @@ __all__ = [
     "train_shuffle",
     "pii_scrub",
     "quality_gate",
+    "corpus_prep",
+    "corpus_prep_summary",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -368,4 +370,119 @@ def segment_dedup_stats(
                 6,
             ),
         )
+    )
+
+def corpus_prep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_q4: int = 5000,
+    max_top_q4: int = 2500,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """End-to-end corpus preparation: quality gate → exact dedup → fuzzy
+    near-dup removal, as ONE composed plan of per-document stage flags.
+
+    This is the standard public LLM-data-prep funnel (C4 / Gopher /
+    RefinedWeb): heuristic quality filtering first (cheapest, zero
+    shuffle), exact duplicate removal second (one hash shuffle), fuzzy
+    MinHash-LSH dedup last (run only on the survivors, so the candidate
+    join sees the smallest possible corpus). Returns one row per input
+    document with ``q_keep`` / ``exact_keep`` / ``final_keep`` flags —
+    the caller filters or audits; nothing is silently dropped.
+
+    Stage semantics (all deterministic, all DuckDB-expressible):
+
+    - ``q_keep``: :func:`quality_gate` reject_mask == 0.
+    - ``exact_keep``: among quality survivors, the minimum ``id_col``
+      per normalized-text md5 fingerprint (one window over the
+      fingerprint shuffle — no join-back).
+    - ``final_keep``: exact survivors that are the minimum id among
+      their fuzzy near-dup neighbors — i.e. a doc is dropped iff a
+      verified pair (a, b), a < b, Jaccard ≥ ``threshold`` exists with
+      b == doc. Pairs come from :func:`~.dedup.fuzzy_dedup_pairs`
+      (single shingle pass, LSH banding, exact Jaccard verify).
+
+    Scale: quality gate is a zero-shuffle fold; exact dedup is one
+    shuffle on a 16-byte fingerprint; the fuzzy stage is the linear
+    (band, value) bucket shuffle of the LSH design with the quadratic
+    verify confined to candidates. The funnel ordering means each stage
+    processes a subset of the last — at 100 TB the expensive stage runs
+    on the small end of the funnel.
+    """
+    gate = quality_gate(
+        df, text_col, id_col, min_tokens, max_tokens, max_dup_q4, max_top_q4
+    )
+    flags = df.select(
+        F.col(id_col), F.col(source_col), F.col(text_col)
+    ).join(
+        gate.select(
+            id_col, "n_tokens", F.col("keep").alias("q_keep")
+        ),
+        on=id_col,
+    )
+    w = Window.partitionBy("fp")
+    flags = flags.withColumn(
+        "fp", fingerprint(F.col(text_col))
+    ).withColumn(
+        "exact_keep",
+        F.col("q_keep")
+        & (
+            F.col(id_col)
+            == F.min(F.when(F.col("q_keep"), F.col(id_col))).over(w)
+        ),
+    )
+    survivors = flags.filter(F.col("exact_keep")).select(id_col, text_col)
+    pairs = fuzzy_dedup_pairs(
+        survivors,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_k=shingle_k,
+        portable=portable,
+        threshold=threshold,
+    )
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__near_dup__", F.lit(True))
+    )
+    return (
+        flags.join(drops, on=id_col, how="left")
+        .withColumn(
+            "final_keep",
+            F.col("exact_keep") & F.col("__near_dup__").isNull(),
+        )
+        .select(
+            id_col, source_col, "n_tokens", "q_keep", "exact_keep", "final_keep"
+        )
+    )
+
+
+def corpus_prep_summary(
+    df: DataFrame,
+    source_col: str = "source",
+    **kwargs,
+) -> DataFrame:
+    """Per-source funnel report over :func:`corpus_prep`: how many docs
+    enter, survive the quality gate, survive exact dedup, and land in
+    the final corpus, plus the final token volume. One extra shuffle on
+    ``source_col`` over the flags plan."""
+    flags = corpus_prep(df, source_col=source_col, **kwargs)
+    return flags.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_keep").cast("long")).alias("n_quality"),
+        F.sum(F.col("exact_keep").cast("long")).alias("n_exact"),
+        F.sum(F.col("final_keep").cast("long")).alias("n_final"),
+        F.sum(
+            F.when(F.col("final_keep"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("tokens_final"),
     )
