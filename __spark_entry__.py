@@ -1232,6 +1232,23 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source greedy fill under a 500-token budget: the data-mixing
+    # primitive (deterministic doc order, exclusive-cumsum cutoff)
+    docs = _read(spark, sf_dir, "documents")
+    return P.token_budget_select(docs, budget=500)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of the bucketed ANN vs exact brute force, per query —
+    # the oracle recomputes BOTH sides (inlined plane literals for the
+    # ANN, exhaustive cosine for the truth) and must agree on every
+    # hit count
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_recall(emb, queries, dim=64, k=5, n_planes=8)
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1473,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r4: composite corpus-prep flagship + semantic dedup +
         # k-means training + tf-idf (never verified)
         "corpus_prep_pipeline": corpus_prep_pipeline,
+        "token_budget_mix": token_budget_mix,
+        "ann_recall_eval": ann_recall_eval,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -1722,6 +1741,71 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_recall_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42
+) -> str:
+    """Recall@k oracle: the bucketed-ANN CTE (same inlined plane
+    literals as the Spark plan) joined against an exhaustive brute-force
+    top-k — both ranked with the identical cos-desc, id-asc tiebreak."""
+    bucket = _bucket_sql(dim, n_planes, seed)
+    return f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {bucket} AS bucket
+              FROM e
+            ),
+            q AS (SELECT vec_id AS query_id, qv, bucket
+                  FROM (SELECT vec_id, v AS qv, bucket FROM b)
+                  WHERE vec_id < 5),
+            ascored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, c.v) AS cos_raw
+              FROM b c JOIN q USING (bucket)
+              WHERE c.vec_id <> q.query_id
+            ),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC,
+                                                   neighbor_id) AS rnk
+                FROM ascored
+              ) WHERE rnk <= {k}
+            ),
+            tscored AS (
+              SELECT tq.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(tq.qv, e.v) AS cos_raw
+              FROM e CROSS JOIN (SELECT vec_id AS query_id, v AS qv
+                                 FROM e WHERE vec_id < 5) tq
+              WHERE e.vec_id <> tq.query_id
+            ),
+            truth AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC,
+                                                   neighbor_id) AS rnk
+                FROM tscored
+              ) WHERE rnk <= {k}
+            ),
+            nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+                   FROM truth GROUP BY query_id),
+            nh AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                   FROM truth t JOIN approx a
+                     ON a.query_id = t.query_id
+                        AND a.neighbor_id = t.neighbor_id
+                   GROUP BY t.query_id)
+            SELECT nt.query_id, nt.n_true,
+                   CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true,
+                         6) AS recall
+            FROM nt LEFT JOIN nh USING (query_id)
     """
 
 
@@ -2429,6 +2513,28 @@ def oracle_sql() -> dict[str, str]:
                      AS scrub_fp
             FROM staged2
         """,
+        "token_budget_mix": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE CAST(len(regexp_split_to_array(
+                                 lower(trim(text)), '\s+')) AS BIGINT)
+                     END AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT source, doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT source, doc_id, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum - n_tokens < 500
+        """,
+        "ann_recall_eval": _ann_recall_sql(),
         "corpus_prep_pipeline": r"""
             WITH w AS (
               SELECT doc_id,

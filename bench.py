@@ -39,6 +39,7 @@ HEADLINE = [
     "exact_dedup_groups",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "corpus_prep_pipeline",
     "simhash_near_dups",
     "embedding_cosine_topk",
     "embedding_lsh_ann",

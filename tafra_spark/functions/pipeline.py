@@ -42,6 +42,7 @@ __all__ = [
     "quality_gate",
     "corpus_prep",
     "corpus_prep_summary",
+    "token_budget_select",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -485,4 +486,42 @@ def corpus_prep_summary(
         F.sum(
             F.when(F.col("final_keep"), F.col("n_tokens")).otherwise(F.lit(0))
         ).alias("tokens_final"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-partition document selection under a token
+    budget — the "data mixing" primitive: each source contributes docs
+    in ascending ``id_col`` order until its cumulative token count
+    reaches ``budget``.
+
+    A doc is selected while the EXCLUSIVE running total is still under
+    the budget (the first doc of a source is always taken, and the last
+    selected doc may overshoot — the standard greedy fill). Returns the
+    selected (partition, id, n_tokens, cum_tokens) rows.
+
+    Scale: one cumulative window per source partition — the same
+    partitioned-window shape as :func:`pack_sequences`; no global sort,
+    no driver-side state. Selection priority is the id order; callers
+    wanting quality-first budgets pre-sort into a priority id upstream.
+    """
+    n_tok = F.size(word_tokens(F.lower(F.col(text_col)))).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(part_col), F.col(id_col), n_tok.alias("n_tokens")
+        )
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
     )

@@ -36,6 +36,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_survivors",
     "kmeans_fit",
+    "ann_recall",
 ]
 
 
@@ -111,6 +112,10 @@ def _signature_sql(col_name: str, dim: int, n_planes: int, seed: int) -> str:
     (~0.02 s). The parsed tree is identical node-for-node, so
     signatures — and the inlined-chain oracle SQL — are unaffected.
     """
+    if n_planes == 0:
+        # degenerate single-bucket signature (ANN == exact brute force);
+        # an empty array() literal would be untyped and fail analysis
+        return f"CASE WHEN {col_name} IS NOT NULL THEN 0L END"
     planes = _planes(dim, n_planes, seed)
     arr = "array(" + ",".join(
         "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
@@ -151,6 +156,8 @@ def random_hyperplane_signature(
     """
     if isinstance(vec, str):
         return F.expr(_signature_sql(vec, dim, n_planes, seed))
+    if n_planes == 0:
+        return F.when(vec.isNotNull(), F.lit(0).cast("long"))
     planes = _planes(dim, n_planes, seed)
     plits = F.lit([[float(x) for x in planes[i]] for i in range(n_planes)])
     masks = F.lit([1 << i for i in range(n_planes)])
@@ -547,4 +554,62 @@ def kmeans_fit(
             ]
     return spark.createDataFrame(
         cent_rows, "centroid_id long, embedding array<double>"
+    )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    n_tables: int = 1,
+    multi_probe: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN against exact brute force —
+    the evaluation loop every production ANN deployment runs before
+    trusting its recall knobs (n_planes / n_tables / multi_probe).
+
+    Per query: ``n_true`` exact neighbors (≤ k — a tiny corpus can have
+    fewer), ``n_hit`` of them found by the ANN, ``recall`` = hit/true
+    rounded to 6 places (integer ratio — hash-identical across engines).
+
+    Scale: the exact side is the documented broadcast-queries
+    ``cosine_topk`` path (evaluation query sets are small); the ANN side
+    is the linear bucket join. The comparison itself is a semi-join on
+    (query, neighbor) pairs — k rows per query, negligible.
+    """
+    truth = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_ann_topk(
+        corpus,
+        queries,
+        dim,
+        k,
+        n_planes,
+        seed,
+        n_tables,
+        multi_probe,
+        id_col,
+        vec_col,
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, on=["query_id", "neighbor_id"], how="left_semi")
+    n_true = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.join(n_hit, on="query_id", how="left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ),
+        )
     )

@@ -874,3 +874,96 @@ class TestExactKSampling:
         assert a == b
         assert {1, 2} <= set(a)
         assert len(a) == 7
+
+
+class TestCorpusPrep:
+    """End-to-end funnel: quality gate → exact dedup → fuzzy dedup."""
+
+    @pytest.fixture(scope="class")
+    def funnel_corpus(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog today", "s0"),
+            # exact dup of 0 — loses the min-id race
+            (1, "the quick brown fox jumps over the lazy dog today", "s0"),
+            # near-dup of 0 (differs in the final word only)
+            (2, "the quick brown fox jumps over the lazy dog tonight", "s0"),
+            (3, "completely different content about spark engines and "
+                "large scale data", "s1"),
+            (4, "tiny", "s1"),  # fails the min-token gate
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_stage_flags(self, spark, funnel_corpus):
+        from tafra_spark.functions.pipeline import corpus_prep
+
+        rows = {
+            r["doc_id"]: r
+            for r in corpus_prep(funnel_corpus, min_tokens=3).collect()
+        }
+        assert len(rows) == 5  # every input doc gets a row
+        assert [rows[i]["q_keep"] for i in range(5)] == [
+            True, True, True, True, False,
+        ]
+        # exact: 1 is a byte-dup of 0 and loses; 2 differs so it survives
+        assert [rows[i]["exact_keep"] for i in range(5)] == [
+            True, False, True, True, False,
+        ]
+        # fuzzy: (0, 2) share 7 of 8 trigram shingles (jaccard 7/9) — 2
+        # is dropped as the larger id of a verified pair
+        assert [rows[i]["final_keep"] for i in range(5)] == [
+            True, False, False, True, False,
+        ]
+        # funnel monotonicity: final ⊆ exact ⊆ quality
+        for r in rows.values():
+            assert not r["final_keep"] or r["exact_keep"]
+            assert not r["exact_keep"] or r["q_keep"]
+
+    def test_summary(self, spark, funnel_corpus):
+        from tafra_spark.functions.pipeline import corpus_prep_summary
+
+        out = {
+            r["source"]: r
+            for r in corpus_prep_summary(funnel_corpus, min_tokens=3).collect()
+        }
+        s0, s1 = out["s0"], out["s1"]
+        assert (s0["n_docs"], s0["n_quality"], s0["n_exact"], s0["n_final"]) \
+            == (3, 3, 2, 1)
+        assert s0["tokens_final"] == 10
+        assert (s1["n_docs"], s1["n_quality"], s1["n_exact"], s1["n_final"]) \
+            == (2, 1, 1, 1)
+        assert s1["tokens_final"] == 10
+
+
+class TestTokenBudgetAndRecall:
+    def test_token_budget_select(self, spark):
+        from tafra_spark.functions.pipeline import token_budget_select
+
+        rows = [
+            (0, "a b c d", "s0"),   # 4 tokens, excl-cum 0  -> in
+            (1, "e f g", "s0"),     # 3 tokens, excl-cum 4  -> in (< 6)
+            (2, "h i", "s0"),       # excl-cum 7 -> out
+            (3, "one two three four five six seven", "s1"),  # 7, in
+            (4, "eight", "s1"),     # excl-cum 7 -> out
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {
+            r["doc_id"]: r
+            for r in token_budget_select(df, budget=6).collect()
+        }
+        assert set(out) == {0, 1, 3}
+        assert out[1]["cum_tokens"] == 7  # last doc may overshoot
+        assert out[3]["n_tokens"] == 7
+
+    def test_ann_recall_bounds_and_exact_match(self, spark):
+        from tafra_spark.functions.similarity import ann_recall
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+        rows = ann_recall(emb, queries, dim=64, k=5, n_planes=4).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert 0 <= r["n_hit"] <= r["n_true"] <= 5
+            assert abs(r["recall"] - round(r["n_hit"] / r["n_true"], 6)) < 1e-9
+        # 0 planes → one bucket → ANN degenerates to exact → recall 1.0
+        rows0 = ann_recall(emb, queries, dim=64, k=5, n_planes=0).collect()
+        assert all(r["recall"] == 1.0 for r in rows0)
