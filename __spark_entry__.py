@@ -1232,6 +1232,24 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG/embedding prep: overlapping 24-token windows every 12 tokens;
+    # chunk_id = start/stride so no ordinality bookkeeping — fully
+    # deterministic and zero-shuffle
+    docs = _read(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, chunk_tokens=24, stride=12)
+
+
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental-ingest dedup: docs with doc_id % 3 == 0 play the
+    # historical corpus (fingerprints only), the rest are the new batch;
+    # flags: already-seen, in-batch dup, keep
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.dedup_incremental(batch, seen)
+
+
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source greedy fill under a 500-token budget: the data-mixing
     # primitive (deterministic doc order, exclusive-cumsum cutoff)
@@ -1492,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": corpus_prep_pipeline,
         "token_budget_mix": token_budget_mix,
         "ann_recall_eval": ann_recall_eval,
+        "chunk_sliding_windows": chunk_sliding_windows,
+        "incremental_dedup_batch": incremental_dedup_batch,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2512,6 +2532,48 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'))
                      AS scrub_fp
             FROM staged2
+        """,
+        "chunk_sliding_windows": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS ws
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, ws,
+                     unnest(range(0, len(ws), 12)) AS s
+              FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   CAST(s / 12 AS BIGINT) AS chunk_id,
+                   CAST(least(24, len(ws) - s) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(ws[s + 1 : s + 24], ' ') AS chunk_text
+            FROM st
+        """,
+        "incremental_dedup_batch": r"""
+            WITH seen_fp AS (
+              SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+',
+                                                       ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            batch AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                              'g'))) AS fp
+              FROM documents WHERE doc_id % 3 <> 0
+            ),
+            flagged AS (
+              SELECT b.doc_id,
+                     b.fp IN (SELECT fp FROM seen_fp) AS in_seen,
+                     b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)
+                       AS batch_dup
+              FROM batch b
+            )
+            SELECT doc_id, in_seen, batch_dup,
+                   (NOT in_seen AND NOT batch_dup) AS keep
+            FROM flagged
         """,
         "token_budget_mix": r"""
             WITH t AS (

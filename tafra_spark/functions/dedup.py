@@ -44,6 +44,7 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "dup_clusters",
+    "dedup_incremental",
 ]
 
 
@@ -700,4 +701,48 @@ def dup_clusters(
         f"dup_clusters did not converge in {max_iterations} iterations "
         "(pathologically long chain in the pair graph); raise "
         "max_iterations"
+    )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus —
+    the incremental-ingest shape: the historical side contributes only
+    its fingerprint set, never its text.
+
+    A batch doc survives iff (a) its normalized-text fingerprint does
+    not appear in ``seen`` and (b) it is the minimum ``id_col`` among
+    batch docs sharing that fingerprint (in-batch dedup runs in the
+    same pass). Returns per-doc flags: ``in_seen``, ``batch_dup``,
+    ``keep`` = neither.
+
+    Scale: at 100 TB the ``seen`` side is a fingerprint-only table
+    (16-byte md5 per historical doc, written once at ingest) — the
+    anti-join shuffles fingerprints, not documents, and AQE broadcasts
+    it whenever a day's batch dwarfs the delta. One fingerprint shuffle
+    total: the window (in-batch min) and the join share the same key.
+    """
+    seen_fp = seen.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    w = Window.partitionBy("fp")
+    return (
+        batch.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .join(seen_fp.withColumn("__seen__", F.lit(True)), on="fp", how="left")
+        .withColumn("in_seen", F.col("__seen__").isNotNull())
+        .withColumn(
+            "batch_dup", F.col(id_col) != F.min(id_col).over(w)
+        )
+        .select(
+            id_col,
+            "in_seen",
+            "batch_dup",
+            (~F.col("in_seen") & ~F.col("batch_dup")).alias("keep"),
+        )
     )

@@ -43,6 +43,7 @@ __all__ = [
     "corpus_prep",
     "corpus_prep_summary",
     "token_budget_select",
+    "chunk_documents",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -524,4 +525,59 @@ def token_budget_select(
         )
         .withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the embedding/RAG prep step that
+    turns documents into overlapping fixed-size passages.
+
+    Windows start every ``stride`` tokens (start < n_tokens) and span
+    ``chunk_tokens`` tokens (truncated at the end of the doc); chunk_id
+    is start/stride, so the output is deterministic with no ordinality
+    bookkeeping. Trailing windows may be fully contained in their
+    predecessor — the simple rule is kept because both engines express
+    it identically; callers wanting tail-suppression filter on
+    ``n_chunk_tokens``.
+
+    Scale: one zero-shuffle pass — tokenize, generate starts
+    (``sequence``), explode, slice. Output volume is the corpus token
+    stream × (chunk/stride) overlap factor; there is no state and no
+    join, so it parallelizes per input split.
+    """
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("__start__"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__start__") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(word_tokens(F.col(text_col))) - F.col("__start__"),
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    word_tokens(F.col(text_col)),
+                    F.col("__start__") + 1,
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
     )

@@ -967,3 +967,49 @@ class TestTokenBudgetAndRecall:
         # 0 planes → one bucket → ANN degenerates to exact → recall 1.0
         rows0 = ann_recall(emb, queries, dim=64, k=5, n_planes=0).collect()
         assert all(r["recall"] == 1.0 for r in rows0)
+
+
+class TestChunkingAndIncrementalDedup:
+    def test_chunk_documents_windows(self, spark):
+        from tafra_spark.functions.pipeline import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r["doc_id"], r["chunk_id"]): r
+            for r in chunk_documents(df, chunk_tokens=4, stride=2).collect()
+        }
+        # doc 1: 7 tokens -> starts 0,2,4,6
+        assert {(1, i) for i in range(4)} <= set(rows)
+        assert rows[(1, 0)]["chunk_text"] == "a b c d"
+        assert rows[(1, 2)]["chunk_text"] == "e f g"
+        assert rows[(1, 2)]["n_chunk_tokens"] == 3
+        assert rows[(1, 3)]["chunk_text"] == "g"
+        # doc 2: 2 tokens -> one window; doc 3: empty -> no rows
+        assert rows[(2, 0)]["chunk_text"] == "x y"
+        assert not any(d == 3 for d, _ in rows)
+
+    def test_dedup_incremental_flags(self, spark):
+        from tafra_spark.functions.dedup import dedup_incremental
+
+        seen = spark.createDataFrame(
+            [(100, "known document text")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [
+                (1, "known  DOCUMENT text"),   # normalizes to a seen fp
+                (2, "fresh content one"),
+                (3, "fresh content one"),      # in-batch dup of 2
+                (4, "fresh content two"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r for r in dedup_incremental(batch, seen).collect()
+        }
+        assert rows[1]["in_seen"] and not rows[1]["keep"]
+        assert rows[2]["keep"] and not rows[2]["batch_dup"]
+        assert rows[3]["batch_dup"] and not rows[3]["keep"]
+        assert rows[4]["keep"]
