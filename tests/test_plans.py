@@ -304,3 +304,52 @@ class TestIvfPartitionPruning:
         )
         assert n_parts >= 3  # several partitions exist...
         assert probed.select("centroid_id").distinct().count() <= 2  # ...few read
+
+
+class TestRound4PlanShapes:
+    """Exchange ceilings for the round-4 operators — the 100 TB claims
+    asserted on actual physical plans."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.read.parquet(f"{SF}/documents.parquet")
+
+    def test_chunking_zero_shuffle(self, spark, docs):
+        from tafra_spark.functions.pipeline import chunk_documents
+        from tafra_spark.plans.inspect import count_exchanges
+
+        assert count_exchanges(chunk_documents(docs)) == 0
+
+    def test_token_budget_one_exchange(self, spark, docs):
+        from tafra_spark.functions.pipeline import token_budget_select
+        from tafra_spark.plans.inspect import count_exchanges
+
+        # exactly the per-source window shuffle, nothing else
+        assert count_exchanges(token_budget_select(docs, budget=500)) == 1
+
+    def test_incremental_dedup_exchange_ceiling(self, spark, docs):
+        from tafra_spark.functions.dedup import dedup_incremental
+        from tafra_spark.plans.inspect import count_exchanges
+
+        seen = docs.filter(F.col("doc_id") % 3 == 0)
+        batch = docs.filter(F.col("doc_id") % 3 != 0)
+        plan = dedup_incremental(batch, seen)
+        # fp shuffles for window + join sides; must stay a small constant
+        # (no per-doc or quadratic stage), and the seen side must never
+        # carry text past its fingerprint projection
+        assert count_exchanges(plan) <= 3
+        from tafra_spark.plans.inspect import explain_str
+
+        txt = explain_str(plan, mode="formatted")
+        assert "text" not in txt.split("Exchange")[-1]
+
+    def test_corpus_prep_exchange_ceiling(self, spark, docs):
+        from tafra_spark.functions.pipeline import corpus_prep_summary
+        from tafra_spark.plans.inspect import count_exchanges
+
+        # gate (0) + fingerprint window + fuzzy LSH pipeline (barrier,
+        # band self-join, two verify join-backs, two DISTINCTs) + flag
+        # join-backs + final source agg — a FIXED-CONSTANT exchange
+        # budget independent of corpus size, all keys linear (fp / id /
+        # (band,value) / source); measured 16 on the current plan
+        assert count_exchanges(corpus_prep_summary(docs)) <= 16
