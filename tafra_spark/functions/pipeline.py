@@ -110,6 +110,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     include_empty: bool = False,
+    keep_cols: tuple[Column, ...] = (),
 ) -> DataFrame:
     """Per-document repetition signals, fixed-point for hash stability:
 
@@ -125,7 +126,7 @@ def repetition_stats(
     (``quality_gate`` needs the row to emit its too-short reject bit).
     """
     toks = word_tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("__t__"))
+    base = df.select(F.col(id_col), toks.alias("__t__"), *keep_cols)
     if not include_empty:
         base = base.filter(F.size("__t__") > 0)
     t = F.col("__t__")
@@ -149,11 +150,13 @@ def repetition_stats(
     top_q4 = F.when(
         n > 0, F.floor((top * 10000 + n / 2) / n)
     ).otherwise(0).cast("long")
+    keep_names = [base.columns[2 + i] for i in range(len(keep_cols))]
     return base.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         dup_q4.alias("dup_q4"),
         top_q4.alias("top_q4"),
+        *keep_names,
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "sessionize_stateful",
     "dedup_stream",
     "interval_join",
+    "corpus_gate_stream",
     "run_to_memory_sink",
 ]
 
@@ -324,3 +325,58 @@ def interval_join(
             ),
         )
     )
+
+
+def corpus_gate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_q4: int = 5000,
+    max_top_q4: int = 2500,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming front end of the corpus-prep funnel: stateless quality
+    gate + watermark-bounded exact dedup on the content fingerprint.
+
+    The gate (token window + repetition ceilings — the same rules as
+    :func:`~tafra_spark.functions.pipeline.quality_gate`) is a pure
+    projection, so it runs unchanged on a stream. The dedup stage keeps
+    one state entry per fingerprint until the event-time watermark
+    passes — on an unbounded ingest feed this is the only way exact
+    dedup has bounded state; cross-watermark duplicates are the batch
+    backfill's job (:func:`~tafra_spark.functions.dedup
+    .dedup_incremental` against the fingerprint ledger).
+
+    Batch mode runs the same plan with plain ``dropDuplicates`` —
+    in BOTH modes the surviving row per fingerprint is arrival/partition
+    dependent (streaming semantics); the deterministic min-id rule is
+    the batch funnel's (:func:`corpus_prep`) property, not this one's.
+    Output: (id, ts, fp, n_tokens) of gated, first-seen docs.
+    """
+    from ..functions.pipeline import repetition_stats
+    from ..functions.text import fingerprint
+
+    stats = repetition_stats(
+        docs,
+        text_col,
+        id_col,
+        include_empty=True,
+        keep_cols=(
+            F.col(ts_col),
+            fingerprint(F.col(text_col)).alias("fp"),
+        ),
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("dup_q4") <= max_dup_q4)
+        & (F.col("top_q4") <= max_top_q4)
+    ).select(id_col, ts_col, "fp", "n_tokens")
+    if docs.isStreaming:
+        return kept.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["fp"])
+    return kept.dropDuplicates(["fp"])

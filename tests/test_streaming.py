@@ -278,3 +278,56 @@ class TestIntervalJoin:
         rows = STREAM.interval_join(batch, batch, within_minutes=90).collect()
         for r in rows:
             assert 0 <= r["lag_seconds"] <= 90 * 60
+
+
+class TestCorpusGateStream:
+    @pytest.fixture(scope="class")
+    def docs_path(self, spark, tmp_path_factory):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        for i in range(120):
+            if i % 10 == 3:
+                text = "dup dup"  # fails the repetition + length gates
+            elif i % 7 == 0:
+                # duplicate content appearing under many doc_ids
+                text = "shared quality passage " + " ".join(
+                    f"w{j}" for j in range(12)
+                )
+            else:
+                text = f"unique doc {i} " + " ".join(
+                    f"tok{i}_{j}" for j in range(12)
+                )
+            rows.append((i, text, base + dt.timedelta(minutes=i)))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        )
+        path = str(tmp_path_factory.mktemp("docs_stream") / "docs")
+        df.repartition(4).write.parquet(path)
+        return path
+
+    def test_stream_matches_batch_fingerprints(self, spark, docs_path):
+        batch = spark.read.parquet(docs_path)
+        expected = STREAM.corpus_gate_stream(batch, min_tokens=5)
+        exp_fps = {r["fp"] for r in expected.collect()}
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ingest_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_path)
+        )
+        got_df = STREAM.run_to_memory_sink(
+            STREAM.corpus_gate_stream(stream, min_tokens=5),
+            "corpus_gate_test",
+            output_mode="append",
+        )
+        got = got_df.collect()
+        # same gated fingerprint SET and one survivor per fingerprint
+        # (survivor identity is arrival-order, deliberately unasserted)
+        assert {r["fp"] for r in got} == exp_fps
+        assert len(got) == len(exp_fps)
+        # the content-dup fingerprint survived exactly once
+        assert len(exp_fps) < 120
