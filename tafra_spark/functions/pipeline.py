@@ -259,6 +259,20 @@ def pii_scrub(
     return df.select("*", *count_cols, scrubbed.alias(out_col))
 
 
+def _gate_mask(
+    min_tokens: int, max_tokens: int, max_dup_q4: int, max_top_q4: int
+) -> Column:
+    """The quality-gate reject bitmask over repetition_stats columns —
+    shared by :func:`quality_gate` and :func:`corpus_prep` so the rules
+    can never diverge."""
+    return (
+        F.when(F.col("n_tokens") < min_tokens, 1).otherwise(0)
+        + F.when(F.col("n_tokens") > max_tokens, 2).otherwise(0)
+        + F.when(F.col("dup_q4") > max_dup_q4, 4).otherwise(0)
+        + F.when(F.col("top_q4") > max_top_q4, 8).otherwise(0)
+    ).cast("long")
+
+
 def quality_gate(
     df: DataFrame,
     text_col: str = "text",
@@ -279,12 +293,7 @@ def quality_gate(
     silently missing row.
     """
     stats = repetition_stats(df, text_col, id_col, include_empty=True)
-    mask = (
-        F.when(F.col("n_tokens") < min_tokens, 1).otherwise(0)
-        + F.when(F.col("n_tokens") > max_tokens, 2).otherwise(0)
-        + F.when(F.col("dup_q4") > max_dup_q4, 4).otherwise(0)
-        + F.when(F.col("top_q4") > max_top_q4, 8).otherwise(0)
-    ).cast("long")
+    mask = _gate_mask(min_tokens, max_tokens, max_dup_q4, max_top_q4)
     return stats.select(
         F.col(id_col),
         F.col("n_tokens"),
@@ -422,21 +431,26 @@ def corpus_prep(
     processes a subset of the last — at 100 TB the expensive stage runs
     on the small end of the funnel.
     """
-    gate = quality_gate(
-        df, text_col, id_col, min_tokens, max_tokens, max_dup_q4, max_top_q4
-    )
-    flags = df.select(
-        F.col(id_col), F.col(source_col), F.col(text_col)
-    ).join(
-        gate.select(
-            id_col, "n_tokens", F.col("keep").alias("q_keep")
+    # gate + fingerprint computed in ONE projection off a single corpus
+    # scan (keep_cols pass-through) — a join-back of quality_gate on the
+    # id would cost a second scan plus a full-corpus id shuffle
+    stats = repetition_stats(
+        df,
+        text_col,
+        id_col,
+        include_empty=True,
+        keep_cols=(
+            F.col(source_col),
+            F.col(text_col),
+            fingerprint(F.col(text_col)).alias("fp"),
         ),
-        on=id_col,
+    )
+    flags = stats.withColumn(
+        "q_keep",
+        _gate_mask(min_tokens, max_tokens, max_dup_q4, max_top_q4) == 0,
     )
     w = Window.partitionBy("fp")
     flags = flags.withColumn(
-        "fp", fingerprint(F.col(text_col))
-    ).withColumn(
         "exact_keep",
         F.col("q_keep")
         & (

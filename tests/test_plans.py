@@ -347,9 +347,10 @@ class TestRound4PlanShapes:
         from tafra_spark.functions.pipeline import corpus_prep_summary
         from tafra_spark.plans.inspect import count_exchanges
 
-        # gate (0) + fingerprint window + fuzzy LSH pipeline (barrier,
-        # band self-join, two verify join-backs, two DISTINCTs) + flag
-        # join-backs + final source agg — a FIXED-CONSTANT exchange
-        # budget independent of corpus size, all keys linear (fp / id /
-        # (band,value) / source); measured 16 on the current plan
-        assert count_exchanges(corpus_prep_summary(docs)) <= 16
+        # single-scan gate+fingerprint projection (0) + fp window + fuzzy
+        # LSH pipeline (barrier, band self-join, two verify join-backs,
+        # two DISTINCTs) + drop join-back + final source agg — a
+        # FIXED-CONSTANT exchange budget independent of corpus size, all
+        # keys linear (fp / id / (band,value) / source); measured 12 on
+        # the current plan (the r4 gate join-back removal took off 4)
+        assert count_exchanges(corpus_prep_summary(docs)) <= 12
