@@ -1232,6 +1232,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tafra.profile(): per-column rows/nulls/EXACT distincts + canonical
+    # fixed-point min/max — one distributed multi-distinct aggregate,
+    # no collect; the oracle recomputes every column's row as SQL
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate", "l_returnflag",
+    )
+    return Tafra._wrap(df).profile().df
+
+
 def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAG/embedding prep: overlapping 24-token windows every 12 tokens;
     # chunk_id = start/stride so no ordinality bookkeeping — fully
@@ -1512,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": ann_recall_eval,
         "chunk_sliding_windows": chunk_sliding_windows,
         "incremental_dedup_batch": incremental_dedup_batch,
+        "profile_lineitem": profile_lineitem,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -1762,6 +1774,43 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= {k}
     """
+
+
+def _profile_sql() -> str:
+    """One UNION ALL branch per profiled column — the SQL twin of
+    ``Tafra.profile``'s single multi-distinct aggregate."""
+
+    def num(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(CAST(floor(min({c}) * 1000000.0 + 0.5) AS BIGINT)
+                     AS VARCHAR) AS min_repr,
+                   CAST(CAST(floor(max({c}) * 1000000.0 + 0.5) AS BIGINT)
+                     AS VARCHAR) AS max_repr
+            FROM lineitem"""
+
+    def raw(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_repr,
+                   CAST(max({c}) AS VARCHAR) AS max_repr
+            FROM lineitem"""
+
+    return " UNION ALL ".join(
+        [
+            num("l_quantity"),
+            num("l_extendedprice"),
+            num("l_discount"),
+            raw("l_shipdate"),
+            raw("l_returnflag"),
+        ]
+    )
 
 
 def _ann_recall_sql(
@@ -2597,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum - n_tokens < 500
         """,
         "ann_recall_eval": _ann_recall_sql(),
+        "profile_lineitem": _profile_sql(),
         "corpus_prep_pipeline": r"""
             WITH w AS (
               SELECT doc_id,

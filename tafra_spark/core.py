@@ -1373,6 +1373,63 @@ class Tafra:
             "scan_columns": read_schema_columns(df),
         }
 
+    def profile(self) -> "Tafra":
+        """Per-column data profile: one row per column with the total
+        row count, null count, EXACT distinct count, and canonical
+        min/max representations.
+
+        Representations are engine-portable strings so the whole profile
+        hashes identically cross-engine: numerics are fixed-point
+        ``floor(x*1e6+0.5)`` longs rendered as strings (monotonic, so
+        min/max commute with the encoding), temporals are ISO casts,
+        everything else is a raw string cast.
+
+        Scale: ONE distributed aggregate (Spark expands the
+        multi-distinct into a constant number of passes — constant in
+        the column count, linear in rows), then an explode of a
+        column-count-sized array on the single result row. No collect,
+        no per-column jobs. Extension (no reference analogue — the
+        closest is pandas ``describe``).
+        """
+        df = self._plain()
+        numeric = {"integer", "long", "double", "float", "short", "byte"}
+
+        def rep(expr: Column, type_name: str) -> Column:
+            if type_name in numeric or type_name.startswith("decimal"):
+                return (
+                    F.floor(expr.cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+                    .cast("long")
+                    .cast("string")
+                )
+            return expr.cast("string")
+
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__nr__")]
+        structs: list[Column] = []
+        for i, fld in enumerate(df.schema.fields):
+            c, t = F.col(fld.name), fld.dataType.typeName()
+            aggs += [
+                F.sum(c.isNull().cast("long")).alias(f"__nn{i}__"),
+                F.count_distinct(c).alias(f"__nd{i}__"),
+                rep(F.min(c), t).alias(f"__mn{i}__"),
+                rep(F.max(c), t).alias(f"__mx{i}__"),
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(fld.name).alias("col_name"),
+                    F.col("__nr__").alias("n_rows"),
+                    F.col(f"__nn{i}__").alias("n_nulls"),
+                    F.col(f"__nd{i}__").alias("n_distinct"),
+                    F.col(f"__mn{i}__").alias("min_repr"),
+                    F.col(f"__mx{i}__").alias("max_repr"),
+                )
+            )
+        out = (
+            df.agg(*aggs)
+            .select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*")
+        )
+        return Tafra._wrap(out, rows=len(df.schema.fields))
+
     def cache(self) -> "Tafra":
         self._df = self._df.cache()
         return self

@@ -498,3 +498,23 @@ class TestUpdateCoercion:
         t = Tafra({"d": ["2020-01-01", "2020-02-01"]})
         out = t.update_dtypes({"d": "<M8[D]"})
         assert out.dtypes["d"] == "datetime64"
+
+
+class TestProfile:
+    def test_profile_stats(self, spark):
+        from tafra_spark.core import Tafra
+
+        df = spark.createDataFrame(
+            [(1, 2.5, "a"), (2, None, "b"), (2, 0.5, None)],
+            "x long, y double, s string",
+        )
+        rows = {r["col_name"]: r for r in Tafra._wrap(df).profile().df.collect()}
+        assert set(rows) == {"x", "y", "s"}
+        x = rows["x"]
+        assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (3, 0, 2)
+        assert (x["min_repr"], x["max_repr"]) == ("1000000", "2000000")
+        y = rows["y"]
+        assert (y["n_nulls"], y["n_distinct"]) == (1, 2)
+        assert y["min_repr"] == "500000"
+        s = rows["s"]
+        assert (s["n_nulls"], s["min_repr"], s["max_repr"]) == (1, "a", "b")
