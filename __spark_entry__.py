@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tafra_spark import Tafra
+from tafra_spark.functions import analytics as AN
 from tafra_spark.functions import dedup as D
 from tafra_spark.functions import pipeline as P
 from tafra_spark.functions import similarity as S
@@ -1232,6 +1233,19 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered funnel per user (step N counts only after step N-1's first
+    # completion) — chained conditional-min windows, ONE user shuffle
+    ev = _read_events(spark, sf_dir)
+    return AN.funnel_conversion(ev, steps=("click", "view", "purchase"))
+
+
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly retention triangle: cohort = first-activity week
+    ev = _read_events(spark, sf_dir)
+    return AN.retention_cohorts(ev, max_weeks=8)
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tafra.profile(): per-column rows/nulls/EXACT distincts + canonical
     # fixed-point min/max — one distributed multi-distinct aggregate,
@@ -1524,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sliding_windows": chunk_sliding_windows,
         "incremental_dedup_batch": incremental_dedup_batch,
         "profile_lineitem": profile_lineitem,
+        "funnel_click_view_purchase": funnel_click_view_purchase,
+        "retention_weekly_cohorts": retention_weekly_cohorts,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2647,6 +2663,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_recall_eval": _ann_recall_sql(),
         "profile_lineitem": _profile_sql(),
+        "funnel_click_view_purchase": r"""
+            WITH e AS (SELECT user_id, event_type, ts FROM events),
+            u AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t0
+              FROM e GROUP BY user_id
+            ),
+            u2 AS (
+              SELECT u.user_id, u.t0,
+                     min(CASE WHEN e.event_type = 'view'
+                                   AND e.ts >= u.t0 THEN e.ts END) AS t1
+              FROM u JOIN e USING (user_id) GROUP BY u.user_id, u.t0
+            ),
+            u3 AS (
+              SELECT u2.user_id, u2.t0, u2.t1,
+                     min(CASE WHEN e.event_type = 'purchase'
+                                   AND e.ts >= u2.t1 THEN e.ts END) AS t2
+              FROM u2 JOIN e USING (user_id)
+              GROUP BY u2.user_id, u2.t0, u2.t1
+            ),
+            c AS (
+              SELECT
+                CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+              FROM u3
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'click' AS step_name,
+                   n0 AS n_users,
+                   round(CAST(n0 AS DOUBLE) / n0, 6) AS conversion FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'view', n1,
+                   round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', n2,
+                   round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+        """,
+        "retention_weekly_cohorts": r"""
+            WITH e AS (
+              SELECT user_id, date_trunc('week', ts) AS act_week
+              FROM events
+            ),
+            u AS (
+              SELECT user_id, act_week,
+                     min(act_week) OVER (PARTITION BY user_id)
+                       AS cohort_week
+              FROM e
+            ),
+            r AS (
+              SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                     CAST(floor(date_diff('day', cohort_week, act_week)
+                                / 7) AS BIGINT) AS week_no,
+                     user_id
+              FROM u
+              WHERE floor(date_diff('day', cohort_week, act_week) / 7) <= 8
+            )
+            SELECT cohort_week, week_no,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM r GROUP BY cohort_week, week_no
+        """,
         "corpus_prep_pipeline": r"""
             WITH w AS (
               SELECT doc_id,

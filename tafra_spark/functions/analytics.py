@@ -1,0 +1,122 @@
+"""Event-stream analytics: funnel conversion and retention cohorts.
+
+The classic product-analytics pair over an (event_id, ts, user_id,
+event_type, ...) stream — absent from the reference (which has no
+time-ordered operators at all) and implemented Spark-first:
+
+- ``funnel_conversion``: ordered step progression per user (step N
+  counts only after step N-1's first completion), as chained
+  conditional-min windows over ONE user partition.
+- ``retention_cohorts``: users grouped by first-activity week, counted
+  per subsequent activity week.
+
+Both are exact, deterministic, and DuckDB-expressible, so they carry
+value-hash oracles like every other driver query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_conversion", "retention_cohorts"]
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str] = ("click", "view", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: a user completes step i at the earliest event of
+    ``steps[i]`` at-or-after their step i-1 completion time.
+
+    Implementation: chained conditional-min WINDOW aggregates over the
+    user partition — step i's column references step i-1's, and Catalyst
+    evaluates all of them over the SAME user-key exchange (one shuffle
+    total, no self-joins, no per-user collect). Output: one row per step
+    with the user count and the conversion from step 1, fixed to 6
+    places (exact integer ratio — hash-stable).
+
+    Scale: the single shuffle is on the user key; state per user is one
+    timestamp per step. Skewed power users are just wider partitions of
+    a narrow projection (ts + type only), and AQE splits them.
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev: F.Column | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= prev)
+        df = df.withColumn(f"__t{i}__", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(f"__t{i}__")
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__t{i}__").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.col(f"n{i}").alias("n_users"),
+            F.round(
+                F.col(f"n{i}").cast("double") / F.col("n0").cast("double"), 6
+            ).alias("conversion"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-activity week
+    (their cohort), counted per subsequent activity week.
+
+    Two aggregates: per-user first-activity week (window min over the
+    user key), then a distinct-user count per (cohort_week, week_no).
+    ``week_no`` is whole weeks since the cohort week — day-difference
+    floor-div 7, which is engine-portable (date_trunc week boundaries
+    are Monday-start on both engines). Output weeks capped at
+    ``max_weeks`` to bound the triangle.
+
+    Scale: one user-key shuffle + one (cohort, week) aggregate; both
+    keys are low-cardinality relative to the event stream, and the
+    distinct-count runs on (cohort, week, user) triples — linear.
+    """
+    w = Window.partitionBy(user_col)
+    wk = F.date_trunc("week", F.col(ts_col))
+    base = events.select(
+        F.col(user_col),
+        wk.alias("act_week"),
+    ).withColumn("cohort_week", F.min("act_week").over(w))
+    out = (
+        base.withColumn(
+            "week_no",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / F.lit(7)
+            ).cast("long"),
+        )
+        .filter(F.col("week_no") <= max_weeks)
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_no",
+            "n_users",
+        )
+    )
+    return out

@@ -1013,3 +1013,61 @@ class TestChunkingAndIncrementalDedup:
         assert rows[2]["keep"] and not rows[2]["batch_dup"]
         assert rows[3]["batch_dup"] and not rows[3]["keep"]
         assert rows[4]["keep"]
+
+
+class TestEventAnalytics:
+    def test_funnel_ordered_steps(self, spark):
+        from tafra_spark.functions.analytics import funnel_conversion
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1)
+        m = lambda mins: b + dt.timedelta(minutes=mins)
+        rows = [
+            # user 1 completes the full ordered funnel
+            (1, "click", m(0)), (1, "view", m(5)), (1, "purchase", m(9)),
+            # user 2: purchase BEFORE view — purchase must not count
+            (2, "click", m(0)), (2, "purchase", m(1)), (2, "view", m(2)),
+            # user 3: view only, no click — counts for nothing
+            (3, "view", m(0)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = {r["step_name"]: r for r in funnel_conversion(df).collect()}
+        assert out["click"]["n_users"] == 2
+        assert out["view"]["n_users"] == 2
+        assert out["purchase"]["n_users"] == 1
+        assert out["purchase"]["conversion"] == 0.5
+
+    def test_retention_cohorts_triangle(self, spark):
+        from tafra_spark.functions.analytics import retention_cohorts
+        import datetime as dt
+
+        # Mondays: 2024-01-01 and 2024-01-08
+        rows = [
+            (1, dt.datetime(2024, 1, 2)),   # cohort wk0
+            (1, dt.datetime(2024, 1, 10)),  # active wk1
+            (2, dt.datetime(2024, 1, 3)),   # cohort wk0, never returns
+            (3, dt.datetime(2024, 1, 9)),   # cohort wk1
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["cohort_week"], r["week_no"]): r["n_users"]
+            for r in retention_cohorts(df).collect()
+        }
+        assert got[("2024-01-01", 0)] == 2
+        assert got[("2024-01-01", 1)] == 1
+        assert got[("2024-01-08", 0)] == 1
+
+    def test_funnel_single_shuffle(self, spark):
+        from tafra_spark.functions.analytics import funnel_conversion
+        from tafra_spark.plans.inspect import count_exchanges
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, "click", dt.datetime(2024, 1, 1))],
+            "user_id long, event_type string, ts timestamp",
+        )
+        # user window + per-user agg + final singleton agg — the chained
+        # step windows must all reuse ONE user-key exchange
+        assert count_exchanges(funnel_conversion(df)) <= 3
