@@ -1246,6 +1246,20 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.retention_cohorts(ev, max_weeks=8)
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markov transition counts + outgoing shares over per-user ordered
+    # event sequences (one lead window, tie-broken by event_id)
+    ev = _read_events(spark, sf_dir)
+    return AN.event_transitions(ev)
+
+
+def key_skew_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle-skew pre-flight on the documents source key: top-10
+    # heaviest values with row share + distinct-key context
+    docs = _read(spark, sf_dir, "documents")
+    return AN.key_skew_stats(docs, "source", top_k=10)
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tafra.profile(): per-column rows/nulls/EXACT distincts + canonical
     # fixed-point min/max — one distributed multi-distinct aggregate,
@@ -1540,6 +1554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": profile_lineitem,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "retention_weekly_cohorts": retention_weekly_cohorts,
+        "event_transition_matrix": event_transition_matrix,
+        "key_skew_sources": key_skew_sources,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2702,6 +2718,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', n2,
                    round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+        """,
+        "event_transition_matrix": r"""
+            WITH p AS (
+              SELECT user_id, event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events
+            ),
+            c AS (
+              SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY from_type)
+                                AS DOUBLE), 6) AS share
+            FROM c
+        """,
+        "key_skew_sources": r"""
+            WITH c AS (
+              SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS key,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS nd FROM c),
+            r AS (
+              SELECT c.key, c.n_rows, t.total, t.nd,
+                     CAST(row_number() OVER (ORDER BY c.n_rows DESC, c.key)
+                          AS BIGINT) AS rank
+              FROM c, t
+            )
+            SELECT rank, key, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / total, 6) AS row_share,
+                   nd AS n_distinct_keys
+            FROM r WHERE rank <= 10
         """,
         "retention_weekly_cohorts": r"""
             WITH e AS (

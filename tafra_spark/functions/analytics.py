@@ -21,7 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_conversion", "retention_cohorts"]
+__all__ = [
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
+    "key_skew_stats",
+]
 
 
 def funnel_conversion(
@@ -120,3 +125,82 @@ def retention_cohorts(
         )
     )
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-style transition counts: for each user's time-ordered
+    event sequence, count (event_type → next event_type) pairs
+    corpus-wide, with each source type's outgoing transition share.
+
+    One lead() window over the user partition (single shuffle) feeding a
+    (from, to) count — the standard path-analysis primitive. The tie
+    order inside equal timestamps is pinned by ``id_col`` so both
+    engines see the same sequence.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "share",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_tot), 6),
+    )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/agg key: the top-k
+    heaviest key values with their row share, plus the overall
+    key-count / distinct-key ratio context on every row.
+
+    This is the pre-flight check before shuffling 100 TB on a key —
+    the output tells you whether to salt (`operators.joins.salted_join`)
+    or rely on AQE skew splitting. One count aggregate + a tiny top-k
+    window; NULL keys are counted too (they are the classic skew
+    culprit), labeled '<null>'.
+    """
+    counts = (
+        df.select(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias(
+                "key"
+            )
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total__"),
+        F.count(F.lit(1)).alias("__distinct__"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__total__"), 6
+            ).alias("row_share"),
+            F.col("__distinct__").alias("n_distinct_keys"),
+        )
+    )

@@ -1071,3 +1071,35 @@ class TestEventAnalytics:
         # user window + per-user agg + final singleton agg — the chained
         # step windows must all reuse ONE user-key exchange
         assert count_exchanges(funnel_conversion(df)) <= 3
+
+    def test_event_transitions(self, spark):
+        from tafra_spark.functions.analytics import event_transitions
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 1, "a", b), (2, 1, "b", b + dt.timedelta(minutes=1)),
+            (3, 1, "a", b + dt.timedelta(minutes=2)),
+            (4, 2, "a", b), (5, 2, "b", b + dt.timedelta(minutes=1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["share"])
+            for r in event_transitions(df).collect()
+        }
+        assert got[("a", "b")] == (2, 1.0)   # a always goes to b
+        assert got[("b", "a")] == (1, 1.0)   # user 2's b has no successor
+
+    def test_key_skew_stats(self, spark):
+        from tafra_spark.functions.analytics import key_skew_stats
+
+        df = spark.createDataFrame(
+            [(x,) for x in ["hot"] * 8 + ["warm"] * 2 + [None]], "k string"
+        )
+        rows = key_skew_stats(df, "k", top_k=2).collect()
+        assert [r["key"] for r in rows] == ["hot", "warm"]
+        assert rows[0]["n_rows"] == 8
+        assert abs(rows[0]["row_share"] - round(8 / 11, 6)) < 1e-9
+        assert rows[0]["n_distinct_keys"] == 3  # hot, warm, <null>
