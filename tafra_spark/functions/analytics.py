@@ -1,6 +1,6 @@
-"""Event-stream analytics: funnel conversion and retention cohorts.
+"""Event-stream analytics and shuffle diagnostics.
 
-The classic product-analytics pair over an (event_id, ts, user_id,
+Classic product-analytics operators over an (event_id, ts, user_id,
 event_type, ...) stream — absent from the reference (which has no
 time-ordered operators at all) and implemented Spark-first:
 
@@ -9,8 +9,12 @@ time-ordered operators at all) and implemented Spark-first:
   conditional-min windows over ONE user partition.
 - ``retention_cohorts``: users grouped by first-activity week, counted
   per subsequent activity week.
+- ``event_transitions``: Markov-style (type → next type) counts with
+  outgoing shares from one lead() window.
+- ``key_skew_stats``: top-k heaviest values of a prospective shuffle
+  key — the salting/AQE pre-flight check.
 
-Both are exact, deterministic, and DuckDB-expressible, so they carry
+All are exact, deterministic, and DuckDB-expressible, so they carry
 value-hash oracles like every other driver query.
 """
 
