@@ -248,3 +248,68 @@ class TestPipelineProperties:
         # no-token docs (no grams to match) survive
         kept_ids = sorted(r["doc_id"] for r in kept)
         assert kept_ids == [i for i, t in enumerate(data) if not t]
+
+
+class TestRound4Properties:
+    def _df(self, spark, token_lists):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    @given(
+        data=corpora,
+        chunk=st.integers(min_value=1, max_value=6),
+    )
+    @settings(**_SETTINGS)
+    def test_chunking_partitions_exactly_when_stride_equals_chunk(
+        self, spark, data, chunk
+    ):
+        from tafra_spark.functions.pipeline import chunk_documents
+
+        rows = chunk_documents(
+            self._df(spark, data), chunk_tokens=chunk, stride=chunk
+        ).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, toks in enumerate(data):
+            if not toks:
+                assert i not in by_doc
+                continue
+            got = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            # non-overlapping chunks reassemble the document exactly
+            assert " ".join(r["chunk_text"] for r in got) == " ".join(toks)
+            assert sum(r["n_chunk_tokens"] for r in got) == len(toks)
+            assert [r["chunk_id"] for r in got] == list(range(len(got)))
+
+    @given(data=corpora, budget=st.integers(min_value=1, max_value=40))
+    @settings(**_SETTINGS)
+    def test_token_budget_prefix_and_bound(self, spark, data, budget):
+        from pyspark.sql import functions as F
+
+        from tafra_spark.functions.pipeline import token_budget_select
+
+        df = self._df(spark, data).withColumn("source", F.lit("s"))
+        rows = sorted(
+            token_budget_select(df, budget=budget).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        ids = [r["doc_id"] for r in rows]
+        # selection is an id-prefix of the source
+        assert ids == list(range(len(ids)))
+        # every selected doc started strictly under the budget
+        for r in rows:
+            assert r["cum_tokens"] - r["n_tokens"] < budget
+        # the first unselected doc (if any) would have breached it
+        if len(ids) < len(data):
+            assert rows[-1]["cum_tokens"] >= budget if rows else True
+
+    @given(data=corpora)
+    @settings(**_SETTINGS)
+    def test_incremental_dedup_against_self_keeps_nothing(self, spark, data):
+        from tafra_spark.functions.dedup import dedup_incremental
+
+        df = self._df(spark, data)
+        rows = dedup_incremental(df, df).collect()
+        assert len(rows) == len(data)
+        # every batch doc's fingerprint exists in `seen` (itself)
+        assert all(r["in_seen"] and not r["keep"] for r in rows)
