@@ -147,6 +147,12 @@ def shingle_table(
     signature, which concat_ws silently skips during banding — ALL empty
     docs would land in one '' bucket, pair quadratically, and the 0/0
     Jaccard would abort the job under ANSI mode.
+
+    Plan-build note: profiling shows per-call build cost here is eager
+    JVM ANALYSIS per DataFrame transformation (~15 ms each), not the
+    HOF-lambda Column construction — so unlike the hyperplane-signature
+    case (similarity.py) a single-parse ``F.expr`` rewrite does NOT pay
+    for itself; the Column form is kept.
     """
     return _spread(
         df.select(id_col, text_col).filter(
