@@ -1408,7 +1408,11 @@ class Tafra:
         for i, fld in enumerate(df.schema.fields):
             c, t = F.col(fld.name), fld.dataType.typeName()
             aggs += [
-                F.sum(c.isNull().cast("long")).alias(f"__nn{i}__"),
+                # coalesce: sum over zero rows is NULL; an empty table
+                # must profile as honest zeros
+                F.coalesce(F.sum(c.isNull().cast("long")), F.lit(0)).alias(
+                    f"__nn{i}__"
+                ),
                 F.count_distinct(c).alias(f"__nd{i}__"),
                 rep(F.min(c), t).alias(f"__mn{i}__"),
                 rep(F.max(c), t).alias(f"__mx{i}__"),

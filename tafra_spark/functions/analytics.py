@@ -66,9 +66,13 @@ def funnel_conversion(
     per_user = df.groupBy(user_col).agg(
         *[F.max(f"__t{i}__").alias(f"t{i}") for i in range(len(steps))]
     )
+    # coalesce: sum over ZERO users is NULL, and an empty (or fully
+    # filtered) input must still report honest 0 counts per step
     counts = per_user.agg(
         *[
-            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
+            F.coalesce(
+                F.sum(F.col(f"t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i}")
             for i in range(len(steps))
         ]
     )
@@ -77,8 +81,15 @@ def funnel_conversion(
             F.lit(i + 1).cast("long").alias("step"),
             F.lit(step).alias("step_name"),
             F.col(f"n{i}").alias("n_users"),
-            F.round(
-                F.col(f"n{i}").cast("double") / F.col("n0").cast("double"), 6
+            # ANSI divide-by-zero guard: conversion from zero entrants
+            # is undefined — NULL, not a job abort
+            F.when(
+                F.col("n0") > 0,
+                F.round(
+                    F.col(f"n{i}").cast("double")
+                    / F.col("n0").cast("double"),
+                    6,
+                ),
             ).alias("conversion"),
         )
         for i, step in enumerate(steps)

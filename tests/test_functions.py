@@ -1103,3 +1103,67 @@ class TestEventAnalytics:
         assert rows[0]["n_rows"] == 8
         assert abs(rows[0]["row_share"] - round(8 / 11, 6)) < 1e-9
         assert rows[0]["n_distinct_keys"] == 3  # hot, warm, <null>
+
+
+class TestEmptyInputRobustness:
+    """Every round-4 operator must be total on an empty frame — ANSI
+    mode turns sloppy 0-row arithmetic (0/0, floor(NaN)) into job
+    aborts, so emptiness is asserted, not assumed."""
+
+    @pytest.fixture(scope="class")
+    def empty_docs(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+
+    @pytest.fixture(scope="class")
+    def empty_events(self, spark):
+        return spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+    def test_doc_operators_on_empty(self, spark, empty_docs):
+        from tafra_spark.functions.dedup import dedup_incremental
+        from tafra_spark.functions.pipeline import (
+            chunk_documents,
+            corpus_prep,
+            corpus_prep_summary,
+            token_budget_select,
+        )
+
+        assert corpus_prep(empty_docs).count() == 0
+        assert corpus_prep_summary(empty_docs).count() == 0
+        assert token_budget_select(empty_docs, budget=10).count() == 0
+        assert chunk_documents(empty_docs).count() == 0
+        assert dedup_incremental(empty_docs, empty_docs).count() == 0
+
+    def test_event_operators_on_empty(self, spark, empty_events):
+        from tafra_spark.functions.analytics import (
+            event_transitions,
+            funnel_conversion,
+            key_skew_stats,
+            retention_cohorts,
+        )
+
+        # funnel emits its per-step rows even over zero users
+        rows = funnel_conversion(empty_events).collect()
+        assert [r["n_users"] for r in rows] == [0, 0, 0]
+        assert retention_cohorts(empty_events).count() == 0
+        assert event_transitions(empty_events).count() == 0
+        assert key_skew_stats(empty_events, "event_type").count() == 0
+
+    def test_profile_and_recall_on_empty(self, spark, empty_docs):
+        from tafra_spark.core import Tafra
+        from tafra_spark.functions.similarity import ann_recall
+
+        prof = {
+            r["col_name"]: r
+            for r in Tafra._wrap(empty_docs).profile().df.collect()
+        }
+        assert set(prof) == {"doc_id", "text", "source"}
+        assert all(
+            (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+            for r in prof.values()
+        )
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert ann_recall(emb, emb, dim=4, k=3, n_planes=2).count() == 0
