@@ -38,11 +38,17 @@ _STOPWORDS = {
 
 
 def word_tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty text → empty array (not [''])."""
+    """Whitespace tokenization; empty OR NULL text → empty array (not
+    [''], not NULL). The NULL case matters downstream: a NULL token
+    array would make ``size()`` NULL, which a ``when(n < k, reject)``
+    gate silently maps to bit-0 — a NULL-text document must fail the
+    too-short rule like any other empty document, not slip through it.
+    """
     trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.when(
+        col.isNull() | (F.length(trimmed) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def token_count(col: Column) -> Column:
@@ -110,8 +116,14 @@ def language_id(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Stable across engines (DuckDB md5 produces the same hex), which
-    makes exact-dedup results oracle-checkable."""
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    makes exact-dedup results oracle-checkable.
+
+    NULL text fingerprints as the EMPTY document (coalesce before
+    normalizing) — a NULL fp would be an un-joinable key, silently
+    exempting NULL-text rows from every dedup path."""
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
     return F.md5(normalized.cast("binary"))
 
 

@@ -1167,3 +1167,31 @@ class TestEmptyInputRobustness:
         )
         emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
         assert ann_recall(emb, emb, dim=4, k=3, n_planes=2).count() == 0
+
+
+class TestNullTextSafety:
+    def test_null_text_fails_quality_gate(self, spark):
+        from tafra_spark.functions.pipeline import quality_gate
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "five distinct ok tokens here")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in quality_gate(df, min_tokens=3).collect()}
+        # NULL text must be rejected exactly like empty text (bit 1),
+        # never silently kept via NULL-mask propagation
+        assert rows[1]["n_tokens"] == 0 and rows[1]["reject_mask"] == 1
+        assert not rows[1]["keep"]
+        assert rows[2]["reject_mask"] == 1
+        assert rows[3]["keep"]
+
+    def test_null_text_through_chunking_and_dedup(self, spark):
+        from tafra_spark.functions.dedup import dedup_incremental
+        from tafra_spark.functions.pipeline import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c")], "doc_id long, text string"
+        )
+        assert chunk_documents(df).filter("doc_id = 1").count() == 0
+        rows = {r["doc_id"]: r for r in dedup_incremental(df, df).collect()}
+        assert rows[1]["in_seen"]  # NULL fingerprints as the empty doc
