@@ -1289,6 +1289,13 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(batch, seen)
 
 
+def length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust median/MAD length outliers per source — exact R-7
+    # percentiles over one source-key exchange reused by both windows
+    docs = _read(spark, sf_dir, "documents")
+    return P.length_outliers(docs, k=3.0)
+
+
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source greedy fill under a 500-token budget: the data-mixing
     # primitive (deterministic doc order, exclusive-cumsum cutoff)
@@ -1556,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly_cohorts": retention_weekly_cohorts,
         "event_transition_matrix": event_transition_matrix,
         "key_skew_sources": key_skew_sources,
+        "length_outlier_flags": length_outlier_flags,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2718,6 +2726,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', n2,
                    round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+        """,
+        "length_outlier_flags": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE CAST(len(regexp_split_to_array(
+                                 lower(trim(text)), '\s+')) AS BIGINT)
+                     END AS n_tokens
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, source, n_tokens,
+                     quantile_cont(n_tokens, 0.5)
+                       OVER (PARTITION BY source) AS med
+              FROM t
+            ),
+            d AS (
+              SELECT doc_id, source, n_tokens, med,
+                     quantile_cont(abs(n_tokens - med), 0.5)
+                       OVER (PARTITION BY source) AS mad
+              FROM m
+            )
+            SELECT doc_id, source, n_tokens, med, mad,
+                   abs(CAST(n_tokens AS DOUBLE) - med) > 3.0 * mad
+                     AS is_outlier
+            FROM d
         """,
         "event_transition_matrix": r"""
             WITH p AS (

@@ -44,6 +44,7 @@ __all__ = [
     "corpus_prep_summary",
     "token_budget_select",
     "chunk_documents",
+    "length_outliers",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -597,4 +598,44 @@ def chunk_documents(
                 " ",
             ).alias("chunk_text"),
         )
+    )
+
+
+def length_outliers(
+    df: DataFrame,
+    k: float = 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Robust per-partition length-outlier detection: flag documents
+    whose token count sits more than ``k`` MADs from their source's
+    median (median absolute deviation — the robust spread measure the
+    standard corpus-cleaning recipes use instead of stddev, which a
+    single megadoc corrupts).
+
+    Two chained window aggregates over the SAME source partition (the
+    median, then the MAD of deviations from it) — Catalyst reuses one
+    exchange for both, so the cost is a single source-key shuffle.
+    Exact percentiles (R-7 interpolation, matching DuckDB
+    ``quantile_cont``), not approximations: the flag is reproducible.
+    """
+    w = Window.partitionBy(part_col)
+    n_tok = F.size(word_tokens(F.lower(F.col(text_col)))).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(part_col), n_tok.alias("n_tokens")
+    ).withColumn("med", F.percentile(F.col("n_tokens"), F.lit(0.5)).over(w))
+    return (
+        base.withColumn(
+            "mad",
+            F.percentile(
+                F.abs(F.col("n_tokens") - F.col("med")), F.lit(0.5)
+            ).over(w),
+        )
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col("n_tokens").cast("double") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad"),
+        )
+        .select(id_col, part_col, "n_tokens", "med", "mad", "is_outlier")
     )

@@ -1195,3 +1195,32 @@ class TestNullTextSafety:
         assert chunk_documents(df).filter("doc_id = 1").count() == 0
         rows = {r["doc_id"]: r for r in dedup_incremental(df, df).collect()}
         assert rows[1]["in_seen"]  # NULL fingerprints as the empty doc
+
+
+class TestLengthOutliers:
+    def test_median_mad_flags(self, spark):
+        from tafra_spark.functions.pipeline import length_outliers
+
+        texts = ["w " * n for n in (10, 10, 11, 12, 12, 100)]
+        df = spark.createDataFrame(
+            [(i, t.strip(), "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["doc_id"]: r for r in length_outliers(df, k=3.0).collect()}
+        # median of (10,10,11,12,12,100) = 11.5; deviations
+        # (1.5,1.5,.5,.5,.5,88.5) -> MAD 1.0; only the 100-token doc is
+        # beyond 3 MADs
+        assert rows[0]["med"] == 11.5 and rows[0]["mad"] == 1.0
+        assert [rows[i]["is_outlier"] for i in range(6)] == [
+            False, False, False, False, False, True,
+        ]
+
+    def test_single_exchange(self, spark):
+        from tafra_spark.functions.pipeline import length_outliers
+        from tafra_spark.plans.inspect import count_exchanges
+
+        df = spark.createDataFrame(
+            [(1, "a b", "s")], "doc_id long, text string, source string"
+        )
+        # both percentile windows share ONE source-key exchange
+        assert count_exchanges(length_outliers(df)) == 1
