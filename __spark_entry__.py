@@ -1289,6 +1289,19 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(batch, seen)
 
 
+def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 50/30/20 training mix over three sources: largest
+    # feasible total, per-source takes by salted-hash rank — no RNG, no
+    # driver collect; the oracle recomputes T and the takes in SQL
+    from tafra_spark.functions.sampling import weighted_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_mix(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=42
+    )
+    return out.select("doc_id", "source")
+
+
 def length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robust median/MAD length outliers per source — exact R-7
     # percentiles over one source-key exchange reused by both windows
@@ -1564,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": event_transition_matrix,
         "key_skew_sources": key_skew_sources,
         "length_outlier_flags": length_outlier_flags,
+        "weighted_source_mix": weighted_source_mix,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2726,6 +2740,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', n2,
                    round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+        """,
+        "weighted_source_mix": r"""
+            WITH wt(source, w) AS (
+              VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+            ),
+            cnt AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ),
+            j AS (SELECT cnt.source, cnt.n, wt.w
+                  FROM cnt JOIN wt USING (source)),
+            tot AS (SELECT min(CAST(n AS DOUBLE) / w) AS T FROM j),
+            takes AS (
+              SELECT j.source,
+                     CAST(floor(j.w * tot.T) AS BIGINT) AS take
+              FROM j, tot
+            ),
+            ranked AS (
+              SELECT d.doc_id, d.source,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY CAST(concat('0x', substr(
+                                 md5('42|' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 1000000000,
+                               d.doc_id) AS rk
+              FROM documents d
+            )
+            SELECT r.doc_id, r.source
+            FROM ranked r JOIN takes t USING (source)
+            WHERE r.rk <= t.take
         """,
         "length_outlier_flags": r"""
             WITH t AS (

@@ -23,10 +23,16 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_mod", "hash_sample", "stratified_hash_sample", "exact_k_per_stratum"]
+__all__ = [
+    "hash_mod",
+    "hash_sample",
+    "stratified_hash_sample",
+    "exact_k_per_stratum",
+    "weighted_mix",
+]
 
 
 def hash_mod(key: Column, buckets: int = 100, seed: int = 42) -> Column:
@@ -96,4 +102,56 @@ def exact_k_per_stratum(
         df.withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic down-sampling to target source weights — the
+    data-mixing step that turns raw per-source counts into a training
+    mix ("50% web, 30% books, 20% code").
+
+    Finds the largest total T every listed source can supply
+    (T = min over s of n_s / w_s), then keeps floor(w_s * T) docs per
+    source by salted-hash rank (the :func:`exact_k_per_stratum`
+    ordering). Sources absent from ``weights`` are dropped. Fully
+    distributed: the count/limit tables are one row per source, joined
+    broadcast — no driver-side collect, no RNG.
+
+    Scale: one count aggregate + one stratum-window shuffle over the
+    corpus; the weight and take tables stay tiny. Reproducible across
+    runs and engines (md5 rank ordering).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{strata_col} string, __w__ double",
+    ).filter(F.col("__w__") > 0)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n__"))
+    j = counts.join(F.broadcast(wdf), on=strata_col)
+    total = j.agg(
+        F.min(F.col("__n__").cast("double") / F.col("__w__")).alias("__T__")
+    )
+    takes = (
+        j.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            F.floor(F.col("__w__") * F.col("__T__")).cast("long").alias(
+                "__take__"
+            ),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_mod(F.col(key_col), 1_000_000_000, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .join(F.broadcast(takes), on=strata_col)
+        .filter(F.col("__rk__") <= F.col("__take__"))
+        .drop("__rk__", "__take__")
     )

@@ -1224,3 +1224,27 @@ class TestLengthOutliers:
         )
         # both percentile windows share ONE source-key exchange
         assert count_exchanges(length_outliers(df)) == 1
+
+
+class TestWeightedMix:
+    def test_takes_match_weights(self, spark):
+        from tafra_spark.functions.sampling import weighted_mix
+
+        rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # 25 docs per source; T = min(25/.5, 25/.3, 25/.2) = 50
+        out = weighted_mix(df, {"a": 0.5, "b": 0.3, "c": 0.2})
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == {"a": 25, "b": 15, "c": 10}  # d dropped (no weight)
+
+    def test_deterministic_selection(self, spark):
+        from tafra_spark.functions.sampling import weighted_mix
+
+        rows = [(i, "s" if i % 2 else "t") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sorted(r["doc_id"] for r in weighted_mix(df, {"s": 0.7, "t": 0.3}).collect())
+        b = sorted(r["doc_id"] for r in weighted_mix(df, {"s": 0.7, "t": 0.3}).collect())
+        assert a == b and len(a) > 0
