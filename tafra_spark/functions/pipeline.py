@@ -18,6 +18,11 @@ public C4 / Gopher / Dolma pipeline descriptions):
   vocabulary profile).
 - ``train_shuffle``: deterministic hash-based global shuffle into
   training shards — reproducible across runs, no RNG state.
+- ``corpus_prep`` / ``corpus_prep_summary``: the composed end-to-end
+  funnel (quality gate → exact dedup → fuzzy dedup) with per-doc flags.
+- ``token_budget_select`` / ``chunk_documents`` /
+  ``length_outliers``: token-budget data mixing, sliding-window RAG
+  chunking, and robust median/MAD length-outlier flags.
 
 All operators are pure DataFrame plans (codegen'd built-ins + HOFs, no
 Python UDFs) with DuckDB-portable semantics so every one is backed by a
