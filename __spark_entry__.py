@@ -1923,12 +1923,17 @@ def _ann_recall_sql(
                    FROM truth t JOIN approx a
                      ON a.query_id = t.query_id
                         AND a.neighbor_id = t.neighbor_id
-                   GROUP BY t.query_id)
-            SELECT nt.query_id, nt.n_true,
+                   GROUP BY t.query_id),
+            qbase AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5)
+            SELECT qbase.query_id,
+                   CAST(coalesce(nt.n_true, 0) AS BIGINT) AS n_true,
                    CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
-                   round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true,
-                         6) AS recall
-            FROM nt LEFT JOIN nh USING (query_id)
+                   CASE WHEN coalesce(nt.n_true, 0) > 0
+                        THEN round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
+                                   / nt.n_true, 6)
+                   END AS recall
+            FROM qbase LEFT JOIN nt USING (query_id)
+                       LEFT JOIN nh USING (query_id)
     """
 
 
@@ -2793,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, source, n_tokens, med, mad,
+                   mad > 0 AND
                    abs(CAST(n_tokens AS DOUBLE) - med) > 3.0 * mad
                      AS is_outlier
             FROM d

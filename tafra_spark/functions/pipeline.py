@@ -574,15 +574,20 @@ def chunk_documents(
     stream × (chunk/stride) overlap factor; there is no state and no
     join, so it parallelizes per input split.
     """
+    # tokenize ONCE per document, before the explode: slicing from the
+    # carried token array keeps the post-explode work O(chunk) per row;
+    # re-splitting the full text per chunk row would be
+    # O(tokens × chunks) per document
     toks = word_tokens(F.col(text_col))
-    n = F.size(toks)
+    n = F.size(F.col("__toks__"))
     starts = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     return (
-        df.select(
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .select(
             F.col(id_col),
-            F.col(text_col),
+            F.col("__toks__"),
             F.explode(starts).alias("__start__"),
         )
         .select(
@@ -590,13 +595,13 @@ def chunk_documents(
             (F.col("__start__") / F.lit(stride)).cast("long").alias("chunk_id"),
             F.least(
                 F.lit(chunk_tokens),
-                F.size(word_tokens(F.col(text_col))) - F.col("__start__"),
+                F.size(F.col("__toks__")) - F.col("__start__"),
             )
             .cast("long")
             .alias("n_chunk_tokens"),
             F.array_join(
                 F.slice(
-                    word_tokens(F.col(text_col)),
+                    F.col("__toks__"),
                     F.col("__start__") + 1,
                     F.lit(chunk_tokens),
                 ),
@@ -624,6 +629,11 @@ def length_outliers(
     exchange for both, so the cost is a single source-key shuffle.
     Exact percentiles (R-7 interpolation, matching DuckDB
     ``quantile_cont``), not approximations: the flag is reproducible.
+
+    A degenerate source whose MAD is 0 (over half the docs share one
+    length — templated corpora) flags NOTHING: with no measurable
+    spread every nonzero deviation would otherwise be "an outlier" at
+    any ``k``, which is mass false positives, not detection.
     """
     w = Window.partitionBy(part_col)
     n_tok = F.size(word_tokens(F.lower(F.col(text_col)))).cast("long")
@@ -639,8 +649,11 @@ def length_outliers(
         )
         .withColumn(
             "is_outlier",
-            F.abs(F.col("n_tokens").cast("double") - F.col("med"))
-            > F.lit(float(k)) * F.col("mad"),
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("n_tokens").cast("double") - F.col("med"))
+                > F.lit(float(k)) * F.col("mad")
+            ),
         )
         .select(id_col, part_col, "n_tokens", "med", "mad", "is_outlier")
     )

@@ -119,13 +119,18 @@ def weighted_mix(
     Finds the largest total T every listed source can supply
     (T = min over s of n_s / w_s), then keeps floor(w_s * T) docs per
     source by salted-hash rank (the :func:`exact_k_per_stratum`
-    ordering). Sources absent from ``weights`` are dropped. Fully
-    distributed: the count/limit tables are one row per source, joined
-    broadcast — no driver-side collect, no RNG.
+    ordering). Sources absent from ``weights`` are dropped. A LISTED
+    source with zero rows makes T = 0 and the result EMPTY — the
+    honest reading of the formula; silently renormalizing over the
+    present sources would ship a mix that violates the requested
+    weights. Fully distributed: the count/limit tables are one row per
+    source, joined broadcast — no driver-side collect, no RNG.
 
-    Scale: one count aggregate + one stratum-window shuffle over the
-    corpus; the weight and take tables stay tiny. Reproducible across
-    runs and engines (md5 rank ordering).
+    Scale: one count aggregate over the corpus, then one stratum-window
+    shuffle over ONLY the listed sources (the broadcast take-join runs
+    before the window, so unlisted sources never enter the shuffle);
+    the weight and take tables stay tiny. Reproducible across runs and
+    engines (md5 rank ordering).
     """
     spark = df.sparkSession
     wdf = spark.createDataFrame(
@@ -133,7 +138,11 @@ def weighted_mix(
         f"{strata_col} string, __w__ double",
     ).filter(F.col("__w__") > 0)
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n__"))
-    j = counts.join(F.broadcast(wdf), on=strata_col)
+    # LEFT join from the weights: a listed-but-absent source keeps its
+    # row with n = 0, forcing T = 0 below
+    j = wdf.join(counts, on=strata_col, how="left").withColumn(
+        "__n__", F.coalesce(F.col("__n__"), F.lit(0))
+    )
     total = j.agg(
         F.min(F.col("__n__").cast("double") / F.col("__w__")).alias("__T__")
     )
@@ -150,8 +159,8 @@ def weighted_mix(
         hash_mod(F.col(key_col), 1_000_000_000, seed), F.col(key_col)
     )
     return (
-        df.withColumn("__rk__", F.row_number().over(w))
-        .join(F.broadcast(takes), on=strata_col)
+        df.join(F.broadcast(takes), on=strata_col)
+        .withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") <= F.col("__take__"))
         .drop("__rk__", "__take__")
     )

@@ -576,6 +576,9 @@ def ann_recall(
     Per query: ``n_true`` exact neighbors (≤ k — a tiny corpus can have
     fewer), ``n_hit`` of them found by the ANN, ``recall`` = hit/true
     rounded to 6 places (integer ratio — hash-identical across engines).
+    EVERY query gets a row — one with zero exact neighbors reports
+    (0, 0, NULL recall) rather than silently vanishing, so averaging
+    the recall column never over-counts by dropping degenerate queries.
 
     Scale: the exact side is the documented broadcast-queries
     ``cosine_topk`` path (evaluation query sets are small); the ANN side
@@ -602,14 +605,21 @@ def ann_recall(
         F.count(F.lit(1)).alias("n_true")
     )
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = queries.select(F.col(id_col).alias("query_id")).distinct()
     return (
-        n_true.join(n_hit, on="query_id", how="left")
+        base.join(n_true, on="query_id", how="left")
+        .join(n_hit, on="query_id", how="left")
+        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)))
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
         .withColumn(
             "recall",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
-                6,
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ),
             ),
         )
     )

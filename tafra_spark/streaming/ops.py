@@ -356,7 +356,7 @@ def corpus_gate_stream(
     the batch funnel's (:func:`corpus_prep`) property, not this one's.
     Output: (id, ts, fp, n_tokens) of gated, first-seen docs.
     """
-    from ..functions.pipeline import repetition_stats
+    from ..functions.pipeline import _gate_mask, repetition_stats
     from ..functions.text import fingerprint
 
     stats = repetition_stats(
@@ -369,11 +369,10 @@ def corpus_gate_stream(
             fingerprint(F.col(text_col)).alias("fp"),
         ),
     )
+    # the SAME shared bitmask as the batch gate — a third hand-written
+    # copy of the thresholds is how stream/batch parity silently breaks
     kept = stats.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("dup_q4") <= max_dup_q4)
-        & (F.col("top_q4") <= max_top_q4)
+        _gate_mask(min_tokens, max_tokens, max_dup_q4, max_top_q4) == 0
     ).select(id_col, ts_col, "fp", "n_tokens")
     if docs.isStreaming:
         return kept.withWatermark(

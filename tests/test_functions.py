@@ -1248,3 +1248,26 @@ class TestWeightedMix:
         a = sorted(r["doc_id"] for r in weighted_mix(df, {"s": 0.7, "t": 0.3}).collect())
         b = sorted(r["doc_id"] for r in weighted_mix(df, {"s": 0.7, "t": 0.3}).collect())
         assert a == b and len(a) > 0
+
+    def test_listed_source_with_no_rows_empties_the_mix(self, spark):
+        from tafra_spark.functions.sampling import weighted_mix
+
+        df = spark.createDataFrame(
+            [(i, "web") for i in range(10)], "doc_id long, source string"
+        )
+        # 'books' is requested but absent: no mix satisfies 50/50, so
+        # the result is EMPTY rather than a silently 100%-web corpus
+        assert weighted_mix(df, {"web": 0.5, "books": 0.5}).count() == 0
+
+    def test_mad_zero_source_flags_nothing(self, spark):
+        from tafra_spark.functions.pipeline import length_outliers
+
+        texts = ["w " * n for n in (10, 10, 10, 10, 99)]
+        df = spark.createDataFrame(
+            [(i, t.strip(), "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        rows = length_outliers(df, k=3.0).collect()
+        # MAD = 0 (4 of 5 docs share the median) -> no measurable
+        # spread -> nothing flagged, even the 99-token doc
+        assert all(not r["is_outlier"] for r in rows)
