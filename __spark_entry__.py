@@ -1260,6 +1260,14 @@ def key_skew_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.key_skew_stats(docs, "source", top_k=10)
 
 
+def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-sigma rate anomalies over hourly per-type counts — the sigma
+    # test runs in EXACT integer algebra ((cnt·n−s)² > 9·(n·q−s²)), so
+    # the flag is bit-reproducible with no float variance anywhere
+    ev = _read_events(spark, sf_dir)
+    return AN.rate_spikes(ev, window="1 hour", sigma=3)
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tafra.profile(): per-column rows/nulls/EXACT distincts + canonical
     # fixed-point min/max — one distributed multi-distinct aggregate,
@@ -1578,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_sources": key_skew_sources,
         "length_outlier_flags": length_outlier_flags,
         "weighted_source_mix": weighted_source_mix,
+        "event_rate_spikes": event_rate_spikes,
         "sample_k_per_source": sample_k_per_source,
         "segment_dedup": segment_dedup,
         "interval_join_attribution": interval_join_attribution,
@@ -2745,6 +2754,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', n2,
                    round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+        """,
+        "event_rate_spikes": r"""
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_events) AS BIGINT) AS sm,
+                     CAST(sum(n_events * n_events) AS BIGINT) AS q
+              FROM c GROUP BY event_type
+            )
+            SELECT strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   c.event_type, c.n_events,
+                   (c.n_events * s.n - s.sm) * (c.n_events * s.n - s.sm)
+                     > 9 * (s.n * s.q - s.sm * s.sm) AS is_spike
+            FROM c JOIN s USING (event_type)
         """,
         "weighted_source_mix": r"""
             WITH wt(source, w) AS (

@@ -30,6 +30,7 @@ __all__ = [
     "retention_cohorts",
     "event_transitions",
     "key_skew_stats",
+    "rate_spikes",
 ]
 
 
@@ -217,5 +218,61 @@ def key_skew_stats(
                 F.col("n_rows").cast("double") / F.col("__total__"), 6
             ).alias("row_share"),
             F.col("__distinct__").alias("n_distinct_keys"),
+        )
+    )
+
+
+def rate_spikes(
+    events: DataFrame,
+    window: str = "1 hour",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    sigma: int = 3,
+) -> DataFrame:
+    """Per-type rate-spike detection over windowed event counts: a
+    window is a spike when its count sits more than ``sigma`` standard
+    deviations above/below the type's mean rate.
+
+    The test is evaluated in EXACT integer algebra — no float mean or
+    variance anywhere: with per-type totals n, s = Σcnt, q = Σcnt²,
+    ``(cnt·n − s)² > sigma²·(n·q − s²)`` is the σ-threshold comparison
+    multiplied through by n², so the flag is bit-reproducible on any
+    engine and insensitive to summation order (the same discipline as
+    the fixed-point money sums).
+
+    Scale: one windowed count aggregate (streaming-compatible shape) +
+    one per-type stats aggregate joined back — both keys tiny relative
+    to the event stream.
+    """
+    counts = (
+        events.groupBy(
+            F.window(ts_col, window).alias("w"), F.col(type_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n_events",
+        )
+    )
+    stats = counts.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("n_events").alias("__s__"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__q__"),
+    )
+    dev = F.col("n_events") * F.col("__n__") - F.col("__s__")
+    spread = F.col("__n__") * F.col("__q__") - F.col("__s__") * F.col("__s__")
+    return (
+        counts.join(F.broadcast(stats), on=type_col)
+        .withColumn(
+            "is_spike", dev * dev > F.lit(int(sigma) ** 2) * spread
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            type_col,
+            "n_events",
+            "is_spike",
         )
     )

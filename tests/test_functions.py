@@ -1271,3 +1271,22 @@ class TestWeightedMix:
         # MAD = 0 (4 of 5 docs share the median) -> no measurable
         # spread -> nothing flagged, even the 99-token doc
         assert all(not r["is_outlier"] for r in rows)
+
+    def test_rate_spikes_integer_sigma(self, spark):
+        from tafra_spark.functions.analytics import rate_spikes
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # type 'a': 10 calm hours of 5 events + one 50-event burst hour
+        for h in range(10):
+            for j in range(5):
+                rows.append((eid, b + dt.timedelta(hours=h, minutes=j), 1, "a")); eid += 1
+        for j in range(50):
+            rows.append((eid, b + dt.timedelta(hours=10, minutes=j), 1, "a")); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {r["window_start"]: r["is_spike"] for r in rate_spikes(df).collect()}
+        assert out["2024-01-01 10:00:00"] is True
+        assert sum(v for v in out.values()) == 1  # only the burst hour
