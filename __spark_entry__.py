@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tafra_spark import Tafra
 from tafra_spark.functions import analytics as AN
@@ -107,12 +108,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros (identical
-    second-level semantics to DuckDB's TIMESTAMP_NS handling)."""
+    """Events ``ts`` normalization across driver data generations: older
+    generations stored TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read nanos as long, truncate to micros), newer ones store
+    plain TIMESTAMP(MICROS) that reads as a timestamp directly. Branch on
+    the actual read schema so both generations produce the same
+    micros-precision timestamp column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(_p(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 # --------------------------------------------------------------------------- #
