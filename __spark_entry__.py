@@ -110,15 +110,20 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events ``ts`` normalization across driver data generations: older
     generations stored TIMESTAMP(NANOS) (which Spark's vectorized reader
-    rejects — read nanos as long, truncate to micros), newer ones store
-    plain TIMESTAMP(MICROS) that reads as a timestamp directly. Branch on
-    the actual read schema so both generations produce the same
-    micros-precision timestamp column."""
+    rejects — read nanos as long, truncate to micros); newer ones store
+    tz-naive TIMESTAMP(MICROS), which Spark 4 infers as TIMESTAMP_NTZ —
+    a type that cannot be cast to BIGINT and breaks every epoch-seconds
+    expression downstream (sessionize gaps, interval-join lag, range
+    buckets). Normalize BOTH branches to plain TimestampType: the final
+    ``cast("timestamp")`` is a no-op for TIMESTAMP and a lossless
+    wall-clock reinterpretation for NTZ under the UTC session timezone
+    (tafra_spark/session.py); formatted output is unchanged either way
+    because NTZ→LTZ cast and LTZ→string formatting use the same zone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(_p(sf_dir, "events"))
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --------------------------------------------------------------------------- #

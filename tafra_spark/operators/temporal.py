@@ -124,9 +124,11 @@ def range_join_points(
     bucket, so no post-join dedup is needed; each interval is listed
     once per covered bucket.
     """
-    p_sec = F.col(point_col).cast("long")
-    s_sec = F.col(start_col).cast("long")
-    e_sec = F.col(end_col).cast("long")
+    # intermediate cast("timestamp"): TIMESTAMP_NTZ inputs cannot cast to
+    # BIGINT directly; no-op for TIMESTAMP, lossless for NTZ under UTC.
+    p_sec = F.col(point_col).cast("timestamp").cast("long")
+    s_sec = F.col(start_col).cast("timestamp").cast("long")
+    e_sec = F.col(end_col).cast("timestamp").cast("long")
     w = F.lit(bucket_width)
 
     p = points.withColumn("__bucket__", F.floor(p_sec / w))

@@ -113,15 +113,14 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_s = gap_minutes * 60
+    # cast("timestamp") first: TIMESTAMP_NTZ (Spark 4's inference for
+    # tz-naive parquet) cannot cast to BIGINT directly; the intermediate
+    # cast is a no-op for TIMESTAMP and lossless for NTZ under UTC.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    prev_s = F.lag("ts").over(w).cast("timestamp").cast("long")
     with_gap = events.withColumn(
         "new_session",
-        (
-            F.coalesce(
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"),
-                F.lit(gap_s + 1),
-            )
-            > gap_s
-        ).cast("int"),
+        (F.coalesce(ts_s - prev_s, F.lit(gap_s + 1)) > gap_s).cast("int"),
     )
     with_sid = with_gap.withColumn(
         "session_seq", F.sum("new_session").over(w)
@@ -320,9 +319,10 @@ def interval_join(
             "r_event_id",
             "l_ts",
             "r_ts",
-            (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias(
-                "lag_seconds"
-            ),
+            (
+                F.col("r_ts").cast("timestamp").cast("long")
+                - F.col("l_ts").cast("timestamp").cast("long")
+            ).alias("lag_seconds"),
         )
     )
 

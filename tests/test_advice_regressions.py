@@ -148,3 +148,97 @@ class TestCSVHeaderSkip:
         # the second line repeats the header values but is DATA
         assert len(out) == 2
         assert out["a"].tolist() == ["a", "1"]
+
+
+class TestTimestampNTZ:
+    """Round-3 advisor finding: tz-naive parquet timestamps read as
+    TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, and NTZ
+    cannot be cast to BIGINT — every epoch-seconds expression downstream
+    (sessionize gaps, interval-join lag, range buckets) threw
+    AnalysisException. The temporal operators must accept BOTH
+    TimestampType and TimestampNTZType inputs."""
+
+    @pytest.fixture(scope="class")
+    def ntz_events_path(self, spark, tmp_path_factory):
+        """Events parquet whose ts column is physically tz-naive micros —
+        what /root/testdata now contains. Written via pyarrow directly so
+        the test does not depend on writer-session conf."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        n = 120
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=11 * i) for i in range(n)],
+                    pa.timestamp("us"),  # NO timezone → TIMESTAMP_NTZ
+                ),
+                "user_id": pa.array([i % 4 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    [["view", "click", "purchase"][i % 3] for i in range(n)]
+                ),
+                "value": pa.array([float(i % 7) for i in range(n)]),
+            }
+        )
+        d = tmp_path_factory.mktemp("ntz_events")
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d / "events.parquet")
+
+    def test_parquet_reads_as_ntz(self, spark, ntz_events_path):
+        from pyspark.sql import types as T
+
+        raw = spark.read.parquet(ntz_events_path)
+        assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
+
+    def test_sessionize_accepts_ntz(self, spark, ntz_events_path):
+        from tafra_spark.streaming import ops as STREAM
+
+        raw = spark.read.parquet(ntz_events_path)
+        out = STREAM.sessionize(raw, gap_minutes=30).collect()
+        # 11-minute cadence per timeline, 4 users interleaved → each
+        # user's events are 44 min apart → every event its own session
+        assert len(out) == 120
+        assert all(r["n_events"] == 1 for r in out)
+
+    def test_interval_join_accepts_ntz(self, spark, ntz_events_path):
+        from tafra_spark.streaming import ops as STREAM
+
+        raw = spark.read.parquet(ntz_events_path)
+        # per user the view→purchase gap is exactly 88 min (view at
+        # i%12==0, purchase at i%12==8, 11-min cadence), so a 90-minute
+        # window matches each view to exactly one purchase
+        out = STREAM.interval_join(
+            raw, raw, left_type="view", right_type="purchase",
+            within_minutes=90,
+        )
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r["lag_seconds"] == 88 * 60 for r in rows)
+
+    def test_range_join_accepts_ntz(self, spark, ntz_events_path):
+        from pyspark.sql import functions as F
+
+        from tafra_spark.operators import temporal as TEMP
+
+        raw = spark.read.parquet(ntz_events_path)
+        points = raw.select("event_id", "ts")
+        intervals = raw.filter(F.col("event_type") == "purchase").select(
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+        out = TEMP.range_join_points(
+            points, intervals, "ts", "start_ts", "end_ts"
+        )
+        assert out.count() > 0
+
+    def test_entry_loader_normalizes_to_ltz(self, spark):
+        from pyspark.sql import types as T
+
+        import __spark_entry__ as E
+
+        ev = E._read_events(spark, "/root/testdata/sf0.001")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
