@@ -1574,101 +1574,74 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("centroid_id", "pos", F.round("val", 6).alias("val"))
 
 
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-order novelty: fraction of each doc's distinct 3-gram
+    # shingles first seen in THIS doc (min doc_id over the corpus) —
+    # linear plan: one shingle pass, min-agg on the shingle hash,
+    # exchange-reused join back, per-doc count agg
+    docs = _read(spark, sf_dir, "documents")
+    return P.ngram_novelty(docs, shingle_k=3)
+
+
+def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # within-source quality percentiles: raw scores are not comparable
+    # across sources, mixing recipes threshold on the percentile. One
+    # shuffle on source; percent_rank and ntile share exchange + sort
+    docs = _read(spark, sf_dir, "documents")
+    return P.quality_percentiles(docs, n_buckets=10)
+
+
+def user_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-decayed per-user activity: harmonic kernel (correctly-rounded
+    # IEEE ops only — exp() is not cross-engine hash-stable), fixed-point
+    # weight sum, reference time = max(ts) via one-row broadcast
+    ev = _read_events(spark, sf_dir)
+    return AN.decayed_activity(ev, tau_hours=24.0)
+
+
+def sliding_active_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing-3h distinct users per hour: dedup to (hour, user) FIRST,
+    # then explode to ≤3 target windows — replication factor is the
+    # window width, never the event rate
+    ev = _read_events(spark, sf_dir)
+    out = AN.sliding_active_users(ev, window_hours=3)
+    return out.select(
+        F.date_format("window_end_hour", _TS_FMT_SPARK).alias(
+            "window_end_hour"
+        ),
+        "n_active_users",
+    )
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- registry order == driver evaluation order. The driver's
-        # correctness budget covered only the first 50 entries in r2, so
-        # never-driver-verified extension queries and previously-red rows
-        # come FIRST; the TPC-H variants that have been green twice sit
-        # at the tail. ---
-        # NEW in r4: composite corpus-prep flagship + semantic dedup +
-        # k-means training + tf-idf (never verified)
-        "corpus_prep_pipeline": corpus_prep_pipeline,
-        "token_budget_mix": token_budget_mix,
-        "ann_recall_eval": ann_recall_eval,
-        "chunk_sliding_windows": chunk_sliding_windows,
-        "incremental_dedup_batch": incremental_dedup_batch,
-        "profile_lineitem": profile_lineitem,
-        "funnel_click_view_purchase": funnel_click_view_purchase,
-        "retention_weekly_cohorts": retention_weekly_cohorts,
-        "event_transition_matrix": event_transition_matrix,
-        "key_skew_sources": key_skew_sources,
-        "length_outlier_flags": length_outlier_flags,
-        "weighted_source_mix": weighted_source_mix,
-        "event_rate_spikes": event_rate_spikes,
-        "sample_k_per_source": sample_k_per_source,
-        "segment_dedup": segment_dedup,
-        "interval_join_attribution": interval_join_attribution,
-        "vocab_doc_freq": vocab_doc_freq,
-        "tfidf_top_terms": tfidf_top_terms,
-        "semantic_dedup_pairs": semantic_dedup_pairs,
-        "semantic_dedup_survivors": semantic_dedup_survivors,
-        "kmeans_centroids": kmeans_centroids,
-        # NEW in r3: training-pipeline operators (never driver-verified)
-        "decontaminate_overlap": decontaminate_overlap,
-        "doc_repetition_stats": doc_repetition_stats,
-        "pack_training_sequences": pack_training_sequences,
-        "source_top_terms": source_top_terms,
-        "train_shuffle_shards": train_shuffle_shards,
-        "pii_scrub_stats": pii_scrub_stats,
-        "quality_gate_filter": quality_gate_filter,
-        "minhash_dup_clusters": minhash_dup_clusters,
-        # dedup / similarity / multimodal / sampling (no driver row in r2)
-        "stratified_sample": stratified_sample,
-        "exact_dedup_groups": exact_dedup_groups,
-        "minhash_signature": minhash_signature,
-        "minhash_lsh_pairs": minhash_lsh_pairs,
+        # --- registry order == driver evaluation order (the driver's
+        # correctness budget has covered ~50 entries per round). Rank by
+        # verification need: never-verified NEW queries, then queries
+        # whose implementation CHANGED this round, then the r3 red row,
+        # then entries whose last driver row is oldest. Everything green
+        # in r3 sits at the tail. ---
+        # NEW in r4 (never verified)
+        "ngram_novelty_scores": ngram_novelty_scores,
+        "quality_percentile_calibration": quality_percentile_calibration,
+        "user_activity_decay": user_activity_decay,
+        "sliding_active_3h": sliding_active_3h,
+        # fuzzy-dedup sharing strategy changed in r4 — re-verify first
         "ngram_jaccard": ngram_jaccard,
-        "simhash_near_dups": simhash_near_dups,
-        "multimodal_decode": multimodal_decode,
-        "multimodal_frames": multimodal_frames,
-        "embedding_cosine_topk": embedding_cosine_topk,
-        "embedding_centroid_assign": embedding_centroid_assign,
-        "embedding_lsh_ann": embedding_lsh_ann,
-        "embedding_near_dups": embedding_near_dups,
-        "embedding_ivf_topk": embedding_ivf_topk,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_language_id": text_language_id,
-        "doc_fingerprint": doc_fingerprint,
-        # red in r2 — fixed this round, need fresh driver rows
-        "q8_market_share": q8_market_share,
-        "q12_priority_by_delay": q12_priority_by_delay,
-        "json_extract_stats": json_extract_stats,
-        # streaming / events / temporal joins
-        "events_hourly": events_hourly,
-        "events_quarter_hour": events_quarter_hour,
+        "corpus_prep_pipeline": corpus_prep_pipeline,
+        # red in r3 (TIMESTAMP_NTZ) — fixed this round
+        "interval_join_attribution": interval_join_attribution,
+        # NTZ-affected event/temporal paths, last verified r2
         "sessionize_events": sessionize_events,
+        "events_quarter_hour": events_quarter_hour,
         "rolling_hour_window": rolling_hour_window,
         "asof_join_events": asof_join_events,
         "range_join_incidents": range_join_incidents,
+        # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
-        # core operator surface
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "select_project": select_project,
-        "filter_predicate": filter_predicate,
-        "group_by_callables": group_by_callables,
-        "transform_window": transform_window,
-        "theta_join_inequality": theta_join_inequality,
-        "left_join_nulls": left_join_nulls,
-        "cross_join_small": cross_join_small,
-        "union_all_orders": union_all_orders,
         "upsert_orders": upsert_orders,
-        "coalesce_fill": coalesce_fill,
-        "cast_floor_groupby": cast_floor_groupby,
-        "top_k_orders": top_k_orders,
-        "distinct_pairs": distinct_pairs,
-        "rename_project": rename_project,
-        "agg_stats": agg_stats,
-        "semi_join_exists": semi_join_exists,
-        "anti_join_not_exists": anti_join_not_exists,
-        "rollup_agg": rollup_agg,
-        "pivot_linestatus": pivot_linestatus,
-        # TPC-H variants — green in r1 and r2, lowest re-verify priority
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q13_customer_distribution": q13_customer_distribution,
@@ -1686,6 +1659,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q4_late_orders": q4_late_orders,
         "q14_promo_share": q14_promo_share,
+        # last verified r2 (green r1+r2)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "select_project": select_project,
+        "filter_predicate": filter_predicate,
+        "group_by_callables": group_by_callables,
+        "transform_window": transform_window,
+        "theta_join_inequality": theta_join_inequality,
+        "left_join_nulls": left_join_nulls,
+        "cross_join_small": cross_join_small,
+        "union_all_orders": union_all_orders,
+        "coalesce_fill": coalesce_fill,
+        "cast_floor_groupby": cast_floor_groupby,
+        "top_k_orders": top_k_orders,
+        "distinct_pairs": distinct_pairs,
+        "rename_project": rename_project,
+        "agg_stats": agg_stats,
+        "semi_join_exists": semi_join_exists,
+        "anti_join_not_exists": anti_join_not_exists,
+        "rollup_agg": rollup_agg,
+        "pivot_linestatus": pivot_linestatus,
+        # green in r3 — lowest re-verify priority
+        "token_budget_mix": token_budget_mix,
+        "ann_recall_eval": ann_recall_eval,
+        "chunk_sliding_windows": chunk_sliding_windows,
+        "incremental_dedup_batch": incremental_dedup_batch,
+        "profile_lineitem": profile_lineitem,
+        "funnel_click_view_purchase": funnel_click_view_purchase,
+        "retention_weekly_cohorts": retention_weekly_cohorts,
+        "event_transition_matrix": event_transition_matrix,
+        "key_skew_sources": key_skew_sources,
+        "length_outlier_flags": length_outlier_flags,
+        "weighted_source_mix": weighted_source_mix,
+        "event_rate_spikes": event_rate_spikes,
+        "sample_k_per_source": sample_k_per_source,
+        "segment_dedup": segment_dedup,
+        "vocab_doc_freq": vocab_doc_freq,
+        "tfidf_top_terms": tfidf_top_terms,
+        "semantic_dedup_pairs": semantic_dedup_pairs,
+        "semantic_dedup_survivors": semantic_dedup_survivors,
+        "kmeans_centroids": kmeans_centroids,
+        "decontaminate_overlap": decontaminate_overlap,
+        "doc_repetition_stats": doc_repetition_stats,
+        "pack_training_sequences": pack_training_sequences,
+        "source_top_terms": source_top_terms,
+        "train_shuffle_shards": train_shuffle_shards,
+        "pii_scrub_stats": pii_scrub_stats,
+        "quality_gate_filter": quality_gate_filter,
+        "minhash_dup_clusters": minhash_dup_clusters,
+        "stratified_sample": stratified_sample,
+        "exact_dedup_groups": exact_dedup_groups,
+        "minhash_signature": minhash_signature,
+        "simhash_near_dups": simhash_near_dups,
+        "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_centroid_assign": embedding_centroid_assign,
+        "embedding_lsh_ann": embedding_lsh_ann,
+        "embedding_near_dups": embedding_near_dups,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_language_id": text_language_id,
+        "doc_fingerprint": doc_fingerprint,
+        "q8_market_share": q8_market_share,
+        "q12_priority_by_delay": q12_priority_by_delay,
+        "json_extract_stats": json_extract_stats,
+        "events_hourly": events_hourly,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
     }
 
 
@@ -2045,6 +2088,92 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_novelty_scores": f"""
+            {_SHINGLES_SQL},
+            ex AS (
+              SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0
+            ),
+            f AS (SELECT s, min(doc_id) AS first_id FROM ex GROUP BY s)
+            SELECT ex.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_id = ex.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST(floor(
+                     CAST(sum(CASE WHEN f.first_id = ex.doc_id
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(count(*) AS BIGINT) * 10000 + 0.5
+                   ) AS BIGINT) AS novelty_q4
+            FROM ex JOIN f USING (s)
+            GROUP BY ex.doc_id
+        """,
+        "quality_percentile_calibration": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS alpha,
+                     CAST(length(text) - length(replace(text, ' ', ''))
+                          AS DOUBLE) AS spaces,
+                     CAST({_NTOK_SQL} AS DOUBLE) AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN n > 0 THEN spaces / n ELSE 0.0 END AS space_ratio,
+                CASE WHEN toks > 0 THEN (n - spaces) / toks ELSE 0.0 END AS mwl,
+                least(n / 500.0, 1.0) AS length_score
+              FROM m
+            ),
+            q AS (
+              SELECT doc_id,
+                   CAST(floor((0.3 * length_score + 0.3 * alpha_ratio
+                     + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 10
+                                   THEN 1.0 ELSE 0.5 END)
+                     + 0.2 * (CASE WHEN space_ratio >= 0.05 AND space_ratio <= 0.4
+                                   THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5)
+                        AS BIGINT) AS quality_q4
+              FROM r
+            )
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   q.quality_q4 AS quality_q4,
+                   CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT)
+                     AS pct_rank_q4,
+                   CAST(ntile(10) OVER w AS BIGINT) AS bucket
+            FROM documents d JOIN q USING (doc_id)
+            WINDOW w AS (PARTITION BY d.source ORDER BY q.quality_q4, d.doc_id)
+        """,
+        "user_activity_decay": """
+            WITH ref AS (SELECT max(ts) AS r FROM events),
+            w AS (
+              SELECT user_id,
+                     CAST(floor(
+                       1.0 / (1.0 + CAST(date_diff('second', ts, r) AS DOUBLE)
+                                    / 86400.0)
+                       * 1000000.0 + 0.5
+                     ) AS BIGINT) AS w6
+              FROM events, ref
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(w6) AS BIGINT) / 1000000.0 AS activity
+            FROM w GROUP BY user_id
+        """,
+        "sliding_active_3h": f"""
+            WITH p AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+            ),
+            t AS (
+              SELECT unnest(generate_series(
+                       h, h + INTERVAL 2 HOUR, INTERVAL 1 HOUR
+                     )) AS we,
+                     user_id
+              FROM p
+            )
+            SELECT strftime(we, '{_TS_FMT_DUCK}') AS window_end_hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+            FROM t GROUP BY 1
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_msum_sql("l_quantity", "sum_qty")},

@@ -31,6 +31,8 @@ __all__ = [
     "event_transitions",
     "key_skew_stats",
     "rate_spikes",
+    "decayed_activity",
+    "sliding_active_users",
 ]
 
 
@@ -275,4 +277,101 @@ def rate_spikes(
             "n_events",
             "is_spike",
         )
+    )
+
+def decayed_activity(
+    events: DataFrame,
+    tau_hours: float = 24.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    kernel: str = "harmonic",
+) -> DataFrame:
+    """Per-user time-decayed activity score: recent events count more.
+
+    Each event contributes a weight that decays with its age relative
+    to the corpus's most recent event (so the score is a pure function
+    of the data — no wall-clock dependency, reproducible forever):
+
+    - ``kernel="harmonic"``: w = 1 / (1 + age/τ). Pure IEEE add+divide,
+      which are correctly-rounded and therefore BIT-IDENTICAL across
+      engines — this is the oracle-checkable default. exp()/pow() are
+      NOT correctly-rounded by spec (JVM StrictMath vs libm may differ
+      in the last ulp), so the classic exponential kernel cannot carry
+      a cross-engine value hash.
+    - ``kernel="exp"``: w = exp(-age/τ), the standard half-lifeish
+      kernel, for pure-Spark use.
+
+    Per-row weights are fixed-pointed (floor(w·1e6 + 0.5) — identical
+    longs both engines) and summed exactly, so the aggregate is
+    order-independent. The reference timestamp comes from a one-row
+    broadcast cross-join, NOT a driver collect: the plan stays fully
+    lazy and cluster-side.
+
+    Scale: one global max (partial-agg, bytes of traffic), one
+    broadcast, one groupBy(user) shuffle. Skewed users are plain AQE
+    fodder — the weight expression is map-side.
+    """
+    tau_s = F.lit(float(tau_hours) * 3600.0)
+    ref = events.agg(F.max(F.col(ts_col).cast("timestamp")).alias("__ref__"))
+    age_s = (
+        F.col("__ref__").cast("long") - F.col(ts_col).cast("timestamp").cast("long")
+    ).cast("double")
+    if kernel == "harmonic":
+        w = F.lit(1.0) / (F.lit(1.0) + age_s / tau_s)
+    elif kernel == "exp":
+        w = F.exp(-age_s / tau_s)
+    else:
+        raise ValueError(f"unknown kernel: {kernel!r}")
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select(
+            F.col(user_col),
+            F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__w6__"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__w6__") / F.lit(1e6)).alias("activity"),
+        )
+    )
+
+
+def sliding_active_users(
+    events: DataFrame,
+    window_hours: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct active users per trailing ``window_hours``-hour window,
+    one row per window-END hour: a user active in hour h counts toward
+    the windows ending at h, h+1, …, h+window_hours−1.
+
+    COUNT(DISTINCT) over a sliding window is the classic unsupported
+    case for both window functions (no DISTINCT) and streaming (holistic
+    state); the scalable reformulation is set-shrink-then-replicate:
+    dedup to (hour, user) pairs FIRST (one shuffle on the pair — the big
+    cardinality drop happens before any replication), then explode each
+    pair to its ≤``window_hours`` target windows and count distinct
+    users per target (second shuffle, on data already deduped per hour).
+    Replication factor is the window width, not the event rate.
+
+    Emits every window whose count is nonzero, including the
+    ``window_hours−1`` windows trailing past the last event hour.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    pairs = events.select(
+        hour.alias("__h__"), F.col(user_col)
+    ).distinct()
+    targets = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("__h__"),
+                F.col("__h__") + F.expr(f"INTERVAL {int(window_hours) - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("window_end_hour"),
+        F.col(user_col),
+    )
+    return targets.groupBy("window_end_hour").agg(
+        F.count_distinct(F.col(user_col)).alias("n_active_users")
     )

@@ -50,6 +50,8 @@ __all__ = [
     "token_budget_select",
     "chunk_documents",
     "length_outliers",
+    "ngram_novelty",
+    "quality_percentiles",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -656,4 +658,113 @@ def length_outliers(
             ),
         )
         .select(id_col, part_col, "n_tokens", "med", "mad", "is_outlier")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against the whole corpus: the
+    fraction of a document's distinct word ``shingle_k``-grams whose
+    FIRST occurrence (smallest ``id_col`` over the corpus) is this
+    document. Late near-copies of earlier documents score near 0;
+    genuinely new text scores near 1 — the corpus-level "how much of
+    this doc have we already seen" signal used to prioritize fresh data
+    in training mixes (complement of the pairwise dedup operators,
+    which only see pairs, not corpus-order precedence).
+
+    Plan shape (linear at 100 TB). The naive formulation — explode,
+    min-agg per shingle, join the min BACK to the exploded table, count
+    per doc — shuffles the corpus×shingles row set a second time on
+    doc id. This one never joins the exploded table at all:
+
+    - ``n_shingles(d)`` = ``size(sh)`` — map-side, zero shuffle;
+    - ``n_novel(d)``    = the number of shingle hashes whose corpus-min
+      doc id IS d — i.e. a count over the (hash → min_doc) AGGREGATE,
+      which has one row per distinct shingle, not per occurrence.
+
+    So the only wide shuffle is the min-agg on the 8-byte shingle hash
+    (map-side partial min), followed by a per-doc count over the
+    already-aggregated table and one doc-id equi-join of two per-doc
+    tables. Shingles travel as xxhash64 longs, never strings (a 64-bit
+    collision merges two shingles with probability ~1e-16 per pair).
+
+    The no-tokens filter is on RAW text, before the shingle projection:
+    a ``size(sh) > 0`` filter after it gets pushed below the projection
+    and re-evaluates the whole shingle expression a second time,
+    serially on the scan partitions (the minhash_signatures lesson).
+
+    Output: (id, n_shingles, n_novel, novelty_q4) where ``novelty_q4``
+    is the fixed-point ``floor(novel/total * 1e4 + 0.5)`` — an exact
+    integer on both engines (the ratio of two small ints).
+    """
+    from .dedup import _spread
+
+    base = _spread(
+        df.select(id_col, text_col).filter(
+            F.length(F.trim(F.col(text_col))) > 0
+        )
+    )
+    sets = base.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = sets.select(
+        F.col(id_col), F.size("sh").cast("long").alias("n_shingles")
+    )
+    ex = sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
+        F.col(id_col), F.xxhash64("s").alias("h")
+    )
+    first = ex.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    novel = first.groupBy("first_id").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    ).withColumnRenamed("first_id", id_col)
+    return (
+        sizes.join(novel, on=id_col, how="left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
+        .withColumn(
+            "novelty_q4",
+            F.floor(
+                F.col("n_novel") / F.col("n_shingles") * 10000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
+def quality_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-source quality calibration: each document's exact percent
+    rank and quantile bucket of its quality score WITHIN its source.
+    Raw quality scores are not comparable across sources (a wiki-like
+    source's median beats a crawl's p90); mixing recipes therefore
+    threshold on the within-source percentile, not the raw score.
+
+    One shuffle on the source key; both windows (percent_rank, ntile)
+    share the exchange AND the sort — ties broken by ``id_col`` so the
+    full ordering, hence ntile assignment, is deterministic and
+    engine-portable. percent_rank is (rank-1)/(n-1): an exact rational
+    of two small ints, so the fixed-point export is hash-stable.
+    """
+    from .text import quality_score
+
+    q4 = F.floor(quality_score(F.col(text_col)) * 10000 + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy(part_col).orderBy("quality_q4", id_col)
+    return (
+        df.select(F.col(id_col), F.col(part_col), q4.alias("quality_q4"))
+        .withColumn(
+            "pct_rank_q4",
+            F.floor(F.percent_rank().over(w) * 10000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
     )

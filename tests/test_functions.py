@@ -1290,3 +1290,121 @@ class TestWeightedMix:
         out = {r["window_start"]: r["is_spike"] for r in rate_spikes(df).collect()}
         assert out["2024-01-01 10:00:00"] is True
         assert sum(v for v in out.values()) == 1  # only the burst hour
+
+
+class TestNgramNoveltyAndQualityPercentiles:
+    def test_novelty_first_doc_wins(self, spark):
+        from tafra_spark.functions.pipeline import ngram_novelty
+
+        rows = [
+            (1, "the quick brown fox jumps"),      # 3 shingles, all first
+            (2, "the quick brown fox jumps"),      # exact copy → novelty 0
+            (3, "a wholly different sentence here"),  # all novel
+            (4, ""),                                # no tokens → excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in ngram_novelty(df, shingle_k=3).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1]["n_shingles"] == 3 and got[1]["n_novel"] == 3
+        assert got[1]["novelty_q4"] == 10000
+        assert got[2]["n_novel"] == 0 and got[2]["novelty_q4"] == 0
+        assert got[3]["novelty_q4"] == 10000
+
+    def test_novelty_partial_overlap(self, spark):
+        from tafra_spark.functions.pipeline import ngram_novelty
+
+        rows = [
+            (1, "alpha beta gamma delta"),        # shingles: abg, bgd
+            (2, "alpha beta gamma epsilon zeta"), # abg (seen), bge, gez
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in ngram_novelty(df, shingle_k=3).collect()}
+        assert got[2]["n_shingles"] == 3
+        assert got[2]["n_novel"] == 2
+        assert got[2]["novelty_q4"] == 6667  # floor(2/3*1e4 + .5)
+
+    def test_quality_percentiles_rank_and_bucket(self, spark):
+        from tafra_spark.functions.pipeline import quality_percentiles
+
+        # src a: three docs of clearly increasing quality-relevant length
+        rows = [
+            (1, "x", "a"),
+            (2, "a decent length sentence with words", "a"),
+            (3, "a much longer and more substantial sentence with many "
+                "more reasonable words in it for scoring purposes", "a"),
+            (4, "solo document in its own source", "b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r["doc_id"]: r
+            for r in quality_percentiles(df, n_buckets=2).collect()
+        }
+        assert got[1]["pct_rank_q4"] == 0
+        assert got[3]["pct_rank_q4"] == 10000
+        assert got[2]["pct_rank_q4"] == 5000
+        assert got[1]["bucket"] == 1 and got[3]["bucket"] == 2
+        # single-doc source: percent_rank defined as 0
+        assert got[4]["pct_rank_q4"] == 0
+
+
+class TestDecayedActivityAndSlidingUsers:
+    def test_decay_weights_recent_more(self, spark):
+        import datetime as dt
+        from tafra_spark.functions.analytics import decayed_activity
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: one event AT the reference time → weight 1.0
+            (1, b + dt.timedelta(hours=24)),
+            # user 2: one event 24h (=tau) old → weight 0.5
+            (2, b),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {r["user_id"]: r for r in decayed_activity(df, tau_hours=24.0).collect()}
+        assert got[1]["activity"] == 1.0
+        assert got[2]["activity"] == 0.5
+        assert got[1]["n_events"] == 1
+
+    def test_exp_kernel_and_bad_kernel(self, spark):
+        import datetime as dt
+        import math
+        import pytest
+        from tafra_spark.functions.analytics import decayed_activity
+
+        b = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, b), (1, b + dt.timedelta(hours=24))],
+            "user_id long, ts timestamp",
+        )
+        out = decayed_activity(df, tau_hours=24.0, kernel="exp").collect()
+        expected = (1_000_000 + math.floor(math.exp(-1.0) * 1e6 + 0.5)) / 1e6
+        assert abs(out[0]["activity"] - expected) < 1e-9
+        with pytest.raises(ValueError):
+            decayed_activity(df, kernel="gaussian")
+
+    def test_sliding_windows_count_trailing(self, spark):
+        import datetime as dt
+        from tafra_spark.functions.analytics import sliding_active_users
+
+        h = lambda i: dt.datetime(2024, 1, 1, i)
+        rows = [
+            (1, h(0)), (2, h(0)),   # hour 0: users {1,2}
+            (2, h(1)),              # hour 1: {2}
+            (3, h(5)),              # hour 5: {3}
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            r["window_end_hour"]: r["n_active_users"]
+            for r in sliding_active_users(df, window_hours=3).collect()
+        }
+        # window ending hour 0: activity from hour 0 only
+        assert got[h(0)] == 2
+        # hour 1: hours 0-1 → users {1,2}
+        assert got[h(1)] == 2
+        # hour 2: hours 0-2 → users {1,2}
+        assert got[h(2)] == 2
+        # hour 3: hours 1-3 → {2}
+        assert got[h(3)] == 1
+        # hour 4: nothing → absent
+        assert h(4) not in got
+        assert got[h(5)] == 1 and got[h(7)] == 1
