@@ -1612,6 +1612,21 @@ def sliding_active_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_users",
     )
 
+def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # source-level repeated-phrase (word 2-gram) boilerplate load per
+    # doc: one shingle pass, hashed phrases, doc-frequency threshold
+    # against a broadcast per-source total
+    docs = _read(spark, sf_dir, "documents")
+    return P.boilerplate_stats(docs, ngram_k=2, min_doc_frac=0.2)
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise distinct-shingle Jaccard between sources: one shingle
+    # pass → distinct (source, hash) → hash self-join with fan-out
+    # bounded by |sources|, never corpus²
+    docs = _read(spark, sf_dir, "documents")
+    return P.source_overlap(docs, shingle_k=3)
+
 
 # --------------------------------------------------------------------------- #
 
@@ -1624,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "boilerplate_phrase_stats": boilerplate_phrase_stats,
+        "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
         "user_activity_decay": user_activity_decay,
@@ -2088,6 +2105,76 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "boilerplate_phrase_stats": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(ws) >= 2 THEN list_distinct(
+                       list_transform(range(1, len(ws)),
+                                      i -> concat_ws(' ', ws[i], ws[i+1])))
+                     ELSE [array_to_string(ws, ' ')] END AS shset
+              FROM w
+            ),
+            ex AS (SELECT doc_id, source, unnest(shset) AS p FROM sh),
+            totals AS (SELECT source, count(*) AS n_docs FROM sh GROUP BY source),
+            dfq AS (SELECT source, p, count(*) AS nd FROM ex GROUP BY source, p),
+            boiler AS (
+              SELECT dfq.source, dfq.p FROM dfq JOIN totals USING (source)
+              WHERE nd >= ceil(0.2 * n_docs)
+            ),
+            nb AS (
+              SELECT ex.doc_id, count(*) AS n_boiler
+              FROM ex JOIN boiler
+                ON ex.source = boiler.source AND ex.p = boiler.p
+              GROUP BY ex.doc_id
+            )
+            SELECT sh.doc_id AS doc_id, sh.source AS source,
+                   CAST(len(shset) AS BIGINT) AS n_phrases,
+                   CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+                   CAST(floor(
+                     CAST(coalesce(nb.n_boiler, 0) AS BIGINT)
+                     / CAST(len(shset) AS BIGINT) * 10000 + 0.5
+                   ) AS BIGINT) AS boiler_frac_q4
+            FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id
+        """,
+        "source_overlap_matrix": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(ws) >= 3 THEN list_distinct(
+                       list_transform(range(1, len(ws) - 1),
+                                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+                     ELSE [array_to_string(ws, ' ')] END AS shset
+              FROM w
+            ),
+            ex AS (SELECT source AS src, unnest(shset) AS s FROM sh),
+            sp AS (SELECT DISTINCT src, s FROM ex),
+            per AS (SELECT src, count(*) AS n FROM sp GROUP BY src),
+            inter AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     count(*) AS n_common
+              FROM sp a JOIN sp b ON a.s = b.s AND a.src < b.src
+              GROUP BY a.src, b.src
+            )
+            SELECT source_a, source_b,
+                   CAST(pa.n AS BIGINT) AS n_a,
+                   CAST(pb.n AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(floor(
+                     n_common / (pa.n + pb.n - n_common) * 10000 + 0.5
+                   ) AS BIGINT) AS jaccard_q4
+            FROM inter
+            JOIN per pa ON inter.source_a = pa.src
+            JOIN per pb ON inter.source_b = pb.src
+        """,
         "ngram_novelty_scores": f"""
             {_SHINGLES_SQL},
             ex AS (

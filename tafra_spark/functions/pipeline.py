@@ -52,6 +52,8 @@ __all__ = [
     "length_outliers",
     "ngram_novelty",
     "quality_percentiles",
+    "boilerplate_stats",
+    "source_overlap",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -767,4 +769,160 @@ def quality_percentiles(
             ),
         )
         .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    ngram_k: int = 2,
+    min_doc_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document boilerplate load from source-level repeated phrases:
+    a word ``ngram_k``-gram is *boilerplate* for a source when it occurs
+    in at least ``min_doc_frac`` of that source's documents (the
+    C4/RefinedWeb family's repeated-line filter, generalized to n-grams
+    because web boilerplate — navbars, cookie banners, footers — recurs
+    near-verbatim across a site's pages). Output per document: distinct
+    phrase count, boilerplate phrase count, and the fixed-point
+    boilerplate fraction used by quality gates.
+
+    Plan shape (linear at 100 TB): one shingle pass over the corpus;
+    phrases travel as xxhash64 longs. Document frequency is a count over
+    per-doc DISTINCT phrases (``shingles`` already dedups within a doc,
+    so no count-distinct is needed). The per-source doc totals are a
+    ~|sources|-row aggregate joined back by broadcast; the boilerplate
+    set is a semi-join filter on the exploded table — two wide shuffles
+    total ((source, hash) doc-frequency agg, per-doc count agg), both
+    with map-side partial aggregation.
+
+    The doc-frequency threshold compares against ``ceil(frac * n_docs)``
+    computed in double precision — identical rounding on any
+    IEEE-conforming engine, so the flag set is portable.
+    """
+    from .dedup import _spread
+
+    base = _spread(
+        df.select(id_col, part_col, text_col).filter(
+            F.length(F.trim(F.col(text_col))) > 0
+        )
+    )
+    sets = base.select(
+        F.col(id_col),
+        F.col(part_col),
+        shingles(F.col(text_col), ngram_k).alias("ph"),
+    )
+    ex = sets.select(
+        F.col(id_col), F.col(part_col), F.explode("ph").alias("p")
+    ).select(F.col(id_col), F.col(part_col), F.xxhash64("p").alias("h"))
+    totals = sets.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = ex.groupBy(part_col, "h").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    boiler = (
+        dfreq.join(F.broadcast(totals), on=part_col)
+        .filter(
+            F.col("n_docs_with")
+            >= F.ceil(F.lit(float(min_doc_frac)) * F.col("n_docs"))
+        )
+        .select(part_col, "h")
+    )
+    n_boiler = (
+        ex.join(boiler, on=[part_col, "h"], how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        sets.select(
+            F.col(id_col),
+            F.col(part_col),
+            F.size("ph").cast("long").alias("n_phrases"),
+        )
+        .join(n_boiler, on=id_col, how="left")
+        .withColumn(
+            "n_boiler", F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "boiler_frac_q4",
+            F.floor(
+                F.col("n_boiler") / F.col("n_phrases") * 10000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between sources: distinct-shingle
+    Jaccard for every source pair — the corpus-level diagnostic behind
+    mixing decisions ("is crawl B mostly a re-crawl of A?") and
+    cross-source contamination checks, complementing the per-document
+    dedup operators.
+
+    Plan shape: ONE shingle pass; shingles travel as xxhash64 longs and
+    collapse to distinct (source, hash) pairs immediately — the only
+    corpus-sized shuffle. The pairwise intersection is a self-join on
+    the hash whose per-key fan-out is bounded by |sources| (each hash
+    row meets at most |sources|−1 partners), so the join output is
+    O(distinct shingles × |sources|), never O(corpus²). Per-source
+    distinct totals are a |sources|-row broadcast.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard_q4) for
+    source_a < source_b — all integers, exactly portable.
+    """
+    from .dedup import _spread
+
+    base = _spread(
+        df.select(id_col, part_col, text_col).filter(
+            F.length(F.trim(F.col(text_col))) > 0
+        )
+    )
+    sp = (
+        base.select(
+            F.col(part_col).alias("src"),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+        )
+        .select(F.col("src"), F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    per = sp.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sp.alias("a")
+        .join(sp.alias("b"), on="h")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(per.select(F.col("src").alias("source_a"),
+                                   F.col("n_shingles").alias("n_a"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("src").alias("source_b"),
+                                   F.col("n_shingles").alias("n_b"))),
+            on="source_b",
+        )
+        .withColumn(
+            "jaccard_q4",
+            F.floor(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                * 10000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common", "jaccard_q4"
+        )
     )

@@ -1408,3 +1408,74 @@ class TestDecayedActivityAndSlidingUsers:
         # hour 4: nothing → absent
         assert h(4) not in got
         assert got[h(5)] == 1 and got[h(7)] == 1
+
+
+class TestBoilerplateAndSourceOverlap:
+    def test_boilerplate_flags_repeated_phrases(self, spark):
+        from tafra_spark.functions.pipeline import boilerplate_stats
+
+        # "cookie banner ok" appears in 3/4 of src_a docs (doc-frac 0.75
+        # ≥ 0.5) → its two bigrams are boilerplate FOR src_a only; src_b
+        # contains the same phrase once (1/1 = 1.0 ≥ 0.5) so it is
+        # boilerplate there too, but with its own per-source threshold
+        rows = [
+            (1, "src_a", "cookie banner ok unique alpha text"),
+            (2, "src_a", "cookie banner ok unique beta words"),
+            (3, "src_a", "cookie banner ok gamma filler body"),
+            (4, "src_a", "completely fresh delta content here"),
+            (5, "src_b", "cookie banner ok single doc"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_stats(df, ngram_k=2, min_doc_frac=0.5).collect()
+        }
+        # doc 1: 5 bigrams; boilerplate ones are those in ≥2 of 4 src_a
+        # docs: "cookie banner", "banner ok", and "ok unique" (shared
+        # with doc 2) → 3
+        assert got[1]["n_phrases"] == 5 and got[1]["n_boiler"] == 3
+        assert got[1]["boiler_frac_q4"] == 6000
+        # doc 4 shares nothing → 0
+        assert got[4]["n_boiler"] == 0 and got[4]["boiler_frac_q4"] == 0
+        # doc 5 is its whole source → every bigram has doc-freq 1/1 = 1.0
+        assert got[5]["n_boiler"] == got[5]["n_phrases"]
+
+    def test_boilerplate_empty_text_excluded(self, spark):
+        from tafra_spark.functions.pipeline import boilerplate_stats
+
+        rows = [(1, "s", "a b c"), (2, "s", "   "), (3, "s", None)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = boilerplate_stats(df).collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+    def test_source_overlap_jaccard(self, spark):
+        from tafra_spark.functions.pipeline import source_overlap
+
+        # src_a and src_b share exactly their one common doc's shingles;
+        # src_c is disjoint → no row (inner join on common hashes)
+        rows = [
+            (1, "src_a", "one two three four"),   # shingles {one two three, two three four}
+            (2, "src_b", "one two three four"),   # same 2
+            (3, "src_b", "five six seven"),       # +1 → src_b has 3
+            (4, "src_c", "eight nine ten"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_overlap(df, shingle_k=3).collect()
+        }
+        r = got[("src_a", "src_b")]
+        assert r["n_a"] == 2 and r["n_b"] == 3 and r["n_common"] == 2
+        # jaccard = 2 / (2 + 3 - 2) = 2/3 → 6667
+        assert r["jaccard_q4"] == 6667
+        assert not any("src_c" in k for k in got)
+
+    def test_source_overlap_pair_orientation(self, spark):
+        from tafra_spark.functions.pipeline import source_overlap
+
+        rows = [(1, "zz", "a b c"), (2, "aa", "a b c")]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = source_overlap(df, shingle_k=3).collect()
+        assert len(out) == 1
+        assert out[0]["source_a"] == "aa" and out[0]["source_b"] == "zz"
+        assert out[0]["jaccard_q4"] == 10000
