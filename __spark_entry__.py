@@ -1628,6 +1628,25 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.source_overlap(docs, shingle_k=3)
 
 
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization encode: 64-float vectors → 4 code bytes via
+    # literal-inlined codebooks — a pure narrow projection, zero shuffle
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, m=4, k=16)
+    return S.pq_encode(emb, cb)
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric-distance top-k over the compressed codes: broadcast
+    # (query, subspace, code) LUT, one partial-sum exchange, integer
+    # fixed-point ranking end to end
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, m=4, k=16)
+    codes = S.pq_encode(emb, cb)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(codes, cb, queries_df, k=10)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1639,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "pq_encode_codes": pq_encode_codes,
+        "pq_ann_topk": pq_ann_topk,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2103,8 +2124,86 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """
 
 
+def _pq_sql_prefix(m: int = 4, k: int = 16, d_sub: int = 16) -> str:
+    """Shared PQ oracle CTEs: deterministic sample codebooks (first k
+    vectors by id), per-(vector, subspace) fixed-point code assignment.
+    The per-element ``floor((x−y)²·1e12 + 0.5)`` longs mirror
+    ``similarity._sq_q12`` exactly — every float op is scalar and
+    correctly rounded, and all aggregation is integer, so the two
+    engines agree bit-for-bit."""
+    return f"""
+            WITH cbv AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+                     embedding::DOUBLE[] AS v
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT {k})
+            ),
+            subs AS (SELECT unnest(range({m})) AS s),
+            cb AS (
+              SELECT s AS subspace, code_id,
+                     (v)[s*{d_sub}+1 : s*{d_sub}+{d_sub}] AS centv
+              FROM cbv CROSS JOIN subs
+            ),
+            sub AS (
+              SELECT vec_id, s AS subspace,
+                     (embedding::DOUBLE[])[s*{d_sub}+1 : s*{d_sub}+{d_sub}] AS subv
+              FROM embeddings CROSS JOIN subs
+            ),
+            dist AS (
+              SELECT vec_id, sub.subspace, cb.code_id,
+                     CAST(list_sum(list_transform(range(1, {d_sub + 1}),
+                       i -> CAST(floor((subv[i]-centv[i])*(subv[i]-centv[i])
+                                       * 1e12 + 0.5) AS BIGINT)
+                     )) AS BIGINT) AS dq
+              FROM sub JOIN cb ON sub.subspace = cb.subspace
+            ),
+            enc AS (
+              SELECT vec_id, subspace, code_id FROM (
+                SELECT dist.*,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY dq, code_id) AS rnk
+                FROM dist
+              ) WHERE rnk = 1
+            )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pq_encode_codes": _pq_sql_prefix() + """
+            SELECT vec_id, list(code_id ORDER BY subspace) AS codes
+            FROM enc GROUP BY vec_id
+        """,
+        "pq_ann_topk": _pq_sql_prefix() + """,
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            lut AS (
+              SELECT query_id, subspace, code_id,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> CAST(floor((qsub[i]-centv[i])*(qsub[i]-centv[i])
+                                       * 1e12 + 0.5) AS BIGINT)
+                     )) AS BIGINT) AS contrib
+              FROM (SELECT query_id, subspace, code_id, centv,
+                           (qv)[subspace*16+1 : subspace*16+16] AS qsub
+                    FROM q CROSS JOIN cb)
+            ),
+            scored AS (
+              SELECT query_id, enc.vec_id AS neighbor_id,
+                     CAST(sum(contrib) AS BIGINT) AS adist_q12
+              FROM enc JOIN lut ON enc.subspace = lut.subspace
+                               AND enc.code_id = lut.code_id
+              WHERE query_id <> enc.vec_id
+              GROUP BY query_id, enc.vec_id
+            )
+            SELECT query_id, neighbor_id, adist_q12,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT scored.*,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adist_q12, neighbor_id)
+                           AS rnk
+                  FROM scored)
+            WHERE rnk <= 10
+        """,
         "boilerplate_phrase_stats": r"""
             WITH w AS (
               SELECT doc_id, source,

@@ -37,6 +37,9 @@ __all__ = [
     "semantic_dedup_survivors",
     "kmeans_fit",
     "ann_recall",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -622,4 +625,178 @@ def ann_recall(
                 ),
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# product quantization
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: the vector space is split into ``m``
+    contiguous subspaces; subspace ``s``'s codebook is the ``s``-th
+    subvectors of the first ``k`` corpus vectors by id (``code_id`` =
+    0-based rank in that order). A sampled codebook is the standard
+    cheap PQ initialization; swapping in :func:`kmeans_fit` per
+    subspace refines it without touching the encode/search contract.
+
+    Returns (subspace, code_id, centv: array<double>) — m×k rows, a
+    driver-safe handful regardless of corpus size.
+    """
+    first = (
+        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    if not first:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(first[0][1])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    rows = [
+        (s, c, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]])
+        for c, (_, vec) in enumerate(first)
+        for s in range(m)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace long, code_id long, centv array<double>"
+    )
+
+
+def _sq_q12(a: Column, b: Column) -> Column:
+    """Fixed-point squared L2 between two array columns: per element
+    ``floor((x−y)²·1e12 + 0.5)`` as a long, summed. Every step is a
+    correctly-rounded scalar IEEE op in a fixed (element) order, and the
+    final sum is INTEGER — bit-identical on any engine, so PQ code
+    assignment and ADC ranking carry a cross-engine value hash with no
+    float-ordering caveats."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small code ids — the compressed
+    representation PQ searches against (dim×4 bytes → m bytes: 64 floats
+    collapse to 4 codes here, a 64× memory cut at billion-vector scale).
+
+    The codebook (m×k rows) is collected driver-side and INLINED as
+    literal arrays, so encoding is a pure narrow projection over the
+    corpus scan: per subspace, the argmin over k fixed-point squared
+    distances is an ``array_min`` over a literal-indexed expression —
+    whole-stage codegen, ZERO shuffles, no join, no Python. That is the
+    100 TB contract: encode cost is one scan, and the plan cannot skew.
+
+    Ties break toward the smaller ``code_id`` (array_min on (dist,
+    code) structs orders lexicographically), so codes are deterministic.
+
+    Returns (``id_col``, codes: array<long>).
+    """
+    cb_rows = codebooks.select("subspace", "code_id", "centv").collect()
+    by_space: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb_rows:
+        by_space.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    m = len(by_space)
+    d_sub = len(next(iter(by_space.values()))[0][1])
+    vec = F.col(vec_col)
+    code_cols = []
+    for s in range(m):
+        subv = F.slice(vec, s * d_sub + 1, d_sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_q12(
+                        subv, F.array(*[F.lit(x) for x in centv])
+                    ).alias("d"),
+                    F.lit(int(c)).alias("c"),
+                )
+                for c, centv in sorted(by_space[s])
+            ]
+        )
+        code_cols.append(F.array_min(cands)["c"].cast("long"))
+    return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query's exact
+    subvectors are compared against the codebook ONCE, producing a
+    (query, subspace, code) → distance lookup table of |Q|·m·k rows;
+    the corpus is then scored by summing m table hits per vector —
+    never touching the original embeddings.
+
+    Plan: the LUT is a broadcast (queries are small by contract); the
+    only wide exchange is the (query, vector) partial-sum aggregate,
+    linear in |corpus|·|Q| with map-side combine. At 100 TB the codes
+    table is ~1.5% the size of the raw embeddings, which is the entire
+    point: the scan that dominates is 64× cheaper.
+
+    Distances are the fixed-point longs of :func:`_sq_q12`, so ranking
+    (dist asc, neighbor id asc) is exact integer comparison. Returns
+    (query_id, neighbor_id, adist_q12, rank), self-matches excluded.
+    """
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code_id",
+            _sq_q12(
+                F.slice(
+                    F.col("qv"),
+                    (F.col("subspace") * F.size("centv") + 1).cast("int"),
+                    F.size("centv"),
+                ),
+                F.col("centv"),
+            ).alias("contrib"),
+        )
+    )
+    ex = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code_id"),
+    )
+    scored = (
+        ex.join(F.broadcast(lut), on=["subspace", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("contrib").alias("adist_q12"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q12", "rank")
     )

@@ -1479,3 +1479,62 @@ class TestBoilerplateAndSourceOverlap:
         assert len(out) == 1
         assert out[0]["source_a"] == "aa" and out[0]["source_b"] == "zz"
         assert out[0]["jaccard_q4"] == 10000
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def corpus(self, spark):
+        # 8 vectors in dim 4, m=2 subspaces of 2; the first 2 rows are
+        # the codebook samples
+        rows = [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [0.1, 0.0, 0.9, 1.0]),   # sub0 → code 0, sub1 → code 1
+            (3, [0.9, 1.0, 0.1, 0.0]),   # sub0 → code 1, sub1 → code 0
+            (4, [0.5, 0.5, 0.5, 0.5]),   # equidistant → tie → code 0
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebook_shape(self, spark, corpus):
+        from tafra_spark.functions.similarity import pq_codebooks
+
+        cb = pq_codebooks(corpus, m=2, k=2).collect()
+        assert len(cb) == 4
+        assert all(len(r["centv"]) == 2 for r in cb)
+        # subspace 0 code 1 = first half of vec_id 1
+        by = {(r["subspace"], r["code_id"]): r["centv"] for r in cb}
+        assert by[(0, 1)] == [1.0, 1.0] and by[(1, 0)] == [0.0, 0.0]
+
+    def test_codebook_dim_mismatch_raises(self, spark, corpus):
+        from tafra_spark.functions.similarity import pq_codebooks
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_codebooks(corpus, m=3, k=2)
+
+    def test_encode_assigns_nearest_and_breaks_ties_low(self, spark, corpus):
+        from tafra_spark.functions.similarity import pq_codebooks, pq_encode
+
+        cb = pq_codebooks(corpus, m=2, k=2)
+        got = {r["vec_id"]: r["codes"] for r in pq_encode(corpus, cb).collect()}
+        assert got[0] == [0, 0] and got[1] == [1, 1]
+        assert got[2] == [0, 1] and got[3] == [1, 0]
+        # exact equidistance ties break toward the smaller code id
+        assert got[4] == [0, 0]
+
+    def test_topk_ranks_by_quantized_distance(self, spark, corpus):
+        from tafra_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        cb = pq_codebooks(corpus, m=2, k=2)
+        codes = pq_encode(corpus, cb)
+        out = pq_topk(codes, cb, corpus.filter(F.col("vec_id") == 0), k=4)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert [r["query_id"] for r in rows] == [0] * 4
+        assert rows[0]["adist_q12"] == 0  # vec 4 encodes to (0,0) = query's codes
+        # neighbors whose codes equal the query's sort first by id
+        assert rows[0]["neighbor_id"] in (2, 3, 4)
+        # the all-ones vector is the farthest in code space
+        assert rows[-1]["neighbor_id"] == 1

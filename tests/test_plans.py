@@ -351,3 +351,39 @@ class TestRound4PlanShapes:
         # keys linear (fp / id / (band,value) / source); measured 12 on
         # the current plan (the r4 gate join-back removal took off 4)
         assert count_exchanges(corpus_prep_summary(docs)) <= 12
+
+
+class TestPQPlanShapes:
+    """PQ scale contract: encode is a pure narrow projection (codebooks
+    inlined as literals — no join, no shuffle); ADC search pays exactly
+    the (query, vector) partial-sum exchange plus the top-k window."""
+
+    @pytest.fixture()
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_pq_encode_zero_shuffle(self, spark, emb):
+        from tafra_spark.functions.similarity import pq_codebooks, pq_encode
+        from tafra_spark.plans.inspect import count_exchanges
+
+        cb = pq_codebooks(emb, m=4, k=16)
+        assert count_exchanges(pq_encode(emb, cb)) == 0
+
+    def test_pq_topk_exchange_ceiling(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+        from tafra_spark.plans.inspect import (
+            count_exchanges,
+            has_broadcast_join,
+        )
+
+        cb = pq_codebooks(emb, m=4, k=16)
+        codes = pq_encode(emb, cb)
+        plan = pq_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=10)
+        # the LUT side must broadcast; the only wide exchanges are the
+        # (query, neighbor) sum agg and the per-query rank window
+        assert has_broadcast_join(plan)
+        assert count_exchanges(plan) <= 2
