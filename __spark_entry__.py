@@ -1647,6 +1647,15 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@10 of PQ ADC search vs exact cosine — the oracle recomputes
+    # both sides (fixed-point PQ + brute-force cosine) and must agree on
+    # every per-query hit count
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.pq_recall(emb, queries_df, m=4, k_codes=16, k=10)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1660,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r4 (never verified)
         "pq_encode_codes": pq_encode_codes,
         "pq_ann_topk": pq_ann_topk,
+        "pq_recall_eval": pq_recall_eval,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2203,6 +2213,70 @@ def oracle_sql() -> dict[str, str]:
                            AS rnk
                   FROM scored)
             WHERE rnk <= 10
+        """,
+        "pq_recall_eval": _pq_sql_prefix() + """,
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            lut AS (
+              SELECT query_id, subspace, code_id,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> CAST(floor((qsub[i]-centv[i])*(qsub[i]-centv[i])
+                                       * 1e12 + 0.5) AS BIGINT)
+                     )) AS BIGINT) AS contrib
+              FROM (SELECT query_id, subspace, code_id, centv,
+                           (qv)[subspace*16+1 : subspace*16+16] AS qsub
+                    FROM q CROSS JOIN cb)
+            ),
+            ascored AS (
+              SELECT query_id, enc.vec_id AS neighbor_id,
+                     CAST(sum(contrib) AS BIGINT) AS adist_q12
+              FROM enc JOIN lut ON enc.subspace = lut.subspace
+                               AND enc.code_id = lut.code_id
+              WHERE query_id <> enc.vec_id
+              GROUP BY query_id, enc.vec_id
+            ),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adist_q12, neighbor_id)
+                         AS rnk
+                FROM ascored
+              ) WHERE rnk <= 10
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            tscored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.v) AS cos_raw
+              FROM e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            truth AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC,
+                                                   neighbor_id) AS rnk
+                FROM tscored
+              ) WHERE rnk <= 10
+            ),
+            nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+                   FROM truth GROUP BY query_id),
+            nh AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                   FROM truth t JOIN approx a
+                     ON a.query_id = t.query_id
+                        AND a.neighbor_id = t.neighbor_id
+                   GROUP BY t.query_id),
+            qbase AS (SELECT query_id FROM q)
+            SELECT qbase.query_id,
+                   CAST(coalesce(nt.n_true, 0) AS BIGINT) AS n_true,
+                   CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+                   CASE WHEN coalesce(nt.n_true, 0) > 0
+                        THEN round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
+                                   / nt.n_true, 6)
+                   END AS recall
+            FROM qbase LEFT JOIN nt USING (query_id)
+                       LEFT JOIN nh USING (query_id)
         """,
         "boilerplate_phrase_stats": r"""
             WITH w AS (

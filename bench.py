@@ -43,6 +43,9 @@ HEADLINE = [
     "simhash_near_dups",
     "embedding_cosine_topk",
     "embedding_lsh_ann",
+    "pq_ann_topk",
+    "boilerplate_phrase_stats",
+    "source_overlap_matrix",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "pq_recall",
 ]
 
 
@@ -662,8 +663,25 @@ def pq_codebooks(
         for c, (_, vec) in enumerate(first)
         for s in range(m)
     ]
-    return corpus.sparkSession.createDataFrame(
-        rows, "subspace long, code_id long, centv array<double>"
+    # Build a pure-JVM literal relation (inline over a literal struct
+    # array), NOT spark.createDataFrame(rows): a Python-rows frame keeps
+    # a PythonRDD lineage, so every later action that touches it —
+    # pq_encode's collect, pq_topk's broadcast build — forks Python
+    # workers and pays seconds per job. The whole relation is ONE parsed
+    # SQL expression (one py4j call; 384 per-field F.lit/F.struct calls
+    # measured ~2s of driver latency). CAST('<repr>' AS DOUBLE) is
+    # exact: repr round-trips and decimal parse is correctly rounded —
+    # and it is evaluated once in a one-row relation, never per corpus
+    # row.
+    structs = []
+    for s, c, centv in rows:
+        vals = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in centv)
+        structs.append(
+            f"struct(CAST({s} AS BIGINT) AS subspace, "
+            f"CAST({c} AS BIGINT) AS code_id, array({vals}) AS centv)"
+        )
+    return corpus.sparkSession.range(0, 1, 1, 1).select(
+        F.expr("inline(array(" + ", ".join(structs) + "))")
     )
 
 
@@ -720,20 +738,30 @@ def pq_encode(
         )
     m = len(by_space)
     d_sub = len(next(iter(by_space.values()))[0][1])
+    # the argmin projection is CPU-bound interpreted-HOF work (m·k
+    # distance folds per row); a small parquet arriving as 1-2 scan
+    # partitions would serialize it — same lesson as the shingle pass
+    from .dedup import _spread
+
+    corpus = _spread(corpus)
+    # Each subspace's codebook rides as ONE nested-list literal
+    # (a single py4j call — ``F.lit`` on a nested Python list ships the
+    # whole array-of-arrays at once) scanned by an index lambda, so the
+    # distance fold appears once per subspace in the plan and runs k
+    # times at runtime. Two earlier shapes measured badly here: k
+    # expanded fold copies (seconds of whole-stage-codegen compilation
+    # per query) and per-value ``F.lit`` construction (1024 py4j
+    # round-trips ≈ 3s of driver latency per plan build).
     vec = F.col(vec_col)
     code_cols = []
     for s in range(m):
         subv = F.slice(vec, s * d_sub + 1, d_sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_q12(
-                        subv, F.array(*[F.lit(x) for x in centv])
-                    ).alias("d"),
-                    F.lit(int(c)).alias("c"),
-                )
-                for c, centv in sorted(by_space[s])
-            ]
+        cb_arr = F.lit([centv for _, centv in sorted(by_space[s])])
+        cands = F.transform(
+            cb_arr,
+            lambda centv, i: F.struct(
+                _sq_q12(subv, centv).alias("d"), i.alias("c")
+            ),
         )
         code_cols.append(F.array_min(cands)["c"].cast("long"))
     return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
@@ -799,4 +827,48 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q12", "rank")
+    )
+
+
+def pq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search against exact cosine
+    top-k — the quality dial for the compression/accuracy trade: more
+    subspaces or codes raise recall, fewer shrink the codes table. Same
+    assembly as :func:`ann_recall` (per-query truth ∩ approx counts),
+    so the two ANN paths are directly comparable on one metric.
+    """
+    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+                        ).select("query_id", "neighbor_id")
+    cb = pq_codebooks(corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    approx = pq_topk(codes, cb, queries, k=k, id_col=id_col, vec_col=vec_col
+                     ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, on=["query_id", "neighbor_id"], how="left_semi")
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return (
+        base.join(n_true, on="query_id", how="left")
+        .join(n_hit, on="query_id", how="left")
+        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)))
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ),
+        )
     )

@@ -1538,3 +1538,19 @@ class TestProductQuantization:
         assert rows[0]["neighbor_id"] in (2, 3, 4)
         # the all-ones vector is the farthest in code space
         assert rows[-1]["neighbor_id"] == 1
+
+    def test_pq_recall_counts(self, spark):
+        from tafra_spark.functions.similarity import pq_recall
+
+        SF = "/root/testdata/sf0.001"
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = {
+            r["query_id"]: r
+            for r in pq_recall(
+                emb, emb.filter(F.col("vec_id") < 3), m=4, k_codes=16, k=5
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        for r in out.values():
+            assert r["n_true"] == 5 and 0 <= r["n_hit"] <= 5
+            assert r["recall"] == round(r["n_hit"] / r["n_true"], 6)
