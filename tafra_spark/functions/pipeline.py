@@ -703,6 +703,8 @@ def ngram_novelty(
     is the fixed-point ``floor(novel/total * 1e4 + 0.5)`` — an exact
     integer on both engines (the ratio of two small ints).
     """
+    from pyspark import StorageLevel
+
     from .dedup import _spread
 
     base = _spread(
@@ -710,15 +712,20 @@ def ngram_novelty(
             F.length(F.trim(F.col(text_col))) > 0
         )
     )
-    sets = base.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    # persist the HASHED shingle arrays: both consumers (map-side sizes,
+    # the exploded min-agg) read this table, and without the persist
+    # each branch re-scans and re-shingles the corpus — the dominant
+    # cost at scale (the fuzzy-dedup lesson)
+    hsets = base.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = hsets.select(
+        F.col(id_col), F.size("hs").cast("long").alias("n_shingles")
     )
-    sizes = sets.select(
-        F.col(id_col), F.size("sh").cast("long").alias("n_shingles")
-    )
-    ex = sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
-        F.col(id_col), F.xxhash64("s").alias("h")
-    )
+    ex = hsets.select(F.col(id_col), F.explode("hs").alias("h"))
     first = ex.groupBy("h").agg(F.min(id_col).alias("first_id"))
     novel = first.groupBy("first_id").agg(
         F.count(F.lit(1)).alias("n_novel")
@@ -789,19 +796,23 @@ def boilerplate_stats(
     phrase count, boilerplate phrase count, and the fixed-point
     boilerplate fraction used by quality gates.
 
-    Plan shape (linear at 100 TB): one shingle pass over the corpus;
-    phrases travel as xxhash64 longs. Document frequency is a count over
-    per-doc DISTINCT phrases (``shingles`` already dedups within a doc,
-    so no count-distinct is needed). The per-source doc totals are a
-    ~|sources|-row aggregate joined back by broadcast; the boilerplate
-    set is a semi-join filter on the exploded table — two wide shuffles
-    total ((source, hash) doc-frequency agg, per-doc count agg), both
-    with map-side partial aggregation.
+    Plan shape (linear at 100 TB): the corpus is scanned and shingled
+    ONCE — the hashed-shingle arrays (8-byte xxhash64 longs) are
+    persisted and every consumer (per-doc sizes, per-source totals,
+    doc-frequency agg, flag-back semi-join) reads the persisted table
+    (the fuzzy-dedup lesson: re-scanning + re-shingling per consumer
+    multiplies the dominant cost). Document frequency is a plain count
+    over per-doc DISTINCT phrases (``shingles`` dedups within a doc, so
+    no count-distinct is needed). The per-source doc totals are a
+    ~|sources|-row aggregate joined back by broadcast — two wide
+    shuffles total, both with map-side partial aggregation.
 
     The doc-frequency threshold compares against ``ceil(frac * n_docs)``
     computed in double precision — identical rounding on any
     IEEE-conforming engine, so the flag set is portable.
     """
+    from pyspark import StorageLevel
+
     from .dedup import _spread
 
     base = _spread(
@@ -809,15 +820,22 @@ def boilerplate_stats(
             F.length(F.trim(F.col(text_col))) > 0
         )
     )
-    sets = base.select(
+    hsets = base.select(
         F.col(id_col),
         F.col(part_col),
-        shingles(F.col(text_col), ngram_k).alias("ph"),
+        F.transform(
+            shingles(F.col(text_col), ngram_k), lambda p: F.xxhash64(p)
+        ).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = hsets.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.size("hs").cast("long").alias("n_phrases"),
     )
-    ex = sets.select(
-        F.col(id_col), F.col(part_col), F.explode("ph").alias("p")
-    ).select(F.col(id_col), F.col(part_col), F.xxhash64("p").alias("h"))
-    totals = sets.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = hsets.select(
+        F.col(id_col), F.col(part_col), F.explode("hs").alias("h")
+    )
+    totals = hsets.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = ex.groupBy(part_col, "h").agg(
         F.count(F.lit(1)).alias("n_docs_with")
     )
@@ -835,12 +853,7 @@ def boilerplate_stats(
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
     return (
-        sets.select(
-            F.col(id_col),
-            F.col(part_col),
-            F.size("ph").cast("long").alias("n_phrases"),
-        )
-        .join(n_boiler, on=id_col, how="left")
+        per_doc.join(n_boiler, on=id_col, how="left")
         .withColumn(
             "n_boiler", F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
         )
@@ -868,15 +881,20 @@ def source_overlap(
 
     Plan shape: ONE shingle pass; shingles travel as xxhash64 longs and
     collapse to distinct (source, hash) pairs immediately — the only
-    corpus-sized shuffle. The pairwise intersection is a self-join on
-    the hash whose per-key fan-out is bounded by |sources| (each hash
-    row meets at most |sources|−1 partners), so the join output is
+    corpus-sized shuffle — and that distinct table is PERSISTED, since
+    three consumers read it (per-source totals plus both self-join
+    sides); without the persist each branch re-scans and re-shingles
+    the corpus. The pairwise intersection is a self-join on the hash
+    whose per-key fan-out is bounded by |sources| (each hash row meets
+    at most |sources|−1 partners), so the join output is
     O(distinct shingles × |sources|), never O(corpus²). Per-source
     distinct totals are a |sources|-row broadcast.
 
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_q4) for
     source_a < source_b — all integers, exactly portable.
     """
+    from pyspark import StorageLevel
+
     from .dedup import _spread
 
     base = _spread(
@@ -891,6 +909,7 @@ def source_overlap(
         )
         .select(F.col("src"), F.xxhash64("s").alias("h"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per = sp.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (

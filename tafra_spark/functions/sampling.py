@@ -132,10 +132,16 @@ def weighted_mix(
     the weight and take tables stay tiny. Reproducible across runs and
     engines (md5 rank ordering).
     """
+    from ._relation import literal_relation
+
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    # literal relation, not createDataFrame: this tiny spec table feeds
+    # two broadcast joins, and a Python-rows frame forks Python workers
+    # on every broadcast build
+    wdf = literal_relation(
+        spark,
         [(s, float(w)) for s, w in sorted(weights.items())],
-        f"{strata_col} string, __w__ double",
+        [strata_col, "__w__"],
     ).filter(F.col("__w__") > 0)
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n__"))
     # LEFT join from the weights: a listed-but-absent source keeps its

@@ -506,10 +506,16 @@ def kmeans_fit(
         (int(r[0]), [float(x) for x in r[1]])
         for r in init.select(id_col, vec_col).collect()
     ]
+    from ._relation import literal_relation
+
     spark = corpus.sparkSession
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            cent_rows, f"centroid_id long, centv array<double>"
+        # literal relation, not createDataFrame: each iteration's
+        # broadcast build re-reads this frame, and a Python-rows frame
+        # pays a Python-worker fork per job (measured: seconds per
+        # iteration at k×dim floats)
+        cent_df = literal_relation(
+            spark, cent_rows, ["centroid_id", "centv"]
         )
         scored = corpus.select(
             F.col(id_col), F.col(vec_col)
@@ -556,8 +562,8 @@ def kmeans_fit(
                 (cid, [round(x, portable_round) for x in vec])
                 for cid, vec in cent_rows
             ]
-    return spark.createDataFrame(
-        cent_rows, "centroid_id long, embedding array<double>"
+    return literal_relation(
+        spark, cent_rows, ["centroid_id", "embedding"]
     )
 
 
@@ -663,25 +669,15 @@ def pq_codebooks(
         for c, (_, vec) in enumerate(first)
         for s in range(m)
     ]
-    # Build a pure-JVM literal relation (inline over a literal struct
-    # array), NOT spark.createDataFrame(rows): a Python-rows frame keeps
-    # a PythonRDD lineage, so every later action that touches it —
-    # pq_encode's collect, pq_topk's broadcast build — forks Python
-    # workers and pays seconds per job. The whole relation is ONE parsed
-    # SQL expression (one py4j call; 384 per-field F.lit/F.struct calls
-    # measured ~2s of driver latency). CAST('<repr>' AS DOUBLE) is
-    # exact: repr round-trips and decimal parse is correctly rounded —
-    # and it is evaluated once in a one-row relation, never per corpus
-    # row.
-    structs = []
-    for s, c, centv in rows:
-        vals = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in centv)
-        structs.append(
-            f"struct(CAST({s} AS BIGINT) AS subspace, "
-            f"CAST({c} AS BIGINT) AS code_id, array({vals}) AS centv)"
-        )
-    return corpus.sparkSession.range(0, 1, 1, 1).select(
-        F.expr("inline(array(" + ", ".join(structs) + "))")
+    # Pure-JVM literal relation, NOT spark.createDataFrame(rows): a
+    # Python-rows frame keeps a PythonRDD lineage, so every later
+    # action that touches it — pq_encode's collect, pq_topk's broadcast
+    # build — forks Python workers and pays seconds per job (see
+    # functions/_relation.py).
+    from ._relation import literal_relation
+
+    return literal_relation(
+        corpus.sparkSession, rows, ["subspace", "code_id", "centv"]
     )
 
 
