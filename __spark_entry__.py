@@ -1647,6 +1647,24 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def pq_refined_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two Lloyd iterations per subspace, all subspaces in one
+    # distributed job per iteration; exact integer assignment + rounded
+    # means keep the refinement bit-reproducible cross-engine
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = S.pq_fit(emb, m=4, k=16, iters=2)
+    return cb.select(
+        "subspace",
+        "code_id",
+        F.posexplode("centv").alias("pos", "v"),
+    ).select(
+        "subspace",
+        "code_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("v", 6).alias("val"),
+    )
+
+
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall@10 of PQ ADC search vs exact cosine — the oracle recomputes
     # both sides (fixed-point PQ + brute-force cosine) and must agree on
@@ -1670,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_codes": pq_encode_codes,
         "pq_ann_topk": pq_ann_topk,
         "pq_recall_eval": pq_recall_eval,
+        "pq_refined_codebooks": pq_refined_codebooks,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2178,8 +2197,73 @@ def _pq_sql_prefix(m: int = 4, k: int = 16, d_sub: int = 16) -> str:
     """
 
 
+def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str:
+    """Unrolled per-subspace Lloyd refinement — the SQL twin of
+    ``similarity.pq_fit(portable_round=9)``. Assignment uses the same
+    fixed-point integer distances as ``_pq_sql_prefix`` (bit-exact on
+    both engines); the inter-iteration means are rounded at 1e-9 so the
+    engines' float-sum ordering drift re-converges each round (the
+    ``kmeans_fit`` discipline)."""
+    dq = (
+        f"CAST(list_sum(list_transform(range(1, {d_sub + 1}), "
+        f"j -> CAST(floor((subv[j]-centv[j])*(subv[j]-centv[j])"
+        f" * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH cbv AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+                     embedding::DOUBLE[] AS v
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT {k})
+            )""",
+        f"subs AS (SELECT unnest(range({m})) AS s)",
+        f"dims AS (SELECT unnest(range({d_sub})) AS pos)",
+        f"""c0 AS (
+              SELECT s AS subspace, code_id,
+                     (v)[s*{d_sub}+1 : s*{d_sub}+{d_sub}] AS centv
+              FROM cbv CROSS JOIN subs
+            )""",
+        f"""sub AS (
+              SELECT vec_id, s AS subspace,
+                     (embedding::DOUBLE[])[s*{d_sub}+1 : s*{d_sub}+{d_sub}] AS subv
+              FROM embeddings CROSS JOIN subs
+            )""",
+    ]
+    for i in range(1, iters + 1):
+        prev, a, mm, cur = f"c{i-1}", f"a{i}", f"m{i}", f"c{i}"
+        parts.append(f"""{a} AS (
+          SELECT vec_id, subspace, subv, code_id FROM (
+            SELECT t.*, row_number() OVER (PARTITION BY vec_id, subspace
+                                           ORDER BY dq, code_id) AS rnk
+            FROM (SELECT sub.vec_id, sub.subspace, sub.subv, c.code_id,
+                         {dq} AS dq
+                  FROM sub JOIN {prev} c ON sub.subspace = c.subspace) t
+          ) WHERE rnk = 1
+        )""")
+        parts.append(f"""{mm} AS (
+          SELECT {a}.subspace, {a}.code_id, d.pos,
+                 round(avg(subv[d.pos + 1]), 9) AS mv
+          FROM {a} CROSS JOIN dims d
+          GROUP BY {a}.subspace, {a}.code_id, d.pos
+        )""")
+        parts.append(f"""{cur} AS (
+          SELECT p.subspace, p.code_id, coalesce(l.centv, p.centv) AS centv
+          FROM {prev} p LEFT JOIN (
+            SELECT subspace, code_id, list(mv ORDER BY pos) AS centv
+            FROM {mm} GROUP BY subspace, code_id
+          ) l ON p.subspace = l.subspace AND p.code_id = l.code_id
+        )""")
+    final = f"c{iters}"
+    return ",\n".join(parts) + f"""
+    SELECT {final}.subspace, {final}.code_id, d.pos,
+           round({final}.centv[d.pos + 1], 6) AS val
+    FROM {final} CROSS JOIN dims d
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pq_refined_codebooks": _pq_fit_sql(),
         "pq_encode_codes": _pq_sql_prefix() + """
             SELECT vec_id, list(code_id ORDER BY subspace) AS codes
             FROM enc GROUP BY vec_id

@@ -41,6 +41,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_recall",
+    "pq_fit",
 ]
 
 
@@ -868,3 +869,116 @@ def pq_recall(
             ),
         )
     )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable_round: int | None = 9,
+) -> DataFrame:
+    """Refine the sampled PQ codebooks with per-subspace Lloyd
+    iterations — the production upgrade over :func:`pq_codebooks`.
+    Quantization error is non-increasing per Lloyd step (unit-tested);
+    how much of that converts into ADC recall depends on the corpus
+    having cluster structure — on uniform random embeddings (the test
+    data) error drops but recall@k is flat, which is the expected
+    behavior, not a defect.
+
+    Spark-first shape: ALL subspaces train in one distributed job per
+    iteration. The corpus explodes once into (id, subspace, subvector)
+    rows (persisted across iterations — one scan total); each iteration
+    broadcast-joins the current m·k-row codebook, picks the argmin code
+    per (vector, subspace) with an exact integer ``min_by`` (fixed-point
+    distances, code-id tiebreak), and averages subvectors per
+    (subspace, code, position). Only the m·k·d_sub mean values reach
+    the driver. Codebooks travel as JVM literal relations
+    (functions/_relation.py) so per-iteration broadcast builds cost
+    milliseconds. Empty codes keep their previous centroid.
+
+    ``portable_round`` mirrors :func:`kmeans_fit`: rounding the
+    inter-iteration means at 1e-9 absorbs the float-sum ordering drift
+    between Spark's partial aggregates and a sequential oracle, keeping
+    every later integer assignment bit-reproducible cross-engine.
+
+    Returns (subspace, code_id, centv) like :func:`pq_codebooks` —
+    drop-in for :func:`pq_encode` / :func:`pq_topk` / :func:`pq_recall`.
+    """
+    from pyspark import StorageLevel
+
+    from ._relation import literal_relation
+
+    first = (
+        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    if not first:
+        raise ValueError("pq_fit: empty corpus")
+    dim = len(first[0][1])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb_rows: list[list] = [
+        [s, c, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]]]
+        for c, (_, vec) in enumerate(first)
+        for s in range(m)
+    ]
+    spark = corpus.sparkSession
+    sub = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("long").alias("subspace"),
+                        F.transform(
+                            F.slice(
+                                F.col(vec_col), s * d_sub + 1, F.lit(d_sub)
+                            ),
+                            lambda x: x.cast("double"),
+                        ).alias("subv"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(F.col(id_col), F.col("e.subspace"), F.col("e.subv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(iters):
+        cb = literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])
+        scored = sub.join(F.broadcast(cb), on="subspace").withColumn(
+            "dq", _sq_q12(F.col("subv"), F.col("centv"))
+        )
+        best = scored.groupBy(id_col, "subspace").agg(
+            F.min_by(
+                F.struct(F.col("code_id"), F.col("subv")),
+                F.struct(F.col("dq"), F.col("code_id")),
+            ).alias("b")
+        )
+        means = (
+            best.select(
+                F.col("subspace"),
+                F.col("b.code_id").alias("code_id"),
+                F.posexplode("b.subv").alias("pos", "v"),
+            )
+            .groupBy("subspace", "code_id", "pos")
+            .agg(F.avg("v").alias("mv"))
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means.collect():
+            got.setdefault((int(r[0]), int(r[1])), {})[int(r[2])] = float(r[3])
+        new_rows = []
+        for s, c, centv in cb_rows:
+            upd = got.get((s, c))
+            if upd is None:
+                new_rows.append([s, c, centv])
+                continue
+            vals = [upd[p] for p in range(d_sub)]
+            if portable_round is not None:
+                vals = [round(x, portable_round) for x in vals]
+            new_rows.append([s, c, vals])
+        cb_rows = new_rows
+    return literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])
