@@ -1275,6 +1275,72 @@ class Tafra:
             .parquet(path)
         )
 
+    def write_parquet_zorder(
+        self,
+        path: str,
+        cluster_by: Sequence[str],
+        bits: int = 12,
+        n_files: Optional[int] = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Multi-dimensional clustered write (Z-order): interleave the
+        bits of the min/max-normalized ``cluster_by`` columns into one
+        Z-value and range-write on it, so every output file covers a
+        small HYPER-RECTANGLE of the key space — min/max footer
+        statistics come out tight on ALL cluster columns at once, and a
+        filtered scan on ANY of them skips most files/row groups.
+        ``write_parquet_clustered`` (1-D range) gives a tight footer on
+        its leading column only; Z-order is the layout for tables
+        queried by several independent dimensions (the Delta/Iceberg
+        OPTIMIZE ZORDER design, built from plain Spark primitives).
+
+        Normalization bounds come from one tiny min/max aggregate; the
+        Z-value is a pure integer expression (shift/mask interleave,
+        one parsed SQL string), computed map-side and dropped before
+        the write. ``repartitionByRange`` samples the Z distribution,
+        so skew still yields balanced files.
+        """
+        cols = list(cluster_by)
+        if not cols:
+            raise ValueError("write_parquet_zorder: cluster_by is empty")
+        df = self._plain()
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}__"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}__"),
+            ]
+        stats = df.agg(*aggs).collect()[0]
+        n_cols = len(cols)
+        levels = (1 << bits) - 1
+        terms = []
+        for ci, c in enumerate(cols):
+            mn = float(stats[f"__mn_{c}__"])
+            mx = float(stats[f"__mx_{c}__"])
+            span = mx - mn
+            if span <= 0:
+                continue  # constant column contributes no bits
+            norm = (
+                f"CAST(floor((CAST(`{c}` AS DOUBLE) - {mn!r}) / {span!r}"
+                f" * {levels}) AS BIGINT)"
+            )
+            for b in range(bits):
+                terms.append(
+                    f"(((({norm}) >> {b}) & 1) << {b * n_cols + ci})"
+                )
+        z = F.expr(" + ".join(terms)) if terms else F.lit(0)
+        ranged = df.withColumn("__z__", z)
+        if n_files is not None:
+            ranged = ranged.repartitionByRange(n_files, "__z__")
+        else:
+            ranged = ranged.repartitionByRange("__z__")
+        (
+            ranged.sortWithinPartitions("__z__")
+            .drop("__z__")
+            .write.mode(mode)
+            .parquet(path)
+        )
+
     def write_bucketed(
         self,
         table: str,

@@ -387,3 +387,84 @@ class TestPQPlanShapes:
         # (query, neighbor) sum agg and the per-query rank window
         assert has_broadcast_join(plan)
         assert count_exchanges(plan) <= 2
+
+
+class TestZOrderLayout:
+    """Z-order clustered writes must produce files whose parquet footer
+    min/max are tight on BOTH cluster dimensions — the property that
+    lets a filtered scan on either dimension skip most files. A 1-D
+    sort gives a tight leading column and a full-span trailing one."""
+
+    @staticmethod
+    def _file_spans(path, cols):
+        import os
+
+        import pyarrow.parquet as pq
+
+        spans = {c: [] for c in cols}
+        glo = {c: [float("inf"), float("-inf")] for c in cols}
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for c in cols:
+                lo, hi = float("inf"), float("-inf")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    lo = min(lo, st.min)
+                    hi = max(hi, st.max)
+                spans[c].append((lo, hi))
+                glo[c][0] = min(glo[c][0], lo)
+                glo[c][1] = max(glo[c][1], hi)
+        frac = {}
+        for c in cols:
+            width = glo[c][1] - glo[c][0]
+            frac[c] = [
+                (hi - lo) / width if width else 0.0 for lo, hi in spans[c]
+            ]
+        return frac, len(files)
+
+    def test_zorder_tight_on_both_dims(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        zpath = str(tmp_path / "li_z")
+        li.write_parquet_zorder(
+            zpath, ["l_partkey", "l_suppkey"], bits=8, n_files=8
+        )
+        frac, n = self._file_spans(zpath, ["l_partkey", "l_suppkey"])
+        assert n >= 4
+        # every file is a small hyper-rectangle: mean span well under
+        # the full domain on BOTH dimensions
+        mean_p = sum(frac["l_partkey"]) / n
+        mean_s = sum(frac["l_suppkey"]) / n
+        assert mean_p < 0.6 and mean_s < 0.6, (mean_p, mean_s)
+
+        # 1-D clustered baseline: leading column tight, trailing column
+        # spans ~the whole domain in every file
+        cpath = str(tmp_path / "li_c")
+        li_ranged = Tafra(
+            df=li.df.repartitionByRange(8, "l_partkey").sortWithinPartitions(
+                "l_partkey"
+            )
+        )
+        li_ranged.write_parquet(cpath)
+        cfrac, cn = self._file_spans(cpath, ["l_partkey", "l_suppkey"])
+        assert sum(cfrac["l_suppkey"]) / cn > 0.9
+
+    def test_zorder_constant_column_ok(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        one = Tafra(df=li.df.withColumn("k", F.lit(7)))
+        out = str(tmp_path / "zc")
+        # constant dim contributes no bits; the write must still succeed
+        one.write_parquet_zorder(out, ["k", "l_partkey"], bits=6, n_files=4)
+        back = spark.read.parquet(out)
+        assert back.count() == li.df.count()
