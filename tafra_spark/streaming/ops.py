@@ -35,6 +35,7 @@ __all__ = [
     "dedup_stream",
     "interval_join",
     "corpus_gate_stream",
+    "ledger_dedup_sink",
     "run_to_memory_sink",
 ]
 
@@ -379,3 +380,64 @@ def corpus_gate_stream(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(["fp"])
     return kept.dropDuplicates(["fp"])
+
+
+def ledger_dedup_sink(
+    out_path: str,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The continuous-ingest dedup loop: a ``foreachBatch`` function
+    that exact-dedups each micro-batch against the PERSISTED corpus
+    fingerprint ledger, writes survivors, and appends their
+    fingerprints back — so the next batch (and the next job, and the
+    batch backfill) all dedup against one shared source of truth.
+    This is the streaming composition of
+    :func:`~tafra_spark.functions.dedup.dedup_incremental`: the
+    watermark dedup in :func:`corpus_gate_stream` bounds state by TIME;
+    the ledger carries the unbounded cross-job memory.
+
+    Replay-idempotent by construction (foreachBatch is at-least-once):
+    both sinks are partitioned by ``batch_id`` and each batch
+    OVERWRITES its own partition, and the ledger read excludes the
+    current batch's partition — so a replayed batch sees exactly the
+    ledger state of its first attempt and rewrites identical output.
+
+    Scale: the ledger holds one 32-hex fingerprint per corpus document
+    (~5 B rows per 100 TB of text — a few hundred GB of parquet); the
+    anti-join shuffles fingerprints, never text, and AQE broadcasts the
+    batch side when a micro-batch dwarfs it.
+
+    Use: ``stream.writeStream.foreachBatch(
+    ledger_dedup_sink(out, ledger)).trigger(availableNow=True)...``;
+    call the returned function directly for batch backfills.
+    """
+    from ..functions.text import fingerprint
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen_fp = (
+                spark.read.parquet(ledger_path)
+                .filter(F.col("batch_id") != F.lit(int(batch_id)))
+                .select("fp")
+            )
+        except Exception:  # noqa: BLE001 — first batch: no ledger yet
+            seen_fp = None
+        w = Window.partitionBy("fp")
+        flagged = batch_df.withColumn(
+            "fp", fingerprint(F.col(text_col))
+        ).withColumn("__min_id__", F.min(id_col).over(w))
+        survivors = flagged.filter(F.col(id_col) == F.col("__min_id__"))
+        if seen_fp is not None:
+            survivors = survivors.join(seen_fp, on="fp", how="left_anti")
+        survivors = survivors.drop("__min_id__")
+        survivors.drop("fp").write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        survivors.select("fp").distinct().write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+
+    return process
