@@ -1299,6 +1299,14 @@ class Tafra:
         one parsed SQL string), computed map-side and dropped before
         the write. ``repartitionByRange`` samples the Z distribution,
         so skew still yields balanced files.
+
+        ``bits`` is clamped so the interleaved value fits in 63 bits
+        (``bits * len(cluster_by) ≤ 63``): a shift past 63 would wrap
+        (Spark's ``<<`` is mod-64) and a bit landing on position 63
+        flips the Z-value negative — both silently destroy the
+        hyper-rectangle property. Constant and all-null columns (a
+        non-numeric column casts to null) contribute no bits; an empty
+        table writes through unclustered.
         """
         cols = list(cluster_by)
         if not cols:
@@ -1312,11 +1320,20 @@ class Tafra:
             ]
         stats = df.agg(*aggs).collect()[0]
         n_cols = len(cols)
+        bits = min(bits, 63 // n_cols)
+        if bits < 1:
+            raise ValueError(
+                f"write_parquet_zorder: {n_cols} cluster columns leave no "
+                "bit budget (need len(cluster_by) <= 63)"
+            )
         levels = (1 << bits) - 1
         terms = []
         for ci, c in enumerate(cols):
-            mn = float(stats[f"__mn_{c}__"])
-            mx = float(stats[f"__mx_{c}__"])
+            mn_raw = stats[f"__mn_{c}__"]
+            mx_raw = stats[f"__mx_{c}__"]
+            if mn_raw is None or mx_raw is None:
+                continue  # empty table or all-null cast: no bits
+            mn, mx = float(mn_raw), float(mx_raw)
             span = mx - mn
             if span <= 0:
                 continue  # constant column contributes no bits

@@ -51,6 +51,14 @@ def literal_relation(
     has no schema to stand on without values."""
     if not rows:
         raise ValueError("literal_relation: rows must be non-empty")
+    for i, r in enumerate(rows):
+        if len(r) != len(columns):
+            # zip would silently truncate extra values and a short row
+            # would fail later with an opaque inline() type error
+            raise ValueError(
+                f"literal_relation: row {i} has {len(r)} values for "
+                f"{len(columns)} columns"
+            )
     structs = [
         "struct("
         + ", ".join(

@@ -358,6 +358,13 @@ def sliding_active_users(
     Emits every window whose count is nonzero, including the
     ``window_hours−1`` windows trailing past the last event hour.
     """
+    if int(window_hours) < 1:
+        # window_hours=0 builds a stop-before-start sequence() that only
+        # fails at job execution; fail at call time instead
+        raise ValueError(
+            f"sliding_active_users: window_hours must be >= 1, "
+            f"got {window_hours}"
+        )
     hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
     pairs = events.select(
         hour.alias("__h__"), F.col(user_col)

@@ -721,7 +721,7 @@ def ngram_novelty(
         F.transform(
             shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
         ).alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # ContextCleaner frees it when the returned plan is dereferenced
     sizes = hsets.select(
         F.col(id_col), F.size("hs").cast("long").alias("n_shingles")
     )
@@ -826,7 +826,7 @@ def boilerplate_stats(
         F.transform(
             shingles(F.col(text_col), ngram_k), lambda p: F.xxhash64(p)
         ).alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # ContextCleaner frees it when the returned plan is dereferenced
     per_doc = hsets.select(
         F.col(id_col),
         F.col(part_col),
@@ -909,7 +909,7 @@ def source_overlap(
         )
         .select(F.col("src"), F.xxhash64("s").alias("h"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # ContextCleaner frees it when the returned plan is dereferenced
     )
     per = sp.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (

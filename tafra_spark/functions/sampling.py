@@ -134,6 +134,13 @@ def weighted_mix(
     """
     from ._relation import literal_relation
 
+    if not all(isinstance(s, str) for s in weights):
+        # a non-string key would build a BIGINT strata column and the
+        # join would cast the string side — silently dropping weights
+        # for names like '007'; fail loudly like the old explicit schema
+        raise TypeError(
+            "weighted_mix: weights keys must be strings (source names)"
+        )
     spark = df.sparkSession
     # literal relation, not createDataFrame: this tiny spec table feeds
     # two broadcast joins, and a Python-rows frame forks Python workers

@@ -656,20 +656,7 @@ def pq_codebooks(
     Returns (subspace, code_id, centv: array<double>) — m×k rows, a
     driver-safe handful regardless of corpus size.
     """
-    first = (
-        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    )
-    if not first:
-        raise ValueError("pq_codebooks: empty corpus")
-    dim = len(first[0][1])
-    if dim % m != 0:
-        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    rows = [
-        (s, c, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]])
-        for c, (_, vec) in enumerate(first)
-        for s in range(m)
-    ]
+    rows, _ = _pq_sample_rows(corpus, m, k, id_col, vec_col)
     # Pure-JVM literal relation, NOT spark.createDataFrame(rows): a
     # Python-rows frame keeps a PythonRDD lineage, so every later
     # action that touches it — pq_encode's collect, pq_topk's broadcast
@@ -680,6 +667,33 @@ def pq_codebooks(
     return literal_relation(
         corpus.sparkSession, rows, ["subspace", "code_id", "centv"]
     )
+
+
+def _pq_sample_rows(
+    corpus: DataFrame, m: int, k: int, id_col: str, vec_col: str
+) -> tuple[list[list], int]:
+    """Shared sampled-codebook init for :func:`pq_codebooks` and
+    :func:`pq_fit` (one definition so the sampling convention — and the
+    drop-in contract between sampled and refined codebooks — cannot
+    silently diverge). Returns ([[subspace, code_id, centv], ...],
+    d_sub)."""
+    first = (
+        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    if not first:
+        raise ValueError("pq codebook init: empty corpus")
+    dim = len(first[0][1])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq codebook init: dim {dim} not divisible by m={m}"
+        )
+    d_sub = dim // m
+    rows = [
+        [s, c, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]]]
+        for c, (_, vec) in enumerate(first)
+        for s in range(m)
+    ]
+    return rows, d_sub
 
 
 def _sq_q12(a: Column, b: Column) -> Column:
@@ -911,20 +925,7 @@ def pq_fit(
 
     from ._relation import literal_relation
 
-    first = (
-        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    )
-    if not first:
-        raise ValueError("pq_fit: empty corpus")
-    dim = len(first[0][1])
-    if dim % m != 0:
-        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    cb_rows: list[list] = [
-        [s, c, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]]]
-        for c, (_, vec) in enumerate(first)
-        for s in range(m)
-    ]
+    cb_rows, d_sub = _pq_sample_rows(corpus, m, k, id_col, vec_col)
     spark = corpus.sparkSession
     sub = (
         corpus.select(
@@ -981,4 +982,9 @@ def pq_fit(
                 vals = [round(x, portable_round) for x in vals]
             new_rows.append([s, c, vals])
         cb_rows = new_rows
+    # the returned codebook is a pure literal relation (all values are
+    # already driver-side), so the persisted explode is no longer
+    # referenced by anything — release it now instead of waiting for
+    # ContextCleaner GC
+    sub.unpersist()
     return literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])

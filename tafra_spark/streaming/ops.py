@@ -416,6 +416,9 @@ def ledger_dedup_sink(
     from ..functions.text import fingerprint
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             seen_fp = (
@@ -423,7 +426,13 @@ def ledger_dedup_sink(
                 .filter(F.col("batch_id") != F.lit(int(batch_id)))
                 .select("fp")
             )
-        except Exception:  # noqa: BLE001 — first batch: no ledger yet
+        except AnalysisException as ex:
+            # ONLY a missing ledger means "first batch". Any other read
+            # failure (permissions, corruption, transient listing error)
+            # must abort the batch: swallowing it would run the batch
+            # with NO history anti-join and permanently admit duplicates.
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
             seen_fp = None
         w = Window.partitionBy("fp")
         flagged = batch_df.withColumn(
@@ -432,12 +441,20 @@ def ledger_dedup_sink(
         survivors = flagged.filter(F.col(id_col) == F.col("__min_id__"))
         if seen_fp is not None:
             survivors = survivors.join(seen_fp, on="fp", how="left_anti")
-        survivors = survivors.drop("__min_id__")
-        survivors.drop("fp").write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
+        # persist: both writes below consume this plan; without it the
+        # fp window AND the full-ledger anti-join run twice per batch —
+        # at a ~5B-row ledger that doubles the dominant per-batch cost
+        survivors = survivors.drop("__min_id__").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        survivors.select("fp").distinct().write.mode("overwrite").parquet(
-            f"{ledger_path}/batch_id={batch_id}"
-        )
+        try:
+            survivors.drop("fp").write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+            survivors.select("fp").distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{ledger_path}/batch_id={batch_id}")
+        finally:
+            survivors.unpersist()
 
     return process
