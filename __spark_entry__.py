@@ -1647,6 +1647,29 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot's inverse through the facade: aggregate wide per returnflag
+    # (fixed-point sums), then unpivot to (key, measure, val) — a pure
+    # narrow generator projection, no shuffle beyond the agg
+    li = Tafra.read_parquet(_p(sf_dir, "lineitem"), spark)
+    agg = li.df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("qty_q6"),
+        F.sum(
+            F.floor(F.col("l_discount") * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("disc_q6"),
+    )
+    out = Tafra(df=agg).melt(
+        ["l_returnflag"],
+        ["n_rows", "qty_q6", "disc_q6"],
+        var_name="measure",
+        value_name="val",
+    )
+    return out.df
+
+
 def pq_refined_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two Lloyd iterations per subspace, all subspaces in one
     # distributed job per iteration; exact integer assignment + rounded
@@ -1689,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": pq_ann_topk,
         "pq_recall_eval": pq_recall_eval,
         "pq_refined_codebooks": pq_refined_codebooks,
+        "melt_wide_to_long": melt_wide_to_long,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2264,6 +2288,22 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "melt_wide_to_long": """
+            WITH a AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty_q6,
+                     CAST(sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))
+                          AS BIGINT) AS disc_q6
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'n_rows' AS measure, n_rows AS val FROM a
+            UNION ALL
+            SELECT l_returnflag, 'qty_q6' AS measure, qty_q6 AS val FROM a
+            UNION ALL
+            SELECT l_returnflag, 'disc_q6' AS measure, disc_q6 AS val FROM a
+        """,
         "pq_encode_codes": _pq_sql_prefix() + """
             SELECT vec_id, list(code_id ORDER BY subspace) AS codes
             FROM enc GROUP BY vec_id

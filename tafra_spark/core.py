@@ -1070,6 +1070,29 @@ class Tafra:
         )
         return Tafra._wrap(out)
 
+    def melt(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Tafra":
+        """Wide→long unpivot (the inverse of :meth:`pivot`; pandas
+        ``melt`` naming). Each row becomes ``len(value_vars)`` rows of
+        (id_vars..., variable, value). A pure narrow projection —
+        Spark's ``unpivot`` is a generator expression over the row, no
+        shuffle, so it maps a 100 TB table at scan cost. Value columns
+        are coerced to their common promoted type by Spark; mixing
+        incompatible types raises at analysis, matching the eager
+        reference's array-concat failure mode."""
+        out = self._plain().unpivot(
+            [F.col(c) for c in id_vars],
+            [F.col(c) for c in value_vars],
+            var_name,
+            value_name,
+        )
+        return Tafra._wrap(out)
+
     def sort(self, *cols: str, ascending: bool = True) -> "Tafra":
         return Tafra._wrap(
             self._plain().orderBy(*cols, ascending=ascending),

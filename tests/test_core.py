@@ -518,3 +518,21 @@ class TestProfile:
         assert y["min_repr"] == "500000"
         s = rows["s"]
         assert (s["n_nulls"], s["min_repr"], s["max_repr"]) == (1, "a", "b")
+
+
+class TestMelt:
+    def test_melt_inverse_of_wide(self, spark):
+        t = Tafra({"k": ["a", "b"], "x": [1, 2], "y": [10, 20]})
+        out = t.melt(["k"], ["x", "y"], var_name="m", value_name="v")
+        rows = {(r["k"], r["m"]): r["v"] for r in out.df.collect()}
+        assert rows == {
+            ("a", "x"): 1, ("a", "y"): 10,
+            ("b", "x"): 2, ("b", "y"): 20,
+        }
+        assert out.columns == ("k", "m", "v")
+
+    def test_melt_default_names_and_row_count(self, spark):
+        t = Tafra({"k": ["a"], "x": [1], "y": [2], "z": [3]})
+        out = t.melt(["k"], ["x", "y", "z"])
+        assert out.rows == 3
+        assert set(out.columns) == {"k", "variable", "value"}
