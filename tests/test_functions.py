@@ -1600,3 +1600,41 @@ class TestProductQuantization:
         rs = {(r["subspace"], r["code_id"]): r["centv"] for r in refined.collect()}
         ss = {(r["subspace"], r["code_id"]): r["centv"] for r in sampled.collect()}
         assert rs != ss and set(rs) == set(ss)
+
+
+class TestLiteralRelation:
+    def test_types_and_values(self, spark):
+        from tafra_spark.functions._relation import literal_relation
+
+        df = literal_relation(
+            spark,
+            [(0, 1.5, "a'b\\c", [1.0, 2.0], True, None)],
+            ["i", "x", "s", "v", "b", "n"],
+        )
+        r = df.collect()[0]
+        assert (r["i"], r["x"], r["s"], r["v"], r["b"], r["n"]) == (
+            0, 1.5, "a'b\\c", [1.0, 2.0], True, None,
+        )
+        assert dict(df.dtypes)["i"] == "bigint"
+        assert dict(df.dtypes)["x"] == "double"
+
+    def test_exact_double_roundtrip(self, spark):
+        from tafra_spark.functions._relation import literal_relation
+
+        # repr round-trip must be bit-exact even for awkward doubles
+        vals = [0.1, 1e-300, 2**-53, 123456789.123456789]
+        df = literal_relation(spark, [(v,) for v in vals], ["x"])
+        got = [r["x"] for r in df.collect()]
+        assert got == vals  # == on floats: bit-identical here
+
+    def test_arity_mismatch_raises(self, spark):
+        from tafra_spark.functions._relation import literal_relation
+
+        with pytest.raises(ValueError, match="row 1 has 3 values"):
+            literal_relation(spark, [(1, 2), (1, 2, 3)], ["a", "b"])
+
+    def test_empty_rows_raise(self, spark):
+        from tafra_spark.functions._relation import literal_relation
+
+        with pytest.raises(ValueError, match="non-empty"):
+            literal_relation(spark, [], ["a"])
