@@ -1647,6 +1647,14 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-monitoring drift: per-bin value-share deltas between the
+    # first and second half of the time range; midpoint split + bins
+    # from one broadcast min/max agg, exact fixed-point shares
+    ev = _read_events(spark, sf_dir)
+    return AN.distribution_drift(ev, n_bins=10)
+
+
 def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot's inverse through the facade: aggregate wide per returnflag
     # (fixed-point sums), then unpivot to (key, measure, val) — a pure
@@ -1713,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_eval": pq_recall_eval,
         "pq_refined_codebooks": pq_refined_codebooks,
         "melt_wide_to_long": melt_wide_to_long,
+        "value_drift_halves": value_drift_halves,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2288,6 +2297,46 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "value_drift_halves": """
+            WITH base AS (
+              SELECT epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            st AS (SELECT min(us) AS mnt, max(us) AS mxt,
+                          min(v) AS mnv, max(v) AS mxv FROM base),
+            sided AS (
+              SELECT CASE WHEN us <= CAST(floor((mnt + mxt) / 2.0) AS BIGINT)
+                          THEN 1 ELSE 0 END AS before,
+                     CASE WHEN mxv - mnv > 0
+                          THEN least(CAST(floor((v - mnv) / (mxv - mnv) * 10)
+                                          AS BIGINT), 9)
+                          ELSE 0 END AS bin
+              FROM base CROSS JOIN st
+            ),
+            counts AS (
+              SELECT bin,
+                     CAST(sum(before) AS BIGINT) AS n_before,
+                     CAST(sum(1 - before) AS BIGINT) AS n_after
+              FROM sided GROUP BY bin
+            ),
+            tot AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                           CAST(sum(n_after) AS BIGINT) AS ta FROM counts)
+            SELECT bin, n_before, n_after,
+                   CAST(CASE WHEN tb > 0
+                             THEN floor(n_before / tb * 1000000 + 0.5)
+                             ELSE 0 END AS BIGINT) AS share_before_q6,
+                   CAST(CASE WHEN ta > 0
+                             THEN floor(n_after / ta * 1000000 + 0.5)
+                             ELSE 0 END AS BIGINT) AS share_after_q6,
+                   CAST(abs(
+                     CASE WHEN tb > 0
+                          THEN floor(n_before / tb * 1000000 + 0.5)
+                          ELSE 0 END
+                     - CASE WHEN ta > 0
+                            THEN floor(n_after / ta * 1000000 + 0.5)
+                            ELSE 0 END) AS BIGINT) AS delta_q6
+            FROM counts CROSS JOIN tot
+        """,
         "melt_wide_to_long": """
             WITH a AS (
               SELECT l_returnflag,

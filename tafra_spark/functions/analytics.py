@@ -33,6 +33,7 @@ __all__ = [
     "rate_spikes",
     "decayed_activity",
     "sliding_active_users",
+    "distribution_drift",
 ]
 
 
@@ -381,4 +382,80 @@ def sliding_active_users(
     )
     return targets.groupBy("window_end_hour").agg(
         F.count_distinct(F.col(user_col)).alias("n_active_users")
+    )
+
+
+def distribution_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift of ``value_col`` between the first and second
+    half of the time range — the ingest-monitoring question "did this
+    week's data shift?" answered as per-bin share deltas (the total
+    variation distance is half their sum). The classic metric here is
+    PSI, but PSI needs ``log`` — not cross-engine hash-stable — and its
+    decision content at the gate is the same: flag when shares move.
+
+    Deterministic and fully distributed: the time split is the midpoint
+    of (min, max) event time and the bins are ``n_bins`` equal-width
+    slices of the global value range — both from ONE tiny min/max
+    aggregate attached by broadcast (no driver collect, no RNG, no
+    quantile estimation). Everything after is a single (side, bin)
+    count aggregate: two shuffles total regardless of data size.
+
+    Shares are fixed-point ``floor(n_bin / n_side * 1e6 + 0.5)`` — an
+    exact integer on any IEEE engine (ratio of ints < 2^53). Rows with
+    NULL value or timestamp are excluded. Output: one row per bin
+    (bin, n_before, n_after, share_before_q6, share_after_q6,
+    delta_q6); empty bins on one side report share 0.
+    """
+    base = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__"),
+        F.col(value_col).cast("double").alias("__v__"),
+    )
+    stats = base.agg(
+        F.min("__us__").alias("mnt"),
+        F.max("__us__").alias("mxt"),
+        F.min("__v__").alias("mnv"),
+        F.max("__v__").alias("mxv"),
+    )
+    mid = F.floor((F.col("mnt") + F.col("mxt")) / F.lit(2.0)).cast("long")
+    span = F.col("mxv") - F.col("mnv")
+    bin_ = F.when(span > 0, F.least(
+        F.floor((F.col("__v__") - F.col("mnv")) / span * n_bins),
+        F.lit(n_bins - 1),
+    )).otherwise(0).cast("long")
+    sided = base.crossJoin(F.broadcast(stats)).select(
+        (F.col("__us__") <= mid).alias("__before__"), bin_.alias("bin")
+    )
+    counts = sided.groupBy("bin").agg(
+        F.sum(F.when(F.col("__before__"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("__before__"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_after"),
+    )
+    totals = counts.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    share = lambda n, t: F.when(  # noqa: E731
+        t > 0, F.floor(n / t * 1000000 + F.lit(0.5))
+    ).otherwise(0).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("share_before_q6", share(F.col("n_before"), F.col("tb")))
+        .withColumn("share_after_q6", share(F.col("n_after"), F.col("ta")))
+        .withColumn(
+            "delta_q6",
+            F.abs(F.col("share_before_q6") - F.col("share_after_q6")),
+        )
+        .select(
+            "bin", "n_before", "n_after",
+            "share_before_q6", "share_after_q6", "delta_q6",
+        )
     )

@@ -1638,3 +1638,49 @@ class TestLiteralRelation:
 
         with pytest.raises(ValueError, match="non-empty"):
             literal_relation(spark, [], ["a"])
+
+
+class TestDistributionDrift:
+    def test_shift_detected(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import distribution_drift
+
+        b = dt.datetime(2024, 1, 1)
+        rows = []
+        # first half: values near 0; second half: values near 10
+        for i in range(50):
+            rows.append((i, b + dt.timedelta(minutes=i), 0.5))
+        for i in range(50):
+            rows.append((100 + i, b + dt.timedelta(minutes=1000 + i), 9.5))
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        got = {r["bin"]: r for r in distribution_drift(df, n_bins=10).collect()}
+        assert set(got) == {0, 9}
+        assert got[0]["n_before"] == 50 and got[0]["n_after"] == 0
+        assert got[9]["n_before"] == 0 and got[9]["n_after"] == 50
+        # shares are exact millionths; full separation = max delta
+        assert got[0]["share_before_q6"] == 1000000
+        assert got[0]["delta_q6"] == 1000000 and got[9]["delta_q6"] == 1000000
+
+    def test_constant_value_single_bin(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import distribution_drift
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [(i, b + dt.timedelta(hours=i), 7.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        out = distribution_drift(df).collect()
+        assert len(out) == 1 and out[0]["bin"] == 0
+        assert out[0]["n_before"] + out[0]["n_after"] == 10
+
+    def test_null_rows_excluded(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import distribution_drift
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [(1, b, 1.0), (2, None, 2.0), (3, b, None)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        out = distribution_drift(df).collect()
+        assert sum(r["n_before"] + r["n_after"] for r in out) == 1
