@@ -1647,6 +1647,13 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lift-ranked word pairs (PMI without the non-portable log): two
+    # count shuffles + vocab-sized joins; totals attach by broadcast
+    docs = _read(spark, sf_dir, "documents")
+    return P.collocations(docs, min_count=5, k=50)
+
+
 def value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-monitoring drift: per-bin value-share deltas between the
     # first and second half of the time range; midpoint split + bins
@@ -1722,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refined_codebooks": pq_refined_codebooks,
         "melt_wide_to_long": melt_wide_to_long,
         "value_drift_halves": value_drift_halves,
+        "bigram_collocations": bigram_collocations,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2297,6 +2305,44 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "bigram_collocations": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            uni AS (SELECT unnest(ws) AS w FROM toks),
+            ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                     FROM uni GROUP BY w),
+            utot AS (SELECT CAST(sum(n) AS BIGINT) AS U FROM ucnt),
+            big AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM toks, unnest(range(1, len(ws))) t(i)
+              WHERE len(ws) >= 2
+            ),
+            bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+                     FROM big GROUP BY w1, w2),
+            btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS B FROM bcnt),
+            j AS (
+              SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b
+              FROM bcnt
+              JOIN ucnt a ON bcnt.w1 = a.w
+              JOIN ucnt b ON bcnt.w2 = b.w
+              WHERE n_ab >= 5
+            ),
+            s AS (
+              SELECT w1, w2, n_ab,
+                     CAST(floor(
+                       (n_ab / B) / ((n_a / U) * (n_b / U)) * 10000 + 0.5
+                     ) AS BIGINT) AS lift_q4
+              FROM j CROSS JOIN utot CROSS JOIN btot
+            )
+            SELECT w1, w2, n_ab, lift_q4, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT s.*,
+                         row_number() OVER (ORDER BY lift_q4 DESC, w1, w2)
+                           AS rnk
+                  FROM s)
+            WHERE rnk <= 50
+        """,
         "value_drift_halves": """
             WITH base AS (
               SELECT epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v

@@ -54,6 +54,7 @@ __all__ = [
     "quality_percentiles",
     "boilerplate_stats",
     "source_overlap",
+    "collocations",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -944,4 +945,87 @@ def source_overlap(
         .select(
             "source_a", "source_b", "n_a", "n_b", "n_common", "jaccard_q4"
         )
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k word-bigram collocations ranked by lift —
+    ``p(w1,w2) / (p(w1)·p(w2))`` — the association signal behind
+    tokenizer merge rules and multi-word vocabulary entries (PMI is
+    ``log`` of this; the log is monotone, so ranking by lift is ranking
+    by PMI, and lift needs no ``log``, which is not cross-engine
+    hash-stable).
+
+    Occurrence counting, not per-doc sets: bigrams come from a
+    positional transform over the token array (empty/1-token docs
+    contribute an empty array — no filter on the derived array, the
+    minhash lesson), unigrams from a plain explode. Two count shuffles
+    plus two vocabulary-sized joins; the corpus-size totals attach by
+    broadcast. ``lift_q4`` is ``floor(lift·1e4 + 0.5)`` where the lift
+    expression is the exact division sequence
+    ``(n_ab/B) / ((n_a/U)·(n_b/U))`` — each step correctly rounded and
+    mirrored verbatim in the oracle, so the fixed-point is
+    bit-identical. Ties rank by (w1, w2) for determinism.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        toks.alias("__t__")
+    )
+    t = F.col("__t__")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ucnt = (
+        base.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    utot = ucnt.agg(F.sum("n").cast("long").alias("U"))
+    bcnt = (
+        base.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1"), F.col("b.w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    btot = bcnt.agg(F.sum("n_ab").cast("long").alias("B"))
+    j = (
+        bcnt.filter(F.col("n_ab") >= min_count)
+        .join(
+            ucnt.select(F.col("w").alias("w1"), F.col("n").alias("n_a")),
+            on="w1",
+        )
+        .join(
+            ucnt.select(F.col("w").alias("w2"), F.col("n").alias("n_b")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    lift = (F.col("n_ab") / F.col("B")) / (
+        (F.col("n_a") / F.col("U")) * (F.col("n_b") / F.col("U"))
+    )
+    w = Window.orderBy(
+        F.col("lift_q4").desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        j.withColumn(
+            "lift_q4",
+            F.floor(lift * 10000 + F.lit(0.5)).cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "n_ab", "lift_q4", "rank")
     )

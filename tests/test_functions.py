@@ -1684,3 +1684,33 @@ class TestDistributionDrift:
         df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
         out = distribution_drift(df).collect()
         assert sum(r["n_before"] + r["n_after"] for r in out) == 1
+
+
+class TestCollocations:
+    def test_lift_ranks_associated_pair_first(self, spark):
+        from tafra_spark.functions.pipeline import collocations
+
+        # "new york" always co-occurs; "the cat/dog/car" words mix freely
+        docs = []
+        for i in range(10):
+            docs.append((i, "new york " + ("the cat " if i % 2 else "the dog ") * 3))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = collocations(df, min_count=5, k=10).collect()
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        # 'new york' occurs 10x with n(new)=n(york)=10 — maximal lift
+        assert (by_rank[0]["w1"], by_rank[0]["w2"]) == ("new", "york")
+        assert by_rank[0]["n_ab"] == 10
+        # every returned pair meets the count floor and ranks are 1..n
+        assert all(r["n_ab"] >= 5 for r in out)
+        assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+    def test_short_docs_contribute_no_bigrams(self, spark):
+        from tafra_spark.functions.pipeline import collocations
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b a b a b a b a b")],
+            "doc_id long, text string",
+        )
+        out = collocations(df, min_count=1, k=10).collect()
+        pairs = {(r["w1"], r["w2"]) for r in out}
+        assert pairs == {("a", "b"), ("b", "a")}
