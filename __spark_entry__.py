@@ -1647,6 +1647,27 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, cb, queries_df, k=10)
 
 
+def prefix_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truncation-family dedup: groups sharing their first-k-token
+    # prefix; same one-shuffle fingerprint-agg shape as exact dedup
+    docs = _read(spark, sf_dir, "documents")
+    return D.prefix_dup_groups(docs, prefix_tokens=2)
+
+
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mix sizing: implied/granted epochs per source for a target
+    # mix and token budget, capped at max_epochs — one token-count agg
+    from tafra_spark.functions.sampling import epoch_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    return epoch_plan(
+        docs,
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        target_tokens=50_000,
+        max_epochs=2.0,
+    )
+
+
 def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lift-ranked word pairs (PMI without the non-portable log): two
     # count shuffles + vocab-sized joins; totals attach by broadcast
@@ -1730,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_wide_to_long": melt_wide_to_long,
         "value_drift_halves": value_drift_halves,
         "bigram_collocations": bigram_collocations,
+        "prefix_dup_groups": prefix_dup_groups_q,
+        "mix_epoch_plan": mix_epoch_plan,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2305,6 +2328,61 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "prefix_dup_groups": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            p AS (
+              SELECT doc_id,
+                     md5(array_to_string(ws[1:2], ' ')) AS prefix_fp
+              FROM t
+            )
+            SELECT prefix_fp,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM p GROUP BY prefix_fp HAVING count(*) > 1
+        """,
+        "mix_epoch_plan": f"""
+            WITH w AS (
+              SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                                    ('src2', 0.25)) AS t(source, share)
+            ),
+            avail AS (
+              SELECT source, CAST(sum({_NTOK_SQL}) AS BIGINT) AS avail_tokens
+              FROM documents GROUP BY source
+            ),
+            j AS (
+              SELECT w.source, share,
+                     coalesce(avail_tokens, 0) AS avail_tokens,
+                     CAST(floor(share * 50000.0 + 0.5) AS BIGINT)
+                       AS want_tokens
+              FROM w LEFT JOIN avail USING (source)
+            ),
+            e AS (
+              SELECT j.*,
+                     CAST(CASE WHEN avail_tokens > 0
+                               THEN floor(want_tokens / avail_tokens
+                                          * 10000 + 0.5)
+                          END AS BIGINT) AS implied_epochs_q4
+              FROM j
+            ),
+            g AS (
+              SELECT e.*, least(implied_epochs_q4, 20000)
+                            AS granted_epochs_q4
+              FROM e
+            )
+            SELECT source,
+                   CAST(floor(share * 1000000 + 0.5) AS BIGINT) AS share_q6,
+                   avail_tokens, want_tokens, implied_epochs_q4,
+                   CAST(granted_epochs_q4 AS BIGINT) AS granted_epochs_q4,
+                   CAST(CASE WHEN implied_epochs_q4 IS NOT NULL
+                             THEN floor(granted_epochs_q4 / 10000
+                                        * avail_tokens + 0.5)
+                        ELSE 0 END AS BIGINT) AS granted_tokens
+            FROM g
+        """,
         "bigram_collocations": r"""
             WITH toks AS (
               SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -45,6 +45,7 @@ __all__ = [
     "simhash_pairs",
     "dup_clusters",
     "dedup_incremental",
+    "prefix_dup_groups",
 ]
 
 
@@ -768,4 +769,39 @@ def dedup_incremental(
             "batch_dup",
             (~F.col("in_seen") & ~F.col("batch_dup")).alias("keep"),
         )
+    )
+
+
+def prefix_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_tokens: int = 32,
+) -> DataFrame:
+    """Duplicate groups by PREFIX: documents sharing their first
+    ``prefix_tokens`` (lowercased, whitespace-split) tokens. Catches the
+    truncation family exact dedup misses — the same page captured at
+    different lengths, a document and its clipped re-crawl, partial
+    re-extractions — which agree on a long prefix but not the full
+    fingerprint. Docs shorter than the prefix window key on their full
+    token join, so a short doc groups with the longer docs it prefixes
+    only when the longer side is exactly at the window; cross-length
+    containment beyond the window is the fuzzy pipeline's job.
+
+    Same shape (and scale story) as :func:`exact_dup_groups`: one
+    md5-fingerprint hash aggregate with map-side partials; the prefix
+    projection is narrow. Output: (prefix_fp, n_dups, keep_id) for
+    groups with 2+ members, keep = min id.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.md5(prefix.cast("binary")).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
     )

@@ -32,6 +32,7 @@ __all__ = [
     "stratified_hash_sample",
     "exact_k_per_stratum",
     "weighted_mix",
+    "epoch_plan",
 ]
 
 
@@ -176,4 +177,88 @@ def weighted_mix(
         .withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") <= F.col("__take__"))
         .drop("__rk__", "__take__")
+    )
+
+
+def epoch_plan(
+    df: DataFrame,
+    weights: dict,
+    target_tokens: int,
+    text_col: str = "text",
+    strata_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Training-mix epoch planner: given target mix ``weights`` and a
+    total token budget, how many PASSES (epochs) over each source does
+    the mix imply, and is that achievable under ``max_epochs``? This is
+    the sizing step before :func:`weighted_mix` — the public data-mix
+    recipes (Pile/LLaMA-style) express exactly this as per-source
+    epoch factors, with an over-repetition cap because repeating a
+    small source too often measurably hurts.
+
+    One token-count aggregate over the corpus (map-side partial sum of
+    a narrow token-count projection); the weight spec attaches as a
+    literal relation. All outputs are exact fixed-point: requested
+    share, available tokens, implied epochs (q4), granted epochs
+    (capped, q4), and granted tokens under the cap.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    from ._relation import literal_relation
+    from .text import token_count
+
+    if not all(isinstance(s, str) for s in weights):
+        raise TypeError("epoch_plan: weights keys must be strings")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("epoch_plan: weights must sum > 0")
+    spark = df.sparkSession
+    wdf = literal_relation(
+        spark,
+        [(s, float(w) / total_w) for s, w in sorted(weights.items())],
+        [strata_col, "__share__"],
+    ).filter(F.col("__share__") > 0)
+    avail = (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_count(F.col(text_col))).cast("long").alias("avail_tokens"))
+    )
+    j = wdf.join(avail, on=strata_col, how="left").withColumn(
+        "avail_tokens", F.coalesce(F.col("avail_tokens"), F.lit(0))
+    )
+    want = F.floor(F.col("__share__") * F.lit(float(target_tokens)) + F.lit(0.5)).cast("long")
+    implied = F.when(
+        F.col("avail_tokens") > 0,
+        F.col("want_tokens") / F.col("avail_tokens"),
+    ).otherwise(F.lit(None))
+    return (
+        j.withColumn("want_tokens", want)
+        .withColumn(
+            "implied_epochs_q4",
+            F.floor(implied * 10000 + F.lit(0.5)).cast("long"),
+        )
+        .withColumn(
+            "granted_epochs_q4",
+            F.least(
+                F.col("implied_epochs_q4"),
+                F.lit(int(round(float(max_epochs) * 10000))),
+            ),
+        )
+        .withColumn(
+            "granted_tokens",
+            F.when(
+                F.col("implied_epochs_q4").isNotNull(),
+                F.floor(
+                    F.col("granted_epochs_q4") / 10000 * F.col("avail_tokens")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "share_q6",
+            F.floor(F.col("__share__") * 1000000 + F.lit(0.5)).cast("long"),
+        )
+        .select(
+            strata_col, "share_q6", "avail_tokens", "want_tokens",
+            "implied_epochs_q4", "granted_epochs_q4", "granted_tokens",
+        )
     )

@@ -1714,3 +1714,55 @@ class TestCollocations:
         out = collocations(df, min_count=1, k=10).collect()
         pairs = {(r["w1"], r["w2"]) for r in out}
         assert pairs == {("a", "b"), ("b", "a")}
+
+
+class TestPrefixDupAndEpochPlan:
+    def test_prefix_groups(self, spark):
+        from tafra_spark.functions.dedup import prefix_dup_groups
+
+        rows = [
+            (1, "the quick brown fox ends one way"),
+            (2, "the quick brown fox ends another way entirely"),
+            (3, "completely different text body"),
+            (4, "the quick brown fox ends one way"),  # exact dup of 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = prefix_dup_groups(df, prefix_tokens=4).collect()
+        assert len(out) == 1
+        assert out[0]["n_dups"] == 3 and out[0]["keep_id"] == 1
+
+    def test_prefix_short_docs_key_on_full_text(self, spark):
+        from tafra_spark.functions.dedup import prefix_dup_groups
+
+        rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "tiny")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = prefix_dup_groups(df, prefix_tokens=32).collect()
+        assert len(out) == 1 and out[0]["n_dups"] == 2
+
+    def test_epoch_plan_caps_small_sources(self, spark):
+        from tafra_spark.functions.sampling import epoch_plan
+
+        rows = [(1, "big", "w " * 1000), (2, "small", "w " * 10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r["source"]: r
+            for r in epoch_plan(
+                df, {"big": 0.5, "small": 0.5},
+                target_tokens=200, max_epochs=2.0,
+            ).collect()
+        }
+        # big: wants 100 of 1000 → 0.1 epochs, uncapped
+        assert got["big"]["implied_epochs_q4"] == 1000
+        assert got["big"]["granted_epochs_q4"] == 1000
+        assert got["big"]["granted_tokens"] == 100
+        # small: wants 100 of 10 → 10 epochs, capped to 2.0 → 20 tokens
+        assert got["small"]["implied_epochs_q4"] == 100000
+        assert got["small"]["granted_epochs_q4"] == 20000
+        assert got["small"]["granted_tokens"] == 20
+
+    def test_epoch_plan_validates_keys(self, spark):
+        from tafra_spark.functions.sampling import epoch_plan
+
+        df = spark.createDataFrame([(1, "s", "x")], "doc_id long, source string, text string")
+        with pytest.raises(TypeError):
+            epoch_plan(df, {7: 1.0}, target_tokens=10)
