@@ -2369,8 +2369,10 @@ def oracle_sql() -> dict[str, str]:
               FROM j
             ),
             g AS (
-              SELECT e.*, least(implied_epochs_q4, 20000)
-                            AS granted_epochs_q4
+              SELECT e.*,
+                     CASE WHEN implied_epochs_q4 IS NOT NULL
+                          THEN least(implied_epochs_q4, 20000)
+                     END AS granted_epochs_q4
               FROM e
             )
             SELECT source,

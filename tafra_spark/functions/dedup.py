@@ -784,9 +784,10 @@ def prefix_dup_groups(
     different lengths, a document and its clipped re-crawl, partial
     re-extractions — which agree on a long prefix but not the full
     fingerprint. Docs shorter than the prefix window key on their full
-    token join, so a short doc groups with the longer docs it prefixes
-    only when the longer side is exactly at the window; cross-length
-    containment beyond the window is the fuzzy pipeline's job.
+    token join, so two docs group iff they agree on min(len, window)
+    tokens AND have the same length when under the window — a short doc
+    never groups with a longer doc (their keyed token counts differ);
+    cross-length containment is the fuzzy pipeline's job.
 
     Same shape (and scale story) as :func:`exact_dup_groups`: one
     md5-fingerprint hash aggregate with map-side partials; the prefix

@@ -202,8 +202,6 @@ def epoch_plan(
     share, available tokens, implied epochs (q4), granted epochs
     (capped, q4), and granted tokens under the cap.
     """
-    from pyspark.sql import functions as F  # noqa: F811 — local alias
-
     from ._relation import literal_relation
     from .text import token_count
 
@@ -238,9 +236,14 @@ def epoch_plan(
         )
         .withColumn(
             "granted_epochs_q4",
-            F.least(
-                F.col("implied_epochs_q4"),
-                F.lit(int(round(float(max_epochs) * 10000))),
+            # gate on non-NULL: least() SKIPS NULLs (both engines), so
+            # an empty source would otherwise report a full-cap grant
+            F.when(
+                F.col("implied_epochs_q4").isNotNull(),
+                F.least(
+                    F.col("implied_epochs_q4"),
+                    F.lit(int(round(float(max_epochs) * 10000))),
+                ),
             ),
         )
         .withColumn(

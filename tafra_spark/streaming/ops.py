@@ -427,11 +427,19 @@ def ledger_dedup_sink(
                 .select("fp")
             )
         except AnalysisException as ex:
-            # ONLY a missing ledger means "first batch". Any other read
+            # ONLY "no ledger yet" means "first batch": a missing path,
+            # or an existing directory with no committed data files (a
+            # crashed batch-0 write leaves _temporary behind; an
+            # orchestrator may mkdir the path) — Spark raises
+            # UNABLE_TO_INFER_SCHEMA for the latter. Any other read
             # failure (permissions, corruption, transient listing error)
             # must abort the batch: swallowing it would run the batch
             # with NO history anti-join and permanently admit duplicates.
-            if "PATH_NOT_FOUND" not in str(ex):
+            msg = str(ex)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg
+            ):
                 raise
             seen_fp = None
         w = Window.partitionBy("fp")

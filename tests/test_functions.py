@@ -1766,3 +1766,22 @@ class TestPrefixDupAndEpochPlan:
         df = spark.createDataFrame([(1, "s", "x")], "doc_id long, source string, text string")
         with pytest.raises(TypeError):
             epoch_plan(df, {7: 1.0}, target_tokens=10)
+
+    def test_epoch_plan_empty_source_grants_nothing(self, spark):
+        from tafra_spark.functions.sampling import epoch_plan
+
+        df = spark.createDataFrame(
+            [(1, "big", "w " * 100)], "doc_id long, source string, text string"
+        )
+        got = {
+            r["source"]: r
+            for r in epoch_plan(
+                df, {"big": 0.5, "missing": 0.5}, target_tokens=100
+            ).collect()
+        }
+        # least() skips NULLs — an empty source must NOT report a
+        # full-cap grant
+        assert got["missing"]["avail_tokens"] == 0
+        assert got["missing"]["implied_epochs_q4"] is None
+        assert got["missing"]["granted_epochs_q4"] is None
+        assert got["missing"]["granted_tokens"] == 0

@@ -400,3 +400,13 @@ class TestLedgerDedupSink:
         q.awaitTermination(60)
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == {1, 2}
+
+    def test_precreated_empty_ledger_dir_is_first_batch(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import ledger_dedup_sink
+
+        out, led = str(tmp_path / "out"), str(tmp_path / "led")
+        (tmp_path / "led").mkdir()  # orchestrator mkdir / crashed batch 0
+        sink = ledger_dedup_sink(out, led)
+        sink(self._mk(spark, [(1, "alpha"), (2, "alpha")]), 0)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {1}
