@@ -664,9 +664,15 @@ def pq_codebooks(
     # functions/_relation.py).
     from ._relation import literal_relation
 
-    return literal_relation(
+    cb = literal_relation(
         corpus.sparkSession, rows, ["subspace", "code_id", "centv"]
     )
+    # stash the driver-side rows on the frame: pq_encode inlines the
+    # codebook as literals and can skip a whole collect job when the
+    # values are already here (a Spark job is ~0.2 s of scheduler
+    # latency in local mode — pure waste for 64 known rows)
+    cb._pq_rows = rows  # type: ignore[attr-defined]
+    return cb
 
 
 def _pq_sample_rows(
@@ -741,7 +747,9 @@ def pq_encode(
 
     Returns (``id_col``, codes: array<long>).
     """
-    cb_rows = codebooks.select("subspace", "code_id", "centv").collect()
+    cb_rows = getattr(codebooks, "_pq_rows", None)
+    if cb_rows is None:
+        cb_rows = codebooks.select("subspace", "code_id", "centv").collect()
     by_space: dict[int, list[tuple[int, list[float]]]] = {}
     for r in cb_rows:
         by_space.setdefault(int(r[0]), []).append(
@@ -987,4 +995,6 @@ def pq_fit(
     # referenced by anything — release it now instead of waiting for
     # ContextCleaner GC
     sub.unpersist()
-    return literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])
+    cb = literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])
+    cb._pq_rows = cb_rows  # same fast path as pq_codebooks
+    return cb
