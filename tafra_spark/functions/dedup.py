@@ -46,6 +46,7 @@ __all__ = [
     "dup_clusters",
     "dedup_incremental",
     "prefix_dup_groups",
+    "band_table",
 ]
 
 
@@ -268,6 +269,26 @@ def minhash_signatures(
     return _hof_signatures(base, id_col, num_hashes, portable)
 
 
+def band_table(
+    sig: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band, val) rows from a signature table — the LSH index
+    representation: one row per (document, band), ``val`` the band's
+    concatenated hash slots. This is both the self-join input for
+    :func:`_band_pairs` and the persisted-ledger format for
+    :func:`~tafra_spark.streaming.ops.fuzzy_ledger_dedup_sink`."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("val"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+
 def _band_pairs(
     sig: DataFrame,
     id_col: str,
@@ -286,16 +307,7 @@ def _band_pairs(
     are almost always caught by one of their OTHER bands, and a bucket
     that hot is itself a signal the docs are exact-dup-able first.
     """
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("val"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    banded = band_table(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
         # one window count over the (band, val) shuffle the join needs
         # anyway — AQE reuses the exchange for the join build side

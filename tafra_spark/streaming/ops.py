@@ -36,6 +36,7 @@ __all__ = [
     "interval_join",
     "corpus_gate_stream",
     "ledger_dedup_sink",
+    "fuzzy_ledger_dedup_sink",
     "run_to_memory_sink",
 ]
 
@@ -464,5 +465,92 @@ def ledger_dedup_sink(
             ).parquet(f"{ledger_path}/batch_id={batch_id}")
         finally:
             survivors.unpersist()
+
+    return process
+
+
+def fuzzy_ledger_dedup_sink(
+    out_path: str,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+):
+    """Near-duplicate (MinHash-LSH) counterpart of
+    :func:`ledger_dedup_sink`: each micro-batch's documents are dropped
+    when ANY of their signature bands collides with the persisted band
+    ledger (near-dup of an already-ingested doc) or with a smaller-id
+    batch document sharing a band (in-batch near-dup, greedy keep-min —
+    a doc whose only match was itself dropped still goes, the standard
+    transitive-cluster reading). Survivors' (band, val) rows append to
+    the ledger. Precision/recall follow the usual banding trade
+    (``num_hashes``/``band_size``); the collision decision is pure LSH
+    — the exact-Jaccard verify step needs both sides' shingles, which a
+    signature-only ledger deliberately does not store (ledger size is
+    n_bands rows per corpus doc, not the corpus text).
+
+    Same replay-idempotency scheme as the exact sink: both sinks
+    partition by ``batch_id``, each batch overwrites its own partition,
+    and the ledger read excludes the current batch's partition.
+    """
+    from ..functions.dedup import band_table, minhash_signatures
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(
+            batch_df, text_col, id_col, num_hashes, shingle_k
+        )
+        bands = band_table(sig, id_col, num_hashes, band_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            hist = (
+                spark.read.parquet(ledger_path)
+                .filter(F.col("batch_id") != F.lit(int(batch_id)))
+                .select("band", "val")
+            )
+        except AnalysisException as ex:
+            msg = str(ex)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg
+            ):
+                raise
+            hist = None
+        dup_ids = bands.join(
+            bands.select(
+                F.col(id_col).alias("__oid__"), "band", "val"
+            ).filter(F.lit(True)),
+            on=["band", "val"],
+        ).filter(F.col("__oid__") < F.col(id_col)).select(id_col)
+        if hist is not None:
+            dup_ids = dup_ids.unionByName(
+                bands.join(hist, on=["band", "val"], how="left_semi").select(
+                    id_col
+                )
+            )
+        dup_ids = dup_ids.distinct()
+        survivors = batch_df.join(dup_ids, on=id_col, how="left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            survivors.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+            (
+                bands.join(survivors.select(id_col), on=id_col, how="left_semi")
+                .select("band", "val")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{ledger_path}/batch_id={batch_id}")
+            )
+        finally:
+            survivors.unpersist()
+            bands.unpersist()
 
     return process

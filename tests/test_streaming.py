@@ -410,3 +410,51 @@ class TestLedgerDedupSink:
         sink(self._mk(spark, [(1, "alpha"), (2, "alpha")]), 0)
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == {1}
+
+
+class TestFuzzyLedgerDedupSink:
+    BASE = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep green forest tonight")
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_near_dup_dropped_across_batches(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import fuzzy_ledger_dedup_sink
+
+        out, led = str(tmp_path / "out"), str(tmp_path / "led")
+        sink = fuzzy_ledger_dedup_sink(out, led)
+        other = "completely unrelated text about database engines and query planners running distributed joins"
+        sink(self._mk(spark, [(1, self.BASE), (2, other)]), 0)
+        # batch 1: a one-word edit of BASE (near-dup) + something new
+        near = self.BASE.replace("tonight", "today")
+        fresh = "entirely novel content mentioning streams watermarks state stores and checkpoint recovery semantics"
+        sink(self._mk(spark, [(10, near), (11, fresh)]), 1)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {1, 2, 11}
+
+    def test_in_batch_near_dups_keep_min(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import fuzzy_ledger_dedup_sink
+
+        out, led = str(tmp_path / "out"), str(tmp_path / "led")
+        # band_size=2 → 8 bands: this SPECIFIC edit pair shares 3 bands
+        # (verified — LSH collisions are deterministic for fixed text,
+        # but the default 4-band config happens to miss this pair)
+        sink = fuzzy_ledger_dedup_sink(out, led, band_size=2)
+        near = self.BASE.replace("dog", "cat")
+        sink(self._mk(spark, [(5, self.BASE), (3, near)]), 0)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {3}  # min id of the near-dup pair survives
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import fuzzy_ledger_dedup_sink
+
+        out, led = str(tmp_path / "out"), str(tmp_path / "led")
+        sink = fuzzy_ledger_dedup_sink(out, led)
+        sink(self._mk(spark, [(1, self.BASE)]), 0)
+        near = self.BASE.replace("tonight", "today")
+        sink(self._mk(spark, [(10, near), (11, "fresh words entirely different content here")]), 1)
+        before = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        sink(self._mk(spark, [(10, near), (11, "fresh words entirely different content here")]), 1)
+        after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert before == after == [1, 11]
