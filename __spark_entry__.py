@@ -1668,6 +1668,15 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # peak simultaneous sessions per hour via the two-level prefix-sum
+    # decomposition (bounded in-bucket cumsum + tiny cross-bucket carry)
+    # — never a corpus-wide single-partition sort
+    ev = _read_events(spark, sf_dir)
+    sessions = STREAM.sessionize(ev, gap_minutes=30)
+    return AN.concurrency_profile(sessions)
+
+
 def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lift-ranked word pairs (PMI without the non-portable log): two
     # count shuffles + vocab-sized joins; totals attach by broadcast
@@ -1753,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_collocations": bigram_collocations,
         "prefix_dup_groups": prefix_dup_groups_q,
         "mix_epoch_plan": mix_epoch_plan,
+        "session_concurrency_hourly": session_concurrency_hourly,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2328,6 +2338,40 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "session_concurrency_hourly": """
+            WITH g AS (
+              SELECT user_id, ts,
+                CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                          <= 1800
+                     THEN 0 ELSE 1 END AS new_s
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            ),
+            sess AS (
+              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+              FROM s GROUP BY user_id, sid
+            ),
+            ev AS (
+              SELECT session_start AS ts, 1 AS d, user_id AS k FROM sess
+              UNION ALL
+              SELECT session_end AS ts, -1 AS d, user_id AS k FROM sess
+            ),
+            run AS (
+              SELECT date_trunc('hour', ts) AS b,
+                     sum(d) OVER (ORDER BY ts, d, k
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+              FROM ev
+            )
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   CAST(max(conc) AS BIGINT) AS max_concurrency
+            FROM run GROUP BY b
+        """,
         "prefix_dup_groups": r"""
             WITH t AS (
               SELECT doc_id,

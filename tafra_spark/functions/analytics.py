@@ -34,6 +34,7 @@ __all__ = [
     "decayed_activity",
     "sliding_active_users",
     "distribution_drift",
+    "concurrency_profile",
 ]
 
 
@@ -457,5 +458,72 @@ def distribution_drift(
         .select(
             "bin", "n_before", "n_after",
             "share_before_q6", "share_after_q6", "delta_q6",
+        )
+    )
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    key_col: str = "user_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Peak concurrency per time bucket: how many intervals (sessions,
+    connections, jobs) are simultaneously open — the capacity-planning
+    profile. Intervals are half-open ``[start, end)``: a session ending
+    exactly when another starts does not overlap it.
+
+    The classic formulation is a GLOBAL ordered cumulative sum over
+    ±1 boundary events — a single-partition sort that dies at scale.
+    This is the two-level prefix-sum decomposition instead: boundary
+    deltas cumsum WITHIN their bucket (bounded partitions, one shuffle
+    on the bucket key), bucket totals cumsum ACROSS buckets (a
+    buckets-sized table — thousands of rows for years of hours — where
+    a single-partition window is fine and documented), and concurrency
+    = carry-in + local running sum. Identical result to the global
+    sort, shuffles bounded by the bucket cardinality.
+
+    Tie order at equal timestamps is pinned (−1 before +1, then
+    ``key_col``) so the profile is deterministic and engine-portable.
+    Output: (bucket_start, max_concurrency) for buckets containing at
+    least one boundary event.
+    """
+    starts = intervals.select(
+        F.col(start_col).cast("timestamp").alias("ts"),
+        F.lit(1).alias("d"),
+        F.col(key_col).alias("k"),
+    )
+    ends = intervals.select(
+        F.col(end_col).cast("timestamp").alias("ts"),
+        F.lit(-1).alias("d"),
+        F.col(key_col).alias("k"),
+    )
+    ev = starts.unionByName(ends).withColumn(
+        "b", F.date_trunc(bucket, F.col("ts"))
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("ts", "d", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ev.withColumn("run", F.sum("d").over(w_in))
+    # bucket totals: tiny table; the cross-bucket prefix sum may run
+    # single-partition — documented as fine at bucket cardinality
+    tot = ev.groupBy("b").agg(F.sum("d").alias("bt"))
+    w_carry = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = tot.withColumn(
+        "carry", F.coalesce(F.sum("bt").over(w_carry), F.lit(0))
+    ).select("b", "carry")
+    return (
+        local.join(carry, on="b")
+        .withColumn("conc", F.col("carry") + F.col("run"))
+        .groupBy("b")
+        .agg(F.max("conc").cast("long").alias("max_concurrency"))
+        .select(
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "max_concurrency",
         )
     )

@@ -1785,3 +1785,53 @@ class TestPrefixDupAndEpochPlan:
         assert got["missing"]["implied_epochs_q4"] is None
         assert got["missing"]["granted_epochs_q4"] is None
         assert got["missing"]["granted_tokens"] == 0
+
+
+class TestConcurrencyProfile:
+    def test_peak_and_half_open(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import concurrency_profile
+
+        b = dt.datetime(2024, 1, 1)
+        m = lambda mins: b + dt.timedelta(minutes=mins)  # noqa: E731
+        rows = [
+            (1, m(0), m(10)),
+            (2, m(5), m(15)),    # overlaps session 1 → peak 2
+            (3, m(10), m(20)),   # starts exactly at 1's end: half-open, no overlap with 1
+            (4, m(70), m(75)),   # alone in hour 1
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp"
+        )
+        got = {
+            r["bucket_start"]: r["max_concurrency"]
+            for r in concurrency_profile(df).collect()
+        }
+        assert got["2024-01-01 00:00:00"] == 2
+        assert got["2024-01-01 01:00:00"] == 1
+
+    def test_cross_bucket_carry(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import concurrency_profile
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            # spans hours 0→2: open throughout hour 1 (no boundary there)
+            (1, b + dt.timedelta(minutes=30), b + dt.timedelta(minutes=150)),
+            # hour 2: second session while 1 is still open → peak 2
+            (2, b + dt.timedelta(minutes=125), b + dt.timedelta(minutes=140)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp"
+        )
+        got = {
+            r["bucket_start"]: r["max_concurrency"]
+            for r in concurrency_profile(df).collect()
+        }
+        # the carry-in makes hour 2's peak see the hour-0 session
+        assert got["2024-01-01 02:00:00"] == 2
+        assert got["2024-01-01 00:00:00"] == 1
+        # hour 1 has no boundary events → no row (documented)
+        assert "2024-01-01 01:00:00" not in got
