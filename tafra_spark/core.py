@@ -1381,6 +1381,72 @@ class Tafra:
             .parquet(path)
         )
 
+    @classmethod
+    def layout_stats(
+        cls, path: str, spark: Optional[SparkSession] = None
+    ) -> "Tafra":
+        """Per-file layout health of a parquet directory: (file, n_rows,
+        n_bytes) read from the footers — the diagnostic that drives
+        compaction decisions (the small-file problem: a 100 TB table in
+        1 MB files spends more time opening files than scanning).
+        Footer reads are driver-side metadata ops on a LOCAL path (the
+        test/bench contract); cluster object stores would swap in their
+        own listing."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from .functions._relation import literal_relation
+
+        spark = spark or cls._spark()
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if not files:
+            raise ValueError(f"layout_stats: no parquet files in {path!r}")
+        rows = [
+            (
+                _os.path.basename(f),
+                int(_pq.ParquetFile(f).metadata.num_rows),
+                int(_os.path.getsize(f)),
+            )
+            for f in files
+        ]
+        return Tafra._wrap(
+            literal_relation(spark, rows, ["file", "n_rows", "n_bytes"])
+        )
+
+    @classmethod
+    def compact_parquet(
+        cls,
+        src: str,
+        dst: str,
+        target_files: Optional[int] = None,
+        target_mb: int = 128,
+        mode: str = "overwrite",
+        spark: Optional[SparkSession] = None,
+    ) -> int:
+        """Small-file compaction: rewrite ``src`` into ``dst`` as
+        ``target_files`` balanced files (default: total bytes /
+        ``target_mb``, sized from the source footers). Round-robin
+        ``repartition`` — one shuffle, balanced output regardless of
+        input skew; for sort-order-preserving compaction use
+        :meth:`write_parquet_clustered` / :meth:`write_parquet_zorder`
+        instead. Returns the file count written."""
+        import glob as _glob
+        import os as _os
+
+        spark = spark or cls._spark()
+        df = spark.read.parquet(src)
+        if target_files is None:
+            sizes = [
+                _os.path.getsize(f)
+                for f in _glob.glob(_os.path.join(src, "*.parquet"))
+            ]
+            total = sum(sizes)
+            target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+        df.repartition(int(target_files)).write.mode(mode).parquet(dst)
+        return int(target_files)
+
     def write_bucketed(
         self,
         table: str,

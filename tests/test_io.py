@@ -239,3 +239,43 @@ class TestOrcAndClustered:
         narrow = back[back["o_orderdate"] >= "1998-01-01"]
         plan = narrow._plain()._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan or narrow.rows < back.rows
+
+
+class TestLayoutMaintenance:
+    def test_layout_stats_and_compact(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        frag = str(tmp_path / "frag")
+        li.repartition(16).write.parquet(frag)
+
+        stats = Tafra.layout_stats(frag, spark)
+        pdf = stats.to_pandas()
+        assert len(pdf) == 16
+        assert pdf["n_rows"].sum() == li.count()
+        assert (pdf["n_bytes"] > 0).all()
+
+        out = str(tmp_path / "compact")
+        n = Tafra.compact_parquet(frag, out, target_files=4, spark=spark)
+        assert n == 4
+        back = Tafra.layout_stats(out, spark).to_pandas()
+        assert len(back) == 4
+        assert back["n_rows"].sum() == li.count()
+
+    def test_compact_sizes_from_footers(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        frag = str(tmp_path / "frag2")
+        li.repartition(8).write.parquet(frag)
+        out = str(tmp_path / "c2")
+        # tiny table ≪ 128 MB → derived target is 1 file
+        n = Tafra.compact_parquet(frag, out, spark=spark)
+        assert n == 1
+        assert Tafra.layout_stats(out, spark).rows == 1
+
+    def test_layout_stats_empty_dir_raises(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        with pytest.raises(ValueError, match="no parquet files"):
+            Tafra.layout_stats(str(tmp_path), spark)
