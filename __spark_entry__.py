@@ -2354,7 +2354,10 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             ),
             sess AS (
-              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+              SELECT user_id, min(ts) AS session_start,
+                     CASE WHEN max(ts) = min(ts)
+                          THEN min(ts) + INTERVAL 1 MICROSECOND
+                          ELSE max(ts) END AS session_end
               FROM s GROUP BY user_id, sid
             ),
             ev AS (
@@ -2363,13 +2366,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT session_end AS ts, -1 AS d, user_id AS k FROM sess
             ),
             run AS (
-              SELECT date_trunc('hour', ts) AS b,
+              SELECT date_trunc('hour', ts) AS b, d,
                      sum(d) OVER (ORDER BY ts, d, k
-                                  ROWS UNBOUNDED PRECEDING) AS conc
+                                  ROWS UNBOUNDED PRECEDING) AS conc,
+                     row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                        ORDER BY ts, d, k) AS rn
               FROM ev
             )
             SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
-                   CAST(max(conc) AS BIGINT) AS max_concurrency
+                   CAST(greatest(
+                     max(conc),
+                     max(CASE WHEN rn = 1 THEN conc - d END)
+                   ) AS BIGINT) AS max_concurrency
             FROM run GROUP BY b
         """,
         "prefix_dup_groups": r"""

@@ -1400,12 +1400,16 @@ class Tafra:
         from .functions._relation import literal_relation
 
         spark = spark or cls._spark()
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        # recursive: partitioned datasets keep their files in key=value
+        # subdirectories — a top-level-only glob would miss all of them
+        files = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not files:
             raise ValueError(f"layout_stats: no parquet files in {path!r}")
         rows = [
             (
-                _os.path.basename(f),
+                _os.path.relpath(f, path),
                 int(_pq.ParquetFile(f).metadata.num_rows),
                 int(_os.path.getsize(f)),
             )
@@ -1438,11 +1442,22 @@ class Tafra:
         spark = spark or cls._spark()
         df = spark.read.parquet(src)
         if target_files is None:
+            # recursive glob: spark.read.parquet reads partitioned
+            # subdirectories, so the sizing walk must see them too — a
+            # top-level-only glob would compute total=0 and silently
+            # squash a partitioned dataset into one file
             sizes = [
                 _os.path.getsize(f)
-                for f in _glob.glob(_os.path.join(src, "*.parquet"))
+                for f in _glob.glob(
+                    _os.path.join(src, "**", "*.parquet"), recursive=True
+                )
             ]
             total = sum(sizes)
+            if total == 0:
+                raise ValueError(
+                    f"compact_parquet: no parquet files found under {src!r} "
+                    "for auto-sizing; pass target_files explicitly"
+                )
             target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
         df.repartition(int(target_files)).write.mode(mode).parquet(dst)
         return int(target_files)

@@ -486,18 +486,26 @@ def concurrency_profile(
 
     Tie order at equal timestamps is pinned (−1 before +1, then
     ``key_col``) so the profile is deterministic and engine-portable.
+    Zero-length intervals (a one-event session has start == end) are
+    widened to one microsecond so the interval still registers — a
+    capacity profile that reports 0 for an hour of single-event users
+    would be misleading. The carry-in value AT bucket start is a max
+    candidate too: a bucket whose only events are interval ENDS still
+    saw the carried concurrency before its first event.
+
     Output: (bucket_start, max_concurrency) for buckets containing at
     least one boundary event.
     """
+    start_ts = F.col(start_col).cast("timestamp")
+    end_raw = F.col(end_col).cast("timestamp")
+    end_ts = F.when(
+        end_raw == start_ts, end_raw + F.expr("INTERVAL 1 MICROSECOND")
+    ).otherwise(end_raw)
     starts = intervals.select(
-        F.col(start_col).cast("timestamp").alias("ts"),
-        F.lit(1).alias("d"),
-        F.col(key_col).alias("k"),
+        start_ts.alias("ts"), F.lit(1).alias("d"), F.col(key_col).alias("k")
     )
     ends = intervals.select(
-        F.col(end_col).cast("timestamp").alias("ts"),
-        F.lit(-1).alias("d"),
-        F.col(key_col).alias("k"),
+        end_ts.alias("ts"), F.lit(-1).alias("d"), F.col(key_col).alias("k")
     )
     ev = starts.unionByName(ends).withColumn(
         "b", F.date_trunc(bucket, F.col("ts"))
@@ -521,7 +529,14 @@ def concurrency_profile(
         local.join(carry, on="b")
         .withColumn("conc", F.col("carry") + F.col("run"))
         .groupBy("b")
-        .agg(F.max("conc").cast("long").alias("max_concurrency"))
+        .agg(
+            # greatest(carry, max(conc)): the pre-first-event level is
+            # part of the bucket's profile (an all-ends bucket would
+            # otherwise underreport)
+            F.greatest(F.first("carry"), F.max("conc"))
+            .cast("long")
+            .alias("max_concurrency")
+        )
         .select(
             F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
             "max_concurrency",

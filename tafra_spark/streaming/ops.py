@@ -477,6 +477,7 @@ def fuzzy_ledger_dedup_sink(
     shingle_k: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket: int = 1024,
 ):
     """Near-duplicate (MinHash-LSH) counterpart of
     :func:`ledger_dedup_sink`: each micro-batch's documents are dropped
@@ -494,8 +495,18 @@ def fuzzy_ledger_dedup_sink(
     Same replay-idempotency scheme as the exact sink: both sinks
     partition by ``batch_id``, each batch overwrites its own partition,
     and the ledger read excludes the current batch's partition.
+
+    Empty/whitespace documents have no shingles, hence no signature —
+    they ride a reserved band (−1) keyed by their EXACT fingerprint, so
+    repeated empty docs still dedup instead of accumulating.
+    ``max_bucket`` caps the in-batch self-join's per-(band, value)
+    bucket (the :func:`~tafra_spark.functions.dedup._band_pairs`
+    hot-bucket guard): an over-full boilerplate bucket would otherwise
+    pair quadratically inside one micro-batch. The history check is a
+    semi-join — linear, no cap needed.
     """
     from ..functions.dedup import band_table, minhash_signatures
+    from ..functions.text import fingerprint
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
@@ -505,8 +516,17 @@ def fuzzy_ledger_dedup_sink(
         sig = minhash_signatures(
             batch_df, text_col, id_col, num_hashes, shingle_k
         )
-        bands = band_table(sig, id_col, num_hashes, band_size).persist(
-            StorageLevel.MEMORY_AND_DISK
+        empty_bands = batch_df.filter(
+            F.length(F.trim(F.col(text_col))) == 0
+        ).select(
+            F.col(id_col),
+            F.lit(-1).alias("band"),
+            fingerprint(F.col(text_col)).alias("val"),
+        )
+        bands = (
+            band_table(sig, id_col, num_hashes, band_size)
+            .unionByName(empty_bands)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
             hist = (
@@ -522,8 +542,14 @@ def fuzzy_ledger_dedup_sink(
             ):
                 raise
             hist = None
-        dup_ids = bands.join(
-            bands.select(
+        w_bucket = Window.partitionBy("band", "val")
+        capped = (
+            bands.withColumn("__bn__", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("__bn__") <= max_bucket)
+            .drop("__bn__")
+        )
+        dup_ids = capped.join(
+            capped.select(
                 F.col(id_col).alias("__oid__"), "band", "val"
             ).filter(F.lit(True)),
             on=["band", "val"],

@@ -1835,3 +1835,35 @@ class TestConcurrencyProfile:
         assert got["2024-01-01 00:00:00"] == 1
         # hour 1 has no boundary events → no row (documented)
         assert "2024-01-01 01:00:00" not in got
+
+    def test_all_ends_bucket_sees_carry(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import concurrency_profile
+
+        b = dt.datetime(2024, 1, 1)
+        m = lambda mins: b + dt.timedelta(minutes=mins)  # noqa: E731
+        # both sessions END in hour 1 (only -1 events there); 2 were
+        # open entering the hour — the carry is the hour's true peak
+        rows = [(1, m(30), m(70)), (2, m(40), m(80))]
+        df = spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp"
+        )
+        got = {
+            r["bucket_start"]: r["max_concurrency"]
+            for r in concurrency_profile(df).collect()
+        }
+        assert got["2024-01-01 01:00:00"] == 2
+
+    def test_single_event_session_counts(self, spark):
+        import datetime as dt
+
+        from tafra_spark.functions.analytics import concurrency_profile
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [(1, b, b)]  # one-event session: start == end
+        df = spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp"
+        )
+        got = concurrency_profile(df).collect()
+        assert got[0]["max_concurrency"] == 1

@@ -279,3 +279,21 @@ class TestLayoutMaintenance:
 
         with pytest.raises(ValueError, match="no parquet files"):
             Tafra.layout_stats(str(tmp_path), spark)
+
+    def test_layout_and_compact_partitioned_dir(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        src = str(tmp_path / "part")
+        li.withColumn("pk", (F.col("l_orderkey") % 3).cast("int")).write.partitionBy(
+            "pk"
+        ).parquet(src)
+        stats = Tafra.layout_stats(src, spark).to_pandas()
+        assert len(stats) >= 3
+        assert stats["n_rows"].sum() == li.count()
+        out = str(tmp_path / "pc")
+        n = Tafra.compact_parquet(src, out, spark=spark)
+        assert n >= 1
+        assert spark.read.parquet(out).count() == li.count()

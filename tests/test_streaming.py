@@ -458,3 +458,15 @@ class TestFuzzyLedgerDedupSink:
         sink(self._mk(spark, [(10, near), (11, "fresh words entirely different content here")]), 1)
         after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
         assert before == after == [1, 11]
+
+    def test_empty_docs_dedup_via_reserved_band(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import fuzzy_ledger_dedup_sink
+
+        out, led = str(tmp_path / "out"), str(tmp_path / "led")
+        sink = fuzzy_ledger_dedup_sink(out, led)
+        sink(self._mk(spark, [(1, ""), (2, "   "), (3, "real content words here")]), 0)
+        sink(self._mk(spark, [(10, ""), (11, "other real content text")]), 1)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        # empties dedup through the reserved band: min-id 1 survives,
+        # 2 (in-batch) and 10 (cross-batch) drop
+        assert got == {1, 3, 11}
