@@ -1668,6 +1668,15 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH banding recall vs brute-force Jaccard truth — the fuzzy-dedup
+    # quality dial (eval-only all-pairs truth, validation scale)
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_recall(
+        docs, threshold=0.5, num_hashes=4, band_size=2, shingle_k=3
+    )
+
+
 def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # peak simultaneous sessions per hour via the two-level prefix-sum
     # decomposition (bounded in-bucket cumsum + tiny cross-bucket carry)
@@ -1763,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_groups": prefix_dup_groups_q,
         "mix_epoch_plan": mix_epoch_plan,
         "session_concurrency_hourly": session_concurrency_hourly,
+        "minhash_recall_eval": minhash_recall_eval,
         "boilerplate_phrase_stats": boilerplate_phrase_stats,
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -2338,6 +2348,39 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "pq_refined_codebooks": _pq_fit_sql(),
+        "minhash_recall_eval": _MINHASH_SIG_SQL + """,
+            b AS (
+              SELECT doc_id, 0 AS band, h0 || '_' || h1 AS val FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, h2 || '_' || h3 AS val FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM b l JOIN b r
+                ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+            ),
+            truth AS (
+              SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+              WHERE len(a.shset) > 0 AND len(b2.shset) > 0
+                AND CAST(len(list_intersect(a.shset, b2.shset)) AS DOUBLE)
+                    / (len(a.shset) + len(b2.shset)
+                       - len(list_intersect(a.shset, b2.shset))) >= 0.5
+            ),
+            hits AS (
+              SELECT t.id_a, t.id_b FROM truth t
+              JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+            )
+            SELECT
+              CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+              CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+              CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hit,
+              CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+                   THEN floor(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                              / (SELECT count(*) FROM truth)
+                              * 1000000 + 0.5)
+                   END AS BIGINT) AS recall_q6
+        """,
         "session_concurrency_hourly": """
             WITH g AS (
               SELECT user_id, ts,

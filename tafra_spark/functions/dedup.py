@@ -47,6 +47,7 @@ __all__ = [
     "dedup_incremental",
     "prefix_dup_groups",
     "band_table",
+    "minhash_recall",
 ]
 
 
@@ -817,4 +818,73 @@ def prefix_dup_groups(
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Recall of MinHash-LSH candidate generation against brute-force
+    Jaccard truth — the quality dial for the banding trade, mirroring
+    :func:`~tafra_spark.functions.similarity.ann_recall` /
+    ``pq_recall``: n_true (pairs with exact shingle-Jaccard ≥
+    ``threshold``), n_candidates (LSH proposals), n_hit (their
+    intersection), recall fixed-point.
+
+    EVAL-ONLY by design: the truth side is a deliberate ALL-PAIRS
+    Jaccard — quadratic, exactly what the LSH path exists to avoid —
+    run at validation scale (thousands of docs) to calibrate
+    ``num_hashes``/``band_size`` before a production run, never on the
+    full corpus (the same posture as the simhash brute-force oracle).
+
+    Returns ONE row: (n_true, n_candidates, n_hit, recall_q6).
+    """
+    from pyspark import StorageLevel
+
+    sets = shingle_table(df, text_col, id_col, shingle_k)
+    hsets = sets.select(
+        F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = hsets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    b = hsets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((inter / union) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_k=shingle_k,
+        portable=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hits = truth.join(cand, on=["id_a", "id_b"], how="left_semi")
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .withColumn(
+            "recall_q6",
+            F.when(
+                F.col("n_true") > 0,
+                F.floor(
+                    F.col("n_hit") / F.col("n_true") * 1000000 + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
     )

@@ -1867,3 +1867,33 @@ class TestConcurrencyProfile:
         )
         got = concurrency_profile(df).collect()
         assert got[0]["max_concurrency"] == 1
+
+
+class TestMinhashRecall:
+    def test_counts_and_recall(self, spark):
+        from tafra_spark.functions.dedup import minhash_recall
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+            (3, "совершенно unrelated words about query engines and joins"),
+            (4, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_recall(df, threshold=0.5, num_hashes=8, band_size=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        # exact dup (1,4) is always truth AND candidate; (1,2)/(2,4)
+        # depend on the deterministic hash draw — bounds, not equalities
+        assert r["n_true"] >= 1 and r["n_hit"] >= 1
+        assert r["n_hit"] <= r["n_true"]
+        assert r["recall_q6"] == round(r["n_hit"] / r["n_true"] * 1e6)
+
+    def test_no_true_pairs_gives_null_recall(self, spark):
+        from tafra_spark.functions.dedup import minhash_recall
+
+        rows = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = minhash_recall(df, threshold=0.5).collect()[0]
+        assert r["n_true"] == 0 and r["n_hit"] == 0
+        assert r["recall_q6"] is None
