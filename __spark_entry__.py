@@ -1751,6 +1751,56 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_recall(emb, queries_df, m=4, k_codes=16, k=10)
 
 
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic train/val/test assignment by salted doc hash —
+    # leakage-free under corpus growth; report the realized per-source
+    # per-split counts (the mix report an ML pipeline checks in)
+    from tafra_spark.functions.sampling import dataset_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style signal: fraction of each doc's OVERLAPPING
+    # 10-token windows that appear verbatim in another document
+    from tafra_spark.functions.pipeline import dup_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_stats(docs, span_tokens=10, stride=1)
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LM-quality scoring (CCNet-style, unigram form): mean token
+    # log-probability under the corpus's own unigram model
+    from tafra_spark.functions.pipeline import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 lexical retrieval: top-10 documents for a fixed
+    # 3-term query, fixed-point contributions, exact integer ranking
+    from tafra_spark.functions.text import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "shuffle", "window"], k=10)
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # search-index build: term -> (df, sorted posting list), df-banded
+    # so no posting row exceeds 80% of the corpus
+    from tafra_spark.functions.text import inverted_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2, max_df_frac=0.8)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1762,6 +1812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "dataset_split_counts": dataset_split_counts,
+        "dup_span_fraction": dup_span_fraction,
+        "unigram_logprob_quality": unigram_logprob_quality,
+        "bm25_search_topk": bm25_search_topk,
+        "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
         "pq_ann_topk": pq_ann_topk,
         "pq_recall_eval": pq_recall_eval,
@@ -2347,6 +2402,148 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dataset_split_counts": """
+            WITH assigned AS (
+              SELECT source,
+                     CASE
+                       WHEN CAST(concat('0x',
+                            substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 1000000 < 900000
+                         THEN 'train'
+                       WHEN CAST(concat('0x',
+                            substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 1000000 < 950000
+                         THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            )
+            SELECT source, split, count(*) AS n_docs
+            FROM assigned GROUP BY source, split
+        """,
+        "dup_span_fraction": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(ws) - 10 + 1),
+                       i -> array_to_string(ws[i+1:i+10], ' '))) AS span
+              FROM w WHERE len(ws) >= 10
+            ),
+            hh AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(span), 1, 15)) AS BIGINT)
+                         AS h
+              FROM s
+            ),
+            c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY h)
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cross_dup_spans,
+                   round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS cross_dup_frac
+            FROM hh JOIN c USING (h) GROUP BY doc_id
+        """,
+        "unigram_logprob_quality": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CAST(floor(
+                       ln(CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS logprob_q6_sum,
+                   round((CAST(sum(CAST(floor(
+                       ln(CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+                       / count(*), 6) AS mean_logprob
+            FROM tok JOIN c USING (term) CROSS JOIN n
+            GROUP BY doc_id
+        """,
+        "bm25_search_topk": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            lens AS (SELECT doc_id, len(ws) AS dl FROM base),
+            stats AS (
+              SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks
+              FROM lens
+            ),
+            hits AS (
+              SELECT doc_id, unnest(ws) AS term FROM base
+            ),
+            fhits AS (
+              SELECT doc_id, term FROM hits
+              WHERE term IN ('shuffle', 'spark', 'window')
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM fhits GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS tdf
+              FROM fhits GROUP BY term
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln((CAST(s.n_docs AS DOUBLE) - CAST(d.tdf AS DOUBLE)
+                           + 0.5) / (CAST(d.tdf AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(tf.tf AS DOUBLE) * 2.2
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                               * (CAST(l.dl AS DOUBLE)
+                                  / (CAST(s.n_toks AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE)))))) * 1e6
+                       + 0.5) AS BIGINT) AS c_q6
+              FROM tf
+              JOIN lens l ON tf.doc_id = l.doc_id
+              JOIN dfreq d ON tf.term = d.term
+              CROSS JOIN stats s
+            ),
+            scored AS (
+              SELECT doc_id, CAST(sum(c_q6) AS BIGINT) AS score_q6
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score_q6,
+                   CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY score_q6 DESC, doc_id LIMIT 10
+        """,
+        "inverted_index_postings": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            n AS (SELECT count(*) AS n_docs FROM base),
+            pairs AS (
+              SELECT DISTINCT doc_id, unnest(list_distinct(ws)) AS term
+              FROM base
+            ),
+            agg AS (
+              SELECT term,
+                     count(*) AS df,
+                     list(doc_id ORDER BY doc_id) AS postings
+              FROM pairs GROUP BY term
+            )
+            SELECT term, df, postings
+            FROM agg CROSS JOIN n
+            WHERE df >= 2 AND df <= CAST(floor(0.8 * n_docs) AS BIGINT)
+        """,
         "pq_refined_codebooks": _pq_fit_sql(),
         "minhash_recall_eval": _MINHASH_SIG_SQL + """,
             b AS (

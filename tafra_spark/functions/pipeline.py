@@ -55,6 +55,8 @@ __all__ = [
     "boilerplate_stats",
     "source_overlap",
     "collocations",
+    "dup_span_stats",
+    "unigram_logprob",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1028,4 +1030,134 @@ def collocations(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("w1", "w2", "n_ab", "lift_q4", "rank")
+    )
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-document CROSS-document duplicated-span fraction over
+    OVERLAPPING token windows — the ExactSubstr-style signal (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): how much of this document's text also appears verbatim
+    inside *another* document?
+
+    Differs from :func:`segment_dedup_stats` on both axes that matter:
+    windows overlap (stride ``stride``, so a shared substring is caught
+    at every alignment, not only on segment boundaries), and a span
+    counts as duplicated only when it occurs in 2+ DISTINCT documents —
+    within-document repetition is :func:`repetition_stats`' signal, not
+    this one.
+
+    Plan: per-row window fold (zero shuffle) → explode to 8-byte span
+    hashes — at ``stride=1`` that stream is ~``span_tokens``× the token
+    count, which is exactly the suffix-array trade the paper makes;
+    production runs at 100 TB set ``stride`` to span_tokens/2 or use
+    :func:`segment_dedup_stats` for the cheap pass — → ONE
+    distinct-doc-count aggregate per span hash → join the counts back
+    (same key, exchange reused) → per-doc aggregate. Linear shuffles
+    only; never an all-pairs step. Returns (id, n_spans,
+    n_cross_dup_spans, cross_dup_frac).
+    """
+    if span_tokens < 1 or stride < 1:
+        raise ValueError("dup_span_stats: span_tokens and stride must be >= 1")
+    toks = word_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_spans = F.when(
+        n >= span_tokens,
+        F.floor((n - span_tokens) / stride).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * stride + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    span_rows = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(spans).alias("span"))
+        .select(F.col(id_col), _ngram_hash(F.col("span")).alias("h"))
+    )
+    ndocs = span_rows.groupBy("h").agg(
+        F.countDistinct(id_col).alias("__nd__")
+    )
+    return (
+        span_rows.join(ndocs, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__nd__") > 1).cast("long")).alias(
+                "n_cross_dup_spans"
+            ),
+        )
+        .withColumn(
+            "cross_dup_frac",
+            F.round(
+                F.col("n_cross_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the language-model quality signal (CCNet scores
+    documents by LM perplexity and filters the tail; the unigram form
+    is the engine-portable core of that: rare-token-soup scores low,
+    stopword-heavy fluent text scores high).
+
+    Model and score in one pass over the token stream: token counts
+    ``c_t`` and total ``N`` from one aggregate; each token scores
+    ``ln(c_t / N)``; a document's score is the mean over its tokens.
+
+    Cross-engine discipline: each token's logprob is fixed-pointed to
+    q6 AS A SCALAR (``floor(ln(c/N)·1e6 + 0.5)`` — ln() of the same
+    double is the same double on both engines, same contract as tf-idf),
+    so the per-doc sum is an order-independent INTEGER; the mean then
+    divides two exact numbers in a mirrored order. Plan: one (term)
+    count shuffle, a one-row total broadcast, the (doc, term) stream
+    joins the counts map-side (term-count table is vocabulary-sized),
+    one per-doc aggregate. Returns (id, n_tokens, logprob_q6_sum,
+    mean_logprob).
+    """
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    tok = base.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c__"))
+    total = counts.agg(F.sum("__c__").alias("__N__"))
+    contrib = F.floor(
+        F.log(F.col("__c__").cast("double") / F.col("__N__").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(counts), on="term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(contrib).alias("logprob_q6_sum"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.round(
+                (F.col("logprob_q6_sum").cast("double") / F.lit(1e6))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
     )

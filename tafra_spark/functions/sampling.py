@@ -33,6 +33,7 @@ __all__ = [
     "exact_k_per_stratum",
     "weighted_mix",
     "epoch_plan",
+    "dataset_split",
 ]
 
 
@@ -265,3 +266,51 @@ def epoch_plan(
             "implied_epochs_q4", "granted_epochs_q4", "granted_tokens",
         )
     )
+
+def dataset_split(
+    df: DataFrame,
+    fractions: Mapping[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by key hash.
+
+    Each row's 60-bit md5 key (salted with ``seed``) is reduced to a
+    bucket in [0, 1e6); cumulative-fraction thresholds over the splits
+    (in the caller's dict order) map buckets to split names. The same
+    properties as :func:`hash_sample` carry over, and they are exactly
+    what an ML data pipeline needs from a splitter at 100 TB:
+
+    - **no leakage under growth** — appending new documents never moves
+      an existing document between splits (assignment depends only on
+      the row's own key), so eval sets stay frozen as the corpus grows;
+    - **reproducible across engines/runs** — no RNG, no partition-order
+      dependence; the DuckDB oracle reproduces assignments exactly;
+    - **narrow** — one codegen'd projection, zero shuffles; the split
+      predicate pushes down through any later scan of the split corpus.
+
+    ``fractions`` must sum to ≤ 1; any remainder is assigned to the
+    LAST split (so the default 0.9/0.05/0.05 is exhaustive and rounding
+    residue lands in "test"). Returns the input plus ``out_col``.
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("dataset_split: need at least two splits")
+    fracs = [float(fractions[n]) for n in names]
+    if any(f < 0 for f in fracs) or sum(fracs) > 1.0 + 1e-9:
+        raise ValueError("dataset_split: fractions must be >=0, sum <= 1")
+    # integer thresholds in millionths: cum[i] = floor(sum(f[:i+1])*1e6)
+    cum, acc = [], 0.0
+    for f in fracs[:-1]:
+        acc += f
+        cum.append(int(acc * 1e6 + 0.5))
+    bucket = hash_mod(F.col(id_col), 1_000_000, seed)
+    # build from the last boundary outward so the TIGHTEST threshold
+    # binds last: bucket < cum[0] -> names[0] wins over all
+    expr = F.lit(names[-1])
+    for name, thr in list(zip(names[:-1], cum))[::-1]:
+        expr = F.when(bucket < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

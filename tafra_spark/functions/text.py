@@ -25,6 +25,8 @@ __all__ = [
     "with_quality",
     "with_language",
     "with_fingerprint",
+    "inverted_index",
+    "bm25_topk",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -207,3 +209,126 @@ def tfidf_top_terms(
             id_col, "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
         )
     )
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Build term → posting-list rows (the search-index construction
+    step): for each surviving term, its document frequency and the
+    sorted distinct document ids containing it.
+
+    The df band is the scale guard in BOTH directions: ``min_df``
+    drops the hapax tail (most of the vocabulary, nearly useless for
+    retrieval), and ``max_df_frac`` drops terms present in more than
+    that fraction of documents — stopword-grade postings that would
+    otherwise materialize O(corpus) ids in one row. Production sharding
+    of still-long lists (term, shard) is the caller's layout choice;
+    this operator guarantees no list exceeds ``max_df_frac``·N.
+
+    Plan: distinct (term, doc) pairs — dedup BEFORE the group so the
+    shuffle carries one row per (term, doc), not the token stream —
+    then ONE aggregate building count + sorted postings, filtered
+    against a one-row broadcast corpus count. Returns (term, df,
+    postings: array<id>).
+    """
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n__"))
+    pairs = base.select(
+        F.explode(F.array_distinct(word_tokens(F.lower(F.col(text_col)))))
+        .alias("term"),
+        F.col(id_col),
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (
+                F.col("df")
+                <= F.floor(F.lit(float(max_df_frac)) * F.col("__n__")).cast(
+                    "long"
+                )
+            )
+        )
+        .select("term", "df", "postings")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a bag of query terms — the
+    standard lexical ranking a retrieval pipeline runs over a corpus
+    (tf-idf's production successor: tf saturation via ``k1``, length
+    normalization via ``b``).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Cross-engine discipline: every per-(doc, term) contribution is a
+    fixed chain of correctly-rounded double ops fixed-pointed to q6 as
+    a scalar, so the per-doc sum is an order-independent integer and
+    the (score desc, id) ranking is exact.
+
+    Plan: the token stream is filtered to the query terms BEFORE any
+    shuffle (the stream entering the (doc, term) count is query-sized,
+    not corpus-sized); document lengths ride a narrow projection joined
+    on id; df and N/avgdl are tiny broadcasts. The final top-k is
+    orderBy+limit — Spark's distributed TakeOrdered, never a global
+    single-partition window. Returns (id, score_q6, rank).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.filter(F.length(F.trim(F.col(text_col)) ) > 0)
+    toks = word_tokens(F.lower(F.col(text_col)))
+    lens = base.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("dl").alias("__toks__"),
+    )
+    hits = base.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).alias("tdf")
+    )
+    avgdl = F.col("__toks__").cast("double") / F.col("__n__").cast("double")
+    idf = F.log(
+        (F.col("__n__").cast("double") - F.col("tdf").cast("double") + 0.5)
+        / (F.col("tdf").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib_q6 = F.floor(
+        idf * (tfd * F.lit(float(k1) + 1.0) / denom) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(lens, on=id_col)
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib_q6).alias("score_q6"))
+    )
+    top = scored.orderBy(F.col("score_q6").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score_q6").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1897,3 +1897,149 @@ class TestMinhashRecall:
         r = minhash_recall(df, threshold=0.5).collect()[0]
         assert r["n_true"] == 0 and r["n_hit"] == 0
         assert r["recall_q6"] is None
+
+
+class TestSplitSpansLogprob:
+    def test_dataset_split_exhaustive_and_deterministic(self, spark):
+        from tafra_spark.functions.sampling import dataset_split
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(300)], "doc_id long"
+        )
+        out = dataset_split(df).collect()
+        assigned = {r["doc_id"]: r["split"] for r in out}
+        assert set(assigned.values()) <= {"train", "val", "test"}
+        assert len(assigned) == 300
+        # ~90/5/5 at n=300: train strongly dominant
+        n_train = sum(1 for v in assigned.values() if v == "train")
+        assert n_train > 240
+        # append-stability: splitting a SUBSET yields identical
+        # assignments for the shared ids (no leakage under growth)
+        sub = dataset_split(
+            spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        ).collect()
+        for r in sub:
+            assert assigned[r["doc_id"]] == r["split"]
+
+    def test_dataset_split_validates(self, spark):
+        from tafra_spark.functions.sampling import dataset_split
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError):
+            dataset_split(df, {"train": 1.0})
+        with pytest.raises(ValueError):
+            dataset_split(df, {"a": 0.8, "b": 0.4})
+
+    def test_dup_span_overlapping_windows_cross_doc(self, spark):
+        from tafra_spark.functions.pipeline import dup_span_stats
+
+        # docs 1 and 2 share a 3-token run at DIFFERENT offsets —
+        # overlapping windows catch it regardless of alignment
+        rows = [
+            (1, "x1 x2 shared a b x3 x4"),
+            (2, "y1 y2 y3 shared a b"),
+            (3, "z1 z2 z3 z4 z5 z6"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in dup_span_stats(df, span_tokens=3, stride=1).collect()
+        }
+        # doc1: 5 windows, exactly 1 ('shared a b') duplicated
+        assert got[1]["n_spans"] == 5 and got[1]["n_cross_dup_spans"] == 1
+        assert got[2]["n_spans"] == 4 and got[2]["n_cross_dup_spans"] == 1
+        assert got[3]["n_cross_dup_spans"] == 0
+
+    def test_dup_span_within_doc_repeat_not_counted(self, spark):
+        from tafra_spark.functions.pipeline import dup_span_stats
+
+        # 'p q r' repeats INSIDE doc 1 only — cross-doc count stays 0
+        rows = [(1, "p q r s p q r"), (2, "u v w x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in dup_span_stats(df, span_tokens=3, stride=1).collect()
+        }
+        assert got[1]["n_cross_dup_spans"] == 0
+
+    def test_dup_span_stride_and_validation(self, spark):
+        from tafra_spark.functions.pipeline import dup_span_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        got = dup_span_stats(df, span_tokens=3, stride=2).collect()[0]
+        # starts 0,2,4 → 3 windows of (7-3)//2+1
+        assert got["n_spans"] == 3
+        with pytest.raises(ValueError):
+            dup_span_stats(df, span_tokens=0)
+
+    def test_unigram_logprob_hand_check(self, spark):
+        import math
+
+        from tafra_spark.functions.pipeline import unigram_logprob
+
+        # corpus: 'a' x3, 'b' x1 → N=4; lp(a)=ln(3/4), lp(b)=ln(1/4)
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        lp_a = math.floor(math.log(3 / 4) * 1e6 + 0.5)
+        lp_b = math.floor(math.log(1 / 4) * 1e6 + 0.5)
+        assert got[1]["logprob_q6_sum"] == 2 * lp_a + lp_b
+        assert got[1]["n_tokens"] == 3
+        assert got[2]["logprob_q6_sum"] == lp_a
+        assert got[1]["mean_logprob"] == round(
+            ((2 * lp_a + lp_b) / 1e6) / 3, 6
+        )
+        # common-token doc scores HIGHER (closer to 0) than rare-token doc
+        assert got[2]["mean_logprob"] > got[1]["mean_logprob"]
+
+
+class TestSearchOps:
+    def test_inverted_index_postings_sorted_and_banded(self, spark):
+        from tafra_spark.functions.text import inverted_index
+
+        rows = [
+            (3, "common alpha"),
+            (1, "common alpha beta"),
+            (2, "common beta beta"),
+            (4, "common solo"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["term"]: r
+            for r in inverted_index(df, min_df=2, max_df_frac=0.6).collect()
+        }
+        # 'common' df=4 > 0.6*4 → banded out; 'solo' df=1 < 2 → out
+        assert set(out) == {"alpha", "beta"}
+        assert out["alpha"]["df"] == 2
+        assert out["alpha"]["postings"] == [1, 3]  # sorted, distinct
+        assert out["beta"]["postings"] == [1, 2]  # within-doc repeat once
+
+    def test_bm25_ranks_matching_docs(self, spark):
+        from tafra_spark.functions.text import bm25_topk
+
+        rows = [
+            (1, "spark shuffle window spark"),
+            (2, "spark only here filler filler filler"),
+            (3, "nothing relevant at all whatsoever"),
+            (4, "shuffle window"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, ["spark", "shuffle", "window"], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        # non-matching doc 3 never appears; multi-term docs beat doc 2
+        assert 3 not in ids
+        assert ids.index(1) < ids.index(2)
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        # scores strictly ordered by the (score desc, id) contract
+        scores = [r["score_q6"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_bm25_validates_empty_query(self, spark):
+        from tafra_spark.functions.text import bm25_topk
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_topk(df, [])
