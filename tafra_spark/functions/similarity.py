@@ -163,9 +163,13 @@ def random_hyperplane_signature(
         return F.expr(_signature_sql(vec, dim, n_planes, seed))
     if n_planes == 0:
         return F.when(vec.isNotNull(), F.lit(0).cast("long"))
+    from ._relation import literal_array
+
     planes = _planes(dim, n_planes, seed)
-    plits = F.lit([[float(x) for x in planes[i]] for i in range(n_planes)])
-    masks = F.lit([1 << i for i in range(n_planes)])
+    plits = literal_array(
+        [[float(x) for x in planes[i]] for i in range(n_planes)]
+    )
+    masks = literal_array([1 << i for i in range(n_planes)])
     folded = F.aggregate(
         F.zip_with(
             plits,
@@ -763,19 +767,22 @@ def pq_encode(
     from .dedup import _spread
 
     corpus = _spread(corpus)
-    # Each subspace's codebook rides as ONE nested-list literal
-    # (a single py4j call — ``F.lit`` on a nested Python list ships the
-    # whole array-of-arrays at once) scanned by an index lambda, so the
-    # distance fold appears once per subspace in the plan and runs k
-    # times at runtime. Two earlier shapes measured badly here: k
-    # expanded fold copies (seconds of whole-stage-codegen compilation
-    # per query) and per-value ``F.lit`` construction (1024 py4j
-    # round-trips ≈ 3s of driver latency per plan build).
+    # Each subspace's codebook rides as ONE parsed array-of-arrays
+    # literal (:func:`literal_array` — a single py4j call) scanned by an
+    # index lambda, so the distance fold appears once per subspace in
+    # the plan and runs k times at runtime. Earlier shapes measured
+    # badly here: k expanded fold copies (seconds of whole-stage-codegen
+    # compilation per query), per-value ``F.lit`` construction (1024
+    # py4j round-trips ≈ 3s of plan-build latency), and even
+    # ``F.lit(nested_list)`` (~0.7s — it still builds a Column per
+    # leaf); the parsed literal is milliseconds with bit-exact values.
+    from ._relation import literal_array
+
     vec = F.col(vec_col)
     code_cols = []
     for s in range(m):
         subv = F.slice(vec, s * d_sub + 1, d_sub)
-        cb_arr = F.lit([centv for _, centv in sorted(by_space[s])])
+        cb_arr = literal_array([centv for _, centv in sorted(by_space[s])])
         cands = F.transform(
             cb_arr,
             lambda centv, i: F.struct(
@@ -809,7 +816,26 @@ def pq_topk(
     Distances are the fixed-point longs of :func:`_sq_q12`, so ranking
     (dist asc, neighbor id asc) is exact integer comparison. Returns
     (query_id, neighbor_id, adist_q12, rank), self-matches excluded.
+
+    Fast path: when the codebook rows are already driver-side
+    (:func:`pq_codebooks` stashes them) and the query set is small
+    (≤64), the whole LUT is computed driver-side — the identical
+    ``floor((x−y)²·1e12 + 0.5)`` scalar chain, so values are
+    bit-identical — and inlined as literal arrays. Scoring then
+    degenerates to ONE narrow projection over the codes scan
+    (``element_at`` per subspace, summed) plus the tiny top-k window:
+    no broadcast build, no posexplode join, no partial-sum exchange.
+    That removes three whole jobs of fixed latency locally, and at
+    cluster scale it's the same win: the only wide op left is the
+    top-k. Larger query sets keep the broadcast-join path below.
     """
+    cb_rows = getattr(codebooks, "_pq_rows", None)
+    if cb_rows is not None:
+        probe = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).limit(65).collect()
+        if len(probe) <= 64:
+            return _pq_topk_inline(codes, cb_rows, probe, k, id_col)
     lut = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -844,6 +870,77 @@ def pq_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q12", "rank")
+    )
+
+
+def _pq_topk_inline(
+    codes: DataFrame,
+    cb_rows: list,
+    q_rows: list,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """:func:`pq_topk`'s literal-LUT fast path. The per-(query,
+    subspace, code) fixed-point distances are computed driver-side with
+    the EXACT scalar chain of :func:`_sq_q12` — Python doubles are the
+    same correctly-rounded IEEE ops the JVM runs, so every LUT entry is
+    bit-identical to the broadcast path's — and shipped as one literal
+    array per (query, subspace). Each corpus row's score per query is
+    m ``element_at`` hits summed; rows fan out |Q|-wide through ONE
+    inline explode and rank in the top-k window."""
+    import math
+
+    by_space: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb_rows:
+        by_space.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    m = len(by_space)
+
+    def lut_row(qv: list, s: int) -> list[int]:
+        cents = sorted(by_space[s])
+        d_sub = len(cents[0][1])
+        sub = [float(x) for x in qv[s * d_sub : (s + 1) * d_sub]]
+        out = []
+        for _, cv in cents:
+            acc = 0
+            for x, y in zip(sub, cv):
+                acc += math.floor((x - y) * (x - y) * 1e12 + 0.5)
+            out.append(acc)
+        return out
+
+    from ._relation import literal_array
+
+    entries = []
+    for qid, qv in q_rows:
+        adist = None
+        for s in range(m):
+            term = F.element_at(
+                literal_array(lut_row(list(qv), s)),
+                F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+            )
+            adist = term if adist is None else adist + term
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                adist.alias("adist_q12"),
+            )
+        )
+    ex = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(F.array(*entries)).alias("qa"),
+        )
+        .select("neighbor_id", F.col("qa.query_id"), F.col("qa.adist_q12"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q12", "rank")
     )
