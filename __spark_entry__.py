@@ -1801,6 +1801,55 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=2, max_df_frac=0.8)
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style declarative constraint check: N rules, ONE aggregate
+    # pass, per-rule violation counts
+    from tafra_spark.functions.checks import constraint_report
+
+    orders = _read(spark, sf_dir, "orders")
+    return constraint_report(
+        orders,
+        [
+            {"rule": "not_null", "col": "o_orderkey"},
+            {"rule": "unique", "col": "o_orderkey"},
+            {"rule": "min", "col": "o_totalprice", "value": 0.0},
+            {"rule": "max", "col": "o_totalprice", "value": 100000.0},
+            {
+                "rule": "in_set",
+                "col": "o_orderstatus",
+                "values": ["O", "F", "P"],
+            },
+            {"rule": "matches", "col": "o_orderpriority", "pattern": r"\d-[A-Z]+"},
+        ],
+    )
+
+
+def snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest churn monitor between two simulated corpus deliveries:
+    # added / removed / changed / unchanged per source (content equality
+    # by fingerprint, never text compare)
+    from tafra_spark.functions.pipeline import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # length-bucketed batch planning: per-(bucket, shard) batches with
+    # padded-token waste accounting; sharded so packing stays parallel
+    from tafra_spark.functions.pipeline import inference_batches
+
+    docs = _read(spark, sf_dir, "documents")
+    return inference_batches(docs, batch_size=16, n_shards=4)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1812,6 +1861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "data_quality_report": data_quality_report,
+        "snapshot_churn": snapshot_churn,
+        "inference_batch_plan": inference_batch_plan,
         "dataset_split_counts": dataset_split_counts,
         "dup_span_fraction": dup_span_fraction,
         "unigram_logprob_quality": unigram_logprob_quality,
@@ -2402,6 +2454,99 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "data_quality_report": """
+            WITH a AS (
+              SELECT
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v0,
+                CAST(count(*) - count(DISTINCT o_orderkey)
+                     - max(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND o_totalprice < 0.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v3,
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+                CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_full_match(o_orderpriority,
+                                  '\\d-[A-Z]+') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v5
+              FROM orders
+            )
+            SELECT CAST(0 AS BIGINT) AS rule_idx, 'not_null' AS rule,
+                   'o_orderkey' AS col, v0 AS n_violations, v0 = 0 AS passed
+            FROM a
+            UNION ALL SELECT 1, 'unique', 'o_orderkey', v1, v1 = 0 FROM a
+            UNION ALL SELECT 2, 'min', 'o_totalprice', v2, v2 = 0 FROM a
+            UNION ALL SELECT 3, 'max', 'o_totalprice', v3, v3 = 0 FROM a
+            UNION ALL SELECT 4, 'in_set', 'o_orderstatus', v4, v4 = 0 FROM a
+            UNION ALL SELECT 5, 'matches', 'o_orderpriority', v5, v5 = 0
+            FROM a
+        """,
+        "snapshot_churn": """
+            WITH old_snap AS (
+              SELECT doc_id, source,
+                     md5(lower(regexp_replace(trim(coalesce(text, '')),
+                         '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 10 != 0
+            ),
+            new_snap AS (
+              SELECT doc_id, source,
+                     md5(lower(regexp_replace(trim(coalesce(
+                         CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                              ELSE text END, '')), '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 10 != 1
+            )
+            SELECT coalesce(n.source, o.source) AS source,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp != n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   count(*) AS n_docs
+            FROM old_snap o FULL OUTER JOIN new_snap n
+              ON o.doc_id = n.doc_id
+            GROUP BY 1, 2
+        """,
+        "inference_batch_plan": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            b2 AS (
+              SELECT doc_id, nt,
+                     CASE WHEN nt <= 8 THEN 8 WHEN nt <= 16 THEN 16
+                          WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+                          WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
+                          WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024
+                          WHEN nt <= 2048 THEN 2048 ELSE 4096 END AS bucket,
+                     CAST(concat('0x',
+                          substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 4 AS shard
+              FROM base
+            ),
+            p AS (
+              SELECT *,
+                     CAST(floor((row_number() OVER (
+                         PARTITION BY bucket, shard
+                         ORDER BY nt DESC, doc_id) - 1) / 16) AS BIGINT)
+                         AS batch_id
+              FROM b2
+            )
+            SELECT bucket, shard, batch_id,
+                   count(*) AS n_docs,
+                   CAST(max(nt) AS BIGINT) AS max_tokens,
+                   CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                   CAST(bucket * count(*) - sum(nt) AS BIGINT)
+                       AS padded_tokens,
+                   round(CAST(bucket * count(*) - sum(nt) AS DOUBLE)
+                         / (bucket * count(*)), 6) AS waste_frac
+            FROM p GROUP BY bucket, shard, batch_id
+        """,
         "dataset_split_counts": """
             WITH assigned AS (
               SELECT source,

@@ -46,6 +46,8 @@ HEADLINE = [
     "pq_ann_topk",
     "boilerplate_phrase_stats",
     "source_overlap_matrix",
+    "bm25_search_topk",
+    "dup_span_fraction",
 ]
 
 

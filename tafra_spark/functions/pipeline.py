@@ -57,6 +57,8 @@ __all__ = [
     "collocations",
     "dup_span_stats",
     "unigram_logprob",
+    "snapshot_diff",
+    "inference_batches",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1064,8 +1066,22 @@ def dup_span_stats(
     """
     if span_tokens < 1 or stride < 1:
         raise ValueError("dup_span_stats: span_tokens and stride must be >= 1")
-    toks = word_tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
+    from .dedup import _spread
+
+    # materialize the token array in its own projection BEFORE the span
+    # fold: the fold's lambda slices a concrete array column instead of
+    # re-evaluating split(lower(text)) once per span (interpreted HOFs
+    # don't CSE across lambda invocations — measured 4s of pure
+    # re-tokenization at sf0.1), and _spread keeps the CPU-bound fold
+    # off the 1-2 partitions a small parquet scan arrives in
+    base = _spread(
+        df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col),
+            word_tokens(F.lower(F.col(text_col))).alias("__t__"),
+        )
+    )
+    t = F.col("__t__")
+    n = F.size(t)
     n_spans = F.when(
         n >= span_tokens,
         F.floor((n - span_tokens) / stride).cast("int") + 1,
@@ -1075,15 +1091,13 @@ def dup_span_stats(
         F.transform(
             F.sequence(F.lit(0), n_spans - 1),
             lambda i: F.array_join(
-                F.slice(toks, i * stride + 1, span_tokens), " "
+                F.slice(t, i * stride + 1, span_tokens), " "
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    span_rows = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.explode(spans).alias("span"))
-        .select(F.col(id_col), _ngram_hash(F.col("span")).alias("h"))
-    )
+    span_rows = base.select(
+        F.col(id_col), F.explode(spans).alias("span")
+    ).select(F.col(id_col), _ngram_hash(F.col("span")).alias("h"))
     ndocs = span_rows.groupBy("h").agg(
         F.countDistinct(id_col).alias("__nd__")
     )
@@ -1157,6 +1171,133 @@ def unigram_logprob(
             F.round(
                 (F.col("logprob_q6_sum").cast("double") / F.lit(1e6))
                 / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Churn report between two corpus snapshots — the ingest-monitoring
+    op a continuously-refreshed corpus runs per delivery: which
+    documents were added, removed, changed (same id, different content
+    fingerprint), or unchanged, counted per source.
+
+    One full-outer join on the id — the only shuffle, linear in the
+    larger snapshot; content equality is the 16-byte md5 fingerprint,
+    never the text (the join carries id + fp + source, so the wire cost
+    is ~40 bytes/doc regardless of document size). A document present
+    only in ``new`` is ``added``; only in ``old`` is ``removed``.
+    Returns (``strata_col``, status, n_docs).
+    """
+    o = old.select(
+        F.col(id_col),
+        F.col(strata_col).alias("__so__"),
+        fingerprint(F.col(text_col)).alias("__fo__"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.col(strata_col).alias("__sn__"),
+        fingerprint(F.col(text_col)).alias("__fn__"),
+    )
+    status = (
+        F.when(F.col("__fo__").isNull(), F.lit("added"))
+        .when(F.col("__fn__").isNull(), F.lit("removed"))
+        .when(F.col("__fo__") != F.col("__fn__"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .select(
+            F.coalesce(F.col("__sn__"), F.col("__so__")).alias(strata_col),
+            status.alias("status"),
+        )
+        .groupBy(strata_col, "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+#: power-of-two-ish padding boundaries for :func:`inference_batches` —
+#: the standard bucketing an inference server pads sequences to
+_BATCH_BOUNDARIES = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def inference_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundaries: tuple = _BATCH_BOUNDARIES,
+) -> DataFrame:
+    """Length-bucketed batch planning for inference/scoring runs: docs
+    are padded to the next length boundary, so batching same-bucket
+    docs together minimizes wasted padded tokens (the dominant cost of
+    naive batching — a 5-token doc in a 2048-token batch pays 2043
+    tokens of padding).
+
+    Docs map to the smallest boundary ≥ their token count (overflow
+    caps at the largest); within each (bucket, shard) they pack into
+    ``batch_size``-doc batches ordered by (tokens desc, id), so each
+    batch's max length is as tight as the bucket allows. The shard —
+    a salted doc-id hash — keeps the packing window PARALLEL: batches
+    form per (bucket, shard), never across a corpus-wide sort, which is
+    the difference between a distributed plan and a single-partition
+    bottleneck at 100 TB (padding efficiency is within one batch per
+    shard of the global-sort answer). Returns one row per batch:
+    (bucket, shard, batch_id, n_docs, max_tokens, sum_tokens,
+    padded_tokens, waste_frac) where padded = bucket·n − sum (pad to
+    the BUCKET boundary, the realistic serving contract).
+    """
+    from .sampling import hash_mod
+    from .text import token_count
+
+    if batch_size < 1 or n_shards < 1:
+        raise ValueError(
+            "inference_batches: batch_size and n_shards must be >= 1"
+        )
+    nt = token_count(F.col(text_col))
+    bucket = F.lit(int(boundaries[-1]))
+    for b in sorted(boundaries, reverse=True):
+        bucket = F.when(nt <= b, F.lit(int(b))).otherwise(bucket)
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        nt.alias("__nt__"),
+        bucket.alias("bucket"),
+        hash_mod(F.col(id_col), n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("__nt__").desc(), F.col(id_col)
+    )
+    packed = base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return (
+        packed.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # long on the wire: int32 here would hash differently from
+            # the oracle's BIGINT under the driver's width-sensitive canon
+            F.max("__nt__").cast("long").alias("max_tokens"),
+            F.sum("__nt__").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padded_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "waste_frac",
+            F.round(
+                F.col("padded_tokens").cast("double")
+                / (F.col("bucket") * F.col("n_docs")).cast("double"),
                 6,
             ),
         )

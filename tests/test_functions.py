@@ -2043,3 +2043,95 @@ class TestSearchOps:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             bm25_topk(df, [])
+
+
+class TestChecksChurnBatches:
+    def test_constraint_report_counts(self, spark):
+        from tafra_spark.functions.checks import constraint_report
+
+        rows = [
+            (1, "a", 5.0),
+            (2, "b", -1.0),
+            (2, "zz", 50.0),
+            (None, "a", None),
+        ]
+        df = spark.createDataFrame(rows, "id long, cat string, v double")
+        out = {
+            r["rule_idx"]: r
+            for r in constraint_report(
+                df,
+                [
+                    {"rule": "not_null", "col": "id"},
+                    {"rule": "unique", "col": "id"},
+                    {"rule": "min", "col": "v", "value": 0.0},
+                    {"rule": "max", "col": "v", "value": 10.0},
+                    {"rule": "in_set", "col": "cat", "values": ["a", "b"]},
+                    {"rule": "matches", "col": "cat", "pattern": "[a-y]+"},
+                ],
+            ).collect()
+        }
+        assert out[0]["n_violations"] == 1  # one NULL id
+        assert out[1]["n_violations"] == 1  # id=2 twice -> 1 extra row
+        assert out[2]["n_violations"] == 1  # v=-1 (NULL v passes min)
+        assert out[3]["n_violations"] == 1  # v=50
+        assert out[4]["n_violations"] == 1  # 'zz'
+        assert out[5]["n_violations"] == 1  # 'zz' fails [a-y]+ full match
+        assert not any(r["passed"] for r in out.values())
+
+    def test_constraint_report_unique_null_dups(self, spark):
+        from tafra_spark.functions.checks import constraint_report
+
+        df = spark.createDataFrame(
+            [(None,), (None,), (1,)], "id long"
+        )
+        r = constraint_report(df, [{"rule": "unique", "col": "id"}]).collect()
+        # two NULLs = one value seen twice -> 1 violation
+        assert r[0]["n_violations"] == 1
+
+    def test_constraint_report_validates(self, spark):
+        from tafra_spark.functions.checks import constraint_report
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError):
+            constraint_report(df, [])
+        with pytest.raises(ValueError):
+            constraint_report(df, [{"rule": "not_null", "col": "nope"}])
+        with pytest.raises(ValueError):
+            constraint_report(df, [{"rule": "mystery", "col": "id"}])
+
+    def test_snapshot_diff_statuses(self, spark):
+        from tafra_spark.functions.pipeline import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "s", "same text"), (2, "s", "will change"), (3, "s", "gone")],
+            "doc_id long, source string, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "s", "same  text"), (2, "s", "changed!"), (4, "s", "fresh")],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            r["status"]: r["n_docs"] for r in snapshot_diff(old, new).collect()
+        }
+        # doc1 unchanged (fingerprint normalizes whitespace), doc2
+        # changed, doc3 removed, doc4 added
+        assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+    def test_inference_batches_packing(self, spark):
+        from tafra_spark.functions.pipeline import inference_batches
+
+        # 5 docs in the <=8 bucket with batch_size 2 in ONE shard:
+        # batches of 2/2/1 ordered by tokens desc
+        rows = [(i, "w " * (i + 2)) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = inference_batches(df, batch_size=2, n_shards=1).collect()
+        assert all(r["bucket"] == 8 for r in out)
+        assert sorted(r["n_docs"] for r in out) == [1, 2, 2]
+        total_pad = sum(r["padded_tokens"] for r in out)
+        # padding = sum over docs of (8 - n_tokens) = (8-2..8-6)
+        assert total_pad == sum(8 - (i + 2) for i in range(5))
+        for r in out:
+            assert r["padded_tokens"] == 8 * r["n_docs"] - r["sum_tokens"]
+            assert 0.0 <= r["waste_frac"] < 1.0
+        with pytest.raises(ValueError):
+            inference_batches(df, batch_size=0)
