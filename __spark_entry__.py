@@ -1850,6 +1850,24 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inference_batches(docs, batch_size=16, n_shards=4)
 
 
+def segment_dedup_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet segment dedup as a transformation: rebuild each doc with
+    # corpus-wide duplicate segments removed (first occurrence wins)
+    from tafra_spark.functions.pipeline import segment_dedup_rewrite
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dedup_rewrite(docs, seg_tokens=10)
+
+
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS winnowing fingerprints: pairs sharing >= 3 selected-min
+    # k-gram hashes — position-robust partial-overlap detection
+    from tafra_spark.functions.pipeline import winnow_overlap_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1861,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "segment_dedup_rewritten": segment_dedup_rewritten,
+        "winnow_overlap": winnow_overlap,
         "data_quality_report": data_quality_report,
         "snapshot_churn": snapshot_churn,
         "inference_batch_plan": inference_batch_plan,
@@ -2454,6 +2474,69 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "segment_dedup_rewritten": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+                       i -> struct_pack(seg_idx := i,
+                         seg := array_to_string(ws[i*10+1:i*10+10], ' '))))
+                       AS u
+              FROM w
+            ),
+            hh AS (
+              SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg,
+                     CAST(concat('0x', substr(md5(u.seg), 1, 15)) AS BIGINT)
+                         AS h
+              FROM s
+            ),
+            flagged AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, seg_idx) = 1 AS keep
+              FROM hh
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped,
+                   coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                       ORDER BY seg_idx), '') AS new_text
+            FROM flagged GROUP BY doc_id
+        """,
+        "winnow_overlap": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(0, len(ws) - 2),
+                       i -> CAST(concat('0x', substr(md5(
+                         array_to_string(ws[i+1:i+3], ' ')), 1, 15))
+                         AS BIGINT)) AS gh
+              FROM w
+            ),
+            fp AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(gh) - 3 > 0
+                       THEN list_transform(range(0, len(gh) - 3),
+                         i -> list_min(gh[i+1:i+4]))
+                       ELSE gh END)) AS fp
+              FROM g
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM fp l JOIN fp r
+              ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
         "data_quality_report": """
             WITH a AS (
               SELECT

@@ -59,6 +59,9 @@ __all__ = [
     "unigram_logprob",
     "snapshot_diff",
     "inference_batches",
+    "segment_dedup_rewrite",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1301,4 +1304,168 @@ def inference_batches(
                 6,
             ),
         )
+    )
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """CCNet-style segment dedup as a TRANSFORMATION: documents are
+    rebuilt with every segment that duplicates an earlier occurrence
+    (corpus order = (doc id, segment index)) removed; the first
+    occurrence survives. :func:`segment_dedup_stats` reports the
+    signal — this op produces the deduplicated corpus itself, which is
+    what the CCNet pipeline actually ships downstream.
+
+    Unlike the stats op, the TAIL partial segment is kept (rewriting
+    must not silently truncate text that merely doesn't fill a window).
+
+    Plan: per-row segmentation fold → explode with position → ONE
+    first-occurrence window on the 8-byte segment hash → per-doc
+    rebuild via sorted collect. Two linear shuffles (hash window, doc
+    rebuild); the rebuild carries only surviving segment text. Returns
+    (id, n_segments, n_dropped, new_text) — new_text '' when every
+    segment was a duplicate.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_seg = F.ceil(n / F.lit(seg_tokens)).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+        .select(
+            F.col(id_col),
+            F.col("seg_idx"),
+            F.col("seg"),
+            _ngram_hash(F.col("seg")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("seg_idx"))
+    flagged = seg_rows.withColumn(
+        "__keep__", F.row_number().over(w) == 1
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~F.col("__keep__")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep__"),
+                                F.struct(
+                                    F.col("seg_idx"), F.col("seg")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every
+    ``k``-gram, slide a ``window``-wide frame over the hash sequence,
+    and record each frame's MINIMUM hash (ties broken toward the
+    RIGHTMOST position, per the paper). Guarantees: any shared run of
+    ``window + k − 1`` tokens between two documents shares at least one
+    fingerprint, while only ~2/(window+1) of the grams are kept —
+    position-robust partial-overlap detection at a fraction of the
+    full shingle set.
+
+    Zero-shuffle per-row fold (O(n·window) element visits per doc —
+    both are bounded); the fingerprint set is ``array_distinct``-ed
+    per doc before exploding, so the output stream is already minimal.
+    Returns (id, fp) rows — feed :func:`winnow_overlap_pairs` or
+    persist as the fingerprint index.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: _ngram_hash(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), grams.alias("__g__")
+    )
+    g = F.col("__g__")
+    n_windows = F.size(g) - (window - 1)
+    # one fingerprint per frame: the min hash of the frame (rightmost
+    # duplicate wins the tie — irrelevant to the VALUE recorded here,
+    # which is what defines the fingerprint set)
+    fps = F.when(
+        n_windows > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: F.array_min(F.slice(g, i + 1, window)),
+            )
+        ),
+    ).otherwise(
+        # short doc (under one frame): keep all gram hashes so tiny
+        # docs are still indexable rather than fingerprint-less
+        F.array_distinct(g)
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS-style partial-overlap report (copied paragraphs, shared
+    boilerplate runs) that full-document dedup misses.
+
+    The self-join key is the fingerprint hash, so shuffle volume is
+    linear in the (already ~2/(window+1)-thinned) fingerprint stream;
+    candidate fan-out is bounded per fingerprint by its posting size,
+    never corpus². Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    left = fps.alias("l")
+    right = fps.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -2135,3 +2135,70 @@ class TestChecksChurnBatches:
             assert 0.0 <= r["waste_frac"] < 1.0
         with pytest.raises(ValueError):
             inference_batches(df, batch_size=0)
+
+
+class TestRewriteAndWinnow:
+    def test_segment_rewrite_drops_later_occurrence(self, spark):
+        from tafra_spark.functions.pipeline import segment_dedup_rewrite
+
+        rows = [
+            (1, "a b c x y z"),
+            (2, "a b c q r s"),  # first segment duplicates doc 1's
+            (3, "u v w"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in segment_dedup_rewrite(df, seg_tokens=3).collect()
+        }
+        assert got[1]["n_dropped"] == 0 and got[1]["new_text"] == "a b c x y z"
+        # doc 2 loses 'a b c' (doc 1 owns the first occurrence)
+        assert got[2]["n_dropped"] == 1 and got[2]["new_text"] == "q r s"
+        assert got[3]["new_text"] == "u v w"  # tail under one window kept
+
+    def test_segment_rewrite_all_dropped_empty_text(self, spark):
+        from tafra_spark.functions.pipeline import segment_dedup_rewrite
+
+        rows = [(1, "a b c"), (2, "a b c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in segment_dedup_rewrite(df, seg_tokens=3).collect()
+        }
+        assert got[1]["new_text"] == "a b c"
+        assert got[2]["new_text"] == "" and got[2]["n_dropped"] == 1
+
+    def test_winnow_shared_run_guarantee(self, spark):
+        from tafra_spark.functions.pipeline import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        # k=3, window=4: any shared run of window+k-1 = 6 tokens MUST
+        # share at least one fingerprint (the winnowing guarantee)
+        shared = "p q r s t u"
+        rows = [
+            (1, f"a b c d {shared} e f g"),
+            (2, f"m n {shared} o"),
+            (3, "completely unrelated words here now today"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = winnow_overlap_pairs(
+            df, k=3, window=4, min_shared=1
+        ).collect()
+        assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+        assert not any(3 in (r["id_a"], r["id_b"]) for r in pairs)
+        # fingerprint density: far fewer fingerprints than grams
+        fps = winnow_fingerprints(df, k=3, window=4).collect()
+        n_grams = sum(len(t.split()) - 2 for _, t in rows)
+        assert 0 < len(fps) < n_grams
+
+    def test_winnow_short_doc_still_indexed(self, spark):
+        from tafra_spark.functions.pipeline import winnow_fingerprints
+
+        # 4 tokens -> 2 grams, under one 4-frame: all grams kept
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        fps = winnow_fingerprints(df, k=3, window=4).collect()
+        assert len(fps) == 2

@@ -369,7 +369,24 @@ class TestPQPlanShapes:
         cb = pq_codebooks(emb, m=4, k=16)
         assert count_exchanges(pq_encode(emb, cb)) == 0
 
-    def test_pq_topk_exchange_ceiling(self, spark, emb):
+    def test_pq_topk_inline_path_no_join(self, spark, emb):
+        from tafra_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        cb = pq_codebooks(emb, m=4, k=16)
+        codes = pq_encode(emb, cb)
+        plan = pq_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=10)
+        # small query set + driver-side codebook rows → literal-LUT
+        # scoring: NO join of any kind; the only wide exchange is the
+        # per-query rank window
+        assert "Join" not in explain_str(plan)
+        assert count_exchanges(plan) <= 1
+
+    def test_pq_topk_broadcast_path_exchange_ceiling(self, spark, emb):
         from tafra_spark.functions.similarity import (
             pq_codebooks,
             pq_encode,
@@ -382,6 +399,9 @@ class TestPQPlanShapes:
 
         cb = pq_codebooks(emb, m=4, k=16)
         codes = pq_encode(emb, cb)
+        # drop the driver-side row stash to force the cloud-scale
+        # broadcast-join path
+        del cb._pq_rows
         plan = pq_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=10)
         # the LUT side must broadcast; the only wide exchanges are the
         # (query, neighbor) sum agg and the per-query rank window
@@ -468,3 +488,69 @@ class TestZOrderLayout:
         one.write_parquet_zorder(out, ["k", "l_partkey"], bits=6, n_files=4)
         back = spark.read.parquet(out)
         assert back.count() == li.df.count()
+
+
+class TestNewOpPlanShapes:
+    """Scale contracts of the r4 retrieval/quality/batching operators."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.read.parquet(f"{SF}/documents.parquet")
+
+    def test_constraint_report_single_pass(self, spark):
+        from tafra_spark.functions.checks import constraint_report
+        from tafra_spark.plans.inspect import explain_str
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        plan = constraint_report(
+            orders,
+            [
+                {"rule": "not_null", "col": "o_orderkey"},
+                {"rule": "min", "col": "o_totalprice", "value": 0.0},
+                {"rule": "unique", "col": "o_orderkey"},
+            ],
+        )
+        # N rules, ONE scan: exactly one parquet relation in the plan
+        s = explain_str(plan, "simple")
+        assert s.count("Scan parquet") == 1
+
+    def test_bm25_uses_distributed_take_ordered(self, spark, docs):
+        from tafra_spark.functions.text import bm25_topk
+        from tafra_spark.plans.inspect import explain_str
+
+        plan = bm25_topk(docs, ["spark", "shuffle"], k=10)
+        # the corpus-wide top-k must be TakeOrdered (distributed
+        # partial top-k), never a global single-partition sort window
+        s = explain_str(plan)
+        assert "TakeOrderedAndProject" in s
+
+    def test_dup_span_exchange_ceiling(self, spark, docs):
+        from tafra_spark.functions.pipeline import dup_span_stats
+        from tafra_spark.plans.inspect import count_exchanges
+
+        # spread + span-hash count + join-back + per-doc agg: the span
+        # stream shuffles a bounded number of times, linear rows each
+        assert count_exchanges(dup_span_stats(docs)) <= 4
+
+    def test_inference_batches_single_window_shuffle(self, spark, docs):
+        from tafra_spark.functions.pipeline import inference_batches
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        plan = inference_batches(docs, batch_size=16, n_shards=4)
+        # one (bucket, shard) exchange feeds both the packing window and
+        # the batch aggregate (partial agg rides the same partitioning)
+        assert count_exchanges(plan) <= 2
+        assert "Window" in explain_str(plan)
+
+    def test_inverted_index_linear_shuffles(self, spark, docs):
+        from tafra_spark.functions.text import inverted_index
+        from tafra_spark.plans.inspect import (
+            count_exchanges,
+            has_broadcast_join,
+        )
+
+        plan = inverted_index(docs)
+        # (term, doc)-distinct + term aggregate; the corpus count rides
+        # a broadcast — never a shuffled join
+        assert has_broadcast_join(plan)
+        assert count_exchanges(plan) <= 3
