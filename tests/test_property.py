@@ -313,3 +313,90 @@ class TestRound4Properties:
         assert len(rows) == len(data)
         # every batch doc's fingerprint exists in `seen` (itself)
         assert all(r["in_seen"] and not r["keep"] for r in rows)
+
+
+class TestWinnowProperties:
+    @given(
+        data=st.data(),
+        run_len=st.integers(min_value=6, max_value=10),
+    )
+    @settings(**_SETTINGS)
+    def test_shared_run_always_shares_fingerprint(self, spark, data, run_len):
+        """The winnowing guarantee (Schleimer et al. 2003 thm): with
+        gram size k and frame w, ANY shared token run of length
+        >= w + k - 1 produces at least one shared fingerprint."""
+        from tafra_spark.functions.pipeline import winnow_overlap_pairs
+
+        # k=3, w=4 -> guarantee threshold 6
+        vocab = [f"w{i}" for i in range(30)]
+        shared = data.draw(
+            st.lists(
+                st.sampled_from(vocab), min_size=run_len, max_size=run_len
+            )
+        )
+        pre_a = data.draw(st.lists(st.sampled_from(vocab), max_size=6))
+        pre_b = data.draw(st.lists(st.sampled_from(vocab), max_size=6))
+        post_a = data.draw(st.lists(st.sampled_from(vocab), max_size=6))
+        post_b = data.draw(st.lists(st.sampled_from(vocab), max_size=6))
+        rows = [
+            (1, " ".join(pre_a + shared + post_a)),
+            (2, " ".join(pre_b + shared + post_b)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = winnow_overlap_pairs(
+            df, k=3, window=4, min_shared=1
+        ).collect()
+        assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+
+
+class TestBm25Properties:
+    @given(data=st.data())
+    @settings(**_SETTINGS)
+    def test_bm25_matches_python_reference(self, spark, data):
+        """Spark BM25 scores equal an independent Python implementation
+        of the same formula (q6 fixed-point), doc for doc."""
+        import math
+
+        from tafra_spark.functions.text import bm25_topk
+
+        vocab = ["apple", "pear", "plum", "kiwi", "fig"]
+        n_docs = data.draw(st.integers(min_value=2, max_value=8))
+        docs = [
+            (
+                i,
+                " ".join(
+                    data.draw(
+                        st.lists(
+                            st.sampled_from(vocab), min_size=1, max_size=12
+                        )
+                    )
+                ),
+            )
+            for i in range(n_docs)
+        ]
+        terms = ["apple", "plum"]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["score_q6"]
+            for r in bm25_topk(df, terms, k=100).collect()
+        }
+        # reference implementation
+        toks = {i: t.split() for i, t in docs}
+        N = len(docs)
+        avgdl = sum(len(v) for v in toks.values()) / N
+        dfreq = {
+            t: sum(1 for v in toks.values() if t in v) for t in terms
+        }
+        exp = {}
+        for i, v in toks.items():
+            s = 0
+            for t in sorted(set(terms)):
+                tf = v.count(t)
+                if tf == 0 or dfreq[t] == 0:
+                    continue
+                idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                denom = tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl))
+                s += math.floor(idf * (tf * 2.2 / denom) * 1e6 + 0.5)
+            if s:
+                exp[i] = s
+        assert got == exp
