@@ -404,6 +404,39 @@ class Tafra:
         return cls(df=reader.json(path))
 
     @classmethod
+    def read_text(
+        cls,
+        path: str,
+        whole_file: bool = False,
+        line_col: str = "text",
+        spark: Optional[SparkSession] = None,
+    ) -> "Tafra":
+        """Scan raw text (extension — no reference counterpart): one row
+        per LINE by default, or one row per FILE with ``whole_file``
+        (columns ``path``, ``text`` — small-doc corpora stored
+        file-per-document).
+
+        Line mode is the splittable scale path: Spark splits text files
+        on block boundaries, so a 100 TB line corpus parallelizes like
+        any other scan. Whole-file mode reads each file on ONE task —
+        correct for file-per-document layouts, a bottleneck for a few
+        giant files; it exists for ingest, not analytics (convert to
+        parquet/JSONL downstream).
+        """
+        spark = spark or cls._spark()
+        if whole_file:
+            # wholetext keeps one row per file; attach the path for the
+            # doc identity the downstream pipeline will key on
+            df = spark.read.text(path, wholetext=True).select(
+                F.input_file_name().alias("path"),
+                F.col("value").alias("text"),
+            )
+            return cls(df=df)
+        return cls(
+            df=spark.read.text(path).select(F.col("value").alias(line_col))
+        )
+
+    @classmethod
     def read_orc(
         cls, path: str, spark: Optional[SparkSession] = None
     ) -> "Tafra":

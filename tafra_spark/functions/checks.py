@@ -74,12 +74,18 @@ def _violations(rule: Mapping) -> Column:
     raise ValueError(f"constraint_report: unknown rule kind {kind!r}")
 
 
-def constraint_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
+def constraint_report(
+    df: DataFrame,
+    rules: Sequence[Mapping],
+    n_rows_col: str | None = None,
+) -> DataFrame:
     """Compile ``rules`` into one aggregate; see module docstring.
 
     The report rows come back in rule-list order via an index column so
     the output is deterministic without depending on aggregate-alias
-    ordering.
+    ordering. ``n_rows_col`` adds the scanned row count as a column on
+    every report row — inside the SAME aggregate, so the monitoring
+    sink gets it without a second pass.
     """
     if not rules:
         raise ValueError("constraint_report: rules must be non-empty")
@@ -92,6 +98,8 @@ def constraint_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         aggs.append(
             F.coalesce(_violations(rule), F.lit(0)).alias(f"__v{i}__")
         )
+    if n_rows_col is not None:
+        aggs.append(F.count(F.lit(1)).alias("__nrows__"))
     one = df.agg(*aggs)
     reports = F.array(
         *[
@@ -105,6 +113,19 @@ def constraint_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
             for i, r in enumerate(rules)
         ]
     )
-    return one.select(F.explode(reports).alias("r")).select(
-        "r.rule_idx", "r.rule", "r.col", "r.n_violations", "r.passed"
+    out = one.select(
+        F.explode(reports).alias("r"),
+        *([F.col("__nrows__")] if n_rows_col is not None else []),
+    ).select(
+        "r.rule_idx",
+        "r.rule",
+        "r.col",
+        "r.n_violations",
+        "r.passed",
+        *(
+            [F.col("__nrows__").cast("long").alias(n_rows_col)]
+            if n_rows_col is not None
+            else []
+        ),
     )
+    return out

@@ -37,6 +37,7 @@ __all__ = [
     "corpus_gate_stream",
     "ledger_dedup_sink",
     "fuzzy_ledger_dedup_sink",
+    "quality_monitor_sink",
     "run_to_memory_sink",
 ]
 
@@ -578,5 +579,37 @@ def fuzzy_ledger_dedup_sink(
         finally:
             survivors.unpersist()
             bands.unpersist()
+
+    return process
+
+def quality_monitor_sink(report_path: str, rules: list):
+    """Continuous data-quality monitoring: a ``foreachBatch`` function
+    that runs :func:`~tafra_spark.functions.checks.constraint_report`
+    on every micro-batch and appends the per-batch violation report —
+    the streaming face of the declarative constraint checker, filling
+    the role Deequ's ``VerificationSuite`` plays on a batch lake.
+
+    Each report row is (batch_id, rule_idx, rule, col, n_violations,
+    n_rows, passed); alerting is a trivial filter over the report table
+    (``passed = false``). Replay-idempotent like the ledger sinks:
+    the report is partitioned by ``batch_id`` and each batch OVERWRITES
+    its own partition, so at-least-once redelivery rewrites an
+    identical report instead of double-counting.
+
+    Scale: the report adds ONE aggregate pass over data the batch
+    already materialized — no extra shuffle, no state store; the report
+    table grows by len(rules) rows per batch regardless of batch size.
+
+    Use: ``stream.writeStream.foreachBatch(
+    quality_monitor_sink(path, rules)).trigger(...)``; call the
+    returned function directly to monitor batch backfills.
+    """
+    from ..functions.checks import constraint_report
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = constraint_report(batch_df, rules, n_rows_col="n_rows")
+        report.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
 
     return process

@@ -297,3 +297,28 @@ class TestLayoutMaintenance:
         n = Tafra.compact_parquet(src, out, spark=spark)
         assert n >= 1
         assert spark.read.parquet(out).count() == li.count()
+
+
+class TestReadText:
+    def test_line_mode(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        p = tmp_path / "corpus.txt"
+        p.write_text("first line\nsecond line\nthird\n")
+        t = Tafra.read_text(str(p), spark=spark)
+        assert list(t.columns) == ["text"]
+        got = sorted(r["text"] for r in t.df.collect())
+        assert got == ["first line", "second line", "third"]
+
+    def test_whole_file_mode(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "a.txt").write_text("doc a body\nwith two lines")
+        (d / "b.txt").write_text("doc b")
+        t = Tafra.read_text(str(d), whole_file=True, spark=spark)
+        assert list(t.columns) == ["path", "text"]
+        got = {r["path"].split("/")[-1]: r["text"] for r in t.df.collect()}
+        assert got["a.txt"] == "doc a body\nwith two lines"
+        assert got["b.txt"] == "doc b"

@@ -470,3 +470,76 @@ class TestFuzzyLedgerDedupSink:
         # empties dedup through the reserved band: min-id 1 survives,
         # 2 (in-batch) and 10 (cross-batch) drop
         assert got == {1, 3, 11}
+
+
+class TestQualityMonitorSink:
+    RULES = [
+        {"rule": "not_null", "col": "doc_id"},
+        {"rule": "unique", "col": "doc_id"},
+        {"rule": "matches", "col": "text", "pattern": "[a-z ]*"},
+    ]
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_per_batch_reports(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import quality_monitor_sink
+
+        rep = str(tmp_path / "rep")
+        sink = quality_monitor_sink(rep, self.RULES)
+        sink(self._mk(spark, [(1, "ok text"), (2, "ALSO OK?")]), 0)
+        sink(self._mk(spark, [(3, "fine"), (3, "dup id"), (None, "x")]), 1)
+        got = {
+            (r["batch_id"], r["rule_idx"]): r
+            for r in spark.read.parquet(rep).collect()
+        }
+        assert len(got) == 6
+        # batch 0: clean ids, one regex violation ('ALSO OK?')
+        assert got[(0, 0)]["n_violations"] == 0
+        assert got[(0, 2)]["n_violations"] == 1
+        assert got[(0, 0)]["n_rows"] == 2
+        # batch 1: one NULL id, one dup id
+        assert got[(1, 0)]["n_violations"] == 1 and not got[(1, 0)]["passed"]
+        assert got[(1, 1)]["n_violations"] == 1
+        assert got[(1, 0)]["n_rows"] == 3
+
+    def test_replay_overwrites_own_partition(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import quality_monitor_sink
+
+        rep = str(tmp_path / "rep")
+        sink = quality_monitor_sink(rep, self.RULES)
+        sink(self._mk(spark, [(1, "a")]), 0)
+        sink(self._mk(spark, [(2, "b")]), 0)  # redelivery
+        rows = spark.read.parquet(rep).collect()
+        assert len(rows) == len(self.RULES)  # not doubled
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tafra_spark.streaming.ops import quality_monitor_sink
+
+        src = tmp_path / "src"
+        src.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": [1, None, 2], "text": ["a", "b", "c"]}),
+            str(src / "f0.parquet"),
+        )
+        rep = str(tmp_path / "rep")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                quality_monitor_sink(rep, self.RULES)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            r["rule_idx"]: r for r in spark.read.parquet(rep).collect()
+        }
+        assert got[0]["n_violations"] == 1  # the NULL doc_id
+        assert got[0]["n_rows"] == 3
