@@ -1868,6 +1868,42 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise Pearson over lineitem measures in ONE aggregate pass;
+    # per-column fixed-point scales keep every component sum an exact
+    # 64-bit integer (discount needs 2 decimals; the others are
+    # integral enough at scale 1)
+    from tafra_spark.functions.analytics import corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        scales={"l_quantity": 1, "l_extendedprice": 1, "l_discount": 100},
+    )
+
+
+def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouped OLS: is order value drifting over time per priority
+    # class? x = epoch day of the order date, y = total price (cents)
+    from tafra_spark.functions.analytics import grouped_trend
+
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "order_day",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+    )
+    return grouped_trend(
+        orders,
+        ["o_orderpriority"],
+        x_col="order_day",
+        y_col="o_totalprice",
+        x_scale=1,
+        y_scale=100,
+    )
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1879,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "lineitem_correlations": lineitem_correlations,
+        "price_trend_by_priority": price_trend_by_priority,
         "segment_dedup_rewritten": segment_dedup_rewritten,
         "winnow_overlap": winnow_overlap,
         "data_quality_report": data_quality_report,
@@ -2474,6 +2512,133 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_correlations": """
+            WITH q AS (
+              SELECT
+                CASE WHEN l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+                  THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5)
+                       AS BIGINT) END AS qe_x,
+                CASE WHEN l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+                  THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1.0
+                       + 0.5) AS BIGINT) END AS qe_y,
+                CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5)
+                       AS BIGINT) END AS qd_x,
+                CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  THEN CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT) END AS qd_y,
+                CASE WHEN l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL
+                  THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1.0
+                       + 0.5) AS BIGINT) END AS ed_x,
+                CASE WHEN l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL
+                  THEN CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT) END AS ed_y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT
+                count(qe_x) AS n0, sum(qe_x) AS sx0, sum(qe_y) AS sy0,
+                sum(qe_x * qe_y) AS sxy0, sum(qe_x * qe_x) AS sxx0,
+                sum(qe_y * qe_y) AS syy0,
+                count(qd_x) AS n1, sum(qd_x) AS sx1, sum(qd_y) AS sy1,
+                sum(qd_x * qd_y) AS sxy1, sum(qd_x * qd_x) AS sxx1,
+                sum(qd_y * qd_y) AS syy1,
+                count(ed_x) AS n2, sum(ed_x) AS sx2, sum(ed_y) AS sy2,
+                sum(ed_x * ed_y) AS sxy2, sum(ed_x * ed_x) AS sxx2,
+                sum(ed_y * ed_y) AS syy2
+              FROM q
+            )
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CAST(n0 AS BIGINT) AS n,
+                   CASE WHEN sqrt(CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                          - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+                        * sqrt(CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
+                          - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)) > 0
+                     THEN round((CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                          - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                          / (sqrt(CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                             - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+                             * sqrt(CAST(n0 AS DOUBLE)
+                               * CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE)
+                               * CAST(sy0 AS DOUBLE))), 6) END AS corr
+            FROM s
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', CAST(n1 AS BIGINT),
+                   CASE WHEN sqrt(CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                        * sqrt(CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)) > 0
+                     THEN round((CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                          / (sqrt(CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                             - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                             * sqrt(CAST(n1 AS DOUBLE)
+                               * CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                               * CAST(sy1 AS DOUBLE))), 6) END
+            FROM s
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', CAST(n2 AS BIGINT),
+                   CASE WHEN sqrt(CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                          - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                        * sqrt(CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                          - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) > 0
+                     THEN round((CAST(n2 AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+                          - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                          / (sqrt(CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                             - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                             * sqrt(CAST(n2 AS DOUBLE)
+                               * CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                               * CAST(sy2 AS DOUBLE))), 6) END
+            FROM s
+        """,
+        "price_trend_by_priority": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CASE WHEN o_orderdate IS NOT NULL
+                           AND o_totalprice IS NOT NULL
+                       THEN CAST(floor(CAST(date_diff('day',
+                            DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                            AS DOUBLE) * 1.0 + 0.5) AS BIGINT) END AS qx,
+                     CASE WHEN o_orderdate IS NOT NULL
+                           AND o_totalprice IS NOT NULL
+                       THEN CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0
+                            + 0.5) AS BIGINT) END AS qy
+              FROM orders
+            ),
+            g AS (
+              SELECT o_orderpriority,
+                     count(qx) AS n, sum(qx) AS sx, sum(qy) AS sy,
+                     sum(qx * qy) AS sxy, sum(qx * qx) AS sxx
+              FROM b GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND CAST(n AS DOUBLE)
+                          * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) > 0
+                     THEN round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * 0.01, 6) END AS slope,
+                   CASE WHEN n >= 2 AND CAST(n AS DOUBLE)
+                          * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) > 0
+                     THEN round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                          / 100.0
+                          - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                             * 0.01)
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1.0), 6) END AS intercept
+            FROM g
+        """,
         "segment_dedup_rewritten": """
             WITH w AS (
               SELECT doc_id,

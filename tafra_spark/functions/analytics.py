@@ -35,6 +35,8 @@ __all__ = [
     "sliding_active_users",
     "distribution_drift",
     "concurrency_profile",
+    "corr_matrix",
+    "grouped_trend",
 ]
 
 
@@ -541,4 +543,162 @@ def concurrency_profile(
             F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
             "max_concurrency",
         )
+    )
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scales=1,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns — the
+    profiling step after :meth:`Tafra.profile`: which measures move
+    together?
+
+    Engine-portable by the fixed-point-component discipline: each value
+    is quantized to an exact integer (``floor(x·scale + 0.5)``;
+    ``scales`` is one int or a per-column mapping — pick each column's
+    scale to cover its decimals, e.g. 100 for a 2-decimal discount, 1
+    for an already-integer quantity), and the five sufficient
+    statistics per pair (Σx, Σy, Σxy, Σx², Σy², n) are
+    order-independent INTEGER sums. The final correlation converts the
+    exact sums to doubles through one mirrored expression (sqrt is a
+    correctly-rounded IEEE op), so both engines emit the same bits.
+    Correlation is scale-invariant, so quantization granularity only
+    rounds the inputs — it never biases the mirrored comparison.
+
+    ONE aggregate pass regardless of the pair count — the same
+    single-scan shape as :func:`~tafra_spark.functions.checks.
+    constraint_report`; rows with a NULL in either column of a pair are
+    excluded from THAT pair's sums (pairwise deletion, the standard
+    profiling convention). Integer-overflow budget: Σ(x·scale)² must
+    stay under 2⁶³ — size each column's scale so
+    n·max(|x|·scale)² < 9·10¹⁸ (ANSI mode aborts loudly rather than
+    wrapping if you overshoot). Returns (col_a, col_b, n, corr),
+    pairs in column-list order.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"corr_matrix: unknown column {c!r}")
+    scale_of = (
+        dict(scales)
+        if not isinstance(scales, (int, float))
+        else {c: scales for c in cols}
+    )
+
+    def q(c: str):
+        return F.floor(
+            F.col(c).cast("double") * F.lit(float(scale_of.get(c, 1)))
+            + F.lit(0.5)
+        ).cast("long")
+
+    aggs = []
+    pairs = [
+        (i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    for i, j in pairs:
+        a, b = cols[i], cols[j]
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.when(both, q(a))
+        xb = F.when(both, q(b))
+        tag = f"__{i}_{j}"
+        aggs += [
+            F.count(xa).alias(f"n{tag}"),
+            F.sum(xa).alias(f"sx{tag}"),
+            F.sum(xb).alias(f"sy{tag}"),
+            F.sum(xa * xb).alias(f"sxy{tag}"),
+            F.sum(xa * xa).alias(f"sxx{tag}"),
+            F.sum(xb * xb).alias(f"syy{tag}"),
+        ]
+    one = df.agg(*aggs)
+
+    def corr_expr(tag: str):
+        n = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        syy = F.col(f"syy{tag}").cast("double")
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return F.when(
+            den > 0, F.round((n * sxy - sx * sy) / den, 6)
+        )
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col(f"n__{i}_{j}").cast("long").alias("n"),
+                corr_expr(f"__{i}_{j}").alias("corr"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return one.select(F.explode(reports).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )
+
+
+def grouped_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope + intercept) of
+    ``y`` against ``x`` — "is revenue per nation rising?", "is this
+    source's quality drifting?" — the grouped regression every metrics
+    pipeline reinvents.
+
+    Same exact-component discipline as :func:`corr_matrix` (quantized
+    integer sums per group, one mirrored double expression at the end),
+    so the slope survives the cross-engine value hash. ONE group-by
+    aggregate; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in the ORIGINAL
+    units (the scales cancel through the mirrored division), intercept
+    = ȳ − slope·x̄. Groups with < 2 points or zero x-variance yield
+    NULL slope. Returns key cols + (n, slope, intercept).
+    """
+    for c in [*key_cols, x_col, y_col]:
+        if c not in df.columns:
+            raise ValueError(f"grouped_trend: unknown column {c!r}")
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    qx = F.when(
+        both,
+        F.floor(
+            F.col(x_col).cast("double") * F.lit(float(x_scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    qy = F.when(
+        both,
+        F.floor(
+            F.col(y_col).cast("double") * F.lit(float(y_scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    g = df.groupBy(*key_cols).agg(
+        F.count(qx).alias("__n__"),
+        F.sum(qx).alias("__sx__"),
+        F.sum(qy).alias("__sy__"),
+        F.sum(qx * qy).alias("__sxy__"),
+        F.sum(qx * qx).alias("__sxx__"),
+    )
+    n = F.col("__n__").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sy = F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    den = n * sxx - sx * sx
+    # slope in original units: quantized slope × (x_scale / y_scale)
+    slope_q = (n * sxy - sx * sy) / den
+    slope = slope_q * F.lit(float(x_scale) / float(y_scale))
+    xbar = sx / n / F.lit(float(x_scale))
+    ybar = sy / n / F.lit(float(y_scale))
+    valid = (F.col("__n__") >= 2) & (den > 0)
+    return g.select(
+        *key_cols,
+        F.col("__n__").cast("long").alias("n"),
+        F.when(valid, F.round(slope, 6)).alias("slope"),
+        F.when(valid, F.round(ybar - slope * xbar, 6)).alias("intercept"),
     )

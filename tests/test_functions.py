@@ -2202,3 +2202,57 @@ class TestRewriteAndWinnow:
         )
         fps = winnow_fingerprints(df, k=3, window=4).collect()
         assert len(fps) == 2
+
+
+class TestCorrAndTrend:
+    def test_corr_matches_numpy(self, spark):
+        import numpy as np
+
+        from tafra_spark.functions.analytics import corr_matrix
+
+        rng = [(i, float(i) * 2 + 1, float(10 - i)) for i in range(10)]
+        df = spark.createDataFrame(rng, "a long, b double, c double")
+        got = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in corr_matrix(df, ["a", "b", "c"]).collect()
+        }
+        a = np.array([r[0] for r in rng], dtype=float)
+        b = np.array([r[1] for r in rng])
+        c = np.array([r[2] for r in rng])
+        assert got[("a", "b")] == pytest.approx(1.0)
+        assert got[("a", "c")] == pytest.approx(-1.0)
+        assert got[("b", "c")] == pytest.approx(
+            float(np.corrcoef(b, c)[0, 1]), abs=1e-6
+        )
+
+    def test_corr_null_pairwise_deletion_and_degenerate(self, spark):
+        from tafra_spark.functions.analytics import corr_matrix
+
+        rows = [(1.0, 2.0, 5.0), (2.0, None, 5.0), (3.0, 6.0, 5.0)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {
+            (r["col_a"], r["col_b"]): r
+            for r in corr_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert got[("a", "b")]["n"] == 2  # NULL row excluded pairwise
+        assert got[("a", "c")]["n"] == 3
+        assert got[("a", "c")]["corr"] is None  # zero variance in c
+        with pytest.raises(ValueError):
+            corr_matrix(df, ["a"])
+
+    def test_grouped_trend_exact_line(self, spark):
+        from tafra_spark.functions.analytics import grouped_trend
+
+        # y = 3x + 7 in group 'u'; constant x in group 'v' -> NULL slope
+        rows = [("u", float(x), 3.0 * x + 7.0) for x in range(6)]
+        rows += [("v", 2.0, 9.0), ("v", 2.0, 11.0)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        got = {
+            r["k"]: r
+            for r in grouped_trend(
+                df, ["k"], "x", "y", x_scale=1, y_scale=100
+            ).collect()
+        }
+        assert got["u"]["slope"] == pytest.approx(3.0, abs=1e-6)
+        assert got["u"]["intercept"] == pytest.approx(7.0, abs=1e-6)
+        assert got["v"]["slope"] is None and got["v"]["intercept"] is None
