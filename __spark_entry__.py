@@ -1868,6 +1868,18 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sampling without replacement:
+    # 50 docs drawn proportionally to length, deterministic hash
+    # uniforms, ln-priority ranking (pow is not portably rounded)
+    from tafra_spark.functions.sampling import weighted_sample_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "n_chars", k=50).select(
+        "doc_id", "source", "n_chars", "rank"
+    )
+
+
 def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise Pearson over lineitem measures in ONE aggregate pass;
     # per-column fixed-point scales keep every component sum an exact
@@ -1915,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "weighted_sample_docs": weighted_sample_docs,
         "lineitem_correlations": lineitem_correlations,
         "price_trend_by_priority": price_trend_by_priority,
         "segment_dedup_rewritten": segment_dedup_rewritten,
@@ -2512,6 +2525,22 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "weighted_sample_docs": """
+            WITH b AS (
+              SELECT doc_id, source, n_chars,
+                     ln(CAST((CAST(concat('0x',
+                          substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) >> 7) + 1 AS DOUBLE)
+                        / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE) AS pri
+              FROM documents
+              WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (ORDER BY pri DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM b ORDER BY pri DESC, doc_id LIMIT 50
+        """,
         "lineitem_correlations": """
             WITH q AS (
               SELECT

@@ -1132,6 +1132,17 @@ class Tafra:
             rows=self._cached_rows,
         )
 
+    def hint(self, name: str, *params) -> "Tafra":
+        """Join-strategy / partitioning hint passthrough (extension — no
+        reference counterpart): ``t.hint("merge")``,
+        ``t.hint("broadcast")``, ``t.hint("rebalance")``. The hint
+        attaches to THIS side of a subsequent join, exactly like
+        ``DataFrame.hint`` — the escape hatch when Catalyst's automatic
+        strategy choice must be overridden (e.g. forcing SMJ on a
+        broadcast-sized build side that will grow 1000× in production).
+        """
+        return Tafra._wrap(self._df.hint(name, *params), rows=self._cached_rows)
+
     def intersect(self, other: "Tafra") -> "Tafra":
         return Tafra._wrap(self._plain().intersect(other._plain()))
 

@@ -34,6 +34,7 @@ __all__ = [
     "weighted_mix",
     "epoch_plan",
     "dataset_split",
+    "weighted_sample_k",
 ]
 
 
@@ -314,3 +315,69 @@ def dataset_split(
     for name, thr in list(zip(names[:-1], cum))[::-1]:
         expr = F.when(bucket < thr, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically — the
+    Efraimidis–Spirakis A-ES scheme: each row draws a uniform u from
+    its salted key hash and gets priority u^(1/w); the k largest
+    priorities are the sample. Inclusion probability is proportional
+    to weight, repeated runs and engines agree exactly (no RNG state),
+    and — like every sampler here — appends never perturb the draws of
+    existing rows.
+
+    Implementation compares ln(u)/w instead of u^(1/w) (same order,
+    monotone transform) because ``pow`` is not a correctly-rounded IEEE
+    op while ``ln`` and division are — the cross-engine ranking
+    contract would not survive pow. The uniform is built from the top
+    53 bits of the 60-bit md5 key (``(h >> 7) + 1) / 2^53`` — exactly
+    representable, strictly positive).
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row can never be drawn; a negative weight is a caller bug surfaced
+    by absence). Global draws use distributed TakeOrdered (orderBy +
+    limit — never a single-partition window); pass ``strata_col`` for
+    an independent top-k per stratum via one partitioned window.
+    Returns the sampled rows + (priority ranking) ``rank``.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_k: k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}|"), F.col(key_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (F.shiftright(h, 7) + 1).cast("double") / F.lit(float(2**53))
+    priority = F.log(u) / w
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__pri__", priority
+    )
+    if strata_col is None:
+        top = base.orderBy(F.col("__pri__").desc(), F.col(key_col)).limit(k)
+        rank_w = Window.orderBy(F.col("__pri__").desc(), F.col(key_col))
+    else:
+        rank_w = Window.partitionBy(strata_col).orderBy(
+            F.col("__pri__").desc(), F.col(key_col)
+        )
+        top = base.withColumn(
+            "__rk__", F.row_number().over(rank_w)
+        ).filter(F.col("__rk__") <= k).drop("__rk__")
+    return (
+        top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .drop("__pri__")
+    )

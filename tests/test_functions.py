@@ -2256,3 +2256,57 @@ class TestCorrAndTrend:
         assert got["u"]["slope"] == pytest.approx(3.0, abs=1e-6)
         assert got["u"]["intercept"] == pytest.approx(7.0, abs=1e-6)
         assert got["v"]["slope"] is None and got["v"]["intercept"] is None
+
+
+class TestWeightedSampleK:
+    def test_proportional_inclusion(self, spark):
+        from tafra_spark.functions.sampling import weighted_sample_k
+
+        # 200 light rows (w=1) vs 200 heavy rows (w=50): the heavy
+        # half must dominate a k=40 draw
+        rows = [(i, 1.0) for i in range(200)]
+        rows += [(i + 200, 50.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample_k(df, "w", k=40).collect()
+        assert len(got) == 40
+        heavy = sum(1 for r in got if r["doc_id"] >= 200)
+        assert heavy > 30
+        assert sorted(r["rank"] for r in got) == list(range(1, 41))
+
+    def test_deterministic_and_growth_stable(self, spark):
+        from tafra_spark.functions.sampling import weighted_sample_k
+
+        rows = [(i, float(i % 7 + 1)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = {r["doc_id"] for r in weighted_sample_k(df, "w", k=10).collect()}
+        b = {r["doc_id"] for r in weighted_sample_k(df, "w", k=10).collect()}
+        assert a == b
+        # different seed -> (almost surely) different sample
+        c = {
+            r["doc_id"]
+            for r in weighted_sample_k(df, "w", k=10, seed=7).collect()
+        }
+        assert a != c
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from tafra_spark.functions.sampling import weighted_sample_k
+
+        rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in weighted_sample_k(df, "w", k=10).collect()}
+        assert got == {1, 5}
+        with pytest.raises(ValueError):
+            weighted_sample_k(df, "w", k=0)
+
+    def test_per_stratum_topk(self, spark):
+        from tafra_spark.functions.sampling import weighted_sample_k
+
+        rows = [(i, "a" if i < 50 else "b", 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+        got = weighted_sample_k(df, "w", k=5, strata_col="src").collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["src"], []).append(r["rank"])
+        assert sorted(by) == ["a", "b"]
+        assert sorted(by["a"]) == [1, 2, 3, 4, 5]
+        assert sorted(by["b"]) == [1, 2, 3, 4, 5]

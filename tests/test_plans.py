@@ -554,3 +554,24 @@ class TestNewOpPlanShapes:
         # a broadcast — never a shuffled join
         assert has_broadcast_join(plan)
         assert count_exchanges(plan) <= 3
+
+
+class TestHintAndWeightedSample:
+    def test_facade_hint_forces_merge_join(self, spark):
+        from tafra_spark.plans import explain_str
+
+        li = Tafra.read_parquet(f"{SF}/lineitem.parquet", spark)
+        supp = Tafra.read_parquet(f"{SF}/supplier.parquet", spark)
+        # supplier is broadcast-sized; the merge hint must override
+        out = li.inner_join(
+            supp.hint("merge"), [("l_suppkey", "s_suppkey", "==")]
+        )
+        assert "SortMergeJoin" in explain_str(out.df, "simple")
+
+    def test_weighted_sample_global_uses_take_ordered(self, spark):
+        from tafra_spark.functions.sampling import weighted_sample_k
+        from tafra_spark.plans import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = weighted_sample_k(docs, "n_chars", k=10)
+        assert "TakeOrderedAndProject" in explain_str(plan, "simple")
