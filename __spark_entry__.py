@@ -1868,6 +1868,26 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise Jensen-Shannon divergence between source unigram
+    # distributions — the domain-shift matrix for data mixing
+    from tafra_spark.functions.pipeline import source_js_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_js_divergence(docs)
+
+
+def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edit-metric dedup: MinHash-LSH candidates verified by bounded
+    # levenshtein (threshold cutoff caps the per-pair DP cost)
+    from tafra_spark.functions.dedup import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, max_dist=50, num_hashes=4, band_size=2
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Efraimidis-Spirakis weighted sampling without replacement:
     # 50 docs drawn proportionally to length, deterministic hash
@@ -1927,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "source_divergence_matrix": source_divergence_matrix,
+        "edit_dup_pairs": edit_dup_pairs,
         "weighted_sample_docs": weighted_sample_docs,
         "lineitem_correlations": lineitem_correlations,
         "price_trend_by_priority": price_trend_by_priority,
@@ -2525,6 +2547,82 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_divergence_matrix": """
+            WITH tok AS (
+              SELECT source AS s,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            counts AS (
+              SELECT s, term, count(*) AS cnt FROM tok GROUP BY s, term
+            ),
+            totals AS (SELECT s, sum(cnt) AS tot FROM counts GROUP BY s),
+            c AS (
+              SELECT counts.s, term, cnt, tot
+              FROM counts JOIN totals ON counts.s = totals.s
+            ),
+            j AS (
+              SELECT a.s AS source_a, b.s AS source_b, a.term,
+                     a.cnt AS ca, a.tot AS na, b.cnt AS cb, b.tot AS nb
+              FROM c a JOIN c b ON a.term = b.term AND a.s < b.s
+            ),
+            contrib AS (
+              SELECT source_a, source_b, ca, na, cb, nb,
+                     CAST(floor(
+                       (0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                          * ln(2.0 * (CAST(ca AS DOUBLE)
+                                / CAST(na AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                 + (CAST(cb AS DOUBLE)
+                                    / CAST(nb AS DOUBLE))))
+                        + 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          * ln(2.0 * (CAST(cb AS DOUBLE)
+                                / CAST(nb AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                 + (CAST(cb AS DOUBLE)
+                                    / CAST(nb AS DOUBLE)))))
+                       * 1e9 + 0.5) AS BIGINT) AS c_q9
+              FROM j
+            ),
+            g AS (
+              SELECT source_a, source_b,
+                     count(*) AS n_shared_terms,
+                     sum(c_q9) AS sh_q9,
+                     sum(ca) AS sca, max(na) AS na,
+                     sum(cb) AS scb, max(nb) AS nb
+              FROM contrib GROUP BY source_a, source_b
+            )
+            SELECT source_a, source_b,
+                   CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+                   round(CAST(sh_q9 AS DOUBLE) / 1e9
+                         + 0.5 * ln(2.0)
+                           * (1.0 - CAST(sca AS DOUBLE)
+                              / CAST(na AS DOUBLE))
+                         + 0.5 * ln(2.0)
+                           * (1.0 - CAST(scb AS DOUBLE)
+                              / CAST(nb AS DOUBLE)), 6) AS jsd
+            FROM g
+        """,
+        "edit_dup_pairs": _MINHASH_SIG_SQL + """,
+            b AS (
+              SELECT doc_id, 0 AS band, h0 || '_' || h1 AS val FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, h2 || '_' || h3 AS val FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM b l JOIN b r
+                ON l.band = r.band AND l.val = r.val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT cand.id_a, cand.id_b,
+                   CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+            FROM cand
+            JOIN documents ta ON cand.id_a = ta.doc_id
+            JOIN documents tb ON cand.id_b = tb.doc_id
+            WHERE levenshtein(ta.text, tb.text) <= 50
+        """,
         "weighted_sample_docs": """
             WITH b AS (
               SELECT doc_id, source, n_chars,

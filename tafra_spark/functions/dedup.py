@@ -48,6 +48,7 @@ __all__ = [
     "prefix_dup_groups",
     "band_table",
     "minhash_recall",
+    "edit_distance_pairs",
 ]
 
 
@@ -887,4 +888,48 @@ def minhash_recall(
                 ).cast("long"),
             ),
         )
+    )
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs verified by LEVENSHTEIN distance — the
+    edit-metric member of the dedup family (MinHash verifies set
+    Jaccard, SimHash verifies hamming; this verifies character edits,
+    the right metric for short fields and OCR/typo corruption).
+
+    Candidates come from the SAME MinHash-LSH banding as
+    :func:`fuzzy_dedup_pairs` (linear shuffle, never all-pairs); only
+    candidates pay the O(len·len) edit-distance compare, and Spark's
+    bounded ``levenshtein(l, r, threshold)`` abandons a row as soon as
+    the running distance exceeds ``max_dist`` — the standard
+    banded-DP cutoff, O(len·max_dist) per pair. At corpus scale the
+    quadratic-in-length step is therefore confined to LSH-similar
+    pairs with a per-pair cost ceiling. Returns (id_a, id_b, dist),
+    id_a < id_b, dist ≤ ``max_dist``.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, band_size, shingle_k
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    la = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__")
+    )
+    lb = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__")
+    )
+    # bounded levenshtein returns -1 when the threshold is exceeded
+    dist = F.levenshtein(F.col("__ta__"), F.col("__tb__"), max_dist)
+    return (
+        cand.join(la, on="id_a")
+        .join(lb, on="id_b")
+        .withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
     )

@@ -62,6 +62,7 @@ __all__ = [
     "segment_dedup_rewrite",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "source_js_divergence",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1468,4 +1469,86 @@ def winnow_overlap_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+def source_js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every two sources — the domain-shift matrix that
+    tells a data-mixing pipeline WHICH sources are near-duplicates of
+    each other distributionally (JSD ≈ 0) and which contribute genuine
+    diversity (JSD → ln 2). Complements :func:`source_overlap` (set
+    Jaccard on shingles) with a mass-weighted divergence.
+
+    Decomposition that avoids a per-pair FULL OUTER join: for shared
+    terms, the exact per-term JSD contribution ½p·ln(2p/(p+q)) +
+    ½q·ln(2q/(p+q)) is fixed-pointed (q9) and integer-summed through
+    ONE inner self-join of the (source, term) count table on term; the
+    one-sided mass (terms absent from the other source) contributes
+    exactly ½·ln2·(1 − Σ_shared p) per side, computed from the same
+    join's exact count sums. Shuffles: one (source, term) count, one
+    term self-join whose fan-out is |sources|² per term (sources are
+    few), one per-pair aggregate. Returns (source_a, source_b,
+    n_shared_terms, jsd) — jsd in nats, 0 ≤ jsd ≤ ln 2.
+    """
+    tok = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(strata_col).alias("__s__"),
+            F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+    )
+    counts = tok.groupBy("__s__", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("__s__").agg(F.sum("cnt").alias("tot"))
+    c = counts.join(F.broadcast(totals), on="__s__")
+    a = c.select(
+        F.col("__s__").alias("source_a"),
+        F.col("term"),
+        F.col("cnt").alias("ca"),
+        F.col("tot").alias("na"),
+    )
+    b = c.select(
+        F.col("__s__").alias("source_b"),
+        F.col("term"),
+        F.col("cnt").alias("cb"),
+        F.col("tot").alias("nb"),
+    )
+    j = a.join(b, on="term").filter(F.col("source_a") < F.col("source_b"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term_contrib = F.floor(
+        (
+            F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+            + F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    g = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_terms"),
+        F.sum(term_contrib).alias("__sh_q9__"),
+        F.sum("ca").alias("__sca__"),
+        F.max("na").alias("__na__"),
+        F.sum("cb").alias("__scb__"),
+        F.max("nb").alias("__nb__"),
+    )
+    sp = F.col("__sca__").cast("double") / F.col("__na__").cast("double")
+    sq = F.col("__scb__").cast("double") / F.col("__nb__").cast("double")
+    ln2 = F.log(F.lit(2.0))
+    jsd = (
+        F.col("__sh_q9__").cast("double") / F.lit(1e9)
+        + F.lit(0.5) * ln2 * (F.lit(1.0) - sp)
+        + F.lit(0.5) * ln2 * (F.lit(1.0) - sq)
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.round(jsd, 6).alias("jsd"),
     )

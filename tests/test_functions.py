@@ -2310,3 +2310,76 @@ class TestWeightedSampleK:
         assert sorted(by) == ["a", "b"]
         assert sorted(by["a"]) == [1, 2, 3, 4, 5]
         assert sorted(by["b"]) == [1, 2, 3, 4, 5]
+
+
+class TestDivergenceAndEditPairs:
+    def test_jsd_identical_sources_zero(self, spark):
+        from tafra_spark.functions.pipeline import source_js_divergence
+
+        rows = [
+            (1, "a", "x y z"),
+            (2, "b", "x y z"),  # identical distribution
+            (3, "c", "p p p"),  # disjoint vocabulary
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_js_divergence(df).collect()
+        }
+        import math
+
+        assert got[("a", "b")]["jsd"] == pytest.approx(0.0, abs=1e-6)
+        # disjoint sources share no terms -> no joined row at all (the
+        # limit JSD would be ln 2; absence is the documented contract:
+        # a pair appears iff it shares vocabulary)
+        assert ("a", "c") not in got
+
+    def test_jsd_hand_computed(self, spark):
+        import math
+
+        from tafra_spark.functions.pipeline import source_js_divergence
+
+        # a: {x: 1/2, y: 1/2}; b: {x: 1/4, z: 3/4}
+        rows = [(1, "a", "x y"), (2, "b", "x z z z")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        r = source_js_divergence(df).collect()[0]
+        p, q = 0.5, 0.25
+        shared = 0.5 * p * math.log(2 * p / (p + q)) + 0.5 * q * math.log(
+            2 * q / (p + q)
+        )
+        shared_q9 = math.floor(shared * 1e9 + 0.5) / 1e9
+        expected = shared_q9 + 0.5 * math.log(2) * (1 - p) + 0.5 * math.log(
+            2
+        ) * (1 - q)
+        assert r["jsd"] == pytest.approx(expected, abs=1e-6)
+        assert r["n_shared_terms"] == 1
+
+    def test_edit_pairs_thresholded(self, spark):
+        from tafra_spark.functions.dedup import edit_distance_pairs
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        rows = [
+            (1, base + " dog"),
+            (2, base + " dogs"),  # dist 1
+            (3, base + " dog entirely changed tail with many extra "
+                "different words appended here now"),
+            (4, "completely different text with other words present"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(
+                df, max_dist=5, num_hashes=4, band_size=2
+            ).collect()
+        }
+        assert got.get((1, 2)) == 1
+        # doc 3 shares shingles (LSH candidate) but exceeds max_dist
+        assert (1, 3) not in got and (2, 3) not in got
+        assert not any(4 in k for k in got)
