@@ -1868,6 +1868,27 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def countmin_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch counter table in the portable md5 family: the
+    # sketch ITSELF is oracle-checked cell by cell (upgrades sketches
+    # from unit-only to cross-engine-verified)
+    from tafra_spark.functions.sketches import count_min_build
+
+    ev = _read_events(spark, sf_dir)
+    return count_min_build(
+        ev, "user_id", depth=4, width=64, portable=True
+    ).select(F.col("i").cast("long").alias("i"), "b", "cnt")
+
+
+def bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom bitmap words in the portable md5 family — every 64-bit
+    # word of the filter matches the oracle's bit_or exactly
+    from tafra_spark.functions.sketches import bloom_build
+
+    ev = _read_events(spark, sf_dir)
+    return bloom_build(ev, "user_id", m_bits=4096, k=3, portable=True)
+
+
 def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise Jensen-Shannon divergence between source unigram
     # distributions — the domain-shift matrix for data mixing
@@ -1947,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "countmin_counters": countmin_counters,
+        "bloom_filter_words": bloom_filter_words,
         "source_divergence_matrix": source_divergence_matrix,
         "edit_dup_pairs": edit_dup_pairs,
         "weighted_sample_docs": weighted_sample_docs,
@@ -2547,6 +2570,38 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "countmin_counters": """
+            WITH cells AS (
+              SELECT i.i AS i,
+                     CAST(concat('0x', substr(md5(
+                       CAST(42 + i.i AS VARCHAR) || '|'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 64 AS b
+              FROM events CROSS JOIN
+                   (SELECT unnest(range(0, 4)) AS i) i
+            )
+            SELECT i, b, count(*) AS cnt FROM cells GROUP BY i, b
+        """,
+        "bloom_filter_words": """
+            WITH pos AS (
+              SELECT CAST(concat('0x', substr(md5(
+                       CAST(42 + i.i AS VARCHAR) || '|'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 4096 AS p
+              FROM events CROSS JOIN
+                   (SELECT unnest(range(0, 3)) AS i) i
+            ),
+            wb AS (
+              SELECT CAST(floor(p / 64) AS BIGINT) AS word,
+                     CAST(p % 64 AS INTEGER) AS bit
+              FROM pos
+            )
+            SELECT word,
+                   bit_or(CASE WHEN bit = 63
+                          THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) << bit END) AS bits
+            FROM wb GROUP BY word
+        """,
         "source_divergence_matrix": """
             WITH tok AS (
               SELECT source AS s,

@@ -61,8 +61,29 @@ def freq_items(
 # Count-Min: counter-table formulation
 
 
-def _cm_cells(col: Column, depth: int, width: int, seed: int) -> Column:
-    """array<struct<i, b>> — one (row, bucket) cell per hash function."""
+def _cm_cells(
+    col: Column, depth: int, width: int, seed: int, portable: bool = False
+) -> Column:
+    """array<struct<i, b>> — one (row, bucket) cell per hash function.
+
+    ``portable`` swaps xxhash64 (fast, JVM-only) for the md5-60bit
+    family every dedup/sampling operator uses — bit-reproducible in
+    DuckDB, so the counter table itself carries a value-hash oracle.
+    Same estimate guarantees either way (both families are uniform);
+    choose portable when the sketch must be verified or shared across
+    engines, xxhash for pure-Spark throughput."""
+    if portable:
+        from .sampling import hash_mod
+
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    hash_mod(col, width, seed + i).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
     return F.array(
         *[
             F.struct(
@@ -77,7 +98,8 @@ def _cm_cells(col: Column, depth: int, width: int, seed: int) -> Column:
 
 
 def count_min_build(
-    df: DataFrame, col: str, depth: int = 5, width: int = 1024, seed: int = 42
+    df: DataFrame, col: str, depth: int = 5, width: int = 1024, seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Build a Count-Min sketch as a (i, b, cnt) counter DataFrame.
 
@@ -87,7 +109,11 @@ def count_min_build(
     Estimates never undercount; overcount ≤ e/width·n with prob
     1-e^-depth.
     """
-    ex = df.select(F.explode(_cm_cells(F.col(col), depth, width, seed)).alias("c"))
+    ex = df.select(
+        F.explode(
+            _cm_cells(F.col(col), depth, width, seed, portable)
+        ).alias("c")
+    )
     return (
         ex.select(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
         .groupBy("i", "b")
@@ -102,12 +128,15 @@ def count_min_estimate(
     depth: int = 5,
     width: int = 1024,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Estimate each probe value's frequency: min over the depth rows of
     its counters. The sketch is tiny → broadcast; missing cells = 0."""
     p = probes.select(
         F.col(col).alias("value"),
-        F.explode(_cm_cells(F.col(col), depth, width, seed)).alias("c"),
+        F.explode(
+            _cm_cells(F.col(col), depth, width, seed, portable)
+        ).alias("c"),
     ).select("value", F.col("c.i").alias("i"), F.col("c.b").alias("b"))
     joined = p.join(F.broadcast(sketch), on=["i", "b"], how="left").fillna(
         0, subset=["cnt"]
@@ -119,12 +148,21 @@ def count_min_estimate(
 # Bloom: bitmap-word formulation
 
 
-def _bloom_positions(col: Column, k: int, m_bits: int, seed: int) -> Column:
+def _bloom_positions(
+    col: Column, k: int, m_bits: int, seed: int, portable: bool = False
+) -> Column:
     """array<struct<word, bit>> — k bit positions per key, packed as
-    (long word index, bit-within-word)."""
+    (long word index, bit-within-word). ``portable`` as in
+    :func:`_cm_cells`."""
+    if portable:
+        from .sampling import hash_mod
     out = []
     for i in range(k):
-        pos = F.pmod(F.xxhash64(F.lit(seed + i), col), F.lit(m_bits))
+        pos = (
+            hash_mod(col, m_bits, seed + i)
+            if portable
+            else F.pmod(F.xxhash64(F.lit(seed + i), col), F.lit(m_bits))
+        )
         out.append(
             F.struct(
                 F.floor(pos / 64).cast("long").alias("word"),
@@ -140,7 +178,8 @@ _MASK = "shiftleft(CAST(1 AS BIGINT), bit)"
 
 
 def bloom_build(
-    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5, seed: int = 42
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5, seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Build a Bloom filter as a (word, bits) bitmap DataFrame: explode k
     positions per key, OR the masks per 64-bit word. ≤ m_bits/64 rows.
@@ -148,7 +187,9 @@ def bloom_build(
     ``a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))``.
     No false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k."""
     ex = df.select(
-        F.explode(_bloom_positions(F.col(col), k, m_bits, seed)).alias("p")
+        F.explode(
+            _bloom_positions(F.col(col), k, m_bits, seed, portable)
+        ).alias("p")
     )
     return (
         ex.select(F.col("p.word").alias("word"), F.col("p.bit").alias("bit"))
@@ -165,13 +206,16 @@ def bloom_contains(
     m_bits: int = 1 << 20,
     k: int = 5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(value, might_contain) per probe: every one of the k bits must be
     set. The classic use is semi-join reduction — build on the small
     side's keys, pre-filter the big side before its shuffle."""
     p = probes.select(
         F.col(col).alias("value"),
-        F.explode(_bloom_positions(F.col(col), k, m_bits, seed)).alias("p"),
+        F.explode(
+            _bloom_positions(F.col(col), k, m_bits, seed, portable)
+        ).alias("p"),
     ).select(
         "value", F.col("p.word").alias("word"), F.col("p.bit").alias("bit")
     ).withColumn("mask", F.expr(_MASK))

@@ -108,3 +108,49 @@ class TestBloom:
         fp = sum(1 for r in res2.collect() if r["might_contain"]) / 1000
         # 15k keys in 2^18 bits, k=5 → theoretical fpp ≈ 0.02%; allow slack
         assert fp <= 0.05
+
+
+class TestPortableSketches:
+    def test_portable_cm_estimates_match_xxhash_family(self, spark):
+        from tafra_spark.functions.sketches import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 10,) for i in range(200)], "v long"
+        )
+        probes = spark.createDataFrame([(3,), (7,)], "v long")
+        for portable in (False, True):
+            sk = count_min_build(
+                df, "v", depth=4, width=256, seed=1, portable=portable
+            )
+            est = {
+                r["value"]: r["estimate"]
+                for r in count_min_estimate(
+                    sk, probes, "v", depth=4, width=256, seed=1,
+                    portable=portable,
+                ).collect()
+            }
+            # CM never undercounts; with width >> distinct it's exact
+            assert est[3] == 20 and est[7] == 20
+
+    def test_portable_bloom_no_false_negatives(self, spark):
+        from tafra_spark.functions.sketches import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        keys = spark.createDataFrame([(i,) for i in range(50)], "v long")
+        probes = spark.createDataFrame(
+            [(i,) for i in range(40, 60)], "v long"
+        )
+        bloom = bloom_build(keys, "v", m_bits=4096, k=3, portable=True)
+        got = {
+            r["value"]: r["might_contain"]
+            for r in bloom_contains(
+                bloom, probes, "v", m_bits=4096, k=3, portable=True
+            ).collect()
+        }
+        # members always hit
+        assert all(got[v] for v in range(40, 50))
