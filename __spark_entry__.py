@@ -1868,6 +1868,22 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series gap fill: each user's value series resampled to an
+    # hourly grid with forward fill (bounded to 10 users to keep the
+    # verification row count sane; the plan is the same at any width)
+    from tafra_spark.functions.analytics import resample_ffill
+
+    ev = _read_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    out = resample_ffill(ev, bucket_minutes=60)
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
 def countmin_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-Min sketch counter table in the portable md5 family: the
     # sketch ITSELF is oracle-checked cell by cell (upgrades sketches
@@ -1968,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "resample_hourly_ffill": resample_hourly_ffill,
         "countmin_counters": countmin_counters,
         "bloom_filter_words": bloom_filter_words,
         "source_divergence_matrix": source_divergence_matrix,
@@ -2570,6 +2587,40 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "resample_hourly_ffill": """
+            WITH pb AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     ts, value,
+                     row_number() OVER (
+                       PARTITION BY user_id,
+                         CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                       ORDER BY ts DESC, value DESC) AS rn
+              FROM events WHERE user_id < 10
+            ),
+            pv AS (SELECT user_id, b, value AS v FROM pb WHERE rn = 1),
+            spans AS (
+              SELECT user_id, min(b) AS b0, max(b) AS b1
+              FROM pv GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM spans
+            ),
+            j AS (
+              SELECT g.user_id, g.b, pv.v
+              FROM grid g LEFT JOIN pv
+                ON g.user_id = pv.user_id AND g.b = pv.b
+            )
+            SELECT user_id,
+                   strftime(to_timestamp(b * 3600),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS value,
+                   v IS NULL AS filled
+            FROM j
+        """,
         "countmin_counters": """
             WITH cells AS (
               SELECT i.i AS i,

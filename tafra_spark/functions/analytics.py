@@ -37,6 +37,7 @@ __all__ = [
     "concurrency_profile",
     "corr_matrix",
     "grouped_trend",
+    "resample_ffill",
 ]
 
 
@@ -701,4 +702,65 @@ def grouped_trend(
         F.col("__n__").cast("long").alias("n"),
         F.when(valid, F.round(slope, 6)).alias("slope"),
         F.when(valid, F.round(ybar - slope * xbar, 6)).alias("intercept"),
+    )
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Resample an irregular event series onto a regular per-key time
+    grid with forward fill — the gap-filling step before any
+    fixed-step time-series computation (rates, rolling models,
+    dashboarding): every key gets one row per bucket between its first
+    and last event; empty buckets carry the last observed value.
+
+    Per (key, bucket) the LAST event wins (ties broken by the full
+    (ts, value) order so the pick is deterministic on both engines);
+    the grid is a per-key ``sequence`` explode (bounded by the key's
+    own time span — no corpus-wide calendar join); the fill is one
+    ``last(value, ignorenulls)`` running window per key. Two linear
+    shuffles on the key. Returns (key, bucket_ts, value, filled).
+    """
+    sec = bucket_minutes * 60
+    bucket = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / F.lit(sec)
+    ).cast("long")
+    w_pick = Window.partitionBy(key_col, "__b__").orderBy(
+        F.col(ts_col).desc(), F.col(value_col).desc()
+    )
+    per_bucket = (
+        df.select(F.col(key_col), bucket.alias("__b__"), F.col(ts_col), F.col(value_col))
+        .withColumn("__rn__", F.row_number().over(w_pick))
+        .filter(F.col("__rn__") == 1)
+        .select(key_col, "__b__", F.col(value_col).alias("__v__"))
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("__b__").alias("__b0__"), F.max("__b__").alias("__b1__")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__b0__"), F.col("__b1__"))
+        ).alias("__b__"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(per_bucket, on=[key_col, "__b__"], how="left")
+    return (
+        joined.withColumn(
+            "value", F.last("__v__", ignorenulls=True).over(w_fill)
+        )
+        .withColumn("filled", F.col("__v__").isNull())
+        .select(
+            key_col,
+            F.timestamp_seconds(F.col("__b__") * sec).alias("bucket_ts"),
+            "value",
+            "filled",
+        )
     )

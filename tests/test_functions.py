@@ -2383,3 +2383,44 @@ class TestDivergenceAndEditPairs:
         # doc 3 shares shingles (LSH candidate) but exceeds max_dist
         assert (1, 3) not in got and (2, 3) not in got
         assert not any(4 in k for k in got)
+
+
+class TestResampleFfill:
+    def test_gap_filled_and_flagged(self, spark):
+        from datetime import datetime
+
+        from tafra_spark.functions.analytics import resample_ffill
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 30), 10.0),
+            (1, datetime(2024, 1, 1, 3, 15), 20.0),  # 2 empty hours
+            (2, datetime(2024, 1, 1, 5, 0), 7.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = sorted(
+            (
+                (r["user_id"], r["bucket_ts"].hour, r["value"], r["filled"])
+                for r in resample_ffill(df).collect()
+            )
+        )
+        # user 1: hours 0..3 -> 10, 10(filled), 10(filled), 20
+        assert got == [
+            (1, 0, 10.0, False),
+            (1, 1, 10.0, True),
+            (1, 2, 10.0, True),
+            (1, 3, 20.0, False),
+            (2, 5, 7.0, False),
+        ]
+
+    def test_last_event_in_bucket_wins(self, spark):
+        from datetime import datetime
+
+        from tafra_spark.functions.analytics import resample_ffill
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), 1.0),
+            (1, datetime(2024, 1, 1, 0, 50), 2.0),  # later in same hour
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = resample_ffill(df).collect()
+        assert len(got) == 1 and got[0]["value"] == 2.0
