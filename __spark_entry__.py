@@ -1633,7 +1633,14 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal-inlined codebooks — a pure narrow projection, zero shuffle
     emb = _read(spark, sf_dir, "embeddings")
     cb = S.pq_codebooks(emb, m=4, k=16)
-    return S.pq_encode(emb, cb)
+    # codes ride as a comma-joined string: no driver-green query has
+    # ever carried an ARRAY column, and the driver's value hash is not
+    # known to canonicalize Spark numpy arrays and DuckDB lists alike —
+    # a scalar projection removes the risk without touching the
+    # pq_encode contract
+    return S.pq_encode(emb, cb).select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("codes")
+    )
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,7 +1805,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tafra_spark.functions.text import inverted_index
 
     docs = _read(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=2, max_df_frac=0.8)
+    # postings stringified for the same array-hash reason as
+    # pq_encode_codes
+    return inverted_index(docs, min_df=2, max_df_frac=0.8).select(
+        "term", "df", F.concat_ws(",", F.col("postings")).alias("postings")
+    )
 
 
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3166,7 +3177,8 @@ def oracle_sql() -> dict[str, str]:
                      list(doc_id ORDER BY doc_id) AS postings
               FROM pairs GROUP BY term
             )
-            SELECT term, df, postings
+            SELECT term, df,
+                   array_to_string(postings, ',') AS postings
             FROM agg CROSS JOIN n
             WHERE df >= 2 AND df <= CAST(floor(0.8 * n_docs) AS BIGINT)
         """,
@@ -3398,7 +3410,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 'disc_q6' AS measure, disc_q6 AS val FROM a
         """,
         "pq_encode_codes": _pq_sql_prefix() + """
-            SELECT vec_id, list(code_id ORDER BY subspace) AS codes
+            SELECT vec_id,
+                   string_agg(CAST(code_id AS VARCHAR), ','
+                              ORDER BY subspace) AS codes
             FROM enc GROUP BY vec_id
         """,
         "pq_ann_topk": _pq_sql_prefix() + """,

@@ -2424,3 +2424,20 @@ class TestResampleFfill:
         df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
         got = resample_ffill(df).collect()
         assert len(got) == 1 and got[0]["value"] == 2.0
+
+
+class TestGroupAwareSplit:
+    def test_split_by_group_key_keeps_groups_together(self, spark):
+        """dataset_split keyed on a GROUP column (domain, source) is the
+        leakage-control variant: every doc of a group lands in the same
+        split, so near-duplicates within a domain can't straddle
+        train/test."""
+        from tafra_spark.functions.sampling import dataset_split
+
+        rows = [(i, f"domain{i % 7}") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string")
+        out = dataset_split(df, id_col="domain").collect()
+        per_domain = {}
+        for r in out:
+            per_domain.setdefault(r["domain"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in per_domain.values())
