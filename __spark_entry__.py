@@ -1879,6 +1879,17 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-based decontamination: corpus rows cosine-similar to any
+    # benchmark embedding (same-bucket LSH candidates only) are flagged
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    bench = emb.filter(F.col("vec_id") < 50)
+    return S.semantic_decontaminate(
+        corpus, bench, dim=64, threshold=0.7, n_planes=8, flags_only=True
+    )
+
+
 def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-series gap fill: each user's value series resampled to an
     # hourly grid with forward fill (bounded to 10 users to keep the
@@ -1995,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "semantic_decontaminate_flags": semantic_decontaminate_flags,
         "resample_hourly_ffill": resample_hourly_ffill,
         "countmin_counters": countmin_counters,
         "bloom_filter_words": bloom_filter_words,
@@ -2598,6 +2610,28 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "semantic_decontaminate_flags": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            c AS (
+              SELECT vec_id, v, {_bucket_sql(64, 8, 42, "v")} AS b
+              FROM e WHERE vec_id >= 50
+            ),
+            bench AS (
+              SELECT v AS bv, {_bucket_sql(64, 8, 42, "v")} AS b
+              FROM e WHERE vec_id < 50
+            ),
+            hits AS (
+              SELECT DISTINCT c.vec_id
+              FROM c JOIN bench ON c.b = bench.b
+              WHERE list_cosine_similarity(c.v, bench.bv) >= 0.7
+            )
+            SELECT base.vec_id,
+                   coalesce(hits.vec_id IS NOT NULL, FALSE) AS contaminated
+            FROM (SELECT vec_id FROM e WHERE vec_id >= 50) base
+            LEFT JOIN hits ON base.vec_id = hits.vec_id
+        """,
         "resample_hourly_ffill": """
             WITH pb AS (
               SELECT user_id,

@@ -42,6 +42,7 @@ __all__ = [
     "pq_topk",
     "pq_recall",
     "pq_fit",
+    "semantic_decontaminate",
 ]
 
 
@@ -1095,3 +1096,52 @@ def pq_fit(
     cb = literal_relation(spark, cb_rows, ["subspace", "code_id", "centv"])
     cb._pq_rows = cb_rows  # same fast path as pq_codebooks
     return cb
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    flags_only: bool = False,
+) -> DataFrame:
+    """Embedding-based test-set decontamination — the semantic
+    complement of :func:`~tafra_spark.functions.pipeline.decontaminate`
+    (n-gram overlap misses paraphrases; cosine similarity to a
+    benchmark embedding catches them).
+
+    A corpus row is contaminated when its exact cosine against ANY
+    benchmark embedding reaches ``threshold``, with candidates bucketed
+    by the shared hyperplane-LSH signature so the compare is never
+    corpus×benchmark: both sides hash through the SAME seeded planes,
+    and only same-bucket pairs pay the exact cosine. Benchmarks are
+    small by nature, so their bucketed side broadcasts.
+
+    Returns the clean corpus (contaminated rows removed), or — with
+    ``flags_only`` — (id, contaminated) for auditing. Recall follows
+    the LSH tradeoff; lower ``n_planes`` or union seeds to raise it.
+    """
+    sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
+    c = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("__b__"))
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("__bv__"), sig.alias("__b__")
+        )
+    )
+    hits = (
+        c.join(bench, on="__b__")
+        .filter(cosine(F.col(vec_col), F.col("__bv__")) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    if flags_only:
+        return corpus.select(F.col(id_col)).join(
+            hits.withColumn("__hit__", F.lit(True)), on=id_col, how="left"
+        ).select(
+            id_col,
+            F.coalesce(F.col("__hit__"), F.lit(False)).alias("contaminated"),
+        )
+    return corpus.join(hits, on=id_col, how="left_anti")

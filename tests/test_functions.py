@@ -2441,3 +2441,32 @@ class TestGroupAwareSplit:
         for r in out:
             per_domain.setdefault(r["domain"], set()).add(r["split"])
         assert all(len(s) == 1 for s in per_domain.values())
+
+
+class TestSemanticDecontaminate:
+    def test_contaminated_rows_removed(self, spark):
+        from tafra_spark.functions.similarity import semantic_decontaminate
+
+        # corpus vec 10 equals benchmark vec 1 exactly; vec 11 is
+        # orthogonal to everything
+        dim = 8
+        e1 = [1.0] + [0.0] * (dim - 1)
+        e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+        bench = spark.createDataFrame(
+            [(1, e1)], "vec_id long, embedding array<double>"
+        )
+        corpus = spark.createDataFrame(
+            [(10, e1), (11, e2)], "vec_id long, embedding array<double>"
+        )
+        clean = semantic_decontaminate(
+            corpus, bench, dim=dim, threshold=0.9, n_planes=2
+        )
+        assert {r["vec_id"] for r in clean.collect()} == {11}
+        flags = {
+            r["vec_id"]: r["contaminated"]
+            for r in semantic_decontaminate(
+                corpus, bench, dim=dim, threshold=0.9, n_planes=2,
+                flags_only=True,
+            ).collect()
+        }
+        assert flags == {10: True, 11: False}
