@@ -1879,6 +1879,16 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def corpus_scorecard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # capstone per-source readiness report: volume, exact-dup counts,
+    # mean quality (q4), mean unigram logprob (q6), median length —
+    # all the catalog's signals joined into one row per source
+    from tafra_spark.functions.pipeline import corpus_scorecard
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_scorecard(docs)
+
+
 def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-based decontamination: corpus rows cosine-similar to any
     # benchmark embedding (same-bucket LSH candidates only) are flagged
@@ -2006,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "corpus_scorecard_report": corpus_scorecard_report,
         "semantic_decontaminate_flags": semantic_decontaminate_flags,
         "resample_hourly_ffill": resample_hourly_ffill,
         "countmin_counters": countmin_counters,
@@ -2610,6 +2621,78 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_scorecard_report": """
+            WITH m AS (
+              SELECT doc_id, source, text,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS alpha,
+                     CAST(length(text) - length(replace(text, ' ', ''))
+                          AS DOUBLE) AS spaces,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS DOUBLE) AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CAST(toks AS BIGINT) AS nt,
+                     md5(lower(regexp_replace(trim(coalesce(text, '')),
+                         '\\s+', ' ', 'g'))) AS fp,
+                     CAST(floor((0.3 * least(n / 500.0, 1.0)
+                       + 0.3 * (CASE WHEN n > 0 THEN alpha / n
+                                     ELSE 0.0 END)
+                       + 0.2 * (CASE WHEN (CASE WHEN toks > 0
+                                      THEN (n - spaces) / toks
+                                      ELSE 0.0 END) >= 3
+                                 AND (CASE WHEN toks > 0
+                                      THEN (n - spaces) / toks
+                                      ELSE 0.0 END) <= 10
+                                THEN 1.0 ELSE 0.5 END)
+                       + 0.2 * (CASE WHEN (CASE WHEN n > 0
+                                      THEN spaces / n ELSE 0.0 END) >= 0.05
+                                 AND (CASE WHEN n > 0
+                                      THEN spaces / n ELSE 0.0 END) <= 0.4
+                                THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5)
+                        AS BIGINT) AS q4
+              FROM m
+            ),
+            fpc AS (
+              SELECT fp, min(doc_id) AS keep FROM q GROUP BY fp
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+            nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            lp AS (
+              SELECT doc_id,
+                     count(*) AS lp_n,
+                     CAST(sum(CAST(floor(
+                         ln(CAST(c.cnt AS DOUBLE) / CAST(nn.total AS DOUBLE))
+                         * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lp_sum
+              FROM tok JOIN c USING (term) CROSS JOIN nn
+              GROUP BY doc_id
+            ),
+            j AS (
+              SELECT q.*, fpc.keep, lp.lp_sum, lp.lp_n
+              FROM q JOIN fpc USING (fp) JOIN lp USING (doc_id)
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN doc_id != keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dups,
+                   CAST(floor(CAST(sum(q4) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS mean_quality_q4,
+                   round((CAST(sum(lp_sum) AS DOUBLE) / 1e6)
+                         / CAST(sum(lp_n) AS DOUBLE), 6) AS mean_logprob,
+                   round(quantile_cont(CAST(nt AS DOUBLE), 0.5), 6)
+                       AS median_tokens
+            FROM j GROUP BY source
+        """,
         "semantic_decontaminate_flags": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

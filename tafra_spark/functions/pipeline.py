@@ -63,6 +63,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "source_js_divergence",
+    "corpus_scorecard",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1551,4 +1552,72 @@ def source_js_divergence(
         "source_b",
         "n_shared_terms",
         F.round(jsd, 6).alias("jsd"),
+    )
+
+def corpus_scorecard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source model-readiness scorecard — the one-page report a
+    data-curation review actually reads, joining the catalog's signals
+    into one row per source:
+
+    - volume: docs, whitespace tokens;
+    - dedup: exact-duplicate docs (corpus-wide fingerprint groups,
+      counted against the source of the SURVIVOR-excluded copies);
+    - quality: mean quality score (q4 fixed-point), mean unigram
+      log-probability (q6) under the corpus LM;
+    - length shape: exact R-7 median token count.
+
+    Three linear aggregates (fingerprint counts, unigram model, final
+    per-source rollup) over two corpus scans — each reused signal is
+    computed once and joined on the 8-byte doc key. Every column is
+    fixed-point or exact-integer, hash-stable by the same discipline as
+    the component operators. Returns one row per source.
+    """
+    from .text import quality_score, token_count
+
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.col(strata_col),
+        token_count(F.col(text_col)).cast("long").alias("__nt__"),
+        F.floor(quality_score(F.col(text_col)) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("__q4__"),
+        fingerprint(F.col(text_col)).alias("__fp__"),
+    )
+    fp_counts = base.groupBy("__fp__").agg(
+        F.count(F.lit(1)).alias("__fpn__"),
+        F.min(id_col).alias("__keep__"),
+    )
+    lp = unigram_logprob(df, text_col, id_col).select(
+        F.col(id_col), F.col("logprob_q6_sum"), F.col("n_tokens")
+    )
+    j = (
+        base.join(fp_counts, on="__fp__")
+        .join(lp, on=id_col)
+        .withColumn("__is_dup__", (F.col(id_col) != F.col("__keep__")))
+    )
+    return (
+        j.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt__").alias("n_tokens"),
+            F.sum(F.col("__is_dup__").cast("long")).alias("n_exact_dups"),
+            F.floor(
+                F.sum("__q4__") / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("long").alias("mean_quality_q4"),
+            F.round(
+                (F.sum("logprob_q6_sum").cast("double") / F.lit(1e6))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("mean_logprob"),
+            F.percentile(F.col("__nt__").cast("double"), F.lit(0.5)).alias(
+                "__med__"
+            ),
+        )
+        .withColumn("median_tokens", F.round("__med__", 6))
+        .drop("__med__")
     )

@@ -2470,3 +2470,30 @@ class TestSemanticDecontaminate:
             ).collect()
         }
         assert flags == {10: True, 11: False}
+
+
+class TestCorpusScorecard:
+    def test_scorecard_signals(self, spark):
+        from tafra_spark.functions.pipeline import corpus_scorecard
+
+        rows = [
+            (1, "a", "x y z alpha beta"),
+            (2, "a", "x y z alpha beta"),  # exact dup of doc 1
+            (3, "a", "p q r s t u v"),
+            (4, "b", "lone document here"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {r["source"]: r for r in corpus_scorecard(df).collect()}
+        a, b = got["a"], got["b"]
+        assert a["n_docs"] == 3 and b["n_docs"] == 1
+        assert a["n_exact_dups"] == 1  # doc 2 duplicates doc 1
+        assert b["n_exact_dups"] == 0
+        assert a["n_tokens"] == 5 + 5 + 7
+        assert a["median_tokens"] == 5.0
+        # every doc's tokens are unique within the corpus LM except the
+        # dup pair, so source a (repeated tokens) scores HIGHER than
+        # the singleton-vocab source b
+        assert a["mean_logprob"] > b["mean_logprob"]
+        assert 0 < a["mean_quality_q4"] <= 10000
