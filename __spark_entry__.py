@@ -1879,6 +1879,15 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact 20-bin equal-width histogram of order totals; empty bins
+    # materialized, bounds q6-fixed-pointed
+    from tafra_spark.functions.analytics import value_histogram
+
+    orders = _read(spark, sf_dir, "orders")
+    return value_histogram(orders, "o_totalprice", bins=20)
+
+
 def corpus_scorecard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capstone per-source readiness report: volume, exact-dup counts,
     # mean quality (q4), mean unigram logprob (q6), median length —
@@ -2016,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "price_histogram": price_histogram,
         "corpus_scorecard_report": corpus_scorecard_report,
         "semantic_decontaminate_flags": semantic_decontaminate_flags,
         "resample_hourly_ffill": resample_hourly_ffill,
@@ -2621,6 +2631,36 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "price_histogram": """
+            WITH b AS (
+              SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+                     max(CAST(o_totalprice AS DOUBLE)) AS hi
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT CASE WHEN b.hi > b.lo
+                       THEN least(CAST(floor(
+                              (CAST(o_totalprice AS DOUBLE) - b.lo)
+                              / ((b.hi - b.lo) / 20.0)) AS BIGINT),
+                            CAST(19 AS BIGINT))
+                       ELSE CAST(0 AS BIGINT) END AS bin
+              FROM orders CROSS JOIN b
+              WHERE o_totalprice IS NOT NULL
+            ),
+            counts AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin),
+            grid AS (
+              SELECT unnest(range(0, 20)) AS bin, b.lo, b.hi FROM b
+            )
+            SELECT grid.bin,
+                   CAST(floor((grid.lo + grid.bin
+                        * ((grid.hi - grid.lo) / 20.0)) * 1e6 + 0.5)
+                        AS BIGINT) AS lo_q6,
+                   CAST(floor((grid.lo + (grid.bin + 1)
+                        * ((grid.hi - grid.lo) / 20.0)) * 1e6 + 0.5)
+                        AS BIGINT) AS hi_q6,
+                   coalesce(counts.n, 0) AS n
+            FROM grid LEFT JOIN counts ON grid.bin = counts.bin
+        """,
         "corpus_scorecard_report": """
             WITH m AS (
               SELECT doc_id, source, text,

@@ -38,6 +38,7 @@ __all__ = [
     "corr_matrix",
     "grouped_trend",
     "resample_ffill",
+    "value_histogram",
 ]
 
 
@@ -762,5 +763,67 @@ def resample_ffill(
             F.timestamp_seconds(F.col("__b__") * sec).alias("bucket_ts"),
             "value",
             "filled",
+        )
+    )
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Exact equal-width histogram of a numeric column — the profiling
+    primitive behind :func:`distribution_drift`, exposed standalone.
+
+    Bin edges come from ONE broadcast min/max aggregate; each row then
+    maps to ``least(floor((x−min)/width), bins−1)`` (the max value
+    closes into the last bin) in a narrow projection, and a single
+    count aggregate finishes. Empty bins are materialized with zero
+    counts via a sequence explode so the output is always exactly
+    ``bins`` rows — a histogram with silent holes misleads. Bounds are
+    q6-fixed-pointed for the cross-engine hash. NULLs are excluded
+    (count them with a ``not_null`` constraint if they matter). A
+    constant column degenerates to all mass in bin 0.
+    """
+    if bins < 1:
+        raise ValueError("value_histogram: bins must be >= 1")
+    x = F.col(col).cast("double")
+    bounds = df.filter(x.isNotNull()).agg(
+        F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
+    )
+    width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(bins))
+    binned = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("__hi__") > F.col("__lo__"),
+                F.least(
+                    F.floor((x - F.col("__lo__")) / width).cast("long"),
+                    F.lit(bins - 1).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        "__lo__",
+        "__hi__",
+    )
+    w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(bins))
+    return (
+        grid.join(binned, on="bin", how="left")
+        .select(
+            F.col("bin"),
+            F.floor(
+                (F.col("__lo__") + F.col("bin") * w) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("lo_q6"),
+            F.floor(
+                (F.col("__lo__") + (F.col("bin") + 1) * w) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("hi_q6"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )

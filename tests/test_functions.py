@@ -2497,3 +2497,28 @@ class TestCorpusScorecard:
         # the singleton-vocab source b
         assert a["mean_logprob"] > b["mean_logprob"]
         assert 0 < a["mean_quality_q4"] <= 10000
+
+
+class TestValueHistogram:
+    def test_bins_exact_and_complete(self, spark):
+        from tafra_spark.functions.analytics import value_histogram
+
+        # values 0..99 into 10 bins of width 10 -> 10 each; max closes
+        # into the last bin
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        got = sorted(
+            (r["bin"], r["n"]) for r in value_histogram(df, "v", bins=10).collect()
+        )
+        assert got == [(i, 10) for i in range(10)]
+
+    def test_empty_bins_materialized_and_constant_column(self, spark):
+        from tafra_spark.functions.analytics import value_histogram
+
+        df = spark.createDataFrame([(0.0,), (100.0,)], "v double")
+        got = {r["bin"]: r["n"] for r in value_histogram(df, "v", bins=4).collect()}
+        assert got == {0: 1, 1: 0, 2: 0, 3: 1}
+        const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+        g2 = {r["bin"]: r["n"] for r in value_histogram(const, "v", bins=3).collect()}
+        assert g2 == {0: 2, 1: 0, 2: 0}
+        with pytest.raises(ValueError):
+            value_histogram(df, "v", bins=0)
