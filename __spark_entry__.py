@@ -1879,6 +1879,16 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigram LM with stupid backoff, trained on the even-id half and
+    # scoring ALL docs — the cross-table setup where backoff actually
+    # fires (self-scoring never has an unseen bigram)
+    from tafra_spark.functions.pipeline import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_logprob(docs, model=docs.filter(F.col("doc_id") % 2 == 0))
+
+
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact 20-bin equal-width histogram of order totals; empty bins
     # materialized, bounds q6-fixed-pointed
@@ -2025,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "bigram_logprob_quality": bigram_logprob_quality,
         "price_histogram": price_histogram,
         "corpus_scorecard_report": corpus_scorecard_report,
         "semantic_decontaminate_flags": semantic_decontaminate_flags,
@@ -2631,6 +2642,71 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigram_logprob_quality": """
+            WITH mt AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+              WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+            ),
+            uni AS (
+              SELECT w, count(*) AS cu
+              FROM (SELECT unnest(t) AS w FROM mt) GROUP BY w
+            ),
+            n AS (SELECT CAST(sum(cu) AS BIGINT) AS N FROM uni),
+            mpairs AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+              FROM mt WHERE len(t) >= 2
+            ),
+            bi AS (
+              SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb
+              FROM mpairs GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) + 1),
+                       i -> struct_pack(
+                         w1 := CASE WHEN i > 1 THEN t[i-1] END,
+                         w2 := t[i]))) AS p
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+')
+                               AS t
+                    FROM documents WHERE length(trim(text)) > 0)
+            ),
+            s2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM st),
+            j AS (
+              SELECT s2.doc_id, s2.w1, s2.w2, bi.cb,
+                     pu.cu AS cp, cu2.cu AS cc, n.N
+              FROM s2
+              LEFT JOIN bi ON s2.w1 = bi.w1 AND s2.w2 = bi.w2
+              LEFT JOIN uni pu ON s2.w1 = pu.w
+              LEFT JOIN uni cu2 ON s2.w2 = cu2.w
+              CROSS JOIN n
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CAST(floor((CASE
+                     WHEN w1 IS NULL
+                       THEN ln(CAST(coalesce(cc, 1) AS DOUBLE)
+                               / CAST(N AS DOUBLE))
+                     WHEN cb IS NOT NULL
+                       THEN ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+                     ELSE ln(0.4) + ln(CAST(coalesce(cc, 1) AS DOUBLE)
+                               / CAST(N AS DOUBLE))
+                   END) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS logprob_q6_sum,
+                   round((CAST(sum(CAST(floor((CASE
+                     WHEN w1 IS NULL
+                       THEN ln(CAST(coalesce(cc, 1) AS DOUBLE)
+                               / CAST(N AS DOUBLE))
+                     WHEN cb IS NOT NULL
+                       THEN ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+                     ELSE ln(0.4) + ln(CAST(coalesce(cc, 1) AS DOUBLE)
+                               / CAST(N AS DOUBLE))
+                   END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+                         / count(*), 6) AS mean_logprob
+            FROM j GROUP BY doc_id
+        """,
         "price_histogram": """
             WITH b AS (
               SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,

@@ -64,6 +64,7 @@ __all__ = [
     "winnow_overlap_pairs",
     "source_js_divergence",
     "corpus_scorecard",
+    "bigram_logprob",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1620,4 +1621,113 @@ def corpus_scorecard(
         )
         .withColumn("median_tokens", F.round("__med__", 6))
         .drop("__med__")
+    )
+
+def bigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with stupid backoff
+    (Brants et al. 2007) — the next step up from
+    :func:`unigram_logprob` toward the KenLM-style perplexity filters
+    the public pipelines use (CCNet trains the LM on held-out quality
+    text and scores the crawl; pass that reference corpus as
+    ``model``).
+
+    Scoring (all from exact integer counts; every per-token term is a
+    fixed chain of correctly-rounded ln/division ops, q6 fixed-pointed
+    as a scalar, so per-doc sums are order-independent integers):
+
+    - first token: ln(c_uni/N), or the OOV floor ln(1/N);
+    - later tokens, bigram seen in the model: ln(c_bi/c_prev);
+    - unseen bigram, unigram seen: ln(0.4) + ln(c_uni/N);
+    - fully OOV: ln(0.4) + ln(1/N).
+
+    ``model`` defaults to ``df`` itself (self-scoring: backoff never
+    fires — every bigram is its own evidence; useful as a repetition
+    signal, not a quality one). Plan: two model count aggregates
+    (vocabulary/bigram-vocabulary sized, broadcast), a positional
+    bigram fold over the scored corpus (zero shuffle), two broadcast
+    joins, one per-doc aggregate. Returns (id, n_tokens,
+    logprob_q6_sum, mean_logprob).
+    """
+    if model is None:
+        model = df
+    mtok = model.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        word_tokens(F.lower(F.col(text_col))).alias("__t__")
+    )
+    uni = (
+        mtok.select(F.explode("__t__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_total = uni.agg(F.sum("cu").alias("N"))
+    bi_pairs = mtok.select(
+        F.explode(
+            F.when(
+                F.size("__t__") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t__") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t__", i).alias("w1"),
+                        F.element_at("__t__", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = bi_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(F.lower(F.col(text_col))).alias("__t__")
+    )
+    stream = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t__")),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at("__t__", i - 1)).alias("w1"),
+                    F.element_at("__t__", i).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    prev = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cp"))
+    cur = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cc"))
+    j = (
+        stream.join(F.broadcast(bi), on=["w1", "w2"], how="left")
+        .join(F.broadcast(prev), on="w1", how="left")
+        .join(F.broadcast(cur), on="w2", how="left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    nd = F.col("N").cast("double")
+    uni_lp = F.log(
+        F.coalesce(F.col("cc"), F.lit(1)).cast("double") / nd
+    )
+    lp = (
+        F.when(F.col("w1").isNull(), uni_lp)  # first token: unigram
+        .when(
+            F.col("cb").isNotNull(),
+            F.log(F.col("cb").cast("double") / F.col("cp").cast("double")),
+        )
+        .otherwise(F.log(F.lit(0.4)) + uni_lp)
+    )
+    contrib = F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(contrib).alias("logprob_q6_sum"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.round(
+                (F.col("logprob_q6_sum").cast("double") / F.lit(1e6))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
     )

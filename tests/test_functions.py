@@ -2522,3 +2522,48 @@ class TestValueHistogram:
         assert g2 == {0: 2, 1: 0, 2: 0}
         with pytest.raises(ValueError):
             value_histogram(df, "v", bins=0)
+
+
+class TestBigramLogprob:
+    def test_self_scoring_hand_check(self, spark):
+        import math
+
+        from tafra_spark.functions.pipeline import bigram_logprob
+
+        # corpus = one doc "a b a b": uni a:2 b:2 N=4; bi (a,b):2 (b,a):1
+        df = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        r = bigram_logprob(df).collect()[0]
+        q6 = lambda x: math.floor(x * 1e6 + 0.5)
+        exp = (
+            q6(math.log(2 / 4))        # first 'a': unigram
+            + q6(math.log(2 / 2))      # a->b seen: 2/2
+            + q6(math.log(1 / 2))      # b->a seen: 1/2
+            + q6(math.log(2 / 2))      # a->b again
+        )
+        assert r["n_tokens"] == 4
+        assert r["logprob_q6_sum"] == exp
+
+    def test_backoff_fires_cross_model(self, spark):
+        import math
+
+        from tafra_spark.functions.pipeline import bigram_logprob
+
+        model = spark.createDataFrame(
+            [(1, "x y")], "doc_id long, text string"
+        )
+        scored = spark.createDataFrame(
+            [(2, "y x"), (3, "zz")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in bigram_logprob(scored, model=model).collect()
+        }
+        q6 = lambda v: math.floor(v * 1e6 + 0.5)
+        # doc2: 'y' unigram ln(1/2); bigram (y,x) unseen -> backoff
+        assert got[2]["logprob_q6_sum"] == q6(math.log(1 / 2)) + q6(
+            math.log(0.4) + math.log(1 / 2)
+        )
+        # doc3: fully OOV single token -> ln(1/N) floor
+        assert got[3]["logprob_q6_sum"] == q6(math.log(1 / 2))
