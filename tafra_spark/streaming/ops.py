@@ -38,6 +38,8 @@ __all__ = [
     "ledger_dedup_sink",
     "fuzzy_ledger_dedup_sink",
     "quality_monitor_sink",
+    "countmin_ledger_sink",
+    "countmin_read",
     "run_to_memory_sink",
 ]
 
@@ -613,3 +615,53 @@ def quality_monitor_sink(report_path: str, rules: list):
         )
 
     return process
+
+def countmin_ledger_sink(
+    sketch_path: str,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 42,
+    portable: bool = True,
+):
+    """Streaming frequency sketch: a ``foreachBatch`` function that
+    builds each micro-batch's Count-Min counter table and persists it
+    under the batch's OWN partition — the mergeability of the sketch
+    (counters add) is what makes this correct: the full-stream sketch
+    is simply the per-cell SUM across batch partitions, computed at
+    read time by :func:`countmin_read`.
+
+    Replay-idempotent like every ledger sink here: an at-least-once
+    redelivery overwrites its identical partition instead of
+    double-counting. State is ZERO on the streaming side — no state
+    store, no watermark; the sketch table is ≤ depth·width rows per
+    batch regardless of batch size, so a year of micro-batches is
+    still a trivial read-side aggregate. ``portable=True`` (default)
+    keeps the md5 hash family so the merged sketch stays
+    cross-engine-verifiable.
+    """
+    from ..functions.sketches import count_min_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = count_min_build(
+            batch_df, col, depth=depth, width=width, seed=seed,
+            portable=portable,
+        )
+        sk.write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}"
+        )
+
+    return process
+
+
+def countmin_read(spark, sketch_path: str) -> DataFrame:
+    """Merge all batch partitions of a :func:`countmin_ledger_sink`
+    table into one sketch: per-cell counter sum (the CM merge rule).
+    Estimates from the merged table go through
+    :func:`~tafra_spark.functions.sketches.count_min_estimate`
+    unchanged."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("i", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

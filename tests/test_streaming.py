@@ -543,3 +543,72 @@ class TestQualityMonitorSink:
         }
         assert got[0]["n_violations"] == 1  # the NULL doc_id
         assert got[0]["n_rows"] == 3
+
+
+class TestCountMinLedgerSink:
+    def _mk(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "k long")
+
+    def test_merge_equals_batch_sketch(self, spark, tmp_path):
+        from tafra_spark.functions.sketches import (
+            count_min_build,
+            count_min_estimate,
+        )
+        from tafra_spark.streaming.ops import countmin_ledger_sink, countmin_read
+
+        path = str(tmp_path / "cm")
+        sink = countmin_ledger_sink(path, "k", depth=3, width=64, seed=1)
+        sink(self._mk(spark, [1, 2, 2, 3]), 0)
+        sink(self._mk(spark, [2, 3, 3, 3]), 1)
+        merged = countmin_read(spark, path)
+        whole = count_min_build(
+            self._mk(spark, [1, 2, 2, 3, 2, 3, 3, 3]), "k",
+            depth=3, width=64, seed=1, portable=True,
+        )
+        a = {(r["i"], r["b"]): r["cnt"] for r in merged.collect()}
+        b = {(r["i"], r["b"]): r["cnt"] for r in whole.collect()}
+        assert a == b  # mergeability: sum of batch sketches == whole
+        probes = self._mk(spark, [2, 3])
+        est = {
+            r["value"]: r["estimate"]
+            for r in count_min_estimate(
+                merged, probes, "k", depth=3, width=64, seed=1,
+                portable=True,
+            ).collect()
+        }
+        assert est[2] == 3 and est[3] == 4
+
+    def test_replay_overwrites(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import countmin_ledger_sink, countmin_read
+
+        path = str(tmp_path / "cm")
+        sink = countmin_ledger_sink(path, "k", depth=3, width=64, seed=1)
+        sink(self._mk(spark, [5, 5]), 0)
+        sink(self._mk(spark, [5, 5]), 0)  # redelivery
+        total = countmin_read(spark, path).agg(
+            {"cnt": "sum"}
+        ).collect()[0][0]
+        assert total == 2 * 3  # 2 rows x depth 3, NOT doubled
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tafra_spark.streaming.ops import countmin_ledger_sink, countmin_read
+
+        src = tmp_path / "src"
+        src.mkdir()
+        pq.write_table(pa.table({"k": [7, 7, 8]}), str(src / "f0.parquet"))
+        path = str(tmp_path / "cm")
+        stream = spark.readStream.schema("k long").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                countmin_ledger_sink(path, "k", depth=3, width=64, seed=1)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        total = countmin_read(spark, path).agg({"cnt": "sum"}).collect()[0][0]
+        assert total == 3 * 3
