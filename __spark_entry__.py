@@ -1879,6 +1879,15 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def event_rate_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint localization per event type: where the
+    # cumulative deviation from the mean hourly rate peaks
+    from tafra_spark.functions.analytics import cusum_changepoints
+
+    ev = _read_events(spark, sf_dir)
+    return cusum_changepoints(ev, bucket_minutes=60)
+
+
 def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram LM with stupid backoff, trained on the even-id half and
     # scoring ALL docs — the cross-table setup where backoff actually
@@ -2035,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "event_rate_changepoints": event_rate_changepoints,
         "bigram_logprob_quality": bigram_logprob_quality,
         "price_histogram": price_histogram,
         "corpus_scorecard_report": corpus_scorecard_report,
@@ -2642,6 +2652,55 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_rate_changepoints": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+            grid AS (
+              SELECT t.event_type, g.b
+              FROM (SELECT DISTINCT event_type FROM c) t
+              CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b
+                          FROM bounds) g
+            ),
+            full_g AS (
+              SELECT grid.event_type, grid.b, coalesce(c.n, 0) AS n
+              FROM grid LEFT JOIN c
+                ON grid.event_type = c.event_type AND grid.b = c.b
+            ),
+            scored AS (
+              SELECT event_type, b, n,
+                     sum(n) OVER (PARTITION BY event_type) AS tot,
+                     count(*) OVER (PARTITION BY event_type) AS nb,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY b) AS i
+              FROM full_g
+            ),
+            s2 AS (
+              SELECT event_type, b, tot, nb,
+                     CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)
+                       * (CAST(tot AS DOUBLE) / CAST(nb AS DOUBLE)) AS s
+              FROM scored
+            ),
+            peak AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(s) DESC, b) AS rk
+              FROM s2
+            )
+            SELECT event_type,
+                   strftime(to_timestamp(b * 3600),
+                            '%Y-%m-%d %H:%M:%S') AS peak_ts,
+                   CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS cusum_peak_q6,
+                   CAST(tot AS BIGINT) AS total_events,
+                   CAST(nb AS BIGINT) AS n_buckets
+            FROM peak WHERE rk = 1
+        """,
         "bigram_logprob_quality": """
             WITH mt AS (
               SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t

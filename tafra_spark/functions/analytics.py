@@ -39,6 +39,7 @@ __all__ = [
     "grouped_trend",
     "resample_ffill",
     "value_histogram",
+    "cusum_changepoints",
 ]
 
 
@@ -825,5 +826,86 @@ def value_histogram(
                 (F.col("__lo__") + (F.col("bin") + 1) * w) * 1e6 + F.lit(0.5)
             ).cast("long").alias("hi_q6"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """CUSUM changepoint localization on per-type event rates (Page
+    1954): for each event type, the bucket where the cumulative sum of
+    deviations from the mean rate peaks — the standard "WHEN did the
+    rate shift" answer that :func:`rate_spikes`' pointwise z-scores
+    can't give (a sustained level change never spikes).
+
+    The statistic is exact where it matters: per-bucket counts are
+    integers on a COMPLETE per-type bucket grid (missing buckets count
+    0 — skipping them would silently splice time), the prefix count is
+    an integer window sum, and S_i = prefix_i − i·mean needs one
+    double multiply per row. Peak = max |S_i|, earliest bucket on
+    ties. Plan: one (type, bucket) count, a types×buckets grid from
+    one broadcast bounds row, two windows over the type partition.
+    Returns (type, peak_ts, cusum_peak_q6, total_events, n_buckets).
+    """
+    sec = bucket_minutes * 60
+    b = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / F.lit(sec)
+    ).cast("long")
+    counts = (
+        events.select(F.col(type_col), b.alias("__b__"))
+        .groupBy(type_col, "__b__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    bounds = counts.agg(
+        F.min("__b__").alias("__b0__"), F.max("__b__").alias("__b1__")
+    )
+    types = counts.select(type_col).distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        type_col,
+        F.explode(F.sequence(F.col("__b0__"), F.col("__b1__"))).alias("__b__"),
+    )
+    full = grid.join(counts, on=[type_col, "__b__"], how="left").withColumn(
+        "__n__", F.coalesce(F.col("__n__"), F.lit(0))
+    )
+    w_type = Window.partitionBy(type_col)
+    w_cum = (
+        Window.partitionBy(type_col)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        full.withColumn("__tot__", F.sum("__n__").over(w_type))
+        .withColumn("__nb__", F.count(F.lit(1)).over(w_type))
+        .withColumn("__cum__", F.sum("__n__").over(w_cum))
+        .withColumn("__i__", F.row_number().over(
+            Window.partitionBy(type_col).orderBy("__b__")
+        ))
+        .withColumn(
+            "__s__",
+            F.col("__cum__").cast("double")
+            - F.col("__i__").cast("double")
+            * (F.col("__tot__").cast("double") / F.col("__nb__").cast("double")),
+        )
+    )
+    w_peak = Window.partitionBy(type_col).orderBy(
+        F.abs(F.col("__s__")).desc(), F.col("__b__")
+    )
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w_peak))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            F.col(type_col),
+            F.date_format(
+                F.timestamp_seconds(F.col("__b__") * sec),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("peak_ts"),
+            F.floor(F.col("__s__") * 1e6 + F.lit(0.5)).cast("long").alias(
+                "cusum_peak_q6"
+            ),
+            F.col("__tot__").alias("total_events"),
+            F.col("__nb__").cast("long").alias("n_buckets"),
         )
     )

@@ -2567,3 +2567,44 @@ class TestBigramLogprob:
         )
         # doc3: fully OOV single token -> ln(1/N) floor
         assert got[3]["logprob_q6_sum"] == q6(math.log(1 / 2))
+
+
+class TestCusumChangepoints:
+    def test_level_shift_localized(self, spark):
+        from datetime import datetime, timedelta
+
+        from tafra_spark.functions.analytics import cusum_changepoints
+
+        # type 'a': 1 event/hour for 10h then 5/hour for 10h — the CUSUM
+        # |S| peak sits exactly at the shift boundary (hour 10)
+        rows = []
+        t0 = datetime(2024, 1, 1)
+        eid = 0
+        for h in range(20):
+            n = 1 if h < 10 else 5
+            for k in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, minutes=k), "a"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        r = cusum_changepoints(df).collect()[0]
+        assert r["peak_ts"] == "2024-01-01 09:00:00"  # last pre-shift bucket
+        assert r["total_events"] == 60 and r["n_buckets"] == 20
+        # S at the peak = 10*1 - 10*3 = -20
+        assert r["cusum_peak_q6"] == -20_000_000
+
+    def test_constant_rate_small_peak(self, spark):
+        from datetime import datetime, timedelta
+
+        from tafra_spark.functions.analytics import cusum_changepoints
+
+        rows = [
+            (i, datetime(2024, 1, 1) + timedelta(hours=i), "b")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        r = cusum_changepoints(df).collect()[0]
+        assert r["cusum_peak_q6"] == 0  # perfectly flat -> no deviation
