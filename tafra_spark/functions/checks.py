@@ -20,6 +20,12 @@ Rule spec (dict): ``{"rule": <kind>, "col": <name>, ...}`` with kinds:
 - ``min`` / ``max`` — numeric bound ``value``; violations = rows
   outside the bound (NULL passes — pair with not_null to forbid).
 - ``in_set`` — ``values`` list; violations = non-NULL values outside.
+- ``not_in_set`` — ``values`` list; violations = non-NULL values
+  inside (forbidden sentinels: 'N/A', -999, ...).
+- ``between`` — ``lo``/``hi`` inclusive bounds; violations = non-NULL
+  values outside the band.
+- ``min_length`` — string ``value``; violations = non-NULL strings
+  shorter than ``value`` characters.
 - ``matches`` — Java∩RE2 ``pattern``; violations = non-NULL values
   not fully matching.
 
@@ -63,6 +69,28 @@ def _violations(rule: Mapping) -> Column:
         vals = list(rule["values"])
         return F.sum(
             (col.isNotNull() & ~col.isin(vals)).cast("long")
+        )
+    if kind == "not_in_set":
+        vals = list(rule["values"])
+        return F.sum(
+            (col.isNotNull() & col.isin(vals)).cast("long")
+        )
+    if kind == "between":
+        return F.sum(
+            (
+                col.isNotNull()
+                & (
+                    (col < F.lit(rule["lo"]))
+                    | (col > F.lit(rule["hi"]))
+                )
+            ).cast("long")
+        )
+    if kind == "min_length":
+        return F.sum(
+            (
+                col.isNotNull()
+                & (F.length(col) < F.lit(int(rule["value"])))
+            ).cast("long")
         )
     if kind == "matches":
         return F.sum(

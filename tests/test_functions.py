@@ -2608,3 +2608,30 @@ class TestCusumChangepoints:
         )
         r = cusum_changepoints(df).collect()[0]
         assert r["cusum_peak_q6"] == 0  # perfectly flat -> no deviation
+
+
+class TestExtraConstraintRules:
+    def test_between_notinset_minlength(self, spark):
+        from tafra_spark.functions.checks import constraint_report
+
+        rows = [
+            (1, "hello", 5.0),
+            (2, "N/A", 50.0),
+            (3, "x", None),
+            (None, "okay!", -3.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        out = {
+            r["rule_idx"]: r["n_violations"]
+            for r in constraint_report(
+                df,
+                [
+                    {"rule": "between", "col": "v", "lo": 0.0, "hi": 10.0},
+                    {"rule": "not_in_set", "col": "s", "values": ["N/A", ""]},
+                    {"rule": "min_length", "col": "s", "value": 3},
+                ],
+            ).collect()
+        }
+        assert out[0] == 2  # 50.0 and -3.0 outside [0, 10]; NULL passes
+        assert out[1] == 1  # the 'N/A' sentinel
+        assert out[2] == 1  # 'x' shorter than 3
