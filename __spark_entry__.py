@@ -1879,6 +1879,15 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-to-convert per funnel transition: quartiles of the gap
+    # between consecutive step completions, integer-second deltas
+    from tafra_spark.functions.analytics import funnel_step_latency
+
+    ev = _read_events(spark, sf_dir)
+    return funnel_step_latency(ev, steps=("click", "view", "purchase"))
+
+
 def event_rate_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CUSUM changepoint localization per event type: where the
     # cumulative deviation from the mean hourly rate peaks
@@ -2044,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "funnel_latency_quartiles": funnel_latency_quartiles,
         "event_rate_changepoints": event_rate_changepoints,
         "bigram_logprob_quality": bigram_logprob_quality,
         "price_histogram": price_histogram,
@@ -2652,6 +2662,61 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "funnel_latency_quartiles": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events),
+            u AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t0
+              FROM e GROUP BY user_id
+            ),
+            u2 AS (
+              SELECT u.user_id, u.t0,
+                     min(CASE WHEN e.event_type = 'view'
+                                   AND e.ts >= u.t0 THEN e.ts END) AS t1
+              FROM u JOIN e USING (user_id) GROUP BY u.user_id, u.t0
+            ),
+            u3 AS (
+              SELECT u2.user_id, u2.t0, u2.t1,
+                     min(CASE WHEN e.event_type = 'purchase'
+                                   AND e.ts >= u2.t1 THEN e.ts END) AS t2
+              FROM u2 JOIN e USING (user_id)
+              GROUP BY u2.user_id, u2.t0, u2.t1
+            ),
+            d AS (
+              SELECT user_id,
+                     CASE WHEN t1 IS NOT NULL THEN
+                       CAST(CAST(floor(epoch(t1)) AS BIGINT)
+                            - CAST(floor(epoch(t0)) AS BIGINT) AS DOUBLE)
+                     END AS d1,
+                     CASE WHEN t2 IS NOT NULL THEN
+                       CAST(CAST(floor(epoch(t2)) AS BIGINT)
+                            - CAST(floor(epoch(t1)) AS BIGINT) AS DOUBLE)
+                     END AS d2,
+                     t1, t2
+              FROM u3
+            ),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                round(quantile_cont(d1, 0.25), 6) AS p25_1,
+                round(quantile_cont(d1, 0.5), 6) AS p50_1,
+                round(quantile_cont(d1, 0.75), 6) AS p75_1,
+                CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                round(quantile_cont(d2, 0.25), 6) AS p25_2,
+                round(quantile_cont(d2, 0.5), 6) AS p50_2,
+                round(quantile_cont(d2, 0.75), 6) AS p75_2
+              FROM d
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   n1 AS n_converted, p25_1 AS p25_s, p50_1 AS p50_s,
+                   p75_1 AS p75_s
+            FROM agg
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase', n2, p25_2, p50_2, p75_2
+            FROM agg
+        """,
         "event_rate_changepoints": """
             WITH c AS (
               SELECT event_type,

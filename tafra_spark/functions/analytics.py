@@ -40,6 +40,7 @@ __all__ = [
     "resample_ffill",
     "value_histogram",
     "cusum_changepoints",
+    "funnel_step_latency",
 ]
 
 
@@ -909,3 +910,66 @@ def cusum_changepoints(
             F.col("__nb__").cast("long").alias("n_buckets"),
         )
     )
+
+def funnel_step_latency(
+    events: DataFrame,
+    steps: Sequence[str] = ("click", "view", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert per funnel transition: for users who complete
+    step i, the quartiles of (step i time − step i−1 time) in whole
+    seconds — the "WHERE does the funnel stall" companion to
+    :func:`funnel_conversion`'s "how many convert".
+
+    Same chained conditional-min fold over ONE user-key exchange as the
+    conversion op (step times are computed identically, so the two
+    reports always agree on who converted); the deltas are exact
+    integer seconds (micros truncated on both engines) and the
+    quartiles are the R-7 interpolation both engines share. One extra
+    tiny aggregate over the per-user row set. Returns one row per
+    transition: (step, step_name, n_converted, p25_s, p50_s, p75_s).
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= prev)
+        df = df.withColumn(
+            f"__t{i}__", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(f"__t{i}__")
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__t{i}__").alias(f"t{i}") for i in range(len(steps))]
+    )
+    aggs = []
+    for i in range(1, len(steps)):
+        delta = (
+            F.col(f"t{i}").cast("timestamp").cast("long")
+            - F.col(f"t{i-1}").cast("timestamp").cast("long")
+        ).cast("double")
+        d = F.when(F.col(f"t{i}").isNotNull(), delta)
+        aggs += [
+            F.coalesce(
+                F.sum(F.col(f"t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i}"),
+            F.percentile(d, F.lit(0.25)).alias(f"p25_{i}"),
+            F.percentile(d, F.lit(0.5)).alias(f"p50_{i}"),
+            F.percentile(d, F.lit(0.75)).alias(f"p75_{i}"),
+        ]
+    one = per_user.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            F.col(f"n{i}").alias("n_converted"),
+            F.round(F.col(f"p25_{i}"), 6).alias("p25_s"),
+            F.round(F.col(f"p50_{i}"), 6).alias("p50_s"),
+            F.round(F.col(f"p75_{i}"), 6).alias("p75_s"),
+        )
+        for i in range(1, len(steps))
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

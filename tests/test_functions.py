@@ -2635,3 +2635,41 @@ class TestExtraConstraintRules:
         assert out[0] == 2  # 50.0 and -3.0 outside [0, 10]; NULL passes
         assert out[1] == 1  # the 'N/A' sentinel
         assert out[2] == 1  # 'x' shorter than 3
+
+
+class TestFunnelStepLatency:
+    def test_latency_quartiles_hand_check(self, spark):
+        from datetime import datetime, timedelta
+
+        from tafra_spark.functions.analytics import funnel_step_latency
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # three users convert click->view with gaps 10s, 20s, 30s;
+        # only user 0 reaches purchase (gap 5s)
+        for u, gap in [(0, 10), (1, 20), (2, 30)]:
+            rows.append((u, "click", t0))
+            rows.append((u, "view", t0 + timedelta(seconds=gap)))
+        rows.append((0, "purchase", t0 + timedelta(seconds=15)))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        got = {r["step_name"]: r for r in funnel_step_latency(df).collect()}
+        v = got["view"]
+        assert v["n_converted"] == 3
+        assert (v["p25_s"], v["p50_s"], v["p75_s"]) == (15.0, 20.0, 25.0)
+        p = got["purchase"]
+        assert p["n_converted"] == 1 and p["p50_s"] == 5.0
+
+    def test_no_converters_null_quartiles(self, spark):
+        from datetime import datetime
+
+        from tafra_spark.functions.analytics import funnel_step_latency
+
+        df = spark.createDataFrame(
+            [(1, "click", datetime(2024, 1, 1))],
+            "user_id long, event_type string, ts timestamp",
+        )
+        got = {r["step_name"]: r for r in funnel_step_latency(df).collect()}
+        assert got["view"]["n_converted"] == 0
+        assert got["view"]["p50_s"] is None
