@@ -1879,6 +1879,15 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV distinct estimation per event type — a DETERMINISTIC sketch
+    # (portable md5 hashes), so the estimate itself is oracle-checked
+    from tafra_spark.functions.sketches import kmv_distinct
+
+    ev = _read_events(spark, sf_dir)
+    return kmv_distinct(ev, "user_id", group_cols=["event_type"], k=64)
+
+
 def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-to-convert per funnel transition: quartiles of the gap
     # between consecutive step completions, integer-second deltas
@@ -2053,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "kmv_distinct_users": kmv_distinct_users,
         "funnel_latency_quartiles": funnel_latency_quartiles,
         "event_rate_changepoints": event_rate_changepoints,
         "bigram_logprob_quality": bigram_logprob_quality,
@@ -2662,6 +2672,30 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmv_distinct_users": """
+            WITH d AS (
+              SELECT DISTINCT event_type,
+                     CAST(concat('0x',
+                          substr(md5('42|' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY h) AS rk
+              FROM d
+            ),
+            a AS (
+              SELECT event_type, count(*) AS n, max(h) AS hk
+              FROM r WHERE rk <= 64 GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_hashes,
+                   round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0
+                              / CAST(hk AS DOUBLE) END, 6) AS est_distinct
+            FROM a
+        """,
         "funnel_latency_quartiles": """
             WITH e AS (SELECT user_id, event_type, ts FROM events),
             u AS (

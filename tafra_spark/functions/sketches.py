@@ -31,6 +31,7 @@ __all__ = [
     "count_min_estimate",
     "bloom_build",
     "bloom_contains",
+    "kmv_distinct",
 ]
 
 
@@ -227,4 +228,74 @@ def bloom_contains(
         joined.withColumn("__hit__", hit)
         .groupBy("value")
         .agg((F.min("__hit__") == 1).alias("might_contain"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# KMV: k-minimum-values distinct estimation (deterministic, oracle-able)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: list | None = None,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct-count estimation via the k-minimum-values sketch
+    (Bar-Yossef et al. 2002): keep each group's ``k`` smallest salted
+    value hashes; the estimate is (k−1)/u_k where u_k is the k-th
+    smallest hash normalized to (0,1]. Unlike HLL, KMV with the
+    portable md5 family is fully DETERMINISTIC — the same inputs give
+    the same estimate on any engine, so the estimate itself carries a
+    value-hash oracle (and two sketches merge by keeping the k
+    smallest of the union).
+
+    Groups with fewer than ``k`` distinct values report the EXACT
+    count (the sketch holds every hash). Standard error ≈ 1/√(k−2).
+    Plan: distinct (group, hash) collapse — the shuffle carries one
+    row per distinct value, not the raw stream — then one rank window
+    and a tiny per-group aggregate. Returns group cols + (n_hashes,
+    est_distinct).
+    """
+    from pyspark.sql import Window as W
+
+    from .sampling import hash_mod  # noqa: F401  (same md5 family)
+
+    if k < 2:
+        raise ValueError("kmv_distinct: k must be >= 2")
+    group_cols = list(group_cols or [])
+    digest = F.md5(
+        F.concat(
+            F.lit(f"{seed}|"), F.col(col).cast("string")
+        ).cast("binary")
+    )
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    d = df.filter(F.col(col).isNotNull()).select(
+        *group_cols, h.alias("__h__")
+    ).distinct()
+    if group_cols:
+        w = W.partitionBy(*group_cols).orderBy("__h__")
+        ranked = d.withColumn("__rk__", F.row_number().over(w)).filter(
+            F.col("__rk__") <= k
+        ).drop("__rk__")
+    else:
+        # ungrouped: distributed TakeOrdered, never a global
+        # single-partition window over the distinct-hash stream
+        ranked = d.orderBy("__h__").limit(k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("__h__").alias("__hk__"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(2**60))
+        / F.col("__hk__").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_hashes",
+        F.round(est, 6).alias("est_distinct"),
     )

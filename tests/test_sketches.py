@@ -154,3 +154,33 @@ class TestPortableSketches:
         }
         # members always hit
         assert all(got[v] for v in range(40, 50))
+
+
+class TestKmvDistinct:
+    def test_exact_under_k_and_estimate_over_k(self, spark):
+        from tafra_spark.functions.sketches import kmv_distinct
+
+        # group 'small': 10 distinct < k -> exact; 'big': 500 distinct
+        rows = [("small", i) for i in range(10) for _ in range(3)]
+        rows += [("big", i) for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["g"]: r
+            for r in kmv_distinct(df, "v", ["g"], k=64).collect()
+        }
+        assert got["small"]["n_hashes"] == 10
+        assert got["small"]["est_distinct"] == 10.0
+        assert got["big"]["n_hashes"] == 64
+        # standard error ~ 1/sqrt(62) ~ 12.7%; allow 3 sigma
+        assert 300 < got["big"]["est_distinct"] < 750
+
+    def test_ungrouped_and_determinism(self, spark):
+        from tafra_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame([(i % 200,) for i in range(1000)], "v long")
+        a = kmv_distinct(df, "v", k=32).collect()[0]["est_distinct"]
+        b = kmv_distinct(df, "v", k=32).collect()[0]["est_distinct"]
+        assert a == b  # deterministic — no RNG, no partition dependence
+        assert 120 < a < 320
+        with pytest.raises(ValueError):
+            kmv_distinct(df, "v", k=1)
