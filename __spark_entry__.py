@@ -1879,6 +1879,17 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def source_semantic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space domain similarity: cosine between per-source
+    # centroid DIRECTIONS (exact q6 sum vectors — scale invariance
+    # means no mean division, no float-aggregation caveat)
+    from tafra_spark.functions.similarity import source_semantic_similarity
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    return source_semantic_similarity(docs, emb)
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV distinct estimation per event type — a DETERMINISTIC sketch
     # (portable md5 hashes), so the estimate itself is oracle-checked
@@ -2062,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "source_semantic_matrix": source_semantic_matrix,
         "kmv_distinct_users": kmv_distinct_users,
         "funnel_latency_quartiles": funnel_latency_quartiles,
         "event_rate_changepoints": event_rate_changepoints,
@@ -2672,6 +2684,34 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_semantic_matrix": """
+            WITH j AS (
+              SELECT d.source, e.embedding::DOUBLE[] AS v
+              FROM embeddings e
+              JOIN documents d ON e.vec_id = d.doc_id
+            ),
+            comp AS (
+              SELECT source, u.dim AS dim,
+                     CAST(sum(CAST(floor(u.val * 1e6 + 0.5) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM j,
+                   LATERAL (SELECT unnest(v) AS val,
+                                   generate_subscripts(v, 1) - 1 AS dim) u
+              GROUP BY source, u.dim
+            ),
+            nd AS (SELECT source, count(*) AS n FROM j GROUP BY source),
+            vecs AS (
+              SELECT comp.source,
+                     list(CAST(s AS DOUBLE) ORDER BY dim) AS sv,
+                     max(nd.n) AS n
+              FROM comp JOIN nd ON comp.source = nd.source
+              GROUP BY comp.source
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                   round(list_cosine_similarity(a.sv, b.sv), 6) AS cos
+            FROM vecs a JOIN vecs b ON a.source < b.source
+        """,
         "kmv_distinct_users": """
             WITH d AS (
               SELECT DISTINCT event_type,

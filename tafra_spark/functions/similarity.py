@@ -43,6 +43,7 @@ __all__ = [
     "pq_recall",
     "pq_fit",
     "semantic_decontaminate",
+    "source_semantic_similarity",
 ]
 
 
@@ -1145,3 +1146,85 @@ def semantic_decontaminate(
             F.coalesce(F.col("__hit__"), F.lit(False)).alias("contaminated"),
         )
     return corpus.join(hits, on=id_col, how="left_anti")
+
+def source_semantic_similarity(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Pairwise cosine similarity between SOURCE centroids in embedding
+    space — the semantic domain-similarity matrix, complementing the
+    lexical :func:`~tafra_spark.functions.pipeline.source_js_divergence`
+    (two sources can share no vocabulary yet embed identically, and
+    vice versa).
+
+    Exactness trick: cosine is scale-invariant, so the centroid's
+    DIRECTION is all that matters — and the direction of the mean is
+    the direction of the SUM. Per-dimension q6 fixed-point sums are
+    exact order-independent integers; the pairwise cosine then runs
+    the deterministic left-fold over the tiny per-source sum vectors.
+    No mean division ever happens, so no float-aggregation caveat.
+
+    Plan: one (source, dim) fixed-point sum over the exploded
+    embedding stream (corpus·dim rows — linear, the portable
+    formulation; a 100 TB deployment would swap in a mapInPandas
+    partial-sum combiner, same result), one per-source array rebuild,
+    and a |sources|² cross join of single rows. Returns (source_a,
+    source_b, n_a, n_b, cos), a < b.
+    """
+    j = embeddings.select(
+        F.col(vec_id_col).alias("__vid__"), F.col(vec_col)
+    ).join(
+        docs.select(
+            F.col(doc_id_col).alias("__vid__"), F.col(strata_col)
+        ),
+        on="__vid__",
+    )
+    comp = (
+        j.select(
+            F.col(strata_col),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy(strata_col, "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("s")
+        )
+    )
+    n_docs = j.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    vecs = (
+        comp.groupBy(strata_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda e: e["s"].cast("double"),
+            ).alias("sv")
+        )
+        .join(n_docs, on=strata_col)
+    )
+    a = vecs.select(
+        F.col(strata_col).alias("source_a"),
+        F.col("sv").alias("__va__"),
+        F.col("n").alias("n_a"),
+    )
+    b = vecs.select(
+        F.col(strata_col).alias("source_b"),
+        F.col("sv").alias("__vb__"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("__va__"), F.col("__vb__")), 6).alias("cos"),
+        )
+    )

@@ -2673,3 +2673,45 @@ class TestFunnelStepLatency:
         got = {r["step_name"]: r for r in funnel_step_latency(df).collect()}
         assert got["view"]["n_converted"] == 0
         assert got["view"]["p50_s"] is None
+
+
+class TestSourceSemanticSimilarity:
+    def test_centroid_direction_cosine(self, spark):
+        from tafra_spark.functions.similarity import source_semantic_similarity
+
+        docs = spark.createDataFrame(
+            [(0, "a"), (1, "a"), (2, "b"), (3, "c")],
+            "doc_id long, source string",
+        )
+        # a: two vectors averaging to +x; b: +x exactly; c: orthogonal +y
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [1.0, 0.0]),
+                (2, [2.0, 0.0]),
+                (3, [0.0, 5.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_semantic_similarity(docs, emb).collect()
+        }
+        assert got[("a", "b")]["cos"] == pytest.approx(1.0, abs=1e-6)
+        assert got[("a", "c")]["cos"] == pytest.approx(0.0, abs=1e-6)
+        assert got[("a", "b")]["n_a"] == 2 and got[("a", "b")]["n_b"] == 1
+        # scale invariance: doubling a source's vectors changes nothing
+        emb2 = spark.createDataFrame(
+            [
+                (0, [2.0, 0.0]),
+                (1, [2.0, 0.0]),
+                (2, [2.0, 0.0]),
+                (3, [0.0, 5.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got2 = {
+            (r["source_a"], r["source_b"]): r["cos"]
+            for r in source_semantic_similarity(docs, emb2).collect()
+        }
+        assert got2[("a", "b")] == got[("a", "b")]["cos"]
