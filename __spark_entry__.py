@@ -1879,6 +1879,22 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def cluster_balanced_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diverse eval panel: nearest-centroid clustering + deterministic
+    # k-per-cluster draw — semantic coverage without RNG state
+    from tafra_spark.functions.sampling import exact_k_per_stratum
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    assigned = S.assign_centroids(emb.filter(F.col("vec_id") >= 8), cents)
+    return exact_k_per_stratum(
+        assigned.select("vec_id", "centroid_id"),
+        key_col="vec_id",
+        strata_col="centroid_id",
+        k=10,
+    ).select("centroid_id", "vec_id")
+
+
 def source_semantic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-space domain similarity: cosine between per-source
     # centroid DIRECTIONS (exact q6 sum vectors — scale invariance
@@ -2073,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "cluster_balanced_panel": cluster_balanced_panel,
         "source_semantic_matrix": source_semantic_matrix,
         "kmv_distinct_users": kmv_distinct_users,
         "funnel_latency_quartiles": funnel_latency_quartiles,
@@ -2684,6 +2701,35 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cluster_balanced_panel": """
+            WITH c AS (SELECT vec_id AS centroid_id,
+                              embedding::DOUBLE[] AS centv
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, c.centroid_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], c.centv)
+                         AS cos_raw
+              FROM embeddings e CROSS JOIN c
+              WHERE e.vec_id >= 8
+            ),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos_raw DESC, centroid_id) AS rank
+                FROM scored
+              ) WHERE rank = 1
+            ),
+            sel AS (
+              SELECT centroid_id, vec_id,
+                     row_number() OVER (PARTITION BY centroid_id
+                       ORDER BY CAST(concat('0x', substr(md5(
+                         '42|' || CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000000, vec_id) AS rk
+              FROM assigned
+            )
+            SELECT centroid_id, vec_id FROM sel WHERE rk <= 10
+        """,
         "source_semantic_matrix": """
             WITH j AS (
               SELECT d.source, e.embedding::DOUBLE[] AS v
