@@ -1879,6 +1879,25 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def gate_reject_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # which quality rule rejects how much, per source — the gate-tuning
+    # report (bits co-occur, so per-rule counts sum above n_rejected)
+    from tafra_spark.functions.pipeline import quality_gate
+
+    docs = _read(spark, sf_dir, "documents")
+    g = quality_gate(docs, min_tokens=20)
+    j = g.join(docs.select("doc_id", "source"), "doc_id")
+    m = F.col("reject_mask")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((m.bitwiseAND(F.lit(1)) != 0).cast("long")).alias("n_too_short"),
+        F.sum((m.bitwiseAND(F.lit(2)) != 0).cast("long")).alias("n_too_long"),
+        F.sum((m.bitwiseAND(F.lit(4)) != 0).cast("long")).alias("n_repetitive"),
+        F.sum((m.bitwiseAND(F.lit(8)) != 0).cast("long")).alias("n_dominated"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+
+
 def cluster_balanced_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diverse eval panel: nearest-centroid clustering + deterministic
     # k-per-cluster draw — semantic coverage without RNG state
@@ -2089,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "gate_reject_breakdown": gate_reject_breakdown,
         "cluster_balanced_panel": cluster_balanced_panel,
         "source_semantic_matrix": source_semantic_matrix,
         "kmv_distinct_users": kmv_distinct_users,
@@ -2701,6 +2721,47 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gate_reject_breakdown": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+')
+                     END AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, source,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor(((len(t) - len(list_distinct(t)))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS dup_q4,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE CAST(floor((list_max(list_transform(
+                                 list_distinct(t),
+                                 u -> len(list_filter(t, x -> x = u))))
+                                 * 10000 + len(t) / 2) / len(t)) AS BIGINT)
+                     END AS top_q4
+              FROM w
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_too_short,
+                   CAST(sum(CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_too_long,
+                   CAST(sum(CASE WHEN dup_q4 > 5000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repetitive,
+                   CAST(sum(CASE WHEN top_q4 > 2500 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dominated,
+                   CAST(sum(CASE WHEN n_tokens >= 20
+                                  AND n_tokens <= 100000
+                                  AND dup_q4 <= 5000
+                                  AND top_q4 <= 2500
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            FROM s GROUP BY source
+        """,
         "cluster_balanced_panel": """
             WITH c AS (SELECT vec_id AS centroid_id,
                               embedding::DOUBLE[] AS centv
