@@ -1879,6 +1879,15 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, window=4, min_shared=3)
 
 
+def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-arrival Fano factor per user: bursty vs metronomic vs
+    # Poisson behavior fingerprint, exact integer-second gaps
+    from tafra_spark.functions.analytics import user_burstiness
+
+    ev = _read_events(spark, sf_dir)
+    return user_burstiness(ev, min_gaps=5)
+
+
 def gate_reject_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which quality rule rejects how much, per source — the gate-tuning
     # report (bits co-occur, so per-rule counts sum above n_rejected)
@@ -2108,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then entries whose last driver row is oldest. Everything green
         # in r3 sits at the tail. ---
         # NEW in r4 (never verified)
+        "user_burstiness_profile": user_burstiness_profile,
         "gate_reject_breakdown": gate_reject_breakdown,
         "cluster_balanced_panel": cluster_balanced_panel,
         "source_semantic_matrix": source_semantic_matrix,
@@ -2721,6 +2731,34 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_burstiness_profile": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id))) AS BIGINT) AS gap
+              FROM events
+            ),
+            a AS (
+              SELECT user_id,
+                     count(*) AS n_gaps,
+                     CAST(sum(gap) AS BIGINT) AS s,
+                     CAST(sum(gap * gap) AS BIGINT) AS ss
+              FROM g WHERE gap IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id,
+                   n_gaps,
+                   round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+                       AS mean_gap_s,
+                   CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+                     THEN round((CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                          / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+                   END AS fano_s
+            FROM a WHERE n_gaps >= 5
+        """,
         "gate_reject_breakdown": """
             WITH w AS (
               SELECT doc_id, source,

@@ -41,6 +41,7 @@ __all__ = [
     "value_histogram",
     "cusum_changepoints",
     "funnel_step_latency",
+    "user_burstiness",
 ]
 
 
@@ -973,3 +974,52 @@ def funnel_step_latency(
         for i in range(1, len(steps))
     ]
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+def user_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Inter-arrival burstiness per user: the Fano factor (variance /
+    mean) of the gaps between consecutive events — ≈mean for a Poisson
+    user, ≫mean for bursty bots/batch importers, ≈0 for metronomic
+    schedulers. The behavioral-fingerprint feature fraud and bot
+    pipelines compute first.
+
+    Gaps are exact integer seconds from one lag() window over the user
+    partition (ties pinned by ``id_col``); variance comes from exact
+    (Σx, Σx², n) component sums — integers until one mirrored double
+    expression, same discipline as :func:`corr_matrix`. Users with
+    fewer than ``min_gaps`` gaps are dropped (a two-event Fano factor
+    is noise). One user-key exchange total. Returns (user, n_gaps,
+    mean_gap_s, fano_s) with q6 rounding.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ts_col).over(w).cast("timestamp").cast("long")
+    gaps = (
+        events.select(F.col(user_col), F.col(ts_col), F.col(id_col))
+        .withColumn("__g__", ts_s - prev)
+        .filter(F.col("__g__").isNotNull())
+    )
+    agg = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__g__").alias("__s__"),
+        F.sum(F.col("__g__") * F.col("__g__")).alias("__ss__"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("__s__").cast("double")
+    ss = F.col("__ss__").cast("double")
+    mean = s / n
+    var = ss / n - mean * mean
+    return (
+        agg.filter(F.col("n_gaps") >= min_gaps)
+        .select(
+            F.col(user_col),
+            F.col("n_gaps"),
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.when(mean > 0, F.round(var / mean, 6)).alias("fano_s"),
+        )
+    )

@@ -2715,3 +2715,44 @@ class TestSourceSemanticSimilarity:
             for r in source_semantic_similarity(docs, emb2).collect()
         }
         assert got2[("a", "b")] == got[("a", "b")]["cos"]
+
+
+class TestUserBurstiness:
+    def test_metronome_vs_bursty(self, spark):
+        from datetime import datetime, timedelta
+
+        from tafra_spark.functions.analytics import user_burstiness
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # user 1: perfectly regular 60s gaps -> fano 0
+        for i in range(10):
+            rows.append((i, 1, t0 + timedelta(seconds=60 * i)))
+        # user 2: bursts — five events in 4s, then an hour, twice
+        eid = 100
+        for burst in range(2):
+            base = t0 + timedelta(hours=burst)
+            for k in range(5):
+                rows.append((eid, 2, base + timedelta(seconds=k)))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        got = {r["user_id"]: r for r in user_burstiness(df).collect()}
+        assert got[1]["fano_s"] == 0.0 and got[1]["mean_gap_s"] == 60.0
+        # bursty user: variance dwarfs the mean
+        assert got[2]["fano_s"] > got[2]["mean_gap_s"]
+
+    def test_min_gaps_filter(self, spark):
+        from datetime import datetime, timedelta
+
+        from tafra_spark.functions.analytics import user_burstiness
+
+        rows = [
+            (i, 1, datetime(2024, 1, 1) + timedelta(seconds=i))
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        assert user_burstiness(df, min_gaps=5).count() == 0
