@@ -2106,17 +2106,59 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filters: duplicate-word fraction +
+    # top-bigram share per doc. n_words/n_distinct are narrow array
+    # ops on the scan; only the bigram mode shuffles (doc-keyed).
+    docs = _read(spark, sf_dir, "documents")
+    return TX.repetition_signals(docs)
+
+
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-type outlier gate: exact rank-selected median + MAD
+    # (approx quantiles are not cross-engine), counts past 3·1.4826·MAD
+    ev = _read_events(spark, sf_dir)
+    return AN.mad_outliers(ev, key_col="event_type", value_col="value", k=3.0)
+
+
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative-algorithm pattern: 2 power iterations over the
+    # transition graph, rank vector as a broadcast (node, pr) frame,
+    # q9 integer fixed-point so iteration results hash cross-engine
+    ev = _read_events(spark, sf_dir)
+    return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
+
+
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-aware canonical selection: highest-quality copy per
+    # exact-dup fingerprint group (min-id only breaks quality ties)
+    docs = _read(spark, sf_dir, "documents")
+    return D.dedup_keep_best(docs).select(
+        "doc_id", "source", "group_n", "quality_q4"
+    )
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
-        # correctness budget has covered ~50 entries per round). Rank by
-        # verification need: never-verified NEW queries, then queries
-        # whose implementation CHANGED this round, then the r3 red row,
-        # then entries whose last driver row is oldest. Everything green
-        # in r3 sits at the tail. ---
-        # NEW in r4 (never verified)
+        # correctness budget covered exactly 50 entries in r2 and r3).
+        # Rank by verification need: (1) the r3 red row whose fix must
+        # be confirmed, (2) event/temporal queries whose shared ts
+        # normalization changed with that fix, (3) never-driver-verified
+        # queries oldest first, (4) brand-new r4 queries, then the
+        # long-green tail. ---
+        # red in r3 (TIMESTAMP_NTZ) — fixed; confirm first
+        "interval_join_attribution": interval_join_attribution,
+        # NTZ-affected event/temporal paths (ts loader changed), last
+        # verified r1/r2 on the old data generation
+        "sessionize_events": sessionize_events,
+        "events_quarter_hour": events_quarter_hour,
+        "rolling_hour_window": rolling_hour_window,
+        "asof_join_events": asof_join_events,
+        "range_join_incidents": range_join_incidents,
+        # never driver-verified (added r3 after the r3 run)
         "user_burstiness_profile": user_burstiness_profile,
         "gate_reject_breakdown": gate_reject_breakdown,
         "cluster_balanced_panel": cluster_balanced_panel,
@@ -2163,17 +2205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_calibration": quality_percentile_calibration,
         "user_activity_decay": user_activity_decay,
         "sliding_active_3h": sliding_active_3h,
-        # fuzzy-dedup sharing strategy changed in r4 — re-verify first
+        # NEW in r4 (local-gate green; driver rows expected r5)
+        "repetition_signals": repetition_signals_q,
+        "mad_outlier_profile": mad_outlier_profile,
+        "pagerank_event_graph": pagerank_event_graph,
+        "dedup_keep_best": dedup_keep_best_docs,
+        # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
-        # red in r3 (TIMESTAMP_NTZ) — fixed this round
-        "interval_join_attribution": interval_join_attribution,
-        # NTZ-affected event/temporal paths, last verified r2
-        "sessionize_events": sessionize_events,
-        "events_quarter_hour": events_quarter_hour,
-        "rolling_hour_window": rolling_hour_window,
-        "asof_join_events": asof_join_events,
-        "range_join_incidents": range_join_incidents,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2731,6 +2770,191 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "repetition_signals": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            base AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_distinct, ws
+              FROM w
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> concat_ws(' ', ws[i], ws[i+1])))
+                       AS bg
+              FROM w WHERE len(ws) >= 2
+            ),
+            cnt AS (SELECT doc_id, bg, count(*) AS bn FROM bg GROUP BY doc_id, bg),
+            top AS (
+              SELECT doc_id, bg AS top_bigram, bn AS top_bigram_n
+              FROM (SELECT doc_id, bg, bn,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY bn DESC, bg ASC) AS rn
+                    FROM cnt)
+              WHERE rn = 1
+            )
+            SELECT b.doc_id AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(floor((n_words - n_distinct) * 1000000.0 / n_words)
+                        AS BIGINT) AS dup_word_frac_q6,
+                   top_bigram,
+                   CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(CASE WHEN n_words - 1 > 0
+                             THEN floor(coalesce(top_bigram_n, 0) * 1000000.0
+                                        / (n_words - 1))
+                             ELSE 0 END AS BIGINT) AS top_bigram_frac_q6
+            FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        """,
+        "mad_outlier_profile": f"""
+            WITH base AS (
+              SELECT event_type AS k, value AS v FROM events
+              WHERE value IS NOT NULL
+            ),
+            r1 AS (
+              SELECT k, v,
+                     row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY k) AS n
+              FROM base
+            ),
+            med AS (
+              SELECT k, sum(v) / count(*) AS med, any_value(n) AS n
+              FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+              GROUP BY k
+            ),
+            dev AS (
+              SELECT base.k, abs(v - med) AS d, med, n
+              FROM base JOIN med ON base.k = med.k
+            ),
+            r2 AS (
+              SELECT k, d,
+                     row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+                     count(*) OVER (PARTITION BY k) AS n2
+              FROM dev
+            ),
+            mad AS (
+              SELECT k, sum(d) / count(*) AS madv
+              FROM r2 WHERE rn = (n2 + 1) // 2 OR rn = n2 // 2 + 1
+              GROUP BY k
+            ),
+            fl AS (
+              SELECT dev.k AS k, any_value(dev.n) AS n,
+                     any_value(dev.med) AS med, any_value(mad.madv) AS madv,
+                     CAST(sum(CASE WHEN d > madv * {3.0 * 1.4826!r}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+              FROM dev JOIN mad ON dev.k = mad.k GROUP BY dev.k
+            )
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   round(med, 6) AS median, round(madv, 6) AS mad,
+                   n_out AS n_outliers,
+                   CAST(floor(n_out * 1000000.0 / n) AS BIGINT)
+                     AS outlier_frac_q6
+            FROM fl
+        """,
+        "pagerank_event_graph": """
+            WITH seq AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst
+              FROM events
+            ),
+            edges AS (
+              SELECT src, dst, count(*) AS w FROM seq
+              WHERE dst IS NOT NULL GROUP BY src, dst
+            ),
+            nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ),
+            nv AS (SELECT count(*) AS n_v FROM nodes),
+            outd AS (
+              SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+              FROM edges GROUP BY src
+            ),
+            p0 AS (
+              SELECT node, CAST(1000000000 // n_v AS BIGINT) AS pr
+              FROM nodes CROSS JOIN nv
+            ),
+            c1 AS (
+              SELECT dst,
+                     CAST(sum((85 * p0.pr * w) // (100 * out_w)) AS BIGINT)
+                       AS cin
+              FROM edges JOIN p0 ON edges.src = p0.node
+                         JOIN outd ON edges.src = outd.src
+              GROUP BY dst
+            ),
+            p1 AS (
+              SELECT node,
+                     CAST((CAST(15 AS BIGINT) * 1000000000) // (100 * n_v)
+                          + coalesce(cin, 0) AS BIGINT) AS pr
+              FROM nodes CROSS JOIN nv
+              LEFT JOIN c1 ON nodes.node = c1.dst
+            ),
+            c2 AS (
+              SELECT dst,
+                     CAST(sum((85 * p1.pr * w) // (100 * out_w)) AS BIGINT)
+                       AS cin
+              FROM edges JOIN p1 ON edges.src = p1.node
+                         JOIN outd ON edges.src = outd.src
+              GROUP BY dst
+            ),
+            p2 AS (
+              SELECT node,
+                     CAST((CAST(15 AS BIGINT) * 1000000000) // (100 * n_v)
+                          + coalesce(cin, 0) AS BIGINT) AS pr
+              FROM nodes CROSS JOIN nv
+              LEFT JOIN c2 ON nodes.node = c2.dst
+            )
+            SELECT node, pr AS pr_q9,
+                   CAST(row_number() OVER (ORDER BY pr DESC, node ASC)
+                        AS BIGINT) AS rank
+            FROM p2
+        """,
+        "dedup_keep_best": f"""
+            WITH m AS (
+              SELECT doc_id, source, {_FP_SQL} AS fp,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS alpha,
+                     CAST(length(text) - length(replace(text, ' ', ''))
+                          AS DOUBLE) AS spaces,
+                     CAST({_NTOK_SQL} AS DOUBLE) AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, source, fp,
+                CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN n > 0 THEN spaces / n ELSE 0.0 END AS space_ratio,
+                CASE WHEN toks > 0 THEN (n - spaces) / toks ELSE 0.0 END AS mwl,
+                least(n / 500.0, 1.0) AS length_score
+              FROM m
+            ),
+            q AS (
+              SELECT doc_id, source, fp,
+                     CAST(floor((0.3 * length_score + 0.3 * alpha_ratio
+                       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 10
+                                     THEN 1.0 ELSE 0.5 END)
+                       + 0.2 * (CASE WHEN space_ratio >= 0.05
+                                      AND space_ratio <= 0.4
+                                     THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5)
+                          AS BIGINT) AS quality_q4
+              FROM r
+            ),
+            ranked AS (
+              SELECT doc_id, source, quality_q4,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY quality_q4 DESC, doc_id ASC)
+                       AS rn,
+                     count(*) OVER (PARTITION BY fp) AS group_n
+              FROM q
+            )
+            SELECT doc_id, source, CAST(group_n AS BIGINT) AS group_n,
+                   quality_q4
+            FROM ranked WHERE rn = 1
+        """,
         "user_burstiness_profile": """
             WITH g AS (
               SELECT user_id,

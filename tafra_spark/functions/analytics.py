@@ -42,6 +42,8 @@ __all__ = [
     "cusum_changepoints",
     "funnel_step_latency",
     "user_burstiness",
+    "mad_outliers",
+    "pagerank_nodes",
 ]
 
 
@@ -1022,4 +1024,176 @@ def user_burstiness(
             F.round(mean, 6).alias("mean_gap_s"),
             F.when(mean > 0, F.round(var / mean, 6)).alias("fano_s"),
         )
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile: exact median, exact MAD
+    (median absolute deviation), and the count of values farther than
+    ``k * 1.4826 * MAD`` from the median — the standard
+    normal-consistent robust z-score gate, immune to the outliers it
+    hunts (mean/stddev gates are not).
+
+    Exactness is the point: approximate quantiles differ across
+    engines, so both medians come from rank selection — a sort window
+    per group picks the middle one/two rows, and the median is their
+    ``sum/count`` (one correctly-rounded double add + divide). Two
+    sorted windows over the same group key = two keyed shuffles, both
+    map-side combinable and bounded by the group's row count; no global
+    sort, no collect. The deviation threshold compare is a fixed chain
+    of correctly-rounded IEEE ops, so the outlier counts — and the q6
+    fixed-point outlier fraction — hash identically on any engine.
+
+    Returns (key, n, median, mad, n_outliers, outlier_frac_q6) with
+    ``median``/``mad`` rounded to 6dp for display (counts are computed
+    on the UNrounded values).
+    """
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k__"), F.col(value_col).alias("__v__")
+    )
+
+    def _group_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("__k__").orderBy(F.col(col).asc())
+        wn = Window.partitionBy("__k__")
+        ranked = df.select(
+            "__k__",
+            F.col(col),
+            F.row_number().over(w).alias("__rn__"),
+            F.count(F.lit(1)).over(wn).alias("__n__"),
+        )
+        # integer-only middle ranks: lo = ceil(n/2), hi = floor(n/2)+1
+        lo = F.expr("(__n__ + 1) div 2")
+        hi = F.expr("__n__ div 2 + 1")
+        mid = ranked.filter(
+            (F.col("__rn__") == lo) | (F.col("__rn__") == hi)
+        )
+        return mid.groupBy("__k__").agg(
+            (F.sum(col) / F.count(F.lit(1))).alias("__med__"),
+            F.first("__n__").alias("__n__"),
+        )
+
+    med = _group_median(base, "__v__")
+    dev = base.join(F.broadcast(med), on="__k__").select(
+        "__k__",
+        "__v__",
+        F.abs(F.col("__v__") - F.col("__med__")).alias("__d__"),
+        "__med__",
+        "__n__",
+    )
+    mad = (
+        _group_median(dev.select("__k__", F.col("__d__").alias("__v__")), "__v__")
+        .select("__k__", F.col("__med__").alias("__mad__"))
+    )
+    thresh = F.col("__mad__") * F.lit(float(k) * 1.4826)
+    flagged = (
+        dev.join(F.broadcast(mad), on="__k__")
+        .groupBy("__k__")
+        .agg(
+            F.first("__n__").alias("n"),
+            F.first("__med__").alias("__median__"),
+            F.first("__mad__").alias("__madv__"),
+            F.sum(
+                F.when(F.col("__d__") > thresh, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        F.col("__k__").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round("__median__", 6).alias("median"),
+        F.round("__madv__", 6).alias("mad"),
+        "n_outliers",
+        F.floor(F.col("n_outliers") * F.lit(1000000.0) / F.col("n"))
+        .cast("long")
+        .alias("outlier_frac_q6"),
+    )
+
+
+def pagerank_nodes(
+    events: DataFrame,
+    iterations: int = 2,
+    damping_pct: int = 85,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PageRank over the event-transition graph (nodes = event types,
+    edge u→v weighted by how often v follows u in a user's stream) —
+    the iterative-algorithm pattern done Spark-first: each power
+    iteration is one broadcast join + one aggregation over the edge
+    table, with the rank vector staying a (node, rank) DataFrame
+    throughout. Web-scale curation pipelines use exactly this loop for
+    URL/host authority weighting; here the graph is small but the plan
+    is the billion-edge one — edges never leave their partitions, only
+    the O(|V|) rank table moves.
+
+    Portability: ranks are q9 fixed-point LONGS and every update is
+    integer arithmetic — ``p' = (15·1e9) div (100·N) + Σ_u (85·p(u)·
+    w(u,v)) div (100·out(u))`` — so after any number of iterations the
+    result hashes identically on any engine (float PageRank would drift
+    by summation order). Damping is therefore a percentage, not a
+    float. Dangling mass is dropped (standard simplification; rank sums
+    to < 1e9, ordering unaffected for connected graphs like this one).
+
+    Returns (node, pr_q9, rank) ordered deterministically.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    edges = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # |V| rides along as a broadcast one-row frame — no collect()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_v"))
+    d = int(damping_pct)
+    teleport = F.expr(
+        f"(CAST({100 - d} AS BIGINT) * 1000000000) div (100 * n_v)"
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n_v", F.expr("(1000000000 div n_v)").alias("pr_q9")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(out_deg), on="src")
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"(CAST({d} AS BIGINT) * pr_q9 * w) div (100 * out_w)"
+                ).alias("__c__"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "n_v",
+                (teleport + F.coalesce(F.col("__in__"), F.lit(0)))
+                .cast("long")
+                .alias("pr_q9"),
+            )
+        )
+    w_rank = Window.orderBy(F.col("pr_q9").desc(), F.col("node").asc())
+    return ranks.select(
+        "node", "pr_q9", F.row_number().over(w_rank).cast("long").alias("rank")
     )

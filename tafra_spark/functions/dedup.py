@@ -49,6 +49,7 @@ __all__ = [
     "band_table",
     "minhash_recall",
     "edit_distance_pairs",
+    "dedup_keep_best",
 ]
 
 
@@ -932,4 +933,48 @@ def edit_distance_pairs(
         .withColumn("dist", dist.cast("long"))
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: Column | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-duplicate
+    group (same :func:`fingerprint`), keep the HIGHEST-quality copy
+    instead of :func:`exact_dedup`'s min-id copy. Real corpora carry
+    the same text at different extraction quality (one copy truncated,
+    one with boilerplate stripped); production dedup keeps the best
+    copy, not an arbitrary one.
+
+    ``quality_col`` defaults to the q4 fixed-point of
+    :func:`tafra_spark.functions.text.quality_score`, so the keep rule
+    is engine-portable (ranking on a raw float would hash-drift);
+    ``id_col`` breaks quality ties. Same plan as exact_dedup — ONE
+    window shuffle keyed by the fingerprint, AQE splitting any skewed
+    (e.g. empty-text) group.
+
+    Returns the kept rows plus ``group_n`` (the duplicate-group size),
+    so downstream weighting can up-sample texts that appeared often.
+    """
+    from .text import quality_score
+
+    if quality_col is None:
+        quality_col = F.floor(
+            quality_score(F.col(text_col)) * F.lit(10000.0) + F.lit(0.5)
+        ).cast("long")
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(
+        quality_col.desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(fp)
+    return (
+        df.withColumn("__q__", quality_col)
+        .withColumn("__rn__", F.row_number().over(w))
+        .withColumn("group_n", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.col("__rn__") == 1)
+        .withColumn("quality_q4", F.col("__q__"))
+        .drop("__rn__", "__q__")
     )

@@ -27,6 +27,7 @@ __all__ = [
     "with_fingerprint",
     "inverted_index",
     "bm25_topk",
+    "repetition_signals",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -332,3 +333,85 @@ def bm25_topk(
     top = scored.orderBy(F.col("score_q6").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score_q6").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    duplicate-word fraction (token occurrences beyond each type's first)
+    and the share of word bigrams claimed by the single most frequent
+    bigram. High values on either flag boilerplate/spam documents that
+    length or stopword heuristics miss (Rae et al. 2021 §A1.1 use the
+    same family of repetition filters at Gopher scale).
+
+    Plan shape: ``n_words``/``n_distinct`` are NARROW per-row array ops
+    on the scan (``size``/``array_distinct`` — no shuffle); only the
+    top-bigram mode needs a (doc, bigram) count shuffle plus a per-doc
+    window, both keyed by the document so map-side combine bounds the
+    exchange by the vocabulary of each doc, not the corpus. Fractions
+    are emitted as exact q6 fixed-point longs (``floor(a * 1e6 / b)`` on
+    integer inputs), so the output hashes identically on any engine.
+
+    Returns (id, n_words, n_distinct, dup_word_frac_q6, top_bigram,
+    top_bigram_n, top_bigram_frac_q6); empty/NULL documents are dropped
+    (no tokens → no signal), single-word documents carry a NULL
+    top_bigram with zero counts.
+    """
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("__ws__"))
+        .select(
+            id_col,
+            F.col("__ws__"),
+            F.size("__ws__").cast("long").alias("n_words"),
+            F.size(F.array_distinct("__ws__")).cast("long").alias("n_distinct"),
+        )
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__ws__") >= 2,
+                F.zip_with(
+                    F.slice(F.col("__ws__"), 1, F.size("__ws__") - 1),
+                    F.slice(F.col("__ws__"), 2, F.size("__ws__") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("bn"))
+    w = Window.partitionBy(id_col).orderBy(F.col("bn").desc(), F.col("bg").asc())
+    top = (
+        counts.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col(id_col),
+            F.col("bg").alias("top_bigram"),
+            F.col("bn").alias("top_bigram_n"),
+        )
+    )
+    out = base.drop("__ws__").join(top, on=id_col, how="left")
+    n_bigrams = F.col("n_words") - F.lit(1)
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        F.floor(
+            (F.col("n_words") - F.col("n_distinct")) * F.lit(1000000.0)
+            / F.col("n_words")
+        ).cast("long").alias("dup_word_frac_q6"),
+        "top_bigram",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long").alias(
+            "top_bigram_n"
+        ),
+        F.when(
+            n_bigrams > 0,
+            F.floor(
+                F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                * F.lit(1000000.0)
+                / n_bigrams
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("top_bigram_frac_q6"),
+    )

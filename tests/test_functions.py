@@ -2756,3 +2756,137 @@ class TestUserBurstiness:
             rows, "event_id long, user_id long, ts timestamp"
         )
         assert user_burstiness(df, min_gaps=5).count() == 0
+
+
+class TestRepetitionSignals:
+    def test_counts_and_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a a a b"), (1, "x y"), (2, "solo"), (3, "  ")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TX.repetition_signals(df).collect()
+        }
+        assert 3 not in out  # blank doc dropped
+        r0 = out[0]
+        assert (r0["n_words"], r0["n_distinct"]) == (4, 2)
+        assert r0["dup_word_frac_q6"] == 500000  # 2 of 4 repeated
+        assert r0["top_bigram"] == "a a" and r0["top_bigram_n"] == 2
+        assert r0["top_bigram_frac_q6"] == 666666  # 2 of 3 bigrams
+        r2 = out[2]
+        assert r2["top_bigram"] is None
+        assert r2["top_bigram_n"] == 0 and r2["top_bigram_frac_q6"] == 0
+
+    def test_tie_breaks_lexicographic(self, spark):
+        df = spark.createDataFrame([(0, "b c a b c a")], ["doc_id", "text"])
+        row = TX.repetition_signals(df).collect()[0]
+        # "a b", "b c", "c a" all appear; counts: b c=2, c a=2, a b=1
+        assert row["top_bigram"] == "b c"
+
+
+class TestMadOutliers:
+    def test_detects_planted_outlier(self, spark):
+        from tafra_spark.functions.analytics import mad_outliers
+
+        rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        rows += [(10 + i, "b", float(i)) for i in range(4)]  # even n, no outlier
+        df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+        out = {r["event_type"]: r for r in mad_outliers(df).collect()}
+        a = out["a"]
+        assert a["n"] == 5 and a["median"] == 3.0
+        assert a["mad"] == 1.0  # deviations 2,1,0,1,97 -> median 1
+        assert a["n_outliers"] == 1  # only 100: |100-3| > 3*1.4826
+        b = out["b"]
+        assert b["median"] == 1.5  # even-count interpolation (1+2)/2
+        assert b["n_outliers"] == 0
+
+    def test_null_values_ignored(self, spark):
+        from tafra_spark.functions.analytics import mad_outliers
+
+        df = spark.createDataFrame(
+            [(0, "a", 1.0), (1, "a", None), (2, "a", 3.0)],
+            "event_id long, event_type string, value double",
+        )
+        out = mad_outliers(df).collect()
+        assert out[0]["n"] == 2 and out[0]["median"] == 2.0
+
+
+class TestPagerank:
+    def _events(self, spark, seq):
+        rows = [
+            (i, u, t, i)  # ts surrogate = i keeps order deterministic
+            for i, (u, t) in enumerate(seq)
+        ]
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    def test_mass_conservation_and_ordering(self, spark):
+        from tafra_spark.functions.analytics import pagerank_nodes
+
+        # user 0: a->b->a->b ..., user 1: c->b  => b is the hub
+        seq = [(0, t) for t in ["a", "b", "a", "b", "a", "b"]]
+        seq += [(1, "c"), (1, "b")]
+        out = pagerank_nodes(
+            self._events(spark, seq), iterations=2, damping_pct=85
+        ).collect()
+        ranks = {r["node"]: r["pr_q9"] for r in out}
+        # total mass stays within integer-floor loss of 1e9
+        assert 0.95e9 < sum(ranks.values()) <= 1e9
+        # after 2 iterations the a<->b cycle parks the hub's mass on a
+        # (power iteration oscillates on 2-cycles); c only teleports
+        assert ranks["a"] > ranks["b"] > ranks["c"]
+        assert [r["node"] for r in out] == ["a", "b", "c"]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_deterministic(self, spark):
+        from tafra_spark.functions.analytics import pagerank_nodes
+
+        seq = [(u, t) for u in range(3) for t in ["a", "b", "c", "a"]]
+        ev = self._events(spark, seq)
+        a = [tuple(r) for r in pagerank_nodes(ev).collect()]
+        b = [tuple(r) for r in pagerank_nodes(ev).collect()]
+        assert a == b
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_quality_copy(self, spark):
+        long_text = "the quick brown fox jumps over the lazy dog " * 12
+        # same fingerprint (whitespace-normalized, lowercased), but the
+        # double-spaced copy scores lower on the space-ratio heuristic
+        df = spark.createDataFrame(
+            [
+                (0, long_text.strip()),
+                (1, long_text.strip().upper()),
+                (2, "unique short doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = D.dedup_keep_best(df)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {0, 2} or set(rows) == {1, 2}
+        kept = 0 if 0 in rows else 1
+        assert rows[kept]["group_n"] == 2
+        assert rows[2]["group_n"] == 1
+        # the kept copy's quality >= the dropped copy's
+        from tafra_spark.functions.text import quality_score
+
+        q = {
+            r["doc_id"]: r["q"]
+            for r in df.select(
+                "doc_id",
+                F.floor(quality_score(F.col("text")) * 10000 + 0.5).alias("q"),
+            ).collect()
+        }
+        dropped = 1 - kept
+        assert q[kept] >= q[dropped]
+        assert rows[kept]["quality_q4"] == q[kept]
+
+    def test_tie_prefers_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(5, "same text here"), (3, "same text here")],
+            ["doc_id", "text"],
+        )
+        out = D.dedup_keep_best(df).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 3
