@@ -1184,7 +1184,7 @@ def pagerank_nodes(
         )
         ranks = (
             nodes.crossJoin(F.broadcast(n_nodes))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 "n_v",

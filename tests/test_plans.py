@@ -575,3 +575,35 @@ class TestHintAndWeightedSample:
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         plan = weighted_sample_k(docs, "n_chars", k=10)
         assert "TakeOrderedAndProject" in explain_str(plan, "simple")
+
+
+class TestRound4Plans:
+    def test_pagerank_never_shuffles_edges_through_a_join(self, spark):
+        from tafra_spark.functions.analytics import pagerank_nodes
+        from tafra_spark.plans import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = pagerank_nodes(ev, iterations=2)
+        s = explain_str(plan, "simple")
+        # every join is a broadcast of the O(|V|) rank/contrib/out-deg
+        # side — a SortMergeJoin here would mean the edge table moves
+        # each iteration, which is the scale failure mode
+        assert "SortMergeJoin" not in s
+        assert "BroadcastHashJoin" in s
+
+    def test_repetition_signals_single_count_shuffle(self, spark):
+        from tafra_spark.functions.text import repetition_signals
+        from tafra_spark.plans.inspect import count_exchanges
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = repetition_signals(docs)
+        # bigram count agg + per-doc window + stats join, all keyed by
+        # the doc — the narrow size/array_distinct stats add none
+        assert count_exchanges(plan) <= 4
+
+    def test_mad_outliers_broadcasts_the_medians(self, spark):
+        from tafra_spark.functions.analytics import mad_outliers
+        from tafra_spark.plans.inspect import has_broadcast_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        assert has_broadcast_join(mad_outliers(ev))
