@@ -2129,6 +2129,22 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FAISS-style IVFPQ: coarse centroids prune to nprobe partitions,
+    # PQ asymmetric distances rank inside them — the two compressions
+    # multiply (rows touched × bytes per row); integer q12 ranking
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, m=4, k=16)
+    return S.ivf_pq_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8),
+        cb,
+        k=10,
+        nprobe=2,
+    )
+
+
 def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality-aware canonical selection: highest-quality copy per
     # exact-dup fingerprint group (min-id only breaks quality ties)
@@ -2210,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_profile": mad_outlier_profile,
         "pagerank_event_graph": pagerank_event_graph,
         "dedup_keep_best": dedup_keep_best_docs,
+        "ivf_pq_search": ivf_pq_search,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -4243,6 +4260,67 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY adist_q12, neighbor_id)
                            AS rnk
                   FROM scored)
+            WHERE rnk <= 10
+        """,
+        "ivf_pq_search": _pq_sql_prefix() + """,
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS centroid_id, v AS centv
+                     FROM e WHERE vec_id < 8),
+            corp AS (SELECT vec_id AS neighbor_id, v AS cv
+                     FROM e WHERE vec_id >= 8),
+            assigned AS (
+              SELECT neighbor_id, centroid_id FROM (
+                SELECT c.neighbor_id, ct.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY c.neighbor_id
+                         ORDER BY list_cosine_similarity(c.cv, ct.centv) DESC,
+                                  ct.centroid_id) AS r
+                FROM corp c CROSS JOIN cent ct
+              ) WHERE r = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, ct.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, ct.centv) DESC,
+                                  ct.centroid_id) AS r
+                FROM q CROSS JOIN cent ct
+              ) WHERE r <= 2
+            ),
+            lut AS (
+              SELECT query_id, subspace, code_id,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> CAST(floor((qsub[i]-centv[i])*(qsub[i]-centv[i])
+                                       * 1e12 + 0.5) AS BIGINT)
+                     )) AS BIGINT) AS contrib
+              FROM (SELECT query_id, subspace, code_id, centv,
+                           (qv)[subspace*16+1 : subspace*16+16] AS qsub
+                    FROM q CROSS JOIN cb)
+            ),
+            cand AS (
+              SELECT p.query_id, a.neighbor_id
+              FROM assigned a JOIN probes p USING (centroid_id)
+              WHERE a.neighbor_id <> p.query_id
+            ),
+            iscored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     CAST(sum(contrib) AS BIGINT) AS adist_q12
+              FROM cand
+              JOIN enc ON enc.vec_id = cand.neighbor_id
+              JOIN lut ON lut.query_id = cand.query_id
+                      AND lut.subspace = enc.subspace
+                      AND lut.code_id = enc.code_id
+              GROUP BY cand.query_id, cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, adist_q12,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT iscored.*,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adist_q12, neighbor_id)
+                           AS rnk
+                  FROM iscored)
             WHERE rnk <= 10
         """,
         "pq_recall_eval": _pq_sql_prefix() + """,

@@ -42,6 +42,7 @@ __all__ = [
     "pq_topk",
     "pq_recall",
     "pq_fit",
+    "ivf_pq_topk",
     "semantic_decontaminate",
     "source_semantic_similarity",
 ]
@@ -736,6 +737,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` small code ids — the compressed
     representation PQ searches against (dim×4 bytes → m bytes: 64 floats
@@ -792,7 +794,11 @@ def pq_encode(
             ),
         )
         code_cols.append(F.array_min(cands)["c"].cast("long"))
-    return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.array(*code_cols).alias("codes"),
+    )
 
 
 def pq_topk(
@@ -1227,4 +1233,111 @@ def source_semantic_similarity(
             "n_b",
             F.round(cosine(F.col("__va__"), F.col("__vb__")), 6).alias("cos"),
         )
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the standard billion-vector ANN architecture
+    (Jégou et al. 2011, the FAISS ``IVFPQ`` index): a coarse quantizer
+    prunes the corpus to each query's ``nprobe`` nearest centroid
+    partitions, and product-quantized asymmetric distances rank inside
+    them. The two compressions multiply: IVF cuts the rows touched to
+    ``nprobe/|C|`` of the corpus, PQ cuts the bytes per row ~64×, so
+    the scan behind a query is ~1000× smaller than brute force.
+
+    Plan: centroids and the (query, subspace, code) LUT both broadcast;
+    the corpus-side work — coarse assignment (one window on the vector
+    id) and PQ encoding (narrow argmin projection over inlined codebook
+    literals) — never shuffles the vectors. At 100 TB both steps are a
+    one-time build: ``centroid_id`` becomes a parquet partition key and
+    the codes table replaces the embeddings, so a query reads only its
+    probed partitions' codes. Distances are the q12 fixed-point longs
+    of :func:`_sq_q12` end to end — integer ranking, engine-portable.
+
+    Returns (query_id, neighbor_id, adist_q12, rank), self-matches
+    excluded, rank ties broken by neighbor id.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    # coarse assignment, keeping the vector for the encode step
+    assigned = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("ac_cos", cosine(F.col(vec_col), F.col("centv")))
+    )
+    wa = Window.partitionBy(id_col).orderBy(
+        F.col("ac_cos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        assigned.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("centroid_id",),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "qc_cos", cosine(F.col("qv"), F.col("centv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qc_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    lut = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code_id",
+            _sq_q12(
+                F.slice(
+                    F.col("qv"),
+                    (F.col("subspace") * F.size("centv") + 1).cast("int"),
+                    F.size("centv"),
+                ),
+                F.col("centv"),
+            ).alias("contrib"),
+        )
+    )
+    ex = (
+        codes.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("subspace", "code_id"),
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(lut), on=["query_id", "subspace", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("contrib").alias("adist_q12"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q12", "rank")
     )

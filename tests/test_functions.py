@@ -2890,3 +2890,48 @@ class TestDedupKeepBest:
         )
         out = D.dedup_keep_best(df).collect()
         assert len(out) == 1 and out[0]["doc_id"] == 3
+
+
+class TestIvfPq:
+    def test_search_shape_and_determinism(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cb = S.pq_codebooks(emb, m=4, k=16)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        queries = emb.filter(F.col("vec_id") < 3)
+        cents = emb.filter(F.col("vec_id") < 8)
+        out = S.ivf_pq_topk(corpus, queries, cents, cb, k=5, nprobe=2)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in by_q.items():
+            assert len(rs) <= 5
+            assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+                range(1, len(rs) + 1)
+            )
+            assert all(r["neighbor_id"] != qid for r in rs)
+            dists = [r["adist_q12"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert dists == sorted(dists)
+        again = S.ivf_pq_topk(corpus, queries, cents, cb, k=5, nprobe=2).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_probe_widening_recovers_exact_candidates(self, spark):
+        # with nprobe == |centroids| no candidate is pruned, so IVFPQ
+        # ranks the same candidate set as plain PQ ADC over the corpus
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cb = S.pq_codebooks(emb, m=4, k=16)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        queries = emb.filter(F.col("vec_id") < 3)
+        cents = emb.filter(F.col("vec_id") < 8)
+        full = S.ivf_pq_topk(corpus, queries, cents, cb, k=5, nprobe=8)
+        codes = S.pq_encode(corpus, cb)
+        ref = S.pq_topk(codes, cb, queries, k=5)
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["adist_q12"], r["rank"])
+            for r in full.collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["adist_q12"], r["rank"])
+            for r in ref.collect()
+        )
+        assert got == want
