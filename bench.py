@@ -48,6 +48,12 @@ HEADLINE = [
     "source_overlap_matrix",
     "bm25_search_topk",
     "dup_span_fraction",
+    # r4 additions
+    "repetition_signals",
+    "mad_outlier_profile",
+    "pagerank_event_graph",
+    "dedup_keep_best",
+    "ivf_pq_search",
 ]
 
 
@@ -125,6 +131,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        "n_queries": len(HEADLINE),
     }
     if errors:
         out["errors"] = errors
