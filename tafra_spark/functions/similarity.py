@@ -1266,22 +1266,48 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, adist_q12, rank), self-matches
     excluded, rank ties broken by neighbor id.
     """
+    from ._relation import literal_array
+
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
-    # coarse assignment, keeping the vector for the encode step
-    assigned = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("ac_cos", cosine(F.col(vec_col), F.col("centv")))
-    )
-    wa = Window.partitionBy(id_col).orderBy(
-        F.col("ac_cos").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        assigned.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    # Centroid tables are small BY CONSTRUCTION (even a billion-vector
+    # FAISS index uses ~64k coarse centroids): collect once and inline
+    # as parsed literals, making the corpus assignment a ZERO-shuffle
+    # narrow projection — an array_min over per-centroid (-cos, id)
+    # structs, exactly the shape pq_encode uses for codes. The earlier
+    # crossJoin+window formulation shuffled the ENTIRE corpus through a
+    # per-vector sort just to pick each row's top centroid — the single
+    # most expensive exchange of the whole pipeline at scale. Struct
+    # ordering ((-cos) asc, id asc) mirrors the oracle's
+    # (cos DESC, id ASC), and negation is exact in IEEE, so results are
+    # bit-identical to the join path.
+    cent_rows = cent.limit(4097).collect()
+    if len(cent_rows) > 4096:
+        raise ValueError(
+            "ivf_pq_topk: >4096 centroids — inline the assignment via "
+            "assign_centroids + a partitioned write instead"
+        )
+    cvs = literal_array([[float(x) for x in r[1]] for r in cent_rows])
+    cids = literal_array([int(r[0]) for r in cent_rows])
+
+    def neg_cos_structs(vec: Column) -> Column:
+        return F.transform(
+            cvs,
+            lambda cv, i: F.struct(
+                (-cosine(vec, cv)).alias("negcos"),
+                F.element_at(cids, i + 1).alias("cid"),
+            ),
+        )
+
+    # spread FIRST: the assignment fold is CPU-bound interpreted-HOF
+    # work, and a small parquet arrives as 1-2 scan partitions that
+    # would run it serially (pq_encode's own _spread sits above this
+    # projection and cannot parallelize it)
+    from .dedup import _spread
+
+    assigned = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "centroid_id", F.array_min(neg_cos_structs(F.col(vec_col)))["cid"]
     )
     codes = pq_encode(
         assigned, codebooks, id_col=id_col, vec_col=vec_col,
@@ -1291,17 +1317,35 @@ def ivf_pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
-        "qc_cos", cosine(F.col("qv"), F.col("centv"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qc_cos").desc(), F.col("centroid_id")
-    )
-    probes = (
-        q_scored.withColumn("prank", F.row_number().over(wq))
-        .filter(F.col("prank") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
+    # probe selection is the same narrow expression: sort the struct
+    # array, slice nprobe, explode — no window, no shuffle
+    probes = q.select(
+        "query_id",
+        F.explode(
+            F.slice(F.array_sort(neg_cos_structs(F.col("qv"))), 1, nprobe)
+        ).alias("p"),
+    ).select("query_id", F.col("p.cid").alias("centroid_id"))
+
+    # small-query fast path (the pq_topk lesson): collect the probe
+    # assignments (one tiny job — probing stays JVM-side so the floats
+    # are bit-identical) and the query vectors, inline the ADC LUT, and
+    # score with element_at sums behind an `centroid_id IN (...)`
+    # predicate. That predicate is the scale story: on a corpus table
+    # partitioned by centroid_id it IS the partition pruning, and the
+    # plan drops the probes join, the LUT broadcast, and the
+    # partial-sum exchange — only the top-k window shuffles.
+    cb_rows = getattr(codebooks, "_pq_rows", None)
+    if cb_rows is not None:
+        q_rows = q.limit(65).collect()
+        if len(q_rows) <= 64:
+            probes_by_q: dict[int, set[int]] = {}
+            for r in probes.collect():
+                probes_by_q.setdefault(int(r[0]), set()).add(int(r[1]))
+            return _ivf_pq_inline(
+                codes, cb_rows,
+                [(int(r[0]), list(r[1])) for r in q_rows],
+                probes_by_q, k, id_col,
+            )
 
     lut = (
         q.crossJoin(F.broadcast(codebooks))
@@ -1338,6 +1382,84 @@ def ivf_pq_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q12", "rank")
+    )
+
+
+def _ivf_pq_inline(
+    codes: DataFrame,
+    cb_rows: list,
+    q_rows: list,
+    probes_by_q: dict,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """:func:`ivf_pq_topk`'s literal-LUT fast path — the IVF variant of
+    :func:`_pq_topk_inline`: identical driver-side fixed-point LUT and
+    ``element_at`` scoring, but each query's struct only materializes
+    for rows whose ``centroid_id`` is in that query's probe set, and a
+    global ``centroid_id IN (...)`` filter in front is the pushdown-able
+    stand-in for partition pruning."""
+    import math
+
+    by_space: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb_rows:
+        by_space.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    m = len(by_space)
+
+    def lut_row(qv: list, s: int) -> list[int]:
+        cents = sorted(by_space[s])
+        d_sub = len(cents[0][1])
+        sub = [float(x) for x in qv[s * d_sub : (s + 1) * d_sub]]
+        out = []
+        for _, cv in cents:
+            acc = 0
+            for x, y in zip(sub, cv):
+                acc += math.floor((x - y) * (x - y) * 1e12 + 0.5)
+            out.append(acc)
+        return out
+
+    from ._relation import literal_array
+
+    all_probed = sorted({c for s in probes_by_q.values() for c in s})
+    entries = []
+    for qid, qv in q_rows:
+        adist = None
+        for s in range(m):
+            term = F.element_at(
+                literal_array(lut_row(list(qv), s)),
+                F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+            )
+            adist = term if adist is None else adist + term
+        probe_set = sorted(probes_by_q.get(int(qid), ()))
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.when(
+                    F.col("centroid_id").isin(probe_set), adist
+                ).alias("adist_q12"),
+            )
+        )
+    ex = (
+        codes.filter(F.col("centroid_id").isin(all_probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(F.array(*entries)).alias("qa"),
+        )
+        .select("neighbor_id", F.col("qa.query_id"), F.col("qa.adist_q12"))
+        .filter(
+            F.col("adist_q12").isNotNull()
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q12", "rank")
     )
