@@ -2129,6 +2129,41 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD type-2 dimension maintenance: snapshot each customer's order
+    # priority as of 1995-01-01, then merge the post-cutoff orders as
+    # one update batch — changed keys close + reopen, unchanged pass
+    # through, new keys insert. One key shuffle; history never moves.
+    from pyspark.sql import Window
+
+    from tafra_spark.operators.scd import scd2_merge
+
+    orders = _read(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderpriority").desc()
+    )
+    current = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    updates = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey", "o_orderpriority",
+        F.col("o_orderdate").alias("effective_ts"),
+    )
+    return scd2_merge(
+        current, updates, ["o_custkey"], ["o_orderpriority"], "effective_ts"
+    )
+
+
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FAISS-style IVFPQ: coarse centroids prune to nprobe partitions,
     # PQ asymmetric distances rank inside them — the two compressions
@@ -2227,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_graph": pagerank_event_graph,
         "dedup_keep_best": dedup_keep_best_docs,
         "ivf_pq_search": ivf_pq_search,
+        "scd2_customer_priority": scd2_customer_priority,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2787,6 +2823,52 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scd2_customer_priority": """
+            WITH cur AS (
+              SELECT o_custkey, o_orderpriority,
+                     o_orderdate AS valid_from
+              FROM (SELECT o_custkey, o_orderpriority, o_orderdate,
+                           row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC,
+                                      o_orderpriority DESC) AS rn
+                    FROM orders WHERE o_orderdate < DATE '1995-01-01')
+              WHERE rn = 1
+            ),
+            upd AS (
+              SELECT o_custkey, o_orderpriority, o_orderdate AS eff
+              FROM (SELECT o_custkey, o_orderpriority, o_orderdate,
+                           row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC,
+                                      o_orderpriority DESC) AS rn
+                    FROM orders WHERE o_orderdate >= DATE '1995-01-01')
+              WHERE rn = 1
+            ),
+            j AS (
+              SELECT cur.o_custkey AS ck, upd.o_custkey AS uk,
+                     cur.o_orderpriority AS cp, upd.o_orderpriority AS up_,
+                     cur.valid_from AS cf, upd.eff AS eff
+              FROM cur FULL OUTER JOIN upd
+                ON cur.o_custkey = upd.o_custkey
+            ),
+            flags AS (
+              SELECT j.*,
+                     (eff IS NOT NULL AND (cf IS NULL OR eff > cf))
+                       AND (cf IS NULL
+                            OR NOT (cp IS NOT DISTINCT FROM up_))
+                       AS takes
+              FROM j
+            )
+            SELECT ck AS o_custkey, cp AS o_orderpriority,
+                   cf AS valid_from,
+                   CASE WHEN takes THEN eff END AS valid_to,
+                   NOT takes AS is_current
+            FROM flags WHERE cf IS NOT NULL
+            UNION ALL
+            SELECT coalesce(ck, uk), up_, eff, NULL, true
+            FROM flags WHERE takes
+        """,
         "repetition_signals": r"""
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
