@@ -54,6 +54,7 @@ HEADLINE = [
     "pagerank_event_graph",
     "dedup_keep_best",
     "ivf_pq_search",
+    "scd2_customer_priority",
 ]
 
 
