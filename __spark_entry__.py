@@ -2129,6 +2129,26 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planner-style join cardinality estimation from two Count-Min
+    # sketches (CM inner product, AMS trick): O(depth·width) counters
+    # decide whether the join is safe to materialize — no join shuffle
+    # paid. True size alongside to show the one-sided error.
+    from tafra_spark.functions.sketches import count_min_join_size
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    est = count_min_join_size(
+        orders, li, "o_orderkey", "l_orderkey",
+        depth=4, width=1024, portable=True,
+    )
+    true = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("join_size_true"))
+    )
+    return est.crossJoin(true)
+
+
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCD type-2 dimension maintenance: snapshot each customer's order
     # priority as of 1995-01-01, then merge the post-cutoff orders as
@@ -2263,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best_docs,
         "ivf_pq_search": ivf_pq_search,
         "scd2_customer_priority": scd2_customer_priority,
+        "join_size_estimate": join_size_estimate,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2823,6 +2844,38 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "join_size_estimate": """
+            WITH ls AS (
+              SELECT i.i AS i,
+                     CAST(concat('0x', substr(md5(
+                       CAST(42 + i.i AS VARCHAR) || '|'
+                       || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1024 AS b,
+                     count(*) AS cnt
+              FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+              GROUP BY 1, 2
+            ),
+            rs AS (
+              SELECT i.i AS i,
+                     CAST(concat('0x', substr(md5(
+                       CAST(42 + i.i AS VARCHAR) || '|'
+                       || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1024 AS b,
+                     count(*) AS cnt
+              FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+              GROUP BY 1, 2
+            ),
+            prod AS (
+              SELECT ls.i, CAST(sum(ls.cnt * rs.cnt) AS BIGINT) AS ip
+              FROM ls JOIN rs ON ls.i = rs.i AND ls.b = rs.b
+              GROUP BY ls.i
+            )
+            SELECT (SELECT CAST(min(ip) AS BIGINT) FROM prod)
+                     AS join_size_est,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders
+                    JOIN lineitem ON o_orderkey = l_orderkey)
+                     AS join_size_true
+        """,
         "scd2_customer_priority": """
             WITH cur AS (
               SELECT o_custkey, o_orderpriority,

@@ -29,6 +29,7 @@ __all__ = [
     "freq_items",
     "count_min_build",
     "count_min_estimate",
+    "count_min_join_size",
     "bloom_build",
     "bloom_contains",
     "kmv_distinct",
@@ -299,3 +300,40 @@ def kmv_distinct(
         "n_hashes",
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+def count_min_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005 §4.2, the AMS inner-product trick):
+    ``|L ⋈ R| = Σ_v f_L(v)·f_R(v)``, estimated as the MIN over the
+    depth hash rows of the sketches' per-row inner product. Never
+    undercounts; overcount ≤ e/width · |L|·|R| with prob 1-e^-depth.
+
+    This is the planner's use of sketches: decide whether a join is
+    safe to materialize — or needs salting / pre-aggregation — from two
+    O(depth·width) counter tables, without paying the join's shuffle.
+    Each side is one scan + hash-aggregate; the inner product itself
+    touches ≤ depth·width rows no matter how big the inputs are.
+
+    With ``portable=True`` every counter — and therefore the estimate,
+    which is pure integer arithmetic over them — is bit-reproducible
+    across engines. Returns one row: (join_size_est).
+    """
+    l_sk = count_min_build(left, left_col, depth, width, seed, portable)
+    r_sk = count_min_build(right, right_col, depth, width, seed, portable)
+    prod = (
+        l_sk.select("i", "b", F.col("cnt").alias("lc"))
+        .join(r_sk.select("i", "b", F.col("cnt").alias("rc")), on=["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.col("lc") * F.col("rc")).alias("ip"))
+    )
+    return prod.agg(F.min("ip").cast("long").alias("join_size_est"))

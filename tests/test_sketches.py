@@ -184,3 +184,39 @@ class TestKmvDistinct:
         assert 120 < a < 320
         with pytest.raises(ValueError):
             kmv_distinct(df, "v", k=1)
+
+
+class TestCmJoinSize:
+    def test_never_undercounts_and_tightens_with_width(self, spark):
+        from tafra_spark.functions.sketches import count_min_join_size
+
+        left = spark.createDataFrame(
+            [(k,) for k in [1, 1, 2, 3, 3, 3]], ["k"]
+        )
+        right = spark.createDataFrame(
+            [(k,) for k in [1, 3, 3, 4]], ["k"]
+        )
+        # true join size: 1 matches 2*1, 3 matches 3*2 => 8
+        true = 8
+        wide = count_min_join_size(left, right, "k", "k", depth=4, width=4096)
+        narrow = count_min_join_size(left, right, "k", "k", depth=4, width=2)
+        est_wide = wide.collect()[0]["join_size_est"]
+        est_narrow = narrow.collect()[0]["join_size_est"]
+        assert est_wide == true      # no collisions at this width
+        assert est_narrow >= true    # collisions only ever overcount
+        assert est_narrow >= est_wide
+
+    def test_portable_matches_default_guarantees(self, spark):
+        from tafra_spark.functions.sketches import count_min_join_size
+
+        left = spark.createDataFrame([(i % 7,) for i in range(50)], ["k"])
+        right = spark.createDataFrame([(i % 5,) for i in range(30)], ["k"])
+        true = (
+            left.join(right, on="k").count()
+        )
+        for portable in (False, True):
+            est = count_min_join_size(
+                left, right, "k", "k", depth=4, width=1024, portable=portable
+            ).collect()[0]["join_size_est"]
+            assert est >= true
+            assert est <= true * 2  # generous bound at this width
