@@ -612,3 +612,83 @@ class TestCountMinLedgerSink:
         q.awaitTermination(60)
         total = countmin_read(spark, path).agg({"cnt": "sum"}).collect()[0][0]
         assert total == 3 * 3
+
+
+class TestScd2DimSink:
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "cust long, tier string, effective_ts long"
+        )
+
+    def test_incremental_merge_and_time_travel(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import scd2_dim_read, scd2_dim_sink
+
+        path = str(tmp_path / "dim")
+        sink = scd2_dim_sink(spark, path, ["cust"], ["tier"])
+        sink(self._batch(spark, [(1, "bronze", 1), (2, "silver", 1)]), 0)
+        sink(self._batch(spark, [(1, "gold", 5)]), 1)
+        sink(self._batch(spark, [(1, "gold", 9), (3, "gold", 9)]), 2)
+
+        latest = sorted(tuple(r) for r in scd2_dim_read(spark, path).collect())
+        assert latest == [
+            (1, "bronze", 1, 5, False),
+            (1, "gold", 5, None, True),   # unchanged at t=9: stays open
+            (2, "silver", 1, None, True),
+            (3, "gold", 9, None, True),
+        ]
+        # time travel: the dimension as of batch 0
+        v0 = sorted(tuple(r) for r in scd2_dim_read(spark, path, 0).collect())
+        assert v0 == [
+            (1, "bronze", 1, None, True),
+            (2, "silver", 1, None, True),
+        ]
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import scd2_dim_read, scd2_dim_sink
+
+        path = str(tmp_path / "dim")
+        sink = scd2_dim_sink(spark, path, ["cust"], ["tier"])
+        sink(self._batch(spark, [(1, "bronze", 1)]), 0)
+        sink(self._batch(spark, [(1, "gold", 5)]), 1)
+        once = sorted(tuple(r) for r in scd2_dim_read(spark, path).collect())
+        sink(self._batch(spark, [(1, "gold", 5)]), 1)  # redelivery
+        twice = sorted(tuple(r) for r in scd2_dim_read(spark, path).collect())
+        assert once == twice
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tafra_spark.streaming.ops import scd2_dim_read, scd2_dim_sink
+
+        src = tmp_path / "src"
+        src.mkdir()
+        pq.write_table(
+            pa.table({"cust": [1, 2], "tier": ["bronze", "silver"],
+                      "effective_ts": [1, 1]}),
+            str(src / "f0.parquet"),
+        )
+        pq.write_table(
+            pa.table({"cust": [1], "tier": ["gold"], "effective_ts": [7]}),
+            str(src / "f1.parquet"),
+        )
+        path = str(tmp_path / "dim")
+        stream = spark.readStream.schema(
+            "cust long, tier string, effective_ts long"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_dim_sink(spark, path, ["cust"], ["tier"])
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(tuple(r) for r in scd2_dim_read(spark, path).collect())
+        # both files processed (order unknown but effective times decide):
+        # cust 1 ends gold-open with bronze closed iff bronze batch came
+        # first; either way the OPEN row for cust 1 is the t=7 gold one
+        open_rows = [r for r in rows if r[4]]
+        assert (1, "gold", 7, None, True) in open_rows
+        assert any(r[0] == 2 and r[4] for r in rows)
