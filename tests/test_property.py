@@ -400,3 +400,57 @@ class TestBm25Properties:
             if s:
                 exp[i] = s
         assert got == exp
+
+
+# SCD2 update batches: per-example a starting dim + a batch of updates
+_scd_updates = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),            # key
+        st.sampled_from(["a", "b", "c", None]),           # tracked value
+        st.integers(min_value=1, max_value=50),           # effective time
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+class TestScd2Properties:
+    @settings(**_SETTINGS)
+    @given(upd1=_scd_updates, upd2=_scd_updates)
+    def test_structural_invariants_hold_after_any_merges(
+        self, spark, upd1, upd2
+    ):
+        from tafra_spark.operators.scd import scd2_merge
+
+        def batch(rows):
+            return spark.createDataFrame(
+                rows, "cust long, tier string, effective_ts long"
+            )
+
+        dim = spark.createDataFrame(
+            [], "cust long, tier string, valid_from long, "
+                "valid_to long, is_current boolean",
+        )
+        for upd in (upd1, upd2):
+            dim = scd2_merge(dim, batch(upd), ["cust"], ["tier"])
+        rows = [tuple(r) for r in dim.collect()]
+
+        # 1. at most one open row per key
+        open_keys = [r[0] for r in rows if r[4]]
+        assert len(open_keys) == len(set(open_keys))
+        # 2. open rows have no valid_to; closed rows always do
+        for _, _, vf, vt, cur in rows:
+            assert (vt is None) == cur
+            if vt is not None:
+                assert vf < vt  # history intervals are well-formed
+        # 3. per key, validity intervals never overlap
+        by_key = {}
+        for kk, _, vf, vt, _ in rows:
+            by_key.setdefault(kk, []).append((vf, vt))
+        for ivs in by_key.values():
+            ivs.sort()
+            for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+                assert t1 is not None and t1 <= f2
+        # 4. every key that ever appeared in an update has an open row
+        seen = {k for k, _, _ in upd1} | {k for k, _, _ in upd2}
+        assert set(open_keys) == seen
