@@ -2129,6 +2129,16 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive-training data op (ANCE/DPR recipe, bucketed): pairs
+    # the CURRENT space confuses (same LSH bucket) whose exact cosine
+    # sits in the informative band, capped per anchor
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.hard_negative_pairs(
+        emb, dim=64, lo=0.3, hi=0.8, n_planes=6, per_anchor=5
+    )
+
+
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner-style join cardinality estimation from two Count-Min
     # sketches (CM inner product, AMS trick): O(depth·width) counters
@@ -2284,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": ivf_pq_search,
         "scd2_customer_priority": scd2_customer_priority,
         "join_size_estimate": join_size_estimate,
+        "hard_negatives_mining": hard_negatives_mining,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2844,6 +2855,38 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hard_negatives_mining": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {_bucket_sql(64, 6, 42)} AS bucket
+              FROM e
+            ),
+            pairs AS (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                     list_cosine_similarity(l.v, r.v) AS c
+              FROM b l JOIN b r
+                ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            ),
+            band AS (
+              SELECT id_a, id_b, c FROM pairs
+              WHERE c >= 0.3 AND c < 0.8
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT band.*,
+                         -- rank on the ROUNDED value: the Spark side
+                         -- rounds before its window, and a boundary
+                         -- tie must resolve identically on both sides
+                         row_number() OVER (PARTITION BY id_a
+                                            ORDER BY round(c, 6) DESC,
+                                                     id_b ASC)
+                           AS rnk
+                  FROM band)
+            WHERE rnk <= 5
+        """,
         "join_size_estimate": """
             WITH ls AS (
               SELECT i.i AS i,

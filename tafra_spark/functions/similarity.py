@@ -43,6 +43,7 @@ __all__ = [
     "pq_recall",
     "pq_fit",
     "ivf_pq_topk",
+    "hard_negative_pairs",
     "semantic_decontaminate",
     "source_semantic_similarity",
 ]
@@ -1462,4 +1463,64 @@ def _ivf_pq_inline(
         ex.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q12", "rank")
+    )
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    dim: int,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    n_planes: int = 6,
+    seed: int = 42,
+    per_anchor: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: pairs
+    that land in the same LSH bucket (so the CURRENT embedding space
+    already confuses them) but whose exact cosine falls in
+    ``[lo, hi)`` — similar enough to be informative, dissimilar enough
+    to be negatives. Random in-batch negatives are mostly trivial;
+    mining the confusable band is what moves retrieval models
+    (the ANCE/DPR hard-negative recipe, bucketed instead of
+    index-probed so it stays one linear shuffle).
+
+    Same plan as :func:`lsh_near_dup_pairs` — bucket self-join, never
+    all-pairs — with the cosine filter inverted to the band and an
+    optional ``per_anchor`` cap (window on the smaller id) so one
+    dense region cannot flood the training batch. Fewer planes than
+    dedup (default 6) because the band WANTS moderately-similar
+    collisions.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, plus per-anchor rank
+    when capped.
+    """
+    sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
+    b = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn(
+            "cos", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        )
+        .filter((F.col("cos") >= lo) & (F.col("cos") < hi))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+    if per_anchor is None:
+        return pairs
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= per_anchor)
     )

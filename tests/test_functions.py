@@ -2935,3 +2935,37 @@ class TestIvfPq:
             for r in ref.collect()
         )
         assert got == want
+
+
+class TestHardNegatives:
+    def test_band_and_cap_respected(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = S.hard_negative_pairs(
+            emb, dim=64, lo=0.3, hi=0.8, n_planes=4, per_anchor=3
+        ).collect()
+        assert out, "expected some in-band bucket collisions"
+        per = {}
+        for r in out:
+            assert r["id_a"] < r["id_b"]
+            assert 0.3 <= r["cos"] < 0.8
+            per.setdefault(r["id_a"], []).append(r["rank"])
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
+
+    def test_negatives_exclude_near_dups(self, spark):
+        # a pair above hi must never appear, however similar its bucket
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        dups = {
+            (r["id_a"], r["id_b"])
+            for r in S.lsh_near_dup_pairs(
+                emb, dim=64, threshold=0.8, n_planes=4
+            ).collect()
+        }
+        negs = {
+            (r["id_a"], r["id_b"])
+            for r in S.hard_negative_pairs(
+                emb, dim=64, lo=0.3, hi=0.8, n_planes=4
+            ).collect()
+        }
+        assert not (dups & negs)
