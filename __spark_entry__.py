@@ -2129,6 +2129,14 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # user-journey mining: top 3-step paths; one user exchange feeds
+    # both leads, path cardinality bounded by |types|^3 after map-side
+    # combine, global top-k via TakeOrdered
+    ev = _read_events(spark, sf_dir)
+    return AN.top_paths(ev, steps=3, k=20)
+
+
 def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrastive-training data op (ANCE/DPR recipe, bucketed): pairs
     # the CURRENT space confuses (same LSH bucket) whose exact cosine
@@ -2295,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_priority": scd2_customer_priority,
         "join_size_estimate": join_size_estimate,
         "hard_negatives_mining": hard_negatives_mining,
+        "top_event_paths": top_event_paths,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2855,6 +2864,27 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_event_paths": """
+            WITH seq AS (
+              SELECT event_type AS t0,
+                     lead(event_type, 1) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS t1,
+                     lead(event_type, 2) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS t2
+              FROM events
+            ),
+            counted AS (
+              SELECT t0 || '>' || t1 || '>' || t2 AS path,
+                     count(*) AS n
+              FROM seq WHERE t2 IS NOT NULL
+              GROUP BY 1
+            )
+            SELECT path, n, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT counted.*,
+                         row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
+                  FROM counted)
+            WHERE rnk <= 20
+        """,
         "hard_negatives_mining": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -44,6 +44,7 @@ __all__ = [
     "user_burstiness",
     "mad_outliers",
     "pagerank_nodes",
+    "top_paths",
 ]
 
 
@@ -1197,3 +1198,45 @@ def pagerank_nodes(
     return ranks.select(
         "node", "pr_q9", F.row_number().over(w_rank).cast("long").alias("rank")
     )
+
+
+def top_paths(
+    events: DataFrame,
+    steps: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common ``steps``-long event paths (user-journey
+    mining, the n-step generalization of :func:`event_transitions`):
+    every window of ``steps`` consecutive events in a user's
+    time-ordered stream counts as one path occurrence.
+
+    One lead() window per extra step over the SAME user partition (one
+    exchange, one sort — Spark collapses same-spec windows), then a
+    path-string count and a global top-k via TakeOrdered (no
+    single-partition sort of the full path table; ties broken by the
+    path string for determinism). At 100 TB the path cardinality after
+    map-side combine is bounded by |event types|^steps, not by rows.
+
+    Returns (path, n, rank) with ``path`` as "a>b>c".
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [F.col(type_col)]
+    for i in range(1, int(steps)):
+        cols.append(F.lead(type_col, i).over(w))
+    path = F.concat_ws(">", *cols)
+    counted = (
+        events.select(
+            path.alias("path"),
+            cols[-1].isNotNull().alias("__complete__"),
+        )
+        .filter(F.col("__complete__"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(k)
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))

@@ -2969,3 +2969,40 @@ class TestHardNegatives:
             ).collect()
         }
         assert not (dups & negs)
+
+
+class TestTopPaths:
+    def test_counts_known_journeys(self, spark):
+        from tafra_spark.functions.analytics import top_paths
+
+        seq = [
+            # user 1: a b c a b c -> paths a>b>c x2, b>c>a, c>a>b
+            (0, 1, "a", 0), (1, 1, "b", 1), (2, 1, "c", 2),
+            (3, 1, "a", 3), (4, 1, "b", 4), (5, 1, "c", 5),
+            # user 2: a b c -> a>b>c
+            (6, 2, "a", 0), (7, 2, "b", 1), (8, 2, "c", 2),
+            # user 3: too short for a 3-path
+            (9, 3, "a", 0), (10, 3, "b", 1),
+        ]
+        ev = spark.createDataFrame(
+            seq, ["event_id", "user_id", "event_type", "ts"]
+        )
+        out = {r["path"]: (r["n"], r["rank"]) for r in
+               top_paths(ev, steps=3, k=10).collect()}
+        assert out["a>b>c"] == (3, 1)
+        assert out["b>c>a"] == (1, 2)  # ties rank by path string
+        assert out["c>a>b"] == (1, 3)
+        assert len(out) == 3  # user 3 contributes nothing
+
+    def test_step_window_is_per_user(self, spark):
+        from tafra_spark.functions.analytics import top_paths
+
+        ev = spark.createDataFrame(
+            [(0, 1, "a", 0), (1, 2, "b", 1), (2, 1, "c", 2)],
+            ["event_id", "user_id", "event_type", "ts"],
+        )
+        # no user has 3 events: nothing crosses user boundaries
+        assert top_paths(ev, steps=3).count() == 0
+        # 2-step: only user 1's a>c
+        two = top_paths(ev, steps=2).collect()
+        assert [(r["path"], r["n"]) for r in two] == [("a>c", 1)]
