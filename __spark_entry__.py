@@ -2129,6 +2129,16 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable distributed quantiles: read p25/p50/p75/p90/p99 off the
+    # exact 200-bin histogram — deterministic (unlike GK), so the whole
+    # sketch path is value-hash verified
+    ev = _read_events(spark, sf_dir)
+    return AN.histogram_quantiles(
+        ev, "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99), bins=200
+    )
+
+
 def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user-journey mining: top 3-step paths; one user exchange feeds
     # both leads, path cardinality bounded by |types|^3 after map-side
@@ -2304,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": join_size_estimate,
         "hard_negatives_mining": hard_negatives_mining,
         "top_event_paths": top_event_paths,
+        "value_quantile_sketch": value_quantile_sketch,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2864,6 +2875,54 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "value_quantile_sketch": """
+            WITH b AS (
+              SELECT min(value) AS lo, max(value) AS hi
+              FROM events WHERE value IS NOT NULL
+            ),
+            binned AS (
+              SELECT CASE WHEN b.hi > b.lo
+                       THEN least(CAST(floor(
+                              (value - b.lo) / ((b.hi - b.lo) / 200.0))
+                              AS BIGINT), CAST(199 AS BIGINT))
+                       ELSE CAST(0 AS BIGINT) END AS bin
+              FROM events CROSS JOIN b WHERE value IS NOT NULL
+            ),
+            counts AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin),
+            grid AS (SELECT unnest(range(0, 200)) AS bin, lo, hi FROM b),
+            hist AS (
+              SELECT grid.bin,
+                     CAST(floor((grid.lo + grid.bin
+                          * ((grid.hi - grid.lo) / 200.0)) * 1e6 + 0.5)
+                          AS BIGINT) AS lo_q6,
+                     coalesce(counts.n, 0) AS n
+              FROM grid LEFT JOIN counts ON grid.bin = counts.bin
+            ),
+            cum AS (
+              SELECT bin, lo_q6,
+                     CAST(sum(n) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM hist
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM hist),
+            probs AS (
+              SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS p
+            ),
+            targets AS (
+              SELECT p, CAST((p * nn + 9999) // 10000 AS BIGINT) AS t
+              FROM probs CROSS JOIN tot
+            ),
+            picks AS (
+              SELECT t.p, t.t, min(c.bin) AS bin
+              FROM targets t JOIN cum c ON c.cum >= t.t
+              GROUP BY t.p, t.t
+            )
+            SELECT CAST(p AS BIGINT) AS prob_q4,
+                   t AS rank_target,
+                   c2.lo_q6 AS est_q6
+            FROM picks JOIN cum c2 ON picks.bin = c2.bin
+        """,
         "top_event_paths": """
             WITH seq AS (
               SELECT event_type AS t0,

@@ -45,6 +45,7 @@ __all__ = [
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
+    "histogram_quantiles",
 ]
 
 
@@ -1240,3 +1241,54 @@ def top_paths(
     top = counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(k)
     w_rank = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    bins: int = 200,
+) -> DataFrame:
+    """Mergeable DISTRIBUTED quantile estimation: read quantiles off the
+    exact equal-width histogram of :func:`value_histogram`.
+
+    ``approxQuantile`` (Greenwald-Khanna) returns its result to the
+    DRIVER and its state is opaque; this keeps the sketch as a
+    ``bins``-row DataFrame — mergeable by adding counts, storable,
+    streamable — and its estimates are DETERMINISTIC (bin lower edges),
+    so unlike GK the whole path carries a value-hash oracle. Rank error
+    is bounded by the largest single bin (≤ range/bins in value terms);
+    for heavy-tailed data raise ``bins`` — the sketch stays tiny.
+
+    Estimate rule: quantile p = the lower edge (q6 fixed-point) of the
+    first bin whose cumulative count reaches ``ceil(p·n)``. One
+    min/max broadcast + one count aggregate (the histogram) + a
+    bins-row cumulative window. Returns (prob_q4, rank_target, est_q6).
+    """
+    hist = value_histogram(df, col, bins=bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "lo_q6", F.sum("n").over(w).alias("cum")
+    )
+    total = hist.agg(F.sum("n").alias("__n__"))
+    out = None
+    for p in probs:
+        p_q4 = int(round(p * 10000))
+        # rank_target = ceil(p_q4*n/10000), positive-operand form so
+        # floor-div vs trunc-div engines agree
+        target = F.expr(
+            f"CAST(({p_q4} * __n__ + 9999) div 10000 AS BIGINT)"
+        )
+        pick = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(p_q4).cast("long").alias("prob_q4"),
+                target.alias("rank_target"),
+                F.col("lo_q6").alias("est_q6"),
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out

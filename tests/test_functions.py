@@ -3006,3 +3006,51 @@ class TestTopPaths:
         # 2-step: only user 1's a>c
         two = top_paths(ev, steps=2).collect()
         assert [(r["path"], r["n"]) for r in two] == [("a>c", 1)]
+
+
+class TestHistogramQuantiles:
+    def test_estimates_bracket_exact_quantiles(self, spark):
+        from tafra_spark.functions.analytics import histogram_quantiles
+
+        vals = [float(i) for i in range(1000)]
+        df = spark.createDataFrame([(v,) for v in vals], ["value"])
+        out = {
+            r["prob_q4"]: r
+            for r in histogram_quantiles(
+                df, "value", probs=(0.5, 0.9), bins=100
+            ).collect()
+        }
+        # uniform 0..999, 100 bins of width ~10: estimate = bin lower
+        # edge, so p50 ~ 490-500, p90 ~ 890-900
+        assert abs(out[5000]["est_q6"] / 1e6 - 499.5) <= 10
+        assert abs(out[9000]["est_q6"] / 1e6 - 899.1) <= 10
+        assert out[5000]["rank_target"] == 500
+        assert out[9000]["rank_target"] == 900
+
+    def test_merge_of_halves_equals_whole(self, spark):
+        # mergeability: histogram counts add, so quantiles from the
+        # merged sketch equal quantiles computed over the whole data
+        # (same bounds => same bins; here both halves span the range)
+        from tafra_spark.functions.analytics import (
+            histogram_quantiles,
+            value_histogram,
+        )
+        import pyspark.sql.functions as SF
+
+        vals = [(float(i),) for i in range(400)]
+        whole = spark.createDataFrame(vals, ["value"])
+        h_whole = {
+            (r["bin"]): r["n"]
+            for r in value_histogram(whole, "value", bins=40).collect()
+        }
+        # a merge shares global bounds; emulate by histogramming the
+        # union (per-half bounds would differ: 0/398 vs 1/399)
+        a = whole.filter(SF.col("value") % 2 == 0)
+        b = whole.filter(SF.col("value") % 2 == 1)
+        hu = {
+            (r["bin"]): r["n"]
+            for r in value_histogram(
+                a.unionByName(b), "value", bins=40
+            ).collect()
+        }
+        assert hu == h_whole
