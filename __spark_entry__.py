@@ -2129,6 +2129,13 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pagerank_nodes(ev, iterations=2, damping_pct=85)
 
 
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-coverage curve point: top-16 corpus vocabulary, per-
+    # source OOV token rate (the vocab-sizing sweep / drift monitor)
+    docs = _read(spark, sf_dir, "documents")
+    return P.oov_rates(docs, vocab_k=16)
+
+
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable distributed quantiles: read p25/p50/p75/p90/p99 off the
     # exact 200-bin histogram — deterministic (unlike GK), so the whole
@@ -2315,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_mining": hard_negatives_mining,
         "top_event_paths": top_event_paths,
         "value_quantile_sketch": value_quantile_sketch,
+        "oov_rate_by_source": oov_rate_by_source,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2875,6 +2883,33 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "oov_rate_by_source": r"""
+            WITH ex AS (
+              SELECT source AS grp,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, tok ASC)
+                         AS rn
+                FROM ex GROUP BY tok
+              ) WHERE rn <= 16
+            ),
+            flagged AS (
+              SELECT grp,
+                     CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM ex LEFT JOIN vocab ON ex.tok = vocab.tok
+            )
+            SELECT grp AS source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov,
+                   CAST(floor(CAST(sum(oov) AS BIGINT) * 1000000.0
+                              / count(*)) AS BIGINT) AS oov_rate_q6
+            FROM flagged GROUP BY grp
+        """,
         "value_quantile_sketch": """
             WITH b AS (
               SELECT min(value) AS lo, max(value) AS hi

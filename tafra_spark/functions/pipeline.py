@@ -65,6 +65,7 @@ __all__ = [
     "source_js_divergence",
     "corpus_scorecard",
     "bigram_logprob",
+    "oov_rates",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1729,5 +1730,56 @@ def bigram_logprob(
                 / F.col("n_tokens").cast("double"),
                 6,
             ),
+        )
+    )
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab_k: int = 16,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary-coverage analysis: build the top-``vocab_k`` corpus
+    vocabulary by token frequency and report each group's out-of-
+    vocabulary token rate — the curve you sweep (vocab_k = 32k, 64k,
+    128k…) when sizing a tokenizer, and the per-source drift monitor
+    once it ships (a source whose OOV rate climbs is drifting away
+    from the tokenizer's training distribution).
+
+    Two token-count aggregates: corpus vocabulary (global top-k by
+    (count desc, token asc) — deterministic) and per-group OOV counts
+    with the vocabulary broadcast. Both shuffle token counts, never
+    raw text. Rates are q6 fixed-point integer ratios.
+
+    Returns (group, n_tokens, n_oov, oov_rate_q6).
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    ex = df.select(
+        F.col(group_col).alias("grp"), F.explode(toks).alias("tok")
+    )
+    vocab = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(int(vocab_k))
+        .select("tok", F.lit(True).alias("__in_vocab__"))
+    )
+    flagged = ex.join(F.broadcast(vocab), on="tok", how="left")
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab__").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.floor(F.col("n_oov") * F.lit(1000000.0) / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_rate_q6"),
         )
     )

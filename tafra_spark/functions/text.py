@@ -340,10 +340,18 @@ def repetition_signals(
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document: the
     duplicate-word fraction (token occurrences beyond each type's first)
-    and the share of word bigrams claimed by the single most frequent
+    and the share of word BIGRAMS claimed by the single most frequent
     bigram. High values on either flag boilerplate/spam documents that
     length or stopword heuristics miss (Rae et al. 2021 §A1.1 use the
     same family of repetition filters at Gopher scale).
+
+    Complements :func:`tafra_spark.functions.pipeline.repetition_stats`
+    (the zero-shuffle UNIGRAM signals feeding ``quality_gate``): phrase
+    loops like "click here click here" carry no top-single-token
+    signal, so the bigram mode — and naming WHICH bigram dominates —
+    needs the per-doc count shuffle this variant pays. Use
+    repetition_stats inside gates, this one for diagnosis and
+    phrase-level thresholds.
 
     Plan shape: ``n_words``/``n_distinct`` are NARROW per-row array ops
     on the scan (``size``/``array_distinct`` — no shuffle); only the

@@ -3054,3 +3054,30 @@ class TestHistogramQuantiles:
             ).collect()
         }
         assert hu == h_whole
+
+
+class TestOovRates:
+    def test_known_vocab_and_rates(self, spark):
+        from tafra_spark.functions.pipeline import oov_rates
+
+        df = spark.createDataFrame(
+            [
+                (0, "a a a b", "s1"),   # with vocab {a,b}: 0 OOV
+                (1, "a b c d", "s2"),   # c d OOV -> 2/4
+            ],
+            ["doc_id", "text", "source"],
+        )
+        out = {r["source"]: r for r in oov_rates(df, vocab_k=2).collect()}
+        assert out["s1"]["n_oov"] == 0
+        assert out["s2"]["n_oov"] == 2
+        assert out["s2"]["oov_rate_q6"] == 500000
+
+    def test_vocab_tie_break_deterministic(self, spark):
+        from tafra_spark.functions.pipeline import oov_rates
+
+        # b and c tie on count; vocab_k=2 keeps {a, b} (token asc)
+        df = spark.createDataFrame(
+            [(0, "a a b c", "s")], ["doc_id", "text", "source"]
+        )
+        out = oov_rates(df, vocab_k=2).collect()[0]
+        assert out["n_oov"] == 1  # only c
