@@ -2970,7 +2970,8 @@ def oracle_sql() -> dict[str, str]:
             counted AS (
               SELECT t0 || '>' || t1 || '>' || t2 AS path,
                      count(*) AS n
-              FROM seq WHERE t2 IS NOT NULL
+              FROM seq
+              WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
               GROUP BY 1
             )
             SELECT path, n, CAST(rnk AS BIGINT) AS rank
@@ -3036,8 +3037,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT ls.i, CAST(sum(ls.cnt * rs.cnt) AS BIGINT) AS ip
               FROM ls JOIN rs ON ls.i = rs.i AND ls.b = rs.b
               GROUP BY ls.i
+            ),
+            per_row AS (
+              SELECT coalesce(prod.ip, 0) AS ip
+              FROM (SELECT DISTINCT i FROM ls) li
+              LEFT JOIN prod ON li.i = prod.i
             )
-            SELECT (SELECT CAST(min(ip) AS BIGINT) FROM prod)
+            SELECT (SELECT CAST(coalesce(min(ip), 0) AS BIGINT)
+                    FROM per_row)
                      AS join_size_est,
                    (SELECT CAST(count(*) AS BIGINT) FROM orders
                     JOIN lineitem ON o_orderkey = l_orderkey)
@@ -3199,7 +3206,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c1 AS (
               SELECT dst,
-                     CAST(sum((85 * p0.pr * w) // (100 * out_w)) AS BIGINT)
+                     CAST(sum((((85 * p0.pr) // 100) * w) // out_w) AS BIGINT)
                        AS cin
               FROM edges JOIN p0 ON edges.src = p0.node
                          JOIN outd ON edges.src = outd.src
@@ -3214,7 +3221,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c2 AS (
               SELECT dst,
-                     CAST(sum((85 * p1.pr * w) // (100 * out_w)) AS BIGINT)
+                     CAST(sum((((85 * p1.pr) // 100) * w) // out_w) AS BIGINT)
                        AS cin
               FROM edges JOIN p1 ON edges.src = p1.node
                          JOIN outd ON edges.src = outd.src

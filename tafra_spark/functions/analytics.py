@@ -1155,6 +1155,11 @@ def pagerank_nodes(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # persisted because 2+iterations reads hang off it (nodes, out-deg,
+    # one contribution join per iteration). The cached state is the
+    # POST-aggregation (src, dst, w) table — at most |V|² rows, not the
+    # event stream — so session-lifetime retention is bytes, not data;
+    # callers running many graphs can spark.catalog.clearCache().
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -1177,8 +1182,14 @@ def pagerank_nodes(
             .join(F.broadcast(out_deg), on="src")
             .select(
                 F.col("dst"),
+                # ((d·p div 100) · w) div out_w: the intermediate stays
+                # ≤ 8.5e8·w instead of 85·p·w — no int64 overflow until
+                # w ~ 1e10 (the naive order wrapped at w ~ 1e8, real
+                # for billion-edge transition counts). Cost: one extra
+                # floor at the 1-in-8.5e8 level, far below q9 noise.
                 F.expr(
-                    f"(CAST({d} AS BIGINT) * pr_q9 * w) div (100 * out_w)"
+                    f"(((CAST({d} AS BIGINT) * pr_q9) div 100) * w)"
+                    " div out_w"
                 ).alias("__c__"),
             )
             .groupBy("dst")
@@ -1229,11 +1240,15 @@ def top_paths(
     for i in range(1, int(steps)):
         cols.append(F.lead(type_col, i).over(w))
     path = F.concat_ws(">", *cols)
+    # EVERY component must be non-null: concat_ws silently skips NULLs,
+    # so a NULL event_type mid-stream would otherwise count a truncated
+    # 2-step string as a complete 3-step path
+    complete = None
+    for c in cols:
+        nn = c.isNotNull()
+        complete = nn if complete is None else (complete & nn)
     counted = (
-        events.select(
-            path.alias("path"),
-            cols[-1].isNotNull().alias("__complete__"),
-        )
+        events.select(path.alias("path"), complete.alias("__complete__"))
         .filter(F.col("__complete__"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1271,24 +1286,33 @@ def histogram_quantiles(
         "bin", "lo_q6", F.sum("n").over(w).alias("cum")
     )
     total = hist.agg(F.sum("n").alias("__n__"))
-    out = None
-    for p in probs:
-        p_q4 = int(round(p * 10000))
-        # rank_target = ceil(p_q4*n/10000), positive-operand form so
-        # floor-div vs trunc-div engines agree
-        target = F.expr(
-            f"CAST(({p_q4} * __n__ + 9999) div 10000 AS BIGINT)"
-        )
-        pick = (
-            cum.crossJoin(F.broadcast(total))
-            .filter(F.col("cum") >= target)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(p_q4).cast("long").alias("prob_q4"),
-                target.alias("rank_target"),
-                F.col("lo_q6").alias("est_q6"),
-            )
-        )
-        out = pick if out is None else out.unionByName(pick)
-    return out
+    # ONE plan for all probs: a per-prob union of limit(1) branches
+    # would re-run the histogram scan+aggregate once per probability
+    # (Spark does not dedupe common subplans across union branches).
+    # Instead the probs ride as an inline literal array, the rank
+    # target is ceil(p_q4·n/10000) in positive-operand integer form
+    # (floor-div and trunc-div engines agree), and each prob picks its
+    # first qualifying bin with one min-aggregate.
+    p_q4s = sorted({int(round(p * 10000)) for p in probs})
+    probs_lit = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in p_q4s])
+    ).alias("prob_q4")
+    targets = total.select(probs_lit, "__n__").select(
+        "prob_q4",
+        F.expr("CAST((prob_q4 * __n__ + 9999) div 10000 AS BIGINT)").alias(
+            "rank_target"
+        ),
+    )
+    picks = (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("rank_target"))
+        .groupBy("prob_q4", "rank_target")
+        # min struct = first qualifying bin, edge carried along so cum
+        # is referenced exactly once in the whole plan
+        .agg(F.min(F.struct("bin", "lo_q6")).alias("__pick__"))
+    )
+    return picks.select(
+        "prob_q4",
+        "rank_target",
+        F.col("__pick__.lo_q6").alias("est_q6"),
+    )

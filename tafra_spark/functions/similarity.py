@@ -843,7 +843,9 @@ def pq_topk(
         probe = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ).limit(65).collect()
-        if len(probe) <= 64:
+        # empty probe -> general path (an empty literal explode fails
+        # analysis with an untyped array<null> struct)
+        if 0 < len(probe) <= 64:
             return _pq_topk_inline(codes, cb_rows, probe, k, id_col)
     lut = (
         queries.select(
@@ -1338,7 +1340,7 @@ def ivf_pq_topk(
     cb_rows = getattr(codebooks, "_pq_rows", None)
     if cb_rows is not None:
         q_rows = q.limit(65).collect()
-        if len(q_rows) <= 64:
+        if 0 < len(q_rows) <= 64:
             probes_by_q: dict[int, set[int]] = {}
             for r in probes.collect():
                 probes_by_q.setdefault(int(r[0]), set()).add(int(r[1]))

@@ -336,4 +336,17 @@ def count_min_join_size(
         .groupBy("i")
         .agg(F.sum(F.col("lc") * F.col("rc")).alias("ip"))
     )
-    return prod.agg(F.min("ip").cast("long").alias("join_size_est"))
+    # a hash row with NO bucket collisions has inner product 0 — the
+    # exact estimate — and must participate in the min (the inner join
+    # dropped it). Every row of a non-empty left sketch populates all
+    # depth i values, so l_sk's distinct i is the full row set; the
+    # final coalesce covers two empty inputs (estimate 0, not NULL).
+    per_row = (
+        l_sk.select("i")
+        .distinct()
+        .join(prod, on="i", how="left")
+        .select(F.coalesce(F.col("ip"), F.lit(0)).alias("ip"))
+    )
+    return per_row.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("join_size_est")
+    )

@@ -53,6 +53,10 @@ def scd2_merge(
       (out-of-order protection: history is append-only).
 
     Closed history rows (``is_current = false``) are returned as-is.
+    Edge rules: a NULL ``valid_from`` on an open row means "history
+    start unknown" and any update counts as newer; NULL key values are
+    matched null-safely (one NULL key is one key); updates with a NULL
+    effective time are ignored.
     """
     key_list = list(keys)
     tracked_list = list(tracked)
@@ -72,35 +76,52 @@ def scd2_merge(
         F.col(effective_col).desc(), *[F.col(c).desc() for c in tracked_list]
     )
     latest = (
-        updates.select(*key_list, *tracked_list, effective_col)
+        # a NULL effective time cannot order against history — such
+        # updates are ignored rather than poisoning the newer-than
+        # comparison with NULL booleans
+        updates.filter(F.col(effective_col).isNotNull())
+        .select(*key_list, *tracked_list, effective_col)
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
 
+    # explicit presence markers: existence after the full outer join
+    # must NOT be inferred from nullable data columns (a NULL
+    # valid_from — the initial-load "history unknown" convention — or a
+    # NULL effective time would silently drop rows)
     cur = open_rows.select(
         *[F.col(k).alias(f"__ck_{k}") for k in key_list],
         *[F.col(c).alias(f"__cv_{c}") for c in tracked_list],
         F.col(valid_from_col).alias("__c_from"),
+        F.lit(True).alias("__c_has"),
     )
     upd = latest.select(
         *[F.col(k).alias(f"__uk_{k}") for k in key_list],
         *[F.col(c).alias(f"__uv_{c}") for c in tracked_list],
         F.col(effective_col).alias("__u_eff"),
+        F.lit(True).alias("__u_has"),
     )
     cond = None
     for k in key_list:
-        c = F.col(f"__ck_{k}") == F.col(f"__uk_{k}")
+        # null-safe: a NULL dimension key is still ONE key and must
+        # match its update, or the one-open-row invariant breaks
+        c = F.col(f"__ck_{k}").eqNullSafe(F.col(f"__uk_{k}"))
         cond = c if cond is None else (cond & c)
     j = cur.join(upd, cond, "full_outer")
 
-    has_cur = F.col("__c_from").isNotNull()
-    has_upd = F.col("__u_eff").isNotNull()
+    has_cur = F.coalesce(F.col("__c_has"), F.lit(False))
+    has_upd = F.coalesce(F.col("__u_has"), F.lit(False))
     changed = None
     for c in tracked_list:
         d = ~F.col(f"__cv_{c}").eqNullSafe(F.col(f"__uv_{c}"))
         changed = d if changed is None else (changed | d)
-    applies = has_upd & (~has_cur | (F.col("__u_eff") > F.col("__c_from")))
+    # NULL valid_from on an existing row = unknown history start:
+    # any update is newer than it
+    newer = F.col("__c_from").isNull() | (
+        F.col("__u_eff") > F.col("__c_from")
+    )
+    applies = has_upd & (~has_cur | newer)
     takes_effect = applies & (~has_cur | changed)
 
     def _key(k: str):

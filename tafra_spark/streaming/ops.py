@@ -703,6 +703,8 @@ def scd2_dim_sink(
     tracked_list = list(tracked)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         eff_type = batch_df.schema[effective_col].dataType
         try:
             current = (
@@ -710,7 +712,14 @@ def scd2_dim_sink(
                 .filter(F.col("version") < batch_id)
             )
             maxv = current.agg(F.max("version")).collect()[0][0]
-        except Exception:  # noqa: BLE001 - first batch: nothing to read
+        except AnalysisException as exc:
+            # PATH_NOT_FOUND = genuinely the first batch. Any other
+            # failure (corrupt file, fs hiccup) must fail the
+            # micro-batch — treating it as "first batch" would publish
+            # an empty-history dimension as the newest version.
+            get_cond = getattr(exc, "getCondition", None) or exc.getErrorClass
+            if (get_cond() or "") != "PATH_NOT_FOUND":
+                raise
             maxv = None
         if maxv is None:
             empty_schema = T.StructType(

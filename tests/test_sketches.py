@@ -220,3 +220,19 @@ class TestCmJoinSize:
             ).collect()[0]["join_size_est"]
             assert est >= true
             assert est <= true * 2  # generous bound at this width
+
+    def test_disjoint_and_empty_inputs_estimate_zero(self, spark):
+        from tafra_spark.functions.sketches import count_min_join_size
+
+        left = spark.createDataFrame([(1,), (2,)], ["k"])
+        right = spark.createDataFrame([(3,), (4,)], ["k"])
+        # wide sketch: no collisions, every hash row's product is 0
+        est = count_min_join_size(
+            left, right, "k", "k", depth=4, width=1 << 16
+        ).collect()[0]["join_size_est"]
+        assert est == 0
+        empty = spark.createDataFrame([], "k long")
+        est2 = count_min_join_size(
+            empty, right, "k", "k", depth=4, width=64
+        ).collect()[0]["join_size_est"]
+        assert est2 == 0
