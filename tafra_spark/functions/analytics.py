@@ -1044,12 +1044,17 @@ def mad_outliers(
     Exactness is the point: approximate quantiles differ across
     engines, so both medians come from rank selection — a sort window
     per group picks the middle one/two rows, and the median is their
-    ``sum/count`` (one correctly-rounded double add + divide). Two
-    sorted windows over the same group key = two keyed shuffles, both
-    map-side combinable and bounded by the group's row count; no global
-    sort, no collect. The deviation threshold compare is a fixed chain
-    of correctly-rounded IEEE ops, so the outlier counts — and the q6
-    fixed-point outlier fraction — hash identically on any engine.
+    ``sum/count`` (one correctly-rounded double add + divide). The
+    deviation threshold compare is a fixed chain of correctly-rounded
+    IEEE ops, so the outlier counts — and the q6 fixed-point outlier
+    fraction — hash identically on any engine.
+
+    Scale contract: each rank-selection window sorts ONE group in ONE
+    partition, so this exact formulation holds to roughly 10^8 rows
+    per group. For low-cardinality keys over a 100 TB stream, take the
+    median/MAD from :func:`histogram_quantiles` instead (mergeable,
+    fully distributed, deterministic) and keep this operator for the
+    exact verification pass on samples or high-cardinality keys.
 
     Returns (key, n, median, mad, n_outliers, outlier_frac_q6) with
     ``median``/``mad`` rounded to 6dp for display (counts are computed
