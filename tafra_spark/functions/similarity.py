@@ -1285,49 +1285,79 @@ def ivf_pq_topk(
     # ordering ((-cos) asc, id asc) mirrors the oracle's
     # (cos DESC, id ASC), and negation is exact in IEEE, so results are
     # bit-identical to the join path.
-    cent_rows = cent.limit(4097).collect()
-    if len(cent_rows) > 4096:
-        raise ValueError(
-            "ivf_pq_topk: >4096 centroids — inline the assignment via "
-            "assign_centroids + a partitioned write instead"
-        )
-    cvs = literal_array([[float(x) for x in r[1]] for r in cent_rows])
-    cids = literal_array([int(r[0]) for r in cent_rows])
-
-    def neg_cos_structs(vec: Column) -> Column:
-        return F.transform(
-            cvs,
-            lambda cv, i: F.struct(
-                (-cosine(vec, cv)).alias("negcos"),
-                F.element_at(cids, i + 1).alias("cid"),
-            ),
-        )
-
-    # spread FIRST: the assignment fold is CPU-bound interpreted-HOF
-    # work, and a small parquet arrives as 1-2 scan partitions that
-    # would run it serially (pq_encode's own _spread sits above this
-    # projection and cannot parallelize it)
     from .dedup import _spread
-
-    assigned = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
-        "centroid_id", F.array_min(neg_cos_structs(F.col(vec_col)))["cid"]
-    )
-    codes = pq_encode(
-        assigned, codebooks, id_col=id_col, vec_col=vec_col,
-        keep_cols=("centroid_id",),
-    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    # probe selection is the same narrow expression: sort the struct
-    # array, slice nprobe, explode — no window, no shuffle
-    probes = q.select(
-        "query_id",
-        F.explode(
-            F.slice(F.array_sort(neg_cos_structs(F.col("qv"))), 1, nprobe)
-        ).alias("p"),
-    ).select("query_id", F.col("p.cid").alias("centroid_id"))
+    cent_rows = cent.limit(4097).collect()
+    if len(cent_rows) <= 4096:
+        cvs = literal_array([[float(x) for x in r[1]] for r in cent_rows])
+        cids = literal_array([int(r[0]) for r in cent_rows])
+
+        def neg_cos_structs(vec: Column) -> Column:
+            return F.transform(
+                cvs,
+                lambda cv, i: F.struct(
+                    (-cosine(vec, cv)).alias("negcos"),
+                    F.element_at(cids, i + 1).alias("cid"),
+                ),
+            )
+
+        # spread FIRST: the assignment fold is CPU-bound
+        # interpreted-HOF work, and a small parquet arrives as 1-2
+        # scan partitions that would run it serially (pq_encode's own
+        # _spread sits above this projection and cannot parallelize it)
+        assigned = _spread(
+            corpus.select(F.col(id_col), F.col(vec_col))
+        ).withColumn(
+            "centroid_id",
+            F.array_min(neg_cos_structs(F.col(vec_col)))["cid"],
+        )
+        # probe selection is the same narrow expression: sort the
+        # struct array, slice nprobe, explode — no window, no shuffle
+        probes = q.select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(neg_cos_structs(F.col("qv"))), 1, nprobe
+                )
+            ).alias("p"),
+        ).select("query_id", F.col("p.cid").alias("centroid_id"))
+    else:
+        # plan-literal ceiling exceeded (a 64k×d centroid table is
+        # megabytes of literals): fall back to the broadcast
+        # crossJoin + per-vector window. Same (cos DESC, id ASC)
+        # ranking, bit-identical assignments — costs one corpus-wide
+        # window sort, which is why the literal path is preferred.
+        assign_scored = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("ac_cos", cosine(F.col(vec_col), F.col("centv")))
+        )
+        wa = Window.partitionBy(id_col).orderBy(
+            F.col("ac_cos").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            assign_scored.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") == 1)
+            .select(id_col, vec_col, "centroid_id")
+        )
+        q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+            "qc_cos", cosine(F.col("qv"), F.col("centv"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("qc_cos").desc(), F.col("centroid_id")
+        )
+        probes = (
+            q_scored.withColumn("prank", F.row_number().over(wq))
+            .filter(F.col("prank") <= nprobe)
+            .select("query_id", "centroid_id")
+        )
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("centroid_id",),
+    )
 
     # small-query fast path (the pq_topk lesson): collect the probe
     # assignments (one tiny job — probing stays JVM-side so the floats

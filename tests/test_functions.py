@@ -3081,3 +3081,40 @@ class TestOovRates:
         )
         out = oov_rates(df, vocab_k=2).collect()[0]
         assert out["n_oov"] == 1  # only c
+
+
+class TestIvfPqFallback:
+    def test_join_path_matches_literal_path(self, spark, monkeypatch):
+        # force the >4096-centroid branch by shrinking the collect
+        # probe's view: patch the literal ceiling via a tiny limit is
+        # not exposed, so instead compare the two public paths by
+        # calling with centroids that fit (literal) and asserting the
+        # fallback logic produces identical results when exercised
+        # directly through a monkeypatched threshold.
+        import tafra_spark.functions.similarity as sim
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cb = sim.pq_codebooks(emb, m=4, k=16)
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        queries = emb.filter(F.col("vec_id") < 3)
+        cents = emb.filter(F.col("vec_id") < 8)
+        lit_path = sorted(
+            tuple(r)
+            for r in sim.ivf_pq_topk(
+                corpus, queries, cents, cb, k=5, nprobe=2
+            ).collect()
+        )
+        # drop the ceiling to 0 so the SAME call takes the join path
+        real_limit = sim.DataFrame.limit
+
+        def tiny_limit(self, n):
+            return real_limit(self, 0 if n == 4097 else n)
+
+        monkeypatch.setattr(sim.DataFrame, "limit", tiny_limit)
+        join_path = sorted(
+            tuple(r)
+            for r in sim.ivf_pq_topk(
+                corpus, queries, cents, cb, k=5, nprobe=2
+            ).collect()
+        )
+        assert join_path == lit_path
