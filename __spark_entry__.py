@@ -2154,6 +2154,14 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.top_paths(ev, steps=3, k=20)
 
 
+def label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mislabel candidates by kNN neighborhood consistency (confident-
+    # learning-lite): LSH buckets propose neighbors, k nearest vote,
+    # disagreement rows go to review
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.label_consistency(emb, dim=64, k=5, n_planes=4)
+
+
 def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrastive-training data op (ANCE/DPR recipe, bucketed): pairs
     # the CURRENT space confuses (same LSH bucket) whose exact cosine
@@ -2323,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_paths": top_event_paths,
         "value_quantile_sketch": value_quantile_sketch,
         "oov_rate_by_source": oov_rate_by_source,
+        "label_noise_flags": label_noise_flags,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2979,6 +2988,57 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
                   FROM counted)
             WHERE rnk <= 20
+        """,
+        "label_noise_flags": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     CAST(label AS BIGINT) AS label
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v, label,
+                     {_bucket_sql(64, 4, 42)} AS bucket
+              FROM e
+            ),
+            pairs AS (
+              SELECT l.vec_id AS vid, r.vec_id AS nid, r.label AS nlabel,
+                     round(list_cosine_similarity(l.v, r.v), 6) AS cos
+              FROM b l JOIN b r
+                ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+            ),
+            nearest AS (
+              SELECT * FROM (
+                SELECT pairs.*,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY cos DESC, nid ASC) AS rn
+                FROM pairs
+              ) WHERE rn <= 5
+            ),
+            votes AS (
+              SELECT vid, nlabel, count(*) AS nv
+              FROM nearest GROUP BY vid, nlabel
+            ),
+            majority AS (
+              SELECT vid, nlabel AS majority_label FROM (
+                SELECT votes.*,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY nv DESC, nlabel ASC)
+                         AS mr
+                FROM votes
+              ) WHERE mr = 1
+            ),
+            nnb AS (
+              SELECT vid, CAST(count(*) AS BIGINT) AS n_neighbors
+              FROM nearest GROUP BY vid
+            )
+            SELECT e.vec_id AS vec_id, e.label AS label,
+                   coalesce(nnb.n_neighbors, 0) AS n_neighbors,
+                   majority.majority_label AS majority_label,
+                   CASE WHEN majority.majority_label IS NOT NULL
+                        THEN majority.majority_label = e.label END AS agrees
+            FROM e
+            LEFT JOIN nnb ON e.vec_id = nnb.vid
+            LEFT JOIN majority ON e.vec_id = majority.vid
         """,
         "hard_negatives_mining": f"""
             WITH e AS (

@@ -44,6 +44,7 @@ __all__ = [
     "pq_fit",
     "ivf_pq_topk",
     "hard_negative_pairs",
+    "label_consistency",
     "semantic_decontaminate",
     "source_semantic_similarity",
 ]
@@ -1555,4 +1556,95 @@ def hard_negative_pairs(
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= per_anchor)
+    )
+
+
+def label_consistency(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Noisy-label detection by neighborhood consistency: each vector's
+    label is compared against the majority label of its k nearest
+    same-LSH-bucket neighbors. Rows that disagree with their
+    neighborhood are the mislabel candidates every curation pipeline
+    reviews first (the cheap, distributed cousin of confident-learning
+    approaches).
+
+    Plan: the standard linear bucket self-join proposes neighbors
+    (never all-pairs), a per-vector window keeps the k nearest by
+    exact cosine (rounded q6 so ordering is engine-portable), and the
+    majority is a (vector, label) count with a deterministic
+    tie-break (count desc, label asc). Vectors with no bucket
+    neighbors are emitted with NULL majority (no evidence ≠
+    agreement).
+
+    Returns (id, label, n_neighbors, majority_label, agrees).
+    """
+    sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col), sig.alias("bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vid"),
+            F.col(f"r.{id_col}").alias("nid"),
+            F.col(f"r.{label_col}").alias("nlabel"),
+            F.round(
+                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("vid").orderBy(
+        F.col("cos").desc(), F.col("nid").asc()
+    )
+    nearest = pairs.withColumn("__rn__", F.row_number().over(wk)).filter(
+        F.col("__rn__") <= k
+    )
+    votes = nearest.groupBy("vid", "nlabel").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wv = Window.partitionBy("vid").orderBy(
+        F.col("nv").desc(), F.col("nlabel").asc()
+    )
+    majority = (
+        votes.withColumn("__mr__", F.row_number().over(wv))
+        .filter(F.col("__mr__") == 1)
+        .select(
+            F.col("vid"),
+            F.col("nlabel").alias("majority_label"),
+        )
+    )
+    n_nb = nearest.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(label_col).cast("long").alias(label_col)
+    )
+    out = (
+        base.join(n_nb, base[id_col] == n_nb["vid"], "left")
+        .drop("vid")
+        .join(majority, base[id_col] == majority["vid"], "left")
+        .drop("vid")
+    )
+    return out.select(
+        id_col,
+        label_col,
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        F.col("majority_label").cast("long").alias("majority_label"),
+        F.when(
+            F.col("majority_label").isNotNull(),
+            F.col("majority_label") == F.col(label_col),
+        ).alias("agrees"),
     )

@@ -3118,3 +3118,49 @@ class TestIvfPqFallback:
             ).collect()
         )
         assert join_path == lit_path
+
+
+class TestLabelConsistency:
+    def test_planted_mislabels_disagree(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        # two tight clusters, one flipped label in each
+        a = rng.randn(8) ; b = -a
+        rows = []
+        for i in range(6):
+            rows.append((i, [float(x) for x in a + 0.01 * rng.randn(8)],
+                         0 if i != 5 else 1))          # 5 is mislabeled
+        for i in range(6, 12):
+            rows.append((i, [float(x) for x in b + 0.01 * rng.randn(8)],
+                         1 if i != 11 else 0))         # 11 is mislabeled
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {
+            r["vec_id"]: r
+            for r in S.label_consistency(
+                emb, dim=8, k=3, n_planes=2
+            ).collect()
+        }
+        assert len(out) == 12  # every vector emitted, even isolated ones
+        flagged = {
+            v for v, r in out.items()
+            if r["agrees"] is False
+        }
+        clean_wrong = {
+            v for v, r in out.items()
+            if r["agrees"] is False and v not in (5, 11)
+        }
+        # the planted flips disagree with their neighborhood whenever
+        # they HAVE same-cluster neighbors; no clean row is flagged
+        assert not clean_wrong
+        for v in (5, 11):
+            if out[v]["n_neighbors"] >= 3:
+                assert out[v]["agrees"] is False
+
+    def test_isolated_vectors_have_null_majority(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0)], ["vec_id", "embedding", "label"]
+        )
+        r = S.label_consistency(emb, dim=2, k=3, n_planes=2).collect()[0]
+        assert r["n_neighbors"] == 0
+        assert r["majority_label"] is None and r["agrees"] is None
