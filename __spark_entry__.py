@@ -2154,6 +2154,16 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.top_paths(ev, steps=3, k=20)
 
 
+def ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U-shaped multi-touch attribution: each purchase splits exactly
+    # 10000 q4 credit over its 24h touch window (40/20/40, integer
+    # remainder pinned to the last middle touch)
+    ev = _read_events(spark, sf_dir)
+    return AN.position_attribution(
+        ev, conversion_type="purchase", window_hours=24
+    )
+
+
 def label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mislabel candidates by kNN neighborhood consistency (confident-
     # learning-lite): LSH buckets propose neighbors, k nearest vote,
@@ -2332,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_sketch": value_quantile_sketch,
         "oov_rate_by_source": oov_rate_by_source,
         "label_noise_flags": label_noise_flags,
+        "ushape_attribution": ushape_attribution,
         # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -2988,6 +2999,48 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
                   FROM counted)
             WHERE rnk <= 20
+        """,
+        "ushape_attribution": """
+            WITH conv AS (
+              SELECT user_id AS cu,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS cs,
+                     event_id AS cid
+              FROM events WHERE event_type = 'purchase'
+            ),
+            tch AS (
+              SELECT user_id AS tu, event_type AS channel,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tts,
+                     event_id AS tid
+              FROM events WHERE event_type <> 'purchase'
+            ),
+            paired AS (
+              SELECT cid, channel, tts, tid
+              FROM conv JOIN tch ON cu = tu
+              WHERE tts < cs AND cs - tts <= 86400
+            ),
+            ranked AS (
+              SELECT cid, channel,
+                     row_number() OVER (PARTITION BY cid
+                                        ORDER BY tts ASC, tid ASC) AS r,
+                     count(*) OVER (PARTITION BY cid) AS n
+              FROM paired
+            ),
+            weighted AS (
+              SELECT channel,
+                     CASE WHEN n = 1 THEN 10000
+                          WHEN n = 2 THEN 5000
+                          WHEN r = 1 THEN 4000
+                          WHEN r = n THEN 4000
+                          WHEN r = n - 1
+                            THEN 2000 // (n - 2)
+                                 + (2000 - (n - 2) * (2000 // (n - 2)))
+                          ELSE 2000 // (n - 2) END AS w
+              FROM ranked
+            )
+            SELECT channel AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(w) AS BIGINT) AS credit_q4
+            FROM weighted GROUP BY channel
         """,
         "label_noise_flags": f"""
             WITH e AS (

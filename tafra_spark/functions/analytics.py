@@ -46,6 +46,7 @@ __all__ = [
     "pagerank_nodes",
     "top_paths",
     "histogram_quantiles",
+    "position_attribution",
 ]
 
 
@@ -1320,4 +1321,83 @@ def histogram_quantiles(
         "prob_q4",
         "rank_target",
         F.col("__pick__.lo_q6").alias("est_q6"),
+    )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-weighted (U-shaped) multi-touch attribution: every
+    conversion distributes 100% of its credit over the user's
+    preceding touches inside ``window_hours`` — 40% to the first
+    touch, 40% to the last, 20% split over the middles (the standard
+    U-shape; 1 touch takes 100%, 2 touches split 50/50). Last-touch
+    and first-touch models are the degenerate window ranks of the
+    same plan.
+
+    Credit is INTEGER q4 per touch, with the middle-split remainder
+    (20% does not always divide evenly) assigned to the last middle
+    touch — deterministic, so each conversion's credits sum to exactly
+    10000 and the per-channel totals are engine-portable integers.
+
+    Plan: one user-keyed join pairs conversions with their window's
+    touches (bounded by the window, never the user's full history),
+    one per-conversion window ranks them, one aggregate sums credit
+    per channel. Returns (event_type, n_touches, credit_q4).
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__cu__"),
+        F.col(ts_col).alias("__ct__"),
+        F.col(id_col).alias("__cid__"),
+    )
+    touches = events.filter(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("__tu__"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("__tt__"),
+        F.col(id_col).alias("__tid__"),
+    )
+    win_s = int(window_hours) * 3600
+    t_s = F.col("__tt__").cast("timestamp").cast("long")
+    c_s = F.col("__ct__").cast("timestamp").cast("long")
+    paired = conv.join(
+        touches,
+        (F.col("__cu__") == F.col("__tu__")),
+    ).filter((t_s < c_s) & (c_s - t_s <= win_s))
+    w = Window.partitionBy("__cid__").orderBy(
+        F.col("__tt__").asc(), F.col("__tid__").asc()
+    )
+    wn = Window.partitionBy("__cid__")
+    ranked = paired.select(
+        "__cid__",
+        "channel",
+        F.row_number().over(w).alias("__r__"),
+        F.count(F.lit(1)).over(wn).alias("__n__"),
+    )
+    n, r = F.col("__n__"), F.col("__r__")
+    mid_each = F.expr("2000 div (__n__ - 2)")
+    mid_rem = F.lit(2000) - (n - 2) * mid_each
+    weight = (
+        F.when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
+        .when(r == 1, F.lit(4000))
+        .when(r == n, F.lit(4000))
+        .when(r == n - 1, mid_each + mid_rem)  # last middle absorbs
+        .otherwise(mid_each)
+    )
+    return (
+        ranked.select("channel", weight.cast("long").alias("__w__"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("__w__").cast("long").alias("credit_q4"),
+        )
+        .select(
+            F.col("channel").alias("event_type"), "n_touches", "credit_q4"
+        )
     )

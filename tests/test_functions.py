@@ -3164,3 +3164,67 @@ class TestLabelConsistency:
         r = S.label_consistency(emb, dim=2, k=3, n_planes=2).collect()[0]
         assert r["n_neighbors"] == 0
         assert r["majority_label"] is None and r["agrees"] is None
+
+
+class TestPositionAttribution:
+    def test_ushape_weights_sum_to_10000_per_conversion(self, spark):
+        from tafra_spark.functions.analytics import position_attribution
+
+        # user 1: touches a,b,c,d then purchase; user 2: one touch
+        rows = [
+            (0, 1, "a", 0), (1, 1, "b", 10), (2, 1, "c", 20),
+            (3, 1, "d", 30), (4, 1, "purchase", 40),
+            (5, 2, "a", 0), (6, 2, "purchase", 1),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        out = {
+            r["event_type"]: r
+            for r in position_attribution(
+                ev, window_hours=24
+            ).collect()
+        }
+        # conversion 4: a=4000, b=1000, c=1000(+0 rem), d=4000
+        # n=4 middles get 2000 div 2 = 1000 each, remainder 0
+        # conversion 6: a=10000
+        assert out["a"]["credit_q4"] == 4000 + 10000
+        assert out["b"]["credit_q4"] == 1000
+        assert out["c"]["credit_q4"] == 1000
+        assert out["d"]["credit_q4"] == 4000
+        total = sum(r["credit_q4"] for r in out.values())
+        assert total == 2 * 10000  # exactly 100% per conversion
+
+    def test_remainder_goes_to_last_middle(self, spark):
+        from tafra_spark.functions.analytics import position_attribution
+
+        # 5 touches: middles are r=2,3,4 -> 2000 div 3 = 666 each,
+        # remainder 2 pinned to r=4
+        rows = [(i, 1, t, i * 10) for i, t in enumerate("abcde")]
+        rows.append((9, 1, "purchase", 100))
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        out = {
+            r["event_type"]: r["credit_q4"]
+            for r in position_attribution(ev, window_hours=24).collect()
+        }
+        assert out == {"a": 4000, "b": 666, "c": 666, "d": 668, "e": 4000}
+        assert sum(out.values()) == 10000
+
+    def test_window_excludes_stale_touches(self, spark):
+        from tafra_spark.functions.analytics import position_attribution
+
+        rows = [
+            (0, 1, "a", 0),                      # 2 days before: stale
+            (1, 1, "b", 2 * 86400 - 100),        # inside the window
+            (2, 1, "purchase", 2 * 86400),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        out = {
+            r["event_type"]: r["credit_q4"]
+            for r in position_attribution(ev, window_hours=24).collect()
+        }
+        assert out == {"b": 10000}
