@@ -2267,22 +2267,130 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
-        # correctness budget covered exactly 50 entries in r2 and r3).
-        # Rank by verification need: (1) the r3 red row whose fix must
-        # be confirmed, (2) event/temporal queries whose shared ts
-        # normalization changed with that fix, (3) never-driver-verified
-        # queries oldest first, (4) brand-new r4 queries, then the
-        # long-green tail. ---
-        # red in r3 (TIMESTAMP_NTZ) — fixed; confirm first
+        # correctness budget has covered exactly the first 50 entries
+        # every round). Rank by verification need: (1) the 15 r4 queries
+        # the r4 budget never reached, (2) minhash_dup_clusters — its
+        # connected-components input changed in the r3 fuzzy-dedup
+        # sharing rewrite and it has not been driver-checked since,
+        # (3) queries with a single driver row (r2), (4) the r2-green
+        # relational suite, then (5) the r3/r4-green tail, freshest
+        # last. ---
+        # never driver-verified (added r4 after the r4 budget cutoff)
+        "repetition_signals": repetition_signals_q,
+        "mad_outlier_profile": mad_outlier_profile,
+        "pagerank_event_graph": pagerank_event_graph,
+        "dedup_keep_best": dedup_keep_best_docs,
+        "ivf_pq_search": ivf_pq_search,
+        "scd2_customer_priority": scd2_customer_priority,
+        "join_size_estimate": join_size_estimate,
+        "hard_negatives_mining": hard_negatives_mining,
+        "top_event_paths": top_event_paths,
+        "value_quantile_sketch": value_quantile_sketch,
+        "oov_rate_by_source": oov_rate_by_source,
+        "label_noise_flags": label_noise_flags,
+        "ushape_attribution": ushape_attribution,
+        "user_activity_decay": user_activity_decay,
+        "sliding_active_3h": sliding_active_3h,
+        # input pipeline changed in r3 (shared-shingle rewrite); re-verify
+        "minhash_dup_clusters": minhash_dup_clusters,
+        # single driver row ever (r2)
+        "grouped_quantiles": grouped_quantiles,
+        "upsert_orders": upsert_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q15_top_suppliers": q15_top_suppliers,
+        "q22_idle_balances": q22_idle_balances,
+        "q10_returned_items": q10_returned_items,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q14_promo_share": q14_promo_share,
+        # last verified r2 (green r1+r2)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "select_project": select_project,
+        "filter_predicate": filter_predicate,
+        "group_by_callables": group_by_callables,
+        "transform_window": transform_window,
+        "theta_join_inequality": theta_join_inequality,
+        "left_join_nulls": left_join_nulls,
+        "cross_join_small": cross_join_small,
+        "union_all_orders": union_all_orders,
+        "coalesce_fill": coalesce_fill,
+        "cast_floor_groupby": cast_floor_groupby,
+        "top_k_orders": top_k_orders,
+        "distinct_pairs": distinct_pairs,
+        "rename_project": rename_project,
+        "agg_stats": agg_stats,
+        "semi_join_exists": semi_join_exists,
+        "anti_join_not_exists": anti_join_not_exists,
+        "rollup_agg": rollup_agg,
+        "pivot_linestatus": pivot_linestatus,
+        # green r3 — low re-verify priority
+        "ngram_jaccard": ngram_jaccard,
+        "corpus_prep_pipeline": corpus_prep_pipeline,
+        "token_budget_mix": token_budget_mix,
+        "ann_recall_eval": ann_recall_eval,
+        "chunk_sliding_windows": chunk_sliding_windows,
+        "incremental_dedup_batch": incremental_dedup_batch,
+        "profile_lineitem": profile_lineitem,
+        "funnel_click_view_purchase": funnel_click_view_purchase,
+        "retention_weekly_cohorts": retention_weekly_cohorts,
+        "event_transition_matrix": event_transition_matrix,
+        "key_skew_sources": key_skew_sources,
+        "length_outlier_flags": length_outlier_flags,
+        "weighted_source_mix": weighted_source_mix,
+        "event_rate_spikes": event_rate_spikes,
+        "sample_k_per_source": sample_k_per_source,
+        "segment_dedup": segment_dedup,
+        "vocab_doc_freq": vocab_doc_freq,
+        "tfidf_top_terms": tfidf_top_terms,
+        "semantic_dedup_pairs": semantic_dedup_pairs,
+        "semantic_dedup_survivors": semantic_dedup_survivors,
+        "kmeans_centroids": kmeans_centroids,
+        "decontaminate_overlap": decontaminate_overlap,
+        "doc_repetition_stats": doc_repetition_stats,
+        "pack_training_sequences": pack_training_sequences,
+        "source_top_terms": source_top_terms,
+        "train_shuffle_shards": train_shuffle_shards,
+        "pii_scrub_stats": pii_scrub_stats,
+        "quality_gate_filter": quality_gate_filter,
+        "stratified_sample": stratified_sample,
+        "exact_dedup_groups": exact_dedup_groups,
+        "minhash_signature": minhash_signature,
+        "simhash_near_dups": simhash_near_dups,
+        "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_centroid_assign": embedding_centroid_assign,
+        "embedding_lsh_ann": embedding_lsh_ann,
+        "embedding_near_dups": embedding_near_dups,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_language_id": text_language_id,
+        "doc_fingerprint": doc_fingerprint,
+        "q8_market_share": q8_market_share,
+        "q12_priority_by_delay": q12_priority_by_delay,
+        "json_extract_stats": json_extract_stats,
+        "events_hourly": events_hourly,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        # green r4 (just verified) — lowest priority
         "interval_join_attribution": interval_join_attribution,
-        # NTZ-affected event/temporal paths (ts loader changed), last
-        # verified r1/r2 on the old data generation
         "sessionize_events": sessionize_events,
         "events_quarter_hour": events_quarter_hour,
         "rolling_hour_window": rolling_hour_window,
         "asof_join_events": asof_join_events,
         "range_join_incidents": range_join_incidents,
-        # never driver-verified (added r3 after the r3 run)
         "user_burstiness_profile": user_burstiness_profile,
         "gate_reject_breakdown": gate_reject_breakdown,
         "cluster_balanced_panel": cluster_balanced_panel,
@@ -2327,115 +2435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
-        "user_activity_decay": user_activity_decay,
-        "sliding_active_3h": sliding_active_3h,
-        # NEW in r4 (local-gate green; driver rows expected r5)
-        "repetition_signals": repetition_signals_q,
-        "mad_outlier_profile": mad_outlier_profile,
-        "pagerank_event_graph": pagerank_event_graph,
-        "dedup_keep_best": dedup_keep_best_docs,
-        "ivf_pq_search": ivf_pq_search,
-        "scd2_customer_priority": scd2_customer_priority,
-        "join_size_estimate": join_size_estimate,
-        "hard_negatives_mining": hard_negatives_mining,
-        "top_event_paths": top_event_paths,
-        "value_quantile_sketch": value_quantile_sketch,
-        "oov_rate_by_source": oov_rate_by_source,
-        "label_noise_flags": label_noise_flags,
-        "ushape_attribution": ushape_attribution,
-        # fuzzy-dedup sharing strategy changed in r3 — re-verified r3
-        "ngram_jaccard": ngram_jaccard,
-        "corpus_prep_pipeline": corpus_prep_pipeline,
-        # single driver row ever (r2)
-        "grouped_quantiles": grouped_quantiles,
-        "upsert_orders": upsert_orders,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q15_top_suppliers": q15_top_suppliers,
-        "q22_idle_balances": q22_idle_balances,
-        "q10_returned_items": q10_returned_items,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_counts": q16_supplier_counts,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q18_large_orders": q18_large_orders,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q4_late_orders": q4_late_orders,
-        "q14_promo_share": q14_promo_share,
-        # last verified r2 (green r1+r2)
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "select_project": select_project,
-        "filter_predicate": filter_predicate,
-        "group_by_callables": group_by_callables,
-        "transform_window": transform_window,
-        "theta_join_inequality": theta_join_inequality,
-        "left_join_nulls": left_join_nulls,
-        "cross_join_small": cross_join_small,
-        "union_all_orders": union_all_orders,
-        "coalesce_fill": coalesce_fill,
-        "cast_floor_groupby": cast_floor_groupby,
-        "top_k_orders": top_k_orders,
-        "distinct_pairs": distinct_pairs,
-        "rename_project": rename_project,
-        "agg_stats": agg_stats,
-        "semi_join_exists": semi_join_exists,
-        "anti_join_not_exists": anti_join_not_exists,
-        "rollup_agg": rollup_agg,
-        "pivot_linestatus": pivot_linestatus,
-        # green in r3 — lowest re-verify priority
-        "token_budget_mix": token_budget_mix,
-        "ann_recall_eval": ann_recall_eval,
-        "chunk_sliding_windows": chunk_sliding_windows,
-        "incremental_dedup_batch": incremental_dedup_batch,
-        "profile_lineitem": profile_lineitem,
-        "funnel_click_view_purchase": funnel_click_view_purchase,
-        "retention_weekly_cohorts": retention_weekly_cohorts,
-        "event_transition_matrix": event_transition_matrix,
-        "key_skew_sources": key_skew_sources,
-        "length_outlier_flags": length_outlier_flags,
-        "weighted_source_mix": weighted_source_mix,
-        "event_rate_spikes": event_rate_spikes,
-        "sample_k_per_source": sample_k_per_source,
-        "segment_dedup": segment_dedup,
-        "vocab_doc_freq": vocab_doc_freq,
-        "tfidf_top_terms": tfidf_top_terms,
-        "semantic_dedup_pairs": semantic_dedup_pairs,
-        "semantic_dedup_survivors": semantic_dedup_survivors,
-        "kmeans_centroids": kmeans_centroids,
-        "decontaminate_overlap": decontaminate_overlap,
-        "doc_repetition_stats": doc_repetition_stats,
-        "pack_training_sequences": pack_training_sequences,
-        "source_top_terms": source_top_terms,
-        "train_shuffle_shards": train_shuffle_shards,
-        "pii_scrub_stats": pii_scrub_stats,
-        "quality_gate_filter": quality_gate_filter,
-        "minhash_dup_clusters": minhash_dup_clusters,
-        "stratified_sample": stratified_sample,
-        "exact_dedup_groups": exact_dedup_groups,
-        "minhash_signature": minhash_signature,
-        "simhash_near_dups": simhash_near_dups,
-        "multimodal_decode": multimodal_decode,
-        "multimodal_frames": multimodal_frames,
-        "embedding_cosine_topk": embedding_cosine_topk,
-        "embedding_centroid_assign": embedding_centroid_assign,
-        "embedding_lsh_ann": embedding_lsh_ann,
-        "embedding_near_dups": embedding_near_dups,
-        "embedding_ivf_topk": embedding_ivf_topk,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_language_id": text_language_id,
-        "doc_fingerprint": doc_fingerprint,
-        "q8_market_share": q8_market_share,
-        "q12_priority_by_delay": q12_priority_by_delay,
-        "json_extract_stats": json_extract_stats,
-        "events_hourly": events_hourly,
-        "minhash_lsh_pairs": minhash_lsh_pairs,
     }
 
 
