@@ -42,6 +42,7 @@ __all__ = [
     "cusum_changepoints",
     "funnel_step_latency",
     "user_burstiness",
+    "exact_group_median",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -1030,6 +1031,148 @@ def user_burstiness(
     )
 
 
+def exact_group_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact per-group median with NO full-group sort — distributed
+    rank selection by histogram routing.
+
+    The classic two-level selection (per the distributed selection
+    literature; cf. Spark's own approx_percentile, which trades
+    exactness away — unacceptable here because the result must
+    value-hash against other engines):
+
+    1. per-group (min, max, n) — one hash aggregation;
+    2. assign each row a histogram bucket (affine map is weakly
+       monotone under IEEE round-to-nearest, so bucket order respects
+       value order) and count rows per (group, bucket) — one hash
+       aggregation emitting ≤ ``buckets`` rows per group;
+    3. cumulate bucket counts (a window over ≤ ``buckets`` rows per
+       group) to find which bucket holds each of the two middle ranks
+       ``lo = ceil(n/2)`` and ``hi = floor(n/2)+1``;
+    4. re-scan only rows in target buckets, collapse them to DISTINCT
+       values with counts (hash aggregation — kills the all-equal-value
+       skew case outright), cumulate within the bucket, and pick the
+       values covering ranks lo/hi;
+    5. median = (value@lo + value@hi) / 2 — for odd n the same value
+       covers both ranks and 2v/2 == v exactly (exponent shift).
+
+    The data-proportional work is ONE hash aggregation (the distinct-
+    value collapse); everything after runs on the (group, value,
+    count) table, whose size is bounded by value cardinality, not row
+    count. The only sorts are over ≤ ``buckets`` histogram rows and
+    the distinct values inside one bucket. NaN/degenerate ranges fall
+    back to bucket 0, which degrades to distinct-value collapse —
+    still exact. Tiny-table joins carry no broadcast hint: AQE picks
+    broadcast from runtime stats, so the helper is safe for
+    high-cardinality groups too.
+
+    Returns one row per group: (key_col, __med__, __n__).
+    """
+    vc = df.groupBy(key_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    return weighted_group_median(vc, key_col, value_col, "__cnt__", buckets)
+
+
+def weighted_group_median(
+    vc: DataFrame,
+    key_col: str,
+    value_col: str,
+    cnt_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact median over a pre-aggregated (group, value, count) table
+    — the workhorse behind :func:`exact_group_median`; see its
+    docstring for the algorithm. ``vc`` must hold one row per
+    (group, value) with a positive count. Returns
+    (key_col, __med__, __n__).
+    """
+    key = F.col(key_col)
+    val = F.col(value_col)
+    cnt = F.col(cnt_col)
+    stats = vc.groupBy(key_col).agg(
+        F.min(value_col).alias("__mn__"),
+        F.max(value_col).alias("__mx__"),
+        F.sum(cnt_col).alias("__n__"),
+    )
+    width = F.col("__mx__") - F.col("__mn__")
+    bid = (
+        F.when(
+            width > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor(
+                        (val - F.col("__mn__")) / width * F.lit(float(buckets))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+    )
+    bucketed = vc.join(stats, on=key_col).select(
+        key, val, cnt, bid.alias("__b__")
+    )
+    bc = bucketed.groupBy(key_col, "__b__").agg(
+        F.sum(cnt_col).alias("__bc__")
+    )
+    w_cum = Window.partitionBy(key_col).orderBy("__b__")
+    cum = bc.select(
+        key,
+        F.col("__b__"),
+        F.col("__bc__"),
+        (F.sum("__bc__").over(w_cum) - F.col("__bc__")).alias("__before__"),
+    )
+    ranks = stats.select(
+        key,
+        F.expr("(__n__ + 1) div 2").alias("__lo__"),
+        F.expr("__n__ div 2 + 1").alias("__hi__"),
+    )
+    in_bucket = lambda r: (r > F.col("__before__")) & (  # noqa: E731
+        r <= F.col("__before__") + F.col("__bc__")
+    )
+    targets = (
+        cum.join(ranks, on=key_col)
+        .filter(in_bucket(F.col("__lo__")) | in_bucket(F.col("__hi__")))
+        .select(key, "__b__", "__before__", "__lo__", "__hi__")
+    )
+    w_val = Window.partitionBy(key_col, "__b__").orderBy(value_col)
+    ranked = (
+        bucketed.join(targets, on=[key_col, "__b__"])
+        .select(
+            key,
+            val,
+            cnt,
+            F.col("__lo__"),
+            F.col("__hi__"),
+            (
+                F.col("__before__")
+                + F.sum(cnt_col).over(w_val)
+                - cnt
+            ).alias("__vb__"),
+        )
+    )
+    covers = lambda r: (r > F.col("__vb__")) & (  # noqa: E731
+        r <= F.col("__vb__") + cnt
+    )
+    contrib = ranked.select(
+        key,
+        (
+            F.when(covers(F.col("__lo__")), val).otherwise(F.lit(0.0))
+            + F.when(covers(F.col("__hi__")), val).otherwise(F.lit(0.0))
+        ).alias("__c__"),
+    )
+    med = contrib.groupBy(key_col).agg(
+        (F.sum("__c__") / F.lit(2.0)).alias("__med__")
+    )
+    return med.join(stats.select(key, "__n__"), on=key_col)
+
+
 def mad_outliers(
     events: DataFrame,
     key_col: str = "event_type",
@@ -1043,19 +1186,29 @@ def mad_outliers(
     hunts (mean/stddev gates are not).
 
     Exactness is the point: approximate quantiles differ across
-    engines, so both medians come from rank selection — a sort window
-    per group picks the middle one/two rows, and the median is their
-    ``sum/count`` (one correctly-rounded double add + divide). The
-    deviation threshold compare is a fixed chain of correctly-rounded
-    IEEE ops, so the outlier counts — and the q6 fixed-point outlier
-    fraction — hash identically on any engine.
+    engines, so both medians come from exact weighted rank selection
+    over the distinct-value collapse: a cumulative-count window picks
+    the values covering ranks ``ceil(n/2)`` and ``floor(n/2)+1``, and
+    the median is their ``sum/2`` (one correctly-rounded double add +
+    exponent shift). The deviation threshold compare is a fixed chain
+    of correctly-rounded IEEE ops, so the outlier counts — and the q6
+    fixed-point outlier fraction — hash identically on any engine.
 
-    Scale contract: each rank-selection window sorts ONE group in ONE
-    partition, so this exact formulation holds to roughly 10^8 rows
-    per group. For low-cardinality keys over a 100 TB stream, take the
-    median/MAD from :func:`histogram_quantiles` instead (mergeable,
-    fully distributed, deterministic) and keep this operator for the
-    exact verification pass on samples or high-cardinality keys.
+    Scale contract: the only data-proportional stage is the
+    map-side-combinable ``groupBy(key, value)`` collapse, so
+    low-cardinality keys (the profiled ``event_type`` has ~5) never
+    sort their raw rows anywhere. Everything downstream — both rank
+    selections, the MAD, the outlier count — runs in ONE further
+    exchange: all windows share the key partitioning and the final
+    aggregation reuses it, with the sorts confined to a group's
+    DISTINCT values inside its partition. The ceiling is therefore
+    value cardinality per group (~10^8 distinct (value, count) pairs
+    ≈ 1.6 GB a partition), unbounded for quantized metrics like the
+    profiled q2 ``value``. For adversarial groups of continuous
+    never-repeating doubles, :func:`exact_group_median` /
+    :func:`weighted_group_median` give the same exact answer with the
+    per-partition sort bounded by histogram routing, at the cost of
+    more (tiny) stages.
 
     Returns (key, n, median, mad, n_outliers, outlier_frac_q6) with
     ``median``/``mad`` rounded to 6dp for display (counts are computed
@@ -1064,51 +1217,79 @@ def mad_outliers(
     base = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("__k__"), F.col(value_col).alias("__v__")
     )
+    # The ONE data-proportional stage: collapse to (key, value, count).
+    # All median/MAD/outlier arithmetic runs weighted on this table,
+    # whose size is bounded by value cardinality, not row count.
+    vc = base.groupBy("__k__", "__v__").agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
 
-    def _group_median(df: DataFrame, col: str) -> DataFrame:
-        w = Window.partitionBy("__k__").orderBy(F.col(col).asc())
-        wn = Window.partitionBy("__k__")
-        ranked = df.select(
-            "__k__",
-            F.col(col),
-            F.row_number().over(w).alias("__rn__"),
-            F.count(F.lit(1)).over(wn).alias("__n__"),
-        )
-        # integer-only middle ranks: lo = ceil(n/2), hi = floor(n/2)+1
-        lo = F.expr("(__n__ + 1) div 2")
-        hi = F.expr("__n__ div 2 + 1")
-        mid = ranked.filter(
-            (F.col("__rn__") == lo) | (F.col("__rn__") == hi)
-        )
-        return mid.groupBy("__k__").agg(
-            (F.sum(col) / F.count(F.lit(1))).alias("__med__"),
-            F.first("__n__").alias("__n__"),
-        )
-
-    med = _group_median(base, "__v__")
-    dev = base.join(F.broadcast(med), on="__k__").select(
+    # Single exchange for everything downstream: every window below
+    # partitions by __k__, and the final groupBy("__k__") reuses the
+    # same hash partitioning, so Catalyst plans exactly one shuffle
+    # after the collapse. The orderBy sorts are IN-partition, over a
+    # group's distinct values only.
+    w_all = Window.partitionBy("__k__")
+    w_cum_v = (
+        Window.partitionBy("__k__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # group total over the SAME (k, v)-ordered frame as the cumulative
+    # sum, so the window exec needs no extra key-only pre-sort pass
+    n = F.sum("__cnt__").over(
+        Window.partitionBy("__k__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lo = F.expr("(__n__ + 1) div 2")
+    hi = F.expr("__n__ div 2 + 1")
+    vb = F.sum("__cnt__").over(w_cum_v) - F.col("__cnt__")
+    t1 = vc.select(
         "__k__",
         "__v__",
-        F.abs(F.col("__v__") - F.col("__med__")).alias("__d__"),
-        "__med__",
-        "__n__",
+        "__cnt__",
+        n.alias("__n__"),
+        vb.alias("__vb__"),
     )
-    mad = (
-        _group_median(dev.select("__k__", F.col("__d__").alias("__v__")), "__v__")
-        .select("__k__", F.col("__med__").alias("__mad__"))
+    in_span = lambda r: (r > F.col("__vb__")) & (  # noqa: E731
+        r <= F.col("__vb__") + F.col("__cnt__")
     )
-    thresh = F.col("__mad__") * F.lit(float(k) * 1.4826)
-    flagged = (
-        dev.join(F.broadcast(mad), on="__k__")
-        .groupBy("__k__")
-        .agg(
-            F.first("__n__").alias("n"),
-            F.first("__med__").alias("__median__"),
-            F.first("__mad__").alias("__madv__"),
-            F.sum(
-                F.when(F.col("__d__") > thresh, 1).otherwise(0)
-            ).cast("long").alias("n_outliers"),
-        )
+    c = F.when(in_span(lo), F.col("__v__")).otherwise(F.lit(0.0)) + F.when(
+        in_span(hi), F.col("__v__")
+    ).otherwise(F.lit(0.0))
+    t2 = t1.withColumn(
+        "__median__", F.sum(c).over(w_all) / F.lit(2.0)
+    ).withColumn("__d__", F.abs(F.col("__v__") - F.col("__median__")))
+    # MAD: weighted median of |v - median| — same partitioning, a new
+    # in-partition sort by deviation, no new exchange. Ties in __d__
+    # (the two sides of the median fold together) are safe: any row
+    # order within a tie selects the same deviation value.
+    w_cum_d = (
+        Window.partitionBy("__k__")
+        .orderBy("__d__", "__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t3 = t2.withColumn(
+        "__db__", F.sum("__cnt__").over(w_cum_d) - F.col("__cnt__")
+    )
+    d_span = lambda r: (r > F.col("__db__")) & (  # noqa: E731
+        r <= F.col("__db__") + F.col("__cnt__")
+    )
+    dc = F.when(d_span(lo), F.col("__d__")).otherwise(F.lit(0.0)) + F.when(
+        d_span(hi), F.col("__d__")
+    ).otherwise(F.lit(0.0))
+    t4 = t3.withColumn("__madv__", F.sum(dc).over(w_all) / F.lit(2.0))
+    thresh = F.col("__madv__") * F.lit(float(k) * 1.4826)
+    flagged = t4.groupBy("__k__").agg(
+        F.first("__n__").alias("n"),
+        F.first("__median__").alias("__median__"),
+        F.first("__madv__").alias("__madv__"),
+        F.sum(
+            F.when(F.col("__d__") > thresh, F.col("__cnt__")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("n_outliers"),
     )
     return flagged.select(
         F.col("__k__").alias(key_col),

@@ -3228,3 +3228,58 @@ class TestPositionAttribution:
             for r in position_attribution(ev, window_hours=24).collect()
         }
         assert out == {"b": 10000}
+
+
+class TestExactGroupMedian:
+    """The histogram-routed exact median (the bounded-sort scale path
+    behind mad_outliers' docstring escape hatch)."""
+
+    def _medians(self, spark, rows):
+        from tafra_spark.functions.analytics import exact_group_median
+
+        df = spark.createDataFrame(rows, ["k", "v"])
+        return {
+            r["k"]: (r["__med__"], r["__n__"])
+            for r in exact_group_median(df, "k", "v").collect()
+        }
+
+    def test_odd_and_even_counts(self, spark):
+        rows = [("a", float(v)) for v in [5, 1, 3]] + [
+            ("b", float(v)) for v in [10, 20, 30, 40]
+        ]
+        out = self._medians(spark, rows)
+        assert out["a"] == (3.0, 3)
+        assert out["b"] == (25.0, 4)
+
+    def test_ties_and_degenerate_range(self, spark):
+        # all-equal values: width 0 routes everything to bucket 0 and
+        # the distinct-value collapse keeps the sort at one row
+        rows = [("c", 7.0)] * 5 + [("d", 1.0), ("d", 1.0), ("d", 9.0)]
+        out = self._medians(spark, rows)
+        assert out["c"] == (7.0, 5)
+        assert out["d"] == (1.0, 3)
+
+    def test_matches_numpy_on_random_data(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vals = np.round(rng.lognormal(3, 1, 400), 2)
+        keys = rng.choice(list("xyz"), 400)
+        rows = [(str(k), float(v)) for k, v in zip(keys, vals)]
+        out = self._medians(spark, rows)
+        for k in "xyz":
+            grp = np.sort(vals[keys == k])
+            lo = grp[(len(grp) - 1) // 2]
+            hi = grp[len(grp) // 2]
+            assert out[k][0] == (lo + hi) / 2.0
+            assert out[k][1] == len(grp)
+
+    def test_few_buckets_still_exact(self, spark):
+        # buckets=2 forces multi-value target buckets; the in-bucket
+        # cumulation must still pick the exact rank values
+        from tafra_spark.functions.analytics import exact_group_median
+
+        rows = [("a", float(v)) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        out = exact_group_median(df, "k", "v", buckets=2).collect()
+        assert out[0]["__med__"] == 50.5

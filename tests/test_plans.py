@@ -601,9 +601,24 @@ class TestRound4Plans:
         # the doc — the narrow size/array_distinct stats add none
         assert count_exchanges(plan) <= 4
 
-    def test_mad_outliers_broadcasts_the_medians(self, spark):
+    def test_mad_outliers_two_exchanges_no_row_sort(self, spark):
         from tafra_spark.functions.analytics import mad_outliers
-        from tafra_spark.plans.inspect import has_broadcast_join
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
 
         ev = spark.read.parquet(f"{SF}/events.parquet")
-        assert has_broadcast_join(mad_outliers(ev))
+        plan = mad_outliers(ev)
+        # r5 design: ONE data-proportional hash-agg collapse to
+        # (key, value, count), then one key exchange shared by every
+        # window and the final aggregation — no joins, no broadcast,
+        # and crucially no sort of a group's raw rows (the r4 design
+        # sorted whole groups in single partitions, the 100×-scale
+        # failure the round-4 verdict flagged)
+        assert count_exchanges(plan) <= 2
+        s = explain_str(plan, "simple")
+        assert "Join" not in s
+        # the only sorts sit ABOVE the distinct-value collapse: every
+        # Sort in the plan must have the collapse HashAggregate below
+        # it, never the raw scan directly
+        first_sort = s.find("Sort ")
+        assert first_sort != -1
+        assert "HashAggregate" in s[first_sort:]
