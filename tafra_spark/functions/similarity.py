@@ -692,8 +692,10 @@ def _pq_sample_rows(
     drop-in contract between sampled and refined codebooks — cannot
     silently diverge). Returns ([[subspace, code_id, centv], ...],
     d_sub)."""
-    first = (
-        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    from ._memo import cached_collect
+
+    first = cached_collect(
+        corpus.orderBy(id_col).limit(k).select(id_col, vec_col)
     )
     if not first:
         raise ValueError("pq codebook init: empty corpus")
@@ -839,15 +841,34 @@ def pq_topk(
     cluster scale it's the same win: the only wide op left is the
     top-k. Larger query sets keep the broadcast-join path below.
     """
+    from ._memo import _sem_hash, _session_key, cached_collect, plan_memo
+
     cb_rows = getattr(codebooks, "_pq_rows", None)
     if cb_rows is not None:
-        probe = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        ).limit(65).collect()
+        probe = cached_collect(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ).limit(65)
+        )
         # empty probe -> general path (an empty literal explode fails
         # analysis with an untyped array<null> struct)
         if 0 < len(probe) <= 64:
-            return _pq_topk_inline(codes, cb_rows, probe, k, id_col)
+            # the built plan is an index-serving constant: same codes
+            # relation + same codebook + same query set = same plan,
+            # so reuse the analyzed DataFrame instead of re-growing
+            # the literal LUT tree through Catalyst every call
+            key = (
+                "pq_topk_inline",
+                _session_key(codes),
+                _sem_hash(codes),
+                _sem_hash(queries),
+                hash(repr(cb_rows)),
+                k,
+                id_col,
+            )
+            return plan_memo(
+                key, lambda: _pq_topk_inline(codes, cb_rows, probe, k, id_col)
+            )
     lut = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1288,10 +1309,12 @@ def ivf_pq_topk(
     # bit-identical to the join path.
     from .dedup import _spread
 
+    from ._memo import _sem_hash, _session_key, cached_collect, plan_memo
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    cent_rows = cent.limit(4097).collect()
+    cent_rows = cached_collect(cent.limit(4097))
     if len(cent_rows) <= 4096:
         cvs = literal_array([[float(x) for x in r[1]] for r in cent_rows])
         cids = literal_array([int(r[0]) for r in cent_rows])
@@ -1370,15 +1393,39 @@ def ivf_pq_topk(
     # partial-sum exchange — only the top-k window shuffles.
     cb_rows = getattr(codebooks, "_pq_rows", None)
     if cb_rows is not None:
-        q_rows = q.limit(65).collect()
-        if 0 < len(q_rows) <= 64:
-            probes_by_q: dict[int, set[int]] = {}
-            for r in probes.collect():
-                probes_by_q.setdefault(int(r[0]), set()).add(int(r[1]))
-            return _ivf_pq_inline(
-                codes, cb_rows,
-                [(int(r[0]), list(r[1])) for r in q_rows],
-                probes_by_q, k, id_col,
+        q_rows = cached_collect(q.limit(65))
+        if 0 < len(q_rows) <= 64 and len(cent_rows) <= 4096:
+            # probe selection driver-side, replicating the JVM float
+            # chain op for op (left-to-right fold for dot and the
+            # squared norms, one sqrt, one divide — Python doubles run
+            # the same correctly-rounded IEEE ops), so the probed
+            # centroid set is bit-identical to the literal-struct
+            # plan's and costs ZERO extra jobs
+            probes_by_q = {
+                int(r[0]): set(
+                    _probe_centroids(list(r[1]), cent_rows, nprobe)
+                )
+                for r in q_rows
+            }
+            key = (
+                "ivf_pq_inline",
+                _session_key(corpus),
+                _sem_hash(corpus),
+                _sem_hash(queries),
+                _sem_hash(centroids),
+                hash(repr(cb_rows)),
+                k,
+                nprobe,
+                id_col,
+                vec_col,
+            )
+            return plan_memo(
+                key,
+                lambda: _ivf_pq_inline(
+                    codes, cb_rows,
+                    [(int(r[0]), list(r[1])) for r in q_rows],
+                    probes_by_q, k, id_col,
+                ),
             )
 
     lut = (
@@ -1419,6 +1466,42 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q12", "rank")
     )
+
+
+def _probe_centroids(
+    qv: list, cent_rows: list, nprobe: int
+) -> list[int]:
+    """Driver-side replica of :func:`ivf_pq_topk`'s probe selection.
+
+    Mirrors the JVM expression exactly: ``-cosine(qv, cv)`` where
+    cosine is a left fold of ``acc + x*y`` over zipped elements divided
+    by the product of the two left-folded square-root norms, then the
+    ``nprobe`` smallest ``(negcos, cid)`` tuples ascending. Python
+    floats are IEEE doubles and every op in the chain (mul, add, sqrt,
+    div, neg) is correctly rounded on both sides, so the selected set
+    is bit-identical to what the literal-struct plan would compute."""
+    import math
+
+    def _dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def _norm(a: list) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    scored = []
+    for r in cent_rows:
+        cid = int(r[0])
+        cv = [float(x) for x in r[1]]
+        negcos = -(_dot(qv, cv) / (_norm(qv) * _norm(cv)))
+        scored.append((negcos, cid))
+    scored.sort()
+    return [cid for _, cid in scored[:nprobe]]
 
 
 def _ivf_pq_inline(
