@@ -3,9 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() action — forces the full
-plan including shuffles/windows without driver-side materialization of
-wide results).
+Each query is executed with Arrow ``toPandas()`` — full columnar
+materialization of every output column, mirroring the DuckDB proxy's
+``.df()``. A bare ``count()`` let Catalyst prune unreferenced output
+expressions (a zero-shuffle narrow query was timed as little more than
+its scan); row-object ``collect()`` taxed only the Spark side ~4x on
+wide results; a checksum aggregate re-ran the optimizer on the whole
+tree every rep. Arrow-to-pandas on both engines is the symmetric,
+no-pruning action.
 """
 
 from __future__ import annotations
@@ -56,6 +61,19 @@ HEADLINE = [
     "ivf_pq_search",
     "scd2_customer_priority",
 ]
+
+# sub-second relational queries whose local-mode time is fixed
+# scheduler/plan latency, not per-row work (each is <=0.35 s on Spark
+# vs ~2 ms on DuckDB at sf0.1); excluded from the data-parallel subset
+# total, NEVER from the headline
+FIXED_LATENCY_SET = {
+    "group_by_callables",
+    "transform_window",
+    "theta_join_inequality",
+    "union_all_orders",
+    "top_k_orders",
+    "agg_stats",
+}
 
 
 def main() -> None:
@@ -115,7 +133,7 @@ def main() -> None:
             for _ in range(reps):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
-                n = df.count()
+                n = len(df.toPandas())
                 best = min(best, time.time() - t0)
         except Exception as exc:  # noqa: BLE001 - report-and-continue harness
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -125,17 +143,34 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # the sub-second relational rows are pure scheduler latency locally
+    # (0.1-0.3 s Spark vs ~0.002 s DuckDB); report a subset total that
+    # excludes them so round-over-round signal on the data-parallel
+    # pipelines isn't drowned — the FULL total stays the headline metric
+    data_parallel = round(
+        sum(t for q, t in timings.items() if q not in FIXED_LATENCY_SET), 3
+    )
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        # a crashed query excludes its time from the sum, which would
+        # make the total look FASTER across rounds; null the headline
+        # value unless every query was measured (n_measured tells the
+        # consumer what the sum covers either way)
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "n_queries": len(HEADLINE),
+        "n_measured": len(timings),
+        "data_parallel_subset_wall": data_parallel,
+        "n_data_parallel": sum(
+            1 for q in timings if q not in FIXED_LATENCY_SET
+        ),
     }
     if errors:
         out["errors"] = errors
+        out["measured_total_wall"] = total
     print(json.dumps(out))
 
 

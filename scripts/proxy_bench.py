@@ -53,7 +53,11 @@ def main() -> None:
     for name in HEADLINE:
         sql = oracles[name]
         t0 = time.time()
-        n = len(con.sql(sql).fetchall())
+        # .df() = columnar materialization, the mirror of bench.py's
+        # Arrow toPandas(); row-tuple fetchall() taxed DuckDB ~2x on
+        # wide results while Spark paid the same tax ~4x — columnar on
+        # both sides is the symmetric action
+        n = len(con.sql(sql).df())
         timings[name] = round(time.time() - t0, 3)
         ratio = (
             f"  spark/duck={spark_times[name] / max(timings[name], 1e-3):.1f}x"

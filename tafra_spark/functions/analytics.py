@@ -1303,6 +1303,59 @@ def mad_outliers(
     )
 
 
+def _pagerank_literal(
+    edges: DataFrame,
+    deg_rows: list,
+    node_rows: list,
+    iterations: int,
+    d: int,
+) -> DataFrame:
+    """:func:`pagerank_nodes`' bounded-|V| fast path: the rank vector
+    is exact Python ints on the driver; each power iteration inlines
+    the per-source constants ``(d·p(src)) div 100`` and ``out(src)`` as
+    a map literal and runs ONE integer aggregation over the (persisted)
+    edge table. Python ``//`` and SQL ``div`` agree on the non-negative
+    longs involved, so the recurrence is bit-identical to the
+    broadcast-join loop's."""
+    from ._relation import literal_relation
+
+    spark = edges.sparkSession
+    out_w = {str(r[0]): int(r[1]) for r in deg_rows}
+    nodes = sorted(str(r[0]) for r in node_rows)
+    n_v = len(nodes)
+    pr = {v: 10**9 // n_v for v in nodes}
+    teleport = ((100 - d) * 10**9) // (100 * n_v)
+
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    for _ in range(iterations):
+        entries = ", ".join(
+            f"'{_esc(src)}', CAST({(d * pr[src]) // 100} AS BIGINT)"
+            for src in out_w
+        )
+        omap = ", ".join(
+            f"'{_esc(src)}', CAST({ow} AS BIGINT)"
+            for src, ow in out_w.items()
+        )
+        contrib = F.expr(
+            f"(element_at(map({entries}), src) * w)"
+            f" div element_at(map({omap}), src)"
+        )
+        incoming = {
+            str(r[0]): int(r[1])
+            for r in edges.groupBy("dst")
+            .agg(F.sum(contrib).alias("__in__"))
+            .collect()
+        }
+        pr = {v: teleport + incoming.get(v, 0) for v in nodes}
+    ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = [
+        [node, pr_q9, i + 1] for i, (node, pr_q9) in enumerate(ranked)
+    ]
+    return literal_relation(spark, rows, ["node", "pr_q9", "rank"])
+
+
 def pagerank_nodes(
     events: DataFrame,
     iterations: int = 2,
@@ -1311,6 +1364,7 @@ def pagerank_nodes(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    max_literal_nodes: int = 4096,
 ) -> DataFrame:
     """PageRank over the event-transition graph (nodes = event types,
     edge u→v weighted by how often v follows u in a user's stream) —
@@ -1331,23 +1385,68 @@ def pagerank_nodes(
     to < 1e9, ordering unaffected for connected graphs like this one).
 
     Returns (node, pr_q9, rank) ordered deterministically.
+
+    Two physical strategies by |V| (same integers either way):
+
+    - ``|V| <= max_literal_nodes`` (event-type graphs, host graphs up
+      to a few thousand): the rank vector lives driver-side as exact
+      Python ints and each iteration is ONE narrow aggregation over the
+      persisted edge table with the per-source constants inlined as a
+      map literal — no joins, no broadcast builds, |V| rows collected
+      per iteration. This is the centroid-literal pattern: O(|V|)
+      build-time state serving a data-sized scan.
+    - larger graphs: the broadcast-join loop — each iteration joins the
+      edge table against the O(|V|) rank/out-degree frames by
+      broadcast; edges still never shuffle.
     """
+    from ._memo import _sem_hash, _session_key, cached_collect, plan_memo
+
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    edges = (
-        events.select(
-            F.col(type_col).alias("src"),
-            F.lead(type_col).over(w).alias("dst"),
+
+    def _build_edges() -> DataFrame:
+        e = (
+            events.select(
+                F.col(type_col).alias("src"),
+                F.lead(type_col).over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
         )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+        # persisted because 2+iterations reads hang off it (out-deg,
+        # one contribution pass per iteration). The cached state is the
+        # POST-aggregation (src, dst, w) table — at most |V|² rows, not
+        # the event stream — so session-lifetime retention is bytes;
+        # the plan memo below hands the SAME persisted frame to every
+        # identical call instead of stacking fresh cache entries.
+        return e.persist()
+
+    edges = plan_memo(
+        (
+            "pagerank_edges",
+            _session_key(events),
+            _sem_hash(events),
+            user_col,
+            type_col,
+            ts_col,
+            id_col,
+        ),
+        _build_edges,
     )
-    # persisted because 2+iterations reads hang off it (nodes, out-deg,
-    # one contribution join per iteration). The cached state is the
-    # POST-aggregation (src, dst, w) table — at most |V|² rows, not the
-    # event stream — so session-lifetime retention is bytes, not data;
-    # callers running many graphs can spark.catalog.clearCache().
-    edges = edges.persist()
+    d = int(damping_pct)
+    deg_rows = cached_collect(
+        edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    )
+    node_rows = cached_collect(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if 0 < len(node_rows) <= int(max_literal_nodes):
+        return _pagerank_literal(
+            edges, deg_rows, node_rows, int(iterations), d
+        )
+
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -891,22 +891,19 @@ def source_overlap(
     cross-source contamination checks, complementing the per-document
     dedup operators.
 
-    Plan shape: ONE shingle pass; shingles travel as xxhash64 longs and
-    collapse to distinct (source, hash) pairs immediately — the only
-    corpus-sized shuffle — and that distinct table is PERSISTED, since
-    three consumers read it (per-source totals plus both self-join
-    sides); without the persist each branch re-scans and re-shingles
-    the corpus. The pairwise intersection is a self-join on the hash
-    whose per-key fan-out is bounded by |sources| (each hash row meets
-    at most |sources|−1 partners), so the join output is
-    O(distinct shingles × |sources|), never O(corpus²). Per-source
-    distinct totals are a |sources|-row broadcast.
+    Plan shape: ONE shingle pass; shingles travel as xxhash64 longs
+    straight into a ``groupBy(hash).collect_set(source)`` — the only
+    corpus-sized shuffle, with map-side partial sets doing the dedup.
+    The per-hash source set is bounded by |sources|, so expanding it to
+    ordered pairs is array combinatorics inside the row (no self-join,
+    no O(corpus²) anywhere), and per-source distinct totals explode
+    from the same sets. Both consumers aggregate over the IDENTICAL
+    exchange, which Spark reuses (ReusedExchange) — one corpus scan,
+    no persist barrier. Per-source totals attach by broadcast.
 
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_q4) for
     source_a < source_b — all integers, exactly portable.
     """
-    from pyspark import StorageLevel
-
     from .dedup import _spread
 
     base = _spread(
@@ -914,22 +911,29 @@ def source_overlap(
             F.length(F.trim(F.col(text_col))) > 0
         )
     )
-    sp = (
+    by_h = (
         base.select(
             F.col(part_col).alias("src"),
             F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
         )
         .select(F.col("src"), F.xxhash64("s").alias("h"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)  # ContextCleaner frees it when the returned plan is dereferenced
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
     )
-    per = sp.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per = (
+        by_h.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> named_struct('a', x, 'b', y))))"
+    )
     inter = (
-        sp.alias("a")
-        .join(sp.alias("b"), on="h")
-        .filter(F.col("a.src") < F.col("b.src"))
+        by_h.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

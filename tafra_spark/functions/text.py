@@ -55,8 +55,16 @@ def word_tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count, safe on empty/null text."""
-    return F.coalesce(F.size(word_tokens(col)), F.lit(0))
+    """Whitespace token count, safe on empty/null text.
+
+    ``regexp_count`` of ``\\S+`` runs — the same integer as
+    ``size(split(trim(text), '\\s+'))`` on non-empty text (verified
+    corpus-wide) without materializing the token array.
+    """
+    trimmed = F.trim(col)
+    return F.when(
+        col.isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.regexp_count(trimmed, F.lit(r"\S+")))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -73,17 +81,38 @@ def bpe_ish_token_count(col: Column) -> Column:
     )
 
 
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
 def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0, 1]: combines length, alpha ratio,
     space ratio, and mean word length. All arithmetic on codegen'd
-    expressions; tune weights per corpus."""
+    expressions; tune weights per corpus.
+
+    Expression-shape notes (the hot path of every quality gate): char
+    counts use ``translate``/``replace`` length deltas — single
+    non-regex scans — instead of ``regexp_replace``, and the guarded
+    ratios are ``coalesce(x / nullif(n, 0), 0)`` rather than
+    ``when(n > 0, x / n)``: Spark's subexpression elimination does not
+    reach inside conditional branches, so the ``when`` form re-ran the
+    count scans once per reference (~2× the whole score's cost,
+    measured). Values are bit-identical: both forms produce the exact
+    same guarded IEEE divisions.
+    """
     n = F.length(col).cast("double")
-    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
-    spaces = F.length(F.regexp_replace(col, r"[^ ]", "")).cast("double")
+    alpha = (
+        F.length(col) - F.length(F.translate(col, _ASCII_LETTERS, ""))
+    ).cast("double")
+    spaces = (
+        F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit("")))
+    ).cast("double")
     toks = token_count(col).cast("double")
-    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
-    space_ratio = F.when(n > 0, spaces / n).otherwise(F.lit(0.0))
-    mean_word_len = F.when(toks > 0, (n - spaces) / toks).otherwise(F.lit(0.0))
+    n_nz = F.nullif(n, F.lit(0.0))
+    alpha_ratio = F.coalesce(alpha / n_nz, F.lit(0.0))
+    space_ratio = F.coalesce(spaces / n_nz, F.lit(0.0))
+    mean_word_len = F.coalesce(
+        (n - spaces) / F.nullif(toks, F.lit(0.0)), F.lit(0.0)
+    )
     length_score = F.least(n / F.lit(500.0), F.lit(1.0))
     word_len_score = F.when(
         (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
@@ -353,13 +382,17 @@ def repetition_signals(
     repetition_stats inside gates, this one for diagnosis and
     phrase-level thresholds.
 
-    Plan shape: ``n_words``/``n_distinct`` are NARROW per-row array ops
-    on the scan (``size``/``array_distinct`` — no shuffle); only the
-    top-bigram mode needs a (doc, bigram) count shuffle plus a per-doc
-    window, both keyed by the document so map-side combine bounds the
-    exchange by the vocabulary of each doc, not the corpus. Fractions
-    are emitted as exact q6 fixed-point longs (``floor(a * 1e6 / b)`` on
-    integer inputs), so the output hashes identically on any engine.
+    Plan shape: ZERO shuffles — every signal, including the top-bigram
+    mode, is a narrow per-row array computation on the scan. The mode
+    is a single left fold over the doc's SORTED bigram array
+    (run-length tracking with a strict ``>`` best-update, so the first
+    — lexicographically smallest — bigram of the maximal count wins
+    ties, identical to a ``(count DESC, bigram ASC)`` ranking). The r4
+    formulation exploded bigrams through a (doc, bigram) count shuffle
+    plus a per-doc window plus a join back; per-doc state never needs
+    to leave the row, so all three are gone. Fractions are emitted as
+    exact q6 fixed-point longs (``floor(a * 1e6 / b)`` on integer
+    inputs), so the output hashes identically on any engine.
 
     Returns (id, n_words, n_distinct, dup_word_frac_q6, top_bigram,
     top_bigram_n, top_bigram_frac_q6); empty/NULL documents are dropped
@@ -376,31 +409,48 @@ def repetition_signals(
             F.size(F.array_distinct("__ws__")).cast("long").alias("n_distinct"),
         )
     )
-    bigrams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("__ws__") >= 2,
-                F.zip_with(
-                    F.slice(F.col("__ws__"), 1, F.size("__ws__") - 1),
-                    F.slice(F.col("__ws__"), 2, F.size("__ws__") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bg"),
-    )
-    counts = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("bn"))
-    w = Window.partitionBy(id_col).orderBy(F.col("bn").desc(), F.col("bg").asc())
-    top = (
-        counts.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(
-            F.col(id_col),
-            F.col("bg").alias("top_bigram"),
-            F.col("bn").alias("top_bigram_n"),
+    bgs = F.when(
+        F.size("__ws__") >= 2,
+        F.zip_with(
+            F.slice(F.col("__ws__"), 1, F.size("__ws__") - 1),
+            F.slice(F.col("__ws__"), 2, F.size("__ws__") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _mode_step(acc, x):
+        newcurn = (
+            F.when(x == acc["cur"], acc["curn"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
         )
+        return F.struct(
+            x.alias("cur"),
+            newcurn.alias("curn"),
+            F.when(newcurn > acc["bestn"], x)
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(newcurn > acc["bestn"], newcurn)
+            .otherwise(acc["bestn"])
+            .alias("bestn"),
+        )
+
+    mode = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).cast("long").alias("curn"),
+            F.lit(None).cast("string").alias("best"),
+            F.lit(0).cast("long").alias("bestn"),
+        ),
+        _mode_step,
     )
-    out = base.drop("__ws__").join(top, on=id_col, how="left")
+    out = base.select(
+        F.col(id_col),
+        "n_words",
+        "n_distinct",
+        mode["best"].alias("top_bigram"),
+        mode["bestn"].alias("top_bigram_n"),
+    )
     n_bigrams = F.col("n_words") - F.lit(1)
     return out.select(
         id_col,

@@ -583,13 +583,34 @@ class TestRound4Plans:
         from tafra_spark.plans import explain_str
 
         ev = spark.read.parquet(f"{SF}/events.parquet")
+        # bounded-|V| literal path (the default for event-type graphs):
+        # the rank vector lives driver-side, iterations are literal-map
+        # aggregations over the persisted edges, and the returned frame
+        # is a pure literal relation — no join of any kind
         plan = pagerank_nodes(ev, iterations=2)
         s = explain_str(plan, "simple")
-        # every join is a broadcast of the O(|V|) rank/contrib/out-deg
-        # side — a SortMergeJoin here would mean the edge table moves
-        # each iteration, which is the scale failure mode
+        assert "Join" not in s
+        # large-|V| fallback (forced via the threshold): every join is
+        # a broadcast of the O(|V|) rank/contrib/out-deg side — a
+        # SortMergeJoin here would mean the edge table moves each
+        # iteration, which is the scale failure mode
+        plan = pagerank_nodes(ev, iterations=2, max_literal_nodes=1)
+        s = explain_str(plan, "simple")
         assert "SortMergeJoin" not in s
         assert "BroadcastHashJoin" in s
+
+    def test_pagerank_literal_matches_broadcast_loop(self, spark):
+        from tafra_spark.functions.analytics import pagerank_nodes
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        lit_rows = [tuple(r) for r in pagerank_nodes(ev, iterations=2).collect()]
+        join_rows = [
+            tuple(r)
+            for r in pagerank_nodes(
+                ev, iterations=2, max_literal_nodes=1
+            ).collect()
+        ]
+        assert lit_rows == join_rows
 
     def test_repetition_signals_single_count_shuffle(self, spark):
         from tafra_spark.functions.text import repetition_signals
