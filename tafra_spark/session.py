@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): size-based
+        # coalescing ("false", the docs' production advice) was A/B
+        # tested and LOST here — the dedup pipelines' persisted tables
+        # are small in BYTES (hashed longs) but CPU-heavy to consume
+        # (array_intersect verify), and size-based coalescing collapses
+        # them to 1-2 partitions, serializing exactly the stages that
+        # need all 32 cores
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
