@@ -3043,8 +3043,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_noise_flags": f"""
             WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v,
-                     CAST(label AS BIGINT) AS label
+              -- label keeps its native (INTEGER) type: the operator
+              -- preserves label types end to end since r5
+              SELECT vec_id, embedding::DOUBLE[] AS v, label
               FROM embeddings
             ),
             b AS (

@@ -1667,6 +1667,12 @@ def label_consistency(
     neighbors are emitted with NULL majority (no evidence ≠
     agreement).
 
+    Labels keep their NATIVE type end to end — integer class ids,
+    string class names, anything orderable works, and ``agrees``
+    compares in that type. (An earlier revision force-cast labels to
+    long, which silently turned string labels into NULLs.) The
+    majority tie-break orders by the label's natural type ordering.
+
     Returns (id, label, n_neighbors, majority_label, agrees).
     """
     sig = random_hyperplane_signature(vec_col, dim, n_planes, seed)
@@ -1712,9 +1718,7 @@ def label_consistency(
     n_nb = nearest.groupBy("vid").agg(
         F.count(F.lit(1)).cast("long").alias("n_neighbors")
     )
-    base = corpus.select(
-        F.col(id_col), F.col(label_col).cast("long").alias(label_col)
-    )
+    base = corpus.select(F.col(id_col), F.col(label_col))
     out = (
         base.join(n_nb, base[id_col] == n_nb["vid"], "left")
         .drop("vid")
@@ -1725,7 +1729,7 @@ def label_consistency(
         id_col,
         label_col,
         F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
-        F.col("majority_label").cast("long").alias("majority_label"),
+        F.col("majority_label"),
         F.when(
             F.col("majority_label").isNotNull(),
             F.col("majority_label") == F.col(label_col),

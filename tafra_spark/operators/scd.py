@@ -60,6 +60,13 @@ def scd2_merge(
     """
     key_list = list(keys)
     tracked_list = list(tracked)
+    if not key_list:
+        raise ValueError("scd2_merge: keys must be non-empty")
+    if not tracked_list:
+        # an empty tracked set would leave the change predicate
+        # undefined and surface as an opaque TypeError deep in
+        # expression construction — fail loudly at the boundary
+        raise ValueError("scd2_merge: tracked must be non-empty")
     for k in key_list + tracked_list:
         if k not in current.columns:
             raise KeyError(f"scd2_merge: column {k!r} missing from current")

@@ -675,6 +675,7 @@ def scd2_dim_sink(
     keys,
     tracked,
     effective_col: str = "effective_ts",
+    keep_versions: int | None = None,
 ):
     """Streaming SCD2 dimension maintenance: a ``foreachBatch``
     function that merges each micro-batch of change events into a
@@ -696,7 +697,18 @@ def scd2_dim_sink(
     fact stream. Closed rows pass through untouched; at rest the
     table is partitioned by ``is_current`` so as-of readers skip the
     open slice and point-in-time readers skip nothing they don't need.
+
+    Storage growth: each batch adds a full-dimension snapshot, i.e.
+    ~|dimension| rows per micro-batch forever. ``keep_versions=N``
+    prunes to the newest N version partitions after each successful
+    write (N >= 2 keeps the previous version readable during the
+    write); ``None`` keeps everything — choose it only when unbounded
+    time travel is genuinely wanted, and compact offline otherwise.
+    Pruning is replay-safe: a redelivered old batch rewrites its own
+    version and is itself pruned once newer versions land.
     """
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("scd2_dim_sink: keep_versions must be >= 1")
     from ..operators.scd import scd2_merge
 
     key_list = list(keys)
@@ -739,6 +751,28 @@ def scd2_dim_sink(
         merged.write.mode("overwrite").parquet(
             f"{dim_path}/version={batch_id}"
         )
+        if keep_versions is not None:
+            # prune AFTER the new version is fully written, via the
+            # Hadoop FS API so object stores behave like local disk
+            jvm = spark._jvm
+            root = jvm.org.apache.hadoop.fs.Path(dim_path)
+            fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(root):
+                versions = []
+                for st in fs.listStatus(root):
+                    name = st.getPath().getName()
+                    if name.startswith("version="):
+                        try:
+                            versions.append(int(name.split("=", 1)[1]))
+                        except ValueError:
+                            continue
+                for v in sorted(versions)[: -int(keep_versions)]:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{dim_path}/version={v}"
+                        ),
+                        True,
+                    )
 
     return process
 

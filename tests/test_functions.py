@@ -3157,6 +3157,29 @@ class TestLabelConsistency:
             if out[v]["n_neighbors"] >= 3:
                 assert out[v]["agrees"] is False
 
+    def test_string_labels_survive_natively(self, spark):
+        # r5 regression (ADVICE): labels must keep their native type —
+        # the old long-cast turned string class names into NULLs and
+        # every agrees into NULL with no error
+        rows = [
+            (0, [1.0, 0.0], "cat"),
+            (1, [0.99, 0.01], "cat"),
+            (2, [0.98, 0.02], "cat"),
+            (3, [0.97, 0.03], "dog"),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {
+            r["vec_id"]: r
+            for r in S.label_consistency(
+                emb, dim=2, k=3, n_planes=1
+            ).collect()
+        }
+        assert out[0]["label"] == "cat"
+        assert out[0]["majority_label"] == "cat"
+        assert out[0]["agrees"] is True
+        assert out[3]["majority_label"] == "cat"
+        assert out[3]["agrees"] is False
+
     def test_isolated_vectors_have_null_majority(self, spark):
         emb = spark.createDataFrame(
             [(0, [1.0, 0.0], 0)], ["vec_id", "embedding", "label"]
