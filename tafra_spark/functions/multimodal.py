@@ -87,9 +87,12 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
 
     ``image/fake`` payloads (the deterministic raw-grid fake) always
     decode, so the Arrow plumbing is testable without any imaging
-    library. Real mimes (image/png, image/jpeg, ...) decode through PIL
-    when it is importable; the ``NotImplementedError`` only fires when
-    the dependency is genuinely absent."""
+    library. Real mimes decode through PIL when it is importable;
+    without PIL, ``image/png`` grayscale still decodes through the
+    vendored pure-Python codec (:mod:`._png`), so the real-mime path is
+    exercised even in containers with no imaging stack. The
+    ``NotImplementedError`` fires only for formats that genuinely need
+    a library (JPEG etc. without PIL)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
@@ -101,9 +104,14 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
         # luminance grid: keeps the downstream (width, height, intensity)
         # contract identical for fake and real payloads
         return np.asarray(img.convert("L"), dtype=np.uint8)
+    if mime == "image/png":
+        from ._png import decode_png_gray
+
+        return decode_png_gray(content)
     raise NotImplementedError(
-        "real image decoding requires an imaging library (PIL) that is "
-        "not installed; only 'image/fake' payloads decode without it"
+        "decoding this image format requires an imaging library (PIL) "
+        "that is not installed; 'image/fake' and grayscale 'image/png' "
+        "decode without it"
     )
 
 

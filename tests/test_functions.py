@@ -180,30 +180,102 @@ class TestMultimodal:
             norm = float(np.linalg.norm(r["features"]))
             assert norm == pytest.approx(1.0, abs=1e-5)
 
-    def test_real_mime_without_pil_raises(self, spark, monkeypatch):
-        # the stub must only fire when the imaging dependency is absent
+    def test_library_mimes_without_pil_raise(self, spark, monkeypatch):
+        # formats that genuinely need an imaging library still fence
         monkeypatch.setattr(M, "_HAS_PIL", False)
         with pytest.raises(NotImplementedError):
-            M._decode_stub(b"\x00\x01", "image/png")
+            M._decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
 
     def test_fake_mime_decodes_without_pil(self, monkeypatch):
         monkeypatch.setattr(M, "_HAS_PIL", False)
         arr = M._decode_stub(M.fake_image_bytes(7), "image/fake")
         assert arr.shape == (8, 8)
 
-    def test_real_mime_decodes_with_pil(self):
-        PIL = pytest.importorskip("PIL")  # noqa: F841 - gated on install
-        import io
+    def test_real_png_decodes_without_pil(self, monkeypatch):
+        # REAL encoded bytes through the real-mime branch: a genuine
+        # PNG (signature, IHDR, zlib IDAT, CRCs) via the vendored codec
+        from tafra_spark.functions._png import encode_png_gray
 
-        from PIL import Image
-
-        buf = io.BytesIO()
-        Image.fromarray(
-            np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
-        ).save(buf, format="PNG")
-        arr = M._decode_stub(buf.getvalue(), "image/png")
+        monkeypatch.setattr(M, "_HAS_PIL", False)
+        src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        arr = M._decode_stub(encode_png_gray(src), "image/png")
         assert arr.shape == (8, 8)
         assert arr[0, 1] == 1
+        assert (arr == src).all()
+
+    def test_png_filter_types_roundtrip(self):
+        # hand-build IDATs using each scanline filter (Sub/Up/Average/
+        # Paeth) — real encoders emit all of them, and a filter-0-only
+        # reader would silently corrupt pixels
+        import struct
+        import zlib
+
+        from tafra_spark.functions import _png
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(6, 5), dtype=np.uint8)
+
+        def encode_with_filter(a, ftype):
+            h, w = a.shape
+            prev = np.zeros(w, dtype=np.int32)
+            raw = bytearray()
+            for y in range(h):
+                cur = a[y].astype(np.int32)
+                line = np.zeros(w, dtype=np.int32)
+                for x in range(w):
+                    left = int(cur[x - 1]) if x else 0
+                    up = int(prev[x])
+                    ul = int(prev[x - 1]) if x else 0
+                    pred = {
+                        1: left,
+                        2: up,
+                        3: (left + up) >> 1,
+                        4: _png._paeth(left, up, ul),
+                    }[ftype]
+                    line[x] = (int(cur[x]) - pred) & 0xFF
+                raw.append(ftype)
+                raw.extend(int(v) for v in line)
+                prev = cur
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png._chunk(b"IHDR", ihdr)
+                + _png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png._chunk(b"IEND", b"")
+            )
+
+        for ftype in (1, 2, 3, 4):
+            out = _png.decode_png_gray(encode_with_filter(img, ftype))
+            assert (out == img).all(), f"filter {ftype}"
+
+    def test_real_png_through_pipeline(self, spark, monkeypatch):
+        # end-to-end: real PNG bytes ride the binary column through the
+        # Arrow-batched decode and feature stages
+        from tafra_spark.functions._png import encode_png_gray
+
+        monkeypatch.setattr(M, "_HAS_PIL", False)
+        rows = []
+        for i in range(4):
+            rng = np.random.RandomState(i)
+            img = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+            rows.append(
+                (i, "image", encode_png_gray(img), (8, 8, None, "image/png"))
+            )
+        df = spark.createDataFrame(rows, schema=M.MULTIMODAL_SCHEMA)
+        decoded = {r["asset_id"]: r for r in M.decode_images(df).collect()}
+        assert len(decoded) == 4
+        for i in range(4):
+            rng = np.random.RandomState(i)
+            img = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+            assert decoded[i]["width"] == 8 and decoded[i]["height"] == 8
+            assert decoded[i]["mean_intensity"] == pytest.approx(
+                float(img.mean()), abs=0.51
+            )
+        feats = M.extract_image_features(df).collect()
+        for r in feats:
+            assert float(np.linalg.norm(r["features"])) == pytest.approx(
+                1.0, abs=1e-5
+            )
 
     def test_video_frame_sampling(self, spark):
         rows = [(1, "video", None, (None, None, 5000, "video/fake"))]
