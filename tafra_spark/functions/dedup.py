@@ -965,16 +965,21 @@ def dedup_keep_best(
         quality_col = F.floor(
             quality_score(F.col(text_col)) * F.lit(10000.0) + F.lit(0.5)
         ).cast("long")
-    fp = fingerprint(F.col(text_col))
-    w = Window.partitionBy(fp).orderBy(
-        quality_col.desc(), F.col(id_col).asc()
+    # materialize fingerprint + quality as COLUMNS before windowing:
+    # partitioning two windows by the raw md5 EXPRESSION makes Catalyst
+    # treat each occurrence as distinct and plan a second exchange (and
+    # re-hash the corpus); partitioned by the column, both windows and
+    # the row filter share ONE exchange and one md5 pass
+    w = Window.partitionBy("__fp__").orderBy(
+        F.col("__q__").desc(), F.col(id_col).asc()
     )
-    wn = Window.partitionBy(fp)
+    wn = Window.partitionBy("__fp__")
     return (
         df.withColumn("__q__", quality_col)
+        .withColumn("__fp__", fingerprint(F.col(text_col)))
         .withColumn("__rn__", F.row_number().over(w))
         .withColumn("group_n", F.count(F.lit(1)).over(wn).cast("long"))
         .filter(F.col("__rn__") == 1)
         .withColumn("quality_q4", F.col("__q__"))
-        .drop("__rn__", "__q__")
+        .drop("__rn__", "__q__", "__fp__")
     )
