@@ -2264,6 +2264,22 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------- #
 
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT set-similarity join via prefix filtering (PPJoin family):
+    # rarest-first global shingle order, prefix self-join proposes,
+    # exact intersect verifies — zero recall loss, the deterministic
+    # complement to the MinHash-LSH recall dial
+    docs = _read(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, threshold_pct=60, shingle_k=3)
+
+
+def triangle_counts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-ordered node-iterator triangle counting on the transition
+    # graph: oriented wedges + closing-edge join, skew-proof fan-out
+    ev = _read_events(spark, sf_dir)
+    return AN.triangle_counts(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
@@ -2435,6 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
+        # NEW in r5 (local-gate green; driver rows expected r6)
+        "prefix_filter_jaccard": prefix_filter_jaccard,
+        "triangle_counts_graph": triangle_counts_graph,
     }
 
 
@@ -2902,6 +2921,91 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "prefix_filter_jaccard": _SHINGLES_SQL + r"""
+            , ex AS (SELECT doc_id, unnest(shset) AS w FROM sh),
+            dfreq AS (SELECT w, count(*) AS dfc FROM ex GROUP BY w),
+            ordered AS (
+              SELECT e.doc_id,
+                     list(e.w ORDER BY d.dfc ASC, e.w ASC) AS ows
+              FROM ex e JOIN dfreq d ON e.w = d.w
+              GROUP BY e.doc_id
+            ),
+            pre AS (
+              SELECT doc_id, ows, len(ows) AS n,
+                     list_slice(ows, 1,
+                       len(ows) - ((60 * len(ows) + 99) // 100) + 1)
+                       AS prefix
+              FROM ordered
+            ),
+            pex AS (SELECT doc_id, unnest(prefix) AS w FROM pre),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pex a JOIN pex b
+                ON a.w = b.w AND a.doc_id < b.doc_id
+            ),
+            v AS (
+              SELECT id_a, id_b, pa.n AS n_a, pb.n AS n_b,
+                     len(list_intersect(pa.ows, pb.ows)) AS n_common
+              FROM cand
+              JOIN pre pa ON pa.doc_id = cand.id_a
+              JOIN pre pb ON pb.doc_id = cand.id_b
+            )
+            SELECT id_a, id_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST((n_common * 1000000) // (n_a + n_b - n_common)
+                        AS BIGINT) AS jaccard_q6
+            FROM v
+            WHERE 100 * n_common >= 60 * (n_a + n_b - n_common)
+        """,
+        "triangle_counts_graph": r"""
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            ),
+            und AS (
+              SELECT DISTINCT least(event_type, nxt) AS u,
+                              greatest(event_type, nxt) AS v
+              FROM seq WHERE nxt IS NOT NULL AND event_type <> nxt
+            ),
+            deg AS (
+              SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ),
+            rnk AS (
+              SELECT node,
+                     row_number() OVER (ORDER BY d ASC, node ASC) AS r
+              FROM deg
+            ),
+            o AS (
+              SELECT CASE WHEN ru.r < rv.r THEN und.u ELSE und.v END AS src,
+                     CASE WHEN ru.r < rv.r THEN und.v ELSE und.u END AS dst,
+                     greatest(ru.r, rv.r) AS rd
+              FROM und
+              JOIN rnk ru ON und.u = ru.node
+              JOIN rnk rv ON und.v = rv.node
+            ),
+            tri AS (
+              SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              FROM o e1
+              JOIN o e2 ON e1.src = e2.src AND e1.rd < e2.rd
+              JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+            cnt AS (
+              SELECT node, count(*) AS n_triangles
+              FROM corners GROUP BY node
+            )
+            SELECT deg.node AS node,
+                   CAST(coalesce(cnt.n_triangles, 0) AS BIGINT)
+                     AS n_triangles
+            FROM deg LEFT JOIN cnt ON deg.node = cnt.node
+        """,
         "oov_rate_by_source": r"""
             WITH ex AS (
               SELECT source AS grp,

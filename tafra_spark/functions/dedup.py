@@ -50,6 +50,7 @@ __all__ = [
     "minhash_recall",
     "edit_distance_pairs",
     "dedup_keep_best",
+    "prefix_jaccard_pairs",
 ]
 
 
@@ -982,4 +983,129 @@ def dedup_keep_best(
         .filter(F.col("__rn__") == 1)
         .withColumn("quality_q4", F.col("__q__"))
         .drop("__rn__", "__q__", "__fp__")
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 60,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the PPJoin family
+    — Chaudhuri et al. 2006 "A Primitive Operator for Similarity
+    Joins"; Xiao et al. 2008): every document pair whose distinct-token
+    Jaccard ≥ ``threshold_pct``/100, with NO recall loss — the exact
+    complement to :func:`minhash_lsh_pairs`' probabilistic recall dial.
+
+    The prefix-filtering lemma: order each doc's distinct tokens by a
+    GLOBAL total order (document frequency asc, token asc — rarest
+    first) and keep only the first ``n - ceil(t*n) + 1`` as its prefix;
+    any two sets with Jaccard ≥ t must share at least one PREFIX token.
+    Candidates therefore come from a token self-join over prefixes
+    only, and an exact intersect verifies. High thresholds make
+    prefixes short (t=0.9 → ~10% of tokens), and because prefixes hold
+    each doc's RAREST tokens, the join key distribution is maximally
+    skew-hostile — ubiquitous tokens (the LSH degenerate-bucket hazard)
+    are exactly the ones prefixes exclude.
+
+    Plan: token explode + df count (one shuffle), frequency-ordered
+    array rebuild (one shuffle, aggregating (df, token) structs
+    per doc), prefix self-join (shuffle keyed by rare tokens, fan-out
+    bounded by prefix df), distinct pair set, verify join. All
+    exchanges linear in corpus tokens; the quadratic blow-up LSH bounds
+    with ``max_bucket`` is bounded here by the rarest-token df — a
+    structural guarantee, not a cap.
+
+    All arithmetic is integer (``100·|A∩B| >= t_pct·|A∪B|`` and a q6
+    fixed-point Jaccard via integer div), so results hash identically
+    on any engine. Returns (id_a, id_b, n_a, n_b, n_common,
+    jaccard_q6) with id_a < id_b.
+    """
+    if not 0 < int(threshold_pct) <= 100:
+        raise ValueError("prefix_jaccard_pairs: threshold_pct in (0, 100]")
+    t_pct = int(threshold_pct)
+    # set elements: distinct unigram tokens (shingle_k=None) or distinct
+    # word k-shingles — shingles are the discriminative choice for
+    # near-duplicate text (unigram SETS converge on corpora drawn from
+    # a shared vocabulary; 3-gram sets do not), and match the Jaccard
+    # the LSH pipeline verifies
+    elems = (
+        F.array_distinct(word_tokens(F.lower(F.col(text_col))))
+        if shingle_k is None
+        else shingles(F.col(text_col), int(shingle_k))
+    )
+    base = _spread(
+        df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col), F.col(text_col)
+        )
+    ).select(F.col(id_col), elems.alias("__ws__"))
+    ex = base.select(F.col(id_col), F.explode("__ws__").alias("__w__"))
+    dfreq = ex.groupBy("__w__").agg(F.count(F.lit(1)).alias("__df__"))
+    ordered = (
+        ex.join(dfreq, on="__w__")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df__", "__w__"))
+            ).alias("__o__")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__o__", lambda s: s["__w__"]).alias("__ows__"),
+        )
+    )
+    n = F.size("__ows__")
+    # prefix length p = n - ceil(t*n) + 1, integer-exact:
+    # ceil(t_pct*n/100) = (t_pct*n + 99) div 100
+    p = n - F.expr(f"({t_pct} * size(__ows__) + 99) div 100") + F.lit(1)
+    pre = ordered.select(
+        F.col(id_col),
+        F.col("__ows__"),
+        n.cast("long").alias("__n__"),
+        F.slice("__ows__", 1, p).alias("__prefix__"),
+    )
+    pex = pre.select(F.col(id_col), F.explode("__prefix__").alias("__w__"))
+    cand = (
+        pex.alias("a")
+        .join(
+            pex.alias("b"),
+            (F.col("a.__w__") == F.col("b.__w__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    pa = pre.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ows__").alias("__wa__"),
+        F.col("__n__").alias("n_a"),
+    )
+    pb = pre.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ows__").alias("__wb__"),
+        F.col("__n__").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("__wa__", "__wb__")).cast("long")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        cand.join(pa, on="id_a")
+        .join(pb, on="id_b")
+        .withColumn("n_common", inter)
+        .filter(F.lit(100) * F.col("n_common") >= F.lit(t_pct) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 div (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_q6"),
+        )
     )

@@ -3378,3 +3378,116 @@ class TestExactGroupMedian:
         df = spark.createDataFrame(rows, ["k", "v"])
         out = exact_group_median(df, "k", "v", buckets=2).collect()
         assert out[0]["__med__"] == 50.5
+
+
+class TestPrefixJaccard:
+    """Exact prefix-filtering set-similarity join (PPJoin family)."""
+
+    def _pairs(self, spark, rows, pct, k=None):
+        from tafra_spark.functions.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_q6"])
+            for r in prefix_jaccard_pairs(
+                df, threshold_pct=pct, shingle_k=k
+            ).collect()
+        }
+
+    def test_exact_on_token_sets(self, spark):
+        rows = [
+            (1, "a b c d"),          # {a,b,c,d}
+            (2, "a b c e"),          # jaccard with 1 = 3/5 = 0.6
+            (3, "a b c d"),          # identical to 1
+            (4, "x y z"),            # disjoint
+            (5, ""),                 # empty: never appears
+        ]
+        out = self._pairs(spark, rows, 60)
+        assert out[(1, 2)] == (3, 600000)   # boundary: 0.6 >= 0.6 kept
+        assert out[(1, 3)] == (4, 1000000)
+        assert (2, 3) in out
+        assert not any(4 in p or 5 in p for p in out)
+        # at 61% the boundary pair drops, identical pair stays
+        out61 = self._pairs(spark, rows, 61)
+        assert (1, 2) not in out61 and (1, 3) in out61
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.sample(vocab, rng.randint(3, 12))))
+            for i in range(25)
+        ]
+        out = set(self._pairs(spark, rows, 50))
+        sets = {i: set(t.split()) for i, t in rows}
+        brute = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if 100 * len(sets[a] & sets[b]) >= 50 * len(sets[a] | sets[b])
+        }
+        assert out == brute  # ZERO recall loss — the point vs LSH
+
+    def test_shingle_elements(self, spark):
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),   # shares 3 of 4+4-3... shingles
+            (3, "completely different words here now"),
+        ]
+        out = self._pairs(spark, rows, 40, k=3)
+        assert (1, 2) in out and not any(3 in p for p in out)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from tafra_spark.functions.dedup import prefix_jaccard_pairs
+        from tafra_spark.plans.inspect import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        s = explain_str(
+            prefix_jaccard_pairs(docs, threshold_pct=60, shingle_k=3),
+            "simple",
+        )
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
+
+class TestTriangleCounts:
+    def _counts(self, spark, transitions):
+        # build an event stream whose per-user transition edges are
+        # exactly `transitions`
+        from tafra_spark.functions.analytics import triangle_counts
+
+        rows = []
+        eid = 0
+        for uid, (a, b) in enumerate(transitions):
+            rows.append((eid, uid, a, 0)); eid += 1
+            rows.append((eid, uid, b, 1)); eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(ev).collect()
+        }
+
+    def test_single_triangle_plus_pendant(self, spark):
+        out = self._counts(
+            spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        )
+        assert out == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+    def test_k4_counts(self, spark):
+        import itertools
+
+        edges = list(itertools.combinations("abcd", 2))
+        out = self._counts(spark, edges)
+        # K4: each node sits in C(3,2)=3 triangles
+        assert out == {n: 3 for n in "abcd"}
+
+    def test_duplicate_and_reverse_edges_collapse(self, spark):
+        out = self._counts(
+            spark,
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")],
+        )
+        assert out == {"a": 1, "b": 1, "c": 1}
