@@ -454,3 +454,109 @@ class TestScd2Properties:
         # 4. every key that ever appeared in an update has an open row
         seen = {k for k, _, _ in upd1} | {k for k, _, _ in upd2}
         assert set(open_keys) == seen
+
+
+class TestRound5Properties:
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y", "z"]),
+                st.integers(min_value=-500, max_value=500),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_exact_group_median_matches_numpy(self, spark, data):
+        """Histogram rank-routing must give the exact lo/hi-rank median
+        for any key/value multiset, including heavy ties."""
+        from pyspark.sql import functions as F
+
+        from tafra_spark.functions.analytics import exact_group_median
+
+        df = spark.createDataFrame(
+            [(k, float(v)) for k, v in data], ["k", "v"]
+        )
+        got = {
+            r["k"]: (r["__med__"], r["__n__"])
+            for r in exact_group_median(df, "k", "v", buckets=4).collect()
+        }
+        for k in {k for k, _ in data}:
+            vals = sorted(float(v) for kk, v in data if kk == k)
+            lo = vals[(len(vals) - 1) // 2]
+            hi = vals[len(vals) // 2]
+            assert got[k] == ((lo + hi) / 2.0, len(vals)), (k, vals)
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from([f"t{i}" for i in range(12)]),
+                min_size=1,
+                max_size=8,
+                unique=True,
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        pct=st.sampled_from([40, 60, 75, 100]),
+    )
+    @settings(**_SETTINGS)
+    def test_prefix_jaccard_equals_brute_force(self, spark, docs, pct):
+        """The prefix-filtering lemma must lose NOTHING: output pairs ==
+        brute-force Jaccard >= t over all pairs, for any corpus and
+        threshold."""
+        import itertools
+
+        from tafra_spark.functions.dedup import prefix_jaccard_pairs
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_jaccard_pairs(df, threshold_pct=pct).collect()
+        }
+        sets = {i: set(t) for i, t in enumerate(docs)}
+        brute = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if 100 * len(sets[a] & sets[b]) >= pct * len(sets[a] | sets[b])
+        }
+        assert got == brute
+
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from(list("abcdef")),
+                st.sampled_from(list("abcdef")),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_triangle_counts_match_brute_force(self, spark, edges):
+        import itertools
+
+        from tafra_spark.functions.analytics import triangle_counts
+
+        rows = []
+        eid = 0
+        for uid, (a, b) in enumerate(edges):
+            rows.append((eid, uid, a, 0)); eid += 1
+            rows.append((eid, uid, b, 1)); eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(ev).collect()
+        }
+        und = {tuple(sorted(e)) for e in edges}
+        nodes = sorted({n for e in und for n in e})
+        want = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (b, c), (a, c)} <= und:
+                for n in (a, b, c):
+                    want[n] += 1
+        assert got == want
