@@ -1109,15 +1109,19 @@ def dup_span_stats(
     span_rows = base.select(
         F.col(id_col), F.explode(spans).alias("span")
     ).select(F.col(id_col), _ngram_hash(F.col("span")).alias("h"))
+    # "appears in 2+ DISTINCT docs" needs only min(id) != max(id) per
+    # span hash — plain partial-aggregating min/max, not the
+    # distinct-expand a countDistinct pays (which doubles the shuffle
+    # for a boolean the caller immediately collapses)
     ndocs = span_rows.groupBy("h").agg(
-        F.countDistinct(id_col).alias("__nd__")
+        (F.min(id_col) != F.max(id_col)).alias("__cross__")
     )
     return (
         span_rows.join(ndocs, on="h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("__nd__") > 1).cast("long")).alias(
+            F.sum(F.col("__cross__").cast("long")).alias(
                 "n_cross_dup_spans"
             ),
         )
