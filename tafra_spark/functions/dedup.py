@@ -222,6 +222,58 @@ def _hof_signatures(
     return with_digs.select(F.col(id_col), *mins)
 
 
+def _combined_shingle_state(
+    sets: DataFrame, id_col: str, num_hashes: int, portable: bool
+) -> DataFrame:
+    """(id, sh: array<long>, h0..h{n-1}) — hashed shingle arrays AND
+    minhash signature columns from ONE pass over the shingle strings,
+    for :func:`fuzzy_dedup_pairs`' single persisted state table. Same
+    digest-group sharing as :func:`_hof_signatures`; the xxhash64
+    array rides in the outer projection off the same string column.
+    """
+    if not portable:
+        def _xxh(j: int):
+            return lambda s: F.xxhash64(F.concat(F.lit(f"{j}|"), s))
+
+        return sets.select(
+            F.col(id_col),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("__hs__"),
+            *[
+                F.array_min(F.transform(F.col("sh"), _xxh(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        ).withColumnRenamed("__hs__", "sh")
+
+    def _digester(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}|"), s).cast("binary"))
+
+    def _slicer(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    n_groups = (num_hashes + 3) // 4
+    with_digs = sets.select(
+        F.col(id_col),
+        F.col("sh"),
+        *[
+            F.transform(F.col("sh"), _digester(g)).alias(f"__digs{g}__")
+            for g in range(n_groups)
+        ],
+    )
+    mins: list[Column] = []
+    for j in range(num_hashes):
+        g, slot = j // 4, j % 4
+        mins.append(
+            F.array_min(
+                F.transform(F.col(f"__digs{g}__"), _slicer(1 + 8 * slot))
+            ).alias(f"h{j}")
+        )
+    return with_digs.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("__hs__"),
+        *mins,
+    ).withColumnRenamed("__hs__", "sh")
+
+
 def _signatures_from_shingles(
     sets: DataFrame, id_col: str, num_hashes: int, portable: bool
 ) -> DataFrame:
@@ -469,28 +521,30 @@ def fuzzy_dedup_pairs(
     ``ngram_jaccard_pairs``) scans and shingles the corpus twice; at
     100 TB that duplicated scan is the dominant cost.
 
-    Sharing mechanism (r4, measured against both r2/r3 forms at sf0.1):
-    persist the two DERIVED tables the consumers actually read — the
-    xxhash64-HASHED shingle arrays (8-byte longs, ~3× smaller than the
-    raw UTF8 shingle strings) and the per-doc signature row. The raw
-    string shingles live only inside the one projection that computes
-    both and are never materialized anywhere. The r3 ``repartition(id)``
-    barrier shared the shingle EXCHANGE, but every consumer branch
-    re-ran its post-exchange hash projection (md5 digests for banding
-    l/r, xxhash64 for verify a/b — the corpus gets re-hashed four
-    times); persisting the compact derived tables runs each hash pass
-    once: 1.4s vs 2.0s (barrier) warm, 2.6s vs 5.1s cold at sf0.1.
+    Sharing mechanism (r5; supersedes the r4 two-persist form): ONE
+    persisted state table ``(id, sh: array<long>, h0..h{n-1})`` holds
+    both derived forms the consumers read — the xxhash64-hashed shingle
+    arrays (8-byte longs, ~3× smaller than the raw UTF8 strings) and
+    the per-doc minhash signature — computed in a single pass over the
+    shingle strings (the r4 form persisted them as two tables, and each
+    persist re-ran the scan+shingle projection: two shingle passes for
+    one pipeline). Band join branches prune to the signature columns,
+    verify joins prune to the hashed arrays — InMemoryTableScan column
+    pruning serves both from the one cache entry. The r3
+    ``repartition(id)`` barrier alternative re-ran every post-exchange
+    hash projection per branch (measured 2-4× slower).
     ContextCleaner auto-unpersists when the plan is dereferenced.
     """
     from pyspark import StorageLevel
 
     sets = shingle_table(df, text_col, id_col, shingle_k)
-    hsets = sets.select(
-        F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    state = _combined_shingle_state(
+        sets, id_col, num_hashes, portable
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _signatures_from_shingles(sets, id_col, num_hashes, portable).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = state.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)]
     )
+    hsets = state.select(F.col(id_col), F.col("sh"))
     cands = _band_pairs(sig, id_col, num_hashes, band_size, max_bucket)
     return _verify_jaccard(cands, hsets, id_col, threshold)
 
