@@ -51,8 +51,19 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
-    text = explain_str(df, "simple")
+    """Number of DISTINCT shuffle exchanges (excludes broadcast
+    exchanges).
+
+    Counted on a FRESH QueryExecution (``df.select("*")`` re-wraps the
+    logical plan): an ALREADY-EXECUTED AQE DataFrame renders each
+    materialized shuffle stage twice (the query-stage subtree and its
+    re-instantiated final-plan reference, under different plan_ids), so
+    counting its cached execution double-counts — and memoized ANN
+    plans (functions/_memo.py) are routinely already-executed when a
+    test inspects them. The rewrap costs one analysis pass and always
+    yields the pre-execution plan.
+    """
+    text = explain_str(df.select("*"), "simple")
     return len(
         re.findall(
             r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
