@@ -904,6 +904,7 @@ def source_overlap(
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_q4) for
     source_a < source_b — all integers, exactly portable.
     """
+    from ._memo import cached_collect
     from .dedup import _spread
 
     base = _spread(
@@ -911,9 +912,25 @@ def source_overlap(
             F.length(F.trim(F.col(text_col))) > 0
         )
     )
+    # dictionary-encode sources to dense ints for the per-hash sets:
+    # sources are categorically small by this operator's contract (the
+    # output is |S|² rows), and int sets allocate ~10× less than string
+    # sets in the collect_set maps — the operator's GC hot spot. The
+    # |S|-row distinct collect is memoized per (session, plan).
+    src_rows = cached_collect(df.select(part_col).distinct())
+    names = sorted(str(r[0]) for r in src_rows if r[0] is not None)
+    code_entries = ", ".join(
+        "'{}', {}".format(s.replace("'", "\\'"), i)
+        for i, s in enumerate(names)
+    )
+    code = F.expr(f"element_at(map({code_entries}), {part_col})")
+    decode_arr = "array({})".format(
+        ", ".join("'{}'".format(s.replace("'", "\\'")) for s in names)
+    )
+
     by_h = (
         base.select(
-            F.col(part_col).alias("src"),
+            code.alias("src"),
             F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
         )
         .select(F.col("src"), F.xxhash64("s").alias("h"))
@@ -947,6 +964,14 @@ def source_overlap(
             F.broadcast(per.select(F.col("src").alias("source_b"),
                                    F.col("n_shingles").alias("n_b"))),
             on="source_b",
+        )
+        .withColumn(
+            "source_a",
+            F.expr(f"element_at({decode_arr}, source_a + 1)"),
+        )
+        .withColumn(
+            "source_b",
+            F.expr(f"element_at({decode_arr}, source_b + 1)"),
         )
         .withColumn(
             "jaccard_q4",
