@@ -27,7 +27,7 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cached_collect", "plan_memo"]
+__all__ = ["cached_collect", "plan_memo", "clear_memos"]
 
 _MAX_ENTRIES = 128
 
@@ -60,6 +60,17 @@ def cached_collect(df: DataFrame, memo: bool = True) -> list:
     while len(_collects) > _MAX_ENTRIES:
         _collects.popitem(last=False)
     return rows
+
+
+def clear_memos() -> None:
+    """Drop every memoized collect and plan — the escape hatch for the
+    one documented staleness case (an input file mutated in place under
+    an unchanged path: both the collected rows and a memoized plan's
+    file listing would be stale). The analogue of
+    ``spark.catalog.clearCache()`` for this module's driver-side state.
+    """
+    _collects.clear()
+    _plans.clear()
 
 
 def plan_memo(key_parts: tuple, build) -> DataFrame:

@@ -3491,3 +3491,53 @@ class TestTriangleCounts:
             [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")],
         )
         assert out == {"a": 1, "b": 1, "c": 1}
+
+
+class TestMemo:
+    def test_cached_collect_hits_on_identical_plan(self, spark):
+        from tafra_spark.functions import _memo
+
+        _memo.clear_memos()
+        df = spark.read.parquet(f"{SF}/region.parquet").select("r_name")
+        a = _memo.cached_collect(df.limit(3))
+        before = len(_memo._collects)
+        b = _memo.cached_collect(
+            spark.read.parquet(f"{SF}/region.parquet")
+            .select("r_name")
+            .limit(3)
+        )
+        assert a is b  # same list object: served from the memo
+        assert len(_memo._collects) == before
+
+    def test_memo_is_parameter_sensitive(self, spark):
+        from tafra_spark.functions import _memo
+
+        _memo.clear_memos()
+        df = spark.read.parquet(f"{SF}/region.parquet").select("r_name")
+        a = _memo.cached_collect(df.limit(2))
+        b = _memo.cached_collect(df.limit(3))
+        assert len(a) == 2 and len(b) == 3
+
+    def test_clear_memos_forgets(self, spark):
+        from tafra_spark.functions import _memo
+
+        df = spark.read.parquet(f"{SF}/region.parquet").select("r_name")
+        a = _memo.cached_collect(df.limit(3))
+        _memo.clear_memos()
+        b = _memo.cached_collect(df.limit(3))
+        assert a is not b and a == b
+
+    def test_plan_memo_returns_same_frame(self, spark):
+        from tafra_spark.functions import _memo
+
+        _memo.clear_memos()
+        built = []
+
+        def build():
+            df = spark.read.parquet(f"{SF}/region.parquet").select("r_name")
+            built.append(1)
+            return df
+
+        x = _memo.plan_memo(("t", 1), build)
+        y = _memo.plan_memo(("t", 1), build)
+        assert x is y and built == [1]
