@@ -2280,6 +2280,17 @@ def triangle_counts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.triangle_counts(ev)
 
 
+def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT per-type percentiles (nearest-rank) — the cross-engine-
+    # hashable complement to the GK/histogram sketch paths; distinct-
+    # value collapse + one cumulative window, no full-group row sort
+    ev = _read_events(spark, sf_dir)
+    return AN.exact_group_quantiles(
+        ev, key_col="event_type", value_col="value",
+        probs_pct=(25, 50, 75, 99),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
@@ -2454,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r5 (local-gate green; driver rows expected r6)
         "prefix_filter_jaccard": prefix_filter_jaccard,
         "triangle_counts_graph": triangle_counts_graph,
+        "exact_value_quantiles": exact_value_quantiles,
     }
 
 
@@ -2921,6 +2933,28 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "exact_value_quantiles": r"""
+            WITH vc AS (
+              SELECT event_type AS k, value AS v, count(*) AS cnt
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, value
+            ),
+            t AS (
+              SELECT k, v, cnt,
+                     sum(cnt) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cnt AS vb,
+                     sum(cnt) OVER (PARTITION BY k) AS n
+              FROM vc
+            ),
+            ranks AS (SELECT unnest([25, 50, 75, 99]) AS p)
+            SELECT t.k AS event_type,
+                   CAST(ranks.p AS BIGINT) AS p_pct,
+                   t.v AS q_value
+            FROM t CROSS JOIN ranks
+            WHERE (ranks.p * t.n + 99) // 100 > t.vb
+              AND (ranks.p * t.n + 99) // 100 <= t.vb + t.cnt
+        """,
         "prefix_filter_jaccard": _SHINGLES_SQL + r"""
             , ex AS (SELECT doc_id, unnest(shset) AS w FROM sh),
             dfreq AS (SELECT w, count(*) AS dfc FROM ex GROUP BY w),

@@ -44,6 +44,7 @@ __all__ = [
     "user_burstiness",
     "exact_group_median",
     "triangle_counts",
+    "exact_group_quantiles",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -1777,4 +1778,77 @@ def triangle_counts(
                 "n_triangles"
             ),
         )
+    )
+
+
+def exact_group_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    probs_pct: Sequence[int] = (25, 50, 75, 99),
+) -> DataFrame:
+    """EXACT per-group quantiles at arbitrary integer percentiles —
+    nearest-rank (type-1) definition: the value whose cumulative count
+    first reaches ``ceil(p/100 · n)``. The exact complement to the
+    mergeable-but-approximate paths (:func:`histogram_quantiles`, the
+    GK sketch): approximate quantiles differ across engines and
+    parameterizations, while the type-1 rank value is a single exact
+    row — so this output carries a cross-engine value hash.
+
+    Same physical shape as :func:`mad_outliers`' median: ONE
+    data-proportional hash-agg collapse to (key, value, count), then
+    one key exchange where a cumulative window routes every requested
+    rank; the per-partition sort touches a group's DISTINCT values
+    only, so the ceiling is value cardinality, not row count. All rank
+    arithmetic is integer (``ceil(p·n/100) = (p·n + 99) div 100``).
+
+    Returns (key, p_pct, q_value) — one row per (group, percentile).
+    """
+    probs = sorted({int(p) for p in probs_pct})
+    if not probs or probs[0] < 1 or probs[-1] > 100:
+        raise ValueError(
+            "exact_group_quantiles: probs_pct must be ints in [1, 100]"
+        )
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k__"), F.col(value_col).alias("__v__")
+    )
+    vc = base.groupBy("__k__", "__v__").agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    w_ord = (
+        Window.partitionBy("__k__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = (
+        Window.partitionBy("__k__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    t = vc.select(
+        "__k__",
+        "__v__",
+        "__cnt__",
+        (F.sum("__cnt__").over(w_ord) - F.col("__cnt__")).alias("__vb__"),
+        F.sum("__cnt__").over(w_n).alias("__n__"),
+    )
+    # a distinct value serves percentile p iff its cumulative span
+    # (vb, vb+cnt] covers rank ceil(p·n/100); emit one row per served p
+    served = F.filter(
+        F.array(*[F.lit(p) for p in probs]),
+        lambda p: (
+            ((p * F.col("__n__") + 99) / 100).cast("long") > F.col("__vb__")
+        )
+        & (
+            ((p * F.col("__n__") + 99) / 100).cast("long")
+            <= F.col("__vb__") + F.col("__cnt__")
+        ),
+    )
+    return (
+        t.select(
+            F.col("__k__").alias(key_col),
+            F.explode(served).alias("p_pct"),
+            F.col("__v__").alias("q_value"),
+        )
+        .select(key_col, F.col("p_pct").cast("long"), "q_value")
     )

@@ -3541,3 +3541,54 @@ class TestMemo:
         x = _memo.plan_memo(("t", 1), build)
         y = _memo.plan_memo(("t", 1), build)
         assert x is y and built == [1]
+
+
+class TestExactGroupQuantiles:
+    def test_nearest_rank_matches_numpy(self, spark):
+        import numpy as np
+
+        from tafra_spark.functions.analytics import exact_group_quantiles
+
+        rng = np.random.RandomState(13)
+        vals = np.round(rng.exponential(50, 300), 2)
+        keys = rng.choice(list("pq"), 300)
+        df = spark.createDataFrame(
+            [(str(k), float(v)) for k, v in zip(keys, vals)], ["k", "v"]
+        )
+        out = {
+            (r["k"], r["p_pct"]): r["q_value"]
+            for r in exact_group_quantiles(
+                df, "k", "v", probs_pct=(1, 50, 90, 100)
+            ).collect()
+        }
+        for k in "pq":
+            g = np.sort(vals[keys == k])
+            n = len(g)
+            for p in (1, 50, 90, 100):
+                rank = (p * n + 99) // 100
+                assert out[(k, p)] == g[rank - 1], (k, p)
+
+    def test_ties_served_once_per_percentile(self, spark):
+        from tafra_spark.functions.analytics import exact_group_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 9 + [("a", 9.0)], ["k", "v"]
+        )
+        rows = exact_group_quantiles(
+            df, "k", "v", probs_pct=(25, 50, 75, 99)
+        ).collect()
+        out = {(r["k"], r["p_pct"]): r["q_value"] for r in rows}
+        assert len(rows) == 4  # exactly one row per requested percentile
+        assert out[("a", 25)] == out[("a", 50)] == out[("a", 75)] == 1.0
+        assert out[("a", 99)] == 9.0
+
+    def test_validates_probs(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.analytics import exact_group_quantiles
+
+        df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+        with _pytest.raises(ValueError):
+            exact_group_quantiles(df, "k", "v", probs_pct=(0, 50))
+        with _pytest.raises(ValueError):
+            exact_group_quantiles(df, "k", "v", probs_pct=(101,))
