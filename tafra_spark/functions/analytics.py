@@ -1717,10 +1717,14 @@ def triangle_counts(
         )
         .filter(F.col("__b__").isNotNull() & (F.col("__a__") != F.col("__b__")))
     )
+    # persisted: three consumers (degrees, orientation, and the final
+    # zero-count join) would otherwise each re-run the transition
+    # window + distinct — at billion-edge scale that triples the
+    # dominant cost (ContextCleaner frees it with the plan)
     und = raw.select(
         F.least("__a__", "__b__").alias("u"),
         F.greatest("__a__", "__b__").alias("v"),
-    ).distinct()
+    ).distinct().persist()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -1736,6 +1740,8 @@ def triangle_counts(
     )
     ru = rank.select(F.col("node").alias("u"), F.col("__r__").alias("__ru__"))
     rv = rank.select(F.col("node").alias("v"), F.col("__r__").alias("__rv__"))
+    # also persisted: the wedge join reads it twice and the closing
+    # join a third time
     oriented = (
         und.join(ru, on="u")
         .join(rv, on="v")
@@ -1749,6 +1755,7 @@ def triangle_counts(
             F.least("__ru__", "__rv__").alias("__rs__"),
             F.greatest("__ru__", "__rv__").alias("__rd__"),
         )
+        .persist()
     )
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("y"), F.col("__rd__").alias("__ry__")
