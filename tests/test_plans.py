@@ -643,3 +643,32 @@ class TestRound4Plans:
         first_sort = s.find("Sort ")
         assert first_sort != -1
         assert "HashAggregate" in s[first_sort:]
+
+
+class TestRound5Plans:
+    def test_prefix_jaccard_linear_shuffles_no_cartesian(self, spark):
+        from tafra_spark.functions.dedup import prefix_jaccard_pairs
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = prefix_jaccard_pairs(docs, threshold_pct=60, shingle_k=3)
+        s = explain_str(df, "simple")
+        # every stage is an equi-join or hash agg keyed by token/id —
+        # the quadratic pair space must never appear as a physical op
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+        assert count_exchanges(df) <= 8
+
+    def test_exact_quantiles_two_exchanges_no_row_sort(self, spark):
+        from tafra_spark.functions.analytics import exact_group_quantiles
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = exact_group_quantiles(ev)
+        assert count_exchanges(df) <= 2
+        s = explain_str(df, "simple")
+        assert "Join" not in s
+        # the sorts sit above the distinct-value collapse, same
+        # contract as mad_outliers
+        first_sort = s.find("Sort ")
+        assert first_sort != -1 and "HashAggregate" in s[first_sort:]
