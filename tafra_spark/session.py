@@ -60,6 +60,14 @@ def get_spark(
         # them to 1-2 partitions, serializing exactly the stages that
         # need all 32 cores
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # delay scheduling buys nothing when every slot reads the same
+        # storage: in local mode all data is process-local, and on the
+        # cloud object-store clusters this targets there is no HDFS
+        # block locality to wait for — 0 is the standard production
+        # setting there too (the 3 s default serializes task waves
+        # whenever slots are briefly busy; measured -14% on the
+        # sub-second query set here)
+        .config("spark.locality.wait", "0ms")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -69,6 +77,32 @@ def get_spark(
         # in local mode: a larger young gen cuts multi-second GC spikes
         # that dominate run-to-run variance. Still env-overridable.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # whole-stage codegen emits one compiled class per stage; a
+        # many-query session overflows the JVM's default 240 MB code
+        # cache and the resulting flush/recompile storms showed up as
+        # roaming 2-5x per-query spikes in the r5 bench A/Bs. A larger
+        # reserved cache removes the flushing, not the JIT itself.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
+        # shuffle/spill files on tmpfs when available: the test box's
+        # disk shows multi-second intermittent IO-wait stalls (shared
+        # host), which roamed through bench runs as 2-10x per-query
+        # spikes. RAM-backed local dirs are also what a production
+        # cluster does (NVMe/ramdisk shuffle volumes); spills stay
+        # possible, they just don't hit a contended spindle.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/tafra_spark_local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp/tafra_spark_local",
+            ),
+        )
         # bucketed tables (co-located joins) need a warehouse; keep it out
         # of the repo tree
         .config(
