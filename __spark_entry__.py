@@ -25,6 +25,7 @@ from tafra_spark import Tafra
 from tafra_spark.functions import analytics as AN
 from tafra_spark.functions import dedup as D
 from tafra_spark.functions import pipeline as P
+from tafra_spark.functions import retrieval as R
 from tafra_spark.functions import similarity as S
 from tafra_spark.functions import text as TX
 from tafra_spark.streaming import ops as STREAM
@@ -2291,6 +2292,72 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 lexical + embedding-cosine semantic retrieval fused by
+    # reciprocal-rank fusion (Cormack 2009): rank-only integer scores,
+    # each retriever keeps its own scale story, fusion never touches
+    # the corpus
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    return R.hybrid_search(
+        docs, emb, ["shuffle", "spark", "window"],
+        query_vec_id=7, k=10, k_candidates=30,
+    )
+
+
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric containment join (Broder's resemblance-vs-containment
+    # split): quote/excerpt inclusion that symmetric Jaccard dedup
+    # cannot see; exact prefix-filter candidates, zero recall loss
+    docs = _read(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold_pct=70, shingle_k=3)
+
+
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc Shannon entropy of the word distribution — the
+    # information-theoretic quality gate signal; zero-shuffle
+    # run-length fold over each doc's sorted token array
+    docs = _read(spark, sf_dir, "documents")
+    return TX.token_entropy(docs)
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law cumulative vocabulary-vs-tokens curve in corpus
+    # order; both running sums use the two-level prefix-sum
+    # decomposition, never a global single-partition window
+    docs = _read(spark, sf_dir, "documents")
+    return P.vocab_growth(docs, bucket_width=100)
+
+
+def event_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise association rules (support/confidence/lift) over
+    # user baskets of property-value items; distinct collapse before
+    # the basket self-join bounds fan-out by per-basket cardinality
+    ev = _read_events(spark, sf_dir)
+    items = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS LONG) div 10"
+        ).alias("item"),
+    )
+    return AN.basket_rules(
+        items, basket_col="user_id", item_col="item", min_pair_support=5
+    )
+
+
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type robust clipping to exact nearest-rank [5, 95] percentile
+    # bounds; the bounds table broadcasts back onto the row stream, the
+    # data pays no exchange beyond its scan
+    ev = _read_events(spark, sf_dir)
+    return AN.winsorize(
+        ev, key_col="event_type", value_col="value", lo_pct=5, hi_pct=95
+    ).select(
+        "event_id", "event_type", "value",
+        "value_clipped", "was_clipped_lo", "was_clipped_hi",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
@@ -2320,6 +2387,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_active_3h": sliding_active_3h,
         # input pipeline changed in r3 (shared-shingle rewrite); re-verify
         "minhash_dup_clusters": minhash_dup_clusters,
+        # never driver-verified (added r5 after the registry reorder)
+        "prefix_filter_jaccard": prefix_filter_jaccard,
+        "triangle_counts_graph": triangle_counts_graph,
+        "exact_value_quantiles": exact_value_quantiles,
+        "hybrid_rrf_search": hybrid_rrf_search,
+        "containment_dup_pairs": containment_dup_pairs,
+        "token_entropy_quality": token_entropy_quality,
+        "vocab_growth_curve": vocab_growth_curve,
+        "event_basket_rules": event_basket_rules,
+        "winsorized_event_values": winsorized_event_values,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2462,10 +2539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
-        # NEW in r5 (local-gate green; driver rows expected r6)
-        "prefix_filter_jaccard": prefix_filter_jaccard,
-        "triangle_counts_graph": triangle_counts_graph,
-        "exact_value_quantiles": exact_value_quantiles,
     }
 
 
@@ -6469,5 +6542,264 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, centroid_id, round(cos_raw, 6) AS cos
             FROM ranked WHERE rank = 1
+        """,
+        # r5 additions ---------------------------------------------------- #
+        "hybrid_rrf_search": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents
+              WHERE length(trim(text)) > 0 AND doc_id <> 7
+            ),
+            lens AS (SELECT doc_id, len(ws) AS dl FROM base),
+            stats AS (
+              SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks
+              FROM lens
+            ),
+            fhits AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id, unnest(ws) AS t FROM base)
+              WHERE t IN ('shuffle', 'spark', 'window')
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM fhits GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS tdf
+              FROM fhits GROUP BY term
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln((CAST(s.n_docs AS DOUBLE) - CAST(d.tdf AS DOUBLE)
+                           + 0.5) / (CAST(d.tdf AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(tf.tf AS DOUBLE) * 2.2
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                               * (CAST(l.dl AS DOUBLE)
+                                  / (CAST(s.n_toks AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE)))))) * 1e6
+                       + 0.5) AS BIGINT) AS c_q6
+              FROM tf
+              JOIN lens l ON tf.doc_id = l.doc_id
+              JOIN dfreq d ON tf.term = d.term
+              CROSS JOIN stats s
+            ),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score_q6 DESC, doc_id)
+                       AS rank
+              FROM (
+                SELECT doc_id, CAST(sum(c_q6) AS BIGINT) AS score_q6
+                FROM contrib GROUP BY doc_id
+              ) QUALIFY rank <= 30
+            ),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id = 7),
+            sem AS (
+              SELECT neighbor_id AS doc_id, rank
+              FROM (
+                SELECT e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                           q.qv, e.embedding::DOUBLE[]) DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+              ) WHERE rank <= 30
+            ),
+            rrf AS (
+              SELECT doc_id,
+                     CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS c
+              FROM lex
+              UNION ALL
+              SELECT doc_id,
+                     CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS c
+              FROM sem
+            ),
+            fused AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q9,
+                     CAST(count(*) AS BIGINT) AS n_systems
+              FROM rrf GROUP BY doc_id
+            )
+            SELECT doc_id, rrf_q9, n_systems,
+                   CAST(row_number() OVER (ORDER BY rrf_q9 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused ORDER BY rrf_q9 DESC, doc_id LIMIT 10
+        """,
+        "containment_dup_pairs": _SHINGLES_SQL + r"""
+            , ex AS (SELECT doc_id, unnest(shset) AS w FROM sh),
+            dfreq AS (SELECT w, count(*) AS dfc FROM ex GROUP BY w),
+            ordered AS (
+              SELECT e.doc_id,
+                     list(e.w ORDER BY d.dfc ASC, e.w ASC) AS ows
+              FROM ex e JOIN dfreq d ON e.w = d.w
+              GROUP BY e.doc_id
+            ),
+            pre AS (
+              SELECT doc_id, ows, len(ows) AS n,
+                     list_slice(ows, 1,
+                       len(ows) - ((70 * len(ows) + 99) // 100) + 1)
+                       AS prefix
+              FROM ordered
+            ),
+            pex AS (SELECT doc_id, unnest(prefix) AS w FROM pre),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pex a JOIN ex b
+                ON a.w = b.w AND a.doc_id <> b.doc_id
+            ),
+            v AS (
+              SELECT id_a, id_b, pa.n AS n_a, pb.n AS n_b,
+                     len(list_intersect(pa.ows, pb.ows)) AS n_common
+              FROM cand
+              JOIN pre pa ON pa.doc_id = cand.id_a
+              JOIN pre pb ON pb.doc_id = cand.id_b
+              WHERE 100 * pb.n >= 70 * pa.n
+            )
+            SELECT id_a, id_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST((n_common * 1000000) // n_a AS BIGINT)
+                     AS containment_q6
+            FROM v
+            WHERE 100 * n_common >= 70 * n_a
+        """,
+        "token_entropy_quality": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            cnt AS (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS t FROM base)
+              GROUP BY doc_id, t
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(floor(
+                       CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6
+                       + 0.5) AS BIGINT)) AS BIGINT) AS s_q6,
+                     CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM cnt GROUP BY doc_id
+            ),
+            e AS (
+              SELECT doc_id, n_words, n_distinct, s_q6,
+                     CAST(floor(ln(CAST(n_words AS DOUBLE)) * 1e6 + 0.5)
+                          AS BIGINT) AS lnn_q6
+              FROM s
+            )
+            SELECT doc_id, n_words, n_distinct,
+                   CAST(greatest(lnn_q6 - (s_q6 // n_words), 0) AS BIGINT)
+                     AS entropy_q6,
+                   CAST(CASE WHEN n_words > 1 THEN
+                     (greatest(lnn_q6 - (s_q6 // n_words), 0) * 1000000)
+                       // lnn_q6
+                   END AS BIGINT) AS norm_entropy_q6
+            FROM e
+        """,
+        "vocab_growth_curve": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                     END AS ws
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, len(ws) AS n_tokens FROM base),
+            fs AS (
+              SELECT t, min(doc_id) AS doc_id
+              FROM (SELECT doc_id, unnest(list_distinct(ws)) AS t FROM base)
+              GROUP BY t
+            ),
+            nt AS (SELECT doc_id, count(*) AS n_new FROM fs GROUP BY doc_id),
+            pts AS (
+              SELECT toks.doc_id, toks.n_tokens,
+                     coalesce(nt.n_new, 0) AS n_new_terms
+              FROM toks LEFT JOIN nt ON toks.doc_id = nt.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_new_terms AS BIGINT) AS n_new_terms,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                     AS cum_tokens,
+                   CAST(sum(n_new_terms) OVER (ORDER BY doc_id) AS BIGINT)
+                     AS cum_vocab
+            FROM pts
+        """,
+        "event_basket_rules": r"""
+            WITH bi AS (
+              SELECT DISTINCT user_id AS b,
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       // 10 AS i
+              FROM events
+              WHERE user_id IS NOT NULL
+                AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      IS NOT NULL
+            ),
+            nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+            itn AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
+            pr AS (
+              SELECT a.i AS ia, b.i AS ib, count(*) AS n_ab
+              FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING count(*) >= 5
+            ),
+            dir AS (
+              SELECT ia AS antecedent, ib AS consequent, n_ab FROM pr
+              UNION ALL
+              SELECT ib AS antecedent, ia AS consequent, n_ab FROM pr
+            )
+            SELECT dir.antecedent, dir.consequent,
+                   CAST(dir.n_ab AS BIGINT) AS n_ab,
+                   CAST(na.n AS BIGINT) AS n_a,
+                   CAST(nbi.n AS BIGINT) AS n_b,
+                   CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+                   CAST((dir.n_ab * 1000000) // nb.n_baskets AS BIGINT)
+                     AS support_q6,
+                   CAST((dir.n_ab * 1000000) // na.n AS BIGINT)
+                     AS confidence_q6,
+                   CAST((dir.n_ab * nb.n_baskets * 1000000)
+                        // (na.n * nbi.n) AS BIGINT) AS lift_q6
+            FROM dir
+            JOIN itn na ON dir.antecedent = na.i
+            JOIN itn nbi ON dir.consequent = nbi.i
+            CROSS JOIN nb
+        """,
+        "winsorized_event_values": r"""
+            WITH vc AS (
+              SELECT event_type, value, count(*) AS c
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, value
+            ),
+            cum AS (
+              SELECT event_type, value,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY value) AS cc,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM vc
+            ),
+            lo AS (
+              SELECT event_type, min(value) AS lo FROM cum
+              WHERE cc >= (5 * n + 99) // 100 GROUP BY event_type
+            ),
+            hi AS (
+              SELECT event_type, min(value) AS hi FROM cum
+              WHERE cc >= (95 * n + 99) // 100 GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL
+                     THEN least(greatest(e.value, lo.lo), hi.hi)
+                   END AS value_clipped,
+                   e.value < lo.lo AS was_clipped_lo,
+                   e.value > hi.hi AS was_clipped_hi
+            FROM events e
+            LEFT JOIN lo ON e.event_type = lo.event_type
+            LEFT JOIN hi ON e.event_type = hi.event_type
         """,
     }

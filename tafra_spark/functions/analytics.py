@@ -1859,3 +1859,185 @@ def exact_group_quantiles(
         )
         .select(key_col, F.col("p_pct").cast("long"), "q_value")
     )
+
+
+def basket_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_pair_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) co-occurrence —
+    the k=2 frequent-itemset core of market-basket analysis (Agrawal &
+    Srikant 1994), emitted with the three standard rule metrics:
+    support P(a,b), confidence P(b|a), and lift P(a,b)/(P(a)P(b)).
+    Over an event log, baskets are users and items event types or
+    property values; rules surface "users who do X also do Y" structure
+    for recommendation, funnel design, and anomaly triage.
+
+    Plan shape: the item stream collapses to DISTINCT (basket, item)
+    map-side before any shuffle; item supports are one hash aggregate;
+    candidate pairs come from a self-join ON THE BASKET KEY — fan-out
+    is per-basket item cardinality squared, never corpus², and
+    ``max_basket_items`` (drop baskets above the cap, the standard
+    degenerate-basket guard — a basket holding every item relates
+    nothing) bounds the worst basket when item cardinality is high.
+    Basket count rides as a one-row broadcast frame. Both rule
+    directions are emitted (confidence/lift are asymmetric in a, b...
+    lift is symmetric; confidence is not).
+
+    All metrics are exact integer fixed-point: support_q6 =
+    n_ab·1e6 div n_baskets, confidence_q6 = n_ab·1e6 div n_a,
+    lift_q6 = n_ab·n_baskets·1e6 div (n_a·n_b) — engine-portable with
+    no float anywhere. Returns (antecedent, consequent, n_ab, n_a,
+    n_b, n_baskets, support_q6, confidence_q6, lift_q6).
+    """
+    if int(min_pair_support) < 1:
+        raise ValueError("basket_rules: min_pair_support must be >= 1")
+    # four consumers (basket count, item supports, both self-join
+    # sides) read the distinct (basket, item) table; persist so the
+    # distinct collapse runs once, not once per branch
+    bi = (
+        events.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__")
+        )
+        .distinct()
+        .persist()
+    )
+    if max_basket_items is not None:
+        sizes = bi.groupBy("__b__").agg(F.count(F.lit(1)).alias("__bn__"))
+        bi = bi.join(
+            sizes.filter(F.col("__bn__") <= int(max_basket_items)).select(
+                "__b__"
+            ),
+            on="__b__",
+        )
+    n_baskets = bi.select("__b__").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb__")
+    )
+    item_n = bi.groupBy("__i__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    pairs = (
+        bi.alias("a")
+        .join(
+            bi.alias("b"),
+            (F.col("a.__b__") == F.col("b.__b__"))
+            & (F.col("a.__i__") < F.col("b.__i__")),
+        )
+        .groupBy(
+            F.col("a.__i__").alias("__ia__"), F.col("b.__i__").alias("__ib__")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_support))
+        .persist()  # read twice: once per rule direction
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("__ia__").alias("antecedent"),
+        F.col("__ib__").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("__ib__").alias("antecedent"),
+            F.col("__ia__").alias("consequent"),
+            "n_ab",
+        )
+    )
+    na = item_n.select(
+        F.col("__i__").alias("antecedent"), F.col("__n__").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("__i__").alias("consequent"), F.col("__n__").alias("n_b")
+    )
+    return (
+        directed.join(F.broadcast(na), on="antecedent")
+        .join(F.broadcast(nb), on="consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.col("__nb__").alias("n_baskets"),
+            F.expr("CAST(n_ab * 1000000 div __nb__ AS BIGINT)").alias(
+                "support_q6"
+            ),
+            F.expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").alias(
+                "confidence_q6"
+            ),
+            F.expr(
+                "CAST(n_ab * __nb__ * 1000000 div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_q6"),
+        )
+    )
+
+
+def winsorize(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization: clip each value to its group's exact
+    [lo_pct, hi_pct] nearest-rank percentile band — the standard
+    robust pre-scaling step before averaging, trend fitting, or
+    feature normalization on heavy-tailed telemetry (a handful of
+    pathological values otherwise own the mean; dropping them biases,
+    clipping bounds).
+
+    Percentiles are the EXACT type-1 (nearest-rank) values from
+    :func:`exact_group_quantiles` — approximate quantiles differ
+    across engines, exact ranks hash identically — so the clip bounds
+    and therefore every output row are engine-portable with no
+    tolerance.
+
+    Plan shape: the bounds table is one (key, value-cardinality)
+    aggregate + rank-routing window (exact_group_quantiles' shape, per
+    -partition sorts bounded by DISTINCT value cardinality), then ONE
+    broadcast join back onto the row stream — the data pays no extra
+    exchange beyond its scan, and the group-count of bounds rows is
+    what broadcasts. Returns the input rows plus
+    (value_clipped, was_clipped_lo, was_clipped_hi).
+    """
+    lo, hi = int(lo_pct), int(hi_pct)
+    if not 1 <= lo < hi <= 100:
+        raise ValueError("winsorize: need 1 <= lo_pct < hi_pct <= 100")
+    q = exact_group_quantiles(
+        events, key_col=key_col, value_col=value_col, probs_pct=(lo, hi)
+    )
+    bounds = (
+        q.groupBy(key_col)
+        .pivot("p_pct", [lo, hi])
+        .agg(F.first("q_value"))
+        .select(
+            F.col(key_col),
+            F.col(str(lo)).alias("__lo__"),
+            F.col(str(hi)).alias("__hi__"),
+        )
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__")
+    )
+    return (
+        events.join(F.broadcast(bounds), on=key_col, how="left")
+        .withColumn(
+            "value_clipped",
+            F.when(F.col(value_col).isNotNull(), clipped),
+        )
+        .withColumn(
+            "was_clipped_lo",
+            (F.col(value_col) < F.col("__lo__")).cast("boolean"),
+        )
+        .withColumn(
+            "was_clipped_hi",
+            (F.col(value_col) > F.col("__hi__")).cast("boolean"),
+        )
+        .drop("__lo__", "__hi__")
+    )

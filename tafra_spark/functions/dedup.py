@@ -1163,3 +1163,127 @@ def prefix_jaccard_pairs(
             ).alias("jaccard_q6"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 80,
+    shingle_k: int | None = 3,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT similarity join: every ORDERED pair
+    (a, b), a ≠ b, with ``|S(a) ∩ S(b)| / |S(a)| ≥ threshold_pct/100``
+    — document a's shingle set is (nearly) contained in b's.
+
+    Containment is the asymmetric complement to Jaccard dedup
+    (:func:`prefix_jaccard_pairs`): a short document quoted inside a
+    much longer one scores near-zero Jaccard (the union is dominated by
+    the container) but containment ≈ 1. It is the signal for
+    quote/excerpt extraction, snippet-inclusion contamination, and
+    "this page embeds that page" relations that symmetric dedup
+    structurally cannot see (Broder 1997 distinguishes resemblance vs
+    containment for exactly this reason).
+
+    Prefix-filtering lemma (asymmetric form): order all shingles by a
+    global total order (document frequency asc, shingle asc). If
+    ``|A ∩ B| ≥ ceil(t·|A|)`` then A's prefix — its first
+    ``|A| − ceil(t·|A|) + 1`` rarest shingles — must contain at least
+    one element of B (otherwise every shared element sits in A's
+    ``ceil(t·|A|) − 1``-long suffix, too few). So candidates come from
+    joining A-side PREFIX tokens against B-side FULL token postings;
+    exact ``array_intersect`` verifies. No recall loss.
+
+    Plan: one token-df shuffle, one per-doc frequency-ordered rebuild,
+    then the candidate join keyed by A's rarest shingles: fan-out per
+    key = (#prefixes holding the shingle) × df(shingle), and prefixes
+    hold only LOW-df shingles, so the product stays linear — the
+    B-side posting list of a ubiquitous shingle is long exactly when
+    the A-side prefix occurrence count is ~zero. A cheap
+    ``|B| ≥ ceil(t·|A|)`` size filter prunes candidates before the
+    verify join. All arithmetic integer; returns (id_a, id_b, n_a,
+    n_b, n_common, containment_q6) where id_a is the contained side.
+    """
+    if not 0 < int(threshold_pct) <= 100:
+        raise ValueError("containment_pairs: threshold_pct in (0, 100]")
+    t_pct = int(threshold_pct)
+    elems = (
+        F.array_distinct(word_tokens(F.lower(F.col(text_col))))
+        if shingle_k is None
+        else shingles(F.col(text_col), int(shingle_k))
+    )
+    base = _spread(
+        df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col), F.col(text_col)
+        )
+    ).select(F.col(id_col), elems.alias("__ws__"))
+    ex = base.select(F.col(id_col), F.explode("__ws__").alias("__w__"))
+    dfreq = ex.groupBy("__w__").agg(F.count(F.lit(1)).alias("__df__"))
+    ordered = (
+        ex.join(dfreq, on="__w__")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df__", "__w__"))
+            ).alias("__o__")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__o__", lambda s: s["__w__"]).alias("__ows__"),
+        )
+    )
+    n = F.size("__ows__")
+    # prefix length p = n - ceil(t*n) + 1; ceil(t_pct*n/100) exact as
+    # (t_pct*n + 99) div 100
+    p = n - F.expr(f"({t_pct} * size(__ows__) + 99) div 100") + F.lit(1)
+    pre = ordered.select(
+        F.col(id_col),
+        F.col("__ows__"),
+        n.cast("long").alias("__n__"),
+        F.slice("__ows__", 1, p).alias("__prefix__"),
+    )
+    # A side: prefix postings only; B side: FULL postings (the shared
+    # element can sit anywhere in the container's order)
+    pex = pre.select(F.col(id_col), F.explode("__prefix__").alias("__w__"))
+    cand = (
+        pex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.__w__") == F.col("b.__w__"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    pa = pre.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ows__").alias("__wa__"),
+        F.col("__n__").alias("n_a"),
+    )
+    pb = pre.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ows__").alias("__wb__"),
+        F.col("__n__").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("__wa__", "__wb__")).cast("long")
+    return (
+        cand.join(pa, on="id_a")
+        .join(pb, on="id_b")
+        # size prune: |A∩B| ≤ |B|, so containment ≥ t needs 100·n_b ≥ t·n_a
+        .filter(F.lit(100) * F.col("n_b") >= F.lit(t_pct) * F.col("n_a"))
+        .withColumn("n_common", inter)
+        .filter(F.lit(100) * F.col("n_common") >= F.lit(t_pct) * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("CAST(n_common * 1000000 div n_a AS BIGINT)").alias(
+                "containment_q6"
+            ),
+        )
+    )

@@ -1816,3 +1816,107 @@ def oov_rates(
             .alias("oov_rate_q6"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative tokens as the corpus is consumed in
+    ``id_col`` order — the sizing curve behind tokenizer vocabulary
+    choices and OOV projections (Heaps 1978: V(n) ≈ K·n^β; a corpus
+    whose measured curve bends away from its fitted β signals a domain
+    shift or an ingestion bug mid-stream).
+
+    Definitions: a term is NEW at document d if d is the smallest doc
+    id containing it; ``cum_vocab(d)`` counts terms first seen at or
+    before d, ``cum_tokens(d)`` sums token counts of docs ≤ d. Exact,
+    no sampling.
+
+    Plan shape: one (term → min doc) aggregate shuffle — the token
+    stream collapses to its distinct (doc, term) pairs map-side first —
+    then per-doc new-term counts join the per-doc token counts, and
+    BOTH running sums use the two-level prefix-sum decomposition
+    (:func:`tafra_spark.functions.analytics.concurrency_profile`'s
+    trick): in-bucket cumulative windows partitioned by
+    ``doc_id div bucket_width`` plus a buckets-sized carry table — the
+    classic global-window single-partition sort never appears, so the
+    curve is computable at any corpus size. Returns one exact point per
+    document: (doc_id, n_tokens, n_new_terms, cum_tokens, cum_vocab);
+    empty documents contribute zero new terms but keep their point.
+    """
+    if int(bucket_width) < 1:
+        raise ValueError("vocab_growth: bucket_width must be >= 1")
+    bw = int(bucket_width)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(
+            word_tokens(F.lower(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("__ws__"),
+    )
+    toks = base.select(
+        F.col(id_col), F.size("__ws__").cast("long").alias("n_tokens")
+    )
+    # distinct (doc, term) collapses map-side before the term shuffle
+    first_seen = (
+        base.select(
+            F.col(id_col), F.explode(F.array_distinct("__ws__")).alias("__t__")
+        )
+        .groupBy("__t__")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_terms"))
+    )
+    # both the in-bucket windows and the bucket-totals carry consume
+    # this table; persisting makes the expensive part (the term min-agg
+    # over the full token stream) ONE pass instead of one per branch
+    pts = (
+        toks.join(first_seen, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_new_terms", F.lit(0).cast("long")).alias(
+                "n_new_terms"
+            ),
+            F.expr(f"CAST({id_col} div {bw} AS BIGINT)").alias("__b__"),
+        )
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("__b__")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn(
+        "__rt__", F.sum("n_tokens").over(w_in)
+    ).withColumn("__rv__", F.sum("n_new_terms").over(w_in))
+    tot = pts.groupBy("__b__").agg(
+        F.sum("n_tokens").alias("__bt__"),
+        F.sum("n_new_terms").alias("__bv__"),
+    )
+    w_carry = Window.orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = tot.select(
+        "__b__",
+        F.coalesce(F.sum("__bt__").over(w_carry), F.lit(0)).alias("__ct__"),
+        F.coalesce(F.sum("__bv__").over(w_carry), F.lit(0)).alias("__cv__"),
+    )
+    return (
+        local.join(carry, on="__b__")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_new_terms",
+            (F.col("__ct__") + F.col("__rt__")).cast("long").alias(
+                "cum_tokens"
+            ),
+            (F.col("__cv__") + F.col("__rv__")).cast("long").alias(
+                "cum_vocab"
+            ),
+        )
+    )

@@ -473,3 +473,121 @@ def repetition_signals(
             ),
         ).otherwise(F.lit(0)).cast("long").alias("top_bigram_frac_q6"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    information-theoretic quality signal between the ratio heuristics
+    (:func:`quality_score`) and LM perplexity
+    (:func:`tafra_spark.functions.pipeline.unigram_logprob`): keyword
+    stuffing, template spam and boilerplate loops all collapse token
+    entropy long before they trip a length or stopword gate, while
+    normal prose sits in a narrow high-entropy band (CCNet/RefinedWeb
+    both gate on exactly this family of signals).
+
+    H = ln(N) − (Σ_t c_t·ln c_t)/N over word counts c_t; also emitted
+    normalized to [0, 1] by the ln(N) maximum (uniform distribution).
+
+    Cross-engine discipline: each run contributes the SCALAR
+    ``floor(c·ln(c)·1e6 + 0.5)`` (one correctly-shaped double chain →
+    fixed point), the per-doc total is an order-independent integer
+    sum, and both divisions are integer ``div`` — bit-identical on any
+    engine, same recipe as tf-idf/BM25.
+
+    Plan shape: ZERO shuffles — the token counts never leave the row.
+    The fold is a single linear pass over the doc's SORTED token array
+    (run-length counting, the :func:`repetition_signals` mode trick),
+    so no (doc, token) explode, no count shuffle, no join back; at
+    100 TB this is a pure narrow projection on the scan. Returns
+    (id, n_words, n_distinct, entropy_q6, norm_entropy_q6);
+    empty/NULL documents are dropped, single-type documents have
+    entropy 0 with norm NULL when N = 1 (no distribution to score).
+    """
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            word_tokens(F.lower(F.col(text_col))).alias("__ws__"),
+        )
+        .select(
+            id_col,
+            F.col("__ws__"),
+            F.size("__ws__").cast("long").alias("n_words"),
+            F.size(F.array_distinct("__ws__")).cast("long").alias(
+                "n_distinct"
+            ),
+        )
+    )
+
+    def _q6(c: Column) -> Column:
+        # floor(c*ln(c)*1e6 + 0.5); c >= 1 so ln is total (c=1 -> 0)
+        return F.floor(
+            c.cast("double") * F.log(c.cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+
+    def _step(acc, x):
+        is_run = x == acc["cur"]
+        return F.struct(
+            x.alias("cur"),
+            F.when(is_run, acc["curn"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("curn"),
+            F.when(is_run, acc["s"])
+            .otherwise(
+                acc["s"]
+                + F.when(acc["curn"] > 0, _q6(acc["curn"])).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .alias("s"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(F.col("__ws__")),
+        F.struct(
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).cast("long").alias("curn"),
+            F.lit(0).cast("long").alias("s"),
+        ),
+        _step,
+        # close the final run
+        lambda acc: acc["s"]
+        + F.when(acc["curn"] > 0, _q6(acc["curn"])).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    lnn_q6 = F.floor(
+        F.log(F.col("n_words").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = base.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        folded.alias("__s_q6__"),
+        lnn_q6.alias("__lnn_q6__"),
+    )
+    # greatest(0, ·): the q6 roundings can push a single-type document
+    # to −1, and negative integer division is where engines disagree
+    # (Spark div truncates, DuckDB // floors) — entropy is ≥ 0 anyway
+    entropy = F.greatest(
+        F.col("__lnn_q6__")
+        - F.expr("CAST(__s_q6__ div n_words AS BIGINT)"),
+        F.lit(0).cast("long"),
+    ).cast("long")
+    return scored.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        entropy.alias("entropy_q6"),
+        F.when(
+            F.col("n_words") > 1,
+            F.expr(
+                "CAST(greatest(__lnn_q6__ -"
+                " CAST(__s_q6__ div n_words AS BIGINT), 0)"
+                " * 1000000 div __lnn_q6__ AS BIGINT)"
+            ),
+        ).alias("norm_entropy_q6"),
+    )

@@ -3592,3 +3592,340 @@ class TestExactGroupQuantiles:
             exact_group_quantiles(df, "k", "v", probs_pct=(0, 50))
         with _pytest.raises(ValueError):
             exact_group_quantiles(df, "k", "v", probs_pct=(101,))
+
+
+class TestRRFHybrid:
+    """Reciprocal-rank fusion + BM25/cosine hybrid retrieval."""
+
+    def test_rrf_known_fusion(self, spark):
+        from tafra_spark.functions.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"]
+        )
+        sem = spark.createDataFrame(
+            [(12, 1), (13, 2)], ["doc_id", "rank"]
+        )
+        out = {
+            r["doc_id"]: (r["rrf_q9"], r["n_systems"], r["rank"])
+            for r in rrf_fuse([lex, sem], k=10).collect()
+        }
+        c = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+        # doc 12 fused from rank 3 (lex) + rank 1 (sem)
+        assert out[12] == (c(3) + c(1), 2, 1)
+        assert out[10] == (c(1), 1, 2)
+        # c(2) tie between docs 11 and 13 -> id asc: 11 before 13
+        assert out[11] == (c(2), 1, 3)
+        assert out[13] == (c(2), 1, 4)
+
+    def test_rrf_tie_break_by_id(self, spark):
+        from tafra_spark.functions.retrieval import rrf_fuse
+
+        a = spark.createDataFrame([(5, 1), (3, 2)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(3, 1), (5, 2)], ["doc_id", "rank"])
+        rows = rrf_fuse([a, b], k=10).orderBy("rank").collect()
+        # identical fused scores -> id asc wins
+        assert [r["doc_id"] for r in rows] == [3, 5]
+
+    def test_rrf_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.retrieval import rrf_fuse
+
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
+        df = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+        with _pytest.raises(ValueError):
+            rrf_fuse([df], k0=0)
+
+    def test_hybrid_excludes_query_doc(self, spark):
+        from tafra_spark.functions.retrieval import hybrid_search
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = hybrid_search(
+            docs, emb, ["spark", "data"], query_vec_id=7, k=8,
+            k_candidates=25,
+        ).collect()
+        assert 0 < len(out) <= 8
+        assert all(r["doc_id"] != 7 for r in out)
+        assert all(r["n_systems"] in (1, 2) for r in out)
+        ranks = [r["rank"] for r in out]
+        assert ranks == sorted(ranks)
+        scores = [r["rrf_q9"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestContainmentPairs:
+    def _pairs(self, spark, rows, pct, k=None):
+        from tafra_spark.functions.dedup import containment_pairs
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["containment_q6"])
+            for r in containment_pairs(
+                df, threshold_pct=pct, shingle_k=k
+            ).collect()
+        }
+
+    def test_asymmetric_quote_case(self, spark):
+        # doc 1 is wholly contained in doc 2; jaccard is only 4/10
+        rows = [
+            (1, "a b c d"),
+            (2, "a b c d e f g h i j"),
+            (3, "x y z"),
+        ]
+        out = self._pairs(spark, rows, 80)
+        assert out[(1, 2)] == (4, 1000000)
+        assert (2, 1) not in out  # containment of 2 in 1 is 4/10
+        assert not any(3 in p for p in out)
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = [
+            (i, " ".join(rng.sample(vocab, rng.randint(2, 14))))
+            for i in range(22)
+        ]
+        out = set(self._pairs(spark, rows, 70))
+        sets = {i: set(t.split()) for i, t in rows}
+        brute = {
+            (a, b)
+            for a, b in itertools.permutations(sorted(sets), 2)
+            if 100 * len(sets[a] & sets[b]) >= 70 * len(sets[a])
+        }
+        assert out == brute  # exact: zero recall loss, both directions
+
+    def test_threshold_boundary(self, spark):
+        rows = [(1, "a b c d e"), (2, "a b c d x y z")]
+        # containment(1 in 2) = 4/5 = 0.8
+        assert (1, 2) in self._pairs(spark, rows, 80)
+        assert (1, 2) not in self._pairs(spark, rows, 81)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from tafra_spark.functions.dedup import containment_pairs
+        from tafra_spark.plans.inspect import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        s = explain_str(
+            containment_pairs(docs, threshold_pct=70, shingle_k=3),
+            "simple",
+        )
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
+
+class TestTokenEntropy:
+    @staticmethod
+    def _ref(text):
+        import math
+        from collections import Counter
+
+        toks = text.lower().strip().split()
+        n = len(toks)
+        c = Counter(toks)
+        s = sum(
+            math.floor(k * math.log(k) * 1e6 + 0.5) for k in c.values()
+        )
+        lnn = math.floor(math.log(n) * 1e6 + 0.5)
+        e = max(lnn - (s // n), 0)
+        norm = (e * 1000000) // lnn if n > 1 else None
+        return n, len(c), e, norm
+
+    def test_matches_reference_formula(self, spark):
+        from tafra_spark.functions.text import token_entropy
+
+        rows = [
+            (0, "a b c d e f"),                 # all distinct: max entropy
+            (1, "a a a a a a"),                 # single type: zero
+            (2, "a a b b c c"),
+            (3, "the the the quick quick fox"),
+            (4, "x"),                            # N=1: entropy 0, norm NULL
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (
+                r["n_words"], r["n_distinct"], r["entropy_q6"],
+                r["norm_entropy_q6"],
+            )
+            for r in token_entropy(df).collect()
+        }
+        for i, t in rows:
+            assert out[i] == self._ref(t), (i, t)
+        # uniform-distinct doc normalizes to exactly 1e6
+        assert out[0][3] == 1000000
+        assert out[1][2] == 0
+        assert out[4][3] is None
+
+    def test_random_docs_match_reference(self, spark):
+        import random
+
+        from tafra_spark.functions.text import token_entropy
+
+        rng = random.Random(23)
+        vocab = [f"t{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (
+                r["n_words"], r["n_distinct"], r["entropy_q6"],
+                r["norm_entropy_q6"],
+            )
+            for r in token_entropy(df).collect()
+        }
+        for i, t in rows:
+            assert out[i] == self._ref(t)
+
+    def test_empty_docs_dropped(self, spark, docs):
+        from tafra_spark.functions.text import token_entropy
+
+        ids = [r["doc_id"] for r in token_entropy(docs).collect()]
+        assert 4 not in ids  # empty text
+        assert len(ids) == 6
+
+
+class TestVocabGrowth:
+    @staticmethod
+    def _ref(rows):
+        seen, out, ct, cv = set(), {}, 0, 0
+        for i, t in sorted(rows):
+            toks = t.lower().strip().split()
+            new = {w for w in toks if w not in seen}
+            seen |= set(toks)
+            ct += len(toks)
+            cv += len(new)
+            out[i] = (len(toks), len(new), ct, cv)
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from tafra_spark.functions.pipeline import vocab_growth
+
+        rng = random.Random(5)
+        vocab = [f"v{i}" for i in range(40)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for i in range(35)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        ref = self._ref(rows)
+        for bw in (3, 7, 1000):  # bucket width must not change results
+            out = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["n_new_terms"],
+                    r["cum_tokens"], r["cum_vocab"],
+                )
+                for r in vocab_growth(df, bucket_width=bw).collect()
+            }
+            assert out == ref, bw
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.pipeline import vocab_growth
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            vocab_growth(df, bucket_width=0)
+
+
+class TestBasketRules:
+    def test_hand_example(self, spark):
+        from tafra_spark.functions.analytics import basket_rules
+
+        # baskets: u1={a,b}, u2={a,b}, u3={a,c}, u4={b}
+        rows = [
+            (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (2, "a"),  # dup (2,a) collapses
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "item"])
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in basket_rules(
+                df, basket_col="user_id", item_col="item",
+                min_pair_support=1,
+            ).collect()
+        }
+        ab = out[("a", "b")]
+        assert (ab["n_ab"], ab["n_a"], ab["n_b"], ab["n_baskets"]) == (
+            2, 3, 3, 4
+        )
+        assert ab["support_q6"] == 2 * 1000000 // 4
+        assert ab["confidence_q6"] == 2 * 1000000 // 3
+        assert ab["lift_q6"] == 2 * 4 * 1000000 // 9
+        ba = out[("b", "a")]
+        assert ba["n_ab"] == 2 and ba["lift_q6"] == ab["lift_q6"]
+        assert ("c", "a") in out and out[("c", "a")]["confidence_q6"] == 1000000
+
+    def test_min_support_filters(self, spark):
+        from tafra_spark.functions.analytics import basket_rules
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+        df = spark.createDataFrame(rows, ["user_id", "item"])
+        out = basket_rules(
+            df, basket_col="user_id", item_col="item", min_pair_support=2
+        ).collect()
+        assert out == []
+
+    def test_max_basket_items_cap(self, spark):
+        from tafra_spark.functions.analytics import basket_rules
+
+        rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, ["user_id", "item"])
+        out = {
+            (r["antecedent"], r["consequent"]): r["n_baskets"]
+            for r in basket_rules(
+                df, basket_col="user_id", item_col="item",
+                min_pair_support=1, max_basket_items=2,
+            ).collect()
+        }
+        # basket 1 (3 items) dropped entirely, incl. from n_baskets
+        assert set(out) == {("a", "b"), ("b", "a")}
+        assert out[("a", "b")] == 1
+
+
+class TestWinsorize:
+    def test_matches_nearest_rank_reference(self, spark):
+        import math
+        import random
+
+        from tafra_spark.functions.analytics import winsorize
+
+        rng = random.Random(3)
+        rows = [
+            (i, rng.choice(["x", "y"]), round(rng.uniform(0, 100), 2))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+        by_k = {}
+        for _, k, v in rows:
+            by_k.setdefault(k, []).append(v)
+
+        def nearest_rank(vals, p):
+            s = sorted(vals)
+            return s[max(0, math.ceil(p * len(s) / 100) - 1)]
+
+        out = winsorize(df, lo_pct=10, hi_pct=90).collect()
+        assert len(out) == 200
+        for r in out:
+            lo = nearest_rank(by_k[r["event_type"]], 10)
+            hi = nearest_rank(by_k[r["event_type"]], 90)
+            assert r["value_clipped"] == min(max(r["value"], lo), hi)
+            assert r["was_clipped_lo"] == (r["value"] < lo)
+            assert r["was_clipped_hi"] == (r["value"] > hi)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.analytics import winsorize
+
+        df = spark.createDataFrame([(1, "a", 1.0)], ["i", "k", "value"])
+        with _pytest.raises(ValueError):
+            winsorize(df, key_col="k", lo_pct=50, hi_pct=50)

@@ -672,3 +672,80 @@ class TestRound5Plans:
         # contract as mad_outliers
         first_sort = s.find("Sort ")
         assert first_sort != -1 and "HashAggregate" in s[first_sort:]
+
+
+class TestR5NewOperatorPlanCeilings:
+    """Exchange/shape ceilings for the round-5 batch 2 operators."""
+
+    def test_token_entropy_zero_shuffle(self, spark):
+        from tafra_spark.functions.text import token_entropy
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = token_entropy(docs)
+        # the whole signal is a narrow per-row fold on the scan: no
+        # aggregate, no join, no exchange at all
+        assert count_exchanges(df) == 0
+        s = explain_str(df, "simple")
+        assert "HashAggregate" not in s and "Join" not in s
+
+    def test_vocab_growth_bounded_exchanges(self, spark):
+        from tafra_spark.functions.pipeline import vocab_growth
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = vocab_growth(docs, bucket_width=100)
+        # term min-agg + per-doc new-term agg + bucket windows/carry.
+        # The static plan shows the pts subtree once per consumer
+        # branch (7 exchanges); at run time the persisted pts table
+        # collapses both branches onto one materialized pass.
+        assert count_exchanges(df) <= 7
+        assert "CartesianProduct" not in explain_str(df, "simple")
+
+    def test_containment_no_cartesian_bounded(self, spark):
+        from tafra_spark.functions.dedup import containment_pairs
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = containment_pairs(docs, threshold_pct=70, shingle_k=3)
+        s = explain_str(df, "simple")
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+        assert count_exchanges(df) <= 10
+
+    def test_rrf_fusion_is_tiny_aggregate(self, spark):
+        from tafra_spark.functions.retrieval import rrf_fuse
+        from tafra_spark.plans.inspect import count_exchanges
+
+        a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+        # fusion itself: one hash-agg exchange + the TakeOrdered limit
+        assert count_exchanges(rrf_fuse([a, b], k=5)) <= 2
+
+    def test_winsorize_broadcasts_bounds(self, spark):
+        from tafra_spark.functions.analytics import winsorize
+        from tafra_spark.plans.inspect import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = winsorize(ev)
+        s = explain_str(df, "simple")
+        # the row stream joins the tiny bounds table via broadcast —
+        # a sort-merge join would shuffle the whole event stream
+        assert "BroadcastHashJoin" in s
+        assert "SortMergeJoin" not in s
+
+    def test_basket_rules_no_cartesian(self, spark):
+        from tafra_spark.functions.analytics import basket_rules
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        items = ev.selectExpr(
+            "user_id", "CAST(get_json_object(props, '$.k') AS LONG) AS item"
+        )
+        df = basket_rules(items, item_col="item")
+        s = explain_str(df, "simple")
+        assert "CartesianProduct" not in s
+        # the static plan replays the persisted bi/pairs subtrees once
+        # per consumer branch (4x bi, 2x pairs); at run time each
+        # materializes once, so the runtime shuffle count is ~6
+        assert count_exchanges(df) <= 13
