@@ -2345,6 +2345,59 @@ def event_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_semantic_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate kNN graph over the whole embedding table: one
+    # hyperplane-bucket self-join (corpus-linear shuffle), exact cosine
+    # within buckets — the adjacency structure for semantic clustering
+    # and graph-ANN seeds
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, dim=64, k=3, n_planes=6)
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree assortativity (Newman 2002) of the bipartite user-item
+    # incidence graph; all Pearson components are exact integer sums
+    # (degrees are ints), one mirrored double division at the end
+    ev = _read_events(spark, sf_dir)
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(
+            F.lit("k"),
+            F.expr(
+                "CAST(CAST(get_json_object(props, '$.k') AS LONG)"
+                " div 10 AS STRING)"
+            ),
+        ).alias("v"),
+    )
+    return AN.edge_assortativity(edges)
+
+
+def markov_next_event_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov next-event backtest: train argmax transitions
+    # on the first time half, measure accuracy on the second — the
+    # behavioral-stability readout on top of event_transitions
+    ev = _read_events(spark, sf_dir)
+    return AN.markov_next_event_eval(ev)
+
+
+def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV sketch set algebra (Beyer 2007): estimated vocab union /
+    # intersection / Jaccard between source pairs from k·|sources|
+    # hashes — the sketch-sized complement to the exact source_overlap
+    # matrix; deterministic md5 family makes the estimates themselves
+    # oracle-checkable
+    from tafra_spark.functions.sketches import kmv_set_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(TX.word_tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    return kmv_set_ops(toks, "token", "source", k=64)
+
+
 def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type robust clipping to exact nearest-rank [5, 95] percentile
     # bounds; the bounds table broadcasts back onto the row stream, the
@@ -2397,6 +2450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": vocab_growth_curve,
         "event_basket_rules": event_basket_rules,
         "winsorized_event_values": winsorized_event_values,
+        "knn_semantic_graph": knn_semantic_graph,
+        "graph_assortativity": graph_assortativity,
+        "markov_next_event_acc": markov_next_event_acc,
+        "kmv_vocab_overlap": kmv_vocab_overlap,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2670,6 +2727,40 @@ def _bucket_sql(dim: int, n_planes: int, seed: int, var: str = "v") -> str:
             f" ELSE CAST(0 AS BIGINT) END)"
         )
     return "\n                 + ".join(bucket_terms)
+
+
+def _knn_graph_sql(
+    dim: int = 64, k: int = 3, n_planes: int = 6, seed: int = 42
+) -> str:
+    """kNN-graph oracle: same inlined plane literals / bucket chain as
+    the Spark plan, full bucket self-join, exact cosine rank."""
+    bucket = _bucket_sql(dim, n_planes, seed)
+    return f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {bucket} AS bucket
+              FROM e
+            ),
+            scored AS (
+              SELECT a.vec_id AS src, c.vec_id AS dst,
+                     list_cosine_similarity(a.v, c.v) AS cos_raw
+              FROM b a JOIN b c USING (bucket)
+              WHERE a.vec_id <> c.vec_id
+            ),
+            ranked AS (
+              SELECT src, dst, cos_raw,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY cos_raw DESC, dst) AS rank
+              FROM scored
+            )
+            SELECT src, dst, round(cos_raw, 6) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {k}
+    """
 
 
 def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 8, seed: int = 42) -> str:
@@ -6770,6 +6861,171 @@ def oracle_sql() -> dict[str, str]:
             JOIN itn na ON dir.antecedent = na.i
             JOIN itn nbi ON dir.consequent = nbi.i
             CROSS JOIN nb
+        """,
+        "knn_semantic_graph": _knn_graph_sql(
+            dim=64, k=3, n_planes=6, seed=42
+        ),
+        "graph_assortativity": r"""
+            WITH e0 AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS uu,
+                     'k' || CAST(
+                       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         // 10 AS VARCHAR) AS vv
+              FROM events
+              WHERE user_id IS NOT NULL
+                AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      IS NOT NULL
+            ),
+            und AS (
+              SELECT DISTINCT least(uu, vv) AS u, greatest(uu, vv) AS v
+              FROM e0 WHERE uu <> vv
+            ),
+            deg AS (
+              SELECT node, count(*) AS d
+              FROM (SELECT u AS node FROM und
+                    UNION ALL SELECT v AS node FROM und)
+              GROUP BY node
+            ),
+            ends0 AS (
+              SELECT du.d AS x, dv.d AS y
+              FROM und
+              JOIN deg du ON und.u = du.node
+              JOIN deg dv ON und.v = dv.node
+            ),
+            ends AS (
+              SELECT x, y FROM ends0
+              UNION ALL SELECT y AS x, x AS y FROM ends0
+            ),
+            comp AS (
+              SELECT count(*) AS n, sum(x) AS sx,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM ends
+            ),
+            nodes AS (SELECT count(*) AS n_nodes FROM deg)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n / 2 AS BIGINT) AS n_edges,
+                   CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+                     round(CAST(n * sxy - sx * sx AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   END AS assortativity
+            FROM comp CROSS JOIN nodes
+        """,
+        "markov_next_event_acc": r"""
+            WITH pairs AS (
+              SELECT event_type AS a,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS b,
+                     epoch_us(ts) AS us
+              FROM events
+            ),
+            p AS (SELECT * FROM pairs WHERE b IS NOT NULL),
+            bounds AS (
+              SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+              FROM events
+            ),
+            tag AS (
+              SELECT a, b, us < (lo + hi) // 2 AS tr
+              FROM p CROSS JOIN bounds
+            ),
+            train AS (
+              SELECT a, b, count(*) AS n FROM tag WHERE tr GROUP BY a, b
+            ),
+            pred AS (
+              SELECT a, b AS predicted_next
+              FROM (SELECT a, b,
+                           row_number() OVER (PARTITION BY a
+                             ORDER BY n DESC, b) AS rk
+                    FROM train)
+              WHERE rk = 1
+            ),
+            ntr AS (SELECT a, sum(n) AS n_train FROM train GROUP BY a),
+            ev AS (SELECT a, b FROM tag WHERE NOT tr)
+            SELECT ev.a AS event_type, pred.predicted_next,
+                   CAST(coalesce(ntr.n_train, 0) AS BIGINT) AS n_train,
+                   CAST(count(*) AS BIGINT) AS n_eval,
+                   CAST(sum(CASE WHEN ev.b = pred.predicted_next
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   CAST((sum(CASE WHEN ev.b = pred.predicted_next
+                             THEN 1 ELSE 0 END) * 1000000) // count(*)
+                        AS BIGINT) AS accuracy_q6
+            FROM ev
+            LEFT JOIN pred ON ev.a = pred.a
+            LEFT JOIN ntr ON ev.a = ntr.a
+            GROUP BY ev.a, pred.predicted_next, ntr.n_train
+        """,
+        "kmv_vocab_overlap": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\s+')))
+                       AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            d AS (
+              SELECT DISTINCT source AS p,
+                     CAST(concat('0x',
+                          substr(md5('42|' || CAST(token AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+              FROM toks
+              WHERE token IS NOT NULL AND source IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY p ORDER BY h) AS rk
+              FROM d
+            ),
+            sk AS (SELECT p, h FROM r WHERE rk <= 64),
+            per AS (
+              SELECT p,
+                     CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0
+                            / CAST(max(h) AS DOUBLE)
+                     END AS est
+              FROM sk GROUP BY p
+            ),
+            pairs AS (
+              SELECT a.p AS part_a, b.p AS part_b,
+                     a.est AS est_a, b.est AS est_b
+              FROM per a JOIN per b ON a.p < b.p
+            ),
+            m AS (
+              SELECT part_a, part_b, h, max(ia) AS ia, max(ib) AS ib
+              FROM (
+                SELECT pr.part_a, pr.part_b, s.h, 1 AS ia, 0 AS ib
+                FROM pairs pr JOIN sk s ON s.p = pr.part_a
+                UNION ALL
+                SELECT pr.part_a, pr.part_b, s.h, 0 AS ia, 1 AS ib
+                FROM pairs pr JOIN sk s ON s.p = pr.part_b
+              ) GROUP BY part_a, part_b, h
+            ),
+            kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY part_a, part_b
+                          ORDER BY h) AS rk
+                FROM m
+              ) WHERE rk <= 64
+            ),
+            agg AS (
+              SELECT part_a, part_b, count(*) AS nk, max(h) AS uk,
+                     sum(ia * ib) AS nboth
+              FROM kept GROUP BY part_a, part_b
+            )
+            SELECT agg.part_a, agg.part_b,
+                   round(p.est_a, 6) AS est_a,
+                   round(p.est_b, 6) AS est_b,
+                   round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0
+                              / CAST(uk AS DOUBLE) END, 6) AS est_union,
+                   round(CASE WHEN nk < 64 THEN CAST(nboth AS DOUBLE)
+                         ELSE (CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE))
+                              * (CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                                 ELSE 63.0 * 1152921504606846976.0
+                                      / CAST(uk AS DOUBLE) END)
+                         END, 6) AS est_intersect,
+                   round(CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE), 6)
+                     AS jaccard_est
+            FROM agg
+            JOIN pairs p ON agg.part_a = p.part_a
+                        AND agg.part_b = p.part_b
         """,
         "winsorized_event_values": r"""
             WITH vc AS (

@@ -45,6 +45,11 @@ __all__ = [
     "exact_group_median",
     "triangle_counts",
     "exact_group_quantiles",
+    "basket_rules",
+    "winsorize",
+    "degree_assortativity",
+    "edge_assortativity",
+    "markov_next_event_eval",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -2040,4 +2045,221 @@ def winsorize(
             (F.col(value_col) > F.col("__hi__")).cast("boolean"),
         )
         .drop("__lo__", "__hi__")
+    )
+
+
+def degree_assortativity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Degree assortativity of the undirected event-transition graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    edge ends. Positive → hubs link to hubs (assortative, social-style
+    mixing); negative → hubs link to leaves (disassortative, the usual
+    shape of dependency/interaction graphs). One scalar that
+    fingerprints graph topology drift between ingests.
+
+    Same edge construction as :func:`triangle_counts` (per-user
+    transition pairs → distinct undirected edges); every undirected
+    edge contributes BOTH ordered ends, which is what makes the
+    statistic symmetric.
+
+    Cross-engine discipline: degrees are integers, so every Pearson
+    component (n, Σx, Σx², Σxy) is an EXACT order-independent integer
+    sum; the final r is one mirrored double expression over those
+    integers — bit-identical on any engine, the :func:`corr_matrix`
+    recipe with no fixed-point quantization needed at all. Returns one
+    row (n_nodes, n_edges, assortativity); NULL assortativity for a
+    degree-regular graph (zero variance).
+
+    Plan: one transition window + distinct-edge aggregate (persisted:
+    degrees and the component sum both read it), a degree aggregate,
+    two broadcast joins of the |V|-row degree table onto the edge
+    list, one scalar aggregate. Edges shuffle once, nothing quadratic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    raw = (
+        events.select(
+            F.col(type_col).alias("__a__"),
+            F.lead(type_col).over(w).alias("__b__"),
+        )
+        .filter(
+            F.col("__b__").isNotNull() & (F.col("__a__") != F.col("__b__"))
+        )
+    )
+    und = raw.select(
+        F.least("__a__", "__b__").alias("u"),
+        F.greatest("__a__", "__b__").alias("v"),
+    ).distinct()
+    return edge_assortativity(und, u_col="u", v_col="v")
+
+
+def edge_assortativity(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Core of :func:`degree_assortativity` on an explicit undirected
+    edge list (one row per edge, any orientation; duplicates and
+    self-loops are removed here). Use directly for graphs that do not
+    come from event transitions — bipartite user-item incidence,
+    kNN-graph audits, dependency graphs.
+    """
+    und = (
+        edges.filter(
+            F.col(u_col).isNotNull()
+            & F.col(v_col).isNotNull()
+            & (F.col(u_col) != F.col(v_col))
+        )
+        .select(
+            F.least(u_col, v_col).alias("u"),
+            F.greatest(u_col, v_col).alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d__"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("__d__").alias("__du__"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__d__").alias("__dv__"))
+    ends0 = (
+        und.join(F.broadcast(du), on="u")
+        .join(F.broadcast(dv), on="v")
+        .select(F.col("__du__").alias("x"), F.col("__dv__").alias("y"))
+    )
+    # each undirected edge contributes BOTH ordered ends; instead of
+    # materializing the doubled list (a union that replays the edge
+    # subtree), fold the symmetry into the aggregate: over ordered
+    # ends, n = 2m, Σx = Σ(x+y), Σx² = Σ(x²+y²), Σxy = 2·Σxy₀ — one
+    # pass over m rows, identical integers
+    comp = ends0.agg(
+        F.count(F.lit(1)).cast("long").alias("__m__"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("__sx__"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("__sxx__"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("__sxy0__"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)  — x and y are the same
+    # multiset (both edge ends), so Σy = Σx and Σy² = Σx²: the
+    # denominator collapses to the variance term and the whole
+    # expression is one double division over exact integers
+    n = F.lit(2).cast("long") * F.col("__m__")
+    num = (
+        n * (F.lit(2).cast("long") * F.col("__sxy0__"))
+        - F.col("__sx__") * F.col("__sx__")
+    ).cast("double")
+    den = (
+        n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    ).cast("double")
+    return (
+        comp.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            F.col("__m__").alias("n_edges"),
+            F.when(den != 0.0, F.round(num / den, 6)).alias("assortativity"),
+        )
+    )
+
+
+def markov_next_event_eval(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Train/eval a first-order Markov next-event predictor on the
+    event stream: transition counts from the FIRST time half predict
+    argmax next-type; accuracy is measured on the second half — the
+    standard backtest for "is user behavior stable enough for a
+    sequence model", and a drift alarm when a previously-accurate
+    matrix decays (cf. :func:`event_transitions`, which reports the
+    matrix itself without the predictive-quality readout).
+
+    Split point = midpoint of the observed time range, computed as
+    exact epoch-microsecond integer arithmetic from ONE broadcast
+    min/max row (the :func:`distribution_drift` recipe); a transition
+    belongs to the half containing its FIRST event. Self-transitions
+    count (predicting "another page view" is a real prediction).
+    Prediction ties break (count desc, type asc) — fully
+    deterministic. Accuracy is exact integer q6. Returns per type:
+    (event_type, predicted_next, n_train, n_eval, n_correct,
+    accuracy_q6); types never seen in training carry NULL predictions
+    and zero correct.
+
+    Plan: one user-keyed transition window feeds both halves; train
+    counts are a tiny (|types|²) aggregate whose argmax window runs on
+    the aggregated table; the eval half joins the broadcast prediction
+    table. Nothing beyond the one user exchange touches raw rows.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("__a__"),
+            F.lead(type_col).over(w).alias("__b__"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__"),
+        )
+        .filter(F.col("__b__").isNotNull())
+        .persist()  # train and eval branches both read the pairs
+    )
+    bounds = events.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__lo__"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__hi__"),
+    )
+    mid = F.expr("CAST((__lo__ + __hi__) div 2 AS BIGINT)")
+    tagged = pairs.crossJoin(F.broadcast(bounds)).withColumn(
+        "__train__", F.col("__us__") < mid
+    )
+    train = (
+        tagged.filter(F.col("__train__"))
+        .groupBy("__a__", "__b__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    )
+    w_pred = Window.partitionBy("__a__").orderBy(
+        F.col("__n__").desc(), F.col("__b__")
+    )
+    pred = (
+        train.withColumn("__rk__", F.row_number().over(w_pred))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            F.col("__a__"),
+            F.col("__b__").alias("predicted_next"),
+        )
+    )
+    n_train = train.groupBy("__a__").agg(
+        F.sum("__n__").cast("long").alias("n_train")
+    )
+    ev = tagged.filter(~F.col("__train__"))
+    out = (
+        ev.join(F.broadcast(pred), on="__a__", how="left")
+        .join(F.broadcast(n_train), on="__a__", how="left")
+        .groupBy("__a__", "predicted_next")
+        .agg(
+            F.first("n_train").alias("__nt__"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("__b__") == F.col("predicted_next"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return out.select(
+        F.col("__a__").alias(type_col),
+        "predicted_next",
+        F.coalesce("__nt__", F.lit(0).cast("long")).alias("n_train"),
+        "n_eval",
+        "n_correct",
+        F.expr("CAST(n_correct * 1000000 div n_eval AS BIGINT)").alias(
+            "accuracy_q6"
+        ),
     )

@@ -66,6 +66,7 @@ __all__ = [
     "corpus_scorecard",
     "bigram_logprob",
     "oov_rates",
+    "vocab_growth",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the

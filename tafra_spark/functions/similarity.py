@@ -1806,3 +1806,74 @@ def label_consistency(
             F.col("majority_label") == F.col(label_col),
         ).alias("agrees"),
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding
+    table: for every vector, its ``k`` most-cosine-similar bucket peers
+    — the adjacency structure under semantic clustering, graph-based
+    dedup audits, kNN-classification (:func:`label_consistency` builds
+    exactly this neighborhood internally), and graph-ANN index seeds
+    (NSW/HNSW layers start from a kNN graph).
+
+    Candidates come from one hyperplane-signature self-join (the
+    :func:`lsh_ann_topk` recall dial: fewer planes → bigger buckets →
+    higher recall and cost); scoring inside a bucket is exact cosine
+    with (cos desc, id) determinism. A vector sharing its bucket with
+    nobody emits no rows — the honest answer under bucketed recall,
+    and the signal to lower ``n_planes`` or add tables.
+
+    Plan shape: the corpus is hashed once (narrow, inlined plane
+    literals — one parse, no py4j literal marshalling), the self-join
+    is keyed by the 2^n_planes bucket id so shuffle volume stays
+    corpus-linear, and the per-source rank window runs on the join's
+    own partitioning. ``max_bucket`` optionally drops degenerate
+    buckets (the LSH hazard: near-constant embedding regions) before
+    the quadratic within-bucket compare. Returns (src, dst, cos, rank).
+    """
+    sig = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_signature_sql(vec_col, dim, n_planes, seed)).alias("__sig__"),
+    )
+    if max_bucket is not None:
+        sizes = sig.groupBy("__sig__").agg(F.count(F.lit(1)).alias("__bn__"))
+        sig = sig.join(
+            F.broadcast(
+                sizes.filter(F.col("__bn__") <= int(max_bucket)).select(
+                    "__sig__"
+                )
+            ),
+            on="__sig__",
+        )
+    sig = sig.persist()  # hashed once; both self-join sides read it
+    a = sig.select(
+        F.col("__sig__"),
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("__va__"),
+    )
+    b = sig.select(
+        F.col("__sig__"),
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("__vb__"),
+    )
+    scored = (
+        a.join(b, on="__sig__")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+    )

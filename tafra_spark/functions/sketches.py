@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "bloom_build",
     "bloom_contains",
     "kmv_distinct",
+    "kmv_set_ops",
 ]
 
 
@@ -349,4 +350,124 @@ def count_min_join_size(
     )
     return per_row.agg(
         F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("join_size_est")
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    col: str,
+    part_col: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairwise distinct-set UNION / INTERSECTION / Jaccard estimates
+    between partitions from k-minimum-values sketches — the sketch
+    ALGEBRA on top of :func:`kmv_distinct` (Beyer et al., SIGMOD 2007):
+    merge two KMV sketches by keeping the k smallest of their hash
+    union; |A∪B| estimates from the merged sketch exactly like a plain
+    KMV; ρ = (fraction of merged-sketch hashes present in BOTH input
+    sketches) estimates Jaccard, and |A∩B| ≈ ρ·|A∪B|. This answers
+    "how much would deduplicating sources X and Y together save" from
+    k·|sources| longs instead of a corpus-scale distinct join — the
+    sketch-sized complement to the exact
+    :func:`tafra_spark.functions.pipeline.source_overlap` matrix.
+
+    Deterministic md5-60bit hashing makes every estimate itself
+    value-hash verifiable cross-engine (same property as
+    ``kmv_distinct``'s portable mode). Pairs where the merged sketch
+    holds fewer than k hashes report EXACT union/intersection counts.
+
+    Plan: one distinct (part, hash) collapse (the shuffle carries one
+    row per distinct value), a per-part top-k rank window, then all
+    pair arithmetic runs on k-row sketches — |parts|²·k rows total,
+    never corpus². Returns (part_a, part_b, est_a, est_b, est_union,
+    est_intersect, jaccard_est) with part_a < part_b.
+    """
+    if k < 2:
+        raise ValueError("kmv_set_ops: k must be >= 2")
+    digest = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(col).cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    d = (
+        df.filter(F.col(col).isNotNull() & F.col(part_col).isNotNull())
+        .select(F.col(part_col).alias("__p__"), h.alias("__h__"))
+        .distinct()
+    )
+    w = Window.partitionBy("__p__").orderBy("__h__")
+    sk = (
+        d.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+        .persist()  # per-part estimates + both pair-merge sides
+    )
+    est_col = F.when(
+        F.col("__nh__") < k, F.col("__nh__").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("__hk__").cast("double")
+    )
+    per = sk.groupBy("__p__").agg(
+        F.count(F.lit(1)).alias("__nh__"), F.max("__h__").alias("__hk__")
+    ).select("__p__", est_col.alias("__est__"))
+    pairs = (
+        per.select(F.col("__p__").alias("part_a"), F.col("__est__").alias("est_a"))
+        .crossJoin(
+            per.select(
+                F.col("__p__").alias("part_b"), F.col("__est__").alias("est_b")
+            )
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    ra = sk.select(
+        F.col("__p__").alias("part_a"), F.col("__h__"), F.lit(1).alias("__ia__")
+    )
+    rb = sk.select(
+        F.col("__p__").alias("part_b"), F.col("__h__"), F.lit(1).alias("__ib__")
+    )
+    merged = (
+        pairs.select("part_a", "part_b")
+        .join(ra, on="part_a")
+        .unionByName(
+            pairs.select("part_a", "part_b")
+            .join(rb, on="part_b")
+            .select("part_a", "part_b", "__h__", F.lit(0).alias("__ia__"),
+                    F.lit(1).alias("__ib__")),
+            allowMissingColumns=True,
+        )
+        .na.fill({"__ib__": 0})
+        .groupBy("part_a", "part_b", "__h__")
+        .agg(F.max("__ia__").alias("__a__"), F.max("__ib__").alias("__b__"))
+    )
+    w_m = Window.partitionBy("part_a", "part_b").orderBy("__h__")
+    kept = merged.withColumn("__rk__", F.row_number().over(w_m)).filter(
+        F.col("__rk__") <= k
+    )
+    agg = kept.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("__nk__"),
+        F.max("__h__").alias("__uk__"),
+        F.sum(F.col("__a__") * F.col("__b__")).alias("__nboth__"),
+    )
+    est_union = F.when(
+        F.col("__nk__") < k, F.col("__nk__").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("__uk__").cast("double")
+    )
+    est_inter = F.when(
+        F.col("__nk__") < k, F.col("__nboth__").cast("double")
+    ).otherwise(
+        (F.col("__nboth__").cast("double") / F.col("__nk__").cast("double"))
+        * est_union
+    )
+    jac = F.col("__nboth__").cast("double") / F.col("__nk__").cast("double")
+    return (
+        agg.join(F.broadcast(pairs), on=["part_a", "part_b"])
+        .select(
+            "part_a",
+            "part_b",
+            F.round("est_a", 6).alias("est_a"),
+            F.round("est_b", 6).alias("est_b"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(est_inter, 6).alias("est_intersect"),
+            F.round(jac, 6).alias("jaccard_est"),
+        )
     )

@@ -28,6 +28,7 @@ __all__ = [
     "inverted_index",
     "bm25_topk",
     "repetition_signals",
+    "token_entropy",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.

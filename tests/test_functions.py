@@ -3929,3 +3929,200 @@ class TestWinsorize:
         df = spark.createDataFrame([(1, "a", 1.0)], ["i", "k", "value"])
         with _pytest.raises(ValueError):
             winsorize(df, key_col="k", lo_pct=50, hi_pct=50)
+
+
+class TestAssortativity:
+    def test_path_graph_is_disassortative(self, spark):
+        from tafra_spark.functions.analytics import edge_assortativity
+
+        edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["u", "v"])
+        row = edge_assortativity(edges).collect()[0]
+        assert (row["n_nodes"], row["n_edges"]) == (3, 2)
+        assert row["assortativity"] == -1.0
+
+    def test_regular_graph_null(self, spark):
+        from tafra_spark.functions.analytics import edge_assortativity
+
+        # triangle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], ["u", "v"]
+        )
+        row = edge_assortativity(edges).collect()[0]
+        assert row["assortativity"] is None
+
+    def test_matches_numpy_on_random_graph(self, spark):
+        import random
+
+        import numpy as np
+
+        from tafra_spark.functions.analytics import edge_assortativity
+
+        rng = random.Random(9)
+        edges = list(
+            {
+                tuple(sorted((f"n{rng.randint(0, 12)}", f"n{rng.randint(0, 12)}")))
+                for _ in range(40)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, ["u", "v"])
+        row = edge_assortativity(df).collect()[0]
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        xs, ys = [], []
+        for u, v in edges:
+            xs += [deg[u], deg[v]]
+            ys += [deg[v], deg[u]]
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert abs(row["assortativity"] - ref) < 1e-6
+        assert row["n_edges"] == len(edges)
+
+    def test_transition_wrapper(self, spark):
+        from tafra_spark.functions.analytics import degree_assortativity
+
+        rows = [
+            (0, 1, "a", 0), (1, 1, "b", 1), (2, 1, "c", 2),
+        ]  # path a-b-c via user 1 transitions
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        row = degree_assortativity(ev).collect()[0]
+        assert row["assortativity"] == -1.0
+
+
+class TestMarkovNextEventEval:
+    def test_hand_built_split(self, spark):
+        from tafra_spark.functions.analytics import markov_next_event_eval
+
+        # user 1: ts 0..3 -> transitions (a,b)@0 (b,a)@1 (a,b)@2
+        # range [0, 4] -> mid = 2: train = {(a,b)@0, (b,a)@1},
+        # eval = {(a,b)@2, (b,c)@3}
+        rows = [
+            (0, 1, "a", "2024-01-01 00:00:00"),
+            (1, 1, "b", "2024-01-01 00:00:01"),
+            (2, 1, "a", "2024-01-01 00:00:02"),
+            (3, 1, "b", "2024-01-01 00:00:03"),
+            (4, 1, "c", "2024-01-01 00:00:04"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["event_type"]: r
+            for r in markov_next_event_eval(ev).collect()
+        }
+        a = out["a"]
+        assert a["predicted_next"] == "b"
+        assert (a["n_train"], a["n_eval"], a["n_correct"]) == (1, 1, 1)
+        assert a["accuracy_q6"] == 1000000
+        b = out["b"]
+        assert b["predicted_next"] == "a"
+        assert (b["n_eval"], b["n_correct"]) == (1, 0)
+        assert b["accuracy_q6"] == 0
+
+    def test_unseen_type_null_prediction(self, spark):
+        from tafra_spark.functions.analytics import markov_next_event_eval
+
+        rows = [
+            (0, 1, "a", "2024-01-01 00:00:00"),
+            (1, 1, "a", "2024-01-01 00:00:01"),
+            (2, 1, "z", "2024-01-01 00:00:09"),
+            (3, 1, "a", "2024-01-01 00:00:10"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["event_type"]: r
+            for r in markov_next_event_eval(ev).collect()
+        }
+        assert out["z"]["predicted_next"] is None
+        assert out["z"]["n_correct"] == 0 and out["z"]["n_train"] == 0
+
+
+class TestKMVSetOps:
+    def test_exact_under_k(self, spark):
+        from tafra_spark.functions.sketches import kmv_set_ops
+
+        rows = (
+            [("A", f"x{i}") for i in range(10)]
+            + [("B", f"x{i}") for i in range(5, 15)]
+        )
+        df = spark.createDataFrame(rows, ["part", "val"])
+        r = kmv_set_ops(df, "val", "part", k=64).collect()[0]
+        # all sketches under k: everything exact
+        assert (r["part_a"], r["part_b"]) == ("A", "B")
+        assert r["est_a"] == 10.0 and r["est_b"] == 10.0
+        assert r["est_union"] == 15.0
+        assert r["est_intersect"] == 5.0
+        assert abs(r["jaccard_est"] - 5 / 15) < 1e-6
+
+    def test_identical_and_disjoint(self, spark):
+        from tafra_spark.functions.sketches import kmv_set_ops
+
+        rows = (
+            [("A", f"v{i}") for i in range(200)]
+            + [("B", f"v{i}") for i in range(200)]
+            + [("C", f"w{i}") for i in range(200)]
+        )
+        df = spark.createDataFrame(rows, ["part", "val"])
+        out = {
+            (r["part_a"], r["part_b"]): r
+            for r in kmv_set_ops(df, "val", "part", k=32).collect()
+        }
+        ab = out[("A", "B")]
+        assert ab["jaccard_est"] == 1.0
+        assert ab["est_union"] == ab["est_intersect"]
+        ac = out[("A", "C")]
+        assert ac["jaccard_est"] == 0.0 and ac["est_intersect"] == 0.0
+        # estimate quality: within 3/sqrt(k-2) of truth (~55%) -- loose
+        assert 100 < ac["est_union"] < 900
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.sketches import kmv_set_ops
+
+        df = spark.createDataFrame([("A", "x")], ["part", "val"])
+        with _pytest.raises(ValueError):
+            kmv_set_ops(df, "val", "part", k=1)
+
+
+class TestKnnGraph:
+    def test_single_bucket_equals_brute_force(self, spark):
+        import numpy as np
+
+        from tafra_spark.functions.similarity import knn_graph
+
+        rng = np.random.RandomState(4)
+        vecs = rng.randn(20, 8).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {}
+        for r in knn_graph(df, dim=8, k=3, n_planes=0).collect():
+            out.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+        norms = np.linalg.norm(vecs, axis=1)
+        for i in range(20):
+            cos = vecs @ vecs[i] / (norms * norms[i])
+            order = sorted(
+                (j for j in range(20) if j != i),
+                key=lambda j: (-cos[j], j),
+            )[:3]
+            got = [d for _, d in sorted(out[i])]
+            assert got == order, i
+
+    def test_bucketed_subset_and_determinism(self, spark):
+        from tafra_spark.functions.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        a = knn_graph(emb, dim=64, k=3, n_planes=6).collect()
+        b = knn_graph(emb, dim=64, k=3, n_planes=6).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        per_src = {}
+        for r in a:
+            per_src.setdefault(r["src"], []).append(r)
+        for src, rs in per_src.items():
+            assert len(rs) <= 3
+            assert all(r["dst"] != src for r in rs)

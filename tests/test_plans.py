@@ -749,3 +749,59 @@ class TestR5NewOperatorPlanCeilings:
         # per consumer branch (4x bi, 2x pairs); at run time each
         # materializes once, so the runtime shuffle count is ~6
         assert count_exchanges(df) <= 13
+
+
+class TestR5Batch2PlanCeilings:
+    def test_knn_graph_bucket_join_no_cartesian(self, spark):
+        from tafra_spark.functions.similarity import knn_graph
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        df = knn_graph(emb, dim=64, k=3, n_planes=6)
+        s = explain_str(df, "simple")
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+        # bucket self-join + rank window share the signature exchange
+        assert count_exchanges(df) <= 4
+
+    def test_assortativity_edges_shuffle_once(self, spark):
+        from tafra_spark.functions.analytics import edge_assortativity
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], ["u", "v"]
+        )
+        df = edge_assortativity(edges)
+        s = explain_str(df, "simple")
+        # degree tables attach by broadcast; the edge list never
+        # sort-merge-shuffles against them
+        assert "SortMergeJoin" not in s
+        # static plan replays the persisted edge subtree per branch;
+        # runtime is one distinct + one degree agg + two scalar aggs
+        assert count_exchanges(df) <= 12
+
+    def test_markov_single_user_exchange_on_raw_rows(self, spark):
+        from tafra_spark.functions.analytics import markov_next_event_eval
+        from tafra_spark.plans.inspect import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = markov_next_event_eval(ev)
+        s = explain_str(df, "simple")
+        # prediction + n_train tables attach by broadcast to the eval
+        # stream; no sort-merge join of raw rows
+        assert "SortMergeJoin" not in s
+        assert "CartesianProduct" not in s
+
+    def test_kmv_set_ops_sketch_sized_pairs(self, spark):
+        from tafra_spark.functions.sketches import kmv_set_ops
+        from tafra_spark.plans.inspect import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = kmv_set_ops(docs, "text", "source", k=16)
+        s = explain_str(df, "simple")
+        # the only nested-loop joins are the |parts|²-sized pair
+        # frames (their inputs are per-part aggregates — broadcast-tiny
+        # by construction, one per consumer branch in the static plan);
+        # raw values must never cartesian
+        assert s.count("BroadcastNestedLoopJoin") <= 3
+        assert "CartesianProduct" not in s
