@@ -2398,6 +2398,23 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-driven multi-touch attribution (Markov removal effect,
+    # Anderl 2014): absorption-probability chains in exact q9 integer
+    # fixed point; journeys/transition counts distributed, the tiny
+    # chain solve on the collected (|channels|+2)^2 matrix
+    ev = _read_events(spark, sf_dir)
+    return AN.markov_attribution(ev, conv_type="purchase", iterations=10)
+
+
+def seasonal_anomaly_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekday-hour seasonal baseline anomalies on a complete grid —
+    # integer cross-multiplied flags, empty cells (silent hours) are
+    # first-class drops
+    ev = _read_events(spark, sf_dir)
+    return AN.seasonal_anomalies(ev)
+
+
 def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type robust clipping to exact nearest-rank [5, 95] percentile
     # bounds; the bounds table broadcasts back onto the row stream, the
@@ -2454,6 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": graph_assortativity,
         "markov_next_event_acc": markov_next_event_acc,
         "kmv_vocab_overlap": kmv_vocab_overlap,
+        "markov_removal_attribution": markov_removal_attribution,
+        "seasonal_anomaly_cells": seasonal_anomaly_cells,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2727,6 +2746,107 @@ def _bucket_sql(dim: int, n_planes: int, seed: int, var: str = "v") -> str:
             f" ELSE CAST(0 AS BIGINT) END)"
         )
     return "\n                 + ".join(bucket_terms)
+
+
+def _markov_attrib_sql(conv: str = "purchase", iters: int = 10) -> str:
+    """Markov removal-effect oracle: journeys → transition counts in
+    windows, then the SAME q9 integer absorption recurrence the Spark
+    operator runs, unrolled relationally over a (chain, state) frame —
+    one CTE pair per iteration, removal chains and the full chain in
+    one table (the kmeans/pagerank unrolled-oracle pattern)."""
+    body = f"""
+            WITH rn AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            crn AS (
+              SELECT user_id, min(rn) AS crn FROM rn
+              WHERE event_type = '{conv}' GROUP BY user_id
+            ),
+            kept AS (
+              SELECT rn.user_id,
+                     CASE WHEN rn.event_type = '{conv}' THEN 'CONV'
+                          ELSE rn.event_type END AS m,
+                     rn.rn
+              FROM rn LEFT JOIN crn ON rn.user_id = crn.user_id
+              WHERE crn.crn IS NULL OR rn.rn <= crn.crn
+            ),
+            seq AS (
+              SELECT user_id, m, rn,
+                     lead(m) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+              FROM kept
+            ),
+            trans AS (
+              SELECT 'START' AS src, m AS dst FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT m AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+              UNION ALL
+              SELECT m AS src, 'NULL' AS dst FROM seq
+              WHERE nxt IS NULL AND m <> 'CONV'
+            ),
+            edges AS (
+              SELECT src, dst, count(*) AS n FROM trans GROUP BY src, dst
+            ),
+            srcn AS (SELECT src, sum(n) AS n_out FROM edges GROUP BY src),
+            states AS (SELECT DISTINCT src AS s FROM edges),
+            chains AS (
+              SELECT s AS rm FROM states WHERE s <> 'START'
+              UNION ALL SELECT '__FULL__' AS rm
+            ),
+            v0 AS (
+              SELECT rm, s, CAST(0 AS BIGINT) AS v
+              FROM chains CROSS JOIN states
+            )"""
+    for k in range(1, iters + 1):
+        body += f""",
+            v{k}r AS MATERIALIZED (
+              SELECT c.rm, e.src AS s,
+                     CAST(sum(e.n * (CASE WHEN e.dst = 'CONV'
+                                       THEN 1000000000
+                                     WHEN e.dst = 'NULL' OR e.dst = c.rm
+                                       THEN 0
+                                     ELSE coalesce(vp.v, 0) END))
+                          // min(sn.n_out) AS BIGINT) AS vraw
+              FROM chains c
+              CROSS JOIN edges e
+              JOIN srcn sn ON sn.src = e.src
+              LEFT JOIN v{k - 1} vp ON vp.rm = c.rm AND vp.s = e.dst
+              GROUP BY c.rm, e.src
+            ),
+            v{k} AS MATERIALIZED (
+              SELECT rm, s,
+                     CASE WHEN s = rm THEN CAST(0 AS BIGINT)
+                          ELSE vraw END AS v
+              FROM v{k}r
+            )"""
+    body += f""",
+            pfull AS (
+              SELECT v AS p_full FROM v{iters}
+              WHERE rm = '__FULL__' AND s = 'START'
+            ),
+            prm AS (
+              SELECT rm AS channel, v AS p_removed FROM v{iters}
+              WHERE rm <> '__FULL__' AND s = 'START'
+            ),
+            re AS (
+              SELECT channel, p_removed, p_full,
+                     greatest(p_full - p_removed, 0) AS eff
+              FROM prm CROSS JOIN pfull
+            ),
+            tot AS (SELECT sum(eff) AS t FROM re)
+            SELECT channel,
+                   CAST(p_removed AS BIGINT) AS p_removed_q9,
+                   CAST(p_full AS BIGINT) AS p_full_q9,
+                   CAST(CASE WHEN p_full > 0
+                        THEN (eff * 1000000) // p_full END AS BIGINT)
+                     AS removal_effect_q6,
+                   CAST(CASE WHEN t > 0
+                        THEN (eff * 1000000) // t END AS BIGINT)
+                     AS attribution_q6
+            FROM re CROSS JOIN tot"""
+    return body
 
 
 def _knn_graph_sql(
@@ -7026,6 +7146,52 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "markov_removal_attribution": _markov_attrib_sql(
+            conv="purchase", iters=10
+        ),
+        "seasonal_anomaly_cells": r"""
+            WITH base AS (
+              SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                     CAST(hour(ts) AS BIGINT) AS h
+              FROM events
+            ),
+            bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM base),
+            types AS (SELECT DISTINCT t FROM base),
+            days AS (
+              SELECT t, unnest(generate_series(lo, hi,
+                               INTERVAL 1 DAY))::DATE AS d
+              FROM types CROSS JOIN bounds
+            ),
+            grid AS (
+              SELECT t, d, unnest(generate_series(0, 23))::BIGINT AS h
+              FROM days
+            ),
+            counts AS (
+              SELECT t, d, h, count(*) AS n FROM base GROUP BY t, d, h
+            ),
+            cells AS (
+              SELECT g.t, g.d, g.h,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                     CAST((datediff('day', DATE '1970-01-01', g.d) + 4) % 7
+                          AS BIGINT) AS dow
+              FROM grid g LEFT JOIN counts c
+                ON g.t = c.t AND g.d = c.d AND g.h = c.h
+            ),
+            slotted AS (
+              SELECT t, d, h, n, dow,
+                     CAST(sum(n) OVER (PARTITION BY t, dow, h) AS BIGINT)
+                       AS ss,
+                     CAST(count(*) OVER (PARTITION BY t, dow, h) AS BIGINT)
+                       AS sc
+              FROM cells
+            )
+            SELECT t AS event_type, strftime(d, '%Y-%m-%d') AS day, h AS hour,
+                   n, dow AS slot_dow, ss AS slot_sum, sc AS slot_cells,
+                   n * sc * 100 > 200 * ss AS is_spike,
+                   n * sc * 100 < 50 * ss AS is_drop
+            FROM slotted
+            WHERE n * sc * 100 > 200 * ss OR n * sc * 100 < 50 * ss
         """,
         "winsorized_event_values": r"""
             WITH vc AS (

@@ -50,6 +50,8 @@ __all__ = [
     "degree_assortativity",
     "edge_assortativity",
     "markov_next_event_eval",
+    "markov_attribution",
+    "seasonal_anomalies",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -2262,4 +2264,260 @@ def markov_next_event_eval(
         F.expr("CAST(n_correct * 1000000 div n_eval AS BIGINT)").alias(
             "accuracy_q6"
         ),
+    )
+
+
+def markov_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    iterations: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) multi-touch attribution:
+    model user journeys as a first-order Markov chain over channels
+    with CONV / NULL absorbing states, estimate P(conversion) by
+    iterating the absorption recurrence, and credit each channel by
+    how much P(conversion) DROPS when that channel is removed — the
+    standard alternative to positional rules
+    (:func:`position_attribution`'s U-shape) that lets the data, not a
+    40/20/40 convention, set the weights.
+
+    Journey semantics: each user's events in (ts, id) order up to and
+    including their FIRST ``conv_type`` event (later events don't
+    influence an already-won conversion); a synthetic START precedes
+    the first touch; non-converting journeys absorb into NULL at their
+    last event. Removing channel c redirects every visit to c into
+    NULL (the Anderl et al. 2014 formulation). The reserved state
+    names START/CONV/NULL must not collide with real channel names.
+
+    Exactness: the absorption recurrence runs in q9 integer fixed
+    point — v'(s) = (Σ_dst n(s,dst)·val(dst)) div n_out(s) with
+    val(CONV) = 1e9 — so ``iterations`` steps are bit-reproducible on
+    any engine (the :func:`pagerank_nodes` discipline; the oracle
+    unrolls the same recurrence relationally). Monotone convergence:
+    each iteration only adds newly-reachable conversion mass, and 10
+    iterations bound journeys of 10 hops.
+
+    Plan: the distributed work is the journey construction — one user
+    exchange for the windows, one tiny (|channels|+2)² transition
+    aggregate. The chain solves run on that collected matrix as exact
+    Python ints (bounded like pagerank's |V|-literal path: channels
+    are event TYPES, not users) and return as a literal relation.
+    Returns per channel: (channel, p_removed_q9, p_full_q9,
+    removal_effect_q6, attribution_q6), NULL effects when no
+    conversions exist.
+    """
+    if iterations < 1:
+        raise ValueError("markov_attribution: iterations must be >= 1")
+    from ._relation import literal_relation
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    rn = events.select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__t__"),
+        F.row_number().over(w).alias("__rn__"),
+    )
+    crn = (
+        rn.filter(F.col("__t__") == conv_type)
+        .groupBy("__u__")
+        .agg(F.min("__rn__").alias("__crn__"))
+    )
+    kept = (
+        rn.join(crn, on="__u__", how="left")
+        .filter(F.col("__crn__").isNull() | (F.col("__rn__") <= F.col("__crn__")))
+        .select(
+            "__u__",
+            F.when(F.col("__t__") == conv_type, F.lit("CONV"))
+            .otherwise(F.col("__t__"))
+            .alias("__m__"),
+            "__rn__",
+        )
+    )
+    w2 = Window.partitionBy("__u__").orderBy("__rn__")
+    seq = kept.withColumn("__nxt__", F.lead("__m__").over(w2))
+    trans = (
+        seq.filter(F.col("__rn__") == 1)
+        .select(F.lit("START").alias("src"), F.col("__m__").alias("dst"))
+        .unionByName(
+            seq.filter(F.col("__nxt__").isNotNull()).select(
+                F.col("__m__").alias("src"), F.col("__nxt__").alias("dst")
+            )
+        )
+        .unionByName(
+            seq.filter(
+                F.col("__nxt__").isNull() & (F.col("__m__") != "CONV")
+            ).select(
+                F.col("__m__").alias("src"), F.lit("NULL").alias("dst")
+            )
+        )
+    )
+    edges = [
+        (str(r["src"]), str(r["dst"]), int(r["n"]))
+        for r in trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: (|channels|+2)² rows
+    ]
+    n_out: dict[str, int] = {}
+    for s, _, n in edges:
+        n_out[s] = n_out.get(s, 0) + n
+    states = sorted(n_out)
+    channels = [s for s in states if s != "START"]
+    Q9 = 10**9
+
+    def _solve(rm: str | None) -> int:
+        v = {s: 0 for s in states}
+        for _ in range(int(iterations)):
+            nv = {}
+            for s in states:
+                if s == rm:
+                    nv[s] = 0
+                    continue
+                acc = 0
+                for src, dst, n in edges:
+                    if src != s:
+                        continue
+                    if dst == "CONV":
+                        val = Q9
+                    elif dst == "NULL" or dst == rm:
+                        val = 0
+                    else:
+                        val = v.get(dst, 0)
+                    acc += n * val
+                nv[s] = acc // n_out[s]
+            v = nv
+        return v.get("START", 0)
+
+    p_full = _solve(None)
+    p_rm = {c: _solve(c) for c in channels}
+    re = {c: max(p_full - p_rm[c], 0) for c in channels}
+    tot = sum(re.values())
+    rows = []
+    for c in channels:
+        rows.append(
+            [
+                c,
+                p_rm[c],
+                p_full,
+                (re[c] * 1_000_000) // p_full if p_full > 0 else None,
+                (re[c] * 1_000_000) // tot if tot > 0 else None,
+            ]
+        )
+    if not rows:
+        rows = [["__none__", 0, p_full, None, None]]
+    return literal_relation(
+        events.sparkSession,
+        rows,
+        ["channel", "p_removed_q9", "p_full_q9", "removal_effect_q6",
+         "attribution_q6"],
+    )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    spike_factor_pct: int = 200,
+    drop_factor_pct: int = 50,
+) -> DataFrame:
+    """Seasonal-baseline anomaly cells: bucket the stream into
+    (type, day, hour) counts on a COMPLETE grid, build each
+    (type, weekday, hour) slot's baseline from all same-slot cells,
+    and flag cells running above ``spike_factor_pct``% or below
+    ``drop_factor_pct``% of their slot baseline. Weekday-hour
+    seasonality is the first-order structure of any human-driven
+    stream; a plain global threshold (:func:`rate_spikes`) pages on
+    every Monday morning and misses a silent Saturday night — the
+    seasonal profile is the fix, and the empty-cell handling is the
+    point: a zero-event hour in a normally-busy slot IS the incident.
+
+    All-integer discipline: the flags compare
+    ``n·slot_cells·100 vs factor·slot_sum`` — cross-multiplied
+    integers, no division anywhere, hash-identical on any engine.
+    Weekday is computed as ``(days_since_epoch + 4) mod 7``
+    (0 = Sunday) rather than an engine weekday function — Spark and
+    DuckDB disagree on weekday numbering conventions, epoch-day
+    arithmetic they agree on.
+
+    Plan: the grid (types × days × 24) comes from one broadcast
+    min/max row + sequence explodes (the :func:`cusum_changepoints`
+    recipe) — bounded by span, not rows; counts are one hash
+    aggregate; the slot baseline is a window over the grid keyed by
+    (type, dow, hour). Returns only the anomalous cells:
+    (event_type, day, hour, n, slot_dow, slot_sum, slot_cells,
+    is_spike, is_drop).
+    """
+    if not (spike_factor_pct > 100 and 0 < drop_factor_pct < 100):
+        raise ValueError(
+            "seasonal_anomalies: need spike_factor_pct > 100 and"
+            " 0 < drop_factor_pct < 100"
+        )
+    ts = F.col(ts_col).cast("timestamp")
+    base = events.select(
+        F.col(type_col).alias("__t__"),
+        F.to_date(ts).alias("__d__"),
+        F.hour(ts).alias("__h__"),
+    )
+    bounds = base.agg(
+        F.min("__d__").alias("__lo__"), F.max("__d__").alias("__hi__")
+    )
+    types = base.select("__t__").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "__t__",
+            F.explode(F.expr("sequence(__lo__, __hi__)")).alias("__d__"),
+        )
+        .select(
+            "__t__",
+            "__d__",
+            F.explode(F.expr("sequence(0, 23)")).alias("__h__"),
+        )
+    )
+    counts = base.groupBy("__t__", "__d__", "__h__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    cells = grid.join(counts, on=["__t__", "__d__", "__h__"], how="left").select(
+        "__t__",
+        "__d__",
+        "__h__",
+        F.coalesce("__n__", F.lit(0).cast("long")).alias("__n__"),
+        (
+            (F.datediff(F.col("__d__"), F.lit("1970-01-01").cast("date"))
+             + F.lit(4)) % 7
+        ).cast("long").alias("__dow__"),
+    )
+    w_slot = Window.partitionBy("__t__", "__dow__", "__h__")
+    slotted = cells.select(
+        "__t__",
+        "__d__",
+        "__h__",
+        "__n__",
+        "__dow__",
+        F.sum("__n__").over(w_slot).cast("long").alias("__ss__"),
+        F.count(F.lit(1)).over(w_slot).cast("long").alias("__sc__"),
+    )
+    spike = (
+        F.col("__n__") * F.col("__sc__") * F.lit(100)
+        > F.lit(int(spike_factor_pct)) * F.col("__ss__")
+    )
+    drop = (
+        F.col("__n__") * F.col("__sc__") * F.lit(100)
+        < F.lit(int(drop_factor_pct)) * F.col("__ss__")
+    )
+    return (
+        slotted.filter(spike | drop)
+        .select(
+            F.col("__t__").alias(type_col),
+            F.date_format("__d__", "yyyy-MM-dd").alias("day"),
+            F.col("__h__").cast("long").alias("hour"),
+            F.col("__n__").alias("n"),
+            F.col("__dow__").alias("slot_dow"),
+            F.col("__ss__").alias("slot_sum"),
+            F.col("__sc__").alias("slot_cells"),
+            spike.alias("is_spike"),
+            drop.alias("is_drop"),
+        )
     )

@@ -4126,3 +4126,133 @@ class TestKnnGraph:
         for src, rs in per_src.items():
             assert len(rs) <= 3
             assert all(r["dst"] != src for r in rs)
+
+
+class TestMarkovAttribution:
+    def _ev(self, spark, journeys):
+        # journeys: list of event-type sequences, one per user
+        rows, eid = [], 0
+        for uid, seq in enumerate(journeys):
+            for i, t in enumerate(seq):
+                rows.append(
+                    (eid, uid, t, f"2024-01-01 00:00:{i:02d}")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_single_channel_full_credit(self, spark):
+        from tafra_spark.functions.analytics import markov_attribution
+
+        # every conversion goes through 'a'; removing 'a' kills all
+        ev = self._ev(spark, [["a", "purchase"], ["a", "purchase"], ["b"]])
+        out = {r["channel"]: r for r in markov_attribution(ev).collect()}
+        assert out["a"]["removal_effect_q6"] == 1000000
+        assert out["a"]["attribution_q6"] == 1000000
+        assert out["b"]["removal_effect_q6"] == 0
+
+    def test_hand_computed_chain(self, spark):
+        from tafra_spark.functions.analytics import markov_attribution
+
+        # START->a (2 users); a->purchase (1), a->NULL (1)
+        ev = self._ev(spark, [["a", "purchase"], ["a"]])
+        out = {r["channel"]: r for r in markov_attribution(ev).collect()}
+        # P(conv) = P(START->a)*P(a->CONV) = 1 * 1/2
+        assert out["a"]["p_full_q9"] == 500000000
+        assert out["a"]["p_removed_q9"] == 0
+        assert out["a"]["removal_effect_q6"] == 1000000
+
+    def test_no_conversions(self, spark):
+        from tafra_spark.functions.analytics import markov_attribution
+
+        ev = self._ev(spark, [["a", "b"], ["b"]])
+        out = {r["channel"]: r for r in markov_attribution(ev).collect()}
+        assert all(r["p_full_q9"] == 0 for r in out.values())
+        assert all(r["removal_effect_q6"] is None for r in out.values())
+
+    def test_events_after_conversion_ignored(self, spark):
+        from tafra_spark.functions.analytics import markov_attribution
+
+        # channel 'z' appears only AFTER conversion: no credit, and it
+        # must not even appear as a channel
+        ev = self._ev(spark, [["a", "purchase", "z"]])
+        out = {r["channel"]: r for r in markov_attribution(ev).collect()}
+        assert "z" not in out
+        assert out["a"]["removal_effect_q6"] == 1000000
+
+
+class TestSeasonalAnomalies:
+    def test_spike_and_silent_drop(self, spark):
+        from tafra_spark.functions.analytics import seasonal_anomalies
+
+        rows, eid = [], 0
+        # type 'x': hour 10 on 4 consecutive same-weekday days
+        # (Jan 1/8/15/22 2024 are Mondays): 5,5,5,20 events; plus
+        # hour 11 busy on three Mondays, silent on the fourth
+        for day, n in [("01", 5), ("08", 5), ("15", 5), ("22", 20)]:
+            for i in range(n):
+                rows.append((eid, 1, "x", f"2024-01-{day} 10:00:{i:02d}"))
+                eid += 1
+        for day in ["01", "08", "15"]:
+            for i in range(8):
+                rows.append((eid, 1, "x", f"2024-01-{day} 11:00:{i:02d}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = seasonal_anomalies(ev).collect()
+        cells = {(r["day"], r["hour"]): r for r in out}
+        spike = cells[("2024-01-22", 10)]
+        # slot baseline: 35 events over ... slot includes every Monday
+        # in [Jan 1, Jan 22] = 4 cells; 20*4*100 > 200*35
+        assert spike["is_spike"] and not spike["is_drop"]
+        silent = cells[("2024-01-22", 11)]
+        assert silent["n"] == 0 and silent["is_drop"]
+
+    def test_integer_flags_match_reference(self, spark):
+        import datetime as dt
+        import random
+
+        from tafra_spark.functions.analytics import seasonal_anomalies
+
+        rng = random.Random(12)
+        rows, eid = [], 0
+        t0 = dt.datetime(2024, 3, 1)
+        for _ in range(400):
+            ts = t0 + dt.timedelta(
+                days=rng.randint(0, 13),
+                hours=rng.randint(0, 23),
+                minutes=rng.randint(0, 59),
+            )
+            rows.append((eid, 1, rng.choice(["p", "q"]), ts.isoformat(" ")))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = seasonal_anomalies(ev).collect()
+        # reference: rebuild grid in python
+        from collections import Counter, defaultdict
+
+        cnt = Counter()
+        for _, _, t, ts in rows:
+            d = dt.datetime.fromisoformat(ts)
+            cnt[(t, d.date(), d.hour)] += 1
+        days = [
+            (t0 + dt.timedelta(days=i)).date() for i in range(14)
+        ]
+        slots = defaultdict(list)
+        for t in ("p", "q"):
+            for d in days:
+                for h in range(24):
+                    dow = (d.toordinal() - dt.date(1970, 1, 1).toordinal() + 4) % 7
+                    slots[(t, dow, h)].append((d, h, cnt.get((t, d, h), 0)))
+        expected = set()
+        for (t, dow, h), cells_ in slots.items():
+            ss = sum(n for _, _, n in cells_)
+            sc = len(cells_)
+            for d, hh, n in cells_:
+                if n * sc * 100 > 200 * ss or n * sc * 100 < 50 * ss:
+                    expected.add((t, str(d), hh))
+        got = {(r["event_type"], r["day"], r["hour"]) for r in out}
+        assert got == expected

@@ -805,3 +805,29 @@ class TestR5Batch2PlanCeilings:
         # raw values must never cartesian
         assert s.count("BroadcastNestedLoopJoin") <= 3
         assert "CartesianProduct" not in s
+
+
+class TestR5Batch3PlanShape:
+    def test_seasonal_grid_broadcasts_bounds(self, spark):
+        from tafra_spark.functions.analytics import seasonal_anomalies
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = seasonal_anomalies(ev)
+        s = explain_str(df, "simple")
+        # the grid is types × broadcast-bounds sequence explodes; the
+        # event stream itself never cross-joins
+        assert "CartesianProduct" not in s
+        # counts agg + grid join + slot window: bounded exchanges
+        assert count_exchanges(df) <= 6
+
+    def test_markov_attribution_output_is_literal(self, spark):
+        from tafra_spark.functions.analytics import markov_attribution
+        from tafra_spark.plans.inspect import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = markov_attribution(ev, iterations=3)
+        # the returned relation is a pure literal (chain solve done on
+        # the collected bounded matrix): no scans, no exchanges
+        s = explain_str(df, "simple")
+        assert "FileScan" not in s
