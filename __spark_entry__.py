@@ -2398,6 +2398,14 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def funnel_within_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-bounded funnel (anchored-greedy semantics, documented):
+    # click -> view -> purchase where each step lands within 24 h of
+    # the previous step's first completion
+    ev = _read_events(spark, sf_dir)
+    return AN.funnel_within(ev, within_seconds=86400)
+
+
 def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-driven multi-touch attribution (Markov removal effect,
     # Anderl 2014): absorption-probability chains in exact q9 integer
@@ -2473,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_overlap": kmv_vocab_overlap,
         "markov_removal_attribution": markov_removal_attribution,
         "seasonal_anomaly_cells": seasonal_anomaly_cells,
+        "funnel_within_day": funnel_within_day,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7146,6 +7155,55 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "funnel_within_day": r"""
+            WITH e AS (SELECT user_id, event_type, ts FROM events),
+            u AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t0
+              FROM e GROUP BY user_id
+            ),
+            u2 AS (
+              SELECT u.user_id, u.t0,
+                     min(CASE WHEN e.event_type = 'view'
+                                   AND e.ts >= u.t0
+                                   AND epoch_us(e.ts)
+                                       <= epoch_us(u.t0) + 86400000000
+                              THEN e.ts END) AS t1
+              FROM u JOIN e USING (user_id) GROUP BY u.user_id, u.t0
+            ),
+            u3 AS (
+              SELECT u2.user_id, u2.t0, u2.t1,
+                     min(CASE WHEN e.event_type = 'purchase'
+                                   AND e.ts >= u2.t1
+                                   AND epoch_us(e.ts)
+                                       <= epoch_us(u2.t1) + 86400000000
+                              THEN e.ts END) AS t2
+              FROM u2 JOIN e USING (user_id)
+              GROUP BY u2.user_id, u2.t0, u2.t1
+            ),
+            c AS (
+              SELECT
+                CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+              FROM u3
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'click' AS step_name,
+                   n0 AS n_users,
+                   CAST(CASE WHEN n0 > 0 THEN (n0 * 1000000) // n0 END
+                        AS BIGINT) AS conversion_q6 FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'view', n1,
+                   CAST(CASE WHEN n0 > 0 THEN (n1 * 1000000) // n0 END
+                        AS BIGINT) FROM c
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', n2,
+                   CAST(CASE WHEN n0 > 0 THEN (n2 * 1000000) // n0 END
+                        AS BIGINT) FROM c
         """,
         "markov_removal_attribution": _markov_attrib_sql(
             conv="purchase", iters=10

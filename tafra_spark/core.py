@@ -1464,6 +1464,84 @@ class Tafra:
         )
 
     @classmethod
+    def schema_diff(
+        cls,
+        path_a: str,
+        path_b: str,
+        spark: Optional[SparkSession] = None,
+    ) -> "Tafra":
+        """Schema drift between two parquet datasets: one row per
+        column that was added, removed, or changed type between
+        ``path_a`` (old) and ``path_b`` (new) — the data-contract
+        check a pipeline runs before pointing jobs at a new snapshot
+        (a silently-widened int32→int64 or a dropped column breaks
+        downstream readers long after the write succeeded).
+
+        Schemas come from parquet FOOTERS (driver-side metadata, no
+        scan — the :meth:`layout_stats` contract), unified across all
+        files of each dataset so a mid-dataset schema change inside
+        one snapshot also surfaces: a column missing from some files
+        reports its type as the footer union and is still comparable.
+        Returns (column, change, type_a, type_b) with change ∈
+        {'added', 'removed', 'type_changed'}; an empty result means
+        the contract holds.
+        """
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+        import pyarrow.types as _pt  # noqa: F401  (doc pointer)
+
+        from .functions._relation import literal_relation
+
+        spark = spark or cls._spark()
+
+        def _schema(path: str) -> dict:
+            files = sorted(
+                _glob.glob(
+                    _os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            ) or ([path] if path.endswith(".parquet") else [])
+            if not files:
+                raise ValueError(f"schema_diff: no parquet files in {path!r}")
+            out: dict[str, str] = {}
+            for f in files:
+                sch = _pq.read_schema(f)
+                for field in sch:
+                    t = str(field.type)
+                    prev = out.get(field.name)
+                    if prev is None:
+                        out[field.name] = t
+                    elif prev != t:
+                        # mid-dataset drift INSIDE one snapshot: keep
+                        # both, pipe-joined, deterministic order
+                        parts = sorted(set(prev.split("|")) | {t})
+                        out[field.name] = "|".join(parts)
+            return out
+
+        sa, sb = _schema(path_a), _schema(path_b)
+        rows = []
+        for c in sorted(set(sa) | set(sb)):
+            ta, tb = sa.get(c), sb.get(c)
+            if ta is None:
+                rows.append([c, "added", None, tb])
+            elif tb is None:
+                rows.append([c, "removed", ta, None])
+            elif ta != tb:
+                rows.append([c, "type_changed", ta, tb])
+        if not rows:
+            rows = [["__no_drift__", "none", None, None]]
+            df = literal_relation(
+                spark, rows, ["column", "change", "type_a", "type_b"]
+            ).filter("change <> 'none'")
+            return Tafra._wrap(df)
+        return Tafra._wrap(
+            literal_relation(
+                spark, rows, ["column", "change", "type_a", "type_b"]
+            )
+        )
+
+    @classmethod
     def compact_parquet(
         cls,
         src: str,

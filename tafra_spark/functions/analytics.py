@@ -52,6 +52,7 @@ __all__ = [
     "markov_next_event_eval",
     "markov_attribution",
     "seasonal_anomalies",
+    "funnel_within",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -2521,3 +2522,88 @@ def seasonal_anomalies(
             drop.alias("is_drop"),
         )
     )
+
+
+def funnel_within(
+    events: DataFrame,
+    steps: Sequence[str] = ("click", "view", "purchase"),
+    within_seconds: int = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-bounded ordered funnel: step i counts only if it happens
+    within ``within_seconds`` of the user's step i-1 completion — the
+    "purchased within an hour of clicking" formulation every product
+    funnel actually uses (:func:`funnel_conversion` is the unbounded
+    special case; without the bound, a purchase three months after a
+    click still "converts", which overstates every step).
+
+    Semantics — anchored greedy, stated precisely: step i anchors on
+    the user's EARLIEST qualifying completion of step i-1. A user
+    whose first click's window expires but who re-clicks later and
+    converts from the re-entry is NOT counted ("strict first-touch"
+    funnel products behave this way). The alternative
+    exists-any-chain semantics needs per-event dynamic matching; for
+    the UNBOUNDED funnel the two coincide (earliest completion is
+    optimal by exchange argument), which is why
+    :func:`funnel_conversion` needs no such caveat.
+
+    Same physical shape as the unbounded funnel: chained
+    conditional-min window aggregates over ONE user-key exchange —
+    step i's condition references step i-1's window result, Catalyst
+    evaluates the chain over the same partition, no self-joins. The
+    time bound compares exact epoch microseconds
+    (``unix_micros(ts) ≤ unix_micros(prev) + within·1e6`` — integer
+    arithmetic both engines agree on). Output: one row per step with
+    (step, step_name, n_users, conversion_q6), conversion as an exact
+    integer q6 share of step-1 entrants.
+    """
+    if int(within_seconds) < 1:
+        raise ValueError("funnel_within: within_seconds must be >= 1")
+    bound_us = int(within_seconds) * 1_000_000
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col(ts_col) >= prev)
+                & (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    <= F.unix_micros(prev.cast("timestamp"))
+                    + F.lit(bound_us)
+                )
+            )
+        df = df.withColumn(
+            f"__t{i}__", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(f"__t{i}__")
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__t{i}__").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.col(f"n{i}").alias("n_users"),
+            F.when(
+                F.col("n0") > 0,
+                F.expr(f"CAST(n{i} * 1000000 div n0 AS BIGINT)"),
+            ).alias("conversion_q6"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return counts.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.step", "r.step_name", "r.n_users", "r.conversion_q6")

@@ -4256,3 +4256,112 @@ class TestSeasonalAnomalies:
                     expected.add((t, str(d), hh))
         got = {(r["event_type"], r["day"], r["hour"]) for r in out}
         assert got == expected
+
+
+class TestFunnelWithin:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_bound_gates_conversion(self, spark):
+        from tafra_spark.functions.analytics import funnel_within
+
+        rows = [
+            # user 1 converts within bounds; user 2's view is too late
+            (0, 1, "click", "2024-01-01 00:00:00"),
+            (1, 1, "view", "2024-01-01 00:30:00"),
+            (2, 1, "purchase", "2024-01-01 00:45:00"),
+            (3, 2, "click", "2024-01-01 00:00:00"),
+            (4, 2, "view", "2024-01-01 02:00:00"),
+        ]
+        out = {
+            r["step_name"]: r
+            for r in funnel_within(
+                self._ev(spark, rows), within_seconds=3600
+            ).collect()
+        }
+        assert out["click"]["n_users"] == 2
+        assert out["view"]["n_users"] == 1
+        assert out["purchase"]["n_users"] == 1
+        assert out["view"]["conversion_q6"] == 500000
+
+    def test_boundary_inclusive(self, spark):
+        from tafra_spark.functions.analytics import funnel_within
+
+        rows = [
+            (0, 1, "click", "2024-01-01 00:00:00"),
+            (1, 1, "view", "2024-01-01 01:00:00"),  # exactly 3600 s
+        ]
+        out = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_within(
+                self._ev(spark, rows), within_seconds=3600
+            ).collect()
+        }
+        assert out["view"] == 1
+
+    def test_anchored_greedy_documented_miss(self, spark):
+        from tafra_spark.functions.analytics import funnel_within
+
+        # first click's window expires; the RE-ENTRY chain would
+        # convert under exists-any-chain semantics but the documented
+        # anchored-greedy semantics does not count it
+        rows = [
+            (0, 1, "click", "2024-01-01 00:00:00"),
+            (1, 1, "click", "2024-01-01 05:00:00"),
+            (2, 1, "view", "2024-01-01 05:30:00"),
+        ]
+        out = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_within(
+                self._ev(spark, rows), within_seconds=3600
+            ).collect()
+        }
+        assert out["view"] == 0
+
+    def test_unbounded_limit_matches_funnel_conversion(self, spark):
+        from tafra_spark.functions.analytics import (
+            funnel_conversion,
+            funnel_within,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        a = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_within(ev, within_seconds=10**9).collect()
+        }
+        b = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_conversion(ev).collect()
+        }
+        assert a == b
+
+
+class TestSchemaDiff:
+    def test_added_removed_changed(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        spark.range(5).selectExpr(
+            "id", "CAST(id AS INT) AS x", "CAST(id AS DOUBLE) AS gone"
+        ).write.parquet(a)
+        spark.range(5).selectExpr(
+            "id", "CAST(id AS BIGINT) AS x", "'s' AS fresh"
+        ).write.parquet(b)
+        out = {
+            r["column"]: r
+            for r in Tafra.schema_diff(a, b, spark).df.collect()
+        }
+        assert out["gone"]["change"] == "removed"
+        assert out["fresh"]["change"] == "added"
+        assert out["x"]["change"] == "type_changed"
+        assert (out["x"]["type_a"], out["x"]["type_b"]) == ("int32", "int64")
+
+    def test_no_drift_empty(self, spark, tmp_path):
+        from tafra_spark import Tafra
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        spark.range(3).write.parquet(a)
+        spark.range(4).write.parquet(b)
+        assert Tafra.schema_diff(a, b, spark).df.count() == 0
