@@ -2398,6 +2398,34 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-source Q-Q normalization: each doc's n_chars mapped to the
+    # GLOBAL value at its within-source rank — distribution matching
+    # for miscalibrated per-source scorers, all-integer rank math
+    docs = _read(spark, sf_dir, "documents")
+    return P.quantile_normalize(
+        docs, "n_chars", part_col="source", id_col="doc_id"
+    )
+
+
+def payload_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # template dedup over event payloads: digit-masked fingerprints
+    # collapse {"k": 69} / {"k": 12} to one structural template — the
+    # catalog-page/log-line dedup the RefinedWeb family runs
+    ev = _read_events(spark, sf_dir)
+    return P.template_dup_groups(
+        ev.select(F.col("event_id"), F.col("props").alias("text")),
+        id_col="event_id",
+    )
+
+
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head/tail language disagreement: the code-switching flag a
+    # whole-doc language label silently averages away
+    docs = _read(spark, sf_dir, "documents")
+    return TX.mixed_language_flags(docs)
+
+
 def funnel_within_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-bounded funnel (anchored-greedy semantics, documented):
     # click -> view -> purchase where each step lands within 24 h of
@@ -2482,6 +2510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_removal_attribution": markov_removal_attribution,
         "seasonal_anomaly_cells": seasonal_anomaly_cells,
         "funnel_within_day": funnel_within_day,
+        "quantile_normalized_lengths": quantile_normalized_lengths,
+        "payload_template_groups": payload_template_groups,
+        "mixed_language_docs": mixed_language_docs,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2666,6 +2697,72 @@ def _lang_id_sql() -> str:
     h AS (SELECT doc_id, {hits_cols} FROM t),
     b AS (SELECT doc_id, *, {best} AS best FROM h)
     SELECT doc_id, {case} AS lang_pred FROM b
+    """
+
+
+def _mixed_lang_sql() -> str:
+    """Head/tail stopword language-ID with the SAME hit chains and tie
+    order as ``_lang_id_sql``, over the doc's token-array halves."""
+
+    def hits(listvar: str) -> dict:
+        return {
+            lang: "("
+            + " + ".join(
+                f"CASE WHEN list_contains({listvar}, '{w}') THEN 1 ELSE 0 END"
+                for w in words
+            )
+            + ")"
+            for lang, words in _STOPWORDS.items()
+        }
+
+    def lang_case(prefix: str) -> str:
+        case = "'und'"
+        for lang in reversed(list(_STOPWORDS)):
+            case = (
+                f"CASE WHEN best_{prefix} > 0 AND {prefix}_{lang} ="
+                f" best_{prefix} THEN '{lang}' ELSE {case} END"
+            )
+        return case
+
+    cols = []
+    for prefix, listvar in (
+        ("f", "dfull"), ("hh", "dhead"), ("tt", "dtail")
+    ):
+        for lang, expr in hits(listvar).items():
+            cols.append(f"{expr} AS {prefix}_{lang}")
+    bests = ", ".join(
+        f"greatest({', '.join(f'{p}_{l}' for l in _STOPWORDS)}) AS best_{p}"
+        for p in ("f", "hh", "tt")
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    halves AS (
+      SELECT doc_id,
+             list_distinct(ws) AS dfull,
+             list_distinct(CASE WHEN len(ws) >= 2
+               THEN list_slice(ws, 1, len(ws) // 2) ELSE ws END) AS dhead,
+             list_distinct(CASE WHEN len(ws) >= 2
+               THEN list_slice(ws, len(ws) // 2 + 1, len(ws)) ELSE ws END)
+               AS dtail
+      FROM t
+    ),
+    h AS (SELECT doc_id, {', '.join(cols)} FROM halves),
+    b AS (SELECT *, {bests} FROM h),
+    lang AS (
+      SELECT doc_id,
+             {lang_case('f')} AS lang_full,
+             {lang_case('hh')} AS lang_head,
+             {lang_case('tt')} AS lang_tail
+      FROM b
+    )
+    SELECT doc_id, lang_full, lang_head, lang_tail,
+           lang_head <> lang_tail AND lang_head <> 'und'
+             AND lang_tail <> 'und' AS is_mixed
+    FROM lang
     """
 
 
@@ -7156,6 +7253,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
         """,
+        "quantile_normalized_lengths": r"""
+            WITH base AS (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE n_chars IS NOT NULL
+            ),
+            ranked AS (
+              SELECT doc_id, source, n_chars,
+                     rank() OVER (PARTITION BY source ORDER BY n_chars)
+                       AS r,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM base
+            ),
+            gtab AS (
+              SELECT n_chars AS gv,
+                     sum(c) OVER (ORDER BY n_chars) AS cc
+              FROM (SELECT n_chars, count(*) AS c FROM base
+                    GROUP BY n_chars)
+            ),
+            nt AS (SELECT count(*) AS gn FROM base),
+            tgt AS (
+              SELECT doc_id, source, n_chars,
+                     (r * gn + n - 1) // n AS t
+              FROM ranked CROSS JOIN nt
+            )
+            SELECT tgt.doc_id, tgt.source, tgt.n_chars,
+                   min(gtab.gv) AS value_normalized
+            FROM tgt LEFT JOIN gtab ON gtab.cc >= tgt.t
+            GROUP BY tgt.doc_id, tgt.source, tgt.n_chars
+        """,
+        "payload_template_groups": r"""
+            WITH base AS (
+              SELECT event_id,
+                     md5(trim(regexp_replace(regexp_replace(
+                       lower(props), '[0-9]+', '0', 'g'),
+                       '\s+', ' ', 'g'))) AS template_fp
+              FROM events WHERE length(trim(props)) > 0
+            ),
+            g AS (
+              SELECT event_id, template_fp,
+                     CAST(count(*) OVER (PARTITION BY template_fp)
+                          AS BIGINT) AS group_n,
+                     CAST(row_number() OVER (PARTITION BY template_fp
+                          ORDER BY event_id) AS BIGINT) AS rank_in_group
+              FROM base
+            )
+            SELECT event_id, template_fp, group_n, rank_in_group
+            FROM g WHERE group_n >= 2
+        """,
+        "mixed_language_docs": _mixed_lang_sql(),
         "funnel_within_day": r"""
             WITH e AS (SELECT user_id, event_type, ts FROM events),
             u AS (

@@ -67,6 +67,8 @@ __all__ = [
     "bigram_logprob",
     "oov_rates",
     "vocab_growth",
+    "quantile_normalize",
+    "template_dup_groups",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -1920,4 +1922,129 @@ def vocab_growth(
                 "cum_vocab"
             ),
         )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-partition quantile normalization (Q-Q mapping): replace
+    each value with the GLOBAL value holding the same rank position
+    the original holds within its partition — distribution matching,
+    the standard fix when per-source scorers are miscalibrated
+    against each other (source A's "0.7 quality" meaning source B's
+    "0.4" poisons any global threshold; after mapping, equal ranks
+    mean equal scores). Complements
+    :func:`quality_percentiles` (which reports ranks WITHIN a source;
+    this rewrites values onto one shared scale).
+
+    Exactness: within-partition rank r of n maps to the global
+    nearest-rank (type-1) quantile at ``ceil(r·N/n)`` — every step is
+    integer arithmetic on counts and the mapped value is an exact
+    data value, so output hashes identically on any engine (no
+    interpolation, which would be float-order-sensitive).
+
+    Plan: one rank window per partition (partition exchange), one
+    global distinct-value cumulative table (the
+    :func:`tafra_spark.functions.analytics.exact_group_quantiles`
+    collapse — sorts bounded by distinct-value cardinality), and a
+    range join of rank targets onto that table implemented as
+    min-over-qualifying via a cumulative lookup; the global table is
+    value-cardinality-sized and broadcasts. Ties within a partition
+    share a rank (``rank()``, not row_number) so equal inputs map to
+    equal outputs deterministically.
+
+    Returns (id, part, value, value_normalized).
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col), F.col(part_col), F.col(value_col)
+    )
+    w_p = Window.partitionBy(part_col).orderBy(value_col)
+    w_pn = Window.partitionBy(part_col)
+    ranked = base.select(
+        id_col,
+        part_col,
+        value_col,
+        F.rank().over(w_p).cast("long").alias("__r__"),
+        F.count(F.lit(1)).over(w_pn).cast("long").alias("__n__"),
+    )
+    # global distinct-value cumulative counts
+    vc = base.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    w_g = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gtab = vc.select(
+        F.col(value_col).alias("__gv__"),
+        F.sum("__c__").over(w_g).cast("long").alias("__cc__"),
+    )
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("__gn__"))
+    # target global rank = ceil(r*N/n) = (r*N + n - 1) div n
+    tgt = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "__t__", F.expr("CAST((__r__ * __gn__ + __n__ - 1) div __n__ AS BIGINT)")
+    )
+    # mapped value = min global value whose cumulative count reaches
+    # the target: a min-aggregated broadcast range join on the
+    # value-cardinality-sized table
+    joined = tgt.join(
+        F.broadcast(gtab), F.col("__cc__") >= F.col("__t__"), "left"
+    )
+    return (
+        joined.groupBy(id_col, part_col, value_col)
+        .agg(F.min("__gv__").alias("value_normalized"))
+        .select(id_col, part_col, value_col, "value_normalized")
+    )
+
+
+def template_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_group: int = 2,
+) -> DataFrame:
+    """Template duplicate groups: documents identical AFTER masking
+    digits and collapsing whitespace — catalog pages, log lines, and
+    generated boilerplate that differ only in numbers/IDs slip past
+    exact dedup (every copy has a unique order number) while
+    near-dup thresholds under-fire on short templates; masking makes
+    the template itself the fingerprint (the RefinedWeb/C4 family
+    runs exactly this normalization before structural dedup).
+
+    Normalization, stated precisely so the oracle can mirror it:
+    lowercase → every digit run to ``0`` → whitespace runs to one
+    space → trim. The group key is md5 of the normalized text.
+
+    Plan: identical ONE-shuffle shape as
+    :func:`tafra_spark.functions.dedup.exact_dup_groups` — the
+    masking is a narrow regexp projection on the scan. Returns
+    (id, template_fp, group_n, rank_in_group) for docs whose template
+    group has ≥ ``min_group`` members; rank orders by id for a
+    deterministic keep-first policy.
+    """
+    if int(min_group) < 2:
+        raise ValueError("template_dup_groups: min_group must be >= 2")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[0-9]+", "0"),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = F.md5(norm.cast("binary"))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), fp.alias("template_fp")
+    )
+    w_n = Window.partitionBy("template_fp")
+    w_r = Window.partitionBy("template_fp").orderBy(id_col)
+    return (
+        base.select(
+            id_col,
+            "template_fp",
+            F.count(F.lit(1)).over(w_n).cast("long").alias("group_n"),
+            F.row_number().over(w_r).cast("long").alias("rank_in_group"),
+        )
+        .filter(F.col("group_n") >= int(min_group))
     )

@@ -29,6 +29,7 @@ __all__ = [
     "bm25_topk",
     "repetition_signals",
     "token_entropy",
+    "mixed_language_flags",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -591,4 +592,72 @@ def token_entropy(
                 " * 1000000 div __lnn_q6__ AS BIGINT)"
             ),
         ).alias("norm_entropy_q6"),
+    )
+
+
+def mixed_language_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-switching / mixed-language detection: run the stopword
+    language-ID over each document's first and second token halves
+    independently and flag disagreements. A single whole-doc language
+    label (:func:`language_id`) silently averages over concatenated
+    scrapes, bilingual boilerplate, and template wrappers around
+    foreign content — exactly the documents a monolingual corpus
+    filter should route to review rather than keep-or-drop blindly.
+
+    Plan shape: ZERO shuffles — both halves are array slices of the
+    one tokenization, and each half's language is the same
+    codegen'd ``array_intersect`` vote as :func:`language_id`.
+    Deterministic: ties keep the earlier language in the fixed
+    language order, same rule as the whole-doc scorer. Returns
+    (id, lang_full, lang_head, lang_tail, is_mixed); documents with
+    fewer than 2 tokens carry their whole-doc label twice and never
+    flag.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("__ws__"),
+        F.size(toks).alias("__n__"),
+    )
+
+    def _lang_of(arr: Column) -> Column:
+        distinct = F.array_distinct(arr)
+        hits = {
+            lang: F.size(
+                F.array_intersect(
+                    distinct, F.array(*[F.lit(w) for w in words])
+                )
+            )
+            for lang, words in _STOPWORDS.items()
+        }
+        best = F.greatest(*hits.values())
+        expr = F.lit("und")
+        for lang in reversed(list(hits)):
+            expr = F.when(
+                (best > 0) & (hits[lang] == best), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    half = F.expr("CAST(__n__ div 2 AS INT)")
+    head = F.when(F.col("__n__") >= 2, F.slice(F.col("__ws__"), 1, half)).otherwise(
+        F.col("__ws__")
+    )
+    tail = F.when(
+        F.col("__n__") >= 2,
+        F.slice(F.col("__ws__"), half + 1, F.col("__n__") - half),
+    ).otherwise(F.col("__ws__"))
+    out = base.select(
+        id_col,
+        _lang_of(F.col("__ws__")).alias("lang_full"),
+        _lang_of(head).alias("lang_head"),
+        _lang_of(tail).alias("lang_tail"),
+    )
+    return out.withColumn(
+        "is_mixed",
+        (F.col("lang_head") != F.col("lang_tail"))
+        & (F.col("lang_head") != F.lit("und"))
+        & (F.col("lang_tail") != F.lit("und")),
     )

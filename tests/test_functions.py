@@ -4365,3 +4365,123 @@ class TestSchemaDiff:
         spark.range(3).write.parquet(a)
         spark.range(4).write.parquet(b)
         assert Tafra.schema_diff(a, b, spark).df.count() == 0
+
+
+class TestQuantileNormalize:
+    def test_matches_rank_mapping_reference(self, spark):
+        import math
+        import random
+
+        from tafra_spark.functions.pipeline import quantile_normalize
+
+        rng = random.Random(6)
+        rows = [
+            (i, rng.choice(["A", "B"]), round(rng.uniform(0, 10), 2))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+        out = {
+            r["doc_id"]: r["value_normalized"]
+            for r in quantile_normalize(
+                df, "score", part_col="source", id_col="doc_id"
+            ).collect()
+        }
+        all_sorted = sorted(v for _, _, v in rows)
+        N = len(all_sorted)
+        by_part = {}
+        for i, p, v in rows:
+            by_part.setdefault(p, []).append(v)
+        for i, p, v in rows:
+            vals = sorted(by_part[p])
+            # rank(): 1 + count of strictly smaller values
+            r = 1 + sum(1 for x in vals if x < v)
+            n = len(vals)
+            t = (r * N + n - 1) // n
+            assert out[i] == all_sorted[t - 1], (i, p, v)
+
+    def test_ties_map_equal(self, spark):
+        from tafra_spark.functions.pipeline import quantile_normalize
+
+        df = spark.createDataFrame(
+            [(1, "A", 5.0), (2, "A", 5.0), (3, "A", 9.0), (4, "B", 1.0)],
+            ["doc_id", "source", "score"],
+        )
+        out = {
+            r["doc_id"]: r["value_normalized"]
+            for r in quantile_normalize(
+                df, "score", part_col="source", id_col="doc_id"
+            ).collect()
+        }
+        assert out[1] == out[2]
+
+    def test_identity_single_partition(self, spark):
+        from tafra_spark.functions.pipeline import quantile_normalize
+
+        # one partition: every value maps to itself (rank r of n ->
+        # global rank ceil(r*n/n) = r)
+        df = spark.createDataFrame(
+            [(i, "A", float(i)) for i in range(1, 9)],
+            ["doc_id", "source", "score"],
+        )
+        out = quantile_normalize(
+            df, "score", part_col="source", id_col="doc_id"
+        ).collect()
+        assert all(r["value_normalized"] == r["score"] for r in out)
+
+
+class TestTemplateDupGroups:
+    def test_digit_masked_groups(self, spark):
+        from tafra_spark.functions.pipeline import template_dup_groups
+
+        rows = [
+            (1, "Order 12345 shipped to  box 9"),
+            (2, "order 99 shipped to box 100"),   # same template
+            (3, "ORDER 7 SHIPPED TO BOX 2"),      # same (case folded)
+            (4, "completely different text"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["group_n"], r["rank_in_group"])
+            for r in template_dup_groups(df).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert all(g == 3 for g, _ in out.values())
+        assert out[1][1] == 1 and out[3][1] == 3  # rank by id
+
+    def test_min_group_and_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.pipeline import template_dup_groups
+
+        df = spark.createDataFrame(
+            [(1, "a 1"), (2, "a 2"), (3, "b")], ["doc_id", "text"]
+        )
+        assert len(template_dup_groups(df, min_group=3).collect()) == 0
+        with _pytest.raises(ValueError):
+            template_dup_groups(df, min_group=1)
+
+
+class TestMixedLanguage:
+    def test_flags_code_switching(self, spark):
+        from tafra_spark.functions.text import mixed_language_flags
+
+        rows = [
+            (1, "the quick fox and the dog " * 3
+                + "der hund und die katze ist nicht da " * 3),
+            (2, "the quick fox and the dog is here for the win"),
+            (3, "x"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in mixed_language_flags(df).collect()}
+        assert out[1]["is_mixed"]
+        assert (out[1]["lang_head"], out[1]["lang_tail"]) == ("en", "de")
+        assert not out[2]["is_mixed"]
+        assert not out[3]["is_mixed"]  # single token never flags
+
+    def test_zero_shuffle_plan(self, spark):
+        from tafra_spark.functions.text import mixed_language_flags
+        from tafra_spark.plans.inspect import count_exchanges
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        assert count_exchanges(mixed_language_flags(docs)) == 0
