@@ -2398,6 +2398,42 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def length_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # covariate-shift correction: per-(source, length-bin) importance
+    # weights that reshape each source's length distribution onto the
+    # corpus-wide one; exact integer q6 ratios
+    docs = _read(spark, sf_dir, "documents")
+    from tafra_spark.functions.sampling import distribution_match_weights
+
+    return distribution_match_weights(
+        docs, "n_chars", part_col="source", bins=10
+    ).select("doc_id", "source", "n_chars", "bin", "weight_q6")
+
+
+def compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-sizing signal: bytes per word-piece unit per source
+    # (UNIT_PATTERN lives in the Java∩RE2 subset so the oracle runs
+    # the same regex)
+    docs = _read(spark, sf_dir, "documents")
+    return TX.compression_stats(docs)
+
+
+def user_group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group-integrity split: hashing the USER key keeps every event of
+    # a user in one split — the leakage guard entity-level eval needs
+    ev = _read_events(spark, sf_dir)
+    from tafra_spark.functions.sampling import dataset_split
+
+    return (
+        dataset_split(ev, id_col="user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-source Q-Q normalization: each doc's n_chars mapped to the
     # GLOBAL value at its within-source rank — distribution matching
@@ -2513,6 +2549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalized_lengths": quantile_normalized_lengths,
         "payload_template_groups": payload_template_groups,
         "mixed_language_docs": mixed_language_docs,
+        "length_match_weights": length_match_weights,
+        "compression_by_source": compression_by_source,
+        "user_group_split_counts": user_group_split_counts,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7252,6 +7291,84 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "length_match_weights": r"""
+            WITH bounds AS (
+              SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+                     max(CAST(n_chars AS DOUBLE)) AS hi
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            binned AS (
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN n_chars IS NOT NULL THEN
+                       CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                       ELSE least(CAST(floor(
+                              (CAST(n_chars AS DOUBLE) - lo)
+                              / ((hi - lo) / 10.0)) AS BIGINT),
+                            CAST(9 AS BIGINT)) END
+                     END AS bin
+              FROM documents CROSS JOIN bounds
+            ),
+            pb AS (
+              SELECT source, bin, count(*) AS npb FROM binned
+              WHERE bin IS NOT NULL GROUP BY source, bin
+            ),
+            pn AS (SELECT source, sum(npb) AS np FROM pb GROUP BY source),
+            bn AS (SELECT bin, sum(npb) AS nb FROM pb GROUP BY bin),
+            nt AS (SELECT sum(npb) AS ntot FROM pb),
+            w AS (
+              SELECT pb.source, pb.bin,
+                     CAST((bn.nb * pn.np * 1000000)
+                          // (nt.ntot * pb.npb) AS BIGINT) AS weight_q6
+              FROM pb JOIN pn ON pb.source = pn.source
+                      JOIN bn ON pb.bin = bn.bin
+                      CROSS JOIN nt
+            )
+            SELECT b.doc_id, b.source, b.n_chars, b.bin, w.weight_q6
+            FROM binned b
+            LEFT JOIN w ON b.source = w.source AND b.bin = w.bin
+        """,
+        "compression_by_source": r"""
+            WITH base AS (
+              SELECT source,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS b,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS u
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(b) AS BIGINT) AS total_bytes,
+                     CAST(sum(u) AS BIGINT) AS total_units
+              FROM base GROUP BY source
+            )
+            SELECT source, n_docs, total_bytes, total_units,
+                   CAST(CASE WHEN total_units > 0 THEN
+                     (total_bytes * 1000000) // total_units END AS BIGINT)
+                     AS bytes_per_unit_q6,
+                   CAST((total_units * 1000000) // n_docs AS BIGINT)
+                     AS units_per_doc_q6
+            FROM agg
+        """,
+        "user_group_split_counts": r"""
+            WITH assigned AS (
+              SELECT user_id,
+                     CASE
+                       WHEN CAST(concat('0x',
+                            substr(md5('42|' || CAST(user_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 1000000 < 900000
+                         THEN 'train'
+                       WHEN CAST(concat('0x',
+                            substr(md5('42|' || CAST(user_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 1000000 < 950000
+                         THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM events
+            )
+            SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM assigned GROUP BY split
         """,
         "quantile_normalized_lengths": r"""
             WITH base AS (

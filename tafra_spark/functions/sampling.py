@@ -35,6 +35,7 @@ __all__ = [
     "epoch_plan",
     "dataset_split",
     "weighted_sample_k",
+    "distribution_match_weights",
 ]
 
 
@@ -381,3 +382,79 @@ def weighted_sample_k(
         top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .drop("__pri__")
     )
+
+
+def distribution_match_weights(
+    df: DataFrame,
+    value_col: str,
+    part_col: str = "source",
+    bins: int = 10,
+) -> DataFrame:
+    """Importance weights that reshape every partition's value
+    distribution onto the GLOBAL one: a row in (partition p, bin b)
+    gets weight ``global_share(b) / partition_share(b | p)``, so
+    weighted sampling from any single source reproduces the corpus-wide
+    distribution — the classic covariate-shift / data-mixing correction
+    (a source of only short documents gets its few long ones upweighted
+    instead of being thresholded away). Complements
+    :func:`tafra_spark.functions.pipeline.quantile_normalize` (which
+    rewrites VALUES; this leaves values alone and reweights rows) and
+    :func:`weighted_mix` (which takes explicit weights; this derives
+    them from the data).
+
+    Binning follows :func:`tafra_spark.functions.analytics
+    .value_histogram`: equal-width over the global min/max from one
+    broadcast bounds row, ``least(floor((x−lo)/width), bins−1)``.
+    Weights are exact integer q6 ratios —
+    ``n_b·n_p·1e6 div (N·n_pb)`` — so output hashes identically on
+    any engine (the division sequence is pure integer).
+
+    Plan: one (part, bin) count aggregate + three tiny broadcast
+    tables joined back onto the narrow binned projection; the data
+    pays its scan plus one broadcast join, no extra exchange. Returns
+    the input rows plus (bin, weight_q6); NULL values carry NULL
+    weights.
+    """
+    if int(bins) < 1:
+        raise ValueError("distribution_match_weights: bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    bounds = df.filter(F.col(value_col).isNotNull()).agg(
+        F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
+    )
+    width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(bins))
+    binned = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.when(
+                F.col("__hi__") == F.col("__lo__"), F.lit(0).cast("long")
+            ).otherwise(
+                F.least(
+                    F.floor((x - F.col("__lo__")) / width).cast("long"),
+                    F.lit(int(bins) - 1).cast("long"),
+                )
+            ),
+        ),
+    ).drop("__lo__", "__hi__")
+    pb = (
+        binned.filter(F.col("bin").isNotNull())
+        .groupBy(part_col, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("__npb__"))
+    )
+    pn = pb.groupBy(part_col).agg(F.sum("__npb__").cast("long").alias("__np__"))
+    bn = pb.groupBy("bin").agg(F.sum("__npb__").cast("long").alias("__nb__"))
+    nt = pb.agg(F.sum("__npb__").cast("long").alias("__nt__"))
+    wtab = (
+        pb.join(F.broadcast(pn), on=part_col)
+        .join(F.broadcast(bn), on="bin")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            part_col,
+            "bin",
+            F.expr(
+                "CAST(__nb__ * __np__ * 1000000 div (__nt__ * __npb__)"
+                " AS BIGINT)"
+            ).alias("weight_q6"),
+        )
+    )
+    return binned.join(F.broadcast(wtab), on=[part_col, "bin"], how="left")

@@ -30,6 +30,7 @@ __all__ = [
     "repetition_signals",
     "token_entropy",
     "mixed_language_flags",
+    "compression_stats",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -660,4 +661,61 @@ def mixed_language_flags(
         (F.col("lang_head") != F.col("lang_tail"))
         & (F.col("lang_head") != F.lit("und"))
         & (F.col("lang_tail") != F.lit("und")),
+    )
+
+
+#: word-piece unit pattern shared by compression_stats and its oracle:
+#: alphanumeric runs plus single non-space punctuation marks. Chosen
+#: over the lookaround split in :func:`bpe_ish_token_count` because it
+#: lives in the Java-regex ∩ RE2 common subset (RE2 — DuckDB's engine —
+#: has no lookbehind), so the SAME pattern runs on both engines.
+UNIT_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def compression_stats(
+    df: DataFrame,
+    part_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer compression profile per partition: bytes per
+    word-piece unit — the first-order signal when sizing or choosing a
+    tokenizer (a source at 6+ bytes/unit is long-word prose a small
+    vocab will over-fragment; ~2 bytes/unit is already symbol-dense;
+    drift in a source's ratio between snapshots means its content
+    changed shape, not just size). Units are alnum runs + single
+    punctuation (``UNIT_PATTERN``), an engine-portable proxy for BPE
+    pre-tokenization.
+
+    Plan: one narrow projection (regexp_count + octet_length are
+    codegen'd on the scan) and one partition aggregate. All ratios are
+    exact integer q6 divisions. Returns (part, n_docs, total_bytes,
+    total_units, bytes_per_unit_q6, units_per_doc_q6).
+    """
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(part_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("__b__"),
+        F.regexp_count(F.col(text_col), F.lit(UNIT_PATTERN))
+        .cast("long")
+        .alias("__u__"),
+    )
+    return (
+        base.groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__b__").cast("long").alias("total_bytes"),
+            F.sum("__u__").cast("long").alias("total_units"),
+        )
+        .select(
+            part_col,
+            "n_docs",
+            "total_bytes",
+            "total_units",
+            F.expr(
+                "CAST(CASE WHEN total_units > 0 THEN"
+                " total_bytes * 1000000 div total_units END AS BIGINT)"
+            ).alias("bytes_per_unit_q6"),
+            F.expr(
+                "CAST(total_units * 1000000 div n_docs AS BIGINT)"
+            ).alias("units_per_doc_q6"),
+        )
     )

@@ -4485,3 +4485,118 @@ class TestMixedLanguage:
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         assert count_exchanges(mixed_language_flags(docs)) == 0
+
+
+class TestDistributionMatchWeights:
+    def test_matches_formula_reference(self, spark):
+        import math
+        import random
+
+        from tafra_spark.functions.sampling import distribution_match_weights
+
+        rng = random.Random(8)
+        rows = [
+            (i, rng.choice(["A", "B", "C"]), float(rng.randint(0, 99)))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "v"])
+        out = {
+            r["doc_id"]: (r["bin"], r["weight_q6"])
+            for r in distribution_match_weights(
+                df, "v", part_col="source", bins=5
+            ).collect()
+        }
+        lo = min(v for _, _, v in rows)
+        hi = max(v for _, _, v in rows)
+        width = (hi - lo) / 5.0
+        from collections import Counter
+
+        def bin_of(v):
+            return min(int(math.floor((v - lo) / width)), 4)
+
+        npb = Counter((p, bin_of(v)) for _, p, v in rows)
+        np_ = Counter(p for _, p, _ in rows)
+        nb = Counter(bin_of(v) for _, _, v in rows)
+        N = len(rows)
+        for i, p, v in rows:
+            b = bin_of(v)
+            w = (nb[b] * np_[p] * 1_000_000) // (N * npb[(p, b)])
+            assert out[i] == (b, w), (i, p, v)
+
+    def test_reweighted_shares_match_global(self, spark):
+        from tafra_spark.functions.sampling import distribution_match_weights
+
+        # skewed source: all-low values in A, all-high in B; after
+        # weighting, each source's weighted bin mass ∝ global shares
+        rows = [(i, "A", 1.0) for i in range(30)] + [
+            (i + 100, "A", 9.0) for i in range(10)
+        ] + [(i + 200, "B", 9.0) for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "v"])
+        out = distribution_match_weights(
+            df, "v", part_col="source", bins=2
+        ).collect()
+        mass = {}
+        for r in out:
+            mass[(r["source"], r["bin"])] = (
+                mass.get((r["source"], r["bin"]), 0) + r["weight_q6"]
+            )
+        # A's weighted mass in bin 1 must rise to B-comparable share:
+        # global shares are 30/80 low, 50/80 high -> weighted A mass
+        # low:high == 30:50 (each within q6 rounding of 40*share*1e6)
+        assert abs(mass[("A", 0)] - 40 * 1_000_000 * 30 // 80) <= 40
+        assert abs(mass[("A", 1)] - 40 * 1_000_000 * 50 // 80) <= 40
+
+    def test_null_and_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.sampling import distribution_match_weights
+
+        df = spark.createDataFrame(
+            [(1, "A", 1.0), (2, "A", None)], ["doc_id", "source", "v"]
+        )
+        out = {
+            r["doc_id"]: r["weight_q6"]
+            for r in distribution_match_weights(df, "v").collect()
+        }
+        assert out[2] is None
+        with _pytest.raises(ValueError):
+            distribution_match_weights(df, "v", bins=0)
+
+
+class TestCompressionStats:
+    def test_matches_python_reference(self, spark):
+        import re as _re
+
+        from tafra_spark.functions.text import UNIT_PATTERN, compression_stats
+
+        rows = [
+            (1, "A", "hello, world! x99"),
+            (2, "A", "aa bb"),
+            (3, "B", "öç ü"),   # multibyte: octet length > char length
+            (4, "B", ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = {r["source"]: r for r in compression_stats(df).collect()}
+        for src in ("A", "B"):
+            docs = [t for _, s, t in rows if s == src and t.strip()]
+            tb = sum(len(t.encode()) for t in docs)
+            tu = sum(len(_re.findall(UNIT_PATTERN, t)) for t in docs)
+            r = out[src]
+            assert (r["n_docs"], r["total_bytes"], r["total_units"]) == (
+                len(docs), tb, tu,
+            )
+            assert r["bytes_per_unit_q6"] == tb * 1_000_000 // tu
+            assert r["units_per_doc_q6"] == tu * 1_000_000 // len(docs)
+
+
+class TestGroupIntegritySplit:
+    def test_all_user_events_in_one_split(self, spark):
+        from tafra_spark.functions.sampling import dataset_split
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = dataset_split(ev, id_col="user_id").select(
+            "user_id", "split"
+        ).distinct()
+        # each user maps to exactly one split
+        per_user = out.groupBy("user_id").count().collect()
+        assert all(r["count"] == 1 for r in per_user)
