@@ -2398,6 +2398,41 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup audit: how big are the duplicate clusters (pair graph ->
+    # connected components -> size histogram); the oracle closes the
+    # same graph with a recursive CTE and aggregates identically
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=4, band_size=2, shingle_k=3, portable=True
+    )
+    cl = D.dup_clusters(pairs, docs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).filter(F.col("n") >= 2)
+    return sizes.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("n").alias("cluster_size"), "n_clusters")
+
+
+def semantic_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label composition of nearest-centroid clusters: size, majority
+    # label/share, label entropy (token_entropy's q6 recipe) — the
+    # cluster-level view of label hygiene
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.cluster_label_purity(
+        emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8)
+    )
+
+
+def event_silence_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outage detector: longest run of EMPTY hour cells per type over
+    # the complete grid — span-bounded gaps-and-islands, never an
+    # event-scale sort
+    ev = _read_events(spark, sf_dir)
+    return AN.silence_streaks(ev)
+
+
 def length_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # covariate-shift correction: per-(source, length-bin) importance
     # weights that reshape each source's length distribution onto the
@@ -2552,6 +2587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_match_weights": length_match_weights,
         "compression_by_source": compression_by_source,
         "user_group_split_counts": user_group_split_counts,
+        "dup_cluster_size_hist": dup_cluster_size_hist,
+        "semantic_cluster_purity": semantic_cluster_purity,
+        "event_silence_streaks": event_silence_streaks,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -3361,7 +3399,7 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "exact_value_quantiles": r"""
             WITH vc AS (
               SELECT event_type AS k, value AS v, count(*) AS cnt
@@ -7292,6 +7330,108 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
         """,
+        "semantic_cluster_purity": r"""
+            WITH c AS (SELECT vec_id AS centroid_id,
+                              embedding::DOUBLE[] AS centv
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, c.centroid_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], c.centv)
+                       AS cos_raw
+              FROM embeddings e CROSS JOIN c
+              WHERE e.vec_id >= 8
+            ),
+            asg AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos_raw DESC, centroid_id) AS rank
+                FROM scored
+              ) WHERE rank = 1
+            ),
+            cl AS (
+              SELECT asg.centroid_id, e.label AS lab, count(*) AS cnt
+              FROM asg JOIN embeddings e ON asg.vec_id = e.vec_id
+              GROUP BY asg.centroid_id, e.label
+            ),
+            maj AS (
+              SELECT centroid_id, lab AS majority_label, cnt AS maj_n
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY centroid_id
+                          ORDER BY cnt DESC, lab) AS rk
+                FROM cl
+              ) WHERE rk = 1
+            ),
+            per AS (
+              SELECT centroid_id, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(CAST(cnt AS DOUBLE)
+                       * ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s_q6
+              FROM cl GROUP BY centroid_id
+            )
+            SELECT per.centroid_id, per.n, maj.majority_label,
+                   CAST((maj.maj_n * 1000000) // per.n AS BIGINT)
+                     AS majority_share_q6,
+                   CAST(greatest(
+                     CAST(floor(ln(CAST(per.n AS DOUBLE)) * 1e6 + 0.5)
+                          AS BIGINT) - (per.s_q6 // per.n), 0) AS BIGINT)
+                     AS entropy_q6
+            FROM per JOIN maj ON per.centroid_id = maj.centroid_id
+        """,
+        "event_silence_streaks": r"""
+            WITH base AS (
+              SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                     CAST(hour(ts) AS BIGINT) AS h
+              FROM events
+            ),
+            bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM base),
+            types AS (SELECT DISTINCT t FROM base),
+            days AS (
+              SELECT t, unnest(generate_series(lo, hi,
+                               INTERVAL 1 DAY))::DATE AS d
+              FROM types CROSS JOIN bounds
+            ),
+            grid AS (
+              SELECT t, d, unnest(generate_series(0, 23))::BIGINT AS h
+              FROM days
+            ),
+            counts AS (
+              SELECT t, d, h, count(*) AS n FROM base GROUP BY t, d, h
+            ),
+            cells AS (
+              SELECT g.t,
+                     CAST(datediff('day', DATE '1970-01-01', g.d)
+                          AS BIGINT) * 24 + g.h AS idx,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n
+              FROM grid g LEFT JOIN counts c
+                ON g.t = c.t AND g.d = c.d AND g.h = c.h
+            ),
+            empty AS (
+              SELECT t, idx,
+                     idx - row_number() OVER (PARTITION BY t
+                                              ORDER BY idx) AS grp
+              FROM cells WHERE n = 0
+            ),
+            streaks AS (
+              SELECT t, grp, count(*) AS len
+              FROM empty GROUP BY t, grp
+            ),
+            per AS (
+              SELECT t, CAST(sum(len) AS BIGINT) AS n_silent_cells,
+                     CAST(max(len) AS BIGINT) AS max_silent_hours
+              FROM streaks GROUP BY t
+            ),
+            tot AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS n_cells
+              FROM cells GROUP BY t
+            )
+            SELECT tot.t AS event_type, tot.n_cells,
+                   CAST(coalesce(per.n_silent_cells, 0) AS BIGINT)
+                     AS n_silent_cells,
+                   CAST(coalesce(per.max_silent_hours, 0) AS BIGINT)
+                     AS max_silent_hours
+            FROM tot LEFT JOIN per ON tot.t = per.t
+        """,
         "length_match_weights": r"""
             WITH bounds AS (
               SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
@@ -7546,3 +7686,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hi ON e.event_type = hi.event_type
         """,
     }
+    # composition oracles built FROM other entries ------------------- #
+    d["dup_cluster_size_hist"] = (
+        "SELECT CAST(n AS BIGINT) AS cluster_size,"
+        " CAST(count(*) AS BIGINT) AS n_clusters FROM ("
+        "SELECT cluster_id, count(*) AS n FROM ("
+        + d["minhash_dup_clusters"]
+        + ") z GROUP BY cluster_id) s WHERE n >= 2 GROUP BY n"
+    )
+    return d

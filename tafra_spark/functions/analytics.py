@@ -53,6 +53,7 @@ __all__ = [
     "markov_attribution",
     "seasonal_anomalies",
     "funnel_within",
+    "silence_streaks",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -2607,3 +2608,97 @@ def funnel_within(
     return counts.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.step", "r.step_name", "r.n_users", "r.conversion_q6")
+
+
+def silence_streaks(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest silent streak per event type, in hours, over the
+    COMPLETE hour grid of the observed time range — the
+    outage/ingest-gap detector: event-driven gap analysis (lag over
+    observed events) cannot tell "no events for 30 hours" from "table
+    ends here", and sorting raw events per type to find gaps pays an
+    event-scale sort. The grid formulation works on hour CELLS: empty
+    cells are first-class rows, streaks are gaps-and-islands runs over
+    the cell index, and everything is span-bounded, never row-bounded.
+
+    Cell index = ``days_since_epoch·24 + hour`` — an absolute integer,
+    so run grouping needs no pre-window; the classic
+    ``idx − row_number()`` trick groups consecutive empty cells into
+    streaks. Returns per type: (event_type, n_cells,
+    n_silent_cells, max_silent_hours) — types with no silent cell
+    report 0.
+
+    Plan: one (type, day, hour) count aggregate joined onto the
+    types × broadcast-bounds sequence grid (the
+    :func:`seasonal_anomalies` recipe), one row_number window over the
+    type partition's EMPTY cells only, one aggregate. All integers.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    base = events.select(
+        F.col(type_col).alias("__t__"),
+        F.to_date(ts).alias("__d__"),
+        F.hour(ts).alias("__h__"),
+    )
+    bounds = base.agg(
+        F.min("__d__").alias("__lo__"), F.max("__d__").alias("__hi__")
+    )
+    types = base.select("__t__").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "__t__",
+            F.explode(F.expr("sequence(__lo__, __hi__)")).alias("__d__"),
+        )
+        .select(
+            "__t__",
+            "__d__",
+            F.explode(F.expr("sequence(0, 23)")).alias("__h__"),
+        )
+    )
+    counts = base.groupBy("__t__", "__d__", "__h__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    cells = grid.join(
+        counts, on=["__t__", "__d__", "__h__"], how="left"
+    ).select(
+        "__t__",
+        (
+            F.datediff(F.col("__d__"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            * 24
+            + F.col("__h__")
+        ).alias("__idx__"),
+        F.coalesce("__n__", F.lit(0).cast("long")).alias("__n__"),
+    )
+    empty = cells.filter(F.col("__n__") == 0)
+    w = Window.partitionBy("__t__").orderBy("__idx__")
+    streaks = (
+        empty.withColumn(
+            "__grp__", F.col("__idx__") - F.row_number().over(w)
+        )
+        .groupBy("__t__", "__grp__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__len__"))
+    )
+    per_type = streaks.groupBy("__t__").agg(
+        F.sum("__len__").cast("long").alias("n_silent_cells"),
+        F.max("__len__").cast("long").alias("max_silent_hours"),
+    )
+    totals = cells.groupBy("__t__").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return (
+        totals.join(per_type, on="__t__", how="left")
+        .select(
+            F.col("__t__").alias(type_col),
+            "n_cells",
+            F.coalesce("n_silent_cells", F.lit(0).cast("long")).alias(
+                "n_silent_cells"
+            ),
+            F.coalesce("max_silent_hours", F.lit(0).cast("long")).alias(
+                "max_silent_hours"
+            ),
+        )
+    )

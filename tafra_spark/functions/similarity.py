@@ -1877,3 +1877,72 @@ def knn_graph(
         .filter(F.col("rank") <= int(k))
         .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def cluster_label_purity(
+    emb: DataFrame,
+    centroids: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster label composition of a nearest-centroid clustering:
+    size, majority label, majority share, and label entropy — the
+    curation readout over semantic clusters ("is this cluster one
+    topic or a grab-bag", "is it dominated by one annotator/source").
+    Low-entropy clusters with a wrong-label minority are where
+    :func:`label_consistency`'s per-vector flags concentrate; this is
+    the cluster-level aggregate view of the same hygiene question.
+
+    Exactness: majority ties break (count desc, label asc); entropy
+    uses the :func:`tafra_spark.functions.text.token_entropy` q6
+    recipe — per-label ``floor(c·ln c·1e6 + 0.5)`` scalars summed as
+    integers, ``H = ln(n) − Σ/n`` in integer division — so every
+    column hash-matches cross-engine.
+
+    Plan: one broadcast nearest-centroid assignment (zero shuffle on
+    the corpus beyond its scan), one (cluster, label) count aggregate,
+    one cluster-level aggregate with a max_by-free deterministic
+    majority (struct-max on (count, negated-order label)). Returns
+    (centroid_id, n, majority_label, majority_share_q6, entropy_q6).
+    """
+    assigned = assign_centroids(emb, centroids, id_col=id_col, vec_col=vec_col)
+    lab = emb.select(F.col(id_col), F.col(label_col).alias("__lab__"))
+    cl = (
+        assigned.select(id_col, "centroid_id")
+        .join(lab, on=id_col)
+        .groupBy("centroid_id", "__lab__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c__"))
+    )
+    q6 = F.floor(
+        F.col("__c__").cast("double")
+        * F.log(F.col("__c__").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    # deterministic majority: order by (count desc, label asc) == max
+    # of struct(count, -label_rank); labels are compared via a struct
+    # max with the label NEGATED through a descending sort key —
+    # simplest portable form: min over struct(-count, label)
+    per = cl.groupBy("centroid_id").agg(
+        F.sum("__c__").cast("long").alias("n"),
+        F.min(F.struct((-F.col("__c__")).alias("nc"), F.col("__lab__"))).alias(
+            "__m__"
+        ),
+        F.sum(q6).cast("long").alias("__s_q6__"),
+    )
+    lnn = F.floor(
+        F.log(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return per.select(
+        "centroid_id",
+        "n",
+        F.col("__m__.__lab__").alias("majority_label"),
+        F.expr("CAST((-__m__.nc) * 1000000 div n AS BIGINT)").alias(
+            "majority_share_q6"
+        ),
+        F.greatest(
+            lnn - F.expr("CAST(__s_q6__ div n AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("entropy_q6"),
+    )

@@ -4600,3 +4600,75 @@ class TestGroupIntegritySplit:
         # each user maps to exactly one split
         per_user = out.groupBy("user_id").count().collect()
         assert all(r["count"] == 1 for r in per_user)
+
+
+class TestSilenceStreaks:
+    def test_known_gaps(self, spark):
+        from tafra_spark.functions.analytics import silence_streaks
+
+        rows = [
+            # type x: events at hours 0 and 5 on one day -> longest
+            # silent streak = hours 1-4 (4) vs trailing 6-23 (18)
+            (0, 1, "x", "2024-01-01 00:30:00"),
+            (1, 1, "x", "2024-01-01 05:10:00"),
+            # type y: every hour busy in a 2-hour range
+            (2, 1, "y", "2024-01-01 00:00:00"),
+            (3, 1, "y", "2024-01-01 01:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["event_type"]: r for r in silence_streaks(ev).collect()}
+        # one day -> 24 cells per type
+        assert out["x"]["n_cells"] == 24
+        assert out["x"]["max_silent_hours"] == 18
+        assert out["x"]["n_silent_cells"] == 22
+        assert out["y"]["max_silent_hours"] == 22
+        assert out["y"]["n_silent_cells"] == 22
+
+    def test_no_silence(self, spark):
+        from tafra_spark.functions.analytics import silence_streaks
+
+        rows = [
+            (i, 1, "z", f"2024-01-01 {h:02d}:00:00")
+            for i, h in enumerate(range(24))
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        row = silence_streaks(ev).collect()[0]
+        assert row["max_silent_hours"] == 0 and row["n_silent_cells"] == 0
+
+
+class TestClusterLabelPurity:
+    def test_pure_and_mixed_clusters(self, spark):
+        import math
+
+        from tafra_spark.functions.similarity import cluster_label_purity
+
+        # centroids along axes; vectors exactly on axes -> known
+        # assignment. Cluster 0: labels [1,1,1] pure; cluster 1:
+        # labels [2,3] mixed.
+        cents = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (101, [0.0, 1.0])], ["vec_id", "embedding"]
+        )
+        vecs = spark.createDataFrame(
+            [
+                (0, [2.0, 0.1], 1), (1, [3.0, 0.0], 1), (2, [1.0, 0.2], 1),
+                (3, [0.1, 2.0], 2), (4, [0.0, 1.5], 3),
+            ],
+            ["vec_id", "embedding", "label"],
+        )
+        out = {
+            r["centroid_id"]: r
+            for r in cluster_label_purity(vecs, cents).collect()
+        }
+        c0 = out[100]
+        assert (c0["n"], c0["majority_label"]) == (3, 1)
+        assert c0["majority_share_q6"] == 1000000
+        assert c0["entropy_q6"] == 0
+        c1 = out[101]
+        assert c1["n"] == 2 and c1["majority_label"] == 2  # tie -> label asc
+        assert c1["majority_share_q6"] == 500000
+        # two singleton labels: H = ln 2 exactly
+        assert c1["entropy_q6"] == math.floor(math.log(2) * 1e6 + 0.5)
