@@ -2398,6 +2398,47 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio container decode: deterministic PCM16 WAV files
+    # (stdlib wave writer, samples formula-derived from the asset id)
+    # parsed back by the stdlib wave reader inside the Arrow-batched
+    # decode stage; the oracle recomputes every statistic from the
+    # sample formula, so a wrong byte anywhere in the encode/decode
+    # round-trip hash-fails
+    from tafra_spark.functions import multimodal as MM
+
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id")
+    )
+    out_schema = (
+        "asset_id LONG, modality STRING, content BINARY, "
+        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
+        "mime: STRING>"
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "audio",
+                    "content": [
+                        MM.fake_wav_bytes(int(a)) for a in pdf["asset_id"]
+                    ],
+                    "meta": [
+                        {"width": None, "height": None,
+                         "duration_ms": 25, "mime": "audio/wav"}
+                        for _ in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    assets = ids.mapInPandas(encode, schema=out_schema)
+    return MM.decode_audio(assets)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -2539,13 +2580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
         # correctness budget has covered exactly the first 50 entries
-        # every round). Rank by verification need: (1) the 15 r4 queries
-        # the r4 budget never reached, (2) minhash_dup_clusters — its
-        # connected-components input changed in the r3 fuzzy-dedup
-        # sharing rewrite and it has not been driver-checked since,
-        # (3) queries with a single driver row (r2), (4) the r2-green
-        # relational suite, then (5) the r3/r4-green tail, freshest
-        # last. ---
+        # every round). Rank by verification need: (1) the 15 r4
+        # queries the r4 budget never reached, (2) minhash_dup_clusters
+        # (input pipeline changed in r3), (3) the 25 operators ADDED in
+        # r5 — never driver-verified, all green under the local oracle
+        # replica (scripts/check_correctness.py) at sf0.01, (4) queries
+        # with a single driver row (r2), (5) the multiply-verified
+        # tail, freshest last. ---
         # never driver-verified (added r4 after the r4 budget cutoff)
         "repetition_signals": repetition_signals_q,
         "mad_outlier_profile": mad_outlier_profile,
@@ -2590,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_hist": dup_cluster_size_hist,
         "semantic_cluster_purity": semantic_cluster_purity,
         "event_silence_streaks": event_silence_streaks,
+        "multimodal_audio_decode": multimodal_audio_decode,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7329,6 +7371,30 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "multimodal_audio_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            s AS (
+              SELECT asset_id, unnest(generate_series(0, 199)) AS i
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id,
+                     (((asset_id * 7919 + i * i) % 2048) - 1024) * 16 AS x
+              FROM s
+            ),
+            agg AS (
+              SELECT asset_id, sum(x * x) AS ssq, count(*) AS n
+              FROM v GROUP BY asset_id
+            )
+            SELECT asset_id,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+                   CAST(floor(sqrt(CAST(ssq AS DOUBLE) / n) * 1000 + 0.5)
+                        AS BIGINT) AS rms_q3
+            FROM agg
         """,
         "semantic_cluster_purity": r"""
             WITH c AS (SELECT vec_id AS centroid_id,

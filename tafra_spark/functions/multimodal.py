@@ -33,6 +33,9 @@ __all__ = [
     "extract_image_features",
     "sample_video_frames",
     "fake_image_bytes",
+    "fake_wav_bytes",
+    "decode_audio",
+    "extract_audio_features",
 ]
 
 #: canonical multimodal asset schema
@@ -204,3 +207,137 @@ def sample_video_frames(
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+def fake_wav_bytes(asset_id: int, sample_rate: int = 8000, n: int = 200) -> bytes:
+    """A REAL (RIFF/PCM16) WAV file with deterministic integer samples
+    — ``sample_i = (((asset_id·7919 + i²) mod 2048) − 1024)·16`` — so
+    audio decode exercises a genuine container format (stdlib ``wave``
+    writer) while every derived statistic stays formula-reproducible
+    for the cross-engine oracle. No audio library involved."""
+    import io
+    import struct
+    import wave
+
+    samples = [
+        (((int(asset_id) * 7919 + i * i) % 2048) - 1024) * 16
+        for i in range(int(n))
+    ]
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(int(sample_rate))
+    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    w.close()
+    return buf.getvalue()
+
+
+def decode_audio(
+    df: DataFrame,
+    target_batch_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """mapInPandas audio decode: parse WAV containers with the REAL
+    stdlib ``wave`` reader (no external audio stack needed — PCM WAV is
+    a first-class interchange format) and emit per-asset
+    (asset_id, n_channels, sample_rate, n_samples, duration_ms,
+    rms_q3). Compressed formats (mp3/ogg/flac) raise
+    ``NotImplementedError`` — they genuinely need a codec library; the
+    plumbing (schema, Arrow batching, error surface) is identical when
+    one is swapped in.
+
+    rms is computed from the exact integer sum of squares
+    (``sqrt(ssq/n)`` rounded to q3), so the value is reproducible by
+    any engine that can regenerate the samples.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms_q3", T.LongType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "n_channels", "sample_rate", "n_samples",
+                "duration_ms", "rms_q3",
+            )}
+            for _, row in pdf.iterrows():
+                mime = row["meta"]["mime"]
+                if mime not in ("audio/wav", "audio/x-wav"):
+                    raise NotImplementedError(
+                        f"decoding {mime!r} needs a codec library; "
+                        "PCM WAV decodes with the stdlib reader"
+                    )
+                w = wave.open(io.BytesIO(bytes(row["content"])), "rb")
+                nch, sw, sr, nf = (
+                    w.getnchannels(), w.getsampwidth(),
+                    w.getframerate(), w.getnframes(),
+                )
+                frames = w.readframes(nf)
+                w.close()
+                if sw != 2:
+                    raise NotImplementedError("only PCM16 WAV supported")
+                x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                ssq = int((x * x).sum())
+                n = len(x)
+                rms = math.sqrt(ssq / n) if n else 0.0
+                out["asset_id"].append(row["asset_id"])
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // (sr * nch) if sr else 0)
+                out["rms_q3"].append(int(math.floor(rms * 1000 + 0.5)))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content", "meta").mapInPandas(
+        decode_batches, schema=out_schema
+    )
+
+
+def extract_audio_features(df: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Windowed energy profile as the audio embedding stub: mean |x|
+    per time window, L2-normalized float32 — the real model call
+    (wav2vec/CLAP) slots into the same mapInPandas body with identical
+    schema and batching. Runs on genuinely-decoded WAV samples."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                w = wave.open(io.BytesIO(bytes(row["content"])), "rb")
+                frames = w.readframes(w.getnframes())
+                w.close()
+                x = np.abs(
+                    np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                )
+                chunks = np.array_split(x, n_windows)
+                vec = np.array([c.mean() if len(c) else 0.0 for c in chunks])
+                norm = np.linalg.norm(vec)
+                feats.append(
+                    (vec / norm if norm else vec).astype(np.float32).tolist()
+                )
+                ids.append(row["asset_id"])
+            yield pd.DataFrame({"asset_id": ids, "features": feats})
+
+    return df.select("asset_id", "content", "meta").mapInPandas(
+        feat_batches, schema=out_schema
+    )

@@ -4672,3 +4672,79 @@ class TestClusterLabelPurity:
         assert c1["majority_share_q6"] == 500000
         # two singleton labels: H = ln 2 exactly
         assert c1["entropy_q6"] == math.floor(math.log(2) * 1e6 + 0.5)
+
+
+class TestAudioDecode:
+    def _assets(self, spark, n=5, mime="audio/wav"):
+        from pyspark.sql import types as T
+
+        from tafra_spark.functions.multimodal import fake_wav_bytes
+
+        schema = T.StructType([
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", T.StructType([
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_ms", T.LongType()),
+                T.StructField("mime", T.StringType()),
+            ])),
+        ])
+        rows = [
+            (i, "audio", fake_wav_bytes(i), (None, None, 25, mime))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def test_real_wav_roundtrip_matches_formula(self, spark):
+        import math
+
+        from tafra_spark.functions.multimodal import decode_audio
+
+        out = {
+            r["asset_id"]: r
+            for r in decode_audio(self._assets(spark)).collect()
+        }
+        for aid in range(5):
+            sam = [
+                (((aid * 7919 + i * i) % 2048) - 1024) * 16
+                for i in range(200)
+            ]
+            ssq = sum(s * s for s in sam)
+            r = out[aid]
+            assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (
+                1, 8000, 200,
+            )
+            assert r["duration_ms"] == 25
+            assert r["rms_q3"] == math.floor(
+                math.sqrt(ssq / 200) * 1000 + 0.5
+            )
+
+    def test_unsupported_mime_raises(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.multimodal import decode_audio
+
+        df = self._assets(spark, n=1, mime="audio/mp3")
+        with _pytest.raises(Exception) as exc:
+            decode_audio(df).collect()
+        assert "NotImplementedError" in str(exc.value) or "codec" in str(
+            exc.value
+        )
+
+    def test_audio_features_normalized(self, spark):
+        from tafra_spark.functions.multimodal import extract_audio_features
+
+        out = extract_audio_features(
+            self._assets(spark), n_windows=8
+        ).collect()
+        for r in out:
+            assert len(r["features"]) == 8
+            norm = sum(v * v for v in r["features"])
+            assert abs(norm - 1.0) < 1e-3
+        # deterministic across runs
+        again = extract_audio_features(
+            self._assets(spark), n_windows=8
+        ).collect()
+        assert sorted(map(str, out)) == sorted(map(str, again))
