@@ -2398,6 +2398,29 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporally-correct enrichment: each event joins the dimension
+    # row valid AT THE EVENT'S TIME (not the current slice) — the
+    # same function serves streaming via stream-static join
+    # (stream==batch parity in tests/test_streaming.py)
+    from pyspark.sql import Window as W
+
+    ev = _read_events(spark, sf_dir)
+    orders = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("timestamp")).over(w).alias(
+            "valid_to"
+        ),
+    )
+    return STREAM.enrich_stream_scd2(ev, dim, ["user_id"]).select(
+        "event_id", "user_id", "priority"
+    )
+
+
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL audio container decode: deterministic PCM16 WAV files
     # (stdlib wave writer, samples formula-derived from the asset id)
@@ -2632,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_cluster_purity": semantic_cluster_purity,
         "event_silence_streaks": event_silence_streaks,
         "multimodal_audio_decode": multimodal_audio_decode,
+        "scd2_asof_enrichment": scd2_asof_enrichment,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7371,6 +7395,24 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "scd2_asof_enrichment": r"""
+            WITH dim AS (
+              SELECT o_custkey AS user_id,
+                     o_orderpriority AS priority,
+                     CAST(o_orderdate AS TIMESTAMP) AS vf,
+                     CAST(lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP)
+                       AS vt
+              FROM orders
+            )
+            SELECT e.event_id, e.user_id, d.priority
+            FROM events e
+            LEFT JOIN dim d
+              ON e.user_id = d.user_id
+             AND d.vf <= e.ts
+             AND (d.vt IS NULL OR e.ts < d.vt)
         """,
         "multimodal_audio_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),

