@@ -1132,6 +1132,38 @@ class Tafra:
             rows=self._cached_rows,
         )
 
+    def explain_plan(self) -> dict:
+        """Structured physical-plan summary: the scale contract as a
+        user-facing API instead of a raw ``explain()`` wall of text.
+        Returns ``{"pushed_filters": [...], "read_schemas": [[cols]],
+        "n_exchanges": int, "has_broadcast_join": bool,
+        "has_cartesian": bool}`` — the five facts that decide whether a
+        query survives a 100× scale-up (are filters on the scan, is the
+        read pruned, how many shuffles, did the small side broadcast,
+        did anything go quadratic). The same helpers back the
+        plan-shape test suite (``tests/test_plans.py``), so what CI
+        asserts and what a user inspects are one implementation.
+        """
+        from .plans.inspect import (
+            count_exchanges,
+            explain_str,
+            has_broadcast_join,
+            pushed_filters,
+            read_schema_columns,
+        )
+
+        plan = explain_str(self.df, "simple")
+        return {
+            "pushed_filters": pushed_filters(self.df),
+            "read_schemas": read_schema_columns(self.df),
+            "n_exchanges": count_exchanges(self.df),
+            "has_broadcast_join": has_broadcast_join(self.df),
+            "has_cartesian": (
+                "CartesianProduct" in plan
+                or "BroadcastNestedLoopJoin" in plan
+            ),
+        }
+
     def hint(self, name: str, *params) -> "Tafra":
         """Join-strategy / partitioning hint passthrough (extension — no
         reference counterpart): ``t.hint("merge")``,

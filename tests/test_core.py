@@ -536,3 +536,32 @@ class TestMelt:
         out = t.melt(["k"], ["x", "y", "z"])
         assert out.rows == 3
         assert set(out.columns) == {"k", "variable", "value"}
+
+
+class TestExplainPlan:
+    def test_structured_summary(self, spark):
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet", spark
+        )
+        out = li[li["l_quantity"] > 45].select(["l_orderkey"])
+        info = out.explain_plan()
+        assert any("l_quantity" in p for p in info["pushed_filters"])
+        assert info["read_schemas"] and set(info["read_schemas"][0]) == {
+            "l_orderkey", "l_quantity",
+        }
+        assert info["n_exchanges"] == 0
+        assert not info["has_cartesian"]
+
+    def test_broadcast_flag(self, spark):
+        from tafra_spark import Tafra
+
+        li = Tafra.read_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet", spark
+        )
+        supp = Tafra.read_parquet(
+            "/root/testdata/sf0.001/supplier.parquet", spark
+        )
+        j = li.inner_join(supp, [("l_suppkey", "s_suppkey", "==")])
+        assert j.explain_plan()["has_broadcast_join"]
