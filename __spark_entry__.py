@@ -2398,6 +2398,21 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def gate_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-gate yield curve: docs/token mass surviving each
+    # candidate min-token cutoff, all thresholds in ONE aggregate pass
+    docs = _read(spark, sf_dir, "documents")
+    return P.gate_threshold_sweep(docs)
+
+
+def pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ compression quality: exact q12 quantization error per
+    # subspace — the dial that says which subspace needs more codes
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, m=4, k=16)
+    return S.pq_reconstruction_error(emb, cb)
+
+
 def scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporally-correct enrichment: each event joins the dimension
     # row valid AT THE EVENT'S TIME (not the current slice) — the
@@ -2656,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_silence_streaks": event_silence_streaks,
         "multimodal_audio_decode": multimodal_audio_decode,
         "scd2_asof_enrichment": scd2_asof_enrichment,
+        "gate_yield_curve": gate_yield_curve,
+        "pq_reconstruction_report": pq_reconstruction_report,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -3096,6 +3113,41 @@ def _markov_attrib_sql(conv: str = "purchase", iters: int = 10) -> str:
                      AS attribution_q6
             FROM re CROSS JOIN tot"""
     return body
+
+
+def _gate_sweep_sql(thresholds=(5, 10, 20, 40, 80, 160)) -> str:
+    ts = sorted({int(t) for t in thresholds})
+    conds = ",\n".join(
+        f"  CAST(sum(CASE WHEN n >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d{i},\n"
+        f"  CAST(sum(CASE WHEN n >= {t} THEN n ELSE 0 END) AS BIGINT)"
+        f" AS t{i}"
+        for i, t in enumerate(ts)
+    )
+    branches = "\n UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS min_tokens, d{i} AS n_docs_pass,"
+        f" t{i} AS tokens_retained,"
+        f" CAST((d{i} * 1000000) // docs AS BIGINT) AS docs_frac_q6,"
+        f" CAST(CASE WHEN toks > 0 THEN (t{i} * 1000000) // toks END"
+        f" AS BIGINT) AS tokens_frac_q6 FROM agg"
+        for i, t in enumerate(ts)
+    )
+    return f"""
+            WITH base AS (
+              SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n
+              FROM documents
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS docs,
+                     CAST(sum(n) AS BIGINT) AS toks,
+{conds}
+              FROM base
+            )
+            {branches}
+    """
 
 
 def _knn_graph_sql(
@@ -7395,6 +7447,18 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "gate_yield_curve": _gate_sweep_sql(),
+        "pq_reconstruction_report": _pq_sql_prefix() + r"""
+            , mind AS (
+              SELECT vec_id, subspace, min(dq) AS err
+              FROM dist GROUP BY vec_id, subspace
+            )
+            SELECT CAST(subspace AS BIGINT) AS subspace,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(err) // count(*) AS BIGINT) AS mean_err_q12,
+                   CAST(max(err) AS BIGINT) AS max_err_q12
+            FROM mind GROUP BY subspace
         """,
         "scd2_asof_enrichment": r"""
             WITH dim AS (

@@ -31,6 +31,8 @@ value-hash oracle in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,6 +71,7 @@ __all__ = [
     "vocab_growth",
     "quantile_normalize",
     "template_dup_groups",
+    "gate_threshold_sweep",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -2047,4 +2050,69 @@ def template_dup_groups(
             F.row_number().over(w_r).cast("long").alias("rank_in_group"),
         )
         .filter(F.col("group_n") >= int(min_group))
+    )
+
+
+def gate_threshold_sweep(
+    df: DataFrame,
+    thresholds: Sequence[int] = (5, 10, 20, 40, 80, 160),
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-gate yield curve: for each candidate min-token
+    threshold, how many documents and how much token mass survive —
+    the report that turns "pick a length cutoff" from folklore into a
+    decision (the knee of this curve is where a gate stops trimming
+    boilerplate and starts eating corpus).
+
+    Plan: ONE aggregate pass — every threshold is a pair of
+    conditional sums sharing the same scan and token-count expression
+    (Spark's subexpression elimination computes the count once), then
+    the per-threshold columns unpivot through a literal struct array.
+    No row multiplication, no per-threshold scans. All shares exact
+    integer q6. Returns (min_tokens, n_docs_pass, tokens_retained,
+    docs_frac_q6, tokens_frac_q6) ordered by threshold.
+    """
+    ts = sorted({int(t) for t in thresholds})
+    if not ts or ts[0] < 0:
+        raise ValueError("gate_threshold_sweep: thresholds must be >= 0")
+    from .text import token_count
+
+    n = token_count(F.col(text_col))
+    base = df.select(n.cast("long").alias("__n__"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__docs__"),
+        F.sum("__n__").cast("long").alias("__toks__"),
+    ]
+    for i, t in enumerate(ts):
+        cond = F.col("__n__") >= t
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__d{i}__")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("__n__")).otherwise(0))
+            .cast("long")
+            .alias(f"__t{i}__")
+        )
+    agg = base.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(t).cast("long").alias("min_tokens"),
+            F.col(f"__d{i}__").alias("n_docs_pass"),
+            F.col(f"__t{i}__").alias("tokens_retained"),
+            F.expr(f"CAST(__d{i}__ * 1000000 div __docs__ AS BIGINT)").alias(
+                "docs_frac_q6"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN __toks__ > 0 THEN"
+                f" __t{i}__ * 1000000 div __toks__ END AS BIGINT)"
+            ).alias("tokens_frac_q6"),
+        )
+        for i, t in enumerate(ts)
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.min_tokens",
+        "r.n_docs_pass",
+        "r.tokens_retained",
+        "r.docs_frac_q6",
+        "r.tokens_frac_q6",
     )

@@ -1946,3 +1946,76 @@ def cluster_label_purity(
             F.lit(0).cast("long"),
         ).alias("entropy_q6"),
     )
+
+
+def pq_reconstruction_error(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ quantization error: the exact q12 squared
+    distance between each vector's subvector and its CHOSEN codebook
+    centroid, aggregated to (n, mean, max) per subspace — the quality
+    dial that closes the PQ loop (:func:`pq_codebooks` builds,
+    :func:`pq_encode` compresses, :func:`pq_recall` scores retrieval;
+    this scores the COMPRESSION itself, and a subspace whose error is
+    an outlier is the one to give more codes or a rotation to).
+
+    Same inline-literal plan as ``pq_encode``: the argmin distance is
+    a narrow zero-shuffle projection on the scan; only the m-row
+    aggregate shuffles. Mean is an exact integer division of the q12
+    error sum; every column hash-portable.
+
+    Returns (subspace, n_vectors, mean_err_q12, max_err_q12).
+    """
+    cb_rows = getattr(codebooks, "_pq_rows", None)
+    if cb_rows is None:
+        cb_rows = codebooks.select("subspace", "code_id", "centv").collect()
+    by_space: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb_rows:
+        by_space.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    m = len(by_space)
+    d_sub = len(next(iter(by_space.values()))[0][1])
+    from ._relation import literal_array
+    from .dedup import _spread
+
+    corpus = _spread(corpus.filter(F.col(vec_col).isNotNull()))
+    vec = F.col(vec_col)
+    err_cols = []
+    for s in range(m):
+        subv = F.slice(vec, s * d_sub + 1, d_sub)
+        cb_arr = literal_array([centv for _, centv in sorted(by_space[s])])
+        cands = F.transform(
+            cb_arr,
+            lambda centv, i: F.struct(
+                _sq_q12(subv, centv).alias("d"), i.alias("c")
+            ),
+        )
+        err_cols.append(F.array_min(cands)["d"].cast("long").alias(f"__e{s}__"))
+    per_vec = corpus.select(F.col(id_col), *err_cols)
+    stacked = per_vec.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("subspace"),
+                        F.col(f"__e{s}__").alias("err"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("r")
+    ).select("r.subspace", "r.err")
+    return (
+        stacked.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr("CAST(sum(err) div count(1) AS BIGINT)").alias(
+                "mean_err_q12"
+            ),
+            F.max("err").cast("long").alias("max_err_q12"),
+        )
+    )

@@ -4748,3 +4748,80 @@ class TestAudioDecode:
             self._assets(spark), n_windows=8
         ).collect()
         assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+class TestGateThresholdSweep:
+    def test_matches_reference(self, spark):
+        from tafra_spark.functions.pipeline import gate_threshold_sweep
+
+        rows = [
+            (1, "a b c"),            # 3 tokens
+            (2, "a b c d e f"),      # 6
+            (3, " ".join("t" * 1 for _ in range(12))),  # 12
+            (4, ""),                 # 0
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["min_tokens"]: r
+            for r in gate_threshold_sweep(df, thresholds=(1, 5, 10)).collect()
+        }
+        toks = [3, 6, 12, 0]
+        total = sum(toks)
+        for t in (1, 5, 10):
+            keep = [n for n in toks if n >= t]
+            r = out[t]
+            assert r["n_docs_pass"] == len(keep)
+            assert r["tokens_retained"] == sum(keep)
+            assert r["docs_frac_q6"] == len(keep) * 1_000_000 // 4
+            assert r["tokens_frac_q6"] == sum(keep) * 1_000_000 // total
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.pipeline import gate_threshold_sweep
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            gate_threshold_sweep(df, thresholds=(-1,))
+
+
+class TestPQReconstructionError:
+    def test_matches_numpy_reference(self, spark):
+        import math
+
+        import numpy as np
+
+        from tafra_spark.functions.similarity import (
+            pq_codebooks,
+            pq_reconstruction_error,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cb = pq_codebooks(emb, m=4, k=16)
+        out = {
+            r["subspace"]: r
+            for r in pq_reconstruction_error(emb, cb).collect()
+        }
+        rows = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()
+        )
+        cents = [v for _, v in rows[:16]]
+        d_sub = 16
+        for s in range(4):
+            errs = []
+            for _, v in rows:
+                sub = v[s * d_sub:(s + 1) * d_sub]
+                best = None
+                for c in cents:
+                    cc = c[s * d_sub:(s + 1) * d_sub]
+                    d = sum(
+                        math.floor((x - y) * (x - y) * 1e12 + 0.5)
+                        for x, y in zip(sub, cc)
+                    )
+                    best = d if best is None else min(best, d)
+                errs.append(best)
+            r = out[s]
+            assert r["n_vectors"] == len(errs)
+            assert r["mean_err_q12"] == sum(errs) // len(errs)
+            assert r["max_err_q12"] == max(errs)
