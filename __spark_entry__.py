@@ -2398,6 +2398,76 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user behavioral feature rollup over gap sessions: the
+    # feature-table composition on top of sessionize (session counts,
+    # mean length/duration as exact q6 integers)
+    ev = _read_events(spark, sf_dir)
+    s = STREAM.sessionize(ev, gap_minutes=30)
+    # endpoints truncated to whole epoch seconds BEFORE differencing —
+    # session boundaries are reported at second precision, so the
+    # duration must be the difference of the reported values, not of
+    # the internal microsecond timestamps
+    dur_s = F.floor(
+        F.unix_micros(F.col("session_end")) / F.lit(1_000_000)
+    ).cast("long") - F.floor(
+        F.unix_micros(F.col("session_start")) / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum(dur_s).cast("long").alias("__durs__"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "total_events",
+            "max_session_events",
+            F.expr(
+                "CAST(total_events * 1000000 div n_sessions AS BIGINT)"
+            ).alias("events_per_session_q6"),
+            F.expr(
+                "CAST(__durs__ * 1000000 div n_sessions AS BIGINT)"
+            ).alias("mean_session_secs_q6"),
+        )
+    )
+
+
+def quality_length_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composition of grouped_trend: regress per-source token count on
+    # n_chars, then flag docs whose residual is large — the
+    # "long-but-empty" documents a raw length gate misses
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    trend = AN.grouped_trend(
+        toks, ["source"], x_col="n_chars", y_col="n_tokens",
+        x_scale=1, y_scale=1,
+    )
+    j = toks.join(F.broadcast(trend), on="source")
+    resid = (
+        F.col("n_tokens").cast("double")
+        - (
+            F.col("intercept")
+            + F.col("slope") * F.col("n_chars").cast("double")
+        )
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_tokens",
+        F.round(resid, 4).alias("residual"),
+    )
+
+
 def gate_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality-gate yield curve: docs/token mass surviving each
     # candidate min-token cutoff, all thresholds in ONE aggregate pass
@@ -2673,6 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_enrichment": scd2_asof_enrichment,
         "gate_yield_curve": gate_yield_curve,
         "pq_reconstruction_report": pq_reconstruction_report,
+        "user_session_features": user_session_features,
+        "quality_length_residuals": quality_length_residuals,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7448,6 +7520,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
         """,
+        "quality_length_residuals": r"""
+            WITH toks AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(CASE WHEN text IS NULL
+                               OR length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            g AS (
+              SELECT source, count(*) AS n,
+                     sum(n_chars) AS sx, sum(n_tokens) AS sy,
+                     sum(n_chars * n_tokens) AS sxy,
+                     sum(n_chars * n_chars) AS sxx
+              FROM toks GROUP BY source
+            ),
+            t AS (
+              SELECT source,
+                     round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                           * 1.0, 6) AS slope_r,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(sxx AS DOUBLE) AS sxxd
+              FROM g
+            ),
+            tr AS (
+              SELECT source, slope_r AS slope,
+                     round(syd / nd / 1.0
+                           - ((nd * sxyd - sxd * syd)
+                              / (nd * sxxd - sxd * sxd)) * 1.0
+                             * (sxd / nd / 1.0), 6) AS intercept
+              FROM t
+            )
+            SELECT toks.doc_id, toks.source, toks.n_chars, toks.n_tokens,
+                   round(CAST(toks.n_tokens AS DOUBLE)
+                         - (tr.intercept
+                            + tr.slope * CAST(toks.n_chars AS DOUBLE)), 4)
+                     AS residual
+            FROM toks JOIN tr ON toks.source = tr.source
+        """,
         "gate_yield_curve": _gate_sweep_sql(),
         "pq_reconstruction_report": _pq_sql_prefix() + r"""
             , mind AS (
@@ -7859,6 +7976,18 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # composition oracles built FROM other entries ------------------- #
+    d["user_session_features"] = (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,"
+        " CAST(sum(n_events) AS BIGINT) AS total_events,"
+        " CAST(max(n_events) AS BIGINT) AS max_session_events,"
+        " CAST((sum(n_events) * 1000000) // count(*) AS BIGINT)"
+        " AS events_per_session_q6,"
+        " CAST((sum(CAST(floor((epoch_us(CAST(session_end AS TIMESTAMP))"
+        " - epoch_us(CAST(session_start AS TIMESTAMP))) / 1000000)"
+        " AS BIGINT)) * 1000000) // count(*) AS BIGINT)"
+        " AS mean_session_secs_q6"
+        " FROM (" + d["sessionize_events"] + ") s GROUP BY user_id"
+    )
     d["dup_cluster_size_hist"] = (
         "SELECT CAST(n AS BIGINT) AS cluster_size,"
         " CAST(count(*) AS BIGINT) AS n_clusters FROM ("
