@@ -2398,6 +2398,22 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(toks, "token", "source", k=64)
 
 
+def unicode_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode hygiene (NFC + control strip) — one of the engine's few
+    # deliberate Python stages (normalization tables aren't Catalyst
+    # expressions); Arrow-batched, and DuckDB's nfc_normalize
+    # reproduces it exactly so the Python stage still value-hashes
+    docs = _read(spark, sf_dir, "documents")
+    return P.unicode_scrub(docs)
+
+
+def shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # packing audit: token balance across train_shuffle shards —
+    # catches the straggler shard before it costs an epoch
+    docs = _read(spark, sf_dir, "documents")
+    return P.shard_balance_report(docs, n_shards=8)
+
+
 def user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user behavioral feature rollup over gap sessions: the
     # feature-table composition on top of sessionize (session counts,
@@ -2745,6 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_reconstruction_report": pq_reconstruction_report,
         "user_session_features": user_session_features,
         "quality_length_residuals": quality_length_residuals,
+        "unicode_scrub_docs": unicode_scrub_docs,
+        "shard_token_balance": shard_token_balance,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -7519,6 +7537,58 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             JOIN pairs p ON agg.part_a = p.part_a
                         AND agg.part_b = p.part_b
+        """,
+        "unicode_scrub_docs": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     text,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE nfc_normalize(text) END AS nrm
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, nrm,
+                     CASE WHEN nrm IS NULL THEN NULL
+                          ELSE regexp_replace(nrm,
+                            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]',
+                            '', 'g') END AS text_clean
+              FROM n
+            )
+            SELECT doc_id, text_clean,
+                   CASE WHEN text IS NULL THEN false
+                        ELSE text_clean <> text END AS changed,
+                   CAST(CASE WHEN nrm IS NULL THEN 0
+                        ELSE length(nrm) - length(text_clean) END
+                        AS BIGINT) AS n_controls_removed
+            FROM s
+        """,
+        "shard_token_balance": r"""
+            WITH sharded AS (
+              SELECT doc_id,
+                     CAST(concat('0x',
+                          substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 8 AS shard,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                     END AS n
+              FROM documents
+            ),
+            per AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens
+              FROM sharded GROUP BY shard
+            ),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                     CAST(count(*) AS BIGINT) AS ns
+              FROM per
+            )
+            SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+                   CAST((n_tokens * ns * 1000000) // tt AS BIGINT)
+                     AS balance_q6
+            FROM per CROSS JOIN tot
         """,
         "quality_length_residuals": r"""
             WITH toks AS (

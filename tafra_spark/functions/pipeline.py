@@ -72,6 +72,8 @@ __all__ = [
     "quantile_normalize",
     "template_dup_groups",
     "gate_threshold_sweep",
+    "unicode_scrub",
+    "shard_balance_report",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the
@@ -2115,4 +2117,121 @@ def gate_threshold_sweep(
         "r.tokens_retained",
         "r.docs_frac_q6",
         "r.tokens_frac_q6",
+    )
+
+
+def unicode_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode hygiene pass: NFC-normalize the text and strip C0/C1
+    control characters (except tab/newline) — the canonicalization
+    every multilingual corpus needs BEFORE fingerprint-based dedup
+    (the same letter as precomposed é vs e+combining-acute defeats
+    exact dedup, embeddings tokenize it differently, and stray
+    control bytes poison downstream parsers).
+
+    This is one of the engine's few deliberate Python stages: Unicode
+    normalization tables are not expressible as Catalyst expressions,
+    so it runs as an Arrow-batched pandas transform (``mapInPandas``
+    — vectorized batch transfer, never row-at-a-time py4j), the same
+    documented exception class as the multimodal codecs. The control
+    strip is a plain regex applied inside the same batch pass.
+
+    Returns (id, text_clean, changed, n_controls_removed); ``changed``
+    is true when normalization or stripping altered the text. DuckDB's
+    ``nfc_normalize`` reproduces the normalization exactly, so the
+    output carries a full value hash despite the Python stage.
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id__", T.LongType()),
+            T.StructField("text_clean", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+            T.StructField("n_controls_removed", T.LongType()),
+        ]
+    )
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+
+    def scrub(batches):
+        import unicodedata
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, outs, chg, nrm = [], [], [], []
+            for i, t in zip(pdf["__id__"], pdf["__t__"]):
+                if t is None:
+                    ids.append(i); outs.append(None)
+                    chg.append(False); nrm.append(0)
+                    continue
+                norm = unicodedata.normalize("NFC", t)
+                stripped, n = ctrl.subn("", norm)
+                ids.append(i); outs.append(stripped)
+                chg.append(stripped != t); nrm.append(n)
+            yield _pd.DataFrame(
+                {"__id__": ids, "text_clean": outs,
+                 "changed": chg, "n_controls_removed": nrm}
+            )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id__"),
+        F.col(text_col).alias("__t__"),
+    )
+    return base.mapInPandas(scrub, schema=out_schema).select(
+        F.col("__id__").alias(id_col),
+        "text_clean",
+        "changed",
+        "n_controls_removed",
+    )
+
+
+def shard_balance_report(
+    df: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token balance across :func:`train_shuffle` shards — the packing
+    audit that catches a skewed shard BEFORE it becomes the straggler
+    of every training epoch. Reports per shard the doc and token
+    counts plus the token imbalance against a perfectly even split
+    (q6 ratio of shard tokens to mean shard tokens).
+
+    Plan: train_shuffle's hash assignment is a narrow projection; one
+    (shard) count aggregate and a one-row broadcast total finish.
+    """
+    from .text import token_count
+
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("__n__")
+    )
+    sharded = (
+        train_shuffle(df, n_shards=n_shards, id_col=id_col)
+        .select(id_col, "shard")
+        .join(toks, on=id_col)
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n__").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("__tt__"),
+        F.count(F.lit(1)).cast("long").alias("__ns__"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST(n_tokens * __ns__ * 1000000 div __tt__ AS BIGINT)"
+            ).alias("balance_q6"),
+        )
     )

@@ -4825,3 +4825,46 @@ class TestPQReconstructionError:
             assert r["n_vectors"] == len(errs)
             assert r["mean_err_q12"] == sum(errs) // len(errs)
             assert r["max_err_q12"] == max(errs)
+
+
+class TestUnicodeScrub:
+    def test_nfc_and_control_strip(self, spark):
+        import unicodedata
+
+        from tafra_spark.functions.pipeline import unicode_scrub
+
+        decomposed = "Café"          # e + combining acute
+        ctrl = "ab\x00cd\x1fef"
+        rows = [
+            (1, decomposed),
+            (2, ctrl),
+            (3, "plain ascii"),
+            (4, None),
+            (5, "tab\tand\nnewline stay"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in unicode_scrub(df).collect()}
+        assert out[1]["text_clean"] == unicodedata.normalize(
+            "NFC", decomposed
+        )
+        assert out[1]["changed"]
+        assert out[1]["n_controls_removed"] == 0
+        assert out[2]["text_clean"] == "abcdef"
+        assert out[2]["n_controls_removed"] == 2
+        assert not out[3]["changed"]
+        assert out[4]["text_clean"] is None and not out[4]["changed"]
+        assert out[5]["text_clean"] == "tab\tand\nnewline stay"
+        assert not out[5]["changed"]
+
+
+class TestShardBalance:
+    def test_partition_and_balance(self, spark):
+        from tafra_spark.functions.pipeline import shard_balance_report
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = shard_balance_report(docs, n_shards=4).collect()
+        assert len(out) == 4
+        assert sum(r["n_docs"] for r in out) == 500
+        total = sum(r["n_tokens"] for r in out)
+        for r in out:
+            assert r["balance_q6"] == r["n_tokens"] * 4 * 1_000_000 // total
