@@ -2414,6 +2414,41 @@ def shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.shard_balance_report(docs, n_shards=8)
 
 
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE tokenizer training (Sennrich-style word-frequency
+    # BPE): the corpus is reduced to the vocab dictionary ONCE, then 8
+    # merge rounds each cost one vocab-sized pair-count shuffle and a
+    # one-row argmax collect; the dict is localCheckpoint-ed per merge
+    # to keep Catalyst plan depth flat
+    from tafra_spark.functions.text import bpe_learn
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_learn(docs, text_col="text", n_merges=8)
+
+
+def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
+    # vocab join (corpus never shuffles), report per-source token
+    # economics (tokens/word, chars/token)
+    from tafra_spark.functions.text import bpe_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_token_stats(
+        docs, text_col="text", n_merges=8, key_cols=("source",)
+    )
+
+
+def zipf_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-frequency power-law fit per source: log-log OLS with exact
+    # integer component sums (corr_matrix discipline); near-zero |slope|
+    # = vocabulary-uniform templated text, the synthetic corpus's
+    # signature
+    from tafra_spark.functions.analytics import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, text_col="text", key_cols=("source",))
+
+
 def user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user behavioral feature rollup over gap sessions: the
     # feature-table composition on top of sessionize (session counts,
@@ -2729,6 +2764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_active_3h": sliding_active_3h,
         # input pipeline changed in r3 (shared-shingle rewrite); re-verify
         "minhash_dup_clusters": minhash_dup_clusters,
+        # never driver-verified (added r5, latest batch)
+        "bpe_learn_merges": bpe_learn_merges,
+        "bpe_token_stats": bpe_token_stats_report,
+        "zipf_source_fit": zipf_source_fit,
         # never driver-verified (added r5 after the registry reorder)
         "prefix_filter_jaccard": prefix_filter_jaccard,
         "triangle_counts_graph": triangle_counts_graph,
@@ -2757,12 +2796,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_silence_streaks": event_silence_streaks,
         "multimodal_audio_decode": multimodal_audio_decode,
         "scd2_asof_enrichment": scd2_asof_enrichment,
-        "gate_yield_curve": gate_yield_curve,
         "pq_reconstruction_report": pq_reconstruction_report,
-        "user_session_features": user_session_features,
-        "quality_length_residuals": quality_length_residuals,
         "unicode_scrub_docs": unicode_scrub_docs,
         "shard_token_balance": shard_token_balance,
+        # r5 compositions of driver-verified components — first out of
+        # the 50-row budget when newer primitives displace them
+        "gate_yield_curve": gate_yield_curve,
+        "user_session_features": user_session_features,
+        "quality_length_residuals": quality_length_residuals,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -3604,6 +3645,105 @@ def _pq_fit_sql(iters: int = 2, m: int = 4, k: int = 16, d_sub: int = 16) -> str
            round({final}.centv[d.pos + 1], 6) AS val
     FROM {final} CROSS JOIN dims d
     """
+
+
+_BPE_FOLD_WRAP = (
+    "SELECT word, freq, CASE WHEN pos > 0 THEN "
+    "substr(s, 1, pos - 1) || rep || substr(s, pos + length(pat)) "
+    "ELSE s END AS s, pat, rep FROM ("
+    "SELECT word, freq, s, strpos(s, pat) AS pos, pat, rep FROM ({inner}) __s{j}__"
+    ") __f{j}__"
+)
+
+
+def _bpe_ctes_sql(n_merges: int = 8, n_folds: int = 8) -> str:
+    """Unrolled-CTE BPE learner mirroring ``text.bpe_learn``: stage k
+    counts adjacent symbol pairs over the word dictionary ``w{k-1}``,
+    picks the argmax pair ``b{k}`` (count DESC, l, r — the Spark
+    tie-break), and applies it with ``n_folds`` nested replace-FIRST
+    steps. Fixpoint-of-leftmost-replace equals the greedy left fold
+    exactly (a merged token can never re-match as left or right since
+    both sides are non-empty), unlike a global replace-all, which skips
+    the second pair of an even run because consecutive matches share
+    the boundary separator. ``n_folds`` must be >= the max merges per
+    word per stage, i.e. max word length / 2 (the synthetic vocab maxes
+    at 8 chars)."""
+    parts = [r"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = k - 1
+        inner = (
+            "SELECT word, freq, s, ' ' || b.l || ' ' || b.r || ' ' AS pat, "
+            "' ' || b.m || ' ' AS rep "
+            "FROM w%d LEFT JOIN b%d AS b ON TRUE" % (prev, k)
+        )
+        for j in range(n_folds):
+            inner = _BPE_FOLD_WRAP.format(inner=inner, j=j)
+        parts.append("""
+p{k} AS (
+  SELECT string_split(pp, ' ')[1] AS l, string_split(pp, ' ')[2] AS r,
+         sum(freq) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(list_slice(sy, 1, len(sy) - 1),
+                  (x, i) -> x || ' ' || sy[i + 1])) AS pp
+    FROM (SELECT freq, string_split(trim(s), ' ') AS sy FROM w{prev}) __y__
+    WHERE len(sy) >= 2
+  ) __p__ GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, cnt
+  FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT word, freq, s FROM ({inner}) __a{k}__
+)""".format(k=k, prev=prev, inner=inner))
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_learn_sql(n_merges: int = 8) -> str:
+    unions = "\nUNION ALL\n".join(
+        "SELECT CAST(%d AS INTEGER) AS step, l AS left_sym, r AS right_sym, "
+        "m AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b%d" % (k, k)
+        for k in range(1, n_merges + 1))
+    return _bpe_ctes_sql(n_merges) + "\n" + unions
+
+
+def _bpe_stats_sql(n_merges: int = 8) -> str:
+    return _bpe_ctes_sql(n_merges) + r"""
+, vocab AS (
+  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS wtok,
+         CAST(length(word) AS BIGINT) AS wchr
+  FROM w{n}
+),
+stream AS (
+  SELECT source, word FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents) __w__
+  WHERE regexp_matches(word, '^[a-z]+$')
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(v.wchr) AS BIGINT) AS n_chars,
+         CAST(sum(v.wtok) AS BIGINT) AS n_tokens
+  FROM stream st JOIN vocab v USING (word)
+  GROUP BY source
+)
+SELECT source, n_words, n_chars, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         AS tokens_per_word,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS chars_per_token
+FROM agg
+""".replace("{n}", str(n_merges))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8065,4 +8205,55 @@ def oracle_sql() -> dict[str, str]:
         + d["minhash_dup_clusters"]
         + ") z GROUP BY cluster_id) s WHERE n >= 2 GROUP BY n"
     )
+    d["bpe_learn_merges"] = _bpe_learn_sql(8)
+    d["bpe_token_stats"] = _bpe_stats_sql(8)
+    d["zipf_source_fit"] = r"""
+        WITH freq AS (
+          SELECT source, word, count(*) AS freq
+          FROM (SELECT source,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                              '\s+')) AS word
+                FROM documents) __w__
+          WHERE regexp_matches(word, '^[a-z]+$')
+          GROUP BY source, word
+        ),
+        q AS (
+          SELECT source,
+                 CAST(floor(ln(CAST(row_number() OVER (
+                        PARTITION BY source ORDER BY freq DESC, word ASC)
+                      AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qx,
+                 CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS qy
+          FROM freq
+        ),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                 sum(qx) AS sx, sum(qy) AS sy, sum(qx * qy) AS sxy,
+                 sum(qx * qx) AS sxx, sum(qy * qy) AS syy
+          FROM q GROUP BY source
+        ),
+        e AS (
+          SELECT source, n_terms,
+                 CAST(n_terms AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM g
+        ),
+        f AS (
+          SELECT source, n_terms, n, sxd, syd,
+                 n * sxyd - sxd * syd AS num,
+                 n * sxxd - sxd * sxd AS denx,
+                 n * syyd - syd * syd AS deny
+          FROM e
+        )
+        SELECT source, n_terms,
+               CASE WHEN n_terms >= 2 AND denx > 0
+                 THEN round(num / denx, 6) END AS slope,
+               CASE WHEN n_terms >= 2 AND denx > 0
+                 THEN round((syd / n - (num / denx) * (sxd / n))
+                            / 1000000.0, 6) END AS intercept,
+               CASE WHEN n_terms >= 2 AND denx > 0 AND deny > 0
+                 THEN round((num * num) / (denx * deny), 6) END AS r2
+        FROM f
+    """
     return d

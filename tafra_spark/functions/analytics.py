@@ -54,6 +54,7 @@ __all__ = [
     "seasonal_anomalies",
     "funnel_within",
     "silence_streaks",
+    "zipf_fit",
     "mad_outliers",
     "pagerank_nodes",
     "top_paths",
@@ -2701,4 +2702,92 @@ def silence_streaks(
                 "max_silent_hours"
             ),
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Rank-frequency power-law (Zipf) fit per key: OLS of ln(freq)
+    against ln(rank) over the key's word frequency table. Natural text
+    sits near slope −1; a source whose slope is much flatter is
+    vocabulary-uniform (symptomatic of templated/synthetic text), much
+    steeper means a few tokens dominate (boilerplate) — a one-number
+    corpus-health dial per source.
+
+    Exactness: ranks and frequencies are integers, so ``ln`` is
+    evaluated on identical operands in any engine; both logs are
+    quantized to 1e-6 fixed point and every OLS component sum is an
+    exact 64-bit integer (order-independent across partitions/engines).
+    The slope/intercept/r2 doubles are computed by ONE mirrored final
+    expression, so results survive the cross-engine value hash — the
+    same discipline as :func:`corr_matrix`/:func:`grouped_trend`.
+
+    Plan: corpus → per-key word counts is one map-side-combined
+    shuffle; the rank window partitions by key over the VOCAB-sized
+    table (|V| rows per key, ≪ corpus — the window never sees raw
+    text); the OLS aggregate reuses the same key partitioning. Returns
+    (key…, n_terms, slope, intercept, r2), ratios rounded to 6 places.
+    """
+    key_cols = list(key_cols)
+    for c in [*key_cols, text_col]:
+        if c not in df.columns:
+            raise ValueError(f"zipf_fit: unknown column {c!r}")
+    freq = (
+        df.select(
+            *key_cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy(*key_cols, "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("freq"), F.asc("word")
+    )
+    ranked = freq.select(
+        *key_cols,
+        F.row_number().over(w).alias("rank"),
+        F.col("freq"),
+    ).select(
+        *key_cols,
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+    g = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("qx").alias("__sx__"),
+        F.sum("qy").alias("__sy__"),
+        F.sum(F.col("qx") * F.col("qy")).alias("__sxy__"),
+        F.sum(F.col("qx") * F.col("qx")).alias("__sxx__"),
+        F.sum(F.col("qy") * F.col("qy")).alias("__syy__"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sy = F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    valid = (F.col("n_terms") >= 2) & (denx > 0)
+    slope = num / denx
+    # intercept back in ln units: ybar − slope·xbar, the 1e6 quanta cancel
+    intercept = (sy / n - slope * (sx / n)) / F.lit(1e6)
+    r2 = F.when(deny > 0, (num * num) / (denx * deny))
+    return g.select(
+        *key_cols,
+        "n_terms",
+        F.when(valid, F.round(slope, 6)).alias("slope"),
+        F.when(valid, F.round(intercept, 6)).alias("intercept"),
+        F.when(valid, F.round(r2, 6)).alias("r2"),
     )

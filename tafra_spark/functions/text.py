@@ -31,6 +31,8 @@ __all__ = [
     "token_entropy",
     "mixed_language_flags",
     "compression_stats",
+    "bpe_learn",
+    "bpe_token_stats",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -718,4 +720,204 @@ def compression_stats(
                 "CAST(total_units * 1000000 div n_docs AS BIGINT)"
             ).alias("units_per_doc_q6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-pair encoding: distributed merge learning + tokenizer statistics
+# ---------------------------------------------------------------------------
+
+_BPE_WORD_RE = "^[a-z]+$"
+
+
+def _bpe_fold_sql(left: str, right: str, merged: str) -> str:
+    """SQL for one BPE merge applied to a symbol array: a left fold
+    that fuses every leftmost, non-overlapping (left, right) adjacency
+    into ``merged``. The accumulator trick — compare the fold state's
+    LAST element, not the raw neighbour — is what gives the classic
+    greedy semantics: a freshly merged token never re-matches as
+    ``left`` (``merged != left`` since ``right`` is non-empty), while
+    an untouched symbol still can ("a a a" with pair (a,a) becomes
+    [aa, a], not [aa, aa's ghost]).
+    """
+    for s in (left, right, merged):
+        if "'" in s or "\\" in s:
+            raise ValueError(f"bpe: unmergeable symbol {s!r}")
+    return (
+        "CASE WHEN size(syms) < 2 THEN syms ELSE "
+        "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
+        "(acc, x) -> CASE WHEN element_at(acc, -1) = '" + left + "' "
+        "AND x = '" + right + "' "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array('" + merged + "')) "
+        "ELSE concat(acc, array(x)) END) END"
+    )
+
+
+def _bpe_state(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+):
+    """Shared BPE learner: returns ``(merges, words)`` where ``merges``
+    is the ordered list of ``(step, left, right, merged, pair_count)``
+    tuples and ``words`` is the word-frequency dictionary DataFrame
+    with the post-merge symbol arrays (columns word, freq, syms).
+
+    Scale contract (the reason BPE trains fine at 100 TB): the corpus
+    is touched EXACTLY ONCE — one map-side-combined ``groupBy(word)``
+    reduces it to the vocabulary dictionary (|V| rows, millions at
+    web scale vs trillions of corpus tokens). Every merge iteration
+    then runs on the dictionary alone: one vocab-sized pair-count
+    shuffle plus a ONE-ROW driver collect (the argmax pair). The merge
+    application is a narrow fold expression, and the dictionary is
+    eagerly ``localCheckpoint``-ed after every merge: without the
+    lineage cut, each chained fold re-inlines the previous one and
+    Catalyst analysis cost grows ~4× PER MERGE (measured: step 5 took
+    5.5 s on a 31-word dict; step 8 would take minutes). The
+    checkpoint is a vocab-sized write — microscopic next to the pair
+    shuffle — and keeps per-merge cost flat for tokenizer-scale merge
+    counts (30k+).
+    """
+    if n_merges < 1:
+        raise ValueError("bpe: n_merges must be >= 1")
+    if text_col not in df.columns:
+        raise ValueError(f"bpe: unknown column {text_col!r}")
+    base = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr("filter(split(word, '(?!^)'), x -> x != '')"),
+        )
+        .persist()
+    )
+    words = base
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
+                ).alias("ps"),
+            )
+            .select(F.explode("ps").alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
+        merged = left + right
+        merges.append((step, left, right, merged, cnt))
+        words = words.withColumn(
+            "syms", F.expr(_bpe_fold_sql(left, right, merged))
+        ).localCheckpoint(eager=True)
+    base.unpersist()
+    return merges, words
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn byte-pair-encoding merges over a document corpus — the
+    tokenizer-training primitive every LLM data pipeline runs before
+    anything else. Classic word-frequency BPE (Sennrich et al. 2016):
+    words split to characters, then ``n_merges`` rounds of "count all
+    adjacent symbol pairs weighted by word frequency, fuse the most
+    frequent pair everywhere" with deterministic tie-breaks
+    (count DESC, then left/right lexicographic).
+
+    Returns one row per learned merge: (step, left_sym, right_sym,
+    merged, pair_count). Pair counts follow the standard convention of
+    counting every adjacent position ("a a a" contributes 2 to (a,a)).
+    See :func:`_bpe_state` for why this runs at corpus scale: the
+    corpus is read once; iterations touch only the vocabulary.
+    """
+    merges, _ = _bpe_state(df, text_col=text_col, n_merges=n_merges)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("step", IntegerType(), False),
+            StructField("left_sym", StringType(), False),
+            StructField("right_sym", StringType(), False),
+            StructField("merged", StringType(), False),
+            StructField("pair_count", LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(merges, schema)
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    key_cols=("source",),
+) -> DataFrame:
+    """Tokenizer yield report: learn ``n_merges`` BPE merges on the
+    corpus, tokenize it with them, and report per-key token economics
+    — the dial a data team reads when sizing a vocabulary ("how many
+    tokens does this source cost at vocab size V?"). Returns per key:
+    n_words, n_chars, n_tokens, tokens_per_word, chars_per_token
+    (ratios rounded to 6 places).
+
+    Scale: tokenization is a BROADCAST join of the word stream against
+    the learned vocabulary dictionary (word -> token count) — the
+    corpus is never shuffled; the only wide op is the per-key final
+    aggregate, which is map-side combined to |keys| rows. Words
+    outside the learnable alphabet ([a-z]+ after lowercasing) are
+    excluded on both the learning and the counting side, so the ratios
+    describe exactly the modeled stream.
+    """
+    key_cols = list(key_cols)
+    for c in [*key_cols, text_col]:
+        if c not in df.columns:
+            raise ValueError(f"bpe_token_stats: unknown column {c!r}")
+    _, words = _bpe_state(df, text_col=text_col, n_merges=n_merges)
+    vocab = words.select(
+        "word",
+        F.size("syms").cast("long").alias("__wtok__"),
+        F.length("word").cast("long").alias("__wchr__"),
+    )
+    stream = (
+        df.select(
+            *key_cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+    )
+    joined = stream.join(F.broadcast(vocab), "word")
+    agg = joined.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__wchr__").cast("long").alias("n_chars"),
+        F.sum("__wtok__").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
     )

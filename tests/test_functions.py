@@ -4868,3 +4868,172 @@ class TestShardBalance:
         total = sum(r["n_tokens"] for r in out)
         for r in out:
             assert r["balance_q6"] == r["n_tokens"] * 4 * 1_000_000 // total
+
+
+def _py_bpe(words_freq, n_merges):
+    """Pure-Python reference BPE (greedy leftmost fold, count-desc then
+    lexicographic tie-break) for checking the distributed learner."""
+    syms = {w: list(w) for w in words_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        for w in syms:
+            s = syms[w]
+            out = [s[0]] if s else []
+            for x in s[1:]:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+class TestBpeLearn:
+    def test_matches_python_reference(self, spark):
+        texts = [
+            "aaaa aaa aa banana banana bandana",
+            "apple apples banana Apple 123 mixed7 aaaa",
+            "low lower lowest newer newest wider",
+            "aaaaaaa b ab abab",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        words = {}
+        for t in texts:
+            for w in t.lower().split():
+                if w.isalpha() and w.isascii():
+                    words[w] = words.get(w, 0) + 1
+        exp, _ = _py_bpe(words, 6)
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in TX.bpe_learn(df, n_merges=6)
+            .orderBy("step").collect()
+        ]
+        assert got == exp
+
+    def test_run_fold_semantics(self, spark):
+        # "a a a a a a" chain: greedy leftmost pairs -> [aa, aa, aa],
+        # never the replace-all artifact [aa, a, aa, a]
+        df = spark.createDataFrame([("aaaaaa aaaa aa",)], ["text"])
+        out = TX.bpe_learn(df, n_merges=2).orderBy("step").collect()
+        # step 1: (a, a) with count 3+2+1+... per adjacency convention:
+        # aaaaaa has 5 adjacent (a,a), aaaa has 3, aa has 1 -> 9
+        assert (out[0]["left_sym"], out[0]["right_sym"],
+                out[0]["pair_count"]) == ("a", "a", 9)
+        # after merge 1: aaaaaa->[aa,aa,aa], aaaa->[aa,aa], aa->[aa]
+        # step 2 argmax is (aa, aa): 2 + 1 = 3
+        assert (out[1]["left_sym"], out[1]["right_sym"],
+                out[1]["pair_count"]) == ("aa", "aa", 3)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("x",)], ["text"])
+        with pytest.raises(ValueError):
+            TX.bpe_learn(df, n_merges=0)
+        with pytest.raises(ValueError):
+            TX.bpe_learn(df, text_col="nope")
+
+
+class TestBpeTokenStats:
+    def test_matches_python_reference(self, spark):
+        texts = [
+            ("s1", "banana bandana apple apple"),
+            ("s1", "low lower lowest"),
+            ("s2", "banana banana Banana 99 aaaa aa"),
+        ]
+        df = spark.createDataFrame(texts, ["source", "text"])
+        words = {}
+        for _, t in texts:
+            for w in t.lower().split():
+                if w.isalpha() and w.isascii():
+                    words[w] = words.get(w, 0) + 1
+        _, syms = _py_bpe(words, 4)
+        exp = {}
+        for src, t in texts:
+            for w in t.lower().split():
+                if not (w.isalpha() and w.isascii()):
+                    continue
+                n_w, n_c, n_t = exp.get(src, (0, 0, 0))
+                exp[src] = (n_w + 1, n_c + len(w), n_t + len(syms[w]))
+        out = {
+            r["source"]: r
+            for r in TX.bpe_token_stats(
+                df, n_merges=4, key_cols=("source",)
+            ).collect()
+        }
+        assert set(out) == set(exp)
+        for src, (n_w, n_c, n_t) in exp.items():
+            r = out[src]
+            assert (r["n_words"], r["n_chars"], r["n_tokens"]) == (
+                n_w, n_c, n_t)
+            assert r["tokens_per_word"] == round(n_t / n_w, 6)
+            assert r["chars_per_token"] == round(n_c / n_t, 6)
+
+
+class TestZipfFit:
+    def test_matches_numpy_reference(self, spark):
+        import math
+
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        # skewed draws -> a real rank-frequency curve
+        probs = np.array([0.4, 0.25, 0.15, 0.1, 0.06, 0.04])
+        texts = [
+            " ".join(rng.choice(vocab, size=30, p=probs))
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame([("k", t) for t in texts],
+                                   ["source", "text"])
+        freq = {}
+        for t in texts:
+            for w in t.split():
+                freq[w] = freq.get(w, 0) + 1
+        ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        qx = [math.floor(math.log(i + 1) * 1e6 + 0.5)
+              for i in range(len(ranked))]
+        qy = [math.floor(math.log(c) * 1e6 + 0.5) for _, c in ranked]
+        n = float(len(ranked))
+        sx, sy = float(sum(qx)), float(sum(qy))
+        sxy = float(sum(a * b for a, b in zip(qx, qy)))
+        sxx = float(sum(a * a for a in qx))
+        syy = float(sum(b * b for b in qy))
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        from tafra_spark.functions.analytics import zipf_fit
+
+        r = zipf_fit(df, key_cols=("source",)).collect()[0]
+        assert r["n_terms"] == len(ranked)
+        assert r["slope"] == round(num / denx, 6)
+        assert r["intercept"] == round(
+            (sy / n - (num / denx) * (sx / n)) / 1e6, 6)
+        assert r["r2"] == round((num * num) / (denx * deny), 6)
+        # natural text drawn from a skewed law: slope must be negative
+        assert r["slope"] < -0.5
+
+    def test_degenerate_single_term(self, spark):
+        from tafra_spark.functions.analytics import zipf_fit
+
+        df = spark.createDataFrame(
+            [("k", "same same same")], ["source", "text"])
+        r = zipf_fit(df).collect()[0]
+        assert r["n_terms"] == 1
+        assert r["slope"] is None and r["r2"] is None
+
+    def test_validation(self, spark):
+        from tafra_spark.functions.analytics import zipf_fit
+
+        df = spark.createDataFrame([("k", "a")], ["source", "text"])
+        with pytest.raises(ValueError):
+            zipf_fit(df, text_col="missing")
