@@ -831,3 +831,28 @@ class TestR5Batch3PlanShape:
         # the collected bounded matrix): no scans, no exchanges
         s = explain_str(df, "simple")
         assert "FileScan" not in s
+
+    def test_bpe_token_stats_broadcasts_vocab(self, spark):
+        from tafra_spark.functions.text import bpe_token_stats
+        from tafra_spark.plans.inspect import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = bpe_token_stats(docs, n_merges=2, key_cols=("source",))
+        s = explain_str(df, "simple")
+        # tokenization = broadcast vocab join: the corpus word stream
+        # must never shuffle on the join key
+        assert has_broadcast_join(df)
+        assert "SortMergeJoin" not in s
+        assert "CartesianProduct" not in s
+
+    def test_zipf_window_runs_on_vocab_not_corpus(self, spark):
+        from tafra_spark.functions.analytics import zipf_fit
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = zipf_fit(docs, key_cols=("source",))
+        s = explain_str(df, "simple")
+        # one corpus-sized word-count shuffle; the rank window and OLS
+        # aggregate reuse the key partitioning on the vocab-sized table
+        assert "CartesianProduct" not in s
+        assert count_exchanges(df) <= 3
