@@ -2449,6 +2449,17 @@ def zipf_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, text_col="text", key_cols=("source",))
 
 
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law exponent over the vocabulary-growth curve: log-log
+    # OLS of cum_vocab on cum_tokens (exact curve points from the
+    # bucketed prefix-sum vocab_growth — no global window); beta near
+    # zero = saturated vocabulary, the synthetic corpus's signature
+    from tafra_spark.functions.pipeline import heaps_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return heaps_fit(docs, bucket_width=100)
+
+
 def user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user behavioral feature rollup over gap sessions: the
     # feature-table composition on top of sessionize (session counts,
@@ -2768,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": bpe_learn_merges,
         "bpe_token_stats": bpe_token_stats_report,
         "zipf_source_fit": zipf_source_fit,
+        "heaps_law_fit": heaps_law_fit,
         # never driver-verified (added r5 after the registry reorder)
         "prefix_filter_jaccard": prefix_filter_jaccard,
         "triangle_counts_graph": triangle_counts_graph,
@@ -8204,6 +8216,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cluster_id, count(*) AS n FROM ("
         + d["minhash_dup_clusters"]
         + ") z GROUP BY cluster_id) s WHERE n >= 2 GROUP BY n"
+    )
+    d["heaps_law_fit"] = (
+        """
+        WITH pts AS (SELECT * FROM ("""
+        + d["vocab_growth_curve"]
+        + """) __vg__ WHERE cum_tokens > 0 AND cum_vocab > 0),
+        q AS (
+          SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS qx,
+                 CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS qy
+          FROM pts
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 sum(qx) AS sx, sum(qy) AS sy, sum(qx * qy) AS sxy,
+                 sum(qx * qx) AS sxx, sum(qy * qy) AS syy
+          FROM q
+        ),
+        e AS (
+          SELECT n_points,
+                 CAST(n_points AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM g
+        ),
+        f AS (
+          SELECT n_points, n, sxd, syd,
+                 n * sxyd - sxd * syd AS num,
+                 n * sxxd - sxd * sxd AS denx,
+                 n * syyd - syd * syd AS deny
+          FROM e
+        )
+        SELECT n_points,
+               CASE WHEN n_points >= 2 AND denx > 0
+                 THEN round(num / denx, 6) END AS beta,
+               CASE WHEN n_points >= 2 AND denx > 0
+                 THEN round((syd / n - (num / denx) * (sxd / n))
+                            / 1000000.0, 6) END AS intercept,
+               CASE WHEN n_points >= 2 AND denx > 0 AND deny > 0
+                 THEN round((num * num) / (denx * deny), 6) END AS r2
+        FROM f
+        """
     )
     d["bpe_learn_merges"] = _bpe_learn_sql(8)
     d["bpe_token_stats"] = _bpe_stats_sql(8)

@@ -69,6 +69,7 @@ __all__ = [
     "bigram_logprob",
     "oov_rates",
     "vocab_growth",
+    "heaps_fit",
     "quantile_normalize",
     "template_dup_groups",
     "gate_threshold_sweep",
@@ -2234,4 +2235,70 @@ def shard_balance_report(
                 "CAST(n_tokens * __ns__ * 1000000 div __tt__ AS BIGINT)"
             ).alias("balance_q6"),
         )
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Heaps'-law exponent fit over the vocabulary-growth curve:
+    log-log OLS of cumulative vocabulary against cumulative tokens
+    (V(n) ≈ K·n^β). Natural language sits at β ≈ 0.4-0.6; β near 0
+    means the vocabulary saturates immediately (templated/synthetic
+    text), β near 1 means nearly every token is new (OCR noise, ID
+    spew) — the one-number companion dial to
+    :func:`tafra_spark.functions.analytics.zipf_fit`.
+
+    Exactness: the curve points are exact integers
+    (:func:`vocab_growth`), both logs are quantized to 1e-6 fixed
+    point, every OLS component sum is an exact 64-bit integer, and the
+    β/intercept/r² doubles come from ONE mirrored final expression —
+    bit-identical across engines.
+
+    Plan: inherits :func:`vocab_growth`'s bounded shape (one term
+    shuffle + bucketed prefix sums — never a single-partition global
+    window); the OLS adds one |docs|-row aggregate collapsing to a
+    single row. Returns (n_points, beta, intercept, r2); intercept is
+    ln K.
+    """
+    pts = vocab_growth(
+        df, id_col=id_col, text_col=text_col, bucket_width=bucket_width
+    ).filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    q = pts.select(
+        F.floor(F.log(F.col("cum_tokens").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+    g = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("qx").alias("__sx__"),
+        F.sum("qy").alias("__sy__"),
+        F.sum(F.col("qx") * F.col("qy")).alias("__sxy__"),
+        F.sum(F.col("qx") * F.col("qx")).alias("__sxx__"),
+        F.sum(F.col("qy") * F.col("qy")).alias("__syy__"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sy = F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    valid = (F.col("n_points") >= 2) & (denx > 0)
+    slope = num / denx
+    intercept = (sy / n - slope * (sx / n)) / F.lit(1e6)
+    r2 = F.when(deny > 0, (num * num) / (denx * deny))
+    return g.select(
+        "n_points",
+        F.when(valid, F.round(slope, 6)).alias("beta"),
+        F.when(valid, F.round(intercept, 6)).alias("intercept"),
+        F.when(valid, F.round(r2, 6)).alias("r2"),
     )

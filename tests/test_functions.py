@@ -5037,3 +5037,52 @@ class TestZipfFit:
         df = spark.createDataFrame([("k", "a")], ["source", "text"])
         with pytest.raises(ValueError):
             zipf_fit(df, text_col="missing")
+
+
+class TestHeapsFit:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(60)]
+        texts = []
+        for d in range(15):
+            # growing corpus with Zipf-ish draws -> a real Heaps curve
+            n = 20 + 5 * d
+            p = np.array([1.0 / (i + 1) for i in range(60)])
+            texts.append((d, " ".join(rng.choice(vocab, size=n,
+                                                  p=p / p.sum()))))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        seen, cum_t, pts = set(), 0, []
+        for d, t in texts:
+            ws = t.split()
+            cum_t += len(ws)
+            seen |= set(ws)
+            pts.append((cum_t, len(seen)))
+        qx = [math.floor(math.log(a) * 1e6 + 0.5) for a, _ in pts]
+        qy = [math.floor(math.log(b) * 1e6 + 0.5) for _, b in pts]
+        n = float(len(pts))
+        sx, sy = float(sum(qx)), float(sum(qy))
+        sxy = float(sum(a * b for a, b in zip(qx, qy)))
+        sxx = float(sum(a * a for a in qx))
+        syy = float(sum(b * b for b in qy))
+        num, denx = n * sxy - sx * sy, n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        from tafra_spark.functions.pipeline import heaps_fit
+
+        r = heaps_fit(df, bucket_width=4).collect()[0]
+        assert r["n_points"] == len(pts)
+        assert r["beta"] == round(num / denx, 6)
+        assert r["intercept"] == round(
+            (sy / n - (num / denx) * (sx / n)) / 1e6, 6)
+        assert r["r2"] == round((num * num) / (denx * deny), 6)
+        # sub-linear vocabulary growth: 0 < beta < 1
+        assert 0.0 < r["beta"] < 1.0
+
+    def test_degenerate_single_doc(self, spark):
+        from tafra_spark.functions.pipeline import heaps_fit
+
+        df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+        r = heaps_fit(df).collect()[0]
+        assert r["n_points"] == 1
+        assert r["beta"] is None and r["r2"] is None
