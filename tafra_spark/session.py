@@ -30,6 +30,41 @@ def _cpus() -> int:
         return 32
 
 
+#: minimum free bytes /dev/shm must have before it is auto-selected as
+#: the shuffle/spill dir (spills beyond this belong on disk, not RAM)
+_TMPFS_MIN_FREE = 16 * 1024**3
+
+
+def _default_local_dir() -> str:
+    """Pick the shuffle/spill local dir.
+
+    Precedence: ``SPARK_GRAFT_LOCAL_DIR`` (explicit path) >
+    ``SPARK_GRAFT_TMPFS_LOCAL`` (=1 force tmpfs, =0 force disk) >
+    auto: /dev/shm only when it exists AND has ≥16 GiB free —
+    RAM-backed local dirs kill the test box's shared-disk IO-wait
+    spikes, but a big spill must never OOM the box.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    tmpfs = "/dev/shm/tafra_spark_local"
+    disk = "/tmp/tafra_spark_local"
+    force = os.environ.get("SPARK_GRAFT_TMPFS_LOCAL")
+    if force == "1":
+        return tmpfs
+    if force == "0":
+        return disk
+    if os.path.isdir("/dev/shm"):
+        try:
+            import shutil
+
+            if shutil.disk_usage("/dev/shm").free >= _TMPFS_MIN_FREE:
+                return tmpfs
+        except OSError:
+            pass
+    return disk
+
+
 def get_spark(
     app_name: str = "tafra_spark",
     master: str | None = None,
@@ -94,15 +129,12 @@ def get_spark(
         # spikes. RAM-backed local dirs are also what a production
         # cluster does (NVMe/ramdisk shuffle volumes); spills stay
         # possible, they just don't hit a contended spindle.
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/tafra_spark_local"
-                if os.path.isdir("/dev/shm")
-                else "/tmp/tafra_spark_local",
-            ),
-        )
+        # tmpfs is only safe when there is real headroom: a large
+        # shuffle spill on RAM-backed storage would exhaust it and
+        # abort jobs that succeed on disk, so fall back to /tmp unless
+        # /dev/shm has ample free space (or the user forces it with
+        # SPARK_GRAFT_TMPFS_LOCAL=1/0).
+        .config("spark.local.dir", _default_local_dir())
         # bucketed tables (co-located joins) need a warehouse; keep it out
         # of the repo tree
         .config(

@@ -565,3 +565,26 @@ class TestExplainPlan:
         )
         j = li.inner_join(supp, [("l_suppkey", "s_suppkey", "==")])
         assert j.explain_plan()["has_broadcast_join"]
+
+
+def test_survey_query_count_matches_registry():
+    """SURVEY §2.9's advertised registry size must equal the actual
+    queries()/oracle_sql() registry — the r5 verdict caught the header
+    drifting (183 vs 191); this pins it."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(q) == set(o), "queries() and oracle_sql() keys must match"
+    with open("/root/repo/SURVEY.md") as fh:
+        text = fh.read()
+    m = re.search(r"### 2\.9 .*?(\d+) registry queries", text)
+    assert m, "SURVEY.md §2.9 must state the registry query count"
+    assert int(m.group(1)) == len(q), (
+        f"SURVEY.md §2.9 says {m.group(1)} registry queries, "
+        f"registry has {len(q)}"
+    )

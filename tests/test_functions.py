@@ -2883,6 +2883,48 @@ class TestMadOutliers:
         out = mad_outliers(df).collect()
         assert out[0]["n"] == 2 and out[0]["median"] == 2.0
 
+    def test_histogram_route_matches_window_route(self, spark):
+        # the two routes must be bit-identical (same float ops in a
+        # different plan) — compare them on continuous never-repeating
+        # values, the exact shape the histogram route exists for
+        from tafra_spark.functions.analytics import mad_outliers
+
+        rows = []
+        x = 1
+        for i in range(400):
+            x = (x * 1103515245 + 12345) % (2**31)  # deterministic LCG
+            rows.append((i, "g" + str(i % 3), float(x) / 2**31 + i * 1e-9))
+        df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+        win = {
+            r["event_type"]: r
+            for r in mad_outliers(df, route="window").collect()
+        }
+        hist = {
+            r["event_type"]: r
+            for r in mad_outliers(df, route="histogram").collect()
+        }
+        assert set(win) == set(hist)
+        for g in win:
+            for f in ("n", "median", "mad", "n_outliers", "outlier_frac_q6"):
+                assert win[g][f] == hist[g][f], (g, f)
+
+    def test_auto_route_flips_on_cardinality(self, spark):
+        from tafra_spark.functions.analytics import mad_outliers
+        from tafra_spark.plans.inspect import explain_str
+
+        rows = [(i, "a", float(i) + 0.5) for i in range(50)]
+        df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+        # 50 distinct values > threshold 8 -> histogram plan (bucket col)
+        routed = mad_outliers(df, distinct_threshold=8)
+        assert "__b__" in explain_str(routed, "simple")
+        # default threshold (1e6) -> window plan, no bucket column
+        unrouted = mad_outliers(df)
+        assert "__b__" not in explain_str(unrouted, "simple")
+        # and the answer is route-independent
+        assert (
+            routed.collect()[0]["median"] == unrouted.collect()[0]["median"]
+        )
+
 
 class TestPagerank:
     def _events(self, spark, seq):

@@ -644,6 +644,31 @@ class TestRound4Plans:
         assert first_sort != -1
         assert "HashAggregate" in s[first_sort:]
 
+    def test_mad_outliers_histogram_route_no_full_value_sort(self, spark):
+        # the r6 auto-route: continuous values above the distinct
+        # threshold switch to histogram selection, where NO window
+        # sorts a group's full distinct-value set — every value-ordered
+        # window partitions by (key, bucket), so the per-partition sort
+        # is bounded by one histogram bucket regardless of cardinality
+        import re
+
+        from tafra_spark.functions.analytics import mad_outliers
+        from tafra_spark.plans.inspect import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = mad_outliers(ev, route="histogram")
+        s = explain_str(plan, "simple")
+        assert "__b__" in s
+        # no Window partitioned by the bare key and ordered by the raw
+        # value — that is exactly the full-group distinct-value sort
+        # the route exists to avoid (the window route has it)
+        bare_key_value_window = re.compile(
+            r"Window .*\[__k__#\d+\], \[__v__#\d+ ASC"
+        )
+        assert not bare_key_value_window.search(s)
+        win = explain_str(mad_outliers(ev, route="window"), "simple")
+        assert bare_key_value_window.search(win)
+
 
 class TestRound5Plans:
     def test_prefix_jaccard_linear_shuffles_no_cartesian(self, spark):
@@ -856,3 +881,30 @@ class TestR5Batch3PlanShape:
         # aggregate reuse the key partitioning on the vocab-sized table
         assert "CartesianProduct" not in s
         assert count_exchanges(df) <= 3
+
+
+class TestRound6Plans:
+    def test_quantile_normalize_no_nested_loop_join(self, spark):
+        # r6 rewrite: the rank→global-value lookup joins on a rank
+        # bucket equi-key with an interval-containment residual — a
+        # hash join with O(rows + D) intermediate. The r5 shape
+        # (cc >= t non-equi) was a BroadcastNestedLoopJoin producing
+        # O(rows × D) intermediate rows, quadratic at high value
+        # cardinality (ADVICE r5).
+        from tafra_spark.functions.pipeline import quantile_normalize
+        from tafra_spark.plans.inspect import explain_str
+
+        import re
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = quantile_normalize(docs, "n_chars", part_col="source")
+        s = explain_str(df, "simple")
+        # the lookup itself is a hash join on the rank-bucket key
+        assert re.search(r"BroadcastHashJoin \[__bk__", s)
+        # no nested-loop join carries the containment predicate (the
+        # r5 quadratic shape); the only BNLJs left are one-row
+        # n_total/bucket-width Cross attachments
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", s):
+            assert "__cc__" not in m.group(0)
+            assert ", Cross" in m.group(0)
+        assert "CartesianProduct" not in s
