@@ -2426,15 +2426,20 @@ def shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distributed BPE tokenizer training (Sennrich-style word-frequency
-    # BPE): the corpus is reduced to the vocab dictionary ONCE, then 8
-    # merge rounds each cost one vocab-sized pair-count shuffle and a
-    # one-row argmax collect; the dict is localCheckpoint-ed per merge
-    # to keep Catalyst plan depth flat
+    # distributed BATCHED BPE tokenizer training: the corpus is reduced
+    # to the vocab dictionary ONCE; each counting round costs one
+    # vocab-sized pair-count shuffle plus ONE bounded top-W collect and
+    # accepts up to `batch` pairwise-disjoint merges applied in a
+    # single fold pass — driver job count is n_merges/~(batch/2), the
+    # fix for the r5 one-job-per-merge vocab-size ceiling. 64 merge
+    # slots in 8 rounds here (~39 accepted at sf0.01 — conservative
+    # disjoint selection under-fills by design); the same code reaches
+    # 32k-merge vocabularies in O(100) rounds at batch=256 (SCALING.md
+    # has the measured flat per-round cost curve).
     from tafra_spark.functions.text import bpe_learn
 
     docs = _read(spark, sf_dir, "documents")
-    return bpe_learn(docs, text_col="text", n_merges=8)
+    return bpe_learn(docs, text_col="text", n_merges=64, batch=8)
 
 
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3733,6 +3738,114 @@ def _bpe_learn_sql(n_merges: int = 8) -> str:
         "m AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b%d" % (k, k)
         for k in range(1, n_merges + 1))
     return _bpe_ctes_sql(n_merges) + "\n" + unions
+
+
+def _bpe_batched_ctes_sql(
+    n_merges: int, batch: int, n_folds: int = 8
+) -> str:
+    """Unrolled-CTE BATCHED BPE learner mirroring
+    ``text._bpe_state(batch=...)``: round k counts pairs over
+    ``w{k-1}``, ranks the top ``W = 4*batch`` by (count DESC, l, r)
+    (``rk{k}``), accepts the conservative pairwise-disjoint subset —
+    a pair survives iff NO higher-ranked pair in the window shares a
+    symbol with its {l, r, merged} trio (``text.bpe_select_batch``'s
+    rule, expressible as a NOT EXISTS rank self-join precisely
+    because it conflicts against ALL higher ranks, not just accepted
+    ones) — capped at the round's STATIC cap (``b{k}``), then applies
+    the accepted pairs ONE AT A TIME, each via ``n_folds`` nested
+    replace-FIRST steps (confluent with Spark's single simultaneous
+    fold pass because accepted pairs are symbol-disjoint). Rounds and
+    caps are static: ceil(n_merges/batch) rounds of cap ``batch``
+    (remainder in the last), matching ``_bpe_state``'s static-caps
+    contract.
+    """
+    rounds = -(-n_merges // batch)
+    caps = [batch] * (rounds - 1) + [n_merges - (rounds - 1) * batch]
+    top_w = max(4, 4 * batch)
+    parts = [r"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+)"""]
+    step_base = 0
+    union_terms = []
+    for k, cap in enumerate(caps, start=1):
+        prev = k - 1
+        inner = "SELECT word, freq, s FROM w%d" % prev
+        for i in range(1, cap + 1):
+            inner = (
+                "SELECT word, freq, s, "
+                "' ' || b.l || ' ' || b.r || ' ' AS pat, "
+                "' ' || b.m || ' ' AS rep "
+                "FROM (%s) __i%d_%d__ LEFT JOIN "
+                "(SELECT l, r, m FROM b%d WHERE bn = %d) b ON TRUE"
+                % (inner, k, i, k, i)
+            )
+            for j in range(n_folds):
+                inner = _BPE_FOLD_WRAP.format(inner=inner, j="%d_%d_%d" % (k, i, j))
+            inner = (
+                "SELECT word, freq, s FROM (%s) __a%d_%d__" % (inner, k, i)
+            )
+        parts.append("""
+p{k} AS (
+  SELECT string_split(pp, ' ')[1] AS l, string_split(pp, ' ')[2] AS r,
+         sum(freq) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(list_slice(sy, 1, len(sy) - 1),
+                  (x, i) -> x || ' ' || sy[i + 1])) AS pp
+    FROM (SELECT freq, string_split(trim(s), ' ') AS sy FROM w{prev}) __y__
+    WHERE len(sy) >= 2
+  ) __p__ GROUP BY 1, 2
+),
+rk{k} AS MATERIALIZED (
+  SELECT l, r, m, cnt, rn FROM (
+    SELECT l, r, l || r AS m, cnt,
+           row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+    FROM p{k}) __rk{k}__
+  WHERE rn <= {top_w}
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, m, cnt, bn FROM (
+    SELECT l, r, m, cnt, row_number() OVER (ORDER BY rn) AS bn
+    FROM rk{k} a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rk{k} q
+      WHERE q.rn < a.rn
+        AND (q.l IN (a.l, a.r, a.m) OR q.r IN (a.l, a.r, a.m)
+             OR q.m IN (a.l, a.r, a.m))
+    )) __b{k}__
+  WHERE bn <= {cap}
+),
+w{k} AS MATERIALIZED (
+  {inner}
+)""".format(k=k, prev=prev, top_w=top_w, cap=cap, inner=inner))
+        # steps number the ACCEPTED merges sequentially across rounds
+        # (rounds may under-fill their cap), so each round's offset is
+        # the actual accepted count of all earlier rounds
+        if k == 1:
+            offset = "0"
+        else:
+            prev_union = " UNION ALL ".join(
+                "SELECT l FROM b%d" % j for j in range(1, k)
+            )
+            offset = "(SELECT count(*) FROM (%s) __off%d__)" % (prev_union, k)
+        union_terms.append(
+            "SELECT CAST(%s + bn AS INTEGER) AS step, l AS left_sym, "
+            "r AS right_sym, m AS merged, CAST(cnt AS BIGINT) AS pair_count "
+            "FROM b%d" % (offset, k)
+        )
+        step_base += cap
+    return "WITH " + ",".join(parts), union_terms
+
+
+def _bpe_batched_learn_sql(n_merges: int, batch: int) -> str:
+    ctes, union_terms = _bpe_batched_ctes_sql(n_merges, batch)
+    return ctes + "\n" + "\nUNION ALL\n".join(union_terms)
 
 
 def _bpe_stats_sql(n_merges: int = 8) -> str:
@@ -8267,7 +8380,7 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         """
     )
-    d["bpe_learn_merges"] = _bpe_learn_sql(8)
+    d["bpe_learn_merges"] = _bpe_batched_learn_sql(64, 8)
     d["bpe_token_stats"] = _bpe_stats_sql(8)
     d["zipf_source_fit"] = r"""
         WITH freq AS (

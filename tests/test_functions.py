@@ -4942,6 +4942,51 @@ def _py_bpe(words_freq, n_merges):
     return merges, syms
 
 
+def _py_bpe_batched(words_freq, n_merges, batch, top_window=None):
+    """Pure-Python reference for BATCHED BPE: per round, rank pairs
+    (count DESC, l, r), take the conservative pairwise-disjoint subset
+    of the top-W (bpe_select_batch's rule), apply all accepted merges
+    in one simultaneous pass."""
+    from tafra_spark.functions.text import bpe_select_batch
+
+    if top_window is None:
+        top_window = max(4, 4 * batch)
+    syms = {w: list(w) for w in words_freq}
+    merges = []
+    rounds = -(-n_merges // batch)
+    caps = [batch] * (rounds - 1) + [n_merges - (rounds - 1) * batch]
+    step = 0
+    for cap in caps:
+        counts = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:top_window]
+        accepted = bpe_select_batch(
+            [(l, r, c) for (l, r), c in top], cap
+        )
+        table = {}
+        for left, right, merged, cnt in accepted:
+            step += 1
+            merges.append((step, left, right, merged, cnt))
+            table[(left, right)] = merged
+        for w in syms:
+            s = syms[w]
+            out = [s[0]] if s else []
+            for x in s[1:]:
+                if out and (out[-1], x) in table:
+                    out[-1] = table[(out[-1], x)]
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
 class TestBpeLearn:
     def test_matches_python_reference(self, spark):
         texts = [
@@ -4985,6 +5030,63 @@ class TestBpeLearn:
             TX.bpe_learn(df, n_merges=0)
         with pytest.raises(ValueError):
             TX.bpe_learn(df, text_col="nope")
+        with pytest.raises(ValueError):
+            TX.bpe_learn(df, batch=0)
+
+    def test_select_batch_conservative_rule(self):
+        # rank order: (t,h) accepted; (h,e) shares h with rank-1 ->
+        # rejected; (e,r) shares e with REJECTED rank-2 -> still
+        # rejected (conflicts count against ALL higher ranks, the
+        # SQL-expressible rule); (i,n) disjoint -> accepted
+        top = [("t", "h", 50), ("h", "e", 40), ("e", "r", 30),
+               ("i", "n", 20), ("o", "u", 10)]
+        got = TX.bpe_select_batch(top, batch=8)
+        assert got == [("t", "h", "th", 50), ("i", "n", "in", 20),
+                       ("o", "u", "ou", 10)]
+        # cap enforcement
+        assert TX.bpe_select_batch(top, batch=1) == [("t", "h", "th", 50)]
+        # merged-string conflicts: (a,b)->"ab" blocks a later ("ab",c)
+        top2 = [("a", "b", 9), ("ab", "c", 5), ("x", "y", 1)]
+        assert TX.bpe_select_batch(top2, batch=8) == [
+            ("a", "b", "ab", 9), ("x", "y", "xy", 1)]
+
+    def test_batched_matches_python_reference(self, spark):
+        texts = [
+            "aaaa aaa aa banana banana bandana",
+            "apple apples banana Apple 123 mixed7 aaaa",
+            "low lower lowest newer newest wider",
+            "the then there these other another",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        words = {}
+        for t in texts:
+            for w in t.lower().split():
+                if w.isalpha() and w.isascii():
+                    words[w] = words.get(w, 0) + 1
+        exp, _ = _py_bpe_batched(words, n_merges=12, batch=4)
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in TX.bpe_learn(df, n_merges=12, batch=4)
+            .orderBy("step").collect()
+        ]
+        assert got == exp
+
+    def test_batch_one_is_sequential_bpe(self, spark):
+        # batch=1 must be bit-identical to classic sequential BPE
+        texts = ["low lower lowest newer newest wider banana"]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        words = {}
+        for w in texts[0].split():
+            words[w] = words.get(w, 0) + 1
+        exp, _ = _py_bpe(words, 5)
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in TX.bpe_learn(df, n_merges=5, batch=1)
+            .orderBy("step").collect()
+        ]
+        assert got == exp
 
 
 class TestBpeTokenStats:
