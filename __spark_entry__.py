@@ -2442,6 +2442,39 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(docs, text_col="text", n_merges=64, batch=8)
 
 
+def band_join_nearby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-both-sides band predicate (the r5 verdict's named missing
+    # scale plan): for every order, count other orders placed within
+    # ±2 days. operators/joins.band_join rewrites the pure-theta
+    # conjunction to a rank-bucket EQUI-join + residual filter, so the
+    # candidate volume is per-bucket-linear instead of |O|² — a plain
+    # inner_join on these triples would plan a BroadcastNestedLoopJoin
+    # (plan-asserted in tests/test_plans.py)
+    from tafra_spark.operators.joins import band_join
+
+    o = _read(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")  # parquet stores timestamp_ntz
+    left = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_sub(od, 2).alias("lo"),
+        F.date_add(od, 2).alias("hi"),
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("rk"), od.alias("rd")
+    )
+    j = band_join(
+        left,
+        right,
+        [("lo", "rd", "<="), ("hi", "rd", ">="), ("k", "rk", "!=")],
+        bucket_width=5,
+    )
+    return (
+        j.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nearby"))
+        .select(F.col("k").alias("o_orderkey"), "n_nearby")
+    )
+
+
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
     # vocab join (corpus never shuffles), report per-source token
@@ -2777,6 +2810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_yield_curve": gate_yield_curve,
         "user_session_features": user_session_features,
         "quality_length_residuals": quality_length_residuals,
+        # operators ADDED in round 6 — never driver-verified
+        "band_join_nearby_orders": band_join_nearby_orders,
+        # re-verify: semantics changed in r6 (batched BPE, 64 slots)
+        "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
         "grouped_quantiles": grouped_quantiles,
         "upsert_orders": upsert_orders,
@@ -2936,7 +2973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_decay": user_activity_decay,
         "sliding_active_3h": sliding_active_3h,
         "minhash_dup_clusters": minhash_dup_clusters,
-        "bpe_learn_merges": bpe_learn_merges,
         "bpe_token_stats": bpe_token_stats_report,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
@@ -6113,6 +6149,16 @@ def oracle_sql() -> dict[str, str]:
         "theta_join_inequality": """
             SELECT n_name, r_name FROM nation JOIN region
             ON n_regionkey < r_regionkey
+        """,
+        "band_join_nearby_orders": """
+            SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_nearby
+            FROM orders a JOIN orders b
+              ON CAST(b.o_orderdate AS DATE)
+                   >= CAST(a.o_orderdate AS DATE) - 2
+             AND CAST(b.o_orderdate AS DATE)
+                   <= CAST(a.o_orderdate AS DATE) + 2
+             AND a.o_orderkey <> b.o_orderkey
+            GROUP BY a.o_orderkey
         """,
         "left_join_nulls": """
             SELECT n_name, s_name, s_acctbal

@@ -970,6 +970,25 @@ class Tafra:
         out = _joins.semi_anti_join(self._plain(), right._plain(), on, "left_semi")
         return Tafra._wrap(out)
 
+    def band_join(
+        self,
+        right: "Tafra",
+        on: Sequence[tuple],
+        bucket_width: int,
+        select: Optional[Iterable[str]] = None,
+    ) -> "Tafra":
+        """Range-bucketed band join: same (l, r, op)-triple language as
+        ``inner_join``, but when the conjunction bounds one side's
+        orderable key inside the other side's interval, the plan is a
+        bucket equi-join + residual filter instead of the O(|L|·|R|)
+        nested loop ``inner_join`` correctly degrades to for pure-theta
+        predicates. Pick ``bucket_width`` ≈ the typical interval
+        length. See ``operators/joins.py:band_join``."""
+        out = _joins.band_join(
+            self._plain(), right._plain(), on, bucket_width, select
+        )
+        return Tafra._wrap(out)
+
     def anti_join(self, right: "Tafra", on: Sequence[tuple]) -> "Tafra":
         """SQL NOT EXISTS — left rows with zero matches."""
         out = _joins.semi_anti_join(self._plain(), right._plain(), on, "left_anti")

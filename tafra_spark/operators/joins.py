@@ -36,6 +36,7 @@ __all__ = [
     "cross_join",
     "semi_anti_join",
     "salted_join",
+    "band_join",
     "compile_predicate",
 ]
 
@@ -246,3 +247,156 @@ def salted_join(
         if c not in left.columns
     ]
     return joined.select(*left_cols, *right_cols)
+
+
+def _band_numeric(col: Column, dtype) -> Column:
+    """Map an orderable key onto the integer/real line for bucketing:
+    dates → days since epoch, timestamps → epoch seconds, numerics
+    unchanged."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01"))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return col.cast("timestamp").cast("long")
+    if isinstance(dtype, T.NumericType):
+        return col
+    raise TypeError(
+        f"band_join key must be date/timestamp/numeric, got "
+        f"{dtype.simpleString()}"
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple],
+    bucket_width: int,
+    select: Iterable[str] | None = None,
+) -> DataFrame:
+    """Range-bucketed BAND JOIN: the scale rewrite for theta
+    conjunctions whose range triples bound one side's orderable key
+    inside an interval of the other side's columns — e.g.
+    ``l.lo <= r.ts AND r.ts < l.hi`` (+ any extra ``==``/``!=``/range
+    terms). The same ``(left, right, op)`` triple language as
+    :func:`inner_join`, same left-wins projection — but where
+    ``inner_join`` compiles a pure-theta conjunction to a
+    BroadcastNestedLoopJoin (O(|L|·|R|) compares, the r5 verdict's
+    named scale gap), this plans a HASH-JOINABLE equi key:
+
+    1. detect the band pattern in the triples — one POINT column
+       bounded both below and above by the other side's columns
+       (either direction; first match wins);
+    2. map the keys to the numeric line (dates → days, timestamps →
+       epoch seconds) and bucket by ``bucket_width``: the interval
+       side EXPLODES over the buckets its [lo, hi] span covers
+       (``ceil(len/W)+1`` replicas — width ≈ typical interval length
+       keeps it ~2), the point side computes its single bucket;
+    3. equi-join on (bucket + every ``==`` triple), then re-apply the
+       FULL original conjunction as a residual filter — candidates are
+       a superset only within matching buckets, so the result is
+       EXACTLY the theta join's.
+
+    Candidate volume is Σ per-bucket |L_b|·|R_b| — data-linear for
+    bands that match O(1) buckets — instead of |L|·|R|. NULL bounds or
+    points generate no buckets and thus no matches, matching SQL theta
+    semantics. INNER only: an outer join over an exploded side would
+    emit one unmatched row per replica. Generalizes
+    ``operators/temporal.py:range_join_points`` (timestamp point-in-
+    interval) to arbitrary orderable keys and mixed conjunctions.
+    """
+    if bucket_width <= 0:
+        raise ValueError("band_join: bucket_width must be positive")
+    triples = _validate_triples(left, right, on)
+    eq = [t for t in triples if t[2] == "=="]
+    rng = [t for t in triples if t[2] in ("<", "<=", ">", ">=")]
+    # bounds implied on each side's columns: lcol OP rcol
+    r_lower: dict[str, str] = {}  # rcol -> lcol with lcol </<= rcol
+    r_upper: dict[str, str] = {}
+    l_lower: dict[str, str] = {}  # lcol -> rcol with rcol </<= lcol
+    l_upper: dict[str, str] = {}
+    for lcol, rcol, op in rng:
+        if op in ("<", "<="):
+            r_lower.setdefault(rcol, lcol)
+            l_upper.setdefault(lcol, rcol)
+        else:
+            r_upper.setdefault(rcol, lcol)
+            l_lower.setdefault(lcol, rcol)
+    right_point = sorted(set(r_lower) & set(r_upper))
+    left_point = sorted(set(l_lower) & set(l_upper))
+    if not right_point and not left_point:
+        raise ValueError(
+            "band_join: no band pattern — need one column bounded below "
+            "AND above by the other side's columns; use inner_join for "
+            "unbounded theta predicates"
+        )
+
+    right_r = right.select(
+        *[F.col(c).alias(c + _RIGHT_SUFFIX) for c in right.columns]
+    )
+    w = F.lit(bucket_width)
+    if right_point:
+        p = right_point[0]
+        lo, hi = r_lower[p], r_upper[p]
+        lo_n = _band_numeric(F.col(lo), left.schema[lo].dataType)
+        hi_n = _band_numeric(F.col(hi), left.schema[hi].dataType)
+        p_n = _band_numeric(
+            F.col(p + _RIGHT_SUFFIX), right.schema[p].dataType
+        )
+        l_b = left.withColumn(
+            "__band_l__",
+            F.explode(
+                F.sequence(
+                    F.floor(lo_n / w).cast("long"),
+                    F.floor(hi_n / w).cast("long"),
+                )
+            ),
+        )
+        r_b = right_r.withColumn(
+            "__band_r__", F.floor(p_n / w).cast("long")
+        )
+    else:
+        p = left_point[0]
+        lo, hi = l_lower[p], l_upper[p]
+        lo_n = _band_numeric(
+            F.col(lo + _RIGHT_SUFFIX), right.schema[lo].dataType
+        )
+        hi_n = _band_numeric(
+            F.col(hi + _RIGHT_SUFFIX), right.schema[hi].dataType
+        )
+        p_n = _band_numeric(F.col(p), left.schema[p].dataType)
+        r_b = right_r.withColumn(
+            "__band_r__",
+            F.explode(
+                F.sequence(
+                    F.floor(lo_n / w).cast("long"),
+                    F.floor(hi_n / w).cast("long"),
+                )
+            ),
+        )
+        l_b = left.withColumn(
+            "__band_l__", F.floor(p_n / w).cast("long")
+        )
+
+    cond = l_b["__band_l__"] == r_b["__band_r__"]
+    for lcol, rcol, _ in eq:
+        cond = cond & (l_b[lcol] == r_b[rcol + _RIGHT_SUFFIX])
+    joined = l_b.join(r_b, on=cond, how="inner").filter(
+        compile_predicate(l_b, r_b, triples)
+    )
+
+    left_cols = list(left.columns)
+    out_cols: list[Column] = [joined[c] for c in left_cols]
+    for c in right.columns:
+        if c in left_cols:
+            continue  # left side wins on name collision
+        out_cols.append(joined[c + _RIGHT_SUFFIX].alias(c))
+    result = joined.select(*out_cols)
+    if select is not None:
+        select = [select] if isinstance(select, str) else list(select)
+        available = set(left.columns) | set(right.columns)
+        for c in select:
+            if c not in available:
+                raise KeyError(f"select column {c!r} in neither join side")
+        result = result.select(*select)
+    return result

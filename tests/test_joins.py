@@ -227,3 +227,82 @@ class TestRangeJoin:
         out = points.range_join(intervals, "ts", "s", "e", bucket_width=3600)
         pdf = out.to_pandas()
         assert sorted(pdf["pid"].tolist()) == [1, 2]
+
+
+class TestBandJoin:
+    def _tables(self, spark):
+        left = Tafra(
+            {
+                "lid": list(range(60)),
+                "lo": [float(i % 11) for i in range(60)],
+                "hi": [float(i % 11 + i % 4) for i in range(60)],
+            }
+        )
+        right = Tafra(
+            {
+                "rid": list(range(40)),
+                "p": [float((j * 5) % 13) for j in range(40)],
+            }
+        )
+        return left, right
+
+    def test_matches_theta_join(self, spark):
+        left, right = self._tables(spark)
+        on = [("lo", "p", "<="), ("hi", "p", ">")]
+        band = left.band_join(right, on, bucket_width=3).df
+        theta = left.inner_join(right, on).df
+        b = sorted(map(tuple, band.collect()))
+        t = sorted(map(tuple, theta.collect()))
+        assert b == t and len(b) > 0
+
+    def test_point_on_left(self, spark):
+        left = Tafra({"lid": [1, 2, 3], "v": [5.0, 10.0, 20.0]})
+        right = Tafra(
+            {"rid": [7, 8], "rlo": [4.0, 9.0], "rhi": [6.0, 30.0]}
+        )
+        on = [("v", "rlo", ">="), ("v", "rhi", "<=")]
+        band = left.band_join(right, on, bucket_width=4).df
+        theta = left.inner_join(right, on).df
+        assert sorted(map(tuple, band.collect())) == sorted(
+            map(tuple, theta.collect())
+        )
+
+    def test_extra_eq_and_neq_triples(self, spark):
+        left = Tafra(
+            {
+                "lid": [1, 2, 3, 4],
+                "g": ["a", "a", "b", "b"],
+                "lo": [0.0, 0.0, 0.0, 5.0],
+                "hi": [9.0, 2.0, 9.0, 9.0],
+            }
+        )
+        right = Tafra(
+            {"rid": [1, 2, 3], "g2": ["a", "b", "b"], "p": [1.0, 6.0, 3.0]}
+        )
+        on = [
+            ("g", "g2", "=="),
+            ("lo", "p", "<="),
+            ("hi", "p", ">="),
+            ("lid", "rid", "!="),
+        ]
+        band = left.band_join(right, on, bucket_width=5).df
+        theta = left.inner_join(right, on).df
+        assert sorted(map(tuple, band.collect())) == sorted(
+            map(tuple, theta.collect())
+        )
+
+    def test_no_band_pattern_raises(self, spark):
+        left, right = self._tables(spark)
+        with pytest.raises(ValueError, match="no band pattern"):
+            left.band_join(right, [("lo", "p", "<=")], bucket_width=3)
+        with pytest.raises(ValueError, match="bucket_width"):
+            left.band_join(
+                right, [("lo", "p", "<="), ("hi", "p", ">")], bucket_width=0
+            )
+
+    def test_null_bounds_match_nothing(self, spark):
+        left = Tafra({"lid": [1, 2], "lo": [None, 1.0], "hi": [5.0, 3.0]})
+        right = Tafra({"rid": [1], "p": [2.0]})
+        on = [("lo", "p", "<="), ("hi", "p", ">=")]
+        out = left.band_join(right, on, bucket_width=2).df.collect()
+        assert [r["lid"] for r in out] == [2]

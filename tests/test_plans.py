@@ -908,3 +908,35 @@ class TestRound6Plans:
             assert "__cc__" not in m.group(0)
             assert ", Cross" in m.group(0)
         assert "CartesianProduct" not in s
+
+    def test_band_join_no_nested_loop(self, spark):
+        # the r6 band-join rewrite: a large-both-sides band predicate
+        # must plan as a bucket equi-join (+ residual), never the
+        # BroadcastNestedLoopJoin a raw theta conjunction degrades to
+        from tafra_spark.operators.joins import band_join, inner_join
+        from tafra_spark.plans.inspect import explain_str
+
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        left = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.date_sub(F.col("o_orderdate").cast("date"), 2).alias("lo"),
+            F.date_add(F.col("o_orderdate").cast("date"), 2).alias("hi"),
+        )
+        right = o.select(
+            F.col("o_orderkey").alias("rk"),
+            F.col("o_orderdate").cast("date").alias("rd"),
+        )
+        on = [("lo", "rd", "<="), ("hi", "rd", ">="), ("k", "rk", "!=")]
+        banded = band_join(left, right, on, bucket_width=5)
+        s = explain_str(banded, "simple")
+        assert "BroadcastNestedLoopJoin" not in s
+        assert "CartesianProduct" not in s
+        assert (
+            "SortMergeJoin" in s
+            or "ShuffledHashJoin" in s
+            or "BroadcastHashJoin" in s
+        )
+        # and the naive triple compile really is the nested loop the
+        # rewrite exists to avoid
+        naive = explain_str(inner_join(left, right, on), "simple")
+        assert "BroadcastNestedLoopJoin" in naive
