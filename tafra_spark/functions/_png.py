@@ -1,12 +1,16 @@
-"""Minimal pure-Python PNG codec (grayscale, 8-bit, non-interlaced).
+"""Minimal pure-Python PNG codec (8-bit, non-interlaced; grayscale,
+grayscale+alpha, RGB, RGBA).
 
 Vendored so the REAL-mime decode path of
 :mod:`tafra_spark.functions.multimodal` is exercisable in environments
 without PIL (this container): `image/png` payloads decode through this
 module when PIL is absent, and tests round-trip genuine PNG bytes
 through the Arrow-batched pipeline instead of only the `image/fake`
-grid. Deliberately fixture-grade: grayscale (color type 0), bit depth
-8, no interlace — a color or 16-bit PNG still requires PIL and raises.
+grid. Deliberately fixture-grade: bit depth 8, no interlace, no
+palette — a 16-bit, interlaced, or paletted PNG still requires PIL and
+raises. (Round 6 extended the r5 grayscale-only version to color types
+2/4/6 — the scanline filter machinery generalizes by bytes-per-pixel,
+which is the only change the spec requires.)
 
 Implements the full scanline filter set (None/Sub/Up/Average/Paeth) of
 the PNG spec (RFC 2083 §6) — encoders routinely emit any of them, so a
@@ -20,9 +24,17 @@ import zlib
 
 import numpy as np
 
-__all__ = ["decode_png_gray", "encode_png_gray"]
+__all__ = [
+    "decode_png",
+    "decode_png_gray",
+    "encode_png_gray",
+    "encode_png_rgb",
+]
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel (8-bit depth, so also bytes/pixel)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -35,12 +47,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png_gray(content: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale non-interlaced PNG to (h, w) uint8."""
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to uint8: shape (h, w) for
+    grayscale (color type 0), (h, w, channels) otherwise (2/4/6)."""
     if content[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
-    width = height = None
+    width = height = bpp = None
+    color_type = 0
     idat = bytearray()
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
@@ -51,13 +65,18 @@ def decode_png_gray(content: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8 or color_type != 0 or interlace != 0:
+            if (
+                bit_depth != 8
+                or color_type not in _CHANNELS
+                or interlace != 0
+            ):
                 raise NotImplementedError(
-                    "vendored PNG decoder handles 8-bit grayscale "
-                    "non-interlaced only (install PIL for the rest); got "
-                    f"depth={bit_depth} color={color_type} "
+                    "vendored PNG decoder handles 8-bit non-interlaced "
+                    "gray/gray+alpha/RGB/RGBA only (install PIL for the "
+                    f"rest); got depth={bit_depth} color={color_type} "
                     f"interlace={interlace}"
                 )
+            bpp = _CHANNELS[color_type]
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -65,40 +84,61 @@ def decode_png_gray(content: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("not a PNG: missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = width + 1
+    rowbytes = width * bpp
+    stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("PNG data length mismatch")
-    out = np.zeros((height, width), dtype=np.uint8)
-    prev = np.zeros(width, dtype=np.int32)
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
-        ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
-        cur = np.zeros(width, dtype=np.int32)
+        ftype = row[0]
+        line = np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        cur = np.zeros(rowbytes, dtype=np.int32)
         if ftype == 0:  # None
             cur[:] = line
-        elif ftype == 1:  # Sub
-            acc = 0
-            for x in range(width):
-                acc = (line[x] + acc) & 0xFF
-                cur[x] = acc
+        elif ftype == 1:  # Sub ("left" = same channel, previous pixel)
+            for x in range(rowbytes):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + left) & 0xFF
         elif ftype == 2:  # Up
             cur[:] = (line + prev) & 0xFF
         elif ftype == 3:  # Average
-            left = 0
-            for x in range(width):
-                left = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-                cur[x] = left
+            for x in range(rowbytes):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            left = up_left = 0
-            for x in range(width):
-                left = (line[x] + _paeth(left, int(prev[x]), up_left)) & 0xFF
-                up_left = int(prev[x])
-                cur[x] = left
+            for x in range(rowbytes):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                up_left = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (line[x] + _paeth(left, int(prev[x]), up_left)) & 0xFF
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out
+    if bpp == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, bpp)
+
+
+def decode_png_gray(content: bytes) -> np.ndarray:
+    """Decode any supported PNG to an (h, w) uint8 LUMINANCE grid —
+    the downstream (width, height, intensity) contract of
+    :mod:`.multimodal`. Color collapses via PIL's exact ``convert("L")``
+    fixed-point ITU-R 601-2 formula ``(R*19595 + G*38470 + B*7471 +
+    0x8000) >> 16``, so environments with and without PIL produce
+    identical grids; alpha is ignored, like PIL's RGB→L path."""
+    arr = decode_png(content)
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 2:  # gray + alpha
+        return arr[:, :, 0]
+    r = arr[:, :, 0].astype(np.uint32)
+    g = arr[:, :, 1].astype(np.uint32)
+    b = arr[:, :, 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8
+    )
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -118,6 +158,23 @@ def encode_png_gray(arr: np.ndarray) -> bytes:
         raise ValueError("encode_png_gray expects a 2-D array")
     h, w = a.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgb(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG
+    (filter 0 scanlines)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png_rgb expects an (h, w, 3) array")
+    h, w, _ = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         _SIGNATURE

@@ -91,11 +91,13 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     ``image/fake`` payloads (the deterministic raw-grid fake) always
     decode, so the Arrow plumbing is testable without any imaging
     library. Real mimes decode through PIL when it is importable;
-    without PIL, ``image/png`` grayscale still decodes through the
-    vendored pure-Python codec (:mod:`._png`), so the real-mime path is
-    exercised even in containers with no imaging stack. The
-    ``NotImplementedError`` fires only for formats that genuinely need
-    a library (JPEG etc. without PIL)."""
+    without PIL, ``image/png`` (8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced) still decodes through the vendored pure-Python
+    codec (:mod:`._png`) — color collapses to luminance with PIL's
+    exact ``convert("L")`` fixed-point formula, so both paths yield
+    identical grids. The ``NotImplementedError`` fires only for
+    formats that genuinely need a library (JPEG, 16-bit/interlaced/
+    paletted PNG)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
@@ -113,8 +115,8 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
         return decode_png_gray(content)
     raise NotImplementedError(
         "decoding this image format requires an imaging library (PIL) "
-        "that is not installed; 'image/fake' and grayscale 'image/png' "
-        "decode without it"
+        "that is not installed; 'image/fake' and 8-bit 'image/png' "
+        "(gray/RGB/RGBA) decode without it"
     )
 
 

@@ -248,6 +248,89 @@ class TestMultimodal:
             out = _png.decode_png_gray(encode_with_filter(img, ftype))
             assert (out == img).all(), f"filter {ftype}"
 
+    def test_rgb_png_roundtrip_and_luminance(self):
+        # r6: color type 2 — RGB round-trips through decode_png and
+        # collapses to PIL's exact convert("L") fixed-point luminance
+        from tafra_spark.functions import _png
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        payload = _png.encode_png_rgb(img)
+        back = _png.decode_png(payload)
+        assert back.shape == (5, 7, 3) and (back == img).all()
+        lum = _png.decode_png_gray(payload)
+        r, g, b = (img[:, :, i].astype(np.uint32) for i in range(3))
+        exp = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+            np.uint8
+        )
+        assert (lum == exp).all()
+
+    def test_rgb_png_filter_types(self):
+        # the scanline filters predict from the SAME CHANNEL bpp bytes
+        # back — hand-encode each filter at bpp=3 and round-trip
+        import struct
+        import zlib
+
+        from tafra_spark.functions import _png
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        h, w, bpp = img.shape
+        flat = img.reshape(h, w * bpp)
+
+        def encode_with_filter(ftype):
+            prev = np.zeros(w * bpp, dtype=np.int32)
+            raw = bytearray()
+            for y in range(h):
+                cur = flat[y].astype(np.int32)
+                line = np.zeros(w * bpp, dtype=np.int32)
+                for x in range(w * bpp):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    up = int(prev[x])
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = {
+                        1: left,
+                        2: up,
+                        3: (left + up) >> 1,
+                        4: _png._paeth(left, up, ul),
+                    }[ftype]
+                    line[x] = (int(cur[x]) - pred) & 0xFF
+                raw.append(ftype)
+                raw.extend(int(v) for v in line)
+                prev = cur
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png._chunk(b"IHDR", ihdr)
+                + _png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png._chunk(b"IEND", b"")
+            )
+
+        for ftype in (1, 2, 3, 4):
+            out = _png.decode_png(encode_with_filter(ftype))
+            assert (out == img).all(), f"rgb filter {ftype}"
+
+    def test_rgb_png_through_pipeline(self, spark, monkeypatch):
+        # end-to-end: real RGB PNG bytes through the Arrow-batched
+        # decode stage without PIL
+        from tafra_spark.functions._png import encode_png_rgb
+
+        monkeypatch.setattr(M, "_HAS_PIL", False)
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        rows = [(0, "image", encode_png_rgb(img), (8, 8, None, "image/png"))]
+        df = spark.createDataFrame(rows, schema=M.MULTIMODAL_SCHEMA)
+        out = M.decode_images(df).collect()
+        assert len(out) == 1
+        r, g, b = (img[:, :, i].astype(np.uint32) for i in range(3))
+        lum = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+            np.uint8
+        )
+        assert out[0]["width"] == 8 and out[0]["height"] == 8
+        assert out[0]["mean_intensity"] == pytest.approx(
+            float(lum.mean()), abs=0.51
+        )
+
     def test_real_png_through_pipeline(self, spark, monkeypatch):
         # end-to-end: real PNG bytes ride the binary column through the
         # Arrow-batched decode and feature stages

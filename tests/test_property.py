@@ -560,3 +560,127 @@ class TestRound5Properties:
                 for n in (a, b, c):
                     want[n] += 1
         assert got == want
+
+
+class TestRound6Properties:
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.integers(min_value=-5, max_value=5),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=2,
+            max_size=14,
+        ),
+        n_planes=st.sampled_from([0, 2]),
+    )
+    @settings(**_SETTINGS)
+    def test_knn_graph_recall_one_within_buckets(self, spark, vecs, n_planes):
+        """Within a hyperplane bucket, knn_graph must return the EXACT
+        top-k by (cosine desc, dst) — recall 1 against brute force over
+        bucket peers. n_planes=0 is the single-bucket degenerate case
+        (== global exact kNN). The reference replicates the operator's
+        own left-fold dot/norm op order, so with integer components the
+        cosines are bit-identical."""
+        import math
+
+        from tafra_spark.functions.similarity import _planes, knn_graph
+
+        vecs = [v for v in vecs if any(v)]  # zero vectors have no cosine
+        if len(vecs) < 2:
+            return
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        k = 3
+        got = {
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(
+                df, dim=4, k=k, n_planes=n_planes
+            ).collect()
+        }
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        if n_planes == 0:
+            sig = {i: 0 for i in range(len(vecs))}
+        else:
+            planes = _planes(4, n_planes, 42)
+            sig = {}
+            for i, v in enumerate(vecs):
+                s = 0
+                for j in range(n_planes):
+                    # operator's operand order: vec elem * plane elem
+                    acc = 0.0
+                    for x, y in zip(planes[j], v):
+                        acc = acc + float(y) * float(x)
+                    if acc > 0:
+                        s += 1 << j
+                sig[i] = s
+
+        def cos(a, b):
+            d = fold_dot(a, b)
+            na = math.sqrt(fold_dot(a, a))
+            nb = math.sqrt(fold_dot(b, b))
+            return d / (na * nb)
+
+        want = set()
+        for i, v in enumerate(vecs):
+            peers = [
+                (cos(v, u), j)
+                for j, u in enumerate(vecs)
+                if j != i and sig[j] == sig[i]
+            ]
+            peers.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (_, j) in enumerate(peers[:k], start=1):
+                want.add((i, j, rank))
+        assert got == want
+
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        pcts=st.sampled_from([(5, 95), (25, 75), (10, 50)]),
+    )
+    @settings(**_SETTINGS)
+    def test_winsorize_clip_bounds_match_nearest_rank(
+        self, spark, data, pcts
+    ):
+        """winsorize's clip bounds must equal the type-1 (nearest-rank)
+        percentile — sorted_vals[ceil(p*n/100) - 1] — per group, and
+        every output row must be clip(value, lo, hi)."""
+        lo_p, hi_p = pcts
+        from tafra_spark.functions.analytics import winsorize
+
+        rows = [
+            (i, k, float(v)) for i, (k, v) in enumerate(data)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        out = winsorize(df, lo_pct=lo_p, hi_pct=hi_p).collect()
+        bounds = {}
+        for key in {k for k, _ in data}:
+            vals = sorted(float(v) for k, v in data if k == key)
+            n = len(vals)
+            lo_v = vals[-(-lo_p * n // 100) - 1]
+            hi_v = vals[-(-hi_p * n // 100) - 1]
+            bounds[key] = (lo_v, hi_v)
+        assert len(out) == len(rows)
+        for r in out:
+            lo_v, hi_v = bounds[r["event_type"]]
+            v = r["value"]
+            assert r["value_clipped"] == min(max(v, lo_v), hi_v)
+            assert r["was_clipped_lo"] == (v < lo_v)
+            assert r["was_clipped_hi"] == (v > hi_v)
