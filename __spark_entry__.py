@@ -2475,6 +2475,44 @@ def band_join_nearby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clustering_coefficient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-node local clustering coefficient (2T / d(d-1), q6 fixed
+    # point) over the event-transition graph — triangle machinery plus
+    # one degree agg, everything past the edge build |V|-bounded
+    ev = _read_events(spark, sf_dir)
+    return AN.clustering_coefficient(ev)
+
+
+def k_core_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core peel (k=3, 8 static rounds — static so the unrolled
+    # oracle replicates the exact peel prefix): surviving nodes with
+    # in-subgraph degrees; each round one degree agg + two semi-joins
+    # on a localCheckpoint-ed, only-shrinking edge table
+    ev = _read_events(spark, sf_dir)
+    return AN.k_core(ev, k=3, rounds=8)
+
+
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-identification risk gate: equivalence classes over the
+    # quasi-identifiers (event_type, hour-of-day, value decade), share
+    # of rows in classes below k for k in {2,5,10,25}; one QI shuffle,
+    # thresholds via conditional aggregation in a single pass
+    from tafra_spark.functions.pipeline import k_anonymity
+
+    ev = _read_events(spark, sf_dir)
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("qi_hour"),
+        F.expr(
+            "(CAST(floor(value) AS BIGINT)"
+            " - pmod(CAST(floor(value) AS BIGINT), 10)) div 10"
+        ).alias("qi_value_decade"),
+    )
+    return k_anonymity(
+        qi, ["event_type", "qi_hour", "qi_value_decade"]
+    )
+
+
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
     # vocab join (corpus never shuffles), report per-source token
@@ -2812,6 +2850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_length_residuals": quality_length_residuals,
         # operators ADDED in round 6 — never driver-verified
         "band_join_nearby_orders": band_join_nearby_orders,
+        "clustering_coefficient_graph": clustering_coefficient_graph,
+        "k_core_event_graph": k_core_event_graph,
+        "k_anonymity_events": k_anonymity_events,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -3776,6 +3817,48 @@ def _bpe_learn_sql(n_merges: int = 8) -> str:
     return _bpe_ctes_sql(n_merges) + "\n" + unions
 
 
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel mirroring ``analytics.k_core``: the same
+    distinct undirected transition-edge build, then ``rounds`` static
+    rounds of "keep nodes with degree >= k, keep edges with both ends
+    kept". Static rounds are the whole design (see the operator
+    docstring): both engines compute the identical peel prefix with no
+    recursive CTE."""
+    parts = [r"""
+a0 AS MATERIALIZED (
+  SELECT DISTINCT least(event_type, nxt) AS u,
+                  greatest(event_type, nxt) AS v
+  FROM (SELECT event_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events) __s__
+  WHERE nxt IS NOT NULL AND event_type <> nxt
+)"""]
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        parts.append(f"""
+k{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT u AS node FROM a{prev}
+      UNION ALL SELECT v AS node FROM a{prev}
+    ) __n{r}__ GROUP BY node) __d{r}__
+  WHERE d >= {k}
+),
+a{r} AS MATERIALIZED (
+  SELECT a.u, a.v FROM a{prev} a
+  JOIN k{r} ku ON a.u = ku.node
+  JOIN k{r} kv ON a.v = kv.node
+)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS node FROM a{rounds}
+  UNION ALL SELECT v AS node FROM a{rounds}
+) __fin__ GROUP BY node"""
+    )
+
+
 def _bpe_batched_ctes_sql(
     n_merges: int, batch: int, n_folds: int = 8
 ) -> str:
@@ -3975,6 +4058,88 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS jaccard_q6
             FROM v
             WHERE 100 * n_common >= 60 * (n_a + n_b - n_common)
+        """,
+        "clustering_coefficient_graph": r"""
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            ),
+            und AS (
+              SELECT DISTINCT least(event_type, nxt) AS u,
+                              greatest(event_type, nxt) AS v
+              FROM seq WHERE nxt IS NOT NULL AND event_type <> nxt
+            ),
+            deg AS (
+              SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ),
+            rnk AS (
+              SELECT node,
+                     row_number() OVER (ORDER BY d ASC, node ASC) AS r
+              FROM deg
+            ),
+            o AS (
+              SELECT CASE WHEN ru.r < rv.r THEN und.u ELSE und.v END AS src,
+                     CASE WHEN ru.r < rv.r THEN und.v ELSE und.u END AS dst,
+                     greatest(ru.r, rv.r) AS rd
+              FROM und
+              JOIN rnk ru ON und.u = ru.node
+              JOIN rnk rv ON und.v = rv.node
+            ),
+            tri AS (
+              SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              FROM o e1
+              JOIN o e2 ON e1.src = e2.src AND e1.rd < e2.rd
+              JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+            cnt AS (
+              SELECT node, count(*) AS n_triangles
+              FROM corners GROUP BY node
+            )
+            SELECT deg.node AS node, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(coalesce(cnt.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CASE WHEN deg.d >= 2 THEN
+                     CAST((2 * coalesce(cnt.n_triangles, 0) * 1000000)
+                          // (deg.d * (deg.d - 1)) AS BIGINT)
+                   END AS clustering_q6
+            FROM deg LEFT JOIN cnt ON deg.node = cnt.node
+        """,
+        "k_core_event_graph": _k_core_sql(k=3, rounds=8),
+        "k_anonymity_events": r"""
+            WITH qi AS (
+              SELECT event_type,
+                     CAST(hour(ts) AS BIGINT) AS qi_hour,
+                     CAST(floor(value) AS BIGINT) // 10 AS qi_value_decade
+              FROM events
+            ),
+            cls AS (
+              SELECT event_type, qi_hour, qi_value_decade,
+                     count(*) AS cs
+              FROM qi GROUP BY ALL
+            ),
+            tot AS (
+              SELECT count(*) AS nc, sum(cs) AS nr FROM cls
+            ),
+            ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k_threshold,
+                   CAST(tot.nc AS BIGINT) AS n_classes,
+                   CAST(coalesce(sum(CASE WHEN cls.cs < ks.k THEN 1 END), 0)
+                        AS BIGINT) AS n_classes_below,
+                   CAST(coalesce(sum(CASE WHEN cls.cs < ks.k THEN cls.cs END),
+                        0) AS BIGINT) AS n_rows_below,
+                   CASE WHEN tot.nr > 0 THEN
+                     CAST((coalesce(sum(CASE WHEN cls.cs < ks.k
+                                         THEN cls.cs END), 0) * 1000000)
+                          // tot.nr AS BIGINT)
+                   END AS rows_below_frac_q6
+            FROM ks CROSS JOIN tot LEFT JOIN cls ON TRUE
+            GROUP BY ks.k, tot.nc, tot.nr
         """,
         "triangle_counts_graph": r"""
             WITH seq AS (

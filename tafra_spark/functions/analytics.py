@@ -1771,6 +1771,32 @@ def position_attribution(
     )
 
 
+def _transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """DISTINCT undirected event-transition edges (u, v) with
+    u < v — the shared graph construction of :func:`triangle_counts`,
+    :func:`degree_assortativity`, :func:`clustering_coefficient` and
+    :func:`k_core`: per-user consecutive event-type pairs under
+    (ts, id) order, self-loops dropped, undirected-deduped."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    raw = (
+        events.select(
+            F.col(type_col).alias("__a__"),
+            F.lead(type_col).over(w).alias("__b__"),
+        )
+        .filter(F.col("__b__").isNotNull() & (F.col("__a__") != F.col("__b__")))
+    )
+    return raw.select(
+        F.least("__a__", "__b__").alias("u"),
+        F.greatest("__a__", "__b__").alias("v"),
+    ).distinct()
+
+
 def triangle_counts(
     events: DataFrame,
     user_col: str = "user_id",
@@ -1795,22 +1821,13 @@ def triangle_counts(
     all three corners. Returns (node, n_triangles), nodes with zero
     triangles included.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    raw = (
-        events.select(
-            F.col(type_col).alias("__a__"),
-            F.lead(type_col).over(w).alias("__b__"),
-        )
-        .filter(F.col("__b__").isNotNull() & (F.col("__a__") != F.col("__b__")))
-    )
     # persisted: three consumers (degrees, orientation, and the final
     # zero-count join) would otherwise each re-run the transition
     # window + distinct — at billion-edge scale that triples the
     # dominant cost (ContextCleaner frees it with the plan)
-    und = raw.select(
-        F.least("__a__", "__b__").alias("u"),
-        F.greatest("__a__", "__b__").alias("v"),
-    ).distinct().persist()
+    und = _transition_edges(
+        events, user_col, type_col, ts_col, id_col
+    ).persist()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -2874,4 +2891,122 @@ def zipf_fit(
         F.when(valid, F.round(slope, 6)).alias("slope"),
         F.when(valid, F.round(intercept, 6)).alias("intercept"),
         F.when(valid, F.round(r2, 6)).alias("r2"),
+    )
+
+
+def clustering_coefficient(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Local clustering coefficient per node of the undirected
+    event-transition graph: closed wedges over possible wedges,
+    ``cc = 2·T / (d·(d-1))`` — the per-node cohesion readout on top of
+    :func:`triangle_counts` (how clique-like each event type's
+    neighborhood is; a collapsing coefficient under data drift means
+    transition diversity is disappearing). Triangle counts come from
+    the degree-ordered node-iterator (see :func:`triangle_counts`);
+    degrees from the same shared :func:`_transition_edges`
+    construction, so both sides of the ratio describe the identical
+    graph.
+
+    Cross-engine exactness: T and d are exact integers, and the
+    coefficient is published as q6 fixed point
+    ``2·T·1e6 div (d·(d-1))`` (non-negative operands — div == floor on
+    both engines); degree-0/1 nodes have no possible wedges and report
+    NULL. Returns (node, degree, n_triangles, clustering_q6).
+
+    Plan: triangle pipeline + one degree aggregation + a node-keyed
+    join — all bounded by the |V|-row node table beyond the shared
+    edge build.
+    """
+    tri = triangle_counts(events, user_col, type_col, ts_col, id_col)
+    und = _transition_edges(events, user_col, type_col, ts_col, id_col)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(tri, on="node")
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN degree >= 2 THEN "
+                "CAST(2 * n_triangles * 1000000 div (degree * (degree - 1))"
+                " AS BIGINT) END"
+            ).alias("clustering_q6"),
+        )
+    )
+
+
+def k_core(
+    events: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """k-core peeling of the undirected event-transition graph: run
+    ``rounds`` rounds of "drop every node with degree < k (and its
+    edges)" and return the surviving nodes with their within-subgraph
+    degrees — the standard dense-substructure extraction (Seidman
+    1983) behind spam-ring detection, community seeding, and
+    hub-vs-periphery traffic profiling.
+
+    STATIC round count, deliberately: true k-core iterates to a
+    data-dependent fixpoint, which an unrolled cross-engine oracle
+    cannot replicate (the BPE batching lesson, r6). With a fixed
+    ``rounds`` both engines compute the identical peel prefix; peeling
+    is monotone (each round only removes), so a converged graph passes
+    later rounds unchanged and ``rounds`` ≥ the peel depth gives the
+    exact k-core. Raise ``rounds`` for deep onion graphs; each extra
+    round is one cheap job on an already-shrunk edge table.
+
+    Scale contract: each round is one map-side-combinable degree
+    aggregation over the CURRENT edge set plus two |V|-row semi-joins
+    (AQE broadcasts the surviving-node list), and the edge table is
+    eagerly ``localCheckpoint``-ed per round — lineage stays flat and
+    the table only shrinks. Work is O(rounds · |E|) worst case,
+    typically collapsing geometrically.
+
+    Returns (node, core_degree), the degree INSIDE the surviving
+    subgraph.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    if rounds < 1:
+        raise ValueError("k_core: rounds must be >= 1")
+    alive = _transition_edges(
+        events, user_col, type_col, ts_col, id_col
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            alive.select(F.col("u").alias("node"))
+            .union(alive.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d__"))
+        )
+        keep = deg.filter(F.col("__d__") >= int(k)).select("node")
+        alive = (
+            alive.join(
+                keep.select(F.col("node").alias("u")), on="u", how="left_semi"
+            )
+            .join(
+                keep.select(F.col("node").alias("v")), on="v", how="left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.select(F.col("u").alias("node"))
+        .union(alive.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )

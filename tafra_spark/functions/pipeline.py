@@ -2340,3 +2340,81 @@ def heaps_fit(
         F.when(valid, F.round(intercept, 6)).alias("intercept"),
         F.when(valid, F.round(r2, 6)).alias("r2"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    thresholds: Sequence[int] = (2, 5, 10, 25),
+) -> DataFrame:
+    """k-anonymity profile over quasi-identifier columns: partition the
+    rows into equivalence classes by ``qi_cols`` and report, for each
+    threshold k, how many classes and rows sit in classes SMALLER than
+    k — the standard re-identification risk readout a release gate
+    runs before publishing or training on user-adjacent data (a class
+    of size 1 is a fingerprint; rows_below_frac is the share of the
+    dataset that would need suppression/generalization to reach
+    k-anonymity). Complements :func:`pii_scrub` (which removes direct
+    identifiers; this measures the indirect ones).
+
+    Exactness: class sizes, class/row counts, and the q6 fraction
+    ``rows_below·1e6 div total_rows`` are all integers — hash-portable
+    with no tolerance.
+
+    Plan: ONE map-side-combinable groupBy over the quasi-identifiers
+    (the only data-proportional stage), then per-threshold conditional
+    aggregation over the class-size table in a single pass (no join,
+    no second shuffle), exploded to one row per threshold. NULL
+    quasi-identifier values form their own classes, like SQL GROUP BY.
+
+    Returns (k_threshold, n_classes, n_classes_below, n_rows_below,
+    rows_below_frac_q6), one row per threshold, ascending.
+    """
+    qi = list(qi_cols)
+    if not qi:
+        raise ValueError("k_anonymity: need at least one QI column")
+    ks = sorted(set(int(t) for t in thresholds))
+    if not ks or ks[0] < 2:
+        raise ValueError("k_anonymity: thresholds must be >= 2")
+    classes = df.groupBy(*qi).agg(F.count(F.lit(1)).alias("__cs__"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__nc__"),
+        F.sum("__cs__").cast("long").alias("__nr__"),
+    ]
+    for t in ks:
+        aggs.append(
+            F.sum(F.when(F.col("__cs__") < t, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__cb_{t}__")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("__cs__") < t, F.col("__cs__")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"__rb_{t}__")
+        )
+    one = classes.agg(*aggs)
+    rows = ", ".join(
+        f"struct(CAST({t} AS BIGINT) AS k_threshold, "
+        f"__cb_{t}__ AS n_classes_below, __rb_{t}__ AS n_rows_below)"
+        for t in ks
+    )
+    return (
+        one.select(
+            "__nc__", "__nr__", F.explode(F.expr(f"array({rows})")).alias("__s__")
+        )
+        .select(
+            F.col("__s__.k_threshold").alias("k_threshold"),
+            F.col("__nc__").alias("n_classes"),
+            F.col("__s__.n_classes_below").alias("n_classes_below"),
+            F.col("__s__.n_rows_below").alias("n_rows_below"),
+            F.expr(
+                "CASE WHEN __nr__ > 0 THEN CAST(__s__.n_rows_below * 1000000"
+                " div __nr__ AS BIGINT) END"
+            ).alias("rows_below_frac_q6"),
+        )
+        .orderBy("k_threshold")
+    )

@@ -5313,3 +5313,113 @@ class TestHeapsFit:
         r = heaps_fit(df).collect()[0]
         assert r["n_points"] == 1
         assert r["beta"] is None and r["r2"] is None
+
+
+class TestClusteringCoefficient:
+    def _ev(self, spark, edges):
+        rows = []
+        eid = 0
+        for uid, (a, b) in enumerate(edges):
+            rows.append((eid, uid, a, 0)); eid += 1
+            rows.append((eid, uid, b, 1)); eid += 1
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    def test_triangle_plus_tail(self, spark):
+        from tafra_spark.functions.analytics import clustering_coefficient
+
+        ev = self._ev(
+            spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        )
+        out = {r["node"]: r for r in clustering_coefficient(ev).collect()}
+        # degrees: a=2 b=2 c=3 d=1; triangles: a,b,c=1, d=0
+        assert out["a"]["degree"] == 2 and out["a"]["n_triangles"] == 1
+        assert out["a"]["clustering_q6"] == 1_000_000  # 2*1/(2*1)
+        assert out["b"]["clustering_q6"] == 1_000_000
+        assert out["c"]["degree"] == 3
+        assert out["c"]["clustering_q6"] == 333_333  # 2*1e6 div 6
+        assert out["d"]["degree"] == 1
+        assert out["d"]["clustering_q6"] is None  # no possible wedges
+
+
+class TestKCore:
+    _ev = TestClusteringCoefficient._ev
+
+    def test_peels_tail_to_triangle(self, spark):
+        from tafra_spark.functions.analytics import k_core
+
+        ev = self._ev(
+            spark,
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        )
+        out = {r["node"]: r["core_degree"] for r in k_core(ev, k=2).collect()}
+        # e (deg 1) peels in round 1, then d (deg 1) in round 2
+        assert out == {"a": 2, "b": 2, "c": 2}
+
+    def test_static_round_prefix(self, spark):
+        from tafra_spark.functions.analytics import k_core
+
+        ev = self._ev(
+            spark,
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        )
+        # rounds=1: only e peels; d survives with its dangling edge gone
+        out = {
+            r["node"]: r["core_degree"]
+            for r in k_core(ev, k=2, rounds=1).collect()
+        }
+        assert out == {"a": 2, "b": 2, "c": 3, "d": 1}
+
+    def test_validation(self, spark):
+        from tafra_spark.functions.analytics import k_core
+
+        ev = self._ev(spark, [("a", "b")])
+        with pytest.raises(ValueError):
+            k_core(ev, k=0)
+        with pytest.raises(ValueError):
+            k_core(ev, k=2, rounds=0)
+
+
+class TestKAnonymity:
+    def test_profile_counts(self, spark):
+        from tafra_spark.functions.pipeline import k_anonymity
+
+        # classes: (a,1)x1, (a,2)x3, (b,1)x6
+        rows = (
+            [("a", 1)] + [("a", 2)] * 3 + [("b", 1)] * 6
+        )
+        df = spark.createDataFrame(rows, ["q1", "q2"])
+        out = {
+            r["k_threshold"]: r
+            for r in k_anonymity(df, ["q1", "q2"], thresholds=(2, 5, 10)).collect()
+        }
+        assert out[2]["n_classes"] == 3
+        assert out[2]["n_classes_below"] == 1 and out[2]["n_rows_below"] == 1
+        assert out[2]["rows_below_frac_q6"] == 100_000  # 1/10
+        assert out[5]["n_classes_below"] == 2 and out[5]["n_rows_below"] == 4
+        assert out[10]["n_classes_below"] == 3
+        assert out[10]["n_rows_below"] == 10
+        assert out[10]["rows_below_frac_q6"] == 1_000_000
+
+    def test_null_qi_is_its_own_class(self, spark):
+        from tafra_spark.functions.pipeline import k_anonymity
+
+        df = spark.createDataFrame(
+            [("a",), (None,), (None,)], "q1 string"
+        )
+        out = {
+            r["k_threshold"]: r
+            for r in k_anonymity(df, ["q1"], thresholds=(2,)).collect()
+        }
+        assert out[2]["n_classes"] == 2
+        assert out[2]["n_rows_below"] == 1  # only the 'a' singleton
+
+    def test_validation(self, spark):
+        from tafra_spark.functions.pipeline import k_anonymity
+
+        df = spark.createDataFrame([("a",)], "q1 string")
+        with pytest.raises(ValueError):
+            k_anonymity(df, [])
+        with pytest.raises(ValueError):
+            k_anonymity(df, ["q1"], thresholds=(1,))
