@@ -2513,6 +2513,20 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shapley_channel_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Shapley conversion credit over the 4 non-conversion event
+    # channels: one per-user bitmask aggregation, one <=2^4-row mask
+    # count, coalition sums + Shapley fold on the driver over that
+    # bounded relation, literal 4-row output (markov_attribution's
+    # pattern); every value an exact integer / q6 share
+    ev = _read_events(spark, sf_dir)
+    return AN.shapley_attribution(
+        ev,
+        channels=["click", "error", "signup", "view"],
+        conversion="purchase",
+    )
+
+
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
     # vocab join (corpus never shuffles), report per-source token
@@ -2853,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient_graph": clustering_coefficient_graph,
         "k_core_event_graph": k_core_event_graph,
         "k_anonymity_events": k_anonymity_events,
+        "shapley_channel_credit": shapley_channel_credit,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -3817,6 +3832,61 @@ def _bpe_learn_sql(n_merges: int = 8) -> str:
     return _bpe_ctes_sql(n_merges) + "\n" + unions
 
 
+def _shapley_sql(channels, conversion: str) -> str:
+    """Unrolled exact-Shapley oracle mirroring
+    ``analytics.shapley_attribution``: per-user channel bitmask +
+    converted flag, <=2^n mask counts, all 2^n coalition sums as one
+    row, then each channel's n!-scaled numerator as literal integer
+    arithmetic — identical formula, identical floor divisions."""
+    from math import factorial
+
+    n = len(channels)
+    full = (1 << n) - 1
+    bits = ", ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) AS b{i}"
+        for i, ch in enumerate(channels)
+    )
+    mask = " + ".join(f"{1 << i} * b{i}" for i in range(n))
+    vs = ", ".join(
+        f"coalesce(sum(CASE WHEN (mask & {(~s) & full}) = 0 THEN c END), 0)"
+        f" AS v{s}"
+        for s in range(1 << n)
+    )
+    terms = []
+    for i, ch in enumerate(channels):
+        parts = []
+        for s in range(1 << n):
+            if s & (1 << i):
+                continue
+            w = factorial(bin(s).count("1")) * factorial(
+                n - 1 - bin(s).count("1")
+            )
+            parts.append(f"{w} * (v{s | (1 << i)} - v{s})")
+        num = " + ".join(parts)
+        terms.append(
+            f"SELECT '{ch}' AS channel, "
+            f"CAST(v{full} AS BIGINT) AS n_converters, "
+            f"CAST({num} AS BIGINT) AS shapley_num, "
+            f"CASE WHEN v{full} - v0 > 0 THEN "
+            f"CAST(({num}) * 1000000 // ({factorial(n)} * (v{full} - v0))"
+            f" AS BIGINT) END AS share_q6 FROM v"
+        )
+    return (
+        f"""
+WITH u AS (
+  SELECT user_id, {bits},
+         max(CASE WHEN event_type = '{conversion}' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+m AS (SELECT {mask} AS mask, count(*) AS c FROM u WHERE conv = 1
+      GROUP BY 1),
+v AS (SELECT {vs} FROM m)
+"""
+        + "\nUNION ALL\n".join(terms)
+    )
+
+
 def _k_core_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel mirroring ``analytics.k_core``: the same
     distinct undirected transition-edge build, then ``rounds`` static
@@ -4111,6 +4181,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN cnt ON deg.node = cnt.node
         """,
         "k_core_event_graph": _k_core_sql(k=3, rounds=8),
+        "shapley_channel_credit": _shapley_sql(
+            ["click", "error", "signup", "view"], "purchase"
+        ),
         "k_anonymity_events": r"""
             WITH qi AS (
               SELECT event_type,

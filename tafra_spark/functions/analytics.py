@@ -3010,3 +3010,108 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: Sequence[str],
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """EXACT Shapley-value conversion credit per channel — the third
+    classic multi-touch attribution next to :func:`ushape_attribution`
+    (positional) and :func:`markov_attribution` (removal effect). The
+    coalition value is the standard set-based one: ``v(S)`` = number
+    of CONVERTING users whose touched-channel set is a subset of S
+    (they would still have converted with only S available), and
+    ``φ_i = Σ_{S ⊆ N\\{i}} |S|!(n-1-|S|)!/n! · (v(S∪{i}) − v(S))``.
+
+    Exact integers all the way: the published ``shapley_num`` is the
+    n!-scaled numerator ``Σ s!(n-1-s)!·Δ`` (v is monotone, so every Δ
+    and numerator is a non-negative integer — floor == truncate on
+    both engines), and ``share_q6 = num·1e6 div (n!·(v(N) − v(∅)))``
+    so the shares sum to ~1e6. NULL shares when no converter touched
+    any channel.
+
+    Scale contract: ONE map-side-combinable per-user aggregation
+    (bitmask of touched channels + converted flag) and one ≤2^n-row
+    mask-count aggregation; the 2^n coalition sums and the Shapley
+    fold run on the driver over that bounded control relation, and the
+    result is a literal |channels|-row relation — the
+    :func:`markov_attribution` pattern. ``n = len(channels)`` is
+    capped at 8 (256 coalitions): Shapley over more channels than that
+    is statistically meaningless anyway.
+
+    Returns (channel, n_converters, shapley_num, share_q6) in the
+    given channel order.
+    """
+    from math import factorial
+
+    chans = list(channels)
+    n = len(chans)
+    if not 1 <= n <= 8:
+        raise ValueError("shapley_attribution: need 1..8 channels")
+    if len(set(chans)) != n or conversion in chans:
+        raise ValueError(
+            "shapley_attribution: channels must be distinct and exclude "
+            "the conversion type"
+        )
+    mask = None
+    for i, ch in enumerate(chans):
+        bit = F.max(
+            F.when(F.col(type_col) == ch, F.lit(1)).otherwise(F.lit(0))
+        ) * F.lit(1 << i)
+        mask = bit if mask is None else mask + bit
+    users = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            mask.alias("__m__"),
+            F.max(
+                F.when(F.col(type_col) == conversion, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__conv__"),
+        )
+    )
+    mcnt = (
+        users.filter(F.col("__conv__") == 1)
+        .groupBy("__m__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()  # bounded: <= 2^n rows
+    )
+    cnt = {int(r["__m__"]): int(r["__c__"]) for r in mcnt}
+    full = (1 << n) - 1
+    v = [0] * (1 << n)
+    for s in range(1 << n):
+        v[s] = sum(c for m, c in cnt.items() if m & ~s & full == 0)
+    denom = factorial(n) * (v[full] - v[0])
+    rows = []
+    for i, ch in enumerate(chans):
+        num = 0
+        for s in range(1 << n):
+            if s & (1 << i):
+                continue
+            w = factorial(bin(s).count("1")) * factorial(
+                n - 1 - bin(s).count("1")
+            )
+            num += w * (v[s | (1 << i)] - v[s])
+        share = (num * 1_000_000) // denom if denom > 0 else None
+        rows.append((ch, v[full], num, share))
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("channel", StringType(), False),
+            StructField("n_converters", LongType(), False),
+            StructField("shapley_num", LongType(), False),
+            StructField("share_q6", LongType(), True),
+        ]
+    )
+    return events.sparkSession.createDataFrame(rows, schema)

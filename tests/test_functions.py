@@ -5423,3 +5423,61 @@ class TestKAnonymity:
             k_anonymity(df, [])
         with pytest.raises(ValueError):
             k_anonymity(df, ["q1"], thresholds=(1,))
+
+
+class TestShapleyAttribution:
+    def test_hand_computed_case(self, spark):
+        from tafra_spark.functions.analytics import shapley_attribution
+
+        # u1 {click}->conv, u2 {click,view}->conv, u3 {view} no conv,
+        # u4 {} ->conv.  v(0)=1 v(click)=2 v(view)=1 v(both)=3
+        # num_click = (v1-v0) + (v3-v2) = 1 + 2 = 3
+        # num_view  = (v2-v0) + (v3-v1) = 0 + 1 = 1
+        # denom = 2!*(v3-v0) = 4 -> shares 750000 / 250000
+        rows = [
+            (0, 1, "click", 0), (1, 1, "purchase", 1),
+            (2, 2, "view", 0), (3, 2, "click", 1), (4, 2, "purchase", 2),
+            (5, 3, "view", 0),
+            (6, 4, "purchase", 0),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        out = {
+            r["channel"]: r
+            for r in shapley_attribution(
+                ev, channels=["click", "view"], conversion="purchase"
+            ).collect()
+        }
+        assert out["click"]["n_converters"] == 3
+        assert out["click"]["shapley_num"] == 3
+        assert out["click"]["share_q6"] == 750_000
+        assert out["view"]["shapley_num"] == 1
+        assert out["view"]["share_q6"] == 250_000
+
+    def test_no_channel_touch_gives_null_shares(self, spark):
+        from tafra_spark.functions.analytics import shapley_attribution
+
+        ev = spark.createDataFrame(
+            [(0, 1, "purchase", 0)],
+            ["event_id", "user_id", "event_type", "ts"],
+        )
+        out = shapley_attribution(
+            ev, channels=["click"], conversion="purchase"
+        ).collect()
+        assert out[0]["share_q6"] is None  # v(N) == v(0): no signal
+
+    def test_validation(self, spark):
+        from tafra_spark.functions.analytics import shapley_attribution
+
+        ev = spark.createDataFrame(
+            [(0, 1, "click", 0)], ["event_id", "user_id", "event_type", "ts"]
+        )
+        with pytest.raises(ValueError):
+            shapley_attribution(ev, channels=[])
+        with pytest.raises(ValueError):
+            shapley_attribution(ev, channels=["click", "click"])
+        with pytest.raises(ValueError):
+            shapley_attribution(
+                ev, channels=["purchase"], conversion="purchase"
+            )

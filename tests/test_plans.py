@@ -940,3 +940,27 @@ class TestRound6Plans:
         # rewrite exists to avoid
         naive = explain_str(inner_join(left, right, on), "simple")
         assert "BroadcastNestedLoopJoin" in naive
+
+    def test_partitioned_write_prunes_partitions(self, spark, tmp_path):
+        # hive-partitioned layout: a filter on the partition column must
+        # land in PartitionFilters (directories skipped, never read) —
+        # THE 100 TB scan-avoidance mechanism for date-partitioned lakes
+        from tafra_spark.plans.inspect import explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "day", F.to_date("ts")
+        )
+        path = str(tmp_path / "ev_parts")
+        ev.write.partitionBy("day").parquet(path)
+        back = spark.read.parquet(path).filter(
+            F.col("day") == "2024-01-02"
+        )
+        s = explain_str(back)
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+        assert m and "day" in m.group(1)
+        # the data-file filter list must NOT carry the partition
+        # predicate (it is resolved against directories, pre-IO)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", s)
+        assert pf is None or "day" not in pf.group(1)
