@@ -2527,6 +2527,37 @@ def shapley_channel_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benford_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit screen on event values: digit from the
+    # BIGINT's decimal string (culture-free), expectations inlined as
+    # precomputed q6 literals — one 9-row map-side-combined agg
+    ev = _read_events(spark, sf_dir)
+    return AN.benford_profile(ev, value_col="value")
+
+
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading ease per document, q3 integer fixed point from
+    # regex-only word/sentence/vowel-run counts — zero-shuffle narrow
+    # projection
+    from tafra_spark.functions.text import readability_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+def fd_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functional-dependency audit on orders: o_orderkey->o_custkey
+    # (the PK FD, must hold) vs o_custkey->o_orderpriority (violated);
+    # one distinct-count agg per pair, |pairs|-row report
+    from tafra_spark.functions.pipeline import fd_profile
+
+    o = _read(spark, sf_dir, "orders")
+    return fd_profile(
+        o,
+        [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")],
+    )
+
+
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
     # vocab join (corpus never shuffles), report per-source token
@@ -2868,6 +2899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_event_graph": k_core_event_graph,
         "k_anonymity_events": k_anonymity_events,
         "shapley_channel_credit": shapley_channel_credit,
+        "benford_value_profile": benford_value_profile,
+        "readability_docs": readability_docs,
+        "fd_orders_audit": fd_orders_audit,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -3887,6 +3921,41 @@ v AS (SELECT {vs} FROM m)
     )
 
 
+def _benford_sql() -> str:
+    """Benford oracle: same BIGINT-string first digit, same inlined
+    expected-share constants (imported from the operator so the two
+    sides CANNOT drift)."""
+    from tafra_spark.functions.analytics import _BENFORD_Q6
+
+    exp_case = " ".join(
+        f"WHEN {d} THEN {_BENFORD_Q6[d]}" for d in range(1, 10)
+    )
+    return f"""
+        WITH base AS (
+          SELECT CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS d
+          FROM events WHERE value IS NOT NULL AND abs(value) >= 1
+        ),
+        c AS (SELECT d, count(*) AS cnt FROM base GROUP BY d),
+        tot AS (SELECT count(*) AS nn FROM base),
+        spine AS (
+          SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit
+        )
+        SELECT CAST(spine.digit AS BIGINT) AS digit,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS n,
+               CASE WHEN tot.nn > 0 THEN
+                 CAST(coalesce(c.cnt, 0) * 1000000 // tot.nn AS BIGINT)
+               END AS observed_q6,
+               CAST(CASE spine.digit {exp_case} END AS BIGINT)
+                 AS expected_q6,
+               CASE WHEN tot.nn > 0 THEN
+                 CAST(abs(coalesce(c.cnt, 0) * 1000000 // tot.nn
+                      - CASE spine.digit {exp_case} END) AS BIGINT)
+               END AS deviation_q6
+        FROM spine LEFT JOIN c ON spine.digit = c.d CROSS JOIN tot
+    """
+
+
 def _k_core_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel mirroring ``analytics.k_core``: the same
     distinct undirected transition-edge build, then ``rounds`` static
@@ -4184,6 +4253,71 @@ def oracle_sql() -> dict[str, str]:
         "shapley_channel_credit": _shapley_sql(
             ["click", "error", "signup", "view"], "purchase"
         ),
+        "benford_value_profile": _benford_sql(),
+        "readability_docs": r"""
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(206835 - 1015 * n_words // n_sentences
+                        - 84600 * n_syllables // n_words AS BIGINT)
+                     AS flesch_q3
+            FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                       AS BIGINT) AS n_syllables
+              FROM documents WHERE text IS NOT NULL
+            ) __r__
+            WHERE n_words > 0 AND n_sentences > 0
+        """,
+        "fd_orders_audit": r"""
+            WITH p1 AS (
+              SELECT count(*) AS n_keys,
+                     sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                       AS n_violating_keys,
+                     sum(nr) AS n_rows,
+                     sum(CASE WHEN nd > 1 THEN nr ELSE 0 END)
+                       AS n_violating_rows
+              FROM (SELECT o_orderkey,
+                           count(DISTINCT o_custkey) AS nd,
+                           count(*) AS nr
+                    FROM orders GROUP BY o_orderkey) __c1__
+            ),
+            p2 AS (
+              SELECT count(*) AS n_keys,
+                     sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                       AS n_violating_keys,
+                     sum(nr) AS n_rows,
+                     sum(CASE WHEN nd > 1 THEN nr ELSE 0 END)
+                       AS n_violating_rows
+              FROM (SELECT o_custkey,
+                           count(DISTINCT o_orderpriority) AS nd,
+                           count(*) AS nr
+                    FROM orders GROUP BY o_custkey) __c2__
+            )
+            SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violating_rows AS BIGINT) AS n_violating_rows,
+                   CASE WHEN n_rows > 0 THEN
+                     CAST(n_violating_rows * 1000000 // n_rows AS BIGINT)
+                   END AS violating_rows_q6
+            FROM p1
+            UNION ALL
+            SELECT 'o_custkey', 'o_orderpriority',
+                   CAST(n_keys AS BIGINT),
+                   CAST(n_violating_keys AS BIGINT),
+                   CAST(n_rows AS BIGINT),
+                   CAST(n_violating_rows AS BIGINT),
+                   CASE WHEN n_rows > 0 THEN
+                     CAST(n_violating_rows * 1000000 // n_rows AS BIGINT)
+                   END
+            FROM p2
+        """,
         "k_anonymity_events": r"""
             WITH qi AS (
               SELECT event_type,

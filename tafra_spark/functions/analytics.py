@@ -3115,3 +3115,80 @@ def shapley_attribution(
         ]
     )
     return events.sparkSession.createDataFrame(rows, schema)
+
+
+#: Benford expected first-digit shares, q6 fixed point: these are the
+#: CONSTANTS floor(log10(1 + 1/d) * 1e6), inlined as literals on both
+#: engines so no runtime log/float enters the compare
+_BENFORD_Q6 = {
+    d: int(__import__("math").floor(
+        __import__("math").log10(1.0 + 1.0 / d) * 1_000_000
+    ))
+    for d in range(1, 10)
+}
+
+
+def benford_profile(
+    events: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Benford's-law first-digit profile — the classic fabricated-data
+    / anomalous-feed screen: naturally-occurring multiplicative
+    quantities put ~30.1% of first significant digits at 1, and a feed
+    whose digit histogram deviates hard (uniform generators, capped
+    fields, unit mix-ups) flags for audit. Reports, per digit 1–9, the
+    observed count and q6 share next to the Benford expectation and
+    the absolute deviation.
+
+    Exactness: the first significant digit of ``floor(|v|)`` (rows
+    with |v| ≥ 1) is taken from the BIGINT's decimal string — integer
+    → string is culture-free and identical on every engine, unlike
+    float formatting or log10 of a double. Shares are integer q6
+    (``cnt·1e6 div n``); the Benford expectations are PRE-COMPUTED
+    constants inlined as literals on both sides, so no runtime
+    transcendental enters the hash.
+
+    Plan: one filter + digit projection + 9-row hash aggregation
+    (map-side combined), left-joined onto a literal digit spine so all
+    9 digits always appear. Returns (digit, n, observed_q6,
+    expected_q6, deviation_q6) ascending.
+    """
+    v = F.col(value_col)
+    digit = F.expr(
+        f"CAST(substr(CAST(CAST(floor(abs({value_col})) AS BIGINT)"
+        " AS STRING), 1, 1) AS INT)"
+    )
+    base = events.filter(v.isNotNull() & (F.abs(v) >= 1)).select(
+        digit.alias("__d__")
+    )
+    counts = base.groupBy("__d__").agg(F.count(F.lit(1)).alias("__c__"))
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    spine = (
+        events.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("__d__"))
+        .withColumn(
+            "__e__",
+            F.element_at(
+                F.array(*[F.lit(_BENFORD_Q6[d]) for d in range(1, 10)]),
+                F.col("__d__"),
+            ).cast("long"),
+        )
+    )
+    return (
+        spine.join(counts, on="__d__", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__d__").cast("long").alias("digit"),
+            F.coalesce(F.col("__c__"), F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN __n__ > 0 THEN CAST(coalesce(__c__, 0) * 1000000"
+                " div __n__ AS BIGINT) END"
+            ).alias("observed_q6"),
+            F.col("__e__").alias("expected_q6"),
+            F.expr(
+                "CASE WHEN __n__ > 0 THEN CAST(abs(coalesce(__c__, 0)"
+                " * 1000000 div __n__ - __e__) AS BIGINT) END"
+            ).alias("deviation_q6"),
+        )
+        .orderBy("digit")
+    )

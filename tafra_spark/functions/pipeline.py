@@ -2418,3 +2418,72 @@ def k_anonymity(
         )
         .orderBy("k_threshold")
     )
+
+
+def fd_profile(
+    df: DataFrame,
+    pairs: Sequence[tuple],
+) -> DataFrame:
+    """Functional-dependency audit: for each (determinant, dependent)
+    column pair, does ``det → dep`` hold, and how badly is it violated
+    — the schema-drift / join-safety check a pipeline runs before
+    treating a column as a key or denormalizing on it (a violated FD
+    means a later ``JOIN ... ON det`` fans out, and a silently-added
+    second dep value per key is a classic upstream regression).
+
+    Per pair: number of determinant keys, keys carrying MORE than one
+    distinct dependent value (violating), total rows, rows under
+    violating keys, and the q6 violating-row share. All counts exact
+    integers; NULL dependents are ignored by the distinct count (SQL
+    ``count(DISTINCT ...)`` semantics on both engines) and NULL
+    determinants form their own key, like GROUP BY.
+
+    Plan: one hash aggregation per pair over (det) with a distinct
+    count — map-side combinable — then a one-row rollup; the per-pair
+    results union into a |pairs|-row report.
+
+    Returns (determinant, dependent, n_keys, n_violating_keys, n_rows,
+    n_violating_rows, violating_rows_q6), one row per pair in order.
+    """
+    if not pairs:
+        raise ValueError("fd_profile: need at least one (det, dep) pair")
+    outs = []
+    for det, dep in pairs:
+        if det not in df.columns or dep not in df.columns:
+            raise KeyError(f"fd_profile: unknown column in ({det!r}, {dep!r})")
+        cls = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("__nd__"),
+            F.count(F.lit(1)).alias("__nr__"),
+        )
+        agg = cls.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("__nd__") > 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.sum("__nr__").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("__nd__") > 1, F.col("__nr__")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_violating_rows"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_keys",
+                "n_violating_keys",
+                "n_rows",
+                "n_violating_rows",
+                F.expr(
+                    "CASE WHEN n_rows > 0 THEN CAST(n_violating_rows"
+                    " * 1000000 div n_rows AS BIGINT) END"
+                ).alias("violating_rows_q6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1018,3 +1018,66 @@ def bpe_token_stats(
             6,
         ).alias("chars_per_token"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch-style readability per document — the classic
+    audience-level screen a corpus-mix designer reads next to
+    :func:`quality_scores` (is this source legalese, textbook prose,
+    or chat?): words, sentences, vowel-group syllables, and the Flesch
+    reading-ease index ``206.835 − 1.015·(W/S) − 84.6·(Syl/W)``.
+
+    Heuristics are deliberately regex-only so both engines agree
+    byte-for-byte: sentences = non-empty ``[.!?]+`` splits, syllables
+    = maximal ``[aeiouyAEIOUY]+`` runs (vowel runs never span
+    whitespace, so no per-word explode is needed; the explicit
+    both-case class avoids ``lower()``, whose non-ASCII behavior can
+    differ between engines) — the standard cheap estimators, not a
+    hyphenation dictionary. The index
+    is published q3 fixed point with INTEGER floor divisions
+    (``206835 − 1015·W div S − 84600·Syl div W``, all operands
+    non-negative) — engine-identical, no float ratio enters the hash.
+
+    Plan: zero-shuffle narrow projection (three regex counts per row).
+    Rows with no words or no sentences are excluded (the index is
+    undefined there). Returns (id, n_words, n_sentences, n_syllables,
+    flesch_q3).
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"readability_scores: unknown column {text_col!r}")
+    t = F.col(text_col)
+    words = F.size(
+        F.filter(
+            F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    sentences = F.size(
+        F.filter(
+            F.split(t, r"[.!?]+"), lambda x: F.trim(x) != F.lit("")
+        )
+    ).cast("long")
+    syllables = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[aeiouyAEIOUY]+', 0)")
+    ).cast("long")
+    base = df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return base.filter(
+        (F.col("n_words") > 0) & (F.col("n_sentences") > 0)
+    ).select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(206835 - 1015 * n_words div n_sentences"
+            " - 84600 * n_syllables div n_words AS BIGINT)"
+        ).alias("flesch_q3"),
+    )

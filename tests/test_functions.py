@@ -5481,3 +5481,90 @@ class TestShapleyAttribution:
             shapley_attribution(
                 ev, channels=["purchase"], conversion="purchase"
             )
+
+
+class TestBenfordProfile:
+    def test_digits_and_expectations(self, spark):
+        from tafra_spark.functions.analytics import benford_profile
+
+        # values with first digits 1,1,2,9; 0.5 and null excluded
+        rows = [
+            (0, "a", 15.0), (1, "a", 120.0), (2, "a", 2.5),
+            (3, "a", 900.0), (4, "a", 0.5), (5, "a", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        out = {r["digit"]: r for r in benford_profile(df).collect()}
+        assert sorted(out) == list(range(1, 10))
+        assert out[1]["n"] == 2 and out[1]["observed_q6"] == 500_000
+        assert out[2]["n"] == 1 and out[9]["n"] == 1
+        assert out[3]["n"] == 0 and out[3]["observed_q6"] == 0
+        import math
+
+        assert out[1]["expected_q6"] == math.floor(
+            math.log10(2) * 1_000_000
+        )
+        assert out[1]["deviation_q6"] == abs(
+            500_000 - out[1]["expected_q6"]
+        )
+
+    def test_empty_input_null_shares(self, spark):
+        from tafra_spark.functions.analytics import benford_profile
+
+        df = spark.createDataFrame(
+            [], "event_id long, event_type string, value double"
+        )
+        out = benford_profile(df).collect()
+        assert len(out) == 9
+        assert all(r["observed_q6"] is None for r in out)
+
+
+class TestReadabilityScores:
+    def test_hand_counts(self, spark):
+        from tafra_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"), (2, "   "), (3, None)],
+            ["doc_id", "text"],
+        )
+        out = readability_scores(df).collect()
+        assert len(out) == 1  # blank and NULL rows have no words
+        r = out[0]
+        assert r["n_words"] == 6 and r["n_sentences"] == 2
+        # vowel runs: e,a,a,e,o,a -> 6
+        assert r["n_syllables"] == 6
+        # 206835 - 1015*(6 div 2) - 84600*(6 div 6) = 119190
+        assert r["flesch_q3"] == 206835 - 1015 * 3 - 84600 * 1
+
+
+class TestFdProfile:
+    def test_holds_and_violations(self, spark):
+        from tafra_spark.functions.pipeline import fd_profile
+
+        rows = [
+            (1, "a", "x"), (2, "a", "x"),   # key a: one dep -> holds
+            (3, "b", "x"), (4, "b", "y"),   # key b: two deps -> violates
+        ]
+        df = spark.createDataFrame(rows, ["rid", "det", "dep"])
+        out = {
+            r["determinant"]: r
+            for r in fd_profile(
+                df, [("det", "dep"), ("rid", "dep")]
+            ).collect()
+        }
+        d = out["det"]
+        assert d["n_keys"] == 2 and d["n_violating_keys"] == 1
+        assert d["n_rows"] == 4 and d["n_violating_rows"] == 2
+        assert d["violating_rows_q6"] == 500_000
+        r = out["rid"]  # rid unique -> FD holds
+        assert r["n_violating_keys"] == 0 and r["violating_rows_q6"] == 0
+
+    def test_validation(self, spark):
+        from tafra_spark.functions.pipeline import fd_profile
+
+        df = spark.createDataFrame([(1, "a")], ["rid", "det"])
+        with pytest.raises(ValueError):
+            fd_profile(df, [])
+        with pytest.raises(KeyError):
+            fd_profile(df, [("nope", "det")])
