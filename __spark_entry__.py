@@ -2558,6 +2558,16 @@ def fd_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sq8_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-dimension int8 scalar-quantization audit: mirrored double
+    # expressions + order-independent q12 integer error sums; stats
+    # broadcast back onto the element stream, two map-side aggs total
+    from tafra_spark.functions.similarity import sq8_report
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return sq8_report(emb)
+
+
 def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer yield: learn 8 BPE merges, tokenize via a BROADCAST
     # vocab join (corpus never shuffles), report per-source token
@@ -2902,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_value_profile": benford_value_profile,
         "readability_docs": readability_docs,
         "fd_orders_audit": fd_orders_audit,
+        "sq8_compression_report": sq8_compression_report,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -4254,6 +4265,36 @@ def oracle_sql() -> dict[str, str]:
             ["click", "error", "signup", "view"], "purchase"
         ),
         "benford_value_profile": _benford_sql(),
+        "sq8_compression_report": r"""
+            WITH el AS (
+              SELECT idx.i AS i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS v
+              FROM embeddings e
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx
+              WHERE e.embedding IS NOT NULL
+            ),
+            st AS (
+              SELECT i, min(v) AS mn, max(v) AS mx, count(*) AS n
+              FROM el GROUP BY i
+            ),
+            q AS (
+              SELECT el.i, st.mn, st.mx, st.n, el.v,
+                     CASE WHEN st.mx > st.mn THEN
+                       least(greatest(CAST(floor((el.v - st.mn) * 255
+                         / (st.mx - st.mn)) AS BIGINT), 0), 255)
+                     ELSE 0 END AS code
+              FROM el JOIN st ON el.i = st.i
+            ),
+            r AS (
+              SELECT i, mn, mx, n,
+                     v - (mn + code * (mx - mn) / 255) AS e
+              FROM q
+            )
+            SELECT CAST(i AS BIGINT) AS dim_idx, mn, mx,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(e * e * 1000000000000) AS BIGINT))
+                        AS BIGINT) AS sq_err_q12
+            FROM r GROUP BY i, mn, mx
+        """,
         "readability_docs": r"""
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    CAST(206835 - 1015 * n_words // n_sentences

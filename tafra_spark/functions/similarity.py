@@ -2019,3 +2019,76 @@ def pq_reconstruction_error(
             F.max("err").cast("long").alias("max_err_q12"),
         )
     )
+
+
+def sq8_report(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (SQ8) audit per dimension — the
+    memory-4×-cheaper sibling of product quantization
+    (:func:`pq_reconstruction_error`): each dimension maps linearly
+    onto 256 codes between its corpus min and max, and this report
+    says how much reconstruction error that costs WHERE (a dimension
+    with heavy tails or outliers wastes its code range — the signal to
+    clip, to switch that dimension to PQ, or to normalize upstream).
+
+    Cross-engine exactness: min/max are exact selections of stored
+    float32 values; code, reconstruction, and error are MIRRORED
+    double expressions (identical op order on both engines, IEEE
+    determinism — the cosine-fold recipe), and the published error is
+    the integer sum of per-element ``floor(err²·1e12)`` — ORDER-
+    INDEPENDENT, unlike a float sum, which would hash differently
+    under Spark's partial aggregation. Degenerate dimensions
+    (min == max) take code 0 and zero error.
+
+    Plan: one posexplode to the (dim, value) element stream, one
+    64-row per-dim stats aggregation, the stats BROADCAST back onto
+    the stream (no second element shuffle), one final per-dim
+    aggregation — two map-side-combinable aggs total over dim×rows
+    elements, nothing quadratic.
+
+    Returns (dim_idx, mn, mx, n, sq_err_q12) ascending by dimension.
+    """
+    el = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("__i__", "__v0__"))
+        .select(
+            "__i__", F.col("__v0__").cast("double").alias("__v__")
+        )
+    )
+    st = el.groupBy("__i__").agg(
+        F.min("__v__").alias("__mn__"),
+        F.max("__v__").alias("__mx__"),
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+    )
+    j = el.join(F.broadcast(st), on="__i__").withColumn(
+        "__code__",
+        F.expr(
+            "CASE WHEN __mx__ > __mn__ THEN "
+            "least(greatest(CAST(floor((__v__ - __mn__) * 255"
+            " / (__mx__ - __mn__)) AS BIGINT), 0), 255) "
+            "ELSE 0 END"
+        ),
+    ).withColumn(
+        "__e__",
+        F.expr("__v__ - (__mn__ + __code__ * (__mx__ - __mn__) / 255)"),
+    )
+    return (
+        j.groupBy("__i__")
+        .agg(
+            F.first("__mn__").alias("mn"),
+            F.first("__mx__").alias("mx"),
+            F.first("__n__").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(__e__ * __e__ * 1000000000000) AS BIGINT)"
+                )
+            ).cast("long").alias("sq_err_q12"),
+        )
+        .select(
+            F.col("__i__").cast("long").alias("dim_idx"),
+            "mn", "mx", "n", "sq_err_q12",
+        )
+        .orderBy("dim_idx")
+    )

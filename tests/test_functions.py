@@ -5568,3 +5568,23 @@ class TestFdProfile:
             fd_profile(df, [])
         with pytest.raises(KeyError):
             fd_profile(df, [("nope", "det")])
+
+
+class TestSq8Report:
+    def test_hand_case(self, spark):
+        from tafra_spark.functions.similarity import sq8_report
+
+        # dim0: values 0..1 quantize near-exactly on the 255-code grid
+        # at the endpoints; dim1 constant -> degenerate, zero error
+        rows = [(0, [0.0, 5.0]), (1, [1.0, 5.0]), (2, [0.5, 5.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["dim_idx"]: r for r in sq8_report(df).collect()}
+        d0 = out[0]
+        assert d0["mn"] == 0.0 and d0["mx"] == 1.0 and d0["n"] == 3
+        # endpoints reconstruct with <= one half-step error; 0.5 maps
+        # to code 127 -> recon 127/255, err ~ (0.5 - 127/255)^2
+        step = 1.0 / 255
+        assert d0["sq_err_q12"] <= int(3 * (step * step) * 1e12)
+        d1 = out[1]
+        assert d1["mn"] == 5.0 and d1["mx"] == 5.0
+        assert d1["sq_err_q12"] == 0  # degenerate dim: code 0, recon mn

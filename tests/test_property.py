@@ -684,3 +684,40 @@ class TestRound6Properties:
             assert r["value_clipped"] == min(max(v, lo_v), hi_v)
             assert r["was_clipped_lo"] == (v < lo_v)
             assert r["was_clipped_hi"] == (v > hi_v)
+
+    @given(
+        lrows=st.lists(
+            st.tuples(
+                st.integers(0, 30),
+                st.integers(-10, 10),
+                st.integers(0, 8),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        rrows=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(-12, 12)),
+            min_size=1,
+            max_size=25,
+        ),
+        width=st.integers(min_value=1, max_value=7),
+    )
+    @settings(**_SETTINGS)
+    def test_band_join_equals_theta_join(self, spark, lrows, rrows, width):
+        """band_join must return EXACTLY the naive theta join's rows
+        for any tables, interval shapes (including empty and inverted
+        intervals), and bucket width."""
+        from tafra_spark.operators.joins import band_join, inner_join
+
+        L = spark.createDataFrame(
+            [(i, float(lo), float(lo + ln)) for i, (_, lo, ln) in enumerate(lrows)],
+            ["lid", "lo", "hi"],
+        )
+        R = spark.createDataFrame(
+            [(j, float(p)) for j, (_, p) in enumerate(rrows)],
+            ["rid", "p"],
+        )
+        on = [("lo", "p", "<="), ("hi", "p", ">")]
+        got = sorted(map(tuple, band_join(L, R, on, bucket_width=width).collect()))
+        want = sorted(map(tuple, inner_join(L, R, on).collect()))
+        assert got == want
