@@ -3946,6 +3946,7 @@ def _benford_sql() -> str:
           SELECT CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT)
                  AS VARCHAR), 1, 1) AS INT) AS d
           FROM events WHERE value IS NOT NULL AND abs(value) >= 1
+            AND abs(value) < 9.0e18
         ),
         c AS (SELECT d, count(*) AS cnt FROM base GROUP BY d),
         tot AS (SELECT count(*) AS nn FROM base),

@@ -3158,9 +3158,14 @@ def benford_profile(
         f"CAST(substr(CAST(CAST(floor(abs({value_col})) AS BIGINT)"
         " AS STRING), 1, 1) AS INT)"
     )
-    base = events.filter(v.isNotNull() & (F.abs(v) >= 1)).select(
-        digit.alias("__d__")
-    )
+    # the upper bound does double duty: it keeps the BIGINT cast from
+    # overflowing (ANSI mode would throw) AND excludes NaN/inf on BOTH
+    # engines — Spark and DuckDB each order NaN above every number, so
+    # `abs(v) < 9e18` is false for NaN identically (a bare isnan()
+    # would need engine-specific spelling)
+    base = events.filter(
+        v.isNotNull() & (F.abs(v) >= 1) & (F.abs(v) < 9.0e18)
+    ).select(digit.alias("__d__"))
     counts = base.groupBy("__d__").agg(F.count(F.lit(1)).alias("__c__"))
     total = base.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
     spine = (

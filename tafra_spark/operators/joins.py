@@ -249,22 +249,37 @@ def salted_join(
     return joined.select(*left_cols, *right_cols)
 
 
-def _band_numeric(col: Column, dtype) -> Column:
+def _band_numeric(col: Column, dtype):
     """Map an orderable key onto the integer/real line for bucketing:
     dates → days since epoch, timestamps → epoch seconds, numerics
-    unchanged."""
+    unchanged. Returns (expr, is_integral) so the bucket computation
+    can pick an EXACT integer floor for integral keys."""
     from pyspark.sql import types as T
 
     if isinstance(dtype, T.DateType):
-        return F.datediff(col, F.lit("1970-01-01"))
+        return F.datediff(col, F.lit("1970-01-01")), True
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return col.cast("timestamp").cast("long")
+        return col.cast("timestamp").cast("long"), True
+    if isinstance(dtype, T.IntegralType):
+        return col, True
     if isinstance(dtype, T.NumericType):
-        return col
+        return col, False
     raise TypeError(
         f"band_join key must be date/timestamp/numeric, got "
         f"{dtype.simpleString()}"
     )
+
+
+def _band_bucket_sql(name: str, integral: bool, w: int) -> str:
+    """SQL for the floor-division bucket of the named numeric column.
+    Integral keys use the exact pmod identity
+    ``(x - pmod(x, w)) div w`` — ``floor(x / w)`` would route through
+    a double and mis-bucket keys beyond 2^53 (e.g. nanosecond epochs),
+    silently LOSING matches. Fractional keys keep the double floor
+    (they carry only double precision by nature)."""
+    if integral:
+        return f"(({name} - pmod({name}, {w})) div {w})"
+    return f"CAST(floor({name} / {w}) AS BIGINT)"
 
 
 def band_join(
@@ -305,8 +320,11 @@ def band_join(
     ``operators/temporal.py:range_join_points`` (timestamp point-in-
     interval) to arbitrary orderable keys and mixed conjunctions.
     """
-    if bucket_width <= 0:
-        raise ValueError("band_join: bucket_width must be positive")
+    if int(bucket_width) != bucket_width or bucket_width < 1:
+        raise ValueError(
+            "band_join: bucket_width must be a positive integer (scale "
+            "fractional keys up, or widen the band, to use a unit width)"
+        )
     triples = _validate_triples(left, right, on)
     eq = [t for t in triples if t[2] == "=="]
     rng = [t for t in triples if t[2] in ("<", "<=", ">", ">=")]
@@ -334,48 +352,72 @@ def band_join(
     right_r = right.select(
         *[F.col(c).alias(c + _RIGHT_SUFFIX) for c in right.columns]
     )
-    w = F.lit(bucket_width)
+    wi = int(bucket_width)
     if right_point:
         p = right_point[0]
         lo, hi = r_lower[p], r_upper[p]
-        lo_n = _band_numeric(F.col(lo), left.schema[lo].dataType)
-        hi_n = _band_numeric(F.col(hi), left.schema[hi].dataType)
-        p_n = _band_numeric(
+        lo_n, lo_i = _band_numeric(F.col(lo), left.schema[lo].dataType)
+        hi_n, hi_i = _band_numeric(F.col(hi), left.schema[hi].dataType)
+        p_n, p_i = _band_numeric(
             F.col(p + _RIGHT_SUFFIX), right.schema[p].dataType
         )
-        l_b = left.withColumn(
-            "__band_l__",
-            F.explode(
-                F.sequence(
-                    F.floor(lo_n / w).cast("long"),
-                    F.floor(hi_n / w).cast("long"),
-                )
-            ),
+        l_b = (
+            left.withColumn("__bn_lo__", lo_n)
+            .withColumn("__bn_hi__", hi_n)
+            .withColumn(
+                "__band_l__",
+                F.explode(
+                    F.expr(
+                        "sequence("
+                        + _band_bucket_sql("__bn_lo__", lo_i, wi)
+                        + ", "
+                        + _band_bucket_sql("__bn_hi__", hi_i, wi)
+                        + ")"
+                    )
+                ),
+            )
+            .drop("__bn_lo__", "__bn_hi__")
         )
-        r_b = right_r.withColumn(
-            "__band_r__", F.floor(p_n / w).cast("long")
+        r_b = (
+            right_r.withColumn("__bn_p__", p_n)
+            .withColumn(
+                "__band_r__", F.expr(_band_bucket_sql("__bn_p__", p_i, wi))
+            )
+            .drop("__bn_p__")
         )
     else:
         p = left_point[0]
         lo, hi = l_lower[p], l_upper[p]
-        lo_n = _band_numeric(
+        lo_n, lo_i = _band_numeric(
             F.col(lo + _RIGHT_SUFFIX), right.schema[lo].dataType
         )
-        hi_n = _band_numeric(
+        hi_n, hi_i = _band_numeric(
             F.col(hi + _RIGHT_SUFFIX), right.schema[hi].dataType
         )
-        p_n = _band_numeric(F.col(p), left.schema[p].dataType)
-        r_b = right_r.withColumn(
-            "__band_r__",
-            F.explode(
-                F.sequence(
-                    F.floor(lo_n / w).cast("long"),
-                    F.floor(hi_n / w).cast("long"),
-                )
-            ),
+        p_n, p_i = _band_numeric(F.col(p), left.schema[p].dataType)
+        r_b = (
+            right_r.withColumn("__bn_lo__", lo_n)
+            .withColumn("__bn_hi__", hi_n)
+            .withColumn(
+                "__band_r__",
+                F.explode(
+                    F.expr(
+                        "sequence("
+                        + _band_bucket_sql("__bn_lo__", lo_i, wi)
+                        + ", "
+                        + _band_bucket_sql("__bn_hi__", hi_i, wi)
+                        + ")"
+                    )
+                ),
+            )
+            .drop("__bn_lo__", "__bn_hi__")
         )
-        l_b = left.withColumn(
-            "__band_l__", F.floor(p_n / w).cast("long")
+        l_b = (
+            left.withColumn("__bn_p__", p_n)
+            .withColumn(
+                "__band_l__", F.expr(_band_bucket_sql("__bn_p__", p_i, wi))
+            )
+            .drop("__bn_p__")
         )
 
     cond = l_b["__band_l__"] == r_b["__band_r__"]

@@ -306,3 +306,25 @@ class TestBandJoin:
         on = [("lo", "p", "<="), ("hi", "p", ">=")]
         out = left.band_join(right, on, bucket_width=2).df.collect()
         assert [r["lid"] for r in out] == [2]
+
+    def test_huge_long_keys_bucket_exactly(self, spark):
+        # keys near 2^60 (nanosecond-epoch scale): a double-routed
+        # floor(x / w) mis-buckets here and silently LOSES matches;
+        # the integral pmod-identity bucket is exact at any magnitude
+        base = 1 << 60
+        left = Tafra(
+            {
+                "lid": [1, 2],
+                "lo": [base + 10, base + 1000],
+                "hi": [base + 20, base + 1010],
+            }
+        )
+        right = Tafra(
+            {"rid": [1, 2, 3], "p": [base + 15, base + 1005, base + 500]}
+        )
+        on = [("lo", "p", "<="), ("hi", "p", ">=")]
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in left.band_join(right, on, bucket_width=7).df.collect()
+        )
+        assert got == [(1, 1), (2, 2)]

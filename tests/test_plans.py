@@ -964,3 +964,57 @@ class TestRound6Plans:
         # predicate (it is resolved against directories, pre-IO)
         pf = re.search(r"PushedFilters: \[([^\]]*)\]", s)
         assert pf is None or "day" not in pf.group(1)
+
+    def test_k_anonymity_single_data_shuffle(self, spark):
+        from tafra_spark.functions.pipeline import k_anonymity
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+            "event_type", "hour(ts) AS h"
+        )
+        df = k_anonymity(ev, ["event_type", "h"])
+        # one QI hash-agg + the one-row rollup + the tiny explode/sort;
+        # crucially NO join (thresholds are conditional aggregates)
+        s = explain_str(df, "simple")
+        assert "Join" not in s
+        assert count_exchanges(df) <= 3
+
+    def test_sq8_stats_broadcast_back(self, spark):
+        from tafra_spark.functions.similarity import sq8_report
+        from tafra_spark.plans.inspect import (
+            count_exchanges,
+            explain_str,
+            has_broadcast_join,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        df = sq8_report(emb)
+        # per-dim stats agg + final per-dim agg + output sort; the
+        # 64-row stats table comes BACK via broadcast, so the element
+        # stream never shuffles a second time for the join
+        assert has_broadcast_join(df)
+        assert "SortMergeJoin" not in explain_str(df, "simple")
+        assert count_exchanges(df) <= 4
+
+    def test_benford_no_join_on_data(self, spark):
+        from tafra_spark.functions.analytics import benford_profile
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = benford_profile(ev)
+        s = explain_str(df, "simple")
+        # digit agg (9 rows) + total agg + the literal spine join —
+        # everything post-scan is bounded by 9 rows; no sort-merge
+        assert "SortMergeJoin" not in s
+        assert count_exchanges(df) <= 4
+
+    def test_fd_profile_one_agg_per_pair(self, spark):
+        from tafra_spark.functions.pipeline import fd_profile
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        df = fd_profile(o, [("o_orderkey", "o_custkey")])
+        s = explain_str(df, "simple")
+        assert "Join" not in s
+        # distinct-count agg (expand) + rollup: bounded exchanges
+        assert count_exchanges(df) <= 3
