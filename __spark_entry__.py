@@ -4268,10 +4268,13 @@ def oracle_sql() -> dict[str, str]:
         "benford_value_profile": _benford_sql(),
         "sq8_compression_report": r"""
             WITH el AS (
-              SELECT idx.i AS i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS v
-              FROM embeddings e
-              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx
-              WHERE e.embedding IS NOT NULL
+              -- per-row range over len(embedding): self-adapting to the
+              -- fixture's dimensionality, like the Spark posexplode
+              SELECT i, CAST(embedding[i + 1] AS DOUBLE) AS v
+              FROM (
+                SELECT unnest(range(0, len(embedding))) AS i, embedding
+                FROM embeddings WHERE embedding IS NOT NULL
+              ) __u__
             ),
             st AS (
               SELECT i, min(v) AS mn, max(v) AS mx, count(*) AS n
@@ -8626,9 +8629,9 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked CROSS JOIN nt
             )
             SELECT tgt.doc_id, tgt.source, tgt.n_chars,
-                   min(gtab.gv) AS value_normalized
-            FROM tgt LEFT JOIN gtab ON gtab.cc >= tgt.t
-            GROUP BY tgt.doc_id, tgt.source, tgt.n_chars
+                   (SELECT min(gtab.gv) FROM gtab WHERE gtab.cc >= tgt.t)
+                     AS value_normalized
+            FROM tgt
         """,
         "payload_template_groups": r"""
             WITH base AS (

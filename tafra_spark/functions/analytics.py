@@ -1245,10 +1245,20 @@ def mad_outliers(
         F.count(F.lit(1)).alias("__cnt__")
     )
 
+    if route not in ("auto", "window", "histogram"):
+        raise ValueError(
+            f"mad_outliers: route must be auto|window|histogram, got "
+            f"{route!r}"
+        )
     if route == "auto":
         # routing probe: one narrow map-side-combinable aggregation
         # over the raw rows, collected as a single number. Approximate
         # is fine — the route changes the PLAN, never the answer.
+        # NOTE: "auto" EXECUTES this probe job at construction time
+        # (routing is a plan decision, and plans are built eagerly) —
+        # one extra scan-and-agg pass. Callers that build plans
+        # without acting on them, or that know their value shape,
+        # should pass route="window"/"histogram" to stay fully lazy.
         probe = (
             base.groupBy("__k__")
             .agg(F.approx_count_distinct("__v__").alias("__d__"))
@@ -1828,6 +1838,17 @@ def triangle_counts(
     und = _transition_edges(
         events, user_col, type_col, ts_col, id_col
     ).persist()
+    counts, _ = _triangles_and_degrees(und)
+    return counts
+
+
+def _triangles_and_degrees(und: DataFrame):
+    """Degree-ordered triangle counting over a PERSISTED distinct
+    undirected edge set — the shared core of :func:`triangle_counts`
+    and :func:`clustering_coefficient` (which needs the degree table
+    too and must not rebuild the edge set a second time). Returns
+    ``(counts_df, deg_df)`` where counts is (node, n_triangles) with
+    zero-triangle nodes included and deg is (node, __d__)."""
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -1879,7 +1900,7 @@ def triangle_counts(
     counts = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
-    return (
+    out = (
         deg.select("node")
         .join(counts, on="node", how="left")
         .select(
@@ -1889,6 +1910,7 @@ def triangle_counts(
             ),
         )
     )
+    return out, deg
 
 
 def exact_group_quantiles(
@@ -1991,10 +2013,17 @@ def basket_rules(
     lift is symmetric; confidence is not).
 
     All metrics are exact integer fixed-point: support_q6 =
-    n_ab·1e6 div n_baskets, confidence_q6 = n_ab·1e6 div n_a,
-    lift_q6 = n_ab·n_baskets·1e6 div (n_a·n_b) — engine-portable with
-    no float anywhere. Returns (antecedent, consequent, n_ab, n_a,
-    n_b, n_baskets, support_q6, confidence_q6, lift_q6).
+    n_ab·1e6 div n_baskets, confidence_q6 = n_ab·1e6 div n_a, and
+    lift_q6 = (n_ab·1e6 div n_a)·n_baskets div n_b — the FLOOR-
+    COMPOSED lift, i.e. confidence_q6 scaled by n_baskets/n_b. It can
+    sit up to ~n_baskets/n_b q6 units below the single-floor
+    ``n_ab·n_baskets·1e6 div (n_a·n_b)``; the composed form is used
+    because that single-floor numerator overflows BIGINT once
+    n_ab·n_baskets exceeds ~9.2e12 (Spark non-ANSI wraps silently,
+    DuckDB errors), while the composed intermediates are bounded by
+    1e6·n_baskets. Engine-portable with no float anywhere. Returns
+    (antecedent, consequent, n_ab, n_a, n_b, n_baskets, support_q6,
+    confidence_q6, lift_q6).
     """
     if int(min_pair_support) < 1:
         raise ValueError("basket_rules: min_pair_support must be >= 1")
@@ -2922,13 +2951,12 @@ def clustering_coefficient(
     join — all bounded by the |V|-row node table beyond the shared
     edge build.
     """
-    tri = triangle_counts(events, user_col, type_col, ts_col, id_col)
-    und = _transition_edges(events, user_col, type_col, ts_col, id_col)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    und = _transition_edges(
+        events, user_col, type_col, ts_col, id_col
+    ).persist()
+    tri, deg_raw = _triangles_and_degrees(und)
+    deg = deg_raw.select(
+        "node", F.col("__d__").cast("long").alias("degree")
     )
     return (
         deg.join(tri, on="node")
@@ -3167,7 +3195,10 @@ def benford_profile(
         v.isNotNull() & (F.abs(v) >= 1) & (F.abs(v) < 9.0e18)
     ).select(digit.alias("__d__"))
     counts = base.groupBy("__d__").agg(F.count(F.lit(1)).alias("__c__"))
-    total = base.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    # total from the 9-row counts table, NOT a second base aggregation:
+    # both consumers then share the counts subplan, so Spark reuses the
+    # shuffle exchange and the input is scanned once
+    total = counts.agg(F.sum("__c__").cast("long").alias("__n__"))
     spine = (
         events.sparkSession.range(1, 10)
         .select(F.col("id").cast("int").alias("__d__"))

@@ -1969,7 +1969,11 @@ def quantile_normalize(
     partition share a rank (``rank()``, not row_number) so equal
     inputs map to equal outputs deterministically.
 
-    Returns (id, part, value, value_normalized).
+    Returns (id, part, value, value_normalized), ONE ROW PER INPUT ROW
+    — duplicate (id, part, value) inputs stay duplicated (the r5 shape
+    collapsed them as a side effect of its min-aggregate; preserving
+    input multiplicity is the principled contract for a row-level
+    rescaling transform).
     """
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col), F.col(part_col), F.col(value_col)
@@ -2381,17 +2385,28 @@ def k_anonymity(
         F.count(F.lit(1)).cast("long").alias("__nc__"),
         F.sum("__cs__").cast("long").alias("__nr__"),
     ]
+    # coalesce: SQL sum over ZERO rows is NULL, but an empty dataset
+    # has zero classes below every threshold, not unknown — and the
+    # oracle coalesces identically
     for t in ks:
         aggs.append(
-            F.sum(F.when(F.col("__cs__") < t, F.lit(1)).otherwise(F.lit(0)))
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__cs__") < t, F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__cb_{t}__")
         )
         aggs.append(
-            F.sum(
-                F.when(F.col("__cs__") < t, F.col("__cs__")).otherwise(
-                    F.lit(0)
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__cs__") < t, F.col("__cs__")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(f"__rb_{t}__")

@@ -282,6 +282,22 @@ def _band_bucket_sql(name: str, integral: bool, w: int) -> str:
     return f"CAST(floor({name} / {w}) AS BIGINT)"
 
 
+def _band_seq_sql(lo_sql: str, hi_sql: str) -> str:
+    """Bucket sequence for an interval, EMPTY when the interval is
+    inverted (hi < lo). Spark's ``sequence(a, b)`` generates a
+    DESCENDING sequence when a > b — so one corrupt row with swapped
+    bounds would try to materialize a bucket array spanning the whole
+    key range (OOM / 'too long sequence') where the theta join simply
+    emits no match. NULL bounds stay NULL (explode drops the row,
+    matching SQL theta semantics)."""
+    return (
+        f"CASE WHEN ({lo_sql}) <= ({hi_sql}) "
+        f"THEN sequence({lo_sql}, {hi_sql}) "
+        f"WHEN ({lo_sql}) IS NULL OR ({hi_sql}) IS NULL THEN NULL "
+        f"ELSE array() END"
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,
@@ -368,11 +384,10 @@ def band_join(
                 "__band_l__",
                 F.explode(
                     F.expr(
-                        "sequence("
-                        + _band_bucket_sql("__bn_lo__", lo_i, wi)
-                        + ", "
-                        + _band_bucket_sql("__bn_hi__", hi_i, wi)
-                        + ")"
+                        _band_seq_sql(
+                            _band_bucket_sql("__bn_lo__", lo_i, wi),
+                            _band_bucket_sql("__bn_hi__", hi_i, wi),
+                        )
                     )
                 ),
             )
@@ -402,11 +417,10 @@ def band_join(
                 "__band_r__",
                 F.explode(
                     F.expr(
-                        "sequence("
-                        + _band_bucket_sql("__bn_lo__", lo_i, wi)
-                        + ", "
-                        + _band_bucket_sql("__bn_hi__", hi_i, wi)
-                        + ")"
+                        _band_seq_sql(
+                            _band_bucket_sql("__bn_lo__", lo_i, wi),
+                            _band_bucket_sql("__bn_hi__", hi_i, wi),
+                        )
                     )
                 ),
             )

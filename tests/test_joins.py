@@ -328,3 +328,15 @@ class TestBandJoin:
             for r in left.band_join(right, on, bucket_width=7).df.collect()
         )
         assert got == [(1, 1), (2, 2)]
+
+    def test_inverted_interval_matches_nothing(self, spark):
+        # a corrupt row with swapped bounds must emit no match — not
+        # materialize a key-range-sized descending bucket sequence
+        left = Tafra(
+            {"lid": [1, 2], "lo": [1.0e12, 1.0], "hi": [0.0, 4.0]}
+        )
+        right = Tafra({"rid": [1], "p": [2.0]})
+        out = left.band_join(
+            right, [("lo", "p", "<="), ("hi", "p", ">=")], bucket_width=2
+        ).df.collect()
+        assert [(r["lid"], r["rid"]) for r in out] == [(2, 1)]

@@ -690,7 +690,7 @@ class TestRound6Properties:
             st.tuples(
                 st.integers(0, 30),
                 st.integers(-10, 10),
-                st.integers(0, 8),
+                st.integers(-8, 8),  # negative length = INVERTED interval
             ),
             min_size=1,
             max_size=25,
