@@ -2751,6 +2751,47 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio(assets)
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL JPEG container decode, PIL-less: deterministic block-
+    # constant 16x16 images encoded by the vendored baseline JPEG
+    # encoder and decoded back inside the Arrow-batched stage; block-
+    # constant tiles round-trip EXACTLY through DCT quantization, so
+    # the oracle recomputes the decoded mean from the tile formula —
+    # any wrong byte in markers, Huffman, stuffing, or IDCT hash-fails
+    from tafra_spark.functions import multimodal as MM
+
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id")
+    )
+    out_schema = (
+        "asset_id LONG, modality STRING, content BINARY, "
+        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
+        "mime: STRING>"
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "image",
+                    "content": [
+                        MM.fake_jpeg_bytes(int(a)) for a in pdf["asset_id"]
+                    ],
+                    "meta": [
+                        {"width": 16, "height": 16,
+                         "duration_ms": None, "mime": "image/jpeg"}
+                        for _ in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    assets = ids.mapInPandas(encode, schema=out_schema)
+    return MM.decode_images(assets)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -2913,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": readability_docs,
         "fd_orders_audit": fd_orders_audit,
         "sq8_compression_report": sq8_compression_report,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -8399,6 +8441,22 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = d.user_id
              AND d.vf <= e.ts
              AND (d.vt IS NULL OR e.ts < d.vt)
+        """,
+        "multimodal_jpeg_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            t AS (
+              SELECT asset_id, unnest(generate_series(0, 3)) AS k
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
+              FROM t
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
+            FROM v GROUP BY asset_id
         """,
         "multimodal_audio_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),

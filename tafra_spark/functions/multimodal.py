@@ -94,10 +94,12 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     without PIL, ``image/png`` (8-bit gray / gray+alpha / RGB / RGBA,
     non-interlaced) still decodes through the vendored pure-Python
     codec (:mod:`._png`) — color collapses to luminance with PIL's
-    exact ``convert("L")`` fixed-point formula, so both paths yield
-    identical grids. The ``NotImplementedError`` fires only for
-    formats that genuinely need a library (JPEG, 16-bit/interlaced/
-    paletted PNG)."""
+    exact ``convert("L")`` fixed-point formula — and ``image/jpeg``
+    (baseline SOF0, 8-bit, 1×1 sampling) decodes through the vendored
+    :mod:`._jpeg` codec, taking the stream's own Y plane as the
+    luminance grid. The ``NotImplementedError`` fires only for
+    variants that genuinely need a library (progressive or subsampled
+    JPEG, 16-bit/interlaced/paletted PNG)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
@@ -113,10 +115,14 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
         from ._png import decode_png_gray
 
         return decode_png_gray(content)
+    if mime == "image/jpeg":
+        from ._jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(content)
     raise NotImplementedError(
         "decoding this image format requires an imaging library (PIL) "
-        "that is not installed; 'image/fake' and 8-bit 'image/png' "
-        "(gray/RGB/RGBA) decode without it"
+        "that is not installed; 'image/fake', 8-bit 'image/png' "
+        "(gray/RGB/RGBA), and baseline 'image/jpeg' decode without it"
     )
 
 
@@ -233,6 +239,28 @@ def fake_wav_bytes(asset_id: int, sample_rate: int = 8000, n: int = 200) -> byte
     w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     w.close()
     return buf.getvalue()
+
+
+def fake_jpeg_bytes(asset_id: int, quality: int = 90) -> bytes:
+    """A REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS entropy stream, via
+    the vendored :mod:`._jpeg` encoder) holding a 16×16 image of four
+    8×8 constant tiles ``v_k = (asset_id·31 + k·57) mod 256`` — block-
+    constant tiles survive DCT quantization EXACTLY (DC-only blocks,
+    sub-half-pixel error before the final round), so the decoded mean
+    is formula-reproducible for the cross-engine oracle while the
+    payload still exercises multi-MCU entropy coding, DC prediction,
+    and byte stuffing."""
+    import numpy as np
+
+    from ._jpeg import encode_jpeg_gray
+
+    v = [(int(asset_id) * 31 + k * 57) % 256 for k in range(4)]
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8] = v[0]
+    img[:8, 8:] = v[1]
+    img[8:, :8] = v[2]
+    img[8:, 8:] = v[3]
+    return encode_jpeg_gray(img, quality=quality)
 
 
 def decode_audio(

@@ -5588,3 +5588,91 @@ class TestSq8Report:
         d1 = out[1]
         assert d1["mn"] == 5.0 and d1["mx"] == 5.0
         assert d1["sq_err_q12"] == 0  # degenerate dim: code 0, recon mn
+
+
+class TestJpegCodec:
+    def test_dct_matrix_orthonormal(self):
+        from tafra_spark.functions._jpeg import _C
+
+        assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+    def test_dct_roundtrip_exact_without_quantization(self):
+        from tafra_spark.functions._jpeg import _C
+
+        rng = np.random.RandomState(2)
+        b = rng.randint(-128, 128, size=(8, 8)).astype(float)
+        coef = _C @ b @ _C.T
+        back = _C.T @ coef @ _C
+        assert np.allclose(back, b, atol=1e-9)
+
+    def test_gray_roundtrip_bounded_error(self):
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_gray
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+        back = decode_jpeg(encode_jpeg_gray(img, quality=95))
+        assert back.shape == img.shape
+        # q95 luminance quant steps are tiny; noise images stay within
+        # a small per-pixel band
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 12
+
+    def test_constant_block_roundtrips_exactly(self):
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_gray
+
+        img = np.full((16, 16), 100, dtype=np.uint8)
+        back = decode_jpeg(encode_jpeg_gray(img, quality=90))
+        assert (back == img).all()
+
+    def test_rgb_roundtrip_and_luminance(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            decode_jpeg_gray,
+            encode_jpeg_rgb,
+        )
+
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg_rgb(rgb, quality=95)
+        back = decode_jpeg(payload)
+        assert back.shape == rgb.shape
+        # chroma quantization is coarser; bound is loose but real
+        assert int(np.abs(back.astype(int) - rgb.astype(int)).max()) <= 40
+        lum = decode_jpeg_gray(payload)
+        assert lum.shape == (16, 16)
+
+    def test_byte_stuffing_survives(self):
+        # an image engineered to emit many 0xFF entropy bytes must
+        # round-trip through the stuff/unstuff path
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_gray
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(40, 40), dtype=np.uint8)
+        payload = encode_jpeg_gray(img, quality=25)  # coarse -> varied bytes
+        back = decode_jpeg(payload)
+        assert back.shape == img.shape
+
+    def test_rejects_non_baseline(self):
+        from tafra_spark.functions._jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+        # progressive SOF2 marker stream
+        sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof2)
+
+    def test_jpeg_through_pipeline(self, spark, monkeypatch):
+        # real JPEG bytes through the Arrow-batched decode stage, no PIL
+        from tafra_spark.functions._jpeg import encode_jpeg_gray
+
+        monkeypatch.setattr(M, "_HAS_PIL", False)
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        rows = [
+            (0, "image", encode_jpeg_gray(img, quality=95),
+             (8, 8, None, "image/jpeg"))
+        ]
+        df = spark.createDataFrame(rows, schema=M.MULTIMODAL_SCHEMA)
+        out = M.decode_images(df).collect()
+        assert len(out) == 1
+        assert out[0]["width"] == 8 and out[0]["height"] == 8
+        assert out[0]["mean_intensity"] == pytest.approx(77.0, abs=1.0)
