@@ -60,6 +60,10 @@ __all__ = [
     "top_paths",
     "histogram_quantiles",
     "position_attribution",
+    "clustering_coefficient",
+    "k_core",
+    "shapley_attribution",
+    "benford_profile",
 ]
 
 

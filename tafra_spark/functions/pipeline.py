@@ -75,6 +75,8 @@ __all__ = [
     "gate_threshold_sweep",
     "unicode_scrub",
     "shard_balance_report",
+    "k_anonymity",
+    "fd_profile",
 ]
 
 #: redaction patterns in the Java-regex ∩ RE2 common subset, so the

@@ -47,6 +47,7 @@ __all__ = [
     "label_consistency",
     "semantic_decontaminate",
     "source_semantic_similarity",
+    "sq8_report",
 ]
 
 

@@ -33,6 +33,8 @@ __all__ = [
     "compression_stats",
     "bpe_learn",
     "bpe_token_stats",
+    "readability_scores",
+    "bpe_select_batch",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
