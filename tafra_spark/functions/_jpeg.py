@@ -12,7 +12,9 @@ Self-consistency note: quantization and Huffman tables are READ FROM
 THE STREAM (DQT/DHT) by the decoder, so it decodes any spec-compliant
 baseline file regardless of which tables its encoder chose; the
 encoder here writes the standard Annex-K-style tables it defines
-below. The zigzag order and the entropy-coding rules (DC category +
+below. Restart markers (DRI/RSTn) are handled best-effort (DC
+predictor reset + marker skip) — streams that rely on them heavily
+belong to PIL. The zigzag order and the entropy-coding rules (DC category +
 ones'-complement amplitude, AC run/size with EOB/ZRL, 0xFF byte
 stuffing) follow the JPEG spec (ITU-T T.81).
 """

@@ -182,9 +182,16 @@ class TestMultimodal:
 
     def test_library_mimes_without_pil_raise(self, spark, monkeypatch):
         # formats that genuinely need an imaging library still fence
+        # (baseline JPEG decodes via the r6 vendored codec; progressive
+        # JPEG and formats like webp/tiff stay PIL-gated)
         monkeypatch.setattr(M, "_HAS_PIL", False)
         with pytest.raises(NotImplementedError):
-            M._decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
+            M._decode_stub(b"RIFF....WEBP", "image/webp")
+        sof2 = (
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+        with pytest.raises(NotImplementedError):
+            M._decode_stub(sof2, "image/jpeg")
 
     def test_fake_mime_decodes_without_pil(self, monkeypatch):
         monkeypatch.setattr(M, "_HAS_PIL", False)
