@@ -322,6 +322,12 @@ def _encode(planes, qtabs, quality: int) -> bytes:
                 coef = _C @ blk @ _C.T
                 q = qs[qtabs[ci]]
                 quant = np.round(coef / q).astype(np.int64)
+                # baseline AC amplitudes are 1..10 bits (|v| <= 1023);
+                # a max-amplitude checkerboard at quality~100 (quant
+                # step 1) can reach |1024|, whose category 11 no
+                # baseline AC table encodes — clamp like real encoders
+                quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
+                quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
                 dc_prev[ci] = _encode_block(
                     wr, quant, dc_prev[ci], dc_tab, ac_tab
                 )

@@ -5683,3 +5683,17 @@ class TestJpegCodec:
         assert len(out) == 1
         assert out[0]["width"] == 8 and out[0]["height"] == 8
         assert out[0]["mean_intensity"] == pytest.approx(77.0, abs=1.0)
+
+    def test_extreme_checkerboard_at_quality_100(self):
+        # max-amplitude alternating blocks at quant step 1: AC
+        # coefficients reach the +-1024 boundary; the encoder must
+        # clamp to baseline's 10-bit amplitude ceiling, not crash
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_gray
+
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[::2, ::2] = 255
+        img[1::2, 1::2] = 255
+        back = decode_jpeg(encode_jpeg_gray(img, quality=100))
+        assert back.shape == img.shape
+        # clamping costs a little energy; the pattern survives broadly
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 96
