@@ -38,6 +38,7 @@ __all__ = [
     "ledger_dedup_sink",
     "fuzzy_ledger_dedup_sink",
     "quality_monitor_sink",
+    "k_anonymity_monitor_sink",
     "countmin_ledger_sink",
     "countmin_read",
     "scd2_dim_sink",
@@ -831,3 +832,42 @@ def enrich_stream_scd2(
     for c in dropped:
         out = out.drop(c)
     return out
+
+
+def k_anonymity_monitor_sink(
+    report_path: str,
+    qi_cols: list,
+    thresholds: tuple = (2, 5, 10, 25),
+):
+    """Continuous re-identification-risk monitoring: a ``foreachBatch``
+    function that profiles every micro-batch with
+    :func:`~tafra_spark.functions.pipeline.k_anonymity` and appends
+    the per-batch report — the streaming face of the privacy release
+    gate (a feed whose rows_below_frac jumps grew a new
+    high-cardinality quasi-identifier combination upstream; alerting
+    is a filter over the report table).
+
+    Each report row is (batch_id, k_threshold, n_classes,
+    n_classes_below, n_rows_below, rows_below_frac_q6).
+    Replay-idempotent like the other ledger/report sinks: partitioned
+    by ``batch_id``, each batch OVERWRITES its own partition, so
+    at-least-once redelivery rewrites an identical report instead of
+    double-counting.
+
+    Scale: one QI hash-agg over data the batch already materialized
+    plus a one-row rollup; the report grows by len(thresholds) rows
+    per batch regardless of batch size.
+
+    Use: ``stream.writeStream.foreachBatch(
+    k_anonymity_monitor_sink(path, ["event_type", "qi_hour"]))``; call
+    the returned function directly to profile batch backfills.
+    """
+    from ..functions.pipeline import k_anonymity
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = k_anonymity(batch_df, qi_cols, thresholds=thresholds)
+        report.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+
+    return process

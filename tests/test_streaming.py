@@ -883,3 +883,35 @@ class TestScd2Enrichment:
             output_mode="append",
         )
         assert {tuple(map(str, r)) for r in out.collect()} == batch
+
+
+class TestKAnonymityMonitor:
+    def test_per_batch_reports_and_replay_idempotence(self, spark, tmp_path):
+        from tafra_spark.streaming.ops import k_anonymity_monitor_sink
+
+        rep = str(tmp_path / "krep")
+        sink = k_anonymity_monitor_sink(rep, ["q1"], thresholds=(2, 5))
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "q1 string")
+
+        # batch 0: classes a×1, b×3
+        sink(mk([("a",), ("b",), ("b",), ("b",)]), 0)
+        # batch 1: one singleton class
+        sink(mk([("z",)]), 1)
+        got = {
+            (r["batch_id"], r["k_threshold"]): r
+            for r in spark.read.parquet(rep).collect()
+        }
+        assert len(got) == 4
+        b0k2 = got[(0, 2)]
+        assert b0k2["n_classes"] == 2 and b0k2["n_classes_below"] == 1
+        assert b0k2["n_rows_below"] == 1
+        assert b0k2["rows_below_frac_q6"] == 250_000
+        b0k5 = got[(0, 5)]
+        assert b0k5["n_rows_below"] == 4  # both classes under 5
+        assert got[(1, 2)]["rows_below_frac_q6"] == 1_000_000
+        # replay batch 0 with identical data: report unchanged, not doubled
+        sink(mk([("a",), ("b",), ("b",), ("b",)]), 0)
+        again = spark.read.parquet(rep).collect()
+        assert len(again) == 4
