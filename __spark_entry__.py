@@ -2527,6 +2527,14 @@ def shapley_channel_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source Gini of document lengths: exact rank formulation over
+    # the (source, length, count) collapse — run contribution in
+    # closed form, no raw-row sort; all-integer q6
+    docs = _read(spark, sf_dir, "documents")
+    return AN.gini_concentration(docs, key_col="source", value_col="n_chars")
+
+
 def benford_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benford first-digit screen on event values: digit from the
     # BIGINT's decimal string (culture-free), expectations inlined as
@@ -2955,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_orders_audit": fd_orders_audit,
         "sq8_compression_report": sq8_compression_report,
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "length_gini_by_source": length_gini_by_source,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
         # single driver row ever (r2)
@@ -4308,6 +4317,33 @@ def oracle_sql() -> dict[str, str]:
             ["click", "error", "signup", "view"], "purchase"
         ),
         "benford_value_profile": _benford_sql(),
+        "length_gini_by_source": r"""
+            WITH base AS (
+              SELECT source AS k, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0
+            ),
+            vc AS (
+              SELECT k, v, count(*) AS c FROM base GROUP BY k, v
+            ),
+            t AS (
+              SELECT k, v, c,
+                     sum(c) OVER (PARTITION BY k ORDER BY v) - c AS p
+              FROM vc
+            ),
+            agg AS (
+              SELECT k, sum(c) AS n, sum(v * c) AS total,
+                     sum(v * c * (2 * p + c + 1)) AS twoa
+              FROM t GROUP BY k
+            )
+            SELECT k AS source, CAST(n AS BIGINT) AS n,
+                   CAST(total AS BIGINT) AS total,
+                   CASE WHEN total > 0 THEN
+                     CAST((twoa - (n + 1) * total) * 1000000
+                          // (n * total) AS BIGINT)
+                   END AS gini_q6
+            FROM agg
+        """,
         "sq8_compression_report": r"""
             WITH el AS (
               -- per-row range over len(embedding): self-adapting to the

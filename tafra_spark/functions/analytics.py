@@ -64,6 +64,7 @@ __all__ = [
     "k_core",
     "shapley_attribution",
     "benford_profile",
+    "gini_concentration",
 ]
 
 
@@ -3231,4 +3232,68 @@ def benford_profile(
             ).alias("deviation_q6"),
         )
         .orderBy("digit")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer measure —
+    the concentration screen a corpus owner reads next to
+    :func:`key_skew`: a source whose length (or token-count) Gini
+    approaches 1 is a few giant documents wearing a big row count
+    (dedup/packing behave pathologically there), while ~0 means
+    uniform sizing. Uses the exact rank formulation
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over the ascending sort.
+
+    Cross-engine exactness: the collapse to (key, value, count) bounds
+    every sort by distinct-value cardinality (the :func:`mad_outliers`
+    recipe), and the position-weighted sum folds a value run in closed
+    form — a run of ``c`` copies of ``x`` after ``p`` predecessors
+    contributes ``x·c·(2p + c + 1)`` to ``2·Σ i·x_(i)`` — so A, S, n
+    are exact integers and ``gini_q6 = (2A − (n+1)·S)·1e6 div (n·S)``
+    is engine-identical. BIGINT ceiling: the q6 numerator overflows
+    past ~9.2e12 · (n·S) — with per-group n·S up to ~10¹² (e.g. 10⁶
+    docs × 10⁶ chars) headroom is ample; beyond that, pre-scale the
+    measure down. NULL/negative values are excluded (Gini is defined
+    on a non-negative measure).
+
+    Returns (key, n, total, gini_q6); groups with zero total report
+    NULL gini.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(
+        F.col(key_col).alias("__k__"),
+        F.col(value_col).cast("long").alias("__v__"),
+    )
+    vc = base.groupBy("__k__", "__v__").agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    w_cum = (
+        Window.partitionBy("__k__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = vc.withColumn(
+        "__p__", (F.sum("__c__").over(w_cum) - F.col("__c__"))
+    ).withColumn(
+        "__a2__",
+        F.expr("__v__ * __c__ * (2 * __p__ + __c__ + 1)"),
+    )
+    agg = t.groupBy("__k__").agg(
+        F.sum("__c__").cast("long").alias("n"),
+        F.sum(F.expr("__v__ * __c__")).cast("long").alias("total"),
+        F.sum("__a2__").cast("long").alias("__twoA__"),
+    )
+    return agg.select(
+        F.col("__k__").alias(key_col),
+        "n",
+        "total",
+        F.expr(
+            "CASE WHEN total > 0 THEN CAST((__twoA__ - (n + 1) * total)"
+            " * 1000000 div (n * total) AS BIGINT) END"
+        ).alias("gini_q6"),
     )

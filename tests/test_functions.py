@@ -5697,3 +5697,33 @@ class TestJpegCodec:
         assert back.shape == img.shape
         # clamping costs a little energy; the pattern survives broadly
         assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 96
+
+
+class TestGiniConcentration:
+    def test_hand_computed(self, spark):
+        from tafra_spark.functions.analytics import gini_concentration
+
+        # group a: values 1,1,2,4  (sorted): 2*Sum(i*xi)=2*(1+2+6+16)=50
+        # S=8, n=4 -> G = (50 - 5*8)/(4*8) = 10/32 = 0.3125
+        rows = [("a", 1), ("a", 1), ("a", 2), ("a", 4),
+                ("b", 5), ("b", 5)]  # uniform -> 0
+        df = spark.createDataFrame(rows, ["source", "n_chars"])
+        out = {r["source"]: r for r in gini_concentration(df).collect()}
+        assert out["a"]["n"] == 4 and out["a"]["total"] == 8
+        assert out["a"]["gini_q6"] == 312_500
+        assert out["b"]["gini_q6"] == 0
+
+    def test_extreme_concentration(self, spark):
+        from tafra_spark.functions.analytics import gini_concentration
+
+        # one doc owns everything: G -> (n-1)/n
+        rows = [("a", 0)] * 9 + [("a", 1000)]
+        df = spark.createDataFrame(rows, ["source", "n_chars"])
+        out = gini_concentration(df).collect()[0]
+        assert out["gini_q6"] == 900_000  # (10-1)/10
+
+    def test_zero_total_null(self, spark):
+        from tafra_spark.functions.analytics import gini_concentration
+
+        df = spark.createDataFrame([("a", 0), ("a", 0)], ["source", "n_chars"])
+        assert gini_concentration(df).collect()[0]["gini_q6"] is None
