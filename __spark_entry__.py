@@ -2356,9 +2356,12 @@ def knn_semantic_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate kNN graph over the whole embedding table: one
     # hyperplane-bucket self-join (corpus-linear shuffle), exact cosine
     # within buckets — the adjacency structure for semantic clustering
-    # and graph-ANN seeds
+    # and graph-ANN seeds.  n_planes auto-scales with the corpus
+    # (auto_n_planes doubling ladder: 6 planes at <=512 rows, +1 per
+    # doubling) so per-bucket pair compares stay flat as data grows —
+    # the oracle reproduces the ladder in SQL over count(*).
     emb = _read(spark, sf_dir, "embeddings")
-    return S.knn_graph(emb, dim=64, k=3, n_planes=6)
+    return S.knn_graph(emb, dim=64, k=3)
 
 
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3493,21 +3496,72 @@ def _gate_sweep_sql(thresholds=(5, 10, 20, 40, 80, 160)) -> str:
     """
 
 
-def _knn_graph_sql(
-    dim: int = 64, k: int = 3, n_planes: int = 6, seed: int = 42
-) -> str:
-    """kNN-graph oracle: same inlined plane literals / bucket chain as
-    the Spark plan, full bucket self-join, exact cosine rank."""
-    bucket = _bucket_sql(dim, n_planes, seed)
+def _adaptive_bucket_sql(dim: int, seed: int, var: str = "v") -> str:
+    """Hyperplane bucket whose PLANE COUNT follows ``auto_n_planes``:
+    the ladder ``6 + min(16, #doublings of count(*) past 512)`` is
+    integer-exact on both engines (shift comparisons, no float log),
+    and plane i's literals are the same seeded prefix the Spark side
+    inlines (``_planes`` draws one gaussian stream row-major, so
+    smaller plane sets are strict prefixes of larger ones).  Terms for
+    planes past the ladder's pick contribute 0, so the bucket value
+    equals the fixed-``n_planes`` bucket for the same corpus size.
+    Expects a column ``n_rows`` (the filtered corpus count) in scope."""
+    from tafra_spark.functions.similarity import (
+        KNN_AUTO_BASE_CORPUS,
+        KNN_AUTO_BASE_PLANES,
+        KNN_AUTO_MAX_PLANES,
+        _planes,
+    )
+
+    base, n0, cap = (
+        KNN_AUTO_BASE_PLANES,
+        KNN_AUTO_BASE_CORPUS,
+        KNN_AUTO_MAX_PLANES,
+    )
+    ladder = (
+        "(CAST(" + str(base) + " AS BIGINT) + CASE "
+        + " ".join(
+            f"WHEN n_rows <= {n0 << e} THEN {e}" for e in range(cap - base)
+        )
+        + f" ELSE {cap - base} END)"
+    )
+    planes = _planes(dim, cap, seed)
+    terms = []
+    for i in range(cap):
+        dot_chain = " + ".join(
+            f"{var}[{j + 1}] * {float(planes[i][j])!r}" for j in range(dim)
+        )
+        sign = (
+            f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+        if i >= base:
+            # plane only active once the corpus is big enough
+            sign = (
+                f"(CASE WHEN {i} < {ladder} THEN {sign}"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+        terms.append(sign)
+    return "\n                 + ".join(terms)
+
+
+def _knn_graph_auto_sql(dim: int = 64, k: int = 3, seed: int = 42) -> str:
+    """kNN-graph oracle with the auto-scaled plane ladder: counts the
+    non-null corpus once, picks the same plane count the Spark side's
+    ``auto_n_planes`` picks, and buckets with the identical seeded
+    plane-literal prefix — sf-robust (500 rows -> 6 planes, 2000 -> 8,
+    20000 -> 12) instead of pinning the sf0.01 value."""
+    bucket = _adaptive_bucket_sql(dim, seed)
     return f"""
-            WITH e AS (
+            WITH e0 AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE embedding IS NOT NULL
             ),
+            nn AS (SELECT count(*) AS n_rows FROM e0),
             b AS (
               SELECT vec_id, v,
                      {bucket} AS bucket
-              FROM e
+              FROM e0, nn
             ),
             scored AS (
               SELECT a.vec_id AS src, c.vec_id AS dst,
@@ -8186,9 +8240,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN itn nbi ON dir.consequent = nbi.i
             CROSS JOIN nb
         """,
-        "knn_semantic_graph": _knn_graph_sql(
-            dim=64, k=3, n_planes=6, seed=42
-        ),
+        "knn_semantic_graph": _knn_graph_auto_sql(dim=64, k=3, seed=42),
         "graph_assortativity": r"""
             WITH e0 AS (
               SELECT 'u' || CAST(user_id AS VARCHAR) AS uu,

@@ -4259,6 +4259,67 @@ class TestKnnGraph:
             assert len(rs) <= 3
             assert all(r["dst"] != src for r in rs)
 
+    def test_auto_n_planes_ladder(self):
+        from tafra_spark.functions.similarity import auto_n_planes
+
+        # base planes up to the base corpus, +1 per doubling, capped
+        assert auto_n_planes(0) == 6
+        assert auto_n_planes(512) == 6
+        assert auto_n_planes(513) == 7
+        assert auto_n_planes(1024) == 7
+        assert auto_n_planes(1025) == 8
+        assert auto_n_planes(2000) == 8
+        assert auto_n_planes(20000) == 12  # +4 planes for 10x of 2000
+        assert auto_n_planes(10**12) == 22  # capped
+        # ~3.3 planes per decade: 10x rows => per-bucket size flat
+        for n in (1000, 10_000, 100_000, 1_000_000):
+            assert auto_n_planes(10 * n) - auto_n_planes(n) in (3, 4)
+
+    def test_auto_default_matches_explicit(self, spark):
+        from tafra_spark.functions.similarity import (
+            auto_n_planes,
+            knn_graph,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        derived = auto_n_planes(emb.count())
+        auto = knn_graph(emb, dim=64, k=3).collect()
+        fixed = knn_graph(emb, dim=64, k=3, n_planes=derived).collect()
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, fixed))
+
+    def test_auto_ladder_matches_duckdb_case(self):
+        """The oracle's SQL CASE ladder must reproduce auto_n_planes
+        bit-for-bit for every corpus size (integer shift comparisons on
+        both engines — the contract behind the adaptive knn oracle)."""
+        import duckdb
+
+        from tafra_spark.functions.similarity import (
+            KNN_AUTO_BASE_CORPUS,
+            KNN_AUTO_BASE_PLANES,
+            KNN_AUTO_MAX_PLANES,
+            auto_n_planes,
+        )
+
+        base, n0, cap = (
+            KNN_AUTO_BASE_PLANES,
+            KNN_AUTO_BASE_CORPUS,
+            KNN_AUTO_MAX_PLANES,
+        )
+        ladder = (
+            f"(CAST({base} AS BIGINT) + CASE "
+            + " ".join(
+                f"WHEN n <= {n0 << e} THEN {e}" for e in range(cap - base)
+            )
+            + f" ELSE {cap - base} END)"
+        )
+        ns = [0, 1, 511, 512, 513, 1024, 1025, 2000, 20000, 10**9, 10**13]
+        got = duckdb.sql(
+            f"SELECT n, {ladder} AS p FROM (SELECT UNNEST("
+            f"{ns!r}::BIGINT[]) AS n)"
+        ).fetchall()
+        for n, p in got:
+            assert p == auto_n_planes(n), n
+
 
 class TestMarkovAttribution:
     def _ev(self, spark, journeys):
