@@ -944,8 +944,15 @@ class Tafra:
         right: "Tafra",
         on: Sequence[tuple],
         select: Optional[Iterable[str]] = None,
+        auto_band: bool = True,
     ) -> "Tafra":
-        out = _joins.inner_join(self._plain(), right._plain(), on, select)
+        """Pure-theta conjunctions with a band pattern (one column
+        bounded below AND above by the other side) auto-rewrite into the
+        range-bucketed hash join of :meth:`band_join` — result-exact,
+        avoids the O(|L|·|R|) nested loop; ``auto_band=False`` opts out."""
+        out = _joins.inner_join(
+            self._plain(), right._plain(), on, select, auto_band=auto_band
+        )
         return Tafra._wrap(out)
 
     def left_join(

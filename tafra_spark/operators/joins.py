@@ -16,10 +16,14 @@ Reference semantics (SURVEY.md §2.3; ``tafra/group.py:29-36,421-663``):
 
 Scale notes: the triples compile to a single Column conjunction, so
 Catalyst is free to pick broadcast-hash or sort-merge for the equi subset
-and push the theta terms into the join condition; a pure-theta predicate
-degrades to broadcast-nested-loop, which is the correct distributed
-answer. The reference's own execution is an O(|L|·|R|) nested loop —
-never reproduce that shape.
+and push the theta terms into the join condition. A pure-theta predicate
+would degrade to broadcast-nested-loop; when the conjunction bounds one
+side's orderable key inside an interval of the other side (the BAND
+pattern), ``inner_join`` auto-rewrites through :func:`band_join` into a
+range-bucketed hash join instead (opt-out: ``auto_band=False``). Only
+genuinely unbounded theta predicates keep the nested loop — the correct
+distributed answer for those. The reference's own execution is an
+O(|L|·|R|) nested loop — never reproduce that shape.
 """
 
 from __future__ import annotations
@@ -102,8 +106,13 @@ def _join(
     on: Sequence[tuple],
     how: str,
     select: Iterable[str] | None = None,
+    auto_band: bool = False,
 ) -> DataFrame:
     triples = _validate_triples(left, right, on)
+    if auto_band and how == "inner":
+        routed = _try_band_route(left, right, triples, select)
+        if routed is not None:
+            return routed
     # rename every right column with a private suffix so the predicate is
     # unambiguous, then resolve collisions left-wins on projection
     right_r = right.select(
@@ -153,10 +162,24 @@ def inner_join(
     right: DataFrame,
     on: Sequence[tuple],
     select: Iterable[str] | None = None,
+    auto_band: bool = True,
 ) -> DataFrame:
     """SQL INNER JOIN (reference ``InnerJoin.apply``,
-    ``tafra/group.py:421-509``)."""
-    return _join(left, right, on, "inner", select)
+    ``tafra/group.py:421-509``).
+
+    Pure-theta conjunctions that contain a BAND pattern — one orderable
+    column bounded below AND above by the other side's columns — are
+    AUTO-REWRITTEN through :func:`band_join` (bucket width from a
+    bounded median-interval probe), because the raw triple compile
+    plans a BroadcastNestedLoopJoin: O(|L|·|R|) compares, the r5/r6
+    verdicts' named scale gap for users writing raw ``(l, r, op)``
+    triples. The rewrite is result-exact (the full original conjunction
+    re-applies as a residual filter); ``auto_band=False`` opts out and
+    keeps the literal nested-loop plan (e.g. to A/B the rewrite, or
+    when one side is broadcast-tiny and the probe job is not worth
+    scheduling). Conjunctions with any ``==`` triple never reroute —
+    Catalyst already hash-joins those on the equi subset."""
+    return _join(left, right, on, "inner", select, auto_band=auto_band)
 
 
 def left_join(
@@ -298,6 +321,95 @@ def _band_seq_sql(lo_sql: str, hi_sql: str) -> str:
     )
 
 
+def _detect_band(
+    triples: list[tuple[str, str, str]],
+) -> tuple[str, str, str, str] | None:
+    """Find the band pattern in a triple conjunction: one POINT column
+    bounded both below and above by the other side's columns. Returns
+    ``(point_side, point, lo, hi)`` with ``point_side`` in
+    ``{"right", "left"}`` (right-point preferred, first match by column
+    name — deterministic), or None when no column is double-bounded."""
+    rng = [t for t in triples if t[2] in ("<", "<=", ">", ">=")]
+    # bounds implied on each side's columns: lcol OP rcol
+    r_lower: dict[str, str] = {}  # rcol -> lcol with lcol </<= rcol
+    r_upper: dict[str, str] = {}
+    l_lower: dict[str, str] = {}  # lcol -> rcol with rcol </<= lcol
+    l_upper: dict[str, str] = {}
+    for lcol, rcol, op in rng:
+        if op in ("<", "<="):
+            r_lower.setdefault(rcol, lcol)
+            l_upper.setdefault(lcol, rcol)
+        else:
+            r_upper.setdefault(rcol, lcol)
+            l_lower.setdefault(lcol, rcol)
+    right_point = sorted(set(r_lower) & set(r_upper))
+    left_point = sorted(set(l_lower) & set(l_upper))
+    if right_point:
+        p = right_point[0]
+        return ("right", p, r_lower[p], r_upper[p])
+    if left_point:
+        p = left_point[0]
+        return ("left", p, l_lower[p], l_upper[p])
+    return None
+
+
+#: rows the auto-band bucket-width probe reads (LIMIT short-circuits the
+#: scan, so the probe is O(probe rows) regardless of table size)
+_BAND_PROBE_ROWS = 10_000
+
+
+def _probe_bucket_width(df: DataFrame, lo: str, hi: str) -> int:
+    """Median interval width over a bounded prefix of the interval side
+    — the bucket width that makes a typical [lo, hi] span ~2 buckets
+    (explode replicas stay ~2 per row). A PERFORMANCE knob only: the
+    band join re-applies the full conjunction as a residual filter, so
+    any positive width is result-exact. LIMIT bounds the probe job at
+    ``_BAND_PROBE_ROWS`` rows; empty/NULL probes fall back to width 1."""
+    lo_n, _ = _band_numeric(F.col(lo), df.schema[lo].dataType)
+    hi_n, _ = _band_numeric(F.col(hi), df.schema[hi].dataType)
+    row = (
+        df.select((hi_n.cast("double") - lo_n.cast("double")).alias("__w__"))
+        .filter(F.col("__w__") >= 0)
+        .limit(_BAND_PROBE_ROWS)
+        .agg(F.percentile_approx("__w__", 0.5).alias("m"))
+        .collect()[0]
+    )
+    return 1 if row["m"] is None else max(1, int(row["m"]) + 1)
+
+
+def _try_band_route(
+    left: DataFrame,
+    right: DataFrame,
+    triples: list[tuple[str, str, str]],
+    select: Iterable[str] | None,
+) -> DataFrame | None:
+    """The inner_join auto-band router: rewrite a pure-theta band
+    conjunction through :func:`band_join`, or return None to keep the
+    literal compile (equi triple present — already hash-joinable; no
+    band pattern; or non-orderable band keys)."""
+    if any(op == "==" for _, _, op in triples):
+        return None
+    spec = _detect_band(triples)
+    if spec is None:
+        return None
+    side, p, lo, hi = spec
+    probe_df, probe_lo, probe_hi = (
+        (left, lo, hi) if side == "right" else (right, lo, hi)
+    )
+    point_df, point_schema = (
+        (right, right.schema) if side == "right" else (left, left.schema)
+    )
+    try:
+        # type-gate all three band columns before scheduling the probe
+        _band_numeric(F.col(p), point_schema[p].dataType)
+        _band_numeric(F.col(probe_lo), probe_df.schema[probe_lo].dataType)
+        _band_numeric(F.col(probe_hi), probe_df.schema[probe_hi].dataType)
+    except TypeError:
+        return None
+    width = _probe_bucket_width(probe_df, probe_lo, probe_hi)
+    return band_join(left, right, triples, width, select)
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,
@@ -343,22 +455,8 @@ def band_join(
         )
     triples = _validate_triples(left, right, on)
     eq = [t for t in triples if t[2] == "=="]
-    rng = [t for t in triples if t[2] in ("<", "<=", ">", ">=")]
-    # bounds implied on each side's columns: lcol OP rcol
-    r_lower: dict[str, str] = {}  # rcol -> lcol with lcol </<= rcol
-    r_upper: dict[str, str] = {}
-    l_lower: dict[str, str] = {}  # lcol -> rcol with rcol </<= lcol
-    l_upper: dict[str, str] = {}
-    for lcol, rcol, op in rng:
-        if op in ("<", "<="):
-            r_lower.setdefault(rcol, lcol)
-            l_upper.setdefault(lcol, rcol)
-        else:
-            r_upper.setdefault(rcol, lcol)
-            l_lower.setdefault(lcol, rcol)
-    right_point = sorted(set(r_lower) & set(r_upper))
-    left_point = sorted(set(l_lower) & set(l_upper))
-    if not right_point and not left_point:
+    spec = _detect_band(triples)
+    if spec is None:
         raise ValueError(
             "band_join: no band pattern — need one column bounded below "
             "AND above by the other side's columns; use inner_join for "
@@ -369,9 +467,8 @@ def band_join(
         *[F.col(c).alias(c + _RIGHT_SUFFIX) for c in right.columns]
     )
     wi = int(bucket_width)
-    if right_point:
-        p = right_point[0]
-        lo, hi = r_lower[p], r_upper[p]
+    if spec[0] == "right":
+        _, p, lo, hi = spec
         lo_n, lo_i = _band_numeric(F.col(lo), left.schema[lo].dataType)
         hi_n, hi_i = _band_numeric(F.col(hi), left.schema[hi].dataType)
         p_n, p_i = _band_numeric(
@@ -401,8 +498,7 @@ def band_join(
             .drop("__bn_p__")
         )
     else:
-        p = left_point[0]
-        lo, hi = l_lower[p], l_upper[p]
+        _, p, lo, hi = spec
         lo_n, lo_i = _band_numeric(
             F.col(lo + _RIGHT_SUFFIX), right.schema[lo].dataType
         )

@@ -937,9 +937,49 @@ class TestRound6Plans:
             or "BroadcastHashJoin" in s
         )
         # and the naive triple compile really is the nested loop the
-        # rewrite exists to avoid
-        naive = explain_str(inner_join(left, right, on), "simple")
+        # rewrite exists to avoid (opted out of the r7 auto-route)
+        naive = explain_str(
+            inner_join(left, right, on, auto_band=False), "simple"
+        )
         assert "BroadcastNestedLoopJoin" in naive
+
+    def test_inner_join_auto_routes_band_pattern(self, spark):
+        # r7: raw (l, r, op) triples through plain inner_join must NOT
+        # plan a nested loop when the conjunction is a band pattern —
+        # the band_join rewrite auto-applies (opt-out: auto_band=False)
+        from tafra_spark.operators.joins import inner_join
+        from tafra_spark.plans.inspect import explain_str
+
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        left = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.date_sub(F.col("o_orderdate").cast("date"), 2).alias("lo"),
+            F.date_add(F.col("o_orderdate").cast("date"), 2).alias("hi"),
+        )
+        right = o.select(
+            F.col("o_orderkey").alias("rk"),
+            F.col("o_orderdate").cast("date").alias("rd"),
+        )
+        on = [("lo", "rd", "<="), ("hi", "rd", ">="), ("k", "rk", "!=")]
+        routed = inner_join(left, right, on)
+        s = explain_str(routed, "simple")
+        assert "BroadcastNestedLoopJoin" not in s
+        assert "CartesianProduct" not in s
+        assert (
+            "SortMergeJoin" in s
+            or "ShuffledHashJoin" in s
+            or "BroadcastHashJoin" in s
+        )
+        # result-exact vs the literal nested-loop compile
+        naive = inner_join(left, right, on, auto_band=False)
+        lim_r = routed.filter(F.col("k") <= 200)
+        lim_n = naive.filter(F.col("k") <= 200)
+        assert sorted(map(tuple, lim_r.collect())) == sorted(
+            map(tuple, lim_n.collect())
+        )
+        # a one-sided inequality is NOT a band — stays a nested loop
+        one_sided = inner_join(left, right, [("lo", "rd", "<=")])
+        assert "BroadcastNestedLoopJoin" in explain_str(one_sided, "simple")
 
     def test_partitioned_write_prunes_partitions(self, spark, tmp_path):
         # hive-partitioned layout: a filter on the partition column must
