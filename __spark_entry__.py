@@ -4126,17 +4126,20 @@ def _bpe_batched_ctes_sql(
     symbol with its {l, r, merged} trio (``text.bpe_select_batch``'s
     rule, expressible as a NOT EXISTS rank self-join precisely
     because it conflicts against ALL higher ranks, not just accepted
-    ones) — capped at the round's STATIC cap (``b{k}``), then applies
+    ones) — capped at the round's cap (``b{k}``), then applies
     the accepted pairs ONE AT A TIME, each via ``n_folds`` nested
     replace-FIRST steps (confluent with Spark's single simultaneous
-    fold pass because accepted pairs are symbol-disjoint). Rounds and
-    caps are static: ceil(n_merges/batch) rounds of cap ``batch``
-    (remainder in the last), matching ``_bpe_state``'s static-caps
-    contract.
+    fold pass because accepted pairs are symbol-disjoint). Schedule
+    matches ``_bpe_state`` (r7 budget-filling form): a STATIC
+    ``2*ceil(n_merges/batch)`` rounds unrolled as SQL text, each
+    capped at ``LEAST(batch, n_merges - accepted_so_far)`` where
+    ``accepted_so_far`` is a scalar subquery counting the earlier
+    rounds' ``b{j}`` rows — data-dependent caps derived purely from
+    earlier stages, so the unroll stays static while spare rounds
+    absorb conflict-heavy rounds' under-fill.
     """
-    rounds = -(-n_merges // batch)
-    caps = [batch] * (rounds - 1) + [n_merges - (rounds - 1) * batch]
-    top_w = max(4, 4 * batch)
+    rounds = 2 * (-(-n_merges // batch))
+    top_w = max(4, 8 * batch)
     parts = [r"""
 w0 AS MATERIALIZED (
   SELECT word, count(*) AS freq,
@@ -4146,12 +4149,23 @@ w0 AS MATERIALIZED (
   WHERE regexp_matches(word, '^[a-z]+$')
   GROUP BY word
 )"""]
-    step_base = 0
     union_terms = []
-    for k, cap in enumerate(caps, start=1):
+    for k in range(1, rounds + 1):
         prev = k - 1
+        # accepted count across all earlier rounds — the step offset
+        # AND the budget-remaining term of this round's cap
+        if k == 1:
+            accepted_before = "0"
+        else:
+            prev_union = " UNION ALL ".join(
+                "SELECT l FROM b%d" % j for j in range(1, k)
+            )
+            accepted_before = (
+                "(SELECT count(*) FROM (%s) __off%d__)" % (prev_union, k)
+            )
+        cap_sql = "LEAST(%d, %d - %s)" % (batch, n_merges, accepted_before)
         inner = "SELECT word, freq, s FROM w%d" % prev
-        for i in range(1, cap + 1):
+        for i in range(1, batch + 1):
             inner = (
                 "SELECT word, freq, s, "
                 "' ' || b.l || ' ' || b.r || ' ' AS pat, "
@@ -4198,23 +4212,15 @@ b{k} AS MATERIALIZED (
 ),
 w{k} AS MATERIALIZED (
   {inner}
-)""".format(k=k, prev=prev, top_w=top_w, cap=cap, inner=inner))
+)""".format(k=k, prev=prev, top_w=top_w, cap=cap_sql, inner=inner))
         # steps number the ACCEPTED merges sequentially across rounds
-        # (rounds may under-fill their cap), so each round's offset is
+        # (a round may under-fill its cap), so each round's offset is
         # the actual accepted count of all earlier rounds
-        if k == 1:
-            offset = "0"
-        else:
-            prev_union = " UNION ALL ".join(
-                "SELECT l FROM b%d" % j for j in range(1, k)
-            )
-            offset = "(SELECT count(*) FROM (%s) __off%d__)" % (prev_union, k)
         union_terms.append(
             "SELECT CAST(%s + bn AS INTEGER) AS step, l AS left_sym, "
             "r AS right_sym, m AS merged, CAST(cnt AS BIGINT) AS pair_count "
-            "FROM b%d" % (offset, k)
+            "FROM b%d" % (accepted_before, k)
         )
-        step_base += cap
     return "WITH " + ",".join(parts), union_terms
 
 

@@ -842,9 +842,21 @@ def _bpe_state(
 
     Counts convention: an accepted pair reports its count from the
     round's START (pre-batch) — with batch=1 exactly the classic
-    convention. Runs ``ceil(n_merges / batch)`` rounds; conflict-heavy
-    rounds may accept fewer than ``batch``, so the learner returns UP
-    TO ``n_merges`` merges (data-dependent, engine-deterministic).
+    convention. Schedule (r7, the budget-filling form): the ROUND COUNT
+    is static at ``2 * ceil(n_merges / batch)`` — the oracle unrolls it
+    as SQL text, so it must not depend on data — but each round's
+    acceptance cap is ``min(batch, n_merges - accepted_so_far)``, which
+    IS data-dependent and fine: the oracle derives it as a scalar
+    subquery over the earlier rounds' accepted CTEs (the same
+    earlier-stages trick as the step offsets). Conflict-heavy rounds
+    under-fill and later spare rounds take up the slack, so the learner
+    fills the full ``n_merges`` budget unless the corpus genuinely
+    exhausts (r6's single-pass schedule returned 39 of 64 requested
+    merges on the driver corpus). Once the budget fills, the Spark
+    loop breaks — the remaining static rounds have cap 0 and are
+    no-ops on both engines. ``batch=1`` acceptance is always exactly
+    1/round (rank 1 never conflicts), so sequential BPE still stops
+    after ``n_merges`` rounds, bit-identical to the classic schedule.
     """
     if n_merges < 1:
         raise ValueError("bpe: n_merges must be >= 1")
@@ -853,7 +865,10 @@ def _bpe_state(
     if text_col not in df.columns:
         raise ValueError(f"bpe: unknown column {text_col!r}")
     if top_window is None:
-        top_window = max(4, 4 * batch)
+        # 8x (not 4x): the conservative disjointness rule rejects more
+        # of a shallow window, and the deeper rank list costs only a
+        # bigger bounded collect + an O(W^2) oracle self-join
+        top_window = max(4, 8 * batch)
     base = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
@@ -869,15 +884,18 @@ def _bpe_state(
     )
     words = base
     merges = []
-    rounds = -(-n_merges // batch)
-    # STATIC per-round acceptance caps (batch, batch, ..., remainder):
-    # caps must not depend on earlier rounds' data-dependent acceptance
-    # counts, or the unrolled oracle SQL could not replicate them.
-    # Under-filled rounds are not compensated later, so the learner
-    # returns UP TO n_merges merges.
-    caps = [batch] * (rounds - 1) + [n_merges - (rounds - 1) * batch]
+    # STATIC round count (the oracle unrolls it as SQL text), DYNAMIC
+    # per-round cap min(batch, n_merges - accepted): the cap depends
+    # only on EARLIER rounds' acceptance, which the unrolled oracle
+    # reads back as a scalar subquery over its own earlier CTEs — so
+    # under-filled rounds are compensated by the 2x headroom and the
+    # budget fills unless the corpus exhausts first.
+    rounds = 2 * (-(-n_merges // batch))
     step = 0
-    for cap in caps:
+    for _ in range(rounds):
+        cap = min(batch, n_merges - step)
+        if cap <= 0:
+            break
         pairs = (
             words.select(
                 "freq",

@@ -5101,13 +5101,16 @@ def _py_bpe_batched(words_freq, n_merges, batch, top_window=None):
     from tafra_spark.functions.text import bpe_select_batch
 
     if top_window is None:
-        top_window = max(4, 4 * batch)
+        top_window = max(4, 8 * batch)
     syms = {w: list(w) for w in words_freq}
     merges = []
-    rounds = -(-n_merges // batch)
-    caps = [batch] * (rounds - 1) + [n_merges - (rounds - 1) * batch]
+    # r7 budget-filling schedule: static 2x rounds, dynamic caps
+    rounds = 2 * (-(-n_merges // batch))
     step = 0
-    for cap in caps:
+    for _ in range(rounds):
+        cap = min(batch, n_merges - step)
+        if cap <= 0:
+            break
         counts = {}
         for w, f in words_freq.items():
             s = syms[w]
