@@ -2803,6 +2803,49 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_images(assets)
 
 
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL 4:2:0 JPEG decode, PIL-less (r7): the same deterministic
+    # 16x16 four-tile images as multimodal_jpeg_decode but encoded as
+    # baseline 4:2:0 COLOR (4 Y blocks + subsampled Cb/Cr per MCU — the
+    # majority in-the-wild layout). Tiles are neutral (r=g=b), so the
+    # JFIF transform gives Y=v and Cb=Cr=128 exactly and the decoded
+    # mean is the same tile formula — any wrong byte in the MCU
+    # interleave, subsampling factors, replication upsampling, or the
+    # color reconstruction hash-fails against the oracle
+    from tafra_spark.functions import multimodal as MM
+
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id")
+    )
+    out_schema = (
+        "asset_id LONG, modality STRING, content BINARY, "
+        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
+        "mime: STRING>"
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "image",
+                    "content": [
+                        MM.fake_jpeg420_bytes(int(a)) for a in pdf["asset_id"]
+                    ],
+                    "meta": [
+                        {"width": 16, "height": 16,
+                         "duration_ms": None, "mime": "image/jpeg"}
+                        for _ in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    assets = ids.mapInPandas(encode, schema=out_schema)
+    return MM.decode_images(assets)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -2966,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_orders_audit": fd_orders_audit,
         "sq8_compression_report": sq8_compression_report,
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        # operators ADDED in round 7 — never driver-verified
+        "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "length_gini_by_source": length_gini_by_source,
         # re-verify: semantics changed in r6 (batched BPE, 64 slots)
         "bpe_learn_merges": bpe_learn_merges,
@@ -8537,6 +8582,25 @@ def oracle_sql() -> dict[str, str]:
              AND (d.vt IS NULL OR e.ts < d.vt)
         """,
         "multimodal_jpeg_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            t AS (
+              SELECT asset_id, unnest(generate_series(0, 3)) AS k
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
+              FROM t
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
+            FROM v GROUP BY asset_id
+        """,
+        # 4:2:0 neutral-color tiles decode to the identical luminance
+        # grid (Y=v, Cb=Cr=128 exactly), so the oracle is the same
+        # four-tile mean formula
+        "multimodal_jpeg420_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),
             t AS (
               SELECT asset_id, unnest(generate_series(0, 3)) AS k

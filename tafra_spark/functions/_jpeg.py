@@ -1,12 +1,15 @@
-"""Minimal pure-Python baseline JPEG codec (SOF0, 8-bit, 1×1 sampling).
+"""Minimal pure-Python baseline JPEG codec (SOF0, 8-bit).
 
 Vendored so the REAL-mime decode path of
 :mod:`tafra_spark.functions.multimodal` covers ``image/jpeg`` in
 environments without PIL (this container) — the r5 verdict's #1
-residual gap. Scope is deliberately fixture-grade: baseline sequential
-DCT (SOF0), 8-bit precision, 1×1 chroma sampling (4:4:4) or grayscale,
-optional restart markers. Progressive (SOF2), subsampled chroma,
-arithmetic coding, and 12-bit streams still require PIL and raise.
+residual gap. Scope: baseline sequential DCT (SOF0), 8-bit precision,
+grayscale or YCbCr at ANY integer-ratio sampling factors — 4:4:4,
+4:2:2, and the in-the-wild majority 4:2:0 all decode (r7; subsampled
+planes reconstruct by box replication) — plus optional restart
+markers. The encoder writes grayscale, 4:4:4, 4:2:2, or 4:2:0.
+Progressive (SOF2), arithmetic coding, and 12-bit streams still
+require PIL and raise.
 
 Self-consistency note: quantization and Huffman tables are READ FROM
 THE STREAM (DQT/DHT) by the decoder, so it decodes any spec-compliant
@@ -278,10 +281,34 @@ def _dht_segment(tclass: int, tid: int, bits, vals) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
 
-def _encode(planes, qtabs, quality: int) -> bytes:
-    """planes: list of (h, w) float arrays already in [-128, 127]
-    (level-shifted); qtabs: per-plane quant table id (0 or 1)."""
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (ph, pw) — keeps boundary blocks
+    smooth so padding costs no extra AC energy."""
+    h, w = plane.shape
+    if h == ph and w == pw:
+        return plane
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if ph > h:
+        out[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _encode(planes, qtabs, quality: int, sampling=None) -> bytes:
+    """planes: list of float arrays already in [-128, 127]
+    (level-shifted); qtabs: per-plane quant table id (0 or 1);
+    sampling: per-plane (H, V) factors (default all 1x1). Plane 0 is
+    full resolution (defines the image dims); subsampled planes arrive
+    ALREADY at their reduced resolution — ceil(dim * f / fmax) — and
+    the MCU loop interleaves Hi x Vi blocks per component per MCU, the
+    general baseline layout."""
+    if sampling is None:
+        sampling = [(1, 1)] * len(planes)
     h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
     qs = [_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality)]
     dc_tab = _build_huffman(_DC_BITS, _DC_VALS)
     ac_tab = _build_huffman(_AC_BITS, _AC_VALS)
@@ -292,7 +319,8 @@ def _encode(planes, qtabs, quality: int) -> bytes:
     ncomp = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qtabs[ci]])  # 1x1 sampling
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
@@ -302,35 +330,37 @@ def _encode(planes, qtabs, quality: int) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     wr = _BitWriter()
-    bh = -(-h // 8)
-    bw = -(-w // 8)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its full MCU-grid size up front: blocks in the
+    # loop are then always full 8x8 tiles
+    padded = [
+        _pad_to(np.asarray(p, dtype=np.float64), mcuy * sv * 8, mcux * sh * 8)
+        for p, (sh, sv) in zip(planes, sampling)
+    ]
     dc_prev = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                blk = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                tile = plane[ys : ys + 8, xs : xs + 8]
-                blk[: tile.shape[0], : tile.shape[1]] = tile
-                # edge replication keeps boundary blocks smooth
-                if tile.shape[0] < 8:
-                    blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1][
-                        :, None
-                    ]
-                coef = _C @ blk @ _C.T
-                q = qs[qtabs[ci]]
-                quant = np.round(coef / q).astype(np.int64)
-                # baseline AC amplitudes are 1..10 bits (|v| <= 1023);
-                # a max-amplitude checkerboard at quality~100 (quant
-                # step 1) can reach |1024|, whose category 11 no
-                # baseline AC table encodes — clamp like real encoders
-                quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
-                quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
-                dc_prev[ci] = _encode_block(
-                    wr, quant, dc_prev[ci], dc_tab, ac_tab
-                )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, plane in enumerate(padded):
+                sh, sv = sampling[ci]
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        ys = (my * sv + byi) * 8
+                        xs = (mx * sh + bxi) * 8
+                        blk = plane[ys : ys + 8, xs : xs + 8]
+                        coef = _C @ blk @ _C.T
+                        q = qs[qtabs[ci]]
+                        quant = np.round(coef / q).astype(np.int64)
+                        # baseline AC amplitudes are 1..10 bits
+                        # (|v| <= 1023); a max-amplitude checkerboard at
+                        # quality~100 (quant step 1) can reach |1024|,
+                        # whose category 11 no baseline AC table encodes
+                        # — clamp like real encoders
+                        quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
+                        quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
+                        dc_prev[ci] = _encode_block(
+                            wr, quant, dc_prev[ci], dc_tab, ac_tab
+                        )
     out += wr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -344,9 +374,27 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 90) -> bytes:
     return _encode([a - 128.0], [0], quality)
 
 
-def encode_jpeg_rgb(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a baseline 4:4:4 JPEG
-    (JFIF YCbCr)."""
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx box-average downsample with edge replication to a
+    multiple of the factor first — the standard chroma subsampler."""
+    h, w = plane.shape
+    ph = -(-h // fy) * fy
+    pw = -(-w // fx) * fx
+    p = _pad_to(plane, ph, pw)
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg_rgb(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a baseline JFIF-YCbCr JPEG.
+
+    ``subsampling="4:4:4"`` stores chroma at full resolution (1x1
+    factors everywhere); ``"4:2:0"`` box-averages Cb/Cr 2x2 and writes
+    the standard camera/web layout (Y at 2x2 factors, chroma 1x1 —
+    MCUs interleave 4 Y blocks + 1 Cb + 1 Cr over 16x16 pixels), the
+    majority format in the wild; ``"4:2:2"`` halves chroma
+    horizontally only."""
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
@@ -354,16 +402,52 @@ def encode_jpeg_rgb(arr: np.ndarray, quality: int = 90) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    factors = {"4:4:4": (1, 1), "4:2:0": (2, 2), "4:2:2": (2, 1)}
+    if subsampling not in factors:
+        raise ValueError(
+            f"subsampling must be one of {sorted(factors)}, "
+            f"got {subsampling!r}"
+        )
+    fx, fy = factors[subsampling]
+    if (fx, fy) == (1, 1):
+        return _encode(
+            [y - 128.0, cb - 128.0, cr - 128.0], [0, 1, 1], quality
+        )
     return _encode(
-        [y - 128.0, cb - 128.0, cr - 128.0], [0, 1, 1], quality
+        [
+            y - 128.0,
+            _box_downsample(cb, fy, fx) - 128.0,
+            _box_downsample(cr, fy, fx) - 128.0,
+        ],
+        [0, 1, 1],
+        quality,
+        sampling=[(fx, fy), (1, 1), (1, 1)],
     )
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0, 8-bit, 1×1-sampling) JPEG to uint8:
-    (h, w) for grayscale, (h, w, 3) RGB for 3-component YCbCr."""
+    """Decode a baseline (SOF0, 8-bit) JPEG to uint8: (h, w) for
+    grayscale, (h, w, 3) RGB for 3-component YCbCr. Any integer-ratio
+    sampling factors (4:4:4, 4:2:2, 4:2:0, ...) are accepted;
+    subsampled chroma upsamples by box replication."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
+    try:
+        return _decode_jpeg_body(content)
+    except (IndexError, KeyError, struct.error) as exc:
+        # wild payloads: a truncated or bit-flipped stream must fail
+        # with a clean ValueError, never an internal slicing/lookup
+        # error (KeyError covers scans referencing undeclared tables)
+        raise ValueError(f"JPEG: truncated or corrupt stream ({exc!r})")
+
+
+#: decode work guard: a bit-flipped SOF can claim 65535x65535 and turn
+#: the pure-Python block loop into an hours-long "hang"; 64 Mpx is far
+#: beyond fixture scale while still failing fast with a clear error
+_MAX_PIXELS = 1 << 26
+
+
+def _decode_jpeg_body(content: bytes) -> np.ndarray:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}
@@ -371,7 +455,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     scan = None
-    while pos < len(content):
+    while pos + 1 < len(content):
         if content[pos] != 0xFF:
             pos += 1
             continue
@@ -415,15 +499,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             nc = seg[5]
             if precision != 8:
                 raise NotImplementedError("vendored JPEG decoder: 8-bit only")
+            if h * w > _MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG: {w}x{h} exceeds the vendored decoder's "
+                    f"{_MAX_PIXELS}-pixel guard (likely corrupt SOF)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "vendored JPEG decoder: 1x1 sampling (4:4:4/gray) "
-                        "only — install PIL for subsampled chroma"
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"JPEG: illegal sampling factors {sh}x{sv}"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -441,18 +530,32 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             pos += seglen
             break
         pos += seglen
-    if comps is None or scan is None:
-        raise ValueError("JPEG: missing SOF/SOS")
+    if not comps or not scan:
+        raise ValueError("JPEG: missing or empty SOF/SOS")
     data = content[pos:]
     rd = _BitReader(data)
-    bh = -(-h // 8)
-    bw = -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    # MCU geometry: the interleave unit spans 8*Hmax x 8*Vmax pixels;
+    # component ci contributes Hi x Vi blocks per MCU (row-major), its
+    # plane living at (w*Hi/Hmax, h*Vi/Vmax) resolution — the general
+    # baseline layout; 1x1-everything (4:4:4/gray) is the special case
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "vendored JPEG decoder: non-integer sampling ratios "
+                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) — install PIL"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
     dc_prev = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # skip to the RSTn marker and reset predictors
                 rd.reset()
@@ -467,38 +570,55 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 dc_prev = [0] * len(comps)
             for sc in scan:
                 ci = by_id[sc["id"]]
+                comp = comps[ci]
                 dct = huff[(0, sc["dc"])]
                 act = huff[(1, sc["ac"])]
-                size = _decode_huffman(rd, dct)
-                diff = _extend(rd.read_bits(size), size)
-                dc_prev[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = dc_prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_huffman(rd, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG: AC index overflow")
-                    zz[k] = _extend(rd.read_bits(size), size)
-                    k += 1
-                blk = np.zeros(64, dtype=np.int64)
-                for z in range(64):
-                    blk[_ZIGZAG[z]] = zz[z]
-                q = qtabs[comps[ci]["tq"]]
-                coef = blk.reshape(8, 8).astype(np.float64) * q
-                pix = _C.T @ coef @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        size = _decode_huffman(rd, dct)
+                        diff = _extend(rd.read_bits(size), size)
+                        dc_prev[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(rd, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(rd.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        for z in range(64):
+                            blk[_ZIGZAG[z]] = zz[z]
+                        q = qtabs[comp["tq"]]
+                        coef = blk.reshape(8, 8).astype(np.float64) * q
+                        pix = _C.T @ coef @ _C + 128.0
+                        ys = (my * comp["v"] + byi) * 8
+                        xs = (mx * comp["h"] + bxi) * 8
+                        planes[ci][ys : ys + 8, xs : xs + 8] = pix
             mcu += 1
+    # upsample subsampled planes to full resolution by replication
+    # (box upsampling — the spec's baseline reconstruction; libjpeg's
+    # default "fancy" triangular filter differs by <=1 code value on
+    # smooth chroma), then crop the MCU padding
+    up = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        up.append(p)
     planes = [
         np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
-        for p in planes
+        for p in up
     ]
     if len(planes) == 1:
         return planes[0]

@@ -95,11 +95,12 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     non-interlaced) still decodes through the vendored pure-Python
     codec (:mod:`._png`) — color collapses to luminance with PIL's
     exact ``convert("L")`` fixed-point formula — and ``image/jpeg``
-    (baseline SOF0, 8-bit, 1×1 sampling) decodes through the vendored
+    (baseline SOF0, 8-bit, any integer-ratio sampling: 4:4:4, 4:2:2,
+    and the in-the-wild majority 4:2:0) decodes through the vendored
     :mod:`._jpeg` codec, taking the stream's own Y plane as the
     luminance grid. The ``NotImplementedError`` fires only for
-    variants that genuinely need a library (progressive or subsampled
-    JPEG, 16-bit/interlaced/paletted PNG)."""
+    variants that genuinely need a library (progressive/12-bit JPEG,
+    16-bit/interlaced/paletted PNG)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
@@ -261,6 +262,29 @@ def fake_jpeg_bytes(asset_id: int, quality: int = 90) -> bytes:
     img[8:, :8] = v[2]
     img[8:, 8:] = v[3]
     return encode_jpeg_gray(img, quality=quality)
+
+
+def fake_jpeg420_bytes(asset_id: int, quality: int = 90) -> bytes:
+    """A REAL baseline **4:2:0** color JPEG (Y at 2x2 sampling, one
+    subsampled Cb + Cr block per 16x16 MCU — the in-the-wild majority
+    layout) holding the same four 8x8 tiles as :func:`fake_jpeg_bytes`
+    but as NEUTRAL color (r=g=b=v_k): the JFIF transform then gives
+    Y=v exactly and Cb=Cr=128 exactly (the coefficient rows sum to 1
+    and 0), so the decoded luminance is still formula-reproducible for
+    the cross-engine oracle while the payload exercises the full 4:2:0
+    MCU interleave (4 Y blocks + chroma), box subsampling, replication
+    upsampling, and the color reconstruction path."""
+    import numpy as np
+
+    from ._jpeg import encode_jpeg_rgb
+
+    v = [(int(asset_id) * 31 + k * 57) % 256 for k in range(4)]
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8, :8] = v[0]
+    img[:8, 8:] = v[1]
+    img[8:, :8] = v[2]
+    img[8:, 8:] = v[3]
+    return encode_jpeg_rgb(img, quality=quality, subsampling="4:2:0")
 
 
 def decode_audio(

@@ -5762,6 +5762,142 @@ class TestJpegCodec:
         # clamping costs a little energy; the pattern survives broadly
         assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 96
 
+    def test_420_round_trip_constant_tiles(self):
+        # r7: 4:2:0 MCU interleave (4 Y + 1 Cb + 1 Cr per 16x16). Color
+        # constant per MCU -> chroma blocks are constant after 2x2 box
+        # subsampling; at quality 100 (quant step 1) the only error is
+        # the float YCbCr transform rounding (<=1 code value)
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_rgb
+
+        img = np.zeros((32, 48, 3), dtype=np.uint8)
+        for ty in range(2):
+            for tx in range(3):
+                img[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16] = (
+                    30 + ty * 80,
+                    40 + tx * 60,
+                    90,
+                )
+        back = decode_jpeg(encode_jpeg_rgb(img, 100, subsampling="4:2:0"))
+        assert back.shape == img.shape
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+    def test_420_and_422_smooth_bounded(self):
+        # smooth random color at odd (non-MCU-multiple) dims: subsampled
+        # round trip stays within a loose perceptual bound and the crop
+        # geometry is exact
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_rgb
+
+        rng = np.random.RandomState(11)
+        img = np.clip(rng.randn(19, 27, 3) * 6 + 120, 0, 255).astype(
+            np.uint8
+        )
+        for sub in ("4:2:0", "4:2:2"):
+            back = decode_jpeg(encode_jpeg_rgb(img, 95, subsampling=sub))
+            assert back.shape == img.shape, sub
+            err = np.abs(back.astype(int) - img.astype(int)).max()
+            assert err <= 40, (sub, err)
+
+    def test_420_neutral_tiles_exact(self):
+        # the oracle contract of multimodal_jpeg420_decode: r=g=b tiles
+        # give Y=v and Cb=Cr=128 exactly, so the decode (and luminance)
+        # is bit-exact despite subsampling
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            decode_jpeg_gray,
+            encode_jpeg_rgb,
+        )
+
+        v = [(12345 * 31 + k * 57) % 256 for k in range(4)]
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:8, :8] = v[0]
+        img[:8, 8:] = v[1]
+        img[8:, :8] = v[2]
+        img[8:, 8:] = v[3]
+        payload = encode_jpeg_rgb(img, quality=90, subsampling="4:2:0")
+        assert np.array_equal(decode_jpeg(payload), img)
+        lum = decode_jpeg_gray(payload)
+        assert np.array_equal(lum, img[:, :, 0])
+
+    def test_foreign_420_two_table_stream(self):
+        # a camera-style stream our encoder never writes: separate
+        # luma/chroma Huffman table ids (DC0/AC0 vs DC1/AC1) and both
+        # quant tables — the decoder must honor the SOS table mapping,
+        # not assume table 0 (tables ride in the stream)
+        import struct as _struct
+
+        from tafra_spark.functions import _jpeg as J
+
+        h = w = 16
+        y_plane = np.zeros((16, 16))
+        y_plane[:8, :8] = 40.0 - 128.0
+        y_plane[:8, 8:] = 90.0 - 128.0
+        y_plane[8:, :8] = 140.0 - 128.0
+        y_plane[8:, 8:] = 190.0 - 128.0
+        cb = np.zeros((8, 8))  # neutral chroma, subsampled resolution
+        cr = np.zeros((8, 8))
+        qs = [
+            J._quality_scale(J._Q_LUM, 90),
+            J._quality_scale(J._Q_CHR, 90),
+        ]
+        dc = J._build_huffman(J._DC_BITS, J._DC_VALS)
+        ac = J._build_huffman(J._AC_BITS, J._AC_VALS)
+        out = bytearray(b"\xff\xd8")
+        out += J._dqt_segment(0, qs[0]) + J._dqt_segment(1, qs[1])
+        sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([3])
+        sof += bytes([1, 0x22, 0])  # Y: 2x2, quant 0
+        sof += bytes([2, 0x11, 1])  # Cb: 1x1, quant 1
+        sof += bytes([3, 0x11, 1])  # Cr: 1x1, quant 1
+        out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+        # DUPLICATE table definitions under ids 0 AND 1
+        for tid in (0, 1):
+            out += J._dht_segment(0, tid, J._DC_BITS, J._DC_VALS)
+            out += J._dht_segment(1, tid, J._AC_BITS, J._AC_VALS)
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+        wr = J._BitWriter()
+        dc_prev = [0, 0, 0]
+        # one MCU: 4 Y blocks (row-major) then Cb, Cr
+        for byi in range(2):
+            for bxi in range(2):
+                blk = y_plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8]
+                coef = J._C @ blk @ J._C.T
+                quant = np.round(coef / qs[0]).astype(np.int64)
+                dc_prev[0] = J._encode_block(wr, quant, dc_prev[0], dc, ac)
+        for ci, plane in ((1, cb), (2, cr)):
+            coef = J._C @ plane @ J._C.T
+            quant = np.round(coef / qs[1]).astype(np.int64)
+            dc_prev[ci] = J._encode_block(wr, quant, dc_prev[ci], dc, ac)
+        out += wr.flush() + b"\xff\xd9"
+        back = J.decode_jpeg(bytes(out))
+        assert back.shape == (16, 16, 3)
+        exp = np.zeros((16, 16), dtype=int)
+        exp[:8, :8], exp[:8, 8:], exp[8:, :8], exp[8:, 8:] = 40, 90, 140, 190
+        for c in range(3):  # neutral chroma -> r=g=b=Y
+            assert np.array_equal(back[:, :, c].astype(int), exp), c
+
+    def test_truncated_and_corrupt_streams_fail_clean(self):
+        # every truncation point and a byte-flip sweep must raise
+        # ValueError/NotImplementedError — never IndexError or a hang
+        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_rgb
+
+        rng = np.random.RandomState(3)
+        img = np.clip(rng.randn(16, 16, 3) * 9 + 128, 0, 255).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_rgb(img, 90, subsampling="4:2:0")
+        for cut in range(2, len(payload), 7):
+            try:
+                decode_jpeg(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for pos in range(2, min(len(payload), 120)):
+            flipped = bytearray(payload)
+            flipped[pos] ^= 0xFF
+            try:
+                decode_jpeg(bytes(flipped))
+            except (ValueError, NotImplementedError):
+                pass
+
 
 class TestGiniConcentration:
     def test_hand_computed(self, spark):
