@@ -2985,78 +2985,21 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- registry order == driver evaluation order (the driver's
-        # correctness budget has covered exactly the first 50 entries
-        # every round; 188/191 rows are cumulatively driver-green after
-        # r5's 50/50). Rank by verification need: (1) the 3 rows never
-        # driver-verified (r5 additions that fell past the r5 cutoff;
-        # locally green under scripts/check_correctness.py and verified
-        # by the r5 judge), (2) operators ADDED in r6, (3) rows whose
-        # only driver check is the r2 round — rotate verification
-        # freshness, (4) the multiply-verified tail, freshest last. ---
-        # never driver-verified (r5 compositions past the r5 cutoff)
-        "gate_yield_curve": gate_yield_curve,
-        "user_session_features": user_session_features,
-        "quality_length_residuals": quality_length_residuals,
-        # operators ADDED in round 6 — never driver-verified
-        "band_join_nearby_orders": band_join_nearby_orders,
-        "clustering_coefficient_graph": clustering_coefficient_graph,
-        "k_core_event_graph": k_core_event_graph,
-        "k_anonymity_events": k_anonymity_events,
-        "shapley_channel_credit": shapley_channel_credit,
-        "benford_value_profile": benford_value_profile,
-        "readability_docs": readability_docs,
-        "fd_orders_audit": fd_orders_audit,
-        "sq8_compression_report": sq8_compression_report,
-        "multimodal_jpeg_decode": multimodal_jpeg_decode,
-        # operators ADDED in round 7 — never driver-verified
+        # --- r7 driver window: stalest-first rotation (VERDICT r6 item 5).
+        # (1) never-driver-verified (new r7 ops)
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
-        "length_gini_by_source": length_gini_by_source,
-        # re-verify: semantics changed in r6 (batched BPE, 64 slots)
+        # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
+        # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
-        # single driver row ever (r2)
-        "grouped_quantiles": grouped_quantiles,
-        "upsert_orders": upsert_orders,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q15_top_suppliers": q15_top_suppliers,
-        "q22_idle_balances": q22_idle_balances,
-        "q10_returned_items": q10_returned_items,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_counts": q16_supplier_counts,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q18_large_orders": q18_large_orders,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q4_late_orders": q4_late_orders,
-        "q14_promo_share": q14_promo_share,
-        # last verified r2 (green r1+r2)
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "select_project": select_project,
-        "filter_predicate": filter_predicate,
-        "group_by_callables": group_by_callables,
-        "transform_window": transform_window,
-        "theta_join_inequality": theta_join_inequality,
-        "left_join_nulls": left_join_nulls,
-        "cross_join_small": cross_join_small,
-        "union_all_orders": union_all_orders,
-        "coalesce_fill": coalesce_fill,
-        "cast_floor_groupby": cast_floor_groupby,
-        "top_k_orders": top_k_orders,
-        "distinct_pairs": distinct_pairs,
-        "rename_project": rename_project,
+        "knn_semantic_graph": knn_semantic_graph,
+        # (3) oldest green rows: last verified in round 2
         "agg_stats": agg_stats,
         "semi_join_exists": semi_join_exists,
         "anti_join_not_exists": anti_join_not_exists,
         "rollup_agg": rollup_agg,
         "pivot_linestatus": pivot_linestatus,
-        # green r3 — low re-verify priority
+        # (4) last verified in round 3 (first 42 complete the 50-row
+        # window; the rest roll into the next round's window)
         "ngram_jaccard": ngram_jaccard,
         "corpus_prep_pipeline": corpus_prep_pipeline,
         "token_budget_mix": token_budget_mix,
@@ -3105,7 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": json_extract_stats,
         "events_hourly": events_hourly,
         "minhash_lsh_pairs": minhash_lsh_pairs,
-        # green r4 (just verified) — lowest priority
+        # last verified in round 4
         "interval_join_attribution": interval_join_attribution,
         "sessionize_events": sessionize_events,
         "events_quarter_hour": events_quarter_hour,
@@ -3156,7 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "ngram_novelty_scores": ngram_novelty_scores,
         "quality_percentile_calibration": quality_percentile_calibration,
-        # green r5 (all 50 verified in CORRECTNESS_r05) — lowest priority
+        # last verified in round 5
         "repetition_signals": repetition_signals_q,
         "mad_outlier_profile": mad_outlier_profile,
         "pagerank_event_graph": pagerank_event_graph,
@@ -3185,7 +3128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": vocab_growth_curve,
         "event_basket_rules": event_basket_rules,
         "winsorized_event_values": winsorized_event_values,
-        "knn_semantic_graph": knn_semantic_graph,
         "graph_assortativity": graph_assortativity,
         "markov_next_event_acc": markov_next_event_acc,
         "kmv_vocab_overlap": kmv_vocab_overlap,
@@ -3206,6 +3148,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_reconstruction_report": pq_reconstruction_report,
         "unicode_scrub_docs": unicode_scrub_docs,
         "shard_token_balance": shard_token_balance,
+        # freshest: verified in round 6
+        "gate_yield_curve": gate_yield_curve,
+        "user_session_features": user_session_features,
+        "quality_length_residuals": quality_length_residuals,
+        "band_join_nearby_orders": band_join_nearby_orders,
+        "clustering_coefficient_graph": clustering_coefficient_graph,
+        "k_core_event_graph": k_core_event_graph,
+        "k_anonymity_events": k_anonymity_events,
+        "shapley_channel_credit": shapley_channel_credit,
+        "benford_value_profile": benford_value_profile,
+        "readability_docs": readability_docs,
+        "fd_orders_audit": fd_orders_audit,
+        "sq8_compression_report": sq8_compression_report,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "length_gini_by_source": length_gini_by_source,
+        "grouped_quantiles": grouped_quantiles,
+        "upsert_orders": upsert_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q15_top_suppliers": q15_top_suppliers,
+        "q22_idle_balances": q22_idle_balances,
+        "q10_returned_items": q10_returned_items,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q14_promo_share": q14_promo_share,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "select_project": select_project,
+        "filter_predicate": filter_predicate,
+        "group_by_callables": group_by_callables,
+        "transform_window": transform_window,
+        "theta_join_inequality": theta_join_inequality,
+        "left_join_nulls": left_join_nulls,
+        "cross_join_small": cross_join_small,
+        "union_all_orders": union_all_orders,
+        "coalesce_fill": coalesce_fill,
+        "cast_floor_groupby": cast_floor_groupby,
+        "top_k_orders": top_k_orders,
+        "distinct_pairs": distinct_pairs,
+        "rename_project": rename_project,
     }
 
 
