@@ -242,3 +242,67 @@ class TestTimestampNTZ:
 
         ev = E._read_events(spark, "/root/testdata/sf0.001")
         assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+
+
+class TestTmpfsLocalDirGate:
+    """r6 advice item: /dev/shm shuffle dirs must be gated on >=16 GiB
+    free — a RAM-backed spill dir must never OOM the box. Covers the
+    full precedence chain of session._default_local_dir."""
+
+    def _call(self, monkeypatch, free=None, has_shm=True, env=None):
+        import shutil as _shutil
+        from collections import namedtuple
+
+        from tafra_spark import session as S
+
+        for k in ("SPARK_GRAFT_LOCAL_DIR", "SPARK_GRAFT_TMPFS_LOCAL"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in (env or {}).items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setattr(
+            S.os.path, "isdir", lambda p: has_shm if p == "/dev/shm" else False
+        )
+        if free is not None:
+            usage = namedtuple("usage", "total used free")
+            monkeypatch.setattr(
+                _shutil, "disk_usage", lambda p: usage(0, 0, free)
+            )
+        return S._default_local_dir()
+
+    def test_ample_free_space_picks_tmpfs(self, monkeypatch):
+        out = self._call(monkeypatch, free=64 * 1024**3)
+        assert out.startswith("/dev/shm")
+
+    def test_low_free_space_falls_back_to_disk(self, monkeypatch):
+        out = self._call(monkeypatch, free=8 * 1024**3)
+        assert out.startswith("/tmp")
+
+    def test_exact_threshold_is_inclusive(self, monkeypatch):
+        from tafra_spark.session import _TMPFS_MIN_FREE
+
+        assert self._call(monkeypatch, free=_TMPFS_MIN_FREE).startswith(
+            "/dev/shm"
+        )
+        assert self._call(
+            monkeypatch, free=_TMPFS_MIN_FREE - 1
+        ).startswith("/tmp")
+
+    def test_no_shm_mount_uses_disk(self, monkeypatch):
+        assert self._call(monkeypatch, has_shm=False).startswith("/tmp")
+
+    def test_env_overrides_beat_the_probe(self, monkeypatch):
+        # explicit dir wins outright; force flags skip the free probe
+        out = self._call(
+            monkeypatch,
+            free=0,
+            env={"SPARK_GRAFT_LOCAL_DIR": "/custom/dir"},
+        )
+        assert out == "/custom/dir"
+        assert self._call(
+            monkeypatch, free=0, env={"SPARK_GRAFT_TMPFS_LOCAL": "1"}
+        ).startswith("/dev/shm")
+        assert self._call(
+            monkeypatch,
+            free=64 * 1024**3,
+            env={"SPARK_GRAFT_TMPFS_LOCAL": "0"},
+        ).startswith("/tmp")
