@@ -1100,14 +1100,20 @@ def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis / dedup / similarity (scale extensions)
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from tafra_spark.functions.dedup import _spread
+
+    # _spread: single-split local scans would tokenize serially (no-op
+    # on real multi-file tables)
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.with_token_count(docs).select("doc_id", "n_tokens")
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scaled-int output: floor(q*10000 + 0.5) — engine round() impls
     # disagree on half-boundary doubles, integer outputs hash identically
-    docs = _read(spark, sf_dir, "documents")
+    from tafra_spark.functions.dedup import _spread
+
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     q = TX.quality_score(F.col("text"))
     return docs.select(
         "doc_id", F.floor(q * 10000 + 0.5).cast("long").alias("quality_q4")
@@ -1115,12 +1121,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from tafra_spark.functions.dedup import _spread
+
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.with_language(docs).select("doc_id", "lang_pred")
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from tafra_spark.functions.dedup import _spread
+
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.with_fingerprint(docs).select("doc_id", "fp")
 
 
@@ -2875,6 +2885,58 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_images(assets)
 
 
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # REAL progressive (SOF2) JPEG decode, PIL-less (r7): the same
+    # deterministic 16x16 four-tile grayscale images as
+    # multimodal_jpeg_decode but entropy-coded as THREE progressive
+    # scans (DC, AC 1-5, AC 6-63). Spectral selection at Ah=Al=0
+    # reassembles the exact baseline coefficients, so the decoded mean
+    # is the same tile formula - any wrong byte in the multi-scan
+    # walk, coefficient accumulation, or EOB-run handling hash-fails
+    from tafra_spark.functions import multimodal as MM
+
+    # the documents scan is one small parquet split locally, which
+    # would run the pure-Python codec SERIALLY; spread the asset ids
+    # across the executor cores first (at warehouse scale the input
+    # already arrives in many splits and this repartition costs
+    # nothing next to the per-asset codec work)
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = (
+        "asset_id LONG, modality STRING, content BINARY, "
+        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
+        "mime: STRING>"
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "image",
+                    "content": [
+                        MM.fake_jpeg_progressive_bytes(int(a))
+                        for a in pdf["asset_id"]
+                    ],
+                    "meta": [
+                        {"width": 16, "height": 16,
+                         "duration_ms": None, "mime": "image/jpeg"}
+                        for _ in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    assets = ids.mapInPandas(encode, schema=out_schema)
+    return MM.decode_images(assets)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3017,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7 driver window: stalest-first rotation (VERDICT r6 item 5).
         # (1) never-driver-verified (new r7 ops)
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
+        "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -8603,6 +8666,24 @@ def oracle_sql() -> dict[str, str]:
              AND (d.vt IS NULL OR e.ts < d.vt)
         """,
         "multimodal_jpeg_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            t AS (
+              SELECT asset_id, unnest(generate_series(0, 3)) AS k
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
+              FROM t
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
+            FROM v GROUP BY asset_id
+        """,
+        # progressive scans reassemble the exact baseline coefficients,
+        # so the oracle is the same four-tile mean formula
+        "multimodal_jpeg_progressive_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),
             t AS (
               SELECT asset_id, unnest(generate_series(0, 3)) AS k

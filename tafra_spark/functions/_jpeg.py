@@ -32,7 +32,9 @@ __all__ = [
     "decode_jpeg",
     "decode_jpeg_gray",
     "encode_jpeg_gray",
+    "encode_jpeg_gray_progressive",
     "encode_jpeg_rgb",
+    "encode_jpeg_rgb_progressive",
 ]
 
 # zigzag scan order: index z -> (row, col) of the 8x8 block
@@ -296,6 +298,55 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
+def _quantize_grids(planes, qtabs, quality: int, sampling):
+    """DCT + quantize every 8x8 block of every (already level-shifted,
+    possibly subsampled) plane into zigzag-order int grids
+    (nby, nbx, 64) — the shared front half of the baseline and
+    progressive encoders."""
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    qs = [_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality)]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []
+    for ci, p in enumerate(planes):
+        sh, sv = sampling[ci]
+        nby, nbx = mcuy * sv, mcux * sh
+        # pad to the full MCU grid up front: blocks are always 8x8
+        padded = _pad_to(np.asarray(p, dtype=np.float64), nby * 8, nbx * 8)
+        q = qs[qtabs[ci]]
+        grid = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                quant = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
+                # baseline AC amplitudes are 1..10 bits (|v| <= 1023);
+                # a max-amplitude checkerboard at quality~100 (quant
+                # step 1) can reach |1024|, whose category 11 no
+                # baseline AC table encodes — clamp like real encoders
+                quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
+                quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
+                grid[by, bx] = quant.flat[_ZIGZAG]
+        grids.append(grid)
+    return grids, qs, (h, w, hmax, vmax, mcux, mcuy)
+
+
+def _header_segments(h, w, qtabs, qs, sampling, sof_marker: bytes) -> bytearray:
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid in sorted(set(qtabs)):
+        out += _dqt_segment(tid, qs[tid])
+    ncomp = len(sampling)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    return out
+
+
 def _encode(planes, qtabs, quality: int, sampling=None) -> bytes:
     """planes: list of float arrays already in [-128, 127]
     (level-shifted); qtabs: per-plane quant table id (0 or 1);
@@ -306,64 +357,159 @@ def _encode(planes, qtabs, quality: int, sampling=None) -> bytes:
     general baseline layout."""
     if sampling is None:
         sampling = [(1, 1)] * len(planes)
-    h, w = planes[0].shape
-    hmax = max(s[0] for s in sampling)
-    vmax = max(s[1] for s in sampling)
-    qs = [_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality)]
+    grids, qs, (h, w, hmax, vmax, mcux, mcuy) = _quantize_grids(
+        planes, qtabs, quality, sampling
+    )
     dc_tab = _build_huffman(_DC_BITS, _DC_VALS)
     ac_tab = _build_huffman(_AC_BITS, _AC_VALS)
-    out = bytearray(b"\xff\xd8")  # SOI
-    used_q = sorted(set(qtabs))
-    for tid in used_q:
-        out += _dqt_segment(tid, qs[tid])
+    out = _header_segments(h, w, qtabs, qs, sampling, b"\xff\xc0")
     ncomp = len(planes)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sh, sv = sampling[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
-    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     wr = _BitWriter()
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # pad every plane to its full MCU-grid size up front: blocks in the
-    # loop are then always full 8x8 tiles
-    padded = [
-        _pad_to(np.asarray(p, dtype=np.float64), mcuy * sv * 8, mcux * sh * 8)
-        for p, (sh, sv) in zip(planes, sampling)
-    ]
     dc_prev = [0] * ncomp
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, plane in enumerate(padded):
+            for ci in range(ncomp):
                 sh, sv = sampling[ci]
                 for byi in range(sv):
                     for bxi in range(sh):
-                        ys = (my * sv + byi) * 8
-                        xs = (mx * sh + bxi) * 8
-                        blk = plane[ys : ys + 8, xs : xs + 8]
-                        coef = _C @ blk @ _C.T
-                        q = qs[qtabs[ci]]
-                        quant = np.round(coef / q).astype(np.int64)
-                        # baseline AC amplitudes are 1..10 bits
-                        # (|v| <= 1023); a max-amplitude checkerboard at
-                        # quality~100 (quant step 1) can reach |1024|,
-                        # whose category 11 no baseline AC table encodes
-                        # — clamp like real encoders
-                        quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
-                        quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
-                        dc_prev[ci] = _encode_block(
-                            wr, quant, dc_prev[ci], dc_tab, ac_tab
+                        zz = grids[ci][my * sv + byi, mx * sh + bxi]
+                        dc_prev[ci] = _encode_block_zz(
+                            wr, zz, dc_prev[ci], dc_tab, ac_tab
                         )
     out += wr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_progressive(
+    planes, qtabs, quality: int, sampling=None, bands=((1, 5), (6, 63))
+) -> bytes:
+    """Spectral-selection progressive (SOF2) encoder: one interleaved
+    DC scan (Ss=0, Se=0), then per component one AC scan per band —
+    all with Ah=Al=0, so coefficient coding matches baseline exactly
+    (in a first AC scan the EOB symbol means an EOB run of 1) and the
+    decoded image is bit-identical to the baseline encoding of the
+    same planes. Covers the multi-scan machinery real progressive
+    files exercise; successive-approximation DECODE is covered by the
+    decoder (tests hand-roll those streams)."""
+    if sampling is None:
+        sampling = [(1, 1)] * len(planes)
+    lo = min(b[0] for b in bands)
+    hi = max(b[1] for b in bands)
+    if lo != 1 or hi != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError("bands must partition [1, 63] contiguously")
+    grids, qs, (h, w, hmax, vmax, mcux, mcuy) = _quantize_grids(
+        planes, qtabs, quality, sampling
+    )
+    dc_tab = _build_huffman(_DC_BITS, _DC_VALS)
+    ac_tab = _build_huffman(_AC_BITS, _AC_VALS)
+    out = _header_segments(h, w, qtabs, qs, sampling, b"\xff\xc2")
+    ncomp = len(planes)
+    # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wr = _BitWriter()
+    dc_prev = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                sh, sv = sampling[ci]
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        dc = int(grids[ci][my * sv + byi, mx * sh + bxi][0])
+                        diff = dc - dc_prev[ci]
+                        dc_prev[ci] = dc
+                        size = _category(diff)
+                        code, length = dc_tab[size]
+                        wr.write(code, length)
+                        if size:
+                            amp = diff if diff >= 0 else diff + (1 << size) - 1
+                            wr.write(amp, size)
+    out += wr.flush()
+    # AC scans: per component, per band, NON-interleaved (own block
+    # grid at the component's subsampled resolution)
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        for ss, se in bands:
+            sos = bytes([1, ci + 1, 0x00, ss, se, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            wr = _BitWriter()
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    zz = grids[ci][by, bx]
+                    last_nz = ss - 1
+                    for k in range(ss, se + 1):
+                        if zz[k] != 0:
+                            last_nz = k
+                    run = 0
+                    for k in range(ss, last_nz + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac_tab[0xF0]
+                            wr.write(c, ln)
+                            run -= 16
+                        size = _category(int(zz[k]))
+                        c, ln = ac_tab[(run << 4) | size]
+                        wr.write(c, ln)
+                        v = int(zz[k])
+                        amp = v if v >= 0 else v + (1 << size) - 1
+                        wr.write(amp, size)
+                        run = 0
+                    if last_nz < se:
+                        c, ln = ac_tab[0x00]  # EOB run of 1
+                        wr.write(c, ln)
+            out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_block_zz(wr, zz, dc_prev, dc_tab, ac_tab):
+    """Baseline entropy coding of one pre-quantized zigzag block."""
+    diff = int(zz[0]) - dc_prev
+    size = _category(diff)
+    code, length = dc_tab[size]
+    wr.write(code, length)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        wr.write(amp, size)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i] != 0:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]
+            wr.write(c, ln)
+            run -= 16
+        size = _category(int(zz[i]))
+        c, ln = ac_tab[(run << 4) | size]
+        wr.write(c, ln)
+        v = int(zz[i])
+        amp = v if v >= 0 else v + (1 << size) - 1
+        wr.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_tab[0x00]  # EOB
+        wr.write(c, ln)
+    return int(zz[0])
 
 
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 90) -> bytes:
@@ -395,6 +541,13 @@ def encode_jpeg_rgb(
     MCUs interleave 4 Y blocks + 1 Cb + 1 Cr over 16x16 pixels), the
     majority format in the wild; ``"4:2:2"`` halves chroma
     horizontally only."""
+    planes, qtabs, sampling = _rgb_planes(arr, subsampling)
+    return _encode(planes, qtabs, quality, sampling=sampling)
+
+
+def _rgb_planes(arr: np.ndarray, subsampling: str):
+    """(h, w, 3) uint8 -> level-shifted YCbCr planes + quant-table ids
+    + sampling factors for the requested chroma layout."""
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
@@ -410,26 +563,46 @@ def encode_jpeg_rgb(
         )
     fx, fy = factors[subsampling]
     if (fx, fy) == (1, 1):
-        return _encode(
-            [y - 128.0, cb - 128.0, cr - 128.0], [0, 1, 1], quality
-        )
-    return _encode(
+        return [y - 128.0, cb - 128.0, cr - 128.0], [0, 1, 1], None
+    return (
         [
             y - 128.0,
             _box_downsample(cb, fy, fx) - 128.0,
             _box_downsample(cr, fy, fx) - 128.0,
         ],
         [0, 1, 1],
-        quality,
-        sampling=[(fx, fy), (1, 1), (1, 1)],
+        [(fx, fy), (1, 1), (1, 1)],
     )
 
 
+def encode_jpeg_gray_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w) uint8 array as a PROGRESSIVE (SOF2,
+    spectral-selection) grayscale JPEG — decodes bit-identically to
+    the baseline encoding of the same pixels."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive expects a 2-D array")
+    return _encode_progressive([a - 128.0], [0], quality)
+
+
+def encode_jpeg_rgb_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a PROGRESSIVE (SOF2,
+    spectral-selection) JFIF-YCbCr JPEG, optionally chroma-subsampled
+    (``"4:2:0"``/``"4:2:2"``)."""
+    planes, qtabs, sampling = _rgb_planes(arr, subsampling)
+    return _encode_progressive(planes, qtabs, quality, sampling=sampling)
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0, 8-bit) JPEG to uint8: (h, w) for
-    grayscale, (h, w, 3) RGB for 3-component YCbCr. Any integer-ratio
-    sampling factors (4:4:4, 4:2:2, 4:2:0, ...) are accepted;
-    subsampled chroma upsamples by box replication."""
+    """Decode a baseline (SOF0) or progressive (SOF2) 8-bit JPEG to
+    uint8: (h, w) for grayscale, (h, w, 3) RGB for 3-component YCbCr.
+    Any integer-ratio sampling factors (4:4:4, 4:2:2, 4:2:0, ...) are
+    accepted; subsampled chroma upsamples by box replication.
+    Progressive streams support spectral selection, successive
+    approximation (DC + AC first/refinement scans), EOB runs, and
+    restart markers."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     try:
@@ -447,6 +620,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 _MAX_PIXELS = 1 << 26
 
 
+def _entropy_end(content: bytes, pos: int) -> int:
+    """Index of the first REAL marker (not stuffing, not RSTn) at or
+    after ``pos`` — the end of a scan's entropy-coded segment."""
+    i = pos
+    n = len(content)
+    while i + 1 < n:
+        if (
+            content[i] == 0xFF
+            and content[i + 1] != 0x00
+            and not (0xD0 <= content[i + 1] <= 0xD7)
+        ):
+            return i
+        i += 1
+    return n
+
+
 def _decode_jpeg_body(content: bytes) -> np.ndarray:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
@@ -455,6 +644,9 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     scan = None
+    progressive = False
+    coefs = None  # progressive: per-comp (nby, nbx, 64) zigzag grids
+    geom = None
     while pos + 1 < len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -493,7 +685,8 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                     (code, ln): sym for sym, (code, ln) in enc.items()
                 }
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -513,11 +706,12 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                         f"JPEG: illegal sampling factors {sh}x{sv}"
                     )
                 comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "vendored JPEG decoder handles baseline SOF0 only "
-                "(install PIL for progressive/extended streams)"
+                "vendored JPEG decoder handles baseline SOF0 and "
+                "progressive SOF2 only (install PIL for "
+                "extended/lossless/arithmetic streams)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -527,27 +721,42 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            if not progressive:
+                pos += seglen
+                break
+            # progressive: one of possibly many scans — decode it into
+            # the coefficient grids and keep walking the marker stream
+            if comps is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if geom is None:
+                geom = _mcu_geometry(comps, h, w)
+                coefs = [
+                    np.zeros(
+                        (geom["mcuy"] * c["v"], geom["mcux"] * c["h"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in comps
+                ]
             pos += seglen
-            break
+            end = _entropy_end(content, pos)
+            _progressive_scan(
+                content[pos:end], scan, comps, coefs, huff, geom,
+                h, w, ss, se, ah, al, restart_interval,
+            )
+            pos = end
+            continue
         pos += seglen
     if not comps or not scan:
         raise ValueError("JPEG: missing or empty SOF/SOS")
+    if progressive:
+        return _reconstruct_progressive(comps, coefs, qtabs, geom, h, w)
     data = content[pos:]
     rd = _BitReader(data)
-    # MCU geometry: the interleave unit spans 8*Hmax x 8*Vmax pixels;
-    # component ci contributes Hi x Vi blocks per MCU (row-major), its
-    # plane living at (w*Hi/Hmax, h*Vi/Vmax) resolution — the general
-    # baseline layout; 1x1-everything (4:4:4/gray) is the special case
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                "vendored JPEG decoder: non-integer sampling ratios "
-                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) — install PIL"
-            )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    g = _mcu_geometry(comps, h, w)
+    hmax, vmax, mcux, mcuy = g["hmax"], g["vmax"], g["mcux"], g["mcuy"]
     planes = [
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
     ]
@@ -604,10 +813,36 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                         xs = (mx * comp["h"] + bxi) * 8
                         planes[ci][ys : ys + 8, xs : xs + 8] = pix
             mcu += 1
-    # upsample subsampled planes to full resolution by replication
-    # (box upsampling — the spec's baseline reconstruction; libjpeg's
-    # default "fancy" triangular filter differs by <=1 code value on
-    # smooth chroma), then crop the MCU padding
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _mcu_geometry(comps, h: int, w: int) -> dict:
+    """MCU geometry shared by the baseline and progressive paths: the
+    interleave unit spans 8*Hmax x 8*Vmax pixels; component ci
+    contributes Hi x Vi blocks per MCU (row-major), its plane living at
+    (w*Hi/Hmax, h*Vi/Vmax) resolution — 1x1-everything (4:4:4/gray) is
+    the special case."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "vendored JPEG decoder: non-integer sampling ratios "
+                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) — install PIL"
+            )
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": -(-w // (8 * hmax)),
+        "mcuy": -(-h // (8 * vmax)),
+    }
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled planes to full resolution by replication
+    (box upsampling — the spec's baseline reconstruction; libjpeg's
+    default "fancy" triangular filter differs by <=1 code value on
+    smooth chroma), crop the MCU padding, and convert YCbCr->RGB."""
     up = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -631,6 +866,173 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
     g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
     b = np.clip(np.round(y + 1.772 * cb), 0, 255)
     return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _scan_units(scan, comps, geom, h, w):
+    """Block traversal for one scan, grouped per restart unit (MCU):
+    an interleaved scan walks MCUs with Hi x Vi blocks per component; a
+    single-component scan is NON-interleaved — its own block grid at
+    the component's subsampled resolution, one block per MCU (T.81
+    A.2.2/G.1). Yields lists of (ci, by, bx)."""
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    if len(scan) == 1:
+        ci = by_id[scan[0]["id"]]
+        c = comps[ci]
+        cw = -(-w * c["h"] // geom["hmax"])
+        ch = -(-h * c["v"] // geom["vmax"])
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(ci, by, bx)]
+        return
+    for my in range(geom["mcuy"]):
+        for mx in range(geom["mcux"]):
+            unit = []
+            for sc in scan:
+                ci = by_id[sc["id"]]
+                c = comps[ci]
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        unit.append(
+                            (ci, my * c["v"] + byi, mx * c["h"] + bxi)
+                        )
+            yield unit
+
+
+def _progressive_scan(
+    data, scan, comps, coefs, huff, geom, h, w, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode ONE progressive scan (ITU-T T.81 Annex G) into the
+    zigzag-order coefficient grids: DC first/refinement scans (Ss=0,
+    possibly interleaved) and AC first/refinement scans (Ss>=1, always
+    single-component), with spectral selection [Ss, Se], successive
+    approximation (Ah, Al), EOB-run coding, and restart markers."""
+    if ss > se or se > 63:
+        raise ValueError("JPEG: bad spectral selection")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
+    rd = _BitReader(data)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(zz, k):
+        # correction bit for a coefficient that was already nonzero
+        if rd.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    for mcu_i, unit in enumerate(_scan_units(scan, comps, geom, h, w)):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            rd.reset()
+            while rd.pos < len(rd.data) - 1:
+                if (
+                    rd.data[rd.pos] == 0xFF
+                    and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7
+                ):
+                    rd.pos += 2
+                    break
+                rd.pos += 1
+            dc_pred = [0] * len(comps)
+            eobrun = 0
+        for ci, by, bx in unit:
+            zz = coefs[ci][by, bx]
+            if ss == 0:  # DC scan
+                sc = next(s for s in scan if by_id[s["id"]] == ci)
+                if ah == 0:  # first
+                    size = _decode_huffman(rd, huff[(0, sc["dc"])])
+                    dc_pred[ci] += _extend(rd.read_bits(size), size)
+                    zz[0] = dc_pred[ci] << al
+                else:  # refinement: one bit at position Al
+                    if rd.read_bit():
+                        zz[0] |= p1
+                continue
+            act = huff[(1, scan[0]["ac"])]
+            if ah == 0:  # AC first scan of this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _decode_huffman(rd, act)
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += rd.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    zz[k] = _extend(rd.read_bits(size), size) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.1.2.3 / correction bits)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_huffman(rd, act)
+                        run, size = sym >> 4, sym & 0x0F
+                        val = 0
+                        if size == 0:
+                            if run < 15:
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += rd.read_bits(run)
+                                break
+                            # run==15: skip 16 zero-history positions
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "JPEG: bad AC refinement magnitude"
+                                )
+                            val = p1 if rd.read_bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            refine_nonzero(zz, k)
+                        k += 1
+                    eobrun -= 1
+
+
+def _reconstruct_progressive(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient grids."""
+    if geom is None or coefs is None:
+        raise ValueError("JPEG: progressive stream with no scans")
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtabs[c["tq"]]
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                blk = np.zeros(64, dtype=np.int64)
+                for z in range(64):
+                    blk[_ZIGZAG[z]] = zz[z]
+                coef = blk.reshape(8, 8).astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef @ _C + 128.0
+                )
+        planes.append(plane)
+    return _finish_planes(
+        planes, comps, h, w, geom["hmax"], geom["vmax"]
+    )
 
 
 def decode_jpeg_gray(content: bytes) -> np.ndarray:

@@ -287,6 +287,27 @@ def fake_jpeg420_bytes(asset_id: int, quality: int = 90) -> bytes:
     return encode_jpeg_rgb(img, quality=quality, subsampling="4:2:0")
 
 
+def fake_jpeg_progressive_bytes(asset_id: int, quality: int = 90) -> bytes:
+    """A REAL PROGRESSIVE (SOF2, spectral-selection) grayscale JPEG of
+    the same four 8x8 tiles as :func:`fake_jpeg_bytes` — one DC scan
+    plus two AC band scans, so the decoder's multi-scan coefficient
+    accumulation, EOB-run coding, and per-scan Huffman state are all
+    on the oracle path; spectral selection at Ah=Al=0 reassembles the
+    exact baseline coefficients, so the decoded mean is the identical
+    tile formula."""
+    import numpy as np
+
+    from ._jpeg import encode_jpeg_gray_progressive
+
+    v = [(int(asset_id) * 31 + k * 57) % 256 for k in range(4)]
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8] = v[0]
+    img[:8, 8:] = v[1]
+    img[8:, :8] = v[2]
+    img[8:, 8:] = v[3]
+    return encode_jpeg_gray_progressive(img, quality=quality)
+
+
 def decode_audio(
     df: DataFrame,
     target_batch_bytes: int = 64 * 1024 * 1024,

@@ -1888,7 +1888,11 @@ def knn_graph(
     Determinism is unchanged: same corpus size + seed => same planes
     (smaller corpora use a strict prefix of a larger corpus's planes).
     """
-    filtered = emb.filter(F.col(vec_col).isNotNull())
+    from .dedup import _spread
+
+    # single-split local scans would hash + self-join serially; a no-op
+    # on real multi-file tables (_spread keeps >=parallelism inputs)
+    filtered = _spread(emb.filter(F.col(vec_col).isNotNull()))
     if n_planes is None:
         n_planes = auto_n_planes(filtered.count())
     sig = filtered.select(

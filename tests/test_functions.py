@@ -182,16 +182,17 @@ class TestMultimodal:
 
     def test_library_mimes_without_pil_raise(self, spark, monkeypatch):
         # formats that genuinely need an imaging library still fence
-        # (baseline JPEG decodes via the r6 vendored codec; progressive
-        # JPEG and formats like webp/tiff stay PIL-gated)
+        # (baseline AND progressive JPEG decode via the vendored codec
+        # as of r7; lossless SOF3 and formats like webp/tiff stay
+        # PIL-gated)
         monkeypatch.setattr(M, "_HAS_PIL", False)
         with pytest.raises(NotImplementedError):
             M._decode_stub(b"RIFF....WEBP", "image/webp")
-        sof2 = (
-            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        sof3 = (
+            b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         )
         with pytest.raises(NotImplementedError):
-            M._decode_stub(sof2, "image/jpeg")
+            M._decode_stub(sof3, "image/jpeg")
 
     def test_fake_mime_decodes_without_pil(self, monkeypatch):
         monkeypatch.setattr(M, "_HAS_PIL", False)
@@ -5727,10 +5728,10 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")
-        # progressive SOF2 marker stream
-        sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        # lossless SOF3 marker stream (progressive SOF2 decodes as of r7)
+        sof3 = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof2)
+            decode_jpeg(sof3)
 
     def test_jpeg_through_pipeline(self, spark, monkeypatch):
         # real JPEG bytes through the Arrow-batched decode stage, no PIL
@@ -5874,6 +5875,146 @@ class TestJpegCodec:
         exp[:8, :8], exp[:8, 8:], exp[8:, :8], exp[8:, 8:] = 40, 90, 140, 190
         for c in range(3):  # neutral chroma -> r=g=b=Y
             assert np.array_equal(back[:, :, c].astype(int), exp), c
+
+    def test_progressive_equals_baseline(self):
+        # r7: SOF2 spectral-selection decode — scans accumulate the
+        # same coefficients, so the decode is bit-identical to the
+        # baseline encoding of the same pixels (gray, 4:4:4, 4:2:0)
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+            encode_jpeg_rgb,
+            encode_jpeg_rgb_progressive,
+        )
+
+        rng = np.random.RandomState(9)
+        img = np.clip(rng.randn(21, 34) * 25 + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_gray_progressive(img, 85)),
+            decode_jpeg(encode_jpeg_gray(img, 85)),
+        )
+        rgb = np.clip(rng.randn(17, 23, 3) * 15 + 120, 0, 255).astype(
+            np.uint8
+        )
+        for sub in ("4:4:4", "4:2:0", "4:2:2"):
+            assert np.array_equal(
+                decode_jpeg(
+                    encode_jpeg_rgb_progressive(rgb, 85, subsampling=sub)
+                ),
+                decode_jpeg(encode_jpeg_rgb(rgb, 85, subsampling=sub)),
+            ), sub
+
+    def _prog_headers(self, J, h, w):
+        import struct as _struct
+
+        q1 = np.ones((8, 8), dtype=np.int64)
+        out = bytearray(b"\xff\xd8")
+        out += J._dqt_segment(0, q1)
+        sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        out += b"\xff\xc2" + _struct.pack(">H", 2 + len(sof)) + sof
+        out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+        out += J._dht_segment(1, 0, J._AC_BITS, J._AC_VALS)
+        return out
+
+    def test_progressive_successive_approximation_hand_rolled(self):
+        # 8x8 gray, quant all-ones, target coefficients DC=48, zz[1]=5.
+        # Four scans: DC first at Al=1 (diff 24), AC first at Al=1
+        # (zz[1] -> 2), DC refinement bit 0, AC refinement (EOB + one
+        # correction bit). Decoder must reassemble 48 and 5 exactly.
+        import struct as _struct
+
+        from tafra_spark.functions import _jpeg as J
+
+        out = self._prog_headers(J, 8, 8)
+        dc = J._build_huffman(J._DC_BITS, J._DC_VALS)
+        ac = J._build_huffman(J._AC_BITS, J._AC_VALS)
+
+        def sos(ss, se, ah, al):
+            body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + _struct.pack(">H", 2 + len(body)) + body
+
+        # scan 1: DC first, Al=1 -> diff = 48>>1 = 24, category 5
+        out += sos(0, 0, 0, 1)
+        wr = J._BitWriter()
+        code, ln = dc[5]
+        wr.write(code, ln)
+        wr.write(24, 5)
+        out += wr.flush()
+        # scan 2: AC first 1..63, Al=1 -> zz[1] = 5>>1 = 2: (run0,size2)
+        out += sos(1, 63, 0, 1)
+        wr = J._BitWriter()
+        code, ln = ac[0x02]
+        wr.write(code, ln)
+        wr.write(2, 2)
+        code, ln = ac[0x00]  # EOB
+        wr.write(code, ln)
+        out += wr.flush()
+        # scan 3: DC refinement Ah=1, Al=0 -> bit (48 & 1) = 0
+        out += sos(0, 0, 1, 0)
+        wr = J._BitWriter()
+        wr.write(0, 1)
+        out += wr.flush()
+        # scan 4: AC refinement Ah=1, Al=0 -> EOB(run 1) + correction
+        # bit 1 for zz[1] (5 = (2<<1) + 1)
+        out += sos(1, 63, 1, 0)
+        wr = J._BitWriter()
+        code, ln = ac[0x00]
+        wr.write(code, ln)
+        wr.write(1, 1)
+        out += wr.flush()
+        out += b"\xff\xd9"
+        got = J.decode_jpeg(bytes(out))
+        blk = np.zeros(64, dtype=np.int64)
+        blk[J._ZIGZAG[0]] = 48
+        blk[J._ZIGZAG[1]] = 5
+        pix = J._C.T @ blk.reshape(8, 8).astype(float) @ J._C + 128.0
+        exp = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        assert np.array_equal(got, exp)
+
+    def test_progressive_multi_block_eob_run(self):
+        # 16x8 gray: an AC first scan coding an EOB RUN of 2 (symbol
+        # 0x10 + one extension bit 0) must zero the AC band of BOTH
+        # blocks; DC values 40 and 120 arrive via a normal DC scan
+        import struct as _struct
+
+        from tafra_spark.functions import _jpeg as J
+
+        out = self._prog_headers(J, 8, 16)
+        dc = J._build_huffman(J._DC_BITS, J._DC_VALS)
+        # our canonical AC table has no EOBn symbols (they only exist
+        # in progressive streams); declare a custom AC table id 1
+        # carrying 0x10 — the decoder must honor the STREAM's tables
+        ac_bits = [0, 3] + [0] * 14
+        ac_vals = [0x00, 0x10, 0x01]
+        out += J._dht_segment(1, 1, ac_bits, ac_vals)
+        ac = J._build_huffman(ac_bits, ac_vals)
+
+        def sos(ss, se, ah, al, ac_id=0):
+            body = bytes([1, 1, ac_id, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + _struct.pack(">H", 2 + len(body)) + body
+
+        out += sos(0, 0, 0, 0)
+        wr = J._BitWriter()
+        for diff in (40, 80):  # preds: 0 -> 40 -> 120
+            size = J._category(diff)
+            code, ln = dc[size]
+            wr.write(code, ln)
+            wr.write(diff, size)
+        out += wr.flush()
+        out += sos(1, 63, 0, 0, ac_id=1)
+        wr = J._BitWriter()
+        code, ln = ac[0x10]  # EOBn with r=1: run = 2 + ext bit
+        wr.write(code, ln)
+        wr.write(0, 1)
+        out += wr.flush()
+        out += b"\xff\xd9"
+        got = J.decode_jpeg(bytes(out))
+        assert got.shape == (8, 16)
+        exp = np.zeros((8, 16))
+        exp[:, :8] = np.round(40 / 8 + 128)
+        exp[:, 8:] = np.round(120 / 8 + 128)
+        assert np.array_equal(got, exp.astype(np.uint8))
 
     def test_truncated_and_corrupt_streams_fail_clean(self):
         # every truncation point and a byte-flip sweep must raise

@@ -769,24 +769,30 @@ class TestJpegCodecProperties:
     @given(
         seed=st.integers(0, 2**31 - 1),
         sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+        progressive=st.booleans(),
         cut_num=st.integers(min_value=0, max_value=997),
         flip_num=st.integers(min_value=0, max_value=996),
     )
     @settings(max_examples=25, deadline=None)
     def test_corrupt_streams_fail_clean_never_hang(
-        self, seed, sub, cut_num, flip_num
+        self, seed, sub, progressive, cut_num, flip_num
     ):
-        """Truncations and byte flips of valid streams must either
-        decode (flips in pixel data are legal) or raise ValueError /
-        NotImplementedError — never IndexError, KeyError, struct
-        errors, or a runaway loop."""
-        from tafra_spark.functions._jpeg import decode_jpeg, encode_jpeg_rgb
+        """Truncations and byte flips of valid streams (baseline AND
+        progressive) must either decode (flips in pixel data are
+        legal) or raise ValueError / NotImplementedError — never
+        IndexError, KeyError, struct errors, or a runaway loop."""
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+            encode_jpeg_rgb_progressive,
+        )
 
         rng = np.random.RandomState(seed)
         img = np.clip(rng.randn(13, 21, 3) * 20 + 128, 0, 255).astype(
             np.uint8
         )
-        payload = encode_jpeg_rgb(img, quality=85, subsampling=sub)
+        enc = encode_jpeg_rgb_progressive if progressive else encode_jpeg_rgb
+        payload = enc(img, quality=85, subsampling=sub)
         cut = 2 + (cut_num % (len(payload) - 2))
         try:
             decode_jpeg(payload[:cut])
