@@ -2937,6 +2937,25 @@ def multimodal_jpeg_progressive_decode(
     return MM.decode_images(assets)
 
 
+def sorted_neighborhood_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # sorted-neighborhood (SNM) blocking (Hernandez & Stolfo 1995):
+    # candidate pairs within rank-window 3 of the (lang, n_chars, id)
+    # sort order - per-record candidate volume is CONSTANT by
+    # construction (vs equality blocking's quadratic hot blocks). The
+    # rank comes from operators/order.global_row_number (range
+    # exchange + per-partition rank + offsets: NO single-partition
+    # window stage), and the rank band goes through band_join - both
+    # plan-asserted in tests/test_plans.py
+    from tafra_spark.operators.order import sorted_neighborhood_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, ["lang", "n_chars"], window=3, id_col="doc_id"
+    )
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3080,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) never-driver-verified (new r7 ops)
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
+        "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -8680,6 +8700,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INTEGER) AS height,
                    CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
             FROM v GROUP BY asset_id
+        """,
+        # SNM: same total order, naive rank self-join as the
+        # independent formulation of the band-join candidates
+        "sorted_neighborhood_candidates": r"""
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       ORDER BY lang, n_chars, doc_id) AS rn
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+                   a.lang AS lang_a, a.n_chars AS n_chars_a,
+                   b.lang AS lang_b, b.n_chars AS n_chars_b
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn <= a.rn + 3
         """,
         # progressive scans reassemble the exact baseline coefficients,
         # so the oracle is the same four-tile mean formula

@@ -139,3 +139,70 @@ class TestScd2Merge:
             for r in scd2_merge(dim, upd, ["cust"], ["tier"]).collect()
         )
         assert out == sorted(tuple(r) for r in dim.collect())
+
+
+class TestOrderOps:
+    def test_global_row_number_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tafra_spark.operators.order import global_row_number
+
+        rows = [(i, chr(97 + i % 5), (i * 37) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, ["id", "k", "v"])
+        for n_parts in (1, 3, 8):
+            got = {
+                r["id"]: r["rn"]
+                for r in global_row_number(
+                    df, ["k", "v", "id"], num_partitions=n_parts
+                ).collect()
+            }
+            exp = {
+                r["id"]: r["rn"]
+                for r in df.select(
+                    "id",
+                    F.row_number()
+                    .over(Window.orderBy("k", "v", "id"))
+                    .alias("rn"),
+                ).collect()
+            }
+            assert got == exp, n_parts
+
+    def test_global_row_number_validates_columns(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.operators.order import global_row_number
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        with _pytest.raises(KeyError):
+            global_row_number(df, ["nope"])
+
+    def test_sorted_neighborhood_matches_brute_force(self, spark):
+        from tafra_spark.operators.order import sorted_neighborhood_pairs
+
+        rows = [
+            (i, "s%d" % ((i * 13) % 7), (i * 5) % 17) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "k", "v"])
+        for w in (1, 4):
+            got = {
+                (r["id_a"], r["id_b"], r["rank_gap"])
+                for r in sorted_neighborhood_pairs(
+                    df, ["k", "v"], window=w
+                ).collect()
+            }
+            order = sorted((k, v, i) for i, k, v in rows)
+            want = set()
+            for i in range(len(order)):
+                for j in range(i + 1, min(i + w + 1, len(order))):
+                    want.add((order[i][2], order[j][2], j - i))
+            assert got == want, w
+
+    def test_sorted_neighborhood_validates_window(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.operators.order import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "k"])
+        with _pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, ["k"], window=0)

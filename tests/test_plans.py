@@ -1058,3 +1058,33 @@ class TestRound6Plans:
         assert "Join" not in s
         # distinct-count agg (expand) + rollup: bounded exchanges
         assert count_exchanges(df) <= 3
+
+
+class TestOrderPlans:
+    def test_global_row_number_no_single_partition_exchange(self, spark):
+        # the whole point of the operator: a total-order rank whose
+        # plan never serializes on one task
+        from tafra_spark.operators.order import global_row_number
+        from tafra_spark.plans.inspect import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        g = global_row_number(
+            docs.select("doc_id", "lang", "n_chars"),
+            ["lang", "n_chars", "doc_id"],
+        )
+        s = explain_str(g, "simple")
+        assert "SinglePartition" not in s
+        assert "rangepartitioning" in s.lower()
+
+    def test_sorted_neighborhood_band_plan(self, spark):
+        # rank band goes through band_join: bucket equi-join, no
+        # nested loop / cartesian anywhere in the candidate plan
+        from tafra_spark.operators.order import sorted_neighborhood_pairs
+        from tafra_spark.plans.inspect import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = sorted_neighborhood_pairs(docs, ["lang", "n_chars"], window=3)
+        s = explain_str(p, "simple")
+        assert "SinglePartition" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+        assert "CartesianProduct" not in s
