@@ -2956,6 +2956,19 @@ def sorted_neighborhood_candidates(
     )
 
 
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog distinct users per event type over the PORTABLE
+    # md5-60bit hash family (Flajolet 2007): register table = one
+    # max-aggregate per (group, bucket) - distributive, map-side
+    # combined, mergeable by union+re-max; the harmonic sum is an
+    # EXACT integer sum of powers of two, so the estimate itself is
+    # bit-identical on any engine and the oracle replicates it in full
+    from tafra_spark.functions.sketches import hll_distinct
+
+    ev = _read_events(spark, sf_dir)
+    return hll_distinct(ev, "user_id", ["event_type"], b=10)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3100,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
+        "hll_distinct_users": hll_distinct_users,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -3727,6 +3741,60 @@ def _knn_graph_auto_sql(dim: int = 64, k: int = 3, seed: int = 42) -> str:
             SELECT src, dst, round(cos_raw, 6) AS cos,
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= {k}
+    """
+
+
+def _hll_sql(b: int = 10, seed: int = 42) -> str:
+    """HLL oracle: identical md5-60bit registers, the same exact
+    integer power-of-two harmonic sum, the same alpha literal (one
+    Python-computed double formatted into both plans), linear-counting
+    branch mirrored."""
+    from tafra_spark.functions.sketches import hll_alpha
+
+    m = 1 << b
+    w_bits = 60 - b
+    scale = w_bits + 1
+    num = hll_alpha(m) * m * m * float(1 << scale)
+    return f"""
+            WITH h AS (
+              SELECT event_type,
+                     CAST(concat('0x',
+                          substr(md5('{seed}|' || CAST(user_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, h >> {w_bits} AS bucket,
+                     CASE WHEN (h & ((1::BIGINT << {w_bits}) - 1)) = 0
+                          THEN {scale}
+                          ELSE {scale} - length(bin(
+                                 h & ((1::BIGINT << {w_bits}) - 1)))
+                     END AS register0
+              FROM h
+            ),
+            reg AS (
+              SELECT event_type, bucket, max(register0) AS register
+              FROM r GROUP BY event_type, bucket
+            ),
+            a AS (
+              SELECT event_type, count(*) AS ne,
+                     sum(1::BIGINT << CAST({scale} - register AS INT)) AS s
+              FROM reg GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, ne,
+                     {num!r} / CAST(s + ({m} - ne) * (1::BIGINT << {scale})
+                               AS DOUBLE) AS e_raw
+              FROM a
+            )
+            SELECT event_type,
+                   CAST({m} - ne AS BIGINT) AS n_empty_registers,
+                   CAST(floor(CASE WHEN e_raw <= {2.5 * m!r}
+                                    AND ({m} - ne) > 0
+                              THEN {float(m)!r} * ln({float(m)!r}
+                                     / CAST({m} - ne AS DOUBLE))
+                              ELSE e_raw END) AS BIGINT) AS est_distinct
+            FROM e
     """
 
 
@@ -8701,6 +8769,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
             FROM v GROUP BY asset_id
         """,
+        "hll_distinct_users": _hll_sql(b=10, seed=42),
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

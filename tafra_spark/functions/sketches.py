@@ -11,9 +11,13 @@ width) rows regardless of input size, merges by union + re-aggregate,
 and probes with a broadcast join. No JVM sketch objects (removed from
 the PySpark 4 stat API), no driver-side state.
 
-No DuckDB oracle is possible (different sketch implementations produce
-different estimates by design); tests assert the published error bounds
-against exact answers instead (`tests/test_sketches.py`).
+Engine-internal sketches (HLL++/GK/KPS) admit no DuckDB oracle —
+different implementations estimate differently by design — so tests
+assert their published error bounds against exact answers
+(`tests/test_sketches.py`). The PORTABLE md5-family sketches (KMV,
+portable Count-Min/Bloom, and the r7 HyperLogLog below) are
+deterministic bit-for-bit on any engine, so their estimates themselves
+carry value-hash oracles.
 """
 
 from __future__ import annotations
@@ -34,6 +38,9 @@ __all__ = [
     "bloom_contains",
     "kmv_distinct",
     "kmv_set_ops",
+    "hll_alpha",
+    "hll_registers",
+    "hll_distinct",
 ]
 
 
@@ -470,4 +477,109 @@ def kmv_set_ops(
             F.round(est_inter, 6).alias("est_intersect"),
             F.round(jac, 6).alias("jaccard_est"),
         )
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m registers (m >= 16)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] | None = None,
+    b: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """HyperLogLog register table over the portable md5-60bit hash
+    family: bucket = top ``b`` hash bits, register value = position of
+    the leftmost 1-bit in the remaining ``60-b`` bits (``60-b+1`` for
+    an all-zero tail). ``max`` per (group, bucket) IS the sketch — a
+    distributive aggregate, so partial states map-side combine and two
+    sketches merge by union + re-``max`` (the property that makes HLL
+    the warehouse-standard distinct sketch). Unlike engine-internal
+    HLL++ (``approx_distinct``), the md5 family makes every register —
+    and therefore the estimate — bit-identical on ANY engine, so this
+    one IS oracle-checkable. Shuffle volume: one row per distinct
+    (group, bucket) ≤ groups x 2^b, regardless of input size."""
+    if not (4 <= b <= 16):
+        raise ValueError("hll_registers: b must be in [4, 16]")
+    group_cols = list(group_cols or [])
+    w_bits = 60 - b
+    digest = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(col).cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    bucket = F.shiftrightunsigned(h, w_bits)
+    rest = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    # leftmost-1 position via bit_length == length(bin(v)) — exact
+    # integer arithmetic on both engines (no float log2 edge cases)
+    rho = F.when(rest == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *group_cols,
+            bucket.alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] | None = None,
+    b: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet, Fusy,
+    Gandouet & Meunier 2007) from :func:`hll_registers`, with the
+    standard small-range linear-counting correction. DETERMINISTIC and
+    engine-portable: the harmonic sum is computed as the EXACT integer
+    ``sum(2^(61-b-M))`` (every term a power of two, total < 2^62 — no
+    float-summation-order drift between engines), empty registers
+    contribute their ``2^(61-b)`` term via ``zeros``, and the only
+    float steps are one division, the alpha multiply, and the
+    linear-counting ``ln`` on exact integer operands — all bit-stable
+    across engines. Returns group cols + (n_empty_registers,
+    est_distinct). The large-range correction is omitted: with a
+    60-bit hash it binds only beyond ~2^55 distinct values."""
+    group_cols = list(group_cols or [])
+    m = 1 << b
+    scale = 61 - b  # max register value is w_bits+1 = 61-b
+    regs = hll_registers(df, col, group_cols, b=b, seed=seed)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__ne__"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({scale} - register AS INT))"
+            )
+        ).alias("__s__"),
+    )
+    zeros = (F.lit(m) - F.col("__ne__")).cast("long")
+    s_total = F.col("__s__") + zeros * F.lit(1 << scale)
+    e_raw = (
+        F.lit(hll_alpha(m) * m * m * float(1 << scale))
+        / s_total.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        zeros.alias("n_empty_registers"),
+        F.floor(est).cast("long").alias("est_distinct"),
     )

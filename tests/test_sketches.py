@@ -236,3 +236,66 @@ class TestCmJoinSize:
             empty, right, "k", "k", depth=4, width=64
         ).collect()[0]["join_size_est"]
         assert est2 == 0
+
+
+class TestHyperLogLog:
+    def test_estimate_within_published_error(self, spark):
+        from tafra_spark.functions.sketches import hll_distinct
+
+        n = 5000
+        df = spark.createDataFrame(
+            [(i % n,) for i in range(3 * n)], ["v"]
+        )
+        est = hll_distinct(df, "v", b=10).collect()[0]["est_distinct"]
+        # rse ~ 1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+        assert abs(est - n) / n < 0.13, est
+
+    def test_small_range_linear_counting_is_near_exact(self, spark):
+        from tafra_spark.functions.sketches import hll_distinct
+
+        df = spark.createDataFrame([(i,) for i in range(40)], ["v"])
+        est = hll_distinct(df, "v", b=10).collect()[0]["est_distinct"]
+        # 40 distinct over 1024 registers: linear counting regime
+        assert abs(est - 40) <= 2, est
+
+    def test_registers_merge_by_union_remax(self, spark):
+        from pyspark.sql import functions as F
+
+        from tafra_spark.functions.sketches import hll_registers
+
+        a = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+        b = spark.createDataFrame([(i,) for i in range(250, 750)], ["v"])
+        both = spark.createDataFrame([(i,) for i in range(750)], ["v"])
+        merged = (
+            hll_registers(a, "v")
+            .unionByName(hll_registers(b, "v"))
+            .groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        direct = hll_registers(both, "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_grouped_and_duplicates_invariant(self, spark):
+        # the estimate must depend only on the DISTINCT value set
+        from tafra_spark.functions.sketches import hll_distinct
+
+        rows = [("a", i % 100) for i in range(1000)] + [
+            ("b", i) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = {
+            r["g"]: r["est_distinct"]
+            for r in hll_distinct(df, "v", ["g"]).collect()
+        }
+        assert out["a"] == out["b"]
+
+    def test_validates_b(self, spark):
+        import pytest as _pytest
+
+        from tafra_spark.functions.sketches import hll_registers
+
+        df = spark.createDataFrame([(1,)], ["v"])
+        with _pytest.raises(ValueError):
+            hll_registers(df, "v", b=3)
