@@ -1088,3 +1088,15 @@ class TestOrderPlans:
         assert "SinglePartition" not in s
         assert "BroadcastNestedLoopJoin" not in s
         assert "CartesianProduct" not in s
+
+
+class TestHllPlan:
+    def test_hll_bounded_shuffles(self, spark):
+        # register build + per-group estimate: exactly two hash
+        # exchanges, and the second one carries <= groups * 2^b rows
+        from tafra_spark.functions.sketches import hll_distinct
+        from tafra_spark.plans import count_exchanges
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = hll_distinct(ev, "user_id", ["event_type"], b=10)
+        assert count_exchanges(df) <= 2

@@ -806,3 +806,75 @@ class TestJpegCodecProperties:
             assert isinstance(out, np.ndarray)
         except (ValueError, NotImplementedError):
             pass
+
+
+class TestOrderProperties:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 9), st.integers(-50, 50)
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        n_parts=st.integers(min_value=1, max_value=6),
+    )
+    @settings(**_SETTINGS)
+    def test_global_row_number_equals_window(self, spark, rows, n_parts):
+        """For any frame and partition count, the distributed rank must
+        equal the single-partition window's row_number over the same
+        total order (duplicates in the key cols are fine — the id
+        column breaks ties)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tafra_spark.operators.order import global_row_number
+
+        df = spark.createDataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)], ["id", "k", "v"]
+        )
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number(
+                df, ["k", "v", "id"], num_partitions=n_parts
+            ).collect()
+        }
+        exp = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy("k", "v", "id"))
+                .alias("rn"),
+            ).collect()
+        }
+        assert got == exp
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1,
+            max_size=25,
+        ),
+        w=st.integers(min_value=1, max_value=5),
+    )
+    @settings(**_SETTINGS)
+    def test_sorted_neighborhood_equals_brute_force(self, spark, rows, w):
+        from tafra_spark.operators.order import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)],
+            ["doc_id", "k", "v"],
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["rank_gap"])
+            for r in sorted_neighborhood_pairs(
+                df, ["k", "v"], window=w
+            ).collect()
+        }
+        order = sorted((k, v, i) for i, (k, v) in enumerate(rows))
+        want = set()
+        for i in range(len(order)):
+            for j in range(i + 1, min(i + w + 1, len(order))):
+                want.add((order[i][2], order[j][2], j - i))
+        assert got == want
