@@ -996,6 +996,40 @@ class Tafra:
         )
         return Tafra._wrap(out)
 
+    def global_row_number(
+        self,
+        order_by: Sequence[str],
+        out: str = "rn",
+        num_partitions: Optional[int] = None,
+    ) -> "Tafra":
+        """Exact total-order ``row_number`` WITHOUT the single-partition
+        window trap: range exchange + per-partition rank + offsets, so
+        every stage stays cluster-parallel. ``order_by`` must be a
+        total order (end with a unique id). See
+        ``operators/order.py:global_row_number``."""
+        from .operators.order import global_row_number as _grn
+
+        return Tafra._wrap(
+            _grn(self._plain(), list(order_by), out, num_partitions)
+        )
+
+    def sorted_neighborhood(
+        self,
+        key_cols: Sequence[str],
+        window: int,
+        id_col: str = "doc_id",
+    ) -> "Tafra":
+        """Sorted-neighborhood (SNM) blocking candidates: all id pairs
+        within ``window`` positions of the ``(key_cols, id)`` sort
+        order — constant per-record candidate volume, immune to
+        equality blocking's hot-key quadratic blowup. See
+        ``operators/order.py:sorted_neighborhood_pairs``."""
+        from .operators.order import sorted_neighborhood_pairs as _snm
+
+        return Tafra._wrap(
+            _snm(self._plain(), list(key_cols), window, id_col)
+        )
+
     def anti_join(self, right: "Tafra", on: Sequence[tuple]) -> "Tafra":
         """SQL NOT EXISTS — left rows with zero matches."""
         out = _joins.semi_anti_join(self._plain(), right._plain(), on, "left_anti")
