@@ -2969,6 +2969,56 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", ["event_type"], b=10)
 
 
+def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL WARC (ISO 28500, the CommonCrawl container) round trip: pack
+    # each Arrow batch of documents into a gzipped-member-per-record
+    # archive with the stdlib writer, parse it back with the stdlib
+    # reader, and emit per-record url/byte-length/payload-md5 - the
+    # oracle recomputes all three from the text column, so any wrong
+    # byte in record framing, Content-Length, gzip member handling, or
+    # payload extraction hash-fails. File-level parallelism is the real
+    # CC sharding unit (read_warc scans one task per segment file).
+    from tafra_spark.sources.warc import build_warc, parse_warc
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id LONG, url STRING, content_length LONG, payload_md5 STRING"
+    )
+
+    def rt(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = [
+                (
+                    f"http://corpus.example/doc/{int(i)}",
+                    str(t).encode("utf-8"),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            blob = build_warc(recs, compress=True)
+            out = {
+                "doc_id": [], "url": [],
+                "content_length": [], "payload_md5": [],
+            }
+            for rec in parse_warc(blob):
+                out["doc_id"].append(int(rec["url"].rsplit("/", 1)[1]))
+                out["url"].append(rec["url"])
+                out["content_length"].append(rec["content_length"])
+                out["payload_md5"].append(
+                    hashlib.md5(rec["payload"]).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(rt, schema=schema)
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3114,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
         "hll_distinct_users": hll_distinct_users,
+        "warc_roundtrip_docs": warc_roundtrip_docs,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -8770,6 +8821,17 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY asset_id
         """,
         "hll_distinct_users": _hll_sql(b=10, seed=42),
+        # WARC framing carries the payload bytes verbatim: url from
+        # the id, Content-Length = utf-8 byte length, md5 of the bytes
+        "warc_roundtrip_docs": r"""
+            SELECT doc_id,
+                   'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS content_length,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

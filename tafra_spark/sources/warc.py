@@ -1,0 +1,171 @@
+"""WARC (Web ARChive, ISO 28500) reader/writer — the container format
+of CommonCrawl and every major web-scale training corpus.
+
+Pure stdlib: a WARC file is a sequence of records, each a ``WARC/1.0``
+version line, MIME-style headers (``WARC-Type``, ``WARC-Target-URI``,
+``Content-Length``, ...), a blank line, ``Content-Length`` bytes of
+payload, and two CRLFs. Gzip members concatenate (CommonCrawl gzips
+record-per-member), and Python's zlib consumes multi-member streams.
+
+Distribution model (the real 100 TB layout): CommonCrawl ships ~1 GB
+segment files, tens of thousands per dump — so :func:`read_warc`
+parallelizes ACROSS FILES (``binaryFile`` source + one Arrow-batched
+parse per file), which is exactly how production WARC pipelines shard.
+Splitting inside one gzip member chain is not possible without an
+index; CC's own tooling reads whole members per task too.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["write_warc_record", "build_warc", "parse_warc", "read_warc"]
+
+_CRLF = b"\r\n"
+
+
+def write_warc_record(
+    url: str,
+    payload: bytes,
+    warc_type: str = "response",
+    date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One spec-shaped WARC/1.0 record. The record id is a DETERMINISTIC
+    urn:uuid derived from (url, type, date) — re-running a build
+    produces byte-identical archives, which is what makes WARC outputs
+    verifiable by value hash."""
+    digest = hashlib.md5(
+        f"{warc_type}|{date}|{url}".encode()
+    ).hexdigest()
+    rid = (
+        f"{digest[0:8]}-{digest[8:12]}-{digest[12:16]}"
+        f"-{digest[16:20]}-{digest[20:32]}"
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+        b"WARC-Date: " + date.encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def build_warc(records: list[tuple[str, bytes]], compress: bool = False) -> bytes:
+    """Concatenate (url, payload) response records into one WARC blob;
+    ``compress=True`` gzips each record as its own member (the
+    CommonCrawl layout, so member boundaries align with records)."""
+    out = bytearray()
+    for url, payload in records:
+        rec = write_warc_record(url, payload)
+        out += gzip.compress(rec) if compress else rec
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Iterate records of a WARC blob (gzipped or plain). Yields dicts
+    with ``warc_type``, ``url``, ``date``, ``content_type``,
+    ``content_length``, ``payload``. Truncated or malformed streams
+    raise ``ValueError`` — wild archives must fail clean, never return
+    silently short."""
+    if data[:2] == b"\x1f\x8b":
+        # gzip.decompress consumes concatenated members (the CC layout)
+        import zlib
+
+        try:
+            data = gzip.decompress(data)
+        except (EOFError, zlib.error, OSError) as exc:
+            raise ValueError(f"WARC: corrupt gzip stream ({exc})")
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("WARC: truncated record header")
+        head = data[pos:head_end].split(_CRLF)
+        if not head[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"WARC: bad version line {head[0][:20]!r} at offset {pos}"
+            )
+        fields: dict[str, str] = {}
+        for line in head[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.decode().strip().lower()] = v.decode().strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC: missing/bad Content-Length")
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError("WARC: truncated record payload")
+        yield {
+            "warc_type": fields.get("warc-type", ""),
+            "url": fields.get("warc-target-uri", ""),
+            "date": fields.get("warc-date", ""),
+            "content_type": fields.get("content-type", ""),
+            "content_length": clen,
+            "payload": data[body_start : body_start + clen],
+        }
+        pos = body_start + clen
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: list[str] | None = None,
+) -> DataFrame:
+    """Distributed WARC scan: one task per archive FILE (the
+    CommonCrawl sharding unit — dumps ship tens of thousands of ~1 GB
+    segments, so file-level parallelism saturates any cluster), each
+    parsed by the stdlib reader inside an Arrow-batched stage.
+    ``warc_types`` filters records (e.g. ``["response"]``) before they
+    ever leave the parse task."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+    keep = list(warc_types) if warc_types else None
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in WARC_SCHEMA}
+            for _, row in pdf.iterrows():
+                for rec in parse_warc(bytes(row["content"])):
+                    if keep and rec["warc_type"] not in keep:
+                        continue
+                    rows["path"].append(row["path"])
+                    for k in (
+                        "warc_type", "url", "date", "content_type",
+                        "content_length", "payload",
+                    ):
+                        rows[k].append(rec[k])
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(
+        parse_batches, schema=WARC_SCHEMA
+    )

@@ -322,3 +322,72 @@ class TestReadText:
         got = {r["path"].split("/")[-1]: r["text"] for r in t.df.collect()}
         assert got["a.txt"] == "doc a body\nwith two lines"
         assert got["b.txt"] == "doc b"
+
+
+class TestWarcSource:
+    def _recs(self):
+        return [
+            ("http://example.com/a", b"hello world"),
+            ("http://example.com/b", "café über".encode()),
+            ("http://example.com/empty", b""),
+        ]
+
+    def test_round_trip_plain_and_gzip(self):
+        from tafra_spark.sources.warc import build_warc, parse_warc
+
+        for compress in (False, True):
+            blob = build_warc(self._recs(), compress=compress)
+            got = list(parse_warc(blob))
+            assert [
+                (r["url"], r["payload"]) for r in got
+            ] == self._recs(), compress
+            assert all(
+                r["content_length"] == len(r["payload"]) for r in got
+            )
+            assert all(r["warc_type"] == "response" for r in got)
+
+    def test_build_is_deterministic(self):
+        from tafra_spark.sources.warc import build_warc
+
+        assert build_warc(self._recs()) == build_warc(self._recs())
+        assert build_warc(self._recs(), compress=True) == build_warc(
+            self._recs(), compress=True
+        )
+
+    def test_corrupt_streams_fail_clean(self):
+        import pytest as _pytest
+
+        from tafra_spark.sources.warc import build_warc, parse_warc
+
+        blob = build_warc(self._recs())
+        gz = build_warc(self._recs(), compress=True)
+        for bad in (blob[:-15], b"GARBAGE" + blob, gz[:-8], blob[: len(blob) // 2]):
+            with _pytest.raises(ValueError):
+                list(parse_warc(bad))
+
+    def test_payload_binary_safe(self):
+        # WARC carries arbitrary bytes (images, gzip, CRLFs) verbatim —
+        # framing must rely on Content-Length, never on delimiters
+        from tafra_spark.sources.warc import build_warc, parse_warc
+
+        tricky = b"\r\n\r\nWARC/1.0\r\n" + bytes(range(256))
+        got = list(parse_warc(build_warc([("http://t", tricky)])))
+        assert got[0]["payload"] == tricky
+
+    def test_read_warc_distributed(self, spark, tmp_path):
+        from tafra_spark.sources.warc import build_warc, read_warc
+
+        recs = self._recs()
+        (tmp_path / "seg-0.warc").write_bytes(build_warc(recs))
+        (tmp_path / "seg-1.warc.gz").write_bytes(
+            build_warc(recs, compress=True)
+        )
+        df = read_warc(spark, str(tmp_path) + "/*", warc_types=["response"])
+        out = sorted(
+            (r["url"], r["content_length"], bytes(r["payload"]))
+            for r in df.collect()
+        )
+        want = sorted(
+            (u, len(p), p) for u, p in recs for _ in range(2)
+        )
+        assert out == want
