@@ -1,16 +1,18 @@
-"""Minimal pure-Python PNG codec (8-bit, non-interlaced; grayscale,
-grayscale+alpha, RGB, RGBA).
+"""Minimal pure-Python PNG codec (non-interlaced).
 
 Vendored so the REAL-mime decode path of
 :mod:`tafra_spark.functions.multimodal` is exercisable in environments
 without PIL (this container): `image/png` payloads decode through this
 module when PIL is absent, and tests round-trip genuine PNG bytes
 through the Arrow-batched pipeline instead of only the `image/fake`
-grid. Deliberately fixture-grade: bit depth 8, no interlace, no
-palette — a 16-bit, interlaced, or paletted PNG still requires PIL and
-raises. (Round 6 extended the r5 grayscale-only version to color types
-2/4/6 — the scanline filter machinery generalizes by bytes-per-pixel,
-which is the only change the spec requires.)
+grid. Decode coverage (r7): 8-bit gray/gray+alpha/RGB/RGBA, PALETTED
+images at bit depths 1/2/4/8 (PLTE lookup, optional tRNS alpha),
+sub-byte grayscale, and 16-bit channels (high byte kept). Only Adam7
+interlace still requires PIL. (Round 6 extended the r5 grayscale-only
+version to color types 2/4/6 — the scanline filter machinery
+generalizes by filter displacement bytes, which is the only change the
+spec requires; r7 added the palette/sub-byte/16-bit sample decoding on
+top of the same unfiltered rows.)
 
 Implements the full scanline filter set (None/Sub/Up/Average/Paeth) of
 the PNG spec (RFC 2083 §6) — encoders routinely emit any of them, so a
@@ -48,13 +50,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(content: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to uint8: shape (h, w) for
-    grayscale (color type 0), (h, w, channels) otherwise (2/4/6)."""
+    """Decode a non-interlaced PNG to uint8: shape (h, w) for grayscale
+    (color type 0), (h, w, channels) otherwise. Supported: 8-bit
+    gray/gray+alpha/RGB/RGBA (types 0/2/4/6), PALETTED (type 3, bit
+    depths 1/2/4/8, with optional tRNS alpha -> RGBA), sub-byte
+    grayscale (depths 1/2/4, scaled to full 8-bit range), and 16-bit
+    gray/gray+alpha/RGB/RGBA (high byte kept, like PIL's I->L view).
+    Only Adam7 interlace still requires PIL."""
     if content[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = bpp = None
     color_type = 0
+    bit_depth = 8
+    palette = None
+    trns = None
     idat = bytearray()
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
@@ -65,18 +75,26 @@ def decode_png(content: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if (
-                bit_depth != 8
-                or color_type not in _CHANNELS
-                or interlace != 0
-            ):
+            ok = (
+                (bit_depth == 8 and color_type in (0, 2, 3, 4, 6))
+                or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+                or (bit_depth in (1, 2, 4) and color_type in (0, 3))
+            )
+            if not ok or interlace != 0:
                 raise NotImplementedError(
-                    "vendored PNG decoder handles 8-bit non-interlaced "
-                    "gray/gray+alpha/RGB/RGBA only (install PIL for the "
-                    f"rest); got depth={bit_depth} color={color_type} "
-                    f"interlace={interlace}"
+                    "vendored PNG decoder: non-interlaced "
+                    "gray/gray+alpha/RGB/RGBA (8/16-bit), paletted or "
+                    "sub-byte gray (1/2/4/8-bit) only — install PIL for "
+                    f"Adam7 interlace; got depth={bit_depth} "
+                    f"color={color_type} interlace={interlace}"
                 )
-            bpp = _CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+            # filters operate on BYTES: bpp = filter displacement
+            bpp = max(1, channels * bit_depth // 8)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -84,7 +102,8 @@ def decode_png(content: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("not a PNG: missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    rowbytes = width * bpp
+    channels = 1 if color_type == 3 else _CHANNELS[color_type]
+    rowbytes = (width * channels * bit_depth + 7) // 8
     stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("PNG data length mismatch")
@@ -116,9 +135,47 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    if bpp == 1:
+    if bit_depth == 16:
+        # big-endian 16-bit samples -> keep the high byte (8-bit view)
+        px = (
+            out.reshape(height, rowbytes)
+            .view(">u2")
+            .astype(np.uint16)
+            >> 8
+        ).astype(np.uint8)
+        if channels == 1:
+            return px.reshape(height, width)
+        return px.reshape(height, width, channels)
+    if bit_depth < 8:
+        # unpack big-endian-within-byte sub-byte samples per row
+        bits = np.unpackbits(out, axis=1)[:, : width * bit_depth]
+        vals = bits.reshape(height, width, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color_type == 0:
+            # scale to the full 8-bit range (PIL's 1/2/4-bit gray view)
+            return (idx * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        return _apply_palette(idx, palette, trns)
+    if color_type == 3:
+        return _apply_palette(out.reshape(height, width), palette, trns)
+    if channels == 1:
         return out.reshape(height, width)
-    return out.reshape(height, width, bpp)
+    return out.reshape(height, width, channels)
+
+
+def _apply_palette(idx: np.ndarray, palette, trns) -> np.ndarray:
+    """Palette-index grid -> RGB (or RGBA when a tRNS chunk provides
+    per-entry alpha; entries past its end are opaque, per spec)."""
+    if palette is None:
+        raise ValueError("PNG: paletted image missing PLTE chunk")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("PNG: palette index out of range")
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(palette), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.dstack([rgb, alpha[idx]])
 
 
 def decode_png_gray(content: bytes) -> np.ndarray:

@@ -91,7 +91,8 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     ``image/fake`` payloads (the deterministic raw-grid fake) always
     decode, so the Arrow plumbing is testable without any imaging
     library. Real mimes decode through PIL when it is importable;
-    without PIL, ``image/png`` (8-bit gray / gray+alpha / RGB / RGBA,
+    without PIL, ``image/png`` (gray / gray+alpha / RGB / RGBA at
+    8/16-bit, paletted and sub-byte-gray at 1/2/4/8-bit,
     non-interlaced) still decodes through the vendored pure-Python
     codec (:mod:`._png`) — color collapses to luminance with PIL's
     exact ``convert("L")`` fixed-point formula — and ``image/jpeg``
@@ -99,8 +100,8 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     and the in-the-wild majority 4:2:0) decodes through the vendored
     :mod:`._jpeg` codec, taking the stream's own Y plane as the
     luminance grid. The ``NotImplementedError`` fires only for
-    variants that genuinely need a library (progressive/12-bit JPEG,
-    16-bit/interlaced/paletted PNG)."""
+    variants that genuinely need a library (12-bit/lossless/
+    arithmetic JPEG, Adam7-interlaced PNG)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)

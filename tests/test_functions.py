@@ -6068,3 +6068,101 @@ class TestGiniConcentration:
 
         df = spark.createDataFrame([("a", 0), ("a", 0)], ["source", "n_chars"])
         assert gini_concentration(df).collect()[0]["gini_q6"] is None
+
+
+class TestPngExtendedDecode:
+    """r7: paletted (PLTE/tRNS), sub-byte gray, and 16-bit decode."""
+
+    def _png(self, ihdr_args, chunks, rows):
+        import struct as _struct
+        import zlib as _zlib
+
+        from tafra_spark.functions._png import _SIGNATURE, _chunk
+
+        ihdr = _struct.pack(">IIBBBBB", *ihdr_args)
+        raw = b"".join(b"\x00" + r for r in rows)
+        out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+        for t, d in chunks:
+            out += _chunk(t, d)
+        return out + _chunk(b"IDAT", _zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+    _PLTE = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+    def test_paletted_8bit(self):
+        from tafra_spark.functions._png import decode_png
+
+        rows = [bytes([0, 1, 2, 1]), bytes([2, 2, 0, 0])]
+        arr = decode_png(
+            self._png((4, 2, 8, 3, 0, 0, 0), [(b"PLTE", self._PLTE)], rows)
+        )
+        assert arr.shape == (2, 4, 3)
+        assert arr[0, 0].tolist() == [255, 0, 0]
+        assert arr[0, 2].tolist() == [0, 0, 255]
+
+    def test_paletted_trns_alpha(self):
+        from tafra_spark.functions._png import decode_png
+
+        rows = [bytes([0, 1, 2, 1])]
+        arr = decode_png(
+            self._png(
+                (4, 1, 8, 3, 0, 0, 0),
+                [(b"PLTE", self._PLTE), (b"tRNS", bytes([10, 20]))],
+                rows,
+            )
+        )
+        assert arr.shape == (1, 4, 4)
+        assert arr[0, 0, 3] == 10  # tRNS entry
+        assert arr[0, 2, 3] == 255  # past tRNS end -> opaque
+
+    def test_paletted_4bit_packed(self):
+        from tafra_spark.functions._png import decode_png
+
+        # width 5, indices 0,1,2,1,0 packed two-per-byte + pad
+        arr = decode_png(
+            self._png(
+                (5, 1, 4, 3, 0, 0, 0),
+                [(b"PLTE", self._PLTE)],
+                [bytes([0x01, 0x21, 0x00])],
+            )
+        )
+        assert [tuple(arr[0, i]) for i in range(5)] == [
+            (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 255, 0), (255, 0, 0),
+        ]
+
+    def test_gray_1bit_scales_to_full_range(self):
+        from tafra_spark.functions._png import decode_png
+
+        arr = decode_png(
+            self._png((10, 1, 1, 0, 0, 0, 0), [], [bytes([0xCC, 0xC0])])
+        )
+        assert arr[0].tolist() == [255, 255, 0, 0, 255, 255, 0, 0, 255, 255]
+
+    def test_16bit_gray_and_rgb_keep_high_byte(self):
+        import struct as _struct
+
+        from tafra_spark.functions._png import decode_png
+
+        g16 = self._png(
+            (3, 1, 16, 0, 0, 0, 0),
+            [],
+            [_struct.pack(">HHH", 0x1234, 0xFF00, 0x0080)],
+        )
+        assert decode_png(g16)[0].tolist() == [0x12, 0xFF, 0x00]
+        rgb16 = self._png(
+            (2, 1, 16, 2, 0, 0, 0),
+            [],
+            [_struct.pack(">HHHHHH", 0xFF00, 0, 0, 0, 0x8000, 0)],
+        )
+        assert decode_png(rgb16)[0].tolist() == [[255, 0, 0], [0, 128, 0]]
+
+    def test_missing_plte_and_interlace_fences(self):
+        from tafra_spark.functions._png import decode_png
+
+        with pytest.raises(ValueError):
+            decode_png(self._png((2, 1, 8, 3, 0, 0, 0), [], [bytes([0, 1])]))
+        with pytest.raises(NotImplementedError):
+            decode_png(
+                self._png(
+                    (2, 1, 8, 0, 0, 0, 1), [], [bytes([0, 1])]
+                )  # Adam7
+            )
