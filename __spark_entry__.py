@@ -2787,154 +2787,89 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio(assets)
 
 
-def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ASSET_META_SCHEMA = (
+    "asset_id LONG, modality STRING, content BINARY, "
+    "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
+    "mime: STRING>"
+)
+
+
+def _image_asset_decode(spark, sf_dir, builder_name: str) -> DataFrame:
+    """Shared body of the three JPEG decode queries: build one
+    deterministic 16x16 image per document id with the named
+    multimodal byte builder, then run the Arrow-batched decode stage.
+    The documents scan is one small parquet split locally, which would
+    run the pure-Python codec SERIALLY; spreading the asset ids across
+    the executor cores first costs nothing next to the per-asset codec
+    work (at warehouse scale the input already arrives in many
+    splits)."""
+    from tafra_spark.functions import multimodal as MM
+
+    builder = getattr(MM, builder_name)
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "image",
+                    "content": [builder(int(a)) for a in pdf["asset_id"]],
+                    "meta": [
+                        {"width": 16, "height": 16,
+                         "duration_ms": None, "mime": "image/jpeg"}
+                        for _ in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    return MM.decode_images(
+        ids.mapInPandas(encode, schema=_ASSET_META_SCHEMA)
+    )
+
+
+def multimodal_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     # REAL JPEG container decode, PIL-less: deterministic block-
     # constant 16x16 images encoded by the vendored baseline JPEG
     # encoder and decoded back inside the Arrow-batched stage; block-
     # constant tiles round-trip EXACTLY through DCT quantization, so
     # the oracle recomputes the decoded mean from the tile formula —
     # any wrong byte in markers, Huffman, stuffing, or IDCT hash-fails
-    from tafra_spark.functions import multimodal as MM
-
-    # the documents scan is one small parquet split locally, which
-    # would run the pure-Python codec SERIALLY; spread the asset ids
-    # across the executor cores first (at warehouse scale the input
-    # already arrives in many splits and this repartition costs
-    # nothing next to the per-asset codec work)
-    ids = (
-        _read(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("asset_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out_schema = (
-        "asset_id LONG, modality STRING, content BINARY, "
-        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
-        "mime: STRING>"
-    )
-
-    def encode(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": "image",
-                    "content": [
-                        MM.fake_jpeg_bytes(int(a)) for a in pdf["asset_id"]
-                    ],
-                    "meta": [
-                        {"width": 16, "height": 16,
-                         "duration_ms": None, "mime": "image/jpeg"}
-                        for _ in pdf["asset_id"]
-                    ],
-                }
-            )
-
-    assets = ids.mapInPandas(encode, schema=out_schema)
-    return MM.decode_images(assets)
+    return _image_asset_decode(spark, sf_dir, "fake_jpeg_bytes")
 
 
-def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL 4:2:0 JPEG decode, PIL-less (r7): the same deterministic
-    # 16x16 four-tile images as multimodal_jpeg_decode but encoded as
-    # baseline 4:2:0 COLOR (4 Y blocks + subsampled Cb/Cr per MCU — the
-    # majority in-the-wild layout). Tiles are neutral (r=g=b), so the
-    # JFIF transform gives Y=v and Cb=Cr=128 exactly and the decoded
-    # mean is the same tile formula — any wrong byte in the MCU
-    # interleave, subsampling factors, replication upsampling, or the
-    # color reconstruction hash-fails against the oracle
-    from tafra_spark.functions import multimodal as MM
-
-    # the documents scan is one small parquet split locally, which
-    # would run the pure-Python codec SERIALLY; spread the asset ids
-    # across the executor cores first (at warehouse scale the input
-    # already arrives in many splits and this repartition costs
-    # nothing next to the per-asset codec work)
-    ids = (
-        _read(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("asset_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out_schema = (
-        "asset_id LONG, modality STRING, content BINARY, "
-        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
-        "mime: STRING>"
-    )
-
-    def encode(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": "image",
-                    "content": [
-                        MM.fake_jpeg420_bytes(int(a)) for a in pdf["asset_id"]
-                    ],
-                    "meta": [
-                        {"width": 16, "height": 16,
-                         "duration_ms": None, "mime": "image/jpeg"}
-                        for _ in pdf["asset_id"]
-                    ],
-                }
-            )
-
-    assets = ids.mapInPandas(encode, schema=out_schema)
-    return MM.decode_images(assets)
+def multimodal_jpeg420_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # REAL 4:2:0 JPEG decode, PIL-less (r7): the same four-tile images
+    # as multimodal_jpeg_decode but encoded as baseline 4:2:0 COLOR
+    # (4 Y blocks + subsampled Cb/Cr per MCU — the majority in-the-wild
+    # layout). Tiles are neutral (r=g=b), so the JFIF transform gives
+    # Y=v and Cb=Cr=128 exactly and the decoded mean is the same tile
+    # formula — any wrong byte in the MCU interleave, subsampling
+    # factors, replication upsampling, or color reconstruction
+    # hash-fails against the oracle
+    return _image_asset_decode(spark, sf_dir, "fake_jpeg420_bytes")
 
 
 def multimodal_jpeg_progressive_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # REAL progressive (SOF2) JPEG decode, PIL-less (r7): the same
-    # deterministic 16x16 four-tile grayscale images as
-    # multimodal_jpeg_decode but entropy-coded as THREE progressive
+    # four-tile grayscale images entropy-coded as THREE progressive
     # scans (DC, AC 1-5, AC 6-63). Spectral selection at Ah=Al=0
     # reassembles the exact baseline coefficients, so the decoded mean
-    # is the same tile formula - any wrong byte in the multi-scan
+    # is the same tile formula — any wrong byte in the multi-scan
     # walk, coefficient accumulation, or EOB-run handling hash-fails
-    from tafra_spark.functions import multimodal as MM
-
-    # the documents scan is one small parquet split locally, which
-    # would run the pure-Python codec SERIALLY; spread the asset ids
-    # across the executor cores first (at warehouse scale the input
-    # already arrives in many splits and this repartition costs
-    # nothing next to the per-asset codec work)
-    ids = (
-        _read(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("asset_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out_schema = (
-        "asset_id LONG, modality STRING, content BINARY, "
-        "meta STRUCT<width: INT, height: INT, duration_ms: LONG, "
-        "mime: STRING>"
-    )
-
-    def encode(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": "image",
-                    "content": [
-                        MM.fake_jpeg_progressive_bytes(int(a))
-                        for a in pdf["asset_id"]
-                    ],
-                    "meta": [
-                        {"width": 16, "height": 16,
-                         "duration_ms": None, "mime": "image/jpeg"}
-                        for _ in pdf["asset_id"]
-                    ],
-                }
-            )
-
-    assets = ids.mapInPandas(encode, schema=out_schema)
-    return MM.decode_images(assets)
+    return _image_asset_decode(spark, sf_dir, "fake_jpeg_progressive_bytes")
 
 
 def sorted_neighborhood_candidates(
@@ -2983,6 +2918,9 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _read(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        # NULL text would stringify to "None" while the oracle's
+        # encode()/md5() yield NULL — exclude it identically
+        .filter(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
     )
     schema = (
@@ -3553,25 +3491,31 @@ def _simhash_sql(max_hamming: int = 3, bits: int = 60) -> str:
     """
 
 
+def _plane_sign_term_sql(planes, i: int, dim: int, var: str) -> str:
+    """One plane's sign-bit term: the SAME seeded literals as the Spark
+    plan (``similarity._planes``), dot product written as the identical
+    left-assoc chain — signs (hence buckets) match bit-for-bit. Shared
+    by the fixed (`_bucket_sql`) and adaptive (`_adaptive_bucket_sql`)
+    bucket builders so the bit-exactness-critical rendering has ONE
+    definition."""
+    dot_chain = " + ".join(
+        # float() first: np.float64's repr is not SQL under numpy 2.x
+        f"{var}[{j + 1}] * {float(planes[i][j])!r}" for j in range(dim)
+    )
+    return (
+        f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
 def _bucket_sql(dim: int, n_planes: int, seed: int, var: str = "v") -> str:
-    """Hyperplane-signature bucket expression with the SAME seeded plane
-    literals as the Spark plan (``similarity._planes``), dot products
-    written as the identical left-assoc chain — signs (hence buckets)
-    match bit-for-bit."""
+    """Hyperplane-signature bucket expression over the fixed plane set."""
     from tafra_spark.functions.similarity import _planes
 
     planes = _planes(dim, n_planes, seed)
-    bucket_terms = []
-    for i in range(n_planes):
-        dot_chain = " + ".join(
-            # float() first: np.float64's repr is not SQL under numpy 2.x
-            f"{var}[{j + 1}] * {float(planes[i][j])!r}" for j in range(dim)
-        )
-        bucket_terms.append(
-            f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
-            f" ELSE CAST(0 AS BIGINT) END)"
-        )
-    return "\n                 + ".join(bucket_terms)
+    return "\n                 + ".join(
+        _plane_sign_term_sql(planes, i, dim, var) for i in range(n_planes)
+    )
 
 
 def _markov_attrib_sql(conv: str = "purchase", iters: int = 10) -> str:
@@ -3742,13 +3686,7 @@ def _adaptive_bucket_sql(dim: int, seed: int, var: str = "v") -> str:
     planes = _planes(dim, cap, seed)
     terms = []
     for i in range(cap):
-        dot_chain = " + ".join(
-            f"{var}[{j + 1}] * {float(planes[i][j])!r}" for j in range(dim)
-        )
-        sign = (
-            f"(CASE WHEN ({dot_chain}) > 0 THEN CAST({1 << i} AS BIGINT)"
-            f" ELSE CAST(0 AS BIGINT) END)"
-        )
+        sign = _plane_sign_term_sql(planes, i, dim, var)
         if i >= base:
             # plane only active once the corpus is big enough
             sign = (
@@ -4525,6 +4463,24 @@ SELECT source, n_words, n_chars, n_tokens,
          AS chars_per_token
 FROM agg
 """.replace("{n}", str(n_merges))
+
+
+_FOUR_TILE_MEAN_SQL = r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            t AS (
+              SELECT asset_id, unnest(generate_series(0, 3)) AS k
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
+              FROM t
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
+            FROM v GROUP BY asset_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8804,22 +8760,7 @@ def oracle_sql() -> dict[str, str]:
              AND d.vf <= e.ts
              AND (d.vt IS NULL OR e.ts < d.vt)
         """,
-        "multimodal_jpeg_decode": r"""
-            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
-            t AS (
-              SELECT asset_id, unnest(generate_series(0, 3)) AS k
-              FROM ids
-            ),
-            v AS (
-              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
-              FROM t
-            )
-            SELECT asset_id,
-                   CAST(16 AS INTEGER) AS width,
-                   CAST(16 AS INTEGER) AS height,
-                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
-            FROM v GROUP BY asset_id
-        """,
+        "multimodal_jpeg_decode": _FOUR_TILE_MEAN_SQL,
         "hll_distinct_users": _hll_sql(b=10, seed=42),
         # WARC framing carries the payload bytes verbatim: url from
         # the id, Content-Length = utf-8 byte length, md5 of the bytes
@@ -8830,7 +8771,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT)
                      AS content_length,
                    md5(text) AS payload_md5
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         """,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
@@ -8838,7 +8779,8 @@ def oracle_sql() -> dict[str, str]:
             WITH r AS (
               SELECT doc_id, lang, n_chars,
                      row_number() OVER (
-                       ORDER BY lang, n_chars, doc_id) AS rn
+                       ORDER BY lang NULLS FIRST, n_chars NULLS FIRST,
+                                doc_id NULLS FIRST) AS rn
               FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -8850,41 +8792,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # progressive scans reassemble the exact baseline coefficients,
         # so the oracle is the same four-tile mean formula
-        "multimodal_jpeg_progressive_decode": r"""
-            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
-            t AS (
-              SELECT asset_id, unnest(generate_series(0, 3)) AS k
-              FROM ids
-            ),
-            v AS (
-              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
-              FROM t
-            )
-            SELECT asset_id,
-                   CAST(16 AS INTEGER) AS width,
-                   CAST(16 AS INTEGER) AS height,
-                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
-            FROM v GROUP BY asset_id
-        """,
+        "multimodal_jpeg_progressive_decode": _FOUR_TILE_MEAN_SQL,
         # 4:2:0 neutral-color tiles decode to the identical luminance
         # grid (Y=v, Cb=Cr=128 exactly), so the oracle is the same
         # four-tile mean formula
-        "multimodal_jpeg420_decode": r"""
-            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
-            t AS (
-              SELECT asset_id, unnest(generate_series(0, 3)) AS k
-              FROM ids
-            ),
-            v AS (
-              SELECT asset_id, (asset_id * 31 + k * 57) % 256 AS tv
-              FROM t
-            )
-            SELECT asset_id,
-                   CAST(16 AS INTEGER) AS width,
-                   CAST(16 AS INTEGER) AS height,
-                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
-            FROM v GROUP BY asset_id
-        """,
+        "multimodal_jpeg420_decode": _FOUR_TILE_MEAN_SQL,
         "multimodal_audio_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),
             s AS (

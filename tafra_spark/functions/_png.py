@@ -55,7 +55,9 @@ def decode_png(content: bytes) -> np.ndarray:
     gray/gray+alpha/RGB/RGBA (types 0/2/4/6), PALETTED (type 3, bit
     depths 1/2/4/8, with optional tRNS alpha -> RGBA), sub-byte
     grayscale (depths 1/2/4, scaled to full 8-bit range), and 16-bit
-    gray/gray+alpha/RGB/RGBA (high byte kept, like PIL's I->L view).
+    gray/gray+alpha/RGB/RGBA (high byte kept — NOTE: PIL's own
+    convert("L") would CLAMP 16-bit values instead, so the PIL decode
+    path in multimodal normalizes 16-bit modes the same high-byte way).
     Only Adam7 interlace still requires PIL."""
     if content[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")

@@ -110,6 +110,13 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
         import io
 
         img = _PILImage.open(io.BytesIO(content))
+        if img.mode in ("I", "I;16", "I;16B"):
+            # 16-bit samples: PIL's convert("L") CLAMPS >255 to 255;
+            # take the high byte instead so PIL and vendored-codec
+            # environments produce the same luminance grid
+            return (
+                np.asarray(img, dtype=np.uint32) >> 8
+            ).astype(np.uint8)
         # luminance grid: keeps the downstream (width, height, intensity)
         # contract identical for fake and real payloads
         return np.asarray(img.convert("L"), dtype=np.uint8)

@@ -849,10 +849,12 @@ def _bpe_state(
     IS data-dependent and fine: the oracle derives it as a scalar
     subquery over the earlier rounds' accepted CTEs (the same
     earlier-stages trick as the step offsets). Conflict-heavy rounds
-    under-fill and later spare rounds take up the slack, so the learner
-    fills the full ``n_merges`` budget unless the corpus genuinely
-    exhausts (r6's single-pass schedule returned 39 of 64 requested
-    merges on the driver corpus). Once the budget fills, the Spark
+    under-fill and later spare rounds take up the slack — on natural
+    text the budget fills (r6's single-pass schedule returned 39 of 64
+    requested merges on the driver corpus; the 2x schedule fills all
+    64), though semantics remain "UP TO n_merges": a corpus whose
+    top-window acceptance stays far below ``batch`` can still exhaust
+    the 2x headroom short. Once the budget fills, the Spark
     loop breaks — the remaining static rounds have cap 0 and are
     no-ops on both engines. ``batch=1`` acceptance is always exactly
     1/round (rank 1 never conflicts), so sequential BPE still stops

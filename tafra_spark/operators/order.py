@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 __all__ = ["global_row_number", "sorted_neighborhood_pairs"]
 
 
+def _local_ranked(
+    df: DataFrame, order_by: list[str], num_partitions: int | None
+) -> DataFrame:
+    """The pre-checkpoint plan of :func:`global_row_number`: range
+    exchange on the order key + per-(range-)partition rank. Factored
+    out so the plan tests can assert its shape (the eager checkpoint
+    in the caller hides the executed plan from later explains)."""
+    sc = df.sparkSession.sparkContext
+    n_parts = int(num_partitions or sc.defaultParallelism)
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_by])
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        *[F.col(c) for c in order_by]
+    )
+    return ranged.select(
+        "*",
+        F.spark_partition_id().alias("__pid__"),
+        F.row_number().over(w).alias("__lrn__"),
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[str],
@@ -45,17 +65,15 @@ def global_row_number(
     for c in order_by:
         if c not in df.columns:
             raise KeyError(f"global_row_number: unknown column {c!r}")
-    sc = df.sparkSession.sparkContext
-    n_parts = int(num_partitions or sc.defaultParallelism)
-    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_by])
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        *[F.col(c) for c in order_by]
+    # localCheckpoint, not persist: (a) the offsets below are collected
+    # from THIS materialization, and a cache-evicted recompute would
+    # re-sample repartitionByRange's boundaries — ranks and offsets
+    # could then disagree; the checkpoint pins the data; (b) the
+    # ContextCleaner reclaims it once unreferenced, so repeated calls
+    # don't pin storage memory for the session lifetime
+    local = _local_ranked(df, order_by, num_partitions).localCheckpoint(
+        eager=True
     )
-    local = ranged.select(
-        "*",
-        F.spark_partition_id().alias("__pid__"),
-        F.row_number().over(w).alias("__lrn__"),
-    ).persist()  # ranked once; offsets and output both read it
     counts = {
         r["__pid__"]: r["n"]
         for r in local.groupBy("__pid__")

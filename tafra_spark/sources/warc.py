@@ -66,7 +66,9 @@ def build_warc(records: list[tuple[str, bytes]], compress: bool = False) -> byte
     out = bytearray()
     for url, payload in records:
         rec = write_warc_record(url, payload)
-        out += gzip.compress(rec) if compress else rec
+        # mtime=0: gzip's member header embeds a timestamp by default,
+        # which would break the byte-determinism contract above
+        out += gzip.compress(rec, mtime=0) if compress else rec
     return bytes(out)
 
 

@@ -1063,18 +1063,26 @@ class TestRound6Plans:
 class TestOrderPlans:
     def test_global_row_number_no_single_partition_exchange(self, spark):
         # the whole point of the operator: a total-order rank whose
-        # plan never serializes on one task
-        from tafra_spark.operators.order import global_row_number
+        # plan never serializes on one task. The executed ranking plan
+        # is _local_ranked (global_row_number eagerly checkpoints it,
+        # which hides it from later explains)
+        from tafra_spark.operators.order import (
+            _local_ranked,
+            global_row_number,
+        )
         from tafra_spark.plans.inspect import explain_str
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
-        g = global_row_number(
-            docs.select("doc_id", "lang", "n_chars"),
-            ["lang", "n_chars", "doc_id"],
+        base = docs.select("doc_id", "lang", "n_chars")
+        order = ["lang", "n_chars", "doc_id"]
+        ranked_plan = explain_str(
+            _local_ranked(base, order, None), "simple"
         )
-        s = explain_str(g, "simple")
+        assert "SinglePartition" not in ranked_plan
+        assert "rangepartitioning" in ranked_plan.lower()
+        # and the assembled output adds no single-partition stage either
+        s = explain_str(global_row_number(base, order), "simple")
         assert "SinglePartition" not in s
-        assert "rangepartitioning" in s.lower()
 
     def test_sorted_neighborhood_band_plan(self, spark):
         # rank band goes through band_join: bucket equi-join, no
