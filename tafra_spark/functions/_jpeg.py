@@ -233,6 +233,26 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# T.81 Table F.1/F.2 bounds for 8-bit precision: the DC difference
+# magnitude category SSSS is at most 11 and the AC magnitude at most
+# 10. A corrupt entropy stream makes Huffman decode return garbage
+# symbols whose "size" nibble exceeds these; without the clamp the
+# Python-int DC predictor accumulates without bound and the int64
+# coefficient store raises OverflowError instead of the advertised
+# clean ValueError (round-7 fuzz finding, seed=0 flip_num=179).
+_DC_SIZE_MAX = 11
+_AC_SIZE_MAX = 10
+# Valid 8-bit streams keep the quantized DC coefficient within
+# +/-8192 (= 1<<13); 1<<17 gives 16x headroom before we call the
+# stream corrupt.
+_DC_PRED_MAX = 1 << 17
+
+
+def _check_dc(size: int, pred: int) -> None:
+    if size > _DC_SIZE_MAX or not -_DC_PRED_MAX <= pred <= _DC_PRED_MAX:
+        raise ValueError("JPEG: corrupt entropy stream")
+
+
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
@@ -785,8 +805,11 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                 for byi in range(comp["v"]):
                     for bxi in range(comp["h"]):
                         size = _decode_huffman(rd, dct)
+                        if size > _DC_SIZE_MAX:
+                            raise ValueError("JPEG: corrupt entropy stream")
                         diff = _extend(rd.read_bits(size), size)
                         dc_prev[ci] += diff
+                        _check_dc(size, dc_prev[ci])
                         zz = np.zeros(64, dtype=np.int64)
                         zz[0] = dc_prev[ci]
                         k = 1
@@ -798,6 +821,12 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                                 k += 16
                                 continue
                             run, size = sym >> 4, sym & 0x0F
+                            if size == 0 or size > _AC_SIZE_MAX:
+                                # baseline: size 0 is only legal inside
+                                # EOB (0x00) / ZRL (0xF0), handled above
+                                raise ValueError(
+                                    "JPEG: corrupt entropy stream"
+                                )
                             k += run
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
@@ -943,7 +972,10 @@ def _progressive_scan(
                 sc = next(s for s in scan if by_id[s["id"]] == ci)
                 if ah == 0:  # first
                     size = _decode_huffman(rd, huff[(0, sc["dc"])])
+                    if size > _DC_SIZE_MAX:
+                        raise ValueError("JPEG: corrupt entropy stream")
                     dc_pred[ci] += _extend(rd.read_bits(size), size)
+                    _check_dc(size, dc_pred[ci])
                     zz[0] = dc_pred[ci] << al
                 else:  # refinement: one bit at position Al
                     if rd.read_bit():
@@ -966,6 +998,8 @@ def _progressive_scan(
                         if run:
                             eobrun += rd.read_bits(run)
                         break
+                    if size > _AC_SIZE_MAX:
+                        raise ValueError("JPEG: corrupt entropy stream")
                     k += run
                     if k > se:
                         raise ValueError("JPEG: AC index overflow")

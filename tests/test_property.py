@@ -807,6 +807,43 @@ class TestJpegCodecProperties:
         except (ValueError, NotImplementedError):
             pass
 
+    def test_corrupt_stream_regression_overflow_dc_predictor(self):
+        """Pinned round-7 falsifying examples (seed=0, flip_num=179,
+        baseline AND progressive): a single bit flip made Huffman
+        decode return garbage magnitude sizes repeatedly, the
+        Python-int DC predictor accumulated without bound, and the
+        int64 coefficient store raised OverflowError instead of the
+        advertised clean ValueError. The T.81 size clamps
+        (DC<=11 / AC<=10 for 8-bit) + predictor range check must turn
+        this into ValueError or a successful garbage decode."""
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+            encode_jpeg_rgb_progressive,
+        )
+
+        rng = np.random.RandomState(0)
+        img = np.clip(rng.randn(13, 21, 3) * 20 + 128, 0, 255).astype(
+            np.uint8
+        )
+        for enc in (encode_jpeg_rgb, encode_jpeg_rgb_progressive):
+            for sub in ("4:4:4", "4:2:2", "4:2:0"):
+                payload = enc(img, quality=85, subsampling=sub)
+                # every flip position congruent to the pinned offset,
+                # plus a dense sweep of the entropy tail — cheap and
+                # catches predictor blowups at any phase
+                positions = set(
+                    range(2 + (179 % (len(payload) - 2)), len(payload), 179)
+                ) | set(range(max(2, len(payload) - 64), len(payload)))
+                for pos in positions:
+                    flipped = bytearray(payload)
+                    flipped[pos] ^= 0xFF
+                    try:
+                        out = decode_jpeg(bytes(flipped))
+                        assert isinstance(out, np.ndarray)
+                    except (ValueError, NotImplementedError):
+                        pass
+
 
 class TestOrderProperties:
     @given(
