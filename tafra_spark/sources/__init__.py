@@ -1,3 +1,3 @@
-from . import csv, sql
+from . import csv, http, sql, warc
 
-__all__ = ["csv", "sql"]
+__all__ = ["csv", "http", "sql", "warc"]

@@ -1,0 +1,326 @@
+"""HTTP response parsing + HTML text extraction — the layer between
+:func:`tafra_spark.sources.warc.read_warc` (which stops at the raw
+HTTP payload bytes of a CommonCrawl ``response`` record) and the text
+pipeline (which expects a ``text`` column).
+
+A CommonCrawl user's first step after the WARC scan is always the
+same: split status-line / headers / body on the first blank line,
+de-chunk, decode the charset, and strip tags and boilerplate down to
+text. This module makes ``read_warc -> parse_http -> html_to_text``
+an end-to-end CC->text ingestion path.
+
+Scale design: :func:`parse_http` is one Arrow-batched ``mapInPandas``
+stage (binary in, columns out — zero shuffle, inherits the WARC
+scan's file-level parallelism), and :func:`html_to_text` is a chain
+of JVM-side ``regexp_replace`` expressions that whole-stage-codegen
+fuses — no Python in the tag-stripping hot path. Every regex is kept
+inside the Java∩RE2 common subset (inline ``(?is)`` flags, lazy
+quantifiers, no lookaround) so a DuckDB oracle can replicate the
+chain verbatim; :func:`html_to_text_sql` emits that SQL.
+
+Reference has no web-ingestion story (tafra/base.py is an in-memory
+frame); this is a scale extension in the spirit of its read_csv
+(tafra/base.py:441) source surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "build_http_response",
+    "parse_http_response",
+    "parse_http",
+    "html_to_text",
+    "html_to_text_py",
+    "html_to_text_sql",
+]
+
+_CRLF = b"\r\n"
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    headers: list[tuple[str, str]] | None = None,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    chunk_size: int = 256,
+) -> bytes:
+    """Serialize one deterministic HTTP/1.1 response (RFC 7230 framing).
+    ``headers`` is an ordered list of (name, value) pairs — repeated
+    names are legal and preserved. ``chunked=True`` emits
+    ``Transfer-Encoding: chunked`` framing instead of Content-Length."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode()]
+    hdrs = list(headers or [])
+    if content_type is not None:
+        hdrs.insert(0, ("Content-Type", content_type))
+    if chunked:
+        hdrs.append(("Transfer-Encoding", "chunked"))
+    else:
+        hdrs.append(("Content-Length", str(len(body))))
+    for k, v in hdrs:
+        lines.append(f"{k}: {v}".encode("latin-1"))
+    head = _CRLF.join(lines) + _CRLF + _CRLF
+    if not chunked:
+        return head + body
+    out = bytearray(head)
+    for i in range(0, len(body), chunk_size):
+        chunk = body[i : i + chunk_size]
+        out += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode RFC 7230 §4.1 chunked transfer coding. Truncated or
+    malformed framing raises ValueError — never a silent short read."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while True:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("HTTP: truncated chunk-size line")
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"HTTP: bad chunk size {size_tok[:16]!r}")
+        if size < 0:
+            raise ValueError("HTTP: negative chunk size")
+        pos = eol + 2
+        if size == 0:
+            # optional trailers until blank line — tolerate either
+            return bytes(out)
+        if pos + size > n:
+            raise ValueError("HTTP: truncated chunk payload")
+        out += data[pos : pos + size]
+        pos += size
+        if data[pos : pos + 2] != _CRLF:
+            raise ValueError("HTTP: missing chunk terminator CRLF")
+        pos += 2
+
+
+def _charset_of(content_type: str) -> str:
+    """Pull ``charset=`` out of a Content-Type value (case-insensitive,
+    optional quotes); '' when absent."""
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'").lower()
+    return ""
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """Parse one raw HTTP response (the WARC ``response`` record
+    payload) into status / reason / headers / body / decoded text.
+
+    - Head/body split on the first CRLFCRLF (LFLF tolerated — real
+      crawls contain both).
+    - Repeated header names are joined with ``", "`` (RFC 7230 §3.2.2
+      list semantics); names are lower-cased.
+    - ``Transfer-Encoding: chunked`` bodies are de-chunked; otherwise
+      Content-Length (when present and sane) bounds the body, else
+      everything after the blank line is the body (the WARC record
+      length already frames it).
+    - Text decode: declared charset first, UTF-8 when undeclared,
+      latin-1 as the never-fails fallback (every byte maps).
+
+    Malformed framing raises ValueError — wild crawls must fail clean.
+    """
+    sep, seplen = _CRLF + _CRLF, 4
+    head_end = payload.find(sep)
+    lf_end = payload.find(b"\n\n")
+    if head_end < 0 or (0 <= lf_end < head_end):
+        head_end, sep, seplen = lf_end, b"\n\n", 2
+    if head_end < 0:
+        raise ValueError("HTTP: no header/body separator")
+    head_lines = payload[:head_end].replace(b"\r\n", b"\n").split(b"\n")
+    status_line = head_lines[0]
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"HTTP: bad status line {status_line[:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"HTTP: bad status code {parts[1][:12]!r}")
+    reason = parts[2].decode("latin-1") if len(parts) > 2 else ""
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        if not line.strip():
+            continue
+        k, colon, v = line.partition(b":")
+        if not colon:
+            raise ValueError(f"HTTP: bad header line {line[:40]!r}")
+        key = k.decode("latin-1").strip().lower()
+        val = v.decode("latin-1").strip()
+        headers[key] = headers[key] + ", " + val if key in headers else val
+    body = payload[head_end + seplen :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    else:
+        cl = headers.get("content-length")
+        if cl is not None:
+            try:
+                clen = int(cl.split(",")[0].strip())
+            except ValueError:
+                raise ValueError(f"HTTP: bad Content-Length {cl[:16]!r}")
+            if 0 <= clen <= len(body):
+                body = body[:clen]
+    content_type = headers.get("content-type", "")
+    charset = _charset_of(content_type)
+    try:
+        text = body.decode(charset or "utf-8")
+    except (UnicodeDecodeError, LookupError):
+        text = body.decode("latin-1")
+    return {
+        "status": status,
+        "reason": reason,
+        "headers": headers,
+        "content_type": content_type.split(";")[0].strip().lower(),
+        "charset": charset,
+        "body": bytes(body),
+        "text": text,
+    }
+
+
+HTTP_FIELDS = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField(
+            "http_headers", T.MapType(T.StringType(), T.StringType())
+        ),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def parse_http(
+    df: DataFrame,
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> DataFrame:
+    """Parse a binary HTTP-response column (``read_warc``'s ``payload``)
+    into status / headers / content-type / charset / body / text
+    columns, appended after the input columns.
+
+    One Arrow-batched ``mapInPandas`` stage: no shuffle, parallelism
+    inherited from the upstream WARC file scan — at CC scale that is
+    one ~1 GB segment per task, the layout's natural unit.
+
+    ``on_error='null'`` (default) turns malformed responses into NULL
+    fields (a crawl ALWAYS contains garbage; one bad record must not
+    kill a 100 TB job); ``on_error='raise'`` propagates ValueError for
+    strict pipelines and tests.
+    """
+    import pandas as pd
+
+    in_schema = df.schema
+    out_schema = T.StructType(list(in_schema) + list(HTTP_FIELDS))
+    names = [f.name for f in HTTP_FIELDS]
+    strict = on_error == "raise"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for raw in pdf[payload_col]:
+                try:
+                    rec = parse_http_response(bytes(raw))
+                except ValueError:
+                    if strict:
+                        raise
+                    rec = None
+                if rec is None:
+                    for n in names:
+                        cols[n].append(None)
+                else:
+                    cols["status"].append(rec["status"])
+                    cols["reason"].append(rec["reason"])
+                    cols["http_headers"].append(rec["headers"])
+                    cols["http_content_type"].append(rec["content_type"])
+                    cols["charset"].append(rec["charset"])
+                    cols["body"].append(rec["body"])
+                    cols["text"].append(rec["text"])
+            out = pdf.copy()
+            for n in names:
+                out[n] = pd.Series(cols[n], index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+# --- HTML -> text ---------------------------------------------------
+#
+# The extraction chain, in order. Every pattern lives in the
+# Java∩RE2 common subset (inline (?is), lazy .*?, no lookaround, no
+# backreference) so Spark's regexp_replace and DuckDB's
+# regexp_replace(..., 'g') execute it identically; the entity pass is
+# plain replace() chains with &amp; LAST (so "&amp;lt;" correctly
+# yields the literal text "&lt;"). Whitespace class is spelled
+# explicitly ([ \t\r\n\x0b\x0c]) because Java's \s and RE2's \s
+# disagree on \x0b.
+_STRIP_PATTERNS = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+]
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # must be last
+]
+_WS = r"[ \t\r\n\x0b\x0c]+"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Strip an HTML document down to visible text, JVM-side: drop
+    script/style/comment blocks, strip tags, decode the common named
+    entities, collapse whitespace, trim. A chain of built-in
+    regexp_replace/replace expressions — whole-stage codegen fuses it,
+    so the 100 TB tag-strip pass never leaves the JVM."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, _WS, " "))
+
+
+def html_to_text_py(html: str) -> str:
+    """Pure-Python mirror of :func:`html_to_text` (same chain, same
+    order) for unit tests and driver-side use."""
+    import re
+
+    s = html
+    for pat, rep in _STRIP_PATTERNS:
+        s = re.sub(pat, rep, s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return re.sub(_WS, " ", s).strip()
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB-SQL mirror of :func:`html_to_text` over ``expr`` —
+    the identical regex chain via regexp_replace(..., 'g') /
+    replace(), for oracle queries."""
+    s = expr
+    for pat, rep in _STRIP_PATTERNS:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    for ent, ch in _ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({s}, '{_WS}', ' ', 'g'))"

