@@ -5452,6 +5452,34 @@ class TestKCore:
         with pytest.raises(ValueError):
             k_core(ev, k=2, rounds=0)
 
+    def test_driver_peel_matches_distributed(self, spark):
+        # r8: the bounded-adjacency driver peel and the big-|V|
+        # distributed fallback are two implementations of the same
+        # static-round semantics — differential-test them on a random
+        # graph (forcing the fallback via max_driver_edges=0)
+        import random
+
+        from tafra_spark.functions.analytics import k_core
+
+        rng = random.Random(7)
+        nodes = [f"t{i}" for i in range(12)]
+        pairs = {
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)
+        }
+        ev = self._ev(spark, sorted(pairs))
+        for k, rounds in [(2, 1), (2, 8), (3, 8)]:
+            fast = {
+                r["node"]: r["core_degree"]
+                for r in k_core(ev, k=k, rounds=rounds).collect()
+            }
+            slow = {
+                r["node"]: r["core_degree"]
+                for r in k_core(
+                    ev, k=k, rounds=rounds, max_driver_edges=0
+                ).collect()
+            }
+            assert fast == slow, (k, rounds)
+
 
 class TestKAnonymity:
     def test_profile_counts(self, spark):
