@@ -148,6 +148,12 @@ def _build_huffman(bits, vals):
 
 
 class _BitWriter:
+    """MSB-first bit packer. r8: `write` only shifts into a Python-int
+    accumulator and spills whole bytes in bulk; byte stuffing (0x00
+    after each 0xFF) happens ONCE at flush as a vectorized numpy
+    insert — the old per-call byte loop with its stuffing branch was
+    the encoder's hottest line (422k calls per 30 images)."""
+
     def __init__(self):
         self.buf = bytearray()
         self.acc = 0
@@ -156,74 +162,159 @@ class _BitWriter:
     def write(self, code: int, length: int) -> None:
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)  # byte stuffing
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 256:
+            rem = self.nbits & 7
+            self.buf += (self.acc >> rem).to_bytes(
+                (self.nbits - rem) >> 3, "big"
+            )
+            self.acc &= (1 << rem) - 1
+            self.nbits = rem
 
     def flush(self) -> bytes:
+        if self.nbits & 7:
+            pad = 8 - (self.nbits & 7)
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.nbits += pad
         if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s
-        return bytes(self.buf)
+            self.buf += self.acc.to_bytes(self.nbits >> 3, "big")
+            self.acc = 0
+            self.nbits = 0
+        arr = np.frombuffer(bytes(self.buf), dtype=np.uint8)
+        ffs = np.flatnonzero(arr == 0xFF)
+        if len(ffs) == 0:
+            return bytes(self.buf)
+        return np.insert(arr, ffs + 1, 0).tobytes()
+
+
+def _split_restarts(data: bytes) -> list[bytes]:
+    """Split an entropy-coded run on RSTn markers, stopping at the
+    first REAL marker. Stuffed FF 00 pairs stay inside the pieces
+    (:func:`_unstuff` removes them). The scan touches only the 0xFF
+    positions (numpy flatnonzero), not every byte."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    segs: list[bytes] = []
+    start = 0
+    if len(arr) > 1:
+        for i in np.flatnonzero(arr[:-1] == 0xFF):
+            i = int(i)
+            if i < start:
+                continue  # second FF of a marker already consumed
+            nxt = arr[i + 1]
+            if nxt == 0x00:
+                continue  # stuffing — stays, unstuffed later
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segs.append(data[start:i])
+                start = i + 2
+            else:  # real marker: entropy data ends here
+                segs.append(data[start:i])
+                return segs
+    segs.append(data[start:])
+    return segs
+
+
+def _unstuff(seg: bytes) -> bytes:
+    """Remove byte stuffing (the 0x00 after each 0xFF), vectorized."""
+    arr = np.frombuffer(seg, dtype=np.uint8)
+    if len(arr) < 2:
+        return seg
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    if len(ff) == 0:
+        return seg
+    drop = np.zeros(len(arr), dtype=bool)
+    after = ff + 1
+    drop[after[arr[after] == 0]] = True
+    return arr[~drop].tobytes()
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
+    """MSB-first bit reader over UNSTUFFED entropy bytes (r8 rewrite:
+    the old reader paid ~8 Python ops per BIT — stuffing checks inside
+    `_fill`, one call per bit; this one refills 16 bits at a time from
+    a pre-cleaned buffer and serves `peek16`/`skip` so Huffman decode
+    is one table lookup instead of a walk). Reads past the end yield
+    1-bits (spec padding)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, clean: bytes):
+        self.data = clean + b"\xff\xff\xff\xff"  # spec: pad with 1s
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0xFF  # spec: pad past end
-                self.nbits += 8
-                continue
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # unstuff
-                else:
-                    # marker reached — behave as end-of-data padding
-                    self.pos -= 1
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                    continue
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            # keep the invariant acc < 2^nbits so the int stays small
+            self.acc = (
+                (self.acc & ((1 << self.nbits) - 1)) << 16
+            ) | int.from_bytes(self.data[self.pos : self.pos + 2], "big")
+            self.pos += 2
+            self.nbits += 16
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def read_bit(self) -> int:
-        self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self.acc = (
+                (self.acc & ((1 << self.nbits) - 1)) << 16
+            ) | int.from_bytes(self.data[self.pos : self.pos + 2], "big")
+            self.pos += 2
+            self.nbits += 16
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def reset(self) -> None:
-        self.acc = 0
-        self.nbits = 0
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
 
-def _decode_huffman(reader: _BitReader, table: dict) -> int:
-    """table: {(code, length): symbol} — walk bit by bit (<=16)."""
+#: (bits, vals) -> packed 64K lookup list; JPEG streams from one
+#: encoder share their DHT segments, so a corpus decode builds each
+#: table once. Bounded: cleared when it exceeds 64 tables.
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _huff_lut(bits: tuple, vals: tuple) -> list:
+    """16-bit-window Huffman decode table: lut[peek16] packs
+    (symbol << 5) | code_length; 0 marks an invalid prefix. Python
+    list (not ndarray) — CPython list indexing of cached small ints
+    beats numpy scalar extraction in this per-symbol loop."""
+    key = (bits, vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    sym = np.zeros(65536, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
     code = 0
+    vi = 0
     for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code")
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("JPEG: overfull Huffman table")
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[vi]
+            ln[lo:hi] = length
+            vi += 1
+            code += 1
+        code <<= 1
+    lut = ((sym << 5) | ln).tolist()
+    if len(_LUT_CACHE) > 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _decode_huffman(reader: _BitReader, lut: list) -> int:
+    """One peek16 + one list lookup per symbol."""
+    v = lut[reader.peek16()]
+    if v == 0:
+        raise ValueError("JPEG: invalid Huffman code")
+    reader.nbits -= v & 31
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -468,24 +559,24 @@ def _encode_progressive(
             wr = _BitWriter()
             for by in range(-(-ch // 8)):
                 for bx in range(-(-cw // 8)):
-                    zz = grids[ci][by, bx]
+                    zzl = grids[ci][by, bx].tolist()
                     last_nz = ss - 1
                     for k in range(ss, se + 1):
-                        if zz[k] != 0:
+                        if zzl[k]:
                             last_nz = k
                     run = 0
                     for k in range(ss, last_nz + 1):
-                        if zz[k] == 0:
+                        v = zzl[k]
+                        if v == 0:
                             run += 1
                             continue
                         while run > 15:
                             c, ln = ac_tab[0xF0]
                             wr.write(c, ln)
                             run -= 16
-                        size = _category(int(zz[k]))
+                        size = (v if v >= 0 else -v).bit_length()
                         c, ln = ac_tab[(run << 4) | size]
                         wr.write(c, ln)
-                        v = int(zz[k])
                         amp = v if v >= 0 else v + (1 << size) - 1
                         wr.write(amp, size)
                         run = 0
@@ -499,8 +590,10 @@ def _encode_progressive(
 
 def _encode_block_zz(wr, zz, dc_prev, dc_tab, ac_tab):
     """Baseline entropy coding of one pre-quantized zigzag block."""
-    diff = int(zz[0]) - dc_prev
-    size = _category(diff)
+    zzl = zz.tolist() if hasattr(zz, "tolist") else list(zz)
+    dc = zzl[0]
+    diff = dc - dc_prev
+    size = (diff if diff >= 0 else -diff).bit_length()
     code, length = dc_tab[size]
     wr.write(code, length)
     if size:
@@ -509,27 +602,27 @@ def _encode_block_zz(wr, zz, dc_prev, dc_tab, ac_tab):
     run = 0
     last_nz = 0
     for i in range(1, 64):
-        if zz[i] != 0:
+        if zzl[i]:
             last_nz = i
     for i in range(1, last_nz + 1):
-        if zz[i] == 0:
+        v = zzl[i]
+        if v == 0:
             run += 1
             continue
         while run > 15:
             c, ln = ac_tab[0xF0]
             wr.write(c, ln)
             run -= 16
-        size = _category(int(zz[i]))
+        size = (v if v >= 0 else -v).bit_length()
         c, ln = ac_tab[(run << 4) | size]
         wr.write(c, ln)
-        v = int(zz[i])
         amp = v if v >= 0 else v + (1 << size) - 1
         wr.write(amp, size)
         run = 0
     if last_nz < 63:
         c, ln = ac_tab[0x00]  # EOB
         wr.write(c, ln)
-    return int(zz[0])
+    return dc
 
 
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 90) -> bytes:
@@ -697,13 +790,12 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tclass, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
+                bits = tuple(seg[p + 1 : p + 17])
                 n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                enc = _build_huffman(bits, vals)
-                huff[(tclass, tid)] = {
-                    (code, ln): sym for sym, (code, ln) in enc.items()
-                }
+                vals = tuple(seg[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("JPEG: truncated DHT segment")
+                huff[(tclass, tid)] = _huff_lut(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
@@ -773,76 +865,91 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
         raise ValueError("JPEG: missing or empty SOF/SOS")
     if progressive:
         return _reconstruct_progressive(comps, coefs, qtabs, geom, h, w)
-    data = content[pos:]
-    rd = _BitReader(data)
     g = _mcu_geometry(comps, h, w)
-    hmax, vmax, mcux, mcuy = g["hmax"], g["vmax"], g["mcux"], g["mcuy"]
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    coefs = [
+        np.zeros(
+            (g["mcuy"] * c["v"], g["mcux"] * c["h"], 64), dtype=np.int64
+        )
+        for c in comps
     ]
+    segs = _split_restarts(content[pos:])
+    rd = _BitReader(_unstuff(segs[0]))
+    seg_i = 0
     dc_prev = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(g["mcuy"]):
+        for mx in range(g["mcux"]):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # skip to the RSTn marker and reset predictors
-                rd.reset()
-                while rd.pos < len(rd.data) - 1:
-                    if (
-                        rd.data[rd.pos] == 0xFF
-                        and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7
-                    ):
-                        rd.pos += 2
-                        break
-                    rd.pos += 1
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG: missing restart marker")
+                rd = _BitReader(_unstuff(segs[seg_i]))
                 dc_prev = [0] * len(comps)
             for sc in scan:
                 ci = by_id[sc["id"]]
                 comp = comps[ci]
                 dct = huff[(0, sc["dc"])]
                 act = huff[(1, sc["ac"])]
+                grid = coefs[ci]
+                # inlined symbol decode: the function-call version
+                # (_decode_huffman + _extend + read_bits) spends ~45%
+                # of decode wall in call overhead at ~7k symbols/image
                 for byi in range(comp["v"]):
                     for bxi in range(comp["h"]):
-                        size = _decode_huffman(rd, dct)
+                        v = dct[rd.peek16()]
+                        if v == 0:
+                            raise ValueError("JPEG: invalid Huffman code")
+                        rd.nbits -= v & 31
+                        size = v >> 5
                         if size > _DC_SIZE_MAX:
                             raise ValueError("JPEG: corrupt entropy stream")
-                        diff = _extend(rd.read_bits(size), size)
-                        dc_prev[ci] += diff
+                        if size:
+                            r = rd.read_bits(size)
+                            dc_prev[ci] += (
+                                r
+                                if r >= (1 << (size - 1))
+                                else r - (1 << size) + 1
+                            )
                         _check_dc(size, dc_prev[ci])
-                        zz = np.zeros(64, dtype=np.int64)
+                        # zigzag-order coefficient vector; Python list
+                        # (scalar stores beat ndarray item writes)
+                        zz = [0] * 64
                         zz[0] = dc_prev[ci]
                         k = 1
                         while k < 64:
-                            sym = _decode_huffman(rd, act)
+                            v = act[rd.peek16()]
+                            if v == 0:
+                                raise ValueError(
+                                    "JPEG: invalid Huffman code"
+                                )
+                            rd.nbits -= v & 31
+                            sym = v >> 5
                             if sym == 0x00:  # EOB
                                 break
                             if sym == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            run, size = sym >> 4, sym & 0x0F
+                            size = sym & 0x0F
                             if size == 0 or size > _AC_SIZE_MAX:
                                 # baseline: size 0 is only legal inside
                                 # EOB (0x00) / ZRL (0xF0), handled above
                                 raise ValueError(
                                     "JPEG: corrupt entropy stream"
                                 )
-                            k += run
+                            k += sym >> 4
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
-                            zz[k] = _extend(rd.read_bits(size), size)
+                            r = rd.read_bits(size)
+                            zz[k] = (
+                                r
+                                if r >= (1 << (size - 1))
+                                else r - (1 << size) + 1
+                            )
                             k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        for z in range(64):
-                            blk[_ZIGZAG[z]] = zz[z]
-                        q = qtabs[comp["tq"]]
-                        coef = blk.reshape(8, 8).astype(np.float64) * q
-                        pix = _C.T @ coef @ _C + 128.0
-                        ys = (my * comp["v"] + byi) * 8
-                        xs = (mx * comp["h"] + bxi) * 8
-                        planes[ci][ys : ys + 8, xs : xs + 8] = pix
+                        grid[my * comp["v"] + byi, mx * comp["h"] + bxi] = zz
             mcu += 1
-    return _finish_planes(planes, comps, h, w, hmax, vmax)
+    return _reconstruct(comps, coefs, qtabs, g, h, w)
 
 
 def _mcu_geometry(comps, h: int, w: int) -> dict:
@@ -942,7 +1049,9 @@ def _progressive_scan(
         raise ValueError("JPEG: progressive DC scan must have Se=0")
     if ss > 0 and len(scan) != 1:
         raise ValueError("JPEG: progressive AC scan must be single-component")
-    rd = _BitReader(data)
+    segs = _split_restarts(data)
+    rd = _BitReader(_unstuff(segs[0]))
+    seg_i = 0
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     dc_pred = [0] * len(comps)
     eobrun = 0
@@ -955,15 +1064,10 @@ def _progressive_scan(
 
     for mcu_i, unit in enumerate(_scan_units(scan, comps, geom, h, w)):
         if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-            rd.reset()
-            while rd.pos < len(rd.data) - 1:
-                if (
-                    rd.data[rd.pos] == 0xFF
-                    and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7
-                ):
-                    rd.pos += 2
-                    break
-                rd.pos += 1
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG: missing restart marker")
+            rd = _BitReader(_unstuff(segs[seg_i]))
             dc_pred = [0] * len(comps)
             eobrun = 0
         for ci, by, bx in unit:
@@ -1044,29 +1148,40 @@ def _progressive_scan(
                     eobrun -= 1
 
 
-def _reconstruct_progressive(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
-    """Dequantize + IDCT the accumulated coefficient grids."""
+_ZIGZAG_NP = None  # set lazily: natural-order index per zigzag position
+
+
+def _reconstruct(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
+    """Dequantize + IDCT the accumulated zigzag coefficient grids —
+    fully batched (r8): one fancy-index de-zigzag, one broadcast
+    dequant, and one einsum pair per COMPONENT instead of two 8×8
+    matmuls + a 64-step Python loop per BLOCK."""
+    global _ZIGZAG_NP
     if geom is None or coefs is None:
         raise ValueError("JPEG: progressive stream with no scans")
+    if _ZIGZAG_NP is None:
+        _ZIGZAG_NP = np.array(_ZIGZAG, dtype=np.int64)
     planes = []
     for ci, c in enumerate(comps):
-        q = qtabs[c["tq"]]
+        q = qtabs[c["tq"]].astype(np.float64)
         nby, nbx = coefs[ci].shape[:2]
-        plane = np.zeros((nby * 8, nbx * 8))
-        for by in range(nby):
-            for bx in range(nbx):
-                zz = coefs[ci][by, bx]
-                blk = np.zeros(64, dtype=np.int64)
-                for z in range(64):
-                    blk[_ZIGZAG[z]] = zz[z]
-                coef = blk.reshape(8, 8).astype(np.float64) * q
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ coef @ _C + 128.0
-                )
+        blk = np.zeros((nby, nbx, 64), dtype=np.float64)
+        blk[:, :, _ZIGZAG_NP] = coefs[ci]
+        coef = blk.reshape(nby, nbx, 8, 8) * q
+        # pix_block = C.T @ coef @ C, batched over the block grid
+        pix = np.einsum("ij,abjk,kl->abil", _C.T, coef, _C) + 128.0
+        # (nby, nbx, 8, 8) -> (nby*8, nbx*8)
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
     return _finish_planes(
         planes, comps, h, w, geom["hmax"], geom["vmax"]
     )
+
+
+def _reconstruct_progressive(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
+    """Progressive path: identical reconstruction once every scan has
+    accumulated its spectral/approximation contributions."""
+    return _reconstruct(comps, coefs, qtabs, geom, h, w)
 
 
 def decode_jpeg_gray(content: bytes) -> np.ndarray:
