@@ -101,7 +101,8 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     :mod:`._jpeg` codec, taking the stream's own Y plane as the
     luminance grid. The ``NotImplementedError`` fires only for
     variants that genuinely need a library (12-bit/lossless/
-    arithmetic JPEG, Adam7-interlaced PNG)."""
+    arithmetic JPEG; PNG — including Adam7 since r8 — has no decode
+    fences left)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
