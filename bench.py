@@ -150,11 +150,21 @@ def main() -> None:
     # (the operators' documented sharing); the cache is cleared per
     # query so cross-QUERY accumulation never taxes later plans.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset under
+    # the IDENTICAL methodology (same session confs, warmup, pass/rep
+    # schedule, cache policy) — for A/B-ing individual queries without
+    # paying the full suite
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
     best_t: dict[str, float] = {}
     rows_n: dict[str, int] = {}
     errors: dict[str, str] = {}
     for p in range(passes):
-        for name in HEADLINE:
+        for name in headline:
             fn = queries[name]
             best = best_t.get(name, float("inf"))
             # One failing query must not zero the whole bench (round-3
@@ -177,7 +187,7 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_KEEP_CACHE") != "1":
                 spark.catalog.clearCache()
     timings = {
-        name: round(best_t[name], 3) for name in HEADLINE if name in best_t
+        name: round(best_t[name], 3) for name in headline if name in best_t
     }
     for name, t in timings.items():
         print(f"# {name}: {t}s ({rows_n[name]} rows)", file=sys.stderr)
@@ -246,7 +256,7 @@ def main() -> None:
             )
         oracles = entry.oracle_sql()
         ptimes: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in headline:
             if name in errors or name not in oracles:
                 continue
             pbest = float("inf")
