@@ -3216,13 +3216,86 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r8 driver window: stalest-first rotation (VERDICT r7 item 2).
+# The driver verifies the FIRST 50 entries of queries(); this list is
+# that window. Composition: (1) never-driver-verified new r8 ops,
+# (2) rows whose CODE changed in r8 (k_core redesign; JPEG entropy/
+# reconstruction rewrite; PNG unfilter refactor for Adam7) — green
+# history doesn't cover new code, (3) the 10 rows last verified in
+# round 3, (4) 32 of the 50 round-4-cohort rows (the rest roll into
+# the r9 window). Recompute staleness with:
+#   max round r where CORRECTNESS_r0{r}.json contains the key.
+_R8_WINDOW = [
+    # (1) new in r8
+    "warc_http_docs",
+    "html_extract_text",
+    # (2) r8 code changes
+    "k_core_event_graph",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_decode",
+    "multimodal_frames",
+    # (3) last verified round 3
+    "doc_fingerprint",
+    "embedding_ivf_topk",
+    "events_hourly",
+    "json_extract_stats",
+    "minhash_lsh_pairs",
+    "q8_market_share",
+    "q12_priority_by_delay",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    # (4) round-4 cohort (alphabetical prefix + the two rows this
+    # round's bench analysis touched)
+    "asof_join_events",
+    "bigram_collocations",
+    "bigram_logprob_quality",
+    "bloom_filter_words",
+    "bm25_search_topk",
+    "boilerplate_phrase_stats",
+    "cluster_balanced_panel",
+    "corpus_scorecard_report",
+    "countmin_counters",
+    "data_quality_report",
+    "dataset_split_counts",
+    "dup_span_fraction",
+    "edit_dup_pairs",
+    "event_rate_changepoints",
+    "events_quarter_hour",
+    "funnel_latency_quartiles",
+    "gate_reject_breakdown",
+    "inference_batch_plan",
+    "interval_join_attribution",
+    "inverted_index_postings",
+    "kmv_distinct_users",
+    "lineitem_correlations",
+    "melt_wide_to_long",
+    "minhash_recall_eval",
+    "mix_epoch_plan",
+    "ngram_novelty_scores",
+    "pq_ann_topk",
+    "pq_encode_codes",
+    "pq_recall_eval",
+    "pq_refined_codebooks",
+    "sessionize_events",
+    "source_overlap_matrix",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _registry()
+    out = {n: q[n] for n in _R8_WINDOW}
+    out.update((n, f) for n, f in q.items() if n not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r8 driver window: stalest-first rotation (VERDICT r7 item 2).
-        # (1) never-driver-verified (new r8 ops)
+        # (kept in r7 window order; queries() applies _R8_WINDOW)
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
-        # --- r7 window below (rotated before round end)
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
