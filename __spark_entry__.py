@@ -3079,6 +3079,66 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: crawl bookkeeping over the URL layer — per-registered-domain
+    # rollups (the unit CC curation budgets by). URLs are CONSTRUCTED
+    # with deliberate hazards (uppercase schemes/hosts, userinfo,
+    # ports, co.uk second-level suffixes, query strings) identically on
+    # both sides; extraction runs the shared Java∩RE2 chain (url_host /
+    # url_scheme / url_path / url_registered_domain), so scheme
+    # lowering, userinfo/port stripping, path isolation, and the
+    # 2-vs-3-label registered-domain rule are all oracle-graded.
+    from tafra_spark.sources.http import (
+        url_host,
+        url_path,
+        url_registered_domain,
+        url_scheme,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars")
+        .filter(F.col("source").isNotNull())
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(F.pmod(d, 4) == 0, "http://")
+        .when(F.pmod(d, 4) == 1, "HTTPS://")
+        .when(F.pmod(d, 4) == 2, "http://Crawler:Pw@")
+        .otherwise("https://"),
+        F.lit("W"),
+        F.pmod(d, 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.when(F.pmod(d, 3) == 0, ".example.com")
+        .when(F.pmod(d, 3) == 1, ".blogs.co.uk")
+        .otherwise(".example.org"),
+        F.when(F.pmod(d, 5) == 0, ":8080").otherwise(""),
+        F.lit("/d/"),
+        d.cast("string"),
+        F.when(
+            F.pmod(d, 2) == 0,
+            F.concat(F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("xx"))),
+        ).otherwise(""),
+    )
+    ext = docs.select(
+        url_registered_domain(url).alias("domain"),
+        url_host(url).alias("host"),
+        url_scheme(url).alias("scheme"),
+        F.length(url_path(url)).alias("plen"),
+        "n_chars",
+    )
+    return ext.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+        .cast("long")
+        .alias("n_https"),
+        F.max("plen").cast("long").alias("max_path_len"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3229,6 +3289,7 @@ _R8_WINDOW = [
     # (1) new in r8
     "warc_http_docs",
     "html_extract_text",
+    "domain_doc_stats",
     # (2) r8 code changes
     "k_core_event_graph",
     "multimodal_jpeg_decode",
@@ -3280,7 +3341,6 @@ _R8_WINDOW = [
     "pq_recall_eval",
     "pq_refined_codebooks",
     "sessionize_events",
-    "source_overlap_matrix",
 ]
 
 
@@ -3296,6 +3356,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (kept in r7 window order; queries() applies _R8_WINDOW)
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
+        "domain_doc_stats": domain_doc_stats,
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -4709,6 +4770,52 @@ def _html_extract_sql() -> str:
 
 
 _HTML_EXTRACT_SQL = _html_extract_sql()
+
+
+def _domain_doc_stats_sql() -> str:
+    from tafra_spark.sources.http import (
+        url_host_sql,
+        url_path_sql,
+        url_registered_domain_sql,
+        url_scheme_sql,
+    )
+
+    url = (
+        "(CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTPS://'"
+        " WHEN 2 THEN 'http://Crawler:Pw@' ELSE 'https://' END)"
+        " || 'W' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||"
+        " (CASE doc_id % 3 WHEN 0 THEN '.example.com'"
+        " WHEN 1 THEN '.blogs.co.uk' ELSE '.example.org' END)"
+        " || (CASE doc_id % 5 WHEN 0 THEN ':8080' ELSE '' END)"
+        " || '/d/' || CAST(doc_id AS VARCHAR)"
+        " || (CASE doc_id % 2 WHEN 0 THEN '?lang=' || coalesce(lang, 'xx')"
+        " ELSE '' END)"
+    )
+    return f"""
+        WITH u AS (
+          SELECT doc_id, n_chars, {url} AS url
+          FROM documents WHERE source IS NOT NULL
+        ),
+        e AS (
+          SELECT {url_registered_domain_sql("url")} AS domain,
+                 {url_host_sql("url")} AS host,
+                 {url_scheme_sql("url")} AS scheme,
+                 length({url_path_sql("url")}) AS plen,
+                 n_chars
+          FROM u
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_https,
+               CAST(max(plen) AS BIGINT) AS max_path_len,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM e GROUP BY domain
+    """
+
+
+_DOMAIN_DOC_STATS_SQL = _domain_doc_stats_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9025,6 +9132,9 @@ def oracle_sql() -> dict[str, str]:
         # cross-engine parity of html_to_text (generated by
         # html_to_text_sql so the patterns cannot drift)
         "html_extract_text": _HTML_EXTRACT_SQL,
+        # URL layer: identical construction + the shared url_* regex
+        # chain on both engines (generated by the *_sql mirrors)
+        "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

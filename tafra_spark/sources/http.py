@@ -38,6 +38,11 @@ __all__ = [
     "html_to_text",
     "html_to_text_py",
     "html_to_text_sql",
+    "html_meta_charset",
+    "url_host",
+    "url_scheme",
+    "url_path",
+    "url_registered_domain",
 ]
 
 _CRLF = b"\r\n"
@@ -324,3 +329,96 @@ def html_to_text_sql(expr: str) -> str:
         ch_sql = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{ch_sql}')"
     return f"trim(regexp_replace({s}, '{_WS}', ' ', 'g'))"
+
+
+# --- URL analysis ----------------------------------------------------
+#
+# Crawl bookkeeping above the WARC/HTTP layer: host extraction,
+# registered-domain rollups (per-domain budgets/dedup are standard CC
+# curation), and path split. Same discipline as html_to_text: every
+# pattern in the Java∩RE2 common subset, with *_sql mirrors so oracles
+# run the identical chain. (Spark's parse_url() is NOT used — DuckDB
+# has no equivalent, and two different parsers can never be proven to
+# agree; one shared regex can.)
+_URL_AUTH = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+#: common second-level public suffixes (co.uk-style); a full public
+#: suffix list is a data file, not a regex — this covers the frequent
+#: cases and the fallback is "last two labels"
+_SLD = r"(?:co|com|org|net|ac|gov|edu)"
+_URL_REG2 = rf"([^.]+\.{_SLD}\.[A-Za-z0-9-]+)$"
+_URL_REG1 = r"([^.]+\.[^.]+)$"
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host of an absolute URL: authority minus userinfo
+    and port; '' for non-URLs (the regex-extract convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    auth = F.lower(F.regexp_extract(c, _URL_AUTH, 1))
+    return F.regexp_replace(
+        F.regexp_replace(auth, r"^[^@]*@", ""), r":[0-9]*$", ""
+    )
+
+
+def url_scheme(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _URL_SCHEME, 1))
+
+
+def url_path(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, _URL_PATH, 1)
+
+
+def url_registered_domain(col: Column | str) -> Column:
+    """Registered domain of the host: last-three labels when the
+    middle one is a common second-level suffix (bbc.co.uk), else the
+    last two (news.example.com -> example.com); bare hosts (no dot)
+    pass through unchanged."""
+    host = url_host(col)
+    two = F.regexp_extract(host, _URL_REG2, 1)
+    one = F.regexp_extract(host, _URL_REG1, 1)
+    return F.when(two != "", two).when(one != "", one).otherwise(host)
+
+
+def url_host_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, "
+        f"'{_URL_AUTH}', 1)), '^[^@]*@', ''), ':[0-9]*$', '')"
+    )
+
+
+def url_scheme_sql(expr: str) -> str:
+    return f"lower(regexp_extract({expr}, '{_URL_SCHEME}', 1))"
+
+
+def url_path_sql(expr: str) -> str:
+    return f"regexp_extract({expr}, '{_URL_PATH}', 1)"
+
+
+def url_registered_domain_sql(expr: str) -> str:
+    host = url_host_sql(expr)
+    return (
+        f"CASE WHEN regexp_extract({host}, '{_URL_REG2}', 1) <> '' "
+        f"THEN regexp_extract({host}, '{_URL_REG2}', 1) "
+        f"WHEN regexp_extract({host}, '{_URL_REG1}', 1) <> '' "
+        f"THEN regexp_extract({host}, '{_URL_REG1}', 1) "
+        f"ELSE {host} END"
+    )
+
+
+#: r8: <meta charset=...> / http-equiv content charset sniffing — the
+#: in-document declaration a crawl needs when the HTTP header omits
+#: charset (header wins when both exist, per the HTML standard).
+_META_CHARSET = r"(?i)<meta[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_-]+)"
+
+
+def html_meta_charset(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _META_CHARSET, 1))
+
+
+def html_meta_charset_sql(expr: str) -> str:
+    pat = _META_CHARSET.replace("'", "''")  # pattern contains a quote
+    return f"lower(regexp_extract({expr}, '{pat}', 1))"

@@ -534,6 +534,88 @@ class TestHttpSource:
         ]
         assert got_duck == want
 
+    def test_url_parts_two_mirrors_agree(self, spark):
+        # the url_* chain must extract identically JVM-side and in
+        # DuckDB (the oracle), and match hand expectations on hazards
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            url_host,
+            url_host_sql,
+            url_path,
+            url_path_sql,
+            url_registered_domain,
+            url_registered_domain_sql,
+            url_scheme,
+            url_scheme_sql,
+        )
+
+        cases = [
+            # (url, scheme, host, domain, path)
+            ("http://example.com/a/b", "http", "example.com",
+             "example.com", "/a/b"),
+            ("HTTPS://User:Pw@W3.News.Example.COM:8443/x?q=1#f",
+             "https", "w3.news.example.com", "example.com", "/x"),
+            ("http://blogs.bbc.co.uk/path", "http", "blogs.bbc.co.uk",
+             "bbc.co.uk", "/path"),
+            ("https://localhost:9000", "https", "localhost",
+             "localhost", ""),
+            ("ftp+ssh://a.b.ac.jp/f", "ftp+ssh", "a.b.ac.jp",
+             "b.ac.jp", "/f"),
+            ("not a url at all", "", "", "", ""),
+            ("http://EDU.example.net?only=query", "http",
+             "edu.example.net", "example.net", ""),
+        ]
+        df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+        got = [
+            (r["s"], r["h"], r["d"], r["p"])
+            for r in df.select(
+                url_scheme("url").alias("s"),
+                url_host("url").alias("h"),
+                url_registered_domain("url").alias("d"),
+                url_path("url").alias("p"),
+            ).collect()
+        ]
+        assert got == [(s, h, d, p) for _, s, h, d, p in cases]
+        con = duckdb.connect()
+        for u, s, h, d, p in cases:
+            row = con.execute(
+                f"SELECT {url_scheme_sql('$1')}, {url_host_sql('$1')},"
+                f" {url_registered_domain_sql('$1')}, {url_path_sql('$1')}",
+                [u],
+            ).fetchone()
+            assert row == (s, h, d, p), u
+
+    def test_html_meta_charset_mirrors(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            html_meta_charset,
+            html_meta_charset_sql,
+        )
+
+        cases = [
+            ('<head><META CHARSET="ISO-8859-1"></head>', "iso-8859-1"),
+            ("<meta http-equiv='Content-Type' content='text/html; "
+             "charset=UTF-8'>", "utf-8"),
+            ("<meta charset=windows-1251>", "windows-1251"),
+            ("<p>no meta</p>", ""),
+        ]
+        df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+        got = [
+            r["c"]
+            for r in df.select(html_meta_charset("html").alias("c")).collect()
+        ]
+        assert got == [w for _, w in cases]
+        con = duckdb.connect()
+        for h, w in cases:
+            assert (
+                con.execute(
+                    f"SELECT {html_meta_charset_sql('$1')}", [h]
+                ).fetchone()[0]
+                == w
+            ), h
+
     def test_warc_to_text_end_to_end(self, spark, tmp_path):
         # the full CommonCrawl ingestion path: HTML page -> HTTP
         # response -> WARC segment file -> read_warc -> parse_http ->
