@@ -56,13 +56,27 @@ def build_http_response(
     content_type: str = "text/html; charset=utf-8",
     chunked: bool = False,
     chunk_size: int = 256,
+    content_encoding: str | None = None,
 ) -> bytes:
     """Serialize one deterministic HTTP/1.1 response (RFC 7230 framing).
     ``headers`` is an ordered list of (name, value) pairs — repeated
     names are legal and preserved. ``chunked=True`` emits
-    ``Transfer-Encoding: chunked`` framing instead of Content-Length."""
+    ``Transfer-Encoding: chunked`` framing instead of Content-Length;
+    ``content_encoding='gzip'|'deflate'`` compresses the body and adds
+    the header (mtime=0 so archives stay byte-deterministic)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    if content_encoding == "gzip":
+        body = _gzip.compress(body, mtime=0)
+    elif content_encoding == "deflate":
+        body = _zlib.compress(body)
+    elif content_encoding is not None:
+        raise ValueError(f"unsupported content_encoding {content_encoding!r}")
     lines = [f"HTTP/1.1 {status} {reason}".encode()]
     hdrs = list(headers or [])
+    if content_encoding:
+        hdrs.insert(0, ("Content-Encoding", content_encoding))
     if content_type is not None:
         hdrs.insert(0, ("Content-Type", content_type))
     if chunked:
@@ -134,6 +148,11 @@ def parse_http_response(payload: bytes) -> dict:
       Content-Length (when present and sane) bounds the body, else
       everything after the blank line is the body (the WARC record
       length already frames it).
+    - ``Content-Encoding: gzip/x-gzip/deflate`` bodies are
+      decompressed (r8 — most live HTTP bodies arrive compressed;
+      deflate tries zlib-wrapped then raw, the in-the-wild split);
+      unknown codings (br, zstd) leave the body bytes as-is with the
+      coding still visible in ``headers``.
     - Text decode: declared charset first, UTF-8 when undeclared,
       latin-1 as the never-fails fallback (every byte maps).
 
@@ -178,6 +197,26 @@ def parse_http_response(payload: bytes) -> dict:
                 raise ValueError(f"HTTP: bad Content-Length {cl[:16]!r}")
             if 0 <= clen <= len(body):
                 body = body[:clen]
+    coding = headers.get("content-encoding", "").strip().lower()
+    if coding in ("gzip", "x-gzip"):
+        import zlib
+
+        try:
+            import gzip as _gzip
+
+            body = _gzip.decompress(body)
+        except (EOFError, zlib.error, OSError) as exc:
+            raise ValueError(f"HTTP: corrupt gzip body ({exc})")
+    elif coding == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:  # raw deflate — servers send both in the wild
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                raise ValueError(f"HTTP: corrupt deflate body ({exc})")
     content_type = headers.get("content-type", "")
     charset = _charset_of(content_type)
     try:

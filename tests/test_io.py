@@ -534,6 +534,47 @@ class TestHttpSource:
         ]
         assert got_duck == want
 
+    def test_content_encoding_gzip_deflate(self):
+        import zlib
+
+        import pytest as _pytest
+
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        body = ("compress me " * 40).encode()
+        for enc in ("gzip", "deflate"):
+            raw = build_http_response(body, content_encoding=enc)
+            rec = parse_http_response(raw)
+            assert rec["body"] == body, enc
+            assert rec["headers"]["content-encoding"] == enc
+        # raw-deflate servers (no zlib wrapper) are the in-the-wild split
+        co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        raw_deflate = co.compress(body) + co.flush()
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            b"Content-Length: " + str(len(raw_deflate)).encode()
+            + b"\r\n\r\n" + raw_deflate
+        )
+        assert parse_http_response(resp)["body"] == body
+        # unknown codings leave bytes as-is; corrupt gzip fails clean
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nOPAQUE"
+        )
+        assert parse_http_response(resp)["body"] == b"OPAQUE"
+        bad = build_http_response(body, content_encoding="gzip")[:-10]
+        with _pytest.raises(ValueError):
+            parse_http_response(bad)
+        # gzip + chunked compose (coding applies to the de-chunked body)
+        rec = parse_http_response(
+            build_http_response(
+                body, content_encoding="gzip", chunked=True, chunk_size=32
+            )
+        )
+        assert rec["body"] == body
+
     def test_url_parts_two_mirrors_agree(self, spark):
         # the url_* chain must extract identically JVM-side and in
         # DuckDB (the oracle), and match hand expectations on hazards
