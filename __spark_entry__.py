@@ -3282,8 +3282,8 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (2) rows whose CODE changed in r8 (k_core redesign; JPEG entropy/
 # reconstruction rewrite; PNG unfilter refactor for Adam7) — green
 # history doesn't cover new code, (3) the 10 rows last verified in
-# round 3, (4) 32 of the 50 round-4-cohort rows (the rest roll into
-# the r9 window). Recompute staleness with:
+# round 3, (4) 31 of the 50 round-4-cohort rows (the remaining 19
+# roll into the r9 window). Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R8_WINDOW = [
     # (1) new in r8
@@ -3308,8 +3308,8 @@ _R8_WINDOW = [
     "text_language_id",
     "text_quality",
     "text_token_count",
-    # (4) round-4 cohort (alphabetical prefix + the two rows this
-    # round's bench analysis touched)
+    # (4) round-4 cohort (alphabetical prefix + sessionize_events,
+    # which this round's bench analysis touched)
     "asof_join_events",
     "bigram_collocations",
     "bigram_logprob_quality",

@@ -155,11 +155,17 @@ def main() -> None:
     # schedule, cache policy) — for A/B-ing individual queries without
     # paying the full suite
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))]
-        if only
-        else HEADLINE
-    )
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: "
+                f"{sorted(unknown)}"
+            )
+        headline = [q for q in HEADLINE if q in wanted]
+    else:
+        headline = HEADLINE
     best_t: dict[str, float] = {}
     rows_n: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -276,9 +282,18 @@ def main() -> None:
     # JSON line got its HEAD truncated and recorded "parsed": null.
     # Emit a compact summary (no per-query maps) as the LAST line —
     # tail-safe — and write the full payload to a sidecar file.
+    if only:
+        # a subset A/B must not masquerade as the headline artifact:
+        # relabel the metric and write a separate sidecar so
+        # round-over-round diffs of BENCH_SUMMARY.json never see a
+        # subset total under the headline name
+        out["metric"] = "subset_queries_total_wall"
+        out["subset"] = sorted(headline)
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SUMMARY.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SUBSET.json" if only else "BENCH_SUMMARY.json",
+        ),
         "w",
     ) as fh:
         json.dump(out, fh, indent=1)

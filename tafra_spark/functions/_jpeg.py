@@ -202,6 +202,12 @@ def _split_restarts(data: bytes) -> list[bytes]:
             nxt = arr[i + 1]
             if nxt == 0x00:
                 continue  # stuffing — stays, unstuffed later
+            if nxt == 0xFF:
+                # T.81 B.1.1.2 fill byte: any number of 0xFFs may pad
+                # before a marker; the NEXT iteration classifies the
+                # real second byte (leftover fill FFs stay in the
+                # segment tail as harmless 1-bit padding)
+                continue
             if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
                 segs.append(data[start:i])
                 start = i + 2
@@ -244,6 +250,12 @@ class _BitReader:
 
     def peek16(self) -> int:
         if self.nbits < 16:
+            if self.pos + 2 > len(self.data):
+                # extend the 1-bit padding: reads past the end must
+                # yield 1s FOREVER (and the 2-byte refill slice must
+                # never come up short — a 1-byte slice would land the
+                # byte in the LOW half of the 16-bit refill)
+                self.data += b"\xff" * 64
             # keep the invariant acc < 2^nbits so the int stays small
             self.acc = (
                 (self.acc & ((1 << self.nbits) - 1)) << 16
@@ -259,6 +271,8 @@ class _BitReader:
         if n == 0:
             return 0
         while self.nbits < n:
+            if self.pos + 2 > len(self.data):
+                self.data += b"\xff" * 64
             self.acc = (
                 (self.acc & ((1 << self.nbits) - 1)) << 16
             ) | int.from_bytes(self.data[self.pos : self.pos + 2], "big")

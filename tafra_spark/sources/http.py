@@ -269,6 +269,11 @@ def parse_http(
     """
     import pandas as pd
 
+    if on_error not in ("null", "raise"):
+        raise ValueError(
+            f"parse_http: on_error must be 'null' or 'raise', "
+            f"got {on_error!r}"
+        )
     in_schema = df.schema
     out_schema = T.StructType(list(in_schema) + list(HTTP_FIELDS))
     names = [f.name for f in HTTP_FIELDS]
@@ -450,7 +455,12 @@ def url_registered_domain_sql(expr: str) -> str:
 #: r8: <meta charset=...> / http-equiv content charset sniffing — the
 #: in-document declaration a crawl needs when the HTTP header omits
 #: charset (header wins when both exist, per the HTML standard).
-_META_CHARSET = r"(?i)<meta[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_-]+)"
+#: whitespace spelled explicitly (not \s) — Java and RE2 disagree on
+#: \x0b, the same reason html_to_text uses _WS
+_META_CHARSET = (
+    r"(?i)<meta[^>]*charset[ \t\r\n\x0b\x0c]*=[ \t\r\n\x0b\x0c]*"
+    r"[\"']?([A-Za-z0-9_-]+)"
+)
 
 
 def html_meta_charset(col: Column | str) -> Column:
