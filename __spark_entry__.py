@@ -3139,6 +3139,70 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robots_gate_docs: one fixture policy, parsed ONCE at import; the
+# Spark query and the DuckDB oracle both derive their match chains
+# from this same rule list, so the RFC 9309 precedence semantics
+# (longest rule, allow-wins ties, * and $ wildcards) are oracle-graded
+_ROBOTS_FIXTURE = """
+User-agent: *
+Disallow: /private/
+Allow: /private/pub$
+Disallow: /*.zip$
+Disallow: /raw/
+Allow: /raw/ok/
+"""
+
+
+def robots_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: RFC 9309 robots gating over constructed crawl paths — the
+    # fetch-policy filter every CC-derived corpus re-applies. The
+    # match chain is a single codegen-fused CASE WHEN path RLIKE ...
+    # projection (zero joins, zero Python per URL).
+    from tafra_spark.sources.robots import parse_robots, robots_allowed
+
+    rules = parse_robots(_ROBOTS_FIXTURE, "trainbot")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    path = (
+        F.when(F.pmod(d, 5) == 0, F.concat(F.lit("/private/doc"), ds))
+        .when(F.pmod(d, 5) == 1, F.lit("/private/pub"))
+        .when(
+            F.pmod(d, 5) == 2, F.concat(F.lit("/data/f"), ds, F.lit(".zip"))
+        )
+        .when(F.pmod(d, 5) == 3, F.concat(F.lit("/raw/ok/"), ds))
+        .otherwise(F.concat(F.lit("/public/"), ds))
+    )
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        robots_allowed(path, rules).alias("allowed"),
+    )
+
+
+def _robots_gate_sql() -> str:
+    from tafra_spark.sources.robots import parse_robots, robots_allowed_sql
+
+    rules = parse_robots(_ROBOTS_FIXTURE, "trainbot")
+    path = (
+        "(CASE doc_id % 5"
+        " WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)"
+        " WHEN 1 THEN '/private/pub'"
+        " WHEN 2 THEN '/data/f' || CAST(doc_id AS VARCHAR) || '.zip'"
+        " WHEN 3 THEN '/raw/ok/' || CAST(doc_id AS VARCHAR)"
+        " ELSE '/public/' || CAST(doc_id AS VARCHAR) END)"
+    )
+    return f"""
+        WITH p AS (SELECT doc_id, {path} AS path FROM documents)
+        SELECT doc_id, path,
+               {robots_allowed_sql("path", rules)} AS allowed
+        FROM p
+    """
+
+
+_ROBOTS_GATE_SQL = _robots_gate_sql()
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3290,6 +3354,7 @@ _R8_WINDOW = [
     "warc_http_docs",
     "html_extract_text",
     "domain_doc_stats",
+    "robots_gate_docs",
     # (2) r8 code changes
     "k_core_event_graph",
     "multimodal_jpeg_decode",
@@ -3340,7 +3405,6 @@ _R8_WINDOW = [
     "pq_encode_codes",
     "pq_recall_eval",
     "pq_refined_codebooks",
-    "sessionize_events",
 ]
 
 
@@ -3357,6 +3421,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
+        "robots_gate_docs": robots_gate_docs,
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -9135,6 +9200,8 @@ def oracle_sql() -> dict[str, str]:
         # URL layer: identical construction + the shared url_* regex
         # chain on both engines (generated by the *_sql mirrors)
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
+        # RFC 9309 precedence chain generated from ONE parsed rule list
+        "robots_gate_docs": _ROBOTS_GATE_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

@@ -1,0 +1,161 @@
+"""robots.txt (RFC 9309) parsing and URL gating — the crawl-side
+counterpart of the WARC/HTTP ingestion layer: CommonCrawl honors
+robots rules at fetch time, and corpus builders re-apply them when a
+site's policy changes between dump and training run.
+
+Matching model: the selected user-agent group's rules are compiled
+ONCE (driver-side, a robots.txt is a per-host control file of at most
+a few hundred lines) into a precedence-ordered regex chain — longest
+rule wins, allow wins ties (RFC 9309 §2.2.2) — and evaluated as a
+single JVM ``CASE WHEN path RLIKE ...`` projection: zero joins, zero
+Python in the per-URL hot path, whole-stage codegen fuses it into the
+scan. ``*`` and ``$`` wildcards are translated to regex with every
+other byte escaped; the generated patterns live in the Java∩RE2
+common subset, and :func:`robots_allowed_sql` emits the IDENTICAL
+chain for DuckDB oracles.
+
+Reference has no web story; this extends the r8 HTTP/HTML/URL layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_robots",
+    "robots_allowed",
+    "robots_allowed_py",
+    "robots_allowed_sql",
+]
+
+
+def parse_robots(
+    text: str, user_agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """Parse a robots.txt body and return the rule list
+    ``[(path_pattern, is_allow), ...]`` of the group that governs
+    ``user_agent``: the group whose ``User-agent`` token is the
+    LONGEST case-insensitive substring of the product token, else the
+    ``*`` group, else no rules (RFC 9309 §2.2.1). Comments (#...),
+    blank lines, and non-rule directives (Crawl-delay, Sitemap) are
+    ignored; empty ``Disallow:`` (allow-all) contributes no rule."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, colon, val = line.partition(":")
+        if not colon:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                # a User-agent after rules starts a NEW group
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val:
+                rules.append((val, key == "allow"))
+            # empty Disallow: = allow everything -> no rule at all;
+            # empty Allow: equally vacuous
+        # other directives (crawl-delay, sitemap, host) are ignored
+    if agents or rules:
+        groups.append((agents, rules))
+    ua = user_agent.lower()
+    best: list[tuple[str, bool]] | None = None
+    best_len = -1
+    star: list[tuple[str, bool]] | None = None
+    for ags, rls in groups:
+        for a in ags:
+            if a == "*":
+                if star is None:
+                    star = rls
+            elif a and a in ua and len(a) > best_len:
+                best, best_len = rls, len(a)
+    if best is not None:
+        return best
+    return star if star is not None else []
+
+
+def _rule_regex(rule: str) -> str:
+    """RFC 9309 pattern -> anchored regex in the Java∩RE2 subset:
+    ``*`` matches any run, a FINAL ``$`` anchors the end, every other
+    byte is matched literally (escaped with a backslash — Java and
+    RE2 agree on identity escapes for ASCII punctuation)."""
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch.isalnum() or ch in "/_-":
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    if anchored_end:
+        out.append("$")
+    return "".join(out)
+
+
+def _ordered(rules: list[tuple[str, bool]]) -> list[tuple[str, bool]]:
+    """Precedence order: longest rule first (most specific wins),
+    allow before disallow at equal length (RFC 9309 §2.2.2 tie rule).
+    Evaluating the chain first-match-wins under this order implements
+    the spec exactly."""
+    return sorted(rules, key=lambda r: (-len(r[0]), not r[1]))
+
+
+def robots_allowed(
+    col: Column | str, rules: list[tuple[str, bool]]
+) -> Column:
+    """Boolean Column: is the URL path allowed under ``rules`` (from
+    :func:`parse_robots`)? One codegen-fused CASE chain over anchored
+    RLIKEs; no rule matching -> allowed (RFC 9309 §2.2.2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    chain: Column | None = None
+    for rule, is_allow in _ordered(rules):
+        cond = c.rlike(_rule_regex(rule))
+        chain = (
+            F.when(cond, F.lit(bool(is_allow)))
+            if chain is None
+            else chain.when(cond, F.lit(bool(is_allow)))
+        )
+    if chain is None:
+        return F.lit(True)
+    return F.coalesce(chain, F.lit(True))
+
+
+def robots_allowed_py(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """Pure-Python mirror of :func:`robots_allowed` (same order, same
+    regexes) for tests and driver-side use."""
+    import re
+
+    for rule, is_allow in _ordered(rules):
+        if re.search(_rule_regex(rule), path):
+            return bool(is_allow)
+    return True
+
+
+def robots_allowed_sql(expr: str, rules: list[tuple[str, bool]]) -> str:
+    """The DuckDB mirror: the identical precedence chain as a CASE
+    over regexp_matches."""
+    ordered = _ordered(rules)
+    if not ordered:
+        return "TRUE"
+    parts = ["CASE"]
+    for rule, is_allow in ordered:
+        pat = _rule_regex(rule).replace("'", "''")
+        parts.append(
+            f"WHEN regexp_matches({expr}, '{pat}') "
+            f"THEN {'TRUE' if is_allow else 'FALSE'}"
+        )
+    parts.append("ELSE TRUE END")
+    return " ".join(parts)

@@ -657,6 +657,73 @@ class TestHttpSource:
                 == w
             ), h
 
+    def test_robots_parse_and_three_mirrors(self, spark):
+        # RFC 9309: group selection by longest UA token, longest-rule
+        # precedence, allow-wins ties, * and $ wildcards, empty
+        # Disallow, comments, unknown directives
+        import duckdb
+
+        from tafra_spark.sources.robots import (
+            parse_robots,
+            robots_allowed,
+            robots_allowed_py,
+            robots_allowed_sql,
+        )
+
+        robots = """
+        # global policy
+        User-agent: *
+        Disallow: /private/
+        Allow: /private/pub$
+        Disallow: /*.zip$
+        Crawl-delay: 10
+
+        User-agent: trainbot
+        User-agent: otherbot
+        Disallow: /raw/
+        Allow: /raw/ok/
+
+        User-agent: train
+        Disallow: /everything/
+        """
+        star = parse_robots(robots, "somebot/1.0")
+        assert ("/private/", False) in star and ("/*.zip$", False) in star
+        # 'trainbot' is a LONGER matching token than 'train'
+        tb = parse_robots(robots, "Mozilla/5.0 compatible; Trainbot/2")
+        assert tb == [("/raw/", False), ("/raw/ok/", True)]
+        assert parse_robots("", "x") == []
+
+        cases = [
+            ("/public/page.html", True),      # no rule matches
+            ("/private/secret", False),       # prefix disallow
+            ("/private/pub", True),           # longer allow + $ anchor
+            ("/private/pubX", False),         # $ anchor must not match
+            ("/data/file.zip", False),        # * wildcard
+            ("/data/file.zip.txt", True),     # $ anchor
+            ("", True),
+        ]
+        for path, want in cases:
+            assert robots_allowed_py(path, star) == want, path
+        df = spark.createDataFrame([(p,) for p, _ in cases], "path string")
+        got = [
+            r["a"]
+            for r in df.select(
+                robots_allowed("path", star).alias("a")
+            ).collect()
+        ]
+        assert got == [w for _, w in cases]
+        con = duckdb.connect()
+        sql = robots_allowed_sql("$1", star)
+        for path, want in cases:
+            assert con.execute(f"SELECT {sql}", [path]).fetchone()[0] == want
+
+        # allow-wins tie at EQUAL length (RFC 9309 §2.2.2)
+        tie = [("/a/", False), ("/b/", True), ("/b/", False)]
+        assert robots_allowed_py("/b/x", tie) is True
+        assert robots_allowed_py("/a/x", tie) is False
+        # empty rule set: everything allowed, SQL mirror is TRUE
+        assert robots_allowed_sql("p", []) == "TRUE"
+
     def test_warc_to_text_end_to_end(self, spark, tmp_path):
         # the full CommonCrawl ingestion path: HTML page -> HTTP
         # response -> WARC segment file -> read_warc -> parse_http ->
