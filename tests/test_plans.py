@@ -1108,3 +1108,62 @@ class TestHllPlan:
         ev = spark.read.parquet(f"{SF}/events.parquet")
         df = hll_distinct(ev, "user_id", ["event_type"], b=10)
         assert count_exchanges(df) <= 2
+
+
+class TestR8WebLayerPlans:
+    """r8: the CC ingestion layer's scale contracts — the tag-strip,
+    URL, and robots chains must stay pure JVM projections (no
+    BatchEvalPython / ArrowEvalPython in the plan), and parse_http
+    must be a single shuffle-free Arrow stage."""
+
+    def test_html_to_text_is_jvm_only_projection(self, spark):
+        from tafra_spark.plans import count_exchanges, explain_str
+        from tafra_spark.sources.http import html_to_text
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = docs.select("doc_id", html_to_text("text").alias("t"))
+        plan = explain_str(df)
+        assert "EvalPython" not in plan  # no Python in the strip path
+        assert count_exchanges(df) == 0  # narrow projection
+
+    def test_url_and_robots_chains_are_jvm_only(self, spark):
+        from tafra_spark.plans import count_exchanges, explain_str
+        from tafra_spark.sources.http import (
+            url_host,
+            url_registered_domain,
+        )
+        from tafra_spark.sources.robots import parse_robots, robots_allowed
+
+        rules = parse_robots(
+            "User-agent: *\nDisallow: /x/\nAllow: /x/ok$", "bot"
+        )
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        url = F.concat(F.lit("http://h.example.com/"), F.col("doc_id").cast("string"))
+        df = docs.select(
+            url_host(url).alias("h"),
+            url_registered_domain(url).alias("d"),
+            robots_allowed(F.concat(F.lit("/x/"), F.col("doc_id").cast("string")), rules).alias("a"),
+        )
+        plan = explain_str(df)
+        assert "EvalPython" not in plan
+        assert count_exchanges(df) == 0
+        # the per-domain rollup is ONE map-side-combinable exchange
+        agg = df.groupBy("d").count()
+        assert count_exchanges(agg) == 1
+
+    def test_parse_http_single_arrow_stage_no_shuffle(self, spark):
+        from tafra_spark.plans import count_exchanges, explain_str
+        from tafra_spark.sources.http import build_http_response, parse_http
+
+        raw = build_http_response(b"<p>x</p>")
+        df = spark.createDataFrame(
+            [(bytearray(raw),)] * 4, "payload binary"
+        )
+        out = parse_http(df)
+        plan = explain_str(out)
+        # one Arrow-batched Python stage (formatted mode renders the
+        # node twice: tree + detail), zero exchanges: parallelism is
+        # inherited from the upstream WARC file scan
+        assert "MapInPandas" in plan
+        assert plan.count("ArrowEvalPython") == 0
+        assert count_exchanges(out) == 0
