@@ -3139,6 +3139,24 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cc_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: the integration the r7 review said was missing — the
+    # WARC→HTTP→HTML extraction output feeding the EXISTING text
+    # pipeline directly (quality scoring + token counting on the
+    # extracted text column). The oracle reconstructs the extracted
+    # text independently (escape/entity-decode cancellation) and
+    # applies the text_quality/_NTOK recipes to it, so the whole
+    # composed path is value-checked end to end.
+    ext = warc_http_docs(spark, sf_dir).select("doc_id", "text")
+    out = TX.with_token_count(ext)
+    q = TX.quality_score(F.col("text"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(q * 10000 + 0.5).cast("long").alias("quality_q4"),
+    )
+
+
 # robots_gate_docs: one fixture policy, parsed ONCE at import; the
 # Spark query and the DuckDB oracle both derive their match chains
 # from this same rule list, so the RFC 9309 precedence semantics
@@ -3355,6 +3373,7 @@ _R8_WINDOW = [
     "html_extract_text",
     "domain_doc_stats",
     "robots_gate_docs",
+    "cc_ingest_quality",
     # (2) r8 code changes
     "k_core_event_graph",
     "multimodal_jpeg_decode",
@@ -3404,7 +3423,6 @@ _R8_WINDOW = [
     "pq_ann_topk",
     "pq_encode_codes",
     "pq_recall_eval",
-    "pq_refined_codebooks",
 ]
 
 
@@ -3422,6 +3440,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
         "robots_gate_docs": robots_gate_docs,
+        "cc_ingest_quality": cc_ingest_quality,
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -3647,6 +3666,46 @@ _TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
 _NTOK_SQL = (
     f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END"
 )
+
+# cc_ingest_quality: the WARC→HTTP→HTML extraction reconstructed
+# independently (escape + entity decode cancel, boilerplate strips to
+# whitespace — the warc_http_docs algebra), then the text_quality /
+# token-count recipes applied to the reconstructed text
+_CC_INGEST_QUALITY_SQL = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             trim('Doc ' || CAST(doc_id AS VARCHAR) || ' café & co '
+                  || trim(regexp_replace(
+                         text, '[ \t\r\n\x0b\x0c]+', ' ', 'g'))) AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  AS DOUBLE) AS alpha,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS DOUBLE) AS spaces,
+             CAST({_NTOK_SQL} AS DOUBLE) AS toks
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+        CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN n > 0 THEN spaces / n ELSE 0.0 END AS space_ratio,
+        CASE WHEN toks > 0 THEN (n - spaces) / toks ELSE 0.0 END AS mwl,
+        least(n / 500.0, 1.0) AS length_score
+      FROM m
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((0.3 * length_score + 0.3 * alpha_ratio
+             + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 10
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (CASE WHEN space_ratio >= 0.05 AND space_ratio <= 0.4
+                           THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5)
+                AS BIGINT) AS quality_q4
+    FROM r
+"""
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
@@ -9202,6 +9261,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
+        # composed CC path into the existing text pipeline
+        "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""
