@@ -3139,6 +3139,86 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sitemap_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: the discovery side of the crawl trio — per-source sitemap
+    # XML is CONSTRUCTED identically on both engines (order pinned by
+    # doc_id), then <loc> extraction runs the shared regex through
+    # regexp_extract_all (present and list-identical in Spark and
+    # DuckDB); n_urls + the joined URL list hash-check order,
+    # whitespace trimming, and tag matching end to end
+    from tafra_spark.sources.robots import sitemap_locs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("source").isNotNull())
+    )
+    url = F.concat(
+        F.lit("https://ex.example.org/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>\n  "),
+        url,
+        F.lit("\n</loc><lastmod>2024-01-01</lastmod></url>"),
+    )
+    xml = (
+        docs.select("source", "doc_id", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("e")))
+                        ),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    locs = sitemap_locs(F.col("xml"))
+    return xml.select(
+        "source",
+        F.size(locs).cast("long").alias("n_urls"),
+        F.array_join(locs, ",").alias("urls"),
+    )
+
+
+def _sitemap_frontier_sql() -> str:
+    from tafra_spark.sources.robots import sitemap_locs_sql
+
+    return f"""
+        WITH e AS (
+          SELECT source, doc_id,
+                 '<url><loc>' || chr(10) || '  https://ex.example.org/'
+                 || source || '/' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || '</loc><lastmod>2024-01-01</lastmod></url>' AS ent
+          FROM documents WHERE source IS NOT NULL
+        ),
+        x AS (
+          SELECT source,
+                 '<?xml version="1.0"?><urlset>'
+                 || string_agg(ent, '' ORDER BY doc_id)
+                 || '</urlset>' AS xml
+          FROM e GROUP BY source
+        )
+        SELECT source,
+               CAST(len({sitemap_locs_sql("xml")}) AS BIGINT) AS n_urls,
+               array_to_string({sitemap_locs_sql("xml")}, ',') AS urls
+        FROM x
+    """
+
+
+_SITEMAP_FRONTIER_SQL = _sitemap_frontier_sql()
+
+
 def cc_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: the integration the r7 review said was missing — the
     # WARC→HTTP→HTML extraction output feeding the EXISTING text
@@ -3374,6 +3454,7 @@ _R8_WINDOW = [
     "domain_doc_stats",
     "robots_gate_docs",
     "cc_ingest_quality",
+    "sitemap_url_frontier",
     # (2) r8 code changes
     "k_core_event_graph",
     "multimodal_jpeg_decode",
@@ -3422,7 +3503,6 @@ _R8_WINDOW = [
     "ngram_novelty_scores",
     "pq_ann_topk",
     "pq_encode_codes",
-    "pq_recall_eval",
 ]
 
 
@@ -3441,6 +3521,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_doc_stats": domain_doc_stats,
         "robots_gate_docs": robots_gate_docs,
         "cc_ingest_quality": cc_ingest_quality,
+        "sitemap_url_frontier": sitemap_url_frontier,
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -9263,6 +9344,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
+        # sitemap <loc> extraction via the shared regexp_extract_all
+        "sitemap_url_frontier": _SITEMAP_FRONTIER_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

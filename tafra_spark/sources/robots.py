@@ -27,6 +27,8 @@ __all__ = [
     "robots_allowed",
     "robots_allowed_py",
     "robots_allowed_sql",
+    "sitemap_locs",
+    "sitemap_locs_sql",
 ]
 
 
@@ -159,3 +161,25 @@ def robots_allowed_sql(expr: str, rules: list[tuple[str, bool]]) -> str:
         )
     parts.append("ELSE TRUE END")
     return " ".join(parts)
+
+
+# --- sitemaps ---------------------------------------------------------
+#
+# The discovery side of the crawl trio (robots points at sitemaps,
+# sitemaps enumerate URLs, WARC holds the fetches). <loc> extraction
+# is one regexp_extract_all — present and list-semantics-identical in
+# Spark and DuckDB — so frontier building stays a JVM projection.
+_SITEMAP_LOC = r"(?is)<loc>[ \t\r\n]*(.*?)[ \t\r\n]*</loc>"
+
+
+def sitemap_locs(col: Column | str) -> Column:
+    """Array of the <loc> URLs of a sitemap / sitemap-index XML body,
+    in document order (urlset and sitemapindex both use <loc>). Lazy
+    match keeps nested garbage from gluing entries together; leading/
+    trailing whitespace inside the tag is stripped (spec allows it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_SITEMAP_LOC), F.lit(1))
+
+
+def sitemap_locs_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{_SITEMAP_LOC}', 1)"

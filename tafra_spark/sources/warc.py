@@ -35,11 +35,16 @@ def write_warc_record(
     warc_type: str = "response",
     date: str = "2024-01-01T00:00:00Z",
     content_type: str = "application/http; msgtype=response",
+    block_digest: bool = True,
 ) -> bytes:
     """One spec-shaped WARC/1.0 record. The record id is a DETERMINISTIC
     urn:uuid derived from (url, type, date) — re-running a build
     produces byte-identical archives, which is what makes WARC outputs
-    verifiable by value hash."""
+    verifiable by value hash. ``block_digest`` adds the spec-recommended
+    ``WARC-Block-Digest: sha1:<base32>`` (ISO 28500 §5.8; what
+    CommonCrawl ships), letting readers detect payload corruption."""
+    import base64
+
     digest = hashlib.md5(
         f"{warc_type}|{date}|{url}".encode()
     ).hexdigest()
@@ -56,6 +61,9 @@ def write_warc_record(
         b"Content-Type: " + content_type.encode(),
         b"Content-Length: " + str(len(payload)).encode(),
     ]
+    if block_digest:
+        b32 = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+        headers.append(b"WARC-Block-Digest: sha1:" + b32.encode())
     return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
 
 
@@ -113,13 +121,26 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         body_start = head_end + 4
         if body_start + clen > n:
             raise ValueError("WARC: truncated record payload")
+        payload = data[body_start : body_start + clen]
+        # ISO 28500 §5.8 block digest, when present: verify so a
+        # flipped byte in a petabyte archive surfaces as a FLAG, not
+        # as silently-poisoned training text (None = no digest header)
+        digest_ok = None
+        bd = fields.get("warc-block-digest", "")
+        if bd.lower().startswith("sha1:"):
+            import base64
+
+            want = bd.split(":", 1)[1].strip().upper()
+            got = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+            digest_ok = got == want
         yield {
             "warc_type": fields.get("warc-type", ""),
             "url": fields.get("warc-target-uri", ""),
             "date": fields.get("warc-date", ""),
             "content_type": fields.get("content-type", ""),
             "content_length": clen,
-            "payload": data[body_start : body_start + clen],
+            "payload": payload,
+            "digest_ok": digest_ok,
         }
         pos = body_start + clen
 
@@ -133,6 +154,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("payload", T.BinaryType()),
+        T.StructField("digest_ok", T.BooleanType()),
     ]
 )
 
@@ -163,7 +185,7 @@ def read_warc(
                     rows["path"].append(row["path"])
                     for k in (
                         "warc_type", "url", "date", "content_type",
-                        "content_length", "payload",
+                        "content_length", "payload", "digest_ok",
                     ):
                         rows[k].append(rec[k])
             yield pd.DataFrame(rows)

@@ -374,6 +374,29 @@ class TestWarcSource:
         got = list(parse_warc(build_warc([("http://t", tricky)])))
         assert got[0]["payload"] == tricky
 
+    def test_block_digest_verify(self):
+        # r8: ISO 28500 §5.8 — digests written by default, verified on
+        # parse; a flipped payload byte flags digest_ok=False (framing
+        # still parses), absent digests yield None
+        from tafra_spark.sources.warc import (
+            build_warc,
+            parse_warc,
+            write_warc_record,
+        )
+
+        blob = build_warc(self._recs())
+        recs = list(parse_warc(blob))
+        assert all(r["digest_ok"] is True for r in recs)
+        # tamper with a payload byte INSIDE the first record's body
+        body_at = blob.find(b"hello world")
+        bad = blob[:body_at] + b"J" + blob[body_at + 1 :]
+        got = list(parse_warc(bad))
+        assert got[0]["digest_ok"] is False
+        assert [r["digest_ok"] for r in got[1:]] == [True, True]
+        # records without the header parse with digest_ok None
+        legacy = write_warc_record("http://x", b"p", block_digest=False)
+        assert list(parse_warc(legacy))[0]["digest_ok"] is None
+
     def test_read_warc_distributed(self, spark, tmp_path):
         from tafra_spark.sources.warc import build_warc, read_warc
 
@@ -723,6 +746,40 @@ class TestHttpSource:
         assert robots_allowed_py("/a/x", tie) is False
         # empty rule set: everything allowed, SQL mirror is TRUE
         assert robots_allowed_sql("p", []) == "TRUE"
+
+    def test_sitemap_locs_mirrors(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.robots import sitemap_locs, sitemap_locs_sql
+
+        cases = [
+            (
+                '<?xml version="1.0"?><urlset><url><loc>http://a/1</loc>'
+                "</url><url><LOC>\n  http://a/2 \t</LOC></url></urlset>",
+                ["http://a/1", "http://a/2"],
+            ),
+            (
+                "<sitemapindex><sitemap><loc>http://a/s1.xml</loc>"
+                "</sitemap></sitemapindex>",
+                ["http://a/s1.xml"],
+            ),
+            ("<urlset></urlset>", []),
+            ("not xml", []),
+        ]
+        df = spark.createDataFrame([(x,) for x, _ in cases], "xml string")
+        got = [
+            list(r["l"])
+            for r in df.select(sitemap_locs("xml").alias("l")).collect()
+        ]
+        assert got == [w for _, w in cases]
+        con = duckdb.connect()
+        for xml, want in cases:
+            assert (
+                con.execute(
+                    f"SELECT {sitemap_locs_sql('$1')}", [xml]
+                ).fetchone()[0]
+                == want
+            ), xml
 
     def test_warc_to_text_end_to_end(self, spark, tmp_path):
         # the full CommonCrawl ingestion path: HTML page -> HTTP
