@@ -915,3 +915,62 @@ class TestKAnonymityMonitor:
         sink(mk([("a",), ("b",), ("b",), ("b",)]), 0)
         again = spark.read.parquet(rep).collect()
         assert len(again) == 4
+
+
+class TestHttpExtractionOnStreams:
+    """r8: the CC ingestion layer composes with Structured Streaming —
+    parse_http (mapInPandas is streaming-legal, stateless) and
+    html_to_text (pure projection) must give stream == batch."""
+
+    @pytest.fixture(scope="class")
+    def responses_path(self, spark, tmp_path_factory):
+        from tafra_spark.sources.http import build_http_response
+
+        rows = []
+        for i in range(6):
+            html = (
+                f"<html><head><script>x()</script></head>"
+                f"<body><p>doc {i} &amp; body</p></body></html>"
+            )
+            rows.append(
+                (
+                    f"http://h/{i}",
+                    bytearray(
+                        build_http_response(
+                            html.encode(),
+                            content_encoding="gzip" if i % 2 else None,
+                            chunked=(i % 3 == 0),
+                        )
+                    ),
+                )
+            )
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        path = str(tmp_path_factory.mktemp("http_stream") / "resp")
+        df.repartition(2).write.parquet(path)
+        return path
+
+    def test_extraction_stream_matches_batch(self, spark, responses_path):
+        from pyspark.sql import functions as F
+
+        from tafra_spark.sources.http import html_to_text, parse_http
+        from tafra_spark.streaming.ops import run_to_memory_sink
+
+        def extract(df):
+            return parse_http(df).select(
+                "url", "status", html_to_text("text").alias("clean")
+            )
+
+        batch = {
+            tuple(r)
+            for r in extract(spark.read.parquet(responses_path)).collect()
+        }
+        assert batch and all(s == 200 for _, s, _ in batch)
+        stream = (
+            spark.readStream.schema("url string, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(responses_path)
+        )
+        out = run_to_memory_sink(
+            extract(stream), "http_extract_stream", output_mode="append"
+        )
+        assert {tuple(r) for r in out.collect()} == batch
