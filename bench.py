@@ -73,6 +73,12 @@ HEADLINE = [
     "multimodal_jpeg420_decode",
     "bpe_learn_merges",
     "knn_semantic_graph",
+    # r8 additions: the CC ingestion layer's heavy path (WARC+HTTP+
+    # gzip+HTML in one Arrow stage), the JVM tag-strip chain, and the
+    # extraction→text-pipeline composition
+    "warc_http_docs",
+    "html_extract_text",
+    "cc_ingest_quality",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
