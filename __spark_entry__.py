@@ -3219,6 +3219,75 @@ def _sitemap_frontier_sql() -> str:
 _SITEMAP_FRONTIER_SQL = _sitemap_frontier_sql()
 
 
+def outlink_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: the web-graph side of frontier building — anchor hrefs
+    # extracted from HTML (html_links: one shared regexp_extract_all,
+    # fragments stripped by the match, relative links skipped) and
+    # rolled up to (source, registered target domain) edge counts via
+    # the shared url_registered_domain chain. Construction is
+    # engine-identical; extraction and domain logic are the product
+    # chains on both sides.
+    from tafra_spark.sources.http import html_links, url_registered_domain
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("source").isNotNull())
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="https://t'),
+        F.pmod(d, 9).cast("string"),
+        F.lit(".example.com/p/"),
+        ds,
+        F.lit('">a</a><p>mid</p><a href="http://u'),
+        F.pmod(d, 4).cast("string"),
+        F.lit('.blogs.co.uk/q?x=1#frag">b</a>'),
+        F.lit('<a href="/relative/skipped">c</a></body></html>'),
+    )
+    ex = docs.select(
+        "source", F.explode(html_links(html)).alias("target")
+    )
+    return ex.groupBy(
+        "source", url_registered_domain(F.col("target")).alias("target_domain")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+
+
+def _outlink_graph_sql() -> str:
+    from tafra_spark.sources.http import (
+        html_links_sql,
+        url_registered_domain_sql,
+    )
+
+    html = (
+        "'<html><body><a class=\"x\" href=\"https://t'"
+        " || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/'"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '\">a</a><p>mid</p><a href=\"http://u'"
+        " || CAST(doc_id % 4 AS VARCHAR)"
+        " || '.blogs.co.uk/q?x=1#frag\">b</a>"
+        "<a href=\"/relative/skipped\">c</a></body></html>'"
+    )
+    dom = url_registered_domain_sql("target")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, source, {html} AS html
+          FROM documents WHERE source IS NOT NULL
+        ),
+        l AS (
+          SELECT source, unnest({html_links_sql("html")}) AS target
+          FROM h
+        )
+        SELECT source, {dom} AS target_domain,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM l GROUP BY source, {dom}
+    """
+
+
+_OUTLINK_GRAPH_SQL = _outlink_graph_sql()
+
+
 def cc_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: the integration the r7 review said was missing — the
     # WARC→HTTP→HTML extraction output feeding the EXISTING text
@@ -3455,6 +3524,7 @@ _R8_WINDOW = [
     "robots_gate_docs",
     "cc_ingest_quality",
     "sitemap_url_frontier",
+    "outlink_domain_graph",
     # (2) r8 code changes
     "k_core_event_graph",
     "multimodal_jpeg_decode",
@@ -3502,7 +3572,6 @@ _R8_WINDOW = [
     "mix_epoch_plan",
     "ngram_novelty_scores",
     "pq_ann_topk",
-    "pq_encode_codes",
 ]
 
 
@@ -3522,6 +3591,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate_docs": robots_gate_docs,
         "cc_ingest_quality": cc_ingest_quality,
         "sitemap_url_frontier": sitemap_url_frontier,
+        "outlink_domain_graph": outlink_domain_graph,
         "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
         "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
@@ -9346,6 +9416,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all
         "sitemap_url_frontier": _SITEMAP_FRONTIER_SQL,
+        # href extraction + registered-domain rollup, both shared chains
+        "outlink_domain_graph": _OUTLINK_GRAPH_SQL,
         # SNM: same total order, naive rank self-join as the
         # independent formulation of the band-join candidates
         "sorted_neighborhood_candidates": r"""

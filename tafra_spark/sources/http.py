@@ -39,6 +39,7 @@ __all__ = [
     "html_to_text_py",
     "html_to_text_sql",
     "html_meta_charset",
+    "html_links",
     "url_host",
     "url_scheme",
     "url_path",
@@ -450,6 +451,27 @@ def url_registered_domain_sql(expr: str) -> str:
         f"THEN regexp_extract({host}, '{_URL_REG1}', 1) "
         f"ELSE {host} END"
     )
+
+
+#: href extraction for frontier building: absolute http(s) links out
+#: of anchor tags, via one shared regexp_extract_all (Spark and DuckDB
+#: both have it with identical list semantics). Relative-URL
+#: resolution needs the page's base URL and belongs to the caller
+#: (join the host back on with url_host); quotes are required — an
+#: unquoted href is rare enough to skip and unparseable by one regex.
+_HREF = r"(?i)<a[^>]*href[ \t\r\n\x0b\x0c]*=[ \t\r\n\x0b\x0c]*[\"'](https?://[^\"'#]+)"
+
+
+def html_links(col: Column | str) -> Column:
+    """Array of the absolute http(s) URLs in the document's anchor
+    hrefs, in document order (fragments stripped by the match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HREF), F.lit(1))
+
+
+def html_links_sql(expr: str) -> str:
+    pat = _HREF.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{pat}', 1)"
 
 
 #: r8: <meta charset=...> / http-equiv content charset sniffing — the

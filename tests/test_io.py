@@ -747,6 +747,37 @@ class TestHttpSource:
         # empty rule set: everything allowed, SQL mirror is TRUE
         assert robots_allowed_sql("p", []) == "TRUE"
 
+    def test_html_links_mirrors(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import html_links, html_links_sql
+
+        cases = [
+            (
+                '<a href="https://a.com/x">1</a>'
+                "<A HREF='http://b.org/y#frag'>2</A>"
+                '<a class="z" href="/relative">3</a>'
+                '<a href="ftp://skip.me/f">4</a>'
+                '<a href = "https://c.net/p?q=1">5</a>',
+                ["https://a.com/x", "http://b.org/y", "https://c.net/p?q=1"],
+            ),
+            ("<p>no links</p>", []),
+        ]
+        df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+        got = [
+            list(r["l"])
+            for r in df.select(html_links("html").alias("l")).collect()
+        ]
+        assert got == [w for _, w in cases]
+        con = duckdb.connect()
+        for h, w in cases:
+            assert (
+                con.execute(
+                    f"SELECT {html_links_sql('$1')}", [h]
+                ).fetchone()[0]
+                == w
+            ), h
+
     def test_sitemap_locs_mirrors(self, spark):
         import duckdb
 
