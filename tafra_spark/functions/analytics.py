@@ -2987,7 +2987,7 @@ def k_core(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
-    max_driver_edges: int = 1_000_000,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """k-core peeling of the undirected event-transition graph: run
     ``rounds`` rounds of "drop every node with degree < k (and its
@@ -3025,10 +3025,14 @@ def k_core(
     if rounds < 1:
         raise ValueError("k_core: rounds must be >= 1")
     edges = _transition_edges(events, user_col, type_col, ts_col, id_col)
-    head = edges.limit(int(max_driver_edges) + 1).collect()
+    # r9 (ADVICE): probe via Arrow (toPandas), not collect() — a
+    # wrong-guess graph at the limit materializes two compact object
+    # arrays (~tens of MB at the 100k default) instead of row-per-edge
+    # Row objects, and the SAME single job still decides the route
+    head = edges.limit(int(max_driver_edges) + 1).toPandas()
     if len(head) > max_driver_edges:
         return _k_core_distributed(edges, k, rounds)
-    alive = [(r["u"], r["v"]) for r in head]
+    alive = list(zip(head["u"].tolist(), head["v"].tolist()))
     for _ in range(rounds):
         deg: dict = {}
         for u, v in alive:

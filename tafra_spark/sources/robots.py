@@ -3,7 +3,8 @@ counterpart of the WARC/HTTP ingestion layer: CommonCrawl honors
 robots rules at fetch time, and corpus builders re-apply them when a
 site's policy changes between dump and training run.
 
-Matching model: the selected user-agent group's rules are compiled
+Matching model: the combined rules of every matching user-agent
+group (RFC 9309 §2.2.1 exact-token match + merge) are compiled
 ONCE (driver-side, a robots.txt is a per-host control file of at most
 a few hundred lines) into a precedence-ordered regex chain — longest
 rule wins, allow wins ties (RFC 9309 §2.2.2) — and evaluated as a
@@ -36,12 +37,20 @@ def parse_robots(
     text: str, user_agent: str = "*"
 ) -> list[tuple[str, bool]]:
     """Parse a robots.txt body and return the rule list
-    ``[(path_pattern, is_allow), ...]`` of the group that governs
-    ``user_agent``: the group whose ``User-agent`` token is the
-    LONGEST case-insensitive substring of the product token, else the
-    ``*`` group, else no rules (RFC 9309 §2.2.1). Comments (#...),
-    blank lines, and non-rule directives (Crawl-delay, Sitemap) are
-    ignored; empty ``Disallow:`` (allow-all) contributes no rule."""
+    ``[(path_pattern, is_allow), ...]`` that governs ``user_agent``
+    per RFC 9309 §2.2.1: the rules of ALL groups whose ``User-agent``
+    token matches the product token EXACTLY (case-insensitive) are
+    COMBINED into one group ("If more than one group matches the
+    user-agent, the matching groups' rules MUST be combined"); when no
+    group matches exactly, all ``*`` groups are combined; else no
+    rules. Real robots.txt files commonly repeat ``User-agent: *``
+    blocks — every block's rules count (r9 fix: the r8 parser kept
+    only the first ``*`` group and matched tokens as substrings, so a
+    ``bot`` group could capture ``trainbot`` and later ``*`` blocks
+    were silently dropped — a compliance false-allow). Comments
+    (#...), blank lines, and non-rule directives (Crawl-delay,
+    Sitemap) are ignored; empty ``Disallow:`` (allow-all) contributes
+    no rule."""
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
@@ -72,19 +81,22 @@ def parse_robots(
     if agents or rules:
         groups.append((agents, rules))
     ua = user_agent.lower()
-    best: list[tuple[str, bool]] | None = None
-    best_len = -1
-    star: list[tuple[str, bool]] | None = None
+    exact: list[tuple[str, bool]] = []
+    exact_hit = False
+    star: list[tuple[str, bool]] = []
+    star_hit = False
     for ags, rls in groups:
-        for a in ags:
-            if a == "*":
-                if star is None:
-                    star = rls
-            elif a and a in ua and len(a) > best_len:
-                best, best_len = rls, len(a)
-    if best is not None:
-        return best
-    return star if star is not None else []
+        # a group is taken at most once even if several of its UA
+        # lines match (exact beats *, and duplicates don't double)
+        if any(a == ua for a in ags):
+            exact.extend(rls)
+            exact_hit = True
+        elif any(a == "*" for a in ags):
+            star.extend(rls)
+            star_hit = True
+    if exact_hit:
+        return exact
+    return star if star_hit else []
 
 
 def _rule_regex(rule: str) -> str:

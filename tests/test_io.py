@@ -709,12 +709,42 @@ class TestHttpSource:
         User-agent: train
         Disallow: /everything/
         """
-        star = parse_robots(robots, "somebot/1.0")
+        star = parse_robots(robots, "somebot")
         assert ("/private/", False) in star and ("/*.zip$", False) in star
-        # 'trainbot' is a LONGER matching token than 'train'
-        tb = parse_robots(robots, "Mozilla/5.0 compatible; Trainbot/2")
+        # r9: RFC 9309 §2.2.1 EXACT token match (case-insensitive) —
+        # 'train' must NOT capture 'trainbot', and a full UA string is
+        # not a product token (falls back to *)
+        tb = parse_robots(robots, "Trainbot")
         assert tb == [("/raw/", False), ("/raw/ok/", True)]
+        assert ("/everything/", False) in parse_robots(robots, "train")
+        full_ua = parse_robots(robots, "Mozilla/5.0 compatible; Trainbot/2")
+        assert ("/private/", False) in full_ua
         assert parse_robots("", "x") == []
+
+        # r9 (ADVICE): repeated groups for the same token MUST be
+        # combined into one group (§2.2.1), for * and for exact tokens
+        repeated = """
+        User-agent: *
+        Disallow: /a/
+
+        User-agent: trainbot
+        Disallow: /t1/
+
+        User-agent: *
+        Disallow: /b/
+
+        User-agent: TRAINBOT
+        Disallow: /t2/
+        """
+        merged_star = parse_robots(repeated, "somebot")
+        assert merged_star == [("/a/", False), ("/b/", False)]
+        assert robots_allowed_py("/b/x", merged_star) is False
+        merged_tb = parse_robots(repeated, "trainbot")
+        assert merged_tb == [("/t1/", False), ("/t2/", False)]
+        # a group matching exactly never also contributes via its *
+        both = "User-agent: trainbot\nUser-agent: *\nDisallow: /x/\n"
+        assert parse_robots(both, "trainbot") == [("/x/", False)]
+        assert parse_robots(both, "other") == [("/x/", False)]
 
         cases = [
             ("/public/page.html", True),      # no rule matches
