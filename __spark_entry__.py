@@ -3370,6 +3370,76 @@ def _robots_gate_sql() -> str:
 _ROBOTS_GATE_SQL = _robots_gate_sql()
 
 
+def charset_precedence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: oracle-grades the HTML-standard charset precedence (header >
+    # BOM > meta, VERDICT item 5) through the REAL parse_http path.
+    # Five variants by doc_id%5: (0) header utf-8 + lying meta utf-16
+    # (header must win), (1) UTF-8 BOM (must be reported utf-8 and
+    # STRIPPED from text), (2) UTF-16LE BOM'd body (decode + report
+    # utf-16), (3) meta windows-1252 over latin-1 bytes, (4) nothing
+    # declared -> '' + utf-8 default. The oracle recomputes charset
+    # from doc_id%5 and the decoded text from the source text column
+    # directly — any precedence, BOM-strip, or decode slip hash-fails.
+    from tafra_spark.sources.http import build_http_response, parse_http
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                v = int(i) % 5
+                s = str(t) + " é"
+                if v == 0:
+                    body = ('<meta charset="utf-16">' + s).encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif v == 1:
+                    body = b"\xef\xbb\xbf" + s.encode("utf-8")
+                    ct = "text/html"
+                elif v == 2:
+                    body = "﻿".encode("utf-16-le") + s.encode("utf-16-le")
+                    ct = "text/html"
+                elif v == 3:
+                    body = (
+                        '<meta charset="windows-1252">' + s
+                    ).encode("cp1252")
+                    ct = "text/html"
+                else:
+                    body = s.encode("utf-8")
+                    ct = "text/plain"
+                payloads.append(build_http_response(body, content_type=ct))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    built = docs.mapInPandas(mk, schema="doc_id LONG, payload BINARY")
+    parsed = parse_http(built, on_error="raise")
+    return parsed.select("doc_id", "charset", "text")
+
+
+_CHARSET_PRECEDENCE_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'utf-8'
+             WHEN 1 THEN 'utf-8'
+             WHEN 2 THEN 'utf-16'
+             WHEN 3 THEN 'windows-1252'
+             ELSE '' END AS charset,
+           CASE doc_id % 5
+             WHEN 0 THEN '<meta charset="utf-16">' || text || ' é'
+             WHEN 3 THEN '<meta charset="windows-1252">' || text || ' é'
+             ELSE text || ' é' END AS text
+    FROM documents WHERE text IS NOT NULL
+"""
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -3584,7 +3654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # (kept in r7 window order; queries() applies _R8_WINDOW)
+        # (kept in r7 window order; queries() applies the window list)
+        "charset_precedence_docs": charset_precedence_docs,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9412,6 +9483,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
+        # r9 header>BOM>meta charset precedence, expected values closed-form
+        "charset_precedence_docs": _CHARSET_PRECEDENCE_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

@@ -137,6 +137,44 @@ def _charset_of(content_type: str) -> str:
     return ""
 
 
+#: r9: BOM table for charset sniffing — (prefix, reported name, codec).
+#: UTF-32 BOMs are checked FIRST (\xff\xfe\x00\x00 starts with the
+#: UTF-16LE BOM); the utf-8-sig / auto-endian codecs strip the BOM from
+#: the decoded text.
+_BOMS = [
+    (b"\x00\x00\xfe\xff", "utf-32", "utf-32"),
+    (b"\xff\xfe\x00\x00", "utf-32", "utf-32"),
+    (b"\xfe\xff", "utf-16", "utf-16"),
+    (b"\xff\xfe", "utf-16", "utf-16"),
+    (b"\xef\xbb\xbf", "utf-8", "utf-8-sig"),
+]
+
+
+def _bom_charset(body: bytes) -> tuple[str, str]:
+    """(reported charset, decode codec) from a leading byte-order mark;
+    ('', '') when none."""
+    for prefix, name, codec in _BOMS:
+        if body.startswith(prefix):
+            return name, codec
+    return "", ""
+
+
+def _meta_charset_of(body: bytes) -> str:
+    """In-document ``<meta charset=...>`` declaration from the first
+    1024 bytes (the HTML standard's prescan window), '' when absent.
+    A meta claiming utf-16 is remapped to utf-8 (WHATWG rule: the
+    prescan only ever finds the meta in an ASCII-compatible stream,
+    so a utf-16 label there is self-contradicting)."""
+    import re
+
+    head = body[:1024].decode("latin-1", errors="replace")
+    m = re.search(_META_CHARSET, head)
+    if not m:
+        return ""
+    cs = m.group(1).lower()
+    return "utf-8" if cs.startswith("utf-16") or cs.startswith("utf-32") else cs
+
+
 def parse_http_response(payload: bytes) -> dict:
     """Parse one raw HTTP response (the WARC ``response`` record
     payload) into status / reason / headers / body / decoded text.
@@ -154,8 +192,12 @@ def parse_http_response(payload: bytes) -> dict:
       deflate tries zlib-wrapped then raw, the in-the-wild split);
       unknown codings (br, zstd) leave the body bytes as-is with the
       coding still visible in ``headers``.
-    - Text decode: declared charset first, UTF-8 when undeclared,
-      latin-1 as the never-fails fallback (every byte maps).
+    - Text decode (r9, header > BOM > meta per the HTML standard):
+      Content-Type charset first, else a leading byte-order mark
+      (UTF-8/16/32, stripped from the text), else ``<meta charset>``
+      within the first 1024 bytes, else UTF-8; latin-1 as the
+      never-fails fallback (every byte maps). Header lines folded with
+      leading SP/HTAB (RFC 7230 obs-fold) continue the previous value.
 
     Malformed framing raises ValueError — wild crawls must fail clean.
     """
@@ -177,7 +219,22 @@ def parse_http_response(payload: bytes) -> dict:
         raise ValueError(f"HTTP: bad status code {parts[1][:12]!r}")
     reason = parts[2].decode("latin-1") if len(parts) > 2 else ""
     headers: dict[str, str] = {}
+    last_key: str | None = None
     for line in head_lines[1:]:
+        if line[:1] in (b" ", b"\t"):
+            # r9: RFC 7230 §3.2.4 obs-fold — a line starting with
+            # SP/HTAB continues the previous header's value (joined
+            # with one SP, as the spec's replacement rule prescribes);
+            # previously one folded header nulled the whole record
+            # under on_error='null'
+            if last_key is None:
+                raise ValueError(
+                    f"HTTP: folded line before any header {line[:40]!r}"
+                )
+            cont = line.decode("latin-1").strip()
+            if cont:
+                headers[last_key] = headers[last_key] + " " + cont
+            continue
         if not line.strip():
             continue
         k, colon, v = line.partition(b":")
@@ -186,6 +243,7 @@ def parse_http_response(payload: bytes) -> dict:
         key = k.decode("latin-1").strip().lower()
         val = v.decode("latin-1").strip()
         headers[key] = headers[key] + ", " + val if key in headers else val
+        last_key = key
     body = payload[head_end + seplen :]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
@@ -219,9 +277,19 @@ def parse_http_response(payload: bytes) -> dict:
             except zlib.error as exc:
                 raise ValueError(f"HTTP: corrupt deflate body ({exc})")
     content_type = headers.get("content-type", "")
+    # r9: charset precedence per the HTML standard — Content-Type
+    # header first, then a leading BOM, then <meta charset> in the
+    # first 1024 bytes; utf-8 when nothing declares, latin-1 as the
+    # never-fails fallback. ``charset`` reports the EFFECTIVE source
+    # ('' only when nothing declared anywhere).
     charset = _charset_of(content_type)
+    codec = charset
+    if not charset:
+        charset, codec = _bom_charset(body)
+    if not charset:
+        charset = codec = _meta_charset_of(body)
     try:
-        text = body.decode(charset or "utf-8")
+        text = body.decode(codec or "utf-8")
     except (UnicodeDecodeError, LookupError):
         text = body.decode("latin-1")
     return {

@@ -471,10 +471,97 @@ class TestHttpSource:
             content_type="text/html; charset=ISO-8859-1",
         )
         assert parse_http_response(raw)["text"] == "gemütlich"
-        # undeclared + invalid UTF-8 -> latin-1 never-fails fallback
-        raw = build_http_response(b"\xff\xfe raw", content_type="text/html")
+        # undeclared + invalid UTF-8 (not a BOM) -> latin-1 fallback
+        raw = build_http_response(b"\xffraw\xfe", content_type="text/html")
         rec = parse_http_response(raw)
-        assert rec["charset"] == "" and rec["text"] == "ÿþ raw"
+        assert rec["charset"] == "" and rec["text"] == "ÿrawþ"
+
+    def test_charset_precedence_header_bom_meta(self):
+        # r9: header > BOM > meta (HTML standard order)
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        # BOM'd UTF-16LE body, no header charset -> BOM wins, stripped
+        body = "﻿gemütlich ✓".encode("utf-16-le")
+        raw = build_http_response(body, content_type="text/html")
+        rec = parse_http_response(raw)
+        assert rec["charset"] == "utf-16"
+        assert rec["text"] == "gemütlich ✓"
+        # UTF-8 BOM: reported utf-8, BOM stripped from text
+        raw = build_http_response(
+            "﻿ok".encode("utf-8"), content_type="text/plain"
+        )
+        rec = parse_http_response(raw)
+        assert rec["charset"] == "utf-8" and rec["text"] == "ok"
+        # header charset BEATS the BOM (and then the BOM survives as a
+        # codepoint — header said utf-8, bytes are utf-8)
+        raw = build_http_response(
+            "﻿ok".encode("utf-8"),
+            content_type="text/plain; charset=utf-8",
+        )
+        rec = parse_http_response(raw)
+        assert rec["charset"] == "utf-8" and rec["text"] == "﻿ok"
+        # meta charset consulted when header and BOM are silent
+        html = (
+            b'<html><head><meta charset="windows-1252"></head>'
+            b"<body>caf\xe9</body></html>"
+        )
+        raw = build_http_response(html, content_type="text/html")
+        rec = parse_http_response(raw)
+        assert rec["charset"] == "windows-1252"
+        assert "café" in rec["text"]
+        # meta claiming utf-16 is remapped to utf-8 (WHATWG prescan)
+        html = b'<meta charset="utf-16">plain ascii'
+        rec = parse_http_response(
+            build_http_response(html, content_type="text/html")
+        )
+        assert rec["charset"] == "utf-8"
+        # header still wins over meta
+        html = b'<meta charset="utf-8">caf\xe9'
+        rec = parse_http_response(
+            build_http_response(
+                html, content_type="text/html; charset=ISO-8859-1"
+            )
+        )
+        assert rec["charset"] == "iso-8859-1" and "café" in rec["text"]
+
+    def test_obs_fold_header_continuation(self):
+        # r9: RFC 7230 §3.2.4 — SP/HTAB-led lines continue the previous
+        # header value instead of raising
+        from tafra_spark.sources.http import parse_http_response
+
+        raw = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"X-Long: part one\r\n"
+            b" part two\r\n"
+            b"\tpart three\r\n"
+            b"Content-Length: 2\r\n"
+            b"\r\nok"
+        )
+        rec = parse_http_response(raw)
+        assert rec["headers"]["x-long"] == "part one part two part three"
+        assert rec["body"] == b"ok"
+        # folding continues the MOST RECENT header, incl. repeats
+        raw = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"X-T: a\r\n"
+            b"X-T: b\r\n"
+            b" more\r\n"
+            b"\r\n"
+        )
+        rec = parse_http_response(raw)
+        assert rec["headers"]["x-t"] == "a, b more"
+        # a vacuous fold (whitespace-only line) is skipped
+        raw = b"HTTP/1.1 200 OK\r\nX-T: a\r\n \r\n\r\n"
+        assert parse_http_response(raw)["headers"]["x-t"] == "a"
+        # a fold BEFORE any header is still malformed
+        import pytest as _pytest
+
+        raw = b"HTTP/1.1 200 OK\r\n folded\r\n\r\n"
+        with _pytest.raises(ValueError):
+            parse_http_response(raw)
 
     def test_lflf_separator_and_content_length_bound(self):
         from tafra_spark.sources.http import parse_http_response

@@ -861,6 +861,42 @@ class TestWarcHttpProperties:
             except ValueError:
                 pass
 
+    @given(
+        parts=st.lists(
+            st.text(
+                # printable ASCII: Python str.strip() treats \x1c-\x1f
+                # as whitespace, which would strip the expected value
+                alphabet=st.characters(codec="ascii", min_codepoint=33),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        fold_ws=st.sampled_from([" ", "\t", "  ", " \t"]),
+        body=st.binary(min_size=0, max_size=60),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_obs_fold_headers_parse_not_null(self, parts, fold_ws, body):
+        """r9 (VERDICT item 6): RFC 7230 obs-fold continuations —
+        header values split across SP/HTAB-led lines — must parse to
+        the SP-joined value instead of nulling the record."""
+        from tafra_spark.sources.http import parse_http_response
+
+        folded = parts[0] + "".join(
+            f"\r\n{fold_ws}{p}" for p in parts[1:]
+        )
+        raw = (
+            b"HTTP/1.1 200 OK\r\n"
+            + f"X-Folded: {folded}\r\n".encode("latin-1")
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+            + body
+        )
+        rec = parse_http_response(raw)
+        assert rec["headers"]["x-folded"] == " ".join(parts)
+        assert rec["body"] == body
+
 
 class TestJpegCodecProperties:
     """r7: randomized codec invariants (the VERDICT's ask — today's
