@@ -3370,6 +3370,67 @@ def _robots_gate_sql() -> str:
 _ROBOTS_GATE_SQL = _robots_gate_sql()
 
 
+def outlink_resolve_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: RFC 3986 relative-link resolution (VERDICT item 3) — every
+    # href FORM a real page carries (rooted, relative, ../ climb,
+    # protocol-relative, query-only, absolute-with-apostrophe,
+    # mailto:, fragment-only) is constructed per doc and resolved
+    # against the page URL by html_links_resolved. The oracle computes
+    # the SIX expected resolved URLs in closed form (an independent
+    # formulation, not the mirrored chain), so merge rules, dot-segment
+    # removal, scheme inheritance, the http(s) gate, AND the r9
+    # quote-alternation fix are all value-graded.
+    from tafra_spark.sources.http import html_links_resolved
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("source").isNotNull())
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://w"), F.pmod(d, 5).cast("string"),
+        F.lit(".ex"), F.pmod(d, 3).cast("string"),
+        F.lit(".example.org/a/b/p"), ds, F.lit(".html?v=1"),
+    )
+    html = F.concat(
+        F.lit('<a href="/abs/'), ds, F.lit('">r</a>'),
+        F.lit("<a href='rel/s"), ds, F.lit(".html'>s</a>"),
+        F.lit('<a href="../up'), F.pmod(d, 7).cast("string"),
+        F.lit('.html">u</a>'),
+        F.lit('<a href="//cdn.example.net/l'), F.pmod(d, 4).cast("string"),
+        F.lit('.js">c</a>'),
+        F.lit('<a href="?page=2">q</a>'),
+        F.lit('<a href="https://t'), F.pmod(d, 9).cast("string"),
+        F.lit(".example.com/it's\">a</a>"),
+        F.lit('<a href="mailto:x@y.example">m</a>'),
+        F.lit('<a href="#top">f</a>'),
+    )
+    return docs.select(
+        "doc_id", F.explode(html_links_resolved(html, base)).alias("target")
+    )
+
+
+_OUTLINK_RESOLVE_SQL = """
+    WITH b AS (
+      SELECT doc_id,
+             'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.ex'
+             || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS sa
+      FROM documents WHERE source IS NOT NULL
+    )
+    SELECT doc_id, unnest(list_value(
+      sa || '/abs/' || CAST(doc_id AS VARCHAR),
+      sa || '/a/b/rel/s' || CAST(doc_id AS VARCHAR) || '.html',
+      sa || '/a/up' || CAST(doc_id % 7 AS VARCHAR) || '.html',
+      'https://cdn.example.net/l' || CAST(doc_id % 4 AS VARCHAR) || '.js',
+      sa || '/a/b/p' || CAST(doc_id AS VARCHAR) || '.html?page=2',
+      'https://t' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/it''s'
+    )) AS target
+    FROM b
+"""
+
+
 def charset_precedence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: oracle-grades the HTML-standard charset precedence (header >
     # BOM > meta, VERDICT item 5) through the REAL parse_http path.
@@ -3656,6 +3717,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (kept in r7 window order; queries() applies the window list)
         "charset_precedence_docs": charset_precedence_docs,
+        "outlink_resolve_urls": outlink_resolve_urls,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9485,6 +9547,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form
         "charset_precedence_docs": _CHARSET_PRECEDENCE_SQL,
+        # r9 RFC 3986 resolution, expected URLs closed-form (independent)
+        "outlink_resolve_urls": _OUTLINK_RESOLVE_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all
