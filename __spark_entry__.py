@@ -3431,6 +3431,75 @@ _OUTLINK_RESOLVE_SQL = """
 """
 
 
+def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: PSL registered-domain extraction (VERDICT item 4) — hosts
+    # covering every routing case (private github.io suffix, ccSLD,
+    # 3-label blogspot.co.uk, plain .com, host==suffix, bare-host
+    # heuristic fallback) built per doc and resolved through the
+    # broadcast-join PSL path; the oracle states the expected domain
+    # in closed form per variant — an independent formulation, so the
+    # longest-suffix rule, +1-label selection, and fallback routing
+    # are value-graded, not chain-mirrored.
+    from tafra_spark.sources.psl import with_registered_domain_psl
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = (
+        F.when(
+            F.pmod(d, 7) == 0,
+            F.concat(F.lit("s.app"), F.pmod(d, 9).cast("string"),
+                     F.lit(".github.io")),
+        )
+        .when(
+            F.pmod(d, 7) == 1,
+            F.concat(F.lit("news.site"), F.pmod(d, 5).cast("string"),
+                     F.lit(".co.uk")),
+        )
+        .when(
+            F.pmod(d, 7) == 2,
+            F.concat(F.lit("a.b.shop"), F.pmod(d, 6).cast("string"),
+                     F.lit(".com.au")),
+        )
+        .when(
+            F.pmod(d, 7) == 3,
+            F.concat(F.lit("www.plain"), F.pmod(d, 8).cast("string"),
+                     F.lit(".com")),
+        )
+        .when(
+            F.pmod(d, 7) == 4,
+            F.concat(F.lit("x.y"), F.pmod(d, 3).cast("string"),
+                     F.lit(".blogspot.co.uk")),
+        )
+        .when(F.pmod(d, 7) == 5, F.lit("github.io"))
+        .otherwise(F.concat(F.lit("host"), F.pmod(d, 4).cast("string"),
+                            F.lit("only")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), ds).alias("url"),
+    )
+    return with_registered_domain_psl(urls, "url", out_col="domain").select(
+        "doc_id", "domain"
+    )
+
+
+_PSL_DOMAINS_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 7
+             WHEN 0 THEN 'app' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+             WHEN 1 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+             WHEN 2 THEN 'shop' || CAST(doc_id % 6 AS VARCHAR) || '.com.au'
+             WHEN 3 THEN 'plain' || CAST(doc_id % 8 AS VARCHAR) || '.com'
+             WHEN 4 THEN 'y' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.blogspot.co.uk'
+             WHEN 5 THEN 'github.io'
+             ELSE 'host' || CAST(doc_id % 4 AS VARCHAR) || 'only' END
+           AS domain
+    FROM documents
+"""
+
+
 def charset_precedence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: oracle-grades the HTML-standard charset precedence (header >
     # BOM > meta, VERDICT item 5) through the REAL parse_http path.
@@ -3718,6 +3787,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (kept in r7 window order; queries() applies the window list)
         "charset_precedence_docs": charset_precedence_docs,
         "outlink_resolve_urls": outlink_resolve_urls,
+        "psl_registered_domains": psl_registered_domains,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9549,6 +9619,8 @@ def oracle_sql() -> dict[str, str]:
         "charset_precedence_docs": _CHARSET_PRECEDENCE_SQL,
         # r9 RFC 3986 resolution, expected URLs closed-form (independent)
         "outlink_resolve_urls": _OUTLINK_RESOLVE_SQL,
+        # r9 PSL longest-suffix routing, expected domains closed-form
+        "psl_registered_domains": _PSL_DOMAINS_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

@@ -1110,3 +1110,75 @@ class TestHttpSource:
         ).select("url", "status", html_to_text("text").alias("clean"))
         got = {r["url"]: (r["status"], r["clean"]) for r in df.collect()}
         assert got == {u: (200, t) for u, t in pages.items()}
+
+
+class TestPublicSuffixList:
+    """r9: PSL registered-domain extraction (sources/psl.py) — the
+    broadcast-join upgrade of the url_registered_domain heuristic."""
+
+    def test_psl_edge_cases_and_heuristic_differential(self, spark):
+        from tafra_spark.sources.http import url_registered_domain
+        from tafra_spark.sources.psl import with_registered_domain_psl
+
+        cases = [
+            # (url, PSL answer, heuristic answer where it DIFFERS)
+            ("https://sub.alpha.github.io/x", "alpha.github.io", "github.io"),
+            ("http://news.bbc.co.uk/", "bbc.co.uk", None),
+            ("https://a.b.shop.com.au/p", "shop.com.au", None),
+            ("http://www.example.com", "example.com", None),
+            ("https://x.y.blogspot.co.uk", "y.blogspot.co.uk", "blogspot.co.uk"),
+            ("https://github.io/x", "github.io", None),  # host IS a suffix
+            ("http://intranet/page", "intranet", None),  # bare host fallback
+            ("https://d.w.s3.amazonaws.com", "w.s3.amazonaws.com",
+             "amazonaws.com"),
+            ("http://Sub.Example.COM/Q", "example.com", None),
+            ("https://foo.pages.dev/", "foo.pages.dev", "pages.dev"),
+            ("http://x.y.zz9/", "y.zz9", None),  # unknown TLD -> heuristic
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _, _) in enumerate(cases)], "i int, url string"
+        )
+        out = with_registered_domain_psl(df, "url", out_col="dom")
+        got = {r["i"]: r["dom"] for r in out.collect()}
+        for i, (u, want, _) in enumerate(cases):
+            assert got[i] == want, (u, got[i], want)
+        # differential: the heuristic really does differ on the
+        # private-suffix rows (the reason the PSL exists)
+        heur = {
+            r["i"]: r["h"]
+            for r in df.select(
+                "i", url_registered_domain("url").alias("h")
+            ).collect()
+        }
+        for i, (u, want, hwant) in enumerate(cases):
+            if hwant is not None:
+                assert heur[i] == hwant and heur[i] != want, u
+            else:
+                assert heur[i] == want, u
+
+    def test_psl_plan_is_broadcast_only(self, spark):
+        # scale contract: the data side must not shuffle — every PSL
+        # join broadcasts, no SortMergeJoin / Exchange hashpartitioning
+        from pyspark.sql import functions as F
+
+        from tafra_spark.sources.psl import with_registered_domain_psl
+
+        df = spark.range(100).withColumn(
+            "url", F.concat(F.lit("https://s.h"), F.col("id"), F.lit(".co.uk/p"))
+        )
+        out = with_registered_domain_psl(df, "url")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "hashpartitioning" not in plan
+
+    def test_psl_custom_suffixes(self, spark):
+        from tafra_spark.sources.psl import with_registered_domain_psl
+
+        df = spark.createDataFrame(
+            [("https://a.b.custom.zone/x",)], "url string"
+        )
+        out = with_registered_domain_psl(
+            df, "url", out_col="d", suffixes=["custom.zone", "zone"]
+        )
+        assert out.first()["d"] == "b.custom.zone"
