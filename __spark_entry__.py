@@ -3431,6 +3431,193 @@ _OUTLINK_RESOLVE_SQL = """
 """
 
 
+def _c4_doc_text_spark():
+    """The constructed multi-line doc both c4 queries' engines build
+    identically: eight fixed-shape lines covering every C4 rule, plus
+    conditional brace/lorem lines that flip the document verdict."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    lines = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(" tail marker line one.")),
+        F.lit("Enable JavaScript to continue viewing this page."),
+        F.concat(F.lit("Home About "), F.col("source")),
+        F.lit("Too short."),
+        F.lit(
+            "This website uses cookies to improve your browsing experience."
+        ),
+        F.concat(
+            F.lit("Document "), ds,
+            F.lit(" carries meaningful narrative content here."),
+        ),
+        F.concat(
+            F.lit("Paragraph "), F.pmod(d, 7).cast("string"),
+            F.lit(" of the corpus continues the narrative cleanly."),
+        ),
+        F.lit("Closing remarks complete the document with a question?"),
+    )
+    return F.concat(
+        lines,
+        F.when(
+            F.pmod(d, 4) == 0, F.lit("\nfunction f() { return 1; }")
+        ).otherwise(""),
+        F.when(
+            F.pmod(d, 5) == 0,
+            F.lit("\nLorem ipsum dolor sit amet consectetur adipiscing elit."),
+        ).otherwise(""),
+    )
+
+
+_C4_DOC_TEXT_SQL = """
+    text || ' tail marker line one.'
+    || chr(10) || 'Enable JavaScript to continue viewing this page.'
+    || chr(10) || 'Home About ' || source
+    || chr(10) || 'Too short.'
+    || chr(10) ||
+    'This website uses cookies to improve your browsing experience.'
+    || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)
+    || ' carries meaningful narrative content here.'
+    || chr(10) || 'Paragraph ' || CAST(doc_id % 7 AS VARCHAR)
+    || ' of the corpus continues the narrative cleanly.'
+    || chr(10) || 'Closing remarks complete the document with a question?'
+    || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || 'function f() {{ return 1; }}' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) ||
+            'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+            ELSE '' END
+"""
+
+
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: the C4 line-level quality rewrite (VERDICT item 2) — every
+    # published rule exercised per doc: a data-dependent line (keep
+    # decided by the rules themselves on corpus text), javascript /
+    # cookie / no-punctuation / short-line drops, quoted endings, and
+    # the brace / lorem-ipsum DOCUMENT drops on %4 / %5 cohorts. The
+    # oracle rebuilds the same multi-line text and runs the mirrored
+    # list_filter chain; the rebuilt c4_text itself is in the hash.
+    from tafra_spark.functions.pipeline import c4_line_filter
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    )
+    built = docs.select("doc_id", _c4_doc_text_spark().alias("text"))
+    return c4_line_filter(built).select(
+        "doc_id", "n_lines", "n_kept", "c4_pass", "c4_text"
+    )
+
+
+def _c4_docs_sql() -> str:
+    from tafra_spark.functions.pipeline import c4_line_filter_sql
+
+    frag = c4_line_filter_sql("t")
+    body = _C4_DOC_TEXT_SQL.replace("{{", "{").replace("}}", "}")
+    return f"""
+        WITH b AS (
+          SELECT doc_id, ({body}) AS t
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        )
+        SELECT doc_id,
+               {frag['n_lines']} AS n_lines,
+               {frag['n_kept']} AS n_kept,
+               {frag['c4_pass']} AS c4_pass,
+               {frag['c4_text']} AS c4_text
+        FROM b
+    """
+
+
+_C4_DOCS_SQL = _c4_docs_sql()
+
+
+def html_block_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: the composed extraction path the verdict called the biggest
+    # quality lever — HTML with real boilerplate (nav, menu list,
+    # footer, cookie banner) built engine-identically, stripped to
+    # LINES by html_to_text_blocks, then line-filtered by the C4
+    # rules. Junk lines must die, content paragraphs must survive,
+    # and the surviving text is hash-checked verbatim.
+    from tafra_spark.functions.pipeline import c4_line_filter
+    from tafra_spark.sources.http import html_to_text_blocks
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    ds = F.col("doc_id").cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><body><nav>Home | About | Contact</nav><h1>Doc "),
+        ds,
+        F.lit("</h1><p>This opening paragraph for document "),
+        ds,
+        F.lit(" reads like a proper sentence.</p><p>"),
+        esc,
+        F.lit(" closing words finish the data paragraph.</p>"),
+        F.lit("<ul><li>Menu item</li><li>Another menu item</li></ul>"),
+        F.lit("<p>Closing thoughts complete the page with punctuation.</p>"),
+        F.lit("<footer>All rights reserved.</footer><div>This website "),
+        F.lit("uses cookies to track analytics.</div></body></html>"),
+    )
+    extracted = docs.select(
+        "doc_id", html_to_text_blocks(html).alias("text")
+    )
+    return c4_line_filter(extracted).select(
+        "doc_id", "n_lines", "n_kept", "c4_pass", "c4_text"
+    )
+
+
+def _html_block_quality_sql() -> str:
+    from tafra_spark.functions.pipeline import c4_line_filter_sql
+    from tafra_spark.sources.http import html_to_text_blocks_sql
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    html = (
+        "'<html><body><nav>Home | About | Contact</nav><h1>Doc '"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '</h1><p>This opening paragraph for document '"
+        " || CAST(doc_id AS VARCHAR)"
+        f" || ' reads like a proper sentence.</p><p>' || {esc}"
+        " || ' closing words finish the data paragraph.</p>'"
+        " || '<ul><li>Menu item</li><li>Another menu item</li></ul>'"
+        " || '<p>Closing thoughts complete the page with punctuation.</p>'"
+        " || '<footer>All rights reserved.</footer><div>This website '"
+        " || 'uses cookies to track analytics.</div></body></html>'"
+    )
+    frag = c4_line_filter_sql("t")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {html} AS html
+          FROM documents WHERE text IS NOT NULL
+        ),
+        e AS (
+          SELECT doc_id, {html_to_text_blocks_sql("html")} AS t FROM h
+        )
+        SELECT doc_id,
+               {frag['n_lines']} AS n_lines,
+               {frag['n_kept']} AS n_kept,
+               {frag['c4_pass']} AS c4_pass,
+               {frag['c4_text']} AS c4_text
+        FROM e
+    """
+
+
+_HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
+
+
 def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: PSL registered-domain extraction (VERDICT item 4) — hosts
     # covering every routing case (private github.io suffix, ccSLD,
@@ -3788,6 +3975,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_precedence_docs": charset_precedence_docs,
         "outlink_resolve_urls": outlink_resolve_urls,
         "psl_registered_domains": psl_registered_domains,
+        "c4_line_filter_docs": c4_line_filter_docs,
+        "html_block_line_quality": html_block_line_quality,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9621,6 +9810,10 @@ def oracle_sql() -> dict[str, str]:
         "outlink_resolve_urls": _OUTLINK_RESOLVE_SQL,
         # r9 PSL longest-suffix routing, expected domains closed-form
         "psl_registered_domains": _PSL_DOMAINS_SQL,
+        # r9 C4 line filter: mirrored list_filter chain, rebuilt text hashed
+        "c4_line_filter_docs": _C4_DOCS_SQL,
+        # r9 composed blocks-extraction -> C4 filter path
+        "html_block_line_quality": _HTML_BLOCK_QUALITY_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

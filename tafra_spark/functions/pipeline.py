@@ -62,6 +62,8 @@ __all__ = [
     "snapshot_diff",
     "inference_batches",
     "segment_dedup_rewrite",
+    "c4_line_filter",
+    "c4_line_filter_sql",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "source_js_divergence",
@@ -1426,6 +1428,124 @@ def segment_dedup_rewrite(
             ).alias("new_text"),
         )
     )
+
+
+# --- C4-style line-level quality filtering (r9, VERDICT item 2) ------
+#
+# The rules every public CC recipe (C4, RefinedWeb, CCNet) applies
+# AFTER tag-stripping and BEFORE document-level gates: keep only lines
+# that read like sentences, then re-judge the document on what
+# survived. Defaults follow the published C4 rules (Raffel et al.
+# 2020 §2.2): terminal punctuation, >=5 words, "javascript" lines
+# dropped, "lorem ipsum"/curly-brace documents dropped, >=3 surviving
+# lines; RefinedWeb-style boilerplate phrases extend the line
+# blocklist. Everything is SQL-portable (split/filter/instr/rlike in
+# the shared subset), mirrored by :func:`c4_line_filter_sql`.
+_C4_TERMINAL = r"[.!?\"]$"
+C4_LINE_BLOCKLIST: tuple[str, ...] = (
+    "javascript",
+    "uses cookies",
+    "cookie policy",
+    "all rights reserved",
+    "terms of use",
+    "privacy policy",
+)
+C4_DOC_BLOCKLIST: tuple[str, ...] = ("lorem ipsum",)
+
+
+def _c4_keep(line: Column, min_words: int, blocklist: Sequence[str]) -> Column:
+    """Does one line survive the C4 rules? (terminal punctuation,
+    word floor, no blocklist phrase)."""
+    n_words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    keep = line.rlike(_C4_TERMINAL) & (n_words >= F.lit(min_words))
+    low = F.lower(line)
+    for phrase in blocklist:
+        keep = keep & (F.instr(low, F.lit(phrase)) == 0)
+    return keep
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "c4_text",
+    min_words: int = 5,
+    min_lines: int = 3,
+    line_blocklist: Sequence[str] = C4_LINE_BLOCKLIST,
+    doc_blocklist: Sequence[str] = C4_DOC_BLOCKLIST,
+    brace_filter: bool = True,
+) -> DataFrame:
+    """C4-style line-level quality filtering as a TRANSFORMATION:
+    split ``text_col`` on newlines (feed
+    :func:`tafra_spark.sources.http.html_to_text_blocks` output — the
+    flat ``html_to_text`` has no lines), keep lines that end in
+    terminal punctuation, have >= ``min_words`` words, and contain no
+    ``line_blocklist`` phrase; rebuild the document from the
+    survivors. Appends:
+
+    - ``out_col``: the rebuilt text ('' when nothing survives),
+    - ``n_lines`` / ``n_kept``: line counts before/after,
+    - ``c4_pass``: document verdict — >= ``min_lines`` surviving lines
+      AND no ``doc_blocklist`` phrase AND (when ``brace_filter``) no
+      ``{`` anywhere (C4's code-page drop).
+
+    Scale: zero shuffle — one codegen/HOF projection per row; the
+    corpus pays exactly its scan. Oracle: :func:`c4_line_filter_sql`
+    emits the identical chain for DuckDB.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines, lambda ln: _c4_keep(ln, min_words, line_blocklist)
+    )
+    n_kept = F.size(kept)
+    doc_ok = n_kept >= F.lit(min_lines)
+    low = F.lower(text)
+    for phrase in doc_blocklist:
+        doc_ok = doc_ok & (F.instr(low, F.lit(phrase)) == 0)
+    if brace_filter:
+        doc_ok = doc_ok & (F.instr(text, F.lit("{")) == 0)
+    return (
+        df.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept", n_kept.cast("long"))
+        .withColumn("c4_pass", doc_ok)
+    )
+
+
+def c4_line_filter_sql(
+    expr: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    line_blocklist: Sequence[str] = C4_LINE_BLOCKLIST,
+    doc_blocklist: Sequence[str] = C4_DOC_BLOCKLIST,
+    brace_filter: bool = True,
+) -> dict[str, str]:
+    """DuckDB mirror of :func:`c4_line_filter`: fragments keyed
+    ``c4_text`` / ``n_lines`` / ``n_kept`` / ``c4_pass`` over the text
+    expression ``expr`` (same split, same keep conditions)."""
+    keep = (
+        f"regexp_matches(ln, '{_C4_TERMINAL}') AND "
+        f"len(list_filter(string_split(ln, ' '), w -> w <> ''))"
+        f" >= {min_words}"
+    )
+    for phrase in line_blocklist:
+        keep += f" AND instr(lower(ln), '{phrase}') = 0"
+    kept = (
+        f"list_filter(string_split({expr}, chr(10)), ln -> {keep})"
+    )
+    doc_ok = f"len({kept}) >= {min_lines}"
+    for phrase in doc_blocklist:
+        doc_ok += f" AND instr(lower({expr}), '{phrase}') = 0"
+    if brace_filter:
+        doc_ok += f" AND instr({expr}, '{{') = 0"
+    return {
+        # DuckDB array_to_string on an EMPTY list is NULL; Spark
+        # array_join gives '' — coalesce to match
+        "c4_text": f"coalesce(array_to_string({kept}, chr(10)), '')",
+        "n_lines": f"CAST(len(string_split({expr}, chr(10))) AS BIGINT)",
+        "n_kept": f"CAST(len({kept}) AS BIGINT)",
+        "c4_pass": f"({doc_ok})",
+    }
 
 
 def winnow_fingerprints(

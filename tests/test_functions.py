@@ -6339,3 +6339,97 @@ class TestPngExtendedDecode:
             decode_png(
                 self._png((2, 1, 8, 0, 0, 0, 1), [], [bytes([0, 1])])
             )
+
+
+class TestC4LineFilter:
+    """r9: C4-style line-level quality filtering (pipeline.c4_line_filter)."""
+
+    def _df(self, spark, text):
+        return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def test_c4_rules(self, spark):
+        from tafra_spark.functions.pipeline import c4_line_filter
+
+        text = "\n".join(
+            [
+                "This sentence has enough words to survive.",
+                "Short line.",                          # <5 words
+                "Home About Contact Products News",     # no terminal punct
+                "Please enable JavaScript to view this page.",  # blocklist
+                "This website uses cookies to improve the experience.",
+                "A second good sentence rounds out the document!",
+                'He said "quoted endings also count as terminal."',
+            ]
+        )
+        out = c4_line_filter(self._df(spark, text)).first()
+        assert out["n_lines"] == 7
+        assert out["n_kept"] == 3
+        assert out["c4_pass"] is True
+        assert out["c4_text"].split("\n") == [
+            "This sentence has enough words to survive.",
+            "A second good sentence rounds out the document!",
+            'He said "quoted endings also count as terminal."',
+        ]
+
+    def test_doc_level_drops(self, spark):
+        from tafra_spark.functions.pipeline import c4_line_filter
+
+        good = "\n".join(
+            ["A fine sentence with plenty of words here."] * 3
+        )
+        # lorem ipsum anywhere drops the DOC (lines may still survive)
+        out = c4_line_filter(
+            self._df(spark, good + "\nLorem ipsum dolor sit amet text.")
+        ).first()
+        assert out["n_kept"] == 4 and out["c4_pass"] is False
+        # curly brace drops the doc
+        out = c4_line_filter(
+            self._df(spark, good + "\nfunction f() { return 1; }")
+        ).first()
+        assert out["c4_pass"] is False
+        # fewer than min_lines survivors drops the doc
+        out = c4_line_filter(
+            self._df(spark, "Only one good sentence is not enough.")
+        ).first()
+        assert out["n_kept"] == 1 and out["c4_pass"] is False
+        # brace_filter off keeps the brace doc
+        out = c4_line_filter(
+            self._df(spark, good + "\n{x}"), brace_filter=False
+        ).first()
+        assert out["c4_pass"] is True
+
+    def test_sql_mirror_parity(self, spark):
+        import duckdb
+
+        from tafra_spark.functions.pipeline import (
+            c4_line_filter,
+            c4_line_filter_sql,
+        )
+
+        texts = [
+            "Good long sentence number one stands alone.\nBad\nAnother "
+            "proper sentence follows here today.\nAnd a third one "
+            "completes the quorum nicely.",
+            "All rights reserved.\nShort.\nNothing survives here",
+            "",
+            "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Three more good lines would still not save this page.\n"
+            "Because the lorem ipsum phrase poisons the document.\n"
+            "Even though individual lines look perfectly fine.",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        got = {
+            r["i"]: (r["c4_text"], r["n_lines"], r["n_kept"], r["c4_pass"])
+            for r in c4_line_filter(df).collect()
+        }
+        con = duckdb.connect()
+        frag = c4_line_filter_sql("$1")
+        for i, t in enumerate(texts):
+            w = con.execute(
+                f"SELECT {frag['c4_text']}, {frag['n_lines']},"
+                f" {frag['n_kept']}, {frag['c4_pass']}",
+                [t],
+            ).fetchone()
+            assert got[i] == tuple(w), (i, got[i], w)

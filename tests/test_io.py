@@ -1182,3 +1182,51 @@ class TestPublicSuffixList:
             df, "url", out_col="d", suffixes=["custom.zone", "zone"]
         )
         assert out.first()["d"] == "b.custom.zone"
+
+
+class TestHtmlBlocks:
+    """r9: line-preserving HTML extraction (html_to_text_blocks)."""
+
+    HTML = (
+        "<html><head><title>T</title><style>p{x:0}</style>"
+        "<script>if(1<2){y()}</script></head><body>"
+        "<h1>Heading One</h1>"
+        "<p>First paragraph\n  spans source\n  lines.</p>"
+        "<p>Second &amp; <b>bold</b> para.</p>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "line before<br>line after"
+        "<!-- comment --><div>tail</div></body></html>"
+    )
+    WANT = (
+        "T\nHeading One\nFirst paragraph spans source lines.\n"
+        "Second & bold para.\nitem one\nitem two\n"
+        "line before\nline after\ntail"
+    )
+
+    def test_three_mirrors(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            html_to_text_blocks,
+            html_to_text_blocks_py,
+            html_to_text_blocks_sql,
+        )
+
+        assert html_to_text_blocks_py(self.HTML) == self.WANT
+        df = spark.createDataFrame([(self.HTML,)], "html string")
+        got = df.select(html_to_text_blocks("html").alias("t")).first()["t"]
+        assert got == self.WANT
+        con = duckdb.connect()
+        sql = html_to_text_blocks_sql("$1")
+        assert con.execute(f"SELECT {sql}", [self.HTML]).fetchone()[0] == self.WANT
+
+    def test_flat_and_blocks_agree_modulo_breaks(self, spark):
+        # replacing the newlines with spaces must give the flat
+        # html_to_text result (same tag/entity semantics)
+        from tafra_spark.sources.http import (
+            html_to_text_py,
+            html_to_text_blocks_py,
+        )
+
+        flat = html_to_text_py(self.HTML)
+        assert html_to_text_blocks_py(self.HTML).replace("\n", " ") == flat
