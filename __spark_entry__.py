@@ -3894,15 +3894,75 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r8 driver window: stalest-first rotation (VERDICT r7 item 2).
+# --- r9 driver window: stalest-first rotation (VERDICT r8 item 1).
 # The driver verifies the FIRST 50 entries of queries(); this list is
-# that window. Composition: (1) never-driver-verified new r8 ops,
-# (2) rows whose CODE changed in r8 (k_core redesign; JPEG entropy/
-# reconstruction rewrite; PNG unfilter refactor for Adam7) — green
-# history doesn't cover new code, (3) the 10 rows last verified in
-# round 3, (4) 31 of the 50 round-4-cohort rows (the remaining 19
-# roll into the r9 window). Recompute staleness with:
+# that window. Composition: (1) never-driver-verified new r9 ops,
+# (2) rows whose CODE changed in r9 (robots RFC 9309 group merge;
+# html_links quote-alternation rework; parse_http BOM/obs-fold;
+# k_core Arrow probe) — green history doesn't cover new code, (3) ALL
+# 23 rows last verified in round 4 (closing the r8 verdict's ask:
+# nothing older than r5 remains), (4) 17 of the 48 round-5-cohort
+# rows (alphabetical prefix; the rest roll into the r10 window).
+# Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
+_R9_WINDOW = [
+    # (1) new in r9
+    "charset_precedence_docs",
+    "outlink_resolve_urls",
+    "psl_registered_domains",
+    "c4_line_filter_docs",
+    "html_block_line_quality",
+    # (2) r9 code changes
+    "robots_gate_docs",
+    "outlink_domain_graph",
+    "warc_http_docs",
+    "cc_ingest_quality",
+    "k_core_event_graph",
+    # (3) the full round-4 cohort
+    "pq_encode_codes",
+    "pq_recall_eval",
+    "pq_refined_codebooks",
+    "prefix_dup_groups",
+    "price_histogram",
+    "price_trend_by_priority",
+    "quality_percentile_calibration",
+    "range_join_incidents",
+    "resample_hourly_ffill",
+    "rolling_hour_window",
+    "segment_dedup_rewritten",
+    "semantic_decontaminate_flags",
+    "session_concurrency_hourly",
+    "sessionize_events",
+    "snapshot_churn",
+    "source_divergence_matrix",
+    "source_overlap_matrix",
+    "source_semantic_matrix",
+    "unigram_logprob_quality",
+    "user_burstiness_profile",
+    "value_drift_halves",
+    "weighted_sample_docs",
+    "winnow_overlap",
+    # (4) round-5 cohort, alphabetical prefix
+    "bpe_token_stats",
+    "compression_by_source",
+    "containment_dup_pairs",
+    "dedup_keep_best",
+    "dup_cluster_size_hist",
+    "event_basket_rules",
+    "event_silence_streaks",
+    "exact_value_quantiles",
+    "funnel_within_day",
+    "graph_assortativity",
+    "hard_negatives_mining",
+    "heaps_law_fit",
+    "hybrid_rrf_search",
+    "ivf_pq_search",
+    "join_size_estimate",
+    "kmv_vocab_overlap",
+    "label_noise_flags",
+]
+
+# r8 window kept for provenance (CORRECTNESS_r08 keys):
 _R8_WINDOW = [
     # (1) new in r8
     "warc_http_docs",
@@ -3964,7 +4024,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _registry()
-    out = {n: q[n] for n in _R8_WINDOW}
+    out = {n: q[n] for n in _R9_WINDOW}
     out.update((n, f) for n, f in q.items() if n not in out)
     return out
 

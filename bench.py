@@ -79,6 +79,18 @@ HEADLINE = [
     "warc_http_docs",
     "html_extract_text",
     "cc_ingest_quality",
+    # r9 additions (VERDICT r8 item 7 + the new layer): the cheap JVM
+    # crawl projections join the headline so the web layer is honestly
+    # timed, plus the r9 ops — RFC 3986 resolution, PSL broadcast
+    # joins, and the C4 line-filter rewrite (flat + composed paths)
+    "robots_gate_docs",
+    "sitemap_url_frontier",
+    "domain_doc_stats",
+    "outlink_domain_graph",
+    "outlink_resolve_urls",
+    "psl_registered_domains",
+    "c4_line_filter_docs",
+    "html_block_line_quality",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

@@ -1167,3 +1167,45 @@ class TestR8WebLayerPlans:
         assert "MapInPandas" in plan
         assert plan.count("ArrowEvalPython") == 0
         assert count_exchanges(out) == 0
+
+
+class TestR9WebLayerPlans:
+    """r9: scale contracts for the line-filter, URL-resolution, and
+    blocks-extraction chains — pure JVM projections, zero shuffle."""
+
+    def test_c4_line_filter_zero_shuffle_jvm_only(self, spark):
+        from tafra_spark.functions.pipeline import c4_line_filter
+        from tafra_spark.plans import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = c4_line_filter(docs)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan
+        assert count_exchanges(df) == 0
+
+    def test_blocks_extraction_and_resolution_jvm_only(self, spark):
+        from tafra_spark.plans import count_exchanges, explain_str
+        from tafra_spark.sources.http import (
+            html_links_resolved,
+            html_to_text_blocks,
+            url_resolve,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        base = F.concat(
+            F.lit("https://h.example.com/a/"),
+            F.col("doc_id").cast("string"),
+        )
+        html = F.concat(
+            F.lit('<p>para</p><a href="../x/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">l</a>'),
+        )
+        df = docs.select(
+            html_to_text_blocks(html).alias("t"),
+            url_resolve(base, F.lit("../up.html")).alias("u"),
+            html_links_resolved(html, base).alias("ls"),
+        )
+        plan = explain_str(df)
+        assert "EvalPython" not in plan
+        assert count_exchanges(df) == 0
