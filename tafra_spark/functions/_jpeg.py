@@ -603,16 +603,24 @@ def _encode_progressive(
 
 
 def _encode_block_zz(wr, zz, dc_prev, dc_tab, ac_tab):
-    """Baseline entropy coding of one pre-quantized zigzag block."""
+    """Baseline entropy coding of one pre-quantized zigzag block.
+
+    r9: symbols accumulate into LOCAL (acc, nb) big-int state and land
+    in the writer with ONE merged ``wr.write`` per block — the r8 form
+    paid a bound-method call + flush-threshold check per symbol (~90
+    per block, the encoder's hottest line). Every code/amplitude is
+    already exactly its advertised width, so ``acc`` stays < 2^nb and
+    the merged write is bit-identical to the per-symbol sequence."""
     zzl = zz.tolist() if hasattr(zz, "tolist") else list(zz)
     dc = zzl[0]
     diff = dc - dc_prev
     size = (diff if diff >= 0 else -diff).bit_length()
     code, length = dc_tab[size]
-    wr.write(code, length)
+    acc, nb = code, length
     if size:
         amp = diff if diff >= 0 else diff + (1 << size) - 1
-        wr.write(amp, size)
+        acc = (acc << size) | amp
+        nb += size
     run = 0
     last_nz = 0
     for i in range(1, 64):
@@ -625,17 +633,20 @@ def _encode_block_zz(wr, zz, dc_prev, dc_tab, ac_tab):
             continue
         while run > 15:
             c, ln = ac_tab[0xF0]
-            wr.write(c, ln)
+            acc = (acc << ln) | c
+            nb += ln
             run -= 16
         size = (v if v >= 0 else -v).bit_length()
         c, ln = ac_tab[(run << 4) | size]
-        wr.write(c, ln)
         amp = v if v >= 0 else v + (1 << size) - 1
-        wr.write(amp, size)
+        acc = (acc << (ln + size)) | (c << size) | amp
+        nb += ln + size
         run = 0
     if last_nz < 63:
         c, ln = ac_tab[0x00]  # EOB
-        wr.write(c, ln)
+        acc = (acc << ln) | c
+        nb += ln
+    wr.write(acc, nb)
     return dc
 
 
@@ -887,39 +898,69 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
         for c in comps
     ]
     segs = _split_restarts(content[pos:])
-    rd = _BitReader(_unstuff(segs[0]))
+    # r9: the bit-reader lives in LOCAL variables for the whole scan
+    # (acc/nb/dpos/data) — the r8 loop still paid one bound-method call
+    # plus three attribute loads per symbol (peek16 + nbits store +
+    # read_bits); inlining them is worth ~35% of baseline decode wall.
+    # Semantics identical to _BitReader: 16-bit refills, 1-bit padding
+    # extended forever past the end.
+    data = _unstuff(segs[0]) + b"\xff\xff\xff\xff"
+    dlen = len(data)
+    dpos = acc = nb = 0
     seg_i = 0
     dc_prev = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     mcu = 0
+    # per-scan-component decode parameters, resolved once
+    parts = []
+    for sc in scan:
+        ci = by_id[sc["id"]]
+        comp = comps[ci]
+        parts.append(
+            (ci, comp["v"], comp["h"], huff[(0, sc["dc"])],
+             huff[(1, sc["ac"])], coefs[ci])
+        )
     for my in range(g["mcuy"]):
         for mx in range(g["mcux"]):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 seg_i += 1
                 if seg_i >= len(segs):
                     raise ValueError("JPEG: missing restart marker")
-                rd = _BitReader(_unstuff(segs[seg_i]))
+                data = _unstuff(segs[seg_i]) + b"\xff\xff\xff\xff"
+                dlen = len(data)
+                dpos = acc = nb = 0
                 dc_prev = [0] * len(comps)
-            for sc in scan:
-                ci = by_id[sc["id"]]
-                comp = comps[ci]
-                dct = huff[(0, sc["dc"])]
-                act = huff[(1, sc["ac"])]
-                grid = coefs[ci]
-                # inlined symbol decode: the function-call version
-                # (_decode_huffman + _extend + read_bits) spends ~45%
-                # of decode wall in call overhead at ~7k symbols/image
-                for byi in range(comp["v"]):
-                    for bxi in range(comp["h"]):
-                        v = dct[rd.peek16()]
+            for ci, cv, ch, dct, act, grid in parts:
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        if nb < 16:
+                            if dpos + 2 > dlen:
+                                data += b"\xff" * 64
+                                dlen += 64
+                            acc = (
+                                (acc & ((1 << nb) - 1)) << 16
+                            ) | (data[dpos] << 8) | data[dpos + 1]
+                            dpos += 2
+                            nb += 16
+                        v = dct[(acc >> (nb - 16)) & 0xFFFF]
                         if v == 0:
                             raise ValueError("JPEG: invalid Huffman code")
-                        rd.nbits -= v & 31
+                        nb -= v & 31
                         size = v >> 5
                         if size > _DC_SIZE_MAX:
                             raise ValueError("JPEG: corrupt entropy stream")
                         if size:
-                            r = rd.read_bits(size)
+                            while nb < size:
+                                if dpos + 2 > dlen:
+                                    data += b"\xff" * 64
+                                    dlen += 64
+                                acc = (
+                                    (acc & ((1 << nb) - 1)) << 16
+                                ) | (data[dpos] << 8) | data[dpos + 1]
+                                dpos += 2
+                                nb += 16
+                            nb -= size
+                            r = (acc >> nb) & ((1 << size) - 1)
                             dc_prev[ci] += (
                                 r
                                 if r >= (1 << (size - 1))
@@ -932,12 +973,21 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                         zz[0] = dc_prev[ci]
                         k = 1
                         while k < 64:
-                            v = act[rd.peek16()]
+                            if nb < 16:
+                                if dpos + 2 > dlen:
+                                    data += b"\xff" * 64
+                                    dlen += 64
+                                acc = (
+                                    (acc & ((1 << nb) - 1)) << 16
+                                ) | (data[dpos] << 8) | data[dpos + 1]
+                                dpos += 2
+                                nb += 16
+                            v = act[(acc >> (nb - 16)) & 0xFFFF]
                             if v == 0:
                                 raise ValueError(
                                     "JPEG: invalid Huffman code"
                                 )
-                            rd.nbits -= v & 31
+                            nb -= v & 31
                             sym = v >> 5
                             if sym == 0x00:  # EOB
                                 break
@@ -954,14 +1004,24 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                             k += sym >> 4
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
-                            r = rd.read_bits(size)
+                            while nb < size:
+                                if dpos + 2 > dlen:
+                                    data += b"\xff" * 64
+                                    dlen += 64
+                                acc = (
+                                    (acc & ((1 << nb) - 1)) << 16
+                                ) | (data[dpos] << 8) | data[dpos + 1]
+                                dpos += 2
+                                nb += 16
+                            nb -= size
+                            r = (acc >> nb) & ((1 << size) - 1)
                             zz[k] = (
                                 r
                                 if r >= (1 << (size - 1))
                                 else r - (1 << size) + 1
                             )
                             k += 1
-                        grid[my * comp["v"] + byi, mx * comp["h"] + bxi] = zz
+                        grid[my * cv + byi, mx * ch + bxi] = zz
             mcu += 1
     return _reconstruct(comps, coefs, qtabs, g, h, w)
 

@@ -678,8 +678,10 @@ _SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
 
 
 def _remove_dot_segments(c: Column, depth: int) -> Column:
-    for _ in range(2):  # two passes: '/././' overlaps under one g-pass
-        c = F.regexp_replace(c, r"/\./", "/")
+    # a RUN of './' segments collapses in ONE pass (adjacent '/./'
+    # overlap under a g-pass, so the single-unit pattern needs a pass
+    # per unit — hypothesis found '/./././x' surviving two passes)
+    c = F.regexp_replace(c, r"/(?:\./)+", "/")
     c = F.regexp_replace(c, r"/\.$", "/")
     for _ in range(depth):
         c = F.regexp_replace(c, rf"/{_SEG}/\.\./", "/")
@@ -690,9 +692,7 @@ def _remove_dot_segments(c: Column, depth: int) -> Column:
 
 
 def _remove_dot_segments_sql(expr: str, depth: int) -> str:
-    s = expr
-    for _ in range(2):
-        s = f"regexp_replace({s}, '/\\./', '/', 'g')"
+    s = f"regexp_replace({expr}, '/(?:\\./)+', '/', 'g')"
     s = f"regexp_replace({s}, '/\\.$', '/', 'g')"
     for _ in range(depth):
         s = f"regexp_replace({s}, '/{_SEG}/\\.\\./', '/', 'g')"

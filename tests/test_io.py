@@ -969,6 +969,8 @@ class TestHttpSource:
             "../../up2.html",
             "../../../beyond-root.html",
             "a/./b/../c.html",
+            "././././deep.html",  # pinned: a RUN of './' (hypothesis)
+            "a/../b/../c/../d.html",  # sequential same-level '..'
             "..",
             ".",
             "mailto:x@y.z",
