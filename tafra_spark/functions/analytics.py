@@ -2987,7 +2987,7 @@ def k_core(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
-    max_driver_edges: int = 100_000,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """k-core peeling of the undirected event-transition graph: run
     ``rounds`` rounds of "drop every node with degree < k (and its
@@ -3027,8 +3027,9 @@ def k_core(
     edges = _transition_edges(events, user_col, type_col, ts_col, id_col)
     # r9 (ADVICE): probe via Arrow (toPandas), not collect() — a
     # wrong-guess graph at the limit materializes two compact object
-    # arrays (~tens of MB at the 100k default) instead of row-per-edge
-    # Row objects, and the SAME single job still decides the route
+    # arrays (tens of MB at the 1M default, vs hundreds of MB of Row
+    # objects), and the SAME single job still decides the route; the
+    # 1M driver cap itself is unchanged from r8
     head = edges.limit(int(max_driver_edges) + 1).toPandas()
     if len(head) > max_driver_edges:
         return _k_core_distributed(edges, k, rounds)

@@ -165,20 +165,42 @@ def _bom_charset(body: bytes) -> tuple[str, str]:
     return "", ""
 
 
+_META_ATTR = (
+    r"([A-Za-z-]+)[ \t\r\n]*=[ \t\r\n]*"
+    r"(\"[^\"]*\"|'[^']*'|[^ \t\r\n>\"']+)"
+)
+
+
 def _meta_charset_of(body: bytes) -> str:
-    """In-document ``<meta charset=...>`` declaration from the first
-    1024 bytes (the HTML standard's prescan window), '' when absent.
-    A meta claiming utf-16 is remapped to utf-8 (WHATWG rule: the
+    """In-document charset declaration from the first 1024 bytes (the
+    HTML standard's prescan window), '' when absent. r9 review fix:
+    this feeds the DECODE codec, so it parses meta tags at the
+    ATTRIBUTE level — a ``charset`` attribute, or ``http-equiv=
+    content-type``'s ``content`` value — instead of grepping for a
+    loose ``charset=`` anywhere (which let ``<meta content="...
+    charset=shift_jis...">`` og/description text hijack the codec).
+    A meta claiming utf-16/32 is remapped to utf-8 (WHATWG rule: the
     prescan only ever finds the meta in an ASCII-compatible stream,
-    so a utf-16 label there is self-contradicting)."""
+    so such a label is self-contradicting)."""
     import re
 
     head = body[:1024].decode("latin-1", errors="replace")
-    m = re.search(_META_CHARSET, head)
-    if not m:
-        return ""
-    cs = m.group(1).lower()
-    return "utf-8" if cs.startswith("utf-16") or cs.startswith("utf-32") else cs
+    for tag in re.findall(r"(?i)<meta\b[^>]*", head):
+        attrs = {
+            k.lower(): v.strip("\"'")
+            for k, v in re.findall(_META_ATTR, tag)
+        }
+        cs = attrs.get("charset", "")
+        if not cs and attrs.get("http-equiv", "").lower() == "content-type":
+            cs = _charset_of(attrs.get("content", ""))
+        if cs:
+            cs = cs.lower()
+            return (
+                "utf-8"
+                if cs.startswith("utf-16") or cs.startswith("utf-32")
+                else cs
+            )
+    return ""
 
 
 def parse_http_response(payload: bytes) -> dict:
@@ -619,7 +641,10 @@ _HREF_FULL = (
     rf"(?i)<a[^>]*href{_WSC}={_WSC}(?:\"([^\"#]*)|'([^'#]*))"
 )
 _HREF_PREFIX = rf"(?i)^<a[^>]*href{_WSC}={_WSC}[\"']"
-_ABS_HTTP = r"^https?://"
+#: case-insensitive — URL schemes are case-insensitive per RFC 3986
+#: §3.1, and real pages carry HTTP:// hrefs (r9 review fix: the first
+#: r9 cut dropped uppercase-scheme links the r8 extractor kept)
+_ABS_HTTP = r"(?i)^https?://"
 
 
 def html_links_all(col: Column | str) -> Column:
@@ -673,8 +698,13 @@ def html_links_sql(expr: str) -> str:
 # IDENTICAL chain for DuckDB oracles.
 _URI_SCHEME_AUTH = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)"
 _HAS_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*:"
-#: a path segment that is NOT '.' or '..' (for the /seg/../ collapse)
-_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+#: a path segment that is NOT '.' or '..' (for the /seg/../ collapse);
+#: the EMPTY segment is included (r9 review fix: RFC 3986 §5.2.4 pops
+#: the preceding segment even when it's empty — 'x//../y' must become
+#: 'x/y', not keep a residual '..'). NOTE: stdlib urljoin deviates
+#: from the RFC on empty segments; the hypothesis differential
+#: excludes them and the fixed-case tests pin the RFC answers.
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)?"
 
 
 def _remove_dot_segments(c: Column, depth: int) -> Column:
@@ -722,6 +752,20 @@ def url_resolve(
     return (
         F.when(r == "", base_nofrag)
         .when(r.rlike(_HAS_SCHEME), r)
+        # r9 review fixes: bare '//' is a no-op reference (urljoin
+        # agrees), and '///p' has an EMPTY authority — it inherits the
+        # base authority with path '/p' rather than minting the
+        # host-less 'https:///p'
+        .when(r == "//", base_nofrag)
+        .when(
+            r.startswith("///"),
+            F.concat(
+                sa,
+                _remove_dot_segments(
+                    F.regexp_replace(r, "^//", ""), depth
+                ),
+            ),
+        )
         .when(r.startswith("//"), F.concat(url_scheme(b), F.lit(":"), r))
         .when(
             r.startswith("/"),
@@ -748,9 +792,13 @@ def url_resolve_sql(base: str, ref: str, depth: int = 4) -> str:
         f" THEN '/' ELSE regexp_replace({bpath}, '[^/]*$', '', 'g') END)"
     )
     nofrag = f"regexp_extract({base}, '^([^#]*)', 1)"
+    stripped = f"regexp_replace({ref}, '^//', '', 'g')"
     return (
         f"CASE WHEN {ref} = '' THEN {nofrag} "
         f"WHEN regexp_matches({ref}, '{_HAS_SCHEME}') THEN {ref} "
+        f"WHEN {ref} = '//' THEN {nofrag} "
+        f"WHEN substr({ref}, 1, 3) = '///' THEN "
+        f"{sa} || {_remove_dot_segments_sql(stripped, depth)} "
         f"WHEN substr({ref}, 1, 2) = '//' THEN "
         f"{url_scheme_sql(base)} || ':' || {ref} "
         f"WHEN substr({ref}, 1, 1) = '/' THEN "

@@ -1232,3 +1232,84 @@ class TestHtmlBlocks:
 
         flat = html_to_text_py(self.HTML)
         assert html_to_text_blocks_py(self.HTML).replace("\n", " ") == flat
+
+
+class TestR9ReviewRegressions:
+    """r9 self-review findings, pinned (code-review found all five)."""
+
+    def test_meta_charset_attr_level_no_hijack(self):
+        # loose 'charset=' inside a content attribute must NOT pick
+        # the decode codec; real charset attr / http-equiv still do
+        from tafra_spark.sources.http import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        body = (
+            '<meta name="d" content="we support charset=shift_jis">café'
+        ).encode("utf-8")
+        rec = parse_http_response(
+            build_http_response(body, content_type="text/html")
+        )
+        assert rec["charset"] == "" and "café" in rec["text"]
+        body = (
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=windows-1252">caf\xe9'
+        )
+        rec = parse_http_response(
+            build_http_response(body, content_type="text/html")
+        )
+        assert rec["charset"] == "windows-1252" and "café" in rec["text"]
+
+    def test_html_links_uppercase_scheme_kept(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import html_links, html_links_sql
+
+        html = '<a href="HTTP://EX.example/x">u</a>'
+        df = spark.createDataFrame([(html,)], "html string")
+        assert list(df.select(html_links("html").alias("l")).first()["l"]) == [
+            "HTTP://EX.example/x"
+        ]
+        con = duckdb.connect()
+        assert con.execute(
+            f"SELECT {html_links_sql('$1')}", [html]
+        ).fetchone()[0] == ["HTTP://EX.example/x"]
+
+    def test_url_resolve_empty_segment_and_degenerate_slashes(self, spark):
+        # RFC 3986 §5.2.4 pops EMPTY segments too ('x//../y' -> 'x/y',
+        # no residual '..'); '//' is a no-op ref; '///p' inherits the
+        # base authority (empty authority), never 'https:///p'
+        import duckdb
+
+        from tafra_spark.sources.http import url_resolve, url_resolve_sql
+
+        base = "https://h.example.com/a/b/page.html"
+        cases = [
+            ("x//../y", "https://h.example.com/a/b/x/y"),
+            ("/..//x", "https://h.example.com//x"),
+            ("//", base),
+            ("///x", "https://h.example.com/x"),
+        ]
+        df = spark.createDataFrame(
+            [(base, r) for r, _ in cases], "base string, ref string"
+        )
+        got = [
+            r["u"]
+            for r in df.select(url_resolve("base", "ref").alias("u")).collect()
+        ]
+        assert got == [w for _, w in cases]
+        con = duckdb.connect()
+        sql = url_resolve_sql("$1", "$2")
+        for r, w in cases:
+            assert con.execute(f"SELECT {sql}", [base, r]).fetchone()[0] == w
+
+    def test_k_core_driver_cap_default_unchanged(self):
+        import inspect
+
+        from tafra_spark.functions.analytics import k_core
+
+        assert (
+            inspect.signature(k_core).parameters["max_driver_edges"].default
+            == 1_000_000
+        )
