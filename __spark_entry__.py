@@ -3621,11 +3621,12 @@ _HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
 def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: PSL registered-domain extraction (VERDICT item 4) — hosts
     # covering every routing case (private github.io suffix, ccSLD,
-    # 3-label blogspot.co.uk, plain .com, host==suffix, bare-host
-    # heuristic fallback) built per doc and resolved through the
-    # broadcast-join PSL path; the oracle states the expected domain
-    # in closed form per variant — an independent formulation, so the
-    # longest-suffix rule, +1-label selection, and fallback routing
+    # 3-label blogspot.co.uk, plain .com, host==suffix, WILDCARD *.ck,
+    # EXCEPTION !www.ck, bare-host heuristic fallback) built per doc
+    # and resolved through the broadcast-join PSL path; the oracle
+    # states the expected domain in closed form per variant — an
+    # independent formulation, so the longest-suffix rule, +1-label
+    # selection, wildcard/exception precedence, and fallback routing
     # are value-graded, not chain-mirrored.
     from tafra_spark.sources.psl import with_registered_domain_psl
 
@@ -3634,31 +3635,44 @@ def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = d.cast("string")
     host = (
         F.when(
-            F.pmod(d, 7) == 0,
-            F.concat(F.lit("s.app"), F.pmod(d, 9).cast("string"),
+            F.pmod(d, 9) == 0,
+            F.concat(F.lit("s.app"), F.pmod(d, 7).cast("string"),
                      F.lit(".github.io")),
         )
         .when(
-            F.pmod(d, 7) == 1,
+            F.pmod(d, 9) == 1,
             F.concat(F.lit("news.site"), F.pmod(d, 5).cast("string"),
                      F.lit(".co.uk")),
         )
         .when(
-            F.pmod(d, 7) == 2,
+            F.pmod(d, 9) == 2,
             F.concat(F.lit("a.b.shop"), F.pmod(d, 6).cast("string"),
                      F.lit(".com.au")),
         )
         .when(
-            F.pmod(d, 7) == 3,
+            F.pmod(d, 9) == 3,
             F.concat(F.lit("www.plain"), F.pmod(d, 8).cast("string"),
                      F.lit(".com")),
         )
         .when(
-            F.pmod(d, 7) == 4,
+            F.pmod(d, 9) == 4,
             F.concat(F.lit("x.y"), F.pmod(d, 3).cast("string"),
                      F.lit(".blogspot.co.uk")),
         )
-        .when(F.pmod(d, 7) == 5, F.lit("github.io"))
+        .when(F.pmod(d, 9) == 5, F.lit("github.io"))
+        # 6: wildcard *.ck (isleN.ck is a public suffix)
+        .when(
+            F.pmod(d, 9) == 6,
+            F.concat(F.lit("deep.w"), F.pmod(d, 5).cast("string"),
+                     F.lit(".isle"), F.pmod(d, 4).cast("string"),
+                     F.lit(".ck")),
+        )
+        # 7: exception !www.ck (registrable despite the wildcard)
+        .when(
+            F.pmod(d, 9) == 7,
+            F.concat(F.lit("sub"), F.pmod(d, 3).cast("string"),
+                     F.lit(".www.ck")),
+        )
         .otherwise(F.concat(F.lit("host"), F.pmod(d, 4).cast("string"),
                             F.lit("only")))
     )
@@ -3673,14 +3687,17 @@ def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSL_DOMAINS_SQL = """
     SELECT doc_id,
-           CASE doc_id % 7
-             WHEN 0 THEN 'app' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+           CASE doc_id % 9
+             WHEN 0 THEN 'app' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
              WHEN 1 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
              WHEN 2 THEN 'shop' || CAST(doc_id % 6 AS VARCHAR) || '.com.au'
              WHEN 3 THEN 'plain' || CAST(doc_id % 8 AS VARCHAR) || '.com'
              WHEN 4 THEN 'y' || CAST(doc_id % 3 AS VARCHAR)
                              || '.blogspot.co.uk'
              WHEN 5 THEN 'github.io'
+             WHEN 6 THEN 'w' || CAST(doc_id % 5 AS VARCHAR) || '.isle'
+                             || CAST(doc_id % 4 AS VARCHAR) || '.ck'
+             WHEN 7 THEN 'www.ck'
              ELSE 'host' || CAST(doc_id % 4 AS VARCHAR) || 'only' END
            AS domain
     FROM documents

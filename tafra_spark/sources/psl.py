@@ -10,9 +10,10 @@ below is a VENDORED SUBSET of well-known ICANN + private-section
 entries (multi-label suffixes are where the heuristic fails; common
 gTLD/ccTLD single labels are included so the join path also covers
 the plain .com case); swap in the full ``public_suffix_list.dat``
-via the ``suffixes=`` parameter for production coverage. Wildcard
-(``*.ck``) and exception (``!www.ck``) rules are NOT implemented —
-none are in the snapshot; the full-file loader would need them.
+via ``suffixes=load_psl(open(path).read())`` for production
+coverage. Wildcard (``*.ck``) and exception (``!www.ck``) rules are
+implemented per the PSL spec (r9 second pass): exceptions beat all,
+wildcards count at parent-width + 1 in the longest-match order.
 
 Scale design: the suffix table is a ≤O(10k)-row BROADCAST relation;
 matching is "longest suffix wins, registered = suffix + one label",
@@ -35,6 +36,7 @@ from tafra_spark.sources.http import url_host, url_registered_domain
 
 __all__ = [
     "PSL_SNAPSHOT",
+    "load_psl",
     "psl_relation",
     "with_registered_domain_psl",
 ]
@@ -100,22 +102,65 @@ PSL_SNAPSHOT: tuple[str, ...] = (
     # --- real 3-label private entries (exercise deep matches) ---
     "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
     "s3.amazonaws.com",
+    # --- real wildcard + exception rules (the .ck pair is the PSL's
+    # canonical example: every *.ck is a suffix EXCEPT www.ck) ---
+    "ck", "*.ck", "!www.ck",
 )
 
 
+def load_psl(text: str) -> list[str]:
+    """Parse ``public_suffix_list.dat`` content (the real file from
+    publicsuffix.org) into the rule list ``with_registered_domain_psl``
+    accepts: ``//`` comments and blank lines dropped, rules lower-
+    cased, ``*.parent`` wildcard and ``!exception`` markers kept
+    verbatim. Unicode rules are kept as-is — match against IDNA-
+    decoded hosts upstream if you need them; the ASCII/punycode rows
+    work unchanged."""
+    rules = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0].lower())
+    return rules
+
+
+def _split_rules(suffixes) -> tuple[list[str], list[str], list[str]]:
+    """(plain, wildcard-parents, exceptions) from a rule list that may
+    carry ``*.parent`` / ``!exc`` markers (PSL format §'Specification')."""
+    plain, wild, exc = set(), set(), set()
+    for s in suffixes:
+        if s.startswith("*."):
+            wild.add(s[2:])
+        elif s.startswith("!"):
+            exc.add(s[1:])
+        else:
+            plain.add(s)
+    return sorted(plain), sorted(wild), sorted(exc)
+
+
 def psl_relation(spark, suffixes=None) -> DataFrame:
-    """The suffix table as a (suffix, n_labels) relation, built via
-    pandas→Arrow (LocalRelation — no parallelize job)."""
+    """One marker-typed suffix table as a (suffix, n_labels, kind)
+    relation — kind 'p' plain / 'w' wildcard parent / 'e' exception —
+    built via pandas→Arrow (LocalRelation, no parallelize job)."""
     import pandas as pd
 
-    sfx = sorted(set(suffixes if suffixes is not None else PSL_SNAPSHOT))
+    plain, wild, exc = _split_rules(
+        suffixes if suffixes is not None else PSL_SNAPSHOT
+    )
+    rows = (
+        [(s, "p") for s in plain]
+        + [(s, "w") for s in wild]
+        + [(s, "e") for s in exc]
+    )
     return spark.createDataFrame(
         pd.DataFrame(
             {
-                "suffix": sfx,
+                "suffix": [s for s, _ in rows],
                 "n_labels": pd.array(
-                    [s.count(".") + 1 for s in sfx], dtype="int32"
+                    [s.count(".") + 1 for s, _ in rows], dtype="int32"
                 ),
+                "kind": [k for _, k in rows],
             }
         )
     )
@@ -142,45 +187,76 @@ def with_registered_domain_psl(
     part — total function by design, gate on ``host != out_col`` if
     you need the strict PSL answer).
 
-    Plan shape: ``max_suffix_labels`` broadcast hash joins of the
-    last-k-label candidates against the suffix relation — the data
-    side never shuffles, the suffix table broadcasts once.
+    Wildcard rules (``*.ck``: any single label under the parent is a
+    public suffix) and exception rules (``!www.ck``: carve-out — the
+    registrable domain IS that name) are honored per the PSL spec:
+    exceptions beat everything, then the longest match wins, wildcard
+    matches counting at parent-width + 1. Rule lists may come from
+    :data:`PSL_SNAPSHOT` (default) or :func:`load_psl` on the real
+    ``public_suffix_list.dat``.
+
+    Plan shape: one broadcast hash join per (rule kind, label width) —
+    at most ``3 * max_suffix_labels - 2`` of them, each against a tiny
+    slice of the suffix relation — the data side never shuffles, the
+    suffix table broadcasts once.
     """
     spark = df.sparkSession
     psl = psl_relation(spark, suffixes)
     host = url_host(F.col(url_col))
     work = df.withColumn("__psl_host__", host)
-    for k in range(1, max_suffix_labels + 1):
-        work = work.withColumn(f"__cand{k}__", _last_k(F.col("__psl_host__"), k))
-    # one extra candidate: the would-be registered domain for the
-    # DEEPEST suffix width (suffix of k labels -> registered = k+1)
-    work = work.withColumn(
-        f"__cand{max_suffix_labels + 1}__",
-        _last_k(F.col("__psl_host__"), max_suffix_labels + 1),
-    )
-    for k in range(1, max_suffix_labels + 1):
-        p = psl.filter(F.col("n_labels") == k).select(
-            F.col("suffix").alias(f"__sfx{k}__")
+    for k in range(1, max_suffix_labels + 2):
+        work = work.withColumn(
+            f"__cand{k}__", _last_k(F.col("__psl_host__"), k)
         )
+    joined_cols: list[str] = []
+
+    def _join(kind: str, k: int, alias: str) -> None:
+        p = psl.filter(
+            (F.col("n_labels") == k) & (F.col("kind") == kind)
+        ).select(F.col("suffix").alias(alias))
+        nonlocal work
         work = work.join(
-            F.broadcast(p),
-            work[f"__cand{k}__"] == p[f"__sfx{k}__"],
-            "left",
+            F.broadcast(p), work[f"__cand{k}__"] == p[alias], "left"
         )
-    # longest suffix wins; registered = suffix + one label (cand_{k+1});
-    # '' candidate above the suffix means host == suffix -> host itself
+        joined_cols.append(alias)
+
+    for k in range(1, max_suffix_labels + 1):
+        _join("p", k, f"__sfx{k}__")
+    for k in range(1, max_suffix_labels):  # parent width; effective k+1
+        _join("w", k, f"__wld{k}__")
+    for k in range(2, max_suffix_labels + 1):  # !exc is >= 2 labels
+        _join("e", k, f"__exc{k}__")
+
+    def _reg_at(width: int):
+        # registered = suffix + one label; '' above the suffix means
+        # host == suffix -> the host itself (total-function contract)
+        nxt = F.col(f"__cand{width + 1}__")
+        return F.when(nxt != "", nxt).otherwise(F.col("__psl_host__"))
+
     reg = None
-    for k in range(max_suffix_labels, 0, -1):
-        hit = F.col(f"__sfx{k}__").isNotNull()
-        val = F.when(
-            F.col(f"__cand{k + 1}__") != "", F.col(f"__cand{k + 1}__")
-        ).otherwise(F.col("__psl_host__"))
-        reg = F.when(hit, val) if reg is None else reg.when(hit, val)
+
+    def _when(cond, val):
+        nonlocal reg
+        reg = F.when(cond, val) if reg is None else reg.when(cond, val)
+
+    # 1. exception rules beat every other match: the registrable
+    #    domain is the exception name itself (PSL: public suffix =
+    #    exception minus its leftmost label)
+    for k in range(max_suffix_labels, 1, -1):
+        _when(F.col(f"__exc{k}__").isNotNull(), F.col(f"__cand{k}__"))
+    # 2. longest match wins; at equal effective width a plain rule
+    #    outranks a wildcard (more specific)
+    for w in range(max_suffix_labels, 0, -1):
+        if w <= max_suffix_labels:
+            hit = F.col(f"__sfx{w}__").isNotNull()
+            _when(hit, _reg_at(w))
+        if 1 <= w - 1:
+            _when(F.col(f"__wld{w - 1}__").isNotNull(), _reg_at(w))
     reg = reg.otherwise(url_registered_domain(F.col(url_col)))
     out = work.withColumn(out_col, reg)
     drop = (
         ["__psl_host__"]
         + [f"__cand{k}__" for k in range(1, max_suffix_labels + 2)]
-        + [f"__sfx{k}__" for k in range(1, max_suffix_labels + 1)]
+        + joined_cols
     )
     return out.drop(*drop)

@@ -1313,3 +1313,61 @@ class TestR9ReviewRegressions:
             inspect.signature(k_core).parameters["max_driver_edges"].default
             == 1_000_000
         )
+
+
+class TestPslWildcardsExceptions:
+    """r9 second pass: PSL wildcard (*.ck) and exception (!www.ck)
+    rules, plus the public_suffix_list.dat loader."""
+
+    def test_load_psl_format(self):
+        from tafra_spark.sources.psl import load_psl
+
+        rules = load_psl(
+            "// ===BEGIN ICANN DOMAINS===\n"
+            "com\n\n// c\nck\n*.ck\n!www.ck\nCo.UK \n"
+        )
+        assert rules == ["com", "ck", "*.ck", "!www.ck", "co.uk"]
+
+    def test_wildcard_and_exception_routing(self, spark):
+        from tafra_spark.sources.psl import with_registered_domain_psl
+
+        cases = [
+            # *.ck: any single label under ck is a public suffix
+            ("http://a.foo.bar.ck/", "foo.bar.ck"),
+            ("http://foo.bar.ck/", "foo.bar.ck"),
+            ("http://bar.ck/", "bar.ck"),      # host IS a suffix
+            # !www.ck carve-out: www.ck is registrable
+            ("http://www.ck/", "www.ck"),
+            ("http://a.www.ck/", "www.ck"),
+            ("http://b.a.www.ck/", "www.ck"),
+            # plain rules unaffected
+            ("http://x.example.com/", "example.com"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+        )
+        got = {
+            r["i"]: r["d"]
+            for r in with_registered_domain_psl(df, "url", out_col="d").collect()
+        }
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_full_file_rules_via_loader(self, spark):
+        from tafra_spark.sources.psl import load_psl, with_registered_domain_psl
+
+        dat = "com\nuk\nco.uk\nplatform.sh\n*.platform.sh\n"
+        df = spark.createDataFrame(
+            [
+                (0, "https://x.y.app.platform.sh/"),
+                (1, "https://news.bbc.co.uk/"),
+            ],
+            "i int, url string",
+        )
+        out = with_registered_domain_psl(
+            df, "url", out_col="d", suffixes=load_psl(dat)
+        )
+        got = {r["i"]: r["d"] for r in out.collect()}
+        # *.platform.sh -> app.platform.sh is a suffix -> y.app... registers
+        assert got[0] == "y.app.platform.sh"
+        assert got[1] == "bbc.co.uk"
