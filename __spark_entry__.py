@@ -3618,6 +3618,74 @@ def _html_block_quality_sql() -> str:
 _HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: intra-document line dedup (RefinedWeb's repeated-banner
+    # drop) — boilerplate lines repeated between unique sections, with
+    # a %3 cohort repeating a second banner; the oracle runs the
+    # mirrored indexed-lambda chain on the identical construction and
+    # the rewritten text itself is hashed.
+    from tafra_spark.functions.pipeline import line_dedup_rewrite
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    sub = F.lit("Subscribe to our newsletter for updates.")
+    share = F.lit("Share this article on social media now.")
+    built = F.concat_ws(
+        "\n",
+        sub,
+        F.concat(F.lit("Section "), F.pmod(d, 5).cast("string"),
+                 F.lit(" content for document "), ds, F.lit(".")),
+        sub,
+        F.col("text"),
+        share,
+    )
+    built = F.concat(
+        built,
+        F.when(F.pmod(d, 3) == 0, F.concat(F.lit("\n"), share)).otherwise(""),
+        F.concat(F.lit("\nFinal unique closing line for "), ds, F.lit(".")),
+    )
+    out = line_dedup_rewrite(
+        docs.select("doc_id", built.alias("text"))
+    )
+    return out.select("doc_id", "n_dup_lines", "dedup_text")
+
+
+def _line_dedup_sql() -> str:
+    from tafra_spark.functions.pipeline import line_dedup_sql
+
+    frag = line_dedup_sql("t")
+    body = (
+        "'Subscribe to our newsletter for updates.'"
+        " || chr(10) || 'Section ' || CAST(doc_id % 5 AS VARCHAR)"
+        " || ' content for document ' || CAST(doc_id AS VARCHAR) || '.'"
+        " || chr(10) || 'Subscribe to our newsletter for updates.'"
+        " || chr(10) || text"
+        " || chr(10) || 'Share this article on social media now.'"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+        " 'Share this article on social media now.' ELSE '' END"
+        " || chr(10) || 'Final unique closing line for '"
+        " || CAST(doc_id AS VARCHAR) || '.'"
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, ({body}) AS t
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               {frag['n_dup_lines']} AS n_dup_lines,
+               {frag['dedup_text']} AS dedup_text
+        FROM b
+    """
+
+
+_LINE_DEDUP_SQL = _line_dedup_sql()
+
+
 def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: PSL registered-domain extraction (VERDICT item 4) — hosts
     # covering every routing case (private github.io suffix, ccSLD,
@@ -3929,6 +3997,7 @@ _R9_WINDOW = [
     "psl_registered_domains",
     "c4_line_filter_docs",
     "html_block_line_quality",
+    "line_dedup_docs",
     # (2) r9 code changes
     "robots_gate_docs",
     "outlink_domain_graph",
@@ -3976,7 +4045,6 @@ _R9_WINDOW = [
     "ivf_pq_search",
     "join_size_estimate",
     "kmv_vocab_overlap",
-    "label_noise_flags",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4054,6 +4122,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psl_registered_domains": psl_registered_domains,
         "c4_line_filter_docs": c4_line_filter_docs,
         "html_block_line_quality": html_block_line_quality,
+        "line_dedup_docs": line_dedup_docs,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9891,6 +9960,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter_docs": _C4_DOCS_SQL,
         # r9 composed blocks-extraction -> C4 filter path
         "html_block_line_quality": _HTML_BLOCK_QUALITY_SQL,
+        # r9 intra-doc line dedup: mirrored indexed-lambda chain
+        "line_dedup_docs": _LINE_DEDUP_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

@@ -91,6 +91,7 @@ HEADLINE = [
     "psl_registered_domains",
     "c4_line_filter_docs",
     "html_block_line_quality",
+    "line_dedup_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

@@ -64,6 +64,8 @@ __all__ = [
     "segment_dedup_rewrite",
     "c4_line_filter",
     "c4_line_filter_sql",
+    "line_dedup_rewrite",
+    "line_dedup_sql",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "source_js_divergence",
@@ -1545,6 +1547,47 @@ def c4_line_filter_sql(
         "n_lines": f"CAST(len(string_split({expr}, chr(10))) AS BIGINT)",
         "n_kept": f"CAST(len({kept}) AS BIGINT)",
         "c4_pass": f"({doc_ok})",
+    }
+
+
+def line_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """RefinedWeb-style INTRA-document line dedup as a transformation:
+    repeated lines within one document (cookie banners, nav blocks,
+    "subscribe" calls pasted between every section) are dropped,
+    keeping the first occurrence in order; appends ``out_col`` plus
+    ``n_dup_lines``. Complements :func:`c4_line_filter` (rule-based)
+    and :func:`segment_dedup_rewrite` (CROSS-document): this one needs
+    no corpus state at all.
+
+    Scale: zero shuffle — a first-occurrence HOF filter
+    (``array_position(lines, ln) == index``) per row; quadratic in the
+    LINE count of one document (fine at the ≤10³ lines a web page
+    yields — documents beyond that should be chunked first). Oracle:
+    :func:`line_dedup_sql` emits the identical DuckDB chain
+    (list_position under an indexed lambda, 1-based both sides after
+    index adjustment)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines, lambda ln, i: F.array_position(lines, ln) == i + 1
+    )
+    return df.withColumn(out_col, F.array_join(kept, "\n")).withColumn(
+        "n_dup_lines", (F.size(lines) - F.size(kept)).cast("long")
+    )
+
+
+def line_dedup_sql(expr: str) -> dict[str, str]:
+    """DuckDB mirror of :func:`line_dedup_rewrite` — fragments keyed
+    ``dedup_text`` / ``n_dup_lines``."""
+    lines = f"string_split({expr}, chr(10))"
+    kept = f"list_filter({lines}, (ln, i) -> list_position({lines}, ln) = i)"
+    return {
+        "dedup_text": f"coalesce(array_to_string({kept}, chr(10)), '')",
+        "n_dup_lines": f"CAST(len({lines}) - len({kept}) AS BIGINT)",
     }
 
 

@@ -6433,3 +6433,45 @@ class TestC4LineFilter:
                 [t],
             ).fetchone()
             assert got[i] == tuple(w), (i, got[i], w)
+
+
+class TestLineDedupRewrite:
+    """r9: intra-document line dedup (pipeline.line_dedup_rewrite)."""
+
+    def test_first_occurrence_kept_in_order(self, spark):
+        from tafra_spark.functions.pipeline import line_dedup_rewrite
+
+        text = "banner\nsection one\nbanner\nsection two\nbanner\nend"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = line_dedup_rewrite(df).first()
+        assert out["dedup_text"] == "banner\nsection one\nsection two\nend"
+        assert out["n_dup_lines"] == 2
+
+    def test_sql_mirror_parity(self, spark):
+        import duckdb
+
+        from tafra_spark.functions.pipeline import (
+            line_dedup_rewrite,
+            line_dedup_sql,
+        )
+
+        texts = [
+            "a\nb\na\nc\nb",
+            "only one line",
+            "",
+            "x\nx\nx\nx",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        got = {
+            r["i"]: (r["dedup_text"], r["n_dup_lines"])
+            for r in line_dedup_rewrite(df).collect()
+        }
+        con = duckdb.connect()
+        frag = line_dedup_sql("$1")
+        for i, t in enumerate(texts):
+            w = con.execute(
+                f"SELECT {frag['dedup_text']}, {frag['n_dup_lines']}", [t]
+            ).fetchone()
+            assert got[i] == tuple(w), (i, got[i], w)

@@ -1209,3 +1209,13 @@ class TestR9WebLayerPlans:
         plan = explain_str(df)
         assert "EvalPython" not in plan
         assert count_exchanges(df) == 0
+
+    def test_line_dedup_zero_shuffle_jvm_only(self, spark):
+        from tafra_spark.functions.pipeline import line_dedup_rewrite
+        from tafra_spark.plans import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = line_dedup_rewrite(docs)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan
+        assert count_exchanges(df) == 0
