@@ -974,3 +974,66 @@ class TestHttpExtractionOnStreams:
             extract(stream), "http_extract_stream", output_mode="append"
         )
         assert {tuple(r) for r in out.collect()} == batch
+
+
+class TestLineQualityOnStreams:
+    """r9: the line-level layer composes with Structured Streaming —
+    html_to_text_blocks, c4_line_filter, and line_dedup_rewrite are
+    stateless projections, so stream == batch by construction; this
+    pins it end to end (blocks extraction -> dedup -> C4 verdict)."""
+
+    @pytest.fixture(scope="class")
+    def pages_path(self, spark, tmp_path_factory):
+        rows = []
+        for i in range(6):
+            html = (
+                "<html><body><nav>Home | About</nav>"
+                "<p>Subscribe to the feed now please today.</p>"
+                f"<p>Paragraph {i} carries unique narrative content here.</p>"
+                "<p>Subscribe to the feed now please today.</p>"
+                "<p>Another proper sentence closes the page cleanly.</p>"
+                "<footer>All rights reserved.</footer></body></html>"
+            )
+            rows.append((f"http://h/{i}", html))
+        df = spark.createDataFrame(rows, "url string, html string")
+        path = str(tmp_path_factory.mktemp("line_stream") / "pages")
+        df.repartition(2).write.parquet(path)
+        return path
+
+    def test_line_pipeline_stream_matches_batch(self, spark, pages_path):
+        from tafra_spark.functions.pipeline import (
+            c4_line_filter,
+            line_dedup_rewrite,
+        )
+        from tafra_spark.sources.http import html_to_text_blocks
+        from tafra_spark.streaming.ops import run_to_memory_sink
+
+        def pipeline(df):
+            ext = df.select(
+                "url", html_to_text_blocks("html").alias("text")
+            )
+            ded = line_dedup_rewrite(ext)
+            return c4_line_filter(ded, text_col="dedup_text").select(
+                "url", "n_dup_lines", "n_kept", "c4_pass", "c4_text"
+            )
+
+        batch = {
+            tuple(r)
+            for r in pipeline(spark.read.parquet(pages_path)).collect()
+        }
+        # the repeated subscribe banner dedups, nav/footer junk dies,
+        # two content sentences survive (subscribe line lacks 'cookie'
+        # etc. but fails nothing — it IS a sentence; dedup removes the
+        # repeat so n_kept == 3 unique sentence lines)
+        assert batch and all(d == 1 for _, d, _, _, _ in batch)
+        assert all(k == 3 for _, _, k, _, _ in batch)
+        assert all(p is True for _, _, _, p, _ in batch)
+        stream = (
+            spark.readStream.schema("url string, html string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pages_path)
+        )
+        out = run_to_memory_sink(
+            pipeline(stream), "line_quality_stream", output_mode="append"
+        )
+        assert {tuple(r) for r in out.collect()} == batch
