@@ -3618,6 +3618,83 @@ def _html_block_quality_sql() -> str:
 _HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
 
 
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: the Gopher Table-A1 rules over constructed per-variant docs —
+    # %4 cohorts: clean prose (pass), bullet-flooded, symbol-flooded,
+    # numeric-flooded — plus a corpus-text line so word stats ride real
+    # data. The oracle runs the mirrored fragment chain on the
+    # identical construction; every q4 signal and the verdict hash.
+    from tafra_spark.functions.pipeline import gopher_quality_flags
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    d = F.col("doc_id")
+    prose = (
+        "the quick brown fox jumps over that lazy dog and the crew "
+        "have been with many of those friendly forest animals today."
+    )
+    built = F.concat(
+        F.col("text"),
+        F.lit(" with the usual set of closing words to be sure.\n"),
+        F.lit(prose + "\n" + prose),
+        F.when(F.pmod(d, 4) == 1, F.repeat(F.lit("\n- the bullet item"), 40))
+        .otherwise(""),
+        F.when(F.pmod(d, 4) == 2, F.concat(F.lit("\n"), F.repeat(F.lit("# "), 60)))
+        .otherwise(""),
+        F.when(F.pmod(d, 4) == 3, F.concat(F.lit("\n"), F.repeat(F.lit("123 "), 90)))
+        .otherwise(""),
+    )
+    out = gopher_quality_flags(docs.select("doc_id", built.alias("text")))
+    return out.select(
+        "doc_id", "n_words", "mean_word_len_q4", "symbol_ratio_q4",
+        "bullet_frac_q4", "ellipsis_frac_q4", "alpha_frac_q4",
+        "stop_hits", "gopher_pass",
+    )
+
+
+def _gopher_quality_sql() -> str:
+    from tafra_spark.functions.pipeline import gopher_quality_sql
+
+    prose = (
+        "the quick brown fox jumps over that lazy dog and the crew "
+        "have been with many of those friendly forest animals today."
+    )
+    body = (
+        "text || ' with the usual set of closing words to be sure.'"
+        f" || chr(10) || '{prose}' || chr(10) || '{prose}'"
+        " || CASE WHEN doc_id % 4 = 1"
+        " THEN repeat(chr(10) || '- the bullet item', 40) ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 2"
+        " THEN chr(10) || repeat('# ', 60) ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 3"
+        " THEN chr(10) || repeat('123 ', 90) ELSE '' END"
+    )
+    frag = gopher_quality_sql("t")
+    cols = ",\n               ".join(
+        f"{frag[c]} AS {c}"
+        for c in (
+            "n_words", "mean_word_len_q4", "symbol_ratio_q4",
+            "bullet_frac_q4", "ellipsis_frac_q4", "alpha_frac_q4",
+            "stop_hits", "gopher_pass",
+        )
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, ({body}) AS t
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               {cols}
+        FROM b
+    """
+
+
+_GOPHER_QUALITY_SQL = _gopher_quality_sql()
+
+
 def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: intra-document line dedup (RefinedWeb's repeated-banner
     # drop) — boilerplate lines repeated between unique sections, with
@@ -3998,6 +4075,7 @@ _R9_WINDOW = [
     "c4_line_filter_docs",
     "html_block_line_quality",
     "line_dedup_docs",
+    "gopher_quality_docs",
     # (2) r9 code changes
     "robots_gate_docs",
     "outlink_domain_graph",
@@ -4044,7 +4122,6 @@ _R9_WINDOW = [
     "hybrid_rrf_search",
     "ivf_pq_search",
     "join_size_estimate",
-    "kmv_vocab_overlap",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4123,6 +4200,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter_docs": c4_line_filter_docs,
         "html_block_line_quality": html_block_line_quality,
         "line_dedup_docs": line_dedup_docs,
+        "gopher_quality_docs": gopher_quality_docs,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -9962,6 +10040,8 @@ def oracle_sql() -> dict[str, str]:
         "html_block_line_quality": _HTML_BLOCK_QUALITY_SQL,
         # r9 intra-doc line dedup: mirrored indexed-lambda chain
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        # r9 Gopher Table-A1 rules: mirrored q4 fragment chain
+        "gopher_quality_docs": _GOPHER_QUALITY_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

@@ -92,6 +92,7 @@ HEADLINE = [
     "c4_line_filter_docs",
     "html_block_line_quality",
     "line_dedup_docs",
+    "gopher_quality_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

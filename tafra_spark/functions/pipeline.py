@@ -66,6 +66,9 @@ __all__ = [
     "c4_line_filter_sql",
     "line_dedup_rewrite",
     "line_dedup_sql",
+    "gopher_quality_flags",
+    "gopher_quality_sql",
+    "GOPHER_STOPWORDS",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "source_js_divergence",
@@ -1548,6 +1551,179 @@ def c4_line_filter_sql(
         "n_kept": f"CAST(len({kept}) AS BIGINT)",
         "c4_pass": f"({doc_ok})",
     }
+
+
+# --- Gopher quality rules (Rae et al. 2021, Table A1) ---------------
+#
+# The document-level companion of c4_line_filter: the published Gopher
+# repetition-free quality rules that quality_gate (token window +
+# dup/top ceilings) does NOT cover — mean word length, symbol-to-word
+# ratio, bullet/ellipsis LINE fractions (which need the r9
+# line-structured text shape), alphabetic-word fraction, and the
+# stop-word floor. All integer/q4 fixed point, zero shuffle,
+# SQL-mirrored.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+_GOPHER_WS = r"[ \t\r\n]+"
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_q4: int = 3_0000,
+    max_mean_word_len_q4: int = 10_0000,
+    max_symbol_ratio_q4: int = 1_000,
+    max_bullet_frac_q4: int = 9_000,
+    max_ellipsis_frac_q4: int = 3_000,
+    min_alpha_frac_q4: int = 8_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Append the Gopher quality signals and per-rule flags:
+
+    - ``n_words``, ``mean_word_len_q4`` (sum(len)/n, x1e4),
+    - ``symbol_ratio_q4`` ('#' + '...' occurrences per word),
+    - ``bullet_frac_q4`` / ``ellipsis_frac_q4`` (fractions of LINES
+      starting with a bullet / ending with an ellipsis — feed
+      line-structured text, e.g. ``html_to_text_blocks`` output),
+    - ``alpha_frac_q4`` (words containing an alphabetic char),
+    - ``stop_hits`` (distinct GOPHER_STOPWORDS present),
+    - ``gopher_pass`` (every rule inside its published bound).
+
+    Defaults are the paper's: 50–100k words, mean word length 3–10,
+    symbol ratio < 0.1, < 90% bullet lines, < 30% ellipsis lines,
+    > 80% alphabetic words, >= 2 stop words. Zero shuffle — one
+    codegen/HOF projection; every ratio is floor(x * 1e4 / y) on exact
+    integers so the DuckDB mirror hashes identically.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, _GOPHER_WS), lambda w: w != "")
+    n_words = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_dots = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    low_words = F.transform(words, F.lower)
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(low_words, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def _q4(num, den):
+        return (
+            F.when(den > 0, F.floor(num * F.lit(10_000) / den))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len_q4", _q4(char_sum, n_words))
+        .withColumn("symbol_ratio_q4", _q4(n_hash + n_dots, n_words))
+        .withColumn("bullet_frac_q4", _q4(n_bullet, n_lines))
+        .withColumn("ellipsis_frac_q4", _q4(n_ellipsis, n_lines))
+        .withColumn("alpha_frac_q4", _q4(n_alpha, n_words))
+        .withColumn("stop_hits", stop_hits.cast("long"))
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_q4") >= min_mean_word_len_q4)
+        & (F.col("mean_word_len_q4") <= max_mean_word_len_q4)
+        & (F.col("symbol_ratio_q4") < max_symbol_ratio_q4)
+        & (F.col("bullet_frac_q4") < max_bullet_frac_q4)
+        & (F.col("ellipsis_frac_q4") < max_ellipsis_frac_q4)
+        & (F.col("alpha_frac_q4") > min_alpha_frac_q4)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_pass", ok)
+
+
+def gopher_quality_sql(
+    expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_q4: int = 3_0000,
+    max_mean_word_len_q4: int = 10_0000,
+    max_symbol_ratio_q4: int = 1_000,
+    max_bullet_frac_q4: int = 9_000,
+    max_ellipsis_frac_q4: int = 3_000,
+    min_alpha_frac_q4: int = 8_000,
+    min_stop_hits: int = 2,
+) -> dict[str, str]:
+    """DuckDB mirror of :func:`gopher_quality_flags` — fragments keyed
+    by output column. floor(x*1e4/y) on 64-bit ints stays exact in the
+    shared double path (< 2^53)."""
+    words = (
+        f"list_filter(string_split_regex({expr}, '{_GOPHER_WS}'),"
+        f" w -> w <> '')"
+    )
+    n_words = f"len({words})"
+    char_sum = f"list_sum(list_transform({words}, w -> length(w)))"
+    lines = f"string_split({expr}, chr(10))"
+    n_lines = f"len({lines})"
+    # literal UTF-8 bullet/ellipsis chars: RE2 has no \\uXXXX escape
+    # (Java does) — the raw codepoint is the shared spelling
+    n_bullet = (
+        f"len(list_filter({lines},"
+        f" ln -> regexp_matches(ln, '^[-*•]')))"
+    )
+    n_ellipsis = (
+        f"len(list_filter({lines},"
+        f" ln -> regexp_matches(ln, '(\\.\\.\\.|…)$')))"
+    )
+    n_alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    )
+    n_hash = f"(length({expr}) - length(replace({expr}, '#', '')))"
+    n_dots = (
+        f"((length({expr}) - length(replace({expr}, '...', ''))) / 3)"
+    )
+    low = f"list_transform({words}, w -> lower(w))"
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains({low}, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+
+    def _q4(num, den):
+        return (
+            f"CAST(CASE WHEN {den} > 0 THEN"
+            f" floor(({num}) * 10000 / ({den})) ELSE 0 END AS BIGINT)"
+        )
+
+    frag = {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len_q4": _q4(f"coalesce({char_sum}, 0)", n_words),
+        "symbol_ratio_q4": _q4(f"{n_hash} + {n_dots}", n_words),
+        "bullet_frac_q4": _q4(n_bullet, n_lines),
+        "ellipsis_frac_q4": _q4(n_ellipsis, n_lines),
+        "alpha_frac_q4": _q4(n_alpha, n_words),
+        "stop_hits": f"CAST(({stop_hits}) AS BIGINT)",
+    }
+    frag["gopher_pass"] = (
+        f"({frag['n_words']} >= {min_words}"
+        f" AND {frag['n_words']} <= {max_words}"
+        f" AND {frag['mean_word_len_q4']} >= {min_mean_word_len_q4}"
+        f" AND {frag['mean_word_len_q4']} <= {max_mean_word_len_q4}"
+        f" AND {frag['symbol_ratio_q4']} < {max_symbol_ratio_q4}"
+        f" AND {frag['bullet_frac_q4']} < {max_bullet_frac_q4}"
+        f" AND {frag['ellipsis_frac_q4']} < {max_ellipsis_frac_q4}"
+        f" AND {frag['alpha_frac_q4']} > {min_alpha_frac_q4}"
+        f" AND {frag['stop_hits']} >= {min_stop_hits})"
+    )
+    return frag
 
 
 def line_dedup_rewrite(

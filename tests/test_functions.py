@@ -6475,3 +6475,87 @@ class TestLineDedupRewrite:
                 f"SELECT {frag['dedup_text']}, {frag['n_dup_lines']}", [t]
             ).fetchone()
             assert got[i] == tuple(w), (i, got[i], w)
+
+
+class TestGopherQuality:
+    """r9: Gopher Table-A1 quality rules (pipeline.gopher_quality_flags)."""
+
+    def _one(self, spark, text, **kw):
+        from tafra_spark.functions.pipeline import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_quality_flags(df, **kw).first()
+
+    def test_good_document_passes(self, spark):
+        good = " ".join(
+            "the quick brown fox jumps over that lazy dog and friends"
+            .split()
+        )
+        text = "\n".join([good + " be with of have to today."] * 6)
+        r = self._one(spark, text)
+        assert r["gopher_pass"] is True
+        assert r["stop_hits"] >= 2 and r["alpha_frac_q4"] == 10000
+
+    def test_each_rule_fires(self, spark):
+        base_line = (
+            "the quick brown fox jumps over that lazy dog and the crew "
+            "have been with many of those friendly forest animals today"
+        )
+        base = "\n".join([base_line] * 5)
+        # too few words
+        assert self._one(spark, "the of and.")["gopher_pass"] is False
+        # symbol ratio: flood with hashes
+        r = self._one(spark, base + "\n" + "# " * 80)
+        assert r["symbol_ratio_q4"] >= 1000 and r["gopher_pass"] is False
+        # bullet lines >= 90%
+        bullets = "\n".join(["- the item of note"] * 50)
+        r = self._one(spark, bullets)
+        assert r["bullet_frac_q4"] >= 9000 and r["gopher_pass"] is False
+        # ellipsis endings >= 30%
+        ell = "\n".join([base_line, base_line + "...", base_line + "…"])
+        r = self._one(spark, ell)
+        assert r["ellipsis_frac_q4"] >= 3000
+        # alphabetic-word fraction <= 80%
+        nums = base + "\n" + " ".join(["12345"] * 60)
+        r = self._one(spark, nums)
+        assert r["alpha_frac_q4"] <= 8000 and r["gopher_pass"] is False
+        # stopword floor
+        r = self._one(spark, "\n".join(["lorem dolor sit amet words"] * 20))
+        assert r["stop_hits"] < 2 and r["gopher_pass"] is False
+        # mean word length out of bounds (all 1-char words)
+        r = self._one(spark, " ".join(["a"] * 80))
+        assert r["mean_word_len_q4"] < 30000 and r["gopher_pass"] is False
+
+    def test_sql_mirror_parity(self, spark):
+        import duckdb
+
+        from tafra_spark.functions.pipeline import (
+            gopher_quality_flags,
+            gopher_quality_sql,
+        )
+
+        texts = [
+            "the quick brown fox jumps over that lazy dog of mine.",
+            "- bullet one\n- bullet two\nplain line with the usual end.",
+            "dots... and more dots...\nhash # tags # here\n",
+            "",
+            " ".join(["of the and to be"] * 30),
+        ]
+        cols = [
+            "n_words", "mean_word_len_q4", "symbol_ratio_q4",
+            "bullet_frac_q4", "ellipsis_frac_q4", "alpha_frac_q4",
+            "stop_hits", "gopher_pass",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        got = {
+            r["i"]: tuple(r[c] for c in cols)
+            for r in gopher_quality_flags(df).collect()
+        }
+        con = duckdb.connect()
+        frag = gopher_quality_sql("$1")
+        sel = ", ".join(frag[c] for c in cols)
+        for i, t in enumerate(texts):
+            w = con.execute(f"SELECT {sel}", [t]).fetchone()
+            assert got[i] == tuple(w), (i, got[i], w)
