@@ -3618,6 +3618,60 @@ def _html_block_quality_sql() -> str:
 _HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
 
 
+def url_normalize_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: frontier dedup by canonical URL — four messy spellings of
+    # the same fetch (uppercase scheme/host + default port + './',
+    # userinfo + '../' climb, mid-path '..', clean) are constructed by
+    # doc_id%4 cohort and must COLLAPSE under url_normalize; the
+    # oracle computes the canonical URL and group counts directly from
+    # the doc_id arithmetic — an independent formulation, so scheme/
+    # host lowering, port/userinfo/fragment stripping, and dot-segment
+    # removal are all graded by whether the groups merge exactly.
+    from tafra_spark.sources.http import url_normalize
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = F.pmod(d, 5).cast("string")
+    p = F.pmod(d, 50).cast("string")
+    k = F.pmod(d, 3).cast("string")
+    url = (
+        F.when(
+            F.pmod(d, 4) == 0,
+            F.concat(F.lit("https://w"), w, F.lit(".example.org/p/"),
+                     p, F.lit("?k="), k),
+        )
+        .when(
+            F.pmod(d, 4) == 1,
+            F.concat(F.lit("HTTPS://W"), w, F.lit(".EXAMPLE.ORG:443/p/./"),
+                     p, F.lit("?k="), k, F.lit("#frag")),
+        )
+        .when(
+            F.pmod(d, 4) == 2,
+            F.concat(F.lit("https://crawler:pw9@w"), w,
+                     F.lit(".example.org/x/../p/"), p, F.lit("?k="), k),
+        )
+        .otherwise(
+            F.concat(F.lit("https://w"), w, F.lit(".example.org/p/q/../"),
+                     p, F.lit("?k="), k)
+        )
+    )
+    return (
+        docs.select(url_normalize(url).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"))
+    )
+
+
+_URL_NORMALIZE_SQL = """
+    SELECT 'https://w' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example.org/p/' || CAST(doc_id % 50 AS VARCHAR)
+           || '?k=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+           CAST(count(*) AS BIGINT) AS n_fetches
+    FROM documents
+    GROUP BY 1
+"""
+
+
 def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: the Gopher Table-A1 rules over constructed per-variant docs —
     # %4 cohorts: clean prose (pass), bullet-flooded, symbol-flooded,
@@ -4076,6 +4130,7 @@ _R9_WINDOW = [
     "html_block_line_quality",
     "line_dedup_docs",
     "gopher_quality_docs",
+    "url_normalize_frontier",
     # (2) r9 code changes
     "robots_gate_docs",
     "outlink_domain_graph",
@@ -4121,7 +4176,6 @@ _R9_WINDOW = [
     "heaps_law_fit",
     "hybrid_rrf_search",
     "ivf_pq_search",
-    "join_size_estimate",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4201,6 +4255,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_line_quality": html_block_line_quality,
         "line_dedup_docs": line_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        "url_normalize_frontier": url_normalize_frontier,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -10042,6 +10097,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _LINE_DEDUP_SQL,
         # r9 Gopher Table-A1 rules: mirrored q4 fragment chain
         "gopher_quality_docs": _GOPHER_QUALITY_SQL,
+        # r9 canonical-URL frontier dedup: closed-form groups
+        "url_normalize_frontier": _URL_NORMALIZE_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

@@ -93,6 +93,7 @@ HEADLINE = [
     "html_block_line_quality",
     "line_dedup_docs",
     "gopher_quality_docs",
+    "url_normalize_frontier",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

@@ -46,6 +46,7 @@ __all__ = [
     "html_links_all",
     "html_links_resolved",
     "url_resolve",
+    "url_normalize",
     "url_host",
     "url_scheme",
     "url_path",
@@ -827,6 +828,60 @@ def html_links_resolved_sql(expr: str, base: str, depth: int = 4) -> str:
     return (
         f"list_filter(list_transform({html_links_all_sql(expr)},"
         f" u -> {inner}), r -> regexp_matches(r, '{_ABS_HTTP}'))"
+    )
+
+
+_URL_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(:[0-9]+)(?:[/?#]|$)"
+
+
+def url_normalize(col: Column | str, depth: int = 4) -> Column:
+    """Canonical frontier form of an absolute URL (RFC 3986 §6.2
+    syntax-based normalization, crawler flavor): scheme and host
+    lower-cased, userinfo dropped (crawlers never fetch with
+    credentials), default ports stripped (:80 for http, :443 for
+    https), dot segments removed, empty path -> '/', fragment dropped,
+    query kept verbatim. Two URLs that normalize equal are the same
+    fetch — groupBy this column IS frontier dedup. Pure shared-regex
+    chain; :func:`url_normalize_sql` mirrors it."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = url_scheme(c)  # lower-cased by construction
+    host = url_host(c)  # lower-cased, userinfo/port stripped
+    # port anchored to the END of the authority (a numeric userinfo
+    # password like user:123@h must not read as a port)
+    port = F.regexp_extract(c, _URL_PORT, 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == ":80"))
+        & ~((scheme == "https") & (port == ":443"))
+    )
+    path = _remove_dot_segments(F.regexp_extract(c, _URL_PATH, 1), depth)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"^[^#?]*(\?[^#]*)", 1)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, port).otherwise(""),
+        path,
+        query,
+    )
+
+
+def url_normalize_sql(expr: str, depth: int = 4) -> str:
+    scheme = url_scheme_sql(expr)
+    host = url_host_sql(expr)
+    port = f"regexp_extract({expr}, '{_URL_PORT}', 1)"
+    raw_path = f"regexp_extract({expr}, '{_URL_PATH}', 1)"
+    path = _remove_dot_segments_sql(raw_path, depth)
+    query = f"regexp_extract({expr}, '^[^#?]*(\\?[^#]*)', 1)"
+    return (
+        f"{scheme} || '://' || {host}"
+        f" || (CASE WHEN {port} <> ''"
+        f" AND NOT ({scheme} = 'http' AND {port} = ':80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = ':443')"
+        f" THEN {port} ELSE '' END)"
+        f" || (CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+        f" || {query}"
     )
 
 
