@@ -3618,6 +3618,130 @@ def _html_block_quality_sql() -> str:
 _HTML_BLOCK_QUALITY_SQL = _html_block_quality_sql()
 
 
+def cc_refined_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: the full refined-CC composition in ONE query — real WARC
+    # bytes -> parse_warc -> parse_http (charset via header) ->
+    # html_to_text_blocks (LINE-structured extraction) ->
+    # line_dedup_rewrite (repeated banner collapses) -> c4_line_filter
+    # (junk lines die, the verdict fires). The page carries nav, a
+    # twice-pasted banner, a data paragraph, and a footer; the oracle
+    # reconstructs the HTML string (framing cancels exactly as in
+    # warc_http_docs) and runs the mirrored blocks/dedup/C4 chains —
+    # the surviving text is hashed verbatim through the whole stack.
+    from tafra_spark.functions.pipeline import (
+        c4_line_filter,
+        line_dedup_rewrite,
+    )
+    from tafra_spark.sources.http import build_http_response, parse_http
+    from tafra_spark.sources.http import html_to_text_blocks
+    from tafra_spark.sources.warc import build_warc, parse_warc
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def rt(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                esc = (
+                    str(t)
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                html = (
+                    "<html><body><nav>Data Home | Index</nav>"
+                    "<p>Subscribe to our bulletin for weekly updates.</p>"
+                    f"<h1>Doc {int(i)}</h1>"
+                    f"<p>{esc} closing words finish this section "
+                    "properly.</p>"
+                    "<p>Subscribe to our bulletin for weekly updates.</p>"
+                    f"<p>Paragraph {int(i) % 7} continues the narrative "
+                    "with clean punctuation.</p>"
+                    "<footer>All rights reserved.</footer></body></html>"
+                )
+                recs.append(
+                    (
+                        f"http://corpus.example/rp/{int(i)}",
+                        build_http_response(html.encode("utf-8")),
+                    )
+                )
+            blob = build_warc(recs, compress=True)
+            out = {"doc_id": [], "payload": []}
+            for rec in parse_warc(blob):
+                out["doc_id"].append(int(rec["url"].rsplit("/", 1)[1]))
+                out["payload"].append(rec["payload"])
+            yield _pd.DataFrame(out)
+
+    parsed = parse_http(
+        docs.mapInPandas(rt, schema="doc_id LONG, payload BINARY"),
+        on_error="raise",
+    )
+    ext = parsed.select(
+        "doc_id", html_to_text_blocks("text").alias("text")
+    )
+    refined = c4_line_filter(line_dedup_rewrite(ext), text_col="dedup_text")
+    return refined.select(
+        "doc_id", "n_dup_lines", "n_kept", "c4_pass", "c4_text"
+    )
+
+
+def _cc_refined_sql() -> str:
+    from tafra_spark.functions.pipeline import (
+        c4_line_filter_sql,
+        line_dedup_sql,
+    )
+    from tafra_spark.sources.http import html_to_text_blocks_sql
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    html = (
+        "'<html><body><nav>Data Home | Index</nav>"
+        "<p>Subscribe to our bulletin for weekly updates.</p>"
+        "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+        f"{esc}"
+        " || ' closing words finish this section properly.</p>"
+        "<p>Subscribe to our bulletin for weekly updates.</p>"
+        "<p>Paragraph ' || CAST(doc_id % 7 AS VARCHAR) || ' continues"
+        " the narrative with clean punctuation.</p>"
+        "<footer>All rights reserved.</footer></body></html>'"
+    )
+    dd = line_dedup_sql("t")
+    c4 = c4_line_filter_sql("dt")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {html} AS html
+          FROM documents WHERE text IS NOT NULL
+        ),
+        e AS (
+          SELECT doc_id, {html_to_text_blocks_sql("html")} AS t FROM h
+        ),
+        d AS (
+          SELECT doc_id,
+                 {dd['n_dup_lines']} AS n_dup_lines,
+                 {dd['dedup_text']} AS dt
+          FROM e
+        )
+        SELECT doc_id,
+               n_dup_lines,
+               {c4['n_kept']} AS n_kept,
+               {c4['c4_pass']} AS c4_pass,
+               {c4['c4_text']} AS c4_text
+        FROM d
+    """
+
+
+_CC_REFINED_SQL = _cc_refined_sql()
+
+
 def url_normalize_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: frontier dedup by canonical URL — four messy spellings of
     # the same fetch (uppercase scheme/host + default port + './',
@@ -4131,6 +4255,7 @@ _R9_WINDOW = [
     "line_dedup_docs",
     "gopher_quality_docs",
     "url_normalize_frontier",
+    "cc_refined_pipeline",
     # (2) r9 code changes
     "robots_gate_docs",
     "outlink_domain_graph",
@@ -4175,7 +4300,6 @@ _R9_WINDOW = [
     "hard_negatives_mining",
     "heaps_law_fit",
     "hybrid_rrf_search",
-    "ivf_pq_search",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4256,6 +4380,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "url_normalize_frontier": url_normalize_frontier,
+        "cc_refined_pipeline": cc_refined_pipeline,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -10099,6 +10224,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_docs": _GOPHER_QUALITY_SQL,
         # r9 canonical-URL frontier dedup: closed-form groups
         "url_normalize_frontier": _URL_NORMALIZE_SQL,
+        # r9 full refined-CC composition: WARC->HTTP->blocks->dedup->C4
+        "cc_refined_pipeline": _CC_REFINED_SQL,
         # composed CC path into the existing text pipeline
         "cc_ingest_quality": _CC_INGEST_QUALITY_SQL,
         # sitemap <loc> extraction via the shared regexp_extract_all

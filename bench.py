@@ -94,6 +94,7 @@ HEADLINE = [
     "line_dedup_docs",
     "gopher_quality_docs",
     "url_normalize_frontier",
+    "cc_refined_pipeline",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
