@@ -1446,7 +1446,7 @@ def segment_dedup_rewrite(
 # lines; RefinedWeb-style boilerplate phrases extend the line
 # blocklist. Everything is SQL-portable (split/filter/instr/rlike in
 # the shared subset), mirrored by :func:`c4_line_filter_sql`.
-_C4_TERMINAL = r"[.!?\"]$"
+_C4_TERMINAL = r"[.!?\"]\z"
 C4_LINE_BLOCKLIST: tuple[str, ...] = (
     "javascript",
     "uses cookies",
@@ -1592,9 +1592,10 @@ def gopher_quality_flags(
     - ``stop_hits`` (distinct GOPHER_STOPWORDS present),
     - ``gopher_pass`` (every rule inside its published bound).
 
-    Defaults are the paper's: 50–100k words, mean word length 3–10,
-    symbol ratio < 0.1, < 90% bullet lines, < 30% ellipsis lines,
-    > 80% alphabetic words, >= 2 stop words. Zero shuffle — one
+    Defaults and boundary semantics are the paper's (a document AT a
+    bound is kept): 50–100k words, mean word length 3–10, symbol
+    ratio <= 0.1, <= 90% bullet lines, <= 30% ellipsis lines,
+    >= 80% alphabetic words, >= 2 stop words. Zero shuffle — one
     codegen/HOF projection; every ratio is floor(x * 1e4 / y) on exact
     integers so the DuckDB mirror hashes identically.
     """
@@ -1608,7 +1609,7 @@ def gopher_quality_flags(
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
     n_ellipsis = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\z"))
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
@@ -1622,8 +1623,15 @@ def gopher_quality_flags(
         stop_hits = hit if stop_hits is None else stop_hits + hit
 
     def _q4(num, den):
+        # int32 F.size counts * 10000 overflow (ANSI abort) at ~214k
+        # lines/words — book-length pages are in-domain inputs. The
+        # double path is exact here (counts < 2^31, *1e4 < 2^45 < 2^53)
+        # and matches DuckDB's BIGINT->double division bit for bit.
         return (
-            F.when(den > 0, F.floor(num * F.lit(10_000) / den))
+            F.when(
+                den > 0,
+                F.floor(num.cast("double") * F.lit(10_000.0) / den),
+            )
             .otherwise(F.lit(0))
             .cast("long")
         )
@@ -1642,10 +1650,10 @@ def gopher_quality_flags(
         & (F.col("n_words") <= max_words)
         & (F.col("mean_word_len_q4") >= min_mean_word_len_q4)
         & (F.col("mean_word_len_q4") <= max_mean_word_len_q4)
-        & (F.col("symbol_ratio_q4") < max_symbol_ratio_q4)
-        & (F.col("bullet_frac_q4") < max_bullet_frac_q4)
-        & (F.col("ellipsis_frac_q4") < max_ellipsis_frac_q4)
-        & (F.col("alpha_frac_q4") > min_alpha_frac_q4)
+        & (F.col("symbol_ratio_q4") <= max_symbol_ratio_q4)
+        & (F.col("bullet_frac_q4") <= max_bullet_frac_q4)
+        & (F.col("ellipsis_frac_q4") <= max_ellipsis_frac_q4)
+        & (F.col("alpha_frac_q4") >= min_alpha_frac_q4)
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("gopher_pass", ok)
@@ -1682,7 +1690,7 @@ def gopher_quality_sql(
     )
     n_ellipsis = (
         f"len(list_filter({lines},"
-        f" ln -> regexp_matches(ln, '(\\.\\.\\.|…)$')))"
+        f" ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\z')))"
     )
     n_alpha = (
         f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
@@ -1717,10 +1725,10 @@ def gopher_quality_sql(
         f" AND {frag['n_words']} <= {max_words}"
         f" AND {frag['mean_word_len_q4']} >= {min_mean_word_len_q4}"
         f" AND {frag['mean_word_len_q4']} <= {max_mean_word_len_q4}"
-        f" AND {frag['symbol_ratio_q4']} < {max_symbol_ratio_q4}"
-        f" AND {frag['bullet_frac_q4']} < {max_bullet_frac_q4}"
-        f" AND {frag['ellipsis_frac_q4']} < {max_ellipsis_frac_q4}"
-        f" AND {frag['alpha_frac_q4']} > {min_alpha_frac_q4}"
+        f" AND {frag['symbol_ratio_q4']} <= {max_symbol_ratio_q4}"
+        f" AND {frag['bullet_frac_q4']} <= {max_bullet_frac_q4}"
+        f" AND {frag['ellipsis_frac_q4']} <= {max_ellipsis_frac_q4}"
+        f" AND {frag['alpha_frac_q4']} >= {min_alpha_frac_q4}"
         f" AND {frag['stop_hits']} >= {min_stop_hits})"
     )
     return frag

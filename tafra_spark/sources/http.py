@@ -565,8 +565,8 @@ _URL_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 #: suffix list is a data file, not a regex — this covers the frequent
 #: cases and the fallback is "last two labels"
 _SLD = r"(?:co|com|org|net|ac|gov|edu)"
-_URL_REG2 = rf"([^.]+\.{_SLD}\.[A-Za-z0-9-]+)$"
-_URL_REG1 = r"([^.]+\.[^.]+)$"
+_URL_REG2 = rf"([^.]+\.{_SLD}\.[A-Za-z0-9-]+)\z"
+_URL_REG1 = r"([^.]+\.[^.]+)\z"
 
 
 def url_host(col: Column | str) -> Column:
@@ -575,7 +575,7 @@ def url_host(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     auth = F.lower(F.regexp_extract(c, _URL_AUTH, 1))
     return F.regexp_replace(
-        F.regexp_replace(auth, r"^[^@]*@", ""), r":[0-9]*$", ""
+        F.regexp_replace(auth, r"^[^@]*@", ""), r":[0-9]*\z", ""
     )
 
 
@@ -603,7 +603,7 @@ def url_registered_domain(col: Column | str) -> Column:
 def url_host_sql(expr: str) -> str:
     return (
         f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, "
-        f"'{_URL_AUTH}', 1)), '^[^@]*@', ''), ':[0-9]*$', '')"
+        f"'{_URL_AUTH}', 1)), '^[^@]*@', ''), ':[0-9]*\z', '')"
     )
 
 
@@ -713,23 +713,23 @@ def _remove_dot_segments(c: Column, depth: int) -> Column:
     # overlap under a g-pass, so the single-unit pattern needs a pass
     # per unit — hypothesis found '/./././x' surviving two passes)
     c = F.regexp_replace(c, r"/(?:\./)+", "/")
-    c = F.regexp_replace(c, r"/\.$", "/")
+    c = F.regexp_replace(c, r"/\.\z", "/")
     for _ in range(depth):
         c = F.regexp_replace(c, rf"/{_SEG}/\.\./", "/")
-        c = F.regexp_replace(c, rf"/{_SEG}/\.\.$", "/")
+        c = F.regexp_replace(c, rf"/{_SEG}/\.\.\z", "/")
         c = F.regexp_replace(c, r"^/\.\./", "/")
-        c = F.regexp_replace(c, r"^/\.\.$", "/")
+        c = F.regexp_replace(c, r"^/\.\.\z", "/")
     return c
 
 
 def _remove_dot_segments_sql(expr: str, depth: int) -> str:
     s = f"regexp_replace({expr}, '/(?:\\./)+', '/', 'g')"
-    s = f"regexp_replace({s}, '/\\.$', '/', 'g')"
+    s = f"regexp_replace({s}, '/\\.\\z', '/', 'g')"
     for _ in range(depth):
         s = f"regexp_replace({s}, '/{_SEG}/\\.\\./', '/', 'g')"
-        s = f"regexp_replace({s}, '/{_SEG}/\\.\\.$', '/', 'g')"
+        s = f"regexp_replace({s}, '/{_SEG}/\\.\\.\\z', '/', 'g')"
         s = f"regexp_replace({s}, '^/\\.\\./', '/', 'g')"
-        s = f"regexp_replace({s}, '^/\\.\\.$', '/', 'g')"
+        s = f"regexp_replace({s}, '^/\\.\\.\\z', '/', 'g')"
     return s
 
 
@@ -831,7 +831,10 @@ def html_links_resolved_sql(expr: str, base: str, depth: int = 4) -> str:
     )
 
 
-_URL_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(:[0-9]+)(?:[/?#]|$)"
+#: \z (end of TEXT in both Java and RE2 — Java's $ also matches
+#: before a trailing \r, RE2's does not) keeps the mirrors exact
+#: on stray-control-character URLs
+_URL_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(:[0-9]+)(?:[/?#]|\z)"
 
 
 def url_normalize(col: Column | str, depth: int = 4) -> Column:

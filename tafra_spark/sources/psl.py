@@ -43,7 +43,8 @@ __all__ = [
 
 #: Vendored subset of the Public Suffix List (publicsuffix.org).
 #: Multi-label ICANN ccSLDs + well-known private-section suffixes +
-#: common single-label TLDs. Lowercase, no wildcards/exceptions.
+#: common single-label TLDs + the canonical wildcard/exception pair
+#: (*.ck / !www.ck). Lowercase; PSL markers kept verbatim.
 PSL_SNAPSHOT: tuple[str, ...] = (
     # --- common single-label TLDs (the PSL lists every TLD) ---
     "com", "org", "net", "edu", "gov", "mil", "int", "io", "co",
@@ -220,12 +221,23 @@ def with_registered_domain_psl(
         )
         joined_cols.append(alias)
 
+    # only the widths the rule list actually occupies get a join —
+    # empty-slot broadcasts are free-standing plan bloat (r9 review)
+    plain, wild, exc = _split_rules(
+        suffixes if suffixes is not None else PSL_SNAPSHOT
+    )
+    plain_widths = {s.count(".") + 1 for s in plain}
+    wild_widths = {s.count(".") + 1 for s in wild}
+    exc_widths = {s.count(".") + 1 for s in exc}
     for k in range(1, max_suffix_labels + 1):
-        _join("p", k, f"__sfx{k}__")
+        if k in plain_widths:
+            _join("p", k, f"__sfx{k}__")
     for k in range(1, max_suffix_labels):  # parent width; effective k+1
-        _join("w", k, f"__wld{k}__")
+        if k in wild_widths:
+            _join("w", k, f"__wld{k}__")
     for k in range(2, max_suffix_labels + 1):  # !exc is >= 2 labels
-        _join("e", k, f"__exc{k}__")
+        if k in exc_widths:
+            _join("e", k, f"__exc{k}__")
 
     def _reg_at(width: int):
         # registered = suffix + one label; '' above the suffix means
@@ -243,14 +255,14 @@ def with_registered_domain_psl(
     #    domain is the exception name itself (PSL: public suffix =
     #    exception minus its leftmost label)
     for k in range(max_suffix_labels, 1, -1):
-        _when(F.col(f"__exc{k}__").isNotNull(), F.col(f"__cand{k}__"))
+        if k in exc_widths:
+            _when(F.col(f"__exc{k}__").isNotNull(), F.col(f"__cand{k}__"))
     # 2. longest match wins; at equal effective width a plain rule
     #    outranks a wildcard (more specific)
     for w in range(max_suffix_labels, 0, -1):
-        if w <= max_suffix_labels:
-            hit = F.col(f"__sfx{w}__").isNotNull()
-            _when(hit, _reg_at(w))
-        if 1 <= w - 1:
+        if w in plain_widths:
+            _when(F.col(f"__sfx{w}__").isNotNull(), _reg_at(w))
+        if w >= 2 and (w - 1) in wild_widths:
             _when(F.col(f"__wld{w - 1}__").isNotNull(), _reg_at(w))
     reg = reg.otherwise(url_registered_domain(F.col(url_col)))
     out = work.withColumn(out_col, reg)

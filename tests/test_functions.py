@@ -6559,3 +6559,79 @@ class TestGopherQuality:
         for i, t in enumerate(texts):
             w = con.execute(f"SELECT {sel}", [t]).fetchone()
             assert got[i] == tuple(w), (i, got[i], w)
+
+
+class TestGopherReviewRegressions:
+    """r9 second self-review findings, pinned."""
+
+    def test_crlf_lines_mirror_exactly(self, spark):
+        # Java's $ matches before a trailing \r, RE2's does not — the
+        # \z anchors keep both engines identical on CRLF documents
+        import duckdb
+
+        from tafra_spark.functions.pipeline import (
+            c4_line_filter,
+            c4_line_filter_sql,
+            gopher_quality_flags,
+            gopher_quality_sql,
+        )
+
+        text = (
+            "A proper sentence that ends with a period.\r\n"
+            "Trailing dots make an ellipsis line...\r\n"
+            "the quick brown fox of that lazy dog to be here.\r"
+        )
+        df = spark.createDataFrame([(1, text)], "i long, text string")
+        g = gopher_quality_flags(df).first()
+        c = c4_line_filter(df).first()
+        con = duckdb.connect()
+        gf = gopher_quality_sql("$1")
+        cf = c4_line_filter_sql("$1")
+        wg = con.execute(
+            f"SELECT {gf['ellipsis_frac_q4']}, {gf['n_words']}", [text]
+        ).fetchone()
+        wc = con.execute(f"SELECT {cf['n_kept']}", [text]).fetchone()
+        assert (g["ellipsis_frac_q4"], g["n_words"]) == tuple(wg)
+        assert c["n_kept"] == wc[0]
+        # and the \r-bearing lines specifically do NOT count as
+        # terminal/ellipsis on either engine
+        assert g["ellipsis_frac_q4"] == 0
+
+    def test_boundary_documents_are_kept(self, spark):
+        # Gopher removes docs ABOVE the bounds — a doc exactly AT 90%
+        # bullet lines (9 of 10) survives
+        from tafra_spark.functions.pipeline import gopher_quality_flags
+
+        prose = (
+            "the quick brown fox jumps over that lazy dog and the crew "
+            "have been with many of those friendly forest animals today "
+        ) * 2
+        text = "\n".join(["- the bullet item of note"] * 9 + [prose])
+        df = spark.createDataFrame([(1, text)], "i long, text string")
+        r = gopher_quality_flags(df, min_words=10).first()
+        assert r["bullet_frac_q4"] == 9000 and r["gopher_pass"] is True
+
+    def test_book_length_doc_no_overflow(self, spark):
+        # int32 size * 10000 overflowed (ANSI abort) at ~214k words
+        from tafra_spark.functions.pipeline import gopher_quality_flags
+
+        text = " ".join(["word"] * 220_000)
+        df = spark.createDataFrame([(1, text)], "i long, text string")
+        r = gopher_quality_flags(df).first()
+        assert r["n_words"] == 220_000
+        assert r["alpha_frac_q4"] == 10_000
+        assert r["gopher_pass"] is False  # over the 100k word ceiling
+
+    def test_url_port_crlf_mirror(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import url_normalize, url_normalize_sql
+
+        u = "http://h.com:80\r"
+        df = spark.createDataFrame([(u,)], "url string")
+        got = df.select(url_normalize("url").alias("n")).first()["n"]
+        con = duckdb.connect()
+        w = con.execute(
+            f"SELECT {url_normalize_sql('$1')}", [u]
+        ).fetchone()[0]
+        assert got == w
