@@ -911,14 +911,20 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
     dc_prev = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     mcu = 0
-    # per-scan-component decode parameters, resolved once
+    # per-scan-component decode parameters, resolved once.  r9: block
+    # coefficients accumulate into a flat Python list per component
+    # (`out`, one 64-slot extend per block) plus the block's flat grid
+    # index (`bidx`) and scatter into the numpy grid ONCE after the
+    # scan — per-block `grid[y, x] = zz` paid a 64-element
+    # list->ndarray conversion per block (2.3× slower than the
+    # extend+scatter pair at 4k blocks).
     parts = []
     for sc in scan:
         ci = by_id[sc["id"]]
         comp = comps[ci]
         parts.append(
             (ci, comp["v"], comp["h"], huff[(0, sc["dc"])],
-             huff[(1, sc["ac"])], coefs[ci])
+             huff[(1, sc["ac"])], [], [])
         )
     for my in range(g["mcuy"]):
         for mx in range(g["mcux"]):
@@ -930,7 +936,8 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                 dlen = len(data)
                 dpos = acc = nb = 0
                 dc_prev = [0] * len(comps)
-            for ci, cv, ch, dct, act, grid in parts:
+            for ci, cv, ch, dct, act, out, bidx in parts:
+                nbx = g["mcux"] * ch
                 for byi in range(cv):
                     for bxi in range(ch):
                         if nb < 16:
@@ -1021,8 +1028,16 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                                 else r - (1 << size) + 1
                             )
                             k += 1
-                        grid[my * cv + byi, mx * ch + bxi] = zz
+                        out += zz
+                        bidx.append(
+                            (my * cv + byi) * nbx + mx * ch + bxi
+                        )
             mcu += 1
+    for ci, cv, ch, dct, act, out, bidx in parts:
+        grid = coefs[ci].reshape(-1, 64)
+        grid[np.array(bidx, dtype=np.int64)] = np.array(
+            out, dtype=np.int64
+        ).reshape(-1, 64)
     return _reconstruct(comps, coefs, qtabs, g, h, w)
 
 
@@ -1228,8 +1243,11 @@ _ZIGZAG_NP = None  # set lazily: natural-order index per zigzag position
 def _reconstruct(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
     """Dequantize + IDCT the accumulated zigzag coefficient grids —
     fully batched (r8): one fancy-index de-zigzag, one broadcast
-    dequant, and one einsum pair per COMPONENT instead of two 8×8
-    matmuls + a 64-step Python loop per BLOCK."""
+    dequant, and one batched-matmul pair per COMPONENT instead of two
+    8×8 matmuls + a 64-step Python loop per BLOCK.  r9: the batched
+    pair runs through ``np.matmul`` (BLAS strided-batch) rather than
+    ``np.einsum`` — c_einsum walks the (nby, nbx) batch in C loops and
+    was ~60× slower at 32×32 blocks for the identical contraction."""
     global _ZIGZAG_NP
     if geom is None or coefs is None:
         raise ValueError("JPEG: progressive stream with no scans")
@@ -1243,7 +1261,7 @@ def _reconstruct(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
         blk[:, :, _ZIGZAG_NP] = coefs[ci]
         coef = blk.reshape(nby, nbx, 8, 8) * q
         # pix_block = C.T @ coef @ C, batched over the block grid
-        pix = np.einsum("ij,abjk,kl->abil", _C.T, coef, _C) + 128.0
+        pix = np.matmul(np.matmul(_C.T, coef), _C) + 128.0
         # (nby, nbx, 8, 8) -> (nby*8, nbx*8)
         plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
