@@ -4097,6 +4097,73 @@ _CHARSET_PRECEDENCE_SQL = """
 """
 
 
+def http_coding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 (VERDICT item 4 fallback): unknown Content-Encodings (br/zstd
+    # — no decoder in this environment) pass bytes through fail-open;
+    # parse_http must FLAG them (coding_decoded=false) so a corpus
+    # gate can drop still-compressed bodies instead of scoring them as
+    # text. Three variants by doc_id%3: (0) a 'br'-labeled body
+    # (opaque stand-in bytes — must be flagged and dropped), (1) real
+    # gzip, (2) identity. The gate keeps decoded rows only; the
+    # oracle rebuilds the survivors and their coding labels from
+    # doc_id%3 directly, so a flag slip in either direction changes
+    # the row set and hash-fails.
+    from tafra_spark.sources.http import build_http_response, parse_http
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                v = int(i) % 3
+                body = str(t).encode("utf-8")
+                if v == 0:
+                    payloads.append(
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain; charset=utf-8\r\n"
+                        b"Content-Encoding: br\r\n"
+                        b"Content-Length: " + str(len(body)).encode()
+                        + b"\r\n\r\n" + body
+                    )
+                elif v == 1:
+                    payloads.append(
+                        build_http_response(body, content_encoding="gzip")
+                    )
+                else:
+                    payloads.append(build_http_response(body))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    built = docs.mapInPandas(mk, schema="doc_id LONG, payload BINARY")
+    parsed = parse_http(built, on_error="raise")
+    return parsed.filter(F.col("coding_decoded")).select(
+        "doc_id",
+        F.coalesce(
+            F.element_at("http_headers", F.lit("content-encoding")),
+            F.lit(""),
+        ).alias("coding"),
+        "text",
+    )
+
+
+_HTTP_CODING_GATE_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 1 THEN 'gzip' ELSE '' END AS coding,
+           text
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 3 <> 0
+"""
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -4239,15 +4306,17 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that window. Composition: (1) never-driver-verified new r9 ops,
 # (2) rows whose CODE changed in r9 (robots RFC 9309 group merge;
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
-# k_core Arrow probe) — green history doesn't cover new code, (3) ALL
-# 23 rows last verified in round 4 (closing the r8 verdict's ask:
-# nothing older than r5 remains), (4) 13 of the 48 round-5-cohort
-# rows (alphabetical prefix; the rest roll into the r10 window).
+# k_core Arrow probe; the JPEG decode rework) — green history doesn't
+# cover new code, (3) ALL 23 rows last verified in round 4 (closing
+# the r8 verdict's ask: nothing older than r5 remains), (4) 8 of the
+# 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
+# r10 window).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
     # (1) new in r9
     "charset_precedence_docs",
+    "http_coding_gate",
     "outlink_resolve_urls",
     "psl_registered_domains",
     "c4_line_filter_docs",
@@ -4256,12 +4325,18 @@ _R9_WINDOW = [
     "gopher_quality_docs",
     "url_normalize_frontier",
     "cc_refined_pipeline",
-    # (2) r9 code changes
+    # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
+    # IDCT + one-shot coefficient scatter — green history doesn't
+    # cover new code)
     "robots_gate_docs",
     "outlink_domain_graph",
     "warc_http_docs",
     "cc_ingest_quality",
     "k_core_event_graph",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_decode",
     # (3) the full round-4 cohort
     "pq_encode_codes",
     "pq_recall_eval",
@@ -4295,11 +4370,6 @@ _R9_WINDOW = [
     "event_basket_rules",
     "event_silence_streaks",
     "exact_value_quantiles",
-    "funnel_within_day",
-    "graph_assortativity",
-    "hard_negatives_mining",
-    "heaps_law_fit",
-    "hybrid_rrf_search",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4373,6 +4443,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (kept in r7 window order; queries() applies the window list)
         "charset_precedence_docs": charset_precedence_docs,
+        "http_coding_gate": http_coding_gate,
         "outlink_resolve_urls": outlink_resolve_urls,
         "psl_registered_domains": psl_registered_domains,
         "c4_line_filter_docs": c4_line_filter_docs,
@@ -10210,6 +10281,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form
         "charset_precedence_docs": _CHARSET_PRECEDENCE_SQL,
+        "http_coding_gate": _HTTP_CODING_GATE_SQL,
         # r9 RFC 3986 resolution, expected URLs closed-form (independent)
         "outlink_resolve_urls": _OUTLINK_RESOLVE_SQL,
         # r9 PSL longest-suffix routing, expected domains closed-form

@@ -220,7 +220,8 @@ def parse_http_response(payload: bytes) -> dict:
       decompressed (r8 — most live HTTP bodies arrive compressed;
       deflate tries zlib-wrapped then raw, the in-the-wild split);
       unknown codings (br, zstd) leave the body bytes as-is with the
-      coding still visible in ``headers``.
+      coding still visible in ``headers`` and ``coding_decoded=False``
+      (r9) so downstream gates can drop still-compressed bodies.
     - Text decode (r9, header > BOM > meta per the HTML standard):
       Content-Type charset first, else a leading byte-order mark
       (UTF-8/16/32, stripped from the text), else ``<meta charset>``
@@ -286,6 +287,12 @@ def parse_http_response(payload: bytes) -> dict:
             if 0 <= clen <= len(body):
                 body = body[:clen]
     coding = headers.get("content-encoding", "").strip().lower()
+    # r9 (VERDICT item 4 fallback): surface WHETHER the content coding
+    # was actually decoded. br/zstd (no decoder in the environment) and
+    # multi-codings ("gzip, br") pass bytes through fail-open with the
+    # header still visible — downstream quality gates can filter on
+    # this flag instead of scoring compressed bytes as text.
+    coding_decoded = coding in ("", "identity", "gzip", "x-gzip", "deflate")
     if coding in ("gzip", "x-gzip"):
         import zlib
 
@@ -329,6 +336,7 @@ def parse_http_response(payload: bytes) -> dict:
         "charset": charset,
         "body": bytes(body),
         "text": text,
+        "coding_decoded": coding_decoded,
     }
 
 
@@ -343,6 +351,7 @@ HTTP_FIELDS = T.StructType(
         T.StructField("charset", T.StringType()),
         T.StructField("body", T.BinaryType()),
         T.StructField("text", T.StringType()),
+        T.StructField("coding_decoded", T.BooleanType()),
     ]
 )
 
@@ -353,8 +362,8 @@ def parse_http(
     on_error: str = "null",
 ) -> DataFrame:
     """Parse a binary HTTP-response column (``read_warc``'s ``payload``)
-    into status / headers / content-type / charset / body / text
-    columns, appended after the input columns.
+    into status / headers / content-type / charset / body / text /
+    coding_decoded columns, appended after the input columns.
 
     One Arrow-batched ``mapInPandas`` stage: no shuffle, parallelism
     inherited from the upstream WARC file scan — at CC scale that is
@@ -398,6 +407,7 @@ def parse_http(
                     cols["charset"].append(rec["charset"])
                     cols["body"].append(rec["body"])
                     cols["text"].append(rec["text"])
+                    cols["coding_decoded"].append(rec["coding_decoded"])
             out = pdf.copy()
             for n in names:
                 out[n] = pd.Series(cols[n], index=pdf.index, dtype=object)

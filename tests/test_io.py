@@ -660,6 +660,7 @@ class TestHttpSource:
             rec = parse_http_response(raw)
             assert rec["body"] == body, enc
             assert rec["headers"]["content-encoding"] == enc
+            assert rec["coding_decoded"] is True, enc
         # raw-deflate servers (no zlib wrapper) are the in-the-wild split
         co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
         raw_deflate = co.compress(body) + co.flush()
@@ -669,11 +670,20 @@ class TestHttpSource:
             + b"\r\n\r\n" + raw_deflate
         )
         assert parse_http_response(resp)["body"] == body
-        # unknown codings leave bytes as-is; corrupt gzip fails clean
-        resp = (
-            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nOPAQUE"
-        )
-        assert parse_http_response(resp)["body"] == b"OPAQUE"
+        # unknown codings leave bytes as-is (flagged via coding_decoded
+        # so quality gates can drop still-compressed bodies); corrupt
+        # gzip fails clean
+        for hdr in (b"br", b"zstd", b"gzip, br"):
+            resp = (
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: " + hdr
+                + b"\r\n\r\nOPAQUE"
+            )
+            rec = parse_http_response(resp)
+            assert rec["body"] == b"OPAQUE"
+            assert rec["coding_decoded"] is False, hdr
+        assert parse_http_response(
+            b"HTTP/1.1 200 OK\r\n\r\nplain"
+        )["coding_decoded"] is True
         bad = build_http_response(body, content_encoding="gzip")[:-10]
         with _pytest.raises(ValueError):
             parse_http_response(bad)
