@@ -949,30 +949,46 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                             ) | (data[dpos] << 8) | data[dpos + 1]
                             dpos += 2
                             nb += 16
-                        v = dct[(acc >> (nb - 16)) & 0xFFFF]
+                        # fused fast path (r9, libjpeg-style): the same
+                        # 16-bit LUT window that resolved the code also
+                        # holds the magnitude bits whenever
+                        # code_len + size <= 16 (nearly always for
+                        # baseline tables) — one refill check per
+                        # SYMBOL instead of one per code + one per
+                        # magnitude read
+                        w16 = (acc >> (nb - 16)) & 0xFFFF
+                        v = dct[w16]
                         if v == 0:
                             raise ValueError("JPEG: invalid Huffman code")
-                        nb -= v & 31
+                        cl = v & 31
                         size = v >> 5
                         if size > _DC_SIZE_MAX:
                             raise ValueError("JPEG: corrupt entropy stream")
                         if size:
-                            while nb < size:
-                                if dpos + 2 > dlen:
-                                    data += b"\xff" * 64
-                                    dlen += 64
-                                acc = (
-                                    (acc & ((1 << nb) - 1)) << 16
-                                ) | (data[dpos] << 8) | data[dpos + 1]
-                                dpos += 2
-                                nb += 16
-                            nb -= size
-                            r = (acc >> nb) & ((1 << size) - 1)
+                            cs = cl + size
+                            if cs <= 16:
+                                nb -= cs
+                                r = (w16 >> (16 - cs)) & ((1 << size) - 1)
+                            else:
+                                nb -= cl
+                                while nb < size:
+                                    if dpos + 2 > dlen:
+                                        data += b"\xff" * 64
+                                        dlen += 64
+                                    acc = (
+                                        (acc & ((1 << nb) - 1)) << 16
+                                    ) | (data[dpos] << 8) | data[dpos + 1]
+                                    dpos += 2
+                                    nb += 16
+                                nb -= size
+                                r = (acc >> nb) & ((1 << size) - 1)
                             dc_prev[ci] += (
                                 r
                                 if r >= (1 << (size - 1))
                                 else r - (1 << size) + 1
                             )
+                        else:
+                            nb -= cl
                         _check_dc(size, dc_prev[ci])
                         # zigzag-order coefficient vector; Python list
                         # (scalar stores beat ndarray item writes)
@@ -989,16 +1005,19 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                                 ) | (data[dpos] << 8) | data[dpos + 1]
                                 dpos += 2
                                 nb += 16
-                            v = act[(acc >> (nb - 16)) & 0xFFFF]
+                            w16 = (acc >> (nb - 16)) & 0xFFFF
+                            v = act[w16]
                             if v == 0:
                                 raise ValueError(
                                     "JPEG: invalid Huffman code"
                                 )
-                            nb -= v & 31
+                            cl = v & 31
                             sym = v >> 5
                             if sym == 0x00:  # EOB
+                                nb -= cl
                                 break
                             if sym == 0xF0:  # ZRL
+                                nb -= cl
                                 k += 16
                                 continue
                             size = sym & 0x0F
@@ -1011,17 +1030,25 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                             k += sym >> 4
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
-                            while nb < size:
-                                if dpos + 2 > dlen:
-                                    data += b"\xff" * 64
-                                    dlen += 64
-                                acc = (
-                                    (acc & ((1 << nb) - 1)) << 16
-                                ) | (data[dpos] << 8) | data[dpos + 1]
-                                dpos += 2
-                                nb += 16
-                            nb -= size
-                            r = (acc >> nb) & ((1 << size) - 1)
+                            # fused fast path — magnitude bits live in
+                            # the same 16-bit window as the code
+                            cs = cl + size
+                            if cs <= 16:
+                                nb -= cs
+                                r = (w16 >> (16 - cs)) & ((1 << size) - 1)
+                            else:
+                                nb -= cl
+                                while nb < size:
+                                    if dpos + 2 > dlen:
+                                        data += b"\xff" * 64
+                                        dlen += 64
+                                    acc = (
+                                        (acc & ((1 << nb) - 1)) << 16
+                                    ) | (data[dpos] << 8) | data[dpos + 1]
+                                    dpos += 2
+                                    nb += 16
+                                nb -= size
+                                r = (acc >> nb) & ((1 << size) - 1)
                             zz[k] = (
                                 r
                                 if r >= (1 << (size - 1))
