@@ -126,15 +126,37 @@ for _k in range(8):
         )
 
 
+_QSCALE_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    # r9: memoized — the two standard tables at a handful of qualities
+    # dominate; rebuilding per image was measurable at thumbnail sizes
+    key = (q.tobytes(), int(quality))
+    hit = _QSCALE_CACHE.get(key)
+    if hit is not None:
+        return hit
     quality = min(100, max(1, int(quality)))
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     out = (q * s + 50) // 100
-    return np.clip(out, 1, 255).astype(np.int64)
+    out = np.clip(out, 1, 255).astype(np.int64)
+    if len(_QSCALE_CACHE) > 64:
+        _QSCALE_CACHE.clear()
+    _QSCALE_CACHE[key] = out
+    return out
+
+
+_HUFF_ENC_CACHE: dict[tuple, dict] = {}
 
 
 def _build_huffman(bits, vals):
-    """Canonical Huffman: returns {symbol: (code, length)}."""
+    """Canonical Huffman: returns {symbol: (code, length)}.
+    r9: memoized — encoders reuse the fixed Annex K tables, and the
+    dict build was 2 calls per image (visible at thumbnail sizes)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _HUFF_ENC_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = {}
     code = 0
     k = 0
@@ -144,6 +166,9 @@ def _build_huffman(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_ENC_CACHE) > 64:
+        _HUFF_ENC_CACHE.clear()
+    _HUFF_ENC_CACHE[key] = out
     return out
 
 
@@ -396,11 +421,25 @@ def _encode_block(wr, block_q, dc_prev, dc_tab, ac_tab):
     return zz[0]
 
 
+_DQT_CACHE: dict[tuple, bytes] = {}
+
+
 def _dqt_segment(tid: int, q: np.ndarray) -> bytes:
+    # r9: memoized — fixed (table, quality) pairs repeat across every
+    # image of a corpus; the 64-element genexpr was one of the top
+    # encoder costs at thumbnail sizes
+    key = (tid, q.tobytes())
+    hit = _DQT_CACHE.get(key)
+    if hit is not None:
+        return hit
     payload = bytes([tid]) + bytes(
         int(q.flat[_ZIGZAG[z]]) for z in range(64)
     )
-    return b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    seg = b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    if len(_DQT_CACHE) > 64:
+        _DQT_CACHE.clear()
+    _DQT_CACHE[key] = seg
+    return seg
 
 
 def _dht_segment(tclass: int, tid: int, bits, vals) -> bytes:
@@ -441,18 +480,26 @@ def _quantize_grids(planes, qtabs, quality: int, sampling):
         # pad to the full MCU grid up front: blocks are always 8x8
         padded = _pad_to(np.asarray(p, dtype=np.float64), nby * 8, nbx * 8)
         q = qs[qtabs[ci]]
-        grid = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
-                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                quant = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
-                # baseline AC amplitudes are 1..10 bits (|v| <= 1023);
-                # a max-amplitude checkerboard at quality~100 (quant
-                # step 1) can reach |1024|, whose category 11 no
-                # baseline AC table encodes — clamp like real encoders
-                quant[1:, :] = np.clip(quant[1:, :], -1023, 1023)
-                quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
-                grid[by, bx] = quant.flat[_ZIGZAG]
+        # r9: batched forward DCT — (nby, nbx, 8, 8) through ONE BLAS
+        # strided-batch matmul pair instead of a Python loop of 8×8
+        # matmuls per block (the loop was the encoder's hottest
+        # function; same arithmetic, same rounding)
+        blocks = (
+            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        )
+        quant = np.round(
+            np.matmul(np.matmul(_C, blocks), _C.T) / q
+        ).astype(np.int64)
+        # baseline AC amplitudes are 1..10 bits (|v| <= 1023); a
+        # max-amplitude checkerboard at quality~100 (quant step 1) can
+        # reach |1024|, whose category 11 no baseline AC table encodes
+        # — clamp like real encoders (DC is exempt: 11 bits are legal)
+        dc = quant[:, :, 0, 0].copy()
+        np.clip(quant, -1023, 1023, out=quant)
+        quant[:, :, 0, 0] = dc
+        grid = np.ascontiguousarray(
+            quant.reshape(nby, nbx, 64)[:, :, _ZIGZAG]
+        )
         grids.append(grid)
     return grids, qs, (h, w, hmax, vmax, mcux, mcuy)
 
@@ -1103,17 +1150,18 @@ def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
         if rx > 1:
             p = np.repeat(p, rx, axis=1)
         up.append(p)
-    planes = [
-        np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
-        for p in up
-    ]
+    # per-plane sample quantization (round + clamp to code values)
+    # stays in float64 — the uint8 round-trip the r8 version paid per
+    # plane changed no value (integers 0..255 either way) and cost two
+    # dtype conversions per plane at thumbnail sizes
+    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in up]
     if len(planes) == 1:
-        return planes[0]
+        return planes[0].astype(np.uint8)
     if len(planes) != 3:
         raise NotImplementedError("vendored JPEG decoder: 1 or 3 components")
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
+    y = planes[0]
+    cb = planes[1] - 128.0
+    cr = planes[2] - 128.0
     r = np.clip(np.round(y + 1.402 * cr), 0, 255)
     g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
     b = np.clip(np.round(y + 1.772 * cb), 0, 255)
