@@ -5696,6 +5696,27 @@ class TestJpegCodec:
 
         assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
 
+    def test_encoder_bytes_pinned(self):
+        # byte-determinism golden: the multimodal builders feed WARC
+        # digests and oracle rows, so a codec "optimization" that
+        # changes a single output byte must fail HERE, not as a
+        # mysterious hash mismatch three layers up (r9: pinned after
+        # the batched-DCT/memoization rework, which was verified
+        # byte-identical against the previous encoder first)
+        import hashlib
+
+        from tafra_spark.functions import multimodal as MM
+
+        pins = {
+            "fake_jpeg_bytes": "1e08950da6b1e4adb2cf1679ebe456ca",
+            "fake_jpeg420_bytes": "7e59467e208bd27ad38ed4d63576e3e1",
+            "fake_jpeg_progressive_bytes":
+                "dac7658c50dc7b9e05be56b84377c32f",
+        }
+        for name, want in pins.items():
+            blob = b"".join(getattr(MM, name)(i) for i in range(16))
+            assert hashlib.md5(blob).hexdigest() == want, name
+
     def test_dct_roundtrip_exact_without_quantization(self):
         from tafra_spark.functions._jpeg import _C
 
