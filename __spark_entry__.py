@@ -4164,6 +4164,98 @@ _HTTP_CODING_GATE_SQL = """
 """
 
 
+def redirect_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: 3xx Location-chain resolution over the REAL parse_http path
+    # (resolve_redirects — bounded-hop equi-joins against the 3xx edge
+    # subset, RFC 3986 resolution of relative Locations). Five chain
+    # shapes by doc_id%5 over the dense 0..N-1 id space: (0) 200
+    # terminal, (1) 301 absolute-path -> the %5==0 neighbor (1 hop),
+    # (2) 302 RELATIVE '../r/{i-1}' with a dot segment -> (1) -> (0)
+    # (2 hops), (3) 307 absolute out-of-crawl target (1 hop,
+    # terminal), (4) 308 self-loop (max_hops exhausted, unresolved).
+    # The oracle rebuilds final_url/hops/resolved closed-form from
+    # doc_id%5, so a slip in status gating, relative-Location
+    # resolution, hop counting, or loop termination hash-fails.
+    from tafra_spark.sources.http import (
+        build_http_response,
+        parse_http,
+        resolve_redirects,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            urls, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                v = i % 5
+                urls.append(f"http://corpus.example/r/{i}")
+                if v == 0:
+                    payloads.append(build_http_response(b"landing page"))
+                elif v == 1:
+                    payloads.append(build_http_response(
+                        b"", status=301, reason="Moved Permanently",
+                        headers=[("Location", f"/r/{i - 1}")],
+                    ))
+                elif v == 2:
+                    payloads.append(build_http_response(
+                        b"", status=302, reason="Found",
+                        headers=[("Location", f"../r/{i - 1}")],
+                    ))
+                elif v == 3:
+                    payloads.append(build_http_response(
+                        b"", status=307, reason="Temporary Redirect",
+                        headers=[("Location", "https://other.example/away")],
+                    ))
+                else:
+                    payloads.append(build_http_response(
+                        b"", status=308, reason="Permanent Redirect",
+                        headers=[("Location", f"/r/{i}")],
+                    ))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "url": urls, "payload": payloads}
+            )
+
+    built = docs.mapInPandas(
+        mk, schema="doc_id LONG, url STRING, payload BINARY"
+    )
+    parsed = parse_http(built, on_error="raise").select(
+        "doc_id", "url", "status",
+        F.element_at("http_headers", F.lit("location")).alias("location"),
+    )
+    out = resolve_redirects(parsed, max_hops=3)
+    return out.select(
+        "doc_id", "status", "final_url", "redirect_hops",
+        "redirect_resolved",
+    )
+
+
+_REDIRECT_CHAIN_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+                WHEN 2 THEN 302 WHEN 3 THEN 307 ELSE 308
+           END AS status,
+           CASE doc_id % 5
+             WHEN 0 THEN 'http://corpus.example/r/' || doc_id
+             WHEN 1 THEN 'http://corpus.example/r/' || (doc_id - 1)
+             WHEN 2 THEN 'http://corpus.example/r/' || (doc_id - 2)
+             WHEN 3 THEN 'https://other.example/away'
+             ELSE 'http://corpus.example/r/' || doc_id
+           END AS final_url,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 2
+                WHEN 4 THEN 3 ELSE 1 END AS BIGINT) AS redirect_hops,
+           (doc_id % 5 <> 4) AS redirect_resolved
+    FROM documents
+"""
+
+
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup audit: how big are the duplicate clusters (pair graph ->
     # connected components -> size histogram); the oracle closes the
@@ -4308,7 +4400,7 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 8 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 6 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
 # r10 window).
 # Recompute staleness with:
@@ -4317,6 +4409,7 @@ _R9_WINDOW = [
     # (1) new in r9
     "charset_precedence_docs",
     "http_coding_gate",
+    "redirect_chain_docs",
     "outlink_resolve_urls",
     "psl_registered_domains",
     "c4_line_filter_docs",
@@ -4369,7 +4462,6 @@ _R9_WINDOW = [
     "dup_cluster_size_hist",
     "event_basket_rules",
     "event_silence_streaks",
-    "exact_value_quantiles",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4444,6 +4536,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (kept in r7 window order; queries() applies the window list)
         "charset_precedence_docs": charset_precedence_docs,
         "http_coding_gate": http_coding_gate,
+        "redirect_chain_docs": redirect_chain_docs,
         "outlink_resolve_urls": outlink_resolve_urls,
         "psl_registered_domains": psl_registered_domains,
         "c4_line_filter_docs": c4_line_filter_docs,
@@ -10282,6 +10375,7 @@ def oracle_sql() -> dict[str, str]:
         # r9 header>BOM>meta charset precedence, expected values closed-form
         "charset_precedence_docs": _CHARSET_PRECEDENCE_SQL,
         "http_coding_gate": _HTTP_CODING_GATE_SQL,
+        "redirect_chain_docs": _REDIRECT_CHAIN_SQL,
         # r9 RFC 3986 resolution, expected URLs closed-form (independent)
         "outlink_resolve_urls": _OUTLINK_RESOLVE_SQL,
         # r9 PSL longest-suffix routing, expected domains closed-form

@@ -695,6 +695,40 @@ class TestHttpSource:
         )
         assert rec["body"] == body
 
+    def test_resolve_redirects_chains_loops_relative(self, spark):
+        from tafra_spark.sources.http import resolve_redirects
+
+        rows = [
+            # terminal page
+            ("http://a.example/p/0", 200, None),
+            # one-hop absolute-path Location
+            ("http://a.example/p/1", 301, "/p/0"),
+            # two-hop chain via a RELATIVE Location with a dot segment
+            ("http://a.example/p/2", 302, "../p/1"),
+            # redirect out of the crawled set — terminal after 1 hop
+            ("http://a.example/p/3", 307, "https://other.example/x"),
+            # self-loop — must exhaust max_hops and come back unresolved
+            ("http://a.example/p/4", 308, "/p/4"),
+            # 303 See Other participates like the rest
+            ("http://a.example/p/5", 303, "http://a.example/p/0"),
+            # 3xx WITHOUT Location is not a redirect edge
+            ("http://a.example/p/6", 301, None),
+        ]
+        df = spark.createDataFrame(rows, "url string, status int, location string")
+        got = {
+            r["url"]: (
+                r["final_url"], r["redirect_hops"], r["redirect_resolved"]
+            )
+            for r in resolve_redirects(df, max_hops=3).collect()
+        }
+        assert got["http://a.example/p/0"] == ("http://a.example/p/0", 0, True)
+        assert got["http://a.example/p/1"] == ("http://a.example/p/0", 1, True)
+        assert got["http://a.example/p/2"] == ("http://a.example/p/0", 2, True)
+        assert got["http://a.example/p/3"] == ("https://other.example/x", 1, True)
+        assert got["http://a.example/p/4"] == ("http://a.example/p/4", 3, False)
+        assert got["http://a.example/p/5"] == ("http://a.example/p/0", 1, True)
+        assert got["http://a.example/p/6"] == ("http://a.example/p/6", 0, True)
+
     def test_url_parts_two_mirrors_agree(self, spark):
         # the url_* chain must extract identically JVM-side and in
         # DuckDB (the oracle), and match hand expectations on hazards
