@@ -53,6 +53,8 @@ __all__ = [
     "url_registered_domain",
     "resolve_redirects",
     "REDIRECT_STATUSES",
+    "html_meta_refresh",
+    "html_meta_refresh_sql",
 ]
 
 _CRLF = b"\r\n"
@@ -919,6 +921,47 @@ def html_meta_charset(col: Column | str) -> Column:
 def html_meta_charset_sql(expr: str) -> str:
     pat = _META_CHARSET.replace("'", "''")  # pattern contains a quote
     return f"lower(regexp_extract({expr}, '{pat}', 1))"
+
+
+#: meta-refresh redirect target: `<meta http-equiv=refresh
+#: content="N; url=TARGET">` in either attribute order (both occur in
+#: the wild). Java∩RE2 subset — inline (?i), lazy [^"'>]*?, no
+#: lookaround; whitespace classes spelled explicitly (\s disagrees on
+#: \x0b across engines, same as the tag-strip chain).
+_META_REFRESH_A = (
+    r"(?i)<meta[^>]*http-equiv[ \t\r\n]*=[ \t\r\n]*[\"']?refresh"
+    r"[^>]*content[ \t\r\n]*=[ \t\r\n]*[\"']?[^\"'>]*?"
+    r"url[ \t\r\n]*=[ \t\r\n]*[\"' \t]*([^\"'> \t]+)"
+)
+_META_REFRESH_B = (
+    r"(?i)<meta[^>]*content[ \t\r\n]*=[ \t\r\n]*[\"']?[^\"'>]*?"
+    r"url[ \t\r\n]*=[ \t\r\n]*[\"' \t]*([^\"'> \t]+)[\"']?"
+    r"[^>]*http-equiv[ \t\r\n]*=[ \t\r\n]*[\"']?refresh"
+)
+
+
+def html_meta_refresh(col: Column | str) -> Column:
+    """Redirect target of the document's first
+    ``<meta http-equiv="refresh" content="N; url=...">`` tag, ''
+    when absent — the HTML-level redirect C4/CCNet-style pipelines
+    treat like a 3xx (feed it into :func:`resolve_redirects` by
+    coalescing with the Location header). Both attribute orders
+    match; the target may be relative (resolve with
+    :func:`url_resolve`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    a = F.regexp_extract(c, _META_REFRESH_A, 1)
+    return F.when(a != "", a).otherwise(
+        F.regexp_extract(c, _META_REFRESH_B, 1)
+    )
+
+
+def html_meta_refresh_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`html_meta_refresh`."""
+    pa = _META_REFRESH_A.replace("'", "''")  # patterns contain quotes
+    pb = _META_REFRESH_B.replace("'", "''")
+    a = f"regexp_extract({expr}, '{pa}', 1)"
+    b = f"regexp_extract({expr}, '{pb}', 1)"
+    return f"(CASE WHEN {a} <> '' THEN {a} ELSE {b} END)"
 
 
 #: RFC 9110 §15.4 redirection statuses a crawler follows. 304 is a

@@ -729,6 +729,48 @@ class TestHttpSource:
         assert got["http://a.example/p/5"] == ("http://a.example/p/0", 1, True)
         assert got["http://a.example/p/6"] == ("http://a.example/p/6", 0, True)
 
+    def test_html_meta_refresh_two_mirrors_agree(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            html_meta_refresh,
+            html_meta_refresh_sql,
+        )
+
+        fixtures = [
+            # canonical order, quoted content, relative target
+            ('<meta http-equiv="refresh" content="0; url=/next">', "/next"),
+            # reversed attribute order, absolute target
+            ('<meta content="5;url=https://a.example/x" '
+             'http-equiv=refresh>', "https://a.example/x"),
+            # uppercase keyword, spaces around '='
+            ('<META HTTP-EQUIV=Refresh CONTENT="2 ; URL = /y">', "/y"),
+            # plain meta (no refresh) must NOT match
+            ('<meta charset="utf-8"><meta name="desc" '
+             'content="url=trap">', ""),
+            # refresh without url= (reload-self) -> ''
+            ('<meta http-equiv="refresh" content="30">', ""),
+            ("no tags at all", ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(fixtures)], "i long, t string"
+        )
+        got_spark = [
+            r["u"]
+            for r in df.select(html_meta_refresh("t").alias("u"))
+            .orderBy("i").collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {html_meta_refresh_sql('$1')}", [s]
+            ).fetchone()[0]
+            for s, _ in fixtures
+        ]
+        want = [w for _, w in fixtures]
+        assert got_spark == want
+        assert got_duck == want
+
     def test_url_parts_two_mirrors_agree(self, spark):
         # the url_* chain must extract identically JVM-side and in
         # DuckDB (the oracle), and match hand expectations on hazards
