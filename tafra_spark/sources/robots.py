@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_robots",
+    "robots_crawl_delay",
     "robots_allowed",
     "robots_allowed_py",
     "robots_allowed_sql",
@@ -51,9 +52,39 @@ def parse_robots(
     (#...), blank lines, and non-rule directives (Crawl-delay,
     Sitemap) are ignored; empty ``Disallow:`` (allow-all) contributes
     no rule."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
-    agents: list[str] = []
-    rules: list[tuple[str, bool]] = []
+    matched, hit = _matched_groups(text, user_agent)
+    return [r for g in matched for r in g["rules"]] if hit else []
+
+
+def robots_crawl_delay(text: str, user_agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds governing ``user_agent``, or None when
+    no matching group declares one (or the value doesn't parse). The
+    directive is non-standard (RFC 9309 ignores it; Bing/Yandex honor
+    it per group), so group selection follows the same §2.2.1
+    precedence as :func:`parse_robots` (exact groups beat ``*``,
+    matching groups combine) and multiple declarations combine
+    CONSERVATIVELY — the maximum delay wins, the polite reading for a
+    crawl scheduler's per-host budget."""
+    matched, hit = _matched_groups(text, user_agent)
+    if not hit:
+        return None
+    best: float | None = None
+    for g in matched:
+        for v in g["delays"]:
+            try:
+                d = float(v)
+            except ValueError:
+                continue
+            if d >= 0 and (best is None or d > best):
+                best = d
+    return best
+
+
+def _matched_groups(text: str, user_agent: str):
+    """(groups governing user_agent, matched?) with §2.2.1 precedence:
+    all exact-token groups when any exists, else all ``*`` groups."""
+    groups: list[dict] = []
+    cur = {"agents": [], "rules": [], "delays": []}
     in_group_body = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -66,37 +97,40 @@ def parse_robots(
         val = val.strip()
         if key == "user-agent":
             if in_group_body:
-                # a User-agent after rules starts a NEW group
-                groups.append((agents, rules))
-                agents, rules = [], []
+                # a User-agent after group-body directives starts a
+                # NEW group
+                groups.append(cur)
+                cur = {"agents": [], "rules": [], "delays": []}
                 in_group_body = False
-            agents.append(val.lower())
+            cur["agents"].append(val.lower())
         elif key in ("allow", "disallow"):
             in_group_body = True
             if val:
-                rules.append((val, key == "allow"))
+                cur["rules"].append((val, key == "allow"))
             # empty Disallow: = allow everything -> no rule at all;
             # empty Allow: equally vacuous
-        # other directives (crawl-delay, sitemap, host) are ignored
-    if agents or rules:
-        groups.append((agents, rules))
+        elif key == "crawl-delay":
+            # group-body directive (r9, matching Google's parser):
+            # "UA: a / Crawl-delay / UA: b / Disallow" gives b its OWN
+            # group rather than folding a and b together
+            in_group_body = True
+            cur["delays"].append(val)
+        # other directives (sitemap, host) are ignored
+    if cur["agents"] or cur["rules"] or cur["delays"]:
+        groups.append(cur)
     ua = user_agent.lower()
-    exact: list[tuple[str, bool]] = []
-    exact_hit = False
-    star: list[tuple[str, bool]] = []
-    star_hit = False
-    for ags, rls in groups:
-        # a group is taken at most once even if several of its UA
-        # lines match (exact beats *, and duplicates don't double)
-        if any(a == ua for a in ags):
-            exact.extend(rls)
-            exact_hit = True
-        elif any(a == "*" for a in ags):
-            star.extend(rls)
-            star_hit = True
-    if exact_hit:
-        return exact
-    return star if star_hit else []
+    # a group is taken at most once even if several of its UA lines
+    # match (exact beats *, and duplicates don't double)
+    exact = [g for g in groups if any(a == ua for a in g["agents"])]
+    if exact:
+        return exact, True
+    star = [
+        g
+        for g in groups
+        if not any(a == ua for a in g["agents"])
+        and any(a == "*" for a in g["agents"])
+    ]
+    return star, bool(star)
 
 
 def _rule_regex(rule: str) -> str:

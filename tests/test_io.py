@@ -853,6 +853,50 @@ class TestHttpSource:
                 == w
             ), h
 
+    def test_robots_crawl_delay(self):
+        from tafra_spark.sources.robots import (
+            parse_robots,
+            robots_crawl_delay,
+        )
+
+        robots = """
+        User-agent: *
+        Crawl-delay: 10
+        Disallow: /private/
+
+        User-agent: trainbot
+        Crawl-delay: 2.5
+
+        User-agent: *
+        Crawl-delay: 30
+        """
+        # exact group beats *, value parses as float
+        assert robots_crawl_delay(robots, "trainbot") == 2.5
+        # * groups combine; conservative max wins (10 vs 30)
+        assert robots_crawl_delay(robots, "otherbot") == 30.0
+        # no matching group at all -> None
+        assert robots_crawl_delay("User-agent: x\nDisallow: /", "y") is None
+        # matching group without the directive -> None
+        assert robots_crawl_delay(
+            "User-agent: *\nDisallow: /a/", "bot"
+        ) is None
+        # unparseable / negative values are skipped
+        assert robots_crawl_delay(
+            "User-agent: *\nCrawl-delay: soon", "bot"
+        ) is None
+        # crawl-delay ENDS the UA line run: b gets its own group and
+        # does NOT inherit a's rule-free block, a keeps the delay
+        split = """
+        User-agent: a
+        Crawl-delay: 7
+        User-agent: b
+        Disallow: /only-b/
+        """
+        assert robots_crawl_delay(split, "a") == 7.0
+        assert robots_crawl_delay(split, "b") is None
+        assert parse_robots(split, "a") == []
+        assert parse_robots(split, "b") == [("/only-b/", False)]
+
     def test_robots_parse_and_three_mirrors(self, spark):
         # RFC 9309: group selection by longest UA token, longest-rule
         # precedence, allow-wins ties, * and $ wildcards, empty
