@@ -1129,3 +1129,45 @@ class TestOrderProperties:
             for j in range(i + 1, min(i + w + 1, len(order))):
                 want.add((order[i][2], order[j][2], j - i))
         assert got == want
+
+
+class TestResolveRedirectsProperty:
+    @given(
+        edges=st.dictionaries(
+            st.integers(0, 11),
+            st.tuples(st.integers(0, 13), st.sampled_from([301, 302, 303, 307, 308])),
+            max_size=12,
+        ),
+        max_hops=st.integers(min_value=1, max_value=4),
+    )
+    @settings(**_SETTINGS)
+    def test_redirects_equal_reference_walk(self, spark, edges, max_hops):
+        """Random redirect graphs (self-loops, cycles, out-of-crawl
+        targets included): the join-iterative resolver must equal a
+        pure-Python walk of the same bounded-hop semantics."""
+        from tafra_spark.sources.http import resolve_redirects
+
+        url = lambda i: f"http://h.example/p/{i}"
+        # crawled set: sources 0..11 always present; targets may point
+        # outside it (ids 12/13 are never crawled)
+        rows = [
+            (url(i), edges[i][1] if i in edges else 200,
+             url(edges[i][0]) if i in edges else None)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, status int, location string"
+        )
+        got = {
+            r["url"]: (
+                r["final_url"], r["redirect_hops"], r["redirect_resolved"]
+            )
+            for r in resolve_redirects(df, max_hops=max_hops).collect()
+        }
+        for i in range(12):
+            cur, hops = i, 0
+            while hops < max_hops and cur in edges and cur <= 11:
+                cur = edges[cur][0]
+                hops += 1
+            resolved = not (cur in edges and cur <= 11)
+            assert got[url(i)] == (url(cur), hops, resolved), (i, edges)
