@@ -95,6 +95,10 @@ HEADLINE = [
     "gopher_quality_docs",
     "url_normalize_frontier",
     "cc_refined_pipeline",
+    # late-r9: redirect-chain resolution (the only bounded-hop
+    # iterative-join operator in the registry — time it so a hop-count
+    # or join-plan regression is visible)
+    "redirect_chain_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
