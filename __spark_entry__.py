@@ -4230,6 +4230,12 @@ def redirect_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url", "status",
         F.element_at("http_headers", F.lit("location")).alias("location"),
     )
+    # resolve_redirects reads its input twice (chain state + the 3xx
+    # edge subset); checkpointing the PARSED four-column table — tiny
+    # here, and at CC scale a caller would persist the parsed stage
+    # anyway — stops the WARC-build+parse mapInPandas from executing
+    # once per lineage
+    parsed = parsed.localCheckpoint(eager=False)
     out = resolve_redirects(parsed, max_hops=3)
     return out.select(
         "doc_id", "status", "final_url", "redirect_hops",
