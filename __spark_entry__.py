@@ -4406,7 +4406,7 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 6 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 7 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
 # r10 window).
 # Recompute staleness with:

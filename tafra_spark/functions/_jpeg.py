@@ -140,6 +140,9 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     out = (q * s + 50) // 100
     out = np.clip(out, 1, 255).astype(np.int64)
+    # the cached array is SHARED across calls — freeze it so a caller
+    # mutating a quant table in place cannot corrupt every later encode
+    out.setflags(write=False)
     if len(_QSCALE_CACHE) > 64:
         _QSCALE_CACHE.clear()
     _QSCALE_CACHE[key] = out
@@ -166,10 +169,14 @@ def _build_huffman(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    # shared across calls — hand out a read-only view, not the dict
+    from types import MappingProxyType
+
+    frozen = MappingProxyType(out)
     if len(_HUFF_ENC_CACHE) > 64:
         _HUFF_ENC_CACHE.clear()
-    _HUFF_ENC_CACHE[key] = out
-    return out
+    _HUFF_ENC_CACHE[key] = frozen
+    return frozen
 
 
 class _BitWriter:

@@ -1001,9 +1001,15 @@ def resolve_redirects(
     re-execute per hop.
     """
     u = F.col(url_col)
-    is_redir = F.col(status_col).isin(*REDIRECT_STATUSES) & F.col(
-        location_col
-    ).isNotNull()
+    # present-but-EMPTY Location (misconfigured servers emit it) is not
+    # a followable edge — without the != '' guard, url_resolve(url, '')
+    # returns the base URL itself and the row becomes a self-loop
+    # misreported as unresolved after max_hops
+    is_redir = (
+        F.col(status_col).isin(*REDIRECT_STATUSES)
+        & F.col(location_col).isNotNull()
+        & (F.col(location_col) != "")
+    )
     edges = (
         df.filter(is_redir)
         .select(

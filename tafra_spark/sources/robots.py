@@ -124,12 +124,8 @@ def _matched_groups(text: str, user_agent: str):
     exact = [g for g in groups if any(a == ua for a in g["agents"])]
     if exact:
         return exact, True
-    star = [
-        g
-        for g in groups
-        if not any(a == ua for a in g["agents"])
-        and any(a == "*" for a in g["agents"])
-    ]
+    # reached only when NO group names ua, so a plain * filter suffices
+    star = [g for g in groups if any(a == "*" for a in g["agents"])]
     return star, bool(star)
 
 

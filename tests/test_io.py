@@ -713,6 +713,9 @@ class TestHttpSource:
             ("http://a.example/p/5", 303, "http://a.example/p/0"),
             # 3xx WITHOUT Location is not a redirect edge
             ("http://a.example/p/6", 301, None),
+            # 3xx with an EMPTY Location (misconfigured server) is
+            # terminal too — url_resolve(url, '') would self-loop
+            ("http://a.example/p/7", 302, ""),
         ]
         df = spark.createDataFrame(rows, "url string, status int, location string")
         got = {
@@ -728,6 +731,7 @@ class TestHttpSource:
         assert got["http://a.example/p/4"] == ("http://a.example/p/4", 3, False)
         assert got["http://a.example/p/5"] == ("http://a.example/p/0", 1, True)
         assert got["http://a.example/p/6"] == ("http://a.example/p/6", 0, True)
+        assert got["http://a.example/p/7"] == ("http://a.example/p/7", 0, True)
 
     def test_html_meta_refresh_two_mirrors_agree(self, spark):
         import duckdb
