@@ -2872,6 +2872,33 @@ def multimodal_jpeg_progressive_decode(
     return _image_asset_decode(spark, sf_dir, "fake_jpeg_progressive_bytes")
 
 
+def multimodal_jpeg_lossless_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # REAL lossless (SOF3) JPEG decode, PIL-less (r9): 16x16 GRADIENT
+    # images (pixel = (id*31 + y*17 + x*5) mod 256) with the T.81
+    # predictor cycling per asset ((id mod 7) + 1), so one corpus pass
+    # exercises all seven Annex H predictors, the modulo-65536
+    # difference coding, and the SSSS category escape — lossless
+    # round-trips bit-exactly, so the oracle recomputes the mean from
+    # the gradient formula and ANY wrong decoded sample hash-fails
+    return _image_asset_decode(spark, sf_dir, "fake_jpeg_lossless_bytes")
+
+
+def multimodal_jpeg12_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # REAL 12-BIT extended sequential (SOF1) JPEG decode, PIL-less
+    # (r9): the four-tile pattern at 12-bit dynamic range (v_k =
+    # (id*31 + k*57) mod 4096) — block-constant tiles survive 12-bit
+    # DCT quantization exactly (quality-90 DC step 3 -> per-pixel
+    # error < 3/16), so the decoded mean is formula-reproducible
+    # while the payload exercises Pq=1 DQT parsing, the wide
+    # (SSSS<=15/14) Huffman categories, the 2048 level shift, and the
+    # uint16 output path
+    return _image_asset_decode(spark, sf_dir, "fake_jpeg12_bytes")
+
+
 def sorted_neighborhood_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4406,9 +4433,11 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 7 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 5 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window).
+# r10 window — two fewer than first planned, displaced by the two
+# late-r9 codec queries in (1): a never-verified row is staler than
+# any green one).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4424,6 +4453,8 @@ _R9_WINDOW = [
     "gopher_quality_docs",
     "url_normalize_frontier",
     "cc_refined_pipeline",
+    "multimodal_jpeg_lossless_decode",
+    "multimodal_jpeg12_decode",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4466,8 +4497,6 @@ _R9_WINDOW = [
     "containment_dup_pairs",
     "dedup_keep_best",
     "dup_cluster_size_hist",
-    "event_basket_rules",
-    "event_silence_streaks",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4551,6 +4580,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": gopher_quality_docs,
         "url_normalize_frontier": url_normalize_frontier,
         "cc_refined_pipeline": cc_refined_pipeline,
+        "multimodal_jpeg_lossless_decode": multimodal_jpeg_lossless_decode,
+        "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "domain_doc_stats": domain_doc_stats,
@@ -10428,6 +10459,45 @@ def oracle_sql() -> dict[str, str]:
         # grid (Y=v, Cb=Cr=128 exactly), so the oracle is the same
         # four-tile mean formula
         "multimodal_jpeg420_decode": _FOUR_TILE_MEAN_SQL,
+        # lossless decode is bit-exact by definition, so the oracle
+        # recomputes the 16x16 gradient mean directly from the fixture
+        # formula pixel(y, x) = (id*31 + y*17 + x*5) mod 256
+        "multimodal_jpeg_lossless_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            yy AS (
+              SELECT asset_id, unnest(generate_series(0, 15)) AS y
+              FROM ids
+            ),
+            px AS (
+              SELECT asset_id, y, unnest(generate_series(0, 15)) AS x
+              FROM yy
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum((asset_id * 31 + y * 17 + x * 5) % 256)
+                        AS DOUBLE) / 256 AS mean_intensity
+            FROM px GROUP BY asset_id
+        """,
+        # 12-bit block-constant tiles round-trip exactly through the
+        # SOF1 DCT path (DC-only blocks, quality-90 error < 3/16), so
+        # the oracle is the four-tile formula at 12-bit range
+        "multimodal_jpeg12_decode": r"""
+            WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+            t AS (
+              SELECT asset_id, unnest(generate_series(0, 3)) AS k
+              FROM ids
+            ),
+            v AS (
+              SELECT asset_id, (asset_id * 31 + k * 57) % 4096 AS tv
+              FROM t
+            )
+            SELECT asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(sum(tv) AS DOUBLE) / 4 AS mean_intensity
+            FROM v GROUP BY asset_id
+        """,
         "multimodal_audio_decode": r"""
             WITH ids AS (SELECT doc_id AS asset_id FROM documents),
             s AS (

@@ -99,6 +99,11 @@ HEADLINE = [
     # iterative-join operator in the registry — time it so a hop-count
     # or join-plan regression is visible)
     "redirect_chain_docs",
+    # late-r9 codec closures: lossless (SOF3, all 7 predictors) and
+    # 12-bit (SOF1) decode join the two timed JPEG rows so every
+    # Huffman JPEG process in the codec has a wall-clock guard
+    "multimodal_jpeg_lossless_decode",
+    "multimodal_jpeg12_decode",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

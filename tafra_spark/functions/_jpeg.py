@@ -1,23 +1,34 @@
-"""Minimal pure-Python baseline JPEG codec (SOF0, 8-bit).
+"""Minimal pure-Python JPEG codec (ITU-T T.81 Huffman processes).
 
 Vendored so the REAL-mime decode path of
 :mod:`tafra_spark.functions.multimodal` covers ``image/jpeg`` in
 environments without PIL (this container) — the r5 verdict's #1
-residual gap. Scope: baseline sequential DCT (SOF0), 8-bit precision,
-grayscale or YCbCr at ANY integer-ratio sampling factors — 4:4:4,
-4:2:2, and the in-the-wild majority 4:2:0 all decode (r7; subsampled
-planes reconstruct by box replication) — plus optional restart
-markers. The encoder writes grayscale, 4:4:4, 4:2:2, or 4:2:0.
-Progressive (SOF2), arithmetic coding, and 12-bit streams still
-require PIL and raise.
+residual gap. Scope:
+
+- **baseline sequential** (SOF0, 8-bit): grayscale or YCbCr at ANY
+  integer-ratio sampling factors — 4:4:4, 4:2:2, and the in-the-wild
+  majority 4:2:0 all decode (r7; subsampled planes reconstruct by box
+  replication) — plus optional restart markers. The encoder writes
+  grayscale, 4:4:4, 4:2:2, or 4:2:0.
+- **extended sequential** (SOF1, 8- or 12-bit; r9): the same DCT path
+  at 12-bit sample precision — 16-bit DQT entries (Pq=1), the wider
+  T.81 F.1.2 magnitude categories (DC<=15, AC<=14), 12-bit level
+  shift/clamp, uint16 output. Encoder: ``encode_jpeg_gray12``.
+- **progressive** (SOF2, 8-bit): spectral selection, successive
+  approximation, EOB runs, restart markers.
+- **lossless** (SOF3, 2..16-bit; r9): all seven T.81 Annex H
+  predictors, point transform, modulo-65536 difference coding with
+  the SSSS=16 escape, restart intervals — bit-exact round trips by
+  construction. Encoder: ``encode_jpeg_lossless``.
+
+Arithmetic coding (SOF9-SOF11), hierarchical processes, and
+12-bit PROGRESSIVE streams still require a codec library and raise.
 
 Self-consistency note: quantization and Huffman tables are READ FROM
 THE STREAM (DQT/DHT) by the decoder, so it decodes any spec-compliant
-baseline file regardless of which tables its encoder chose; the
+file regardless of which tables its encoder chose; the
 encoder here writes the standard Annex-K-style tables it defines
-below. Restart markers (DRI/RSTn) are handled best-effort (DC
-predictor reset + marker skip) — streams that rely on them heavily
-belong to PIL. The zigzag order and the entropy-coding rules (DC category +
+below. The zigzag order and the entropy-coding rules (DC category +
 ones'-complement amplitude, AC run/size with EOB/ZRL, 0xFF byte
 stuffing) follow the JPEG spec (ITU-T T.81).
 """
@@ -32,7 +43,9 @@ __all__ = [
     "decode_jpeg",
     "decode_jpeg_gray",
     "encode_jpeg_gray",
+    "encode_jpeg_gray12",
     "encode_jpeg_gray_progressive",
+    "encode_jpeg_lossless",
     "encode_jpeg_rgb",
     "encode_jpeg_rgb_progressive",
 ]
@@ -116,6 +129,27 @@ def _ac_table_spec():
 
 
 _AC_BITS, _AC_VALS = _ac_table_spec()
+
+# 12-bit (SOF1) tables: DC difference categories reach 15 and AC
+# magnitudes 14 (T.81 F.1.2.1.2/F.1.2.2.1 for 12-bit precision), which
+# the 8-bit Annex-K-style tables above cannot express. Flat canonical
+# tables are valid prefix codes (only validity matters — the decoder
+# reads whatever DHT the stream declares): 16 DC symbols at length 5
+# (capacity 32; the all-ones code 31 stays unused per the T.81 C.2
+# convention) and the 226 AC symbols (EOB, ZRL, run 0-15 x size 1-14)
+# at length 8 (capacity 256; all-ones unused).
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+
+# lossless (SOF3) difference-category table: SSSS 0..16 (16 = the
+# modulo-65536 escape for a difference of exactly 32768, which carries
+# NO appended bits — T.81 H.1.2.2). 17 symbols flat at length 5.
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
 
 # orthonormal 8x8 DCT matrix: F = C @ B @ C.T
 _C = np.zeros((8, 8))
@@ -390,6 +424,17 @@ def _check_dc(size: int, pred: int) -> None:
         raise ValueError("JPEG: corrupt entropy stream")
 
 
+def _size_bounds(precision: int) -> tuple[int, int, int]:
+    """(dc_size_max, ac_size_max, dc_pred_max) for a sequential DCT
+    scan at the given sample precision — T.81 F.1.2.1.2/F.1.2.2.1:
+    8-bit streams bound SSSS at 11 (DC) / 10 (AC), 12-bit at 15 / 14.
+    The corrupt-stream predictor guard scales with the 16x dynamic
+    range."""
+    if precision == 8:
+        return _DC_SIZE_MAX, _AC_SIZE_MAX, _DC_PRED_MAX
+    return 15, 14, _DC_PRED_MAX << 4
+
+
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
@@ -431,17 +476,22 @@ def _encode_block(wr, block_q, dc_prev, dc_tab, ac_tab):
 _DQT_CACHE: dict[tuple, bytes] = {}
 
 
-def _dqt_segment(tid: int, q: np.ndarray) -> bytes:
+def _dqt_segment(tid: int, q: np.ndarray, pq: int = 0) -> bytes:
     # r9: memoized — fixed (table, quality) pairs repeat across every
     # image of a corpus; the 64-element genexpr was one of the top
     # encoder costs at thumbnail sizes
-    key = (tid, q.tobytes())
+    key = (tid, q.tobytes(), pq)
     hit = _DQT_CACHE.get(key)
     if hit is not None:
         return hit
-    payload = bytes([tid]) + bytes(
-        int(q.flat[_ZIGZAG[z]]) for z in range(64)
-    )
+    if pq == 0:
+        payload = bytes([tid]) + bytes(
+            int(q.flat[_ZIGZAG[z]]) for z in range(64)
+        )
+    else:  # Pq=1: 16-bit big-endian entries (12-bit streams)
+        payload = bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", int(q.flat[_ZIGZAG[z]])) for z in range(64)
+        )
     seg = b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
     if len(_DQT_CACHE) > 64:
         _DQT_CACHE.clear()
@@ -469,11 +519,13 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
-def _quantize_grids(planes, qtabs, quality: int, sampling):
+def _quantize_grids(planes, qtabs, quality: int, sampling, precision=8):
     """DCT + quantize every 8x8 block of every (already level-shifted,
     possibly subsampled) plane into zigzag-order int grids
     (nby, nbx, 64) — the shared front half of the baseline and
-    progressive encoders."""
+    progressive encoders. ``precision`` only widens the AC amplitude
+    clamp (T.81 F.1.2.2.1: 10 bits at 8-bit samples, 14 at 12)."""
+    ac_amp_max = 1023 if precision == 8 else (1 << 14) - 1
     h, w = planes[0].shape
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -502,7 +554,7 @@ def _quantize_grids(planes, qtabs, quality: int, sampling):
         # reach |1024|, whose category 11 no baseline AC table encodes
         # — clamp like real encoders (DC is exempt: 11 bits are legal)
         dc = quant[:, :, 0, 0].copy()
-        np.clip(quant, -1023, 1023, out=quant)
+        np.clip(quant, -ac_amp_max, ac_amp_max, out=quant)
         quant[:, :, 0, 0] = dc
         grid = np.ascontiguousarray(
             quant.reshape(nby, nbx, 64)[:, :, _ZIGZAG]
@@ -511,37 +563,55 @@ def _quantize_grids(planes, qtabs, quality: int, sampling):
     return grids, qs, (h, w, hmax, vmax, mcux, mcuy)
 
 
-def _header_segments(h, w, qtabs, qs, sampling, sof_marker: bytes) -> bytearray:
+def _header_segments(
+    h, w, qtabs, qs, sampling, sof_marker: bytes, precision: int = 8
+) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
+    # 12-bit streams write Pq=1 (16-bit) DQT entries — T.81 B.2.4.1
+    # forbids Pq=1 for 8-bit samples, and exercising the wide-entry
+    # path keeps the decoder's Pq=1 branch honest
+    pq = 0 if precision == 8 else 1
     for tid in sorted(set(qtabs)):
-        out += _dqt_segment(tid, qs[tid])
+        out += _dqt_segment(tid, qs[tid], pq)
     ncomp = len(sampling)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
     out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
-    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
-    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if precision == 8:
+        out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+        out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    else:
+        out += _dht_segment(0, 0, _DC12_BITS, _DC12_VALS)
+        out += _dht_segment(1, 0, _AC12_BITS, _AC12_VALS)
     return out
 
 
-def _encode(planes, qtabs, quality: int, sampling=None) -> bytes:
-    """planes: list of float arrays already in [-128, 127]
-    (level-shifted); qtabs: per-plane quant table id (0 or 1);
+def _encode(planes, qtabs, quality: int, sampling=None, precision=8) -> bytes:
+    """planes: list of float arrays already level-shifted to
+    [-2^(P-1), 2^(P-1)-1]; qtabs: per-plane quant table id (0 or 1);
     sampling: per-plane (H, V) factors (default all 1x1). Plane 0 is
     full resolution (defines the image dims); subsampled planes arrive
     ALREADY at their reduced resolution — ceil(dim * f / fmax) — and
     the MCU loop interleaves Hi x Vi blocks per component per MCU, the
-    general baseline layout."""
+    general baseline layout. precision=12 writes an extended
+    sequential (SOF1) stream with Pq=1 quant tables and the wide
+    Huffman tables."""
     if sampling is None:
         sampling = [(1, 1)] * len(planes)
     grids, qs, (h, w, hmax, vmax, mcux, mcuy) = _quantize_grids(
-        planes, qtabs, quality, sampling
+        planes, qtabs, quality, sampling, precision
     )
-    dc_tab = _build_huffman(_DC_BITS, _DC_VALS)
-    ac_tab = _build_huffman(_AC_BITS, _AC_VALS)
-    out = _header_segments(h, w, qtabs, qs, sampling, b"\xff\xc0")
+    if precision == 8:
+        dc_tab = _build_huffman(_DC_BITS, _DC_VALS)
+        ac_tab = _build_huffman(_AC_BITS, _AC_VALS)
+        sof_marker = b"\xff\xc0"
+    else:
+        dc_tab = _build_huffman(_DC12_BITS, _DC12_VALS)
+        ac_tab = _build_huffman(_AC12_BITS, _AC12_VALS)
+        sof_marker = b"\xff\xc1"
+    out = _header_segments(h, w, qtabs, qs, sampling, sof_marker, precision)
     ncomp = len(planes)
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -712,6 +782,22 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 90) -> bytes:
     return _encode([a - 128.0], [0], quality)
 
 
+def encode_jpeg_gray12(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w) integer array of 12-bit samples (0..4095) as
+    an EXTENDED SEQUENTIAL (SOF1) grayscale JPEG — level shift 2048,
+    Pq=1 quantization tables, and Huffman tables covering the 12-bit
+    magnitude categories (T.81 F.1.2: DC SSSS<=15, AC<=14). Very high
+    ``quality`` can push a DC difference past category 15 on
+    full-range content; the standard tables here are sized for the
+    spec bound, not beyond it."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray12 expects a 2-D array")
+    if a.size and (a.min() < 0 or a.max() > 4095):
+        raise ValueError("12-bit samples must be in 0..4095")
+    return _encode([a - 2048.0], [0], quality, precision=12)
+
+
 def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
     """fy x fx box-average downsample with edge replication to a
     multiple of the factor first — the standard chroma subsampler."""
@@ -788,10 +874,15 @@ def encode_jpeg_rgb_progressive(
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) or progressive (SOF2) 8-bit JPEG to
-    uint8: (h, w) for grayscale, (h, w, 3) RGB for 3-component YCbCr.
-    Any integer-ratio sampling factors (4:4:4, 4:2:2, 4:2:0, ...) are
-    accepted; subsampled chroma upsamples by box replication.
+    """Decode a Huffman-coded JPEG: baseline (SOF0), extended
+    sequential (SOF1, 8- or 12-bit), progressive (SOF2), or lossless
+    (SOF3, 2..16-bit). Returns (h, w) for grayscale, (h, w, 3) for
+    3-component images — uint8 at 8-bit precision, uint16 above
+    (12-bit DCT output clamps to 0..4095; lossless returns the exact
+    source samples, RGB-or-whatever the encoder stored, since
+    lossless JPEG carries no color transform). Any integer-ratio
+    sampling factors (4:4:4, 4:2:2, 4:2:0, ...) are accepted on the
+    DCT paths; subsampled chroma upsamples by box replication.
     Progressive streams support spectral selection, successive
     approximation (DC + AC first/refinement scans), EOB runs, and
     restart markers."""
@@ -837,6 +928,9 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
     progressive = False
+    lossless = False
+    precision = 8
+    sos_ss = sos_al = 0  # lossless: predictor selector / point transform
     coefs = None  # progressive: per-comp (nby, nbx, 64) zigzag grids
     geom = None
     while pos + 1 < len(content):
@@ -856,15 +950,21 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tid = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError(
-                        "vendored JPEG decoder: 8-bit DQT only"
-                    )
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: bad DQT precision {pq}")
                 tab = np.zeros(64, dtype=np.int64)
-                for z in range(64):
-                    tab[_ZIGZAG[z]] = seg[p + z]
+                if pq == 0:
+                    for z in range(64):
+                        tab[_ZIGZAG[z]] = seg[p + z]
+                    p += 64
+                else:
+                    # Pq=1: 16-bit big-endian entries (12-bit streams)
+                    for z in range(64):
+                        tab[_ZIGZAG[z]] = (
+                            (seg[p + 2 * z] << 8) | seg[p + 2 * z + 1]
+                        )
+                    p += 128
                 qtabs[tid] = tab.reshape(8, 8)
-                p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -876,13 +976,29 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                     raise ValueError("JPEG: truncated DHT segment")
                 huff[(tclass, tid)] = _huff_lut(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive / SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if precision != 8:
-                raise NotImplementedError("vendored JPEG decoder: 8-bit only")
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"JPEG: lossless precision {precision} out of "
+                        "the T.81 2..16 range"
+                    )
+            elif precision not in (8, 12) or (
+                precision != 8 and marker in (0xC0, 0xC2)
+            ):
+                # T.81: SOF0 and (this decoder's) SOF2 are 8-bit;
+                # SOF1 extends the sequential path to 12-bit
+                raise NotImplementedError(
+                    "vendored JPEG decoder: 8-bit (SOF0/SOF2) or "
+                    "8/12-bit extended sequential (SOF1) only"
+                )
             if h * w > _MAX_PIXELS:
                 raise ValueError(
                     f"JPEG: {w}x{h} exceeds the vendored decoder's "
@@ -896,13 +1012,17 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                     raise ValueError(
                         f"JPEG: illegal sampling factors {sh}x{sv}"
                     )
+                if lossless and (sh != 1 or sv != 1):
+                    raise NotImplementedError(
+                        "vendored JPEG decoder: lossless scans with "
+                        "subsampled components are not supported"
+                    )
                 comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "vendored JPEG decoder handles baseline SOF0 and "
-                "progressive SOF2 only (install PIL for "
-                "extended/lossless/arithmetic streams)"
+                "vendored JPEG decoder handles Huffman SOF0-SOF3 only "
+                "(install PIL for hierarchical/arithmetic streams)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -913,6 +1033,10 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0x0F})
             if not progressive:
+                # sequential/lossless: Ss doubles as the lossless
+                # predictor selector, Al as the point transform
+                sos_ss = seg[1 + 2 * ns]
+                sos_al = seg[3 + 2 * ns] & 0x0F
                 pos += seglen
                 break
             # progressive: one of possibly many scans — decode it into
@@ -942,8 +1066,14 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
         pos += seglen
     if not comps or not scan:
         raise ValueError("JPEG: missing or empty SOF/SOS")
+    if lossless:
+        return _lossless_scan(
+            content[pos:], scan, comps, huff, h, w, precision,
+            sos_ss, sos_al, restart_interval,
+        )
     if progressive:
         return _reconstruct_progressive(comps, coefs, qtabs, geom, h, w)
+    dc_size_max, ac_size_max, dc_pred_max = _size_bounds(precision)
     g = _mcu_geometry(comps, h, w)
     coefs = [
         np.zeros(
@@ -1016,7 +1146,7 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                             raise ValueError("JPEG: invalid Huffman code")
                         cl = v & 31
                         size = v >> 5
-                        if size > _DC_SIZE_MAX:
+                        if size > dc_size_max:
                             raise ValueError("JPEG: corrupt entropy stream")
                         if size:
                             cs = cl + size
@@ -1043,7 +1173,8 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                             )
                         else:
                             nb -= cl
-                        _check_dc(size, dc_prev[ci])
+                        if not -dc_pred_max <= dc_prev[ci] <= dc_pred_max:
+                            raise ValueError("JPEG: corrupt entropy stream")
                         # zigzag-order coefficient vector; Python list
                         # (scalar stores beat ndarray item writes)
                         zz = [0] * 64
@@ -1075,8 +1206,8 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
                                 k += 16
                                 continue
                             size = sym & 0x0F
-                            if size == 0 or size > _AC_SIZE_MAX:
-                                # baseline: size 0 is only legal inside
+                            if size == 0 or size > ac_size_max:
+                                # sequential: size 0 is only legal inside
                                 # EOB (0x00) / ZRL (0xF0), handled above
                                 raise ValueError(
                                     "JPEG: corrupt entropy stream"
@@ -1119,7 +1250,7 @@ def _decode_jpeg_body(content: bytes) -> np.ndarray:
         grid[np.array(bidx, dtype=np.int64)] = np.array(
             out, dtype=np.int64
         ).reshape(-1, 64)
-    return _reconstruct(comps, coefs, qtabs, g, h, w)
+    return _reconstruct(comps, coefs, qtabs, g, h, w, precision)
 
 
 def _mcu_geometry(comps, h: int, w: int) -> dict:
@@ -1144,11 +1275,12 @@ def _mcu_geometry(comps, h: int, w: int) -> dict:
     }
 
 
-def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+def _finish_planes(planes, comps, h, w, hmax, vmax, precision=8) -> np.ndarray:
     """Upsample subsampled planes to full resolution by replication
     (box upsampling — the spec's baseline reconstruction; libjpeg's
     default "fancy" triangular filter differs by <=1 code value on
-    smooth chroma), crop the MCU padding, and convert YCbCr->RGB."""
+    smooth chroma), crop the MCU padding, and convert YCbCr->RGB.
+    12-bit (SOF1) planes clamp to 0..4095 and return uint16."""
     up = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -1157,22 +1289,25 @@ def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
         if rx > 1:
             p = np.repeat(p, rx, axis=1)
         up.append(p)
+    maxval = float((1 << precision) - 1)
+    half = float(1 << (precision - 1))
+    dtype = np.uint8 if precision == 8 else np.uint16
     # per-plane sample quantization (round + clamp to code values)
     # stays in float64 — the uint8 round-trip the r8 version paid per
     # plane changed no value (integers 0..255 either way) and cost two
     # dtype conversions per plane at thumbnail sizes
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in up]
+    planes = [np.clip(np.round(p[:h, :w]), 0, maxval) for p in up]
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(dtype)
     if len(planes) != 3:
         raise NotImplementedError("vendored JPEG decoder: 1 or 3 components")
     y = planes[0]
-    cb = planes[1] - 128.0
-    cr = planes[2] - 128.0
-    r = np.clip(np.round(y + 1.402 * cr), 0, 255)
-    g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b = np.clip(np.round(y + 1.772 * cb), 0, 255)
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    cb = planes[1] - half
+    cr = planes[2] - half
+    r = np.clip(np.round(y + 1.402 * cr), 0, maxval)
+    g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, maxval)
+    b = np.clip(np.round(y + 1.772 * cb), 0, maxval)
+    return np.stack([r, g, b], axis=2).astype(dtype)
 
 
 def _scan_units(scan, comps, geom, h, w):
@@ -1322,7 +1457,7 @@ def _progressive_scan(
 _ZIGZAG_NP = None  # set lazily: natural-order index per zigzag position
 
 
-def _reconstruct(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
+def _reconstruct(comps, coefs, qtabs, geom, h, w, precision=8) -> np.ndarray:
     """Dequantize + IDCT the accumulated zigzag coefficient grids —
     fully batched (r8): one fancy-index de-zigzag, one broadcast
     dequant, and one batched-matmul pair per COMPONENT instead of two
@@ -1342,13 +1477,16 @@ def _reconstruct(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
         blk = np.zeros((nby, nbx, 64), dtype=np.float64)
         blk[:, :, _ZIGZAG_NP] = coefs[ci]
         coef = blk.reshape(nby, nbx, 8, 8) * q
-        # pix_block = C.T @ coef @ C, batched over the block grid
-        pix = np.matmul(np.matmul(_C.T, coef), _C) + 128.0
+        # pix_block = C.T @ coef @ C, batched over the block grid;
+        # level shift is 2^(P-1) — 128 at 8-bit, 2048 at 12-bit
+        pix = np.matmul(np.matmul(_C.T, coef), _C) + float(
+            1 << (precision - 1)
+        )
         # (nby, nbx, 8, 8) -> (nby*8, nbx*8)
         plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
     return _finish_planes(
-        planes, comps, h, w, geom["hmax"], geom["vmax"]
+        planes, comps, h, w, geom["hmax"], geom["vmax"], precision
     )
 
 
@@ -1356,6 +1494,190 @@ def _reconstruct_progressive(comps, coefs, qtabs, geom, h, w) -> np.ndarray:
     """Progressive path: identical reconstruction once every scan has
     accumulated its spectral/approximation contributions."""
     return _reconstruct(comps, coefs, qtabs, geom, h, w)
+
+
+def _ll_pred_at(p, y, x, ry, rx, psel, default) -> int:
+    """Prediction for lossless sample (y, x) of plane ``p`` per T.81
+    Annex H: the first sample of the scan — and of each restart
+    interval — takes the default 2^(P-Pt-1) (H.2.2); the rest of that
+    interval's opening row uses the one-dimensional predictor 1
+    (left); the first sample of every other line uses predictor 2
+    (above); all remaining samples use the scan's selected predictor
+    over reconstructed neighbors a=left, b=above, c=above-left
+    (Table H.1). (ry, rx) is where the current restart interval began
+    — each interval re-enters the "first line" state, the
+    libjpeg-turbo restart convention, mirrored exactly by
+    :func:`encode_jpeg_lossless` so round trips are bit-exact."""
+    if y == ry:
+        if x == rx:
+            return default
+        return int(p[y][x - 1])
+    if x == 0:
+        return int(p[y - 1][0])
+    a = int(p[y][x - 1])
+    b = int(p[y - 1][x])
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    c = int(p[y - 1][x - 1])
+    if psel == 3:
+        return c
+    if psel == 4:
+        return a + b - c
+    if psel == 5:
+        return a + ((b - c) >> 1)
+    if psel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # psel == 7
+
+
+def _lossless_scan(
+    data, scan, comps, huff, h, w, precision, psel, pt,
+    restart_interval,
+) -> np.ndarray:
+    """Decode a lossless (SOF3) entropy-coded scan — T.81 Annex H:
+    Huffman-coded modulo-65536 sample differences (SSSS category +
+    ones'-complement amplitude, SSSS=16 meaning exactly 32768 with no
+    appended bits), predictors over reconstructed neighbors, inverse
+    point transform as a left shift. Components interleave one sample
+    each per MCU (sampling factors are forced to 1x1 at SOF)."""
+    if not 1 <= psel <= 7:
+        raise ValueError(f"JPEG: lossless predictor {psel} out of 1..7")
+    if not 0 <= pt < precision:
+        raise ValueError("JPEG: point transform out of range")
+    luts = [huff[(0, sc["dc"])] for sc in scan]
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "vendored JPEG decoder: lossless multi-scan "
+            "(non-interleaved) streams are not supported"
+        )
+    segs = _split_restarts(data)
+    rd = _BitReader(_unstuff(segs[0]))
+    seg_i = 0
+    default = 1 << (precision - pt - 1)
+    planes = [
+        [[0] * w for _ in range(h)] for _ in scan
+    ]  # nested lists: scalar loads/stores beat ndarray item access here
+    ry = rx = 0
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG: missing restart marker")
+                rd = _BitReader(_unstuff(segs[seg_i]))
+                ry, rx = y, x
+            for si, lut in enumerate(luts):
+                p = planes[si]
+                pred = _ll_pred_at(p, y, x, ry, rx, psel, default)
+                size = _decode_huffman(rd, lut)
+                if size > 16:
+                    raise ValueError("JPEG: corrupt entropy stream")
+                if size == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(rd.read_bits(size), size)
+                p[y][x] = (pred + diff) & 0xFFFF
+            mcu += 1
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = [
+        (np.array(p, dtype=np.int64) << pt) & 0xFFFF for p in planes
+    ]
+    if len(out) == 1:
+        return out[0].astype(dtype)
+    return np.stack(out, axis=2).astype(dtype)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """Encode an integer array — (h, w) grayscale or (h, w, 1..4)
+    multi-component — as a LOSSLESS (SOF3) JPEG at 2..16-bit
+    precision: decode(encode(x)) == x >> Pt << Pt bit-exactly.
+    ``predictor`` selects the T.81 Table H.1 predictor (1..7);
+    ``restart_interval`` is in MCUs (= sample positions). Components
+    carry no color transform (lossless JPEG stores planes verbatim,
+    unlike the DCT path's YCbCr convention)."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or not 1 <= a.shape[2] <= 4:
+        raise ValueError(
+            "lossless encoder expects (h, w) or (h, w, 1..4) samples"
+        )
+    if not np.issubdtype(a.dtype, np.integer):
+        raise ValueError("lossless encoder expects integer samples")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    hi = int(a.max(initial=0))
+    if int(a.min(initial=0)) < 0:
+        raise ValueError("samples must be non-negative")
+    if precision is None:
+        precision = max(2, hi.bit_length())
+    if not 2 <= precision <= 16 or hi >= (1 << precision):
+        raise ValueError(
+            f"samples up to {hi} do not fit precision {precision}"
+        )
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    h, w, nc = a.shape
+    samples = a.astype(np.int64) >> pt
+    planes = [samples[:, :, ci].tolist() for ci in range(nc)]
+    enc_tab = _build_huffman(_LL_BITS, _LL_VALS)
+    out = bytearray(b"\xff\xd8")  # SOI
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        # 1x1 sampling; Tq is meaningless in lossless (T.81 H.1) -> 0
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _LL_BITS, _LL_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0, Al=Pt
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wr = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    ry = rx = 0
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += wr.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                wr = _BitWriter()
+                ry, rx = y, x
+            for p in planes:
+                pred = _ll_pred_at(p, y, x, ry, rx, predictor, default)
+                diff = (p[y][x] - pred) & 0xFFFF
+                if diff == 32768:  # the SSSS=16 escape: no bits
+                    code, length = enc_tab[16]
+                    wr.write(code, length)
+                    continue
+                if diff > 32768:
+                    diff -= 65536
+                size = (diff if diff >= 0 else -diff).bit_length()
+                code, length = enc_tab[size]
+                if size:
+                    amp = diff if diff >= 0 else diff + (1 << size) - 1
+                    wr.write((code << size) | amp, length + size)
+                else:
+                    wr.write(code, length)
+            mcu += 1
+    out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def decode_jpeg_gray(content: bytes) -> np.ndarray:

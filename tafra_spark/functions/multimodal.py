@@ -86,7 +86,8 @@ except ImportError:  # pragma: no cover - exercised via monkeypatch in tests
 
 
 def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
-    """Decode an encoded image to a 2-D uint8 ndarray.
+    """Decode an encoded image to a 2-D luminance ndarray (uint8; a
+    >8-bit JPEG yields uint16 samples at the stream's precision).
 
     ``image/fake`` payloads (the deterministic raw-grid fake) always
     decode, so the Arrow plumbing is testable without any imaging
@@ -96,13 +97,14 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
     non-interlaced) still decodes through the vendored pure-Python
     codec (:mod:`._png`) — color collapses to luminance with PIL's
     exact ``convert("L")`` fixed-point formula — and ``image/jpeg``
-    (baseline SOF0, 8-bit, any integer-ratio sampling: 4:4:4, 4:2:2,
-    and the in-the-wild majority 4:2:0) decodes through the vendored
-    :mod:`._jpeg` codec, taking the stream's own Y plane as the
-    luminance grid. The ``NotImplementedError`` fires only for
-    variants that genuinely need a library (12-bit/lossless/
-    arithmetic JPEG; PNG — including Adam7 since r8 — has no decode
-    fences left)."""
+    (baseline SOF0 at any integer-ratio sampling — 4:4:4, 4:2:2, and
+    the in-the-wild majority 4:2:0 — progressive SOF2, 12-bit
+    extended sequential SOF1, and lossless SOF3 at 2..16-bit, both
+    r9) decodes through the vendored :mod:`._jpeg` codec, taking the
+    stream's own first/Y plane as the luminance grid. The
+    ``NotImplementedError`` fires only for variants that genuinely
+    need a library (arithmetic-coded and hierarchical JPEG; PNG —
+    including Adam7 since r8 — has no decode fences left)."""
     if mime is not None and mime.startswith("image/fake"):
         arr = np.frombuffer(content, dtype=np.uint8)
         side = int(len(arr) ** 0.5)
@@ -294,6 +296,48 @@ def fake_jpeg420_bytes(asset_id: int, quality: int = 90) -> bytes:
     img[8:, :8] = v[2]
     img[8:, 8:] = v[3]
     return encode_jpeg_rgb(img, quality=quality, subsampling="4:2:0")
+
+
+def fake_jpeg_lossless_bytes(asset_id: int) -> bytes:
+    """A REAL LOSSLESS (SOF3) grayscale JPEG holding a 16×16 GRADIENT
+    ``pixel(y, x) = (asset_id·31 + y·17 + x·5) mod 256`` — lossless
+    coding round-trips EVERY image bit-exactly, so the fixture can be
+    non-block-constant (a gradient drives all three neighbors a/b/c
+    through distinct values every sample) while the decoded mean stays
+    formula-reproducible for the cross-engine oracle. The predictor
+    cycles with the asset id (``(asset_id mod 7) + 1``), so a corpus
+    decode exercises all seven T.81 Table H.1 predictors."""
+    import numpy as np
+
+    from ._jpeg import encode_jpeg_lossless
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = (int(asset_id) * 31 + y * 17 + x * 5) % 256
+    return encode_jpeg_lossless(
+        img.astype(np.int64), predictor=(int(asset_id) % 7) + 1
+    )
+
+
+def fake_jpeg12_bytes(asset_id: int, quality: int = 90) -> bytes:
+    """A REAL 12-BIT extended sequential (SOF1) grayscale JPEG of four
+    8x8 constant tiles ``v_k = (asset_id·31 + k·57) mod 4096`` —
+    block-constant tiles survive DCT quantization exactly at 12 bits
+    too (DC-only blocks; the quality-90 DC step of 3 leaves the
+    per-pixel error under 3/16, inside the final round), so the
+    decoded mean is formula-reproducible while the payload exercises
+    the Pq=1 quantization tables, the wide (SSSS<=15/14) Huffman
+    tables, the 2048 level shift, and the uint16 output path."""
+    import numpy as np
+
+    from ._jpeg import encode_jpeg_gray12
+
+    v = [(int(asset_id) * 31 + k * 57) % 4096 for k in range(4)]
+    img = np.zeros((16, 16), dtype=np.int64)
+    img[:8, :8] = v[0]
+    img[:8, 8:] = v[1]
+    img[8:, :8] = v[2]
+    img[8:, 8:] = v[3]
+    return encode_jpeg_gray12(img, quality=quality)
 
 
 def fake_jpeg_progressive_bytes(asset_id: int, quality: int = 90) -> bytes:

@@ -182,17 +182,17 @@ class TestMultimodal:
 
     def test_library_mimes_without_pil_raise(self, spark, monkeypatch):
         # formats that genuinely need an imaging library still fence
-        # (baseline AND progressive JPEG decode via the vendored codec
-        # as of r7; lossless SOF3 and formats like webp/tiff stay
-        # PIL-gated)
+        # (baseline/progressive JPEG decode via the vendored codec as
+        # of r7, lossless SOF3 + 12-bit SOF1 as of r9; arithmetic
+        # coding and formats like webp/tiff stay PIL-gated)
         monkeypatch.setattr(M, "_HAS_PIL", False)
         with pytest.raises(NotImplementedError):
             M._decode_stub(b"RIFF....WEBP", "image/webp")
-        sof3 = (
-            b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        sof9 = (
+            b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         )
         with pytest.raises(NotImplementedError):
-            M._decode_stub(sof3, "image/jpeg")
+            M._decode_stub(sof9, "image/jpeg")
 
     def test_fake_mime_decodes_without_pil(self, monkeypatch):
         monkeypatch.setattr(M, "_HAS_PIL", False)
@@ -5712,6 +5712,9 @@ class TestJpegCodec:
             "fake_jpeg420_bytes": "7e59467e208bd27ad38ed4d63576e3e1",
             "fake_jpeg_progressive_bytes":
                 "dac7658c50dc7b9e05be56b84377c32f",
+            "fake_jpeg_lossless_bytes":
+                "a43f36b299e4c140ea1b8b915ca5dd98",
+            "fake_jpeg12_bytes": "e38dbb6482bcde4482e9e7eb4fc81a2c",
         }
         for name, want in pins.items():
             blob = b"".join(getattr(MM, name)(i) for i in range(16))
@@ -5772,15 +5775,98 @@ class TestJpegCodec:
         back = decode_jpeg(payload)
         assert back.shape == img.shape
 
-    def test_rejects_non_baseline(self):
+    def test_lossless_roundtrip_all_predictors(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(23, 17)).astype(np.int64)
+        for pred in range(1, 8):
+            back = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+            assert back.dtype == np.uint8
+            assert (back == img).all(), f"predictor {pred}"
+
+    def test_lossless_16bit_and_multicomponent(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.RandomState(12)
+        img = rng.randint(0, 65536, size=(19, 11)).astype(np.int64)
+        back = decode_jpeg(encode_jpeg_lossless(img, predictor=4))
+        assert back.dtype == np.uint16 and (back == img).all()
+        rgb = rng.randint(0, 256, size=(9, 13, 3)).astype(np.int64)
+        back = decode_jpeg(encode_jpeg_lossless(rgb, predictor=5))
+        # lossless carries NO color transform: planes come back verbatim
+        assert back.shape == (9, 13, 3) and (back == rgb).all()
+
+    def test_lossless_point_transform_and_restarts(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.RandomState(13)
+        img = rng.randint(0, 256, size=(10, 7)).astype(np.int64)
+        back = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=1, point_transform=2)
+        )
+        # decoder's inverse point transform is a left shift: low bits drop
+        assert (back == (img >> 2) << 2).all()
+        # restart intervals, including ones that land mid-row (7 is
+        # coprime to the width): each interval re-enters the
+        # first-line predictor state on both sides
+        for ri in (1, 3, 5, 13):
+            payload = encode_jpeg_lossless(
+                img, predictor=4, restart_interval=ri
+            )
+            assert (decode_jpeg(payload) == img).all(), f"restart {ri}"
+
+    def test_12bit_block_constant_roundtrips_exactly(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray12,
+        )
+
+        img = np.zeros((16, 16), dtype=np.int64)
+        for k, v in enumerate([100, 2000, 3000, 4095]):
+            img[(k // 2) * 8 : (k // 2) * 8 + 8,
+                (k % 2) * 8 : (k % 2) * 8 + 8] = v
+        back = decode_jpeg(encode_jpeg_gray12(img, quality=90))
+        assert back.dtype == np.uint16
+        assert (back == img).all()
+
+    def test_12bit_noise_roundtrip_bounded_error(self):
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray12,
+        )
+
+        rng = np.random.RandomState(14)
+        img = rng.randint(0, 4096, size=(24, 17)).astype(np.int64)
+        back = decode_jpeg(encode_jpeg_gray12(img, quality=95))
+        assert back.shape == img.shape
+        # q95 steps on a 12-bit range: noise stays within a small band
+        assert int(np.abs(back.astype(int) - img).max()) <= 64
+
+    def test_rejects_non_huffman_processes(self):
         from tafra_spark.functions._jpeg import decode_jpeg
 
         with pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")
-        # lossless SOF3 marker stream (progressive SOF2 decodes as of r7)
-        sof3 = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        # arithmetic-coded SOF9 stream (lossless SOF3 decodes as of r9)
+        sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof3)
+            decode_jpeg(sof9)
+        # 12-bit is sequential-only: SOF0/SOF2 at 12-bit still raise
+        sof0_12 = (
+            b"\xff\xd8\xff\xc0\x00\x0b\x0c\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof0_12)
 
     def test_jpeg_through_pipeline(self, spark, monkeypatch):
         # real JPEG bytes through the Arrow-batched decode stage, no PIL

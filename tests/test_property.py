@@ -977,6 +977,89 @@ class TestJpegCodecProperties:
         except (ValueError, NotImplementedError):
             pass
 
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        predictor=st.integers(min_value=1, max_value=7),
+        precision=st.sampled_from([2, 4, 8, 12, 16]),
+        pt=st.integers(min_value=0, max_value=3),
+        restart=st.sampled_from([0, 1, 5, 13]),
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        nc=st.sampled_from([1, 3]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_lossless_round_trip_bit_exact(
+        self, seed, predictor, precision, pt, restart, h, w, nc
+    ):
+        """Lossless (SOF3) decode(encode(x)) == (x >> Pt) << Pt for
+        EVERY image, predictor, precision 2..16, point transform, and
+        restart interval — there is no quantization anywhere, so
+        equality is exact by construction (T.81 Annex H)."""
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        if pt >= precision:
+            pt = precision - 1
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if nc == 1 else (h, w, nc)
+        img = rng.randint(0, 1 << precision, size=shape).astype(np.int64)
+        payload = encode_jpeg_lossless(
+            img,
+            predictor=predictor,
+            point_transform=pt,
+            restart_interval=restart,
+            precision=precision,
+        )
+        back = decode_jpeg(payload)
+        assert back.shape == img.shape
+        assert back.dtype == (np.uint8 if precision <= 8 else np.uint16)
+        assert (back.astype(np.int64) == (img >> pt) << pt).all()
+
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        lossless=st.booleans(),
+        cut_num=st.integers(min_value=0, max_value=997),
+        flip_num=st.integers(min_value=0, max_value=996),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_corrupt_lossless_and_12bit_fail_clean(
+        self, seed, lossless, cut_num, flip_num
+    ):
+        """The r7 corruption contract extended to the r9 processes:
+        truncations and byte flips of lossless (SOF3) and 12-bit
+        (SOF1) streams either decode or raise ValueError /
+        NotImplementedError — never internal errors or a hang."""
+        from tafra_spark.functions._jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray12,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.RandomState(seed)
+        if lossless:
+            img = rng.randint(0, 4096, size=(13, 11)).astype(np.int64)
+            payload = encode_jpeg_lossless(
+                img, predictor=4, restart_interval=7, precision=12
+            )
+        else:
+            img = rng.randint(0, 4096, size=(13, 11)).astype(np.int64)
+            payload = encode_jpeg_gray12(img, quality=85)
+        cut = 2 + (cut_num % (len(payload) - 2))
+        try:
+            decode_jpeg(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        flipped = bytearray(payload)
+        pos = 2 + (flip_num % (len(payload) - 2))
+        flipped[pos] ^= 0xFF
+        try:
+            out = decode_jpeg(bytes(flipped))
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError):
+            pass
+
     def test_fill_bytes_before_restart_markers_decode(self):
         """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
         marker. r8 self-review regression: _split_restarts treated
