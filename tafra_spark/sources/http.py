@@ -223,9 +223,11 @@ def parse_http_response(payload: bytes) -> dict:
     - ``Content-Encoding: gzip/x-gzip/deflate`` bodies are
       decompressed (r8 — most live HTTP bodies arrive compressed;
       deflate tries zlib-wrapped then raw, the in-the-wild split);
-      unknown codings (br, zstd) leave the body bytes as-is with the
-      coding still visible in ``headers`` and ``coding_decoded=False``
-      (r9) so downstream gates can drop still-compressed bodies.
+      ``br``/``zstd`` decode when the public ``brotli``/``zstandard``
+      libraries are importable (late r9), else — like any unknown
+      coding — the body bytes pass through as-is with the coding
+      still visible in ``headers`` and ``coding_decoded=False`` (r9)
+      so downstream gates can drop still-compressed bodies.
     - Text decode (r9, header > BOM > meta per the HTML standard):
       Content-Type charset first, else a leading byte-order mark
       (UTF-8/16/32, stripped from the text), else ``<meta charset>``
@@ -292,10 +294,14 @@ def parse_http_response(payload: bytes) -> dict:
                 body = body[:clen]
     coding = headers.get("content-encoding", "").strip().lower()
     # r9 (VERDICT item 4 fallback): surface WHETHER the content coding
-    # was actually decoded. br/zstd (no decoder in the environment) and
+    # was actually decoded. br/zstd (when no decoder is importable) and
     # multi-codings ("gzip, br") pass bytes through fail-open with the
     # header still visible — downstream quality gates can filter on
-    # this flag instead of scoring compressed bytes as text.
+    # this flag instead of scoring compressed bytes as text. When the
+    # environment DOES ship the public ``brotli``/``zstandard``
+    # libraries, those codings decode too (import-try, late-r9) — the
+    # fence self-heals per executor environment, and the flag stays
+    # honest either way.
     coding_decoded = coding in ("", "identity", "gzip", "x-gzip", "deflate")
     if coding in ("gzip", "x-gzip"):
         import zlib
@@ -316,6 +322,28 @@ def parse_http_response(payload: bytes) -> dict:
                 body = zlib.decompress(body, -zlib.MAX_WBITS)
             except zlib.error as exc:
                 raise ValueError(f"HTTP: corrupt deflate body ({exc})")
+    elif coding == "br":
+        try:
+            import brotli  # type: ignore[import-not-found]
+        except ImportError:
+            brotli = None
+        if brotli is not None:
+            try:
+                body = brotli.decompress(body)
+                coding_decoded = True
+            except Exception as exc:  # brotli.error subclasses vary
+                raise ValueError(f"HTTP: corrupt brotli body ({exc})")
+    elif coding == "zstd":
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError:
+            zstandard = None
+        if zstandard is not None:
+            try:
+                body = zstandard.ZstdDecompressor().decompress(body)
+                coding_decoded = True
+            except zstandard.ZstdError as exc:
+                raise ValueError(f"HTTP: corrupt zstd body ({exc})")
     content_type = headers.get("content-type", "")
     # r9: charset precedence per the HTML standard — Content-Type
     # header first, then a leading BOM, then <meta charset> in the
@@ -617,7 +645,7 @@ def url_registered_domain(col: Column | str) -> Column:
 def url_host_sql(expr: str) -> str:
     return (
         f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, "
-        f"'{_URL_AUTH}', 1)), '^[^@]*@', ''), ':[0-9]*\z', '')"
+        f"'{_URL_AUTH}', 1)), '^[^@]*@', ''), ':[0-9]*\\z', '')"
     )
 
 

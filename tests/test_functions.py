@@ -5825,6 +5825,48 @@ class TestJpegCodec:
             )
             assert (decode_jpeg(payload) == img).all(), f"restart {ri}"
 
+    def test_lossless_decodes_foreign_huffman_table(self):
+        # a hand-framed SOF3 stream using the Annex-K DC table (NOT
+        # the flat 5-bit table our encoder writes) must decode — the
+        # decoder's tables come from the stream's DHT, so third-party
+        # lossless files work
+        import struct
+
+        from tafra_spark.functions._jpeg import (
+            _BitWriter,
+            _DC_BITS,
+            _DC_VALS,
+            _build_huffman,
+            _dht_segment,
+            decode_jpeg,
+        )
+
+        samples = [10, 200, 3, 3]
+        tab = _build_huffman(_DC_BITS, _DC_VALS)
+        wr = _BitWriter()
+        pred = 128  # default 2^(8-1) for the first sample
+        for s in samples:
+            diff = (s - pred) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            size = (diff if diff >= 0 else -diff).bit_length()
+            code, length = tab[size]
+            wr.write(code, length)
+            if size:
+                amp = diff if diff >= 0 else diff + (1 << size) - 1
+                wr.write(amp, size)
+            pred = s  # predictor 1 (first line)
+        payload = bytearray(b"\xff\xd8")
+        sof = bytes([8]) + struct.pack(">HH", 1, 4) + bytes([1, 1, 0x11, 0])
+        payload += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+        payload += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+        sos = bytes([1, 1, 0x00, 1, 0, 0])  # predictor 1, Pt 0
+        payload += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        payload += wr.flush() + b"\xff\xd9"
+        back = decode_jpeg(bytes(payload))
+        assert back.shape == (1, 4)
+        assert back.tolist() == [samples]
+
     def test_12bit_block_constant_roundtrips_exactly(self):
         from tafra_spark.functions._jpeg import (
             decode_jpeg,

@@ -672,8 +672,17 @@ class TestHttpSource:
         assert parse_http_response(resp)["body"] == body
         # unknown codings leave bytes as-is (flagged via coding_decoded
         # so quality gates can drop still-compressed bodies); corrupt
-        # gzip fails clean
-        for hdr in (b"br", b"zstd", b"gzip, br"):
+        # gzip fails clean. br/zstd pass through only when their
+        # public decoder libraries are NOT importable (late r9: the
+        # fence self-heals via import-try when they are — this
+        # container ships neither)
+        undecodable = [b"gzip, br"]
+        for mod, hdr in (("brotli", b"br"), ("zstandard", b"zstd")):
+            try:
+                __import__(mod)
+            except ImportError:
+                undecodable.append(hdr)
+        for hdr in undecodable:
             resp = (
                 b"HTTP/1.1 200 OK\r\nContent-Encoding: " + hdr
                 + b"\r\n\r\nOPAQUE"
@@ -694,6 +703,63 @@ class TestHttpSource:
             )
         )
         assert rec["body"] == body
+
+    def test_content_encoding_br_zstd_via_import_try(self, monkeypatch):
+        # the br/zstd branches activate when the public libraries are
+        # importable (late r9) — inject stand-ins with the same API
+        # so the decode path and its corrupt-body error surface are
+        # exercised without shipping the libraries
+        import sys
+        import types
+        import zlib
+
+        import pytest as _pytest
+
+        from tafra_spark.sources.http import parse_http_response
+
+        body = ("self healing fence " * 20).encode()
+
+        fake_br = types.ModuleType("brotli")
+        fake_br.decompress = zlib.decompress
+        monkeypatch.setitem(sys.modules, "brotli", fake_br)
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+            + zlib.compress(body)
+        )
+        rec = parse_http_response(resp)
+        assert rec["body"] == body
+        assert rec["coding_decoded"] is True
+        with _pytest.raises(ValueError):
+            parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nJUNK"
+            )
+
+        fake_zs = types.ModuleType("zstandard")
+
+        class _Err(Exception):
+            pass
+
+        class _Dec:
+            def decompress(self, b):
+                try:
+                    return zlib.decompress(b)
+                except zlib.error as exc:
+                    raise _Err(exc)
+
+        fake_zs.ZstdDecompressor = _Dec
+        fake_zs.ZstdError = _Err
+        monkeypatch.setitem(sys.modules, "zstandard", fake_zs)
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n"
+            + zlib.compress(body)
+        )
+        rec = parse_http_response(resp)
+        assert rec["body"] == body
+        assert rec["coding_decoded"] is True
+        with _pytest.raises(ValueError):
+            parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nJUNK"
+            )
 
     def test_resolve_redirects_chains_loops_relative(self, spark):
         from tafra_spark.sources.http import resolve_redirects
