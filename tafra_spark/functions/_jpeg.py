@@ -1541,7 +1541,15 @@ def _lossless_scan(
     ones'-complement amplitude, SSSS=16 meaning exactly 32768 with no
     appended bits), predictors over reconstructed neighbors, inverse
     point transform as a left shift. Components interleave one sample
-    each per MCU (sampling factors are forced to 1x1 at SOF)."""
+    each per MCU (sampling factors are forced to 1x1 at SOF).
+
+    Restart convention: T.81 H.2.2 resets the prediction at each
+    restart interval but leaves the mid-row case underspecified; this
+    decoder follows the libjpeg-turbo reading (the interval re-enters
+    the "first line" state — see :func:`_ll_pred_at`). Streams with
+    row-aligned or absent restart intervals — the overwhelming norm —
+    are convention-free; a foreign encoder pairing non-row-aligned DRI
+    with a different reading would reconstruct differently."""
     if not 1 <= psel <= 7:
         raise ValueError(f"JPEG: lossless predictor {psel} out of 1..7")
     if not 0 <= pt < precision:
@@ -1681,9 +1689,13 @@ def encode_jpeg_lossless(
 
 
 def decode_jpeg_gray(content: bytes) -> np.ndarray:
-    """Decode any supported JPEG to an (h, w) uint8 LUMINANCE grid —
-    for 3-component YCbCr streams this is the Y plane directly (JPEG's
-    own luminance), matching the downstream (width, height, intensity)
+    """Decode any supported JPEG to an (h, w) LUMINANCE grid — uint8
+    for 8-bit streams, uint16 at higher precisions. For 3-component
+    DCT streams this is the Y plane directly (JPEG's own luminance);
+    for multi-plane lossless streams (stored without a color
+    transform, conventionally RGB) the BT.601 luminance of the planes,
+    clipped to the ARRAY dtype's range so >8-bit samples are not
+    crushed to 255. Matches the downstream (width, height, intensity)
     contract of :mod:`.multimodal`."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -1693,5 +1705,6 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     r = arr[:, :, 0].astype(np.float64)
     g = arr[:, :, 1].astype(np.float64)
     b = arr[:, :, 2].astype(np.float64)
-    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
-    return y.astype(np.uint8)
+    maxval = float(np.iinfo(arr.dtype).max)
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, maxval)
+    return y.astype(arr.dtype)

@@ -133,8 +133,10 @@ def _decode_stub(content: bytes, mime: Optional[str]) -> np.ndarray:
         return decode_jpeg_gray(content)
     raise NotImplementedError(
         "decoding this image format requires an imaging library (PIL) "
-        "that is not installed; 'image/fake', 8-bit 'image/png' "
-        "(gray/RGB/RGBA), and baseline 'image/jpeg' decode without it"
+        "that is not installed; 'image/fake', 'image/png' (gray/RGB/"
+        "RGBA/paletted/sub-byte/16-bit, incl. Adam7), and Huffman "
+        "'image/jpeg' (baseline, progressive, 12-bit sequential, "
+        "lossless) decode without it"
     )
 
 

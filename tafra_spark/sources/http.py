@@ -208,6 +208,23 @@ def _meta_charset_of(body: bytes) -> str:
     return ""
 
 
+#: optional-decoder cache: a FAILED import is not cached by the import
+#: system, so probing per record would walk the path finders for every
+#: br/zstd response (~30-40% of a wild crawl) in decoder-less
+#: environments. One probe per interpreter, result (module or None)
+#: memoized here.
+_CODEC_CACHE: dict = {}
+
+
+def _optional_codec(name: str):
+    if name not in _CODEC_CACHE:
+        try:
+            _CODEC_CACHE[name] = __import__(name)
+        except ImportError:
+            _CODEC_CACHE[name] = None
+    return _CODEC_CACHE[name]
+
+
 def parse_http_response(payload: bytes) -> dict:
     """Parse one raw HTTP response (the WARC ``response`` record
     payload) into status / reason / headers / body / decoded text.
@@ -323,10 +340,7 @@ def parse_http_response(payload: bytes) -> dict:
             except zlib.error as exc:
                 raise ValueError(f"HTTP: corrupt deflate body ({exc})")
     elif coding == "br":
-        try:
-            import brotli  # type: ignore[import-not-found]
-        except ImportError:
-            brotli = None
+        brotli = _optional_codec("brotli")
         if brotli is not None:
             try:
                 body = brotli.decompress(body)
@@ -334,13 +348,19 @@ def parse_http_response(payload: bytes) -> dict:
             except Exception as exc:  # brotli.error subclasses vary
                 raise ValueError(f"HTTP: corrupt brotli body ({exc})")
     elif coding == "zstd":
-        try:
-            import zstandard  # type: ignore[import-not-found]
-        except ImportError:
-            zstandard = None
+        zstandard = _optional_codec("zstandard")
         if zstandard is not None:
+            import io as _io
+
             try:
-                body = zstandard.ZstdDecompressor().decompress(body)
+                # stream_reader with read_across_frames: the common
+                # streaming-encoder output omits the content size from
+                # the frame header (one-shot decompress() refuses it)
+                # and multi-frame bodies are legal per RFC 8878 —
+                # both must decode, not null the record
+                body = zstandard.ZstdDecompressor().stream_reader(
+                    _io.BytesIO(body), read_across_frames=True
+                ).read()
                 coding_decoded = True
             except zstandard.ZstdError as exc:
                 raise ValueError(f"HTTP: corrupt zstd body ({exc})")

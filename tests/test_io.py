@@ -715,7 +715,13 @@ class TestHttpSource:
 
         import pytest as _pytest
 
+        import tafra_spark.sources.http as http_mod
         from tafra_spark.sources.http import parse_http_response
+
+        # the per-interpreter probe cache must not leak the fakes into
+        # (or stale Nones out of) other tests — swap in a fresh dict
+        # that monkeypatch restores on teardown
+        monkeypatch.setattr(http_mod, "_CODEC_CACHE", {})
 
         body = ("self healing fence " * 20).encode()
 
@@ -739,12 +745,23 @@ class TestHttpSource:
         class _Err(Exception):
             pass
 
-        class _Dec:
-            def decompress(self, b):
+        class _Reader:
+            def __init__(self, fh):
+                self._fh = fh
+
+            def read(self):
                 try:
-                    return zlib.decompress(b)
+                    return zlib.decompress(self._fh.read())
                 except zlib.error as exc:
                     raise _Err(exc)
+
+        class _Dec:
+            def stream_reader(self, fh, read_across_frames=False):
+                # the real API decodes frames without a content-size
+                # header and reads across frames; the fake only needs
+                # the call shape + error surface
+                assert read_across_frames is True
+                return _Reader(fh)
 
         fake_zs.ZstdDecompressor = _Dec
         fake_zs.ZstdError = _Err
