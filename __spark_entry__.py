@@ -2609,6 +2609,29 @@ def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the tokenize stage itself (late r9): learn 8 merges, then encode
+    # EVERY document to its full token-id sequence — GPT-2-style id
+    # space (a..z = 0..25, merge step k = 25+k, unk = 26+n_merges for
+    # non-[a-z]+ words), narrow posexplode + broadcast vocab join +
+    # inlined piece->id map + ONE per-doc rebuild shuffle. The oracle
+    # relearns the merges in its unrolled CTEs and reassembles the
+    # same sequences relationally, so a slip in merge application, id
+    # assignment, word order, or unk handling hash-fails. token_ids
+    # ride comma-joined (the registry's no-ARRAY-column convention,
+    # see pq_encode_codes).
+    from tafra_spark.functions.text import bpe_encode_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bpe_encode_docs(
+        docs, text_col="text", id_col="doc_id", n_merges=8
+    )
+    return out.select(
+        "doc_id", "n_words", "n_unk", "n_tokens",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
+    )
+
+
 def zipf_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank-frequency power-law fit per source: log-log OLS with exact
     # integer component sums (corr_matrix discipline); near-zero |slope|
@@ -4433,11 +4456,11 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 5 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 4 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window — two fewer than first planned, displaced by the two
-# late-r9 codec queries in (1): a never-verified row is staler than
-# any green one).
+# r10 window — three fewer than first planned, displaced by the three
+# late-r9 queries in (1) (two codec closures + bpe_encode_docs): a
+# never-verified row is staler than any green one).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4455,6 +4478,7 @@ _R9_WINDOW = [
     "cc_refined_pipeline",
     "multimodal_jpeg_lossless_decode",
     "multimodal_jpeg12_decode",
+    "bpe_encode_docs",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4496,7 +4520,6 @@ _R9_WINDOW = [
     "compression_by_source",
     "containment_dup_pairs",
     "dedup_keep_best",
-    "dup_cluster_size_hist",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4723,6 +4746,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_active_3h": sliding_active_3h,
         "minhash_dup_clusters": minhash_dup_clusters,
         "bpe_token_stats": bpe_token_stats_report,
+        "bpe_encode_docs": bpe_encode_docs_report,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
         "prefix_filter_jaccard": prefix_filter_jaccard,
@@ -5994,6 +6018,74 @@ SELECT source, n_words, n_chars, n_tokens,
          AS chars_per_token
 FROM agg
 """.replace("{n}", str(n_merges))
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of ``text.bpe_encode_docs`` + the registry's
+    comma-join projection: relearn the merges with the unrolled CTEs,
+    then reassemble every document's token-id sequence relationally —
+    piece ids from ascii position (singles) or 25+min(step) (merged
+    pieces, first step wins on duplicates), unk = 26 + accepted merge
+    count as a scalar subquery, word order by split position, piece
+    order by position within the word."""
+    unions = " UNION ALL ".join(
+        "SELECT %d AS step, m FROM b%d" % (k, k)
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_ctes_sql(n_merges) + r"""
+, vocab AS (
+  SELECT word, string_split(trim(s), ' ') AS sy FROM w{n}
+),
+merges_all AS ({unions}),
+merge_ids AS (
+  SELECT m, CAST(25 + min(step) AS INTEGER) AS mid
+  FROM merges_all GROUP BY m
+),
+stream AS (
+  SELECT doc_id, u.p AS pos, u.w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             (x, i) -> {'w': x, 'p': i})) AS u
+    FROM documents WHERE text IS NOT NULL) __s__
+  WHERE u.w <> ''
+),
+tok AS (
+  SELECT doc_id, pos,
+         unnest(list_transform(v.sy, (x, i) -> {'s': x, 'i': i})) AS u
+  FROM stream st JOIN vocab v USING (word)
+),
+tok_ids AS (
+  SELECT doc_id, pos, u.i AS ppos,
+         CASE WHEN length(u.s) = 1 THEN ascii(u.s) - 97
+              ELSE mi.mid END AS tid
+  FROM tok LEFT JOIN merge_ids mi ON mi.m = u.s
+),
+word_ids AS (
+  SELECT doc_id, pos, false AS is_unk,
+         list(tid ORDER BY ppos) AS ids
+  FROM tok_ids GROUP BY doc_id, pos
+  UNION ALL
+  SELECT st.doc_id, st.pos, true AS is_unk,
+         [(SELECT CAST(26 + count(*) AS INTEGER) FROM merges_all)]
+           AS ids
+  FROM stream st
+  WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.word = st.word)
+),
+docagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN is_unk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk,
+         flatten(list(ids ORDER BY pos)) AS idsflat
+  FROM word_ids GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_unk,
+       CAST(len(idsflat) AS BIGINT) AS n_tokens,
+       array_to_string(idsflat, ',') AS token_ids
+FROM docagg
+""".replace("{n}", str(n_merges)).replace("{unions}", unions)
 
 
 _FOUR_TILE_MEAN_SQL = r"""
@@ -10943,6 +11035,7 @@ def oracle_sql() -> dict[str, str]:
     )
     d["bpe_learn_merges"] = _bpe_batched_learn_sql(64, 8)
     d["bpe_token_stats"] = _bpe_stats_sql(8)
+    d["bpe_encode_docs"] = _bpe_encode_sql(8)
     d["zipf_source_fit"] = r"""
         WITH freq AS (
           SELECT source, word, count(*) AS freq

@@ -104,6 +104,10 @@ HEADLINE = [
     # Huffman JPEG process in the codec has a wall-clock guard
     "multimodal_jpeg_lossless_decode",
     "multimodal_jpeg12_decode",
+    # late-r9: the tokenize stage (encode every document to token-id
+    # sequences with the learned merges) — the broadcast-join + per-doc
+    # rebuild plan deserves its own wall guard, separate from training
+    "bpe_encode_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

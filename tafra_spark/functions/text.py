@@ -1042,6 +1042,96 @@ def bpe_token_stats(
     )
 
 
+def bpe_encode_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    batch: int = 1,
+) -> DataFrame:
+    """Tokenize the corpus with its own learned BPE merges — the
+    tokenize-and-pack stage every training pipeline runs between
+    tokenizer training (:func:`bpe_learn`) and sequence packing
+    (:mod:`.pipeline`'s ``pack_sequences``). Returns one row per
+    document: (id, n_words, n_unk, n_tokens, token_ids) where
+    ``token_ids`` is the document's full token-id sequence.
+
+    Id space is the GPT-2-style "base alphabet, then merges in rank
+    order": ``'a'..'z'`` take ids 0..25 and the step-k merge takes
+    ``25 + k`` (when two merge paths produce the same piece string the
+    FIRST step wins), so ids are reproducible from the merge list
+    alone — no frequency re-ranking pass. Words outside the learnable
+    ``[a-z]+`` alphabet (numbers, punctuation runs, non-Latin) encode
+    as the single ``unk_id = 26 + n_accepted_merges``, counted in
+    ``n_unk`` — a real pipeline swaps in byte-fallback here; the
+    plumbing (per-word piece arrays, id mapping, per-doc reassembly)
+    is what this op exercises.
+
+    Scale: the corpus is touched twice — once by the learner's
+    vocabulary groupBy (see :func:`_bpe_state`), once by the encode
+    pass: a narrow posexplode to the word stream, a BROADCAST join
+    against the |V|-row post-merge dictionary, piece→id via an
+    inlined-literal map (bounded at 26 + n_merges entries — the PQ
+    inline-codebook pattern; at 32k+-merge vocabularies swap the
+    literal for a broadcast join on pieces), and ONE per-document
+    rebuild shuffle (sorted-struct collect, the
+    ``segment_dedup_rewrite`` shape).
+    """
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"bpe_encode_docs: unknown column {c!r}")
+    merges, words = _bpe_state(
+        df, text_col=text_col, n_merges=n_merges, batch=batch
+    )
+    piece_ids = {chr(97 + i): i for i in range(26)}
+    for step, _l, _r, merged, _cnt in merges:
+        piece_ids.setdefault(merged, 25 + step)
+    unk_id = 26 + len(merges)
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in piece_ids]),
+        F.array(*[F.lit(v) for v in piece_ids.values()]),
+    )
+    vocab = words.select("word", "syms")
+    stream = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__pos__", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    per_word = stream.join(F.broadcast(vocab), "word", "left").select(
+        id_col,
+        "__pos__",
+        F.when(
+            F.col("syms").isNotNull(),
+            F.transform(
+                "syms", lambda s: F.element_at(mapping, s).cast("int")
+            ),
+        )
+        .otherwise(F.array(F.lit(unk_id).cast("int")))
+        .alias("__ids__"),
+        F.col("syms").isNull().alias("__unk__"),
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("__unk__").cast("long")).alias("n_unk"),
+            F.flatten(
+                F.expr(
+                    "array_sort(collect_list(struct(__pos__, __ids__)))"
+                    ".__ids__"
+                )
+            ).alias("token_ids"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+        .select(id_col, "n_words", "n_unk", "n_tokens", "token_ids")
+    )
+
+
 def readability_scores(
     df: DataFrame,
     text_col: str = "text",

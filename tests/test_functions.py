@@ -5280,6 +5280,70 @@ class TestBpeTokenStats:
             assert r["chars_per_token"] == round(n_c / n_t, 6)
 
 
+class TestBpeEncodeDocs:
+    def test_matches_python_reference(self, spark):
+        texts = [
+            (1, "banana bandana apple apple"),
+            (2, "low lower 99 lowest Banana"),
+            (3, "?? !! 123"),  # all-unk document
+        ]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        words = {}
+        for _, t in texts:
+            for w in t.lower().split():
+                if w.isalpha() and w.isascii():
+                    words[w] = words.get(w, 0) + 1
+        merges, syms = _py_bpe(words, 4)
+        piece_ids = {chr(97 + i): i for i in range(26)}
+        for step, _l, _r, m, _c in merges:
+            piece_ids.setdefault(m, 25 + step)
+        unk = 26 + len(merges)
+        exp = {}
+        for did, t in texts:
+            ids, n_unk = [], 0
+            for w in t.lower().split():
+                if w.isalpha() and w.isascii():
+                    ids += [piece_ids[s] for s in syms[w]]
+                else:
+                    ids.append(unk)
+                    n_unk += 1
+            exp[did] = (len(t.split()), n_unk, len(ids), ids)
+        out = {
+            r["doc_id"]: r
+            for r in TX.bpe_encode_docs(df, n_merges=4).collect()
+        }
+        assert set(out) == set(exp)
+        for did, (n_w, n_unk, n_t, ids) in exp.items():
+            r = out[did]
+            assert (r["n_words"], r["n_unk"], r["n_tokens"]) == (
+                n_w, n_unk, n_t), did
+            assert list(r["token_ids"]) == ids, did
+
+    def test_token_counts_agree_with_stats(self, spark):
+        # encode and the yield report must count the in-vocab token
+        # stream identically (stats excludes OOV words; encode charges
+        # them one unk each)
+        texts = [
+            ("s1", 1, "banana bandana apple apple 7seven"),
+            ("s1", 2, "low lower lowest"),
+        ]
+        df = spark.createDataFrame(texts, ["source", "doc_id", "text"])
+        enc = TX.bpe_encode_docs(df, n_merges=3).collect()
+        stats = TX.bpe_token_stats(
+            df, n_merges=3, key_cols=("source",)
+        ).collect()[0]
+        assert sum(r["n_tokens"] - r["n_unk"] for r in enc) == (
+            stats["n_tokens"]
+        )
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            TX.bpe_encode_docs(df, text_col="nope")
+        with pytest.raises(ValueError):
+            TX.bpe_encode_docs(df, id_col="nope")
+
+
 class TestZipfFit:
     def test_matches_numpy_reference(self, spark):
         import math
