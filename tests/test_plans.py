@@ -870,6 +870,23 @@ class TestR5Batch3PlanShape:
         assert "SortMergeJoin" not in s
         assert "CartesianProduct" not in s
 
+    def test_bpe_encode_docs_broadcast_join_inlined_map(self, spark):
+        from tafra_spark.functions.text import bpe_encode_docs
+        from tafra_spark.plans.inspect import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = bpe_encode_docs(docs, n_merges=2)
+        s = explain_str(df, "simple")
+        # the encode pass joins the corpus word stream against the
+        # |V|-row dictionary by BROADCAST (the corpus never shuffles on
+        # the join key) and resolves piece->id through the inlined
+        # literal map — no second join, no nested loop; the only wide
+        # op on the corpus is the per-document rebuild aggregate
+        assert has_broadcast_join(df)
+        assert "SortMergeJoin" not in s
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
     def test_zipf_window_runs_on_vocab_not_corpus(self, spark):
         from tafra_spark.functions.analytics import zipf_fit
         from tafra_spark.plans.inspect import count_exchanges, explain_str

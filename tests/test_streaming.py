@@ -1037,3 +1037,74 @@ class TestLineQualityOnStreams:
             pipeline(stream), "line_quality_stream", output_mode="append"
         )
         assert {tuple(r) for r in out.collect()} == batch
+
+
+class TestMultimodalOnStreams:
+    """late r9: the Arrow-batched image decode stage composes with
+    Structured Streaming — decode_images is a stateless mapInPandas
+    projection, so stream == batch by construction; this pins the
+    full codec surface (baseline, 12-bit SOF1, lossless SOF3) riding
+    a stream of binary asset columns."""
+
+    @pytest.fixture(scope="class")
+    def assets_path(self, spark, tmp_path_factory):
+        import numpy as np
+
+        from tafra_spark.functions import multimodal as MM
+
+        rows = []
+        builders = [
+            MM.fake_jpeg_bytes,
+            MM.fake_jpeg12_bytes,
+            MM.fake_jpeg_lossless_bytes,
+        ]
+        for i in range(6):
+            rows.append(
+                (
+                    i,
+                    "image",
+                    bytearray(builders[i % 3](i)),
+                    (16, 16, None, "image/jpeg"),
+                )
+            )
+        df = spark.createDataFrame(rows, schema=MM.MULTIMODAL_SCHEMA)
+        path = str(tmp_path_factory.mktemp("mm_stream") / "assets")
+        df.repartition(2).write.parquet(path)
+        return path
+
+    def test_decode_stream_matches_batch(self, spark, assets_path, monkeypatch):
+        from tafra_spark.functions import multimodal as M2
+        from tafra_spark.streaming.ops import run_to_memory_sink
+
+        monkeypatch.setattr(M2, "_HAS_PIL", False)
+        batch_df = spark.read.parquet(assets_path)
+        batch = {
+            tuple(r) for r in M2.decode_images(batch_df).collect()
+        }
+        # every asset decodes through the vendored codec with the
+        # formula-exact mean (gradient for lossless, four tiles else)
+        assert len(batch) == 6
+        means = {r[0]: r[3] for r in batch}
+        for i in (2, 5):  # lossless gradient assets
+            want = sum(
+                (i * 31 + y * 17 + x * 5) % 256
+                for y in range(16)
+                for x in range(16)
+            ) / 256
+            assert means[i] == want
+        for i in (0, 3):  # baseline four-tile assets
+            want = sum((i * 31 + k * 57) % 256 for k in range(4)) / 4
+            assert means[i] == want
+        for i in (1, 4):  # 12-bit four-tile assets
+            want = sum((i * 31 + k * 57) % 4096 for k in range(4)) / 4
+            assert means[i] == want
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(assets_path)
+        )
+        out = run_to_memory_sink(
+            M2.decode_images(stream), "mm_decode_stream",
+            output_mode="append",
+        )
+        assert {tuple(r) for r in out.collect()} == batch
