@@ -3007,6 +3007,65 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(rt, schema=schema)
 
 
+def wet_conversion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WET extract build + round trip (late r9 — the OTHER CommonCrawl
+    # artifact: *.warc.wet text shards): pack each Arrow batch into a
+    # WET archive (leading warcinfo record, then one text/plain
+    # conversion record per doc with WARC-Refers-To naming the
+    # deterministic id of its source response record), parse it back,
+    # and emit the conversion records' linkage + digests. The oracle
+    # recomputes the refers-to uuid from md5('response|date|url'), the
+    # byte length, and the payload md5 from the text column — any
+    # wrong byte in warcinfo framing, conversion headers, the id
+    # derivation, or the block digest hash-fails.
+    from tafra_spark.sources.warc import build_wet, parse_warc
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id LONG, refers_to STRING, content_type STRING, "
+        "content_length LONG, payload_md5 STRING, digest_ok BOOLEAN"
+    )
+
+    def rt(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = [
+                (f"http://corpus.example/doc/{int(i)}", str(t))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            blob = build_wet(recs, compress=True)
+            out = {
+                "doc_id": [], "refers_to": [], "content_type": [],
+                "content_length": [], "payload_md5": [], "digest_ok": [],
+            }
+            n_info = 0
+            for rec in parse_warc(blob):
+                if rec["warc_type"] == "warcinfo":
+                    n_info += 1
+                    continue
+                assert rec["warc_type"] == "conversion"
+                out["doc_id"].append(int(rec["url"].rsplit("/", 1)[1]))
+                out["refers_to"].append(rec["refers_to"])
+                out["content_type"].append(rec["content_type"])
+                out["content_length"].append(rec["content_length"])
+                out["payload_md5"].append(
+                    _hl.md5(rec["payload"]).hexdigest()
+                )
+                out["digest_ok"].append(rec["digest_ok"])
+            assert n_info == 1, "WET shard must lead with one warcinfo"
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(rt, schema=schema)
+
+
 def warc_http_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: the full CommonCrawl ingestion path above warc_roundtrip_docs
     # (VERDICT r7 missing #1). Forward: each doc becomes a real HTML
@@ -4456,11 +4515,12 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 4 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 3 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window — three fewer than first planned, displaced by the three
-# late-r9 queries in (1) (two codec closures + bpe_encode_docs): a
-# never-verified row is staler than any green one).
+# r10 window — four fewer than first planned, displaced by the four
+# late-r9 queries in (1) (two codec closures, bpe_encode_docs,
+# wet_conversion_docs): a never-verified row is staler than any green
+# one).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4479,6 +4539,7 @@ _R9_WINDOW = [
     "multimodal_jpeg_lossless_decode",
     "multimodal_jpeg12_decode",
     "bpe_encode_docs",
+    "wet_conversion_docs",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4519,7 +4580,6 @@ _R9_WINDOW = [
     "bpe_token_stats",
     "compression_by_source",
     "containment_dup_pairs",
-    "dedup_keep_best",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4617,6 +4677,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_candidates": sorted_neighborhood_candidates,
         "hll_distinct_users": hll_distinct_users,
         "warc_roundtrip_docs": warc_roundtrip_docs,
+        "wet_conversion_docs": wet_conversion_docs,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -10471,6 +10532,30 @@ def oracle_sql() -> dict[str, str]:
                      AS content_length,
                    md5(text) AS payload_md5
             FROM documents WHERE text IS NOT NULL
+        """,
+        # WET linkage: the conversion record's WARC-Refers-To is the
+        # deterministic uuid of the source response record —
+        # md5('response|date|url') in uuid grouping; payload facts
+        # recomputed from the text column
+        "wet_conversion_docs": r"""
+            WITH u AS (
+              SELECT doc_id, text,
+                     md5('response|2024-01-01T00:00:00Z|'
+                         || 'http://corpus.example/doc/'
+                         || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   '<urn:uuid:' || substr(h, 1, 8) || '-'
+                     || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+                     || '-' || substr(h, 17, 4) || '-'
+                     || substr(h, 21, 12) || '>' AS refers_to,
+                   'text/plain' AS content_type,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS content_length,
+                   md5(text) AS payload_md5,
+                   true AS digest_ok
+            FROM u
         """,
         # independent formulation: the template's escape + the chain's
         # entity decode cancel exactly, script/style/comment/tags strip

@@ -29,35 +29,52 @@ __all__ = ["write_warc_record", "build_warc", "parse_warc", "read_warc"]
 _CRLF = b"\r\n"
 
 
+def warc_record_id(warc_type: str, date: str, url: str) -> str:
+    """DETERMINISTIC urn:uuid body for a record: md5(type|date|url)
+    formatted as a uuid. Re-running a build produces byte-identical
+    archives, which is what makes WARC outputs verifiable by value
+    hash — and lets a derived record (a WET conversion) recompute its
+    source's id without carrying state."""
+    digest = hashlib.md5(
+        f"{warc_type}|{date}|{url}".encode()
+    ).hexdigest()
+    return (
+        f"{digest[0:8]}-{digest[8:12]}-{digest[12:16]}"
+        f"-{digest[16:20]}-{digest[20:32]}"
+    )
+
+
 def write_warc_record(
-    url: str,
+    url: str | None,
     payload: bytes,
     warc_type: str = "response",
     date: str = "2024-01-01T00:00:00Z",
     content_type: str = "application/http; msgtype=response",
     block_digest: bool = True,
+    extra_headers: tuple = (),
 ) -> bytes:
-    """One spec-shaped WARC/1.0 record. The record id is a DETERMINISTIC
-    urn:uuid derived from (url, type, date) — re-running a build
-    produces byte-identical archives, which is what makes WARC outputs
-    verifiable by value hash. ``block_digest`` adds the spec-recommended
+    """One spec-shaped WARC/1.0 record. The record id is the
+    DETERMINISTIC urn:uuid of :func:`warc_record_id`.
+    ``block_digest`` adds the spec-recommended
     ``WARC-Block-Digest: sha1:<base32>`` (ISO 28500 §5.8; what
-    CommonCrawl ships), letting readers detect payload corruption."""
+    CommonCrawl ships), letting readers detect payload corruption.
+    ``url=None`` omits WARC-Target-URI (warcinfo records carry none —
+    ISO 28500 §6.2); ``extra_headers`` appends (name, value) pairs,
+    e.g. the WARC-Refers-To of a conversion record."""
     import base64
 
-    digest = hashlib.md5(
-        f"{warc_type}|{date}|{url}".encode()
-    ).hexdigest()
-    rid = (
-        f"{digest[0:8]}-{digest[8:12]}-{digest[12:16]}"
-        f"-{digest[16:20]}-{digest[20:32]}"
-    )
+    rid = warc_record_id(warc_type, date, url or "")
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
         b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
         b"WARC-Date: " + date.encode(),
-        b"WARC-Target-URI: " + url.encode(),
+    ]
+    if url is not None:
+        headers.append(b"WARC-Target-URI: " + url.encode())
+    for name, value in extra_headers:
+        headers.append(name.encode() + b": " + value.encode())
+    headers += [
         b"Content-Type: " + content_type.encode(),
         b"Content-Length: " + str(len(payload)).encode(),
     ]
@@ -76,6 +93,54 @@ def build_warc(records: list[tuple[str, bytes]], compress: bool = False) -> byte
         rec = write_warc_record(url, payload)
         # mtime=0: gzip's member header embeds a timestamp by default,
         # which would break the byte-determinism contract above
+        out += gzip.compress(rec, mtime=0) if compress else rec
+    return bytes(out)
+
+
+def build_wet(
+    records: list[tuple[str, str]],
+    date: str = "2024-01-01T00:00:00Z",
+    compress: bool = False,
+) -> bytes:
+    """Build a WET extract — the CommonCrawl *.warc.wet layout: one
+    leading ``warcinfo`` record describing the conversion, then one
+    ``conversion`` record per (url, extracted_text) with
+    ``Content-Type: text/plain`` and a ``WARC-Refers-To`` naming the
+    deterministic id of the SOURCE response record (the one
+    :func:`build_warc` would write for the same url/date) — so a WET
+    shard and its WARC shard cross-link without shared state.
+    ``compress=True`` gzips each record as its own member (the CC
+    layout, member boundaries = record boundaries)."""
+    info = (
+        b"software: tafra-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+        b"conversion: http response body to text/plain\r\n"
+    )
+    out = bytearray()
+    recs = [
+        write_warc_record(
+            None,
+            info,
+            warc_type="warcinfo",
+            date=date,
+            content_type="application/warc-fields",
+        )
+    ]
+    for url, text in records:
+        src = warc_record_id("response", date, url)
+        recs.append(
+            write_warc_record(
+                url,
+                text.encode("utf-8"),
+                warc_type="conversion",
+                date=date,
+                content_type="text/plain",
+                extra_headers=(
+                    ("WARC-Refers-To", f"<urn:uuid:{src}>"),
+                ),
+            )
+        )
+    for rec in recs:
         out += gzip.compress(rec, mtime=0) if compress else rec
     return bytes(out)
 
@@ -141,6 +206,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "content_length": clen,
             "payload": payload,
             "digest_ok": digest_ok,
+            # cross-record links (a WET conversion names its source
+            # response); '' when absent — read_warc's fixed schema
+            # does not carry it, per-query projections do
+            "refers_to": fields.get("warc-refers-to", ""),
         }
         pos = body_start + clen
 

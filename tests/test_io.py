@@ -397,6 +397,61 @@ class TestWarcSource:
         legacy = write_warc_record("http://x", b"p", block_digest=False)
         assert list(parse_warc(legacy))[0]["digest_ok"] is None
 
+    def test_wet_build_round_trip(self):
+        # late r9: the WET extract layout — a leading warcinfo record,
+        # then text/plain conversion records whose WARC-Refers-To is
+        # the deterministic id of the SOURCE response record (the one
+        # build_warc would write for the same url/date)
+        from tafra_spark.sources.warc import (
+            build_warc,
+            build_wet,
+            parse_warc,
+            warc_record_id,
+        )
+
+        texts = [
+            ("http://example.com/a", "hello world"),
+            ("http://example.com/b", "café über"),
+            ("http://example.com/empty", ""),
+        ]
+        for compress in (False, True):
+            got = list(parse_warc(build_wet(texts, compress=compress)))
+            assert got[0]["warc_type"] == "warcinfo", compress
+            assert got[0]["url"] == ""  # warcinfo carries no Target-URI
+            assert b"WARC File Format" in got[0]["payload"]
+            conv = got[1:]
+            assert [r["warc_type"] for r in conv] == ["conversion"] * 3
+            assert [
+                (r["url"], r["payload"].decode("utf-8")) for r in conv
+            ] == texts
+            assert all(r["content_type"] == "text/plain" for r in conv)
+            assert all(r["digest_ok"] is True for r in conv)
+            # cross-linkage: refers_to == the response record's id in
+            # the sibling WARC shard of the same urls
+            for r in conv:
+                want = warc_record_id(
+                    "response", "2024-01-01T00:00:00Z", r["url"]
+                )
+                assert r["refers_to"] == f"<urn:uuid:{want}>"
+            warc_ids = {
+                rec["url"]: rec
+                for rec in parse_warc(
+                    build_warc([(u, t.encode()) for u, t in texts])
+                )
+            }
+            for r in conv:
+                src = warc_ids[r["url"]]
+                # the linked response record really exists and carries
+                # the same bytes the conversion text came from
+                assert src["payload"].decode("utf-8") == r[
+                    "payload"
+                ].decode("utf-8")
+        # determinism: byte-identical rebuilds
+        assert build_wet(texts) == build_wet(texts)
+        assert build_wet(texts, compress=True) == build_wet(
+            texts, compress=True
+        )
+
     def test_read_warc_distributed(self, spark, tmp_path):
         from tafra_spark.sources.warc import build_warc, read_warc
 
