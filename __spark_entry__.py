@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3007,6 +3007,35 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(rt, schema=schema)
 
 
+def crawl_schedule_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # politeness scheduling (late r9 — the planning step between
+    # frontier dedup and the fetcher): per-host FIFO fetch slots
+    # spaced by a host-constant crawl delay. The frontier reuses the
+    # hazard-laden URL construction of domain_doc_stats (unique per
+    # doc via the /d/{id} path), the host comes from the shared
+    # Java∩RE2 chain, and the delay derives from the host string —
+    # so the oracle recomputes slot ranks and fetch offsets exactly;
+    # a slip in host extraction, rank ordering, or the slot×delay
+    # arithmetic hash-fails.
+    from tafra_spark.sources.http import url_host
+    from tafra_spark.sources.robots import crawl_schedule
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .filter(F.col("source").isNotNull())
+    )
+    frontier = docs.select("doc_id", _crawl_url_col().alias("url"))
+    with_delay = frontier.withColumn(
+        "delay_s",
+        (F.pmod(F.length(url_host(F.col("url"))), 3) + 1).cast("double"),
+    )
+    out = crawl_schedule(with_delay, url_col="url", delay_col="delay_s")
+    return out.select(
+        "doc_id", "url", "host", "fetch_slot", "fetch_at_s"
+    )
+
+
 def wet_conversion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WET extract build + round trip (late r9 — the OTHER CommonCrawl
     # artifact: *.warc.wet text shards): pack each Arrow batch into a
@@ -3188,6 +3217,35 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_url_col() -> Column:
+    """The crawl layer's shared synthetic frontier URL (one per doc,
+    unique via the /d/{id} path) with deliberate hazards — uppercase
+    schemes/hosts, userinfo, ports, co.uk second-level suffixes, query
+    strings. The SQL twin lives in ``_crawl_url_sql``; the two must
+    construct byte-identical strings."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(F.pmod(d, 4) == 0, "http://")
+        .when(F.pmod(d, 4) == 1, "HTTPS://")
+        .when(F.pmod(d, 4) == 2, "http://Crawler:Pw@")
+        .otherwise("https://"),
+        F.lit("W"),
+        F.pmod(d, 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.when(F.pmod(d, 3) == 0, ".example.com")
+        .when(F.pmod(d, 3) == 1, ".blogs.co.uk")
+        .otherwise(".example.org"),
+        F.when(F.pmod(d, 5) == 0, ":8080").otherwise(""),
+        F.lit("/d/"),
+        d.cast("string"),
+        F.when(
+            F.pmod(d, 2) == 0,
+            F.concat(F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("xx"))),
+        ).otherwise(""),
+    )
+
+
 def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: crawl bookkeeping over the URL layer — per-registered-domain
     # rollups (the unit CC curation budgets by). URLs are CONSTRUCTED
@@ -3209,27 +3267,7 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars")
         .filter(F.col("source").isNotNull())
     )
-    d = F.col("doc_id")
-    url = F.concat(
-        F.when(F.pmod(d, 4) == 0, "http://")
-        .when(F.pmod(d, 4) == 1, "HTTPS://")
-        .when(F.pmod(d, 4) == 2, "http://Crawler:Pw@")
-        .otherwise("https://"),
-        F.lit("W"),
-        F.pmod(d, 7).cast("string"),
-        F.lit("."),
-        F.col("source"),
-        F.when(F.pmod(d, 3) == 0, ".example.com")
-        .when(F.pmod(d, 3) == 1, ".blogs.co.uk")
-        .otherwise(".example.org"),
-        F.when(F.pmod(d, 5) == 0, ":8080").otherwise(""),
-        F.lit("/d/"),
-        d.cast("string"),
-        F.when(
-            F.pmod(d, 2) == 0,
-            F.concat(F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("xx"))),
-        ).otherwise(""),
-    )
+    url = _crawl_url_col()
     ext = docs.select(
         url_registered_domain(url).alias("domain"),
         url_host(url).alias("host"),
@@ -4515,12 +4553,12 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 3 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 2 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window — four fewer than first planned, displaced by the four
+# r10 window — five fewer than first planned, displaced by the five
 # late-r9 queries in (1) (two codec closures, bpe_encode_docs,
-# wet_conversion_docs): a never-verified row is staler than any green
-# one).
+# wet_conversion_docs, crawl_schedule_frontier): a never-verified row
+# is staler than any green one).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4540,6 +4578,7 @@ _R9_WINDOW = [
     "multimodal_jpeg12_decode",
     "bpe_encode_docs",
     "wet_conversion_docs",
+    "crawl_schedule_frontier",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4579,7 +4618,6 @@ _R9_WINDOW = [
     # (4) round-5 cohort, alphabetical prefix
     "bpe_token_stats",
     "compression_by_source",
-    "containment_dup_pairs",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4678,6 +4716,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": hll_distinct_users,
         "warc_roundtrip_docs": warc_roundtrip_docs,
         "wet_conversion_docs": wet_conversion_docs,
+        "crawl_schedule_frontier": crawl_schedule_frontier,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -6197,15 +6236,9 @@ def _html_extract_sql() -> str:
 _HTML_EXTRACT_SQL = _html_extract_sql()
 
 
-def _domain_doc_stats_sql() -> str:
-    from tafra_spark.sources.http import (
-        url_host_sql,
-        url_path_sql,
-        url_registered_domain_sql,
-        url_scheme_sql,
-    )
-
-    url = (
+def _crawl_url_sql() -> str:
+    """SQL twin of ``_crawl_url_col`` — byte-identical construction."""
+    return (
         "(CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTPS://'"
         " WHEN 2 THEN 'http://Crawler:Pw@' ELSE 'https://' END)"
         " || 'W' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||"
@@ -6216,6 +6249,42 @@ def _domain_doc_stats_sql() -> str:
         " || (CASE doc_id % 2 WHEN 0 THEN '?lang=' || coalesce(lang, 'xx')"
         " ELSE '' END)"
     )
+
+
+def _crawl_schedule_sql() -> str:
+    from tafra_spark.sources.http import url_host_sql
+
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_crawl_url_sql()} AS url
+          FROM documents WHERE source IS NOT NULL
+        ),
+        h AS (
+          SELECT doc_id, url, {url_host_sql("url")} AS host FROM u
+        ),
+        s AS (
+          SELECT doc_id, url, host,
+                 CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY url) - 1 AS BIGINT)
+                   AS fetch_slot,
+                 CAST(length(host) % 3 + 1 AS DOUBLE) AS delay
+          FROM h
+        )
+        SELECT doc_id, url, host, fetch_slot,
+               CAST(fetch_slot * delay AS DOUBLE) AS fetch_at_s
+        FROM s
+    """
+
+
+def _domain_doc_stats_sql() -> str:
+    from tafra_spark.sources.http import (
+        url_host_sql,
+        url_path_sql,
+        url_registered_domain_sql,
+        url_scheme_sql,
+    )
+
+    url = _crawl_url_sql()
     return f"""
         WITH u AS (
           SELECT doc_id, n_chars, {url} AS url
@@ -11121,6 +11190,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_learn_merges"] = _bpe_batched_learn_sql(64, 8)
     d["bpe_token_stats"] = _bpe_stats_sql(8)
     d["bpe_encode_docs"] = _bpe_encode_sql(8)
+    d["crawl_schedule_frontier"] = _crawl_schedule_sql()
     d["zipf_source_fit"] = r"""
         WITH freq AS (
           SELECT source, word, count(*) AS freq

@@ -24,6 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "crawl_schedule",
     "parse_robots",
     "robots_crawl_delay",
     "robots_allowed",
@@ -225,3 +226,51 @@ def sitemap_locs(col: Column | str) -> Column:
 
 def sitemap_locs_sql(expr: str) -> str:
     return f"regexp_extract_all({expr}, '{_SITEMAP_LOC}', 1)"
+
+
+# --- politeness scheduling --------------------------------------------
+
+
+def crawl_schedule(
+    df,
+    url_col: str = "url",
+    delay_col: str | None = None,
+    default_delay: float = 1.0,
+):
+    """Politeness schedule for a fetch frontier: per-host FIFO slots
+    spaced by the host's Crawl-delay — the planning step between
+    frontier dedup (``url_normalize`` + distinct) and the fetcher.
+    Appends ``host``, ``fetch_slot`` (0-based rank within the host in
+    deterministic ``url_col`` order — pass a DEDUPED frontier; ties in
+    the url would make ranks nondeterministic), and ``fetch_at_s``
+    (= slot × delay, the earliest polite fetch offset in seconds from
+    the host's crawl start). ``delay_col`` names a per-row delay
+    column (e.g. :func:`robots_crawl_delay` joined per host; NULL
+    falls back to ``default_delay``).
+
+    Scale: ONE hash exchange on the host key, then a per-host window —
+    politeness itself bounds per-partition work (a host's frontier is
+    crawlable only if it is small relative to the corpus); no global
+    sort, no driver state. Hot hosts are real but bounded: a window
+    over 10^6 rows of one host is still one task of simple ranking.
+    """
+    from pyspark.sql import Window
+
+    from tafra_spark.sources.http import url_host
+
+    delay = (
+        F.coalesce(F.col(delay_col), F.lit(float(default_delay)))
+        if delay_col
+        else F.lit(float(default_delay))
+    )
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        df.withColumn("host", url_host(F.col(url_col)))
+        .withColumn(
+            "fetch_slot", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "fetch_at_s",
+            (F.col("fetch_slot").cast("double") * delay).cast("double"),
+        )
+    )

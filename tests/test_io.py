@@ -1039,6 +1039,32 @@ class TestHttpSource:
         assert parse_robots(split, "a") == []
         assert parse_robots(split, "b") == [("/only-b/", False)]
 
+    def test_crawl_schedule_slots_and_delays(self, spark):
+        # late r9: politeness scheduling — per-host FIFO slots in url
+        # order, spaced by the per-row delay (NULL -> default)
+        from tafra_spark.sources.robots import crawl_schedule
+
+        rows = [
+            ("http://a.example/p2", 2.0),
+            ("http://a.example/p1", 2.0),
+            ("http://a.example/p3", 2.0),
+            ("http://b.example/x", None),
+            ("http://b.example/y", None),
+        ]
+        df = spark.createDataFrame(rows, "url string, delay_s double")
+        out = {
+            r["url"]: (r["host"], r["fetch_slot"], r["fetch_at_s"])
+            for r in crawl_schedule(
+                df, delay_col="delay_s", default_delay=0.5
+            ).collect()
+        }
+        assert out["http://a.example/p1"] == ("a.example", 0, 0.0)
+        assert out["http://a.example/p2"] == ("a.example", 1, 2.0)
+        assert out["http://a.example/p3"] == ("a.example", 2, 4.0)
+        # NULL delay falls back to default_delay
+        assert out["http://b.example/x"] == ("b.example", 0, 0.0)
+        assert out["http://b.example/y"] == ("b.example", 1, 0.5)
+
     def test_robots_parse_and_three_mirrors(self, spark):
         # RFC 9309: group selection by longest UA token, longest-rule
         # precedence, allow-wins ties, * and $ wildcards, empty
