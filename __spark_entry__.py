@@ -3036,6 +3036,62 @@ def crawl_schedule_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDX URL index build (late r9 — the THIRD CommonCrawl artifact,
+    # completing WARC + WET + CDX): per-record (urlkey, timestamp,
+    # url, payload_md5, record_length). The urlkey is the SURT form
+    # (reversed host labels, sorted query params — the sort-friendly
+    # key CDX servers index by), computed by the shared
+    # Java∩RE2∩DuckDB chain; record_length measures the REAL framed
+    # WARC record bytes, which the oracle recomputes closed-form
+    # (fixed header template + len(url) + len(str(blen)) + blen) — a
+    # drifted header byte on either side hash-fails.
+    from tafra_spark.sources.http import url_surt
+    from tafra_spark.sources.warc import write_warc_record
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+    )
+    base = docs.select(
+        "doc_id", _crawl_url_col().alias("url"), "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id LONG, url STRING, record_length LONG, payload_md5 STRING"
+    )
+
+    def frame(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "url": [],
+                "record_length": [], "payload_md5": [],
+            }
+            for i, u, t in zip(
+                pdf["doc_id"], pdf["url"], pdf["text"]
+            ):
+                payload = str(t).encode("utf-8")
+                rec = write_warc_record(str(u), payload)
+                out["doc_id"].append(int(i))
+                out["url"].append(str(u))
+                out["record_length"].append(len(rec))
+                out["payload_md5"].append(_hl.md5(payload).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return base.mapInPandas(frame, schema=schema).select(
+        "doc_id",
+        url_surt(F.col("url")).alias("urlkey"),
+        F.lit("20240101000000").alias("ts"),
+        "url",
+        "payload_md5",
+        "record_length",
+    )
+
+
 def wet_conversion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WET extract build + round trip (late r9 — the OTHER CommonCrawl
     # artifact: *.warc.wet text shards): pack each Arrow batch into a
@@ -4553,12 +4609,12 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 2 of the
+# the r8 verdict's ask: nothing older than r5 remains), (4) 1 of the
 # 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window — five fewer than first planned, displaced by the five
+# r10 window — six fewer than first planned, displaced by the six
 # late-r9 queries in (1) (two codec closures, bpe_encode_docs,
-# wet_conversion_docs, crawl_schedule_frontier): a never-verified row
-# is staler than any green one).
+# wet_conversion_docs, crawl_schedule_frontier, cdx_index_docs): a
+# never-verified row is staler than any green one).
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4579,6 +4635,7 @@ _R9_WINDOW = [
     "bpe_encode_docs",
     "wet_conversion_docs",
     "crawl_schedule_frontier",
+    "cdx_index_docs",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4617,7 +4674,6 @@ _R9_WINDOW = [
     "winnow_overlap",
     # (4) round-5 cohort, alphabetical prefix
     "bpe_token_stats",
-    "compression_by_source",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4717,6 +4773,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip_docs": warc_roundtrip_docs,
         "wet_conversion_docs": wet_conversion_docs,
         "crawl_schedule_frontier": crawl_schedule_frontier,
+        "cdx_index_docs": cdx_index_docs,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -6249,6 +6306,34 @@ def _crawl_url_sql() -> str:
         " || (CASE doc_id % 2 WHEN 0 THEN '?lang=' || coalesce(lang, 'xx')"
         " ELSE '' END)"
     )
+
+
+def _cdx_index_sql() -> str:
+    from tafra_spark.sources.http import url_surt_sql
+    from tafra_spark.sources.warc import write_warc_record
+
+    # fixed framing overhead of one response record: everything except
+    # the url, the payload, and the Content-Length digits (verified
+    # against the real writer in tests/test_io.py)
+    k = len(write_warc_record("", b"")) - 1
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_crawl_url_sql()} AS url,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+                 md5(text) AS payload_md5
+          FROM documents
+          WHERE source IS NOT NULL AND text IS NOT NULL
+        )
+        SELECT doc_id,
+               {url_surt_sql("url")} AS urlkey,
+               '20240101000000' AS ts,
+               url,
+               payload_md5,
+               CAST({k} + length(url)
+                    + length(CAST(blen AS VARCHAR)) + blen AS BIGINT)
+                 AS record_length
+        FROM u
+    """
 
 
 def _crawl_schedule_sql() -> str:
@@ -11191,6 +11276,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_token_stats"] = _bpe_stats_sql(8)
     d["bpe_encode_docs"] = _bpe_encode_sql(8)
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()
+    d["cdx_index_docs"] = _cdx_index_sql()
     d["zipf_source_fit"] = r"""
         WITH freq AS (
           SELECT source, word, count(*) AS freq

@@ -51,6 +51,8 @@ __all__ = [
     "url_scheme",
     "url_path",
     "url_registered_domain",
+    "url_surt",
+    "url_surt_sql",
     "resolve_redirects",
     "REDIRECT_STATUSES",
     "html_meta_refresh",
@@ -685,6 +687,49 @@ def url_registered_domain_sql(expr: str) -> str:
         f"WHEN regexp_extract({host}, '{_URL_REG1}', 1) <> '' "
         f"THEN regexp_extract({host}, '{_URL_REG1}', 1) "
         f"ELSE {host} END"
+    )
+
+
+#: query string of an absolute URL: everything between '?' and '#'
+_URL_QUERY = r"\?([^#]*)"
+
+
+def url_surt(col: Column | str) -> Column:
+    """SURT-form urlkey — the sort-friendly canonical key CDX server
+    indexes use (``com,example)/path?a=1&b=2``): host lower-cased with
+    userinfo/port and a leading ``www.`` dropped, labels REVERSED and
+    comma-joined (so one domain's URLs sort contiguously), then ``)``,
+    the lower-cased path, and the query with its parameters SORTED
+    (param order is transport noise; sorting makes equal fetches equal
+    keys). A deliberately simplified flavor of OpenWayback's
+    canonicalization (no session-id stripping, non-default ports
+    dropped rather than kept), shared-chain mirrored in
+    :func:`url_surt_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_replace(url_host(c), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(url_path(c))
+    q = F.regexp_extract(c, _URL_QUERY, 1)
+    sorted_q = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), sorted_q)).otherwise(""),
+    )
+
+
+def url_surt_sql(expr: str) -> str:
+    host = f"regexp_replace({url_host_sql(expr)}, '^www\\.', '')"
+    rev = (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    )
+    path = f"lower({url_path_sql(expr)})"
+    q = f"regexp_extract({expr}, '{_URL_QUERY}', 1)"
+    sq = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    return (
+        f"{rev} || ')' || {path} || "
+        f"(CASE WHEN {q} <> '' THEN '?' || {sq} ELSE '' END)"
     )
 
 

@@ -1039,6 +1039,60 @@ class TestHttpSource:
         assert parse_robots(split, "a") == []
         assert parse_robots(split, "b") == [("/only-b/", False)]
 
+    def test_url_surt_three_mirror_parity(self, spark):
+        # late r9: the CDX urlkey chain — reversed host labels, sorted
+        # query params — must agree byte-for-byte across Spark and
+        # DuckDB (the oracle runs the generated mirror)
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from tafra_spark.sources.http import url_surt, url_surt_sql
+
+        urls = [
+            "http://www.Example.co.uk:8080/A/B?b=2&a=1",
+            "HTTPS://User:pw@blogs.example.org/Path/",
+            "http://example.com/x?z=9&y=8&x=7#frag",
+            "http://single/",
+            "not a url",
+            "http://example.com/plain",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], ["u"])
+        got_spark = [
+            r[0] for r in df.select(url_surt("u")).collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {url_surt_sql('$1')}", [u]
+            ).fetchone()[0]
+            for u in urls
+        ]
+        assert got_spark == got_duck
+        assert got_spark[0] == "uk,co,example)/a/b?a=1&b=2"
+        assert got_spark[1] == "org,example,blogs)/path/"
+        assert got_spark[2] == "com,example)/x?x=7&y=8&z=9"
+
+    def test_warc_record_length_closed_form(self):
+        # the CDX oracle recomputes framed record bytes as
+        # K + len(url) + len(str(blen)) + blen — pin K against the
+        # real writer so a header template change fails HERE, not as
+        # a hash mismatch in the driver gate
+        from tafra_spark.sources.warc import write_warc_record
+
+        k = len(write_warc_record("", b"")) - 1
+        for url, payload in [
+            ("http://example.com/a", b"hello"),
+            ("http://x/", "café".encode()),
+            ("http://y/long", b"z" * 1234),
+            ("http://e/", b""),
+        ]:
+            got = len(write_warc_record(url, payload))
+            want = (
+                k + len(url) + len(str(len(payload))) + len(payload)
+            )
+            assert got == want, (url, got, want)
+
     def test_crawl_schedule_slots_and_delays(self, spark):
         # late r9: politeness scheduling — per-host FIFO slots in url
         # order, spaced by the per-row delay (NULL -> default)
