@@ -6238,10 +6238,14 @@ docagg AS (
          flatten(list(ids ORDER BY pos)) AS idsflat
   FROM word_ids GROUP BY doc_id
 )
-SELECT doc_id, n_words, n_unk,
-       CAST(len(idsflat) AS BIGINT) AS n_tokens,
-       array_to_string(idsflat, ',') AS token_ids
-FROM docagg
+-- every input document gets a row: wordless (null/empty) text comes
+-- back as zeros, mirroring the Spark side's left join
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_unk, 0) AS n_unk,
+       CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(a.idsflat, ','), '') AS token_ids
+FROM documents d LEFT JOIN docagg a USING (doc_id)
 """.replace("{n}", str(n_merges)).replace("{unions}", unions)
 
 
@@ -6329,7 +6333,7 @@ def _cdx_index_sql() -> str:
                '20240101000000' AS ts,
                url,
                payload_md5,
-               CAST({k} + length(url)
+               CAST({k} + octet_length(encode(url))
                     + length(CAST(blen AS VARCHAR)) + blen AS BIGINT)
                  AS record_length
         FROM u

@@ -1054,7 +1054,11 @@ def bpe_encode_docs(
     tokenizer training (:func:`bpe_learn`) and sequence packing
     (:mod:`.pipeline`'s ``pack_sequences``). Returns one row per
     document: (id, n_words, n_unk, n_tokens, token_ids) where
-    ``token_ids`` is the document's full token-id sequence.
+    ``token_ids`` is the document's full token-id sequence. EVERY
+    input document gets a row — null/empty/whitespace-only text
+    yields (0, 0, 0, []) rather than silently vanishing, so per-doc
+    accounting (packing budgets, joins back on the id) never skips
+    rows (late-r9 review finding).
 
     Id space is the GPT-2-style "base alphabet, then merges in rank
     order": ``'a'..'z'`` take ids 0..25 and the step-k merge takes
@@ -1115,20 +1119,32 @@ def bpe_encode_docs(
         .alias("__ids__"),
         F.col("syms").isNull().alias("__unk__"),
     )
+    agg = per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("__unk__").cast("long")).alias("n_unk"),
+        F.flatten(
+            F.expr(
+                "array_sort(collect_list(struct(__pos__, __ids__)))"
+                ".__ids__"
+            )
+        ).alias("token_ids"),
+    )
+    # one row per INPUT document: wordless docs (null/empty text)
+    # come back as zeros, not as dropped rows
     return (
-        per_word.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.col("__unk__").cast("long")).alias("n_unk"),
-            F.flatten(
-                F.expr(
-                    "array_sort(collect_list(struct(__pos__, __ids__)))"
-                    ".__ids__"
-                )
-            ).alias("token_ids"),
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .withColumn(
+            "token_ids",
+            F.coalesce("token_ids", F.array().cast("array<int>")),
         )
-        .withColumn("n_tokens", F.size("token_ids").cast("long"))
-        .select(id_col, "n_words", "n_unk", "n_tokens", "token_ids")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
+        )
     )
 
 

@@ -690,8 +690,12 @@ def url_registered_domain_sql(expr: str) -> str:
     )
 
 
-#: query string of an absolute URL: everything between '?' and '#'
-_URL_QUERY = r"\?([^#]*)"
+#: query string of an absolute URL: everything between the FIRST '?'
+#: that precedes any '#' and the '#'. The prefix anchor matters: an
+#: unanchored \? would treat a '?' INSIDE the fragment as a query
+#: ('/page#sec?x=1' has no query) and collide distinct CDX urlkeys
+#: (late-r9 review finding; url_normalize uses the same anchoring).
+_URL_QUERY = r"^[^#?]*\?([^#]*)"
 
 
 def url_surt(col: Column | str) -> Column:

@@ -258,6 +258,15 @@ def crawl_schedule(
 
     from tafra_spark.sources.http import url_host
 
+    taken = {"host", "fetch_slot", "fetch_at_s"} & set(df.columns)
+    if taken:
+        # appending must never silently re-key a frontier whose host
+        # column (possibly normalized differently) the delays were
+        # joined on — refuse instead of overwrite (late-r9 review)
+        raise ValueError(
+            f"crawl_schedule: input already has {sorted(taken)}; "
+            "rename or drop before scheduling"
+        )
     delay = (
         F.coalesce(F.col(delay_col), F.lit(float(default_delay)))
         if delay_col

@@ -24,7 +24,14 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["write_warc_record", "build_warc", "parse_warc", "read_warc"]
+__all__ = [
+    "build_warc",
+    "build_wet",
+    "parse_warc",
+    "read_warc",
+    "warc_record_id",
+    "write_warc_record",
+]
 
 _CRLF = b"\r\n"
 

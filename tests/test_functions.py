@@ -5286,11 +5286,15 @@ class TestBpeEncodeDocs:
             (1, "banana bandana apple apple"),
             (2, "low lower 99 lowest Banana"),
             (3, "?? !! 123"),  # all-unk document
+            (4, None),  # wordless docs keep their row (review fix)
+            (5, "   "),
         ]
-        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        df = spark.createDataFrame(
+            texts, "doc_id long, text string"
+        )
         words = {}
         for _, t in texts:
-            for w in t.lower().split():
+            for w in (t or "").lower().split():
                 if w.isalpha() and w.isascii():
                     words[w] = words.get(w, 0) + 1
         merges, syms = _py_bpe(words, 4)
@@ -5301,13 +5305,13 @@ class TestBpeEncodeDocs:
         exp = {}
         for did, t in texts:
             ids, n_unk = [], 0
-            for w in t.lower().split():
+            for w in (t or "").lower().split():
                 if w.isalpha() and w.isascii():
                     ids += [piece_ids[s] for s in syms[w]]
                 else:
                     ids.append(unk)
                     n_unk += 1
-            exp[did] = (len(t.split()), n_unk, len(ids), ids)
+            exp[did] = (len((t or "").split()), n_unk, len(ids), ids)
         out = {
             r["doc_id"]: r
             for r in TX.bpe_encode_docs(df, n_merges=4).collect()

@@ -1056,6 +1056,9 @@ class TestHttpSource:
             "http://single/",
             "not a url",
             "http://example.com/plain",
+            # '?' INSIDE the fragment is NOT a query (review finding:
+            # an unanchored pattern collided this with /page?x=1)
+            "http://example.com/page#section?x=1",
         ]
         df = spark.createDataFrame([(u,) for u in urls], ["u"])
         got_spark = [
@@ -1072,6 +1075,7 @@ class TestHttpSource:
         assert got_spark[0] == "uk,co,example)/a/b?a=1&b=2"
         assert got_spark[1] == "org,example,blogs)/path/"
         assert got_spark[2] == "com,example)/x?x=7&y=8&z=9"
+        assert got_spark[6] == "com,example)/page"
 
     def test_warc_record_length_closed_form(self):
         # the CDX oracle recomputes framed record bytes as
