@@ -3151,6 +3151,87 @@ def wet_conversion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(rt, schema=schema)
 
 
+def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC revisit records (late r9 — the storage-dedup record type:
+    # a re-fetch whose payload digest matches the archived capture
+    # stores a byte-free stub instead of the body). Each doc is
+    # captured twice — a day-1 response and a day-2 revisit — into one
+    # archive; the parse side then verifies the three-header linkage:
+    # WARC-Profile is the identical-payload-digest URI, the revisit's
+    # sha1 WARC-Payload-Digest matches the ORIGINAL record's payload
+    # (checked Spark-side; sha1 is not SQL-expressible, so the oracle
+    # grades the boolean), and WARC-Refers-To names the original's
+    # deterministic id, which the oracle DOES recompute independently
+    # from md5(type|date|url). record length is closed-form like CDX.
+    import base64 as _b64
+    import hashlib as _hl
+
+    from tafra_spark.sources.warc import (
+        REVISIT_IDENTICAL_PROFILE,
+        parse_warc,
+        write_revisit_record,
+        write_warc_record,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id LONG, refers_to STRING, revisit_length LONG, "
+        "digest_match BOOLEAN, profile_ok BOOLEAN"
+    )
+
+    def rt(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            blob = bytearray()
+            payloads = {}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                url = f"http://corpus.example/doc/{int(i)}"
+                payload = str(t).encode("utf-8")
+                payloads[url] = payload
+                digest = _b64.b32encode(
+                    _hl.sha1(payload).digest()
+                ).decode()
+                blob += write_warc_record(url, payload)
+                blob += write_revisit_record(
+                    url, url, digest, date="2024-01-02T00:00:00Z"
+                )
+            out = {
+                "doc_id": [], "refers_to": [], "revisit_length": [],
+                "digest_match": [], "profile_ok": [],
+            }
+            for rec in parse_warc(bytes(blob)):
+                if rec["warc_type"] != "revisit":
+                    continue
+                url = rec["url"]
+                want = _b64.b32encode(
+                    _hl.sha1(payloads[url]).digest()
+                ).decode()
+                out["doc_id"].append(int(url.rsplit("/", 1)[1]))
+                out["refers_to"].append(rec["refers_to"])
+                out["revisit_length"].append(
+                    len(
+                        write_revisit_record(
+                            url, url, want, date="2024-01-02T00:00:00Z"
+                        )
+                    )
+                )
+                out["digest_match"].append(
+                    rec["payload_digest"] == f"sha1:{want}"
+                )
+                out["profile_ok"].append(
+                    rec["profile"] == REVISIT_IDENTICAL_PROFILE
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(rt, schema=schema)
+
+
 def warc_http_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: the full CommonCrawl ingestion path above warc_roundtrip_docs
     # (VERDICT r7 missing #1). Forward: each doc becomes a real HTML
@@ -4609,12 +4690,12 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # html_links quote-alternation rework; parse_http BOM/obs-fold;
 # k_core Arrow probe; the JPEG decode rework) — green history doesn't
 # cover new code, (3) ALL 23 rows last verified in round 4 (closing
-# the r8 verdict's ask: nothing older than r5 remains), (4) 1 of the
-# 48 round-5-cohort rows (alphabetical prefix; the rest roll into the
-# r10 window — six fewer than first planned, displaced by the six
-# late-r9 queries in (1) (two codec closures, bpe_encode_docs,
-# wet_conversion_docs, crawl_schedule_frontier, cdx_index_docs): a
-# never-verified row is staler than any green one).
+# the r8 verdict's ask: nothing older than r5 remains). The
+# round-5-cohort slots originally planned as (4) were all displaced
+# by the seven late-r9 queries in (1) (two codec closures,
+# bpe_encode_docs, wet_conversion_docs, crawl_schedule_frontier,
+# cdx_index_docs, warc_revisit_dedup): a never-verified row is staler
+# than any green one; the whole r5 cohort rolls into the r10 window.
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 _R9_WINDOW = [
@@ -4636,6 +4717,7 @@ _R9_WINDOW = [
     "wet_conversion_docs",
     "crawl_schedule_frontier",
     "cdx_index_docs",
+    "warc_revisit_dedup",
     # (2) r9 code changes (incl. the JPEG decode rework: BLAS-batched
     # IDCT + one-shot coefficient scatter — green history doesn't
     # cover new code)
@@ -4672,8 +4754,6 @@ _R9_WINDOW = [
     "value_drift_halves",
     "weighted_sample_docs",
     "winnow_overlap",
-    # (4) round-5 cohort, alphabetical prefix
-    "bpe_token_stats",
 ]
 
 # r8 window kept for provenance (CORRECTNESS_r08 keys):
@@ -4774,6 +4854,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_conversion_docs": wet_conversion_docs,
         "crawl_schedule_frontier": crawl_schedule_frontier,
         "cdx_index_docs": cdx_index_docs,
+        "warc_revisit_dedup": warc_revisit_dedup,
         # (2) r7 semantic/plan changes - re-verify (BPE fills the 64-merge
         # budget; knn auto-scales planes with an adaptive oracle)
         "bpe_learn_merges": bpe_learn_merges,
@@ -6336,6 +6417,38 @@ def _cdx_index_sql() -> str:
                CAST({k} + octet_length(encode(url))
                     + length(CAST(blen AS VARCHAR)) + blen AS BIGINT)
                  AS record_length
+        FROM u
+    """
+
+
+def _warc_revisit_sql() -> str:
+    from tafra_spark.sources.warc import write_revisit_record
+
+    # fixed framing overhead of one revisit stub: everything except
+    # the Target-URI (the original url reaches the record only as its
+    # fixed-width uuid, the digest is a fixed-width b32 sha1, the
+    # payload is empty by definition)
+    k = len(
+        write_revisit_record("", "", "A" * 32, date="2024-01-02T00:00:00Z")
+    )
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 md5('response|2024-01-01T00:00:00Z|'
+                     || 'http://corpus.example/doc/'
+                     || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               '<urn:uuid:' || substr(h, 1, 8) || '-'
+                 || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+                 || '-' || substr(h, 17, 4) || '-'
+                 || substr(h, 21, 12) || '>' AS refers_to,
+               CAST({k} + length(url) AS BIGINT) AS revisit_length,
+               true AS digest_match,
+               true AS profile_ok
         FROM u
     """
 
@@ -11281,6 +11394,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_encode_docs"] = _bpe_encode_sql(8)
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()
     d["cdx_index_docs"] = _cdx_index_sql()
+    d["warc_revisit_dedup"] = _warc_revisit_sql()
     d["zipf_source_fit"] = r"""
         WITH freq AS (
           SELECT source, word, count(*) AS freq

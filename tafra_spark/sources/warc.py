@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = [
+    "REVISIT_IDENTICAL_PROFILE",
     "build_warc",
     "build_wet",
     "parse_warc",
     "read_warc",
     "warc_record_id",
+    "write_revisit_record",
     "write_warc_record",
 ]
 
@@ -152,6 +154,46 @@ def build_wet(
     return bytes(out)
 
 
+#: WARC-Profile of an identical-payload-digest revisit (ISO 28500
+#: §6.7.2 / the WARC 1.1 profile URI CommonCrawl writes) — a crawler
+#: that re-fetches a URL and sees an unchanged payload stores this
+#: stub instead of the bytes, deduplicating storage at the archive
+#: layer.
+REVISIT_IDENTICAL_PROFILE = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def write_revisit_record(
+    url: str,
+    original_url: str,
+    payload_digest_b32: str,
+    date: str = "2024-01-01T00:00:00Z",
+    original_date: str = "2024-01-01T00:00:00Z",
+) -> bytes:
+    """An identical-payload-digest ``revisit`` record (ISO 28500
+    §6.7.2): the storage-dedup stub a crawler writes when a re-fetch
+    returns bytes it already archived. Carries NO payload — the
+    linkage is three headers: ``WARC-Profile`` (the identical-digest
+    profile URI), ``WARC-Refers-To`` (the deterministic id of the
+    ORIGINAL response record, recomputed from its url/date — no shared
+    state), and ``WARC-Payload-Digest`` (the sha1 both captures
+    share)."""
+    src = warc_record_id("response", original_date, original_url)
+    return write_warc_record(
+        url,
+        b"",
+        warc_type="revisit",
+        date=date,
+        content_type="application/http; msgtype=response",
+        extra_headers=(
+            ("WARC-Profile", REVISIT_IDENTICAL_PROFILE),
+            ("WARC-Refers-To", f"<urn:uuid:{src}>"),
+            ("WARC-Payload-Digest", f"sha1:{payload_digest_b32}"),
+        ),
+    )
+
+
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Iterate records of a WARC blob (gzipped or plain). Yields dicts
     with ``warc_type``, ``url``, ``date``, ``content_type``,
@@ -213,10 +255,13 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "content_length": clen,
             "payload": payload,
             "digest_ok": digest_ok,
-            # cross-record links (a WET conversion names its source
-            # response); '' when absent — read_warc's fixed schema
-            # does not carry it, per-query projections do
+            # cross-record links (a WET conversion or revisit stub
+            # names its source response); '' when absent — read_warc's
+            # fixed schema does not carry these, per-query projections
+            # do
             "refers_to": fields.get("warc-refers-to", ""),
+            "profile": fields.get("warc-profile", ""),
+            "payload_digest": fields.get("warc-payload-digest", ""),
         }
         pos = body_start + clen
 

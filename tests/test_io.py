@@ -452,6 +452,46 @@ class TestWarcSource:
             texts, compress=True
         )
 
+    def test_revisit_record_linkage(self):
+        # late r9: the storage-dedup record type — a revisit stub
+        # carries no payload and links back to the original capture
+        # through profile / refers-to / payload-digest headers
+        import base64
+        import hashlib
+
+        from tafra_spark.sources.warc import (
+            REVISIT_IDENTICAL_PROFILE,
+            parse_warc,
+            warc_record_id,
+            write_revisit_record,
+            write_warc_record,
+        )
+
+        url = "http://example.com/page"
+        payload = b"unchanged content"
+        digest = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+        blob = write_warc_record(url, payload) + write_revisit_record(
+            url, url, digest, date="2024-01-02T00:00:00Z"
+        )
+        recs = list(parse_warc(blob))
+        assert [r["warc_type"] for r in recs] == ["response", "revisit"]
+        rev = recs[1]
+        assert rev["payload"] == b""  # the stub stores no bytes
+        assert rev["profile"] == REVISIT_IDENTICAL_PROFILE
+        assert rev["payload_digest"] == f"sha1:{digest}"
+        src = warc_record_id("response", "2024-01-01T00:00:00Z", url)
+        assert rev["refers_to"] == f"<urn:uuid:{src}>"
+        # the two captures have DISTINCT ids (different type + date)
+        assert warc_record_id(
+            "revisit", "2024-01-02T00:00:00Z", url
+        ) != src
+        # determinism
+        assert blob == write_warc_record(url, payload) + (
+            write_revisit_record(
+                url, url, digest, date="2024-01-02T00:00:00Z"
+            )
+        )
+
     def test_read_warc_distributed(self, spark, tmp_path):
         from tafra_spark.sources.warc import build_warc, read_warc
 
