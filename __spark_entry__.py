@@ -3189,18 +3189,22 @@ def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             blob = bytearray()
-            payloads = {}
+            # digest + framed stub length stored at write time: the
+            # parse loop must not re-hash or re-serialize per row
+            # (late-r9 review finding)
+            written = {}
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 url = f"http://corpus.example/doc/{int(i)}"
                 payload = str(t).encode("utf-8")
-                payloads[url] = payload
                 digest = _b64.b32encode(
                     _hl.sha1(payload).digest()
                 ).decode()
-                blob += write_warc_record(url, payload)
-                blob += write_revisit_record(
+                rev = write_revisit_record(
                     url, url, digest, date="2024-01-02T00:00:00Z"
                 )
+                written[url] = (digest, len(rev))
+                blob += write_warc_record(url, payload)
+                blob += rev
             out = {
                 "doc_id": [], "refers_to": [], "revisit_length": [],
                 "digest_match": [], "profile_ok": [],
@@ -3209,18 +3213,10 @@ def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if rec["warc_type"] != "revisit":
                     continue
                 url = rec["url"]
-                want = _b64.b32encode(
-                    _hl.sha1(payloads[url]).digest()
-                ).decode()
+                want, rev_len = written[url]
                 out["doc_id"].append(int(url.rsplit("/", 1)[1]))
                 out["refers_to"].append(rec["refers_to"])
-                out["revisit_length"].append(
-                    len(
-                        write_revisit_record(
-                            url, url, want, date="2024-01-02T00:00:00Z"
-                        )
-                    )
-                )
+                out["revisit_length"].append(rev_len)
                 out["digest_match"].append(
                     rec["payload_digest"] == f"sha1:{want}"
                 )

@@ -491,6 +491,23 @@ class TestWarcSource:
                 url, url, digest, date="2024-01-02T00:00:00Z"
             )
         )
+        # closed-form stub length (the revisit oracle's arithmetic,
+        # pinned like the CDX constant): only the Target-URI varies —
+        # the original url reaches the record as a fixed-width uuid,
+        # the digest is fixed-width b32 sha1, the payload is empty
+        k = len(
+            write_revisit_record(
+                "", "", "A" * 32, date="2024-01-02T00:00:00Z"
+            )
+        )
+        for u2 in (url, "http://x/", "http://example.com/very/long/path"):
+            got = len(
+                write_revisit_record(
+                    u2, "http://elsewhere/original", digest,
+                    date="2024-01-02T00:00:00Z",
+                )
+            )
+            assert got == k + len(u2), u2
 
     def test_read_warc_distributed(self, spark, tmp_path):
         from tafra_spark.sources.warc import build_warc, read_warc
