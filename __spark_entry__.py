@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2632,6 +2632,153 @@ def bpe_encode_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_byte_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # byte-level BPE encode (r10 — the GPT-2 byte-fallback form, VERDICT
+    # r9 item 2): decorate every document with a rotating multi-byte/
+    # non-alphabetic token (accented Latin, Han, Cyrillic, digits,
+    # mixed case — everything char-mode collapsed to unk), learn 8
+    # merges over the UTF-8 BYTE sequences, and encode every document
+    # to real ids — byte value b = id b, merge step k = 255+k, NO unk.
+    # The oracle relearns the merges in the shared unrolled CTEs (only
+    # w0 differs from char mode: hex byte pairs instead of characters)
+    # and reassembles the streams relationally; a slip in byte
+    # splitting, merge application, id arithmetic, or word order
+    # hash-fails. token_ids ride comma-joined (registry convention).
+    from tafra_spark.functions.text import bpe_encode_bytes
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || ' ' || CASE doc_id % 5"
+            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+            " || ' #' || CAST(doc_id % 97 AS STRING)"
+        ).alias("text"),
+    )
+    out = bpe_encode_bytes(docs, text_col="text", id_col="doc_id", n_merges=8)
+    return out.select(
+        "doc_id", "n_words", "n_bytes", "n_tokens",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
+    )
+
+
+def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end tokenize→pack composition (r10, VERDICT r9 item 2:
+    # "the actual pre-training input shape"): byte-BPE encode the
+    # corpus, then greedy-pack per source in doc_id order into 512-
+    # REAL-token bins (bin = exclusive-cumsum // budget, the
+    # pack_sequences rule over true token counts instead of the
+    # whitespace proxy) and md5 each bin's concatenated id stream. The
+    # oracle re-derives the merges, the ids, the bin assignment, and
+    # the hash — a packing slip anywhere hash-fails. Scale: encode is
+    # the bpe_encode plan (broadcast dictionary, one per-doc rebuild
+    # shuffle); packing adds ONE per-source window (each source on its
+    # own shuffle partition, no global sort) and one hash-agg.
+    from tafra_spark.functions.text import bpe_encode_bytes
+
+    docs = _read(spark, sf_dir, "documents")
+    enc = bpe_encode_bytes(
+        docs.select("doc_id", "text"), n_merges=8
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = enc.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "token_ids",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512)).cast("long").alias(
+            "seq_id"
+        ),
+    )
+    return seq.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.flatten(
+                    F.expr(
+                        "array_sort(collect_list(struct(doc_id, token_ids)))"
+                        ".token_ids"
+                    )
+                ),
+            ).cast("binary")
+        ).alias("packed_md5"),
+    )
+
+
+# language-ID v2 fixtures (r10): one short sentence per supported
+# language, indexed by doc_id % 21 — the Latin ones carry that
+# language's function words, the non-Latin ones native script. Shared
+# verbatim by the Spark query and the DuckDB oracle (both build the
+# same CASE over doc_id % 21).
+_LANG_SNIPPETS: list[tuple[str, str]] = [
+    ("en", "the cat sat with the dog and it was this fine day"),
+    ("de", "der hund und die katze sind nicht auf dem tisch"),
+    ("fr", "le chien est dans le jardin pour une promenade"),
+    ("es", "el perro está muy contento pero sin una pelota"),
+    ("it", "il cane che corre sono anche gli amici nel parco"),
+    ("pt", "o cão não está com os amigos você já foi também"),
+    ("nl", "het is een mooie dag maar niet voor iedereen ook zijn"),
+    ("tr", "bu bir güzel gün ve çok daha iyi için değil"),
+    ("pl", "to jest nie tak jak się czy już który oraz"),
+    ("sv", "och det är som att en inte av för med"),
+    ("cs", "je to se že jsou byl však jako pro která"),
+    ("ro", "și nu este cu din mai pentru care sunt să"),
+    ("ru", "привет как дела сегодня хороший день"),
+    ("el", "γεια σας καλημέρα τι κάνετε σήμερα"),
+    ("ar", "مرحبا كيف حالك اليوم جميل"),
+    ("he", "שלום מה שלומך היום יפה"),
+    ("hi", "नमस्ते आप कैसे हैं आज अच्छा दिन है"),
+    ("zh", "今天天气很好我们去公园散步"),
+    ("ja", "今日はいい天気ですね公園に行きましょう"),
+    ("ko", "안녕하세요 오늘 날씨가 좋네요"),
+    ("th", "สวัสดีครับวันนี้อากาศดีมาก"),
+]
+
+
+def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language ID v2 (r10, VERDICT r9 item 3): Unicode-script counting
+    # + a 12-Latin-language function-word profile replaces the 4-
+    # language stopword vote (which returned 'und' for EVERY non-Latin
+    # script). Each doc gets a per-language fixture sentence
+    # (doc_id % 21); the query grades v2 against the known language,
+    # reports the old v1 vote as the differential (v1 identifies 4 of
+    # 21), and also runs v2 over the real document text. Zero-shuffle
+    # expression tree on both engines; the oracle executes the SAME
+    # decision tree via the generated language_id_v2_sql mirror.
+    from tafra_spark.functions.text import language_id, language_id_v2
+
+    snippet = F.lit(None).cast("string")
+    for i, (_lang, text) in enumerate(_LANG_SNIPPETS):
+        snippet = F.when(
+            F.col("doc_id") % 21 == i, F.lit(text)
+        ).otherwise(snippet)
+    expected = F.lit(None).cast("string")
+    for i, (lang, _text) in enumerate(_LANG_SNIPPETS):
+        expected = F.when(
+            F.col("doc_id") % 21 == i, F.lit(lang)
+        ).otherwise(expected)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", snippet.alias("snip"), expected.alias("expected")
+    )
+    return docs.select(
+        "doc_id",
+        "expected",
+        language_id(F.col("snip")).alias("pred_v1"),
+        language_id_v2(F.col("snip")).alias("pred_v2"),
+        (language_id_v2(F.col("snip")) == F.col("expected")).alias(
+            "agree_v2"
+        ),
+        language_id_v2(F.col("text")).alias("doc_lang_v2"),
+    )
+
+
 def zipf_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank-frequency power-law fit per source: log-log OLS with exact
     # integer component sums (corr_matrix discipline); near-zero |slope|
@@ -4981,6 +5128,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_clusters": minhash_dup_clusters,
         "bpe_token_stats": bpe_token_stats_report,
         "bpe_encode_docs": bpe_encode_docs_report,
+        "bpe_byte_encode_docs": bpe_byte_encode_docs,
+        "tokenize_pack_docs": tokenize_pack_docs,
+        "language_id_v2_docs": language_id_v2_docs,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
         "prefix_filter_jaccard": prefix_filter_jaccard,
@@ -5144,6 +5294,64 @@ def _lang_id_sql() -> str:
     h AS (SELECT doc_id, {hits_cols} FROM t),
     b AS (SELECT doc_id, *, {best} AS best FROM h)
     SELECT doc_id, {case} AS lang_pred FROM b
+    """
+
+
+def _langid_v2_sql() -> str:
+    """DuckDB mirror of ``language_id_v2_docs``: the snippet/expected
+    CASEs come from the same ``_LANG_SNIPPETS`` table, the v1 vote
+    reuses ``_lang_id_sql``'s hit chains over the snippet, and v2 is
+    the generated ``text.language_id_v2_sql`` tree — identical \\x{..}
+    script patterns and profile lists on both engines."""
+    from tafra_spark.functions.text import language_id_v2_sql
+
+    snip_case = "CASE doc_id % 21 " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, (_l, t) in enumerate(_LANG_SNIPPETS)
+    ) + " END"
+    exp_case = "CASE doc_id % 21 " + " ".join(
+        f"WHEN {i} THEN '{lang}'"
+        for i, (lang, _t) in enumerate(_LANG_SNIPPETS)
+    ) + " END"
+    hit_exprs = {
+        lang: "("
+        + " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        + ")"
+        for lang, words in _STOPWORDS.items()
+    }
+    hits_cols = ", ".join(
+        f"{expr} AS hits_{lang}" for lang, expr in hit_exprs.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in _STOPWORDS) + ")"
+    v1_case = "'und'"
+    for lang in reversed(list(_STOPWORDS)):
+        v1_case = (
+            f"CASE WHEN best > 0 AND hits_{lang} = best "
+            f"THEN '{lang}' ELSE {v1_case} END"
+        )
+    v2_snip = language_id_v2_sql("snip")
+    v2_text = language_id_v2_sql("text")
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, text, {snip_case} AS snip, {exp_case} AS expected
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text, snip, expected,
+             list_distinct(regexp_split_to_array(
+               lower(trim(snip)), '\s+')) AS toks
+      FROM d
+    ),
+    h AS (SELECT doc_id, text, snip, expected, {hits_cols} FROM t),
+    b AS (SELECT *, {best} AS best FROM h)
+    SELECT doc_id, expected,
+           {v1_case} AS pred_v1,
+           {v2_snip} AS pred_v2,
+           ({v2_snip} = expected) AS agree_v2,
+           {v2_text} AS doc_lang_v2
+    FROM b
     """
 
 
@@ -5917,7 +6125,9 @@ _BPE_FOLD_WRAP = (
 )
 
 
-def _bpe_ctes_sql(n_merges: int = 8, n_folds: int = 8) -> str:
+def _bpe_ctes_sql(
+    n_merges: int = 8, n_folds: int = 8, w0_sql: str | None = None
+) -> str:
     """Unrolled-CTE BPE learner mirroring ``text.bpe_learn``: stage k
     counts adjacent symbol pairs over the word dictionary ``w{k-1}``,
     picks the argmax pair ``b{k}`` (count DESC, l, r — the Spark
@@ -5928,8 +6138,16 @@ def _bpe_ctes_sql(n_merges: int = 8, n_folds: int = 8) -> str:
     the second pair of an even run because consecutive matches share
     the boundary separator. ``n_folds`` must be >= the max merges per
     word per stage, i.e. max word length / 2 (the synthetic vocab maxes
-    at 8 chars)."""
-    parts = [r"""
+    at 8 chars).
+
+    ``w0_sql`` overrides the base word-dictionary CTE body (r10): the
+    byte-mode learner supplies a w0 whose symbol string is the word's
+    UTF-8 bytes as space-joined uppercase-hex pairs instead of single
+    characters — the fold/pair/argmax stages are shared verbatim
+    because hex pairs contain no space/quote/backslash and a merged
+    symbol is the concatenation of its parts' hex."""
+    if w0_sql is None:
+        w0_sql = r"""
 w0 AS MATERIALIZED (
   SELECT word, count(*) AS freq,
          ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
@@ -5937,7 +6155,8 @@ w0 AS MATERIALIZED (
         FROM documents)
   WHERE regexp_matches(word, '^[a-z]+$')
   GROUP BY word
-)"""]
+)"""
+    parts = [w0_sql]
     for k in range(1, n_merges + 1):
         prev = k - 1
         inner = (
@@ -6324,6 +6543,172 @@ SELECT d.doc_id,
        coalesce(array_to_string(a.idsflat, ','), '') AS token_ids
 FROM documents d LEFT JOIN docagg a USING (doc_id)
 """.replace("{n}", str(n_merges)).replace("{unions}", unions)
+
+
+# --- byte-level BPE (r10) -------------------------------------------
+#
+# Decoration appended to every document for the byte-encode query: a
+# rotating special token (accented Latin / Han / Cyrillic / digits+
+# punctuation / mixed-case with a Greek sigma) plus a '#'-prefixed
+# number — so the corpus genuinely exercises multi-byte UTF-8, case
+# preservation, and non-alphabetic words, none of which char-mode BPE
+# could encode (they all collapsed to unk). The Spark query builds the
+# SAME string via F.expr, character for character.
+_BYTE_DECO_SQL = (
+    "text || ' ' || CASE doc_id % 5"
+    " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+    " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+    " || ' #' || CAST(doc_id % 97 AS VARCHAR)"
+)
+
+
+def _bpe_bytes_w0_sql(src: str) -> str:
+    """Byte-mode base dictionary: every non-empty whitespace-separated
+    word of ``src`` (case preserved, explicit whitespace class — the
+    Java∩RE2 \\s discipline), symbolized as space-joined uppercase-hex
+    UTF-8 byte pairs. DuckDB's hex(encode(..)) and Spark's
+    hex(encode(.., 'UTF-8')) emit identical uppercase hex."""
+    return r"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         ' ' || array_to_string(
+                  regexp_extract_all(hex(encode(word)), '..'), ' ')
+             || ' ' AS s
+  FROM (SELECT unnest(regexp_split_to_array(
+                 text, '[ \t\r\n\x0b\x0c]+')) AS word
+        FROM {src} WHERE text IS NOT NULL)
+  WHERE word <> ''
+  GROUP BY word
+)""".replace("{src}", src)
+
+
+_HEX_NIBBLES = "0123456789ABCDEF"
+
+
+def _bpe_bytes_body_sql(src: str, n_merges: int) -> str:
+    """The shared per-document reassembly CTEs of the byte-mode encode
+    oracle, over relation ``src`` (must provide doc_id, text): vocab /
+    merge-id / stream / per-word ids / per-doc flatten. Piece ids are
+    GPT-2 byte style — a 2-hex-digit piece is its byte value (decoded
+    with strpos nibble arithmetic, engine-portable), a merged piece is
+    255 + its first step. No unk branch exists: the dictionary covers
+    every word of the corpus it was learned on by construction, and a
+    missing word would surface as a row-count mismatch, not a silent
+    skip."""
+    return r"""
+, vocab AS (
+  SELECT word, string_split(trim(s), ' ') AS sy FROM w{n}
+),
+merge_ids AS (
+  SELECT m, CAST(255 + min(step) AS INTEGER) AS mid
+  FROM ({unions}) __ma__ GROUP BY m
+),
+stream AS (
+  SELECT doc_id, u.p AS pos, u.w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             regexp_split_to_array(text, '[ \t\r\n\x0b\x0c]+'),
+             (x, i) -> {'w': x, 'p': i})) AS u
+    FROM {src} WHERE text IS NOT NULL) __s__
+  WHERE u.w <> ''
+),
+tok AS (
+  SELECT doc_id, pos,
+         unnest(list_transform(v.sy, (x, i) -> {'s': x, 'i': i})) AS u
+  FROM stream st JOIN vocab v USING (word)
+),
+tok_ids AS (
+  SELECT doc_id, pos, u.i AS ppos,
+         CASE WHEN length(u.s) = 2 THEN
+                (strpos('{nib}', substr(u.s, 1, 1)) - 1) * 16
+                + strpos('{nib}', substr(u.s, 2, 1)) - 1
+              ELSE mi.mid END AS tid
+  FROM tok LEFT JOIN merge_ids mi ON mi.m = u.s
+),
+word_ids AS (
+  SELECT doc_id, pos, list(tid ORDER BY ppos) AS ids
+  FROM tok_ids GROUP BY doc_id, pos
+),
+byteagg AS (
+  SELECT doc_id, CAST(sum(octet_length(encode(word))) AS BIGINT)
+           AS n_bytes
+  FROM stream GROUP BY doc_id
+),
+docagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         flatten(list(ids ORDER BY pos)) AS idsflat
+  FROM word_ids GROUP BY doc_id
+)""".replace("{n}", str(n_merges)).replace("{src}", src).replace(
+        "{nib}", _HEX_NIBBLES
+    ).replace(
+        "{unions}",
+        " UNION ALL ".join(
+            "SELECT %d AS step, m FROM b%d" % (k, k)
+            for k in range(1, n_merges + 1)
+        ),
+    )
+
+
+def _bpe_encode_bytes_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of ``text.bpe_encode_bytes`` over the decorated
+    documents: relearn the byte merges with the unrolled CTEs (shared
+    fold machinery — only w0 differs from char mode), reassemble every
+    document's token-id stream relationally. Every input document gets
+    a row (wordless text comes back as zeros)."""
+    ctes = _bpe_ctes_sql(
+        n_merges,
+        w0_sql="""
+docs AS MATERIALIZED (
+  SELECT doc_id, {deco} AS text FROM documents
+),""".replace("{deco}", _BYTE_DECO_SQL) + _bpe_bytes_w0_sql("docs"),
+    )
+    return ctes + _bpe_bytes_body_sql("docs", n_merges) + r"""
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(b.n_bytes, 0) AS n_bytes,
+       CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(a.idsflat, ','), '') AS token_ids
+FROM documents d
+LEFT JOIN docagg a USING (doc_id)
+LEFT JOIN byteagg b USING (doc_id)
+"""
+
+
+def _tokenize_pack_sql(n_merges: int = 8, budget: int = 512) -> str:
+    """DuckDB mirror of the tokenize→pack composition: byte-BPE encode
+    the (plain) documents, then greedy-pack per source in doc_id order
+    into ``budget``-token bins (bin = exclusive-cumsum // budget — the
+    ``pipeline.pack_sequences`` rule applied to REAL token counts
+    instead of the whitespace proxy), and hash each bin's concatenated
+    id stream so a packing slip anywhere (order, bin split, id values)
+    hash-fails."""
+    ctes = _bpe_ctes_sql(n_merges, w0_sql=_bpe_bytes_w0_sql("documents"))
+    return ctes + _bpe_bytes_body_sql("documents", n_merges) + r"""
+, enc AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS nt,
+         coalesce(a.idsflat, CAST([] AS INTEGER[])) AS ids
+  FROM documents d LEFT JOIN docagg a USING (doc_id)
+),
+c AS (
+  SELECT doc_id, source, nt, ids,
+         sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM enc
+),
+s AS (
+  SELECT source, CAST((cum - nt) // {budget} AS BIGINT) AS seq_id,
+         doc_id, nt, ids
+  FROM c
+)
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS seq_tokens,
+       md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+         AS packed_md5
+FROM s GROUP BY source, seq_id
+""".replace("{budget}", str(budget))
 
 
 _FOUR_TILE_MEAN_SQL = r"""
@@ -11388,6 +11773,12 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_learn_merges"] = _bpe_batched_learn_sql(64, 8)
     d["bpe_token_stats"] = _bpe_stats_sql(8)
     d["bpe_encode_docs"] = _bpe_encode_sql(8)
+    # r10: byte-level BPE encode + the tokenize->pack composition —
+    # the shared unrolled learner with the byte-mode w0
+    d["bpe_byte_encode_docs"] = _bpe_encode_bytes_sql(8)
+    d["tokenize_pack_docs"] = _tokenize_pack_sql(8, 512)
+    # r10: script+profile language ID, generated mirror
+    d["language_id_v2_docs"] = _langid_v2_sql()
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()
     d["cdx_index_docs"] = _cdx_index_sql()
     d["warc_revisit_dedup"] = _warc_revisit_sql()
