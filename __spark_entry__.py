@@ -3375,6 +3375,120 @@ def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(rt, schema=schema)
 
 
+def wat_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WAT metadata sidecar build + round trip (r10, VERDICT r9 item 4 —
+    # the LAST CommonCrawl artifact type: WARC r7, WET/CDX/revisit r9,
+    # WAT here). Each doc becomes a deterministic HTML page (title,
+    # body text, one relative + one absolute link); build_wat extracts
+    # title/outlinks (RFC 3986-resolved)/byte length into a canonical
+    # JSON envelope inside a metadata record whose WARC-Refers-To names
+    # the source response record's deterministic id. The parse side
+    # re-reads the archive and emits the linkage + JSON fields; the
+    # oracle recomputes the uuid, the resolved links, the title, and
+    # the EXACT envelope byte length from the same construction — any
+    # wrong byte in extraction, resolution, JSON canonicalization, or
+    # framing hash-fails.
+    from tafra_spark.sources.warc import build_wat, parse_warc
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id LONG, refers_to STRING, content_type STRING, "
+        "title STRING, n_links LONG, outlinks STRING, "
+        "content_length LONG, digest_ok BOOLEAN"
+    )
+
+    def rt(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                url = f"http://corpus.example/doc/{i}"
+                html = (
+                    f"<html><head><title>Doc {i}</title></head>"
+                    f"<body><p>{t}</p>"
+                    f'<a href="/p/{i}">x</a> '
+                    f"<a href='https://ext.example/{i % 7}'>y</a>"
+                    f"</body></html>"
+                )
+                recs.append((url, html))
+            blob = build_wat(recs, compress=True)
+            out = {
+                "doc_id": [], "refers_to": [], "content_type": [],
+                "title": [], "n_links": [], "outlinks": [],
+                "content_length": [], "digest_ok": [],
+            }
+            n_info = 0
+            for rec in parse_warc(blob):
+                if rec["warc_type"] == "warcinfo":
+                    n_info += 1
+                    continue
+                assert rec["warc_type"] == "metadata"
+                env = _json.loads(rec["payload"].decode("utf-8"))
+                out["doc_id"].append(int(rec["url"].rsplit("/", 1)[1]))
+                out["refers_to"].append(rec["refers_to"])
+                out["content_type"].append(rec["content_type"])
+                out["title"].append(env["title"])
+                out["n_links"].append(len(env["outlinks"]))
+                out["outlinks"].append(",".join(env["outlinks"]))
+                out["content_length"].append(rec["content_length"])
+                out["digest_ok"].append(rec["digest_ok"])
+            assert n_info == 1, "WAT shard must lead with one warcinfo"
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(rt, schema=schema)
+
+
+def recrawl_decision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recrawl policy decisions (r10, VERDICT r9 item 7 — the
+    # incremental-crawl companion to the revisit records): each doc
+    # gets a rotating prior-fetch header set (ETag on 1/3, Last-
+    # Modified on 1/4, Cache-Control cycling max-age / no-store /
+    # no-cache incl. an UPPERCASE form exercising (?i) / a multi-
+    # directive value / absent) plus a deterministic age; the decision
+    # projection grades fetch/skip/revalidate per RFC 9111 freshness
+    # and reports the conditional header a revalidation would send.
+    # Pure zero-shuffle expression on both engines (the oracle runs
+    # the generated recrawl_decision_sql mirror on the same synthesized
+    # columns).
+    from tafra_spark.sources.http import recrawl_decision, recrawl_validator
+
+    etag = F.expr(
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN '\"v' || CAST(doc_id AS STRING) || '\"' ELSE '' END"
+    )
+    lm = F.expr(
+        "CASE WHEN doc_id % 4 = 1 "
+        "THEN 'Mon, 01 Jan 2024 00:00:00 GMT' ELSE '' END"
+    )
+    cc = F.expr(
+        "CASE doc_id % 6 WHEN 0 THEN 'max-age=3600' "
+        "WHEN 1 THEN 'no-store' WHEN 2 THEN 'no-cache' "
+        "WHEN 3 THEN 'public, max-age=60' "
+        "WHEN 4 THEN 'private, NO-CACHE, must-revalidate' "
+        "ELSE '' END"
+    )
+    age = (F.col("doc_id") * 37 % 7200).cast("long")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+        cc.alias("cache_control"),
+        age.alias("age_s"),
+        recrawl_validator(etag, lm).alias("validator"),
+        recrawl_decision(etag, lm, cc, age).alias("decision"),
+    )
+
+
 def warc_http_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: the full CommonCrawl ingestion path above warc_roundtrip_docs
     # (VERDICT r7 missing #1). Forward: each doc becomes a real HTML
@@ -4826,7 +4940,82 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r9 driver window: stalest-first rotation (VERDICT r8 item 1).
+# --- r10 driver window: stalest-first rotation (VERDICT r9 item 1).
+# The driver verifies the FIRST 50 entries of queries(); this list is
+# that window. Composition (the rule the r9 verdict codified):
+# (1) the five never-driver-verified new r10 ops (a never-verified row
+# is staler than any green one), (2) rows whose CODE changed in r10 —
+# the _bpe_state learner grew the byte-alphabet branch, so its char-
+# mode riders bpe_learn_merges / bpe_encode_docs re-verify even though
+# their green history is recent (bpe_token_stats rides in (3) anyway),
+# (3) 43 of the 48 rows last verified in round 5 — the cohort the r9
+# verdict demanded. The 7 slots taken by (1)+(2) displace exactly 5
+# r5 rows, chosen for the strongest INDEPENDENT coverage so the
+# displacement risk is minimal — multimodal_audio_decode (golden
+# output-byte pins), unicode_scrub_docs (hypothesis differential vs
+# unicodedata), value_quantile_sketch / kmv_vocab_overlap /
+# join_size_estimate (bit-exact portable sketch tables pinned in
+# tests/test_sketches.py); they roll into the r11 window.
+# Recompute staleness with:
+#   max round r where CORRECTNESS_r0{r}.json contains the key.
+_R10_WINDOW = [
+    # (1) new in r10
+    "bpe_byte_encode_docs",
+    "tokenize_pack_docs",
+    "language_id_v2_docs",
+    "wat_metadata_docs",
+    "recrawl_decision_docs",
+    # (2) r10 code changes (_bpe_state alphabet refactor)
+    "bpe_learn_merges",
+    "bpe_encode_docs",
+    # (3) the round-5 cohort (43 of 48)
+    "bpe_token_stats",
+    "compression_by_source",
+    "containment_dup_pairs",
+    "dedup_keep_best",
+    "dup_cluster_size_hist",
+    "event_basket_rules",
+    "event_silence_streaks",
+    "exact_value_quantiles",
+    "funnel_within_day",
+    "graph_assortativity",
+    "hard_negatives_mining",
+    "heaps_law_fit",
+    "hybrid_rrf_search",
+    "ivf_pq_search",
+    "label_noise_flags",
+    "length_match_weights",
+    "mad_outlier_profile",
+    "markov_next_event_acc",
+    "markov_removal_attribution",
+    "minhash_dup_clusters",
+    "mixed_language_docs",
+    "oov_rate_by_source",
+    "pagerank_event_graph",
+    "payload_template_groups",
+    "pq_reconstruction_report",
+    "prefix_filter_jaccard",
+    "quantile_normalized_lengths",
+    "repetition_signals",
+    "scd2_asof_enrichment",
+    "scd2_customer_priority",
+    "seasonal_anomaly_cells",
+    "semantic_cluster_purity",
+    "shard_token_balance",
+    "sliding_active_3h",
+    "token_entropy_quality",
+    "top_event_paths",
+    "triangle_counts_graph",
+    "user_activity_decay",
+    "user_group_split_counts",
+    "ushape_attribution",
+    "vocab_growth_curve",
+    "winsorized_event_values",
+    "zipf_source_fit",
+]
+
+# r9 window kept for provenance (CORRECTNESS_r09 keys):
+# (original r9 comment follows)
 # The driver verifies the FIRST 50 entries of queries(); this list is
 # that window. Composition: (1) never-driver-verified new r9 ops,
 # (2) rows whose CODE changed in r9 (robots RFC 9309 group merge;
@@ -4961,7 +5150,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _registry()
-    out = {n: q[n] for n in _R9_WINDOW}
+    out = {n: q[n] for n in _R10_WINDOW}
     out.update((n, f) for n, f in q.items() if n not in out)
     return out
 
@@ -4995,6 +5184,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": hll_distinct_users,
         "warc_roundtrip_docs": warc_roundtrip_docs,
         "wet_conversion_docs": wet_conversion_docs,
+        "wat_metadata_docs": wat_metadata_docs,
+        "recrawl_decision_docs": recrawl_decision_docs,
         "crawl_schedule_frontier": crawl_schedule_frontier,
         "cdx_index_docs": cdx_index_docs,
         "warc_revisit_dedup": warc_revisit_dedup,
@@ -6830,6 +7021,94 @@ def _warc_revisit_sql() -> str:
                CAST({k} + length(url) AS BIGINT) AS revisit_length,
                true AS digest_match,
                true AS profile_ok
+        FROM u
+    """
+
+
+def _wat_metadata_sql() -> str:
+    """Closed-form WAT oracle: the refers-to uuid from
+    md5('response|date|url'), the resolved outlinks ('/p/{id}' against
+    the corpus url, plus the absolute external link), the title, and
+    the EXACT canonical-JSON envelope byte length rebuilt by string
+    concatenation (sorted keys, compact separators — the build_wat
+    writer's json.dumps contract)."""
+    return r"""
+        WITH u AS (
+          SELECT doc_id, text,
+                 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 'http://corpus.example/p/' || CAST(doc_id AS VARCHAR)
+                   AS l1,
+                 'https://ext.example/' || CAST(doc_id % 7 AS VARCHAR)
+                   AS l2,
+                 md5('response|2024-01-01T00:00:00Z|'
+                     || 'http://corpus.example/doc/'
+                     || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE text IS NOT NULL
+        ),
+        e AS (
+          SELECT doc_id, l1, l2, h,
+                 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                 CAST(octet_length(encode(
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><p>' || text
+                   || '</p><a href="/p/' || CAST(doc_id AS VARCHAR)
+                   || '">x</a> <a href=''https://ext.example/'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '''>y</a></body></html>'
+                 )) AS BIGINT) AS html_len
+          FROM u
+        )
+        SELECT doc_id,
+               '<urn:uuid:' || substr(h, 1, 8) || '-'
+                 || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+                 || '-' || substr(h, 17, 4) || '-'
+                 || substr(h, 21, 12) || '>' AS refers_to,
+               'application/json' AS content_type,
+               title,
+               CAST(2 AS BIGINT) AS n_links,
+               l1 || ',' || l2 AS outlinks,
+               CAST(octet_length(encode(
+                 '{"html_length":' || CAST(html_len AS VARCHAR)
+                 || ',"outlinks":["' || l1 || '","' || l2
+                 || '"],"title":"' || title || '"}'
+               )) AS BIGINT) AS content_length,
+               true AS digest_ok
+        FROM e
+    """
+
+
+def _recrawl_decision_oracle_sql() -> str:
+    """The recrawl query's oracle: identical synthesized header CASEs
+    plus the generated decision/validator mirrors."""
+    from tafra_spark.sources.http import (
+        recrawl_decision_sql,
+        recrawl_validator_sql,
+    )
+
+    return rf"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                   THEN '"v' || CAST(doc_id AS VARCHAR) || '"'
+                   ELSE '' END AS etag,
+                 CASE WHEN doc_id % 4 = 1
+                   THEN 'Mon, 01 Jan 2024 00:00:00 GMT'
+                   ELSE '' END AS last_modified,
+                 CASE doc_id % 6 WHEN 0 THEN 'max-age=3600'
+                   WHEN 1 THEN 'no-store' WHEN 2 THEN 'no-cache'
+                   WHEN 3 THEN 'public, max-age=60'
+                   WHEN 4 THEN 'private, NO-CACHE, must-revalidate'
+                   ELSE '' END AS cache_control,
+                 CAST(doc_id * 37 % 7200 AS BIGINT) AS age_s
+          FROM documents
+        )
+        SELECT doc_id, etag, last_modified, cache_control, age_s,
+               {recrawl_validator_sql("etag", "last_modified")}
+                 AS validator,
+               {recrawl_decision_sql(
+                   "etag", "last_modified", "cache_control", "age_s")}
+                 AS decision
         FROM u
     """
 
@@ -11782,6 +12061,9 @@ def oracle_sql() -> dict[str, str]:
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()
     d["cdx_index_docs"] = _cdx_index_sql()
     d["warc_revisit_dedup"] = _warc_revisit_sql()
+    # r10: the WAT sidecar (last CC artifact type) + recrawl policy
+    d["wat_metadata_docs"] = _wat_metadata_sql()
+    d["recrawl_decision_docs"] = _recrawl_decision_oracle_sql()
     d["zipf_source_fit"] = r"""
         WITH freq AS (
           SELECT source, word, count(*) AS freq

@@ -250,9 +250,13 @@ def language_id_v2(col: Column) -> Column:
     block comment above for the decision procedure. Pure expression
     tree — zero shuffle, no UDF; 'und' when no script letters and no
     profile hits. A non-Latin script decides when its letter count is
-    positive and at least a quarter of the Latin letter count (so a
+    positive and at least half of the Latin letter count (so a
     mostly-English document quoting one Russian word stays on the
     Latin path, but genuinely mixed text prefers the rarer script)."""
+    # threshold calibration (r10): *4 (a 20% share) flipped a mostly-
+    # English sentence quoting two Russian words to 'ru'; *2 (a 50%
+    # share of the Latin count) keeps quotes/loanwords on the Latin
+    # path while any predominantly non-Latin document still resolves
     s = F.coalesce(col, F.lit(""))
     n = F.length(s)
     cnt = {
@@ -286,7 +290,7 @@ def language_id_v2(col: Column) -> Column:
             lat_expr
         )
     return (
-        F.when((best_nl > 0) & (best_nl * 4 >= cnt["latin"]), script_expr)
+        F.when((best_nl > 0) & (best_nl * 2 >= cnt["latin"]), script_expr)
         .when(best_lat > 0, lat_expr)
         .otherwise(F.lit("und"))
     )
@@ -342,7 +346,7 @@ def language_id_v2_sql(expr: str) -> str:
     )
     lat_case = f"CASE {lat_whens} ELSE 'und' END"
     return (
-        f"(CASE WHEN {best_nl} > 0 AND {best_nl} * 4 >= {cnt['latin']} "
+        f"(CASE WHEN {best_nl} > 0 AND {best_nl} * 2 >= {cnt['latin']} "
         f"THEN {script_case} "
         f"WHEN {best_lat} > 0 THEN {lat_case} "
         f"ELSE 'und' END)"

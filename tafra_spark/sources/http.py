@@ -57,6 +57,10 @@ __all__ = [
     "REDIRECT_STATUSES",
     "html_meta_refresh",
     "html_meta_refresh_sql",
+    "recrawl_validator",
+    "recrawl_validator_sql",
+    "recrawl_decision",
+    "recrawl_decision_sql",
 ]
 
 _CRLF = b"\r\n"
@@ -1146,4 +1150,115 @@ def resolve_redirects(
         .withColumn("redirect_hops", F.col("__h__"))
         .withColumn("redirect_resolved", F.col("__k__").isNull())
         .drop("__cur__", "__h__", "__k__")
+    )
+
+
+# --- recrawl policy (r10) --------------------------------------------
+#
+# The incremental-crawl companion to the r9 revisit records: given the
+# caching headers a prior fetch stored (ETag, Last-Modified,
+# Cache-Control — all surfaced by parse_http's headers map), decide
+# per URL whether the next crawl pass should skip (still fresh under
+# max-age, RFC 9111 §4.2), revalidate (conditional GET with
+# If-None-Match / If-Modified-Since, RFC 9110 §13.1), or fetch
+# unconditionally. Pure expression projections — zero shuffle, shared
+# Java∩RE2 patterns, generated DuckDB mirrors.
+
+_CC_NO_STORE = r"(?i)(?:^|[, ])no-store(?:$|[ ,])"
+_CC_NO_CACHE = r"(?i)(?:^|[, ])no-cache(?:$|[ ,=])"
+_CC_MAX_AGE = r"(?i)(?:^|[, ])max-age=([0-9]+)"
+
+
+def recrawl_validator(
+    etag: Column | str, last_modified: Column | str
+) -> Column:
+    """The conditional-request header a revalidation would send:
+    ``if-none-match`` when an entity tag exists (RFC 9110 §13.1.2
+    prefers validators in this order), else ``if-modified-since`` when
+    a Last-Modified date exists, else ``''`` (nothing to condition
+    on). NULL headers count as absent."""
+    e = F.trim(F.coalesce(F.col(etag) if isinstance(etag, str) else etag,
+                          F.lit("")))
+    lm = F.trim(F.coalesce(
+        F.col(last_modified) if isinstance(last_modified, str)
+        else last_modified, F.lit("")))
+    return (
+        F.when(e != "", F.lit("if-none-match"))
+        .when(lm != "", F.lit("if-modified-since"))
+        .otherwise(F.lit(""))
+    )
+
+
+def recrawl_decision(
+    etag: Column | str,
+    last_modified: Column | str,
+    cache_control: Column | str,
+    age_s: Column | str,
+) -> Column:
+    """Fetch / skip / revalidate decision for one previously-crawled
+    URL (RFC 9111 freshness, simplified to the response-side fields a
+    crawl archive actually stores):
+
+    - ``no-store`` → ``fetch`` (the response was never cacheable);
+    - ``no-cache`` → ``revalidate`` when a validator exists, else
+      ``fetch`` (§5.2.2.4: stored copy must not be used without
+      revalidation);
+    - fresh (``age_s`` ≤ ``max-age``) → ``skip`` (§4.2.1);
+    - stale with a validator → ``revalidate``;
+    - otherwise → ``fetch``.
+
+    ``age_s`` is the caller's seconds-since-capture (current time
+    minus fetch time — kept as an input so the decision is a pure,
+    engine-portable projection with no wall-clock read)."""
+    cc = F.coalesce(
+        F.col(cache_control) if isinstance(cache_control, str)
+        else cache_control, F.lit(""))
+    age = (F.col(age_s) if isinstance(age_s, str) else age_s).cast("long")
+    validator = recrawl_validator(etag, last_modified)
+    ma = F.regexp_extract(cc, _CC_MAX_AGE, 1)
+    # nullif-then-cast: ma is '' or digits by construction, so the
+    # ANSI cast can never throw (the raw-cast gotcha)
+    ma_num = F.nullif(ma, F.lit("")).cast("long")
+    return (
+        F.when(cc.rlike(_CC_NO_STORE), F.lit("fetch"))
+        .when(
+            cc.rlike(_CC_NO_CACHE),
+            F.when(validator != "", F.lit("revalidate")).otherwise(
+                F.lit("fetch")
+            ),
+        )
+        .when(ma_num.isNotNull() & (age <= ma_num), F.lit("skip"))
+        .when(validator != "", F.lit("revalidate"))
+        .otherwise(F.lit("fetch"))
+    )
+
+
+def recrawl_validator_sql(etag: str, last_modified: str) -> str:
+    """DuckDB mirror of :func:`recrawl_validator`."""
+    e = f"trim(coalesce({etag}, ''))"
+    lm = f"trim(coalesce({last_modified}, ''))"
+    return (
+        f"(CASE WHEN {e} <> '' THEN 'if-none-match' "
+        f"WHEN {lm} <> '' THEN 'if-modified-since' ELSE '' END)"
+    )
+
+
+def recrawl_decision_sql(
+    etag: str, last_modified: str, cache_control: str, age_s: str
+) -> str:
+    """DuckDB mirror of :func:`recrawl_decision` — identical patterns
+    (RE2 executes the same (?i) groups), identical CASE order."""
+    cc = f"coalesce({cache_control}, '')"
+    validator = recrawl_validator_sql(etag, last_modified)
+    ma = f"nullif(regexp_extract({cc}, '{_CC_MAX_AGE}', 1), '')"
+    return (
+        f"(CASE WHEN regexp_matches({cc}, '{_CC_NO_STORE}') THEN 'fetch' "
+        f"WHEN regexp_matches({cc}, '{_CC_NO_CACHE}') THEN "
+        f"(CASE WHEN {validator} <> '' THEN 'revalidate' "
+        f"ELSE 'fetch' END) "
+        f"WHEN CAST({ma} AS BIGINT) IS NOT NULL "
+        f"AND CAST({age_s} AS BIGINT) <= CAST({ma} AS BIGINT) "
+        f"THEN 'skip' "
+        f"WHEN {validator} <> '' THEN 'revalidate' "
+        f"ELSE 'fetch' END)"
     )

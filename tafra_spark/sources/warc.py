@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 __all__ = [
     "REVISIT_IDENTICAL_PROFILE",
     "build_warc",
+    "build_wat",
     "build_wet",
     "parse_warc",
     "read_warc",
@@ -149,6 +150,93 @@ def build_wet(
                 ),
             )
         )
+    for rec in recs:
+        out += gzip.compress(rec, mtime=0) if compress else rec
+    return bytes(out)
+
+
+def build_wat(
+    records: list[tuple[str, str]],
+    date: str = "2024-01-01T00:00:00Z",
+    compress: bool = False,
+) -> bytes:
+    """Build a WAT metadata sidecar — the CommonCrawl *.warc.wat
+    layout (r10, completing the WARC/WET/CDX/revisit artifact family):
+    one leading ``warcinfo`` record, then one ``metadata`` record per
+    (url, html) with ``Content-Type: application/json`` and a
+    ``WARC-Refers-To`` naming the deterministic id of the SOURCE
+    response record — the :func:`build_wet` linkage pattern, so a WAT
+    shard cross-links its WARC shard with zero shared state.
+
+    The JSON envelope is canonical (sorted keys, compact separators,
+    UTF-8) so archives stay byte-deterministic and verifiable by value
+    hash. Fields mirror the useful core of CC's WAT envelope:
+
+    - ``title``: first ``<title>`` text, whitespace-collapsed;
+    - ``outlinks``: every ``<a href>`` (double- OR single-quoted — the
+      r8 quote-alternation rule), resolved against the record url with
+      stdlib RFC 3986 resolution, in document order;
+    - ``html_length``: UTF-8 byte length of the source markup.
+
+    ``compress=True`` gzips each record as its own member (the CC
+    layout, member boundaries = record boundaries)."""
+    import json
+    import re
+    from urllib.parse import urljoin
+
+    info = (
+        b"software: tafra-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+        b"conversion: http response metadata to application/json\r\n"
+    )
+    recs = [
+        write_warc_record(
+            None,
+            info,
+            warc_type="warcinfo",
+            date=date,
+            content_type="application/warc-fields",
+        )
+    ]
+    title_re = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+    href_re = re.compile(
+        r"(?i)<a[^>]*href[ \t\r\n]*=[ \t\r\n]*(?:\"([^\"]*)\"|'([^']*)')"
+    )
+    for url, html in records:
+        m = title_re.search(html)
+        title = re.sub(r"[ \t\r\n\x0b\x0c]+", " ", m.group(1)).strip() if m else ""
+        # finditer + group-None check, not findall: a non-participating
+        # alternation group comes back as '' from findall, which would
+        # make every single-quoted href resolve as the empty reference
+        # (i.e. the page's own url)
+        outlinks = [
+            urljoin(url, m.group(1) if m.group(1) is not None
+                    else m.group(2))
+            for m in href_re.finditer(html)
+        ]
+        envelope = {
+            "html_length": len(html.encode("utf-8")),
+            "outlinks": outlinks,
+            "title": title,
+        }
+        payload = json.dumps(
+            envelope, sort_keys=True, separators=(",", ":"),
+            ensure_ascii=False,
+        ).encode("utf-8")
+        src = warc_record_id("response", date, url)
+        recs.append(
+            write_warc_record(
+                url,
+                payload,
+                warc_type="metadata",
+                date=date,
+                content_type="application/json",
+                extra_headers=(
+                    ("WARC-Refers-To", f"<urn:uuid:{src}>"),
+                ),
+            )
+        )
+    out = bytearray()
     for rec in recs:
         out += gzip.compress(rec, mtime=0) if compress else rec
     return bytes(out)

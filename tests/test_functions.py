@@ -6852,3 +6852,210 @@ class TestGopherReviewRegressions:
             f"SELECT {url_normalize_sql('$1')}", [u]
         ).fetchone()[0]
         assert got == w
+
+
+def _py_bpe_bytes(words_freq, n_merges):
+    """Byte-mode reference BPE: same greedy fold/tie-break as _py_bpe
+    but over UTF-8 byte sequences spelled as uppercase hex pairs (the
+    engine's byte-symbol convention)."""
+    syms = {
+        w: ["%02X" % b for b in w.encode("utf-8")] for w in words_freq
+    }
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        for w in syms:
+            s = syms[w]
+            out = [s[0]] if s else []
+            for x in s[1:]:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+class TestBpeEncodeBytes:
+    TEXTS = [
+        (1, "hello hello world 2024! café 你好"),
+        (2, "hello world world n2024! привет"),
+        (3, "MiXeD CaSe MiXeD"),
+        (4, ""),
+        (5, None),
+        (6, "   "),
+    ]
+
+    def _words(self):
+        words = {}
+        for _, t in self.TEXTS:
+            for w in (t or "").split():
+                words[w] = words.get(w, 0) + 1
+        return words
+
+    def test_matches_reference_and_round_trips(self, spark):
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        merges, syms = _py_bpe_bytes(self._words(), 6)
+        piece_ids = {"%02X" % b: b for b in range(256)}
+        for step, _l, _r, m, _c in merges:
+            piece_ids.setdefault(m, 255 + step)
+        pieces = {v: k for k, v in piece_ids.items()}
+        out = {
+            r["doc_id"]: r
+            for r in TX.bpe_encode_bytes(df, n_merges=6).collect()
+        }
+        assert set(out) == {d for d, _ in self.TEXTS}
+        for did, t in self.TEXTS:
+            ws = (t or "").split()
+            ids = [piece_ids[s] for w in ws for s in syms[w]]
+            r = out[did]
+            assert r["n_words"] == len(ws), did
+            assert r["n_bytes"] == sum(
+                len(w.encode("utf-8")) for w in ws
+            ), did
+            assert r["n_tokens"] == len(ids), did
+            assert list(r["token_ids"]) == ids, did
+            # byte fidelity: ids decode back to the exact word bytes
+            raw = b"".join(
+                bytes.fromhex(pieces[i]) for i in r["token_ids"]
+            )
+            assert raw == "".join(ws).encode("utf-8"), did
+
+    def test_no_unk_everything_encodes(self, spark):
+        # the point of byte fallback: digits, punctuation runs, CJK,
+        # and mixed case all become real ids — nothing collapses
+        df = spark.createDataFrame(
+            [(1, "!!! 123 你好 CamelCase ---")],
+            "doc_id long, text string",
+        )
+        r = TX.bpe_encode_bytes(df, n_merges=2).collect()[0]
+        assert r["n_words"] == 5
+        assert r["n_tokens"] > 0
+        # every id is addressable in the 256+merges space
+        assert all(0 <= i < 256 + 2 for i in r["token_ids"])
+
+    def test_ascii_lowercase_corpus_mirrors_char_mode(self, spark):
+        # on a pure [a-z]+ corpus the byte learner must pick the SAME
+        # merge sequence as char mode, modulo the hex spelling (hex of
+        # a-z is monotonic in char order, so tie-breaks agree too)
+        texts = [(1, "banana bandana apple apple"), (2, "low lower lowest")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        char_merges = TX.bpe_learn(df, n_merges=4).collect()
+        from tafra_spark.functions.text import _bpe_state
+
+        byte_merges, _ = _bpe_state(df, n_merges=4, alphabet="bytes")
+
+        def hexify(s: str) -> str:
+            return s.encode("utf-8").hex().upper()
+
+        assert [
+            (m["step"], hexify(m["left_sym"]), hexify(m["right_sym"]),
+             m["pair_count"])
+            for m in char_merges
+        ] == [(s, l, r, c) for s, l, r, _m, c in byte_merges]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            TX.bpe_encode_bytes(df, text_col="nope")
+        with pytest.raises(ValueError):
+            TX.bpe_encode_bytes(df, id_col="nope")
+        from tafra_spark.functions.text import _bpe_state
+
+        with pytest.raises(ValueError):
+            _bpe_state(df, alphabet="words")
+
+
+class TestLanguageIdV2:
+    FIXTURES = [
+        ("the cat sat with the dog and it was this fine day", "en"),
+        ("der hund und die katze sind nicht auf dem tisch", "de"),
+        ("le chien est dans le jardin pour une promenade", "fr"),
+        ("el perro está muy contento pero sin una pelota", "es"),
+        ("il cane che corre sono anche gli amici nel parco", "it"),
+        ("o cão não está com os amigos você já foi também", "pt"),
+        ("het is een mooie dag maar niet voor iedereen ook zijn", "nl"),
+        ("bu bir güzel gün ve çok daha iyi için değil", "tr"),
+        ("to jest nie tak jak się czy już który oraz", "pl"),
+        ("och det är som att en inte av för med", "sv"),
+        ("je to se že jsou byl však jako pro která", "cs"),
+        ("și nu este cu din mai pentru care sunt să", "ro"),
+        ("привет как дела сегодня хороший день", "ru"),
+        ("γεια σας καλημέρα τι κάνετε σήμερα", "el"),
+        ("مرحبا كيف حالك اليوم جميل", "ar"),
+        ("שלום מה שלומך היום יפה", "he"),
+        ("नमस्ते आप कैसे हैं आज अच्छा दिन है", "hi"),
+        ("今天天气很好我们去公园散步", "zh"),
+        ("今日はいい天気ですね公園に行きましょう", "ja"),
+        ("안녕하세요 오늘 날씨가 좋네요", "ko"),
+        ("สวัสดีครับวันนี้อากาศดีมาก", "th"),
+        # undetermined: empty / null / digits / unknown Latin words
+        ("", "und"),
+        (None, "und"),
+        ("12345 !!! ???", "und"),
+        ("xyzzy plugh quux", "und"),
+        # mixed: a mostly-English doc quoting two Russian words stays
+        # on the Latin path; a Russian doc with an ASCII token does not
+        ("mostly english the and was that this with русских слов", "en"),
+        ("привет хороший день сегодня ascii7", "ru"),
+        # punctuation-wrapped and capitalized function words still hit
+        ("The, dog. And this! That was?", "en"),
+    ]
+
+    def test_fixtures_and_sql_mirror(self, spark):
+        import duckdb
+
+        from tafra_spark.functions.text import (
+            language_id_v2,
+            language_id_v2_sql,
+        )
+
+        df = spark.createDataFrame(self.FIXTURES, "t string, exp string")
+        got = df.select(
+            "exp", language_id_v2(F.col("t")).alias("v2"), "t"
+        ).collect()
+        for r in got:
+            assert r["v2"] == r["exp"], r["t"]
+        con = duckdb.connect()
+        mirror = language_id_v2_sql("t")
+        for t, exp in self.FIXTURES:
+            dv = con.execute(
+                f"WITH d(t) AS (VALUES ($1)) SELECT {mirror} FROM d", [t]
+            ).fetchone()[0]
+            assert dv == exp, t
+
+    def test_differential_vs_v1_on_non_latin(self, spark):
+        # the r9 verdict's gap: v1 answers 'und' for every non-Latin
+        # script (and for 8 of the 12 Latin profiles); v2 resolves all
+        from tafra_spark.functions.text import language_id, language_id_v2
+
+        non_latin = [
+            (t, e) for t, e in self.FIXTURES
+            if e in ("ru", "el", "ar", "he", "hi", "zh", "ja", "ko", "th")
+        ]
+        df = spark.createDataFrame(non_latin, "t string, exp string")
+        rows = df.select(
+            "exp",
+            language_id(F.col("t")).alias("v1"),
+            language_id_v2(F.col("t")).alias("v2"),
+        ).collect()
+        assert all(r["v1"] == "und" for r in rows)
+        assert all(r["v2"] == r["exp"] for r in rows)
+
+    def test_profile_words_globally_unique(self):
+        from tafra_spark.functions.text import _LANG_PROFILES
+
+        words = [w for ws in _LANG_PROFILES.values() for w in ws]
+        assert len(words) == len(set(words))
+        assert len(_LANG_PROFILES) == 12

@@ -452,6 +452,66 @@ class TestWarcSource:
             texts, compress=True
         )
 
+    def test_wat_build_round_trip(self):
+        # r10: the WAT metadata sidecar — leading warcinfo, then one
+        # application/json metadata record per page with the WET-style
+        # deterministic WARC-Refers-To linkage; the envelope carries
+        # the title (whitespace-collapsed), RFC 3986-resolved outlinks
+        # in document order (double- AND single-quoted hrefs), and the
+        # markup's UTF-8 byte length
+        import json
+
+        from tafra_spark.sources.warc import (
+            build_wat,
+            parse_warc,
+            warc_record_id,
+        )
+
+        pages = [
+            (
+                "http://example.com/dir/page",
+                "<html><head><title>  A\n  Title </title></head><body>"
+                '<a href="/abs">x</a>'
+                "<a href='../up'>y</a>"
+                '<a href="https://other.example/z">z</a>'
+                "</body></html>",
+            ),
+            # no title, no links, non-ASCII body
+            ("http://example.com/b", "<p>café über</p>"),
+        ]
+        for compress in (False, True):
+            got = list(parse_warc(build_wat(pages, compress=compress)))
+            assert got[0]["warc_type"] == "warcinfo", compress
+            meta = got[1:]
+            assert [r["warc_type"] for r in meta] == ["metadata"] * 2
+            assert all(
+                r["content_type"] == "application/json" for r in meta
+            )
+            assert all(r["digest_ok"] is True for r in meta)
+            for r, (url, html) in zip(meta, pages):
+                assert r["url"] == url
+                want = warc_record_id(
+                    "response", "2024-01-01T00:00:00Z", url
+                )
+                assert r["refers_to"] == f"<urn:uuid:{want}>"
+                env = json.loads(r["payload"].decode("utf-8"))
+                assert env["html_length"] == len(html.encode("utf-8"))
+            env_a = json.loads(meta[0]["payload"].decode("utf-8"))
+            assert env_a["title"] == "A Title"
+            assert env_a["outlinks"] == [
+                "http://example.com/abs",
+                "http://example.com/up",
+                "https://other.example/z",
+            ]
+            env_b = json.loads(meta[1]["payload"].decode("utf-8"))
+            assert env_b["title"] == ""
+            assert env_b["outlinks"] == []
+        # canonical JSON => byte-identical rebuilds
+        assert build_wat(pages) == build_wat(pages)
+        assert build_wat(pages, compress=True) == build_wat(
+            pages, compress=True
+        )
+
     def test_revisit_record_linkage(self):
         # late r9: the storage-dedup record type — a revisit stub
         # carries no payload and links back to the original capture
@@ -1813,3 +1873,76 @@ class TestUrlNormalize:
         sql = url_normalize_sql("$1")
         for u, w in cases:
             assert con.execute(f"SELECT {sql}", [u]).fetchone()[0] == w, u
+
+
+class TestRecrawlDecision:
+    """r10: ETag/Last-Modified/Cache-Control recrawl policy."""
+
+    CASES = [
+        # (etag, last_modified, cache_control, age_s,
+        #  want_validator, want_decision)
+        # fresh under max-age -> skip regardless of validators
+        ('"v1"', "", "max-age=3600", 100, "if-none-match", "skip"),
+        ("", "Mon, 01 Jan 2024 00:00:00 GMT", "public, max-age=600",
+         600, "if-modified-since", "skip"),
+        # stale -> revalidate with the preferred validator
+        ('"v1"', "Mon, 01 Jan 2024 00:00:00 GMT", "max-age=60", 61,
+         "if-none-match", "revalidate"),
+        ("", "Mon, 01 Jan 2024 00:00:00 GMT", "max-age=60", 3600,
+         "if-modified-since", "revalidate"),
+        # stale and no validator -> fetch
+        ("", "", "max-age=60", 61, "", "fetch"),
+        # no caching metadata at all -> fetch
+        ("", "", "", 0, "", "fetch"),
+        (None, None, None, 5, "", "fetch"),
+        # validators without freshness info -> revalidate
+        ('"x"', "", "", 10, "if-none-match", "revalidate"),
+        # no-store always refetches, even fresh with validators
+        ('"v"', "Mon, 01 Jan 2024 00:00:00 GMT",
+         "no-store, max-age=9999", 1, "if-none-match", "fetch"),
+        # no-cache forces revalidation (or fetch without a validator)
+        ('"v"', "", "no-cache, max-age=9999", 1,
+         "if-none-match", "revalidate"),
+        ("", "", "no-cache", 1, "", "fetch"),
+        # case-insensitive directives
+        ("", "Mon, 01 Jan 2024 00:00:00 GMT",
+         "private, NO-CACHE, must-revalidate", 1,
+         "if-modified-since", "revalidate"),
+        ("", "", "Max-Age=100", 100, "", "skip"),
+        # boundary: age == max-age is still fresh (RFC 9111 §4.2:
+        # response age < freshness lifetime; we use <= on whole
+        # seconds, matching a conservative crawler)
+        ("", "", "max-age=100", 101, "", "fetch"),
+        # a directive NAMED like max-age must not match (token rule)
+        ("", "", "s-maxage=9999", 1, "", "fetch"),
+    ]
+
+    def test_three_mirrors(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            recrawl_decision,
+            recrawl_decision_sql,
+            recrawl_validator,
+            recrawl_validator_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(e, lm, cc, a) for e, lm, cc, a, _, _ in self.CASES],
+            "etag string, lm string, cc string, age long",
+        )
+        got = df.select(
+            recrawl_validator("etag", "lm").alias("v"),
+            recrawl_decision("etag", "lm", "cc", "age").alias("d"),
+        ).collect()
+        for row, case in zip(got, self.CASES):
+            assert (row["v"], row["d"]) == (case[4], case[5]), case
+        con = duckdb.connect()
+        vsql = recrawl_validator_sql("$1", "$2")
+        dsql = recrawl_decision_sql("$1", "$2", "$3", "$4")
+        for e, lm, cc, a, wv, wd in self.CASES:
+            gv = con.execute(f"SELECT {vsql}", [e, lm]).fetchone()[0]
+            gd = con.execute(
+                f"SELECT {dsql}", [e, lm, cc, a]
+            ).fetchone()[0]
+            assert (gv, gd) == (wv, wd), (e, lm, cc, a)

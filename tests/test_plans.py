@@ -888,6 +888,31 @@ class TestR5Batch3PlanShape:
         assert "CartesianProduct" not in s
         assert "BroadcastNestedLoopJoin" not in s
 
+    def test_bpe_encode_bytes_same_plan_shape(self, spark):
+        # r10: the byte-mode encoder must keep the char-mode plan
+        # contract — broadcast dictionary join, no nested-loop shapes
+        from tafra_spark.functions.text import bpe_encode_bytes
+        from tafra_spark.plans.inspect import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = bpe_encode_bytes(docs, n_merges=2)
+        s = explain_str(df, "simple")
+        assert has_broadcast_join(df)
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
+    def test_language_id_v2_zero_shuffle(self, spark):
+        # r10: script counting + the Latin profile vote are one
+        # projection over the scan — no exchange, no join
+        from tafra_spark.functions.text import language_id_v2
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = docs.select("doc_id", language_id_v2(F.col("text")).alias("l"))
+        s = explain_str(df, "simple")
+        assert count_exchanges(df) == 0
+        assert "Join" not in s
+
     def test_zipf_window_runs_on_vocab_not_corpus(self, spark):
         from tafra_spark.functions.analytics import zipf_fit
         from tafra_spark.plans.inspect import count_exchanges, explain_str
