@@ -108,6 +108,17 @@ HEADLINE = [
     # sequences with the learned merges) — the broadcast-join + per-doc
     # rebuild plan deserves its own wall guard, separate from training
     "bpe_encode_docs",
+    # r10 additions: the byte-level tokenize path (encode + the
+    # tokenize->pack composition — the heaviest new plans, each one
+    # byte-mode learner + broadcast encode), the script+profile
+    # language gate (a wide zero-shuffle projection worth a wall
+    # guard), and the two new crawl projections (WAT build rides an
+    # Arrow stage; recrawl is pure codegen)
+    "bpe_byte_encode_docs",
+    "tokenize_pack_docs",
+    "language_id_v2_docs",
+    "wat_metadata_docs",
+    "recrawl_decision_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
