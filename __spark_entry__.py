@@ -2965,21 +2965,29 @@ _ASSET_META_SCHEMA = (
 
 
 def _image_asset_decode(spark, sf_dir, builder_name: str) -> DataFrame:
-    """Shared body of the three JPEG decode queries: build one
-    deterministic 16x16 image per document id with the named
-    multimodal byte builder, then run the Arrow-batched decode stage.
-    The documents scan is one small parquet split locally, which would
-    run the pure-Python codec SERIALLY; spreading the asset ids across
-    the executor cores first costs nothing next to the per-asset codec
-    work (at warehouse scale the input already arrives in many
-    splits)."""
+    """Shared body of the JPEG decode queries: build one deterministic
+    16x16 image per document id with the named multimodal byte
+    builder, then run the Arrow-batched decode stage. The documents
+    scan is one small parquet split locally, which would run the
+    pure-Python codec SERIALLY; spreading the asset ids first costs
+    nothing next to the per-asset codec work (at warehouse scale the
+    input already arrives in many splits and the repartition is moot).
+
+    Spread width (r10, the JPEG wall ticket): HALF the core count, not
+    all of it — each task of this pipeline chains TWO Arrow-Python
+    evals (the encode builder feeding decode_images), i.e. two Python
+    worker processes per task slot. At full width that double-books
+    every core (64 workers on 32 cores); measured at sf0.1 the
+    half-width spread runs the whole query 1.8x faster (0.88 -> 0.48 s)
+    with identical results — the codec compute is ~20 ms/task, so the
+    wall is worker scheduling, which oversubscription only inflates."""
     from tafra_spark.functions import multimodal as MM
 
     builder = getattr(MM, builder_name)
     ids = (
         _read(spark, sf_dir, "documents")
         .select(F.col("doc_id").alias("asset_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(max(1, spark.sparkContext.defaultParallelism // 2))
     )
 
     def encode(batches):

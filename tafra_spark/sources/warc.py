@@ -387,11 +387,12 @@ def read_warc(
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in WARC_SCHEMA}
-            for _, row in pdf.iterrows():
-                for rec in parse_warc(bytes(row["content"])):
+            # column zip, not iterrows() (per-row Series cost, r10)
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content)):
                     if keep and rec["warc_type"] not in keep:
                         continue
-                    rows["path"].append(row["path"])
+                    rows["path"].append(path)
                     for k in (
                         "warc_type", "url", "date", "content_type",
                         "content_length", "payload", "digest_ok",
