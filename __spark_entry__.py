@@ -2749,10 +2749,14 @@ def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # script). Each doc gets a per-language fixture sentence
     # (doc_id % 21); the query grades v2 against the known language,
     # reports the old v1 vote as the differential (v1 identifies 4 of
-    # 21), and also runs v2 over the real document text. Zero-shuffle
-    # expression tree on both engines; the oracle executes the SAME
-    # decision tree via the generated language_id_v2_sql mirror.
-    from tafra_spark.functions.text import language_id, language_id_v2
+    # 21), and also runs v2 over the real document text. STAGED
+    # evaluation (with_language_id_v2) on both engines: the first cut
+    # inlined three full v2 trees and timed 16.5 s at sf0.1 / 53 s on
+    # the DuckDB proxy — HOF lambdas evaluate interpreted, so the
+    # token array was rebuilt 12×3 times per row; materializing the
+    # parts as columns is ~15× faster with identical results. Still
+    # zero shuffle.
+    from tafra_spark.functions.text import language_id, with_language_id_v2
 
     snippet = F.lit(None).cast("string")
     for i, (_lang, text) in enumerate(_LANG_SNIPPETS):
@@ -2767,15 +2771,18 @@ def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", snippet.alias("snip"), expected.alias("expected")
     )
-    return docs.select(
+    staged = with_language_id_v2(
+        with_language_id_v2(docs, text_col="snip", out="pred_v2"),
+        text_col="text",
+        out="doc_lang_v2",
+    )
+    return staged.select(
         "doc_id",
         "expected",
         language_id(F.col("snip")).alias("pred_v1"),
-        language_id_v2(F.col("snip")).alias("pred_v2"),
-        (language_id_v2(F.col("snip")) == F.col("expected")).alias(
-            "agree_v2"
-        ),
-        language_id_v2(F.col("text")).alias("doc_lang_v2"),
+        "pred_v2",
+        (F.col("pred_v2") == F.col("expected")).alias("agree_v2"),
+        "doc_lang_v2",
     )
 
 
@@ -5499,10 +5506,20 @@ def _lang_id_sql() -> str:
 def _langid_v2_sql() -> str:
     """DuckDB mirror of ``language_id_v2_docs``: the snippet/expected
     CASEs come from the same ``_LANG_SNIPPETS`` table, the v1 vote
-    reuses ``_lang_id_sql``'s hit chains over the snippet, and v2 is
-    the generated ``text.language_id_v2_sql`` tree — identical \\x{..}
-    script patterns and profile lists on both engines."""
-    from tafra_spark.functions.text import language_id_v2_sql
+    reuses ``_lang_id_sql``'s hit chains over the snippet, and v2 runs
+    STAGED like the Spark side (token arrays + script counts
+    materialized in CTE columns, hits in the next stage, the shared
+    ``_v2_decision_sql`` tree over the column names) — the inline
+    mirror evaluated three full trees per row and timed 53 s at sf0.1
+    (r10); staging is ~50× cheaper with identical values."""
+    from tafra_spark.functions.text import (
+        _LANG_PROFILES,
+        _SCRIPT_RANGES,
+        _v2_cnt_sql,
+        _v2_decision_sql,
+        _v2_hit_sql,
+        _v2_toks_sql,
+    )
 
     snip_case = "CASE doc_id % 21 " + " ".join(
         f"WHEN {i} THEN '{t}'" for i, (_l, t) in enumerate(_LANG_SNIPPETS)
@@ -5530,8 +5547,26 @@ def _langid_v2_sql() -> str:
             f"CASE WHEN best > 0 AND hits_{lang} = best "
             f"THEN '{lang}' ELSE {v1_case} END"
         )
-    v2_snip = language_id_v2_sql("snip")
-    v2_text = language_id_v2_sql("text")
+    # staged v2 parts for both inputs (s_* = snippet, t_* = doc text)
+    part_cols = ", ".join(
+        [f"{_v2_toks_sql('snip')} AS s_toks",
+         f"{_v2_toks_sql('text')} AS t_toks"]
+        + [f"{_v2_cnt_sql('snip', n)} AS s_sc_{n}" for n in _SCRIPT_RANGES]
+        + [f"{_v2_cnt_sql('text', n)} AS t_sc_{n}" for n in _SCRIPT_RANGES]
+    )
+    hit_cols = ", ".join(
+        [f"{_v2_hit_sql('s_toks', l)} AS s_hit_{l}" for l in _LANG_PROFILES]
+        + [f"{_v2_hit_sql('t_toks', l)} AS t_hit_{l}"
+           for l in _LANG_PROFILES]
+    )
+    dec_s = _v2_decision_sql(
+        {n: f"s_sc_{n}" for n in _SCRIPT_RANGES},
+        {l: f"s_hit_{l}" for l in _LANG_PROFILES},
+    )
+    dec_t = _v2_decision_sql(
+        {n: f"t_sc_{n}" for n in _SCRIPT_RANGES},
+        {l: f"t_hit_{l}" for l in _LANG_PROFILES},
+    )
     return rf"""
     WITH d AS (
       SELECT doc_id, text, {snip_case} AS snip, {exp_case} AS expected
@@ -5544,13 +5579,19 @@ def _langid_v2_sql() -> str:
       FROM d
     ),
     h AS (SELECT doc_id, text, snip, expected, {hits_cols} FROM t),
-    b AS (SELECT *, {best} AS best FROM h)
-    SELECT doc_id, expected,
-           {v1_case} AS pred_v1,
-           {v2_snip} AS pred_v2,
-           ({v2_snip} = expected) AS agree_v2,
-           {v2_text} AS doc_lang_v2
-    FROM b
+    b AS (SELECT *, {best} AS best FROM h),
+    p1 AS (SELECT *, {part_cols} FROM b),
+    p2 AS (SELECT *, {hit_cols} FROM p1),
+    p3 AS (
+      SELECT doc_id, expected,
+             {v1_case} AS pred_v1,
+             {dec_s} AS pred_v2,
+             {dec_t} AS doc_lang_v2
+      FROM p2
+    )
+    SELECT doc_id, expected, pred_v1, pred_v2,
+           (pred_v2 = expected) AS agree_v2, doc_lang_v2
+    FROM p3
     """
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "bpe_encode_bytes",
     "language_id_v2",
     "language_id_v2_sql",
+    "with_language_id_v2",
     "readability_scores",
     "bpe_select_batch",
 ]
@@ -245,28 +246,16 @@ def _script_pattern(name: str) -> str:
     ) + "]"
 
 
-def language_id_v2(col: Column) -> Column:
-    """Script-aware language ID over ~20 languages (r10). See the
-    block comment above for the decision procedure. Pure expression
-    tree — zero shuffle, no UDF; 'und' when no script letters and no
-    profile hits. A non-Latin script decides when its letter count is
-    positive and at least half of the Latin letter count (so a
-    mostly-English document quoting one Russian word stays on the
-    Latin path, but genuinely mixed text prefers the rarer script)."""
-    # threshold calibration (r10): *4 (a 20% share) flipped a mostly-
-    # English sentence quoting two Russian words to 'ru'; *2 (a 50%
-    # share of the Latin count) keeps quotes/loanwords on the Latin
-    # path while any predominantly non-Latin document still resolves
-    s = F.coalesce(col, F.lit(""))
-    n = F.length(s)
-    cnt = {
-        name: n - F.length(F.regexp_replace(s, _script_pattern(name), ""))
-        for name in _SCRIPT_RANGES
-    }
-    jazh = cnt["kana"] + cnt["hani"]
-    nl_scores = [cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]
-    best_nl = F.greatest(*nl_scores)
-    toks = F.filter(
+def _v2_script_count(s: Column, name: str) -> Column:
+    """Letters of ``s`` in one script block (length delta)."""
+    return F.length(s) - F.length(
+        F.regexp_replace(s, _script_pattern(name), "")
+    )
+
+
+def _v2_toks(s: Column) -> Column:
+    """Edge-punct-stripped, ASCII-lowered token array of ``s``."""
+    return F.filter(
         F.transform(
             F.split(s, _WS_RE),
             lambda w: F.translate(F.btrim(w, F.lit(_EDGE_PUNCT)),
@@ -274,10 +263,27 @@ def language_id_v2(col: Column) -> Column:
         ),
         lambda t: t != "",
     )
-    hits = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
-        for lang, words in _LANG_PROFILES.items()
-    }
+
+
+def _v2_hit(toks: Column, lang: str) -> Column:
+    """Profile-word hit count of one language over a token array."""
+    words = _LANG_PROFILES[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def _v2_decision(cnt: dict, hits: dict) -> Column:
+    """The shared v2 decision tree over script counts + profile hits —
+    composed inline by :func:`language_id_v2` and over MATERIALIZED
+    columns by :func:`with_language_id_v2` (same tree, so the two
+    paths cannot drift).
+
+    Threshold calibration (r10): *4 (a 20% share) flipped a mostly-
+    English sentence quoting two Russian words to 'ru'; *2 (a 50%
+    share of the Latin count) keeps quotes/loanwords on the Latin
+    path while any predominantly non-Latin document still resolves."""
+    jazh = cnt["kana"] + cnt["hani"]
+    nl_scores = [cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]
+    best_nl = F.greatest(*nl_scores)
     best_lat = F.greatest(*hits.values())
     script_expr = F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh"))
     for sc, lang in reversed(_SCRIPT_LANGS):
@@ -296,41 +302,107 @@ def language_id_v2(col: Column) -> Column:
     )
 
 
-def language_id_v2_sql(expr: str) -> str:
-    """DuckDB mirror of :func:`language_id_v2`, generated from the
-    SAME range and profile tables — identical decision tree, RE2
-    executing the identical \\x{....} patterns, 'g'-flagged
-    regexp_replace, list_filter/list_transform for the vote."""
+def language_id_v2(col: Column) -> Column:
+    """Script-aware language ID over ~20 languages (r10). See the
+    block comment above for the decision procedure. Pure expression
+    tree — zero shuffle, no UDF; 'und' when no script letters and no
+    profile hits. A non-Latin script decides when its letter count is
+    positive and at least half of the Latin letter count (so a
+    mostly-English document quoting one Russian word stays on the
+    Latin path, but genuinely mixed text prefers the rarer script).
+
+    NOTE the evaluation-cost contract: this inline form rebuilds the
+    token array once per profile language (HOF lambdas evaluate
+    interpreted — Spark's codegen CSE does not reach them), which is
+    fine when the result is consumed ONCE per row. A corpus-scan
+    projection, or anything referencing the prediction several times,
+    should use :func:`with_language_id_v2`, which materializes the
+    parts as columns (measured 10× faster on the driver corpus)."""
+    s = F.coalesce(col, F.lit(""))
+    cnt = {name: _v2_script_count(s, name) for name in _SCRIPT_RANGES}
+    toks = _v2_toks(s)
+    hits = {lang: _v2_hit(toks, lang) for lang in _LANG_PROFILES}
+    return _v2_decision(cnt, hits)
+
+
+def with_language_id_v2(
+    df: DataFrame, text_col: str = "text", out: str = "lang_v2"
+) -> DataFrame:
+    """Staged corpus form of :func:`language_id_v2` (r10): three
+    stacked projections materialize (1) the token array + the 10
+    script counts, (2) the 12 profile-hit counts, (3) the decision —
+    so each part is computed ONCE per row instead of once per
+    reference (the token array alone is referenced 12× by the vote;
+    HOF lambdas evaluate interpreted, outside codegen CSE). Catalyst
+    keeps the stages separate because CollapseProject refuses to
+    inline non-cheap expressions referenced more than once. Still
+    zero-shuffle — three pipelined projections over the scan."""
+    pre = "__lid2__"
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    s1 = df.select(
+        "*",
+        _v2_toks(s).alias(f"{pre}toks"),
+        *[
+            _v2_script_count(s, name).alias(f"{pre}sc_{name}")
+            for name in _SCRIPT_RANGES
+        ],
+    )
+    s2 = s1.select(
+        "*",
+        *[
+            _v2_hit(F.col(f"{pre}toks"), lang).alias(f"{pre}hit_{lang}")
+            for lang in _LANG_PROFILES
+        ],
+    )
+    cnt = {name: F.col(f"{pre}sc_{name}") for name in _SCRIPT_RANGES}
+    hits = {lang: F.col(f"{pre}hit_{lang}") for lang in _LANG_PROFILES}
+    out_df = s2.withColumn(out, _v2_decision(cnt, hits))
+    drop = [f"{pre}toks"]
+    drop += [f"{pre}sc_{name}" for name in _SCRIPT_RANGES]
+    drop += [f"{pre}hit_{lang}" for lang in _LANG_PROFILES]
+    return out_df.drop(*drop)
+
+
+def _v2_cnt_sql(expr: str, name: str) -> str:
+    """SQL twin of :func:`_v2_script_count` (DuckDB literal keeps the
+    backslashes of the \\x{....} pattern verbatim)."""
     s = f"coalesce({expr}, '')"
+    pat = _script_pattern(name)
+    return (
+        f"(length({s}) - length(regexp_replace({s}, "
+        f"'{pat}', '', 'g')))"
+    )
 
-    def _cnt(name: str) -> str:
-        # DuckDB string literals keep backslashes as-is (no escape
-        # processing), so the pattern is embedded verbatim
-        pat = _script_pattern(name)
-        return (
-            f"(length({s}) - length(regexp_replace({s}, "
-            f"'{pat}', '', 'g')))"
-        )
 
-    cnt = {name: _cnt(name) for name in _SCRIPT_RANGES}
-    jazh = f"({cnt['kana']} + {cnt['hani']})"
-    nl_scores = [cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]
-    best_nl = "greatest(" + ", ".join(nl_scores) + ")"
+def _v2_toks_sql(expr: str) -> str:
+    """SQL twin of :func:`_v2_toks`."""
+    s = f"coalesce({expr}, '')"
     punct = _EDGE_PUNCT.replace("'", "''")
-    toks = (
+    return (
         f"list_filter(list_transform(regexp_split_to_array({s}, "
         f"'[ \\t\\r\\n\\x0b\\x0c]+'), "
         f"w -> translate(trim(w, '{punct}'), '{_AZ_UP}', '{_AZ_LO}')), "
         f"t -> t <> '')"
     )
-    hits = {
-        lang: (
-            f"len(list_filter({toks}, t -> t IN ("
-            + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
-            + ")))"
-        )
-        for lang, words in _LANG_PROFILES.items()
-    }
+
+
+def _v2_hit_sql(toks_expr: str, lang: str) -> str:
+    """SQL twin of :func:`_v2_hit` over a token-array expression."""
+    words = _LANG_PROFILES[lang]
+    return (
+        f"len(list_filter({toks_expr}, t -> t IN ("
+        + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        + ")))"
+    )
+
+
+def _v2_decision_sql(cnt: dict, hits: dict) -> str:
+    """SQL twin of :func:`_v2_decision` over count/hit expressions (or
+    staged column names) — shared by the inline mirror and the entry
+    query's staged-CTE oracle."""
+    jazh = f"({cnt['kana']} + {cnt['hani']})"
+    nl_scores = [cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]
+    best_nl = "greatest(" + ", ".join(nl_scores) + ")"
     best_lat = "greatest(" + ", ".join(hits.values()) + ")"
     script_whens = " ".join(
         f"WHEN {cnt[sc]} = {best_nl} THEN '{lang}'"
@@ -351,6 +423,20 @@ def language_id_v2_sql(expr: str) -> str:
         f"WHEN {best_lat} > 0 THEN {lat_case} "
         f"ELSE 'und' END)"
     )
+
+
+def language_id_v2_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`language_id_v2`, generated from the
+    SAME range and profile tables — identical decision tree, RE2
+    executing the identical \\x{....} patterns, 'g'-flagged
+    regexp_replace, list_filter/list_transform for the vote. Like the
+    Column form, this inlines every part — fine for one reference; a
+    corpus query should stage the parts in CTE columns via the
+    ``_v2_*_sql`` twins (the entry oracle does)."""
+    cnt = {name: _v2_cnt_sql(expr, name) for name in _SCRIPT_RANGES}
+    toks = _v2_toks_sql(expr)
+    hits = {lang: _v2_hit_sql(toks, lang) for lang in _LANG_PROFILES}
+    return _v2_decision_sql(cnt, hits)
 
 
 def fingerprint(col: Column) -> Column:
