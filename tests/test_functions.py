@@ -6887,6 +6887,52 @@ def _py_bpe_bytes(words_freq, n_merges):
     return merges, syms
 
 
+def _py_bpe_bytes_batched(words_freq, n_merges, batch):
+    """Byte-mode reference for BATCHED BPE: the _py_bpe_batched
+    schedule (static 2x rounds, dynamic caps, conservative disjoint
+    top-W subset) over hex-pair symbols."""
+    from tafra_spark.functions.text import bpe_select_batch
+
+    top_window = max(4, 8 * batch)
+    syms = {
+        w: ["%02X" % b for b in w.encode("utf-8")] for w in words_freq
+    }
+    merges = []
+    rounds = 2 * (-(-n_merges // batch))
+    step = 0
+    for _ in range(rounds):
+        cap = min(batch, n_merges - step)
+        if cap <= 0:
+            break
+        counts = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:top_window]
+        accepted = bpe_select_batch(
+            [(l, r, c) for (l, r), c in top], cap
+        )
+        rules = {(l, r): m for l, r, m, _c in accepted}
+        for step_off, (l, r, m, c) in enumerate(accepted, start=1):
+            merges.append((step + step_off, l, r, m, c))
+        step += len(accepted)
+        for w in syms:
+            s = syms[w]
+            out = [s[0]] if s else []
+            for x in s[1:]:
+                if out and (out[-1], x) in rules:
+                    out[-1] = rules[(out[-1], x)]
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
 class TestBpeEncodeBytes:
     TEXTS = [
         (1, "hello hello world 2024! café 你好"),
@@ -6964,6 +7010,24 @@ class TestBpeEncodeBytes:
              m["pair_count"])
             for m in char_merges
         ] == [(s, l, r, c) for s, l, r, _m, c in byte_merges]
+
+    def test_batched_byte_learner_matches_reference(self, spark):
+        # batch>1 in byte mode: same disjoint-batch schedule as char
+        # mode, over hex-pair symbols
+        texts = [(1, "aa ab Aa 77 aa ab"), (2, "aa 77 ab aa")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        words = {}
+        for _, t in texts:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        from tafra_spark.functions.text import _bpe_state
+
+        byte_merges, _ = _bpe_state(df, n_merges=4, batch=2,
+                                    alphabet="bytes")
+        ref_merges = _py_bpe_bytes_batched(words, 4, 2)
+        assert [
+            (s, l, r, c) for s, l, r, _m, c in byte_merges
+        ] == [(s, l, r, c) for s, l, r, _m, c in ref_merges]
 
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
