@@ -588,3 +588,21 @@ def test_survey_query_count_matches_registry():
         f"SURVEY.md §2.9 says {m.group(1)} registry queries, "
         f"registry has {len(q)}"
     )
+
+
+def test_driver_window_is_50_unique_registry_rows():
+    """The driver verifies the FIRST 50 queries() entries; the window
+    list must hold exactly 50 UNIQUE registry names (a duplicate would
+    silently shrink the verified set — rows 51+ are never checked) and
+    queries() must actually lead with it in order (r10)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    window = entry._R10_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    q = entry.queries()
+    assert list(q)[:50] == window
+    assert set(window) <= set(entry.oracle_sql())
