@@ -1216,9 +1216,14 @@ def recrawl_decision(
     age = (F.col(age_s) if isinstance(age_s, str) else age_s).cast("long")
     validator = recrawl_validator(etag, last_modified)
     ma = F.regexp_extract(cc, _CC_MAX_AGE, 1)
-    # nullif-then-cast: ma is '' or digits by construction, so the
-    # ANSI cast can never throw (the raw-cast gotcha)
-    ma_num = F.nullif(ma, F.lit("")).cast("long")
+    # try_cast, not cast: ma is '' or digits by construction, but an
+    # unbounded digit run can overflow int64 (real crawl headers ship
+    # garbage like max-age=9e22 spelled out) and Spark 4's ANSI cast
+    # would kill the whole projection on one such record. Overflow →
+    # NULL → the freshness branch falls through to revalidate/fetch —
+    # the fail-safe reading (RFC 9111 §1.2.2 lets caches saturate huge
+    # values; a crawler re-validating instead is strictly safer).
+    ma_num = F.nullif(ma, F.lit("")).try_cast("long")
     return (
         F.when(cc.rlike(_CC_NO_STORE), F.lit("fetch"))
         .when(
@@ -1250,14 +1255,18 @@ def recrawl_decision_sql(
     (RE2 executes the same (?i) groups), identical CASE order."""
     cc = f"coalesce({cache_control}, '')"
     validator = recrawl_validator_sql(etag, last_modified)
-    ma = f"nullif(regexp_extract({cc}, '{_CC_MAX_AGE}', 1), '')"
+    # TRY_CAST mirrors the Spark side's overflow fail-safe
+    ma = (
+        f"TRY_CAST(nullif(regexp_extract({cc}, '{_CC_MAX_AGE}', 1), '')"
+        f" AS BIGINT)"
+    )
     return (
         f"(CASE WHEN regexp_matches({cc}, '{_CC_NO_STORE}') THEN 'fetch' "
         f"WHEN regexp_matches({cc}, '{_CC_NO_CACHE}') THEN "
         f"(CASE WHEN {validator} <> '' THEN 'revalidate' "
         f"ELSE 'fetch' END) "
-        f"WHEN CAST({ma} AS BIGINT) IS NOT NULL "
-        f"AND CAST({age_s} AS BIGINT) <= CAST({ma} AS BIGINT) "
+        f"WHEN {ma} IS NOT NULL "
+        f"AND CAST({age_s} AS BIGINT) <= {ma} "
         f"THEN 'skip' "
         f"WHEN {validator} <> '' THEN 'revalidate' "
         f"ELSE 'fetch' END)"

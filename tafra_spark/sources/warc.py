@@ -199,8 +199,12 @@ def build_wat(
         )
     ]
     title_re = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+    # the [ \t\r\n"'] boundary before href keeps attributes that merely
+    # END in href (data-href, xhref) from minting phantom outlinks —
+    # every real href is preceded by whitespace or a closing quote
     href_re = re.compile(
-        r"(?i)<a[^>]*href[ \t\r\n]*=[ \t\r\n]*(?:\"([^\"]*)\"|'([^']*)')"
+        r"(?i)<a[^>]*[ \t\r\n\"']href[ \t\r\n]*=[ \t\r\n]*"
+        r"(?:\"([^\"]*)\"|'([^']*)')"
     )
     for url, html in records:
         m = title_re.search(html)

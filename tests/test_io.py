@@ -478,12 +478,20 @@ class TestWarcSource:
             ),
             # no title, no links, non-ASCII body
             ("http://example.com/b", "<p>café über</p>"),
+            # r10 review fix: attributes merely ENDING in href
+            # (data-href) must not mint phantom outlinks — only the
+            # real href counts
+            (
+                "http://example.com/c",
+                "<a data-href='/tracker' href='/real'>x</a>"
+                "<a data-href='/ghost'>y</a>",
+            ),
         ]
         for compress in (False, True):
             got = list(parse_warc(build_wat(pages, compress=compress)))
             assert got[0]["warc_type"] == "warcinfo", compress
             meta = got[1:]
-            assert [r["warc_type"] for r in meta] == ["metadata"] * 2
+            assert [r["warc_type"] for r in meta] == ["metadata"] * 3
             assert all(
                 r["content_type"] == "application/json" for r in meta
             )
@@ -506,6 +514,8 @@ class TestWarcSource:
             env_b = json.loads(meta[1]["payload"].decode("utf-8"))
             assert env_b["title"] == ""
             assert env_b["outlinks"] == []
+            env_c = json.loads(meta[2]["payload"].decode("utf-8"))
+            assert env_c["outlinks"] == ["http://example.com/real"]
         # canonical JSON => byte-identical rebuilds
         assert build_wat(pages) == build_wat(pages)
         assert build_wat(pages, compress=True) == build_wat(
@@ -1915,6 +1925,12 @@ class TestRecrawlDecision:
         ("", "", "max-age=100", 101, "", "fetch"),
         # a directive NAMED like max-age must not match (token rule)
         ("", "", "s-maxage=9999", 1, "", "fetch"),
+        # r10 review fix: an int64-overflowing max-age must not kill
+        # the projection (ANSI cast) — try_cast -> NULL -> fail-safe
+        # revalidate/fetch instead of "fresh forever"
+        ('"v"', "", "max-age=99999999999999999999999", 1,
+         "if-none-match", "revalidate"),
+        ("", "", "max-age=99999999999999999999999", 1, "", "fetch"),
     ]
 
     def test_three_mirrors(self, spark):
