@@ -901,6 +901,18 @@ class TestR5Batch3PlanShape:
         assert "CartesianProduct" not in s
         assert "BroadcastNestedLoopJoin" not in s
 
+    def test_tokenize_pack_window_partitions_by_source(self, spark):
+        # r10: the pack composition's cumulative window must partition
+        # by source — a global (single-partition) sort would serialize
+        # the whole corpus through one task at scale
+        import __spark_entry__ as entry
+        from tafra_spark.plans.inspect import explain_str
+
+        df = entry.queries()["tokenize_pack_docs"](spark, SF)
+        s = explain_str(df, "simple")
+        assert "SinglePartition" not in s
+        assert "CartesianProduct" not in s
+
     def test_language_id_v2_zero_shuffle(self, spark):
         # r10: script counting + the Latin profile vote are one
         # projection over the scan — no exchange, no join
