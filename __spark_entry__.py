@@ -6377,8 +6377,16 @@ def _bpe_ctes_sql(
     both sides are non-empty), unlike a global replace-all, which skips
     the second pair of an even run because consecutive matches share
     the boundary separator. ``n_folds`` must be >= the max merges per
-    word per stage, i.e. max word length / 2 (the synthetic vocab maxes
-    at 8 chars).
+    word per stage, i.e. max word SYMBOL length / 2 — for char mode
+    that is word length / 2 (the synthetic vocab maxes at 8 chars, so
+    the default 8 is ample); for BYTE mode (``w0_sql`` overrides) the
+    symbol count is the word's UTF-8 byte length, which the ``^[a-z]+$``
+    gate no longer bounds — byte-mode callers must size ``n_folds`` to
+    ceil(max corpus word bytes / 2) or the oracle silently under-folds
+    long words (numbers, URLs) and diverges from Spark's unbounded
+    aggregate fold (r10 advice; the byte-mode builders below pass 16,
+    covering words to 32 UTF-8 bytes — the decorated corpus maxes at
+    12).
 
     ``w0_sql`` overrides the base word-dictionary CTE body (r10): the
     byte-mode learner supplies a w0 whose symbol string is the word's
@@ -6898,6 +6906,9 @@ def _bpe_encode_bytes_sql(n_merges: int = 8) -> str:
     a row (wordless text comes back as zeros)."""
     ctes = _bpe_ctes_sql(
         n_merges,
+        # byte mode: n_folds sized for words up to 32 UTF-8 bytes (the
+        # ^[a-z]+$ gate no longer bounds word length; see _bpe_ctes_sql)
+        n_folds=16,
         w0_sql="""
 docs AS MATERIALIZED (
   SELECT doc_id, {deco} AS text FROM documents
@@ -6923,7 +6934,10 @@ def _tokenize_pack_sql(n_merges: int = 8, budget: int = 512) -> str:
     instead of the whitespace proxy), and hash each bin's concatenated
     id stream so a packing slip anywhere (order, bin split, id values)
     hash-fails."""
-    ctes = _bpe_ctes_sql(n_merges, w0_sql=_bpe_bytes_w0_sql("documents"))
+    ctes = _bpe_ctes_sql(
+        # byte-mode n_folds sizing: see _bpe_ctes_sql / r10 advice
+        n_merges, n_folds=16, w0_sql=_bpe_bytes_w0_sql("documents")
+    )
     return ctes + _bpe_bytes_body_sql("documents", n_merges) + r"""
 , enc AS (
   SELECT d.doc_id, d.source,

@@ -1164,9 +1164,15 @@ def resolve_redirects(
 # unconditionally. Pure expression projections — zero shuffle, shared
 # Java∩RE2 patterns, generated DuckDB mirrors.
 
-_CC_NO_STORE = r"(?i)(?:^|[, ])no-store(?:$|[ ,])"
-_CC_NO_CACHE = r"(?i)(?:^|[, ])no-cache(?:$|[ ,=])"
-_CC_MAX_AGE = r"(?i)(?:^|[, ])max-age=([0-9]+)"
+# boundary classes include \t: RFC 7230 OWS allows HTAB around the
+# list comma ('max-age=900,\tno-store' is legal), and missing the
+# no-store match while still matching max-age would classify an
+# uncacheable response 'skip' — the one wrong-direction miss (r10
+# advice). The \t escape parses identically in Java regex and RE2, so
+# the shared strings keep covering both engines.
+_CC_NO_STORE = r"(?i)(?:^|[,\t ])no-store(?:$|[\t ,])"
+_CC_NO_CACHE = r"(?i)(?:^|[,\t ])no-cache(?:$|[\t ,=])"
+_CC_MAX_AGE = r"(?i)(?:^|[,\t ])max-age=([0-9]+)"
 
 
 def recrawl_validator(

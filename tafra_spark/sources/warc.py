@@ -201,9 +201,16 @@ def build_wat(
     title_re = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
     # the [ \t\r\n"'] boundary before href keeps attributes that merely
     # END in href (data-href, xhref) from minting phantom outlinks —
-    # every real href is preceded by whitespace or a closing quote
+    # every real href is preceded by whitespace or a closing quote;
+    # the (?![a-z0-9-]) tag-name anchor keeps tags that merely START
+    # with 'a' (<abbr href=...>, <applet>, custom <a-foo>) from
+    # counting as anchors (r10 advice). Known residual false positive,
+    # inherent to regex extraction: an "href=" string INSIDE another
+    # attribute's quoted value (title="a href='x'") still matches —
+    # documented rather than fixed because ruling it out needs real
+    # attribute tokenization, not a longer regex.
     href_re = re.compile(
-        r"(?i)<a[^>]*[ \t\r\n\"']href[ \t\r\n]*=[ \t\r\n]*"
+        r"(?i)<a(?![a-z0-9-])[^>]*[ \t\r\n\"']href[ \t\r\n]*=[ \t\r\n]*"
         r"(?:\"([^\"]*)\"|'([^']*)')"
     )
     for url, html in records:

@@ -486,12 +486,22 @@ class TestWarcSource:
                 "<a data-href='/tracker' href='/real'>x</a>"
                 "<a data-href='/ghost'>y</a>",
             ),
+            # r11 advice fix: tags merely STARTING with 'a' (<abbr>,
+            # <applet>, custom <a-chip>) must not count as anchors —
+            # only the <a> element's href is an outlink
+            (
+                "http://example.com/d",
+                "<abbr href='/not-a-link'>HTML</abbr>"
+                "<applet href=\"/legacy\">j</applet>"
+                "<a-chip href='/custom'>c</a-chip>"
+                "<A HREF='/upper'>u</A>",
+            ),
         ]
         for compress in (False, True):
             got = list(parse_warc(build_wat(pages, compress=compress)))
             assert got[0]["warc_type"] == "warcinfo", compress
             meta = got[1:]
-            assert [r["warc_type"] for r in meta] == ["metadata"] * 3
+            assert [r["warc_type"] for r in meta] == ["metadata"] * 4
             assert all(
                 r["content_type"] == "application/json" for r in meta
             )
@@ -516,6 +526,8 @@ class TestWarcSource:
             assert env_b["outlinks"] == []
             env_c = json.loads(meta[2]["payload"].decode("utf-8"))
             assert env_c["outlinks"] == ["http://example.com/real"]
+            env_d = json.loads(meta[3]["payload"].decode("utf-8"))
+            assert env_d["outlinks"] == ["http://example.com/upper"]
         # canonical JSON => byte-identical rebuilds
         assert build_wat(pages) == build_wat(pages)
         assert build_wat(pages, compress=True) == build_wat(
@@ -1931,6 +1943,14 @@ class TestRecrawlDecision:
         ('"v"', "", "max-age=99999999999999999999999", 1,
          "if-none-match", "revalidate"),
         ("", "", "max-age=99999999999999999999999", 1, "", "fetch"),
+        # r11 advice fix: RFC 7230 OWS allows HTAB after the list
+        # comma — 'max-age=900,\tno-store' must still read no-store
+        # (missing it classified an uncacheable response 'skip', the
+        # one wrong-direction miss)
+        ('"v"', "", "max-age=900,\tno-store", 1, "if-none-match",
+         "fetch"),
+        ("", "", "max-age=900,\tno-cache", 1, "", "fetch"),
+        ("", "", "public,\tmax-age=100", 50, "", "skip"),
     ]
 
     def test_three_mirrors(self, spark):
