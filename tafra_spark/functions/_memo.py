@@ -27,12 +27,13 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cached_collect", "plan_memo", "clear_memos"]
+__all__ = ["cached_collect", "plan_memo", "state_memo", "clear_memos"]
 
 _MAX_ENTRIES = 128
 
 _collects: OrderedDict[tuple, list] = OrderedDict()
 _plans: OrderedDict[tuple, DataFrame] = OrderedDict()
+_states: OrderedDict[tuple, object] = OrderedDict()
 
 
 def _session_key(df: DataFrame) -> str:
@@ -71,6 +72,28 @@ def clear_memos() -> None:
     """
     _collects.clear()
     _plans.clear()
+    _states.clear()
+
+
+def state_memo(key_parts: tuple, build):
+    """Return previously built session-scoped immutable state for
+    ``key_parts`` or build and remember it — :func:`plan_memo`'s
+    arbitrary-value sibling, for build artifacts that are not a single
+    DataFrame (e.g. the BPE learner's ``(merges, dictionary)`` pair:
+    a trained tokenizer is a build-time constant served to every
+    downstream encode, exactly like an ANN index's codebooks). The
+    caller owns key hygiene: include the session UUID and the semantic
+    hash of every input plan the state was derived from, so a changed
+    input or a new session can never serve stale state."""
+    hit = _states.get(key_parts)
+    if hit is not None:
+        _states.move_to_end(key_parts)
+        return hit
+    val = build()
+    _states[key_parts] = val
+    while len(_states) > _MAX_ENTRIES:
+        _states.popitem(last=False)
+    return val
 
 
 def plan_memo(key_parts: tuple, build) -> DataFrame:
