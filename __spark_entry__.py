@@ -15,6 +15,7 @@ the value-hash comparison is engine-neutral.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -2656,6 +2657,56 @@ def bpe_byte_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     out = bpe_encode_bytes(docs, text_col="text", id_col="doc_id", n_merges=8)
+    return out.select(
+        "doc_id", "n_words", "n_bytes", "n_tokens",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
+    )
+
+
+@_functools.lru_cache(maxsize=4)
+def _fixture_tokenizer(n_merges: int = 32768):
+    """The deterministic 32k-merge toy vocabulary in the public GPT-2
+    file format, built once per process and imported through the real
+    merges.txt/vocab.json parse path (so the loader itself is inside
+    every driver run)."""
+    from tafra_spark.functions.tokenizer import (
+        load_gpt2_tokenizer,
+        synthetic_gpt2_fixture,
+    )
+
+    mt, vt = synthetic_gpt2_fixture(n_merges)
+    return load_gpt2_tokenizer(merges_text=mt, vocab_text=vt)
+
+
+def pretrained_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pretrained-tokenizer import + large-vocab encode (r11, VERDICT
+    # r10 item 3): tokenize the corpus with a FIXED 32,768-merge
+    # vocabulary imported from the public GPT-2 merges.txt/vocab.json
+    # format — the production stage the corpus-learned BPE family
+    # can't serve (its piece->id literal map stops scaling at ~hundreds
+    # of merges). Plan: merge application runs on the DISTINCT-WORD
+    # dictionary in ONE Arrow mapInPandas stage (corpus never enters
+    # Python), piece->id is a BROADCAST join against the 33k-row
+    # parsed vocab relation, then the usual per-doc rebuild. The
+    # corpus is decorated with a rotating multi-byte token plus a
+    # doc-indexed 'tok###' so the 31-word synthetic vocabulary becomes
+    # ~1000 distinct words and the merges genuinely cascade. The
+    # oracle re-applies the SAME merge list independently — a
+    # recursive min-rank/leftmost fuse over each distinct word — so a
+    # slip in rank order, leftmost choice, byte splitting, id lookup,
+    # or document reassembly hash-fails.
+    from tafra_spark.functions.tokenizer import bpe_encode_pretrained
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || ' ' || CASE doc_id % 5"
+            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+            " || ' tok' || CAST(doc_id % 997 AS STRING)"
+        ).alias("text"),
+    )
+    out = bpe_encode_pretrained(docs, _fixture_tokenizer())
     return out.select(
         "doc_id", "n_words", "n_bytes", "n_tokens",
         F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
@@ -5342,6 +5393,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": bpe_encode_docs_report,
         "bpe_byte_encode_docs": bpe_byte_encode_docs,
         "tokenize_pack_docs": tokenize_pack_docs,
+        "pretrained_encode_docs": pretrained_encode_docs,
         "language_id_v2_docs": language_id_v2_docs,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
@@ -6969,6 +7021,122 @@ SELECT source, seq_id,
          AS packed_md5
 FROM s GROUP BY source, seq_id
 """.replace("{budget}", str(budget))
+
+
+# decoration for the pretrained-encode query: the byte-encode rotation
+# plus a doc-indexed 'tok###' word, so the 31-word synthetic vocabulary
+# becomes ~1000 distinct words and the imported merges cascade for real
+_PRETRAINED_DECO_SQL = (
+    "text || ' ' || CASE doc_id % 5"
+    " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+    " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+    " || ' tok' || CAST(doc_id % 997 AS VARCHAR)"
+)
+
+
+def _pretrained_encode_sql() -> str:
+    """DuckDB mirror of ``pretrained_encode_docs``: import the SAME
+    32k-merge fixture (same generator, same file-format parse), then
+    re-apply the merge list INDEPENDENTLY — a recursive CTE fuses the
+    lowest-rank adjacent pair's leftmost occurrence per distinct word
+    per step (the spelled one-at-a-time contract,
+    ``tokenizer.encode_word_hex``'s docstring), with the rank search
+    as an equi-join against the unnested merge relation and the
+    min-(rank, position) argmin as a struct ``min()``. Piece → id
+    joins the full imported vocab relation; per-document reassembly is
+    the byte-encode oracle's shape. Nothing of Spark's mapInPandas /
+    broadcast-join plan is echoed — only the merge table and the
+    contract are shared."""
+    tok = _fixture_tokenizer()
+    n = len(tok.merges)
+    keys = "[" + ",".join(f"'{l}|{r}'" for l, r in tok.merges) + "]"
+    vp_items = list(tok.vocab.items())
+    pieces = "[" + ",".join(f"'{p}'" for p, _ in vp_items) + "]"
+    tids = "[" + ",".join(str(i) for _, i in vp_items) + "]"
+    return r"""
+WITH RECURSIVE
+docs AS MATERIALIZED (
+  SELECT doc_id, {deco} AS text FROM documents
+),
+m AS MATERIALIZED (
+  SELECT unnest({keys}) AS k, unnest(range(0, {n})) AS rk
+),
+vp AS MATERIALIZED (
+  SELECT unnest({pieces}) AS piece, unnest({tids}) AS tid
+),
+stream AS (
+  SELECT doc_id, u.p AS pos, u.w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             regexp_split_to_array(text, '[ \t\r\n\x0b\x0c]+'),
+             (x, i) -> {'w': x, 'p': i})) AS u
+    FROM docs WHERE text IS NOT NULL) __s__
+  WHERE u.w <> ''
+),
+base AS (
+  SELECT word, regexp_extract_all(hex(encode(word)), '..') AS syms
+  FROM (SELECT DISTINCT word FROM stream) __w__
+),
+enc AS (
+  SELECT word, syms, 0 AS it FROM base
+  UNION ALL
+  SELECT word,
+         list_slice(syms, 1, bi - 1) || [syms[bi] || syms[bi + 1]]
+           || list_slice(syms, bi + 2, len(syms)) AS syms,
+         it + 1 AS it
+  FROM (
+    SELECT word, syms, it, best['i'] AS bi FROM (
+      SELECT word, any_value(syms) AS syms, any_value(it) AS it,
+             min({'rk': rk, 'i': i}) AS best
+      FROM (
+        SELECT e.word, e.syms, e.it, e.u['i'] AS i, mm.rk
+        FROM (SELECT word, syms, it,
+                     unnest(list_transform(
+                       list_slice(syms, 1, len(syms) - 1),
+                       (x, j) -> {'k': x || '|' || syms[j + 1], 'i': j}))
+                       AS u
+              FROM enc) e
+        JOIN m mm ON mm.k = e.u['k']
+      ) __j__
+      GROUP BY word
+    ) __g__
+  ) __h__
+),
+fin AS (
+  SELECT word, syms FROM enc
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1
+),
+tokp AS (
+  SELECT word, unnest(list_transform(syms, (x, i) -> {'s': x, 'i': i})) AS u
+  FROM fin
+),
+word_ids AS (
+  SELECT word, list(vp.tid ORDER BY u['i']) AS ids
+  FROM tokp JOIN vp ON vp.piece = u['s']
+  GROUP BY word
+),
+byteagg AS (
+  SELECT doc_id, CAST(sum(octet_length(encode(word))) AS BIGINT)
+           AS n_bytes
+  FROM stream GROUP BY doc_id
+),
+docagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         flatten(list(w.ids ORDER BY pos)) AS idsflat
+  FROM stream st JOIN word_ids w USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(b.n_bytes, 0) AS n_bytes,
+       CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(a.idsflat, ','), '') AS token_ids
+FROM documents d
+LEFT JOIN docagg a USING (doc_id)
+LEFT JOIN byteagg b USING (doc_id)
+""".replace("{deco}", _PRETRAINED_DECO_SQL).replace("{keys}", keys).replace(
+        "{pieces}", pieces
+    ).replace("{tids}", tids).replace("{n}", str(n))
 
 
 _FOUR_TILE_MEAN_SQL = r"""
@@ -12125,6 +12293,7 @@ def oracle_sql() -> dict[str, str]:
     # the shared unrolled learner with the byte-mode w0
     d["bpe_byte_encode_docs"] = _bpe_encode_bytes_sql(8)
     d["tokenize_pack_docs"] = _tokenize_pack_sql(8, 512)
+    d["pretrained_encode_docs"] = _pretrained_encode_sql()
     # r10: script+profile language ID, generated mirror
     d["language_id_v2_docs"] = _langid_v2_sql()
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()

@@ -119,6 +119,10 @@ HEADLINE = [
     "language_id_v2_docs",
     "wat_metadata_docs",
     "recrawl_decision_docs",
+    # r11: the pretrained-tokenizer encode (32k-merge imported vocab,
+    # mapInPandas dictionary encode + broadcast piece->id join) — the
+    # heaviest new plan of the round gets a wall guard
+    "pretrained_encode_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
