@@ -2769,11 +2769,11 @@ def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# language-ID v2 fixtures (r10): one short sentence per supported
-# language, indexed by doc_id % 21 — the Latin ones carry that
-# language's function words, the non-Latin ones native script. Shared
-# verbatim by the Spark query and the DuckDB oracle (both build the
-# same CASE over doc_id % 21).
+# language-ID v2 fixtures (r10; +6 Latin languages r11): one short
+# sentence per supported language, indexed by doc_id % 27 — the Latin
+# ones carry that language's function words, the non-Latin ones native
+# script. Shared verbatim by the Spark query and the DuckDB oracle
+# (both build the same CASE over doc_id % len).
 _LANG_SNIPPETS: list[tuple[str, str]] = [
     ("en", "the cat sat with the dog and it was this fine day"),
     ("de", "der hund und die katze sind nicht auf dem tisch"),
@@ -2787,6 +2787,13 @@ _LANG_SNIPPETS: list[tuple[str, str]] = [
     ("sv", "och det är som att en inte av för med"),
     ("cs", "je to se že jsou byl však jako pro která"),
     ("ro", "și nu este cu din mai pentru care sunt să"),
+    # r11 Latin additions (VERDICT r10 item 5: da/no/fi/hu/id/vi)
+    ("da", "og hvad blev også sagt om hende efter hvis være muligt"),
+    ("no", "ikke bare noen hva skal dere gjør nå mot dette"),
+    ("fi", "hän oli myös siellä mutta ei kun tämä ovat sekä"),
+    ("hu", "és hogy nem egy az már csak vagy mint még"),
+    ("id", "yang dan tidak untuk dengan ini itu adalah akan pada"),
+    ("vi", "và của không là được có người những cho với"),
     ("ru", "привет как дела сегодня хороший день"),
     ("el", "γεια σας καλημέρα τι κάνετε σήμερα"),
     ("ar", "مرحبا كيف حالك اليوم جميل"),
@@ -2800,30 +2807,33 @@ _LANG_SNIPPETS: list[tuple[str, str]] = [
 
 
 def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # language ID v2 (r10, VERDICT r9 item 3): Unicode-script counting
-    # + a 12-Latin-language function-word profile replaces the 4-
-    # language stopword vote (which returned 'und' for EVERY non-Latin
-    # script). Each doc gets a per-language fixture sentence
-    # (doc_id % 21); the query grades v2 against the known language,
-    # reports the old v1 vote as the differential (v1 identifies 4 of
-    # 21), and also runs v2 over the real document text. STAGED
-    # evaluation (with_language_id_v2) on both engines: the first cut
-    # inlined three full v2 trees and timed 16.5 s at sf0.1 / 53 s on
-    # the DuckDB proxy — HOF lambdas evaluate interpreted, so the
-    # token array was rebuilt 12×3 times per row; materializing the
-    # parts as columns measured 16.5 → 3.1 s (Spark) and 53 → 1.3 s
-    # (proxy) with identical results. Still zero shuffle.
+    # language ID v2 (r10, VERDICT r9 item 3; r11: 18 Latin profiles +
+    # the distinct-candidate vote): Unicode-script counting + function-
+    # word profiles replace the 4-language stopword vote (which
+    # returned 'und' for EVERY non-Latin script). Each doc gets a
+    # per-language fixture sentence (doc_id % 27); the query grades v2
+    # against the known language, reports the old v1 vote as the
+    # differential (v1 identifies 4 of 27), and also runs v2 over the
+    # real document text. STAGED evaluation (with_language_id_v2) on
+    # both engines: the r10 inline cut evaluated three full v2 trees
+    # per row (16.5 s at sf0.1 / 53 s proxy; HOF lambdas run
+    # interpreted); staging measured 16.5 → 3.1 s, and the r11
+    # candidate prefilter (ONE profile-union intersection per row,
+    # then 18 counts over the tiny candidate array — votes now count
+    # DISTINCT function words) attacks the residual 2.3×-of-proxy the
+    # r10 verdict flagged. Still zero shuffle.
     from tafra_spark.functions.text import language_id, with_language_id_v2
 
+    nlang = len(_LANG_SNIPPETS)
     snippet = F.lit(None).cast("string")
     for i, (_lang, text) in enumerate(_LANG_SNIPPETS):
         snippet = F.when(
-            F.col("doc_id") % 21 == i, F.lit(text)
+            F.col("doc_id") % nlang == i, F.lit(text)
         ).otherwise(snippet)
     expected = F.lit(None).cast("string")
     for i, (lang, _text) in enumerate(_LANG_SNIPPETS):
         expected = F.when(
-            F.col("doc_id") % 21 == i, F.lit(lang)
+            F.col("doc_id") % nlang == i, F.lit(lang)
         ).otherwise(expected)
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", snippet.alias("snip"), expected.alias("expected")
@@ -5573,16 +5583,18 @@ def _langid_v2_sql() -> str:
     from tafra_spark.functions.text import (
         _LANG_PROFILES,
         _SCRIPT_RANGES,
+        _v2_cand_sql,
         _v2_cnt_sql,
         _v2_decision_sql,
         _v2_hit_sql,
         _v2_toks_sql,
     )
 
-    snip_case = "CASE doc_id % 21 " + " ".join(
+    nlang = len(_LANG_SNIPPETS)
+    snip_case = f"CASE doc_id % {nlang} " + " ".join(
         f"WHEN {i} THEN '{t}'" for i, (_l, t) in enumerate(_LANG_SNIPPETS)
     ) + " END"
-    exp_case = "CASE doc_id % 21 " + " ".join(
+    exp_case = f"CASE doc_id % {nlang} " + " ".join(
         f"WHEN {i} THEN '{lang}'"
         for i, (lang, _t) in enumerate(_LANG_SNIPPETS)
     ) + " END"
@@ -5605,16 +5617,22 @@ def _langid_v2_sql() -> str:
             f"CASE WHEN best > 0 AND hits_{lang} = best "
             f"THEN '{lang}' ELSE {v1_case} END"
         )
-    # staged v2 parts for both inputs (s_* = snippet, t_* = doc text)
+    # staged v2 parts for both inputs (s_* = snippet, t_* = doc text);
+    # r11: a distinct-candidate stage between tokens and hits mirrors
+    # the Spark-side prefilter
     part_cols = ", ".join(
         [f"{_v2_toks_sql('snip')} AS s_toks",
          f"{_v2_toks_sql('text')} AS t_toks"]
         + [f"{_v2_cnt_sql('snip', n)} AS s_sc_{n}" for n in _SCRIPT_RANGES]
         + [f"{_v2_cnt_sql('text', n)} AS t_sc_{n}" for n in _SCRIPT_RANGES]
     )
+    cand_cols = (
+        f"{_v2_cand_sql('s_toks')} AS s_cand, "
+        f"{_v2_cand_sql('t_toks')} AS t_cand"
+    )
     hit_cols = ", ".join(
-        [f"{_v2_hit_sql('s_toks', l)} AS s_hit_{l}" for l in _LANG_PROFILES]
-        + [f"{_v2_hit_sql('t_toks', l)} AS t_hit_{l}"
+        [f"{_v2_hit_sql('s_cand', l)} AS s_hit_{l}" for l in _LANG_PROFILES]
+        + [f"{_v2_hit_sql('t_cand', l)} AS t_hit_{l}"
            for l in _LANG_PROFILES]
     )
     dec_s = _v2_decision_sql(
@@ -5639,7 +5657,8 @@ def _langid_v2_sql() -> str:
     h AS (SELECT doc_id, text, snip, expected, {hits_cols} FROM t),
     b AS (SELECT *, {best} AS best FROM h),
     p1 AS (SELECT *, {part_cols} FROM b),
-    p2 AS (SELECT *, {hit_cols} FROM p1),
+    p1b AS (SELECT *, {cand_cols} FROM p1),
+    p2 AS (SELECT *, {hit_cols} FROM p1b),
     p3 AS (
       SELECT doc_id, expected,
              {v1_case} AS pred_v1,

@@ -7055,6 +7055,15 @@ class TestLanguageIdV2:
         ("och det är som att en inte av för med", "sv"),
         ("je to se že jsou byl však jako pro která", "cs"),
         ("și nu este cu din mai pentru care sunt să", "ro"),
+        # r11 Latin additions (da/no/fi/hu/id/vi); da and no share most
+        # real function words — each profile carries its DISTINGUISHING
+        # set, so 'hvad' votes da while 'hva' votes no
+        ("og hvad blev også sagt om hende efter hvis være muligt", "da"),
+        ("ikke bare noen hva skal dere gjør nå mot dette", "no"),
+        ("hän oli myös siellä mutta ei kun tämä ovat sekä", "fi"),
+        ("és hogy nem egy az már csak vagy mint még", "hu"),
+        ("yang dan tidak untuk dengan ini itu adalah akan pada", "id"),
+        ("và của không là được có người những cho với", "vi"),
         ("привет как дела сегодня хороший день", "ru"),
         ("γεια σας καλημέρα τι κάνετε σήμερα", "el"),
         ("مرحبا كيف حالك اليوم جميل", "ar"),
@@ -7122,4 +7131,4 @@ class TestLanguageIdV2:
 
         words = [w for ws in _LANG_PROFILES.values() for w in ws]
         assert len(words) == len(set(words))
-        assert len(_LANG_PROFILES) == 12
+        assert len(_LANG_PROFILES) == 18
