@@ -3693,6 +3693,61 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # jusText-family main-content extraction (r11, VERDICT r10 item 6):
+    # per text BLOCK, link density (anchor-text chars / block chars)
+    # and stopword density decide good/short/neargood/bad, then one
+    # neighbor pass lets an adjacent context-free-good block rescue
+    # short/neargood blocks — the block-level classifier production CC
+    # pipelines run between tag-strip and the C4/Gopher line rules.
+    # The page is CONSTRUCTED relationally on both engines (the
+    # html_extract_text pattern) to exercise every class and the
+    # rescue path: a link-dense nav (bad), a short heading next to the
+    # article (short→good), a stopword-dense article (good), the raw
+    # doc text (no English function words → bad), a short tail between
+    # bad neighbors (short→bad), and a link-only footer (bad). The
+    # oracle mirrors the marked tag-strip chain (shared pattern
+    # strings), both densities, the class CASE (generated from the
+    # same thresholds), and the lag/lead rescue — a slip anywhere,
+    # including sentinel handling or fixed-point division, hash-fails.
+    from tafra_spark.sources.http import justext_blocks
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    sec = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<div class="nav"><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/s/'), F.col("source"), F.lit('">'),
+        F.col("source"),
+        F.lit('</a></li><li><a href="/p">Products</a></li></ul></div>'
+              "<h2>Section "), sec,
+        F.lit("</h2><p>This is the main article about topic "), sec,
+        F.lit(" and it was written with many of the common function"
+              " words so that the density of the stopwords in this"
+              " block is high and the block is long enough to be kept"
+              " as good content.</p><p>"), esc,
+        F.lit("</p><p>Tail note "), (F.col("doc_id") % 5).cast("string"),
+        F.lit('</p><div class="footer"><a href="/legal">Legal</a> '
+              '<a href="/privacy">Privacy</a></div>'),
+    )
+    return justext_blocks(
+        docs.select("doc_id", html.alias("html"))
+    ).select(
+        "doc_id", "blk_idx", "blk_text", "n_chars", "n_words",
+        "link_density_q6", "stop_density_q6", "base_class", "blk_class",
+    )
+
+
 def _crawl_url_col() -> Column:
     """The crawl layer's shared synthetic frontier URL (one per doc,
     unique via the /d/{id} path) with deliberate hazards — uppercase
@@ -5255,6 +5310,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
+        "main_content_blocks": main_content_blocks,
         "domain_doc_stats": domain_doc_stats,
         "robots_gate_docs": robots_gate_docs,
         "cc_ingest_quality": cc_ingest_quality,
@@ -7188,6 +7244,101 @@ _HTML_EXTRACT_HTML_SQL = (
     " '>', '&gt;')"
     " || '&nbsp;&#39;end&#39;</p><!-- c --></div>'"
 )
+
+
+def _main_content_sql() -> str:
+    """DuckDB mirror of ``main_content_blocks``: same constructed page
+    (byte-identical concat), the marked tag-strip chain via
+    ``justext_marked_sql`` (shared pattern strings), both densities as
+    the same integer fixed-point, the class CASE generated from the
+    shared thresholds, and the lag/lead neighbor rescue."""
+    from tafra_spark.sources.http import (
+        _LINK_SPAN,
+        JUSTEXT_STOPWORDS,
+        justext_base_class_sql,
+        justext_marked_sql,
+    )
+
+    html = (
+        "'<div class=\"nav\"><ul><li><a href=\"/\">Home</a></li>"
+        "<li><a href=\"/s/' || source || '\">' || source || "
+        "'</a></li><li><a href=\"/p\">Products</a></li></ul></div>"
+        "<h2>Section ' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'</h2><p>This is the main article about topic ' || "
+        "CAST(doc_id % 7 AS VARCHAR) || "
+        "' and it was written with many of the common function"
+        " words so that the density of the stopwords in this"
+        " block is high and the block is long enough to be kept"
+        " as good content.</p><p>' || "
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;') || "
+        "'</p><p>Tail note ' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'</p><div class=\"footer\"><a href=\"/legal\">Legal</a> "
+        "<a href=\"/privacy\">Privacy</a></div>'"
+    )
+    stops = ", ".join(f"'{w}'" for w in JUSTEXT_STOPWORDS)
+    base_case = justext_base_class_sql(
+        "n_chars", "n_words", "link_density_q6", "stop_density_q6"
+    )
+    return r"""
+WITH h AS (
+  SELECT doc_id, {html} AS html FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+mk AS (SELECT doc_id, {marked} AS m FROM h),
+ln AS (
+  SELECT doc_id, u.i AS blk_idx, u.l AS raw
+  FROM (SELECT doc_id,
+               unnest(list_transform(string_split(m, chr(10)),
+                      (x, i) -> {'l': x, 'i': i - 1})) AS u
+        FROM mk) __l__
+  WHERE u.l <> ''
+),
+feat AS (
+  SELECT doc_id, CAST(blk_idx AS BIGINT) AS blk_idx,
+         trim(replace(replace(raw, chr(1), ''), chr(2), '')) AS blk_text,
+         CAST(length(raw) - length(regexp_replace(raw, '{span}', '', 'g'))
+              - 2 * len(regexp_extract_all(raw, '{span}')) AS BIGINT)
+           AS lc
+  FROM ln
+),
+cnt AS (
+  SELECT doc_id, blk_idx, blk_text,
+         CAST(length(blk_text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(blk_text, ' '),
+              w -> w <> '')) AS BIGINT) AS n_words,
+         lc,
+         CAST(len(list_filter(list_transform(
+                list_filter(string_split(blk_text, ' '), w -> w <> ''),
+                w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz')),
+              w -> w IN ({stops}))) AS BIGINT) AS st
+  FROM feat
+),
+dens AS (
+  SELECT doc_id, blk_idx, blk_text, n_chars, n_words,
+         CAST(CASE WHEN n_chars > 0 THEN lc * 1000000 // n_chars
+              ELSE 0 END AS BIGINT) AS link_density_q6,
+         CAST(CASE WHEN n_words > 0 THEN st * 1000000 // n_words
+              ELSE 0 END AS BIGINT) AS stop_density_q6
+  FROM cnt
+),
+cls AS (SELECT *, {base_case} AS base_class FROM dens),
+sm AS (
+  SELECT *, lag(base_class) OVER w AS pc, lead(base_class) OVER w AS nc
+  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY blk_idx)
+)
+SELECT doc_id, blk_idx, blk_text, n_chars, n_words,
+       link_density_q6, stop_density_q6, base_class,
+       CASE WHEN base_class IN ('good', 'bad') THEN base_class
+            WHEN pc = 'good' OR nc = 'good' THEN 'good'
+            ELSE 'bad' END AS blk_class
+FROM sm
+""".replace("{html}", html).replace(
+        "{marked}", justext_marked_sql("html")
+    ).replace("{span}", _LINK_SPAN).replace("{stops}", stops).replace(
+        "{base_case}", base_case
+    )
 
 
 def _html_extract_sql() -> str:
@@ -12313,6 +12464,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_byte_encode_docs"] = _bpe_encode_bytes_sql(8)
     d["tokenize_pack_docs"] = _tokenize_pack_sql(8, 512)
     d["pretrained_encode_docs"] = _pretrained_encode_sql()
+    d["main_content_blocks"] = _main_content_sql()
     # r10: script+profile language ID, generated mirror
     d["language_id_v2_docs"] = _langid_v2_sql()
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()

@@ -121,8 +121,11 @@ HEADLINE = [
     "recrawl_decision_docs",
     # r11: the pretrained-tokenizer encode (32k-merge imported vocab,
     # mapInPandas dictionary encode + broadcast piece->id join) — the
-    # heaviest new plan of the round gets a wall guard
+    # heaviest new plan of the round gets a wall guard — and the
+    # jusText block classifier (marked tag-strip chain + per-block
+    # densities + the neighbor window), the new extraction-layer op
     "pretrained_encode_docs",
+    "main_content_blocks",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

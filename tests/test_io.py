@@ -1729,6 +1729,92 @@ class TestHtmlBlocks:
         assert html_to_text_blocks_py(self.HTML).replace("\n", " ") == flat
 
 
+class TestJustextBlocks:
+    """r11: jusText-family block classification (link + stopword
+    density, neighbor rescue)."""
+
+    HTML = (
+        '<div><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About our site</a></li></ul>'
+        "<h2>A short heading</h2>"
+        "<p>This is the main article text and it was written with many"
+        " of the common function words so that the stopword density of"
+        " this block is high and it is long enough.</p>"
+        "<p>nostops nostops nostops nostops nostops nostops</p>"
+        "<p>Tail with the and.</p>"
+        '<div><a href="/legal">Legal</a> <a href="/privacy">Priv</a>'
+        "</div></div>"
+    )
+
+    def test_classes_and_rescue(self, spark):
+        from tafra_spark.sources.http import justext_blocks
+
+        df = spark.createDataFrame(
+            [(1, self.HTML)], "doc_id long, html string"
+        )
+        rows = {
+            r["blk_idx"]: r
+            for r in justext_blocks(df).collect()
+        }
+        # nav links: pure anchor text -> link density 1.0 -> bad
+        assert rows[0]["blk_text"] == "Home"
+        assert rows[0]["link_density_q6"] == 1_000_000
+        assert rows[0]["blk_class"] == "bad"
+        assert rows[1]["blk_class"] == "bad"
+        # short heading adjacent to a good article -> rescued
+        assert rows[2]["base_class"] == "short"
+        assert rows[2]["blk_class"] == "good"
+        # stopword-dense long article -> good
+        assert rows[3]["base_class"] == "good"
+        # no function words -> bad regardless of length
+        assert rows[4]["base_class"] == "bad"
+        # short block between bad neighbors -> NOT rescued
+        assert rows[5]["base_class"] == "short"
+        assert rows[5]["blk_class"] == "bad"
+        # link-only footer -> bad
+        assert rows[6]["link_density_q6"] > 350_000
+        assert rows[6]["blk_class"] == "bad"
+
+    def test_forged_sentinels_are_stripped(self, spark):
+        # attacker-controlled \x01/\x02 bytes in the page must not
+        # forge (or break) link spans
+        from tafra_spark.sources.http import justext_blocks
+
+        html = "<p>plain \x01forged span\x02 text with the and of it</p>"
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        r = justext_blocks(df).collect()[0]
+        assert r["link_density_q6"] == 0
+        assert "\x01" not in r["blk_text"]
+
+    def test_marked_text_sql_mirror(self, spark):
+        import duckdb
+
+        from tafra_spark.sources.http import (
+            justext_marked_sql,
+            justext_marked_text,
+        )
+
+        df = spark.createDataFrame([(self.HTML,)], "html string")
+        got = df.select(
+            justext_marked_text("html").alias("m")
+        ).first()["m"]
+        con = duckdb.connect()
+        sql = justext_marked_sql("$1")
+        assert con.execute(
+            f"SELECT {sql}", [self.HTML]
+        ).fetchone()[0] == got
+        assert "\x01Home\x02" in got
+
+    def test_validation(self, spark):
+        from tafra_spark.sources.http import justext_blocks
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            justext_blocks(df, html_col="nope")
+
+
 class TestR9ReviewRegressions:
     """r9 self-review findings, pinned (code-review found all five)."""
 
