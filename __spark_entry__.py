@@ -5077,9 +5077,9 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r10 driver window: stalest-first rotation (VERDICT r9 item 1).
-# The driver verifies the FIRST 50 entries of queries(); this list is
-# that window. Composition (the rule the r9 verdict codified):
+# --- r10 driver window comment, kept for provenance (its list is
+# _R10_WINDOW below the active r11 window). Composition (the rule the
+# r9 verdict codified):
 # (1) the five never-driver-verified new r10 ops (a never-verified row
 # is staler than any green one), (2) rows whose CODE changed in r10 —
 # the _bpe_state learner grew the byte-alphabet branch, so its char-
@@ -5095,6 +5095,83 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_sketches.py); they roll into the r11 window.
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
+
+# --- r11 driver window: stalest-first rotation (VERDICT r10 item 2).
+# The driver verifies the FIRST 50 entries of queries(); this list is
+# that window. Composition (r11): (1) the five r5-stale rows the r10
+# verdict ordered to the head (join_size/quantile-sketch/kmv/audio/
+# unicode-scrub — the last rows older than r6), (2) the two
+# never-driver-verified r11 queries, (3) rows whose CODE or ORACLE
+# changed in r11 — the BPE family (state memo + byte-mode n_folds=16
+# oracles), the pack pair (two-level prefix sum + integer bin id),
+# language ID (18 profiles + distinct-candidate vote), recrawl (HTAB
+# boundary classes), WAT (anchor tag-name gate) — green history does
+# not cover new code, (4) 34 of the 47 rows last verified in round 6,
+# alphabetical; the 13 displaced r6 rows (q9_product_profit through
+# user_session_features alphabetically) roll to the r12 window —
+# chosen as the displacement set because it contains the four
+# bench-headline fixed-latency relational rows and the trivial
+# projection ops, the rows with the strongest independent per-round
+# exercise. Recompute staleness with:
+#   max round r where CORRECTNESS_r0{r}.json contains the key.
+_R11_WINDOW = [
+    # (1) the r5-stale cohort tail (VERDICT r10 item 2)
+    "join_size_estimate",
+    "value_quantile_sketch",
+    "kmv_vocab_overlap",
+    "multimodal_audio_decode",
+    "unicode_scrub_docs",
+    # (2) new in r11
+    "pretrained_encode_docs",
+    "main_content_blocks",
+    # (3) r11 code/oracle changes
+    "language_id_v2_docs",
+    "tokenize_pack_docs",
+    "pack_training_sequences",
+    "bpe_learn_merges",
+    "bpe_encode_docs",
+    "bpe_byte_encode_docs",
+    "bpe_token_stats",
+    "recrawl_decision_docs",
+    "wat_metadata_docs",
+    # (4) the round-6 cohort (34 of 47, alphabetical)
+    "band_join_nearby_orders",
+    "benford_value_profile",
+    "cast_floor_groupby",
+    "clustering_coefficient_graph",
+    "coalesce_fill",
+    "cross_join_small",
+    "distinct_pairs",
+    "fd_orders_audit",
+    "filter_predicate",
+    "gate_yield_curve",
+    "group_by_callables",
+    "grouped_quantiles",
+    "k_anonymity_events",
+    "left_join_nulls",
+    "length_gini_by_source",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_orders",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+]
+
+# r10 window kept for provenance (CORRECTNESS_r10 keys):
 _R10_WINDOW = [
     # (1) new in r10
     "bpe_byte_encode_docs",
@@ -5287,7 +5364,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _registry()
-    out = {n: q[n] for n in _R10_WINDOW}
+    out = {n: q[n] for n in _R11_WINDOW}
     out.update((n, f) for n, f in q.items() if n not in out)
     return out
 
