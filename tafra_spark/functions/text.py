@@ -277,12 +277,17 @@ def _v2_script_count(s: Column, name: str) -> Column:
 
 
 def _v2_toks(s: Column) -> Column:
-    """Edge-punct-stripped, ASCII-lowered token array of ``s``."""
+    """Edge-punct-stripped, ASCII-lowered token array of ``s``. The
+    case fold runs on the WHOLE STRING before the split (r11): inside
+    the transform lambda it evaluated interpreted per token; hoisted,
+    it is one codegen translate pass. Equivalent because A-Z→a-z
+    touches no whitespace (split unchanged) and no edge-punct char
+    (btrim commutes)."""
+    low = F.translate(s, _AZ_UP, _AZ_LO)
     return F.filter(
         F.transform(
-            F.split(s, _WS_RE),
-            lambda w: F.translate(F.btrim(w, F.lit(_EDGE_PUNCT)),
-                                  _AZ_UP, _AZ_LO),
+            F.split(low, _WS_RE),
+            lambda w: F.btrim(w, F.lit(_EDGE_PUNCT)),
         ),
         lambda t: t != "",
     )
@@ -423,13 +428,15 @@ def _v2_cnt_sql(expr: str, name: str) -> str:
 
 
 def _v2_toks_sql(expr: str) -> str:
-    """SQL twin of :func:`_v2_toks`."""
+    """SQL twin of :func:`_v2_toks` (same hoisted whole-string case
+    fold)."""
     s = f"coalesce({expr}, '')"
+    low = f"translate({s}, '{_AZ_UP}', '{_AZ_LO}')"
     punct = _EDGE_PUNCT.replace("'", "''")
     return (
-        f"list_filter(list_transform(regexp_split_to_array({s}, "
+        f"list_filter(list_transform(regexp_split_to_array({low}, "
         f"'[ \\t\\r\\n\\x0b\\x0c]+'), "
-        f"w -> translate(trim(w, '{punct}'), '{_AZ_UP}', '{_AZ_LO}')), "
+        f"w -> trim(w, '{punct}')), "
         f"t -> t <> '')"
     )
 
