@@ -2713,6 +2713,67 @@ def pretrained_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the PRODUCTION pre-training input shape end-to-end (r11):
+    # tokenize with the FIXED imported 32k-merge vocabulary (not a
+    # corpus-learned one — pretrained_encode_docs' plan: Arrow
+    # dictionary encode + broadcast piece->id), then greedy-pack per
+    # source in doc_id order into 512-REAL-token bins via the
+    # two-level bucketed prefix sum and md5 each bin's id stream. The
+    # encoded dictionary is served from the session memo (same corpus
+    # decoration as pretrained_encode_docs => same memo key), so the
+    # tokenizer-as-index architecture carries across the composition.
+    # The oracle re-applies the imported merge list independently
+    # (recursive min-rank fuse) and re-derives bins and hashes.
+    from tafra_spark.functions.pipeline import bucketed_prefix_sums
+    from tafra_spark.functions.tokenizer import bpe_encode_pretrained
+
+    docs = _read(spark, sf_dir, "documents")
+    deco = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' ' || CASE doc_id % 5"
+            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+            " || ' tok' || CAST(doc_id % 997 AS STRING)"
+        ).alias("text"),
+    )
+    enc = bpe_encode_pretrained(deco, _fixture_tokenizer()).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    cum = bucketed_prefix_sums(
+        enc.select("source", "doc_id", "n_tokens", "token_ids"),
+        "doc_id",
+        {"n_tokens": "__cum__"},
+        part_col="source",
+        bucket_width=1024,
+    )
+    seq = cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "token_ids",
+        F.expr("CAST((__cum__ - n_tokens) div 512 AS BIGINT)").alias(
+            "seq_id"
+        ),
+    )
+    return seq.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.flatten(
+                    F.expr(
+                        "array_sort(collect_list(struct(doc_id, token_ids)))"
+                        ".token_ids"
+                    )
+                ),
+            ).cast("binary")
+        ).alias("packed_md5"),
+    )
+
+
 def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end tokenize→pack composition (r10, VERDICT r9 item 2:
     # "the actual pre-training input shape"): byte-BPE encode the
@@ -5106,8 +5167,8 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles), the pack pair (two-level prefix sum + integer bin id),
 # language ID (18 profiles + distinct-candidate vote), recrawl (HTAB
 # boundary classes), WAT (anchor tag-name gate) — green history does
-# not cover new code, (4) 34 of the 47 rows last verified in round 6,
-# alphabetical; the 13 displaced r6 rows (q9_product_profit through
+# not cover new code, (4) 33 of the 47 rows last verified in round 6,
+# alphabetical; the 14 displaced r6 rows (q7_nation_volume through
 # user_session_features alphabetically) roll to the r12 window —
 # chosen as the displacement set because it contains the four
 # bench-headline fixed-latency relational rows and the trivial
@@ -5123,6 +5184,7 @@ _R11_WINDOW = [
     "unicode_scrub_docs",
     # (2) new in r11
     "pretrained_encode_docs",
+    "pretrained_pack_docs",
     "main_content_blocks",
     # (3) r11 code/oracle changes
     "language_id_v2_docs",
@@ -5134,7 +5196,7 @@ _R11_WINDOW = [
     "bpe_token_stats",
     "recrawl_decision_docs",
     "wat_metadata_docs",
-    # (4) the round-6 cohort (34 of 47, alphabetical)
+    # (4) the round-6 cohort (33 of 47, alphabetical)
     "band_join_nearby_orders",
     "benford_value_profile",
     "cast_floor_groupby",
@@ -5168,7 +5230,6 @@ _R11_WINDOW = [
     "q4_late_orders",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q7_nation_volume",
 ]
 
 # r10 window kept for provenance (CORRECTNESS_r10 keys):
@@ -5537,6 +5598,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_byte_encode_docs": bpe_byte_encode_docs,
         "tokenize_pack_docs": tokenize_pack_docs,
         "pretrained_encode_docs": pretrained_encode_docs,
+        "pretrained_pack_docs": pretrained_pack_docs,
         "language_id_v2_docs": language_id_v2_docs,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
@@ -7186,19 +7248,19 @@ _PRETRAINED_DECO_SQL = (
 )
 
 
-def _pretrained_encode_sql() -> str:
-    """DuckDB mirror of ``pretrained_encode_docs``: import the SAME
-    32k-merge fixture (same generator, same file-format parse), then
-    re-apply the merge list INDEPENDENTLY — a recursive CTE fuses the
-    lowest-rank adjacent pair's leftmost occurrence per distinct word
-    per step (the spelled one-at-a-time contract,
+def _pretrained_ctes_sql() -> str:
+    """Shared CTE body of the pretrained-tokenizer oracles: import the
+    SAME 32k-merge fixture (same generator, same file-format parse),
+    then re-apply the merge list INDEPENDENTLY — a recursive CTE fuses
+    the lowest-rank adjacent pair's leftmost occurrence per distinct
+    word per step (the spelled one-at-a-time contract,
     ``tokenizer.encode_word_hex``'s docstring), with the rank search
     as an equi-join against the unnested merge relation and the
     min-(rank, position) argmin as a struct ``min()``. Piece → id
     joins the full imported vocab relation; per-document reassembly is
-    the byte-encode oracle's shape. Nothing of Spark's mapInPandas /
-    broadcast-join plan is echoed — only the merge table and the
-    contract are shared."""
+    the byte-encode oracle's shape (``docagg``/``byteagg``). Nothing
+    of Spark's mapInPandas / broadcast-join plan is echoed — only the
+    merge table and the contract are shared."""
     tok = _fixture_tokenizer()
     n = len(tok.merges)
     keys = "[" + ",".join(f"'{l}|{r}'" for l, r in tok.merges) + "]"
@@ -7278,6 +7340,15 @@ docagg AS (
          flatten(list(w.ids ORDER BY pos)) AS idsflat
   FROM stream st JOIN word_ids w USING (word) GROUP BY doc_id
 )
+""".replace("{deco}", _PRETRAINED_DECO_SQL).replace("{keys}", keys).replace(
+        "{pieces}", pieces
+    ).replace("{tids}", tids).replace("{n}", str(n))
+
+
+def _pretrained_encode_sql() -> str:
+    """DuckDB mirror of ``pretrained_encode_docs`` (keep-every-row
+    final projection over the shared pretrained CTEs)."""
+    return _pretrained_ctes_sql() + r"""
 SELECT d.doc_id,
        coalesce(a.n_words, 0) AS n_words,
        coalesce(b.n_bytes, 0) AS n_bytes,
@@ -7286,9 +7357,39 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN docagg a USING (doc_id)
 LEFT JOIN byteagg b USING (doc_id)
-""".replace("{deco}", _PRETRAINED_DECO_SQL).replace("{keys}", keys).replace(
-        "{pieces}", pieces
-    ).replace("{tids}", tids).replace("{n}", str(n))
+"""
+
+
+def _pretrained_pack_sql(budget: int = 512) -> str:
+    """DuckDB mirror of ``pretrained_pack_docs``: the shared
+    pretrained CTEs feed the pack rule of ``_tokenize_pack_sql`` —
+    per-source exclusive-cumsum // budget bins over REAL token counts
+    of the FIXED imported vocabulary, md5 per bin."""
+    return _pretrained_ctes_sql() + r"""
+, encp AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS nt,
+         coalesce(a.idsflat, CAST([] AS INTEGER[])) AS ids
+  FROM documents d LEFT JOIN docagg a USING (doc_id)
+),
+cpk AS (
+  SELECT doc_id, source, nt, ids,
+         sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM encp
+),
+spk AS (
+  SELECT source, CAST((cum - nt) // {budget} AS BIGINT) AS seq_id,
+         doc_id, nt, ids
+  FROM cpk
+)
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS seq_tokens,
+       md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+         AS packed_md5
+FROM spk GROUP BY source, seq_id
+""".replace("{budget}", str(budget))
 
 
 _FOUR_TILE_MEAN_SQL = r"""
@@ -12541,6 +12642,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_byte_encode_docs"] = _bpe_encode_bytes_sql(8)
     d["tokenize_pack_docs"] = _tokenize_pack_sql(8, 512)
     d["pretrained_encode_docs"] = _pretrained_encode_sql()
+    d["pretrained_pack_docs"] = _pretrained_pack_sql(512)
     d["main_content_blocks"] = _main_content_sql()
     # r10: script+profile language ID, generated mirror
     d["language_id_v2_docs"] = _langid_v2_sql()

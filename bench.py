@@ -126,6 +126,10 @@ HEADLINE = [
     # densities + the neighbor window), the new extraction-layer op
     "pretrained_encode_docs",
     "main_content_blocks",
+    # r11: the fixed-vocab tokenize->pack composition (imported
+    # tokenizer + bucketed-prefix-sum packing) — the production
+    # pre-training input shape end-to-end
+    "pretrained_pack_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
