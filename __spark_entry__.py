@@ -5161,8 +5161,9 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver verifies the FIRST 50 entries of queries(); this list is
 # that window. Composition (r11): (1) the five r5-stale rows the r10
 # verdict ordered to the head (join_size/quantile-sketch/kmv/audio/
-# unicode-scrub — the last rows older than r6), (2) the two
-# never-driver-verified r11 queries, (3) rows whose CODE or ORACLE
+# unicode-scrub — the last rows older than r6), (2) the three
+# never-driver-verified r11 queries (5+3+9+33 = 50), (3) rows whose
+# CODE or ORACLE
 # changed in r11 — the BPE family (state memo + byte-mode n_folds=16
 # oracles), the pack pair (two-level prefix sum + integer bin id),
 # language ID (18 profiles + distinct-candidate vote), recrawl (HTAB
@@ -7456,7 +7457,7 @@ def _main_content_sql() -> str:
     )
     stops = ", ".join(f"'{w}'" for w in JUSTEXT_STOPWORDS)
     base_case = justext_base_class_sql(
-        "n_chars", "n_words", "link_density_q6", "stop_density_q6"
+        "n_chars", "link_density_q6", "stop_density_q6"
     )
     return r"""
 WITH h AS (
@@ -7470,7 +7471,6 @@ ln AS (
                unnest(list_transform(string_split(m, chr(10)),
                       (x, i) -> {'l': x, 'i': i - 1})) AS u
         FROM mk) __l__
-  WHERE u.l <> ''
 ),
 feat AS (
   SELECT doc_id, CAST(blk_idx AS BIGINT) AS blk_idx,
@@ -7483,15 +7483,18 @@ feat AS (
 cnt AS (
   SELECT doc_id, blk_idx, blk_text,
          CAST(length(blk_text) AS BIGINT) AS n_chars,
-         CAST(len(list_filter(string_split(blk_text, ' '),
+         CAST(len(list_filter(string_split(
+                translate(blk_text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), ' '),
               w -> w <> '')) AS BIGINT) AS n_words,
          lc,
-         CAST(len(list_filter(list_transform(
-                list_filter(string_split(blk_text, ' '), w -> w <> ''),
-                w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                               'abcdefghijklmnopqrstuvwxyz')),
+         CAST(len(list_filter(list_filter(string_split(
+                translate(blk_text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), ' '),
+                w -> w <> ''),
               w -> w IN ({stops}))) AS BIGINT) AS st
   FROM feat
+  WHERE blk_text <> ''
 ),
 dens AS (
   SELECT doc_id, blk_idx, blk_text, n_chars, n_words,

@@ -27,7 +27,14 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cached_collect", "plan_memo", "state_memo", "clear_memos"]
+__all__ = [
+    "cached_collect",
+    "plan_memo",
+    "state_memo",
+    "clear_memos",
+    "session_key",
+    "plan_hash",
+]
 
 _MAX_ENTRIES = 128
 
@@ -36,12 +43,36 @@ _plans: OrderedDict[tuple, DataFrame] = OrderedDict()
 _states: OrderedDict[tuple, object] = OrderedDict()
 
 
-def _session_key(df: DataFrame) -> str:
+def session_key(df: DataFrame) -> str:
+    """The owning session's UUID — every memo key must include it so a
+    new session can never be served another session's state."""
     return str(df.sparkSession._jsparkSession.sessionUUID())
 
 
-def _sem_hash(df: DataFrame) -> int:
+def plan_hash(df: DataFrame) -> int:
+    """Catalyst's semanticHash of the ANALYZED plan — the input-
+    identity component of every memo key (see the module contract)."""
     return df._jdf.queryExecution().analyzed().semanticHash()
+
+
+# legacy internal aliases
+_session_key = session_key
+_sem_hash = plan_hash
+
+
+def _release(val) -> None:
+    """Best-effort storage release for an evicted/cleared memo value:
+    unpersist any DataFrame found in it (scalars and plain lists pass
+    through). localCheckpoint block cleanup itself is the
+    ContextCleaner's job once the handle is dropped; unpersist covers
+    the explicit persists."""
+    vals = val if isinstance(val, (tuple, list)) else (val,)
+    for v in vals:
+        if isinstance(v, DataFrame):
+            try:
+                v.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 - release must never raise
+                pass
 
 
 def cached_collect(df: DataFrame, memo: bool = True) -> list:
@@ -72,6 +103,9 @@ def clear_memos() -> None:
     """
     _collects.clear()
     _plans.clear()
+    # release persisted storage inside memoized state on the way out
+    for val in _states.values():
+        _release(val)
     _states.clear()
 
 
@@ -92,7 +126,7 @@ def state_memo(key_parts: tuple, build):
     val = build()
     _states[key_parts] = val
     while len(_states) > _MAX_ENTRIES:
-        _states.popitem(last=False)
+        _release(_states.popitem(last=False)[1])
     return val
 
 

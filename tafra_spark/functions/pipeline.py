@@ -209,11 +209,13 @@ def bucketed_prefix_sums(
     bucket_width: int = 4096,
 ) -> DataFrame:
     """Running (inclusive-cumulative) sums in ``order_col`` order — the
-    two-level prefix-sum decomposition shared by
+    two-level prefix-sum decomposition as a reusable helper (r11):
+    ``sums`` maps each input value column to its output running-sum
+    column name. The same decomposition lives hand-rolled in
     :func:`~tafra_spark.functions.analytics.concurrency_profile` and
-    :func:`vocab_growth`, extracted (r11) so every cumulative operator
-    uses it instead of a per-``part_col`` window: ``sums`` maps each
-    input value column to its output running-sum column name.
+    :func:`vocab_growth` (they predate the helper and fuse it with
+    operator-specific persists); new cumulative operators should call
+    this instead.
 
     Why not ``Window.partitionBy(part_col)``: a window's partition is
     ONE task — at 100 TB a single hot partition value (one mega-source)
@@ -224,15 +226,22 @@ def bucketed_prefix_sums(
     cross-bucket correction is a per-(part, bucket) totals table — a
     |rows|/bucket_width relation — consumed by ONE more ordered window
     over buckets (itself decomposable recursively if ever needed) and
-    joined back. Exact integer arithmetic, order-deterministic when
-    ``order_col`` is unique within ``part_col``.
+    joined back with NULL-SAFE key equality, so a NULL partition value
+    keeps its rows exactly like the plain window it replaces (windows
+    and groupBy both treat NULL as its own group; a plain equi-join
+    would silently drop those rows — r11 review finding). The input is
+    persisted for the two branches (local windows + bucket totals),
+    the :func:`vocab_growth` discipline — without it the upstream
+    plan, e.g. ``pack_sequences``' corpus tokenization, runs twice.
+    Exact integer arithmetic, order-deterministic when ``order_col``
+    is unique within ``part_col``.
     """
     bw = int(bucket_width)
     if bw < 1:
         raise ValueError("bucketed_prefix_sums: bucket_width must be >= 1")
     parts = [part_col] if part_col is not None else []
     b = F.expr(f"CAST({order_col} div {bw} AS BIGINT)")
-    base = df.withColumn("__bps_b__", b)
+    base = df.withColumn("__bps_b__", b).persist()
     w_in = (
         Window.partitionBy(*parts, "__bps_b__")
         .orderBy(order_col)
@@ -254,8 +263,8 @@ def bucketed_prefix_sums(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = tot.select(
-        *parts,
-        "__bps_b__",
+        *[F.col(c).alias(f"__bps_k_{c}__") for c in parts],
+        F.col("__bps_b__").alias("__bps_kb__"),
         *[
             F.coalesce(
                 F.sum(f"__bps_t_{out}__").over(w_carry), F.lit(0)
@@ -263,8 +272,11 @@ def bucketed_prefix_sums(
             for out in sums.values()
         ],
     )
-    out_df = local.join(carry, on=[*parts, "__bps_b__"]).select(
-        *df.columns,
+    cond = local["__bps_b__"].eqNullSafe(carry["__bps_kb__"])
+    for c in parts:
+        cond = cond & local[c].eqNullSafe(carry[f"__bps_k_{c}__"])
+    out_df = local.join(carry, on=cond).select(
+        *[local[c] for c in df.columns],
         *[
             (F.col(f"__bps_c_{out}__") + F.col(f"__bps_l_{out}__"))
             .cast("long")

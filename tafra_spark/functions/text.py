@@ -1294,8 +1294,8 @@ def _bpe_state(
 
         key = (
             "bpe_state",
-            str(df.sparkSession._jsparkSession.sessionUUID()),
-            base._jdf.queryExecution().analyzed().semanticHash(),
+            _memo.session_key(df),
+            _memo.plan_hash(base),
             n_merges,
             batch,
             top_window,
@@ -1413,6 +1413,7 @@ def bpe_token_stats(
     text_col: str = "text",
     n_merges: int = 8,
     key_cols=("source",),
+    memo: bool = True,
 ) -> DataFrame:
     """Tokenizer yield report: learn ``n_merges`` BPE merges on the
     corpus, tokenize it with them, and report per-key token economics
@@ -1434,8 +1435,11 @@ def bpe_token_stats(
         if c not in df.columns:
             raise ValueError(f"bpe_token_stats: unknown column {c!r}")
     # serving path: the trained dictionary comes from the session memo
-    # (see _bpe_state's memo contract) — training stays bpe_learn's cost
-    _, words = _bpe_state(df, text_col=text_col, n_merges=n_merges, memo=True)
+    # (see _bpe_state's memo contract) — training stays bpe_learn's
+    # cost; memo=False is the documented mutable-input escape hatch
+    _, words = _bpe_state(
+        df, text_col=text_col, n_merges=n_merges, memo=memo
+    )
     vocab = words.select(
         "word",
         F.size("syms").cast("long").alias("__wtok__"),
@@ -1476,6 +1480,7 @@ def bpe_encode_docs(
     id_col: str = "doc_id",
     n_merges: int = 8,
     batch: int = 1,
+    memo: bool = True,
 ) -> DataFrame:
     """Tokenize the corpus with its own learned BPE merges — the
     tokenize-and-pack stage every training pipeline runs between
@@ -1512,9 +1517,10 @@ def bpe_encode_docs(
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"bpe_encode_docs: unknown column {c!r}")
-    # serving path: memoized learned state (see _bpe_state's contract)
+    # serving path: memoized learned state (see _bpe_state's contract;
+    # memo=False is the mutable-input escape hatch)
     merges, words = _bpe_state(
-        df, text_col=text_col, n_merges=n_merges, batch=batch, memo=True
+        df, text_col=text_col, n_merges=n_merges, batch=batch, memo=memo
     )
     piece_ids = {chr(97 + i): i for i in range(26)}
     for step, _l, _r, merged, _cnt in merges:
@@ -1583,6 +1589,7 @@ def bpe_encode_bytes(
     id_col: str = "doc_id",
     n_merges: int = 8,
     batch: int = 1,
+    memo: bool = True,
 ) -> DataFrame:
     """Byte-level BPE tokenize (r10 — the GPT-2 byte-fallback form of
     :func:`bpe_encode_docs`): learn ``n_merges`` merges over the
@@ -1615,10 +1622,11 @@ def bpe_encode_bytes(
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"bpe_encode_bytes: unknown column {c!r}")
-    # serving path: memoized learned state (see _bpe_state's contract)
+    # serving path: memoized learned state (see _bpe_state's contract;
+    # memo=False is the mutable-input escape hatch)
     merges, words = _bpe_state(
         df, text_col=text_col, n_merges=n_merges, batch=batch,
-        alphabet="bytes", memo=True,
+        alphabet="bytes", memo=memo,
     )
     piece_ids = {"%02X" % b: b for b in range(256)}
     for step, _l, _r, merged, _cnt in merges:

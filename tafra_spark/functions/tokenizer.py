@@ -322,8 +322,8 @@ def bpe_encode_pretrained(
 
         key = (
             "pretrained_bpe_dict",
-            str(spark._jsparkSession.sessionUUID()),
-            dic._jdf.queryExecution().analyzed().semanticHash(),
+            _memo.session_key(df),
+            _memo.plan_hash(dic),
             tokenizer.digest,
         )
         encoded = _memo.state_memo(key, build_encoded_dict)

@@ -659,6 +659,22 @@ JUSTEXT_STOPWORDS: tuple[str, ...] = (
 )
 
 
+# block tags INSIDE an anchor element (card-style markup like
+# <a><div>Read more</div></a>) become newlines like any other block
+# tag, which would split the sentinel span across lines and zero the
+# link density of exactly the link-dense blocks the classifier exists
+# to catch (r11 review finding). The repair pass merges newline runs
+# that fall inside an open span back to spaces; each application fixes
+# one newline RUN per span, so _SPAN_REPAIR_PASSES bounds the number
+# of SEPARATED block-tag groups inside one anchor (4 covers real card
+# markup; an anchor with more collapses to the pre-repair behavior —
+# split spans whose stray sentinels are deleted and count no link
+# chars). The [^\x01\x02\n] class keeps a repair from crossing into a
+# neighboring span.
+_SPAN_REPAIR_PAT = "(\x01[^\x01\x02\n]*)\n+"
+_SPAN_REPAIR_PASSES = 4
+
+
 def justext_marked_text(col: Column | str) -> Column:
     """``html_to_text_blocks`` with anchor-text spans preserved as
     ``\\x01…\\x02`` sentinel pairs — the input
@@ -674,6 +690,8 @@ def justext_marked_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, _WS, " ")
     c = F.regexp_replace(c, _ANCHOR_PAT, "\x01$1\x02")
     c = F.regexp_replace(c, _BLOCK_TAGS, "\n")
+    for _ in range(_SPAN_REPAIR_PASSES):
+        c = F.regexp_replace(c, _SPAN_REPAIR_PAT, "$1 ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
@@ -699,6 +717,11 @@ def justext_marked_sql(expr: str) -> str:
         f"chr(1) || '\\1' || chr(2), 'g')"
     )
     s = f"regexp_replace({s}, '{_BLOCK_TAGS}', chr(10), 'g')"
+    for _ in range(_SPAN_REPAIR_PASSES):
+        s = (
+            f"regexp_replace({s}, '(\\x01[^\\x01\\x02\\n]*)\\n+', "
+            f"'\\1 ', 'g')"
+        )
     s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
     for ent, ch in _ENTITIES:
         ch_sql = ch.replace("'", "''")
@@ -711,7 +734,7 @@ def justext_marked_sql(expr: str) -> str:
 
 
 def justext_base_class(
-    n_chars: Column, n_words: Column, link_q6: Column, stop_q6: Column
+    n_chars: Column, link_q6: Column, stop_q6: Column
 ) -> Column:
     """The context-free jusText class: link density first (a
     link-farm block is boilerplate no matter how long), then length,
@@ -730,7 +753,7 @@ def justext_base_class(
 
 
 def justext_base_class_sql(
-    n_chars: str, n_words: str, link_q6: str, stop_q6: str
+    n_chars: str, link_q6: str, stop_q6: str
 ) -> str:
     """SQL twin of :func:`justext_base_class` — generated from the
     same threshold constants, so the engines cannot drift."""
@@ -768,16 +791,19 @@ def justext_blocks(
         if c not in df.columns:
             raise ValueError(f"justext_blocks: unknown column {c!r}")
     marked = justext_marked_text(F.col(html_col))
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(marked, "\n")).alias("blk_idx", "__raw__"),
-    ).filter(F.col("__raw__") != "")
     raw = F.col("__raw__")
     spanless = F.regexp_replace(raw, _LINK_SPAN, "")
     n_spans = F.regexp_count(raw, F.lit(_LINK_SPAN))
     clean = F.replace(
         F.replace(raw, F.lit("\x01"), F.lit("")), F.lit("\x02"), F.lit("")
     )
+    # filter on the CLEAN text: a line that is only stray sentinels
+    # (an anchor split past the repair bound) must not mint a phantom
+    # 'short' block that feeds the neighbor rescue (r11 review)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, "\n")).alias("blk_idx", "__raw__"),
+    ).filter(F.trim(clean) != "")
     m = lines.select(
         id_col,
         F.col("blk_idx").cast("long").alias("blk_idx"),
@@ -787,19 +813,24 @@ def justext_blocks(
             - 2 * n_spans.cast("long")
         ).alias("__lc__"),
     )
-    words = F.filter(F.split(F.col("blk_text"), " "), lambda w: w != "")
-    low = F.transform(
-        words, lambda w: F.translate(w, _AZ_UP_HTTP, _AZ_LO_HTTP)
+    # case fold hoisted to ONE whole-string codegen translate (the
+    # _v2_toks lesson): the fold touches no space, so the split and
+    # the word count are unchanged
+    low_words = F.filter(
+        F.split(
+            F.translate(F.col("blk_text"), _AZ_UP_HTTP, _AZ_LO_HTTP), " "
+        ),
+        lambda w: w != "",
     )
     stops = F.size(
-        F.filter(low, lambda w: w.isin(list(JUSTEXT_STOPWORDS)))
+        F.filter(low_words, lambda w: w.isin(list(JUSTEXT_STOPWORDS)))
     )
     m2 = m.select(
         id_col,
         "blk_idx",
         "blk_text",
         F.length("blk_text").cast("long").alias("n_chars"),
-        F.size(words).cast("long").alias("n_words"),
+        F.size(low_words).cast("long").alias("n_words"),
         F.col("__lc__"),
         stops.cast("long").alias("__st__"),
     ).select(
@@ -821,7 +852,6 @@ def justext_blocks(
         "base_class",
         justext_base_class(
             F.col("n_chars"),
-            F.col("n_words"),
             F.col("link_density_q6"),
             F.col("stop_density_q6"),
         ),

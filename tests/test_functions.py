@@ -596,6 +596,27 @@ class TestPipelineOps:
         assert out[("s1", 0)] == (2, 11)
         assert out[("s1", 1)] == (1, 1)
 
+    def test_pack_sequences_keeps_null_partition_rows(self, spark):
+        # r11 review finding: the bucketed decomposition's carry join
+        # must be NULL-SAFE — a NULL source is its own partition (the
+        # window semantics it replaced), not a silently dropped row
+        from tafra_spark.functions.pipeline import pack_sequences
+
+        df = spark.createDataFrame(
+            [
+                (0, "s0", "a b c"),
+                (1, None, "d e f g"),
+                (2, None, "h i"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        rows = pack_sequences(df, budget=5).collect()
+        assert sum(r["n_docs"] for r in rows) == 3
+        null_rows = [r for r in rows if r["source"] is None]
+        # NULL partition packs by itself: 4 + 2 tokens -> bins 0, 0
+        assert sum(r["n_docs"] for r in null_rows) == 2
+        assert sum(r["seq_tokens"] for r in null_rows) == 6
+
     def test_source_top_terms_ranked(self, spark, corpus):
         from tafra_spark.functions.pipeline import source_top_terms
 

@@ -1775,6 +1775,28 @@ class TestJustextBlocks:
         assert rows[6]["link_density_q6"] > 350_000
         assert rows[6]["blk_class"] == "bad"
 
+    def test_card_anchor_block_tags_keep_link_density(self, spark):
+        # r11 review finding: block tags INSIDE an anchor (card-style
+        # <a><div>..</div></a>) must not split the sentinel span and
+        # zero the link density of exactly the boilerplate the
+        # classifier exists to catch; the span-repair passes merge the
+        # intra-span newlines back to spaces
+        from tafra_spark.sources.http import justext_blocks
+
+        html = (
+            '<a href="/promo"><div><p>Read more about this and'
+            " that</p></div></a>"
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        rows = justext_blocks(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["blk_text"] == "Read more about this and that"
+        # span chars include the spaces the repair merged in, while
+        # n_chars is the trimmed clean length — density may exceed 1.0;
+        # the contract is "link-dense -> bad", not an exact ratio
+        assert rows[0]["link_density_q6"] > 350_000
+        assert rows[0]["blk_class"] == "bad"
+
     def test_forged_sentinels_are_stripped(self, spark):
         # attacker-controlled \x01/\x02 bytes in the page must not
         # forge (or break) link spans
