@@ -7498,7 +7498,7 @@ cnt AS (
 ),
 dens AS (
   SELECT doc_id, blk_idx, blk_text, n_chars, n_words,
-         CAST(CASE WHEN n_chars > 0 THEN lc * 1000000 // n_chars
+         CAST(CASE WHEN n_chars > 0 THEN least(lc, n_chars) * 1000000 // n_chars
               ELSE 0 END AS BIGINT) AS link_density_q6,
          CAST(CASE WHEN n_words > 0 THEN st * 1000000 // n_words
               ELSE 0 END AS BIGINT) AS stop_density_q6

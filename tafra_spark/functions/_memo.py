@@ -31,16 +31,19 @@ __all__ = [
     "cached_collect",
     "plan_memo",
     "state_memo",
+    "track_persist",
     "clear_memos",
     "session_key",
     "plan_hash",
 ]
 
 _MAX_ENTRIES = 128
+_MAX_PINS = 16
 
 _collects: OrderedDict[tuple, list] = OrderedDict()
 _plans: OrderedDict[tuple, DataFrame] = OrderedDict()
 _states: OrderedDict[tuple, object] = OrderedDict()
+_pins: OrderedDict[int, DataFrame] = OrderedDict()
 
 
 def session_key(df: DataFrame) -> str:
@@ -107,6 +110,25 @@ def clear_memos() -> None:
     for val in _states.values():
         _release(val)
     _states.clear()
+    for val in _pins.values():
+        _release(val)
+    _pins.clear()
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register a persisted intermediate handle in a bounded LRU so a
+    lazy helper (e.g. ``bucketed_prefix_sums``, which must persist its
+    input for two downstream branches) cannot pin storage for the
+    session's lifetime: the oldest pin past ``_MAX_PINS`` is
+    unpersisted, and :func:`clear_memos` releases them all. Eviction is
+    safe mid-plan — unpersist only drops cached blocks; the plan simply
+    recomputes (losing the double-branch saving, never correctness)."""
+    key = id(df)
+    _pins[key] = df
+    _pins.move_to_end(key)
+    while len(_pins) > _MAX_PINS:
+        _release(_pins.popitem(last=False)[1])
+    return df
 
 
 def state_memo(key_parts: tuple, build):
@@ -119,10 +141,11 @@ def state_memo(key_parts: tuple, build):
     caller owns key hygiene: include the session UUID and the semantic
     hash of every input plan the state was derived from, so a changed
     input or a new session can never serve stale state."""
-    hit = _states.get(key_parts)
-    if hit is not None:
+    # membership check, not a None test: a builder may legitimately
+    # return None (or any falsy state) and it still counts as a hit
+    if key_parts in _states:
         _states.move_to_end(key_parts)
-        return hit
+        return _states[key_parts]
     val = build()
     _states[key_parts] = val
     while len(_states) > _MAX_ENTRIES:

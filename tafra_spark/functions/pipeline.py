@@ -36,6 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import _memo
 from .dedup import fuzzy_dedup_pairs, shingles
 from .text import fingerprint, word_tokens
 
@@ -232,7 +233,10 @@ def bucketed_prefix_sums(
     would silently drop those rows — r11 review finding). The input is
     persisted for the two branches (local windows + bucket totals),
     the :func:`vocab_growth` discipline — without it the upstream
-    plan, e.g. ``pack_sequences``' corpus tokenization, runs twice.
+    plan, e.g. ``pack_sequences``' corpus tokenization, runs twice;
+    the handle is registered with :func:`._memo.track_persist` (bounded
+    LRU, released by ``clear_memos``) so repeated calls cannot pin the
+    tokenized corpus for the session's lifetime (r11 advice).
     Exact integer arithmetic, order-deterministic when ``order_col``
     is unique within ``part_col``.
     """
@@ -240,8 +244,11 @@ def bucketed_prefix_sums(
     if bw < 1:
         raise ValueError("bucketed_prefix_sums: bucket_width must be >= 1")
     parts = [part_col] if part_col is not None else []
-    b = F.expr(f"CAST({order_col} div {bw} AS BIGINT)")
-    base = df.withColumn("__bps_b__", b).persist()
+    # backtick-quoted identifier: order_col may need escaping (spaces,
+    # dots, hyphens) when spliced into SQL text (r11 advice)
+    bt = "`" + order_col.replace("`", "``") + "`"
+    b = F.expr(f"CAST({bt} div {bw} AS BIGINT)")
+    base = _memo.track_persist(df.withColumn("__bps_b__", b).persist())
     w_in = (
         Window.partitionBy(*parts, "__bps_b__")
         .orderBy(order_col)

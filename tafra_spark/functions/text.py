@@ -1422,6 +1422,12 @@ def bpe_token_stats(
     n_words, n_chars, n_tokens, tokens_per_word, chars_per_token
     (ratios rounded to 6 places).
 
+    ``memo=True`` (default) serves the trained merges from the session
+    memo keyed by the input PLAN's semantic hash — plan identity, not
+    data identity: rewriting the same file path in-session would serve
+    stale merges. Pass ``memo=False`` for mutable inputs, or call
+    ``_memo.clear_memos()`` after a rewrite (see ``_bpe_state``).
+
     Scale: tokenization is a BROADCAST join of the word stream against
     the learned vocabulary dictionary (word -> token count) — the
     corpus is never shuffled; the only wide op is the per-key final
@@ -1492,6 +1498,12 @@ def bpe_encode_docs(
     yields (0, 0, 0, []) rather than silently vanishing, so per-doc
     accounting (packing budgets, joins back on the id) never skips
     rows (late-r9 review finding).
+
+    ``memo=True`` (default) serves the trained merges from the session
+    memo keyed by the input PLAN's semantic hash — plan identity, not
+    data identity: rewriting the same file path in-session would serve
+    stale merges. Pass ``memo=False`` for mutable inputs, or call
+    ``_memo.clear_memos()`` after a rewrite (see ``_bpe_state``).
 
     Id space is the GPT-2-style "base alphabet, then merges in rank
     order": ``'a'..'z'`` take ids 0..25 and the step-k merge takes
@@ -1610,6 +1622,12 @@ def bpe_encode_bytes(
     Returns one row per input document: (id, n_words, n_bytes,
     n_tokens, token_ids); null/empty/whitespace-only text yields
     (0, 0, 0, []) rather than vanishing (keep-every-row contract).
+
+    ``memo=True`` (default) serves the trained merges from the session
+    memo keyed by the input PLAN's semantic hash — plan identity, not
+    data identity: rewriting the same file path in-session would serve
+    stale merges. Pass ``memo=False`` for mutable inputs, or call
+    ``_memo.clear_memos()`` after a rewrite (see ``_bpe_state``).
 
     Scale: identical plan shape to :func:`bpe_encode_docs` — the
     corpus is touched once by the learner's vocabulary groupBy and

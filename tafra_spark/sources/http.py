@@ -839,8 +839,13 @@ def justext_blocks(
         "blk_text",
         "n_chars",
         "n_words",
+        # least() clamp: __lc__ counts span chars from the UNTRIMMED
+        # raw line (incl. repair-inserted spaces) while n_chars is the
+        # trimmed clean length, so the raw ratio can exceed 1.0 —
+        # consumers get a true <=1.0 fixed-point (r11 advice)
         F.expr(
-            "CASE WHEN n_chars > 0 THEN __lc__ * 1000000 div n_chars "
+            "CASE WHEN n_chars > 0 THEN "
+            "least(__lc__, n_chars) * 1000000 div n_chars "
             "ELSE 0 END"
         ).alias("link_density_q6"),
         F.expr(

@@ -1792,9 +1792,11 @@ class TestJustextBlocks:
         assert len(rows) == 1
         assert rows[0]["blk_text"] == "Read more about this and that"
         # span chars include the spaces the repair merged in, while
-        # n_chars is the trimmed clean length — density may exceed 1.0;
+        # n_chars is the trimmed clean length — the raw ratio would
+        # exceed 1.0, so the density is clamped to <=1.0 (r12 fix);
         # the contract is "link-dense -> bad", not an exact ratio
         assert rows[0]["link_density_q6"] > 350_000
+        assert rows[0]["link_density_q6"] <= 1_000_000
         assert rows[0]["blk_class"] == "bad"
 
     def test_forged_sentinels_are_stripped(self, spark):
