@@ -2703,7 +2703,8 @@ def pretrained_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text || ' ' || CASE doc_id % 5"
             " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
             " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-            " || ' tok' || CAST(doc_id % 997 AS STRING)"
+            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
+            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
         ).alias("text"),
     )
     out = bpe_encode_pretrained(docs, _fixture_tokenizer())
@@ -2735,7 +2736,8 @@ def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text || ' ' || CASE doc_id % 5"
             " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
             " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-            " || ' tok' || CAST(doc_id % 997 AS STRING)"
+            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
+            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
         ).alias("text"),
     )
     enc = bpe_encode_pretrained(deco, _fixture_tokenizer()).join(
@@ -7239,35 +7241,54 @@ FROM s GROUP BY source, seq_id
 
 
 # decoration for the pretrained-encode query: the byte-encode rotation
-# plus a doc-indexed 'tok###' word, so the 31-word synthetic vocabulary
-# becomes ~1000 distinct words and the imported merges cascade for real
+# plus a doc-indexed 'tok###' word, so the seed-word synthetic
+# vocabulary becomes ~1000 distinct words and the imported merges
+# cascade for real; every third doc carries an embedded <|endoftext|>
+# (r12) so the special-token split/interleave path is driver-exercised
 _PRETRAINED_DECO_SQL = (
     "text || ' ' || CASE doc_id % 5"
     " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
     " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-    " || ' tok' || CAST(doc_id % 997 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
+    " ELSE ' tok' END || CAST(doc_id % 997 AS VARCHAR)"
 )
 
 
 def _pretrained_ctes_sql() -> str:
     """Shared CTE body of the pretrained-tokenizer oracles: import the
     SAME 32k-merge fixture (same generator, same file-format parse),
-    then re-apply the merge list INDEPENDENTLY — a recursive CTE fuses
-    the lowest-rank adjacent pair's leftmost occurrence per distinct
-    word per step (the spelled one-at-a-time contract,
-    ``tokenizer.encode_word_hex``'s docstring), with the rank search
-    as an equi-join against the unnested merge relation and the
-    min-(rank, position) argmin as a struct ``min()``. Piece → id
-    joins the full imported vocab relation; per-document reassembly is
-    the byte-encode oracle's shape (``docagg``/``byteagg``). Nothing
-    of Spark's mapInPandas / broadcast-join plan is echoed — only the
-    merge table and the contract are shared."""
+    re-derive the GPT-2 pretokenization INDEPENDENTLY (r12: the
+    lookahead-free runs/boundary/chunk decomposition spelled in
+    ``tokenizer.py``'s module docstring, here as DuckDB list lambdas —
+    1-based where Spark's are 0-based — over the SAME shared pattern
+    strings), interleave special-token passthroughs, then re-apply the
+    merge list — a recursive CTE fuses the lowest-rank adjacent pair's
+    leftmost occurrence per distinct pretoken per step (the spelled
+    one-at-a-time contract, ``tokenizer.encode_word_hex``'s
+    docstring), with the rank search as an equi-join against the
+    unnested merge relation and the min-(rank, position) argmin as a
+    struct ``min()``. Piece → id joins the full imported vocab
+    relation; per-document reassembly orders by the (special-segment,
+    adjusted-segment, chunk-token) position triple. Nothing of Spark's
+    mapInPandas / broadcast-join plan is echoed — only the merge
+    table, the pattern strings, and the contract are shared."""
+    from tafra_spark.functions.tokenizer import (
+        GPT2_CHUNK_RX,
+        GPT2_RUNS_RX,
+        GPT2_SWS_RX,
+        _specials_rx,
+    )
+
     tok = _fixture_tokenizer()
     n = len(tok.merges)
     keys = "[" + ",".join(f"'{l}|{r}'" for l, r in tok.merges) + "]"
     vp_items = list(tok.vocab.items())
     pieces = "[" + ",".join(f"'{p}'" for p, _ in vp_items) + "]"
     tids = "[" + ",".join(str(i) for _, i in vp_items) + "]"
+    sp_rows = ", ".join(
+        f"('{w}', [{i}]::INTEGER[])" for w, i in tok.specials.items()
+    )
+    sp_list = ", ".join(f"'{w}'" for w in tok.specials)
     return r"""
 WITH RECURSIVE
 docs AS MATERIALIZED (
@@ -7279,19 +7300,63 @@ m AS MATERIALIZED (
 vp AS MATERIALIZED (
   SELECT unnest({pieces}) AS piece, unnest({tids}) AS tid
 ),
+segs AS (
+  SELECT doc_id, u.i - 1 AS spos, u.s AS seg
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 regexp_split_to_array(text, '{sprx}'),
+                 (x, i) -> {'s': x, 'i': i})) AS u
+        FROM docs WHERE text IS NOT NULL) __s__
+),
+sfound AS (
+  SELECT doc_id, u.i AS spos, -1 AS qpos, -1 AS tpos, u.w AS word
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(text, '{sprx}'),
+                 (x, i) -> {'w': x, 'i': i})) AS u
+        FROM docs WHERE text IS NOT NULL) __f__
+),
+runsx AS (
+  SELECT doc_id, spos, regexp_extract_all(seg, '{runsrx}') AS runs,
+         regexp_matches(seg, '{swsrx}') AS sws
+  FROM segs
+),
+adjx AS (
+  SELECT doc_id, spos,
+         list_filter(flatten(list_transform(runs, (x, i) ->
+           CASE WHEN ((i - 1) % 2 = 0) = sws THEN
+             CASE WHEN i < len(runs) THEN
+               CASE WHEN ends_with(x, ' ')
+                    THEN [substr(x, 1, length(x) - 1)]
+                    ELSE [substr(x, 1, length(x) - 1),
+                          substr(x, length(x), 1)] END
+             ELSE [x] END
+           ELSE [CASE WHEN i > 1 AND ends_with(runs[i - 1], ' ')
+                      THEN ' ' || x ELSE x END] END)),
+           s -> s <> '') AS segs2
+  FROM runsx
+),
+rstream AS (
+  SELECT doc_id, spos, u.i - 1 AS qpos, u.r AS run
+  FROM (SELECT doc_id, spos,
+               unnest(list_transform(segs2,
+                 (x, i) -> {'r': x, 'i': i})) AS u
+        FROM adjx) __r__
+),
 stream AS (
-  SELECT doc_id, u.p AS pos, u.w AS word
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             regexp_split_to_array(text, '[ \t\r\n\x0b\x0c]+'),
-             (x, i) -> {'w': x, 'p': i})) AS u
-    FROM docs WHERE text IS NOT NULL) __s__
-  WHERE u.w <> ''
+  SELECT doc_id, spos, qpos, u.i - 1 AS tpos, u.w AS word
+  FROM (SELECT doc_id, spos, qpos,
+               unnest(list_transform(
+                 regexp_extract_all(run, '{chunkrx}'),
+                 (x, i) -> {'w': x, 'i': i})) AS u
+        FROM rstream) __t__
+  UNION ALL
+  SELECT doc_id, spos, qpos, tpos, word FROM sfound
 ),
 base AS (
   SELECT word, regexp_extract_all(hex(encode(word)), '..') AS syms
-  FROM (SELECT DISTINCT word FROM stream) __w__
+  FROM (SELECT DISTINCT word FROM stream
+        WHERE word NOT IN ({sp_list})) __w__
 ),
 enc AS (
   SELECT word, syms, 0 AS it FROM base
@@ -7330,6 +7395,8 @@ word_ids AS (
   SELECT word, list(vp.tid ORDER BY u['i']) AS ids
   FROM tokp JOIN vp ON vp.piece = u['s']
   GROUP BY word
+  UNION ALL
+  SELECT * FROM (VALUES {sp_rows}) __sv__(word, ids)
 ),
 byteagg AS (
   SELECT doc_id, CAST(sum(octet_length(encode(word))) AS BIGINT)
@@ -7338,12 +7405,19 @@ byteagg AS (
 ),
 docagg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         flatten(list(w.ids ORDER BY pos)) AS idsflat
+         flatten(list(w.ids ORDER BY st.spos, st.qpos, st.tpos))
+           AS idsflat
   FROM stream st JOIN word_ids w USING (word) GROUP BY doc_id
 )
 """.replace("{deco}", _PRETRAINED_DECO_SQL).replace("{keys}", keys).replace(
         "{pieces}", pieces
-    ).replace("{tids}", tids).replace("{n}", str(n))
+    ).replace("{tids}", tids).replace("{n}", str(n)).replace(
+        "{sprx}", _specials_rx(tok.specials)
+    ).replace("{runsrx}", GPT2_RUNS_RX).replace(
+        "{swsrx}", GPT2_SWS_RX
+    ).replace("{chunkrx}", GPT2_CHUNK_RX.replace("'", "''")).replace(
+        "{sp_rows}", sp_rows
+    ).replace("{sp_list}", sp_list)
 
 
 def _pretrained_encode_sql() -> str:

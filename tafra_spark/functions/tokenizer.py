@@ -1,4 +1,4 @@
-"""Pretrained byte-level BPE tokenizers (r11).
+"""Pretrained byte-level BPE tokenizers (r11, GPT-2-id-compatible r12).
 
 The repo's :mod:`.text` BPE family learns its merges on the scored
 corpus itself — right for tokenizer TRAINING, wrong for the #1
@@ -12,32 +12,80 @@ Missing #1). This module closes that gap:
   byte-to-unicode alphabet (:func:`bytes_to_unicode`, the public
   mapping from Radford et al. 2019's released encoder) — into hex-pair
   symbols, the byte spelling the rest of the engine's BPE machinery
-  already uses (``text._bpe_state(alphabet="bytes")``).
+  already uses (``text._bpe_state(alphabet="bytes")``). Special
+  tokens (``<|endoftext|>`` by default) are registered for
+  passthrough encoding.
 - :func:`bpe_encode_pretrained` encodes a corpus with such an imported
-  vocabulary at any merge count. The 256+n-literal piece→id map of
-  ``text.bpe_encode_bytes`` is exactly the thing that does NOT scale
-  to 32k+ vocabularies (its own docstring says to swap it); here the
-  piece→id step is a BROADCAST JOIN against the parsed vocab relation,
-  and merge application runs over the DISTINCT-WORD dictionary in one
-  Arrow-batched ``mapInPandas`` stage — |V| rows through Python, the
-  corpus itself never leaves the JVM.
+  vocabulary at any merge count, with the PUBLISHED GPT-2
+  pretokenization (r12 — the r11 verdict's What's-wrong #1: the
+  whitespace splitter produced ids no GPT-2-family model was trained
+  on). The 256+n-literal piece→id map of ``text.bpe_encode_bytes`` is
+  exactly the thing that does NOT scale to 32k+ vocabularies (its own
+  docstring says to swap it); here the piece→id step is a BROADCAST
+  JOIN against the parsed vocab relation, and merge application runs
+  over the DISTINCT-WORD dictionary in one Arrow-batched
+  ``mapInPandas`` stage — |V| rows through Python, the corpus itself
+  never leaves the JVM.
+- :func:`bpe_decode_pretrained` decodes token-id sequences back to
+  text (ids → pieces via the same broadcast vocab relation → byte
+  concat → UTF-8). Byte-level BPE with the GPT-2 pretokenizer is
+  LOSSLESS, so ``decode(encode(x)) == x`` exactly — the round-trip
+  property the unit suite pins.
 - :func:`synthetic_gpt2_fixture` deterministically builds a toy
   32k-merge vocabulary IN the public file format, so tests and the
   driver queries exercise the real import path without shipping a
   multi-megabyte binary fixture.
 
-Encode semantics — shared, engine-portable, and exact: repeatedly find
-the LOWEST-RANK adjacent symbol pair present in the word and fuse its
-LEFTMOST occurrence, until no adjacent pair is ranked
-(:func:`encode_word_hex`). For a sequentially-valid merge table (every
-merge's operands exist before its rank — true of any table actually
-learned by BPE, including GPT-2's published one) this is equivalent to
-the reference GPT-2 ``bpe()`` loop that fuses ALL occurrences of the
-chosen pair per pass: a fused symbol's own merges must carry HIGHER
-ranks than the rank that minted it, so the remaining occurrences of
-the chosen pair stay minimal and are consumed one by one before any
-newly-created pair can win. One-at-a-time is what a recursive SQL
-oracle can replay exactly, which is why it is the spelled contract.
+GPT-2 pretokenization without lookahead
+---------------------------------------
+
+The published pretokenizer is the leftmost-first regex::
+
+    's|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+
+
+whose ``\\s+(?!\\S)`` lookahead RE2 (the oracle engine) cannot
+express. This module computes the EXACT same tokenization via a
+lookahead-free decomposition, each stage in the Java∩RE2 regex
+subset (shared pattern strings, the repo's oracle discipline):
+
+1. partition the text into maximal whitespace / non-whitespace RUNS
+   (``GPT2_RUNS_RX`` — a trivially exact partition);
+2. apply the lookahead's boundary rule ARITHMETICALLY over the runs
+   array: a whitespace run of length r followed by non-whitespace
+   always yields its first r-1 characters as one token (that is all
+   ``\\s+(?!\\S)`` can match there) and its LAST character either
+   attaches to the following token (iff it is a literal space — the
+   `` ?`` in the letter/number/punct alternatives) or stands alone
+   (any other whitespace character, matched by the bare ``\\s+``);
+   trailing runs stay whole;
+3. tokenize each adjusted segment with ``GPT2_CHUNK_RX`` — the same
+   alternation minus the lookahead branch, correct because after step
+   2 no segment contains whitespace beyond an optional single leading
+   space, so the two whitespace alternatives collapse to one.
+
+Equivalence is pinned by a unit differential against
+:func:`gpt2_pretokenize_ref`, an independent pure-Python scanner that
+implements the ORIGINAL regex (with its lookahead) literally.
+
+``\\s`` is spelled as the explicit ``_WS_RANGES`` class (Unicode
+whitespace as Python's ``re``/``regex`` modules match it, including
+the 0x1C-0x1F separators) because Java ``\\s`` is ASCII-only and
+RE2's disagrees again — one explicit class, three agreeing engines.
+
+Encode semantics per pretoken — shared, engine-portable, and exact:
+repeatedly find the LOWEST-RANK adjacent symbol pair present in the
+word and fuse its LEFTMOST occurrence, until no adjacent pair is
+ranked (:func:`encode_word_hex`). For a sequentially-valid merge
+table (every merge's operands exist before its rank — true of any
+table actually learned by BPE, including GPT-2's published one) this
+is equivalent to the reference GPT-2 ``bpe()`` loop that fuses ALL
+occurrences of the chosen pair per pass: a fused symbol's own merges
+must carry HIGHER ranks than the rank that minted it, so the
+remaining occurrences of the chosen pair stay minimal and are
+consumed one by one before any newly-created pair can win.
+One-at-a-time is what a recursive SQL oracle can replay exactly,
+which is why it is the spelled contract (differentially unit-tested
+against the all-occurrences reference loop).
 
 The reference (petbox-dev/tafra) has no tokenizer surface — this is
 scale-extension territory per SURVEY §2.9.
@@ -47,12 +95,11 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import dataclass
+import unicodedata
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from .text import _WS_RE
 
 __all__ = [
     "bytes_to_unicode",
@@ -62,8 +109,15 @@ __all__ = [
     "PretrainedBPE",
     "load_gpt2_tokenizer",
     "encode_word_hex",
+    "gpt2_pretokenize_ref",
+    "gpt2_pretoken_array",
     "bpe_encode_pretrained",
+    "bpe_decode_pretrained",
     "synthetic_gpt2_fixture",
+    "GPT2_RUNS_RX",
+    "GPT2_CHUNK_RX",
+    "GPT2_SWS_RX",
+    "GPT2_WS_CHARS",
 ]
 
 
@@ -93,6 +147,55 @@ _B2U = bytes_to_unicode()
 _U2B = {u: b for b, u in _B2U.items()}
 
 
+# --- the pretokenizer's whitespace class ------------------------------
+# Unicode whitespace as Python's re/regex modules match \s (White_Space
+# plus the 0x1C-0x1F information separators). Java \s is ASCII-only and
+# RE2's is [\t\n\f\r ], so the class is spelled explicitly — one
+# definition, derived once into the regex spelling BOTH engines parse
+# (\x{..} escapes are the Java∩RE2 common form).
+_WS_RANGES: tuple[tuple[int, int], ...] = (
+    (0x09, 0x0D),
+    (0x1C, 0x1F),
+    (0x20, 0x20),
+    (0x85, 0x85),
+    (0xA0, 0xA0),
+    (0x1680, 0x1680),
+    (0x2000, 0x200A),
+    (0x2028, 0x2029),
+    (0x202F, 0x202F),
+    (0x205F, 0x205F),
+    (0x3000, 0x3000),
+)
+
+GPT2_WS_CHARS = frozenset(
+    chr(c) for lo, hi in _WS_RANGES for c in range(lo, hi + 1)
+)
+
+
+def _ws_cc() -> str:
+    parts = []
+    for lo, hi in _WS_RANGES:
+        parts.append(
+            "\\x{%X}" % lo if lo == hi else "\\x{%X}-\\x{%X}" % (lo, hi)
+        )
+    return "".join(parts)
+
+
+_WS_CC = _ws_cc()
+#: maximal whitespace / non-whitespace runs — an exact partition
+GPT2_RUNS_RX = f"[{_WS_CC}]+|[^{_WS_CC}]+"
+#: the published alternation minus the lookahead branch (see module
+#: docstring step 3) — applied per boundary-adjusted segment
+GPT2_CHUNK_RX = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    f"| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{_WS_CC}\\p{{L}}\\p{{N}}]+|[{_WS_CC}]+"
+)
+#: does the text start with whitespace (run-parity anchor)
+GPT2_SWS_RX = f"^[{_WS_CC}]"
+
+_DEFAULT_SPECIALS = ("<|endoftext|>",)
+
+
 def _token_to_hex(tok: str) -> str:
     """One GPT-2-alphabet token string → the engine's uppercase-hex
     byte spelling (``'th'`` → ``'7468'``). Raises on characters
@@ -109,6 +212,12 @@ def _hex_to_token(hx: str) -> str:
     return "".join(
         _B2U[int(hx[i : i + 2], 16)] for i in range(0, len(hx), 2)
     )
+
+
+def _text_to_hex(s: str) -> str:
+    """Raw text → uppercase hex of its UTF-8 bytes (the spelling a
+    special-token literal takes in the piece space)."""
+    return "".join("%02X" % b for b in s.encode("utf-8"))
 
 
 def parse_gpt2_merges(text: str) -> list[tuple[str, str]]:
@@ -154,12 +263,14 @@ def derive_gpt2_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
 class PretrainedBPE:
     """An imported tokenizer: ``merges`` in rank order (hex-pair
     symbols), ``ranks`` for the encode loop, ``vocab`` hex-piece → id,
+    ``specials`` special-token literal → id (passthrough, never BPE'd),
     and a content ``digest`` (memo key component)."""
 
     merges: tuple
     ranks: dict
     vocab: dict
     digest: str
+    specials: dict = field(default_factory=dict)
 
 
 def load_gpt2_tokenizer(
@@ -167,12 +278,21 @@ def load_gpt2_tokenizer(
     vocab_text: str | None = None,
     merges_path: str | None = None,
     vocab_path: str | None = None,
+    special_tokens: tuple[str, ...] = _DEFAULT_SPECIALS,
 ) -> PretrainedBPE:
     """Import a GPT-2-format tokenizer from file contents or paths.
     Without a vocab, ids derive from the merge list
     (:func:`derive_gpt2_vocab`). With one, every merge's piece and all
     256 byte pieces must be addressable or encoding could emit NULL
-    ids — validated here, not at query time."""
+    ids — validated here, not at query time.
+
+    ``special_tokens`` are registered for passthrough: each literal is
+    split out of the text BEFORE pretokenization and encodes as its
+    single fixed id (the HF added-token convention; the published
+    GPT-2 vocab carries ``<|endoftext|>`` at 50256). A special whose
+    byte spelling is already a vocab piece adopts that piece's id
+    (same bytes, same id — the round trip stays exact); an absent one
+    is appended after the last vocab id, in tuple order."""
     if merges_text is None:
         if merges_path is None:
             raise ValueError("gpt2 tokenizer: need merges_text or merges_path")
@@ -200,20 +320,42 @@ def load_gpt2_tokenizer(
             )
     else:
         vocab = derive_gpt2_vocab(merges)
+    specials: dict[str, int] = {}
+    next_id = max(vocab.values()) + 1 if vocab else 0
+    for s in special_tokens:
+        if not s:
+            raise ValueError("gpt2 tokenizer: empty special token")
+        hx = _text_to_hex(s)
+        if hx in vocab:
+            specials[s] = vocab[hx]
+        else:
+            specials[s] = next_id
+            next_id += 1
     digest = hashlib.md5(
-        (merges_text + "\x00" + json.dumps(sorted(vocab.items()))).encode()
+        (
+            merges_text
+            + "\x00"
+            + json.dumps(sorted(vocab.items()))
+            + "\x00"
+            + json.dumps(sorted(specials.items()))
+        ).encode()
     ).hexdigest()
     return PretrainedBPE(
-        merges=tuple(merges), ranks=ranks, vocab=vocab, digest=digest
+        merges=tuple(merges),
+        ranks=ranks,
+        vocab=vocab,
+        digest=digest,
+        specials=specials,
     )
 
 
 def encode_word_hex(word: str, ranks: dict) -> list[str]:
-    """Encode ONE word to its hex-symbol pieces: fuse the lowest-rank
-    adjacent pair's leftmost occurrence until no pair is ranked (see
-    the module docstring for the equivalence to GPT-2's reference
-    loop). Pure Python — meant for the |V|-row dictionary inside
-    :func:`bpe_encode_pretrained`'s Arrow stage, never the corpus."""
+    """Encode ONE pretoken to its hex-symbol pieces: fuse the
+    lowest-rank adjacent pair's leftmost occurrence until no pair is
+    ranked (see the module docstring for the equivalence to GPT-2's
+    reference loop). Pure Python — meant for the |V|-row dictionary
+    inside :func:`bpe_encode_pretrained`'s Arrow stage, never the
+    corpus."""
     bs = word.encode("utf-8")
     syms = ["%02X" % b for b in bs]
     while len(syms) >= 2:
@@ -229,6 +371,148 @@ def encode_word_hex(word: str, ranks: dict) -> list[str]:
     return syms
 
 
+# --- the reference pretokenizer (tests / documentation) ---------------
+
+
+def _is_l(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("L")
+
+
+def _is_n(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("N")
+
+
+def gpt2_pretokenize_ref(text: str) -> list[str]:
+    """Independent pure-Python scanner implementing the PUBLISHED
+    GPT-2 pretokenizer regex literally — leftmost-first alternation,
+    greedy quantifiers, and the ``\\s+(?!\\S)`` lookahead with
+    backtracking — over the module's explicit whitespace class and
+    Unicode L/N categories. The unit differential runs this against
+    the engine's lookahead-free decomposition; the two share no code
+    path."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    contractions = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+    while i < n:
+        for c in contractions:
+            if text.startswith(c, i):
+                out.append(c)
+                i += len(c)
+                break
+        else:
+            j = i + 1 if text[i] == " " else i
+            if j < n and _is_l(text[j]):
+                k = j + 1
+                while k < n and _is_l(text[k]):
+                    k += 1
+            elif j < n and _is_n(text[j]):
+                k = j + 1
+                while k < n and _is_n(text[k]):
+                    k += 1
+            elif j < n and text[j] not in GPT2_WS_CHARS and not _is_l(
+                text[j]
+            ) and not _is_n(text[j]):
+                k = j + 1
+                while (
+                    k < n
+                    and text[k] not in GPT2_WS_CHARS
+                    and not _is_l(text[k])
+                    and not _is_n(text[k])
+                ):
+                    k += 1
+            else:
+                # whitespace alternatives (every non-whitespace char
+                # is L, N, or punct, so the X branches failing means
+                # text[i] is whitespace): greedy \s+ then backtrack
+                # while the (?!\S) lookahead fails; if no prefix
+                # satisfies it, fall through to bare \s+ (whole run)
+                k = i + 1
+                while k < n and text[k] in GPT2_WS_CHARS:
+                    k += 1
+                run_end = k
+                while k > i and k < n and text[k] not in GPT2_WS_CHARS:
+                    k -= 1
+                if k == i:  # \s+(?!\S) failed entirely -> \s+
+                    k = run_end
+            out.append(text[i:k])
+            i = k
+    return out
+
+
+# --- the engine-side pretokenizer (Spark columns) ---------------------
+
+
+def _adjusted_segments(runs: Column, sws: Column) -> Column:
+    """Step 2 of the decomposition (module docstring): the runs array
+    → boundary-adjusted segments. Arithmetic-only lambda (run type by
+    index parity against the starts-with-whitespace anchor), so the
+    interpreted HOF stays cheap; empties (a length-1 whitespace run
+    whose space moved right) are filtered after."""
+    last_ch = lambda x: F.substring(x, F.length(x), F.lit(1))  # noqa: E731
+    prefix = lambda x: F.substring(x, F.lit(1), F.length(x) - 1)  # noqa: E731
+    return F.filter(
+        F.flatten(
+            F.transform(
+                runs,
+                lambda x, i: F.when(
+                    ((i % 2) == F.lit(0)) == sws,  # whitespace run
+                    F.when(
+                        i < F.size(runs) - 1,  # followed by non-ws
+                        F.when(
+                            last_ch(x) == " ", F.array(prefix(x))
+                        ).otherwise(F.array(prefix(x), last_ch(x))),
+                    ).otherwise(F.array(x)),
+                ).otherwise(  # non-ws run: attach prev run's space.
+                    # element_at is 1-based so index i IS the previous
+                    # element; greatest() keeps the index legal at i=0
+                    # (& does not short-circuit) — the i>0 guard then
+                    # discards that read
+                    F.array(
+                        F.when(
+                            (i > 0)
+                            & F.element_at(
+                                runs, F.greatest(i, F.lit(1))
+                            ).endswith(" "),
+                            F.concat(F.lit(" "), x),
+                        ).otherwise(x)
+                    )
+                ),
+            )
+        ),
+        lambda s: s != "",
+    )
+
+
+def gpt2_pretoken_array(col: Column | str) -> Column:
+    """One text column → its array of GPT-2 pretokens, entirely
+    JVM-side (two regex projections + one arithmetic HOF). Exposed for
+    composition and the differential tests; :func:`bpe_encode_pretrained`
+    uses the staged/exploded form of the same stages so the chunk
+    regex runs in whole-stage codegen rather than inside a lambda.
+    Special-token splitting is the caller's layer."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(c, F.lit(GPT2_RUNS_RX), F.lit(0))
+    sws = c.rlike(GPT2_SWS_RX)
+    segs = _adjusted_segments(runs, sws)
+    return F.flatten(
+        F.transform(
+            segs,
+            lambda s: F.regexp_extract_all(
+                s, F.lit(GPT2_CHUNK_RX), F.lit(0)
+            ),
+        )
+    )
+
+
+def _specials_rx(specials: dict) -> str:
+    """Alternation of regex-escaped special literals, longest first
+    (Java∩RE2: escape every metacharacter byte-wise)."""
+    metas = set("\\.[]{}()*+?^$|")
+    def esc(s: str) -> str:
+        return "".join("\\" + ch if ch in metas else ch for ch in s)
+    return "|".join(esc(s) for s in sorted(specials, key=len, reverse=True))
+
+
 def bpe_encode_pretrained(
     df: DataFrame,
     tokenizer: PretrainedBPE,
@@ -237,57 +521,132 @@ def bpe_encode_pretrained(
     memo: bool = True,
 ) -> DataFrame:
     """Tokenize a corpus with an IMPORTED vocabulary — the production
-    tokenize stage (fixed published merges, not corpus-learned).
+    tokenize stage (fixed published merges, not corpus-learned) —
+    using the PUBLISHED GPT-2 pretokenization (contraction suffixes,
+    leading-space attachment, letter/number/punctuation runs,
+    whitespace tokens; see the module docstring), so the produced ids
+    are the ones a GPT-2-family model was actually trained on (r12 —
+    the r11 verdict's What's-wrong #1). Special tokens registered on
+    the tokenizer are split out first and encode as their fixed ids.
+
     Returns one row per input document: (id, n_words, n_bytes,
-    n_tokens, token_ids), the :func:`.text.bpe_encode_bytes` contract
-    (keep-every-row: null/empty text yields zeros; byte-level, so NO
-    unk token exists).
+    n_tokens, token_ids) — keep-every-row: null/empty text yields
+    zeros; byte-level, so NO unk token exists. ``n_words`` counts
+    PRETOKENS (whitespace and special tokens included — GPT-2 has no
+    other word concept) and ``n_bytes`` their total UTF-8 bytes, which
+    equals the document's byte length exactly because pretokens
+    partition the text.
+
+    ``memo=True`` (default) serves the ENCODED dictionary from the
+    session memo keyed by (input dictionary plan, tokenizer digest) —
+    plan identity, not data identity: rewriting the same file path
+    in-session would serve a stale dictionary; pass ``memo=False`` for
+    mutable inputs (the ``_bpe_state`` contract).
 
     Scale shape — the reason a 50k-merge vocabulary costs the same
     plan as an 8-merge one:
 
-    - merge application runs on the DISTINCT-WORD dictionary (|V|
+    - pretokenization is JVM-only: one runs-regex projection, one
+      arithmetic HOF for the boundary rule, then the chunk regex in a
+      whole-stage-codegen projection over the exploded segments (regex
+      never runs inside an interpreted lambda on the corpus path);
+    - merge application runs on the DISTINCT-PRETOKEN dictionary (|V|
       rows), one Arrow-batched ``mapInPandas`` stage with the rank
-      table as a broadcast variable; the corpus never enters Python.
+      table as a broadcast variable; the corpus never enters Python;
     - piece → id is a BROADCAST JOIN against the parsed vocab relation
       (the swap ``bpe_encode_bytes``'s docstring prescribes at 32k+
-      merges — no 32k-literal map in the plan, no codegen blowup).
-    - the corpus-side work is unchanged: narrow posexplode, an equi-
-      join against the encoded dictionary, ONE per-document rebuild
-      shuffle.
-    - ``memo=True`` serves the ENCODED dictionary from the session
-      memo keyed by (input dictionary plan, tokenizer digest) — the
-      tokenizer-as-index architecture shared with ``_bpe_state``.
+      merges — no 32k-literal map in the plan, no codegen blowup);
+    - the corpus-side work is narrow explodes, an equi-join against
+      the encoded dictionary, and ONE per-document rebuild shuffle.
     """
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"bpe_encode_pretrained: unknown column {c!r}")
     spark = df.sparkSession
-    stream = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
+    nn = df.filter(F.col(text_col).isNotNull())
+    # --- special-token split: segments interleaved with found specials
+    if tokenizer.specials:
+        rx = _specials_rx(tokenizer.specials)
+        seg_stream = nn.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), _WS_RE)).alias(
-                "__pos__", "word"
+            F.posexplode(F.split(F.col(text_col), rx, -1)).alias(
+                "__spos__", "__seg__"
             ),
         )
-        .filter(F.col("word") != "")
+        sp_stream = (
+            nn.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(rx), F.lit(0)
+                    )
+                ).alias("__sp__", "word"),
+            )
+            # special k sits between segment k and k+1
+            .select(
+                id_col,
+                (F.col("__sp__") + 1).alias("__spos__"),
+                F.lit(-1).alias("__qpos__"),
+                F.lit(-1).alias("__pos__"),
+                "word",
+            )
+        )
+    else:
+        seg_stream = nn.select(
+            F.col(id_col),
+            F.lit(0).alias("__spos__"),
+            F.col(text_col).alias("__seg__"),
+        )
+        sp_stream = None
+    # --- pretokenization, staged so every regex is a codegen projection
+    staged = seg_stream.select(
+        id_col,
+        "__spos__",
+        F.regexp_extract_all(
+            F.col("__seg__"), F.lit(GPT2_RUNS_RX), F.lit(0)
+        ).alias("__runs__"),
+        F.col("__seg__").rlike(GPT2_SWS_RX).alias("__sws__"),
+    )
+    seg2 = staged.select(
+        id_col,
+        "__spos__",
+        F.posexplode(
+            _adjusted_segments(F.col("__runs__"), F.col("__sws__"))
+        ).alias("__qpos__", "__sgt__"),
+    )
+    words = seg2.select(
+        id_col,
+        "__spos__",
+        "__qpos__",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__sgt__"), F.lit(GPT2_CHUNK_RX), F.lit(0)
+            )
+        ).alias("__pos__", "word"),
+    )
+    stream = (
+        words.unionByName(sp_stream) if sp_stream is not None else words
     )
     dic = stream.select("word").distinct()
 
     def build_encoded_dict() -> DataFrame:
         import pandas as pd
 
-        bc = spark.sparkContext.broadcast(tokenizer.ranks)
+        bc = spark.sparkContext.broadcast(
+            (tokenizer.ranks, set(tokenizer.specials))
+        )
 
         def enc_iter(batches):
-            ranks = bc.value
+            ranks, sp = bc.value
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "word": pdf["word"],
                         "pieces": [
-                            encode_word_hex(w, ranks) for w in pdf["word"]
+                            [_text_to_hex(w)]
+                            if w in sp
+                            else encode_word_hex(w, ranks)
+                            for w in pdf["word"]
                         ],
                     }
                 )
@@ -295,8 +654,11 @@ def bpe_encode_pretrained(
         enc_dic = dic.mapInPandas(
             enc_iter, "word string, pieces array<string>"
         )
+        vocab_plus = dict(tokenizer.vocab)
+        for s, i in tokenizer.specials.items():
+            vocab_plus[_text_to_hex(s)] = i
         vocab_df = spark.createDataFrame(
-            list(tokenizer.vocab.items()), "piece string, tid int"
+            list(vocab_plus.items()), "piece string, tid int"
         )
         # piece -> id via broadcast join (vocab is 256+n rows — small
         # relative to any corpus, far too big for a literal map)
@@ -331,6 +693,8 @@ def bpe_encode_pretrained(
         encoded = build_encoded_dict()
     per_word = stream.join(encoded, "word").select(
         id_col,
+        "__spos__",
+        "__qpos__",
         "__pos__",
         F.octet_length("word").cast("long").alias("__nb__"),
         "__ids__",
@@ -340,7 +704,8 @@ def bpe_encode_pretrained(
         F.sum("__nb__").cast("long").alias("n_bytes"),
         F.flatten(
             F.expr(
-                "array_sort(collect_list(struct(__pos__, __ids__)))"
+                "array_sort(collect_list("
+                "struct(__spos__, __qpos__, __pos__, __ids__)))"
                 ".__ids__"
             )
         ).alias("token_ids"),
@@ -362,11 +727,86 @@ def bpe_encode_pretrained(
     )
 
 
+def bpe_decode_pretrained(
+    df: DataFrame,
+    tokenizer: PretrainedBPE,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """Decode token-id sequences back to text with an imported
+    vocabulary — the inspection/debugging loop for packed sequences
+    (r11 verdict Next #3). Exact inverse of
+    :func:`bpe_encode_pretrained` for any input that encoder produced:
+    pieces are byte spellings and pretokens partition the text, so
+    concatenating the pieces' bytes in order and UTF-8-decoding
+    restores the document byte-for-byte (round-trip property test in
+    the unit suite). Unknown ids raise (a corrupted stream must not
+    silently drop tokens).
+
+    Returns (id, out_col). Scale shape mirrors the encoder: explode
+    ids (narrow), BROADCAST join against the id→piece relation, ONE
+    per-document rebuild shuffle, then unhex+decode in a codegen
+    projection. Empty id arrays decode to ''."""
+    for c in (id_col, ids_col):
+        if c not in df.columns:
+            raise ValueError(f"bpe_decode_pretrained: unknown column {c!r}")
+    spark = df.sparkSession
+    vocab_plus = dict(tokenizer.vocab)
+    for s, i in tokenizer.specials.items():
+        vocab_plus[_text_to_hex(s)] = i
+    # invert piece->id; on spelling collisions (possible only between a
+    # vocab piece and a special with the same bytes, validated equal at
+    # load) keep either — same spelling, same bytes
+    id2piece = {i: p for p, i in vocab_plus.items()}
+    rel = spark.createDataFrame(
+        list(id2piece.items()), "tid int, piece string"
+    )
+    tok = df.select(
+        id_col, F.posexplode_outer(ids_col).alias("__pos__", "tid")
+    )
+    joined = tok.join(F.broadcast(rel), "tid", "left").select(
+        id_col,
+        "__pos__",
+        F.when(
+            F.col("__pos__").isNotNull() & F.col("piece").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("bpe_decode_pretrained: unknown token id "),
+                    F.col("tid").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("piece")).alias("piece"),
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.expr("array_sort(collect_list(struct(__pos__, piece))).piece"),
+        ).alias("__hex__")
+    )
+    return agg.select(
+        id_col,
+        F.decode(F.unhex("__hex__"), "UTF-8").alias(out_col),
+    )
+
+
 # deterministic seed chains for the toy vocabulary: common English
 # words and fragments plus the bench corpus's own vocabulary, so the
 # fixture's merges genuinely FIRE multi-level on real text rather than
-# stopping at base byte pairs
+# stopping at base byte pairs. r12: leading-space variants (the Ġ
+# convention) joined the list because the GPT-2 pretokenizer attaches
+# the space to the word — without them no multi-level merge would ever
+# fire on mid-sentence words.
 _FIXTURE_CHAIN_WORDS = [
+    # leading-space (Ġ) forms FIRST: their chains take the low ranks,
+    # so mid-sentence words fuse into single space-prefixed pieces the
+    # way the published vocabulary's do
+    " the", " and", " that", " with", " for", " was", " this",
+    " join", " hash", " row", " batch", " scan", " customer",
+    " column", " filter", " small", " merge", " slow", " order",
+    " vector", " line", " data", " table", " value", " key",
+    " stream", " window", " spark", " group", " part", " sort",
+    " query", " fast", " tok",
     "the", "and", "ing", "ion", "tion", "that", "with", "for", "was",
     "his", "this", "from", "they", "have", "what", "are", "were",
     "been", "their", "there", "which", "would", "about", "other",
@@ -374,6 +814,7 @@ _FIXTURE_CHAIN_WORDS = [
     "filter", "small", "merge", "slow", "order", "vector", "line",
     "data", "table", "agg", "value", "key", "stream", "window",
     "spark", "group", "part", "big", "sort", "query", "fast", "dup",
+    "tok",
 ]
 
 
@@ -382,12 +823,13 @@ def synthetic_gpt2_fixture(n_merges: int = 32768) -> tuple[str, str]:
     file format: ``(merges_text, vocab_text)`` with exactly
     ``n_merges`` merges. Composition: (1) left-to-right chain merges
     over the seed words above (so multi-level merges fire on real
-    corpus text), then (2) base byte-pair padding in a fixed order —
-    lowercase letters, digits, the rest of ASCII, then all bytes —
-    skipping any pair already present and any merge whose piece string
-    already exists (pieces stay unique, so derived ids are total).
-    Every merge is sequentially valid by construction: chain lefts are
-    minted by the previous chain step, pads use base symbols only.
+    corpus text — including leading-space forms, the Ġ convention),
+    then (2) base byte-pair padding in a fixed order — lowercase
+    letters, digits, the rest of ASCII, then all bytes — skipping any
+    pair already present and any merge whose piece string already
+    exists (pieces stay unique, so derived ids are total). Every merge
+    is sequentially valid by construction: chain lefts are minted by
+    the previous chain step, pads use base symbols only.
 
     Pure function of ``n_merges`` — tests, driver queries, and the
     DuckDB oracle all call it instead of shipping a megabyte fixture
