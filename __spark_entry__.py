@@ -2776,6 +2776,64 @@ def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pretrained_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer decode + round trip (r12, VERDICT r11 Next #3): encode
+    # the decorated corpus with the imported 32k vocabulary, decode the
+    # id streams back (broadcast id→piece join, byte concat, UTF-8),
+    # and return the decoded text plus an explicit round-trip flag.
+    # The oracle re-derives the decoded text INDEPENDENTLY as the
+    # decoration expression itself — the round-trip theorem (byte-level
+    # BPE + exact pretokenizer ⇒ decode∘encode = id) makes that the
+    # strongest possible check: ids are bijective to distinct byte
+    # pieces, so ANY wrong/mis-ordered/dropped id upstream decodes to
+    # different bytes and hash-fails; matches_input must be TRUE on
+    # both engines. n_tokens rides along so the id stream's length is
+    # pinned too (its values are re-derived by the encode oracle's CTEs
+    # in pretrained_encode_docs — same merge table, same corpus).
+    from tafra_spark.functions.tokenizer import (
+        bpe_decode_pretrained,
+        bpe_encode_pretrained,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || ' ' || CASE doc_id % 5"
+            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
+            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
+        ).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    enc = bpe_encode_pretrained(docs, _fixture_tokenizer())
+    dec = bpe_decode_pretrained(enc, _fixture_tokenizer(), out_col="decoded")
+    return (
+        dec.join(docs, "doc_id")
+        .join(enc.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            "decoded",
+            "n_tokens",
+            (F.col("decoded") == F.col("text")).alias("matches_input"),
+        )
+    )
+
+
+def _pretrained_decode_sql() -> str:
+    """DuckDB mirror of ``pretrained_decode_docs``: the decoded text is
+    re-derived as the decoration expression itself (see the query
+    comment — bijective byte pieces make identity the exact oracle),
+    n_tokens via the shared pretrained CTEs."""
+    return _pretrained_ctes_sql() + r"""
+SELECT d.doc_id, {deco} AS decoded,
+       CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS n_tokens,
+       TRUE AS matches_input
+FROM documents d
+LEFT JOIN docagg a USING (doc_id)
+WHERE d.text IS NOT NULL
+""".replace("{deco}", _PRETRAINED_DECO_SQL)
+
+
 def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end tokenize→pack composition (r10, VERDICT r9 item 2:
     # "the actual pre-training input shape"): byte-BPE encode the
@@ -5602,6 +5660,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pack_docs": tokenize_pack_docs,
         "pretrained_encode_docs": pretrained_encode_docs,
         "pretrained_pack_docs": pretrained_pack_docs,
+        "pretrained_decode_docs": pretrained_decode_docs,
         "language_id_v2_docs": language_id_v2_docs,
         "zipf_source_fit": zipf_source_fit,
         "heaps_law_fit": heaps_law_fit,
@@ -12720,6 +12779,7 @@ def oracle_sql() -> dict[str, str]:
     d["tokenize_pack_docs"] = _tokenize_pack_sql(8, 512)
     d["pretrained_encode_docs"] = _pretrained_encode_sql()
     d["pretrained_pack_docs"] = _pretrained_pack_sql(512)
+    d["pretrained_decode_docs"] = _pretrained_decode_sql()
     d["main_content_blocks"] = _main_content_sql()
     # r10: script+profile language ID, generated mirror
     d["language_id_v2_docs"] = _langid_v2_sql()
