@@ -2890,11 +2890,12 @@ def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# language-ID v2 fixtures (r10; +6 Latin languages r11): one short
-# sentence per supported language, indexed by doc_id % 27 — the Latin
-# ones carry that language's function words, the non-Latin ones native
-# script. Shared verbatim by the Spark query and the DuckDB oracle
-# (both build the same CASE over doc_id % len).
+# language-ID v2 fixtures (r10; +6 Latin languages r11; +6 more r12:
+# ca/et/hr/lt/lv/sk): one short sentence per supported language,
+# indexed by doc_id % len — the Latin ones carry that language's
+# function words, the non-Latin ones native script. Shared verbatim by
+# the Spark query and the DuckDB oracle (both build the same CASE over
+# doc_id % len).
 _LANG_SNIPPETS: list[tuple[str, str]] = [
     ("en", "the cat sat with the dog and it was this fine day"),
     ("de", "der hund und die katze sind nicht auf dem tisch"),
@@ -2915,6 +2916,13 @@ _LANG_SNIPPETS: list[tuple[str, str]] = [
     ("hu", "és hogy nem egy az már csak vagy mint még"),
     ("id", "yang dan tidak untuk dengan ini itu adalah akan pada"),
     ("vi", "và của không là được có người những cho với"),
+    # r12 Latin additions (VERDICT r11 item 4: the remaining top-CC set)
+    ("ca", "els amics amb què però també aquest molt dels fins seva"),
+    ("et", "ja on ning kui oma mis aga või nagu siis"),
+    ("hr", "na od za ali kao što nije ima jer će"),
+    ("lt", "yra kad bet kaip buvo labai gali metų apie dar"),
+    ("lv", "ir ka ar par arī vai viņš pēc kas savu"),
+    ("sk", "sa ako ktorý keď aj sú môže len ešte tiež"),
     ("ru", "привет как дела сегодня хороший день"),
     ("el", "γεια σας καλημέρα τι κάνετε σήμερα"),
     ("ar", "مرحبا كيف حالك اليوم جميل"),
@@ -2928,22 +2936,23 @@ _LANG_SNIPPETS: list[tuple[str, str]] = [
 
 
 def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # language ID v2 (r10, VERDICT r9 item 3; r11: 18 Latin profiles +
-    # the distinct-candidate vote): Unicode-script counting + function-
-    # word profiles replace the 4-language stopword vote (which
-    # returned 'und' for EVERY non-Latin script). Each doc gets a
-    # per-language fixture sentence (doc_id % 27); the query grades v2
-    # against the known language, reports the old v1 vote as the
-    # differential (v1 identifies 4 of 27), and also runs v2 over the
-    # real document text. STAGED evaluation (with_language_id_v2) on
-    # both engines: the r10 inline cut evaluated three full v2 trees
-    # per row (16.5 s at sf0.1 / 53 s proxy; HOF lambdas run
-    # interpreted); staging measured 16.5 → 3.1 s, and the r11
+    # language ID v2 (r10, VERDICT r9 item 3; r11: distinct-candidate
+    # vote; r12: 24 Latin profiles — ca/et/hr/lt/lv/sk join, VERDICT
+    # r11 item 4): Unicode-script counting + function-word profiles
+    # replace the 4-language stopword vote (which returned 'und' for
+    # EVERY non-Latin script). Each doc gets a per-language fixture
+    # sentence (doc_id % 33); the query grades v2 against the known
+    # language and also runs v2 over the real document text. STAGED
+    # evaluation (with_language_id_v2) on both engines: the r10 inline
+    # cut evaluated full v2 trees per reference (16.5 s at sf0.1; HOF
+    # lambdas run interpreted); staging measured 16.5 → 3.1 s, the r11
     # candidate prefilter (ONE profile-union intersection per row,
-    # then 18 counts over the tiny candidate array — votes now count
-    # DISTINCT function words) attacks the residual 2.3×-of-proxy the
-    # r10 verdict flagged. Still zero shuffle.
-    from tafra_spark.functions.text import language_id, with_language_id_v2
+    # then per-language counts over the tiny candidate array) cut
+    # further. r12 (VERDICT r11 item 2a): the v1-differential pass —
+    # a third full id scan whose only payload was "v1 identifies 4 of
+    # 27" — moved to the unit suite (test_text.py), removing ~1/3 of
+    # the row's regex work from the headline query. Still zero shuffle.
+    from tafra_spark.functions.text import with_language_id_v2
 
     nlang = len(_LANG_SNIPPETS)
     snippet = F.lit(None).cast("string")
@@ -2967,7 +2976,6 @@ def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id",
         "expected",
-        language_id(F.col("snip")).alias("pred_v1"),
         "pred_v2",
         (F.col("pred_v2") == F.col("expected")).alias("agree_v2"),
         "doc_lang_v2",
@@ -5855,28 +5863,10 @@ def _langid_v2_sql() -> str:
         f"WHEN {i} THEN '{lang}'"
         for i, (lang, _t) in enumerate(_LANG_SNIPPETS)
     ) + " END"
-    hit_exprs = {
-        lang: "("
-        + " + ".join(
-            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
-            for w in words
-        )
-        + ")"
-        for lang, words in _STOPWORDS.items()
-    }
-    hits_cols = ", ".join(
-        f"{expr} AS hits_{lang}" for lang, expr in hit_exprs.items()
-    )
-    best = "greatest(" + ", ".join(f"hits_{l}" for l in _STOPWORDS) + ")"
-    v1_case = "'und'"
-    for lang in reversed(list(_STOPWORDS)):
-        v1_case = (
-            f"CASE WHEN best > 0 AND hits_{lang} = best "
-            f"THEN '{lang}' ELSE {v1_case} END"
-        )
     # staged v2 parts for both inputs (s_* = snippet, t_* = doc text);
     # r11: a distinct-candidate stage between tokens and hits mirrors
-    # the Spark-side prefilter
+    # the Spark-side prefilter; r12: the v1 stopword-vote stages are
+    # gone with the query's v1 differential (moved to units)
     part_cols = ", ".join(
         [f"{_v2_toks_sql('snip')} AS s_toks",
          f"{_v2_toks_sql('text')} AS t_toks"]
@@ -5905,25 +5895,16 @@ def _langid_v2_sql() -> str:
       SELECT doc_id, text, {snip_case} AS snip, {exp_case} AS expected
       FROM documents
     ),
-    t AS (
-      SELECT doc_id, text, snip, expected,
-             list_distinct(regexp_split_to_array(
-               lower(trim(snip)), '\s+')) AS toks
-      FROM d
-    ),
-    h AS (SELECT doc_id, text, snip, expected, {hits_cols} FROM t),
-    b AS (SELECT *, {best} AS best FROM h),
-    p1 AS (SELECT *, {part_cols} FROM b),
+    p1 AS (SELECT *, {part_cols} FROM d),
     p1b AS (SELECT *, {cand_cols} FROM p1),
     p2 AS (SELECT *, {hit_cols} FROM p1b),
     p3 AS (
       SELECT doc_id, expected,
-             {v1_case} AS pred_v1,
              {dec_s} AS pred_v2,
              {dec_t} AS doc_lang_v2
       FROM p2
     )
-    SELECT doc_id, expected, pred_v1, pred_v2,
+    SELECT doc_id, expected, pred_v2,
            (pred_v2 = expected) AS agree_v2, doc_lang_v2
     FROM p3
     """

