@@ -3877,6 +3877,93 @@ def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language article paragraphs for the multilingual jusText query —
+# shared verbatim by the Spark query and the DuckDB oracle. en/de/fr
+# are stopword-dense in THEIR list; zh has no stoplist (unspaced
+# script) and must classify via the language-independent mode
+# (threshold 0: length + link density alone). No apostrophes: the
+# strings are spliced into SQL literals.
+_ML_LANGS = ["en", "de", "fr", "zh"]  # doc_id % 4
+_ML_PARAS = {
+    "en": (
+        "This is the main article about the topic and it was written"
+        " with many of the common words so that the density of the"
+        " stopwords in this block is high and it is long enough to be"
+        " kept as content."
+    ),
+    "de": (
+        "Der Artikel ist mit den Wörtern und auch nicht ein kurzer"
+        " Text denn er wurde von dem Autor mit einer hohen Dichte der"
+        " Funktionswörter auf die Seite geschrieben damit er als gut"
+        " erkannt wird."
+    ),
+    "fr": (
+        "Le texte est dans la page avec une densité des mots qui est"
+        " plus que le seuil et il ne sera pas un bloc court pour le"
+        " classificateur car il est écrit avec les mots de la langue."
+    ),
+    "zh": (
+        "这是页面的主要内容段落，包含足够多的中文字符，使得这个文本块的长度"
+        "超过八十个字符，从而在没有停用词表的语言无关模式下仅由长度和链接密度"
+        "决定分类结果，应当被保留为正文内容。"
+    ),
+}
+
+
+def main_content_ml_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language jusText stoplists (r12, VERDICT r11 item 5): the
+    # stopword density keys on a language column — en/de/fr pages
+    # count against THEIR function-word list, zh (no stoplist) runs
+    # the language-independent mode (stopword threshold 0). The page
+    # rotates language by doc_id % 4; every page also carries the RAW
+    # ENGLISH corpus paragraph, which therefore classifies DIFFERENTLY
+    # by page language (bad under the de/fr lists, good-length under
+    # zh's thresholdless mode) — exactly the behavior the r11
+    # single-English-list form couldn't express. The oracle mirrors
+    # the marked chain, the per-language stop CASE (generated from the
+    # same stoplist table), the threshold CASE, and the rescue window.
+    from tafra_spark.sources.http import justext_blocks
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    lang = F.lit(_ML_LANGS[-1])
+    para = F.lit(_ML_PARAS[_ML_LANGS[-1]])
+    for i, lg in enumerate(_ML_LANGS[:-1]):
+        lang = F.when(F.col("doc_id") % 4 == i, F.lit(lg)).otherwise(lang)
+        para = F.when(
+            F.col("doc_id") % 4 == i, F.lit(_ML_PARAS[lg])
+        ).otherwise(para)
+    sec = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<div class="nav"><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/s/'), F.col("source"), F.lit('">'),
+        F.col("source"),
+        F.lit('</a></li><li><a href="/p">Products</a></li></ul></div>'
+              "<h2>Section "), sec,
+        F.lit("</h2><p>"), para,
+        F.lit("</p><p>"), esc,
+        F.lit('</p><div class="footer"><a href="/legal">Legal</a> '
+              '<a href="/privacy">Privacy</a></div>'),
+    )
+    return justext_blocks(
+        docs.select("doc_id", lang.alias("lang"), html.alias("html")),
+        lang_col="lang",
+    ).select(
+        "doc_id", "lang", "blk_idx", "blk_text", "n_chars", "n_words",
+        "link_density_q6", "stop_density_q6", "base_class", "blk_class",
+    )
+
+
 def _crawl_url_col() -> Column:
     """The crawl layer's shared synthetic frontier URL (one per doc,
     unique via the /d/{id} path) with deliberate hazards — uppercase
@@ -5518,6 +5605,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_docs": warc_http_docs,
         "html_extract_text": html_extract_text,
         "main_content_blocks": main_content_blocks,
+        "main_content_ml_blocks": main_content_ml_blocks,
         "domain_doc_stats": domain_doc_stats,
         "robots_gate_docs": robots_gate_docs,
         "cc_ingest_quality": cc_ingest_quality,
@@ -7292,6 +7380,118 @@ _PRETRAINED_DECO_SQL = (
     " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
     " ELSE ' tok' END || CAST(doc_id % 997 AS VARCHAR)"
 )
+
+
+def _main_content_ml_sql() -> str:
+    """DuckDB mirror of ``main_content_ml_blocks``: same constructed
+    page (language/paragraph CASE over the shared ``_ML_PARAS``
+    table), the marked chain via ``justext_marked_sql``, per-language
+    stop counts as a CASE generated from ``JUSTEXT_STOPLISTS``, the
+    threshold CASE (0 for no-stoplist languages), the class CASE from
+    the shared thresholds, and the lag/lead rescue."""
+    from tafra_spark.sources.http import (
+        _LINK_SPAN,
+        JUSTEXT_STOPLISTS,
+        JUSTEXT_STOPS_Q6,
+        justext_base_class_sql,
+        justext_marked_sql,
+    )
+
+    lang_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(_ML_LANGS)
+    ) + " END"
+    para_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{_ML_PARAS[lg]}'"
+        for i, lg in enumerate(_ML_LANGS)
+    ) + " END"
+    html = (
+        "'<div class=\"nav\"><ul><li><a href=\"/\">Home</a></li>"
+        "<li><a href=\"/s/' || source || '\">' || source || "
+        "'</a></li><li><a href=\"/p\">Products</a></li></ul></div>"
+        "<h2>Section ' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'</h2><p>' || (" + para_case + ") || '</p><p>' || "
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;') || "
+        "'</p><div class=\"footer\"><a href=\"/legal\">Legal</a> "
+        "<a href=\"/privacy\">Privacy</a></div>'"
+    )
+    words = (
+        "list_filter(string_split(translate(blk_text,"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),"
+        " ' '), w -> w <> '')"
+    )
+    st_case = "CASE lang " + " ".join(
+        "WHEN '{lg}' THEN len(list_filter({words}, w -> w IN ({ws})))"
+        .format(
+            lg=lg,
+            words=words,
+            ws=", ".join(f"'{w}'" for w in ws),
+        )
+        for lg, ws in JUSTEXT_STOPLISTS.items()
+    ) + " ELSE 0 END"
+    thr_case = (
+        "CASE WHEN lang IN ("
+        + ", ".join(f"'{lg}'" for lg in JUSTEXT_STOPLISTS)
+        + f") THEN {JUSTEXT_STOPS_Q6} ELSE 0 END"
+    )
+    base_case = justext_base_class_sql(
+        "n_chars", "link_density_q6", "stop_density_q6", "thr"
+    )
+    return r"""
+WITH h AS (
+  SELECT doc_id, {lang} AS lang, {html} AS html FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+mk AS (SELECT doc_id, lang, {marked} AS m FROM h),
+ln AS (
+  SELECT doc_id, lang, u.i AS blk_idx, u.l AS raw
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(string_split(m, chr(10)),
+                      (x, i) -> {'l': x, 'i': i - 1})) AS u
+        FROM mk) __l__
+),
+feat AS (
+  SELECT doc_id, lang, CAST(blk_idx AS BIGINT) AS blk_idx,
+         trim(replace(replace(raw, chr(1), ''), chr(2), '')) AS blk_text,
+         CAST(length(raw) - length(regexp_replace(raw, '{span}', '', 'g'))
+              - 2 * len(regexp_extract_all(raw, '{span}')) AS BIGINT)
+           AS lc
+  FROM ln
+),
+cnt AS (
+  SELECT doc_id, lang, blk_idx, blk_text,
+         CAST(length(blk_text) AS BIGINT) AS n_chars,
+         CAST(len({words}) AS BIGINT) AS n_words,
+         lc,
+         CAST({st} AS BIGINT) AS st,
+         CAST({thr} AS BIGINT) AS thr
+  FROM feat
+  WHERE blk_text <> ''
+),
+dens AS (
+  SELECT doc_id, lang, blk_idx, blk_text, n_chars, n_words, thr,
+         CAST(CASE WHEN n_chars > 0 THEN least(lc, n_chars) * 1000000 // n_chars
+              ELSE 0 END AS BIGINT) AS link_density_q6,
+         CAST(CASE WHEN n_words > 0 THEN st * 1000000 // n_words
+              ELSE 0 END AS BIGINT) AS stop_density_q6
+  FROM cnt
+),
+cls AS (SELECT *, {base_case} AS base_class FROM dens),
+sm AS (
+  SELECT *, lag(base_class) OVER w AS pc, lead(base_class) OVER w AS nc
+  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY blk_idx)
+)
+SELECT doc_id, lang, blk_idx, blk_text, n_chars, n_words,
+       link_density_q6, stop_density_q6, base_class,
+       CASE WHEN base_class IN ('good', 'bad') THEN base_class
+            WHEN pc = 'good' OR nc = 'good' THEN 'good'
+            ELSE 'bad' END AS blk_class
+FROM sm
+""".replace("{lang}", lang_case).replace("{html}", html).replace(
+        "{marked}", justext_marked_sql("html")
+    ).replace("{span}", _LINK_SPAN).replace("{words}", words).replace(
+        "{st}", st_case
+    ).replace("{thr}", thr_case).replace("{base_case}", base_case)
 
 
 def _pretrained_ctes_sql() -> str:
@@ -12762,6 +12962,7 @@ def oracle_sql() -> dict[str, str]:
     d["pretrained_pack_docs"] = _pretrained_pack_sql(512)
     d["pretrained_decode_docs"] = _pretrained_decode_sql()
     d["main_content_blocks"] = _main_content_sql()
+    d["main_content_ml_blocks"] = _main_content_ml_sql()
     # r10: script+profile language ID, generated mirror
     d["language_id_v2_docs"] = _langid_v2_sql()
     d["crawl_schedule_frontier"] = _crawl_schedule_sql()

@@ -658,6 +658,37 @@ JUSTEXT_STOPWORDS: tuple[str, ...] = (
     "not", "you",
 )
 
+# per-language stoplists (r12, VERDICT r11 item 5): jusText's stopword
+# density is meaningless off the stoplist's language, so the r11
+# single-English-list form quietly degraded to link-density-only on
+# non-English pages. justext_blocks(lang_col=...) keys the density on
+# a language column (e.g. the language-ID v2 output): a known language
+# counts against ITS list; a language with no list here (incl.
+# unspaced scripts, where word density is undefined) runs jusText's
+# language-independent mode — stopword threshold 0, so length and link
+# density alone decide. Lists are function-word cores (~25 words);
+# extend by adding entries — the lookup is a driver-side literal map,
+# the inlined-codebook pattern, so the plan stays zero-join.
+JUSTEXT_STOPLISTS: dict[str, tuple[str, ...]] = {
+    "en": JUSTEXT_STOPWORDS,
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+        "mit", "auf", "für", "von", "im", "den", "dem", "sich",
+        "auch", "als", "an", "aus", "bei", "nach", "wie", "werden",
+        "wurde",
+    ),
+    "fr": (
+        "le", "la", "les", "des", "un", "une", "et", "est", "dans",
+        "que", "qui", "pour", "pas", "de", "du", "au", "aux", "avec",
+        "sur", "par", "plus", "ne", "se", "ce", "sont",
+    ),
+    "es": (
+        "el", "la", "los", "las", "de", "que", "y", "en", "un",
+        "una", "es", "está", "por", "para", "con", "no", "se",
+        "del", "al", "como", "más", "pero", "sus", "ha", "ser",
+    ),
+}
+
 
 # block tags INSIDE an anchor element (card-style markup like
 # <a><div>Read more</div></a>) become newlines like any other block
@@ -734,16 +765,26 @@ def justext_marked_sql(expr: str) -> str:
 
 
 def justext_base_class(
-    n_chars: Column, link_q6: Column, stop_q6: Column
+    n_chars: Column,
+    link_q6: Column,
+    stop_q6: Column,
+    stops_q6_thr: Column | int = JUSTEXT_STOPS_Q6,
 ) -> Column:
     """The context-free jusText class: link density first (a
     link-farm block is boilerplate no matter how long), then length,
-    then stopword density."""
+    then stopword density. ``stops_q6_thr`` may be a per-row Column
+    (r12: 0 for no-stoplist languages — the language-independent
+    mode, where length and link density alone decide)."""
+    thr = (
+        F.lit(stops_q6_thr)
+        if isinstance(stops_q6_thr, int)
+        else stops_q6_thr
+    )
     return (
         F.when(link_q6 > JUSTEXT_MAX_LINK_Q6, F.lit("bad"))
         .when(n_chars < JUSTEXT_LEN_LOW, F.lit("short"))
         .when(
-            stop_q6 >= JUSTEXT_STOPS_Q6,
+            stop_q6 >= thr,
             F.when(
                 n_chars >= JUSTEXT_LEN_HIGH, F.lit("good")
             ).otherwise(F.lit("neargood")),
@@ -753,14 +794,19 @@ def justext_base_class(
 
 
 def justext_base_class_sql(
-    n_chars: str, link_q6: str, stop_q6: str
+    n_chars: str,
+    link_q6: str,
+    stop_q6: str,
+    stops_q6_thr: str | None = None,
 ) -> str:
     """SQL twin of :func:`justext_base_class` — generated from the
-    same threshold constants, so the engines cannot drift."""
+    same threshold constants (or a per-row threshold expression), so
+    the engines cannot drift."""
+    thr = str(JUSTEXT_STOPS_Q6) if stops_q6_thr is None else stops_q6_thr
     return (
         f"(CASE WHEN {link_q6} > {JUSTEXT_MAX_LINK_Q6} THEN 'bad' "
         f"WHEN {n_chars} < {JUSTEXT_LEN_LOW} THEN 'short' "
-        f"WHEN {stop_q6} >= {JUSTEXT_STOPS_Q6} THEN "
+        f"WHEN {stop_q6} >= {thr} THEN "
         f"(CASE WHEN {n_chars} >= {JUSTEXT_LEN_HIGH} THEN 'good' "
         f"ELSE 'neargood' END) "
         f"ELSE 'bad' END)"
@@ -771,10 +817,11 @@ def justext_blocks(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Classify every text block of an HTML column jusText-style and
-    return one row per block: ``(id, blk_idx, blk_text, n_chars,
-    n_words, link_density_q6, stop_density_q6, base_class,
+    return one row per block: ``(id[, lang], blk_idx, blk_text,
+    n_chars, n_words, link_density_q6, stop_density_q6, base_class,
     blk_class)`` where ``blk_class`` is the final keep decision
     ('good' blocks are the main content; 'bad' is boilerplate) after
     the neighbor pass: a 'short'/'neargood' block becomes 'good' iff
@@ -782,12 +829,22 @@ def justext_blocks(
     short lead-ins inside an article are kept; isolated short strings
     in a nav region are not).
 
+    ``lang_col`` (r12, VERDICT r11 item 5) keys the stopword density
+    on a per-document language column (pair it with the language-ID v2
+    output): a language in :data:`JUSTEXT_STOPLISTS` counts against
+    ITS function words; any other value runs jusText's
+    language-independent mode (stopword threshold 0 — length and link
+    density alone decide). Without ``lang_col`` the r11 behavior is
+    unchanged (single English list).
+
     Scale shape: the marked tag-strip chain is one codegen projection;
     blocks come from a narrow posexplode; densities are per-row
-    integer arithmetic; the only non-narrow op is the neighbor window,
-    partitioned by document (per-doc block counts are page-bounded, so
-    no skew class exists). Zero joins, zero Python."""
-    for c in (html_col, id_col):
+    integer arithmetic; the stoplist lookup is a driver-side literal
+    map (bounded control data — the inlined-codebook pattern, NOT a
+    join); the only non-narrow op is the neighbor window, partitioned
+    by document (per-doc block counts are page-bounded, so no skew
+    class exists). Zero joins, zero Python."""
+    for c in (html_col, id_col) + ((lang_col,) if lang_col else ()):
         if c not in df.columns:
             raise ValueError(f"justext_blocks: unknown column {c!r}")
     marked = justext_marked_text(F.col(html_col))
@@ -797,15 +854,18 @@ def justext_blocks(
     clean = F.replace(
         F.replace(raw, F.lit("\x01"), F.lit("")), F.lit("\x02"), F.lit("")
     )
+    extra = [lang_col] if lang_col else []
     # filter on the CLEAN text: a line that is only stray sentinels
     # (an anchor split past the repair bound) must not mint a phantom
     # 'short' block that feeds the neighbor rescue (r11 review)
     lines = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.posexplode(F.split(marked, "\n")).alias("blk_idx", "__raw__"),
     ).filter(F.trim(clean) != "")
     m = lines.select(
         id_col,
+        *extra,
         F.col("blk_idx").cast("long").alias("blk_idx"),
         F.trim(clean).alias("blk_text"),
         (
@@ -822,19 +882,46 @@ def justext_blocks(
         ),
         lambda w: w != "",
     )
-    stops = F.size(
-        F.filter(low_words, lambda w: w.isin(list(JUSTEXT_STOPWORDS)))
-    )
+    if lang_col:
+        stop_map = F.map_from_arrays(
+            F.array(*[F.lit(l) for l in JUSTEXT_STOPLISTS]),
+            F.array(
+                *[
+                    F.array(*[F.lit(w) for w in ws])
+                    for ws in JUSTEXT_STOPLISTS.values()
+                ]
+            ),
+        )
+        # staged so the HOF lambda reads a materialized column, not a
+        # rebuilt literal map per element
+        m = m.withColumn("__stoparr__", F.element_at(stop_map, F.col(lang_col)))
+        stops = F.size(
+            F.filter(
+                low_words,
+                lambda w: F.array_contains(F.col("__stoparr__"), w),
+            )
+        )
+        thr = F.when(
+            F.col("__stoparr__").isNotNull(), F.lit(JUSTEXT_STOPS_Q6)
+        ).otherwise(F.lit(0))
+    else:
+        stops = F.size(
+            F.filter(low_words, lambda w: w.isin(list(JUSTEXT_STOPWORDS)))
+        )
+        thr = F.lit(JUSTEXT_STOPS_Q6)
     m2 = m.select(
         id_col,
+        *extra,
         "blk_idx",
         "blk_text",
         F.length("blk_text").cast("long").alias("n_chars"),
         F.size(low_words).cast("long").alias("n_words"),
         F.col("__lc__"),
         stops.cast("long").alias("__st__"),
+        thr.cast("long").alias("__thr__"),
     ).select(
         id_col,
+        *extra,
         "blk_idx",
         "blk_text",
         "n_chars",
@@ -852,6 +939,7 @@ def justext_blocks(
             "CASE WHEN n_words > 0 THEN __st__ * 1000000 div n_words "
             "ELSE 0 END"
         ).alias("stop_density_q6"),
+        "__thr__",
     )
     m3 = m2.withColumn(
         "base_class",
@@ -859,8 +947,9 @@ def justext_blocks(
             F.col("n_chars"),
             F.col("link_density_q6"),
             F.col("stop_density_q6"),
+            stops_q6_thr=F.col("__thr__"),
         ),
-    )
+    ).drop("__thr__")
     w = Window.partitionBy(id_col).orderBy("blk_idx")
     prev_c = F.lag("base_class").over(w)
     next_c = F.lead("base_class").over(w)

@@ -1799,6 +1799,57 @@ class TestJustextBlocks:
         assert rows[0]["link_density_q6"] <= 1_000_000
         assert rows[0]["blk_class"] == "bad"
 
+    def test_per_language_stoplists(self, spark):
+        # r12 (VERDICT r11 item 5): the stopword density keys on the
+        # lang column — the SAME German paragraph is good under
+        # lang='de' and bad under lang='en'; a no-stoplist language
+        # (zh) runs the language-independent mode where long non-link
+        # blocks are good with zero stopword density
+        from tafra_spark.sources.http import justext_blocks
+
+        de_para = (
+            "<p>Der Artikel ist mit den Wörtern und auch nicht ein"
+            " kurzer Text denn er wurde von dem Autor mit einer hohen"
+            " Dichte der Funktionswörter geschrieben damit er gut"
+            " erkannt wird</p>"
+        )
+        zh_para = (
+            "<p>这是页面的主要内容段落，包含足够多的中文字符，使得这个文本块"
+            "的长度超过八十个字符，从而在没有停用词表的语言无关模式下仅由长度"
+            "和链接密度决定分类结果，应当被保留为正文内容。</p>"
+        )
+        df = spark.createDataFrame(
+            [(1, "de", de_para), (2, "en", de_para), (3, "zh", zh_para)],
+            "doc_id long, lang string, html string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in justext_blocks(df, lang_col="lang").collect()
+        }
+        assert rows[1]["blk_class"] == "good"  # de list fires
+        assert rows[1]["stop_density_q6"] >= 300_000
+        assert rows[2]["blk_class"] == "bad"  # en list sees no hits
+        assert rows[2]["stop_density_q6"] < 300_000
+        assert rows[3]["blk_class"] == "good"  # thresholdless mode
+        assert rows[3]["stop_density_q6"] == 0
+
+    def test_lang_col_default_path_unchanged(self, spark):
+        # without lang_col the r11 single-English-list behavior and
+        # output schema are identical
+        from tafra_spark.sources.http import justext_blocks
+
+        df = spark.createDataFrame(
+            [(1, self.HTML)], "doc_id long, html string"
+        )
+        base = justext_blocks(df)
+        assert base.columns == [
+            "doc_id", "blk_idx", "blk_text", "n_chars", "n_words",
+            "link_density_q6", "stop_density_q6", "base_class",
+            "blk_class",
+        ]
+        with pytest.raises(ValueError):
+            justext_blocks(df, lang_col="nope")
+
     def test_forged_sentinels_are_stripped(self, spark):
         # attacker-controlled \x01/\x02 bytes in the page must not
         # forge (or break) link spans
