@@ -5312,9 +5312,10 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 
-# --- r11 driver window: stalest-first rotation (VERDICT r10 item 2).
-# The driver verifies the FIRST 50 entries of queries(); this list is
-# that window. Composition (r11): (1) the five r5-stale rows the r10
+# --- r11 driver window (historical — kept for CORRECTNESS_r11
+# provenance; the LIVE window is _R12_WINDOW below; the driver
+# verifies the FIRST 50 entries of queries()).
+# Composition (r11): (1) the five r5-stale rows the r10
 # verdict ordered to the head (join_size/quantile-sketch/kmv/audio/
 # unicode-scrub — the last rows older than r6), (2) the three
 # never-driver-verified r11 queries (5+3+9+33 = 50), (3) rows whose
@@ -5331,6 +5332,79 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection ops, the rows with the strongest independent per-round
 # exercise. Recompute staleness with:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
+# --- r12 driver window: stalest-first rotation (VERDICT r11 item 6).
+# Composition: (1) the 14 rows last verified in round 6 — the
+# displacement set the r11 window documented (q7_nation_volume …
+# user_session_features) — go first, clearing all r6 debt; (2) the two
+# never-driver-verified r12 queries; (3) rows whose CODE or ORACLE
+# changed in r12 — the pretrained pair (GPT-2 pretokenizer + specials
+# rewrote both engines' derivations), main_content_blocks (link-density
+# clamp on both sides), language_id_v2_docs (24 profiles + the v1 pass
+# removed from query AND oracle), the pack pair (bucketed_prefix_sums
+# identifier quoting + bounded persist pins); (4) 28 of the 44 rows
+# last verified in round 7, alphabetical — the remaining 16
+# (rollup_agg … weighted_source_mix) roll to the r13 window. Recompute
+# staleness with: max round r where CORRECTNESS_r0{r}.json contains
+# the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
+# r10×42 / r11×50).
+_R12_WINDOW = [
+    # (1) the r6 cohort tail — last of the r6 debt
+    "q7_nation_volume",
+    "q9_product_profit",
+    "quality_length_residuals",
+    "readability_docs",
+    "rename_project",
+    "select_project",
+    "shapley_channel_credit",
+    "sq8_compression_report",
+    "theta_join_inequality",
+    "top_k_orders",
+    "transform_window",
+    "union_all_orders",
+    "upsert_orders",
+    "user_session_features",
+    # (2) new in r12
+    "pretrained_decode_docs",
+    "main_content_ml_blocks",
+    # (3) r12 code/oracle changes
+    "pretrained_encode_docs",
+    "pretrained_pack_docs",
+    "main_content_blocks",
+    "language_id_v2_docs",
+    "tokenize_pack_docs",
+    "pack_training_sequences",
+    # (4) the round-7 cohort (28 of 44, alphabetical)
+    "agg_stats",
+    "ann_recall_eval",
+    "anti_join_not_exists",
+    "chunk_sliding_windows",
+    "corpus_prep_pipeline",
+    "decontaminate_overlap",
+    "doc_repetition_stats",
+    "embedding_centroid_assign",
+    "embedding_cosine_topk",
+    "embedding_lsh_ann",
+    "embedding_near_dups",
+    "event_rate_spikes",
+    "event_transition_matrix",
+    "exact_dedup_groups",
+    "funnel_click_view_purchase",
+    "hll_distinct_users",
+    "incremental_dedup_batch",
+    "key_skew_sources",
+    "kmeans_centroids",
+    "knn_semantic_graph",
+    "length_outlier_flags",
+    "minhash_signature",
+    "ngram_jaccard",
+    "pii_scrub_stats",
+    "pivot_linestatus",
+    "profile_lineitem",
+    "quality_gate_filter",
+    "retention_weekly_cohorts",
+]
+
+# r11 window kept for provenance (CORRECTNESS_r11 keys):
 _R11_WINDOW = [
     # (1) the r5-stale cohort tail (VERDICT r10 item 2)
     "join_size_estimate",
@@ -5581,7 +5655,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _registry()
-    out = {n: q[n] for n in _R11_WINDOW}
+    out = {n: q[n] for n in _R12_WINDOW}
     out.update((n, f) for n, f in q.items() if n not in out)
     return out
 

@@ -130,6 +130,12 @@ HEADLINE = [
     # tokenizer + bucketed-prefix-sum packing) — the production
     # pre-training input shape end-to-end
     "pretrained_pack_docs",
+    # r12: the decode round trip (broadcast id->piece join + per-doc
+    # rebuild + unhex/UTF-8) and the per-language jusText classifier
+    # (adds the stoplist-map lookup and threshold column to the
+    # marked-chain plan) — both new plans get wall guards
+    "pretrained_decode_docs",
+    "main_content_ml_blocks",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
