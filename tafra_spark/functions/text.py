@@ -282,11 +282,32 @@ def _script_pattern(name: str) -> str:
     ) + "]"
 
 
-def _v2_script_count(s: Column, name: str) -> Column:
-    """Letters of ``s`` in one script block (length delta)."""
-    return F.length(s) - F.length(
+#: whole-string ASCII test — the r12 fast-path gate for script counts
+_ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
+def _v2_script_count(
+    s: Column, name: str, is_ascii: Column | None = None
+) -> Column:
+    """Letters of ``s`` in one script block (length delta). With
+    ``is_ascii`` (r12, the staged form's materialized whole-string
+    ASCII test): an ASCII string provably has ZERO letters in every
+    non-Latin block (all their ranges start at U+0370+) and its Latin
+    count is exactly #[A-Za-z] — so the fast path replaces this
+    block's regex scan with a constant or one non-regex ``translate``
+    pass. Values are identical by construction, which is why the
+    DuckDB oracle can keep the plain derivation and still hash-match.
+    The corpus this engine gates is overwhelmingly ASCII, so the 10
+    regex scans per input collapse to ~2 string passes per row."""
+    slow = F.length(s) - F.length(
         F.regexp_replace(s, _script_pattern(name), "")
     )
+    if is_ascii is None:
+        return slow
+    if name == "latin":
+        fast = F.length(s) - F.length(F.translate(s, _AZ_UP + _AZ_LO, ""))
+        return F.when(is_ascii, fast).otherwise(slow)
+    return F.when(is_ascii, F.lit(0)).otherwise(slow)
 
 
 def _v2_toks(s: Column) -> Column:
@@ -306,15 +327,40 @@ def _v2_toks(s: Column) -> Column:
     )
 
 
+# literal-Column cache (r12): a PySpark list literal decomposes into
+# one py4j round trip PER ELEMENT — profiling showed ~1,200 lit()
+# calls (the 240-word union + 24×10-word arrays × two inputs) of the
+# ~14,000 gateway round trips that made BUILDING the langid tree cost
+# more than RUNNING it. Literal expressions are immutable JVM trees,
+# so the same Column handle is safely shared across plans; keyed by
+# the JVM gateway object so a restarted JVM can never serve dead refs.
+_V2_LITS: dict = {}
+
+
+def _v2_lits() -> dict:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = id(sc._gateway) if sc is not None else None
+    hit = _V2_LITS.get("key") == key and _V2_LITS.get("vals")
+    if not hit:
+        _V2_LITS["key"] = key
+        _V2_LITS["vals"] = {
+            "all": F.lit(_ALL_PROFILE_WORDS),
+            **{lang: F.lit(ws) for lang, ws in _LANG_PROFILES.items()},
+        }
+    return _V2_LITS["vals"]
+
+
 def _v2_cand(toks: Column) -> Column:
     """DISTINCT profile words present in a token array — ONE hash-set
-    intersection against the union of all 18 profiles (r11). This is
+    intersection against the union of all profiles (r11). This is
     the prefilter that makes the vote corpus-cheap: real document text
     is mostly non-function words, so ``cand`` is a handful of entries
-    and the 18 per-language counts run over THAT, not over the full
+    and the 24 per-language counts run over THAT, not over the full
     token array 18 times (the r10 weak-perf residual: 12 IN-list
     filters × the whole array × two inputs)."""
-    return F.array_intersect(toks, F.lit(_ALL_PROFILE_WORDS))
+    return F.array_intersect(toks, _v2_lits()["all"])
 
 
 def _v2_hit(cand: Column, lang: str) -> Column:
@@ -324,14 +370,26 @@ def _v2_hit(cand: Column, lang: str) -> Column:
     construction), not token occurrences; a repeated 'the' no longer
     outvotes a diverse profile, and both engines agree without
     order/dup caveats."""
-    return F.size(F.array_intersect(cand, F.lit(_LANG_PROFILES[lang])))
+    return F.size(F.array_intersect(cand, _v2_lits()[lang]))
 
 
-def _v2_decision(cnt: dict, hits: dict) -> Column:
+def _v2_decision(
+    cnt: dict,
+    hits: dict,
+    best_nl: Column | None = None,
+    best_lat: Column | None = None,
+) -> Column:
     """The shared v2 decision tree over script counts + profile hits —
     composed inline by :func:`language_id_v2` and over MATERIALIZED
     columns by :func:`with_language_id_v2` (same tree, so the two
-    paths cannot drift).
+    paths cannot drift). The staged caller passes ``best_nl`` /
+    ``best_lat`` as materialized columns (r12): without them the
+    ``greatest(...)`` maxima re-expand TEXTUALLY inside every one of
+    the ~32 CASE branches — the expression tree grows ~25×, the
+    generated whole-stage method blows the JIT method-size limit, and
+    the stage silently runs as interpreted bytecode (measured: the
+    per-row fixed cost made a 50-char snippet pass as expensive as the
+    full-document pass).
 
     Threshold calibration (r10): *4 (a 20% share) flipped a mostly-
     English sentence quoting two Russian words to 'ru'; *2 (a 50%
@@ -339,8 +397,10 @@ def _v2_decision(cnt: dict, hits: dict) -> Column:
     path while any predominantly non-Latin document still resolves."""
     jazh = cnt["kana"] + cnt["hani"]
     nl_scores = [cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]
-    best_nl = F.greatest(*nl_scores)
-    best_lat = F.greatest(*hits.values())
+    if best_nl is None:
+        best_nl = F.greatest(*nl_scores)
+    if best_lat is None:
+        best_lat = F.greatest(*hits.values())
     script_expr = F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh"))
     for sc, lang in reversed(_SCRIPT_LANGS):
         script_expr = F.when(cnt[sc] == best_nl, F.lit(lang)).otherwise(
@@ -358,8 +418,14 @@ def _v2_decision(cnt: dict, hits: dict) -> Column:
     )
 
 
+def _v2_best_nl(cnt: dict) -> Column:
+    """max non-Latin script score (Han+kana scored as one candidate)."""
+    jazh = cnt["kana"] + cnt["hani"]
+    return F.greatest(*([cnt[sc] for sc, _ in _SCRIPT_LANGS] + [jazh]))
+
+
 def language_id_v2(col: Column) -> Column:
-    """Script-aware language ID over ~27 languages (r10; 18 Latin
+    """Script-aware language ID over ~33 languages (r10; 24 Latin
     profiles r11). See the block comment above for the decision
     procedure. Pure expression tree — zero shuffle, no UDF; 'und'
     when no script letters and no profile hits. A non-Latin script
@@ -379,38 +445,74 @@ def language_id_v2(col: Column) -> Column:
     sf0.1 driver corpus in r10, where the query references the
     prediction three times)."""
     s = F.coalesce(col, F.lit(""))
-    cnt = {name: _v2_script_count(s, name) for name in _SCRIPT_RANGES}
+    is_ascii = s.rlike(_ASCII_RE)
+    cnt = {
+        name: _v2_script_count(s, name, is_ascii=is_ascii)
+        for name in _SCRIPT_RANGES
+    }
     cand = _v2_cand(_v2_toks(s))
     hits = {lang: _v2_hit(cand, lang) for lang in _LANG_PROFILES}
     return _v2_decision(cnt, hits)
 
 
 def with_language_id_v2(
-    df: DataFrame, text_col: str = "text", out: str = "lang_v2"
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "lang_v2",
+    memo: bool = True,
 ) -> DataFrame:
     """Staged corpus form of :func:`language_id_v2` (r10; candidate
     prefilter r11): four stacked projections materialize (1) the
     token array + the 10 script counts, (2) the distinct
     profile-word candidate array (ONE hash-set intersection per row),
-    (3) the 18 per-language hit counts over that tiny array, (4) the
+    (3) the 24 per-language hit counts over that tiny array, (4) the
     decision — so each part is computed ONCE per row instead of once
     per reference (HOF lambdas evaluate interpreted, outside codegen
     CSE, and the r10 form ran 12 IN-list filters over the FULL token
     array). Catalyst keeps the stages separate because
     CollapseProject refuses to inline non-cheap expressions referenced
     more than once. Still zero-shuffle — pipelined projections over
-    the scan."""
+    the scan.
+
+    ``memo=True`` (r12) serves the BUILT PLAN from the session memo
+    (:func:`._memo.plan_memo` — the compiled-classifier architecture
+    the ANN paths use): profiling showed constructing this tree costs
+    ~14,000 py4j round trips (~2.4 s), more than executing it on a
+    5,000-doc partition. Execution is NOT cached — every action runs
+    the plan; the one staleness surface is the memoized plan's file
+    listing (an input path rewritten in-session — pass ``memo=False``
+    or ``_memo.clear_memos()``, the standing contract)."""
+    if memo:
+        from . import _memo
+
+        key = (
+            "lang_id_v2_staged",
+            _memo.session_key(df),
+            _memo.plan_hash(df),
+            text_col,
+            out,
+        )
+        return _memo.plan_memo(
+            key, lambda: with_language_id_v2(df, text_col, out, memo=False)
+        )
     pre = "__lid2__"
     s = F.coalesce(F.col(text_col), F.lit(""))
-    s1 = df.select(
+    # r12: one materialized whole-string ASCII test gates the script
+    # counts — ASCII rows (the overwhelming case on a gated corpus)
+    # skip all 10 per-block regex scans (see _v2_script_count)
+    s0 = df.select("*", s.rlike(_ASCII_RE).alias(f"{pre}ascii"))
+    ascii_col = F.col(f"{pre}ascii")
+    s1 = s0.select(
         "*",
         _v2_toks(s).alias(f"{pre}toks"),
         *[
-            _v2_script_count(s, name).alias(f"{pre}sc_{name}")
+            _v2_script_count(s, name, is_ascii=ascii_col).alias(
+                f"{pre}sc_{name}"
+            )
             for name in _SCRIPT_RANGES
         ],
     )
-    # r11: one distinct profile-word intersection per row; the 18
+    # r11: one distinct profile-word intersection per row; the 24
     # per-language counts then run over the (tiny) candidate array
     s1b = s1.select("*", _v2_cand(F.col(f"{pre}toks")).alias(f"{pre}cand"))
     s2 = s1b.select(
@@ -422,8 +524,24 @@ def with_language_id_v2(
     )
     cnt = {name: F.col(f"{pre}sc_{name}") for name in _SCRIPT_RANGES}
     hits = {lang: F.col(f"{pre}hit_{lang}") for lang in _LANG_PROFILES}
-    out_df = s2.withColumn(out, _v2_decision(cnt, hits))
-    drop = [f"{pre}toks", f"{pre}cand"]
+    # r12: materialize the two maxima BEFORE the decision tree — see
+    # _v2_decision's docstring (JIT method-size limit)
+    s2b = s2.select(
+        "*",
+        _v2_best_nl(cnt).alias(f"{pre}bestnl"),
+        F.greatest(*hits.values()).alias(f"{pre}bestlat"),
+    )
+    out_df = s2b.withColumn(
+        out,
+        _v2_decision(
+            cnt,
+            hits,
+            best_nl=F.col(f"{pre}bestnl"),
+            best_lat=F.col(f"{pre}bestlat"),
+        ),
+    )
+    drop = [f"{pre}toks", f"{pre}cand", f"{pre}ascii",
+            f"{pre}bestnl", f"{pre}bestlat"]
     drop += [f"{pre}sc_{name}" for name in _SCRIPT_RANGES]
     drop += [f"{pre}hit_{lang}" for lang in _LANG_PROFILES]
     return out_df.drop(*drop)

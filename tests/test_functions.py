@@ -7191,3 +7191,27 @@ class TestLanguageIdV2:
         words = [w for ws in _LANG_PROFILES.values() for w in ws]
         assert len(words) == len(set(words))
         assert len(_LANG_PROFILES) == 24
+
+    def test_staged_plan_memo_serves_same_results(self, spark):
+        # r12: with_language_id_v2 memoizes the BUILT PLAN (the
+        # ~14k-py4j-call tree); execution must still run live and all
+        # three paths must agree
+        from tafra_spark.functions.text import with_language_id_v2
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _e) in enumerate(self.FIXTURES) if t],
+            "doc_id long, t string",
+        )
+        a = sorted(
+            with_language_id_v2(df, "t", "l", memo=True).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            with_language_id_v2(df, "t", "l", memo=True).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        c = sorted(
+            with_language_id_v2(df, "t", "l", memo=False).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b == c
