@@ -818,6 +818,7 @@ def justext_blocks(
     html_col: str = "html",
     id_col: str = "doc_id",
     lang_col: str | None = None,
+    memo: bool = True,
 ) -> DataFrame:
     """Classify every text block of an HTML column jusText-style and
     return one row per block: ``(id[, lang], blk_idx, blk_text,
@@ -843,10 +844,36 @@ def justext_blocks(
     map (bounded control data — the inlined-codebook pattern, NOT a
     join); the only non-narrow op is the neighbor window, partitioned
     by document (per-doc block counts are page-bounded, so no skew
-    class exists). Zero joins, zero Python."""
+    class exists). Zero joins, zero Python.
+
+    ``memo=True`` (r12) serves the BUILT PLAN from the session memo
+    (``_memo.plan_memo`` — the compiled-classifier architecture shared
+    with ``with_language_id_v2``): the ~45-pass marked chain plus the
+    density/class stages cost more py4j/Catalyst time to CONSTRUCT
+    than to execute on a local partition. Execution is NOT cached;
+    the one staleness surface is the memoized plan's file listing
+    (input path rewritten in-session — pass ``memo=False`` or
+    ``_memo.clear_memos()``, the standing contract)."""
     for c in (html_col, id_col) + ((lang_col,) if lang_col else ()):
         if c not in df.columns:
             raise ValueError(f"justext_blocks: unknown column {c!r}")
+    if memo:
+        from ..functions import _memo
+
+        key = (
+            "justext_blocks",
+            _memo.session_key(df),
+            _memo.plan_hash(df),
+            html_col,
+            id_col,
+            lang_col,
+        )
+        return _memo.plan_memo(
+            key,
+            lambda: justext_blocks(
+                df, html_col, id_col, lang_col, memo=False
+            ),
+        )
     marked = justext_marked_text(F.col(html_col))
     raw = F.col("__raw__")
     spanless = F.regexp_replace(raw, _LINK_SPAN, "")
