@@ -634,12 +634,36 @@ def corpus_prep(
 def corpus_prep_summary(
     df: DataFrame,
     source_col: str = "source",
+    memo: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Per-source funnel report over :func:`corpus_prep`: how many docs
     enter, survive the quality gate, survive exact dedup, and land in
     the final corpus, plus the final token volume. One extra shuffle on
-    ``source_col`` over the flags plan."""
+    ``source_col`` over the flags plan.
+
+    ``memo=True`` (r12) serves the BUILT PLAN from the session memo
+    (``_memo.plan_memo`` — the compiled-pipeline architecture shared
+    with ``with_language_id_v2``/``justext_blocks``): the five-stage
+    funnel's expression tree costs more py4j/Catalyst time to
+    construct than its steady-state local execution (measured 2+ s
+    build/analyze vs 0.06 s execute at sf0.1). Execution is NOT
+    cached; pass ``memo=False`` for mutable input paths (the standing
+    contract)."""
+    if memo:
+        key = (
+            "corpus_prep_summary",
+            _memo.session_key(df),
+            _memo.plan_hash(df),
+            source_col,
+            tuple(sorted(kwargs.items())),
+        )
+        return _memo.plan_memo(
+            key,
+            lambda: corpus_prep_summary(
+                df, source_col=source_col, memo=False, **kwargs
+            ),
+        )
     flags = corpus_prep(df, source_col=source_col, **kwargs)
     return flags.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

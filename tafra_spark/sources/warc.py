@@ -103,7 +103,14 @@ def build_warc(records: list[tuple[str, bytes]], compress: bool = False) -> byte
         rec = write_warc_record(url, payload)
         # mtime=0: gzip's member header embeds a timestamp by default,
         # which would break the byte-determinism contract above
-        out += gzip.compress(rec, mtime=0) if compress else rec
+        out += (
+            # compresslevel=6 (zlib default): Python's gzip defaults
+            # to 9, ~2x the CPU for ~1% size on WARC text — real CC
+            # writers ship level-6 members
+            gzip.compress(rec, compresslevel=6, mtime=0)
+            if compress
+            else rec
+        )
     return bytes(out)
 
 
@@ -151,7 +158,14 @@ def build_wet(
             )
         )
     for rec in recs:
-        out += gzip.compress(rec, mtime=0) if compress else rec
+        out += (
+            # compresslevel=6 (zlib default): Python's gzip defaults
+            # to 9, ~2x the CPU for ~1% size on WARC text — real CC
+            # writers ship level-6 members
+            gzip.compress(rec, compresslevel=6, mtime=0)
+            if compress
+            else rec
+        )
     return bytes(out)
 
 
@@ -249,7 +263,14 @@ def build_wat(
         )
     out = bytearray()
     for rec in recs:
-        out += gzip.compress(rec, mtime=0) if compress else rec
+        out += (
+            # compresslevel=6 (zlib default): Python's gzip defaults
+            # to 9, ~2x the CPU for ~1% size on WARC text — real CC
+            # writers ship level-6 members
+            gzip.compress(rec, compresslevel=6, mtime=0)
+            if compress
+            else rec
+        )
     return bytes(out)
 
 
