@@ -1802,6 +1802,16 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def perplexity_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity bucketing: head/middle/tail terciles of
+    # the unigram LM score within each source, NTILE over one
+    # per-doc-score window (the corpus never enters the sort)
+    from tafra_spark.functions.pipeline import perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
+
+
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Okapi BM25 lexical retrieval: top-10 documents for a fixed
     # 3-term query, fixed-point contributions, exact integer ranking
@@ -5366,6 +5376,7 @@ _R12_WINDOW = [
     # (2) new in r12
     "pretrained_decode_docs",
     "main_content_ml_blocks",
+    "perplexity_bucket_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5401,7 +5412,6 @@ _R12_WINDOW = [
     "pivot_linestatus",
     "profile_lineitem",
     "quality_gate_filter",
-    "retention_weekly_cohorts",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5790,6 +5800,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_counts": dataset_split_counts,
         "dup_span_fraction": dup_span_fraction,
         "unigram_logprob_quality": unigram_logprob_quality,
+        "perplexity_bucket_docs": perplexity_bucket_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -9890,6 +9901,42 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS cross_dup_frac
             FROM hh JOIN c USING (h) GROUP BY doc_id
+        """,
+        "perplexity_bucket_docs": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            scored AS (
+              SELECT doc_id, source,
+                     count(*) AS n_tokens,
+                     CAST(sum(CAST(floor(
+                         ln(CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE))
+                         * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_q6
+              FROM tok JOIN c USING (term) CROSS JOIN n
+              GROUP BY doc_id, source
+            ),
+            ranked AS (
+              SELECT doc_id, source, n_tokens, s_q6,
+                     ntile(3) OVER (
+                         PARTITION BY source
+                         ORDER BY CAST(s_q6 AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE) DESC,
+                                  doc_id) AS b
+              FROM scored
+            )
+            SELECT doc_id, source, n_tokens,
+                   round((CAST(s_q6 AS DOUBLE) / 1e6) / n_tokens, 6)
+                       AS mean_logprob,
+                   CAST(b AS INTEGER) AS ppl_bucket,
+                   CASE WHEN b = 1 THEN 'head'
+                        WHEN b = 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket_label
+            FROM ranked
         """,
         "unigram_logprob_quality": """
             WITH tok AS (

@@ -1312,6 +1312,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the language-model quality signal (CCNet scores
@@ -1330,12 +1331,15 @@ def unigram_logprob(
     divides two exact numbers in a mirrored order. Plan: one (term)
     count shuffle, a one-row total broadcast, the (doc, term) stream
     joins the counts map-side (term-count table is vocabulary-sized),
-    one per-doc aggregate. Returns (id, n_tokens, logprob_q6_sum,
-    mean_logprob).
+    one per-doc aggregate. Returns (id, *carry_cols, n_tokens,
+    logprob_q6_sum, mean_logprob) — ``carry_cols`` are id-functional
+    attributes (e.g. the source) ridden through the per-doc aggregate
+    so callers don't pay a join-back against the corpus.
     """
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     tok = base.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c__"))
@@ -1348,7 +1352,7 @@ def unigram_logprob(
     return (
         tok.join(F.broadcast(counts), on="term")
         .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(contrib).alias("logprob_q6_sum"),
@@ -1362,6 +1366,64 @@ def unigram_logprob(
             ),
         )
     )
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its LM
+    quality score WITHIN its stratum and split each stratum into
+    equal-population buckets — head (most fluent third), middle, tail.
+    CCNet (Wenzek et al. 2020) computes this per language with a
+    KenLM 5-gram; the engine-portable core is the same unigram score
+    :func:`unigram_logprob` already provides (higher mean logprob =
+    lower perplexity = head), and downstream mixing keeps head+middle
+    while dropping or down-weighting the tail.
+
+    Cross-engine discipline: the ranking key is
+    ``logprob_q6_sum / n_tokens`` as ONE double — both operands are
+    exact integers below 2^53 and IEEE division is correctly rounded,
+    so the ordering (with the id as tie-break) is bit-identical across
+    engines; bucket assignment is standard SQL ``NTILE`` (first
+    ``n mod k`` buckets take the extra row) over that order.
+
+    Plan: the unigram score's aggregates (strata ridden through the
+    per-doc groupBy via ``carry_cols`` — no corpus join-back) + ONE
+    window over the stratum exchange. The window input is the per-doc
+    SCORE relation (~30 bytes/doc), not the corpus, so the sort is
+    cheap even at 100 TB of text. Returns (id, strata, n_tokens,
+    mean_logprob, ppl_bucket, bucket_label).
+    """
+    scored = unigram_logprob(
+        df, text_col=text_col, id_col=id_col, carry_cols=(strata_col,)
+    )
+    rank_key = F.col("logprob_q6_sum").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        rank_key.desc(), F.col(id_col)
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 1, F.lit("head"))
+            .when(bucket == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), bucket.cast("string"))
+    return scored.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col("n_tokens"),
+        F.col("mean_logprob"),
+        bucket.alias("ppl_bucket"),
+        label.alias("bucket_label"),
+    )
+
 
 def snapshot_diff(
     old: DataFrame,

@@ -2179,6 +2179,31 @@ class TestSplitSpansLogprob:
         # common-token doc scores HIGHER (closer to 0) than rare-token doc
         assert got[2]["mean_logprob"] > got[1]["mean_logprob"]
 
+    def test_perplexity_buckets_terciles_per_source(self, spark):
+        from tafra_spark.functions.pipeline import perplexity_buckets
+
+        # source s1: 7 docs built from a shared common token plus
+        # per-doc rare tokens — fluency strictly decreases with the
+        # number of rare tokens; source s2: 2 docs (ntile handles
+        # strata smaller than the bucket count)
+        rows = []
+        for i in range(7):
+            rows.append((i, "s1", "the " * 5 + " ".join(f"w{i}x{j}" for j in range(i))))
+        rows.append((10, "s2", "the the the"))
+        rows.append((11, "s2", "the rare11"))
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r["doc_id"]: r for r in perplexity_buckets(df).collect()}
+        # NTILE(3) over 7 rows → buckets of 3/2/2 in score order
+        s1_sorted = sorted(range(7), key=lambda i: got[i]["mean_logprob"], reverse=True)
+        labels = [got[i]["bucket_label"] for i in s1_sorted]
+        assert labels == ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+        # strictly fewer rare tokens → more fluent → earlier bucket
+        assert got[0]["bucket_label"] == "head"
+        assert got[6]["bucket_label"] == "tail"
+        # 2-row stratum: NTILE still assigns buckets 1 and 2
+        assert got[10]["ppl_bucket"] == 1 and got[10]["bucket_label"] == "head"
+        assert got[11]["ppl_bucket"] == 2 and got[11]["bucket_label"] == "middle"
+
 
 class TestSearchOps:
     def test_inverted_index_postings_sorted_and_banded(self, spark):
