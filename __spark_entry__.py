@@ -4003,6 +4003,49 @@ def _crawl_url_col() -> Column:
     )
 
 
+#: url_policy_gate_docs fixture policy — blocklist rows at BOTH
+#: granularities (a host entry must beat its domain's category), URL
+#: word fragments, and the C4-style banned token list; shared verbatim
+#: with the oracle's VALUES relation / generated patterns
+_POLICY_BLOCKLIST = [
+    ("blogs.co.uk", "adult"),
+    ("example.org", "ads"),
+    ("w2.src7.example.org", "malware"),
+    ("w4.src3.example.com", "malware"),
+]
+_POLICY_URL_WORDS = ["8080", "lang=fr"]
+_POLICY_BADWORDS = ["slow", "skew", "leak"]
+
+
+def url_policy_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: UT1-blocklist / C4-badword policy gate — host+domain
+    # broadcast joins (host category wins), one shared-regex URL word
+    # scan, and the whole-word banned-token text gate, all fused into
+    # the scan projection
+    from tafra_spark.functions.pipeline import badword_stats
+    from tafra_spark.sources.http import url_blocklist_flags
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "source", "lang", "text")
+    )
+    withurl = docs.select("doc_id", "text", _crawl_url_col().alias("url"))
+    flagged = url_blocklist_flags(
+        withurl, _POLICY_BLOCKLIST, url_words=_POLICY_URL_WORDS
+    )
+    gated = badword_stats(flagged, _POLICY_BADWORDS)
+    return gated.select(
+        "doc_id",
+        "url_host",
+        "url_domain",
+        "block_category",
+        "url_word_hit",
+        "n_badwords",
+        (F.col("url_blocked") | F.col("badword_hit")).alias("policy_block"),
+    )
+
+
 def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: crawl bookkeeping over the URL layer — per-registered-domain
     # rollups (the unit CC curation budgets by). URLs are CONSTRUCTED
@@ -5377,6 +5420,7 @@ _R12_WINDOW = [
     "pretrained_decode_docs",
     "main_content_ml_blocks",
     "perplexity_bucket_docs",
+    "url_policy_gate_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5411,7 +5455,6 @@ _R12_WINDOW = [
     "pii_scrub_stats",
     "pivot_linestatus",
     "profile_lineitem",
-    "quality_gate_filter",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5801,6 +5844,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_fraction": dup_span_fraction,
         "unigram_logprob_quality": unigram_logprob_quality,
         "perplexity_bucket_docs": perplexity_bucket_docs,
+        "url_policy_gate_docs": url_policy_gate_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8159,6 +8203,61 @@ def _domain_doc_stats_sql() -> str:
 
 
 _DOMAIN_DOC_STATS_SQL = _domain_doc_stats_sql()
+
+
+def _url_policy_gate_sql() -> str:
+    from tafra_spark.sources.http import (
+        _re_literal,
+        url_host_sql,
+        url_registered_domain_sql,
+        url_word_pattern,
+    )
+
+    url = _crawl_url_sql()
+    values = ", ".join(
+        f"('{p}', '{c}')" for p, c in _POLICY_BLOCKLIST
+    )
+    wpat = url_word_pattern(_POLICY_URL_WORDS)
+    bpat = (
+        "\\b("
+        + "|".join(_re_literal(w.lower()) for w in _POLICY_BADWORDS)
+        + ")\\b"
+    )
+    return f"""
+        WITH bl(pattern, category) AS (VALUES {values}),
+        b2 AS (
+          SELECT pattern, min(category) AS category FROM bl GROUP BY pattern
+        ),
+        u AS (
+          SELECT doc_id, text, {url} AS url
+          FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        e AS (
+          SELECT doc_id, text, url,
+                 {url_host_sql("url")} AS url_host,
+                 {url_registered_domain_sql("url")} AS url_domain
+          FROM u
+        ),
+        j AS (
+          SELECT e.doc_id, e.url_host, e.url_domain,
+                 coalesce(bh.category, bd.category) AS block_category,
+                 regexp_matches(lower(e.url), '{wpat}') AS url_word_hit,
+                 CAST(len(list_distinct(regexp_extract_all(
+                     lower(e.text), '{bpat}', 1))) AS INTEGER)
+                     AS n_badwords
+          FROM e
+          LEFT JOIN b2 bh ON e.url_host = bh.pattern
+          LEFT JOIN b2 bd ON e.url_domain = bd.pattern
+        )
+        SELECT doc_id, url_host, url_domain, block_category,
+               url_word_hit, n_badwords,
+               (block_category IS NOT NULL OR url_word_hit
+                OR n_badwords > 0) AS policy_block
+        FROM j
+    """
+
+
+_URL_POLICY_GATE_SQL = _url_policy_gate_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12538,6 +12637,7 @@ def oracle_sql() -> dict[str, str]:
         # URL layer: identical construction + the shared url_* regex
         # chain on both engines (generated by the *_sql mirrors)
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
+        "url_policy_gate_docs": _URL_POLICY_GATE_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

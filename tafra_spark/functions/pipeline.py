@@ -404,6 +404,41 @@ def pii_scrub(
     return df.select("*", *count_cols, scrubbed.alias(out_col))
 
 
+def badword_stats(
+    df: DataFrame,
+    words: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's blocked-word gate: flag any document containing a word from
+    a banned list (C4 drops the whole page on a single hit from the
+    public "List of Dirty, Naughty, Obscene…" list). Matches are WHOLE
+    words — ``\\b``-bounded, so punctuation-adjacent occurrences count
+    and substrings inside longer words don't — via ONE shared
+    alternation regex over the lower-cased text (patterns stay in the
+    Java∩RE2∩DuckDB subset; lower-casing first avoids the (?i) parity
+    surface). Zero-shuffle codegen projection: the scan fuses into the
+    read, nothing leaves the executor. Documented simplification vs
+    the published list: single-token entries only (the reference list
+    also carries multi-word phrases).
+
+    Adds (n_badwords = DISTINCT banned words present, badword_hit).
+    """
+    if not words:
+        raise ValueError("badword_stats needs a non-empty word list")
+    from ..sources.http import _re_literal
+
+    pat = (
+        "\\b(" + "|".join(_re_literal(w.lower()) for w in words) + ")\\b"
+    )
+    matches = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
+    )
+    n = F.size(matches).cast("int")
+    return df.withColumn("n_badwords", n).withColumn(
+        "badword_hit", F.col("n_badwords") > 0
+    )
+
+
 def _gate_mask(
     min_tokens: int, max_tokens: int, max_dup_q4: int, max_top_q4: int
 ) -> Column:

@@ -1654,3 +1654,88 @@ def recrawl_decision_sql(
         f"WHEN {validator} <> '' THEN 'revalidate' "
         f"ELSE 'fetch' END)"
     )
+
+
+# --------------------------------------------------------------------------
+# URL policy gating (UT1-blocklist / C4-URL-filter family)
+
+#: regex metacharacters in the shared Java∩RE2∩DuckDB subset
+_RE_SPECIALS = set("\\.[]{}()*+?^$|-")
+
+
+def _re_literal(s: str) -> str:
+    """Escape a literal for the shared Java∩RE2 regex subset: backslash
+    every metacharacter, leave everything else untouched (``re.escape``
+    would also backslash characters like ``=`` and ``/`` — legal in all
+    three engines but needless parity surface)."""
+    return "".join("\\" + ch if ch in _RE_SPECIALS else ch for ch in s)
+
+
+def url_word_pattern(words: "Sequence[str]") -> str:
+    """One alternation of lower-cased literal fragments — the C4/UT1
+    'blocked word in URL' scan as a single shared regex (applied to the
+    lower-cased URL, so no (?i) parity surface)."""
+    return "(" + "|".join(_re_literal(w.lower()) for w in words) + ")"
+
+
+def url_blocklist_flags(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    url_words: "Sequence[str]" = (),
+) -> DataFrame:
+    """URL policy gate — the UT1-blocklist / C4-URL-word filter step a
+    CC curation pipeline runs before spending any compute on a page:
+    flag rows whose URL's HOST or REGISTERED DOMAIN appears in a
+    blocklist (UT1 lists both granularities; a domain entry blocks
+    every subdomain's registrant, a host entry blocks exactly that
+    host) or whose URL contains a blocked word fragment.
+
+    ``blocked`` is a list of patterns, a list of ``(pattern,
+    category)`` pairs, or a ``(pattern, category)`` DataFrame (the
+    production shape — UT1's adult list alone is ~4M entries, which is
+    a real relation, not a literal). The list is deduped to
+    ``pattern → min(category)`` (deterministic when one host sits in
+    several category files) and BROADCAST into two left joins against
+    the extracted host and registered-domain keys — the corpus side
+    never shuffles and the word scan is one codegen ``rlike`` over the
+    lower-cased URL, so the whole gate fuses into the scan projection.
+    Adds (url_host, url_domain, block_category, url_word_hit,
+    url_blocked); host-granularity category wins over domain when both
+    match.
+    """
+    spark = df.sparkSession
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(
+            F.col("pattern").cast("string").alias("pattern"),
+            F.col("category").cast("string").alias("category"),
+        )
+    else:
+        rows = [
+            b if isinstance(b, tuple) else (b, "blocked") for b in blocked
+        ]
+        bl = spark.createDataFrame(rows, "pattern string, category string")
+    bl = bl.groupBy("pattern").agg(F.min("category").alias("category"))
+    base = df.withColumn(
+        "url_host", url_host(F.col(url_col))
+    ).withColumn("url_domain", url_registered_domain(F.col(url_col)))
+    bh = bl.select(
+        F.col("pattern").alias("__ph__"), F.col("category").alias("__ch__")
+    )
+    bd = bl.select(
+        F.col("pattern").alias("__pd__"), F.col("category").alias("__cd__")
+    )
+    out = base.join(
+        F.broadcast(bh), F.col("url_host") == F.col("__ph__"), "left"
+    ).join(F.broadcast(bd), F.col("url_domain") == F.col("__pd__"), "left")
+    if url_words:
+        word_hit = F.lower(F.col(url_col)).rlike(url_word_pattern(url_words))
+    else:
+        word_hit = F.lit(False)
+    cat = F.coalesce(F.col("__ch__"), F.col("__cd__"))
+    return (
+        out.withColumn("block_category", cat)
+        .withColumn("url_word_hit", word_hit)
+        .withColumn("url_blocked", cat.isNotNull() | word_hit)
+        .drop("__ph__", "__ch__", "__pd__", "__cd__")
+    )

@@ -2143,3 +2143,73 @@ class TestRecrawlDecision:
                 f"SELECT {dsql}", [e, lm, cc, a]
             ).fetchone()[0]
             assert (gv, gd) == (wv, wd), (e, lm, cc, a)
+
+
+class TestUrlPolicyGate:
+    def test_blocklist_host_beats_domain(self, spark):
+        from tafra_spark.sources.http import url_blocklist_flags
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://bad.example.com/x"),
+                (2, "https://sub.bad.example.com/y"),
+                (3, "https://ok.example.net/z"),
+            ],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r
+            for r in url_blocklist_flags(
+                df,
+                [("example.com", "ads"), ("bad.example.com", "malware")],
+            ).collect()
+        }
+        # exact host entry wins over the registered-domain entry
+        assert got[1]["block_category"] == "malware"
+        # subdomain only matches at domain granularity
+        assert got[2]["block_category"] == "ads"
+        assert got[3]["block_category"] is None and not got[3]["url_blocked"]
+
+    def test_url_word_fragments_and_dedup(self, spark):
+        from tafra_spark.sources.http import url_blocklist_flags
+
+        df = spark.createDataFrame(
+            [(1, "https://a.net/casino-list"), (2, "https://a.net/causal")],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r
+            for r in url_blocklist_flags(
+                df,
+                # duplicate pattern rows must not duplicate output rows
+                [("x.org", "b"), ("x.org", "a")],
+                url_words=["casino"],
+            ).collect()
+        }
+        assert got[1]["url_word_hit"] and got[1]["url_blocked"]
+        assert not got[2]["url_word_hit"] and not got[2]["url_blocked"]
+        assert len(got) == 2
+
+    def test_badword_whole_word_only(self, spark):
+        from tafra_spark.functions.pipeline import badword_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "the scum, rises"),      # punctuation-adjacent hit
+                (2, "scummy is different"),  # substring: no hit
+                (3, "SCUM shouted twice scum"),  # case-folded, distinct=1
+                (4, "clean text here"),
+            ],
+            "id long, text string",
+        )
+        got = {
+            r["id"]: r for r in badword_stats(df, ["scum", "grift"]).collect()
+        }
+        assert got[1]["n_badwords"] == 1 and got[1]["badword_hit"]
+        assert got[2]["n_badwords"] == 0 and not got[2]["badword_hit"]
+        assert got[3]["n_badwords"] == 1
+        assert got[4]["n_badwords"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            badword_stats(df, [])
