@@ -1812,6 +1812,36 @@ def perplexity_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(docs)
 
 
+#: curated-seed sources for the NB quality classifier fixture — the
+#: "reference corpus" side of the GPT-3-style quality filter; shared
+#: verbatim with the oracle's IN list
+_NB_CURATED_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def nb_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: model-based quality filtering (the GPT-3/LLaMA "classifier
+    # trained on a curated reference corpus" stage) — closed-form
+    # Naive Bayes training on a held-out 80% split, then every doc
+    # scored by integer q6 log-odds sums; training is fully re-derived
+    # by the oracle
+    from tafra_spark.functions.pipeline import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    labeled = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "label",
+        F.col("source").isin(*_NB_CURATED_SOURCES).cast("int"),
+    )
+    model = quality_classifier_train(labeled)
+    return quality_classifier_score(docs, model)
+
+
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Okapi BM25 lexical retrieval: top-10 documents for a fixed
     # 3-term query, fixed-point contributions, exact integer ranking
@@ -5421,6 +5451,7 @@ _R12_WINDOW = [
     "main_content_ml_blocks",
     "perplexity_bucket_docs",
     "url_policy_gate_docs",
+    "nb_quality_score_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5454,7 +5485,6 @@ _R12_WINDOW = [
     "ngram_jaccard",
     "pii_scrub_stats",
     "pivot_linestatus",
-    "profile_lineitem",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5845,6 +5875,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_quality": unigram_logprob_quality,
         "perplexity_bucket_docs": perplexity_bucket_docs,
         "url_policy_gate_docs": url_policy_gate_docs,
+        "nb_quality_score_docs": nb_quality_score_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8258,6 +8289,72 @@ def _url_policy_gate_sql() -> str:
 
 
 _URL_POLICY_GATE_SQL = _url_policy_gate_sql()
+
+
+def _nb_quality_score_sql() -> str:
+    curated = ", ".join(f"'{s}'" for s in _NB_CURATED_SOURCES)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        ttok AS (
+          SELECT CASE WHEN source IN ({curated}) THEN 1 ELSE 0 END AS y,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS term
+          FROM base
+          WHERE doc_id % 5 <> 0 AND length(trim(text)) > 0
+        ),
+        c AS (
+          SELECT term,
+                 CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c1,
+                 CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS c0
+          FROM ttok GROUP BY term
+        ),
+        t AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c0) AS BIGINT) AS n0,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM c
+        ),
+        m AS (
+          SELECT term,
+                 CAST(floor((
+                     ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                   - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE))
+                 ) * 1e6 + 0.5) AS BIGINT) AS w
+          FROM c CROSS JOIN t
+        ),
+        u AS (
+          SELECT CAST(floor((
+                     ln(1.0 / CAST(n1 + v AS DOUBLE))
+                   - ln(1.0 / CAST(n0 + v AS DOUBLE))
+                 ) * 1e6 + 0.5) AS BIGINT) AS uw
+          FROM t
+        ),
+        stok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS term
+          FROM base WHERE length(trim(text)) > 0
+        ),
+        scored AS (
+          SELECT doc_id,
+                 count(*) AS n_tokens,
+                 CAST(sum(coalesce(m.w, u.uw)) AS BIGINT) AS score_q6
+          FROM stok
+          LEFT JOIN m USING (term)
+          CROSS JOIN u
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, score_q6, score_q6 > 0 AS pred_high
+        FROM scored
+    """
+
+
+_NB_QUALITY_SCORE_SQL = _nb_quality_score_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12638,6 +12735,7 @@ def oracle_sql() -> dict[str, str]:
         # chain on both engines (generated by the *_sql mirrors)
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
         "url_policy_gate_docs": _URL_POLICY_GATE_SQL,
+        "nb_quality_score_docs": _NB_QUALITY_SCORE_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

@@ -404,6 +404,125 @@ def pii_scrub(
     return df.select("*", *count_cols, scrubbed.alias(out_col))
 
 
+def quality_classifier_train(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train the model-based quality filter: a multinomial Naive Bayes
+    token model over a labeled seed (label 1 = curated/high-quality
+    reference corpus, 0 = raw crawl) — the published GPT-3/LLaMA
+    pipelines run exactly this stage ("classifier trained to
+    distinguish a curated corpus from raw Common Crawl") and keep
+    documents scored similar to the reference side. Naive Bayes rather
+    than logistic GD because its training is CLOSED FORM — one
+    aggregate over the token stream — and its only transcendental is
+    ``ln()`` of exact rationals, the same cross-engine-stable q6
+    discipline as tf-idf/unigram_logprob, so an oracle can re-derive
+    the whole training run.
+
+    Per-term add-one-smoothed log-odds, fixed-pointed to q6:
+    ``floor((ln((c1+1)/(N1+V)) - ln((c0+1)/(N0+V))) * 1e6 + 0.5)``
+    where ``ck`` = term count in class k, ``Nk`` = class token total,
+    ``V`` = vocabulary size. Plan: ONE (term) count shuffle with both
+    class counts as conditional sums in the same aggregate + a one-row
+    totals broadcast. Returns the model relation
+    (term, c1, c0, log_odds_q6) — vocabulary-sized, reusable.
+    """
+    tok = labeled.filter(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).select(
+        F.col(label_col).cast("int").alias("__y__"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("__y__") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("__y__") == 1, 0).otherwise(1))
+        .cast("long")
+        .alias("c0"),
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("__N1__"),
+        F.sum("c0").alias("__N0__"),
+        F.count(F.lit(1)).alias("__V__"),
+    )
+    odds = F.floor(
+        (
+            F.log(
+                (F.col("c1") + 1).cast("double")
+                / (F.col("__N1__") + F.col("__V__")).cast("double")
+            )
+            - F.log(
+                (F.col("c0") + 1).cast("double")
+                / (F.col("__N0__") + F.col("__V__")).cast("double")
+            )
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term", "c1", "c0", odds.alias("log_odds_q6")
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a :func:`quality_classifier_train` model:
+    per-doc sum of token log-odds (integer q6 — order-independent),
+    positive = looks like the curated class. Unseen terms take the
+    smoothed unseen odds ``ln(1/(N1+V)) - ln(1/(N0+V))`` recovered
+    from the model relation itself (``Nk = sum(ck)``, ``V = |model|``)
+    — no training-time state to carry.
+
+    Plan: the model (vocabulary-sized) broadcasts into a left join
+    against the token stream; one per-doc aggregate. At open-vocabulary
+    100 TB scale where the model outgrows a broadcast, the same plan
+    holds with a shuffled hash join on the term key — the corpus side
+    shuffles once on term either way. Returns (id, n_tokens, score_q6,
+    pred_high).
+    """
+    tok = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    defaults = model.agg(
+        F.floor(
+            (
+                F.log(
+                    F.lit(1.0)
+                    / (F.sum("c1") + F.count(F.lit(1))).cast("double")
+                )
+                - F.log(
+                    F.lit(1.0)
+                    / (F.sum("c0") + F.count(F.lit(1))).cast("double")
+                )
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__unseen_q6__")
+    )
+    return (
+        tok.join(F.broadcast(model.select("term", "log_odds_q6")), on="term", how="left")
+        .crossJoin(F.broadcast(defaults))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("log_odds_q6"), F.col("__unseen_q6__"))
+            ).alias("score_q6"),
+        )
+        .withColumn("pred_high", F.col("score_q6") > 0)
+    )
+
+
 def badword_stats(
     df: DataFrame,
     words: Sequence[str],

@@ -2204,6 +2204,45 @@ class TestSplitSpansLogprob:
         assert got[10]["ppl_bucket"] == 1 and got[10]["bucket_label"] == "head"
         assert got[11]["ppl_bucket"] == 2 and got[11]["bucket_label"] == "middle"
 
+    def test_nb_quality_classifier_hand_check(self, spark):
+        import math
+
+        from tafra_spark.functions.pipeline import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+
+        # curated class: 'good' x3; crawl class: 'bad' x2 'good' x1
+        labeled = spark.createDataFrame(
+            [(1, "good good good"), (0, "bad bad good")],
+            "label int, text string",
+        )
+        model = quality_classifier_train(labeled)
+        rows = {r["term"]: r for r in model.collect()}
+        # N1=3, N0=3, V=2
+        assert rows["good"]["c1"] == 3 and rows["good"]["c0"] == 1
+        w_good = math.floor(
+            (math.log(4 / 5) - math.log(2 / 5)) * 1e6 + 0.5
+        )
+        assert rows["good"]["log_odds_q6"] == w_good
+        assert rows["bad"]["log_odds_q6"] < 0 < rows["good"]["log_odds_q6"]
+
+        test = spark.createDataFrame(
+            [(1, "good good"), (2, "bad"), (3, "unseen")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in quality_classifier_score(test, model).collect()
+        }
+        assert got[1]["score_q6"] == 2 * w_good and got[1]["pred_high"]
+        assert not got[2]["pred_high"]
+        # unseen term: smoothed ln(1/(N1+V)) - ln(1/(N0+V)) = 0 here
+        # (balanced classes), so score is exactly the fixed-point of 0
+        assert got[3]["score_q6"] == math.floor(
+            (math.log(1 / 5) - math.log(1 / 5)) * 1e6 + 0.5
+        )
+
 
 class TestSearchOps:
     def test_inverted_index_postings_sorted_and_banded(self, spark):
