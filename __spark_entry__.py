@@ -2718,6 +2718,25 @@ def _fixture_tokenizer(n_merges: int = 32768):
     return load_gpt2_tokenizer(merges_text=mt, vocab_text=vt)
 
 
+#: Spark twin of _PRETRAINED_DECO_SQL — the corpus decoration every
+#: pretrained-tokenizer fixture shares (multi-byte tokens + a
+#: doc-indexed 'tok###' so the 32k merge list genuinely cascades);
+#: one definition so the memo key and the oracle stay aligned
+_PRETRAINED_DECO_EXPR = (
+    "text || ' ' || CASE doc_id % 5"
+    " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
+    " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
+    " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
+)
+
+
+def _pretrained_deco(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.expr(_PRETRAINED_DECO_EXPR).alias("text")
+    )
+
+
 def pretrained_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pretrained-tokenizer import + large-vocab encode (r11, VERDICT
     # r10 item 3): tokenize the corpus with a FIXED 32,768-merge
@@ -2737,16 +2756,7 @@ def pretrained_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or document reassembly hash-fails.
     from tafra_spark.functions.tokenizer import bpe_encode_pretrained
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            "text || ' ' || CASE doc_id % 5"
-            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
-            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
-            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
-        ).alias("text"),
-    )
+    docs = _pretrained_deco(_read(spark, sf_dir, "documents"))
     out = bpe_encode_pretrained(docs, _fixture_tokenizer())
     return out.select(
         "doc_id", "n_words", "n_bytes", "n_tokens",
@@ -2770,16 +2780,7 @@ def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tafra_spark.functions.tokenizer import bpe_encode_pretrained
 
     docs = _read(spark, sf_dir, "documents")
-    deco = docs.select(
-        "doc_id",
-        F.expr(
-            "text || ' ' || CASE doc_id % 5"
-            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
-            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
-            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
-        ).alias("text"),
-    )
+    deco = _pretrained_deco(docs)
     enc = bpe_encode_pretrained(deco, _fixture_tokenizer()).join(
         docs.select("doc_id", "source"), "doc_id"
     )
@@ -2816,6 +2817,23 @@ def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: tokenizer quality dials per source — fertility (tokens per
+    # word) and bytes per token under the FIXED imported 32k-merge
+    # vocabulary; the encode plan (and its memo key) is shared with
+    # pretrained_encode_docs, so the eval costs one extra aggregate
+    from tafra_spark.functions.tokenizer import (
+        bpe_encode_pretrained,
+        tokenizer_fertility,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    enc = bpe_encode_pretrained(
+        _pretrained_deco(docs), _fixture_tokenizer()
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return tokenizer_fertility(enc, strata_col="source")
+
+
 def pretrained_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer decode + round trip (r12, VERDICT r11 Next #3): encode
     # the decorated corpus with the imported 32k vocabulary, decode the
@@ -2835,16 +2853,9 @@ def pretrained_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_pretrained,
     )
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            "text || ' ' || CASE doc_id % 5"
-            " WHEN 0 THEN 'café' WHEN 1 THEN '你好' WHEN 2 THEN 'привет'"
-            " WHEN 3 THEN '2024!' ELSE 'Naïve-Σ' END"
-            " || CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>tok'"
-            " ELSE ' tok' END || CAST(doc_id % 997 AS STRING)"
-        ).alias("text"),
-    ).filter(F.col("text").isNotNull())
+    docs = _pretrained_deco(_read(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     enc = bpe_encode_pretrained(docs, _fixture_tokenizer())
     dec = bpe_decode_pretrained(enc, _fixture_tokenizer(), out_col="decoded")
     return (
@@ -2872,6 +2883,35 @@ FROM documents d
 LEFT JOIN docagg a USING (doc_id)
 WHERE d.text IS NOT NULL
 """.replace("{deco}", _PRETRAINED_DECO_SQL)
+
+
+def _tokenizer_fertility_sql() -> str:
+    """DuckDB mirror of ``tokenizer_fertility_eval``: the shared
+    pretrained CTEs' per-doc word/byte/token counts aggregated per
+    source, ratios as single IEEE divisions of exact integer sums."""
+    return _pretrained_ctes_sql() + r"""
+, encf AS (
+  SELECT d.doc_id, d.source,
+         coalesce(a.n_words, 0) AS nw,
+         coalesce(b.n_bytes, 0) AS nb,
+         CAST(coalesce(len(a.idsflat), 0) AS BIGINT) AS nt
+  FROM documents d
+  LEFT JOIN docagg a USING (doc_id)
+  LEFT JOIN byteagg b USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_words,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CASE WHEN sum(nw) > 0 THEN
+         round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+       END AS fertility,
+       CASE WHEN sum(nt) > 0 THEN
+         round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6)
+       END AS bytes_per_token
+FROM encf GROUP BY source
+"""
 
 
 def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5452,6 +5492,7 @@ _R12_WINDOW = [
     "perplexity_bucket_docs",
     "url_policy_gate_docs",
     "nb_quality_score_docs",
+    "tokenizer_fertility_eval",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5484,7 +5525,6 @@ _R12_WINDOW = [
     "minhash_signature",
     "ngram_jaccard",
     "pii_scrub_stats",
-    "pivot_linestatus",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5876,6 +5916,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket_docs": perplexity_bucket_docs,
         "url_policy_gate_docs": url_policy_gate_docs,
         "nb_quality_score_docs": nb_quality_score_docs,
+        "tokenizer_fertility_eval": tokenizer_fertility_eval,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -13280,6 +13321,7 @@ def oracle_sql() -> dict[str, str]:
     d["pretrained_encode_docs"] = _pretrained_encode_sql()
     d["pretrained_pack_docs"] = _pretrained_pack_sql(512)
     d["pretrained_decode_docs"] = _pretrained_decode_sql()
+    d["tokenizer_fertility_eval"] = _tokenizer_fertility_sql()
     d["main_content_blocks"] = _main_content_sql()
     d["main_content_ml_blocks"] = _main_content_ml_sql()
     # r10: script+profile language ID, generated mirror

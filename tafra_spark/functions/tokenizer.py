@@ -884,3 +884,38 @@ def synthetic_gpt2_fixture(n_merges: int = 32768) -> tuple[str, str]:
         separators=(",", ":"),
     )
     return merges_text, vocab_text
+
+
+def tokenizer_fertility(
+    enc: DataFrame, strata_col: str = "source"
+) -> DataFrame:
+    """Tokenizer quality evaluation over an encoded corpus — the
+    standard dials a tokenizer is judged by per stratum
+    (source/language): **fertility** (tokens per word; ~1 means the
+    vocabulary covers the stratum, >>1 means words shatter into many
+    pieces) and **bytes per token** (compression; GPT-2-family
+    vocabularies land ~3-4 bytes/token on English). Input is any
+    frame carrying ``strata_col`` + the :func:`bpe_encode_pretrained`
+    count columns (n_words, n_bytes, n_tokens).
+
+    One map-side-combined aggregate over integer counts; the two
+    ratios are single IEEE divisions of exact sums (correctly rounded,
+    cross-engine stable). NULL when a stratum has zero words/tokens
+    rather than a throw — ANSI division-by-zero discipline.
+    """
+    sums = enc.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    def _ratio(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0,
+            F.round(
+                F.col(num).cast("double") / F.col(den).cast("double"), 6
+            ),
+        )
+    return sums.withColumn(
+        "fertility", _ratio("total_tokens", "total_words")
+    ).withColumn("bytes_per_token", _ratio("total_bytes", "total_tokens"))
