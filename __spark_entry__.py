@@ -4116,6 +4116,53 @@ def url_policy_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def meta_robots_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: page-level indexing consent — <meta name="robots"> parsed
+    # for noindex/nofollow/noarchive (either attribute order, optional
+    # quotes, any case, 'none' shorthand, plus a decoy
+    # name="description" tag that must NOT match); pages CONSTRUCTED
+    # identically on both engines, directives via the shared Java∩RE2
+    # chain, all codegen-fused into the scan
+    from tafra_spark.sources.http import (
+        html_meta_robots,
+        meta_robots_noarchive,
+        meta_robots_nofollow,
+        meta_robots_noindex,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    d = F.col("doc_id")
+    variant = (
+        F.when(d % 6 == 0, '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">')
+        .when(d % 6 == 1, "<meta content='none' name='robots'>")
+        .when(d % 6 == 2, "<meta name=robots content=noindex>")
+        .when(d % 6 == 3, '<meta name="robots" content="noarchive">')
+        .when(d % 6 == 4, '<meta name="description" content="noindex">')
+        .otherwise("")
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        variant,
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    directives = html_meta_robots(html)
+    out = docs.select(d.alias("doc_id"), directives.alias("directives"))
+    return out.select(
+        "doc_id",
+        "directives",
+        meta_robots_noindex(F.col("directives")).alias("noindex"),
+        meta_robots_nofollow(F.col("directives")).alias("nofollow"),
+        meta_robots_noarchive(F.col("directives")).alias("noarchive"),
+        (~meta_robots_noindex(F.col("directives"))).alias("indexable"),
+    )
+
+
 def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: crawl bookkeeping over the URL layer — per-registered-domain
     # rollups (the unit CC curation budgets by). URLs are CONSTRUCTED
@@ -5493,6 +5540,7 @@ _R12_WINDOW = [
     "url_policy_gate_docs",
     "nb_quality_score_docs",
     "tokenizer_fertility_eval",
+    "meta_robots_gate_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5524,7 +5572,6 @@ _R12_WINDOW = [
     "length_outlier_flags",
     "minhash_signature",
     "ngram_jaccard",
-    "pii_scrub_stats",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5917,6 +5964,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_policy_gate_docs": url_policy_gate_docs,
         "nb_quality_score_docs": nb_quality_score_docs,
         "tokenizer_fertility_eval": tokenizer_fertility_eval,
+        "meta_robots_gate_docs": meta_robots_gate_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8332,6 +8380,47 @@ def _url_policy_gate_sql() -> str:
 _URL_POLICY_GATE_SQL = _url_policy_gate_sql()
 
 
+def _meta_robots_gate_sql() -> str:
+    from tafra_spark.sources.http import (
+        _META_NOARCHIVE,
+        _META_NOFOLLOW,
+        _META_NOINDEX,
+        html_meta_robots_sql,
+    )
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ),
+        h AS (
+          SELECT doc_id,
+                 '<html><head>' ||
+                 CASE doc_id % 6
+                   WHEN 0 THEN
+                     '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">'
+                   WHEN 1 THEN '<meta content=''none'' name=''robots''>'
+                   WHEN 2 THEN '<meta name=robots content=noindex>'
+                   WHEN 3 THEN '<meta name="robots" content="noarchive">'
+                   WHEN 4 THEN '<meta name="description" content="noindex">'
+                   ELSE ''
+                 END || '</head><body><p>' || text || '</p></body></html>'
+                     AS html
+          FROM base
+        ),
+        dd AS (
+          SELECT doc_id, {html_meta_robots_sql("html")} AS directives
+          FROM h
+        )
+        SELECT doc_id, directives,
+               regexp_matches(directives, '{_META_NOINDEX}') AS noindex,
+               regexp_matches(directives, '{_META_NOFOLLOW}') AS nofollow,
+               regexp_matches(directives, '{_META_NOARCHIVE}') AS noarchive,
+               NOT regexp_matches(directives, '{_META_NOINDEX}')
+                   AS indexable
+        FROM dd
+    """
+
+
 def _nb_quality_score_sql() -> str:
     curated = ", ".join(f"'{s}'" for s in _NB_CURATED_SOURCES)
     return f"""
@@ -8396,6 +8485,7 @@ def _nb_quality_score_sql() -> str:
 
 
 _NB_QUALITY_SCORE_SQL = _nb_quality_score_sql()
+_META_ROBOTS_GATE_SQL = _meta_robots_gate_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12777,6 +12867,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_doc_stats": _DOMAIN_DOC_STATS_SQL,
         "url_policy_gate_docs": _URL_POLICY_GATE_SQL,
         "nb_quality_score_docs": _NB_QUALITY_SCORE_SQL,
+        "meta_robots_gate_docs": _META_ROBOTS_GATE_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

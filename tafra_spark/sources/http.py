@@ -1739,3 +1739,70 @@ def url_blocklist_flags(
         .withColumn("url_blocked", cat.isNotNull() | word_hit)
         .drop("__ph__", "__ch__", "__pd__", "__cd__")
     )
+
+
+# --------------------------------------------------------------------------
+# <meta name="robots"> directives (the page-level indexing-consent
+# signal; the crawl-time twin of robots.txt)
+
+#: name-first and content-first attribute orders — RE2 has no
+#: lookaround, so the two orders are separate patterns (both engines
+#: run the identical alternatives); unquoted attribute values are
+#: captured up to a quote/'>' (a multi-directive unquoted value is
+#: invalid HTML — documented simplification)
+_META_ROBOTS_A = (
+    "(?i)<meta[^>]*\\bname\\s*=\\s*[\"']?robots\\b"
+    "[^>]*\\bcontent\\s*=\\s*[\"']?([^\"'>]*)"
+)
+_META_ROBOTS_B = (
+    "(?i)<meta[^>]*\\bcontent\\s*=\\s*[\"']?([^\"'>]*)[\"']?"
+    "[^>]*\\bname\\s*=\\s*[\"']?robots\\b"
+)
+#: 'none' is the spec'd shorthand for 'noindex, nofollow'
+_META_NOINDEX = "\\b(noindex|none)\\b"
+_META_NOFOLLOW = "\\b(nofollow|none)\\b"
+_META_NOARCHIVE = "\\bnoarchive\\b"
+
+
+def html_meta_robots(col: Column | str) -> Column:
+    """Lower-cased directive string of the page's
+    ``<meta name="robots" content="...">`` tag ('' when absent) —
+    tolerates either attribute order, optional quotes, and any case.
+    Pure codegen regex in the shared Java∩RE2 subset; fuses into the
+    scan projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.concat(
+            F.regexp_extract(c, _META_ROBOTS_A, 1),
+            F.lit(","),
+            F.regexp_extract(c, _META_ROBOTS_B, 1),
+        )
+    )
+
+
+def meta_robots_noindex(directives: Column) -> Column:
+    """True when the directive string forbids indexing the page text
+    (``noindex`` or the ``none`` shorthand) — a CC-style corpus that
+    honors publisher consent drops these before any text processing."""
+    return directives.rlike(_META_NOINDEX)
+
+
+def meta_robots_nofollow(directives: Column) -> Column:
+    """True when outlinks must not feed the frontier (``nofollow`` /
+    ``none``) — gates the html_links → frontier composition."""
+    return directives.rlike(_META_NOFOLLOW)
+
+
+def meta_robots_noarchive(directives: Column) -> Column:
+    return directives.rlike(_META_NOARCHIVE)
+
+
+def html_meta_robots_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`html_meta_robots` — identical patterns,
+    RE2 executes the same (?i) groups and '' -on-no-match convention."""
+    a = _META_ROBOTS_A.replace("'", "''")
+    b = _META_ROBOTS_B.replace("'", "''")
+    return (
+        f"lower(regexp_extract({expr}, '{a}', 1) || ',' || "
+        f"regexp_extract({expr}, '{b}', 1))"
+    )

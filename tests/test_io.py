@@ -2213,3 +2213,40 @@ class TestUrlPolicyGate:
 
         with _pytest.raises(ValueError):
             badword_stats(df, [])
+
+
+class TestMetaRobots:
+    def test_meta_robots_variants(self, spark):
+        from tafra_spark.sources.http import (
+            html_meta_robots,
+            meta_robots_nofollow,
+            meta_robots_noindex,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, '<head><META NAME="ROBOTS" CONTENT="NOINDEX">'),
+            (2, "<meta content='nofollow, noarchive' name='robots'>"),
+            (3, "<meta name=robots content=none>"),
+            # decoys: wrong name; name prefix; directive in body text
+            (4, '<meta name="description" content="noindex">'),
+            (5, '<meta name="robotsx" content="noindex">'),
+            (6, "<p>noindex</p>"),
+        ]
+        df = spark.createDataFrame(rows, "id long, html string")
+        d = html_meta_robots(F.col("html"))
+        got = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                d.alias("d"),
+                meta_robots_noindex(d).alias("ni"),
+                meta_robots_nofollow(d).alias("nf"),
+            ).collect()
+        }
+        assert got[1]["ni"] and not got[1]["nf"]
+        assert got[2]["nf"] and not got[2]["ni"]
+        # 'none' shorthand sets both
+        assert got[3]["ni"] and got[3]["nf"]
+        for i in (4, 5, 6):
+            assert got[i]["d"] == "," and not got[i]["ni"] and not got[i]["nf"]
