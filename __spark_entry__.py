@@ -1842,6 +1842,28 @@ def nb_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(docs, model)
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: DSIR importance resampling (Xie et al. 2023) — hashed
+    # unigram+bigram models of the curated seed vs the raw corpus,
+    # per-doc q6 log importance ratios, deterministic top-100
+    # selection via distributed TakeOrdered (no global window); the
+    # oracle re-derives both model fits and the selection rank
+    from tafra_spark.functions.pipeline import dsir_importance
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    target = docs.filter(
+        (F.col("doc_id") % 5 != 0)
+        & F.col("source").isin(*_NB_CURATED_SOURCES)
+    )
+    return dsir_importance(
+        docs.select("doc_id", "text"), target, n_buckets=10_000, k=100
+    )
+
+
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Okapi BM25 lexical retrieval: top-10 documents for a fixed
     # 3-term query, fixed-point contributions, exact integer ranking
@@ -3903,22 +3925,25 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # jusText-family main-content extraction (r11, VERDICT r10 item 6):
-    # per text BLOCK, link density (anchor-text chars / block chars)
-    # and stopword density decide good/short/neargood/bad, then one
-    # neighbor pass lets an adjacent context-free-good block rescue
-    # short/neargood blocks — the block-level classifier production CC
-    # pipelines run between tag-strip and the C4/Gopher line rules.
-    # The page is CONSTRUCTED relationally on both engines (the
-    # html_extract_text pattern) to exercise every class and the
-    # rescue path: a link-dense nav (bad), a short heading next to the
-    # article (short→good), a stopword-dense article (good), the raw
-    # doc text (no English function words → bad), a short tail between
-    # bad neighbors (short→bad), and a link-only footer (bad). The
-    # oracle mirrors the marked tag-strip chain (shared pattern
-    # strings), both densities, the class CASE (generated from the
-    # same thresholds), and the lag/lead rescue — a slip anywhere,
-    # including sentinel handling or fixed-point division, hash-fails.
+    # jusText-family main-content extraction (r11; r12 upgrades the
+    # rescue to the FULL published revision): per text BLOCK, link
+    # density (anchor-text chars / block chars) and stopword density
+    # decide good/short/neargood/bad, then heading promotion
+    # (<h*>-short near a following good → neargood) and
+    # nearest-good/bad-neighbour reclassification with the neargood
+    # side-peek — the block-level classifier production CC pipelines
+    # run between tag-strip and the C4/Gopher line rules. The page is
+    # CONSTRUCTED relationally on both engines (the html_extract_text
+    # pattern) to exercise every class and revision path: a link-dense
+    # nav (bad), a short <h2> heading promoted ahead of the article
+    # (heading path → good), a stopword-dense article (good), the raw
+    # doc text (no English function words → bad), a short tail with
+    # mixed neighbours and no neargood on the bad side (short→bad
+    # under the full rule — the r11 adjacent rule kept it), and a
+    # link-only footer (bad). The oracle mirrors the marked tag-strip
+    # chain (shared pattern strings), both densities, the class CASE,
+    # and the revision windows — a slip anywhere, including sentinel
+    # handling, heading distance, or fixed-point division, hash-fails.
     from tafra_spark.sources.http import justext_blocks
 
     docs = (
@@ -3952,7 +3977,8 @@ def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return justext_blocks(
         docs.select("doc_id", html.alias("html"))
     ).select(
-        "doc_id", "blk_idx", "blk_text", "n_chars", "n_words",
+        "doc_id", "blk_idx", "blk_text", "is_heading", "n_chars",
+        "n_words",
         "link_density_q6", "stop_density_q6", "base_class", "blk_class",
     )
 
@@ -4039,7 +4065,8 @@ def main_content_ml_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", lang.alias("lang"), html.alias("html")),
         lang_col="lang",
     ).select(
-        "doc_id", "lang", "blk_idx", "blk_text", "n_chars", "n_words",
+        "doc_id", "lang", "blk_idx", "blk_text", "is_heading",
+        "n_chars", "n_words",
         "link_density_q6", "stop_density_q6", "base_class", "blk_class",
     )
 
@@ -5505,15 +5532,22 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r12 driver window: stalest-first rotation (VERDICT r11 item 6).
 # Composition: (1) the 14 rows last verified in round 6 — the
 # displacement set the r11 window documented (q7_nation_volume …
-# user_session_features) — go first, clearing all r6 debt; (2) the two
-# never-driver-verified r12 queries; (3) rows whose CODE or ORACLE
-# changed in r12 — the pretrained pair (GPT-2 pretokenizer + specials
-# rewrote both engines' derivations), main_content_blocks (link-density
-# clamp on both sides), language_id_v2_docs (24 profiles + the v1 pass
-# removed from query AND oracle), the pack pair (bucketed_prefix_sums
-# identifier quoting + bounded persist pins); (4) 28 of the 44 rows
-# last verified in round 7, alphabetical — the remaining 16
-# (rollup_agg … weighted_source_mix) roll to the r13 window. Recompute
+# user_session_features) — go first, clearing all r6 debt; (2) the
+# eight never-driver-verified r12 queries (decode round-trip,
+# per-language jusText, CCNet buckets, URL policy gate, NB quality
+# classifier, tokenizer fertility, meta-robots gate, DSIR); (3) rows
+# whose CODE or ORACLE changed in r12 — the pretrained pair (GPT-2
+# pretokenizer + specials rewrote both engines' derivations),
+# main_content_blocks (full jusText revision: heading promotion +
+# nearest-neighbour windows on both sides, + the link-density clamp),
+# language_id_v2_docs (24 profiles + the v1 pass removed from query
+# AND oracle), the pack pair (bucketed_prefix_sums identifier quoting
+# + bounded persist pins); (4) 22 of the 44 rows last verified in
+# round 7, alphabetical — the remaining 22 (ngram_jaccard …
+# weighted_source_mix, incl. the six displaced by the late-r12 new
+# rows: ngram_jaccard, pii_scrub_stats, pivot_linestatus,
+# profile_lineitem, quality_gate_filter, retention_weekly_cohorts)
+# roll to the r13 window. Recompute
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
 # the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
 # r10×42 / r11×50).
@@ -5541,6 +5575,7 @@ _R12_WINDOW = [
     "nb_quality_score_docs",
     "tokenizer_fertility_eval",
     "meta_robots_gate_docs",
+    "dsir_select_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5571,7 +5606,6 @@ _R12_WINDOW = [
     "knn_semantic_graph",
     "length_outlier_flags",
     "minhash_signature",
-    "ngram_jaccard",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -5965,6 +5999,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_score_docs": nb_quality_score_docs,
         "tokenizer_fertility_eval": tokenizer_fertility_eval,
         "meta_robots_gate_docs": meta_robots_gate_docs,
+        "dsir_select_docs": dsir_select_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -7637,13 +7672,16 @@ def _main_content_ml_sql() -> str:
     table), the marked chain via ``justext_marked_sql``, per-language
     stop counts as a CASE generated from ``JUSTEXT_STOPLISTS``, the
     threshold CASE (0 for no-stoplist languages), the class CASE from
-    the shared thresholds, and the lag/lead rescue."""
+    the shared thresholds, and the full revision via
+    ``justext_revision_sql``."""
     from tafra_spark.sources.http import (
         _LINK_SPAN,
+        JUSTEXT_FINAL_CLASS_SQL,
         JUSTEXT_STOPLISTS,
         JUSTEXT_STOPS_Q6,
         justext_base_class_sql,
         justext_marked_sql,
+        justext_revision_sql,
     )
 
     lang_case = "CASE doc_id % 4 " + " ".join(
@@ -7701,14 +7739,16 @@ ln AS (
 ),
 feat AS (
   SELECT doc_id, lang, CAST(blk_idx AS BIGINT) AS blk_idx,
-         trim(replace(replace(raw, chr(1), ''), chr(2), '')) AS blk_text,
+         trim(replace(replace(replace(raw, chr(1), ''), chr(2), ''),
+              chr(3), '')) AS blk_text,
+         starts_with(raw, chr(3)) AS is_heading,
          CAST(length(raw) - length(regexp_replace(raw, '{span}', '', 'g'))
               - 2 * len(regexp_extract_all(raw, '{span}')) AS BIGINT)
            AS lc
   FROM ln
 ),
 cnt AS (
-  SELECT doc_id, lang, blk_idx, blk_text,
+  SELECT doc_id, lang, blk_idx, blk_text, is_heading,
          CAST(length(blk_text) AS BIGINT) AS n_chars,
          CAST(len({words}) AS BIGINT) AS n_words,
          lc,
@@ -7718,29 +7758,26 @@ cnt AS (
   WHERE blk_text <> ''
 ),
 dens AS (
-  SELECT doc_id, lang, blk_idx, blk_text, n_chars, n_words, thr,
+  SELECT doc_id, lang, blk_idx, blk_text, is_heading, n_chars, n_words, thr,
          CAST(CASE WHEN n_chars > 0 THEN least(lc, n_chars) * 1000000 // n_chars
               ELSE 0 END AS BIGINT) AS link_density_q6,
          CAST(CASE WHEN n_words > 0 THEN st * 1000000 // n_words
               ELSE 0 END AS BIGINT) AS stop_density_q6
   FROM cnt
 ),
-cls AS (SELECT *, {base_case} AS base_class FROM dens),
-sm AS (
-  SELECT *, lag(base_class) OVER w AS pc, lead(base_class) OVER w AS nc
-  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY blk_idx)
-)
-SELECT doc_id, lang, blk_idx, blk_text, n_chars, n_words,
+cls AS (SELECT *, {base_case} AS base_class FROM dens)
+{revision}
+SELECT doc_id, lang, blk_idx, blk_text, is_heading, n_chars, n_words,
        link_density_q6, stop_density_q6, base_class,
-       CASE WHEN base_class IN ('good', 'bad') THEN base_class
-            WHEN pc = 'good' OR nc = 'good' THEN 'good'
-            ELSE 'bad' END AS blk_class
-FROM sm
+       {final_class} AS blk_class
+FROM rev3
 """.replace("{lang}", lang_case).replace("{html}", html).replace(
         "{marked}", justext_marked_sql("html")
     ).replace("{span}", _LINK_SPAN).replace("{words}", words).replace(
         "{st}", st_case
-    ).replace("{thr}", thr_case).replace("{base_case}", base_case)
+    ).replace("{thr}", thr_case).replace("{base_case}", base_case).replace(
+        "{revision}", justext_revision_sql()
+    ).replace("{final_class}", JUSTEXT_FINAL_CLASS_SQL)
 
 
 def _pretrained_ctes_sql() -> str:
@@ -7993,12 +8030,15 @@ def _main_content_sql() -> str:
     (byte-identical concat), the marked tag-strip chain via
     ``justext_marked_sql`` (shared pattern strings), both densities as
     the same integer fixed-point, the class CASE generated from the
-    shared thresholds, and the lag/lead neighbor rescue."""
+    shared thresholds, and the full revision (heading promotion +
+    nearest-neighbour windows) via ``justext_revision_sql``."""
     from tafra_spark.sources.http import (
         _LINK_SPAN,
+        JUSTEXT_FINAL_CLASS_SQL,
         JUSTEXT_STOPWORDS,
         justext_base_class_sql,
         justext_marked_sql,
+        justext_revision_sql,
     )
 
     html = (
@@ -8037,14 +8077,16 @@ ln AS (
 ),
 feat AS (
   SELECT doc_id, CAST(blk_idx AS BIGINT) AS blk_idx,
-         trim(replace(replace(raw, chr(1), ''), chr(2), '')) AS blk_text,
+         trim(replace(replace(replace(raw, chr(1), ''), chr(2), ''),
+              chr(3), '')) AS blk_text,
+         starts_with(raw, chr(3)) AS is_heading,
          CAST(length(raw) - length(regexp_replace(raw, '{span}', '', 'g'))
               - 2 * len(regexp_extract_all(raw, '{span}')) AS BIGINT)
            AS lc
   FROM ln
 ),
 cnt AS (
-  SELECT doc_id, blk_idx, blk_text,
+  SELECT doc_id, blk_idx, blk_text, is_heading,
          CAST(length(blk_text) AS BIGINT) AS n_chars,
          CAST(len(list_filter(string_split(
                 translate(blk_text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
@@ -8060,28 +8102,25 @@ cnt AS (
   WHERE blk_text <> ''
 ),
 dens AS (
-  SELECT doc_id, blk_idx, blk_text, n_chars, n_words,
+  SELECT doc_id, blk_idx, blk_text, is_heading, n_chars, n_words,
          CAST(CASE WHEN n_chars > 0 THEN least(lc, n_chars) * 1000000 // n_chars
               ELSE 0 END AS BIGINT) AS link_density_q6,
          CAST(CASE WHEN n_words > 0 THEN st * 1000000 // n_words
               ELSE 0 END AS BIGINT) AS stop_density_q6
   FROM cnt
 ),
-cls AS (SELECT *, {base_case} AS base_class FROM dens),
-sm AS (
-  SELECT *, lag(base_class) OVER w AS pc, lead(base_class) OVER w AS nc
-  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY blk_idx)
-)
-SELECT doc_id, blk_idx, blk_text, n_chars, n_words,
+cls AS (SELECT *, {base_case} AS base_class FROM dens)
+{revision}
+SELECT doc_id, blk_idx, blk_text, is_heading, n_chars, n_words,
        link_density_q6, stop_density_q6, base_class,
-       CASE WHEN base_class IN ('good', 'bad') THEN base_class
-            WHEN pc = 'good' OR nc = 'good' THEN 'good'
-            ELSE 'bad' END AS blk_class
-FROM sm
+       {final_class} AS blk_class
+FROM rev3
 """.replace("{html}", html).replace(
         "{marked}", justext_marked_sql("html")
     ).replace("{span}", _LINK_SPAN).replace("{stops}", stops).replace(
         "{base_case}", base_case
+    ).replace("{revision}", justext_revision_sql()).replace(
+        "{final_class}", JUSTEXT_FINAL_CLASS_SQL
     )
 
 
@@ -8486,6 +8525,80 @@ def _nb_quality_score_sql() -> str:
 
 _NB_QUALITY_SCORE_SQL = _nb_quality_score_sql()
 _META_ROBOTS_GATE_SQL = _meta_robots_gate_sql()
+
+
+def _dsir_select_sql(n_buckets: int = 10_000, k: int = 100) -> str:
+    curated = ", ".join(f"'{s}'" for s in _NB_CURATED_SOURCES)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+            AND length(trim(text)) > 0
+        ),
+        rawt AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+          FROM base
+        ),
+        rawf AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+                     % {n_buckets} AS bucket
+          FROM (
+            SELECT doc_id, unnest(ws) AS f FROM rawt
+            UNION ALL
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f
+            FROM rawt, unnest(range(1, len(ws))) t(i)
+            WHERE len(ws) >= 2
+          )
+        ),
+        tgtf AS (
+          SELECT bucket FROM rawf JOIN base USING (doc_id)
+          WHERE doc_id % 5 <> 0 AND source IN ({curated})
+        ),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM tgtf
+          GROUP BY bucket
+        ),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM rawf
+          GROUP BY bucket
+        ),
+        m AS (
+          SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+                 coalesce(ct.c, 0) AS tc, coalesce(cr.c, 0) AS rc
+          FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+        ),
+        t AS (
+          SELECT CAST(sum(tc) AS BIGINT) AS nt,
+                 CAST(sum(rc) AS BIGINT) AS nr
+          FROM m
+        ),
+        w AS (
+          SELECT bucket,
+                 CAST(floor((
+                     ln(CAST(tc + 1 AS DOUBLE)
+                        / CAST(nt + {n_buckets} AS DOUBLE))
+                   - ln(CAST(rc + 1 AS DOUBLE)
+                        / CAST(nr + {n_buckets} AS DOUBLE))
+                 ) * 1e6 + 0.5) AS BIGINT) AS wq
+          FROM m CROSS JOIN t
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(wq) AS BIGINT) AS importance_q6
+          FROM rawf JOIN w USING (bucket)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_feats, importance_q6,
+               row_number() OVER (ORDER BY importance_q6 DESC, doc_id)
+                   <= {k} AS selected
+        FROM scored
+    """
+
+
+_DSIR_SELECT_SQL = _dsir_select_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12868,6 +12981,7 @@ def oracle_sql() -> dict[str, str]:
         "url_policy_gate_docs": _URL_POLICY_GATE_SQL,
         "nb_quality_score_docs": _NB_QUALITY_SCORE_SQL,
         "meta_robots_gate_docs": _META_ROBOTS_GATE_SQL,
+        "dsir_select_docs": _DSIR_SELECT_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

@@ -523,6 +523,132 @@ def quality_classifier_score(
     )
 
 
+def _dsir_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The DSIR hashed feature stream: unigrams + positional bigrams of
+    the lower-cased whitespace tokens, each hashed into ``n_buckets``
+    via the portable md5-60bit family (occurrence counting — a repeated
+    feature contributes each time, per the paper's bag-of-ngrams)."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("__t__")
+    )
+    t = F.col("__t__")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("__f__").cast("binary")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("__f__")
+    ).select(F.col(id_col), bucket.alias("bucket"))
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    k: int | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by the log importance ratio
+    ``log p_target(x) - log p_raw(x)`` under hashed bag-of-ngrams
+    (unigram+bigram) models — the published way to pick
+    target-distribution-like training data (e.g. Wikipedia/books-like
+    pages out of Common Crawl) WITHOUT a trained classifier. The
+    deterministic top-k by importance is the selection step (the
+    paper's Gumbel resampling adds RNG, which is not cross-engine
+    reproducible — documented simplification).
+
+    Both models share one smoothing/fixed-point discipline with the NB
+    filter: per-bucket add-one log-ratios, ``ln()`` of exact rationals
+    quantized to q6, so document scores are order-independent integer
+    sums and the oracle re-derives the ENTIRE fit. Plan: two hashed
+    feature streams (raw corpus + target seed), one bucket-count
+    aggregate each, a full-outer join on the ≤``n_buckets`` model
+    relation, then the weights BROADCAST back onto the raw stream for
+    one per-doc aggregate; selection is a distributed TakeOrdered
+    (sort+limit) of the per-doc SCORE relation joined back broadcast —
+    no global window, the corpus never single-partitions. Returns
+    (id, n_feats, importance_q6[, selected]).
+    """
+    raw_f = _dsir_features(df, text_col, id_col, n_buckets)
+    tgt_f = _dsir_features(target, text_col, id_col, n_buckets)
+    ct = tgt_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct__")
+    )
+    cr = raw_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__cr__")
+    )
+    m = (
+        ct.join(cr, on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("__ct__"), F.lit(0)).alias("__ct__"),
+            F.coalesce(F.col("__cr__"), F.lit(0)).alias("__cr__"),
+        )
+    )
+    totals = m.agg(
+        F.sum("__ct__").alias("__Nt__"), F.sum("__cr__").alias("__Nr__")
+    )
+    b = F.lit(n_buckets).cast("long")
+    w_q6 = F.floor(
+        (
+            F.log(
+                (F.col("__ct__") + 1).cast("double")
+                / (F.col("__Nt__") + b).cast("double")
+            )
+            - F.log(
+                (F.col("__cr__") + 1).cast("double")
+                / (F.col("__Nr__") + b).cast("double")
+            )
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    weights = m.crossJoin(F.broadcast(totals)).select(
+        "bucket", w_q6.alias("__w__")
+    )
+    scored = (
+        raw_f.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("__w__").alias("importance_q6"),
+        )
+    )
+    if k is None:
+        return scored
+    top = (
+        scored.orderBy(F.col("importance_q6").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("__sel__"))
+    )
+    return (
+        scored.join(
+            F.broadcast(top),
+            scored[id_col] == F.col("__sel__"),
+            "left",
+        )
+        .withColumn("selected", F.col("__sel__").isNotNull())
+        .drop("__sel__")
+    )
+
+
 def badword_stats(
     df: DataFrame,
     words: Sequence[str],

@@ -2204,6 +2204,40 @@ class TestSplitSpansLogprob:
         assert got[10]["ppl_bucket"] == 1 and got[10]["bucket_label"] == "head"
         assert got[11]["ppl_bucket"] == 2 and got[11]["bucket_label"] == "middle"
 
+    def test_dsir_importance_prefers_target_like_docs(self, spark):
+        from tafra_spark.functions.pipeline import dsir_importance
+
+        # target distribution: 'alpha beta' world; raw corpus has two
+        # target-like docs and two 'zeta'-world docs
+        target = spark.createDataFrame(
+            [(100, "alpha beta alpha"), (101, "beta alpha beta")],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "alpha beta"),
+                (2, "beta alpha"),
+                (3, "zeta yotta zeta"),
+                (4, "yotta zeta"),
+                (5, "   "),  # blank: no features, absent from output
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dsir_importance(raw, target, k=2).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        # unigrams + positional bigrams: 'alpha beta' -> 3 features
+        assert got[1]["n_feats"] == 3
+        assert got[3]["n_feats"] == 5
+        # target-like docs outscore zeta-world docs and win selection
+        lo = max(got[3]["importance_q6"], got[4]["importance_q6"])
+        hi = min(got[1]["importance_q6"], got[2]["importance_q6"])
+        assert hi > lo
+        assert got[1]["selected"] and got[2]["selected"]
+        assert not got[3]["selected"] and not got[4]["selected"]
+
     def test_nb_quality_classifier_hand_check(self, spark):
         import math
 

@@ -1761,15 +1761,19 @@ class TestJustextBlocks:
         assert rows[0]["link_density_q6"] == 1_000_000
         assert rows[0]["blk_class"] == "bad"
         assert rows[1]["blk_class"] == "bad"
-        # short heading adjacent to a good article -> rescued
+        # short <h2> heading promoted (good article follows within
+        # max_heading_distance) then kept by the neighbour rule
         assert rows[2]["base_class"] == "short"
+        assert rows[2]["is_heading"]
         assert rows[2]["blk_class"] == "good"
         # stopword-dense long article -> good
         assert rows[3]["base_class"] == "good"
         # no function words -> bad regardless of length
         assert rows[4]["base_class"] == "bad"
-        # short block between bad neighbors -> NOT rescued
+        # short non-heading block: nearest neighbours are bad/bad
+        # (the 'nostops' block and the footer) -> dropped
         assert rows[5]["base_class"] == "short"
+        assert not rows[5]["is_heading"]
         assert rows[5]["blk_class"] == "bad"
         # link-only footer -> bad
         assert rows[6]["link_density_q6"] > 350_000
@@ -1834,8 +1838,8 @@ class TestJustextBlocks:
         assert rows[3]["stop_density_q6"] == 0
 
     def test_lang_col_default_path_unchanged(self, spark):
-        # without lang_col the r11 single-English-list behavior and
-        # output schema are identical
+        # without lang_col the single-English-list behavior holds and
+        # the output schema is the documented one
         from tafra_spark.sources.http import justext_blocks
 
         df = spark.createDataFrame(
@@ -1843,23 +1847,89 @@ class TestJustextBlocks:
         )
         base = justext_blocks(df)
         assert base.columns == [
-            "doc_id", "blk_idx", "blk_text", "n_chars", "n_words",
-            "link_density_q6", "stop_density_q6", "base_class",
-            "blk_class",
+            "doc_id", "blk_idx", "blk_text", "is_heading", "n_chars",
+            "n_words", "link_density_q6", "stop_density_q6",
+            "base_class", "blk_class",
         ]
         with pytest.raises(ValueError):
             justext_blocks(df, lang_col="nope")
+
+    NEARGOOD = "<p>the cat and the dog of it went to a mill</p>"
+    GOODP = (
+        "<p>This is the main article text and it was written with"
+        " many of the common function words so that the stopword"
+        " density of this block is high and it is long enough.</p>"
+    )
+
+    def test_heading_promotion_through_neargood(self, spark):
+        # r12 full revision: a short heading separated from the good
+        # article by a neargood block. The r11 adjacent rule dropped
+        # it; promotion (distance <= 200 chars) makes it neargood,
+        # and the nearest-neighbour rule keeps it.
+        from tafra_spark.sources.http import justext_blocks
+
+        html = "<h2>Head</h2>" + self.NEARGOOD + self.GOODP
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        rows = {r["blk_idx"]: r for r in justext_blocks(df).collect()}
+        assert rows[0]["is_heading"] and rows[0]["base_class"] == "short"
+        assert rows[0]["blk_class"] == "good"
+        assert rows[1]["base_class"] == "neargood"
+        assert rows[1]["blk_class"] == "good"
+
+    def test_heading_distance_bound(self, spark):
+        # same shape but >200 chars of neargood between heading and
+        # the good block: promotion must NOT fire and the mixed-pair
+        # rule (no neargood on the bad side) drops the heading
+        from tafra_spark.sources.http import justext_blocks
+
+        html = "<h2>Head</h2>" + self.NEARGOOD * 6 + self.GOODP
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        rows = {r["blk_idx"]: r for r in justext_blocks(df).collect()}
+        assert rows[0]["is_heading"] and rows[0]["base_class"] == "short"
+        assert rows[0]["blk_class"] == "bad"
+
+    def test_mixed_short_neargood_side_peek(self, spark):
+        # [bad, neargood, short, good]: the short's nearest good/bad
+        # pair is (bad, good) — mixed — but a neargood sits between it
+        # and the bad side, so jusText keeps it
+        from tafra_spark.sources.http import justext_blocks
+
+        html = (
+            "<p>nostops nostops nostops nostops nostops</p>"
+            + self.NEARGOOD
+            + "<p>Short tail here</p>"
+            + self.GOODP
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        rows = {r["blk_idx"]: r for r in justext_blocks(df).collect()}
+        assert rows[0]["base_class"] == "bad"
+        assert rows[2]["base_class"] == "short"
+        assert rows[2]["blk_class"] == "good"
+        # flip the neargood to another bad block: the peek fails and
+        # the same short drops
+        html2 = (
+            "<p>nostops nostops nostops nostops nostops</p>"
+            "<p>morestops nostops nostops nostops nostops</p>"
+            "<p>Short tail here</p>" + self.GOODP
+        )
+        df2 = spark.createDataFrame([(1, html2)], "doc_id long, html string")
+        rows2 = {r["blk_idx"]: r for r in justext_blocks(df2).collect()}
+        assert rows2[2]["base_class"] == "short"
+        assert rows2[2]["blk_class"] == "bad"
 
     def test_forged_sentinels_are_stripped(self, spark):
         # attacker-controlled \x01/\x02 bytes in the page must not
         # forge (or break) link spans
         from tafra_spark.sources.http import justext_blocks
 
-        html = "<p>plain \x01forged span\x02 text with the and of it</p>"
+        html = (
+            "<p>plain \x01forged span\x02 \x03text with the and of it</p>"
+        )
         df = spark.createDataFrame([(1, html)], "doc_id long, html string")
         r = justext_blocks(df).collect()[0]
         assert r["link_density_q6"] == 0
         assert "\x01" not in r["blk_text"]
+        assert "\x03" not in r["blk_text"] and not r["is_heading"]
 
     def test_marked_text_sql_mirror(self, spark):
         import duckdb
