@@ -136,6 +136,17 @@ HEADLINE = [
     # marked-chain plan) — both new plans get wall guards
     "pretrained_decode_docs",
     "main_content_ml_blocks",
+    # r12 additions: the two new corpus-pass plans (NB classifier =
+    # train aggregate + model broadcast onto the token stream; CCNet
+    # buckets = unigram score + NTILE window) get wall guards, the
+    # fertility eval rides the shared pretrained encode (times the
+    # memo-served composition), and the two policy gates are cheap
+    # codegen projections timed for honesty like the r9 crawl ops
+    "nb_quality_score_docs",
+    "perplexity_bucket_docs",
+    "tokenizer_fertility_eval",
+    "url_policy_gate_docs",
+    "meta_robots_gate_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed
