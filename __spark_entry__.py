@@ -3037,6 +3037,46 @@ _LANG_SNIPPETS: list[tuple[str, str]] = [
 ]
 
 
+def language_id_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: char-trigram language ID (textcat family, VERDICT r11
+    # Missing #2 depth half) — profiles DERIVED from the same
+    # function-word lists v2 votes over; every Latin snippet scores
+    # 1e6-scaled matched-weight over its profile total, exact integer
+    # division, deterministic lang tie-break. All 24 Latin fixture
+    # snippets identify correctly (offline-verified); the oracle
+    # re-derives the profile relation, the trigram explode, and the
+    # argmax window
+    from tafra_spark.functions.text import (
+        _LANG_PROFILES,
+        language_id_trigram,
+    )
+
+    lat = [(l, t) for l, t in _LANG_SNIPPETS if l in _LANG_PROFILES]
+    n = len(lat)
+    snippet = F.lit(None).cast("string")
+    expected = F.lit(None).cast("string")
+    for i, (lang, text) in enumerate(lat):
+        snippet = F.when(
+            F.col("doc_id") % n == i, F.lit(text)
+        ).otherwise(snippet)
+        expected = F.when(
+            F.col("doc_id") % n == i, F.lit(lang)
+        ).otherwise(expected)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", snippet.alias("snip"), expected.alias("expected")
+    )
+    out = language_id_trigram(docs, text_col="snip")
+    return out.join(
+        docs.select("doc_id", "expected"), on="doc_id"
+    ).select(
+        "doc_id",
+        "expected",
+        "trigram_lang",
+        "score_q6",
+        (F.col("trigram_lang") == F.col("expected")).alias("agree"),
+    )
+
+
 def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language ID v2 (r10, VERDICT r9 item 3; r11: distinct-candidate
     # vote; r12: 24 Latin profiles — ca/et/hr/lt/lv/sk join, VERDICT
@@ -4187,6 +4227,105 @@ def meta_robots_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta_robots_nofollow(F.col("directives")).alias("nofollow"),
         meta_robots_noarchive(F.col("directives")).alias("noarchive"),
         (~meta_robots_noindex(F.col("directives"))).alias("indexable"),
+    )
+
+
+def indexing_consent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: full indexing-consent composition through the REAL
+    # parse_http path — X-Robots-Tag response headers (incl. repeated
+    # headers joined per RFC 9110 and case-insensitive directives) OR
+    # the page's <meta name=robots> decide noindex/nofollow/noarchive;
+    # either source forbidding wins, the crawl-time twin of the
+    # robots.txt gate. Six variants cover header-only, repeated
+    # headers, uppercase NONE, meta-only, an untracked header
+    # directive with a meta nofollow, and clean pages.
+    from tafra_spark.sources.http import (
+        build_http_response,
+        html_meta_robots,
+        meta_robots_noarchive,
+        meta_robots_nofollow,
+        meta_robots_noindex,
+        parse_http,
+    )
+    from tafra_spark.sources.http import _META_NOARCHIVE, _META_NOFOLLOW
+    from tafra_spark.sources.http import _META_NOINDEX
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                v = int(i) % 6
+                body = str(t)
+                hdrs: list[tuple[str, str]] = []
+                if v == 0:
+                    hdrs = [("X-Robots-Tag", "noindex")]
+                elif v == 1:
+                    hdrs = [
+                        ("X-Robots-Tag", "noarchive"),
+                        ("X-Robots-Tag", "nofollow"),
+                    ]
+                elif v == 2:
+                    hdrs = [("X-Robots-Tag", "NONE")]
+                elif v == 3:
+                    body = '<meta name="robots" content="noindex">' + body
+                elif v == 4:
+                    hdrs = [("X-Robots-Tag", "nosnippet")]
+                    body = '<meta name="robots" content="nofollow">' + body
+                payloads.append(
+                    build_http_response(
+                        body.encode("utf-8"),
+                        headers=hdrs,
+                        content_type="text/html; charset=utf-8",
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    built = docs.mapInPandas(mk, schema="doc_id LONG, payload BINARY")
+    parsed = parse_http(built, on_error="raise")
+    hdr = F.lower(
+        F.coalesce(
+            F.element_at("http_headers", F.lit("x-robots-tag")), F.lit("")
+        )
+    )
+    meta = html_meta_robots(F.col("text"))
+    out = parsed.select(
+        "doc_id",
+        hdr.alias("hdr_directives"),
+        meta.alias("meta_directives"),
+    )
+    return out.select(
+        "doc_id",
+        "hdr_directives",
+        "meta_directives",
+        (
+            F.col("hdr_directives").rlike(_META_NOINDEX)
+            | meta_robots_noindex(F.col("meta_directives"))
+        ).alias("noindex"),
+        (
+            F.col("hdr_directives").rlike(_META_NOFOLLOW)
+            | meta_robots_nofollow(F.col("meta_directives"))
+        ).alias("nofollow"),
+        (
+            F.col("hdr_directives").rlike(_META_NOARCHIVE)
+            | meta_robots_noarchive(F.col("meta_directives"))
+        ).alias("noarchive"),
+        (
+            ~(
+                F.col("hdr_directives").rlike(_META_NOINDEX)
+                | meta_robots_noindex(F.col("meta_directives"))
+            )
+        ).alias("indexable"),
     )
 
 
@@ -5533,21 +5672,24 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composition: (1) the 14 rows last verified in round 6 — the
 # displacement set the r11 window documented (q7_nation_volume …
 # user_session_features) — go first, clearing all r6 debt; (2) the
-# eight never-driver-verified r12 queries (decode round-trip,
+# ten never-driver-verified r12 queries (decode round-trip,
 # per-language jusText, CCNet buckets, URL policy gate, NB quality
-# classifier, tokenizer fertility, meta-robots gate, DSIR); (3) rows
+# classifier, tokenizer fertility, meta-robots gate, DSIR, the
+# X-Robots-Tag/meta indexing-consent composition, trigram language
+# ID); (3) rows
 # whose CODE or ORACLE changed in r12 — the pretrained pair (GPT-2
 # pretokenizer + specials rewrote both engines' derivations),
 # main_content_blocks (full jusText revision: heading promotion +
 # nearest-neighbour windows on both sides, + the link-density clamp),
 # language_id_v2_docs (24 profiles + the v1 pass removed from query
 # AND oracle), the pack pair (bucketed_prefix_sums identifier quoting
-# + bounded persist pins); (4) 22 of the 44 rows last verified in
-# round 7, alphabetical — the remaining 22 (ngram_jaccard …
-# weighted_source_mix, incl. the six displaced by the late-r12 new
-# rows: ngram_jaccard, pii_scrub_stats, pivot_linestatus,
-# profile_lineitem, quality_gate_filter, retention_weekly_cohorts)
-# roll to the r13 window. Recompute
+# + bounded persist pins); (4) 20 of the 44 rows last verified in
+# round 7, alphabetical — the remaining 24 (length_outlier_flags …
+# weighted_source_mix, incl. the eight displaced by the late-r12 new
+# rows: length_outlier_flags, minhash_signature, ngram_jaccard,
+# pii_scrub_stats, pivot_linestatus, profile_lineitem,
+# quality_gate_filter, retention_weekly_cohorts) roll to the r13
+# window. Recompute
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
 # the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
 # r10×42 / r11×50).
@@ -5576,6 +5718,8 @@ _R12_WINDOW = [
     "tokenizer_fertility_eval",
     "meta_robots_gate_docs",
     "dsir_select_docs",
+    "indexing_consent_docs",
+    "language_id_trigram_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5604,8 +5748,6 @@ _R12_WINDOW = [
     "key_skew_sources",
     "kmeans_centroids",
     "knn_semantic_graph",
-    "length_outlier_flags",
-    "minhash_signature",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -6000,6 +6142,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_eval": tokenizer_fertility_eval,
         "meta_robots_gate_docs": meta_robots_gate_docs,
         "dsir_select_docs": dsir_select_docs,
+        "indexing_consent_docs": indexing_consent_docs,
+        "language_id_trigram_docs": language_id_trigram_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8526,6 +8670,29 @@ def _nb_quality_score_sql() -> str:
 _NB_QUALITY_SCORE_SQL = _nb_quality_score_sql()
 _META_ROBOTS_GATE_SQL = _meta_robots_gate_sql()
 
+# closed-form mirror of indexing_consent_docs: expected directives and
+# flags recomputed from doc_id%6 alone — an independent formulation
+# (the charset_precedence pattern); any header-join, case-fold,
+# extraction, or precedence slip in the real parse path hash-fails
+_INDEXING_CONSENT_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'noindex'
+             WHEN 1 THEN 'noarchive, nofollow'
+             WHEN 2 THEN 'none'
+             WHEN 4 THEN 'nosnippet'
+             ELSE '' END AS hdr_directives,
+           CASE doc_id % 6
+             WHEN 3 THEN 'noindex,'
+             WHEN 4 THEN 'nofollow,'
+             ELSE ',' END AS meta_directives,
+           (doc_id % 6) IN (0, 2, 3) AS noindex,
+           (doc_id % 6) IN (1, 2, 4) AS nofollow,
+           (doc_id % 6) = 1 AS noarchive,
+           NOT ((doc_id % 6) IN (0, 2, 3)) AS indexable
+    FROM documents WHERE text IS NOT NULL
+"""
+
 
 def _dsir_select_sql(n_buckets: int = 10_000, k: int = 100) -> str:
     curated = ", ".join(f"'{s}'" for s in _NB_CURATED_SOURCES)
@@ -8599,6 +8766,68 @@ def _dsir_select_sql(n_buckets: int = 10_000, k: int = 100) -> str:
 
 
 _DSIR_SELECT_SQL = _dsir_select_sql()
+
+
+def _language_id_trigram_sql() -> str:
+    from tafra_spark.functions.text import (
+        _LANG_PROFILES,
+        _WS_RE,
+        trigram_profile_rows,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    prof = ", ".join(
+        f"('{lang}', '{q(tg)}', {c}, {t})"
+        for lang, tg, c, t in trigram_profile_rows()
+    )
+    lat = [(l, t) for l, t in _LANG_SNIPPETS if l in _LANG_PROFILES]
+    n = len(lat)
+    snip_case = f"CASE doc_id % {n} " + " ".join(
+        f"WHEN {i} THEN '{q(text)}'" for i, (_l, text) in enumerate(lat)
+    ) + " END"
+    exp_case = f"CASE doc_id % {n} " + " ".join(
+        f"WHEN {i} THEN '{lg}'" for i, (lg, _t) in enumerate(lat)
+    ) + " END"
+    return f"""
+        WITH prof(lang, tg, c, total) AS (VALUES {prof}),
+        base AS (
+          SELECT doc_id,
+                 ' ' || lower(trim(regexp_replace({snip_case},
+                     '{_WS_RE}', ' ', 'g'))) || ' ' AS s,
+                 {exp_case} AS expected
+          FROM documents
+        ),
+        tgs AS (
+          SELECT doc_id, substring(s, i, 3) AS tg
+          FROM base, unnest(range(1, greatest(length(s) - 2, 0) + 1)) u(i)
+          WHERE length(s) >= 3
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 CAST(sum(c) * 1000000 // any_value(total) AS BIGINT)
+                     AS score_q6
+          FROM tgs JOIN prof USING (tg)
+          GROUP BY doc_id, lang
+        ),
+        best AS (
+          SELECT doc_id, lang, score_q6,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_q6 DESC, lang) AS rn
+          FROM scored
+        )
+        SELECT b.doc_id,
+               b.expected,
+               coalesce(w.lang, 'und') AS trigram_lang,
+               CAST(coalesce(w.score_q6, 0) AS BIGINT) AS score_q6,
+               coalesce(w.lang, 'und') = b.expected AS agree
+        FROM base b
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (doc_id)
+    """
+
+
+_LANGUAGE_ID_TRIGRAM_SQL = _language_id_trigram_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12982,6 +13211,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_score_docs": _NB_QUALITY_SCORE_SQL,
         "meta_robots_gate_docs": _META_ROBOTS_GATE_SQL,
         "dsir_select_docs": _DSIR_SELECT_SQL,
+        "indexing_consent_docs": _INDEXING_CONSENT_SQL,
+        "language_id_trigram_docs": _LANGUAGE_ID_TRIGRAM_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

@@ -147,6 +147,15 @@ HEADLINE = [
     "tokenizer_fertility_eval",
     "url_policy_gate_docs",
     "meta_robots_gate_docs",
+    # late-r12: DSIR selection (two hashed feature streams + the
+    # bucket-model broadcast + TakeOrdered) — the new heaviest
+    # selection plan gets a wall guard
+    "dsir_select_docs",
+    # late-r12: the trigram explode is the honest ~1-row-per-char
+    # n-gram cost — timed so the broadcast-profile join plan has a
+    # guard; indexing consent rides the Arrow parse stage
+    "language_id_trigram_docs",
+    "indexing_consent_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

@@ -1898,3 +1898,112 @@ def readability_scores(
             " - 84600 * n_syllables div n_words AS BIGINT)"
         ).alias("flesch_q3"),
     )
+
+
+# --------------------------------------------------------------------------
+# language ID v3: char-trigram profiles (textcat family)
+
+def trigram_profile_rows() -> list[tuple[str, str, int, int]]:
+    """The char-trigram profile relation for the Latin branch,
+    DERIVED deterministically from the same ``_LANG_PROFILES``
+    function-word lists v2 votes over (Cavnar & Trenkle 1994's
+    insight: a language's highest-frequency character n-grams come
+    from its function words, so the word lists ARE the n-gram source
+    — no new shipped data). Each profile word is padded with single
+    spaces and decomposed into overlapping trigrams; rows are
+    ``(lang, trigram, count, profile_total)`` where ``profile_total``
+    is the language's summed trigram count (the normalizer that makes
+    scores comparable across profiles of different sizes)."""
+    rows: list[tuple[str, str, int, int]] = []
+    for lang, ws in _LANG_PROFILES.items():
+        counts: dict[str, int] = {}
+        for w in ws:
+            p = f" {w} "
+            for i in range(len(p) - 2):
+                tg = p[i : i + 3]
+                counts[tg] = counts.get(tg, 0) + 1
+        total = sum(counts.values())
+        rows.extend((lang, tg, c, total) for tg, c in counts.items())
+    return rows
+
+
+def language_id_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Char-trigram language ID over the Latin branch — the DEPTH
+    companion to the zero-shuffle :func:`with_language_id_v2` gate:
+    where v2 votes on whole function-word hits (and so needs an exact
+    word match), trigram overlap scores morphology — inflected forms,
+    compounds, and short snippets still hit their language's
+    character patterns. Score per language =
+    ``matched_trigram_weight * 1e6 div profile_total`` (exact integer
+    division — cross-engine stable); the winner is the max score with
+    the language code as the deterministic tie-break; no trigram hit
+    at all → ``und``.
+
+    Plan: normalize + pad each document once, explode its overlapping
+    trigrams (~1 row per char — the honest cost of n-gram scoring;
+    confine this op to ID-ambiguous slices at 100 TB and let v2 gate
+    the rest), join the ≤|langs·trigrams| profile relation BROADCAST,
+    one (id, lang) aggregate bounded by 24 languages per doc, then a
+    row_number window over that tiny relation; a final broadcast-side
+    left join restores zero-hit documents as 'und'. Returns
+    (id, trigram_lang, score_q6).
+    """
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), _WS_RE, " "))
+    )
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    base = df.select(F.col(id_col), padded.alias("__s__"))
+    tgs = base.select(
+        F.col(id_col),
+        F.explode(
+            # CASE guard: Spark's sequence(1, 0) DESCENDS, so a
+            # sub-3-char (or NULL) string must short-circuit to an
+            # empty array instead of minting phantom trigrams
+            F.expr(
+                "CASE WHEN length(__s__) >= 3 THEN"
+                " transform(sequence(1, length(__s__) - 2),"
+                " i -> substr(__s__, i, 3))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("tg"),
+    )
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        trigram_profile_rows(),
+        "lang string, tg string, c long, total long",
+    )
+    scored = (
+        tgs.join(F.broadcast(prof), on="tg")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.expr("CAST(sum(c) * 1000000 div any_value(total) AS BIGINT)")
+            .alias("score_q6")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q6").desc(), F.col("lang")
+    )
+    best = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("__tl__"),
+            F.col("score_q6").alias("__sc__"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(best, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__tl__"), F.lit("und")).alias("trigram_lang"),
+            F.coalesce(F.col("__sc__"), F.lit(0)).cast("long").alias(
+                "score_q6"
+            ),
+        )
+    )

@@ -2204,6 +2204,30 @@ class TestSplitSpansLogprob:
         assert got[10]["ppl_bucket"] == 1 and got[10]["bucket_label"] == "head"
         assert got[11]["ppl_bucket"] == 2 and got[11]["bucket_label"] == "middle"
 
+    def test_language_id_trigram(self, spark):
+        from tafra_spark.functions.text import language_id_trigram
+
+        rows = [
+            (1, "der Hund ist nicht auf dem Tisch und auch nicht hier"),
+            (2, "the cat was on the table and they have what this is"),
+            # inflected/compound forms: no exact profile-word hit for
+            # v2, but the trigrams still land (the depth claim)
+            (3, "das Nichtstun und die Aufsicht"),
+            (4, "zzz qqq xxx"),  # no profile trigrams -> und
+            (5, None),  # NULL text -> und, not a crash
+            (6, "ab"),  # sub-3-char padded string -> no phantom grams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r for r in language_id_trigram(df).collect()
+        }
+        assert got[1]["trigram_lang"] == "de"
+        assert got[2]["trigram_lang"] == "en"
+        assert got[3]["trigram_lang"] == "de"
+        assert got[4]["trigram_lang"] == "und" and got[4]["score_q6"] == 0
+        assert got[5]["trigram_lang"] == "und"
+        assert len(got) == 6
+
     def test_dsir_importance_prefers_target_like_docs(self, spark):
         from tafra_spark.functions.pipeline import dsir_importance
 
