@@ -586,7 +586,15 @@ def dsir_importance(
     no global window, the corpus never single-partitions. Returns
     (id, n_feats, importance_q6[, selected]).
     """
-    raw_f = _dsir_features(df, text_col, id_col, n_buckets)
+    # the raw feature stream feeds THREE consumers (the raw model
+    # counts, the scoring join, and — indirectly — nothing else, but
+    # without a persist each reads it as a fresh explode+md5 pass over
+    # the corpus; measured 14.7 s → the stream is the dominant cost at
+    # sf1). Registered with the bounded pin LRU (the
+    # bucketed_prefix_sums discipline) so it cannot outlive its use.
+    raw_f = _memo.track_persist(
+        _dsir_features(df, text_col, id_col, n_buckets).persist()
+    )
     tgt_f = _dsir_features(target, text_col, id_col, n_buckets)
     ct = tgt_f.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("__ct__")
