@@ -1864,6 +1864,35 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: threshold grid for the sweep fixture — shared with the oracle
+_SWEEP_THRESHOLDS = (-2_000_000, -500_000, 0, 500_000, 2_000_000)
+
+
+def quality_threshold_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: the mixing-curve report over the NB classifier scores —
+    # docs/tokens surviving each candidate cut, exact q6 fractions;
+    # the oracle re-derives the classifier AND the sweep
+    from tafra_spark.functions.pipeline import (
+        quality_classifier_score,
+        quality_classifier_train,
+        quality_threshold_sweep,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    labeled = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "label",
+        F.col("source").isin(*_NB_CURATED_SOURCES).cast("int"),
+    )
+    scored = quality_classifier_score(
+        docs, quality_classifier_train(labeled)
+    )
+    return quality_threshold_sweep(scored, _SWEEP_THRESHOLDS)
+
+
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Okapi BM25 lexical retrieval: top-10 documents for a fixed
     # 3-term query, fixed-point contributions, exact integer ranking
@@ -5672,22 +5701,22 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composition: (1) the 14 rows last verified in round 6 — the
 # displacement set the r11 window documented (q7_nation_volume …
 # user_session_features) — go first, clearing all r6 debt; (2) the
-# ten never-driver-verified r12 queries (decode round-trip,
+# eleven never-driver-verified r12 queries (decode round-trip,
 # per-language jusText, CCNet buckets, URL policy gate, NB quality
 # classifier, tokenizer fertility, meta-robots gate, DSIR, the
 # X-Robots-Tag/meta indexing-consent composition, trigram language
-# ID); (3) rows
+# ID, threshold sweep); (3) rows
 # whose CODE or ORACLE changed in r12 — the pretrained pair (GPT-2
 # pretokenizer + specials rewrote both engines' derivations),
 # main_content_blocks (full jusText revision: heading promotion +
 # nearest-neighbour windows on both sides, + the link-density clamp),
 # language_id_v2_docs (24 profiles + the v1 pass removed from query
 # AND oracle), the pack pair (bucketed_prefix_sums identifier quoting
-# + bounded persist pins); (4) 20 of the 44 rows last verified in
-# round 7, alphabetical — the remaining 24 (length_outlier_flags …
-# weighted_source_mix, incl. the eight displaced by the late-r12 new
-# rows: length_outlier_flags, minhash_signature, ngram_jaccard,
-# pii_scrub_stats, pivot_linestatus, profile_lineitem,
+# + bounded persist pins); (4) 19 of the 44 rows last verified in
+# round 7, alphabetical — the remaining 25 (knn_semantic_graph …
+# weighted_source_mix, incl. the nine displaced by the late-r12 new
+# rows: knn_semantic_graph, length_outlier_flags, minhash_signature,
+# ngram_jaccard, pii_scrub_stats, pivot_linestatus, profile_lineitem,
 # quality_gate_filter, retention_weekly_cohorts) roll to the r13
 # window. Recompute
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
@@ -5720,6 +5749,7 @@ _R12_WINDOW = [
     "dsir_select_docs",
     "indexing_consent_docs",
     "language_id_trigram_docs",
+    "quality_threshold_sweep_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5747,7 +5777,6 @@ _R12_WINDOW = [
     "incremental_dedup_batch",
     "key_skew_sources",
     "kmeans_centroids",
-    "knn_semantic_graph",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -6144,6 +6173,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "indexing_consent_docs": indexing_consent_docs,
         "language_id_trigram_docs": language_id_trigram_docs,
+        "quality_threshold_sweep_docs": quality_threshold_sweep_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8828,6 +8858,39 @@ def _language_id_trigram_sql() -> str:
 
 
 _LANGUAGE_ID_TRIGRAM_SQL = _language_id_trigram_sql()
+
+
+def _quality_threshold_sweep_sql() -> str:
+    thrs = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return f"""
+        WITH nbres AS ({_nb_quality_score_sql()}),
+        thr(threshold) AS (VALUES {thrs}),
+        e AS (
+          SELECT CAST(thr.threshold AS BIGINT) AS threshold,
+                 nbres.score_q6 AS sc, nbres.n_tokens AS tk
+          FROM nbres CROSS JOIN thr
+        ),
+        agg AS (
+          SELECT threshold,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN sc > threshold THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_docs_kept,
+                 CAST(sum(tk) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN sc > threshold THEN tk ELSE 0 END)
+                      AS BIGINT) AS n_tokens_kept
+          FROM e GROUP BY threshold
+        )
+        SELECT threshold, n_docs, n_docs_kept, n_tokens, n_tokens_kept,
+               CAST(n_docs_kept * 1000000 // n_docs AS BIGINT)
+                   AS doc_keep_q6,
+               CAST(CASE WHEN n_tokens > 0 THEN
+                      n_tokens_kept * 1000000 // n_tokens
+                    ELSE 0 END AS BIGINT) AS token_keep_q6
+        FROM agg
+    """
+
+
+_QUALITY_THRESHOLD_SWEEP_SQL = _quality_threshold_sweep_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13213,6 +13276,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_docs": _DSIR_SELECT_SQL,
         "indexing_consent_docs": _INDEXING_CONSENT_SQL,
         "language_id_trigram_docs": _LANGUAGE_ID_TRIGRAM_SQL,
+        "quality_threshold_sweep_docs": _QUALITY_THRESHOLD_SWEEP_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

@@ -657,6 +657,61 @@ def dsir_importance(
     )
 
 
+def quality_threshold_sweep(
+    scored: DataFrame,
+    thresholds: Sequence[int],
+    score_col: str = "score_q6",
+    token_col: str = "n_tokens",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Mixing-curve report over a per-document quality score (NB
+    classifier, DSIR importance, LM logprob — any integer score):
+    for each candidate threshold, how many documents and tokens
+    survive ``score > threshold``. This is the dial a curation team
+    reads before fixing the cut (the FineWeb-Edu-style "pick the
+    threshold that keeps N tokens" step): data volume vs selectivity
+    in one relation.
+
+    One |thresholds|-fold narrow fan-out (explode of a literal array —
+    a bounded multiplier, not a join) then a single map-side-combined
+    aggregate; keep fractions are exact integer q6 divisions. Returns
+    ([strata,] threshold, n_docs, n_docs_kept, n_tokens,
+    n_tokens_kept, doc_keep_q6, token_keep_q6).
+    """
+    if not thresholds:
+        raise ValueError("quality_threshold_sweep needs thresholds")
+    extra = [strata_col] if strata_col else []
+    e = scored.select(
+        *extra,
+        F.col(score_col).alias("__sc__"),
+        F.col(token_col).alias("__tk__"),
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+        ).alias("threshold"),
+    )
+    kept = F.col("__sc__") > F.col("threshold")
+    agg = e.groupBy(*extra, "threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(
+            "n_docs_kept"
+        ),
+        F.sum("__tk__").cast("long").alias("n_tokens"),
+        F.sum(F.when(kept, F.col("__tk__")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+    return agg.withColumn(
+        "doc_keep_q6",
+        F.expr("CAST(n_docs_kept * 1000000 div n_docs AS BIGINT)"),
+    ).withColumn(
+        "token_keep_q6",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN"
+            " n_tokens_kept * 1000000 div n_tokens ELSE 0 END AS BIGINT)"
+        ),
+    )
+
+
 def badword_stats(
     df: DataFrame,
     words: Sequence[str],

@@ -2204,6 +2204,28 @@ class TestSplitSpansLogprob:
         assert got[10]["ppl_bucket"] == 1 and got[10]["bucket_label"] == "head"
         assert got[11]["ppl_bucket"] == 2 and got[11]["bucket_label"] == "middle"
 
+    def test_quality_threshold_sweep(self, spark):
+        from tafra_spark.functions.pipeline import quality_threshold_sweep
+
+        scored = spark.createDataFrame(
+            [(1, 10, 100), (2, -5, 50), (3, 0, 25)],
+            "doc_id long, score_q6 long, n_tokens long",
+        )
+        got = {
+            r["threshold"]: r
+            for r in quality_threshold_sweep(scored, [-10, 0, 10]).collect()
+        }
+        # strict >: score 0 does NOT survive threshold 0
+        assert got[0]["n_docs_kept"] == 1 and got[0]["n_tokens_kept"] == 100
+        assert got[-10]["n_docs_kept"] == 3
+        assert got[10]["n_docs_kept"] == 0 and got[10]["token_keep_q6"] == 0
+        assert got[0]["doc_keep_q6"] == 1_000_000 // 3
+        assert got[-10]["token_keep_q6"] == 1_000_000
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quality_threshold_sweep(scored, [])
+
     def test_language_id_trigram(self, spark):
         from tafra_spark.functions.text import language_id_trigram
 
