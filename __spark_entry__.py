@@ -1784,6 +1784,18 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: ExactSubstr-style duplicated-span REMOVAL — the rewrite
+    # companion to dup_span_fraction: cross-doc duplicated 10-token
+    # windows are dropped from every document except the lowest-id
+    # keeper; the oracle re-derives spans, keepers, covered positions,
+    # and the ordered rebuild
+    from tafra_spark.functions.pipeline import dup_span_rewrite
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_rewrite(docs, span_tokens=10, stride=1)
+
+
 def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ExactSubstr-style signal: fraction of each doc's OVERLAPPING
     # 10-token windows that appear verbatim in another document
@@ -5701,24 +5713,24 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composition: (1) the 14 rows last verified in round 6 — the
 # displacement set the r11 window documented (q7_nation_volume …
 # user_session_features) — go first, clearing all r6 debt; (2) the
-# eleven never-driver-verified r12 queries (decode round-trip,
+# twelve never-driver-verified r12 queries (decode round-trip,
 # per-language jusText, CCNet buckets, URL policy gate, NB quality
 # classifier, tokenizer fertility, meta-robots gate, DSIR, the
 # X-Robots-Tag/meta indexing-consent composition, trigram language
-# ID, threshold sweep); (3) rows
+# ID, threshold sweep, duplicated-span rewrite); (3) rows
 # whose CODE or ORACLE changed in r12 — the pretrained pair (GPT-2
 # pretokenizer + specials rewrote both engines' derivations),
 # main_content_blocks (full jusText revision: heading promotion +
 # nearest-neighbour windows on both sides, + the link-density clamp),
 # language_id_v2_docs (24 profiles + the v1 pass removed from query
 # AND oracle), the pack pair (bucketed_prefix_sums identifier quoting
-# + bounded persist pins); (4) 19 of the 44 rows last verified in
-# round 7, alphabetical — the remaining 25 (knn_semantic_graph …
-# weighted_source_mix, incl. the nine displaced by the late-r12 new
-# rows: knn_semantic_graph, length_outlier_flags, minhash_signature,
-# ngram_jaccard, pii_scrub_stats, pivot_linestatus, profile_lineitem,
-# quality_gate_filter, retention_weekly_cohorts) roll to the r13
-# window. Recompute
+# + bounded persist pins); (4) 18 of the 44 rows last verified in
+# round 7, alphabetical — the remaining 26 (kmeans_centroids …
+# weighted_source_mix, incl. the ten displaced by the late-r12 new
+# rows: kmeans_centroids, knn_semantic_graph, length_outlier_flags,
+# minhash_signature, ngram_jaccard, pii_scrub_stats,
+# pivot_linestatus, profile_lineitem, quality_gate_filter,
+# retention_weekly_cohorts) roll to the r13 window. Recompute
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
 # the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
 # r10×42 / r11×50).
@@ -5750,6 +5762,7 @@ _R12_WINDOW = [
     "indexing_consent_docs",
     "language_id_trigram_docs",
     "quality_threshold_sweep_docs",
+    "dup_span_rewrite_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5776,7 +5789,6 @@ _R12_WINDOW = [
     "hll_distinct_users",
     "incremental_dedup_batch",
     "key_skew_sources",
-    "kmeans_centroids",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -6174,6 +6186,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexing_consent_docs": indexing_consent_docs,
         "language_id_trigram_docs": language_id_trigram_docs,
         "quality_threshold_sweep_docs": quality_threshold_sweep_docs,
+        "dup_span_rewrite_docs": dup_span_rewrite_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8891,6 +8904,58 @@ def _quality_threshold_sweep_sql() -> str:
 
 
 _QUALITY_THRESHOLD_SWEEP_SQL = _quality_threshold_sweep_sql()
+
+
+def _dup_span_rewrite_sql(span: int = 10, stride: int = 1) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        s AS (
+          SELECT doc_id, CAST(i * {stride} AS BIGINT) AS strt,
+                 CAST(concat('0x', substr(md5(array_to_string(
+                     ws[i*{stride}+1:i*{stride}+{span}], ' ')), 1, 15))
+                     AS BIGINT) AS h
+          FROM w, unnest(range(0, (len(ws) - {span}) // {stride} + 1)) u(i)
+          WHERE len(ws) >= {span}
+        ),
+        k AS (
+          SELECT h, min(doc_id) AS keep_id,
+                 min(doc_id) <> max(doc_id) AS is_x
+          FROM s GROUP BY h
+        ),
+        cov AS (
+          SELECT DISTINCT s.doc_id, strt + j AS pos
+          FROM s JOIN k USING (h), unnest(range(1, {span} + 1)) v(j)
+          WHERE k.is_x AND s.doc_id <> k.keep_id
+        ),
+        toks AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tok
+          FROM w, unnest(range(1, len(ws) + 1)) u(i)
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM toks t
+          LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+          WHERE cov.pos IS NULL
+        ),
+        reb AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS text_rewritten
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.ws) AS BIGINT) AS n_tokens,
+               CAST(len(b.ws) - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               coalesce(r.text_rewritten, '') AS text_rewritten
+        FROM w b LEFT JOIN reb r USING (doc_id)
+    """
+
+
+_DUP_SPAN_REWRITE_SQL = _dup_span_rewrite_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13277,6 +13342,7 @@ def oracle_sql() -> dict[str, str]:
         "indexing_consent_docs": _INDEXING_CONSENT_SQL,
         "language_id_trigram_docs": _LANGUAGE_ID_TRIGRAM_SQL,
         "quality_threshold_sweep_docs": _QUALITY_THRESHOLD_SWEEP_SQL,
+        "dup_span_rewrite_docs": _DUP_SPAN_REWRITE_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

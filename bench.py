@@ -156,6 +156,10 @@ HEADLINE = [
     # guard; indexing consent rides the Arrow parse stage
     "language_id_trigram_docs",
     "indexing_consent_docs",
+    # late-r12: the span-removal REWRITE (heavier than the fraction
+    # row it extends: adds the covered-position anti-join + ordered
+    # rebuild) gets its own wall guard
+    "dup_span_rewrite_docs",
 ]
 
 # sub-second relational queries whose local-mode time is fixed

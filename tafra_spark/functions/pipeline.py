@@ -109,6 +109,123 @@ def _ngram_hash(sh: Column) -> Column:
     )
 
 
+def dup_span_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    stride: int = 1,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (the transformation
+    companion to :func:`dup_span_stats`, per Lee et al. 2022): rebuild
+    every document with the tokens covered by a cross-document
+    duplicated span removed, FIRST occurrence wins — the lowest-id
+    document containing a span keeps it, every other document drops
+    the covered positions. Within-document repetition is untouched
+    (that is :func:`repetition_stats`' signal).
+
+    Plan: the same zero-shuffle span fold and 8-byte span-hash stream
+    as ``dup_span_stats`` (stride dials the token-replication cost),
+    one (hash → keeper/cross) aggregate, covered positions from the
+    non-keeper spans (distinct (id, pos) — bounded by the token
+    count), then the token stream anti-joins the covered set and one
+    per-doc ordered rebuild. Linear shuffles only. Returns (id,
+    n_tokens, n_removed, text_rewritten) for every non-empty input
+    document ('' when everything was removed).
+    """
+    if span_tokens < 1 or stride < 1:
+        raise ValueError(
+            "dup_span_rewrite: span_tokens and stride must be >= 1"
+        )
+    from .dedup import _spread
+
+    base = _spread(
+        df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col),
+            word_tokens(F.lower(F.col(text_col))).alias("__t__"),
+        )
+    )
+    t = F.col("__t__")
+    n = F.size(t)
+    n_spans = F.when(
+        n >= span_tokens,
+        F.floor((n - span_tokens) / stride).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                (i * stride).cast("long").alias("start"),
+                F.array_join(
+                    F.slice(t, i * stride + 1, span_tokens), " "
+                ).alias("s"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<start:bigint,s:string>>")
+    )
+    span_rows = base.select(
+        F.col(id_col), F.explode(spans).alias("sp")
+    ).select(
+        F.col(id_col),
+        F.col("sp.start").alias("__start__"),
+        _ngram_hash(F.col("sp.s")).alias("h"),
+    )
+    keeper = span_rows.groupBy("h").agg(
+        F.min(id_col).alias("__keep__"),
+        (F.min(id_col) != F.max(id_col)).alias("__x__"),
+    )
+    covered = (
+        span_rows.join(keeper, on="h")
+        .filter(F.col("__x__") & (F.col(id_col) != F.col("__keep__")))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("__start__") + 1,
+                    F.col("__start__") + span_tokens,
+                )
+            ).alias("__pos__"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        F.col(id_col), F.posexplode(t).alias("__p0__", "__tok__")
+    ).select(
+        F.col(id_col),
+        (F.col("__p0__") + 1).cast("long").alias("__pos__"),
+        F.col("__tok__"),
+    )
+    kept = toks.join(covered, on=[id_col, "__pos__"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nk__"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos__", "__tok__"))
+                ),
+                lambda x: x["__tok__"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    return (
+        base.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__nk__"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("text_rewritten"), F.lit("")).alias(
+                "text_rewritten"
+            ),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

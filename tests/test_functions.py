@@ -2134,6 +2134,31 @@ class TestSplitSpansLogprob:
         assert got[2]["n_spans"] == 4 and got[2]["n_cross_dup_spans"] == 1
         assert got[3]["n_cross_dup_spans"] == 0
 
+    def test_dup_span_rewrite_first_occurrence_wins(self, spark):
+        from tafra_spark.functions.pipeline import dup_span_rewrite
+
+        shared = "a b c d e"  # 5-token span shared verbatim
+        rows = [
+            (1, f"{shared} tail1 x"),
+            (2, f"head2 {shared} tail2"),
+            (3, "u v w x y z q"),
+            (4, "tiny"),  # shorter than the span: untouched
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in dup_span_rewrite(df, span_tokens=5, stride=1).collect()
+        }
+        # keeper (lowest id) keeps its text verbatim
+        assert got[1]["n_removed"] == 0
+        assert got[1]["text_rewritten"] == "a b c d e tail1 x"
+        # the other occurrence loses exactly the covered positions
+        assert got[2]["n_removed"] == 5
+        assert got[2]["text_rewritten"] == "head2 tail2"
+        assert got[3]["n_removed"] == 0
+        assert got[4]["n_removed"] == 0
+        assert got[4]["text_rewritten"] == "tiny"
+
     def test_dup_span_within_doc_repeat_not_counted(self, spark):
         from tafra_spark.functions.pipeline import dup_span_stats
 
