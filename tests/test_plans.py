@@ -1320,3 +1320,118 @@ class TestR9WebLayerPlans:
         plan = explain_str(df)
         assert "EvalPython" not in plan
         assert count_exchanges(df) == 0
+
+
+class TestR12PolicyLayerPlans:
+    """r12 policy/selection layer: broadcast-model joins, zero-shuffle
+    gates, and the corpus-never-single-partitions contracts."""
+
+    def test_url_blocklist_broadcast_joins_only(self, spark):
+        from tafra_spark.plans import (
+            count_exchanges,
+            explain_str,
+            has_broadcast_join,
+        )
+        from tafra_spark.sources.http import url_blocklist_flags
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        withurl = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://w."), F.col("source"), F.lit(".example.com/p")
+            ).alias("url"),
+        )
+        df = url_blocklist_flags(
+            withurl, [("example.com", "ads")], url_words=["casino"]
+        )
+        plan = explain_str(df)
+        assert has_broadcast_join(df)
+        # the corpus side must not shuffle: SortMergeJoin would mean
+        # the broadcast hint was lost
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_meta_robots_zero_shuffle(self, spark):
+        from tafra_spark.plans import count_exchanges, explain_str
+        from tafra_spark.sources.http import (
+            html_meta_robots,
+            meta_robots_noindex,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        d = html_meta_robots(F.col("text"))
+        df = docs.select("doc_id", meta_robots_noindex(d).alias("ni"))
+        assert count_exchanges(df) == 0
+        assert "EvalPython" not in explain_str(df)
+
+    def test_nb_classifier_model_broadcasts(self, spark):
+        from tafra_spark.functions.pipeline import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+        from tafra_spark.plans import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        )
+        labeled = docs.withColumn(
+            "label", (F.col("doc_id") % 2 == 0).cast("int")
+        )
+        df = quality_classifier_score(
+            docs, quality_classifier_train(labeled)
+        )
+        plan = explain_str(df)
+        assert has_broadcast_join(df)
+        assert "EvalPython" not in plan
+
+    def test_trigram_langid_profile_broadcasts(self, spark):
+        from tafra_spark.functions.text import language_id_trigram
+        from tafra_spark.plans import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = language_id_trigram(docs)
+        plan = explain_str(df)
+        assert has_broadcast_join(df)
+        assert "EvalPython" not in plan
+
+    def test_dsir_model_broadcast_and_persisted_stream(self, spark):
+        from tafra_spark.functions.pipeline import dsir_importance
+        from tafra_spark.plans import explain_str, has_broadcast_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        target = docs.filter(F.col("doc_id") % 7 == 0)
+        df = dsir_importance(docs, target, k=10)
+        plan = explain_str(df)
+        assert has_broadcast_join(df)
+        # the raw feature stream must be served from the persisted
+        # handle, not recomputed per consumer (the r12 sf1 finding)
+        assert "InMemoryTableScan" in plan
+        assert "EvalPython" not in plan
+
+    def test_perplexity_buckets_window_on_score_relation(self, spark):
+        from tafra_spark.functions.pipeline import perplexity_buckets
+        from tafra_spark.plans import count_exchanges, explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = perplexity_buckets(docs)
+        # token-count shuffle + one-row total + per-doc agg + the
+        # stratum window: a bounded handful of exchanges, and the
+        # NTILE window must partition by the stratum (never a global
+        # single-partition sort)
+        plan = explain_str(df)
+        assert "windowspecdefinition(source#" in plan
+        assert count_exchanges(df) <= 5
+        assert "EvalPython" not in plan
+
+    def test_dup_span_rewrite_no_cartesian(self, spark):
+        from tafra_spark.functions.pipeline import dup_span_rewrite
+        from tafra_spark.plans import explain_str
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = dup_span_rewrite(docs)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
