@@ -1320,6 +1320,17 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(batch, seen)
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: alpha=0.5 temperature mixing (the XLM-family multilingual
+    # up-sampling rule) — sqrt is the one correctly-rounded IEEE
+    # power, weights quantized to q6 BEFORE summing, shares and the
+    # 100k-token budget allocation exact integer divisions
+    from tafra_spark.functions.sampling import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(docs, budget_tokens=100_000)
+
+
 def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 50/30/20 training mix over three sources: largest
     # feasible total, per-source takes by salted-hash rank — no RNG, no
@@ -5713,24 +5724,26 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composition: (1) the 14 rows last verified in round 6 — the
 # displacement set the r11 window documented (q7_nation_volume …
 # user_session_features) — go first, clearing all r6 debt; (2) the
-# twelve never-driver-verified r12 queries (decode round-trip,
+# thirteen never-driver-verified r12 queries (decode round-trip,
 # per-language jusText, CCNet buckets, URL policy gate, NB quality
 # classifier, tokenizer fertility, meta-robots gate, DSIR, the
 # X-Robots-Tag/meta indexing-consent composition, trigram language
-# ID, threshold sweep, duplicated-span rewrite); (3) rows
+# ID, threshold sweep, duplicated-span rewrite, temperature mix);
+# (3) rows
 # whose CODE or ORACLE changed in r12 — the pretrained pair (GPT-2
 # pretokenizer + specials rewrote both engines' derivations),
 # main_content_blocks (full jusText revision: heading promotion +
 # nearest-neighbour windows on both sides, + the link-density clamp),
 # language_id_v2_docs (24 profiles + the v1 pass removed from query
 # AND oracle), the pack pair (bucketed_prefix_sums identifier quoting
-# + bounded persist pins); (4) 18 of the 44 rows last verified in
-# round 7, alphabetical — the remaining 26 (kmeans_centroids …
-# weighted_source_mix, incl. the ten displaced by the late-r12 new
-# rows: kmeans_centroids, knn_semantic_graph, length_outlier_flags,
-# minhash_signature, ngram_jaccard, pii_scrub_stats,
-# pivot_linestatus, profile_lineitem, quality_gate_filter,
-# retention_weekly_cohorts) roll to the r13 window. Recompute
+# + bounded persist pins); (4) 17 of the 44 rows last verified in
+# round 7, alphabetical — the remaining 27 (key_skew_sources …
+# weighted_source_mix, incl. the eleven displaced by the late-r12
+# new rows: key_skew_sources, kmeans_centroids, knn_semantic_graph,
+# length_outlier_flags, minhash_signature, ngram_jaccard,
+# pii_scrub_stats, pivot_linestatus, profile_lineitem,
+# quality_gate_filter, retention_weekly_cohorts) roll to the r13
+# window. Recompute
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
 # the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
 # r10×42 / r11×50).
@@ -5763,6 +5776,7 @@ _R12_WINDOW = [
     "language_id_trigram_docs",
     "quality_threshold_sweep_docs",
     "dup_span_rewrite_docs",
+    "temperature_mix_docs",
     # (3) r12 code/oracle changes
     "pretrained_encode_docs",
     "pretrained_pack_docs",
@@ -5788,7 +5802,6 @@ _R12_WINDOW = [
     "funnel_click_view_purchase",
     "hll_distinct_users",
     "incremental_dedup_batch",
-    "key_skew_sources",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
@@ -6187,6 +6200,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_trigram_docs": language_id_trigram_docs,
         "quality_threshold_sweep_docs": quality_threshold_sweep_docs,
         "dup_span_rewrite_docs": dup_span_rewrite_docs,
+        "temperature_mix_docs": temperature_mix_docs,
         "bm25_search_topk": bm25_search_topk,
         "inverted_index_postings": inverted_index_postings,
         "pq_encode_codes": pq_encode_codes,
@@ -8956,6 +8970,32 @@ def _dup_span_rewrite_sql(span: int = 10, stride: int = 1) -> str:
 
 
 _DUP_SPAN_REWRITE_SQL = _dup_span_rewrite_sql()
+
+_TEMPERATURE_MIX_SQL = """
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(lower(trim(text)),
+                 '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                     AS BIGINT) AS wq
+      FROM per
+    ),
+    t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+             CAST(sum(wq) AS BIGINT) AS tw
+      FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // tt AS BIGINT) AS raw_share_q6,
+           CAST(wq * 1000000 // tw AS BIGINT) AS temp_share_q6,
+           CAST(100000 * wq // tw AS BIGINT) AS planned_tokens
+    FROM w CROSS JOIN t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13343,6 +13383,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id_trigram_docs": _LANGUAGE_ID_TRIGRAM_SQL,
         "quality_threshold_sweep_docs": _QUALITY_THRESHOLD_SWEEP_SQL,
         "dup_span_rewrite_docs": _DUP_SPAN_REWRITE_SQL,
+        "temperature_mix_docs": _TEMPERATURE_MIX_SQL,
         # RFC 9309 precedence chain generated from ONE parsed rule list
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         # r9 header>BOM>meta charset precedence, expected values closed-form

@@ -458,3 +458,78 @@ def distribution_match_weights(
         )
     )
     return binned.join(F.broadcast(wtab), on=[part_col, "bin"], how="left")
+
+
+def temperature_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing at ``alpha = 0.5`` — the
+    multilingual up-sampling rule (XLM-family: sample source ``s``
+    with probability proportional to ``n_tokens(s)^alpha``, flattening
+    the head and boosting the tail). Fixed at 0.5 because ``sqrt`` is
+    the one power IEEE 754 requires correctly rounded — the same
+    double on every engine — while general ``pow`` is not
+    cross-engine-stable (the decayed_activity exp() lesson); other
+    exponents belong in driver-side planning, not an oracle-graded
+    kernel.
+
+    Each stratum's weight is ``floor(sqrt(n_tokens)·1e6 + 0.5)``
+    quantized BEFORE summation (integer sums are order-independent),
+    shares and the optional ``budget_tokens`` allocation are exact
+    integer divisions. One map-side-combined aggregate over the token
+    counts; everything after runs on the |strata|-row relation.
+    Returns (strata, n_docs, n_tokens, raw_share_q6, temp_share_q6[,
+    planned_tokens]).
+    """
+    from .text import word_tokens
+
+    per = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(word_tokens(F.lower(F.col(text_col)))))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w_q6 = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    weighted = per.withColumn("__w__", w_q6)
+    # totals via an unpartitioned window over the AGGREGATED relation
+    # — |strata| rows (a bounded control relation: sources/languages),
+    # so the single-partition window is free; a crossJoin of two
+    # frames sharing the `per` subtree trips Spark 4's relation dedup
+    # into an ambiguous __w__ reference
+    # NB: Spark resolves column names case-insensitively by default,
+    # so the totals must NOT be named __W__/__T__ (they would collide
+    # with __w__ and make every reference ambiguous)
+    wall = Window.partitionBy()
+    out = weighted.withColumn(
+        "__tok_total__", F.sum("n_tokens").over(wall)
+    ).withColumn("__wt_total__", F.sum("__w__").over(wall)).select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(n_tokens * 1000000 div __tok_total__ AS BIGINT)"
+        ).alias("raw_share_q6"),
+        F.expr(
+            "CAST(__w__ * 1000000 div __wt_total__ AS BIGINT)"
+        ).alias("temp_share_q6"),
+        F.col("__w__"),
+        F.col("__wt_total__"),
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "planned_tokens",
+            F.expr(
+                f"CAST({int(budget_tokens)} * __w__ div __wt_total__"
+                " AS BIGINT)"
+            ),
+        )
+    return out.drop("__w__", "__wt_total__")
