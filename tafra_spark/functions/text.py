@@ -1931,6 +1931,7 @@ def language_id_trigram(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    memo: bool = True,
 ) -> DataFrame:
     """Char-trigram language ID over the Latin branch — the DEPTH
     companion to the zero-shuffle :func:`with_language_id_v2` gate:
@@ -1951,7 +1952,28 @@ def language_id_trigram(
     row_number window over that tiny relation; a final broadcast-side
     left join restores zero-hit documents as 'und'. Returns
     (id, trigram_lang, score_q6).
+
+    ``memo=True`` serves the BUILT plan from the session memo (the
+    compiled-classifier pattern shared with ``with_language_id_v2`` /
+    ``justext_blocks``): the 774-struct literal profile relation costs
+    more py4j/Catalyst time to construct than to broadcast. Execution
+    always runs live; the standing staleness contract
+    (``_memo.clear_memos`` / ``memo=False``) applies.
     """
+    if memo:
+        from . import _memo
+
+        key = (
+            "language_id_trigram",
+            _memo.session_key(df),
+            _memo.plan_hash(df),
+            text_col,
+            id_col,
+        )
+        return _memo.plan_memo(
+            key,
+            lambda: language_id_trigram(df, text_col, id_col, memo=False),
+        )
     norm = F.lower(
         F.trim(F.regexp_replace(F.col(text_col), _WS_RE, " "))
     )
@@ -1971,10 +1993,16 @@ def language_id_trigram(
             )
         ).alias("tg"),
     )
+    # literal relation, not createDataFrame: the 774-row profile feeds
+    # a broadcast build, and a Python-rows frame forks Python workers
+    # on every build (the weighted_mix lesson)
+    from ._relation import literal_relation
+
     spark = df.sparkSession
-    prof = spark.createDataFrame(
-        trigram_profile_rows(),
-        "lang string, tg string, c long, total long",
+    prof = literal_relation(
+        spark,
+        [list(r) for r in trigram_profile_rows()],
+        ["lang", "tg", "c", "total"],
     )
     scored = (
         tgs.join(F.broadcast(prof), on="tg")
