@@ -2927,20 +2927,31 @@ def pretrained_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_pretrained,
     )
 
-    docs = _pretrained_deco(_read(spark, sf_dir, "documents")).filter(
-        F.col("text").isNotNull()
+    # r12 optimization (guide §2.4): the encode subtree is built ONCE
+    # and text/n_tokens ride through as keep_cols — the old shape
+    # referenced `enc` twice (decode input + n_tokens re-attach) and
+    # re-joined the corpus for `text`, so the physical plan ran the
+    # whole encode pipeline TWICE plus two extra corpus joins. The
+    # un-filtered decoration also keeps the distinct-word dictionary's
+    # plan hash identical to pretrained_encode_docs', so the session
+    # memo serves ONE encoded dictionary to the whole pretrained
+    # family; the text-IS-NULL rows it adds are dropped by the same
+    # filter below (deco text is NULL iff raw text is NULL).
+    docs = _pretrained_deco(_read(spark, sf_dir, "documents"))
+    enc = bpe_encode_pretrained(
+        docs, _fixture_tokenizer(), keep_cols=("text",)
     )
-    enc = bpe_encode_pretrained(docs, _fixture_tokenizer())
-    dec = bpe_decode_pretrained(enc, _fixture_tokenizer(), out_col="decoded")
-    return (
-        dec.join(docs, "doc_id")
-        .join(enc.select("doc_id", "n_tokens"), "doc_id")
-        .select(
-            "doc_id",
-            "decoded",
-            "n_tokens",
-            (F.col("decoded") == F.col("text")).alias("matches_input"),
-        )
+    dec = bpe_decode_pretrained(
+        enc,
+        _fixture_tokenizer(),
+        out_col="decoded",
+        keep_cols=("n_tokens", "text"),
+    )
+    return dec.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "decoded",
+        "n_tokens",
+        (F.col("decoded") == F.col("text")).alias("matches_input"),
     )
 
 

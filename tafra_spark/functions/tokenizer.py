@@ -519,6 +519,7 @@ def bpe_encode_pretrained(
     text_col: str = "text",
     id_col: str = "doc_id",
     memo: bool = True,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Tokenize a corpus with an IMPORTED vocabulary — the production
     tokenize stage (fixed published merges, not corpus-learned) —
@@ -556,10 +557,20 @@ def bpe_encode_pretrained(
     - piece → id is a BROADCAST JOIN against the parsed vocab relation
       (the swap ``bpe_encode_bytes``'s docstring prescribes at 32k+
       merges — no 32k-literal map in the plan, no codegen blowup);
-    - the corpus-side work is narrow explodes, an equi-join against
-      the encoded dictionary, and ONE per-document rebuild shuffle.
+    - the corpus-side work is narrow explodes, a BROADCAST equi-join
+      against the encoded dictionary (hinted explicitly — r12: the
+      planner's size estimate through the explode chain is garbage and
+      it picked the CORPUS stream as the broadcast build side, which
+      collects the whole tokenized corpus to the driver; the
+      dictionary is the |V|-bounded index artifact and the only sane
+      build side), and ONE per-document rebuild shuffle.
+
+    ``keep_cols`` (r12) passes extra input columns through to the
+    output unchanged (they ride the keep-every-row left join, not the
+    per-word stream) so compositions like decode-round-trip don't pay
+    a second corpus join to re-attach them.
     """
-    for c in (id_col, text_col):
+    for c in (id_col, text_col, *keep_cols):
         if c not in df.columns:
             raise ValueError(f"bpe_encode_pretrained: unknown column {c!r}")
     spark = df.sparkSession
@@ -691,7 +702,7 @@ def bpe_encode_pretrained(
         encoded = _memo.state_memo(key, build_encoded_dict)
     else:
         encoded = build_encoded_dict()
-    per_word = stream.join(encoded, "word").select(
+    per_word = stream.join(F.broadcast(encoded), "word").select(
         id_col,
         "__spos__",
         "__qpos__",
@@ -711,7 +722,7 @@ def bpe_encode_pretrained(
         ).alias("token_ids"),
     )
     return (
-        df.select(id_col)
+        df.select(id_col, *keep_cols)
         .join(agg, id_col, "left")
         .withColumn(
             "token_ids",
@@ -723,6 +734,7 @@ def bpe_encode_pretrained(
             F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
             F.size("token_ids").cast("long").alias("n_tokens"),
             "token_ids",
+            *keep_cols,
         )
     )
 
@@ -733,6 +745,7 @@ def bpe_decode_pretrained(
     ids_col: str = "token_ids",
     id_col: str = "doc_id",
     out_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Decode token-id sequences back to text with an imported
     vocabulary — the inspection/debugging loop for packed sequences
@@ -744,13 +757,23 @@ def bpe_decode_pretrained(
     the unit suite). Unknown ids raise (a corrupted stream must not
     silently drop tokens).
 
-    Returns (id, out_col). Scale shape mirrors the encoder: explode
-    ids (narrow), BROADCAST join against the id→piece relation, ONE
-    per-document rebuild shuffle, then unhex+decode in a codegen
-    projection. Empty id arrays decode to ''."""
-    for c in (id_col, ids_col):
+    Returns (id, *keep_cols, out_col); ``keep_cols`` pass through
+    unchanged so compositions don't re-join the corpus to re-attach
+    them. Scale shape (r12 rewrite, guide §2.4/§4.2): ZERO shuffles —
+    one Arrow ``mapInPandas`` stage over exactly the projected
+    columns, with the |V|-bounded id→bytes table a task-local dense
+    array built once per task from a broadcast variable; each row is a
+    vectorized numpy gather + byte join. The previous shape (explode
+    ids → broadcast id→piece join → per-document rebuild shuffle with
+    an O(n log n) array_sort) paid one corpus-sized exchange and a
+    per-doc sort for what is a stateless per-row transformation; at
+    100 TB the exchange was the whole cost. Empty/NULL id arrays
+    decode to ''."""
+    for c in (id_col, ids_col, *keep_cols):
         if c not in df.columns:
             raise ValueError(f"bpe_decode_pretrained: unknown column {c!r}")
+    import pyspark.sql.types as T
+
     spark = df.sparkSession
     vocab_plus = dict(tokenizer.vocab)
     for s, i in tokenizer.specials.items():
@@ -758,36 +781,45 @@ def bpe_decode_pretrained(
     # invert piece->id; on spelling collisions (possible only between a
     # vocab piece and a special with the same bytes, validated equal at
     # load) keep either — same spelling, same bytes
-    id2piece = {i: p for p, i in vocab_plus.items()}
-    rel = spark.createDataFrame(
-        list(id2piece.items()), "tid int, piece string"
-    )
-    tok = df.select(
-        id_col, F.posexplode_outer(ids_col).alias("__pos__", "tid")
-    )
-    joined = tok.join(F.broadcast(rel), "tid", "left").select(
-        id_col,
-        "__pos__",
-        F.when(
-            F.col("__pos__").isNotNull() & F.col("piece").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("bpe_decode_pretrained: unknown token id "),
-                    F.col("tid").cast("string"),
-                )
-            ),
-        ).otherwise(F.col("piece")).alias("piece"),
-    )
-    agg = joined.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.expr("array_sort(collect_list(struct(__pos__, piece))).piece"),
-        ).alias("__hex__")
-    )
-    return agg.select(
-        id_col,
-        F.decode(F.unhex("__hex__"), "UTF-8").alias(out_col),
-    )
+    id2bytes = {i: bytes.fromhex(p) for p, i in vocab_plus.items()}
+    bc = spark.sparkContext.broadcast(id2bytes)
+    proj = df.select(id_col, *keep_cols, ids_col)
+    fields = [proj.schema[id_col]] + [proj.schema[c] for c in keep_cols]
+    schema = T.StructType(fields + [T.StructField(out_col, T.StringType())])
+
+    def dec_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        table = bc.value
+        max_id = max(table) if table else -1
+        pieces = np.empty(max_id + 1, dtype=object)
+        present = np.zeros(max_id + 1, dtype=bool)
+        for i, b in table.items():
+            if i >= 0:
+                pieces[i] = b
+                present[i] = True
+        for pdf in batches:
+            out = []
+            for ids in pdf[ids_col]:
+                if ids is None or len(ids) == 0:
+                    out.append("")
+                    continue
+                a = np.asarray(ids, dtype=np.int64)
+                bad = (a < 0) | (a > max_id)
+                if not bad.any():
+                    bad = ~present[a]
+                if bad.any():
+                    raise ValueError(
+                        "bpe_decode_pretrained: unknown token id "
+                        f"{int(a[np.argmax(bad)])}"
+                    )
+                out.append(b"".join(pieces[a]).decode("utf-8"))
+            cols = {c: pdf[c] for c in (id_col, *keep_cols)}
+            cols[out_col] = out
+            yield pd.DataFrame(cols)
+
+    return proj.mapInPandas(dec_iter, schema)
 
 
 # deterministic seed chains for the toy vocabulary: common English
