@@ -124,26 +124,40 @@ def dup_span_rewrite(
     the covered positions. Within-document repetition is untouched
     (that is :func:`repetition_stats`' signal).
 
-    Plan: the same zero-shuffle span fold and 8-byte span-hash stream
-    as ``dup_span_stats`` (stride dials the token-replication cost),
-    one (hash → keeper/cross) aggregate, covered positions from the
-    non-keeper spans (distinct (id, pos) — bounded by the token
-    count), then the token stream anti-joins the covered set and one
-    per-doc ordered rebuild. Linear shuffles only. Returns (id,
-    n_tokens, n_removed, text_rewritten) for every non-empty input
-    document ('' when everything was removed).
+    Plan (r12 restructure, guide §2.3/§2.4): the same zero-shuffle
+    span fold and 8-byte span-hash stream as ``dup_span_stats``
+    (stride dials the token-replication cost), then ONE (hash) →
+    occurrences aggregate that yields keeper and non-keeper spans
+    together (no span→keeper re-join), ONE (id) aggregate collecting
+    each document's duplicated-span starts, and a doc-level join back
+    to the token arrays where the rebuild is pure array arithmetic:
+    covered positions expand INSIDE the row (never through an
+    exchange), kept positions via ``array_except`` (hash-set, linear),
+    text via an ordered element gather. The previous shape exploded
+    covered positions ×span_tokens into a distinct, anti-joined the
+    per-token stream, and re-aggregated the rebuild — three more
+    corpus-sized exchanges and a per-doc sort, all replaced by
+    in-row array ops. Returns (id, n_tokens, n_removed,
+    text_rewritten) for every non-empty input document ('' when
+    everything was removed).
     """
     if span_tokens < 1 or stride < 1:
         raise ValueError(
             "dup_span_rewrite: span_tokens and stride must be >= 1"
         )
+    from . import _memo
     from .dedup import _spread
 
-    base = _spread(
-        df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-            F.col(id_col),
-            word_tokens(F.lower(F.col(text_col))).alias("__t__"),
-        )
+    # two consumers (the span fold and the rebuild join) — persist the
+    # tokenized corpus once instead of scanning + re-tokenizing twice;
+    # the pin is released through the bounded track_persist LRU
+    base = _memo.track_persist(
+        _spread(
+            df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+                F.col(id_col),
+                word_tokens(F.lower(F.col(text_col))).alias("__t__"),
+            )
+        ).persist()
     )
     t = F.col("__t__")
     n = F.size(t)
@@ -172,56 +186,70 @@ def dup_span_rewrite(
         F.col("sp.start").alias("__start__"),
         _ngram_hash(F.col("sp.s")).alias("h"),
     )
-    keeper = span_rows.groupBy("h").agg(
+    # one aggregate yields keeper AND every non-keeper occurrence: the
+    # per-hash occurrence list is bounded by that span's duplication
+    # count — the same bound the old span→keeper join's fan-out had
+    per_h = span_rows.groupBy("h").agg(
         F.min(id_col).alias("__keep__"),
         (F.min(id_col) != F.max(id_col)).alias("__x__"),
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("__start__").alias("s"))
+        ).alias("__occ__"),
     )
-    covered = (
-        span_rows.join(keeper, on="h")
-        .filter(F.col("__x__") & (F.col(id_col) != F.col("__keep__")))
+    dup_starts = (
+        per_h.filter(F.col("__x__"))
         .select(
-            F.col(id_col),
             F.explode(
-                F.sequence(
-                    F.col("__start__") + 1,
-                    F.col("__start__") + span_tokens,
+                F.filter(
+                    F.col("__occ__"), lambda o: o["i"] != F.col("__keep__")
                 )
-            ).alias("__pos__"),
+            ).alias("o")
         )
-        .distinct()
-    )
-    toks = base.select(
-        F.col(id_col), F.posexplode(t).alias("__p0__", "__tok__")
-    ).select(
-        F.col(id_col),
-        (F.col("__p0__") + 1).cast("long").alias("__pos__"),
-        F.col("__tok__"),
-    )
-    kept = toks.join(covered, on=[id_col, "__pos__"], how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__nk__"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos__", "__tok__"))
-                ),
-                lambda x: x["__tok__"],
-            ),
-            " ",
-        ).alias("text_rewritten"),
+        .groupBy(F.col("o.i").alias(id_col))
+        .agg(F.collect_list("o.s").alias("__starts__"))
     )
     return (
-        base.select(F.col(id_col), n.cast("long").alias("n_tokens"))
-        .join(rebuilt, on=id_col, how="left")
+        base.join(dup_starts, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            t,
+            F.when(
+                F.col("__starts__").isNotNull(),
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__starts__"),
+                            lambda s: F.sequence(
+                                s + 1, s + F.lit(span_tokens).cast("long")
+                            ),
+                        )
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>")).alias("__cov__"),
+        )
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            (
-                F.col("n_tokens") - F.coalesce(F.col("__nk__"), F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce(F.col("text_rewritten"), F.lit("")).alias(
-                "text_rewritten"
+            F.array_except(
+                F.sequence(F.lit(1).cast("long"), F.col("n_tokens")),
+                F.col("__cov__"),
+            ).alias("__kept__"),
+            t,
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.size("__kept__")).cast("long").alias(
+                "n_removed"
             ),
+            F.array_join(
+                F.transform(
+                    F.col("__kept__"),
+                    lambda p: F.element_at(t, p.cast("int")),
+                ),
+                " ",
+            ).alias("text_rewritten"),
         )
     )
 
