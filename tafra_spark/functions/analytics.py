@@ -1265,12 +1265,18 @@ def mad_outliers(
         # one extra scan-and-agg pass. Callers that build plans
         # without acting on them, or that know their value shape,
         # should pass route="window"/"histogram" to stay fully lazy.
-        probe = (
+        # r12: the one-row probe result is served through the session
+        # memo (`cached_collect` — the standing bounded-control-relation
+        # contract): re-profiling the same immutable input must not
+        # re-scan it for a routing constant.
+        from ._memo import cached_collect
+
+        rows = cached_collect(
             base.groupBy("__k__")
             .agg(F.approx_count_distinct("__v__").alias("__d__"))
             .agg(F.max("__d__").alias("__m__"))
-            .first()
         )
+        probe = rows[0] if rows else None
         max_distinct = (probe["__m__"] if probe is not None else 0) or 0
         route = "histogram" if max_distinct > distinct_threshold else "window"
     if route == "histogram":

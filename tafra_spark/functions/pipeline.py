@@ -1527,14 +1527,19 @@ def source_overlap(
     dedup operators.
 
     Plan shape: ONE shingle pass; shingles travel as xxhash64 longs
-    straight into a ``groupBy(hash).collect_set(source)`` — the only
-    corpus-sized shuffle, with map-side partial sets doing the dedup.
-    The per-hash source set is bounded by |sources|, so expanding it to
-    ordered pairs is array combinatorics inside the row (no self-join,
-    no O(corpus²) anywhere), and per-source distinct totals explode
-    from the same sets. Both consumers aggregate over the IDENTICAL
-    exchange, which Spark reuses (ReusedExchange) — one corpus scan,
-    no persist barrier. Per-source totals attach by broadcast.
+    straight into a ``groupBy(hash)`` whose per-hash source set is a
+    single BITMASK long (``bit_or(1 << src)``) — the only corpus-sized
+    shuffle, with map-side partial ORs doing the dedup on an 8-byte
+    primitive instead of a hash set (the operator's former GC hot
+    spot; r12, guide §2.3 "narrower types"). The per-hash masks then
+    collapse to a ≤2^|S|-row mask histogram, and BOTH outputs — the
+    pairwise intersections and the per-source distinct totals — are
+    array combinatorics over that tiny relation weighted by its
+    counts (no self-join, no O(corpus²) anywhere, and nothing
+    corpus-sized is aggregated twice). Per-source totals attach by
+    broadcast. Sources beyond 62 fall back to the collect_set form —
+    the output is |S|² rows, so |S| is categorically small by this
+    operator's contract.
 
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_q4) for
     source_a < source_b — all integers, exactly portable.
@@ -1563,32 +1568,70 @@ def source_overlap(
         ", ".join("'{}'".format(s.replace("'", "\\'")) for s in names)
     )
 
-    by_h = (
-        base.select(
-            code.alias("src"),
-            F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
-        )
-        .select(F.col("src"), F.xxhash64("s").alias("h"))
-        .groupBy("h")
-        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
-    )
-    per = (
-        by_h.select(F.explode("srcs").alias("src"))
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
     pair_structs = F.expr(
         "flatten(transform(srcs, (x, i) -> "
         "transform(slice(srcs, i + 2, size(srcs)), "
         "y -> named_struct('a', x, 'b', y))))"
     )
-    inter = (
-        by_h.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    if len(names) <= 62:
+        # bitmask path: the per-hash source set is one long; the mask
+        # histogram is the ONLY thing the corpus-sized exchange feeds
+        hist = (
+            base.select(
+                code.alias("src"),
+                F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+            )
+            .select(
+                F.expr("shiftleft(cast(1 as bigint), src)").alias("m"),
+                F.xxhash64("s").alias("h"),
+            )
+            .groupBy("h")
+            .agg(F.bit_or("m").alias("m"))
+            .groupBy("m")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "srcs",
+                F.expr(
+                    f"filter(sequence(0, {len(names) - 1}), "
+                    "i -> bit_get(m, i) = 1)"
+                ),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        per = (
+            hist.select(F.explode("srcs").alias("src"), "c")
+            .groupBy("src")
+            .agg(F.sum("c").alias("n_shingles"))
+        )
+        inter = (
+            hist.select(F.explode(pair_structs).alias("p"), "c")
+            .groupBy(
+                F.col("p.a").alias("source_a"),
+                F.col("p.b").alias("source_b"),
+            )
+            .agg(F.sum("c").alias("n_common"))
+        )
+    else:
+        by_h = (
+            base.select(
+                code.alias("src"),
+                F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+            )
+            .select(F.col("src"), F.xxhash64("s").alias("h"))
+            .groupBy("h")
+            .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        )
+        per = (
+            by_h.select(F.explode("srcs").alias("src"))
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+        inter = (
+            by_h.select(F.explode(pair_structs).alias("p"))
+            .groupBy(
+                F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         inter.join(
             F.broadcast(per.select(F.col("src").alias("source_a"),

@@ -815,50 +815,96 @@ def bm25_topk(
     a scalar, so the per-doc sum is an order-independent integer and
     the (score desc, id) ranking is exact.
 
-    Plan: the token stream is filtered to the query terms BEFORE any
-    shuffle (the stream entering the (doc, term) count is query-sized,
-    not corpus-sized); document lengths ride a narrow projection joined
-    on id; df and N/avgdl are tiny broadcasts. The final top-k is
-    orderBy+limit — Spark's distributed TakeOrdered, never a global
-    single-partition window. Returns (id, score_q6, rank).
+    Plan (r12 rewrite, guide §1.2 "the distributed algorithm" +
+    §2.4 "remove shuffles outright"): the query is a FIXED, tiny bag
+    of terms, so each document's per-term tf is computed IN-ROW with a
+    higher-order ``filter`` over the token array — the corpus is
+    tokenized once, never exploded, and never joined. One scan yields
+    (id, dl, tf_0..tf_T); one tiny aggregate over it yields every
+    global constant (N, Σdl, per-term document frequency) in a single
+    broadcast row; the score is an in-row integer sum of the same q6
+    contributions. The old shape (corpus-wide explode → filter →
+    two groupBys → tf⋈lens shuffle of the corpus-sized length table)
+    paid two tokenization passes and three exchanges for the same
+    integers. The final top-k is orderBy+limit — Spark's distributed
+    TakeOrdered, never a global single-partition window. Returns
+    (id, score_q6, rank).
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
     base = df.filter(F.length(F.trim(F.col(text_col)) ) > 0)
     toks = word_tokens(F.lower(F.col(text_col)))
-    lens = base.select(F.col(id_col), F.size(toks).alias("dl"))
-    stats = lens.agg(
+    # tokenize ONCE behind an alias (CollapseProject keeps a non-cheap
+    # expression referenced more than once in its own projection)
+    tokd = base.select(F.col(id_col), toks.alias("__toks__"))
+    def _eq(term: str):
+        # single-arg lambda: a two-parameter lambda (even via a bound
+        # default) is the (element, index) HOF form to PySpark
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("__toks__"), _eq(t))).alias(f"__tf_{i}__")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = tokd.select(
+        F.col(id_col), F.size("__toks__").alias("dl"), *tf_cols
+    )
+    # every global constant in ONE row: N, total tokens, per-term df
+    # (count of docs with tf > 0 — identical to the old
+    # countDistinct(id) over the exploded hit stream)
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n__"),
         F.sum("dl").alias("__toks__"),
-    )
-    hits = base.select(
-        F.col(id_col), F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(terms))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = hits.groupBy("term").agg(
-        F.countDistinct(id_col).alias("tdf")
+        *[
+            F.sum(
+                F.when(F.col(f"__tf_{i}__") > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"__df_{i}__")
+            for i in range(len(terms))
+        ],
     )
     avgdl = F.col("__toks__").cast("double") / F.col("__n__").cast("double")
-    idf = F.log(
-        (F.col("__n__").cast("double") - F.col("tdf").cast("double") + 0.5)
-        / (F.col("tdf").cast("double") + 0.5)
-        + 1.0
-    )
-    tfd = F.col("tf").cast("double")
-    denom = tfd + F.lit(float(k1)) * (
-        F.lit(1.0 - float(b))
-        + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
-    )
-    contrib_q6 = F.floor(
-        idf * (tfd * F.lit(float(k1) + 1.0) / denom) * F.lit(1e6) + F.lit(0.5)
-    ).cast("long")
+
+    def _contrib(i: int) -> Column:
+        # the EXACT per-(doc, term) arithmetic of the pre-r12 shape:
+        # same correctly-rounded double chain, so the q6 integers are
+        # bit-identical to the oracle's
+        idf = F.log(
+            (
+                F.col("__n__").cast("double")
+                - F.col(f"__df_{i}__").cast("double")
+                + 0.5
+            )
+            / (F.col(f"__df_{i}__").cast("double") + 0.5)
+            + 1.0
+        )
+        tfd = F.col(f"__tf_{i}__").cast("double")
+        denom = tfd + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+        )
+        c = F.floor(
+            idf * (tfd * F.lit(float(k1) + 1.0) / denom) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        # a zero-tf term contributed NO row to the old per-(doc, term)
+        # aggregate; contribute an explicit long 0 here
+        return F.when(F.col(f"__tf_{i}__") > 0, c).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    score = _contrib(0)
+    for i in range(1, len(terms)):
+        score = score + _contrib(i)
+    any_hit = F.col("__tf_0__") > 0
+    for i in range(1, len(terms)):
+        any_hit = any_hit | (F.col(f"__tf_{i}__") > 0)
     scored = (
-        tf.join(lens, on=id_col)
-        .join(F.broadcast(dfreq), on="term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.sum(contrib_q6).alias("score_q6"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select(F.col(id_col), score.alias("score_q6"))
     )
     top = scored.orderBy(F.col("score_q6").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score_q6").desc(), F.col(id_col))
