@@ -2050,25 +2050,53 @@ def language_id_trigram(
         [list(r) for r in trigram_profile_rows()],
         ["lang", "tg", "c", "total"],
     )
-    scored = (
+    # r12 (guide §2.1 "remove shuffles outright"): ONE (id) aggregate of
+    # |langs| conditional sums replaces the old (id, lang) aggregate +
+    # second exchange + row_number window — the per-language matched
+    # counts land as one wide row per document, and the argmax (max
+    # score, language-code-ascending tie-break) is in-row struct-max
+    # over a |langs|-wide literal array. Identical integers: score is
+    # the same exact ``sum(c) * 1e6 div total`` with total inlined as
+    # the per-language literal, and a language is a candidate only when
+    # it matched >= 1 trigram (the old inner join's presence rule).
+    totals = {lang: total for lang, _tg, _c, total in trigram_profile_rows()}
+    langs = sorted(totals)
+    per = (
         tgs.join(F.broadcast(prof), on="tg")
-        .groupBy(id_col, "lang")
+        .groupBy(id_col)
         .agg(
-            F.expr("CAST(sum(c) * 1000000 div any_value(total) AS BIGINT)")
-            .alias("score_q6")
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("lang") == l, F.col("c"))),
+                    F.lit(0),
+                ).cast("long").alias(f"__c{i}__")
+                for i, l in enumerate(langs)
+            ]
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_q6").desc(), F.col("lang")
+    # struct comparison is field-ordered: (score, -idx) maxes on score
+    # first, then on the SMALLEST index (= lexicographically first
+    # language, langs being sorted) — the window's exact tie-break
+    cand = F.array(
+        *[
+            F.struct(
+                F.expr(
+                    f"CAST(__c{i}__ * 1000000 div {totals[l]} AS BIGINT)"
+                ).alias("s"),
+                F.lit(-i).cast("int").alias("ni"),
+                F.col(f"__c{i}__").alias("c"),
+            )
+            for i, l in enumerate(langs)
+        ]
     )
-    best = (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(
-            F.col(id_col),
-            F.col("lang").alias("__tl__"),
-            F.col("score_q6").alias("__sc__"),
-        )
+    lang_lit = F.array(*[F.lit(l) for l in langs])
+    best = per.select(
+        F.col(id_col),
+        F.array_max(F.filter(cand, lambda x: x["c"] > 0)).alias("__b__"),
+    ).select(
+        F.col(id_col),
+        F.element_at(lang_lit, -F.col("__b__")["ni"] + 1).alias("__tl__"),
+        F.col("__b__")["s"].alias("__sc__"),
     )
     return (
         df.select(F.col(id_col))
