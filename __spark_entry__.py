@@ -109,6 +109,30 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _spread_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """``documents`` read + scale-adaptive fan-out (r12, guide §2.5
+    "input skew" / §6 "input split size"): the driver's per-SF corpus is
+    ONE parquet file with ONE row group, so a scan stage is exactly one
+    task — every "zero-shuffle" heavy projection (jusText chains, BPE
+    pretokenize+explode, language-ID regex batteries) was serializing on
+    1 of the 32 local cores. ``spread_input`` round-robins the *narrow*
+    projection to ``defaultParallelism`` so those stages fan out, and is
+    a NO-OP on any input that already scans in >= cores splits (the 100
+    TB layout) — the scale-adaptive form the guide requires instead of a
+    constant tuned to local mode.
+
+    Entries sharing a trained-state memo (`_bpe_state`, the pretrained
+    dictionary) must build their corpus through the SAME helper call
+    shape so the memoized plan hash stays aligned across the family.
+    """
+    from tafra_spark.functions.spread import spread_input
+
+    df = _read(spark, sf_dir, "documents")
+    if cols:
+        df = df.select(*cols)
+    return spread_input(df)
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events ``ts`` normalization across driver data generations: older
     generations stored TIMESTAMP(NANOS) (which Spark's vectorized reader
@@ -1167,14 +1191,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition signals (duplicate-token and top-token
     # fractions) as zero-shuffle per-row HOF folds; 10^4 fixed-point so
     # the hashes are engine-exact
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return P.repetition_stats(docs)
 
 
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk sequence packing into 512-token training bins,
     # deterministic doc_id order within each source partition
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return P.pack_sequences(docs, budget=512)
 
 
@@ -1242,7 +1266,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (gate bitmask, md5 fingerprint window, md5-slice minhash family,
     # band self-join, list_intersect Jaccard) and must agree on all five
     # aggregate columns.
-    docs = _read(spark, sf_dir, "documents")
+    # _spread_docs: the quality-gate stage (zero-shuffle, pre-dedup)
+    # fans out; the funnel's internal _spread barriers see the
+    # Repartition already in the plan and no-op (r12)
+    docs = _spread_docs(spark, sf_dir)
     return P.corpus_prep_summary(
         docs,
         min_tokens=20,
@@ -1821,7 +1848,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log-probability under the corpus's own unigram model
     from tafra_spark.functions.pipeline import unigram_logprob
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return unigram_logprob(docs)
 
 
@@ -1831,7 +1858,7 @@ def perplexity_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc-score window (the corpus never enters the sort)
     from tafra_spark.functions.pipeline import perplexity_buckets
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return perplexity_buckets(docs)
 
 
@@ -1852,6 +1879,11 @@ def nb_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier_train,
     )
 
+    # NO _spread_docs here (r12, measured): this query is aggregate-
+    # bound (hashed-feature explode -> shuffle), not per-row-regex
+    # bound — the round-robin exchange of the full text column cost
+    # +0.5s at equal proxy in the isolated A/B and buys nothing (the
+    # feature stream fans out at its own shuffle anyway).
     docs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
@@ -1873,6 +1905,11 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle re-derives both model fits and the selection rank
     from tafra_spark.functions.pipeline import dsir_importance
 
+    # NO _spread_docs here (r12, measured): this query is aggregate-
+    # bound (hashed-feature explode -> shuffle), not per-row-regex
+    # bound — the round-robin exchange of the full text column cost
+    # +0.5s at equal proxy in the isolated A/B and buys nothing (the
+    # feature stream fans out at its own shuffle anyway).
     docs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
@@ -1901,6 +1938,11 @@ def quality_threshold_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_threshold_sweep,
     )
 
+    # NO _spread_docs here (r12, measured): this query is aggregate-
+    # bound (hashed-feature explode -> shuffle), not per-row-regex
+    # bound — the round-robin exchange of the full text column cost
+    # +0.5s at equal proxy in the isolated A/B and buys nothing (the
+    # feature stream fans out at its own shuffle anyway).
     docs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
@@ -1921,7 +1963,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-term query, fixed-point contributions, exact integer ranking
     from tafra_spark.functions.text import bm25_topk
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return bm25_topk(docs, ["spark", "shuffle", "window"], k=10)
 
 
@@ -2236,7 +2278,7 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition filters: duplicate-word fraction +
     # top-bigram share per doc. n_words/n_distinct are narrow array
     # ops on the scan; only the bigram mode shuffles (doc-keyed).
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return TX.repetition_signals(docs)
 
 
@@ -2566,7 +2608,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has the measured flat per-round cost curve).
     from tafra_spark.functions.text import bpe_learn
 
-    docs = _read(spark, sf_dir, "documents")
+    # _spread_docs: the one-row-group local scan would run the corpus
+    # tokenize+explode of the single corpus pass serially (r12)
+    docs = _spread_docs(spark, sf_dir)
     return bpe_learn(docs, text_col="text", n_merges=64, batch=8)
 
 
@@ -2718,7 +2762,9 @@ def bpe_token_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # economics (tokens/word, chars/token)
     from tafra_spark.functions.text import bpe_token_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    # _spread_docs: same call shape as bpe_encode_docs_report /
+    # bpe_learn_merges so the _bpe_state memo key stays family-shared
+    docs = _spread_docs(spark, sf_dir)
     return bpe_token_stats(
         docs, text_col="text", n_merges=8, key_cols=("source",)
     )
@@ -2737,7 +2783,9 @@ def bpe_encode_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see pq_encode_codes).
     from tafra_spark.functions.text import bpe_encode_docs
 
-    docs = _read(spark, sf_dir, "documents")
+    # _spread_docs: same call shape as bpe_token_stats_report so the
+    # _bpe_state memo key stays family-shared
+    docs = _spread_docs(spark, sf_dir)
     out = bpe_encode_docs(
         docs, text_col="text", id_col="doc_id", n_merges=8
     )
@@ -2761,7 +2809,9 @@ def bpe_byte_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-fails. token_ids ride comma-joined (registry convention).
     from tafra_spark.functions.text import bpe_encode_bytes
 
-    docs = _read(spark, sf_dir, "documents").select(
+    # _spread_docs BELOW the decoration so the decorate+tokenize chain
+    # fans out of the 1-task scan stage (r12)
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text").select(
         "doc_id",
         F.expr(
             "text || ' ' || CASE doc_id % 5"
@@ -2806,7 +2856,13 @@ _PRETRAINED_DECO_EXPR = (
 
 
 def _pretrained_deco(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    # spread BELOW the decoration (r12): the whole pretrained family
+    # funnels through this one helper, so the corpus-side pretokenize/
+    # explode fans out of the 1-task scan AND the decorated-dictionary
+    # memo key stays identical across encode/pack/fertility/decode
+    from tafra_spark.functions.spread import spread_input
+
+    return spread_input(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_PRETRAINED_DECO_EXPR).alias("text")
     )
 
@@ -3018,7 +3074,8 @@ def tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tafra_spark.functions.pipeline import bucketed_prefix_sums
     from tafra_spark.functions.text import bpe_encode_bytes
 
-    docs = _read(spark, sf_dir, "documents")
+    # _spread_docs: fan the byte tokenize out of the 1-task scan (r12)
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text", "source")
     enc = bpe_encode_bytes(
         docs.select("doc_id", "text"), n_merges=8
     ).join(docs.select("doc_id", "source"), "doc_id")
@@ -3125,7 +3182,7 @@ def language_id_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected = F.when(
             F.col("doc_id") % n == i, F.lit(lang)
         ).otherwise(expected)
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread_docs(spark, sf_dir, "doc_id").select(
         "doc_id", snippet.alias("snip"), expected.alias("expected")
     )
     out = language_id_trigram(docs, text_col="snip")
@@ -3170,7 +3227,7 @@ def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected = F.when(
             F.col("doc_id") % nlang == i, F.lit(lang)
         ).otherwise(expected)
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text").select(
         "doc_id", "text", snippet.alias("snip"), expected.alias("expected")
     )
     staged = with_language_id_v2(
@@ -4049,10 +4106,8 @@ def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handling, heading distance, or fixed-point division, hash-fails.
     from tafra_spark.sources.http import justext_blocks
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "source", "text").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     esc = F.replace(
         F.replace(
@@ -4133,10 +4188,8 @@ def main_content_ml_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same stoplist table), the threshold CASE, and the rescue window.
     from tafra_spark.sources.http import justext_blocks
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "source", "text").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     esc = F.replace(
         F.replace(
@@ -4792,10 +4845,8 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_filter chain; the rebuilt c4_text itself is in the hash.
     from tafra_spark.functions.pipeline import c4_line_filter
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text", "source")
-        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text", "source").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     built = docs.select("doc_id", _c4_doc_text_spark().alias("text"))
     return c4_line_filter(built).select(
@@ -4836,10 +4887,8 @@ def html_block_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tafra_spark.functions.pipeline import c4_line_filter
     from tafra_spark.sources.http import html_to_text_blocks
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text").filter(
+        F.col("text").isNotNull()
     )
     ds = F.col("doc_id").cast("string")
     esc = F.replace(
@@ -5097,10 +5146,8 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical construction; every q4 signal and the verdict hash.
     from tafra_spark.functions.pipeline import gopher_quality_flags
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text").filter(
+        F.col("text").isNotNull()
     )
     d = F.col("doc_id")
     prose = (
@@ -5174,10 +5221,8 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rewritten text itself is hashed.
     from tafra_spark.functions.pipeline import line_dedup_rewrite
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text").filter(
+        F.col("text").isNotNull()
     )
     d = F.col("doc_id")
     ds = d.cast("string")

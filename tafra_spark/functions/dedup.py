@@ -61,21 +61,14 @@ def _spread(df: DataFrame) -> DataFrame:
     the *narrow* input (just ids + text) is far cheaper than running the
     shingle explosion serially. On a real multi-file 100 TB table the
     scan already yields thousands of partitions and this is a no-op.
+
+    r12: the shared implementation lives in :mod:`.spread` so the query
+    entries can wire the same pattern; this alias keeps every existing
+    dedup-internal call site and import working unchanged.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001
-        n_files = 0
-    if n_files >= target:
-        return df
-    if n_files == 0:
-        # non-file source: the partition count is authoritative — don't
-        # insert a shuffle for inputs that are already parallel
-        if df.rdd.getNumPartitions() >= target:
-            return df
-    return df.repartition(target)
+    from .spread import spread_input
+
+    return spread_input(df)
 
 
 # --------------------------------------------------------------------------- #
