@@ -2218,24 +2218,37 @@ def c4_line_filter(
     Scale: zero shuffle — one codegen/HOF projection per row; the
     corpus pays exactly its scan. Oracle: :func:`c4_line_filter_sql`
     emits the identical chain for DuckDB.
-    """
+
+    r12 (guide §1.2 "per-task work"): ``lines`` and ``kept`` are
+    STAGED as materialized columns — the naive withColumn chain
+    re-spelled the split+filter in out_col, n_lines, n_kept AND
+    c4_pass, so the plan ran the full per-line keep predicate three
+    times per row (visible as three copies in the physical Project).
+    Referenced >once and non-cheap, CollapseProject keeps the staging
+    boundary; each array is computed once."""
     text = F.col(text_col)
-    lines = F.split(text, "\n")
-    kept = F.filter(
-        lines, lambda ln: _c4_keep(ln, min_words, line_blocklist)
+    lines_c = F.col("__c4_lines__")
+    kept_c = F.col("__c4_kept__")
+    staged = df.select(
+        "*", F.split(text, "\n").alias("__c4_lines__")
+    ).select(
+        "*",
+        F.filter(
+            lines_c, lambda ln: _c4_keep(ln, min_words, line_blocklist)
+        ).alias("__c4_kept__"),
     )
-    n_kept = F.size(kept)
-    doc_ok = n_kept >= F.lit(min_lines)
+    doc_ok = F.size(kept_c) >= F.lit(min_lines)
     low = F.lower(text)
     for phrase in doc_blocklist:
         doc_ok = doc_ok & (F.instr(low, F.lit(phrase)) == 0)
     if brace_filter:
         doc_ok = doc_ok & (F.instr(text, F.lit("{")) == 0)
     return (
-        df.withColumn(out_col, F.array_join(kept, "\n"))
-        .withColumn("n_lines", F.size(lines).cast("long"))
-        .withColumn("n_kept", n_kept.cast("long"))
+        staged.withColumn(out_col, F.array_join(kept_c, "\n"))
+        .withColumn("n_lines", F.size(lines_c).cast("long"))
+        .withColumn("n_kept", F.size(kept_c).cast("long"))
         .withColumn("c4_pass", doc_ok)
+        .drop("__c4_lines__", "__c4_kept__")
     )
 
 
@@ -2321,13 +2334,27 @@ def gopher_quality_flags(
     codegen/HOF projection; every ratio is floor(x * 1e4 / y) on exact
     integers so the DuckDB mirror hashes identically.
     """
+    # r12 (guide §1.2 "per-task work"): words / lines / lowered words
+    # are STAGED as materialized columns — the withColumn chain below
+    # otherwise re-spells the filter(split(...)) expression into every
+    # signal (n_words, mean, symbol, alpha, 8× stop hits), so the plan
+    # re-split the document ~7 times per row. Referenced >once and
+    # non-cheap, CollapseProject keeps the staging boundary.
     text = F.col(text_col)
-    words = F.filter(F.split(text, _GOPHER_WS), lambda w: w != "")
+    df = df.select(
+        "*",
+        F.filter(F.split(text, _GOPHER_WS), lambda w: w != "").alias(
+            "__go_words__"
+        ),
+        F.split(text, "\n").alias("__go_lines__"),
+    ).select("*", F.transform(F.col("__go_words__"), F.lower).alias("__go_low__"))
+    words = F.col("__go_words__")
+    lines = F.col("__go_lines__")
+    low_words = F.col("__go_low__")
     n_words = F.size(words)
     char_sum = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
     )
-    lines = F.split(text, "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
     n_ellipsis = F.size(
@@ -2338,7 +2365,6 @@ def gopher_quality_flags(
     n_dots = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / F.lit(3)
-    low_words = F.transform(words, F.lower)
     stop_hits = None
     for s in GOPHER_STOPWORDS:
         hit = F.array_contains(low_words, s).cast("int")
@@ -2378,7 +2404,9 @@ def gopher_quality_flags(
         & (F.col("alpha_frac_q4") >= min_alpha_frac_q4)
         & (F.col("stop_hits") >= min_stop_hits)
     )
-    return out.withColumn("gopher_pass", ok)
+    return out.withColumn("gopher_pass", ok).drop(
+        "__go_words__", "__go_lines__", "__go_low__"
+    )
 
 
 def gopher_quality_sql(
@@ -2475,14 +2503,33 @@ def line_dedup_rewrite(
     yields — documents beyond that should be chunked first). Oracle:
     :func:`line_dedup_sql` emits the identical DuckDB chain
     (list_position under an indexed lambda, 1-based both sides after
-    index adjustment)."""
-    text = F.col(text_col)
-    lines = F.split(text, "\n")
-    kept = F.filter(
-        lines, lambda ln, i: F.array_position(lines, ln) == i + 1
+    index adjustment).
+
+    r12 (guide §1.2 "per-task work"): the split array and the kept
+    array are STAGED as materialized columns. The naive form re-spells
+    ``split(text)`` inside the lambda body and in every consumer, and
+    HOF lambdas evaluate their subexpressions per ELEMENT outside
+    codegen CSE — each line paid a full re-split of the document
+    (O(lines² · doc_len)). Referenced >once and non-cheap,
+    CollapseProject keeps the staging boundary, so the split runs once
+    per row and ``array_position`` probes the materialized array."""
+    lines_c = F.col("__ld_lines__")
+    kept_c = F.col("__ld_kept__")
+    staged = df.select(
+        "*", F.split(F.col(text_col), "\n").alias("__ld_lines__")
+    ).select(
+        "*",
+        F.filter(
+            lines_c,
+            lambda ln, i: F.array_position(lines_c, ln) == i + 1,
+        ).alias("__ld_kept__"),
     )
-    return df.withColumn(out_col, F.array_join(kept, "\n")).withColumn(
-        "n_dup_lines", (F.size(lines) - F.size(kept)).cast("long")
+    return (
+        staged.withColumn(out_col, F.array_join(kept_c, "\n"))
+        .withColumn(
+            "n_dup_lines", (F.size(lines_c) - F.size(kept_c)).cast("long")
+        )
+        .drop("__ld_lines__", "__ld_kept__")
     )
 
 

@@ -991,12 +991,18 @@ def repetition_signals(
         ),
         _mode_step,
     )
+    # r12: stage the fold ONCE as a struct column — mode["best"] and
+    # mode["bestn"] each re-instantiate the whole sort+fold expression,
+    # so the unstaged form ran the bigram sort and the run-length fold
+    # twice per row (guide §1.2 "per-task work")
     out = base.select(
+        F.col(id_col), "n_words", "n_distinct", mode.alias("__mode__")
+    ).select(
         F.col(id_col),
         "n_words",
         "n_distinct",
-        mode["best"].alias("top_bigram"),
-        mode["bestn"].alias("top_bigram_n"),
+        F.col("__mode__")["best"].alias("top_bigram"),
+        F.col("__mode__")["bestn"].alias("top_bigram_n"),
     )
     n_bigrams = F.col("n_words") - F.lit(1)
     return out.select(

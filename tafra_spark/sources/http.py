@@ -996,13 +996,22 @@ def justext_blocks(
     )
     # case fold hoisted to ONE whole-string codegen translate (the
     # _v2_toks lesson): the fold touches no space, so the split and
-    # the word count are unchanged
-    low_words = F.filter(
-        F.split(
-            F.translate(F.col("blk_text"), _AZ_UP_HTTP, _AZ_LO_HTTP), " "
+    # the word count are unchanged. r12: the lowered word array is
+    # STAGED as a materialized column — it feeds both the stop count
+    # and n_words (and under lang_col a third reference), and the
+    # naive form re-ran translate+split+filter once per consumer
+    # (guide §1.2 "per-task work").
+    m = m.withColumn(
+        "__low_words__",
+        F.filter(
+            F.split(
+                F.translate(F.col("blk_text"), _AZ_UP_HTTP, _AZ_LO_HTTP),
+                " ",
+            ),
+            lambda w: w != "",
         ),
-        lambda w: w != "",
     )
+    low_words = F.col("__low_words__")
     if lang_col:
         stop_map = F.map_from_arrays(
             F.array(*[F.lit(l) for l in JUSTEXT_STOPLISTS]),
