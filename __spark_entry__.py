@@ -1889,6 +1889,14 @@ def nb_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
         .select("doc_id", "source", "text")
     )
+    # r12, examined and REJECTED (both variants measured slower at
+    # equal proxy): (a) sharing one persisted (id, label, term) stream
+    # between train and score, and (b) persisting the vocabulary-sized
+    # model counts. The model subtree's static-plan duplication is
+    # already deduped at runtime by exchange reuse (every consumer
+    # sits behind the same token-count Exchange), so either persist
+    # just replaces a free ReusedExchange with a cache-materialization
+    # barrier. See quality_classifier_train's docstring.
     labeled = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
         "label",
         F.col("source").isin(*_NB_CURATED_SOURCES).cast("int"),
@@ -1915,12 +1923,22 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
         .select("doc_id", "source", "text")
     )
-    target = docs.filter(
-        (F.col("doc_id") % 5 != 0)
-        & F.col("source").isin(*_NB_CURATED_SOURCES)
+    # r12 (guide §2.1): the target seed is a SUBSET of the corpus, so
+    # the membership predicate rides the ONE hashed feature stream as a
+    # boolean flag instead of a second tokenize+hash pass over a second
+    # DataFrame — both models come out of one bucket aggregate and the
+    # full-outer model join disappears (identical counts by
+    # construction; see dsir_importance(target_flag=...)).
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        (
+            (F.col("doc_id") % 5 != 0)
+            & F.col("source").isin(*_NB_CURATED_SOURCES)
+        ).alias("__is_tgt__"),
     )
     return dsir_importance(
-        docs.select("doc_id", "text"), target, n_buckets=10_000, k=100
+        flagged, None, n_buckets=10_000, k=100, target_flag="__is_tgt__"
     )
 
 

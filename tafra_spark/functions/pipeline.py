@@ -573,6 +573,17 @@ def quality_classifier_train(
     class counts as conditional sums in the same aggregate + a one-row
     totals broadcast. Returns the model relation
     (term, c1, c0, log_odds_q6) — vocabulary-sized, reusable.
+
+    r12, examined and left UNPERSISTED deliberately: the model's
+    several consumers (totals here, the scoring join and the
+    unseen-odds aggregate in :func:`quality_classifier_score`) all
+    re-derive this subtree in the STATIC plan, but every one of them
+    sits behind the same ``Exchange`` — Spark's runtime exchange reuse
+    already computes the token count once and serves all consumers
+    from it. Persisting the counts (and separately, sharing one
+    persisted token stream between train and score) both measured
+    SLOWER at equal proxy: the cache materialization barrier replaces
+    a free ReusedExchange.
     """
     tok = labeled.filter(
         F.length(F.trim(F.col(text_col))) > 0
@@ -669,15 +680,24 @@ def quality_classifier_score(
 
 
 def _dsir_features(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """The DSIR hashed feature stream: unigrams + positional bigrams of
     the lower-cased whitespace tokens, each hashed into ``n_buckets``
     via the portable md5-60bit family (occurrence counting — a repeated
-    feature contributes each time, per the paper's bag-of-ngrams)."""
+    feature contributes each time, per the paper's bag-of-ngrams).
+
+    ``flag_col`` (r12) rides a boolean through the explode so one
+    stream can serve both the raw and the target model when the target
+    is a subset of ``df`` (see :func:`dsir_importance`)."""
     toks = word_tokens(F.lower(F.col(text_col)))
+    extra = [F.col(flag_col)] if flag_col is not None else []
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), toks.alias("__t__")
+        F.col(id_col), *extra, toks.alias("__t__")
     )
     t = F.col("__t__")
     n = F.size(t)
@@ -697,17 +717,18 @@ def _dsir_features(
         F.lit(n_buckets),
     )
     return base.select(
-        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("__f__")
-    ).select(F.col(id_col), bucket.alias("bucket"))
+        F.col(id_col), *extra, F.explode(F.concat(t, bigrams)).alias("__f__")
+    ).select(F.col(id_col), *extra, bucket.alias("bucket"))
 
 
 def dsir_importance(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     k: int | None = None,
+    target_flag: str | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al.
     2023): score every raw document by the log importance ratio
@@ -722,39 +743,65 @@ def dsir_importance(
     Both models share one smoothing/fixed-point discipline with the NB
     filter: per-bucket add-one log-ratios, ``ln()`` of exact rationals
     quantized to q6, so document scores are order-independent integer
-    sums and the oracle re-derives the ENTIRE fit. Plan: two hashed
-    feature streams (raw corpus + target seed), one bucket-count
-    aggregate each, a full-outer join on the ≤``n_buckets`` model
-    relation, then the weights BROADCAST back onto the raw stream for
-    one per-doc aggregate; selection is a distributed TakeOrdered
-    (sort+limit) of the per-doc SCORE relation joined back broadcast —
-    no global window, the corpus never single-partitions. Returns
+    sums and the oracle re-derives the ENTIRE fit. Plan: hashed
+    feature stream(s), one bucket-count aggregate per model, then the
+    weights BROADCAST back onto the raw stream for one per-doc
+    aggregate; selection is a distributed TakeOrdered (sort+limit) of
+    the per-doc SCORE relation joined back broadcast — no global
+    window, the corpus never single-partitions. Returns
     (id, n_feats, importance_q6[, selected]).
+
+    ``target_flag`` (r12, guide §2.1 "remove shuffles outright"): when
+    the target seed is a SUBSET of ``df`` (the common curated-sources
+    case), pass the membership predicate as a boolean column of ``df``
+    instead of a second DataFrame — the corpus is tokenized+hashed
+    ONCE with the flag riding the stream, both models come out of ONE
+    bucket aggregate as conditional sums, and the full-outer model
+    join disappears. Identical counts by construction (every flagged
+    feature is exactly a target-stream feature).
     """
-    # the raw feature stream feeds THREE consumers (the raw model
-    # counts, the scoring join, and — indirectly — nothing else, but
-    # without a persist each reads it as a fresh explode+md5 pass over
-    # the corpus; measured 14.7 s → the stream is the dominant cost at
-    # sf1). Registered with the bounded pin LRU (the
-    # bucketed_prefix_sums discipline) so it cannot outlive its use.
-    raw_f = _memo.track_persist(
-        _dsir_features(df, text_col, id_col, n_buckets).persist()
-    )
-    tgt_f = _dsir_features(target, text_col, id_col, n_buckets)
-    ct = tgt_f.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("__ct__")
-    )
-    cr = raw_f.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("__cr__")
-    )
-    m = (
-        ct.join(cr, on="bucket", how="full_outer")
-        .select(
-            "bucket",
-            F.coalesce(F.col("__ct__"), F.lit(0)).alias("__ct__"),
-            F.coalesce(F.col("__cr__"), F.lit(0)).alias("__cr__"),
+    # the raw feature stream feeds multiple consumers (the model
+    # counts and the scoring join; without a persist each reads it as
+    # a fresh explode+md5 pass over the corpus; measured 14.7 s → the
+    # stream is the dominant cost at sf1). Registered with the bounded
+    # pin LRU (the bucketed_prefix_sums discipline) so it cannot
+    # outlive its use.
+    if target_flag is not None:
+        raw_f = _memo.track_persist(
+            _dsir_features(
+                df, text_col, id_col, n_buckets, flag_col=target_flag
+            ).persist()
         )
-    )
+        m = raw_f.groupBy("bucket").agg(
+            F.sum(F.col(target_flag).cast("long"))
+            .cast("long")
+            .alias("__ct__"),
+            F.count(F.lit(1)).cast("long").alias("__cr__"),
+        )
+    else:
+        raw_f = _memo.track_persist(
+            _dsir_features(df, text_col, id_col, n_buckets).persist()
+        )
+        tgt_f = _dsir_features(target, text_col, id_col, n_buckets)
+        ct = tgt_f.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("__ct__")
+        )
+        cr = raw_f.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("__cr__")
+        )
+        m = (
+            ct.join(cr, on="bucket", how="full_outer")
+            .select(
+                "bucket",
+                F.coalesce(F.col("__ct__"), F.lit(0)).alias("__ct__"),
+                F.coalesce(F.col("__cr__"), F.lit(0)).alias("__cr__"),
+            )
+        )
+    # the ≤n_buckets model relation feeds BOTH the totals aggregate and
+    # the weight projection — unpersisted, Catalyst re-derived the whole
+    # model subtree (including the target stream) once per consumer
+    # (r12 plan finding: the before-plan carried the feature scan 4×)
+    m = _memo.track_persist(m.persist())
     totals = m.agg(
         F.sum("__ct__").alias("__Nt__"), F.sum("__cr__").alias("__Nr__")
     )
@@ -777,7 +824,8 @@ def dsir_importance(
         "bucket", w_q6.alias("__w__")
     )
     scored = (
-        raw_f.join(F.broadcast(weights), on="bucket")
+        raw_f.select(id_col, "bucket")
+        .join(F.broadcast(weights), on="bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
@@ -786,6 +834,10 @@ def dsir_importance(
     )
     if k is None:
         return scored
+    # scored feeds the top-k subquery AND the final join — persist the
+    # narrow per-doc relation so the explode+join+aggregate pipeline
+    # runs once, not once per reference (r12 plan finding)
+    scored = _memo.track_persist(scored.persist())
     top = (
         scored.orderBy(F.col("importance_q6").desc(), F.col(id_col))
         .limit(k)
@@ -1597,6 +1649,11 @@ def source_overlap(
                 ),
             )
         )
+        # the ≤2^|S|-row histogram feeds per-source totals (referenced
+        # twice by the final join) AND the pair expansion — unpersisted,
+        # the before-plan ran the corpus-sized shingle→mask aggregate
+        # THREE times (r12 plan finding). Bounded pin LRU.
+        hist = _memo.track_persist(hist.persist())
         per = (
             hist.select(F.explode("srcs").alias("src"), "c")
             .groupBy("src")
@@ -1620,6 +1677,10 @@ def source_overlap(
             .groupBy("h")
             .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
         )
+        # same three-consumer shape as the bitmask path's histogram —
+        # persist the per-hash relation so the shingle aggregate runs
+        # once (corpus-sized here, hence MEMORY_AND_DISK via persist())
+        by_h = _memo.track_persist(by_h.persist())
         per = (
             by_h.select(F.explode("srcs").alias("src"))
             .groupBy("src")
@@ -1868,12 +1929,21 @@ def unigram_logprob(
     so callers don't pay a join-back against the corpus.
     """
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    tok = base.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    # r12 (guide §2.1): the token stream feeds the model aggregate AND
+    # the scoring join, and the one-row total re-derives the model —
+    # unpersisted, the before-plan tokenized the corpus THREE times.
+    # Persist the stream and the vocabulary-sized count relation
+    # through the bounded pin LRU; every consumer reads the cache.
+    tok = _memo.track_persist(
+        base.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+        ).persist()
     )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c__"))
+    counts = _memo.track_persist(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c__")).persist()
+    )
     total = counts.agg(F.sum("__c__").alias("__N__"))
     contrib = F.floor(
         F.log(F.col("__c__").cast("double") / F.col("__N__").cast("double"))
