@@ -5858,24 +5858,30 @@ _R12_WINDOW = [
     "language_id_v2_docs",
     "tokenize_pack_docs",
     "pack_training_sequences",
-    # (4) the round-7 cohort (28 of 44, alphabetical)
+    # (4) r12 optimization-touched rows (spread fan-out, per-row array
+    # staging, subtree dedup/persist, in-row BM25/MAD/bitmask rewrites)
+    # — changed code is always re-verified in the round that changed it
+    "bm25_search_topk",
+    "bpe_byte_encode_docs",
+    "bpe_encode_docs",
+    "bpe_learn_merges",
+    "bpe_token_stats",
+    "c4_line_filter_docs",
+    "cc_refined_pipeline",
+    "dup_span_fraction",
+    "gopher_quality_docs",
+    "html_block_line_quality",
+    "line_dedup_docs",
+    "mad_outlier_profile",
+    "repetition_signals",
+    "source_overlap_matrix",
+    "unigram_logprob_quality",
+    # (5) the round-7 cohort (2 of 44, alphabetical; the optimization
+    # round's changed-code set displaced the rest — the remaining 42
+    # r7 rows are the head of the r13 window, same discipline as the
+    # r6 debt cleared in (1) above)
     "agg_stats",
     "ann_recall_eval",
-    "anti_join_not_exists",
-    "chunk_sliding_windows",
-    "corpus_prep_pipeline",
-    "decontaminate_overlap",
-    "doc_repetition_stats",
-    "embedding_centroid_assign",
-    "embedding_cosine_topk",
-    "embedding_lsh_ann",
-    "embedding_near_dups",
-    "event_rate_spikes",
-    "event_transition_matrix",
-    "exact_dedup_groups",
-    "funnel_click_view_purchase",
-    "hll_distinct_users",
-    "incremental_dedup_batch",
 ]
 
 # r11 window kept for provenance (CORRECTNESS_r11 keys):
