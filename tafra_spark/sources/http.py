@@ -1866,13 +1866,22 @@ def url_blocklist_flags(
         bl = blocked.select(
             F.col("pattern").cast("string").alias("pattern"),
             F.col("category").cast("string").alias("category"),
-        )
+        ).groupBy("pattern").agg(F.min("category").alias("category"))
     else:
-        rows = [
-            b if isinstance(b, tuple) else (b, "blocked") for b in blocked
-        ]
-        bl = spark.createDataFrame(rows, "pattern string, category string")
-    bl = bl.groupBy("pattern").agg(F.min("category").alias("category"))
+        # r12: a literal list is already driver-resident, so the
+        # pattern→min(category) dedup happens in Python — the
+        # relational form paid a Sort+SortAggregate+Exchange chain
+        # TWICE (once per join granularity) just to dedup a bounded
+        # literal. The DataFrame shape (production: UT1's ~4M-entry
+        # relation) keeps the relational dedup above.
+        best: dict[str, str] = {}
+        for b in blocked:
+            p, c = b if isinstance(b, tuple) else (b, "blocked")
+            if p not in best or c < best[p]:
+                best[p] = c
+        bl = spark.createDataFrame(
+            sorted(best.items()), "pattern string, category string"
+        )
     base = df.withColumn(
         "url_host", url_host(F.col(url_col))
     ).withColumn("url_domain", url_registered_domain(F.col(url_col)))
