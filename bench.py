@@ -210,6 +210,22 @@ def main() -> None:
             chars, F.lit(0).cast("long"), lambda a, c: a + F.length(c)
         ).alias("s"),
     ).count()
+    # the Arrow Python worker pool (r12, guide §1.4): the first
+    # mapInPandas stage in a session forks one Python worker per core
+    # and imports pandas in each — measured ~6 s on local[32], a
+    # session-wide cost that landed inside whichever Python-stage
+    # query happened to run first (the r11 "burst band" on
+    # cc_refined/main_content was partly this). One trivial
+    # full-parallelism Arrow stage starts the pool here, the same way
+    # the JVM warms above; each query's own codegen/JIT still stays
+    # in its numbers.
+    def _warm_arrow(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(
+        0, 256, 1, spark.sparkContext.defaultParallelism
+    ).mapInPandas(_warm_arrow, "id long").count()
 
     # best-of-REPS per query: single-shot numbers at this scale are
     # dominated by JIT/GC noise (2-3x spikes observed run to run); the
