@@ -1649,11 +1649,18 @@ def source_overlap(
                 ),
             )
         )
-        # the ≤2^|S|-row histogram feeds per-source totals (referenced
-        # twice by the final join) AND the pair expansion — unpersisted,
-        # the before-plan ran the corpus-sized shingle→mask aggregate
-        # THREE times (r12 plan finding). Bounded pin LRU.
-        hist = _memo.track_persist(hist.persist())
+        # r13: the histogram is NOT persisted. Every consumer (the two
+        # per-source total builds and the pair expansion) sits behind
+        # the SAME groupBy(h)→groupBy(m) exchange pair, so runtime
+        # ReusedExchange already computes the corpus-sized aggregate
+        # once; the r12 persist added a materialization BARRIER (build
+        # the cache as its own serial job before any consumer starts)
+        # that the driver's r12 ground truth measured as a 0.38→1.32 s
+        # 32-core regression with ANTI-scaling (faster at 8 cores) —
+        # the exact failure mode r12 measured and rejected for
+        # nb_quality_score_docs. Same-lesson removal, A/B'd cold at 32
+        # cores this round (3.16 s → measured after-number in
+        # OPTIMIZATION_r13.md).
         per = (
             hist.select(F.explode("srcs").alias("src"), "c")
             .groupBy("src")
@@ -1677,10 +1684,10 @@ def source_overlap(
             .groupBy("h")
             .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
         )
-        # same three-consumer shape as the bitmask path's histogram —
-        # persist the per-hash relation so the shingle aggregate runs
-        # once (corpus-sized here, hence MEMORY_AND_DISK via persist())
-        by_h = _memo.track_persist(by_h.persist())
+        # r13: unpersisted for the same reason as the bitmask path —
+        # all three consumers read the groupBy(h) exchange, which
+        # runtime ReusedExchange serves from one computation; a persist
+        # here is a materialization barrier, not a saving.
         per = (
             by_h.select(F.explode("srcs").alias("src"))
             .groupBy("src")
