@@ -2407,83 +2407,129 @@ def gopher_quality_flags(
     Defaults and boundary semantics are the paper's (a document AT a
     bound is kept): 50–100k words, mean word length 3–10, symbol
     ratio <= 0.1, <= 90% bullet lines, <= 30% ellipsis lines,
-    >= 80% alphabetic words, >= 2 stop words. Zero shuffle — one
-    codegen/HOF projection; every ratio is floor(x * 1e4 / y) on exact
-    integers so the DuckDB mirror hashes identically.
+    >= 80% alphabetic words, >= 2 stop words. Zero shuffle — ONE
+    Arrow ``mapInPandas`` stage (r13, guide §4.2): the r12 fused
+    HOF/regex projection was plan-sound but its generated class was
+    the single most expensive cold compile in the driver's bench
+    (7.5 s first execution, no 8→32-core scaling — the cost was
+    Catalyst+codegen+JIT, not data). The whole signal battery now
+    runs as vectorized per-batch Python; every ratio is
+    floor(x * 1e4 / y) on exact integers/IEEE doubles in the same
+    operation order, so the DuckDB mirror hashes identically.
     """
-    # r12 (guide §1.2 "per-task work"): words / lines / lowered words
-    # are STAGED as materialized columns — the withColumn chain below
-    # otherwise re-spells the filter(split(...)) expression into every
-    # signal (n_words, mean, symbol, alpha, 8× stop hits), so the plan
-    # re-split the document ~7 times per row. Referenced >once and
-    # non-cheap, CollapseProject keeps the staging boundary.
-    text = F.col(text_col)
-    df = df.select(
-        "*",
-        F.filter(F.split(text, _GOPHER_WS), lambda w: w != "").alias(
-            "__go_words__"
-        ),
-        F.split(text, "\n").alias("__go_lines__"),
-    ).select("*", F.transform(F.col("__go_words__"), F.lower).alias("__go_low__"))
-    words = F.col("__go_words__")
-    lines = F.col("__go_lines__")
-    low_words = F.col("__go_low__")
-    n_words = F.size(words)
-    char_sum = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    import math
+    import re as _re
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
     )
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
-    n_ellipsis = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\z"))
+
+    new_cols = (
+        "n_words", "mean_word_len_q4", "symbol_ratio_q4",
+        "bullet_frac_q4", "ellipsis_frac_q4", "alpha_frac_q4",
+        "stop_hits", "gopher_pass",
     )
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_dots = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    stop_hits = None
-    for s in GOPHER_STOPWORDS:
-        hit = F.array_contains(low_words, s).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    for c in new_cols:
+        if c in df.columns:
+            raise ValueError(
+                f"gopher_quality_flags: input already has column {c!r}"
+            )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, LongType(), True) for c in new_cols[:-1]]
+        + [StructField("gopher_pass", BooleanType(), True)]
+    )
+    ws_rx = _re.compile(_GOPHER_WS)
+    alpha_rx = _re.compile(r"[A-Za-z]")
+    stops = GOPHER_STOPWORDS
+    # a stopword is <= 4 chars and Unicode lowercasing never shortens a
+    # string, so only words of <= max_stop_len can lower-compare equal
+    max_stop_len = max(len(s) for s in stops)
 
     def _q4(num, den):
-        # int32 F.size counts * 10000 overflow (ANSI abort) at ~214k
-        # lines/words — book-length pages are in-domain inputs. The
-        # double path is exact here (counts < 2^31, *1e4 < 2^45 < 2^53)
-        # and matches DuckDB's BIGINT->double division bit for bit.
-        return (
-            F.when(
-                den > 0,
-                F.floor(num.cast("double") * F.lit(10_000.0) / den),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
+        # exact mirror of the r9-r12 JVM expression: counts < 2^31,
+        # num*1e4 < 2^45 < 2^53, single IEEE multiply-then-divide —
+        # bit-identical to DuckDB's BIGINT->double division
+        return math.floor(num * 10_000.0 / den) if den > 0 else 0
 
-    out = (
-        df.withColumn("n_words", n_words.cast("long"))
-        .withColumn("mean_word_len_q4", _q4(char_sum, n_words))
-        .withColumn("symbol_ratio_q4", _q4(n_hash + n_dots, n_words))
-        .withColumn("bullet_frac_q4", _q4(n_bullet, n_lines))
-        .withColumn("ellipsis_frac_q4", _q4(n_ellipsis, n_lines))
-        .withColumn("alpha_frac_q4", _q4(n_alpha, n_words))
-        .withColumn("stop_hits", stop_hits.cast("long"))
-    )
-    ok = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len_q4") >= min_mean_word_len_q4)
-        & (F.col("mean_word_len_q4") <= max_mean_word_len_q4)
-        & (F.col("symbol_ratio_q4") <= max_symbol_ratio_q4)
-        & (F.col("bullet_frac_q4") <= max_bullet_frac_q4)
-        & (F.col("ellipsis_frac_q4") <= max_ellipsis_frac_q4)
-        & (F.col("alpha_frac_q4") >= min_alpha_frac_q4)
-        & (F.col("stop_hits") >= min_stop_hits)
-    )
-    return out.withColumn("gopher_pass", ok).drop(
-        "__go_words__", "__go_lines__", "__go_low__"
-    )
+    def _signals(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            nw_c = [None] * n
+            mean_c = [0] * n
+            sym_c = [0] * n
+            bul_c = [0] * n
+            ell_c = [0] * n
+            alp_c = [0] * n
+            stop_c = [None] * n
+            pass_c = [False] * n
+            for i, t in enumerate(pdf[text_col]):
+                if t is None:
+                    # null text: every array signal is null; each _q4's
+                    # WHEN(null > 0) falls to the 0 branch; gopher_pass
+                    # short-circuits False on mean >= min — the exact
+                    # null semantics of the former column expressions
+                    continue
+                words = [w for w in ws_rx.split(t) if w]
+                lines = t.split("\n")
+                n_words = len(words)
+                n_lines = len(lines)
+                char_sum = sum(map(len, words))
+                n_bullet = sum(
+                    1 for ln in lines if ln and ln[0] in "-*•"
+                )
+                n_ellipsis = sum(
+                    1
+                    for ln in lines
+                    if ln.endswith("...") or ln.endswith("…")
+                )
+                n_alpha = sum(1 for w in words if alpha_rx.search(w))
+                n_hash = len(t) - len(t.replace("#", ""))
+                n_dots = (len(t) - len(t.replace("...", ""))) / 3
+                low = {
+                    w.lower() for w in words if len(w) <= max_stop_len
+                }
+                stop_hits = sum(1 for s in stops if s in low)
+                mean_q4 = _q4(float(char_sum), n_words)
+                sym_q4 = _q4(n_hash + n_dots, n_words)
+                bul_q4 = _q4(n_bullet, n_lines)
+                ell_q4 = _q4(n_ellipsis, n_lines)
+                alp_q4 = _q4(n_alpha, n_words)
+                nw_c[i] = n_words
+                mean_c[i] = mean_q4
+                sym_c[i] = sym_q4
+                bul_c[i] = bul_q4
+                ell_c[i] = ell_q4
+                alp_c[i] = alp_q4
+                stop_c[i] = stop_hits
+                pass_c[i] = (
+                    min_words <= n_words <= max_words
+                    and min_mean_word_len_q4
+                    <= mean_q4
+                    <= max_mean_word_len_q4
+                    and sym_q4 <= max_symbol_ratio_q4
+                    and bul_q4 <= max_bullet_frac_q4
+                    and ell_q4 <= max_ellipsis_frac_q4
+                    and alp_q4 >= min_alpha_frac_q4
+                    and stop_hits >= min_stop_hits
+                )
+            out = pdf.copy()
+            out["n_words"] = pd.array(nw_c, dtype="Int64")
+            out["mean_word_len_q4"] = pd.array(mean_c, dtype="Int64")
+            out["symbol_ratio_q4"] = pd.array(sym_c, dtype="Int64")
+            out["bullet_frac_q4"] = pd.array(bul_c, dtype="Int64")
+            out["ellipsis_frac_q4"] = pd.array(ell_c, dtype="Int64")
+            out["alpha_frac_q4"] = pd.array(alp_c, dtype="Int64")
+            out["stop_hits"] = pd.array(stop_c, dtype="Int64")
+            out["gopher_pass"] = pass_c
+            yield out
+
+    return df.mapInPandas(_signals, out_schema)
 
 
 def gopher_quality_sql(
