@@ -2873,15 +2873,18 @@ _PRETRAINED_DECO_EXPR = (
 )
 
 
-def _pretrained_deco(docs: DataFrame) -> DataFrame:
+def _pretrained_deco(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     # spread BELOW the decoration (r12): the whole pretrained family
-    # funnels through this one helper, so the corpus-side pretokenize/
-    # explode fans out of the 1-task scan AND the decorated-dictionary
-    # memo key stays identical across encode/pack/fertility/decode
+    # funnels through this one helper so the corpus-side pretokenize
+    # fans out of the 1-task scan. ``keep`` (r13) carries extra columns
+    # through the spread so pack/fertility can ride encode's keep_cols
+    # instead of re-joining the corpus for them — the r13 encode is one
+    # zero-shuffle Arrow stage, so a downstream join would be the
+    # composition's ONLY exchange pair.
     from tafra_spark.functions.spread import spread_input
 
-    return spread_input(docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(_PRETRAINED_DECO_EXPR).alias("text")
+    return spread_input(docs.select("doc_id", "text", *keep)).select(
+        "doc_id", *keep, F.expr(_PRETRAINED_DECO_EXPR).alias("text")
     )
 
 
@@ -2928,9 +2931,12 @@ def pretrained_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tafra_spark.functions.tokenizer import bpe_encode_pretrained
 
     docs = _read(spark, sf_dir, "documents")
-    deco = _pretrained_deco(docs)
-    enc = bpe_encode_pretrained(deco, _fixture_tokenizer()).join(
-        docs.select("doc_id", "source"), "doc_id"
+    # r13: source rides encode's keep_cols — the encode stage is now
+    # zero-shuffle, so the former corpus re-join for source would have
+    # been the composition's only extra exchange pair
+    deco = _pretrained_deco(docs, keep=("source",))
+    enc = bpe_encode_pretrained(
+        deco, _fixture_tokenizer(), keep_cols=("source",)
     )
     cum = bucketed_prefix_sums(
         enc.select("source", "doc_id", "n_tokens", "token_ids"),
@@ -2976,9 +2982,12 @@ def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
+    # r13: source rides encode's keep_cols (see pretrained_pack_docs)
     enc = bpe_encode_pretrained(
-        _pretrained_deco(docs), _fixture_tokenizer()
-    ).join(docs.select("doc_id", "source"), "doc_id")
+        _pretrained_deco(docs, keep=("source",)),
+        _fixture_tokenizer(),
+        keep_cols=("source",),
+    )
     return tokenizer_fertility(enc, strata_col="source")
 
 

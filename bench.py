@@ -411,6 +411,17 @@ def main() -> None:
         )
         if k in out
     }
+    # r13 (VERDICT r12 item 3 — restore round-over-round per-query
+    # comparability): the driver captures a bounded TAIL of stdout, and
+    # the full line above (queries + proxy_queries + every aux field)
+    # overflows it, so its HEAD — including the "queries" map — was
+    # truncated and PERF_r12 came back with per_query: {} / n_common: 0.
+    # The tail-safe LAST line now carries the per-query map too
+    # (~2.5 KB for 80 rows, well inside the observed ≥3.5 KB capture),
+    # with the full payload still first on stdout and in the sidecar.
+    # Measurement methodology is unchanged — this only changes which
+    # fields survive the driver's tail capture.
+    compact["queries"] = timings
     print(json.dumps(compact))
 
 

@@ -186,27 +186,26 @@ def dup_span_rewrite(
         F.col("sp.start").alias("__start__"),
         _ngram_hash(F.col("sp.s")).alias("h"),
     )
-    # one aggregate yields keeper AND every non-keeper occurrence: the
-    # per-hash occurrence list is bounded by that span's duplication
-    # count — the same bound the old span→keeper join's fan-out had
+    # r13 (advice, skew): the r12 form collect_list()ed every (id,
+    # start) occurrence of a span hash into ONE group — a hot
+    # boilerplate span duplicated across millions of documents is
+    # unbounded single-group state (plus a giant exploded row). The
+    # keeper aggregate is now BOUNDED per hash (two longs, map-side
+    # combined), and non-keeper occurrences come from joining the span
+    # stream back against it on ``h`` — the probe side's
+    # hash-partitioning is the SAME exchange the aggregate consumes
+    # (identical subtree over the persisted token table), so runtime
+    # ReusedExchange serves both from one shuffle; per-id start lists
+    # stay bounded by a document's own span count, as before.
     per_h = span_rows.groupBy("h").agg(
         F.min(id_col).alias("__keep__"),
         (F.min(id_col) != F.max(id_col)).alias("__x__"),
-        F.collect_list(
-            F.struct(F.col(id_col).alias("i"), F.col("__start__").alias("s"))
-        ).alias("__occ__"),
     )
     dup_starts = (
-        per_h.filter(F.col("__x__"))
-        .select(
-            F.explode(
-                F.filter(
-                    F.col("__occ__"), lambda o: o["i"] != F.col("__keep__")
-                )
-            ).alias("o")
-        )
-        .groupBy(F.col("o.i").alias(id_col))
-        .agg(F.collect_list("o.s").alias("__starts__"))
+        span_rows.join(per_h.filter(F.col("__x__")), "h")
+        .filter(F.col(id_col) != F.col("__keep__"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__start__").alias("__starts__"))
     )
     return (
         base.join(dup_starts, on=id_col, how="left")
@@ -760,6 +759,10 @@ def dsir_importance(
     join disappears. Identical counts by construction (every flagged
     feature is exactly a target-stream feature).
     """
+    if target is None and target_flag is None:
+        # r13 (advice): without this, the None target crashes deep in
+        # _dsir_features with an opaque AttributeError
+        raise ValueError("dsir_importance: provide target or target_flag")
     # the raw feature stream feeds multiple consumers (the model
     # counts and the scoring join; without a persist each reads it as
     # a fresh explode+md5 pass over the corpus; measured 14.7 s → the

@@ -49,8 +49,17 @@ def spread_input(df: DataFrame, target: int | None = None) -> DataFrame:
         # already fanned out — a second round-robin exchange on top
         # would be pure shuffle cost. ``inputFiles()`` alone cannot see
         # this (it reports the underlying scan's files through any
-        # number of exchanges).
-        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        # number of exchanges). The match is LINE-ANCHORED on the
+        # analyzed plan's operator lines (r13, advice): a raw substring
+        # test also fired on a string LITERAL containing the word
+        # (silently disabling the fan-out for a 1-split scan — a
+        # perf-only false negative that is hard to diagnose). Operator
+        # names start a line after the tree-drawing prefix; literals
+        # only ever appear inside an operator's argument list.
+        import re as _re
+
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _re.search(r"(?m)^[\s:+-]*'?Repartition", plan):
             return df
     except Exception:  # noqa: BLE001 - plan introspection is best-effort
         pass

@@ -1532,12 +1532,23 @@ def _bpe_state_run(base: DataFrame, n_merges: int, batch: int, top_window: int):
         for left, right, merged, cnt in accepted:
             step += 1
             merges.append((step, left, right, merged, cnt))
+        # r13 (guide §1.2 "per-task work" at the DRIVER): the
+        # checkpoint is LAZY — the next round's pair-count collect
+        # materializes the folded dictionary as part of its own job, so
+        # each round costs ONE Spark job instead of two (the eager form
+        # ran a dedicated materialization job per round; at 16 rounds
+        # that was half of bpe_learn's driver job count). The lineage
+        # cut itself is unchanged: the checkpoint still truncates the
+        # fold chain the moment it is computed, so Catalyst analysis
+        # stays flat per round (the r5 4×-growth fix). The final
+        # round's dictionary materializes at its first downstream
+        # action, one fold above the previous round's checkpoint.
         words = words.withColumn(
             "syms",
             F.expr(
                 _bpe_batch_fold_sql([(a, b, m) for a, b, m, _ in accepted])
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     base.unpersist()
     return merges, words
 

@@ -513,6 +513,24 @@ def _specials_rx(specials: dict) -> str:
     return "|".join(esc(s) for s in sorted(specials, key=len, reverse=True))
 
 
+#: per-worker word→ids caches, keyed by tokenizer digest: the encode
+#: stage's task-local dictionary (guide §4.5 — heavyweight state once
+#: per task, kept across tasks by worker reuse). Bounded so a
+#: pathological vocabulary stream cannot grow worker RSS without limit;
+#: in-process only — a fresh session/worker always recomputes.
+_WORD_IDS_CACHES: dict = {}
+_WORD_IDS_CACHE_CAP = 1_000_000
+
+
+def _word_ids_cache(digest: str) -> dict:
+    cache = _WORD_IDS_CACHES.get(digest)
+    if cache is None:
+        if len(_WORD_IDS_CACHES) >= 4:
+            _WORD_IDS_CACHES.clear()
+        cache = _WORD_IDS_CACHES[digest] = {}
+    return cache
+
+
 def bpe_encode_pretrained(
     df: DataFrame,
     tokenizer: PretrainedBPE,
@@ -531,212 +549,152 @@ def bpe_encode_pretrained(
     the tokenizer are split out first and encode as their fixed ids.
 
     Returns one row per input document: (id, n_words, n_bytes,
-    n_tokens, token_ids) — keep-every-row: null/empty text yields
-    zeros; byte-level, so NO unk token exists. ``n_words`` counts
-    PRETOKENS (whitespace and special tokens included — GPT-2 has no
-    other word concept) and ``n_bytes`` their total UTF-8 bytes, which
-    equals the document's byte length exactly because pretokens
-    partition the text.
+    n_tokens, token_ids, *keep_cols) — keep-every-row: null/empty text
+    yields zeros; byte-level, so NO unk token exists. ``n_words``
+    counts PRETOKENS (whitespace and special tokens included — GPT-2
+    has no other word concept) and ``n_bytes`` their total UTF-8
+    bytes, which equals the document's byte length exactly because
+    pretokens partition the text.
 
-    ``memo=True`` (default) serves the ENCODED dictionary from the
-    session memo keyed by (input dictionary plan, tokenizer digest) —
-    plan identity, not data identity: rewriting the same file path
-    in-session would serve a stale dictionary; pass ``memo=False`` for
-    mutable inputs (the ``_bpe_state`` contract).
+    Scale shape (r13 rewrite, guide §4.2/§2.4): ZERO shuffles.
+    Pretokenization stays JVM-only and EXACT — the same runs regex,
+    boundary HOF, and chunk regex as before, now evaluated per row
+    into a pretoken ARRAY instead of being exploded into a word
+    stream — and the whole merge-apply + piece→id step is ONE Arrow
+    ``mapInPandas`` stage: the rank and vocab tables ride a broadcast
+    variable, each task keeps a bounded word→ids dictionary (so every
+    distinct pretoken is BPE-encoded once per worker, the same
+    distinct-word economics the old relational dictionary had), and a
+    document's ids concatenate in-row. The previous shape — 3
+    posexplodes, a distinct over the word stream, a dictionary
+    ``mapInPandas``, TWO broadcast joins, a corpus-sized
+    ``groupBy(id)`` rebuild (collect + sort of every token struct),
+    and a keep-every-row left join — paid ~6 exchanges and shuffled
+    more than corpus bytes to compute a stateless per-document
+    transformation; at 100 TB the rebuild exchange alone dominated.
+    The corpus now crosses the Python boundary once as Arrow batches
+    inside each task and never crosses the network at all.
 
-    Scale shape — the reason a 50k-merge vocabulary costs the same
-    plan as an 8-merge one:
+    ``memo`` is kept for API compatibility: there is no relational
+    dictionary artifact to memoize any more (``memo=True`` reuses the
+    session-scoped broadcast of the tokenizer tables; results are
+    identical either way).
 
-    - pretokenization is JVM-only: one runs-regex projection, one
-      arithmetic HOF for the boundary rule, then the chunk regex in a
-      whole-stage-codegen projection over the exploded segments (regex
-      never runs inside an interpreted lambda on the corpus path);
-    - merge application runs on the DISTINCT-PRETOKEN dictionary (|V|
-      rows), one Arrow-batched ``mapInPandas`` stage with the rank
-      table as a broadcast variable; the corpus never enters Python;
-    - piece → id is a BROADCAST JOIN against the parsed vocab relation
-      (the swap ``bpe_encode_bytes``'s docstring prescribes at 32k+
-      merges — no 32k-literal map in the plan, no codegen blowup);
-    - the corpus-side work is narrow explodes, a BROADCAST equi-join
-      against the encoded dictionary (hinted explicitly — r12: the
-      planner's size estimate through the explode chain is garbage and
-      it picked the CORPUS stream as the broadcast build side, which
-      collects the whole tokenized corpus to the driver; the
-      dictionary is the |V|-bounded index artifact and the only sane
-      build side), and ONE per-document rebuild shuffle.
-
-    ``keep_cols`` (r12) passes extra input columns through to the
-    output unchanged (they ride the keep-every-row left join, not the
-    per-word stream) so compositions like decode-round-trip don't pay
-    a second corpus join to re-attach them.
+    ``keep_cols`` passes extra input columns through to the output
+    unchanged so compositions (decode round-trip, pack, fertility)
+    don't pay a corpus join to re-attach them.
     """
     for c in (id_col, text_col, *keep_cols):
         if c not in df.columns:
             raise ValueError(f"bpe_encode_pretrained: unknown column {c!r}")
+    import pyspark.sql.types as T
+
     spark = df.sparkSession
-    nn = df.filter(F.col(text_col).isNotNull())
-    # --- special-token split: segments interleaved with found specials
+    text = F.col(text_col)
+    # --- special-token split (JVM): segments between specials + the
+    # found specials, still per row — special k sits between segment k
+    # and segment k+1
     if tokenizer.specials:
         rx = _specials_rx(tokenizer.specials)
-        seg_stream = nn.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), rx, -1)).alias(
-                "__spos__", "__seg__"
-            ),
-        )
-        sp_stream = (
-            nn.select(
-                F.col(id_col),
-                F.posexplode(
-                    F.regexp_extract_all(
-                        F.col(text_col), F.lit(rx), F.lit(0)
-                    )
-                ).alias("__sp__", "word"),
-            )
-            # special k sits between segment k and k+1
-            .select(
-                id_col,
-                (F.col("__sp__") + 1).alias("__spos__"),
-                F.lit(-1).alias("__qpos__"),
-                F.lit(-1).alias("__pos__"),
-                "word",
-            )
-        )
+        segs = F.split(text, rx, -1)
+        sps = F.regexp_extract_all(text, F.lit(rx), F.lit(0))
     else:
-        seg_stream = nn.select(
-            F.col(id_col),
-            F.lit(0).alias("__spos__"),
-            F.col(text_col).alias("__seg__"),
-        )
-        sp_stream = None
-    # --- pretokenization, staged so every regex is a codegen projection
-    staged = seg_stream.select(
+        segs = F.array(text)
+        sps = F.array().cast("array<string>")
+    # --- pretokenization (JVM, exact — the module-docstring
+    # decomposition applied per segment); null text stays null so the
+    # Python stage can emit the keep-every-row zeros
+    proj = df.select(
         id_col,
-        "__spos__",
-        F.regexp_extract_all(
-            F.col("__seg__"), F.lit(GPT2_RUNS_RX), F.lit(0)
-        ).alias("__runs__"),
-        F.col("__seg__").rlike(GPT2_SWS_RX).alias("__sws__"),
+        *keep_cols,
+        F.when(text.isNotNull(), F.transform(segs, gpt2_pretoken_array))
+        .alias("__pres__"),
+        F.when(text.isNotNull(), sps).alias("__sps__"),
     )
-    seg2 = staged.select(
-        id_col,
-        "__spos__",
-        F.posexplode(
-            _adjusted_segments(F.col("__runs__"), F.col("__sws__"))
-        ).alias("__qpos__", "__sgt__"),
-    )
-    words = seg2.select(
-        id_col,
-        "__spos__",
-        "__qpos__",
-        F.posexplode(
-            F.regexp_extract_all(
-                F.col("__sgt__"), F.lit(GPT2_CHUNK_RX), F.lit(0)
-            )
-        ).alias("__pos__", "word"),
-    )
-    stream = (
-        words.unionByName(sp_stream) if sp_stream is not None else words
-    )
-    dic = stream.select("word").distinct()
+    vocab_plus = dict(tokenizer.vocab)
+    for s, i in tokenizer.specials.items():
+        vocab_plus[_text_to_hex(s)] = i
 
-    def build_encoded_dict() -> DataFrame:
-        import pandas as pd
-
-        bc = spark.sparkContext.broadcast(
-            (tokenizer.ranks, set(tokenizer.specials))
+    def _bc():
+        return spark.sparkContext.broadcast(
+            (tokenizer.ranks, vocab_plus, dict(tokenizer.specials),
+             tokenizer.digest)
         )
-
-        def enc_iter(batches):
-            ranks, sp = bc.value
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "word": pdf["word"],
-                        "pieces": [
-                            [_text_to_hex(w)]
-                            if w in sp
-                            else encode_word_hex(w, ranks)
-                            for w in pdf["word"]
-                        ],
-                    }
-                )
-
-        enc_dic = dic.mapInPandas(
-            enc_iter, "word string, pieces array<string>"
-        )
-        vocab_plus = dict(tokenizer.vocab)
-        for s, i in tokenizer.specials.items():
-            vocab_plus[_text_to_hex(s)] = i
-        vocab_df = spark.createDataFrame(
-            list(vocab_plus.items()), "piece string, tid int"
-        )
-        # piece -> id via broadcast join (vocab is 256+n rows — small
-        # relative to any corpus, far too big for a literal map)
-        encoded = (
-            enc_dic.select(
-                "word",
-                F.posexplode("pieces").alias("__ppos__", "piece"),
-            )
-            .join(F.broadcast(vocab_df), "piece")
-            .groupBy("word")
-            .agg(
-                F.expr(
-                    "array_sort(collect_list(struct(__ppos__, tid))).tid"
-                ).alias("__ids__"),
-            )
-        )
-        if memo:
-            return encoded.localCheckpoint(eager=True)
-        return encoded
 
     if memo:
         from . import _memo
 
-        key = (
-            "pretrained_bpe_dict",
-            _memo.session_key(df),
-            _memo.plan_hash(dic),
-            tokenizer.digest,
+        bc = _memo.state_memo(
+            ("pretrained_bpe_bc", _memo.session_key(df), tokenizer.digest),
+            _bc,
         )
-        encoded = _memo.state_memo(key, build_encoded_dict)
     else:
-        encoded = build_encoded_dict()
-    per_word = stream.join(F.broadcast(encoded), "word").select(
-        id_col,
-        "__spos__",
-        "__qpos__",
-        "__pos__",
-        F.octet_length("word").cast("long").alias("__nb__"),
-        "__ids__",
+        bc = _bc()
+    fields = (
+        [proj.schema[id_col]]
+        + [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+        ]
+        + [proj.schema[c] for c in keep_cols]
     )
-    agg = per_word.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.sum("__nb__").cast("long").alias("n_bytes"),
-        F.flatten(
-            F.expr(
-                "array_sort(collect_list("
-                "struct(__spos__, __qpos__, __pos__, __ids__)))"
-                ".__ids__"
-            )
-        ).alias("token_ids"),
-    )
-    return (
-        df.select(id_col, *keep_cols)
-        .join(agg, id_col, "left")
-        .withColumn(
-            "token_ids",
-            F.coalesce("token_ids", F.array().cast("array<int>")),
-        )
-        .select(
-            id_col,
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
-            F.size("token_ids").cast("long").alias("n_tokens"),
-            "token_ids",
-            *keep_cols,
-        )
-    )
+    schema = T.StructType(fields)
+
+    def enc_iter(batches):
+        import pandas as pd
+
+        ranks, vocab, specials, digest = bc.value
+        cache = _word_ids_cache(digest)
+
+        def ids_of(w):
+            hit = cache.get(w)
+            if hit is None:
+                hit = [vocab[p] for p in encode_word_hex(w, ranks)]
+                if len(cache) < _WORD_IDS_CACHE_CAP:
+                    cache[w] = hit
+            return hit
+
+        for pdf in batches:
+            n = len(pdf)
+            nw = [0] * n
+            nb = [0] * n
+            ids_out = [None] * n
+            pres_col = pdf["__pres__"]
+            sps_col = pdf["__sps__"]
+            for r in range(n):
+                pres = pres_col.iloc[r]
+                if pres is None:
+                    ids_out[r] = []
+                    continue
+                sps_r = sps_col.iloc[r]
+                ids: list = []
+                words = 0
+                bts = 0
+                for k, seg in enumerate(pres):
+                    if k > 0:
+                        s = sps_r[k - 1]
+                        ids.append(specials[s])
+                        words += 1
+                        bts += len(s.encode("utf-8"))
+                    for w in seg:
+                        ids.extend(ids_of(w))
+                        words += 1
+                        bts += len(w.encode("utf-8"))
+                nw[r] = words
+                nb[r] = bts
+                ids_out[r] = ids
+            out = {id_col: pdf[id_col]}
+            out["n_words"] = nw
+            out["n_bytes"] = nb
+            out["n_tokens"] = [len(x) for x in ids_out]
+            out["token_ids"] = ids_out
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return proj.mapInPandas(enc_iter, schema)
 
 
 def bpe_decode_pretrained(
@@ -755,7 +713,14 @@ def bpe_decode_pretrained(
     concatenating the pieces' bytes in order and UTF-8-decoding
     restores the document byte-for-byte (round-trip property test in
     the unit suite). Unknown ids raise (a corrupted stream must not
-    silently drop tokens).
+    silently drop tokens), and the byte concat is decoded with STRICT
+    UTF-8 — a sequence that splits a multi-byte character (e.g. a
+    truncated/packed window cut mid-character) raises rather than
+    emitting replacement characters (r13, advice: the stricter
+    contract is deliberate — this op is the round-trip INVERSE of the
+    encoder, whose output always concatenates to valid UTF-8; a
+    lossy inspection decode for arbitrary windows would use
+    ``errors="replace"`` and is a different operator).
 
     Returns (id, *keep_cols, out_col); ``keep_cols`` pass through
     unchanged so compositions don't re-join the corpus to re-attach

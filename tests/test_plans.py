@@ -920,31 +920,30 @@ class TestR5Batch3PlanShape:
         # two-level decomposition survived optimization
         assert "__bps_b__" in s
 
-    def test_pretrained_encode_broadcast_vocab_no_literal_map(self, spark):
-        # r11 (VERDICT r10 item 3): the 33k-piece -> id step must be a
-        # BROADCAST JOIN against the parsed vocab relation, not the
-        # 256+n literal map (which stops scaling past ~hundreds of
-        # merges); merge application is ONE Arrow mapInPandas stage
-        # over the distinct-word dictionary. memo=False so the plan
-        # shows the real build, not the checkpointed dictionary.
+    def test_pretrained_encode_zero_shuffle_arrow_stage(self, spark):
+        # r13 (guide §4.2/§2.4): the 33k-merge encode is ONE Arrow
+        # mapInPandas stage over per-row pretoken arrays — zero
+        # exchanges, zero joins, and the 33k-piece vocab rides a
+        # broadcast VARIABLE (never a literal map, which stops scaling
+        # past ~hundreds of merges; never a corpus-side join, whose
+        # per-doc rebuild shuffle was the r12 plan's dominant cost).
         from tafra_spark.functions.tokenizer import (
             bpe_encode_pretrained,
             load_gpt2_tokenizer,
             synthetic_gpt2_fixture,
         )
-        from tafra_spark.plans.inspect import explain_str, has_broadcast_join
+        from tafra_spark.plans.inspect import count_exchanges, explain_str
 
         mt, vt = synthetic_gpt2_fixture(32768)
         tok = load_gpt2_tokenizer(merges_text=mt, vocab_text=vt)
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         df = bpe_encode_pretrained(docs, tok, memo=False)
         s = explain_str(df, "simple")
-        assert has_broadcast_join(df)
         assert "MapInPandas" in s
-        assert "BroadcastNestedLoopJoin" not in s
-        assert "CartesianProduct" not in s
+        assert count_exchanges(df) == 0
+        assert "Join" not in s
         # the literal piece->id map would inline 33k map keys into the
-        # plan text; the broadcast-join plan stays bounded
+        # plan text; the broadcast-variable plan stays bounded
         assert "map_from_arrays" not in s and "keys: [" not in s
 
     def test_pack_sequences_two_level_prefix_sum(self, spark):
