@@ -3257,10 +3257,13 @@ def language_id_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread_docs(spark, sf_dir, "doc_id", "text").select(
         "doc_id", "text", snippet.alias("snip"), expected.alias("expected")
     )
+    # r13: both classifications in ONE Arrow stage (also=) — the
+    # stacked pair paid a second Python stage's fixed cost per rep
     staged = with_language_id_v2(
-        with_language_id_v2(docs, text_col="snip", out="pred_v2"),
-        text_col="text",
-        out="doc_lang_v2",
+        docs,
+        text_col="snip",
+        out="pred_v2",
+        also=(("text", "doc_lang_v2"),),
     )
     return staged.select(
         "doc_id",

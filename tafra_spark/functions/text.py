@@ -460,6 +460,7 @@ def with_language_id_v2(
     text_col: str = "text",
     out: str = "lang_v2",
     memo: bool = True,
+    also: tuple = (),
 ) -> DataFrame:
     """Staged corpus form of :func:`language_id_v2` (r10; candidate
     prefilter r11): four stacked projections materialize (1) the
@@ -474,77 +475,110 @@ def with_language_id_v2(
     more than once. Still zero-shuffle — pipelined projections over
     the scan.
 
-    ``memo=True`` (r12) serves the BUILT PLAN from the session memo
-    (:func:`._memo.plan_memo` — the compiled-classifier architecture
-    the ANN paths use): profiling showed constructing this tree costs
-    ~14,000 py4j round trips (~2.4 s), more than executing it on a
-    5,000-doc partition. Execution is NOT cached — every action runs
-    the plan; the one staleness surface is the memoized plan's file
-    listing (an input path rewritten in-session — pass ``memo=False``
-    or ``_memo.clear_memos()``, the standing contract)."""
-    if memo:
-        from . import _memo
+    r13 rewrite (guide §4.2): the staged form is ONE Arrow
+    ``mapInPandas`` stage. The r12 expression pipeline (four stacked
+    projections × ~40 derived columns with two ~32-branch CASE trees,
+    built per text column) was plan-sound but its Catalyst analysis +
+    whole-stage codegen + C2 JIT made it the single heaviest COLD
+    compile left in the driver's bench (6.3–7.2 s first execution at
+    32 cores with no core-count scaling — the same signature the
+    gopher battery had before its r13 Arrow rewrite). The per-batch
+    Python below computes the identical integers — same codepoint
+    class counts (compiled per-script regex over the same BMP
+    ranges), the same ASCII fast path, the same ASCII-only case fold
+    (A–Z only, exactly the JVM ``translate``), the same
+    edge-punct btrim, distinct-candidate intersection, and decision
+    tree with the same tie-breaks — so both the inline-expression
+    differential tests and the DuckDB oracle hash unchanged.
 
-        key = (
-            "lang_id_v2_staged",
-            _memo.session_key(df),
-            _memo.plan_hash(df),
-            text_col,
-            out,
-        )
-        return _memo.plan_memo(
-            key, lambda: with_language_id_v2(df, text_col, out, memo=False)
-        )
-    pre = "__lid2__"
-    s = F.coalesce(F.col(text_col), F.lit(""))
-    # r12: one materialized whole-string ASCII test gates the script
-    # counts — ASCII rows (the overwhelming case on a gated corpus)
-    # skip all 10 per-block regex scans (see _v2_script_count)
-    s0 = df.select("*", s.rlike(_ASCII_RE).alias(f"{pre}ascii"))
-    ascii_col = F.col(f"{pre}ascii")
-    s1 = s0.select(
-        "*",
-        _v2_toks(s).alias(f"{pre}toks"),
-        *[
-            _v2_script_count(s, name, is_ascii=ascii_col).alias(
-                f"{pre}sc_{name}"
+    ``memo`` is kept for API compatibility (the r12 plan-memo existed
+    to amortize ~14,000 py4j round trips of TREE CONSTRUCTION; the
+    Arrow stage has no such tree, and results are identical either
+    way)."""
+    del memo  # results identical; no plan-build cost left to memoize
+    import re as _re
+
+    import pyspark.sql.types as T
+
+    # ``also`` (r13): extra (text_col, out) pairs classified in the
+    # SAME Arrow stage — a caller gating several columns (the driver
+    # query classifies both the fixture snippet and the document text)
+    # pays ONE Python stage instead of stacking two.
+    pairs = [(text_col, out), *also]
+    for c, _ in pairs:
+        if c not in df.columns:
+            raise ValueError(f"with_language_id_v2: unknown column {c!r}")
+    for _, o in pairs:
+        if o in df.columns:
+            df = df.drop(o)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(o, T.StringType()) for _, o in pairs]
+    )
+    script_rx = {
+        name: _re.compile(
+            "["
+            + "".join(
+                "%s-%s" % (chr(lo), chr(hi)) for lo, hi in ranges
             )
-            for name in _SCRIPT_RANGES
-        ],
-    )
-    # r11: one distinct profile-word intersection per row; the 24
-    # per-language counts then run over the (tiny) candidate array
-    s1b = s1.select("*", _v2_cand(F.col(f"{pre}toks")).alias(f"{pre}cand"))
-    s2 = s1b.select(
-        "*",
-        *[
-            _v2_hit(F.col(f"{pre}cand"), lang).alias(f"{pre}hit_{lang}")
-            for lang in _LANG_PROFILES
-        ],
-    )
-    cnt = {name: F.col(f"{pre}sc_{name}") for name in _SCRIPT_RANGES}
-    hits = {lang: F.col(f"{pre}hit_{lang}") for lang in _LANG_PROFILES}
-    # r12: materialize the two maxima BEFORE the decision tree — see
-    # _v2_decision's docstring (JIT method-size limit)
-    s2b = s2.select(
-        "*",
-        _v2_best_nl(cnt).alias(f"{pre}bestnl"),
-        F.greatest(*hits.values()).alias(f"{pre}bestlat"),
-    )
-    out_df = s2b.withColumn(
-        out,
-        _v2_decision(
-            cnt,
-            hits,
-            best_nl=F.col(f"{pre}bestnl"),
-            best_lat=F.col(f"{pre}bestlat"),
-        ),
-    )
-    drop = [f"{pre}toks", f"{pre}cand", f"{pre}ascii",
-            f"{pre}bestnl", f"{pre}bestlat"]
-    drop += [f"{pre}sc_{name}" for name in _SCRIPT_RANGES]
-    drop += [f"{pre}hit_{lang}" for lang in _LANG_PROFILES]
-    return out_df.drop(*drop)
+            + "]"
+        )
+        for name, ranges in _SCRIPT_RANGES.items()
+    }
+    ws_rx = _re.compile(r"[ \t\r\n\x0b\x0c]+")
+    latin_ascii_rx = _re.compile("[A-Za-z]")
+    # ASCII-only case fold — the exact JVM translate(A-Z → a-z);
+    # str.lower() would also fold non-ASCII letters ('FÜR' → 'für')
+    # and silently diverge from the expression form's profile hits
+    fold = str.maketrans(_AZ_UP, _AZ_LO)
+    profiles = {lang: frozenset(ws) for lang, ws in _LANG_PROFILES.items()}
+    all_words = frozenset(_ALL_PROFILE_WORDS)
+    langs_sorted = sorted(_LANG_PROFILES)
+    script_langs = list(_SCRIPT_LANGS)
+    edge = _EDGE_PUNCT
+
+    def _decide(text) -> str:
+        s = text if text is not None else ""
+        if s.isascii():
+            cnt = dict.fromkeys(script_rx, 0)
+            cnt["latin"] = len(latin_ascii_rx.findall(s))
+        else:
+            cnt = {
+                name: len(rx.findall(s))
+                for name, rx in script_rx.items()
+            }
+        cand = {
+            t
+            for t in (
+                w.strip(edge) for w in ws_rx.split(s.translate(fold))
+            )
+            if t
+        } & all_words
+        jazh = cnt["kana"] + cnt["hani"]
+        best_nl = max(max(cnt[sc] for sc, _ in script_langs), jazh)
+        if best_nl > 0 and best_nl * 2 >= cnt["latin"]:
+            for sc, lang in script_langs:
+                if cnt[sc] == best_nl:
+                    return lang
+            return "ja" if cnt["kana"] > 0 else "zh"
+        hits = {
+            lang: len(cand & ws) for lang, ws in profiles.items()
+        }
+        best_lat = max(hits.values())
+        if best_lat > 0:
+            for lang in langs_sorted:
+                if hits[lang] == best_lat:
+                    return lang
+        return "und"
+
+    def _lid(batches):
+        for pdf in batches:
+            res = pdf.copy()
+            for c, o in pairs:
+                res[o] = [_decide(t) for t in pdf[c]]
+            yield res
+
+    return df.mapInPandas(_lid, schema)
 
 
 def _v2_cnt_sql(expr: str, name: str) -> str:

@@ -603,12 +603,39 @@ def bpe_encode_pretrained(
         sps = F.array().cast("array<string>")
     # --- pretokenization (JVM, exact — the module-docstring
     # decomposition applied per segment); null text stays null so the
-    # Python stage can emit the keep-every-row zeros
+    # Python stage can emit the keep-every-row zeros. The runs array
+    # and the starts-with-whitespace anchor are STAGED per segment via
+    # a nested transform into a struct (the in-row analogue of the old
+    # staged ``__runs__`` column): ``_adjusted_segments`` references
+    # its runs argument per ELEMENT (size/element_at inside the
+    # lambda), so passing the raw ``regexp_extract_all`` expression
+    # would re-run the runs regex once per run — O(runs²·len) per
+    # segment (measured: 4.5 s → 45 s cold on the sf0.1 bench row
+    # before this staging).
+    staged = F.transform(
+        segs,
+        lambda s: F.struct(
+            F.regexp_extract_all(s, F.lit(GPT2_RUNS_RX), F.lit(0)).alias(
+                "runs"
+            ),
+            s.rlike(GPT2_SWS_RX).alias("sws"),
+        ),
+    )
+    pres = F.transform(
+        staged,
+        lambda st: F.flatten(
+            F.transform(
+                _adjusted_segments(st["runs"], st["sws"]),
+                lambda sg: F.regexp_extract_all(
+                    sg, F.lit(GPT2_CHUNK_RX), F.lit(0)
+                ),
+            )
+        ),
+    )
     proj = df.select(
         id_col,
         *keep_cols,
-        F.when(text.isNotNull(), F.transform(segs, gpt2_pretoken_array))
-        .alias("__pres__"),
+        F.when(text.isNotNull(), pres).alias("__pres__"),
         F.when(text.isNotNull(), sps).alias("__sps__"),
     )
     vocab_plus = dict(tokenizer.vocab)
