@@ -5787,7 +5787,7 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   max round r where CORRECTNESS_r0{r}.json contains the key.
 
 # --- r11 driver window (historical — kept for CORRECTNESS_r11
-# provenance; the LIVE window is _R12_WINDOW below; the driver
+# provenance; the LIVE window is _R13_WINDOW below; the driver
 # verifies the FIRST 50 entries of queries()).
 # Composition (r11): (1) the five r5-stale rows the r10
 # verdict ordered to the head (join_size/quantile-sketch/kmv/audio/
@@ -5833,6 +5833,84 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staleness with: max round r where CORRECTNESS_r0{r}.json contains
 # the key (histogram entering r12: r6×14 / r7×44 / r8×41 / r9×49 /
 # r10×42 / r11×50).
+# --- r13 driver window: stalest-first rotation (VERDICT r12 item 3).
+# Composition: (1) ALL 42 rows last verified in round 7 — the
+# displacement set the r12 window documented (anti_join_not_exists …
+# weighted_source_mix, alphabetical) — go first, clearing the r7 debt
+# exactly as the r12 comment promised; conveniently this cohort
+# already re-verifies most r13 shingle-staging consumers
+# (minhash_signature, ngram_jaccard, simhash_near_dups,
+# corpus_prep_pipeline, exact_dedup_groups, decontaminate_overlap,
+# embedding_near_dups, semantic_dedup_*). (2) the eight rows whose
+# derivation was REWRITTEN in r13 (Arrow gopher battery, driver-folded
+# source overlap, the zero-shuffle pretrained tokenizer family, Arrow
+# language-ID v2, the skew-safe span rewrite) — changed code is
+# re-verified in the round that changed it. The remaining r13-touched
+# rows (bpe_learn_merges / bpe_encode_docs / bpe_byte_encode_docs /
+# tokenize_pack_docs / bpe_token_stats — lazy-checkpoint cadence and a
+# dictionary-side id map with value-identical output — plus the
+# broader shingle consumers) did not fit the 50-row window behind the
+# r7 debt; all were verified green against the full-registry local
+# oracle gate this round (see OPTIMIZATION_r13.md) and keep their
+# r12-green driver history. Recompute staleness with: max round r
+# where CORRECTNESS_r0{r}.json contains the key (histogram entering
+# r13: r7×42 / r8×39 / r9×42 / r10×40 / r11×40 / r12×50).
+_R13_WINDOW = [
+    # (1) the r7 cohort — all of the r7 debt, alphabetical
+    "anti_join_not_exists",
+    "chunk_sliding_windows",
+    "corpus_prep_pipeline",
+    "decontaminate_overlap",
+    "doc_repetition_stats",
+    "embedding_centroid_assign",
+    "embedding_cosine_topk",
+    "embedding_lsh_ann",
+    "embedding_near_dups",
+    "event_rate_spikes",
+    "event_transition_matrix",
+    "exact_dedup_groups",
+    "funnel_click_view_purchase",
+    "hll_distinct_users",
+    "incremental_dedup_batch",
+    "key_skew_sources",
+    "kmeans_centroids",
+    "knn_semantic_graph",
+    "length_outlier_flags",
+    "minhash_signature",
+    "ngram_jaccard",
+    "pii_scrub_stats",
+    "pivot_linestatus",
+    "profile_lineitem",
+    "quality_gate_filter",
+    "retention_weekly_cohorts",
+    "rollup_agg",
+    "sample_k_per_source",
+    "segment_dedup",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "semi_join_exists",
+    "simhash_near_dups",
+    "sorted_neighborhood_candidates",
+    "source_top_terms",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_budget_mix",
+    "train_shuffle_shards",
+    "vocab_doc_freq",
+    "warc_roundtrip_docs",
+    "weighted_source_mix",
+    # (2) r13 rewritten rows
+    "gopher_quality_docs",
+    "source_overlap_matrix",
+    "pretrained_encode_docs",
+    "pretrained_decode_docs",
+    "pretrained_pack_docs",
+    "tokenizer_fertility_eval",
+    "language_id_v2_docs",
+    "dup_span_rewrite_docs",
+]
+
+# r12 window kept for provenance (CORRECTNESS_r12 keys):
 _R12_WINDOW = [
     # (1) the r6 cohort tail — last of the r6 debt
     "q7_nation_volume",
@@ -6147,7 +6225,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _registry()
-    out = {n: q[n] for n in _R12_WINDOW}
+    out = {n: q[n] for n in _R13_WINDOW}
     out.update((n, f) for n, f in q.items() if n not in out)
     return out
 

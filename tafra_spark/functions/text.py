@@ -1770,7 +1770,18 @@ def bpe_encode_docs(
         F.array(*[F.lit(k) for k in piece_ids]),
         F.array(*[F.lit(v) for v in piece_ids.values()]),
     )
-    vocab = words.select("word", "syms")
+    # r13 (guide §2.3 "project before the exchange" / §1.2): the
+    # piece→id literal map is applied ONCE on the |V|-row dictionary
+    # side; the corpus stream's projection no longer carries the
+    # 26+n-literal map expression (its per-word transform ran once per
+    # corpus token, and every literal sat in the corpus stage's
+    # generated code)
+    vocab = words.select(
+        "word",
+        F.transform(
+            "syms", lambda s: F.element_at(mapping, s).cast("int")
+        ).alias("__vids__"),
+    )
     stream = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -1784,15 +1795,10 @@ def bpe_encode_docs(
     per_word = stream.join(F.broadcast(vocab), "word", "left").select(
         id_col,
         "__pos__",
-        F.when(
-            F.col("syms").isNotNull(),
-            F.transform(
-                "syms", lambda s: F.element_at(mapping, s).cast("int")
-            ),
-        )
-        .otherwise(F.array(F.lit(unk_id).cast("int")))
-        .alias("__ids__"),
-        F.col("syms").isNull().alias("__unk__"),
+        F.coalesce(
+            F.col("__vids__"), F.array(F.lit(unk_id).cast("int"))
+        ).alias("__ids__"),
+        F.col("__vids__").isNull().alias("__unk__"),
     )
     agg = per_word.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1881,7 +1887,16 @@ def bpe_encode_bytes(
         F.array(*[F.lit(k) for k in piece_ids]),
         F.array(*[F.lit(v) for v in piece_ids.values()]),
     )
-    vocab = words.select("word", "syms")
+    # r13 (guide §2.3/§1.2): the 256+n-literal piece→id map is applied
+    # ONCE on the |V|-row dictionary side — the corpus projection's
+    # generated code no longer carries 512+ literals, and the per-token
+    # map transform disappears from the stream
+    vocab = words.select(
+        "word",
+        F.transform(
+            "syms", lambda s: F.element_at(mapping, s).cast("int")
+        ).alias("__vids__"),
+    )
     stream = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -1894,18 +1909,18 @@ def bpe_encode_bytes(
     )
     # byte fallback for out-of-dictionary words: raw byte symbols, no
     # merges applied (encoding the training corpus itself never takes
-    # this branch — the dictionary covers every word by construction)
-    base_syms = F.expr(
-        "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)"
+    # this branch — the dictionary covers every word by construction).
+    # A base hex pair's id IS its byte value, so the fallback needs no
+    # map at all: conv(hex, 16, 10) is the id.
+    base_ids = F.expr(
+        "transform(regexp_extract_all(hex(encode(word, 'UTF-8')), "
+        "'..', 0), s -> cast(conv(s, 16, 10) as int))"
     )
     per_word = stream.join(F.broadcast(vocab), "word", "left").select(
         id_col,
         "__pos__",
         F.octet_length("word").cast("long").alias("__nb__"),
-        F.transform(
-            F.coalesce(F.col("syms"), base_syms),
-            lambda s: F.element_at(mapping, s).cast("int"),
-        ).alias("__ids__"),
+        F.coalesce(F.col("__vids__"), base_ids).alias("__ids__"),
     )
     agg = per_word.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
