@@ -852,8 +852,14 @@ def bm25_topk(
     Plan (r12 rewrite, guide §1.2 "the distributed algorithm" +
     §2.4 "remove shuffles outright"): the query is a FIXED, tiny bag
     of terms, so each document's per-term tf is computed IN-ROW with a
-    higher-order ``filter`` over the token array — the corpus is
-    tokenized once, never exploded, and never joined. One scan yields
+    higher-order ``filter`` over the token array — the corpus is never
+    exploded and never joined. The tokenize+tf projection runs TWICE
+    (r13, advice: once feeding the broadcast stats aggregate, once on
+    the scoring side — a persist between them was A/B'd and REJECTED
+    at 32 cores, the nb_quality lesson: the materialization barrier
+    before the broadcast build measured ~1.41 s vs ~1.1–1.27 s for
+    recomputing the narrow int projection; numbers in
+    OPTIMIZATION_r13.md). One scan yields
     (id, dl, tf_0..tf_T); one tiny aggregate over it yields every
     global constant (N, Σdl, per-term document frequency) in a single
     broadcast row; the score is an in-row integer sum of the same q6
