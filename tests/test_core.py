@@ -600,7 +600,7 @@ def test_driver_window_is_50_unique_registry_rows():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    window = entry._R12_WINDOW
+    window = entry._R13_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     q = entry.queries()
