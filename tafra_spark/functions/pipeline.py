@@ -192,11 +192,13 @@ def dup_span_rewrite(
     # unbounded single-group state (plus a giant exploded row). The
     # keeper aggregate is now BOUNDED per hash (two longs, map-side
     # combined), and non-keeper occurrences come from joining the span
-    # stream back against it on ``h`` — the probe side's
-    # hash-partitioning is the SAME exchange the aggregate consumes
-    # (identical subtree over the persisted token table), so runtime
-    # ReusedExchange serves both from one shuffle; per-id start lists
-    # stay bounded by a document's own span count, as before.
+    # stream back against the FILTERED duplicated-hash relation —
+    # locally AQE broadcasts it (plan capture: BroadcastHashJoin, the
+    # probe-side span stream never shuffles; both passes read the
+    # persisted token table); at scale it degrades to a shuffled join
+    # on ``h``, whose per-partition state is still bounded. Per-id
+    # start lists stay bounded by a document's own span count, as
+    # before.
     per_h = span_rows.groupBy("h").agg(
         F.min(id_col).alias("__keep__"),
         (F.min(id_col) != F.max(id_col)).alias("__x__"),
